@@ -1,0 +1,45 @@
+package graft.core
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Shared text normalization for the index build path and the query path.
+  *
+  * Reproduces the reference normalizer exactly (one function so the two
+  * paths can never diverge — reference duplicates it at
+  * `mapper/main.py:56-57` (build) and `main/app.py:67-68` (lookup)):
+  *   1. collapse runs of whitespace to a single space
+  *   2. lowercase
+  *   3. strip everything outside `[a-z0-9 ]` (ASCII keep-set: punctuation
+  *      AND non-ASCII letters are removed — "café" → "caf")
+  *
+  * All functions are `Column → Column` so they stay inside Catalyst
+  * whole-stage codegen — no UDFs, no serialization boundary.
+  */
+object TextNorm {
+
+  /** Normalize a text column: `mapper/main.py:56-57`. After this, token
+    * boundaries are single ASCII spaces.
+    */
+  def normalize(c: Column): Column =
+    regexp_replace(lower(regexp_replace(c, "\\s+", " ")), "[^a-z0-9 ]", "")
+
+  /** Tokenize normalized text into a non-empty-word array.
+    * Python `.split()` (`mapper/main.py:60`) drops empty tokens; Spark
+    * `split` emits them (leading space, all-punctuation words) — filter.
+    */
+  def tokens(c: Column): Column =
+    filter(split(normalize(c), " "), t => length(t) > lit(0))
+
+  /** Normalize a lookup key the way the UI does (`main/app.py:67-68`):
+    * trim, lowercase, strip non-alphanumerics. Driver-side (plain
+    * String): the key is a scalar, not a column.
+    */
+  def normalizeKey(s: String): String =
+    s.trim.toLowerCase.replaceAll("[^a-z0-9\\s]", "")
+
+  /** Input validation for lookup keys: `main/app.py:43-44` rejects any
+    * input containing whitespace (`^[^\s\n]+$`).
+    */
+  def isValidKey(s: String): Boolean = s.matches("^[^\\s\\n]+$")
+}

@@ -1,0 +1,129 @@
+package graft.index
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.TextNorm
+
+/** The engine's core artifact: a term-frequency inverted index
+  * `(word, doc_id, cnt)` over a document corpus — the single query the
+  * reference materializes (`SELECT word, document, count(*) ... GROUP BY
+  * word, document`, see master/mapper/groupby/reducer pipeline,
+  * `master/main.py:135-255`).
+  *
+  * Canonical representation is the FLAT DataFrame `(word: string,
+  * doc_id: long, cnt: long)` — the reference's nested
+  * `word → {doc → cnt}` JSON (`master/main.py:107-126`) is an export
+  * codec only (`exportNestedJson`). Flat keeps the index
+  * shuffle-partitionable by key at any scale; the nested map would cap a
+  * word's postings list at executor memory.
+  *
+  * Scale notes (100 TB design intent):
+  *   - build is scan → generate → two-phase hash aggregate: ONE shuffle,
+  *     with map-side partial aggregation replacing the reference's
+  *     collect-only combiner (`create_json_file/main.py:44-53`).
+  *   - merge is union + re-aggregate: one shuffle, no driver-side state
+  *     (the reference folds everything into a Python dict on the master,
+  *     `master/main.py:82-126` — the exact pattern we must avoid).
+  *   - lookup is a filter that pushes `word = w` into the Parquet scan.
+  */
+object InvertedIndex {
+
+  /** Build the index from a corpus DataFrame.
+    *
+    * Pipeline (all one Catalyst plan, two stages):
+    * normalize (`mapper/main.py:56-57`) → tokenize+explode
+    * (`mapper/main.py:60-63`) → groupBy(word, doc).count — which subsumes
+    * reference operators #13/#15/#16/#18 (combiner, shuffle merge, hash
+    * partitioner, reducer SUM) as one partial+final HashAggregate.
+    *
+    * @param docs   corpus with an id column and a text column
+    * @param idCol  document identity (reference: base filename,
+    *               `mapper/main.py:63`; fixtures: `doc_id`)
+    */
+  def build(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), explode(TextNorm.tokens(col(textCol))).as("word"))
+      .groupBy("word", "doc_id")
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Incremental merge, PARITY mode: add delta counts into the old index
+    * (`master/main.py:106-121`). Re-indexing a document that is already
+    * in the index double-counts it — faithfully kept; see upsertDocs for
+    * the corrected semantics. One shuffle, partial-agg'd union.
+    */
+  def add(oldIndex: DataFrame, delta: DataFrame): DataFrame =
+    oldIndex
+      .unionByName(delta)
+      .groupBy("word", "doc_id")
+      .agg(sum("cnt").as("cnt"))
+
+  /** Incremental merge, UPSERT mode: replace all postings of the
+    * documents present in the delta, then union. This is the
+    * correct-by-document semantics the reference lacks (SURVEY §7.5.1):
+    * re-uploading a file replaces its counts instead of doubling them.
+    * The anti-join broadcasts the delta's (small) doc-id set.
+    */
+  def upsertDocs(oldIndex: DataFrame, delta: DataFrame): DataFrame = {
+    val deltaDocs = delta.select("doc_id").distinct()
+    oldIndex
+      .join(broadcast(deltaDocs), Seq("doc_id"), "left_anti")
+      .unionByName(delta.select("doc_id", "word", "cnt"))
+      .select("word", "doc_id", "cnt")
+  }
+
+  /** Point lookup (`main/app.py:72-77`): postings of one word, count
+    * descending. The reference leaves tie order undefined (pandas
+    * quicksort); we pin `doc_id` ascending for determinism.
+    * The equality predicate pushes down into the index scan.
+    */
+  def lookup(index: DataFrame, word: String): DataFrame = {
+    val key = TextNorm.normalizeKey(word)
+    index
+      .filter(col("word") === lit(key))
+      .select(col("doc_id"), col("cnt"))
+      .orderBy(col("cnt").desc, col("doc_id"))
+  }
+
+  /** Top-k postings per word — the bounded version of lookup's full sort,
+    * for serving at scale: rank within each word partition, keep k.
+    * Deterministic tiebreak `doc_id` asc.
+    */
+  def topK(index: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("word").orderBy(col("cnt").desc, col("doc_id").asc)
+    index
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
+  /** Export in the reference's nested shape `word → {doc → cnt}`
+    * (`final_results.json`, `master/main.py:123-126`), one row per word.
+    * Postings are sorted by doc_id so the JSON string is deterministic.
+    * Kept distributed (row per word) — the reference's single pretty
+    * JSON file is a scale bottleneck we only reproduce at the final
+    * write boundary (coalesce(1) left to the caller).
+    */
+  def exportNestedJson(index: DataFrame): DataFrame =
+    index
+      .groupBy("word")
+      .agg(
+        map_from_entries(
+          array_sort(collect_list(struct(col("doc_id"), col("cnt"))))
+        ).as("postings")
+      )
+      .select(col("word"), to_json(col("postings")).as("postings_json"))
+
+  /** Round-trip: parse the nested export back into the flat canonical
+    * form. */
+  def importNestedJson(rows: DataFrame)(implicit spark: SparkSession): DataFrame =
+    rows
+      .select(
+        col("word"),
+        explode(from_json(col("postings_json"),
+          org.apache.spark.sql.types.MapType(
+            org.apache.spark.sql.types.StringType,
+            org.apache.spark.sql.types.LongType))).as(Seq("doc_id", "cnt"))
+      )
+      .select(col("word"), col("doc_id").cast("long").as("doc_id"), col("cnt"))
+}

@@ -1,0 +1,171 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Relational operator coverage over the TPC-H-ish fixture tables —
+  * the operator families the reference explicitly lacks (SURVEY §2.12:
+  * joins, windows, rollup, set ops, top-k) but that any engine claiming
+  * its capabilities at 100 TB needs.
+  *
+  * Plan-shape intent per query is noted inline; `explain("formatted")`
+  * in the specs pins the important properties (broadcast vs shuffle
+  * join, pushed filters, partial aggregation).
+  *
+  * Float determinism: every double aggregate is rounded (2 decimals for
+  * money, 4 for ratios) so the DuckDB oracle hash-matches despite
+  * engine-specific summation order.
+  */
+object Relational {
+
+  private def t(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
+  /** Money aggregate: accumulate in DECIMAL(18,4) so the sum is exact
+    * and independent of partition/accumulation order (a double sum over
+    * ~1e6 rows carries ~0.1 absolute error at 1e9 magnitude — enough to
+    * flip `round(_, 2)` between engines), then surface as double. The
+    * oracle mirrors with `CAST(round(sum(CAST(e AS DECIMAL(18,4))), 2)
+    * AS DOUBLE)`. */
+  private def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(e.cast("decimal(18,4)")), 2).cast("double")
+
+  /** The events fixture stores TIMESTAMP(NANOS) which Spark's Parquet
+    * reader rejects; read `ts` as epoch-nanos BIGINT instead
+    * (`spark.sql.legacy.parquet.nanosAsLong`). Nanos longs order and
+    * bucket exactly like timestamps, and the oracle mirrors them with
+    * DuckDB's `epoch_ns`. */
+  private def events(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+  }
+
+  /** TPC-H Q1 shape: scan-heavy partial+final hash aggregate, filter
+    * pushed to Parquet. No join; the bench's pure-aggregation probe. */
+  def pricingSummary(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        moneySum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base_price"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
+        round(avg("l_quantity"), 4).as("avg_qty"),
+        round(avg("l_discount"), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+
+  /** TPC-H Q3 shape: two joins. customer is small → broadcast; the
+    * orders⋈lineitem join shuffles on the order key (the natural 100 TB
+    * co-partitioning). */
+  def shippingPriority(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(spark, dir, "orders").filter(col("o_orderdate") < lit("1998-03-15"))
+    val li = t(spark, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15"))
+    li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"))
+  }
+
+  /** Star join through two broadcast dims + grouped agg — the
+    * supplier→nation→region denormalization probe. */
+  def revenueByNation(spark: SparkSession, dir: String): DataFrame = {
+    val li = t(spark, dir, "lineitem")
+    val sup = t(spark, dir, "supplier")
+    val nat = t(spark, dir, "nation")
+    val reg = t(spark, dir, "region")
+    li.join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(nat), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(reg), col("n_regionkey") === col("r_regionkey"))
+      .groupBy("r_name", "n_name")
+      .agg(moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
+  /** Window top-N: top-2 lineitems per supplier by extended price.
+    * Single hash-partition on the window key; ties broken
+    * deterministically. */
+  def topItemsPerSupplier(spark: SparkSession, dir: String, n: Int = 2): DataFrame = {
+    val w = Window.partitionBy("l_suppkey")
+      .orderBy(col("l_extendedprice").desc, col("l_orderkey").asc, col("l_linenumber").asc)
+    t(spark, dir, "lineitem")
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= n)
+  }
+
+  /** ROLLUP aggregate — grouping-sets coverage. The grouping_id column
+    * disambiguates NULL-as-subtotal from NULL data. */
+  def returnsRollup(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+
+  /** Set operators: customers that bought in segment-A months vs
+    * segment-B months (intersect + except coverage on order keys). */
+  def setOps(spark: SparkSession, dir: String): DataFrame = {
+    val ord = t(spark, dir, "orders")
+    val early = ord.filter(col("o_orderdate") < lit("1997-01-01")).select("o_custkey")
+    val late = ord.filter(col("o_orderdate") >= lit("1997-01-01")).select("o_custkey")
+    early.intersect(late).withColumn("kind", lit("both"))
+      .unionByName(early.except(late).withColumn("kind", lit("early_only")))
+  }
+
+  /** Semi/anti join coverage: customers with ≥1 order vs none. */
+  def customerActivity(spark: SparkSession, dir: String): DataFrame = {
+    val cust = t(spark, dir, "customer")
+    val ord = t(spark, dir, "orders").select(col("o_custkey").as("c_custkey"))
+    cust.join(ord, Seq("c_custkey"), "left_semi").select(col("c_custkey"), lit(true).as("active"))
+      .unionByName(
+        cust.join(ord, Seq("c_custkey"), "left_anti").select(col("c_custkey"), lit(false).as("active")))
+  }
+
+  /** AS-OF join, composed from built-ins (preference order (a) of the
+    * custom-operator ladder): for each purchase event, the most recent
+    * click by the same user at or before the purchase.
+    *
+    * Implementation: union both sides tagged, one window pass carries
+    * the last click forward (`last(ignoreNulls)` over user-ordered
+    * rows) — a single shuffle on user_id, no range join, no point-in-
+    * time self-join explosion. At-or-before semantics: within an equal
+    * timestamp the click sorts first (tag 0 < tag 1).
+    */
+  def asofPurchaseToClick(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_ns"), lit(0).as("tag"),
+        col("event_id").as("click_id"), col("value").as("click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"), lit(1).as("tag"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    val unioned = clicks
+      .withColumn("purchase_id", lit(null).cast("long"))
+      .withColumn("purchase_value", lit(null).cast("double"))
+      .select("user_id", "ts_ns", "tag", "click_id", "click_value", "purchase_id", "purchase_value")
+      .unionByName(purchases
+        .withColumn("click_id", lit(null).cast("long"))
+        .withColumn("click_value", lit(null).cast("double"))
+        .select("user_id", "ts_ns", "tag", "click_id", "click_value", "purchase_id", "purchase_value"))
+    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("tag"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))
+      .withColumn("asof_click_value", last(col("click_value"), ignoreNulls = true).over(w))
+      .filter(col("tag") === 1)
+      // µs granularity at the output boundary: DuckDB timestamps are µs
+      // internally, so the oracle can only see epoch_us
+      .select(col("purchase_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("purchase_value"), col("asof_click_id"), col("asof_click_value"))
+  }
+
+  /** JSON column extraction over the events `props` payload —
+    * semi-structured coverage. */
+  def eventProps(spark: SparkSession, dir: String): DataFrame =
+    events(spark, dir)
+      .select(col("event_id"), col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
+        min("k").as("min_k"), max("k").as("max_k"))
+}

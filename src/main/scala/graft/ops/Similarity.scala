@@ -1,0 +1,96 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`embeddings.parquet`: `vec_id, embedding: array<float>, label`).
+  *
+  * Two tiers:
+  *   - `bruteForceTopK`: exact cosine top-k of a (small) query set vs the
+  *     corpus — broadcast the queries, scan the corpus once. The
+  *     baseline and the verifier for the ANN tier.
+  *   - `lshBucketTopK`: sign-LSH bucketed search — candidates must share
+  *     a signature bucket with the query, so the scan shrinks by ~2^bits.
+  *     The 100 TB path: bucket is a shuffle key, each bucket's work is
+  *     independent.
+  *
+  * Determinism: dot products fold the arrays sequentially in double
+  * precision (functions.aggregate = ordered fold, not a parallel sum),
+  * and scores are rounded to 6 decimals before ranking, with `vec_id`
+  * tiebreaks — so an independent engine reproduces rank-for-rank.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double arrays — deterministic
+    * evaluation order, codegen'd, no UDF. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** cosine(a, b), rounded to 6 decimals (kills cross-engine 1-ulp
+    * noise; see module doc). */
+  def cosine(a: Column, b: Column): Column =
+    round(dot(a, b) / (norm(a) * norm(b)), 6)
+
+  private def asDouble(c: Column): Column = c.cast("array<double>")
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param queries  (vec_id, embedding) — SMALL (broadcast)
+    * @param corpus   (vec_id, embedding) — arbitrarily large
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Sign-LSH bucket key: the sign bits of `bits` fixed coordinates
+    * (axis-aligned random hyperplanes — deterministic, engine-agnostic;
+    * coordinate j of the bucket = 1 iff embedding[j] > 0).
+    * With zero-mean embeddings each bit is ~balanced, so buckets hold
+    * ~n/2^bits vectors.
+    */
+  def lshBucket(emb: Column, bits: Int): Column =
+    (0 until bits).map { j =>
+      when(element_at(emb, j + 1) > 0, lit(1L << j)).otherwise(0L)
+    }.reduce(_ + _)
+
+  /** ANN top-k: only corpus vectors in the query's bucket are scored.
+    * Recall < 1 by construction (that is the ANN trade); the bucket join
+    * keys the shuffle so no executor ever sees the whole corpus.
+    */
+  def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"),
+        lshBucket(col("embedding"), bits).as("bucket")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val scored = c.join(q, Seq("bucket"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare
+    * within buckets only, keep pairs above the threshold. The dedup
+    * variant of ANN (symmetric, a < b).
+    */
+  def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, bits: Int = 8): DataFrame = {
+    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+      lshBucket(col("embedding"), bits).as("bucket"))
+    val l = c.select(col("bucket"), col("vec_id").as("doc_a"), col("v").as("va"))
+    val r = c.select(col("bucket"), col("vec_id").as("doc_b"), col("v").as("vb"))
+    l.join(r, Seq("bucket"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), cosine(col("va"), col("vb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+}

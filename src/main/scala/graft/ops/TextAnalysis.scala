@@ -1,0 +1,133 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+import graft.core.TextNorm
+
+/** Text-analysis operators for a training-data pipeline, all expressed as
+  * codegen-friendly column expressions over the `documents` table
+  * (`doc_id, text, lang, source, n_chars`). Nothing here shuffles except
+  * the explicit per-token operators (fingerprinting), and those shuffle
+  * once on `doc_id`-derived ordering only within the window — at 100 TB
+  * each document's token stream stays inside one task.
+  *
+  * The reference's only text analytics is term frequency itself (the
+  * index); these extend it with the standard corpus-quality suite.
+  */
+object TextAnalysis {
+
+  /** Per-document token statistics: token count (whitespace tokenizer,
+    * same normalizer as the index: `mapper/main.py:56-57`), distinct
+    * token count, character count, mean token length.
+    * Ratios are single IEEE divisions — deterministic across engines.
+    */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = TextNorm.tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_distinct_tokens"),
+      length(col("text")).as("n_chars"),
+      (size(toks).cast("double") / length(col("text"))).as("tokens_per_char")
+    )
+  }
+
+  /** BPE-ish subword token estimate: count word-boundary pieces plus
+    * intra-word splits every 4 chars (a deterministic proxy for a BPE
+    * vocabulary's compression rate — real tokenizers aren't in this
+    * container). `ceil(len/4)` per word, summed.
+    */
+  def bpeTokenEstimate(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      aggregate(
+        TextNorm.tokens(col("text")),
+        lit(0L),
+        (acc, w) => acc + ceil(length(w).cast("double") / lit(4.0)).cast("long")
+      ).as("n_bpe_tokens")
+    )
+
+  /** Quality scoring: punctuation ratio, digit ratio, stopword ratio,
+    * mean word length, and a composite keep/drop signal — the usual
+    * Gopher/C4-style filters, minus anything model-based.
+    */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String] = Stopwords.en): DataFrame = {
+    val toks = TextNorm.tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val stopArr = array(stopwords.map(lit): _*)
+    val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double")
+    val digits = (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
+    docs.select(
+      col("doc_id"),
+      (punct / length(col("text"))).as("punct_ratio"),
+      (digits / length(col("text"))).as("digit_ratio"),
+      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok).as("stopword_ratio"),
+      (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok).as("mean_word_len"),
+      (nTok >= 10 && size(filter(toks, t => array_contains(stopArr, t))) > 0).as("keep")
+    )
+  }
+
+  /** Language identification by stopword-hit counting: score = number of
+    * token hits in each language's closed-class word list; predicted
+    * language = argmax, ties broken by fixed language order (en, de, es,
+    * fr, zh). Pure column algebra — no UDF, fully codegen'd, and exactly
+    * reproducible in ANSI SQL for the oracle.
+    */
+  def languageId(docs: DataFrame): DataFrame = {
+    val toks = TextNorm.tokens(col("text"))
+    def score(words: Seq[String]): Column =
+      size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
+    val scored = docs.select(
+      col("doc_id"),
+      score(Stopwords.en).as("score_en"),
+      score(Stopwords.de).as("score_de"),
+      score(Stopwords.es).as("score_es"),
+      score(Stopwords.fr).as("score_fr"),
+      score(Stopwords.zh).as("score_zh")
+    )
+    val best = greatest(col("score_en"), col("score_de"), col("score_es"), col("score_fr"), col("score_zh"))
+    scored.select(
+      col("doc_id"),
+      col("score_en"), col("score_de"), col("score_es"), col("score_fr"), col("score_zh"),
+      when(col("score_en") === best, "en")
+        .when(col("score_de") === best, "de")
+        .when(col("score_es") === best, "es")
+        .when(col("score_fr") === best, "fr")
+        .otherwise("zh").as("pred_lang")
+    )
+  }
+
+  /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
+    * hash every token (md5 — stable across engines), take the window
+    * minimum over each w-token sliding window, emit the distinct minima
+    * as the document's fingerprint set. Two docs sharing fingerprints
+    * share content even after edits.
+    *
+    * The window is per-document (`partitionBy doc_id`) so the shuffle is
+    * one hash-partition on doc_id; no global sort.
+    */
+  def fingerprints(docs: DataFrame, w: Int = 5): DataFrame = {
+    val win = Window.partitionBy("doc_id").orderBy("pos")
+      .rowsBetween(-(w - 1), Window.currentRow)
+    docs
+      .select(col("doc_id"), posexplode(TextNorm.tokens(col("text"))).as(Seq("pos", "word")))
+      .select(col("doc_id"), col("pos"), md5(col("word")).as("h"))
+      .withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") >= w - 1)  // only full windows
+      .select(col("doc_id"), col("fp"))
+      .distinct()
+  }
+}
+
+/** Tiny closed-class word lists for the language scorer. Public-knowledge
+  * function words; deliberately short so the oracle SQL stays readable.
+  */
+object Stopwords {
+  val en = Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for")
+  val de = Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit", "auf", "zu")
+  val es = Seq("el", "la", "de", "que", "y", "en", "un", "es", "no", "por")
+  val fr = Seq("le", "la", "de", "et", "un", "est", "pas", "que", "pour", "dans")
+  val zh = Seq("de5", "shi4", "bu4", "le5", "zai4", "you3", "wo3", "ta1", "zhe4", "men5")
+}
