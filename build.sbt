@@ -26,5 +26,8 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Single-JVM local[32] on a 128 GiB box: 48g default keeps the
+  // whole-suite bench out of GC thrash (round-1 bench ran the 27-query
+  // suite in one 8g heap and window/shuffle-heavy queries paid 10-20x).
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "48g")}",
 )

@@ -8,11 +8,25 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // InferFiltersFromGenerate substitutes the full generator expression
+      // into an inferred size()>0 filter; for our explode-of-computed-array
+      // plans (shingles, bands) that re-runs the tokenizer per lambda
+      // iteration — 10-20x on the dedup queries. Our generated arrays are
+      // never null/empty, so the inferred filter only costs.
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // events.parquet stores TIMESTAMP(NANOS); session-level (set at
+      // build time, not mutated mid-query — see ADVICE round 1)
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Optional subset for local profiling: SPARK_GRAFT_ONLY=q_a,q_b
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

@@ -244,8 +244,8 @@ object SparkEntry {
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_qty,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_base_price,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS sum_disc_price,
-        |  round(avg(l_quantity), 4) AS avg_qty,
-        |  round(avg(l_discount), 4) AS avg_disc,
+        |  round(CAST(sum(CAST(l_quantity AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_qty,
+        |  round(CAST(sum(CAST(l_discount AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_disc,
         |  count(*) AS count_order
         |FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
         |GROUP BY l_returnflag, l_linestatus""".stripMargin,
@@ -287,10 +287,15 @@ object SparkEntry {
         |SELECT c_custkey, FALSE AS active FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
     "q_asof_join" ->
+      // clicks collapse to one row per (user_id, ts) keeping MAX event_id
+      // (arg_max) so the ASOF tie-break matches the Spark window's
+      // (ts_ns, tag, click_id) total order — see Relational.asofPurchaseToClick.
       """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
         |  c.event_id AS asof_click_id, c.value AS asof_click_value
         |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id,
+        |                  arg_max("value", event_id) AS "value"
+        |                FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
     "q_event_props" ->
       """SELECT event_type, count(*) AS n,

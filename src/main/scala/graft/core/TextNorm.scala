@@ -5,13 +5,21 @@ import org.apache.spark.sql.functions._
 
 /** Shared text normalization for the index build path and the query path.
   *
-  * Reproduces the reference normalizer exactly (one function so the two
+  * Reproduces the reference normalizer (one function so the two
   * paths can never diverge — reference duplicates it at
   * `mapper/main.py:56-57` (build) and `main/app.py:67-68` (lookup)):
-  *   1. collapse runs of whitespace to a single space
+  *   1. collapse runs of whitespace to a single space — Python `re` `\s`
+  *      is Unicode-aware, so we use `(?U)` (UNICODE_CHARACTER_CLASS);
+  *      Java's default `\s` is ASCII-only and would DELETE (not split on)
+  *      NBSP-like separators via step 3, merging adjacent words.
   *   2. lowercase
   *   3. strip everything outside `[a-z0-9 ]` (ASCII keep-set: punctuation
   *      AND non-ASCII letters are removed — "café" → "caf")
+  *
+  * Oracle note: DuckDB's RE2 `\s` is ASCII-only; the fixture corpus
+  * contains no non-ASCII whitespace (verified), so the DuckDB twin SQL
+  * stays byte-identical on fixture data. The Unicode gap is pinned by a
+  * unit test instead of the oracle.
   *
   * All functions are `Column → Column` so they stay inside Catalyst
   * whole-stage codegen — no UDFs, no serialization boundary.
@@ -22,7 +30,7 @@ object TextNorm {
     * boundaries are single ASCII spaces.
     */
   def normalize(c: Column): Column =
-    regexp_replace(lower(regexp_replace(c, "\\s+", " ")), "[^a-z0-9 ]", "")
+    regexp_replace(lower(regexp_replace(c, "(?U)\\s+", " ")), "[^a-z0-9 ]", "")
 
   /** Tokenize normalized text into a non-empty-word array.
     * Python `.split()` (`mapper/main.py:60`) drops empty tokens; Spark
@@ -32,11 +40,12 @@ object TextNorm {
     filter(split(normalize(c), " "), t => length(t) > lit(0))
 
   /** Normalize a lookup key the way the UI does (`main/app.py:67-68`):
-    * trim, lowercase, strip non-alphanumerics. Driver-side (plain
-    * String): the key is a scalar, not a column.
+    * trim, lowercase, strip non-alphanumerics (Unicode `\s` in the
+    * keep-set, mirroring Python `re`). Driver-side (plain String): the
+    * key is a scalar, not a column.
     */
   def normalizeKey(s: String): String =
-    s.trim.toLowerCase.replaceAll("[^a-z0-9\\s]", "")
+    s.trim.toLowerCase.replaceAll("(?U)[^a-z0-9\\s]", "")
 
   /** Input validation for lookup keys: `main/app.py:43-44` rejects any
     * input containing whitespace (`^[^\s\n]+$`).

@@ -18,8 +18,40 @@ import graft.core.TextNorm
   * (group/join on a hash key, one shuffle each); nothing ever compares
   * all pairs. At 100 TB the shingle/signature explosion factor is the
   * knob: k and band width below trade recall for shuffle volume.
+  *
+  * Evaluation-cost design: higher-order functions (transform/filter)
+  * are interpreted (CodegenFallback), and a lambda re-evaluates its
+  * argument subtree per iteration. So every stage materializes its
+  * input (tokens, then shingles) as an attribute in its OWN projection
+  * before any lambda iterates over it — CollapseProject keeps non-cheap
+  * expressions referenced more than once from being inlined back. The
+  * round-1 formulation inlined the double-regex tokenizer into the
+  * shingle lambda and paid the regex ~#shingles times per row.
   */
 object Dedup {
+
+  /** (doc_id, ts): the token array materialized once per document. */
+  private[ops] def tokenized(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+
+  /** w-token shingles from a MATERIALIZED token-array column.
+    * `slice` + `concat_ws` over the array — cheap per-iteration work. */
+  def shinglesFromTokens(ts: Column, w: Int): Column =
+    when(size(ts) >= w,
+      transform(
+        sequence(lit(1), size(ts) - lit(w - 1)),
+        i => concat_ws(" ", slice(ts, i, lit(w)))
+      )
+    ).otherwise(array(concat_ws(" ", ts))) // short doc → one shingle
+
+  /** (doc_id, shl): shingle array per document, one projection per
+    * stage (tokens → shingles) so neither is recomputed inside lambdas. */
+  private[ops] def shingled(docs: DataFrame, w: Int): DataFrame =
+    tokenized(docs).select(col("doc_id"), shinglesFromTokens(col("ts"), w).as("shl"))
+
+  /** Back-compat shape: shingles straight from the text column. */
+  def shingleCol(textCol: Column, w: Int): Column =
+    shinglesFromTokens(TextNorm.tokens(textCol), w)
 
   /** Exact dedup: md5 over the normalized text; the canonical document
     * of a group is its minimum doc_id. One shuffle (groupBy hash).
@@ -36,90 +68,119 @@ object Dedup {
       .select("doc_id", "text_hash", "canonical_id", "is_dup")
   }
 
-  /** w-token shingles of the normalized text, as strings.
-    * `slice` + `concat_ws` over the token array — stays codegen'd.
-    */
-  def shingleCol(textCol: Column, w: Int): Column = {
-    val toks = TextNorm.tokens(textCol)
-    when(size(toks) >= w,
-      transform(
-        sequence(lit(1), size(toks) - lit(w - 1)),
-        i => concat_ws(" ", slice(toks, i, lit(w)))
-      )
-    ).otherwise(array(concat_ws(" ", toks)))  // short doc → one shingle
-  }
-
-  /** MinHash signatures: k independent hash functions simulated as
-    * `min(md5(seed || ':' || shingle))` per seed — the lexicographic
+  /** MinHash signatures, WIDE form: one row per doc_id with columns
+    * sig0..sig{k-1}. Each signature simulates an independent hash
+    * function as `min(md5(seed || ':' || shingle))` — the lexicographic
     * minimum of a uniform hex hash is a valid minwise permutation
-    * sample. Emits one row per (doc_id, seed).
-    * Explode factor = #shingles × k; the groupBy is the only shuffle.
+    * sample.
+    *
+    * ONE explode + ONE groupBy computes all k signatures as k aggregate
+    * columns (the round-1 formulation crossJoined a seed table and paid
+    * a k-times-larger shuffle plus a second aggregation).
     */
-  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame =
-    docs
-      .select(col("doc_id"), explode(shingleCol(col("text"), w)).as("shingle"))
-      .crossJoin(spark_range_seeds(k))
-      .groupBy("doc_id", "seed")
-      .agg(min(md5(concat(col("seed"), lit(":"), col("shingle")))).as("sig"))
-
-  private def spark_range_seeds(k: Int): DataFrame = {
-    // tiny literal dim table; broadcast-joined by Catalyst automatically
-    import org.apache.spark.sql.SparkSession
-    val spark = SparkSession.active
-    spark.range(k).select(col("id").cast("int").as("seed"))
+  def minhashSignaturesWide(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame = {
+    val aggs = (0 until k).map { s =>
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
+    }
+    shingled(docs, w)
+      .select(col("doc_id"), explode(col("shl")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
   }
+
+  /** MinHash signatures, LONG form (doc_id, seed, sig) — the wide form
+    * unpivoted; kept as the interoperable representation. */
+  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame =
+    minhashSignaturesWide(docs, w, k)
+      .select(col("doc_id"), explode(array((0 until k).map { s =>
+        struct(lit(s).as("seed"), col(s"sig$s").as("sig"))
+      }: _*)).as("e"))
+      .select(col("doc_id"), col("e.seed").as("seed"), col("e.sig").as("sig"))
 
   /** LSH banding over the minhash signatures: b bands of r = k/b rows;
-    * band key = md5 of the band's concatenated signature. Docs sharing
-    * any band key are near-dup candidates.
+    * band key = md5 of the band's '|'-joined signatures (seed order).
+    * Docs sharing any band key are near-dup candidates. Band keys are
+    * plain column expressions over the wide signature row — no second
+    * aggregation.
     */
   def minhashBands(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
     val r = k / bands
-    minhashSignatures(docs, w, k)
-      .withColumn("band", (col("seed") / lit(r)).cast("int"))
-      .groupBy("doc_id", "band")
-      .agg(md5(concat_ws("|", sort_array(collect_list(struct(col("seed"), col("sig"))))
-        .getField("sig"))).as("band_key"))
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (b * r until (b + 1) * r).map(s => col(s"sig$s")): _*)).as("band_key"))
+    }
+    minhashSignaturesWide(docs, w, k)
+      .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("e.band").as("band"), col("e.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs: self-join the band table on
-    * (band, band_key), keep a < b. Bucket join — one shuffle per side,
-    * never all-pairs. */
-  def minhashCandidatePairs(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
-    val b = minhashBands(docs, w, k, bands)
-    val l = b.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
-    val r = b.select(col("band"), col("band_key"), col("doc_id").as("doc_b"))
-    l.join(r, Seq("band", "band_key"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select("doc_a", "doc_b")
+  /** Candidate near-dup pairs: group the band table by (band, band_key)
+    * and emit each bucket's unordered doc pairs (a < b) in-group — the
+    * bucket-join reformulated as group-and-pair, so the band pipeline
+    * runs ONCE (a self-join would execute it per side) and the shuffle
+    * moves each doc_id once per band instead of joining. Never
+    * all-pairs: work per bucket is C(|bucket|, 2). */
+  def minhashCandidatePairs(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame =
+    minhashBands(docs, w, k, bands)
+      .groupBy("band", "band_key")
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(array_sort(col("ds")).as("ds"))
+      .select(explode(pairCombinations(col("ds"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-  }
+
+  /** All unordered pairs (doc_a < doc_b) from a sorted array column —
+    * the in-bucket pair generator: for element i, pair it with every
+    * later element. Lambdas iterate over the materialized array
+    * attribute only. */
+  private def pairCombinations(ds: Column): Column =
+    flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + lit(2), size(ds) - i - lit(1)),
+        b => struct(a.as("doc_a"), b.as("doc_b")))))
+
+  /** Pair generator over (doc_id, n_sh) structs: also carries each
+    * side's shingle-set size so Jaccard needs no size join. */
+  private def pairCombinationsWithSize(ds: Column): Column =
+    flatten(transform(ds, (a, i) =>
+      transform(slice(ds, i + lit(2), size(ds) - i - lit(1)),
+        b => struct(
+          a.getField("doc_id").as("doc_a"), a.getField("n_sh").as("n_a"),
+          b.getField("doc_id").as("doc_b"), b.getField("n_sh").as("n_b")))))
 
   /** n-gram Jaccard similarity over candidate pairs that share at least
-    * one (rare) shingle. df-capped inverted-index join: shingles
+    * one (rare) shingle. df-capped inverted-index grouping: shingles
     * occurring in more than `maxDf` docs are dropped from candidate
     * generation (they'd contribute quadratic pairs; a shingle that
     * common is useless evidence of duplication anyway — this is the
-    * standard guard that keeps the join linear at scale).
+    * standard guard that keeps the work linear at scale).
     * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles; single
     * division, deterministic.
+    *
+    * Plan shape: per-doc distinct shingle sets are computed WITHOUT a
+    * shuffle (`array_distinct` before explode; set sizes ride along as a
+    * column), then one groupBy(shingle) collects each rare shingle's
+    * (doc, n_sh) list and pairs are generated inside the group
+    * (≤ maxDf² per shingle) — no self-join, no df window sort, no size
+    * joins (each pair carries both set sizes). The whole operator is the
+    * corpus scan + two hash aggregations. Round 1 spent ~30 s here on a
+    * distinct + window + self-join + two-join chain.
     */
   def ngramJaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = 50, minJaccard: Double = 0.2): DataFrame = {
-    val sh = docs
-      .select(col("doc_id"), explode(shingleCol(col("text"), w)).as("shingle"))
-      .distinct()
-    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val rare = sh
-      .withColumn("df", count(lit(1)).over(org.apache.spark.sql.expressions.Window.partitionBy("shingle")))
-      .filter(col("df") <= maxDf)
-    val inter = rare.select(col("shingle"), col("doc_id").as("doc_a"))
-      .join(rare.select(col("shingle"), col("doc_id").as("doc_b")), Seq("shingle"))
-      .filter(col("doc_a") < col("doc_b"))
+    val base = shingled(docs, w).select(col("doc_id"), array_distinct(col("shl")).as("shl"))
+    val byShingle = base
+      .select(col("doc_id"), size(col("shl")).as("n_sh"), explode(col("shl")).as("shingle"))
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(array_sort(col("ds")).as("ds")) // materialize sorted before lambdas
+    byShingle
+      .select(explode(pairCombinationsWithSize(col("ds"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
       .groupBy("doc_a", "doc_b")
-      .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("n_sh", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("n_sh", "n_b"), "doc_b")
+      .agg(count(lit(1)).as("n_inter"), min("n_a").as("n_a"), min("n_b").as("n_b"))
       .withColumn("jaccard", col("n_inter").cast("double") /
         (col("n_a") + col("n_b") - col("n_inter")))
       .filter(col("jaccard") >= minJaccard)
@@ -133,10 +194,9 @@ object Dedup {
     * signature as a bigint. One groupBy shuffle.
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
-    val tok = docs.select(
-      col("doc_id"),
-      explode(TextNorm.tokens(col("text"))).as("word")
-    ).select(col("doc_id"), md5(col("word")).as("h"))
+    val tok = tokenized(docs)
+      .select(col("doc_id"), explode(col("ts")).as("word"))
+      .select(col("doc_id"), md5(col("word")).as("h"))
     // bit j of the hash = bit (3 - j%4) of hex digit j/4
     def bitOf(j: Int): Column =
       (conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
@@ -149,27 +209,35 @@ object Dedup {
     agg.select(col("doc_id"), sig.as("simhash"))
   }
 
-  /** SimHash near-dup pairs: block on each half of the signature (a
-    * pair within Hamming distance ≤ bits/2-block tolerance shares at
-    * least one identical half — pigeonhole), then verify
+  /** SimHash near-dup pairs, Hamming-LSH blocking: split the signature
+    * into maxHamming+1 equal segments; by pigeonhole, any pair within
+    * Hamming distance ≤ maxHamming has at most maxHamming differing
+    * segments, hence AT LEAST ONE identical segment — so blocking on
+    * every segment has perfect recall. (Round-1 version blocked on 2
+    * halves with maxHamming=3, which only guarantees recall for
+    * distance ≤ 1 — round-1 ADVICE.) Then verify
     * `bit_count(xor) <= maxHamming`. Bucket join, no all-pairs.
     */
   def simhashPairs(docs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
-    val half = bits / 2
+    val segs = maxHamming + 1
+    require(bits % segs == 0,
+      s"bits=$bits must be divisible by maxHamming+1=$segs segments")
+    val segBits = bits / segs
     val s = simhash(docs, bits)
     val blocked = s.select(
       col("doc_id"), col("simhash"),
-      explode(array(
-        struct(lit(0).as("blk"), shiftrightunsigned(col("simhash"), half).as("key")),
-        struct(lit(1).as("blk"), (col("simhash").bitwiseAND(lit((1L << half) - 1))).as("key"))
-      )).as("b")
-    ).select(col("doc_id"), col("simhash"), col("b.blk"), col("b.key"))
+      explode(array((0 until segs).map { j =>
+        struct(lit(j).as("blk"),
+          shiftrightunsigned(col("simhash"), j * segBits)
+            .bitwiseAND(lit((1L << segBits) - 1)).as("key"))
+      }: _*)).as("b")
+    ).select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
     val l = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("blk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -31,13 +31,31 @@ object Relational {
   private def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(e.cast("decimal(18,4)")), 2).cast("double")
 
+  /** Average with the same DECIMAL treatment as [[moneySum]]: the
+    * numerator accumulates exactly in DECIMAL(18,4) (order-independent),
+    * is surfaced as double once, then a single IEEE division by the
+    * count and one round — so engines agree bit-for-bit regardless of
+    * partition/accumulation order (round-1 ADVICE: plain double avg can
+    * flip the rounded digit at larger scale factors). Oracle twin:
+    * `round(CAST(sum(CAST(e AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4)`. */
+  private def decimalAvg(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    round(sum(e.cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
+
   /** The events fixture stores TIMESTAMP(NANOS) which Spark's Parquet
     * reader rejects; read `ts` as epoch-nanos BIGINT instead
     * (`spark.sql.legacy.parquet.nanosAsLong`). Nanos longs order and
     * bucket exactly like timestamps, and the oracle mirrors them with
-    * DuckDB's `epoch_ns`. */
+    * DuckDB's `epoch_ns`.
+    *
+    * The conf must be set when the session is BUILT (Bench, Verify, and
+    * the test fixture all do) — a query function must not mutate shared
+    * session state as a side effect (round-1 ADVICE), so we only check
+    * here and fail fast with an actionable message. */
   private def events(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(
+      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
+      "reading events.parquet (TIMESTAMP nanos) requires " +
+        "spark.sql.legacy.parquet.nanosAsLong=true at session build time")
     t(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
   }
 
@@ -51,8 +69,8 @@ object Relational {
         moneySum(col("l_quantity")).as("sum_qty"),
         moneySum(col("l_extendedprice")).as("sum_base_price"),
         moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("sum_disc_price"),
-        round(avg("l_quantity"), 4).as("avg_qty"),
-        round(avg("l_discount"), 4).as("avg_disc"),
+        decimalAvg(col("l_quantity")).as("avg_qty"),
+        decimalAvg(col("l_discount")).as("avg_disc"),
         count(lit(1)).as("count_order"))
 
   /** TPC-H Q3 shape: two joins. customer is small → broadcast; the
@@ -130,6 +148,13 @@ object Relational {
     * rows) — a single shuffle on user_id, no range join, no point-in-
     * time self-join explosion. At-or-before semantics: within an equal
     * timestamp the click sorts first (tag 0 < tag 1).
+    *
+    * Tie determinism (round-1 ADVICE): among multiple clicks by the same
+    * user at the same ts_ns, the window order adds click_id, so
+    * `last(click_id, ignoreNulls)` deterministically picks the MAX
+    * click_id at the latest eligible timestamp. The oracle pins the same
+    * rule by collapsing clicks to one row per (user_id, ts) with
+    * arg_max before its ASOF join.
     */
   def asofPurchaseToClick(spark: SparkSession, dir: String): DataFrame = {
     val ev = events(spark, dir)
@@ -147,7 +172,8 @@ object Relational {
         .withColumn("click_id", lit(null).cast("long"))
         .withColumn("click_value", lit(null).cast("double"))
         .select("user_id", "ts_ns", "tag", "click_id", "click_value", "purchase_id", "purchase_value"))
-    val w = Window.partitionBy("user_id").orderBy(col("ts_ns"), col("tag"))
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_ns"), col("tag"), col("click_id").asc_nulls_last)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("asof_click_id", last(col("click_id"), ignoreNulls = true).over(w))

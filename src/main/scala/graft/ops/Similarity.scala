@@ -43,10 +43,17 @@ object Similarity {
     * @param corpus   (vec_id, embedding) — arbitrarily large
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv")))
+    // norms are per-vector, not per-pair: materialize once on each side
+    // (row-linear) so the pair-level work is a single dot + division —
+    // same doubles as cosine() since qn*cn ≡ sqrt(dot(q,q))*sqrt(dot(c,c)).
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+        .select(col("query_id"), col("qv"), norm(col("qv")).as("qn")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
+      .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -69,12 +76,15 @@ object Similarity {
   def lshBucketTopK(queries: DataFrame, corpus: DataFrame, k: Int, bits: Int = 8): DataFrame = {
     val q = broadcast(
       queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"),
-        lshBucket(col("embedding"), bits).as("bucket")))
+        lshBucket(col("embedding"), bits).as("bucket"))
+        .select(col("query_id"), col("qv"), col("bucket"), norm(col("qv")).as("qn")))
     val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"),
       lshBucket(col("embedding"), bits).as("bucket"))
+      .select(col("neighbor_id"), col("cv"), col("bucket"), norm(col("cv")).as("cn"))
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
     val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
@@ -86,11 +96,13 @@ object Similarity {
   def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, bits: Int = 8): DataFrame = {
     val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"),
       lshBucket(col("embedding"), bits).as("bucket"))
-    val l = c.select(col("bucket"), col("vec_id").as("doc_a"), col("v").as("va"))
-    val r = c.select(col("bucket"), col("vec_id").as("doc_b"), col("v").as("vb"))
+      .select(col("vec_id"), col("v"), col("bucket"), norm(col("v")).as("n"))
+    val l = c.select(col("bucket"), col("vec_id").as("doc_a"), col("v").as("va"), col("n").as("na"))
+    val r = c.select(col("bucket"), col("vec_id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
     l.join(r, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), cosine(col("va"), col("vb")).as("cos"))
+      .select(col("doc_a"), col("doc_b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

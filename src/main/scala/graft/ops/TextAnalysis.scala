@@ -23,16 +23,20 @@ object TextAnalysis {
     * token count, character count, mean token length.
     * Ratios are single IEEE divisions — deterministic across engines.
     */
-  def tokenStats(docs: DataFrame): DataFrame = {
-    val toks = TextNorm.tokens(col("text"))
-    docs.select(
-      col("doc_id"),
-      size(toks).as("n_tokens"),
-      size(array_distinct(toks)).as("n_distinct_tokens"),
-      length(col("text")).as("n_chars"),
-      (size(toks).cast("double") / length(col("text"))).as("tokens_per_char")
-    )
-  }
+  def tokenStats(docs: DataFrame): DataFrame =
+    // two-step select: `ts` is materialized once per row (CollapseProject
+    // won't inline a non-cheap expression referenced 3×), so the regex
+    // tokenizer runs once, not once per derived stat
+    docs
+      .select(col("doc_id"), length(col("text")).as("n_chars"),
+        TextNorm.tokens(col("text")).as("ts"))
+      .select(
+        col("doc_id"),
+        size(col("ts")).as("n_tokens"),
+        size(array_distinct(col("ts"))).as("n_distinct_tokens"),
+        col("n_chars"),
+        (size(col("ts")).cast("double") / col("n_chars")).as("tokens_per_char")
+      )
 
   /** BPE-ish subword token estimate: count word-boundary pieces plus
     * intra-word splits every 4 chars (a deterministic proxy for a BPE
@@ -54,19 +58,23 @@ object TextAnalysis {
     * Gopher/C4-style filters, minus anything model-based.
     */
   def qualityScore(docs: DataFrame, stopwords: Seq[String] = Stopwords.en): DataFrame = {
-    val toks = TextNorm.tokens(col("text"))
-    val nTok = size(toks).cast("double")
     val stopArr = array(stopwords.map(lit): _*)
     val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double")
     val digits = (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-    docs.select(
-      col("doc_id"),
-      (punct / length(col("text"))).as("punct_ratio"),
-      (digits / length(col("text"))).as("digit_ratio"),
-      (size(filter(toks, t => array_contains(stopArr, t))).cast("double") / nTok).as("stopword_ratio"),
-      (length(regexp_replace(col("text"), " ", "")).cast("double") / nTok).as("mean_word_len"),
-      (nTok >= 10 && size(filter(toks, t => array_contains(stopArr, t))) > 0).as("keep")
-    )
+    docs
+      // stage 1: tokenize once; stage 2: stopword-hit count once; stage 3:
+      // ratios from materialized attributes only
+      .select(col("doc_id"), col("text"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("text"), size(col("ts")).as("n_tok"),
+        size(filter(col("ts"), t => array_contains(stopArr, t))).as("n_stop"))
+      .select(
+        col("doc_id"),
+        (punct / length(col("text"))).as("punct_ratio"),
+        (digits / length(col("text"))).as("digit_ratio"),
+        (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")).as("mean_word_len"),
+        (col("n_tok") >= 10 && col("n_stop") > 0).as("keep")
+      )
   }
 
   /** Language identification by stopword-hit counting: score = number of
@@ -76,10 +84,9 @@ object TextAnalysis {
     * reproducible in ANSI SQL for the oracle.
     */
   def languageId(docs: DataFrame): DataFrame = {
-    val toks = TextNorm.tokens(col("text"))
     def score(words: Seq[String]): Column =
-      size(filter(toks, t => array_contains(array(words.map(lit): _*), t)))
-    val scored = docs.select(
+      size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
+    val scored = docs.select(col("doc_id"), TextNorm.tokens(col("text")).as("ts")).select(
       col("doc_id"),
       score(Stopwords.en).as("score_en"),
       score(Stopwords.de).as("score_de"),
