@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.InvertedIndex
-import graft.ops.{Dedup, Relational, Similarity, TextAnalysis}
+import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -41,6 +41,23 @@ object SparkEntry {
        |  ELSE [array_to_string(ts, ' ')] END AS shl
        |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin
 
+  /** Twin of [[Dedup.simhash]] (bits=16): bit j of the token md5 = bit
+    * (3 - j%4) of hex digit j/4. Shared by q_simhash and q_simhash_pairs. */
+  private val SIMHASH_SQL: String = {
+    val bitTerms = (0 until 16).map { j =>
+      val digit = s"strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1"
+      val mask = 1 << (3 - j % 4)
+      s"sum(CASE WHEN ($digit & $mask) > 0 THEN 1 ELSE -1 END) AS w$j"
+    }.mkString(", ")
+    val sig = (0 until 16).map { j =>
+      s"CASE WHEN w$j > 0 THEN ${1L << (15 - j)} ELSE 0 END"
+    }.mkString(" + ")
+    s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash
+       |FROM (SELECT doc_id, $bitTerms
+       |      FROM (SELECT doc_id, md5(unnest($TOKS)) AS h FROM documents)
+       |      GROUP BY doc_id)""".stripMargin
+  }
+
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core parity: the inverted-index pipeline (SURVEY §2 #1-#28) ----
@@ -61,6 +78,12 @@ object SparkEntry {
       InvertedIndex.upsertDocs(full, delta)
     },
     "q_index_topk" -> ((s, dir) => InvertedIndex.topK(InvertedIndex.build(docs(s, dir)), 3)),
+    "q_index_export_roundtrip" -> { (s, dir) =>
+      // nested-JSON export codec (the reference's final_results.json
+      // shape) must round-trip losslessly back to the flat index
+      InvertedIndex.importNestedJson(
+        InvertedIndex.exportNestedJson(InvertedIndex.build(docs(s, dir))))(s)
+    },
 
     // ---- text analysis --------------------------------------------------
     "q_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -75,6 +98,7 @@ object SparkEntry {
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
+    "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
     // ---- similarity search ---------------------------------------------
     "q_sim_bruteforce" -> { (s, dir) =>
@@ -93,10 +117,16 @@ object SparkEntry {
     "q5_revenue_nation" -> ((s, dir) => Relational.revenueByNation(s, dir)),
     "q_window_topn" -> ((s, dir) => Relational.topItemsPerSupplier(s, dir)),
     "q_rollup" -> ((s, dir) => Relational.returnsRollup(s, dir)),
+    "q_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
+    "q_window_running" -> ((s, dir) => Relational.customerRunningSpend(s, dir)),
+    "q_distinct_agg" -> ((s, dir) => Relational.orderPriorityDistincts(s, dir)),
     "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customerActivity(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
-    "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir))
+    "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir)),
+
+    // ---- multimodal plumbing (binary payload + stub decode) -------------
+    "q_multimodal" -> ((s, dir) => Multimodal.mediaSummary(docs(s, dir))(s))
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -109,6 +139,7 @@ object SparkEntry {
       s"""SELECT word, doc_id, cnt * (CASE WHEN doc_id < 100 THEN 2 ELSE 1 END) AS cnt
          |FROM ($INDEX_SQL)""".stripMargin,
     "q_index_merge_upsert" -> INDEX_SQL,
+    "q_index_export_roundtrip" -> INDEX_SQL,
     "q_index_topk" ->
       s"""SELECT * FROM (SELECT word, doc_id, cnt,
          |  CAST(row_number() OVER (PARTITION BY word ORDER BY cnt DESC, doc_id ASC) AS INTEGER) AS rank
@@ -188,21 +219,19 @@ object SparkEntry {
          |  CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
          |FROM inter JOIN sizes a ON inter.doc_a = a.doc_id JOIN sizes b ON inter.doc_b = b.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2""".stripMargin,
-    "q_simhash" -> {
-      // twin of Dedup.simhash(bits=16): bit j of md5 = bit (3 - j%4) of hex digit j/4
-      val bitTerms = (0 until 16).map { j =>
-        val digit = s"strpos('0123456789abcdef', substr(h, ${j / 4 + 1}, 1)) - 1"
-        val mask = 1 << (3 - j % 4)
-        s"sum(CASE WHEN ($digit & $mask) > 0 THEN 1 ELSE -1 END) AS w$j"
-      }.mkString(", ")
-      val sig = (0 until 16).map { j =>
-        s"CASE WHEN w$j > 0 THEN ${1L << (15 - j)} ELSE 0 END"
-      }.mkString(" + ")
-      s"""SELECT doc_id, CAST($sig AS BIGINT) AS simhash
-         |FROM (SELECT doc_id, $bitTerms
-         |      FROM (SELECT doc_id, md5(unnest($TOKS)) AS h FROM documents)
-         |      GROUP BY doc_id)""".stripMargin
-    },
+    "q_simhash" -> SIMHASH_SQL,
+    "q_simhash_pairs" ->
+      // twin of Dedup.simhashPairs(bits=16, maxHamming=3): Hamming-LSH
+      // blocking on 4 disjoint 4-bit segments, verify bit_count(xor)<=3
+      s"""WITH s AS ($SIMHASH_SQL),
+         |blocked AS (
+         |  SELECT doc_id, simhash, blk, (simhash >> (CAST(blk AS INTEGER) * 4)) & 15 AS key
+         |  FROM s, (SELECT unnest(range(4)) AS blk))
+         |SELECT doc_a, doc_b, hamming FROM (
+         |  SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b,
+         |    CAST(bit_count(xor(l.simhash, r.simhash)) AS INTEGER) AS hamming
+         |  FROM blocked l JOIN blocked r ON l.blk = r.blk AND l.key = r.key AND l.doc_id < r.doc_id
+         |) WHERE hamming <= 3""".stripMargin,
 
     "q_sim_bruteforce" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
@@ -274,6 +303,32 @@ object SparkEntry {
       """SELECT l_returnflag, l_linestatus, count(*) AS n,
         |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    "q_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n,
+        |  CAST(round(sum(CAST(l_quantity AS DECIMAL(18,4))), 2) AS DOUBLE) AS qty
+        |FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))) OVER
+        |    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS DOUBLE) AS running_spend,
+        |  lag(o_totalprice, 1) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS prev_price,
+        |  CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS INTEGER) AS order_seq
+        |FROM orders""".stripMargin,
+    "q_distinct_agg" ->
+      """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
+        |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
+        |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_multimodal" ->
+      // twin of Multimodal.mediaSummary: DuckDB md5(VARCHAR) hashes the
+      // utf-8 bytes — identical to Spark md5 over encode(text,'UTF-8')
+      """SELECT doc_id, 'text/plain' AS mime,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |  CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS height,
+        |  CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+        |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
     "q_setops" ->
       """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),
         |late AS (SELECT o_custkey FROM orders WHERE o_orderdate >= TIMESTAMP '1997-01-01')

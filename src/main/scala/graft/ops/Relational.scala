@@ -120,6 +120,39 @@ object Relational {
       .rollup("l_returnflag", "l_linestatus")
       .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
 
+  /** CUBE aggregate — the full grouping-sets lattice (rollup's
+    * superset): (flag, status), (flag), (status), (). */
+  def returnsCube(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .cube("l_returnflag", "l_linestatus")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_quantity")).as("qty"))
+
+  /** Analytic window coverage beyond ranking: running spend (exact
+    * DECIMAL accumulation over an ordered frame — order-independent),
+    * lag, and sequence number per customer. (o_orderdate, o_orderkey)
+    * is a total order within a customer, so every output is
+    * deterministic. */
+  def customerRunningSpend(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey").orderBy(col("o_orderdate"), col("o_orderkey"))
+    val running = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(spark, dir, "orders").select(
+      col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+      round(sum(col("o_totalprice").cast("decimal(18,4)")).over(running), 2)
+        .cast("double").as("running_spend"),
+      lag("o_totalprice", 1).over(w).as("prev_price"),
+      row_number().over(w).cast("int").as("order_seq"))
+  }
+
+  /** Distinct aggregates (expand + two-phase agg coverage): distinct
+    * customers and statuses per order priority. */
+  def orderPriorityDistincts(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy("o_orderpriority")
+      .agg(
+        countDistinct(col("o_custkey")).as("n_custs"),
+        countDistinct(col("o_orderstatus")).as("n_status"),
+        count(lit(1)).as("n_orders"))
+
   /** Set operators: customers that bought in segment-A months vs
     * segment-B months (intersect + except coverage on order keys). */
   def setOps(spark: SparkSession, dir: String): DataFrame = {

@@ -1,0 +1,96 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.index.InvertedIndex
+
+/** Streaming ingest: watch a directory for new text documents and keep
+  * the inverted index up to date — the Spark-native replacement for the
+  * reference's GCS object-finalize trigger + master re-run
+  * (`filladdtrigger/main.py:5-22` fan-out, `main/app.py:15-40`
+  * freshness poll).
+  *
+  * Structured Streaming's file source already does what the trigger
+  * hand-rolls: it tracks which files have been seen (checkpointed),
+  * turns each new arrival into a batch, and serializes batches — which
+  * also fixes the reference's lost-update race when two uploads land
+  * concurrently (`master/main.py:107-126` read-modify-write, SURVEY
+  * §7.5.5).
+  *
+  * Index persistence is a versioned-snapshot swap: each batch writes a
+  * full merged snapshot to `snap-<epoch>` and then atomically updates
+  * the `LATEST` pointer file — readers never observe a half-written
+  * index. On a real deployment this `foreachBatch` body is one Delta
+  * Lake `MERGE`; plain parquet keeps this container dependency-free.
+  * The merge itself is [[InvertedIndex.upsertDocs]] (re-uploading a
+  * document replaces its postings — the corrected semantics; pass
+  * `parityAdd = true` for the reference's additive double-counting).
+  */
+object CorpusWatcher {
+
+  private val Latest = "LATEST"
+
+  /** Read the current index snapshot (empty index if none yet). */
+  def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
+    val ptr = Paths.get(indexDir, Latest)
+    if (Files.exists(ptr)) {
+      val snap = new String(Files.readAllBytes(ptr), "UTF-8").trim
+      spark.read.parquet(s"$indexDir/$snap")
+    } else {
+      import org.apache.spark.sql.types._
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("word", StringType),
+          StructField("doc_id", StringType),
+          StructField("cnt", LongType))))
+    }
+  }
+
+  /** Start watching `watchDir` for `*.txt` documents (doc identity =
+    * base filename, as in the reference `mapper/main.py:63`); each
+    * batch merges into the snapshot at `indexDir`.
+    *
+    * @param availableNow process what's there, then stop — the
+    *   batch-per-arrival semantics of the reference trigger; false for
+    *   a continuously running watcher.
+    */
+  def start(
+      spark: SparkSession,
+      watchDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      parityAdd: Boolean = false,
+      availableNow: Boolean = true): StreamingQuery = {
+    val docs = spark.readStream
+      .format("text")
+      .load(watchDir)
+      .select(
+        regexp_extract(input_file_name(), "[^/]+$", 0).as("doc_id"),
+        col("value").as("text"))
+
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        val delta = InvertedIndex.build(batch, idCol = "doc_id")
+        val old = currentIndex(session, indexDir)
+        val merged =
+          if (parityAdd) InvertedIndex.add(old, delta)
+          else InvertedIndex.upsertDocs(old, delta)
+        val snap = f"snap-$batchId%09d"
+        merged.write.mode("overwrite").parquet(s"$indexDir/$snap")
+        // atomic pointer swap: write-temp + move
+        val tmp = Paths.get(indexDir, s".$Latest.tmp")
+        Files.write(tmp, snap.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(indexDir, Latest),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+}
