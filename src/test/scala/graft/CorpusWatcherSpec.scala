@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import graft.index.InvertedIndex
+import graft.streaming.CorpusWatcher
+import SparkSpec.spark.implicits._
+
+class CorpusWatcherSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name-")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def writeDoc(dir: String, name: String, text: String): Unit =
+    Files.write(Paths.get(dir, name), text.getBytes("UTF-8"))
+
+  private def indexEntries(indexDir: String): Set[(String, String, Long)] =
+    CorpusWatcher.currentIndex(spark, indexDir)
+      .as[(String, String, Long)].collect().toSet
+
+  test("watcher indexes files as they arrive and merges incrementally") {
+    val (watch, index, ckpt) = (tmp("watch"), tmp("index"), tmp("ckpt"))
+    writeDoc(watch, "a.txt", "cat dog cat")
+    writeDoc(watch, "b.txt", "dog")
+
+    CorpusWatcher.start(spark, watch, index, ckpt).awaitTermination()
+    assert(indexEntries(index) === Set(
+      ("cat", "a.txt", 2L), ("dog", "a.txt", 1L), ("dog", "b.txt", 1L)))
+
+    // new arrival -> second batch merges into the snapshot
+    writeDoc(watch, "c.txt", "bird")
+    CorpusWatcher.start(spark, watch, index, ckpt).awaitTermination()
+    assert(indexEntries(index) === Set(
+      ("cat", "a.txt", 2L), ("dog", "a.txt", 1L), ("dog", "b.txt", 1L),
+      ("bird", "c.txt", 1L)))
+  }
+
+  test("re-uploading a document replaces its postings (upsert semantics)") {
+    val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
+    writeDoc(watch, "a.txt", "old words here")
+    CorpusWatcher.start(spark, watch, index, ckpt).awaitTermination()
+
+    // the file source keys on path+mtime; a changed file re-ingests only
+    // if it looks new — write under a new name to model the re-upload,
+    // then check upsert against a same-named synthetic delta directly
+    val idx = CorpusWatcher.currentIndex(spark, index)
+    val redelivered = InvertedIndex.build(
+      Seq(("a.txt", "new words")).toDF("doc_id", "text"))
+    val merged = InvertedIndex.upsertDocs(idx, redelivered)
+      .as[(String, String, Long)].collect().toSet
+    // ALL old postings of a.txt are gone; only the new ones remain
+    assert(merged === Set(("new", "a.txt", 1L), ("words", "a.txt", 1L)))
+  }
+}

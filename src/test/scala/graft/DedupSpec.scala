@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+import SparkSpec.spark.implicits._
+
+class DedupSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("exact dedup groups by normalized text, canonical = min doc_id") {
+    val d = docs(1L -> "Hello  World", 2L -> "hello world!", 3L -> "different")
+    val got = Dedup.exact(d)
+      .select("doc_id", "canonical_id", "is_dup").as[(Long, Long, Boolean)]
+      .collect().toSet
+    assert(got === Set((1L, 1L, false), (2L, 1L, true), (3L, 3L, false)))
+  }
+
+  test("shingles: w-grams for long docs, single joined shingle for short docs") {
+    val got = docs(1L -> "a b c d", 2L -> "a b")
+      .select($"doc_id", Dedup.shingleCol($"text", 3).as("s"))
+      .as[(Long, Seq[String])].collect().toMap
+    assert(got(1L) === Seq("a b c", "b c d"))
+    assert(got(2L) === Seq("a b"))
+  }
+
+  test("minhash long form matches wide form") {
+    val d = docs(1L -> "a b c d e f", 2L -> "b c d e f g")
+    val wide = Dedup.minhashSignaturesWide(d, w = 3, k = 4)
+      .collect().map(r => r.getLong(0) -> (1 to 4).map(i => r.getString(i))).toMap
+    val long = Dedup.minhashSignatures(d, w = 3, k = 4)
+      .as[(Long, Int, String)].collect()
+    long.foreach { case (doc, seed, sig) => assert(wide(doc)(seed) === sig) }
+    assert(long.length === 8)
+  }
+
+  test("identical docs share all bands; near-identical docs are candidate pairs") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> text, 2L -> text, 3L -> "completely unrelated words here nothing shared at all")
+    val pairs = Dedup.minhashCandidatePairs(d).as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L))
+  }
+
+  test("ngram jaccard: identical docs score 1.0, disjoint docs absent") {
+    val text = "one two three four five six seven"
+    val d = docs(1L -> text, 2L -> text, 3L -> "eight nine ten eleven twelve thirteen")
+    val got = Dedup.ngramJaccardPairs(d, minJaccard = 0.5)
+      .select("doc_a", "doc_b", "jaccard").as[(Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 2L, 1.0)))
+  }
+
+  test("simhash pigeonhole: blocked pairs == brute-force pairs within maxHamming") {
+    // 20 near-ish docs: blocking must not lose any qualifying pair
+    val d = docs((1L to 20L).map(i =>
+      i -> s"shared core words alpha beta gamma delta plus unique$i extra${i % 3}"): _*)
+    val sig = Dedup.simhash(d).as[(Long, Long)].collect().toMap
+    val brute = (for {
+      a <- sig.keys; b <- sig.keys if a < b
+      h = java.lang.Long.bitCount(sig(a) ^ sig(b)) if h <= 3
+    } yield (a, b, h)).toSet
+    val blocked = Dedup.simhashPairs(d)
+      .as[(Long, Long, Int)].collect().map { case (a, b, h) => (a, b, h.toLong) }.toSet
+    assert(blocked === brute.map { case (a, b, h) => (a, b, h.toLong) })
+  }
+
+  test("simhashPairs rejects a bits/segments mismatch") {
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(docs(1L -> "x"), bits = 16, maxHamming = 4) // 5 segs !| 16
+    }
+  }
+}

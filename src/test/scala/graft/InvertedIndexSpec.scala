@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.index.InvertedIndex
+import SparkSpec.spark.implicits._
+
+class InvertedIndexSpec extends SparkSpec {
+
+  private def corpus(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  private def entries(df: DataFrame): Set[(String, Long, Long)] =
+    df.select("word", "doc_id", "cnt").as[(String, Long, Long)].collect().toSet
+
+  test("build counts term frequency per (word, doc)") {
+    val idx = InvertedIndex.build(corpus(1L -> "the cat the DOG", 2L -> "Cat!"))
+    assert(entries(idx) === Set(
+      ("the", 1L, 2L), ("cat", 1L, 1L), ("dog", 1L, 1L), ("cat", 2L, 1L)))
+  }
+
+  test("build ignores empty documents and empty tokens") {
+    val idx = InvertedIndex.build(corpus(1L -> "  ...  ", 2L -> "ok"))
+    assert(entries(idx) === Set(("ok", 2L, 1L)))
+  }
+
+  test("add is the reference's additive merge: re-indexed docs double-count") {
+    val a = corpus(1L -> "x y", 2L -> "y")
+    val full = InvertedIndex.build(a)
+    val delta = InvertedIndex.build(a.filter($"doc_id" === 1L))
+    assert(entries(InvertedIndex.add(full, delta)) === Set(
+      ("x", 1L, 2L), ("y", 1L, 2L), ("y", 2L, 1L)))
+  }
+
+  test("upsertDocs replaces postings: merge is idempotent") {
+    val a = corpus(1L -> "x y", 2L -> "y")
+    val full = InvertedIndex.build(a)
+    val delta = InvertedIndex.build(a.filter($"doc_id" === 1L))
+    assert(entries(InvertedIndex.upsertDocs(full, delta)) === entries(full))
+  }
+
+  test("distributivity: build(A ∪ B) == add(build(A), build(B)) for disjoint docs") {
+    val a = corpus(1L -> "alpha beta", 2L -> "beta")
+    val b = corpus(3L -> "alpha alpha")
+    val whole = InvertedIndex.build(corpus(
+      1L -> "alpha beta", 2L -> "beta", 3L -> "alpha alpha"))
+    assert(entries(InvertedIndex.add(InvertedIndex.build(a), InvertedIndex.build(b)))
+      === entries(whole))
+  }
+
+  test("lookup normalizes the key and sorts cnt desc, doc_id asc") {
+    val idx = InvertedIndex.build(corpus(
+      1L -> "w", 2L -> "w w", 3L -> "w", 4L -> "other"))
+    val got = InvertedIndex.lookup(idx, "  W!  ").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((2L, 2L), (1L, 1L), (3L, 1L)))
+  }
+
+  test("topK keeps k postings per word with deterministic ties") {
+    val idx = InvertedIndex.build(corpus(
+      1L -> "w", 2L -> "w w", 3L -> "w", 4L -> "w"))
+    val got = InvertedIndex.topK(idx, 2)
+      .select("word", "doc_id", "rank").as[(String, Long, Int)].collect().toSet
+    assert(got === Set(("w", 2L, 1), ("w", 1L, 2)))
+  }
+
+  test("nested JSON export round-trips to the flat index") {
+    val idx = InvertedIndex.build(corpus(1L -> "a b a", 2L -> "b"))
+    val back = InvertedIndex.importNestedJson(InvertedIndex.exportNestedJson(idx))(spark)
+    assert(entries(back) === entries(idx))
+  }
+}

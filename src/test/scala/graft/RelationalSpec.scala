@@ -1,0 +1,78 @@
+package graft
+
+import graft.ops.Relational
+import SparkSpec.spark.implicits._
+
+/** Relational operators against the sf0.001 fixtures — cross-checked
+  * with independently computed expectations, plus the asof tie rule. */
+class RelationalSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("pricingSummary groups are complete and averages are in range") {
+    val rows = Relational.pricingSummary(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val avgQty = r.getAs[Double]("avg_qty")
+      assert(avgQty > 0 && avgQty < 100)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("asof join: every purchase pairs with the latest click at-or-before it") {
+    val got = Relational.asofPurchaseToClick(spark, dir)
+    // recompute naively: for each purchase row, scan all clicks
+    val ev = spark.read.parquet(s"$dir/events.parquet")
+      .selectExpr("event_id", "cast(ts as long) ts", "user_id", "event_type")
+      .as[(Long, Long, Long, String)].collect()
+    val clicks = ev.filter(_._4 == "click").groupBy(_._3)
+    val expected = ev.filter(_._4 == "purchase").map { case (pid, ts, uid, _) =>
+      val best = clicks.getOrElse(uid, Array.empty)
+        .filter(_._2 <= ts)
+        .sortBy(c => (c._2, c._1)) // ts asc, click_id asc -> last = max
+        .lastOption.map(_._1)
+      pid -> best
+    }.toMap
+    val gotMap = got.select("purchase_id", "asof_click_id")
+      .as[(Long, Option[Long])].collect().toMap
+    assert(gotMap === expected)
+  }
+
+  test("running spend is cumulative and order_seq is dense per customer") {
+    val rows = Relational.customerRunningSpend(spark, dir)
+      .select("o_custkey", "order_seq", "running_spend", "o_totalprice")
+      .as[(Long, Int, Double, Double)].collect()
+      .groupBy(_._1)
+    rows.values.foreach { orders =>
+      val sorted = orders.sortBy(_._2)
+      assert(sorted.map(_._2).toSeq === (1 to sorted.length))
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(b._3 >= a._3 - 0.01) // non-decreasing (prices > 0)
+        case _ =>
+      }
+    }
+  }
+
+  test("cube emits all four grouping sets") {
+    val rows = Relational.returnsCube(spark, dir)
+      .select("l_returnflag", "l_linestatus").collect()
+    val patterns = rows.map(r => (r.isNullAt(0), r.isNullAt(1))).toSet
+    assert(patterns === Set((false, false), (false, true), (true, false), (true, true)))
+  }
+
+  test("distinct aggregates are bounded by plain counts") {
+    Relational.orderPriorityDistincts(spark, dir).collect().foreach { r =>
+      assert(r.getAs[Long]("n_custs") <= r.getAs[Long]("n_orders"))
+      assert(r.getAs[Long]("n_status") <= 3)
+    }
+  }
+
+  test("events() fails fast when the nanos conf is missing") {
+    val bare = spark.newSession()
+    bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+    val e = intercept[IllegalArgumentException] {
+      Relational.eventProps(bare, dir)
+    }
+    assert(e.getMessage.contains("nanosAsLong"))
+  }
+}

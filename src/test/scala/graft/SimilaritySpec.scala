@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.Similarity
+import SparkSpec.spark.implicits._
+
+class SimilaritySpec extends SparkSpec {
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("bruteForceTopK ranks by cosine desc with vec_id tiebreak") {
+    val corpus = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f), 3L -> Seq(0f, 1f), 4L -> Seq(-1f, 0f))
+    val q = vecs(1L -> Seq(1f, 0f))
+    val got = Similarity.bruteForceTopK(q, corpus, 2)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(got === Set((1L, 2L, 1), (1L, 3L, 2)))
+  }
+
+  test("cosine of identical vectors is 1.0 after rounding") {
+    val corpus = vecs(1L -> Seq(0.3f, 0.4f, 0.5f), 2L -> Seq(0.3f, 0.4f, 0.5f))
+    val got = Similarity.bruteForceTopK(vecs(1L -> Seq(0.3f, 0.4f, 0.5f)), corpus, 1)
+      .select("cos").as[Double].head()
+    assert(got === 1.0)
+  }
+
+  test("lshBucketTopK only scores same-bucket candidates") {
+    // bits=2 buckets on sign of first two coords: (+,+)=3, (-,+)=2, (+,-)=1
+    val corpus = vecs(
+      1L -> Seq(1f, 1f), 2L -> Seq(2f, 3f), 3L -> Seq(-1f, 1f), 4L -> Seq(1f, -1f))
+    val got = Similarity.lshBucketTopK(vecs(1L -> Seq(1f, 1f)), corpus, 10, bits = 2)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(got === Set(2L)) // only doc 2 shares bucket (+,+)
+  }
+
+  test("cosineDupPairs finds in-bucket near-duplicates only") {
+    val corpus = vecs(
+      1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))
+    val got = Similarity.cosineDupPairs(corpus, threshold = 0.99, bits = 3)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+}

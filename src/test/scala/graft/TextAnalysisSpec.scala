@@ -1,0 +1,50 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.ops.TextAnalysis
+import SparkSpec.spark.implicits._
+
+class TextAnalysisSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  test("tokenStats: counts, distinct counts, chars, ratio") {
+    val got = TextAnalysis.tokenStats(docs(1L -> "the cat the"))
+      .as[(Long, Int, Int, Int, Double)].head()
+    assert(got === ((1L, 3, 2, 11, 3.0 / 11)))
+  }
+
+  test("bpeTokenEstimate: ceil(len/4) per word") {
+    // "hello"(2) + "hi"(1) + "wonderful"(3)
+    val got = TextAnalysis.bpeTokenEstimate(docs(1L -> "hello hi wonderful"))
+      .as[(Long, Long)].head()
+    assert(got === ((1L, 6L)))
+  }
+
+  test("qualityScore: keep requires >=10 tokens and a stopword hit") {
+    val long = "the quick brown fox jumps over a lazy dog every day" // 11 toks, has 'the'
+    val short = "the cat"
+    val noStop = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val got = TextAnalysis.qualityScore(docs(1L -> long, 2L -> short, 3L -> noStop))
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
+  }
+
+  test("languageId picks the language with most stopword hits") {
+    val got = TextAnalysis.languageId(docs(
+      1L -> "the cat is in the house and it is warm",
+      2L -> "der Hund ist nicht mit der Katze auf dem Sofa",
+      3L -> "el perro es un animal y no es la casa"))
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es"))
+  }
+
+  test("fingerprints: one window-min per full window, deduplicated") {
+    val d = docs(1L -> "a b c d e f g") // 7 tokens, w=5 -> 3 windows
+    val n = TextAnalysis.fingerprints(d, w = 5).count()
+    assert(n >= 1 && n <= 3) // distinct minima of 3 overlapping windows
+    // 4 tokens < w -> no full window -> no fingerprints
+    assert(TextAnalysis.fingerprints(docs(2L -> "a b c d"), w = 5).count() === 0)
+  }
+}
