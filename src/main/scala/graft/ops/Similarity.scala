@@ -23,10 +23,13 @@ import org.apache.spark.sql.expressions.Window
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two double arrays — deterministic
-    * evaluation order, codegen'd, no UDF. */
+  /** Sequential-fold dot product of two double arrays — the native
+    * codegen'd [[graft.functions.DotProduct]] expression (the HOF
+    * formulation `aggregate(zip_with(...))` is interpreted; the native
+    * expression is the same index-order fold inside whole-stage
+    * codegen, so values are bit-identical). */
   def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.VectorFunctions.dotp(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 

@@ -1,0 +1,23 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge into Spark's `private[sql]` surface (classic backend):
+  * wrapping a Catalyst Expression as a user-facing Column and
+  * registering native functions on a live session. Kept to the minimum
+  * two capabilities graft needs; everything else stays on public API.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  def registerFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => Expression): Unit =
+    spark.sessionState.functionRegistry.registerFunction(id, info, builder)
+}
