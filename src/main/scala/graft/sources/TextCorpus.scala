@@ -1,0 +1,60 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Corpus sources/sinks mirroring the reference's storage formats.
+  *
+  * The reference's corpus is a folder of `.txt` blobs, document
+  * identity = base filename (`mapper/main.py:63`); its intermediates
+  * are header'd CSV tuple files (`mapper/main.py:67-74`) and nested
+  * JSON. Spark subsumes the intermediates entirely (shuffle files),
+  * so the CSV codec here exists only for interop with artifacts a
+  * reference deployment already produced.
+  *
+  * Scale: `spark.read.text` is splittable per file and packs many
+  * small files per task under `spark.sql.files.maxPartitionBytes` —
+  * this replaces the reference's greedy LPT file assignment
+  * (`master/main.py:33-47`) with no custom scheduler.
+  */
+object TextCorpus {
+
+  private def docIdCol = regexp_extract(input_file_name(), "[^/]+$", 0).as("doc_id")
+
+  /** File-per-document scan: one row per file, whole contents as
+    * `text` — the reference's read path (`master/main.py:12-15`).
+    * NOTE wholetext files are not splittable; fine for documents,
+    * wrong for one giant file (use [[readLines]]). */
+  def readDocuments(spark: SparkSession, dir: String): DataFrame =
+    spark.read.option("wholetext", "true").text(dir)
+      .select(docIdCol, col("value").as("text"))
+
+  /** Line-per-row scan: the reference's single-big-file split path
+    * (`master/main.py:21-31`) — block-based splits, no line counting,
+    * no degenerate `lines < M` case. */
+  def readLines(spark: SparkSession, dir: String): DataFrame =
+    spark.read.text(dir)
+      .select(docIdCol, col("value").as("line"))
+
+  /** Write the (word, doc, cnt) tuple stream in the reference's mapper
+    * CSV shape: header `Word,Document,Count` (`mapper/main.py:69`). */
+  def writeTupleCsv(index: DataFrame, path: String): Unit =
+    index.select(
+      col("word").as("Word"),
+      col("doc_id").cast("string").as("Document"),
+      col("cnt").as("Count"))
+      .write.mode("overwrite").option("header", "true").csv(path)
+
+  /** Read the reference's mapper CSV back into the canonical flat
+    * shape (`create_json_file/main.py:35-42` — but with an explicit
+    * schema instead of pandas inference). */
+  def readTupleCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema("Word STRING, Document STRING, Count BIGINT")
+      .csv(path)
+      .select(
+        col("Word").as("word"),
+        col("Document").as("doc_id"),
+        col("Count").as("cnt"))
+}

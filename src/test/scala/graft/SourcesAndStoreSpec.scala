@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.index.{IndexStore, InvertedIndex}
+import graft.sources.TextCorpus
+import SparkSpec.spark.implicits._
+
+class SourcesAndStoreSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name-")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  test("readDocuments: one row per file, doc_id = basename, whole text") {
+    val dir = tmp("corpus")
+    Files.write(java.nio.file.Paths.get(dir, "a.txt"), "line one\nline two".getBytes)
+    Files.write(java.nio.file.Paths.get(dir, "b.txt"), "solo".getBytes)
+    val got = TextCorpus.readDocuments(spark, dir)
+      .as[(String, String)].collect().toMap
+    assert(got === Map("a.txt" -> "line one\nline two", "b.txt" -> "solo"))
+  }
+
+  test("readLines splits files into rows") {
+    val dir = tmp("lines")
+    Files.write(java.nio.file.Paths.get(dir, "a.txt"), "l1\nl2\nl3".getBytes)
+    assert(TextCorpus.readLines(spark, dir).count() === 3)
+  }
+
+  test("tuple CSV round-trips the index through the reference's format") {
+    val idx = InvertedIndex.build(Seq((1L, "cat dog cat")).toDF("doc_id", "text"))
+    val path = tmp("csv") + "/tuples"
+    TextCorpus.writeTupleCsv(idx, path)
+    val back = TextCorpus.readTupleCsv(spark, path)
+      .as[(String, String, Long)].collect().toSet
+    assert(back === Set(("cat", "1", 2L), ("dog", "1", 1L)))
+  }
+
+  test("IndexStore round-trips and lookup prunes partitions") {
+    val idx = InvertedIndex.build(Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text"))
+    val path = tmp("store") + "/index"
+    IndexStore.save(idx, path)
+
+    val loaded = IndexStore.load(spark, path)
+      .as[(String, Long, Long)].collect().toSet
+    assert(loaded === Set(
+      ("apple", 1L, 2L), ("banana", 1L, 1L), ("banana", 2L, 1L), ("cherry", 2L, 1L)))
+
+    val got = IndexStore.lookup(spark, path, "Banana!").as[(Long, Long)].collect().toSeq
+    assert(got === Seq((1L, 1L), (2L, 1L)))
+
+    // the physical plan must show partition pruning on the prefix and a
+    // pushed filter on word — the point of the layout
+    val plan = IndexStore.lookup(spark, path, "banana")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("word_pfx"), s"no partition filter in:\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(word), EqualTo(word,banana)]"),
+      s"word filter not pushed in:\n$plan")
+  }
+
+  test("only the matching partition directory is scanned") {
+    val idx = InvertedIndex.build(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
+    val path = tmp("store2") + "/index"
+    IndexStore.save(idx, path)
+    // partition pruning is applied at scan planning: the FileSourceScan's
+    // PartitionFilters must pin word_pfx to the lookup key's prefix
+    val plan = IndexStore.lookup(spark, path, "alpha")
+      .queryExecution.executedPlan.toString
+    val pfLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pfLine.contains("= a)"), s"prefix not pinned in: $pfLine\n$plan")
+  }
+}
