@@ -23,6 +23,10 @@ object Bench {
     // Optional subset for local profiling: SPARK_GRAFT_ONLY=q_a,q_b
     val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    // Untimed warmup: JVM/codegen/parquet-reader init otherwise lands on
+    // whichever query happens to run first (~4 s of pure warmup).
+    spark.range(1L << 20).selectExpr("sum(id)").collect()
+    spark.read.parquet(s"$sfDir/region.parquet").count()
     val results = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case e: Throwable =>

@@ -125,6 +125,23 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
     "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir)),
 
+    // ---- event-time streaming ops, exercised in batch mode --------------
+    "q_event_windows" -> { (s, dir) =>
+      import graft.streaming.EventStreams
+      val ev = Relational.events(s, dir)
+        .select(timestamp_micros(expr("ts_ns div 1000")).as("ts"),
+          col("event_type"), col("value"))
+      EventStreams.windowedCounts(ev, "1 hour", "10 minutes")
+        .select(unix_micros(col("window_start")).as("window_start_us"),
+          col("event_type"), col("n"), col("sum_value"))
+    },
+    "q_sessionize" -> { (s, dir) =>
+      import graft.streaming.EventStreams
+      val ev = Relational.events(s, dir)
+        .select(col("user_id"), expr("ts_ns div 1000000").as("ts_ms"), col("event_type"))
+      EventStreams.sessionizeBatch(ev, gapMs = 30L * 60 * 1000)
+    },
+
     // ---- multimodal plumbing (binary payload + stub decode) -------------
     "q_multimodal" -> ((s, dir) => Multimodal.mediaSummary(docs(s, dir))(s))
   )
@@ -352,6 +369,31 @@ object SparkEntry {
         |                  arg_max("value", event_id) AS "value"
         |                FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
         |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q_event_windows" ->
+      // twin of EventStreams.windowedCounts in batch: tumbling 1h windows;
+      // sums accumulate in DECIMAL so engines agree exactly
+      """SELECT epoch_us(time_bucket(INTERVAL '1 hour', ts)) AS window_start_us,
+        |  event_type, count(*) AS n,
+        |  CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "q_sessionize" ->
+      // twin of EventStreams.sessionizeBatch (gap = 30 min): session
+      // boundaries depend only on time gaps, so ordering ties among
+      // equal timestamps cannot change the result
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ts_ms, event_type FROM events),
+        |flags AS (
+        |  SELECT user_id, ts_ms, event_type,
+        |    CASE WHEN prev IS NULL OR ts_ms - prev > 1800000 THEN 1 ELSE 0 END AS new_s
+        |  FROM (SELECT user_id, ts_ms, event_type,
+        |          lag(ts_ms) OVER (PARTITION BY user_id ORDER BY ts_ms, event_type) AS prev
+        |        FROM e)),
+        |sess AS (
+        |  SELECT user_id, ts_ms, sum(new_s) OVER (PARTITION BY user_id ORDER BY ts_ms, event_type
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        |  FROM flags)
+        |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
+        |  CAST(count(*) AS INTEGER) AS n_events
+        |FROM sess GROUP BY user_id, session_id""".stripMargin,
     "q_event_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k

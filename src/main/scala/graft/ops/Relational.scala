@@ -51,7 +51,7 @@ object Relational {
     * the test fixture all do) — a query function must not mutate shared
     * session state as a side effect (round-1 ADVICE), so we only check
     * here and fail fast with an actionable message. */
-  private def events(spark: SparkSession, dir: String): DataFrame = {
+  private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
     require(
       spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
       "reading events.parquet (TIMESTAMP nanos) requires " +

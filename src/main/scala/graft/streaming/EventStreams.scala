@@ -1,0 +1,107 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Event-time streaming operators over the `events` shape
+  * (event_id, ts, user_id, event_type, value).
+  *
+  * The reference has no event-time notion at all — its "stream" is one
+  * indexing batch per uploaded file (SURVEY §2 #3, #29). These
+  * operators are the standard event-time suite a training-data /
+  * analytics pipeline needs, expressed with Structured Streaming
+  * primitives so the SAME code runs in batch mode (unit tests, and the
+  * correctness gate, run them over the batch events table).
+  *
+  * Scale notes: the windowed count is a streaming state-store hash
+  * aggregation keyed by (window, event_type) — state size is bounded
+  * by the watermark horizon. Sessionization keys state by user_id;
+  * `GroupStateTimeout.EventTimeTimeout` evicts sessions once the
+  * watermark passes their gap deadline, so state is bounded by the
+  * active-user set.
+  */
+object EventStreams {
+
+  /** Tumbling-window event counts with a watermark: late rows beyond
+    * `lateness` are dropped (streaming) / included (batch — batch has
+    * no late data). Works unchanged on batch or streaming input. */
+  def windowedCounts(
+      events: DataFrame,
+      windowLen: String = "1 hour",
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      // DECIMAL accumulation: the sum is exact and independent of
+      // partition/arrival order (same treatment as Relational.moneySum)
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,6)")).cast("double").as("sum_value"))
+      .select(
+        col("window.start").as("window_start"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  final case class Ev(user_id: Long, ts_ms: Long, event_type: String)
+  final case class SessionState(start: Long, end: Long, n: Int)
+  final case class UserSession(user_id: Long, session_start: Long, session_end: Long, n_events: Int)
+
+  /** Gap-based sessionization with custom state
+    * (`KeyValueGroupedDataset.flatMapGroupsWithState`): a session
+    * closes when more than `gapMs` elapses between consecutive events
+    * of a user.
+    *
+    * Complete-group semantics: each invocation sees all of a user's
+    * rows (batch execution, or one watermark-complete group in
+    * streaming), folds them through the GroupState machinery, emits
+    * every session, and clears state. A long-running streaming
+    * deployment would swap NoTimeout for EventTimeTimeout and keep the
+    * open session in state between micro-batches — the fold body is
+    * identical; only the flush point moves.
+    */
+  def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (uid: Long, rows: Iterator[Ev], state: GroupState[List[SessionState]]) =>
+          val sorted = rows.toSeq.sortBy(e => (e.ts_ms, e.event_type))
+          var open = state.getOption.flatMap(_.headOption)
+          val out = List.newBuilder[UserSession]
+          sorted.foreach { e =>
+            open match {
+              case Some(s) if e.ts_ms - s.end <= gapMs =>
+                open = Some(s.copy(end = e.ts_ms, n = s.n + 1))
+              case Some(s) =>
+                out += UserSession(uid, s.start, s.end, s.n)
+                open = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+              case None =>
+                open = Some(SessionState(e.ts_ms, e.ts_ms, 1))
+            }
+          }
+          open.foreach(s => out += UserSession(uid, s.start, s.end, s.n))
+          state.remove() // complete-group flush
+          out.result().iterator
+      }
+  }
+
+  /** Batch-mode sessionization (same semantics, pure DataFrame algebra:
+    * a session boundary is a gap > gapMs between consecutive events of
+    * a user). This is the oracle-checkable twin of [[sessionize]]. */
+  def sessionizeBatch(events: DataFrame, gapMs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts_ms", "event_type")
+    events
+      .withColumn("prev_ts", lag("ts_ms", 1).over(byUser))
+      .withColumn("new_session",
+        (col("prev_ts").isNull || (col("ts_ms") - col("prev_ts") > gapMs)).cast("int"))
+      .withColumn("session_id", sum("new_session").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy("user_id", "session_id")
+      .agg(
+        min("ts_ms").as("session_start"),
+        max("ts_ms").as("session_end"),
+        count(lit(1)).cast("int").as("n_events"))
+      .select("user_id", "session_start", "session_end", "n_events")
+  }
+}

@@ -1,0 +1,77 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{Ev, UserSession}
+import SparkSpec.spark.implicits._
+
+class EventStreamsSpec extends SparkSpec {
+
+  private def ts(minute: Int): Timestamp = Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("windowedCounts over a real stream: watermark finalizes windows in append mode") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("wc").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    // window [10:00,10:10): two clicks; then advance event time past
+    // watermark horizon (10:10 + 5min lateness) to finalize it
+    in.addData((ts(1), "click", 1.0), (ts(4), "click", 2.0))
+    q.processAllAvailable()
+    in.addData((ts(21), "view", 5.0)) // watermark -> 10:16 > 10:10
+    q.processAllAvailable()
+
+    val rows = spark.table("wc").as[(Timestamp, String, Long, Double)].collect().toSet
+    q.stop()
+    assert(rows === Set((ts(0), "click", 2L, 3.0))) // only the finalized window emitted
+  }
+
+  test("late data beyond the watermark is dropped") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = EventStreams.windowedCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "10 minutes", lateness = "5 minutes")
+      .writeStream.format("memory").queryName("wc_late").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    in.addData((ts(1), "click", 1.0))
+    q.processAllAvailable()
+    in.addData((ts(40), "view", 1.0)) // watermark -> 10:35
+    q.processAllAvailable()
+    in.addData((ts(2), "click", 100.0)) // late: event time far behind watermark
+    q.processAllAvailable()
+    in.addData((ts(59), "view", 1.0)) // push watermark to close everything <= 10:50
+    q.processAllAvailable()
+
+    val clickWindow = spark.table("wc_late")
+      .as[(Timestamp, String, Long, Double)].collect().filter(_._2 == "click")
+    q.stop()
+    // the late 100.0 click was dropped: count stays 1, sum stays 1.0
+    assert(clickWindow.toSet === Set((ts(0), "click", 1L, 1.0)))
+  }
+
+  test("sessionize (flatMapGroupsWithState) matches the batch window formulation") {
+    val evs = Seq(
+      Ev(1L, 1000L, "a"), Ev(1L, 2000L, "b"), Ev(1L, 90000L, "c"), // gap at 90s
+      Ev(2L, 500L, "x")).toDS()
+    val stateful = EventStreams.sessionize(evs, gapMs = 60000L).collect().toSet
+    assert(stateful === Set(
+      UserSession(1L, 1000L, 2000L, 2),
+      UserSession(1L, 90000L, 90000L, 1),
+      UserSession(2L, 500L, 500L, 1)))
+
+    val batch = EventStreams.sessionizeBatch(
+      evs.toDF().withColumnRenamed("ts_ms", "ts_ms"), gapMs = 60000L)
+      .as[UserSession].collect().toSet
+    assert(batch === stateful)
+  }
+}
