@@ -77,7 +77,9 @@ object SparkEntry {
       val delta = InvertedIndex.build(docs(s, dir).filter(col("doc_id") < 100))
       InvertedIndex.upsertDocs(full, delta)
     },
-    "q_index_topk" -> ((s, dir) => InvertedIndex.topK(InvertedIndex.build(docs(s, dir)), 3)),
+    // bounded-heap aggregate path (map-side top-k pruning); the oracle's
+    // row_number window SQL independently pins the same semantics
+    "q_index_topk" -> ((s, dir) => InvertedIndex.topKAggregated(InvertedIndex.build(docs(s, dir)), 3)),
     "q_index_export_roundtrip" -> { (s, dir) =>
       // nested-JSON export codec (the reference's final_results.json
       // shape) must round-trip losslessly back to the flat index

@@ -1,0 +1,135 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.GraftSqlBridge
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Bounded-heap top-k aggregate: keeps the k (score, id) pairs with the
+  * highest score (ties broken by lowest id) per group.
+  *
+  * Why not `row_number() over (partition by g order by ...)`? The window
+  * formulation shuffles and SORTS every row of every group; this
+  * aggregate participates in partial aggregation, so each map task
+  * forwards AT MOST k rows per group into the shuffle — for a top-3
+  * over a 100 TB inverted index the exchange carries k·groups rows
+  * instead of the whole index, and nothing is ever fully sorted.
+  * (`slice(sort_array(collect_list(...)))` also buffers whole groups.)
+  *
+  * Buffer: a min-heap of (score, id) longs, worst element on top for
+  * O(log k) eviction. Serialized as a flat long buffer.
+  */
+case class TopKByScore(
+    score: Expression,
+    id: Expression,
+    k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+
+  require(k > 0, s"k must be positive, got $k")
+
+
+  override def children: Seq[Expression] = Seq(score, id)
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (score.dataType == LongType && id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (bigint, bigint), got " +
+        s"${score.dataType.simpleString}, ${id.dataType.simpleString}")
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("score", LongType, nullable = false),
+    StructField("id", LongType, nullable = false))), containsNull = false)
+
+  override def nullable: Boolean = false
+
+  override def prettyName: String = "graft_top_k"
+
+  // dequeue order = "worst first" (lowest score, then highest id) via a
+  // hand-written static Ordering: Ordering.by captures the implicit
+  // tuple ordering in an anon class whose field does not survive task
+  // serialization (NPE inside PriorityQueue on the executor).
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
+    mutable.PriorityQueue.empty[(Long, Long)](TopKByScore.WorstFirst)
+
+  override def update(
+      buf: mutable.PriorityQueue[(Long, Long)],
+      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+    val s = score.eval(input)
+    val i = id.eval(input)
+    if (s != null && i != null) {
+      buf.enqueue((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      if (buf.size > k) buf.dequeue() // evict the worst
+    }
+    buf
+  }
+
+  override def merge(
+      buf: mutable.PriorityQueue[(Long, Long)],
+      other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+    other.foreach { e =>
+      buf.enqueue(e)
+      if (buf.size > k) buf.dequeue()
+    }
+    buf
+  }
+
+  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+    // emit best-first: score desc, id asc (explicit — never via implicits)
+    val sorted = buf.toArray.sortWith((a, b) =>
+      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    new GenericArrayData(sorted.map { case (s, i) =>
+      InternalRow(s, i): Any
+    })
+  }
+
+  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
+    val bb = ByteBuffer.allocate(4 + buf.size * 16)
+    bb.putInt(buf.size)
+    buf.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+    val bb = ByteBuffer.wrap(bytes)
+    val n = bb.getInt
+    val buf = createAggregationBuffer()
+    var j = 0
+    while (j < n) { buf.enqueue((bb.getLong, bb.getLong)); j += 1 }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(mutableAggBufferOffset = newOffset)
+
+  override def withNewInputAggBufferOffset(newOffset: Int): TopKByScore =
+    copy(inputAggBufferOffset = newOffset)
+
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): TopKByScore =
+    copy(score = newChildren(0), id = newChildren(1))
+}
+
+object TopKByScore {
+  /** Worst element is the maximum: lowest score, then highest id. */
+  private[functions] object WorstFirst extends Ordering[(Long, Long)] {
+    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1) // lower score ⇒ greater (worse)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id ⇒ worse
+    }
+  }
+
+  /** Column API: array of (score, id) structs, best-first. */
+  def topK(score: Column, id: Column, k: Int): Column =
+    GraftSqlBridge.column(
+      TopKByScore(GraftSqlBridge.expression(score), GraftSqlBridge.expression(id), k)
+        .toAggregateExpression())
+}

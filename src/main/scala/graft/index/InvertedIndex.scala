@@ -89,6 +89,9 @@ object InvertedIndex {
   /** Top-k postings per word — the bounded version of lookup's full sort,
     * for serving at scale: rank within each word partition, keep k.
     * Deterministic tiebreak `doc_id` asc.
+    *
+    * Window formulation, kept as the built-in reference semantics; see
+    * [[topKAggregated]] for the scale path (identical output).
     */
   def topK(index: DataFrame, k: Int): DataFrame = {
     val w = Window.partitionBy("word").orderBy(col("cnt").desc, col("doc_id").asc)
@@ -96,6 +99,21 @@ object InvertedIndex {
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
+
+  /** Top-k postings via the bounded-heap aggregate
+    * [[graft.functions.TopKByScore]]: partial aggregation forwards at
+    * most k postings per word per map task into the shuffle, and no
+    * partition is ever sorted — the window formulation above shuffles
+    * and sorts the ENTIRE index. Output is row-identical to [[topK]]
+    * (score desc, doc_id asc, dense rank 1..k).
+    */
+  def topKAggregated(index: DataFrame, k: Int): DataFrame =
+    index
+      .groupBy("word")
+      .agg(graft.functions.TopKByScore.topK(col("cnt"), col("doc_id"), k).as("top"))
+      .select(col("word"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("word"), col("e.id").as("doc_id"), col("e.score").as("cnt"),
+        (col("i") + 1).cast("int").as("rank"))
 
   /** Export in the reference's nested shape `word → {doc → cnt}`
     * (`final_results.json`, `master/main.py:123-126`), one row per word.
