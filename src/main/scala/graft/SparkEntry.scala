@@ -41,6 +41,13 @@ object SparkEntry {
        |  ELSE [array_to_string(ts, ' ')] END AS shl
        |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin
 
+  /** DuckDB twin of [[graft.ops.Similarity.cosine]]: sequential-fold dot
+    * and norms over two DOUBLE[] aliases, rounded to 6. */
+  private def COS_SQL(a: String, b: String): String =
+    s"""round(list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (acc, x) -> acc + x)
+       | / (sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]), (acc, x) -> acc + x))
+       | * sqrt(list_reduce(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]), (acc, x) -> acc + x))), 6)""".stripMargin
+
   /** Twin of [[Dedup.simhash]] (bits=16): bit j of the token md5 = bit
     * (3 - j%4) of hex digit j/4. Shared by q_simhash and q_simhash_pairs. */
   private val SIMHASH_SQL: String = {
@@ -112,6 +119,10 @@ object SparkEntry {
       Similarity.lshBucketTopK(e.filter(col("vec_id") % 100 === 0), e, 10, bits = 8)
     },
     "q_cosine_dups" -> ((s, dir) => Similarity.cosineDupPairs(emb(s, dir), 0.8, bits = 8)),
+    "q_sim_ivf" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4)
+    },
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -274,6 +285,27 @@ object SparkEntry {
          |SELECT * FROM (SELECT query_id, neighbor_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q_sim_ivf" ->
+      // twin of Similarity.ivfTopK(k=10, nprobe=4, centroidMod=100)
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |cent AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id % 100 = 1),
+         |assign AS (SELECT cell_id, neighbor_id, e FROM (
+         |  SELECT c.cell_id, v.vec_id AS neighbor_id, v.e,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS crn
+         |  FROM v, cent c) WHERE crn = 1),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+         |probes AS (SELECT query_id, qe, cell_id FROM (
+         |  SELECT q.query_id, q.qe, c.cell_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${COS_SQL("q.qe", "c.ce")} DESC, c.cell_id ASC) AS prn
+         |  FROM q, cent c) WHERE prn <= 4)
+         |SELECT query_id, neighbor_id, cos, rank FROM (
+         |  SELECT p.query_id, a.neighbor_id, ${COS_SQL("p.qe", "a.e")} AS cos,
+         |    CAST(row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${COS_SQL("p.qe", "a.e")} DESC, a.neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND p.query_id <> a.neighbor_id)
+         |WHERE rank <= 10""".stripMargin,
     "q_cosine_dups" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          |    CAST(${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket

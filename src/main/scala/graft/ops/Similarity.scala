@@ -92,6 +92,59 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN — the other scale path beside sign-LSH:
+    * coarse-quantize the corpus into cells around a deterministic
+    * centroid sample (every vector with `vec_id % centroidMod == 1`;
+    * a production system would k-means these, which is just Lloyd
+    * iterations of this same assignment join), keep an inverted list
+    * per cell, and probe only the `nprobe` cells nearest each query.
+    *
+    * Plan shape: centroids are a broadcast dim on BOTH the assignment
+    * join and the probe join; the candidate join shuffles on cell_id —
+    * every stage is keyed, nothing is all-pairs, and recall/cost is the
+    * (nprobe / #cells) knob. Determinism: cosines rounded to 6, all
+    * ranks tie-broken by id, cell assignment tie-broken by cell_id.
+    */
+  def ivfTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      centroidMod: Int = 100): DataFrame = {
+    val cent = broadcast(
+      corpus.filter(col("vec_id") % centroidMod === 1)
+        .select(col("vec_id").as("cell_id"), asDouble(col("embedding")).as("cv"))
+        .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn")))
+    val corp = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("v"))
+      .select(col("neighbor_id"), col("v"), norm(col("v")).as("n"))
+    // nearest cell per corpus vector (the inverted lists)
+    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("ccos").desc, col("cell_id").asc)
+    val assign = corp.join(cent)
+      .select(col("neighbor_id"), col("v"), col("n"), col("cell_id"),
+        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
+      .withColumn("crn", row_number().over(wAssign))
+      .filter(col("crn") === 1)
+      .select("cell_id", "neighbor_id", "v", "n")
+    // nprobe nearest cells per query
+    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+      .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"))
+    val wProbe = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cell_id").asc)
+    val probes = q.join(cent)
+      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"),
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("pcos"))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= nprobe)
+      .select("query_id", "qv", "qn", "cell_id")
+    // score candidates in probed cells only
+    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
+    probes.join(assign, Seq("cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+      .withColumn("rank", row_number().over(wRank))
+      .filter(col("rank") <= k)
+  }
+
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare
     * within buckets only, keep pairs above the threshold. The dedup
     * variant of ANN (symmetric, a < b).

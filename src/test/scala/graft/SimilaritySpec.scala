@@ -34,6 +34,28 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set(2L)) // only doc 2 shares bucket (+,+)
   }
 
+  test("ivfTopK with nprobe >= #cells equals brute force") {
+    val rnd = new scala.util.Random(11)
+    val corpus = vecs((1L to 300L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 100 === 0)
+    // centroidMod=100 -> 3 cells; nprobe=3 probes them all
+    val ivf = graft.ops.Similarity.ivfTopK(queries, corpus, 5, nprobe = 3)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    val brute = graft.ops.Similarity.bruteForceTopK(queries, corpus, 5)
+      .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
+    assert(ivf === brute)
+  }
+
+  test("ivfTopK probes fewer candidates with small nprobe (recall < 1 allowed)") {
+    val rnd = new scala.util.Random(12)
+    val corpus = vecs((1L to 300L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 100 === 0)
+    val got = graft.ops.Similarity.ivfTopK(queries, corpus, 5, nprobe = 1).collect()
+    assert(got.nonEmpty && got.length <= queries.count() * 5)
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))
