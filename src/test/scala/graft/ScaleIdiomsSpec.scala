@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+import org.apache.spark.sql.functions._
+
+import graft.ops.Skew
+import SparkSpec.spark.implicits._
+
+/** Pins the two scale idioms that small-SF correctness can't see:
+  * salted joins spread hot keys, bucketed tables join exchange-free. */
+class ScaleIdiomsSpec extends SparkSpec {
+
+  test("saltedJoin equals the plain join on skewed data") {
+    // hot key: 5000 of 5100 fact rows share key 1
+    val fact = ((1 to 5000).map(i => (1L, i.toLong)) ++ (1 to 100).map(i => (i.toLong % 7 + 2, i.toLong)))
+      .toDF("k", "row_id")
+    val dim = (1L to 10L).map(k => (k, s"dim$k")).toDF("k", "label")
+    val plain = fact.join(dim, "k").select("k", "row_id", "label")
+      .as[(Long, Long, String)].collect().sorted
+    val salted = Skew.saltedJoin(fact, dim, "k", buckets = 8, saltSource = col("row_id"))
+      .select("k", "row_id", "label").as[(Long, Long, String)].collect().sorted
+    assert(salted === plain)
+    // and the fact side really is spread: >1 distinct salt for the hot key
+    val salts = fact.withColumn("_salt", pmod(xxhash64(col("row_id")), lit(8L)).cast("int"))
+      .filter($"k" === 1L).select(countDistinct("_salt")).as[Long].head()
+    assert(salts > 1)
+  }
+
+  test("bucketed tables sort-merge join without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS g_orders_b")
+    spark.sql("DROP TABLE IF EXISTS g_lines_b")
+    val orders = (1L to 1000L).map(k => (k, s"o$k")).toDF("k", "o")
+    val lines = (1L to 3000L).map(i => (i % 1000 + 1, i)).toDF("k", "l")
+    orders.write.bucketBy(8, "k").sortBy("k").saveAsTable("g_orders_b")
+    lines.write.bucketBy(8, "k").sortBy("k").saveAsTable("g_lines_b")
+
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      val joined = spark.table("g_orders_b").join(spark.table("g_lines_b"), "k")
+      assert(joined.count() === 3000)
+      val exchanges = joined.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }
+      assert(exchanges.isEmpty,
+        s"bucketed join should be exchange-free, got:\n${joined.queryExecution.executedPlan}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+      spark.sql("DROP TABLE IF EXISTS g_orders_b")
+      spark.sql("DROP TABLE IF EXISTS g_lines_b")
+    }
+  }
+}
