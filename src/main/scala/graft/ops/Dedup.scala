@@ -232,13 +232,19 @@ object Dedup {
             .bitwiseAND(lit((1L << segBits) - 1)).as("key"))
       }: _*)).as("b")
     ).select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
+    // NOTE plan-shape choice: unlike minhash/jaccard, this stays a
+    // self-JOIN. Group-and-pair materializes C(|block|,2) structs per
+    // block inside an interpreted lambda; simhash blocks hold ~n/2^segBits
+    // docs (hundreds+), where the streaming hash join wins — measured 3x
+    // faster at sf0.1. Group-and-pair only wins when group size is
+    // capped small (jaccard's maxDf, minhash's near-dup bands).
     val l = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
     val r = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
     l.join(r, Seq("blk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= maxHamming) // shrink before distinct
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
 }

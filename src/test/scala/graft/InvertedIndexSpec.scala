@@ -62,6 +62,24 @@ class InvertedIndexSpec extends SparkSpec {
     assert(got === Set(("w", 2L, 1), ("w", 1L, 2)))
   }
 
+  test("invariant: sum of index counts equals total corpus token count (sf0.001)") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val totalTokens = docs
+      .select(org.apache.spark.sql.functions.size(
+        graft.core.TextNorm.tokens($"text")).as("n"))
+      .agg(org.apache.spark.sql.functions.sum("n")).as[Long].head()
+    val indexSum = InvertedIndex.build(docs)
+      .agg(org.apache.spark.sql.functions.sum("cnt")).as[Long].head()
+    assert(indexSum === totalTokens)
+  }
+
+  test("index is invariant under input repartitioning") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val a = entries(InvertedIndex.build(docs.repartition(1)))
+    val b = entries(InvertedIndex.build(docs.repartition(7)))
+    assert(a === b)
+  }
+
   test("nested JSON export round-trips to the flat index") {
     val idx = InvertedIndex.build(corpus(1L -> "a b a", 2L -> "b"))
     val back = InvertedIndex.importNestedJson(InvertedIndex.exportNestedJson(idx))(spark)
