@@ -87,6 +87,10 @@ object SparkEntry {
     // bounded-heap aggregate path (map-side top-k pruning); the oracle's
     // row_number window SQL independently pins the same semantics
     "q_index_topk" -> ((s, dir) => InvertedIndex.topKAggregated(InvertedIndex.build(docs(s, dir)), 3)),
+    "q_tfidf" -> { (s, dir) =>
+      val d = docs(s, dir)
+      InvertedIndex.tfIdf(InvertedIndex.build(d), d.count())
+    },
     "q_index_export_roundtrip" -> { (s, dir) =>
       // nested-JSON export codec (the reference's final_results.json
       // shape) must round-trip losslessly back to the flat index
@@ -133,6 +137,8 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
     "q_window_running" -> ((s, dir) => Relational.customerRunningSpend(s, dir)),
     "q_distinct_agg" -> ((s, dir) => Relational.orderPriorityDistincts(s, dir)),
+    "q_range_join" -> ((s, dir) => Relational.quantityBands(s, dir)),
+    "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
     "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customerActivity(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
@@ -174,6 +180,13 @@ object SparkEntry {
       s"""SELECT * FROM (SELECT word, doc_id, cnt,
          |  CAST(row_number() OVER (PARTITION BY word ORDER BY cnt DESC, doc_id ASC) AS INTEGER) AS rank
          |FROM ($INDEX_SQL)) WHERE rank <= 3""".stripMargin,
+
+    "q_tfidf" ->
+      s"""SELECT word, doc_id, cnt,
+         |  round(cnt * ln((SELECT count(*) + 1.0 FROM documents) / (df + 1.0)), 6) AS tfidf
+         |FROM (SELECT word, doc_id, cnt,
+         |        count(*) OVER (PARTITION BY word) AS df
+         |      FROM ($INDEX_SQL))""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id,
@@ -370,6 +383,22 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_range_join" ->
+      """SELECT band, count(*) AS n,
+        |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |JOIN (VALUES (0.0, 10.0, 'low'), (10.0, 25.0, 'mid'), (25.0, 1e9, 'high'))
+        |  AS bands(lo, hi, band)
+        |  ON l_quantity >= lo AND l_quantity < hi
+        |GROUP BY band""".stripMargin,
+    "q_percentiles" ->
+      // Spark exact `percentile` and DuckDB quantile_cont share the ANSI
+      // percentile_cont linear-interpolation definition
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_multimodal" ->
       // twin of Multimodal.mediaSummary: DuckDB md5(VARCHAR) hashes the
       // utf-8 bytes — identical to Spark md5 over encode(text,'UTF-8')

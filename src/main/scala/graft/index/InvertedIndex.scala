@@ -115,6 +115,24 @@ object InvertedIndex {
       .select(col("word"), col("e.id").as("doc_id"), col("e.score").as("cnt"),
         (col("i") + 1).cast("int").as("rank"))
 
+  /** TF-IDF scores from the index — the classic extension the reference
+    * stops short of (its index IS the tf table; SURVEY §7.6): document
+    * frequency is one more aggregation over the index, N arrives as a
+    * broadcast scalar, idf = ln((N+1)/(df+1)) (smoothed), score =
+    * tf · idf rounded to 6 for engine portability.
+    *
+    * Plan: index groupBy(word) for df (one shuffle over index rows,
+    * partial-agg'd), broadcast join back on word — no pass over the
+    * corpus text.
+    */
+  def tfIdf(index: DataFrame, nDocs: Long): DataFrame = {
+    val df = index.groupBy("word").agg(count(lit(1)).as("df"))
+    index
+      .join(df, "word")
+      .select(col("word"), col("doc_id"), col("cnt"),
+        round(col("cnt") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
+  }
+
   /** Export in the reference's nested shape `word → {doc → cnt}`
     * (`final_results.json`, `master/main.py:123-126`), one row per word.
     * Postings are sorted by doc_id so the JSON string is deterministic.

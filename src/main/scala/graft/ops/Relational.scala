@@ -218,6 +218,35 @@ object Relational {
         col("purchase_value"), col("asof_click_id"), col("asof_click_value"))
   }
 
+  /** Range (non-equi) join: classify each lineitem into a quantity
+    * band. The bands table is tiny → broadcast nested-loop join, the
+    * right physical strategy for a broadcastable non-equi predicate;
+    * a large-large range join would instead bin both sides to a common
+    * grid and equi-join on the bin key (same composition pattern).
+    * Bands are half-open [lo, hi) so the classification is total and
+    * unambiguous. */
+  def quantityBands(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val bands = Seq((0.0, 10.0, "low"), (10.0, 25.0, "mid"), (25.0, 1e9, "high"))
+      .toDF("lo", "hi", "band")
+    t(spark, dir, "lineitem")
+      .join(broadcast(bands), col("l_quantity") >= col("lo") && col("l_quantity") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total_price"))
+  }
+
+  /** Exact percentiles (median / p90) per group — Catalyst's exact
+    * `percentile` aggregate with linear interpolation, the same
+    * definition as ANSI percentile_cont. Rounded for cross-engine
+    * hashing. */
+  def quantityPercentiles(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
+
   /** JSON column extraction over the events `props` payload —
     * semi-structured coverage. */
   def eventProps(spark: SparkSession, dir: String): DataFrame =
