@@ -139,6 +139,8 @@ object SparkEntry {
     "q_distinct_agg" -> ((s, dir) => Relational.orderPriorityDistincts(s, dir)),
     "q_range_join" -> ((s, dir) => Relational.quantityBands(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
+    "q_date_trunc" -> ((s, dir) => Relational.monthlyRevenue(s, dir)),
+    "q_pivot" -> ((s, dir) => Relational.statusPivot(s, dir)),
     "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customerActivity(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
@@ -398,6 +400,19 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_date_trunc" ->
+      """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,
+        |  CAST(year(o_orderdate) AS INTEGER) AS o_year,
+        |  CAST(quarter(o_orderdate) AS INTEGER) AS o_quarter,
+        |  count(*) AS n_orders,
+        |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
+        |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q_pivot" ->
+      // Spark pivot(values = F, O) ≡ conditional aggregation
+      """SELECT l_returnflag,
+        |  count(*) FILTER (WHERE l_linestatus = 'F') AS "F",
+        |  count(*) FILTER (WHERE l_linestatus = 'O') AS "O"
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_multimodal" ->
       // twin of Multimodal.mediaSummary: DuckDB md5(VARCHAR) hashes the

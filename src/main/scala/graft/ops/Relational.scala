@@ -247,6 +247,27 @@ object Relational {
         round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
 
+  /** Date/time scalar-function coverage: revenue by calendar month
+    * (date_trunc), plus year/quarter breakdown columns. Month surfaced
+    * as epoch-µs so the oracle compares integers, not engine-formatted
+    * timestamps. */
+  def monthlyRevenue(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "orders")
+      .groupBy(
+        unix_micros(date_trunc("month", col("o_orderdate"))).as("month_us"),
+        year(col("o_orderdate")).as("o_year"),
+        quarter(col("o_orderdate")).as("o_quarter"))
+      .agg(count(lit(1)).as("n_orders"), moneySum(col("o_totalprice")).as("revenue"))
+
+  /** PIVOT: order counts per returnflag, one column per linestatus
+    * (explicit value list — never scan-infer pivot values at scale;
+    * inference is an extra job over the child plan). */
+  def statusPivot(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .pivot("l_linestatus", Seq("F", "O"))
+      .agg(count(lit(1)))
+
   /** JSON column extraction over the events `props` payload —
     * semi-structured coverage. */
   def eventProps(spark: SparkSession, dir: String): DataFrame =
