@@ -41,6 +41,29 @@ object EventStreams {
         col("window.start").as("window_start"),
         col("event_type"), col("n"), col("sum_value"))
 
+  /** Stream-stream inner join with a time bound: each purchase joins
+    * the same user's clicks from the preceding `within` interval. Both
+    * sides carry watermarks, so the join's state store retains only
+    * `within + lateness` of history per side — bounded state, the
+    * requirement for an unbounded run. (The batch as-of variant lives
+    * in Relational.asofPurchaseToClick; this is the streaming shape:
+    * all qualifying clicks, not just the latest.)
+    */
+  def clickPurchaseJoin(
+      clicks: DataFrame,
+      purchases: DataFrame,
+      within: String = "30 minutes"): DataFrame = {
+    val c = clicks.withWatermark("ts", within).alias("c")
+    val p = purchases.withWatermark("ts", within).alias("p")
+    p.join(c, expr(
+      s"""c.user_id = p.user_id AND
+         |c.ts BETWEEN p.ts - INTERVAL $within AND p.ts""".stripMargin))
+      .select(
+        col("p.user_id").as("user_id"),
+        col("p.event_id").as("purchase_id"),
+        col("c.event_id").as("click_id"))
+  }
+
   final case class Ev(user_id: Long, ts_ms: Long, event_type: String)
   final case class SessionState(start: Long, end: Long, n: Int)
   final case class UserSession(user_id: Long, session_start: Long, session_end: Long, n_events: Int)

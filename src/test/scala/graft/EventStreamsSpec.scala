@@ -59,6 +59,29 @@ class EventStreamsSpec extends SparkSpec {
     assert(clickWindow.toSet === Set((ts(0), "click", 1L, 1.0)))
   }
 
+  test("stream-stream join: purchases pick up clicks within the window, state bounded by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[(Timestamp, Long, Long)]
+    val purchases = MemoryStream[(Timestamp, Long, Long)]
+    val q = graft.streaming.EventStreams.clickPurchaseJoin(
+      clicks.toDF().toDF("ts", "user_id", "event_id"),
+      purchases.toDF().toDF("ts", "user_id", "event_id"),
+      within = "30 minutes")
+      .writeStream.format("memory").queryName("ssj").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    clicks.addData((ts(0), 1L, 100L), (ts(5), 1L, 101L), (ts(0), 2L, 200L))
+    purchases.addData((ts(10), 1L, 900L)) // joins both user-1 clicks
+    q.processAllAvailable()
+    // a purchase >30min after any click of that user: no output row
+    purchases.addData((ts(59), 2L, 901L))
+    q.processAllAvailable()
+
+    val rows = spark.table("ssj").as[(Long, Long, Long)].collect().toSet
+    q.stop()
+    assert(rows === Set((1L, 900L, 100L), (1L, 900L, 101L)))
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch window formulation") {
     val evs = Seq(
       Ev(1L, 1000L, "a"), Ev(1L, 2000L, "b"), Ev(1L, 90000L, "c"), // gap at 90s
