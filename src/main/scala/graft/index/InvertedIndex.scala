@@ -121,14 +121,14 @@ object InvertedIndex {
     * broadcast scalar, idf = ln((N+1)/(df+1)) (smoothed), score =
     * tf · idf rounded to 6 for engine portability.
     *
-    * Plan: index groupBy(word) for df (one shuffle over index rows,
-    * partial-agg'd), broadcast join back on word — no pass over the
-    * corpus text.
+    * Plan: df via count-over-window on word — ONE shuffle over index
+    * rows and one upstream pass (a groupBy+self-join would execute the
+    * index-building pipeline twice), no pass over the corpus text.
     */
   def tfIdf(index: DataFrame, nDocs: Long): DataFrame = {
-    val df = index.groupBy("word").agg(count(lit(1)).as("df"))
+    val byWord = Window.partitionBy("word")
     index
-      .join(df, "word")
+      .withColumn("df", count(lit(1)).over(byWord))
       .select(col("word"), col("doc_id"), col("cnt"),
         round(col("cnt") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
   }
