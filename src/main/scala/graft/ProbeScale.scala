@@ -1,0 +1,43 @@
+package graft
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.ops.Dedup
+
+/** Throwaway 10x-scale profiler (not part of the driver contract). */
+object ProbeScale {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.adaptive.enabled", sys.env.getOrElse("PROBE_AQE", "true"))
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        sys.env.getOrElse("PROBE_FALLBACK", "128"))
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    // ~sf1 corpus: 10 doc_id-shifted copies of sf0.1 (dense-duplicate
+    // stress for the dedup family); regenerated on demand under /tmp
+    if (!new java.io.File("/tmp/docs_sf1").exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      (0 until 10).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet("/tmp/docs_sf1")
+    }
+    val docs = spark.read.parquet("/tmp/docs_sf1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"PROBE-STAGE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      System.out.flush()
+    }
+    val bands = Dedup.minhashBands(docs)
+    time("bands_count")(bands.count())
+    time("bands_group_count")(bands.groupBy("band", "band_key")
+      .agg(count(lit(1)).as("n")).filter(col("n") >= 2).count())
+    time("bands_group_collect")(bands.groupBy("band", "band_key")
+      .agg(collect_list(col("doc_id")).as("ds")).filter(size(col("ds")) >= 2).count())
+    time("pairs_full")(Dedup.minhashCandidatePairs(docs).count())
+    spark.stop()
+  }
+}

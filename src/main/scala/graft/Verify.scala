@@ -15,6 +15,13 @@ object Verify {
       // see Bench.scala: inferred generate filters re-run the tokenizer
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      // collect_list/collect_set aggregations (ObjectHashAggregate) fall
+      // back to sort-based aggregation after 128 distinct keys by
+      // default; the external sort then hammers the single local-mode
+      // MemoryManager lock (measured futex storms, 4-10x slowdowns).
+      // Single-node with a large heap: keep the object hash map.
+      // On a real cluster, size this to executor memory instead.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
       // events.parquet stores TIMESTAMP(NANOS); session-level (set at
       // build time, not mutated mid-query — see ADVICE round 1)
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

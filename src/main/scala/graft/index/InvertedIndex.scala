@@ -43,7 +43,7 @@ object InvertedIndex {
     *               `mapper/main.py:63`; fixtures: `doc_id`)
     */
   def build(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
-    docs
+    graft.core.Parallelism.ensure(docs)
       .select(col(idCol).as("doc_id"), explode(TextNorm.tokens(col(textCol))).as("word"))
       .groupBy("word", "doc_id")
       .agg(count(lit(1)).as("cnt"))

@@ -30,9 +30,12 @@ import graft.core.TextNorm
   */
 object Dedup {
 
-  /** (doc_id, ts): the token array materialized once per document. */
+  /** (doc_id, ts): the token array materialized once per document.
+    * Scan-parallelism guarded: the tokenizer + everything stacked on it
+    * is the expensive narrow stage (see [[graft.core.Parallelism]]). */
   private[ops] def tokenized(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
 
   /** w-token shingles from a MATERIALIZED token-array column.
     * `slice` + `concat_ws` over the array — cheap per-iteration work. */
@@ -61,7 +64,7 @@ object Dedup {
   def exact(docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy("text_hash")
-    docs
+    graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), md5(TextNorm.normalize(col("text"))).as("text_hash"))
       .withColumn("canonical_id", min(col("doc_id")).over(byHash))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))

@@ -27,7 +27,7 @@ object TextAnalysis {
     // two-step select: `ts` is materialized once per row (CollapseProject
     // won't inline a non-cheap expression referenced 3×), so the regex
     // tokenizer runs once, not once per derived stat
-    docs
+    graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), length(col("text")).as("n_chars"),
         TextNorm.tokens(col("text")).as("ts"))
       .select(
@@ -44,7 +44,7 @@ object TextAnalysis {
     * container). `ceil(len/4)` per word, summed.
     */
   def bpeTokenEstimate(docs: DataFrame): DataFrame =
-    docs.select(
+    graft.core.Parallelism.ensure(docs).select(
       col("doc_id"),
       aggregate(
         TextNorm.tokens(col("text")),
@@ -61,7 +61,7 @@ object TextAnalysis {
     val stopArr = array(stopwords.map(lit): _*)
     val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double")
     val digits = (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
-    docs
+    graft.core.Parallelism.ensure(docs)
       // stage 1: tokenize once; stage 2: stopword-hit count once; stage 3:
       // ratios from materialized attributes only
       .select(col("doc_id"), col("text"), TextNorm.tokens(col("text")).as("ts"))
@@ -86,7 +86,8 @@ object TextAnalysis {
   def languageId(docs: DataFrame): DataFrame = {
     def score(words: Seq[String]): Column =
       size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
-    val scored = docs.select(col("doc_id"), TextNorm.tokens(col("text")).as("ts")).select(
+    val scored = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts")).select(
       col("doc_id"),
       score(Stopwords.en).as("score_en"),
       score(Stopwords.de).as("score_de"),
@@ -118,7 +119,7 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, w: Int = 5): DataFrame = {
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)
-    docs
+    graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), posexplode(TextNorm.tokens(col("text"))).as(Seq("pos", "word")))
       .select(col("doc_id"), col("pos"), md5(col("word")).as("h"))
       .withColumn("fp", min(col("h")).over(win))
