@@ -164,7 +164,17 @@ object SparkEntry {
     },
 
     // ---- multimodal plumbing (binary payload + stub decode) -------------
-    "q_multimodal" -> ((s, dir) => Multimodal.mediaSummary(docs(s, dir))(s))
+    "q_multimodal" -> ((s, dir) => Multimodal.mediaSummary(docs(s, dir))(s)),
+
+    // ---- deterministic sampling / dataset splitting ----------------------
+    "q_train_split" -> { (s, dir) =>
+      graft.ops.Sampling.trainValTest(docs(s, dir), "doc_id")
+        .groupBy("split").agg(count(lit(1)).as("n"))
+    },
+    "q_stratified" -> { (s, dir) =>
+      graft.ops.Sampling.stratified(docs(s, dir), "lang", "doc_id", 5)
+        .select("lang", "doc_id", "sample_rank")
+    }
   )
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
@@ -472,6 +482,18 @@ object SparkEntry {
         |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
         |  CAST(count(*) AS INTEGER) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q_train_split" ->
+      // md5-bucket split: bucket = first 4 hex chars of md5(doc_id) % 100
+      """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n
+        |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+        |      FROM documents)
+        |GROUP BY 1""".stripMargin,
+    "q_stratified" ->
+      """SELECT lang, doc_id, sample_rank FROM (
+        |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
+        |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
+        |  FROM documents) WHERE sample_rank <= 5""".stripMargin,
     "q_event_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
