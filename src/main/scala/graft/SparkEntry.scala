@@ -41,6 +41,19 @@ object SparkEntry {
        |  ELSE [array_to_string(ts, ' ')] END AS shl
        |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin
 
+  /** Twin of both as-of implementations (window composition and native
+    * sort-merge operator). Clicks collapse to one row per (user_id, ts)
+    * keeping MAX event_id (arg_max) so the ASOF tie-break matches the
+    * engine's (ts, tie-break) total order. */
+  private val ASOF_SQL: String =
+    """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
+      |  c.event_id AS asof_click_id, c.value AS asof_click_value
+      |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+      |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id,
+      |                  arg_max("value", event_id) AS "value"
+      |                FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
+      |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin
+
   /** DuckDB twin of [[graft.ops.Similarity.cosine]]: sequential-fold dot
     * and norms over two DOUBLE[] aliases, rounded to 6. */
   private def COS_SQL(a: String, b: String): String =
@@ -144,6 +157,7 @@ object SparkEntry {
     "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customerActivity(s, dir)),
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
+    "q_asof_native" -> ((s, dir) => Relational.asofPurchaseToClickNative(s, dir)),
     "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir)),
 
     // ---- event-time streaming ops, exercised in batch mode --------------
@@ -446,17 +460,10 @@ object SparkEntry {
         |UNION ALL
         |SELECT c_custkey, FALSE AS active FROM customer
         |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)""".stripMargin,
-    "q_asof_join" ->
-      // clicks collapse to one row per (user_id, ts) keeping MAX event_id
-      // (arg_max) so the ASOF tie-break matches the Spark window's
-      // (ts_ns, tag, click_id) total order — see Relational.asofPurchaseToClick.
-      """SELECT p.event_id AS purchase_id, p.user_id, epoch_us(p.ts) AS ts_us, p.value AS purchase_value,
-        |  c.event_id AS asof_click_id, c.value AS asof_click_value
-        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
-        |ASOF LEFT JOIN (SELECT user_id, ts, max(event_id) AS event_id,
-        |                  arg_max("value", event_id) AS "value"
-        |                FROM events WHERE event_type = 'click' GROUP BY user_id, ts) c
-        |  ON p.user_id = c.user_id AND c.ts <= p.ts""".stripMargin,
+    "q_asof_join" -> ASOF_SQL,
+    // the native sort-merge operator must produce byte-identical results
+    // to the window composition — one oracle pins both implementations
+    "q_asof_native" -> ASOF_SQL,
     "q_event_windows" ->
       // twin of EventStreams.windowedCounts in batch: tumbling 1h windows;
       // sums accumulate in DECIMAL so engines agree exactly

@@ -268,6 +268,26 @@ object Relational {
       .pivot("l_linestatus", Seq("F", "O"))
       .agg(count(lit(1)))
 
+  /** The same as-of semantics through the NATIVE sort-merge operator
+    * ([[graft.plans.AsOfJoin]]) — per-side shuffles + streaming merge
+    * instead of a unioned window pass. Output (and oracle) identical
+    * to [[asofPurchaseToClick]]. */
+  def asofPurchaseToClickNative(spark: SparkSession, dir: String): DataFrame = {
+    val ev = events(spark, dir)
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts_ns").as("c_ts"),
+        col("event_id").as("asof_click_id"), col("value").as("asof_click_value"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts_ns"),
+        col("event_id").as("purchase_id"), col("value").as("purchase_value"))
+    graft.plans.AsOfJoin.join(purchases, clicks,
+        leftKeyCol = "user_id", rightKeyCol = "c_user",
+        leftTimeCol = "ts_ns", rightTimeCol = "c_ts",
+        rightTieBreakCol = "asof_click_id")
+      .select(col("purchase_id"), col("user_id"), expr("ts_ns div 1000").as("ts_us"),
+        col("purchase_value"), col("asof_click_id"), col("asof_click_value"))
+  }
+
   /** JSON column extraction over the events `props` payload —
     * semi-structured coverage. */
   def eventProps(spark: SparkSession, dir: String): DataFrame =

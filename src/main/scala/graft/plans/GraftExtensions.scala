@@ -15,8 +15,10 @@ import graft.functions.DotProduct
   * build time, or [[GraftExtensions.install]] on a live session.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
+  }
 }
 
 object GraftExtensions {
@@ -28,9 +30,15 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
-  /** Register the SQL functions on an already-built session (idempotent). */
+  /** Register the SQL functions + planner strategies on an
+    * already-built session (idempotent). Strategies go through the
+    * PUBLIC `spark.experimental.extraStrategies` hook. */
   def install(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
+    if (!spark.experimental.extraStrategies.contains(AsOfJoin.AsOfStrategy)) {
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoin.AsOfStrategy
+    }
   }
 }
