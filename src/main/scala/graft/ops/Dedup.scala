@@ -226,7 +226,14 @@ object Dedup {
     require(bits % segs == 0,
       s"bits=$bits must be divisible by maxHamming+1=$segs segments")
     val segBits = bits / segs
-    val s = simhash(docs, bits)
+    // Materialize the (doc_id, simhash) table once: the self-join's two
+    // sides get fresh expression ids (DeduplicateRelations), so exchange
+    // reuse never fires and the whole regex+md5+16-agg pipeline would
+    // execute twice. The table is one row per doc — tiny relative to its
+    // compute. localCheckpoint caveat: not fault-tolerant across executor
+    // loss; a long-lived cluster pipeline would persist() or write a
+    // table instead.
+    val s = simhash(docs, bits).localCheckpoint()
     val blocked = s.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until segs).map { j =>
