@@ -38,6 +38,21 @@ class CorpusWatcherSpec extends SparkSpec {
       ("bird", "c.txt", 1L)))
   }
 
+  test("parityAdd mode reproduces the reference's additive double-count") {
+    val (watch, index, ckpt) = (tmp("watchp"), tmp("indexp"), tmp("ckptp"))
+    writeDoc(watch, "a.txt", "cat cat dog")
+    CorpusWatcher.start(spark, watch, index, ckpt, parityAdd = true).awaitTermination()
+    // second batch delivers a NEW file with the same doc content under a
+    // new name plus a re-count of a.txt via delta build + add()
+    val idx1 = CorpusWatcher.currentIndex(spark, index)
+    val redelivered = graft.index.InvertedIndex.build(
+      Seq(("a.txt", "cat cat dog")).toDF("doc_id", "text"))
+    val doubled = graft.index.InvertedIndex.add(idx1, redelivered)
+      .as[(String, String, Long)].collect().toSet
+    // reference semantics (master/main.py:106-121): counts double
+    assert(doubled === Set(("cat", "a.txt", 4L), ("dog", "a.txt", 2L)))
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")
