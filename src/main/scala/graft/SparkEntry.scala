@@ -153,6 +153,16 @@ object SparkEntry {
     "q_range_join" -> ((s, dir) => Relational.quantityBands(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
     "q_date_trunc" -> ((s, dir) => Relational.monthlyRevenue(s, dir)),
+    "q_brand_revenue" -> ((s, dir) => Relational.brandRevenue(s, dir)),
+    // sketch coverage: approx_count_distinct is engine-specific (HLL++),
+    // so no SQL oracle — the driver's weaker rows-only check applies;
+    // the spec pins accuracy against exact counts instead
+    "q_approx_distinct" -> { (s, dir) =>
+      s.read.parquet(s"$dir/lineitem.parquet")
+        .groupBy("l_returnflag")
+        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
+          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+    },
     "q_pivot" -> ((s, dir) => Relational.statusPivot(s, dir)),
     "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
     "q_semi_anti" -> ((s, dir) => Relational.customerActivity(s, dir)),
@@ -432,6 +442,13 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q_brand_revenue" ->
+      """SELECT p_brand, count(*) AS n_items,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  round(CAST(sum(CAST(p_retailprice AS DECIMAL(18,4))) AS DOUBLE) / count(*), 4) AS avg_retail
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_type LIKE 'PROMO%'
+        |GROUP BY p_brand""".stripMargin,
     "q_pivot" ->
       // Spark pivot(values = F, O) ≡ conditional aggregation
       """SELECT l_returnflag,

@@ -235,6 +235,20 @@ object Relational {
       .agg(count(lit(1)).as("n"), moneySum(col("l_extendedprice")).as("total_price"))
   }
 
+  /** Brand revenue: lineitem ⋈ part (broadcast dim) with a LIKE-family
+    * predicate — exercises the part table, string predicates, and a
+    * grouped join in one; TPC-H Q14/Q19 shape. */
+  def brandRevenue(spark: SparkSession, dir: String): DataFrame = {
+    val part = t(spark, dir, "part").filter(col("p_type").startsWith("PROMO"))
+    t(spark, dir, "lineitem")
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .groupBy("p_brand")
+      .agg(
+        count(lit(1)).as("n_items"),
+        moneySum(col("l_extendedprice") * (lit(1) - col("l_discount"))).as("revenue"),
+        decimalAvg(col("p_retailprice")).as("avg_retail"))
+  }
+
   /** Exact percentiles (median / p90) per group — Catalyst's exact
     * `percentile` aggregate with linear interpolation, the same
     * definition as ANSI percentile_cont. Rounded for cross-engine
