@@ -38,6 +38,18 @@ object ProbeScale {
     time("bands_group_collect")(bands.groupBy("band", "band_key")
       .agg(collect_list(col("doc_id")).as("ds")).filter(size(col("ds")) >= 2).count())
     time("pairs_full")(Dedup.minhashCandidatePairs(docs).count())
+    // dup-dense stress: one 5000-copy cluster (all copies share every
+    // band bucket) on top of 50k distinct docs — the corpus shape the
+    // bucket cap exists for. Uncapped, the cluster's bucket pairs
+    // C(5000,2) ≈ 12.5M structs inside ONE task's interpreted lambda;
+    // capped, they stream through the join.
+    val copies = docs.filter(col("doc_id") === 1L).limit(1)
+      .select(explode(sequence(lit(0L), lit(4999L))).as("i"), col("text"))
+      .select((lit(10000000L) + col("i")).as("doc_id"), col("text"))
+      .repartition(32)
+    val dense = docs.limit(50000).select("doc_id", "text").unionByName(copies)
+    time("dense_pairs_capped")(Dedup.minhashCandidatePairs(dense, bucketCap = 64).count())
+    time("dense_pairs_uncapped")(Dedup.minhashCandidatePairs(dense, bucketCap = Int.MaxValue).count())
     spark.stop()
   }
 }

@@ -155,13 +155,28 @@ object SparkEntry {
     "q_date_trunc" -> ((s, dir) => Relational.monthlyRevenue(s, dir)),
     "q_brand_revenue" -> ((s, dir) => Relational.brandRevenue(s, dir)),
     // sketch coverage: approx_count_distinct is engine-specific (HLL++),
-    // so no SQL oracle — the driver's weaker rows-only check applies;
-    // the spec pins accuracy against exact counts instead
+    // so the sketch VALUES can't have a SQL oracle — instead the query
+    // emits exact distinct counts (hash-comparable) plus per-group
+    // booleans asserting the sketch is within 5% relative error of the
+    // exact count; the DuckDB twin computes exact counts and emits TRUE,
+    // so the accuracy claim itself is pinned by the driver's hash gate
+    // (ApproxDistinctSpec additionally pins the error locally)
     "q_approx_distinct" -> { (s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag")
-        .agg(approx_count_distinct(col("l_partkey")).as("approx_parts"),
-          approx_count_distinct(col("l_orderkey")).as("approx_orders"))
+        .agg(
+          countDistinct(col("l_partkey")).as("exact_parts"),
+          countDistinct(col("l_orderkey")).as("exact_orders"),
+          // rsd=0.01: the default 0.05 relative standard deviation means
+          // a single group can stray past 5% — tighter registers buy the
+          // 5% claim real margin (sketch ~4KB/group, still mergeable)
+          approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+          approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+        .select(col("l_returnflag"), col("exact_parts"), col("exact_orders"),
+          (abs(col("ap") - col("exact_parts")).cast("double") / col("exact_parts") < 0.05)
+            .as("parts_within_5pct"),
+          (abs(col("ao") - col("exact_orders")).cast("double") / col("exact_orders") < 0.05)
+            .as("orders_within_5pct"))
     },
     "q_pivot" -> ((s, dir) => Relational.statusPivot(s, dir)),
     "q_setops" -> ((s, dir) => Relational.setOps(s, dir)),
@@ -419,6 +434,17 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_approx_distinct" ->
+      // the exact counts are computed by both engines; the within-5%
+      // booleans are Spark's accuracy claim about its own HLL++ sketch —
+      // the oracle asserts them TRUE, so a sketch drifting past 5% error
+      // fails the driver's hash gate
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_partkey) AS exact_parts,
+        |  count(DISTINCT l_orderkey) AS exact_orders,
+        |  TRUE AS parts_within_5pct,
+        |  TRUE AS orders_within_5pct
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_range_join" ->
       """SELECT band, count(*) AS n,
         |  CAST(round(sum(CAST(l_extendedprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS total_price

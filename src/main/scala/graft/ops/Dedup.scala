@@ -118,21 +118,55 @@ object Dedup {
       .select(col("doc_id"), col("e.band").as("band"), col("e.band_key").as("band_key"))
   }
 
-  /** Candidate near-dup pairs: group the band table by (band, band_key)
-    * and emit each bucket's unordered doc pairs (a < b) in-group — the
-    * bucket-join reformulated as group-and-pair, so the band pipeline
-    * runs ONCE (a self-join would execute it per side) and the shuffle
-    * moves each doc_id once per band instead of joining. Never
-    * all-pairs: work per bucket is C(|bucket|, 2). */
-  def minhashCandidatePairs(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame =
-    minhashBands(docs, w, k, bands)
-      .groupBy("band", "band_key")
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) >= 2)
-      .select(array_sort(col("ds")).as("ds"))
+  /** Candidate near-dup pairs, HYBRID plan: group the band table by
+    * (band, band_key) and emit each bucket's unordered doc pairs
+    * (a < b):
+    *
+    *   - buckets with ≤ `bucketCap` docs pair IN-GROUP (one interpreted
+    *     lambda over the collected array — cheap when the array is
+    *     small, and the dominant case: near-dup band buckets are tiny);
+    *   - buckets larger than the cap are exploded back to rows and
+    *     paired by a streaming self-JOIN on the bucket key, so a
+    *     dup-dense corpus (n docs sharing one band bucket) streams its
+    *     C(n,2) pairs through the join operator instead of
+    *     materializing them as one array struct in one task's memory.
+    *
+    * This is the same group-size criterion the other dedup operators
+    * follow (jaccard's maxDf cap, simhash's join-only blocks): in-group
+    * pairing is only safe when group size is bounded. The bucket table
+    * is materialized once (strategy pluggable, see
+    * [[graft.core.Materialize]]) so the signature/band pipeline executes
+    * exactly once across the three references (small filter, big filter,
+    * join sides). Never all-pairs: work per bucket stays C(|bucket|, 2),
+    * now also bounded per-task. */
+  def minhashCandidatePairs(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      bucketCap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val buckets = graft.core.Materialize(
+      minhashBands(docs, w, k, bands)
+        .groupBy("band", "band_key")
+        .agg(collect_list(col("doc_id")).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(col("band"), col("band_key"), array_sort(col("ds")).as("ds")),
+      mat)
+    val smallPairs = buckets
+      .filter(size(col("ds")) <= bucketCap)
       .select(explode(pairCombinations(col("ds"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
-      .distinct()
+    val bigRows = buckets
+      .filter(size(col("ds")) > bucketCap)
+      .select(col("band"), col("band_key"), explode(col("ds")).as("doc_id"))
+    val bigPairs = bigRows.select(col("band"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bigRows.select(col("band"), col("band_key"), col("doc_id").as("doc_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+    smallPairs.unionByName(bigPairs).distinct()
+  }
 
   /** All unordered pairs (doc_a < doc_b) from a sorted array column —
     * the in-bucket pair generator: for element i, pair it with every
@@ -221,7 +255,11 @@ object Dedup {
     * distance ≤ 1 — round-1 ADVICE.) Then verify
     * `bit_count(xor) <= maxHamming`. Bucket join, no all-pairs.
     */
-  def simhashPairs(docs: DataFrame, bits: Int = 16, maxHamming: Int = 3): DataFrame = {
+  def simhashPairs(
+      docs: DataFrame,
+      bits: Int = 16,
+      maxHamming: Int = 3,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     val segs = maxHamming + 1
     require(bits % segs == 0,
       s"bits=$bits must be divisible by maxHamming+1=$segs segments")
@@ -230,10 +268,10 @@ object Dedup {
     // sides get fresh expression ids (DeduplicateRelations), so exchange
     // reuse never fires and the whole regex+md5+16-agg pipeline would
     // execute twice. The table is one row per doc — tiny relative to its
-    // compute. localCheckpoint caveat: not fault-tolerant across executor
-    // loss; a long-lived cluster pipeline would persist() or write a
-    // table instead.
-    val s = simhash(docs, bits).localCheckpoint()
+    // compute. Strategy is pluggable ([[graft.core.Materialize]]):
+    // localCheckpoint on a single node, Persist on a fault-tolerant
+    // cluster.
+    val s = graft.core.Materialize(simhash(docs, bits), mat)
     val blocked = s.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until segs).map { j =>

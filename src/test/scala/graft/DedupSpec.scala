@@ -71,4 +71,59 @@ class DedupSpec extends SparkSpec {
       Dedup.simhashPairs(docs(1L -> "x"), bits = 16, maxHamming = 4) // 5 segs !| 16
     }
   }
+
+  test("minhash hybrid: join path (cap=1) emits the same pairs as the in-group path") {
+    // dup-dense corpus: 12 identical docs all land in ONE band bucket —
+    // the shape the bucket cap exists for — plus a near-dup pair and an
+    // unrelated doc
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      ((1L to 12L).map(i => i -> text) ++ Seq(
+        20L -> "some other shared sentence with mild variation here one",
+        21L -> "some other shared sentence with mild variation here two",
+        30L -> "completely unrelated words nothing shared at all")): _*)
+    val inGroup = Dedup.minhashCandidatePairs(d, bucketCap = 64)
+      .as[(Long, Long)].collect().toSet
+    val joined = Dedup.minhashCandidatePairs(d, bucketCap = 1)
+      .as[(Long, Long)].collect().toSet
+    assert(joined === inGroup)
+    // the dense cluster contributes all C(12,2) = 66 pairs
+    assert(inGroup.count(p => p._1 <= 12 && p._2 <= 12) === 66)
+  }
+
+  test("minhash hybrid: large buckets route through the join, not the lambda") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs((1L to 8L).map(i => i -> text): _*)
+    val df = Dedup.minhashCandidatePairs(d, bucketCap = 2)
+    val plan = df.queryExecution.executedPlan.toString
+    // join branch present (bucket of 8 > cap of 2)
+    assert(plan.contains("Join"), s"expected a join branch in:\n$plan")
+    assert(df.as[(Long, Long)].collect().toSet.size === 28) // C(8,2)
+  }
+
+  test("materialization strategies agree and each executes the signature pipeline once") {
+    import graft.core.Materialize
+    val d = docs((1L to 10L).map(i =>
+      i -> s"shared core words alpha beta gamma delta plus unique$i extra${i % 3}"): _*)
+    val viaCheckpoint = Dedup.simhashPairs(d, mat = Materialize.LocalCheckpoint)
+    val viaPersist = Dedup.simhashPairs(d, mat = Materialize.Persist)
+    try {
+      // localCheckpoint: both self-join sides scan the checkpointed RDD;
+      // the md5/bit-weight aggregation pipeline is gone from the plan
+      val cpPlan = viaCheckpoint.queryExecution.executedPlan.toString
+      assert(cpPlan.contains("Scan ExistingRDD"), cpPlan)
+      assert(!cpPlan.contains("md5"), cpPlan)
+      val persistRows = viaPersist.as[(Long, Long, Int)].collect().toSet
+      // persist: the cache manager substitutes the cached relation into
+      // BOTH join sides (canonicalized-plan match) — each side is an
+      // InMemoryTableScan, so the signature pipeline computes once and
+      // only populates the cache (its plan text still prints inside the
+      // InMemoryRelation node)
+      val pPlan = viaPersist.queryExecution.executedPlan.toString
+      assert("InMemoryTableScan".r.findAllMatchIn(pPlan).size >= 2, pPlan)
+      assert(persistRows === viaCheckpoint.as[(Long, Long, Int)].collect().toSet)
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
