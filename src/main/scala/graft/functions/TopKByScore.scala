@@ -10,11 +10,12 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 
 /** Bounded-heap top-k aggregate: keeps the k (score, id) pairs with the
-  * highest score (ties broken by lowest id) per group.
+  * highest score (ties broken by lowest id) per group. Scores may be
+  * `bigint` (index counts) or `double` (ANN cosines); ids are `bigint`.
   *
   * Why not `row_number() over (partition by g order by ...)`? The window
   * formulation shuffles and SORTS every row of every group; this
@@ -24,8 +25,12 @@ import org.apache.spark.sql.types._
   * instead of the whole index, and nothing is ever fully sorted.
   * (`slice(sort_array(collect_list(...)))` also buffers whole groups.)
   *
-  * Buffer: a min-heap of (score, id) longs, worst element on top for
-  * O(log k) eviction. Serialized as a flat long buffer.
+  * Buffer: a min-heap of (score, id) pairs, worst element on top for
+  * O(log k) eviction. Doubles are stored AS LONG KEYS via the
+  * order-preserving IEEE-754 bit twist (sign bit flipped for positives,
+  * all bits flipped for negatives), so one (Long, Long) heap, one flat
+  * serialization format, and one comparison path serve both score
+  * types — no boxing, no per-type heap.
   */
 case class TopKByScore(
     score: Expression,
@@ -37,27 +42,46 @@ case class TopKByScore(
 
   require(k > 0, s"k must be positive, got $k")
 
-
   override def children: Seq[Expression] = Seq(score, id)
 
   override def checkInputDataTypes(): TypeCheckResult =
-    if (score.dataType == LongType && id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+    if ((score.dataType == LongType || score.dataType == DoubleType) &&
+        id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (bigint, bigint), got " +
+      s"$prettyName requires (bigint or double, bigint), got " +
         s"${score.dataType.simpleString}, ${id.dataType.simpleString}")
 
+  private def scoreIsDouble: Boolean = score.dataType == DoubleType
+
+  /** Order-preserving IEEE-754 twist (an involution): positives keep
+    * their bits (they already sort correctly as signed longs), negatives
+    * flip every bit except the sign, inverting their magnitude order
+    * while staying below the positives. Signed-long comparison of the
+    * keys then matches java.lang.Double.compare (NaN sorts above +Inf —
+    * never fed here). */
+  private def twist(bits: Long): Long = bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+
+  private def toKey(s: Any): Long =
+    if (scoreIsDouble) twist(java.lang.Double.doubleToLongBits(s.asInstanceOf[Double]))
+    else s.asInstanceOf[Long]
+
+  private def fromKey(key: Long): Any =
+    if (scoreIsDouble) java.lang.Double.longBitsToDouble(twist(key))
+    else key
+
   override def dataType: DataType = ArrayType(StructType(Seq(
-    StructField("score", LongType, nullable = false),
+    StructField("score", score.dataType, nullable = false),
     StructField("id", LongType, nullable = false))), containsNull = false)
 
   override def nullable: Boolean = false
 
   override def prettyName: String = "graft_top_k"
 
-  // dequeue order = "worst first" (lowest score, then highest id) via a
-  // hand-written static Ordering: Ordering.by captures the implicit
-  // tuple ordering in an anon class whose field does not survive task
-  // serialization (NPE inside PriorityQueue on the executor).
+  // dequeue order = "worst first" (lowest score key, then highest id)
+  // via a hand-written static Ordering: Ordering.by captures the
+  // implicit tuple ordering in an anon class whose field does not
+  // survive task serialization (NPE inside PriorityQueue on the
+  // executor).
   override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
     mutable.PriorityQueue.empty[(Long, Long)](TopKByScore.WorstFirst)
 
@@ -67,7 +91,7 @@ case class TopKByScore(
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf.enqueue((s.asInstanceOf[Long], i.asInstanceOf[Long]))
+      buf.enqueue((toKey(s), i.asInstanceOf[Long]))
       if (buf.size > k) buf.dequeue() // evict the worst
     }
     buf
@@ -88,7 +112,7 @@ case class TopKByScore(
     val sorted = buf.toArray.sortWith((a, b) =>
       a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
     new GenericArrayData(sorted.map { case (s, i) =>
-      InternalRow(s, i): Any
+      InternalRow(fromKey(s), i): Any
     })
   }
 
@@ -119,7 +143,7 @@ case class TopKByScore(
 }
 
 object TopKByScore {
-  /** Worst element is the maximum: lowest score, then highest id. */
+  /** Worst element is the maximum: lowest score key, then highest id. */
   private[functions] object WorstFirst extends Ordering[(Long, Long)] {
     override def compare(a: (Long, Long), b: (Long, Long)): Int = {
       val c = java.lang.Long.compare(b._1, a._1) // lower score ⇒ greater (worse)

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Approximate-nearest-neighbor search over an embedding column
   * (`embeddings.parquet`: `vec_id, embedding: array<float>, label`).
@@ -15,6 +14,15 @@ import org.apache.spark.sql.expressions.Window
   *     a signature bucket with the query, so the scan shrinks by ~2^bits.
   *     The 100 TB path: bucket is a shuffle key, each bucket's work is
   *     independent.
+  *
+  * Ranking: every top-k/top-1 selection uses the bounded-heap aggregate
+  * [[graft.functions.TopKByScore]] (double scores) or a `max_by` — never
+  * a `row_number` window. The window formulation shuffles and fully
+  * SORTS every candidate of every query; the aggregate forwards at most
+  * k rows per query per map task into the shuffle and sorts nothing.
+  * At a 100 TB corpus with large query batches that is the difference
+  * between an exchange carrying k·|queries| rows and one carrying every
+  * scored candidate.
   *
   * Determinism: dot products fold the arrays sequentially in double
   * precision (functions.aggregate = ordered fold, not a parallel sum),
@@ -40,6 +48,18 @@ object Similarity {
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
+  /** Bounded-heap ranking of scored candidates: top `k` per query by
+    * (cos desc, neighbor_id asc), emitted with a dense 1..k `rank` —
+    * row-identical to the `row_number` window formulation, without ever
+    * sorting a candidate set. */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("cos"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"), col("e.score").as("cos"),
+        (col("i") + 1).cast("int").as("rank"))
+
   /** Exact top-k cosine neighbors for each query vector.
     *
     * @param queries  (vec_id, embedding) — SMALL (broadcast)
@@ -57,8 +77,7 @@ object Similarity {
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Sign-LSH bucket key: the sign bits of `bits` fixed coordinates
@@ -88,8 +107,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
-    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** IVF (inverted-file) ANN — the other scale path beside sign-LSH:
@@ -102,8 +120,10 @@ object Similarity {
     * Plan shape: centroids are a broadcast dim on BOTH the assignment
     * join and the probe join; the candidate join shuffles on cell_id —
     * every stage is keyed, nothing is all-pairs, and recall/cost is the
-    * (nprobe / #cells) knob. Determinism: cosines rounded to 6, all
-    * ranks tie-broken by id, cell assignment tie-broken by cell_id.
+    * (nprobe / #cells) knob. No stage sorts: cell assignment is a
+    * `max_by` argmax aggregate, probe selection and final ranking are
+    * bounded-heap top-k. Determinism: cosines rounded to 6, all ranks
+    * tie-broken by id, cell assignment tie-broken by lowest cell_id.
     */
   def ivfTopK(
       queries: DataFrame,
@@ -117,32 +137,35 @@ object Similarity {
         .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn")))
     val corp = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("v"))
       .select(col("neighbor_id"), col("v"), norm(col("v")).as("n"))
-    // nearest cell per corpus vector (the inverted lists)
-    val wAssign = Window.partitionBy("neighbor_id").orderBy(col("ccos").desc, col("cell_id").asc)
+    // nearest cell per corpus vector (the inverted lists): an argmax over
+    // (ccos desc, cell_id asc) — max_by on the lexicographic struct
+    // (ccos, -cell_id), partial-aggregated map-side, never sorted
     val assign = corp.join(cent)
       .select(col("neighbor_id"), col("v"), col("n"), col("cell_id"),
         round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
-      .withColumn("crn", row_number().over(wAssign))
-      .filter(col("crn") === 1)
-      .select("cell_id", "neighbor_id", "v", "n")
-    // nprobe nearest cells per query
+      .groupBy("neighbor_id")
+      .agg(max_by(
+        struct(col("cell_id"), col("v"), col("n")),
+        struct(col("ccos"), (-col("cell_id")).as("neg_cell"))).as("best"))
+      .select(col("best.cell_id").as("cell_id"), col("neighbor_id"),
+        col("best.v").as("v"), col("best.n").as("n"))
+    // nprobe nearest cells per query (bounded heap over the broadcast
+    // centroid dim), then re-attach the query vector for scoring
     val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"))
-    val wProbe = Window.partitionBy("query_id").orderBy(col("pcos").desc, col("cell_id").asc)
     val probes = q.join(cent)
-      .select(col("query_id"), col("qv"), col("qn"), col("cell_id"),
+      .select(col("query_id"), col("cell_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("pcos"))
-      .withColumn("prn", row_number().over(wProbe))
-      .filter(col("prn") <= nprobe)
-      .select("query_id", "qv", "qn", "cell_id")
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("pcos"), col("cell_id"), nprobe).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("cell_id"))
+      .join(broadcast(q), Seq("query_id"))
     // score candidates in probed cells only
-    val wRank = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id").asc)
-    probes.join(assign, Seq("cell_id"))
+    val scored = probes.join(assign, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
-      .withColumn("rank", row_number().over(wRank))
-      .filter(col("rank") <= k)
+    rankTopK(scored, k)
   }
 
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare

@@ -56,6 +56,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got.nonEmpty && got.length <= queries.count() * 5)
   }
 
+  test("ANN ranking never plans a Window sort (bounded-heap aggregate only)") {
+    val rnd = new scala.util.Random(21)
+    val corpus = vecs((1L to 300L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 100 === 0)
+    Seq(
+      "bruteForce" -> Similarity.bruteForceTopK(queries, corpus, 5),
+      "lsh" -> Similarity.lshBucketTopK(queries, corpus, 5),
+      "ivf" -> Similarity.ivfTopK(queries, corpus, 5, nprobe = 2)
+    ).foreach { case (name, df) =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window sort:\n$plan")
+      assert(plan.contains("graft_top_k"), s"$name lost the bounded-heap aggregate:\n$plan")
+    }
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))

@@ -31,6 +31,41 @@ class TopKByScoreSpec extends SparkSpec {
     assert(got === Seq((9L, 4L), (5L, 1L))) // best first; tie -> lowest id
   }
 
+  test("double scores: equals the window formulation, negatives and ties included") {
+    val rnd = new scala.util.Random(13)
+    // mixed-sign doubles with engineered ties exercise the IEEE-754
+    // order-preserving twist (negatives flip magnitude order) and the
+    // lowest-id tiebreak
+    val rows = (1 to 2000).map { i =>
+      (s"g${rnd.nextInt(40)}", i.toLong,
+        math.round(rnd.nextDouble() * 40 - 20) / 10.0) // -2.0..2.0 step .1 → ties
+    }
+    val df = rows.toDF("g", "id", "score")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("g").orderBy(col("score").desc, col("id").asc)
+    val viaWindow = df.withColumn("rank", row_number().over(w)).filter(col("rank") <= 3)
+      .select("g", "id", "score", "rank").as[(String, Long, Double, Int)].collect().toSet
+    val viaAgg = df.groupBy("g")
+      .agg(TopKByScore.topK(col("score"), col("id"), 3).as("top"))
+      .select(col("g"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("g"), col("e.id"), col("e.score"), (col("i") + 1).cast("int"))
+      .as[(String, Long, Double, Int)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("double scores survive the heap bit-exactly (twist is an involution)") {
+    // no -0.0: Spark normalizes it to +0.0 in UnsafeRow writes before
+    // any expression sees it (SPARK-26021)
+    val vals = Seq(-math.Pi, -1e300, 0.0, 1e-300, math.E, Double.MinPositiveValue)
+    val df = vals.zipWithIndex.map { case (v, i) => ("g", i.toLong, v) }
+      .toDF("g", "id", "score")
+    val got = df.groupBy("g")
+      .agg(TopKByScore.topK(col("score"), col("id"), 10).as("top"))
+      .select(explode(col("top.score")).as("s")).as[Double].collect().toSet
+    assert(got.map(java.lang.Double.doubleToRawLongBits) ===
+      vals.map(java.lang.Double.doubleToRawLongBits).toSet)
+  }
+
   test("groups smaller than k emit all rows; nulls are skipped") {
     val df = Seq(("g", Some(1L), Some(3L)), ("g", Some(2L), None), ("h", Some(9L), Some(1L)))
       .toDF("g", "id", "score")
