@@ -110,6 +110,16 @@ object SparkEntry {
       InvertedIndex.importNestedJson(
         InvertedIndex.exportNestedJson(InvertedIndex.build(docs(s, dir))))(s)
     },
+    "q_index_export_file_roundtrip" -> { (s, dir) =>
+      // the reference's EXACT artifact: one pretty-printed
+      // final_results.json (master/main.py:123-126), written then parsed
+      // back — the oracle checks the parse equals the clean build
+      val tmp = java.nio.file.Files.createTempDirectory("graft-export-")
+      tmp.toFile.deleteOnExit()
+      val path = s"$tmp/final_results.json"
+      InvertedIndex.exportSingleFileJson(InvertedIndex.build(docs(s, dir)), path)
+      InvertedIndex.importSingleFileJson(s, path)
+    },
 
     // ---- text analysis --------------------------------------------------
     "q_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
@@ -227,6 +237,7 @@ object SparkEntry {
          |FROM ($INDEX_SQL)""".stripMargin,
     "q_index_merge_upsert" -> INDEX_SQL,
     "q_index_export_roundtrip" -> INDEX_SQL,
+    "q_index_export_file_roundtrip" -> INDEX_SQL,
     "q_index_topk" ->
       s"""SELECT * FROM (SELECT word, doc_id, cnt,
          |  CAST(row_number() OVER (PARTITION BY word ORDER BY cnt DESC, doc_id ASC) AS INTEGER) AS rank

@@ -1,30 +1,65 @@
 package graft.index
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TextNorm
 
-/** Parquet persistence for the inverted index, laid out for serving:
-  * partitioned by the word's first character, so a point lookup
-  * (`main/app.py:72` — the reference's only read query) prunes to one
-  * partition directory and pushes `word = ?` into the parquet scan.
+/** Parquet persistence for the inverted index, laid out for serving: a
+  * point lookup (`main/app.py:72` — the reference's only read query)
+  * prunes to one partition directory and pushes `word = ?` into the
+  * parquet row-group scan.
   *
-  * At 100 TB the layout generalizes: partition by a hash-prefix of the
-  * word (2 hex chars → 256 dirs) instead of the raw first letter; the
-  * mechanics below are identical. The canonical in-flight shape stays
-  * the flat (word, doc_id, cnt) — see [[InvertedIndex]].
+  * Two layouts, chosen at save time:
+  *
+  *   - [[IndexStore.FirstChar]]: partition by the word's first
+  *     character. Human-browsable, but directory sizes follow word
+  *     frequency (the 's' directory dwarfs 'x') — fine at fixture
+  *     scale, skewed at 100 TB.
+  *   - [[IndexStore.HashPrefix]]: partition by the first 2 hex chars of
+  *     `md5(word)` — 256 uniformly-sized directories regardless of the
+  *     corpus's letter distribution. The serving layout for a 100 TB
+  *     index: every directory holds ~1/256 of the postings, so lookup
+  *     cost is flat and writers never hotspot one partition.
+  *
+  * Either way the canonical in-flight shape stays the flat
+  * (word, doc_id, cnt) — see [[InvertedIndex]].
   */
 object IndexStore {
 
   private val PrefixCol = "word_pfx"
 
-  /** Persist, partitioned by first character (empty-safe: '_' for the
-    * degenerate empty word, which normalize() can produce upstream of
-    * the tokenizer filter). */
-  def save(index: DataFrame, path: String): Unit =
+  sealed trait Layout {
+    /** Partition value as a Column over `word`. */
+    private[index] def prefixCol: Column
+    /** Partition value for a (normalized) lookup key, driver-side —
+      * must match `prefixCol` exactly for pruning to be correct. */
+    private[index] def prefixOf(key: String): String
+  }
+
+  /** First character of the word ('_' for the degenerate empty word,
+    * which normalize() can produce upstream of the tokenizer filter). */
+  case object FirstChar extends Layout {
+    private[index] def prefixCol: Column =
+      coalesce(nullif(substring(col("word"), 1, 1), lit("")), lit("_"))
+    private[index] def prefixOf(key: String): String =
+      if (key.isEmpty) "_" else key.substring(0, 1)
+  }
+
+  /** First 2 hex chars of md5(word): 256 uniform directories. */
+  case object HashPrefix extends Layout {
+    private[index] def prefixCol: Column = substring(md5(col("word")), 1, 2)
+    private[index] def prefixOf(key: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      f"${d(0) & 0xff}%02x" // same lowercase hex as Spark's md5()
+    }
+  }
+
+  /** Persist, partitioned for point-lookup pruning under `layout`. */
+  def save(index: DataFrame, path: String, layout: Layout = FirstChar): Unit =
     index
-      .withColumn(PrefixCol, coalesce(nullif(substring(col("word"), 1, 1), lit("")), lit("_")))
+      .withColumn(PrefixCol, layout.prefixCol)
       .write.mode("overwrite")
       .partitionBy(PrefixCol)
       .parquet(path)
@@ -36,12 +71,13 @@ object IndexStore {
   /** Served point lookup: prefix predicate prunes partitions, word
     * predicate pushes into the parquet row-group scan; postings sorted
     * cnt desc / doc_id asc (the reference UI's result table,
-    * `main/app.py:73-77`, with deterministic ties). */
-  def lookup(spark: SparkSession, path: String, word: String): DataFrame = {
+    * `main/app.py:73-77`, with deterministic ties). `layout` must match
+    * the one the store was saved with. */
+  def lookup(spark: SparkSession, path: String, word: String,
+      layout: Layout = FirstChar): DataFrame = {
     val key = TextNorm.normalizeKey(word)
-    val pfx = if (key.isEmpty) "_" else key.substring(0, 1)
     spark.read.parquet(path)
-      .filter(col(PrefixCol) === pfx && col("word") === key)
+      .filter(col(PrefixCol) === layout.prefixOf(key) && col("word") === key)
       .select(col("doc_id"), col("cnt"))
       .orderBy(col("cnt").desc, col("doc_id").asc)
   }

@@ -150,6 +150,98 @@ object InvertedIndex {
       )
       .select(col("word"), to_json(col("postings")).as("postings_json"))
 
+  /** The reference's exact final artifact: ONE pretty-printed JSON file
+    * (`final_results.json`, `master/main.py:123-126` — `json.dumps(
+    * final_dict, indent=4)` uploaded as a single object) mapping every
+    * word to its `{doc → cnt}` postings.
+    *
+    * Byte shape matches Python's `json.dumps(..., indent=4)` (default
+    * `ensure_ascii=True`): 4-space indent, `": "` separators, non-ASCII
+    * escaped as `\\uXXXX`, no trailing newline, `{}` when empty. The
+    * reference's key order is nondeterministic merge order; we pin words
+    * lexicographic and postings by doc_id so the artifact is
+    * reproducible byte-for-byte.
+    *
+    * Scale stance: a single pretty JSON file is inherently a one-writer
+    * artifact — the reference's own scale bottleneck, reproduced ONLY at
+    * the final write boundary. Grouping and sorting stay distributed;
+    * the driver merely streams the ordered per-word fragments to the
+    * target filesystem (`toLocalIterator` holds one partition at a
+    * time, never the whole index). For an at-scale export use
+    * [[exportNestedJson]] (one row per word, any sink) instead.
+    */
+  def exportSingleFileJson(index: DataFrame, path: String): Unit = {
+    val perWord = index
+      .groupBy("word")
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("cnt")))).as("ps"))
+      .orderBy("word") // range-partitioned global sort; iterated in order below
+    val spark = index.sparkSession
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(hPath, true), java.nio.charset.StandardCharsets.UTF_8))
+    try {
+      val it = perWord.toLocalIterator()
+      var first = true
+      if (!it.hasNext) out.write("{}")
+      else {
+        out.write("{")
+        while (it.hasNext) {
+          val row = it.next()
+          if (!first) out.write(",")
+          first = false
+          out.write("\n    \"")
+          out.write(pyJsonEscape(row.getString(0)))
+          out.write("\": {")
+          val ps = row.getSeq[org.apache.spark.sql.Row](1)
+          var i = 0
+          while (i < ps.size) {
+            if (i > 0) out.write(",")
+            out.write("\n        \"")
+            out.write(ps(i).getLong(0).toString)
+            out.write("\": ")
+            out.write(ps(i).getLong(1).toString)
+            i += 1
+          }
+          out.write("\n    }")
+        }
+        out.write("\n}")
+      }
+    } finally out.close()
+  }
+
+  /** String escape matching Python `json.dumps` defaults
+    * (`ensure_ascii=True`): the two JSON specials, C0 controls short- or
+    * `\\uXXXX`-escaped, and everything past 0x7E as `\\uXXXX` (UTF-16
+    * code units, surrogate pairs escaped unit-by-unit like CPython). */
+  private def pyJsonEscape(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  /** Parse a [[exportSingleFileJson]] artifact back into the flat
+    * canonical index (the import half of the reference's final file). */
+  def importSingleFileJson(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    spark.read.option("wholetext", "true").text(path)
+      .select(from_json(col("value"),
+        MapType(StringType, MapType(StringType, LongType))).as("m"))
+      .select(explode(col("m")).as(Seq("word", "postings")))
+      .select(col("word"), explode(col("postings")).as(Seq("doc_id", "cnt")))
+      .select(col("word"), col("doc_id").cast("long").as("doc_id"), col("cnt"))
+  }
+
   /** Round-trip: parse the nested export back into the flat canonical
     * form. */
   def importNestedJson(rows: DataFrame)(implicit spark: SparkSession): DataFrame =

@@ -85,4 +85,47 @@ class InvertedIndexSpec extends SparkSpec {
     val back = InvertedIndex.importNestedJson(InvertedIndex.exportNestedJson(idx))(spark)
     assert(entries(back) === entries(idx))
   }
+
+  test("single-file export matches Python json.dumps(indent=4) byte-for-byte") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-singlejson-")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/final_results.json"
+    val idx = InvertedIndex.build(corpus(1L -> "cat dog cat", 2L -> "dog"))
+    InvertedIndex.exportSingleFileJson(idx, path)
+    val got = new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)),
+      java.nio.charset.StandardCharsets.UTF_8)
+    // exactly json.dumps({"cat": {"1": 2}, "dog": {"1": 1, "2": 1}}, indent=4)
+    val expected =
+      """{
+        |    "cat": {
+        |        "1": 2
+        |    },
+        |    "dog": {
+        |        "1": 1,
+        |        "2": 1
+        |    }
+        |}""".stripMargin
+    assert(got === expected)
+  }
+
+  test("single-file export of an empty index is the empty object") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-singlejson-")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/empty.json"
+    InvertedIndex.exportSingleFileJson(
+      InvertedIndex.build(corpus(1L -> "  ...  ")), path)
+    assert(new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(path))) === "{}")
+  }
+
+  test("single-file export round-trips through importSingleFileJson (sf0.001)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-singlejson-")
+    dir.toFile.deleteOnExit()
+    val path = s"$dir/full.json"
+    val idx = InvertedIndex.build(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet"))
+    InvertedIndex.exportSingleFileJson(idx, path)
+    val back = InvertedIndex.importSingleFileJson(spark, path)
+    assert(entries(back) === entries(idx))
+  }
 }

@@ -61,6 +61,42 @@ class SourcesAndStoreSpec extends SparkSpec {
       s"word filter not pushed in:\n$plan")
   }
 
+  test("HashPrefix layout round-trips, prunes to one md5 directory, pushes the word filter") {
+    val idx = InvertedIndex.build(Seq(
+      (1L, "apple banana apple"), (2L, "banana cherry date egg fig")).toDF("doc_id", "text"))
+    val path = tmp("storehash") + "/index"
+    IndexStore.save(idx, path, IndexStore.HashPrefix)
+
+    assert(IndexStore.load(spark, path).as[(String, Long, Long)].collect().toSet ===
+      idx.as[(String, Long, Long)].collect().toSet)
+
+    val q = IndexStore.lookup(spark, path, "Banana!", IndexStore.HashPrefix)
+    assert(q.as[(Long, Long)].collect().toSeq === Seq((1L, 1L), (2L, 1L)))
+
+    // md5("banana") = 72b302bf... → the scan must pin word_pfx = 72 at
+    // planning time and read exactly one partition directory
+    val qe = IndexStore.lookup(spark, path, "banana", IndexStore.HashPrefix).queryExecution
+    val plan = qe.executedPlan.toString
+    val pfLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pfLine.contains("= 72)"), s"hash prefix not pinned in: $pfLine\n$plan")
+    assert(plan.contains("PushedFilters: [IsNotNull(word), EqualTo(word,banana)]"),
+      s"word filter not pushed in:\n$plan")
+    qe.toRdd.count() // execute so scan metrics populate
+    // AQE wraps subtrees in QueryStageExec leaves that hide their plan
+    // from collect() — recurse through them to reach the file scan
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val scan = scans(qe.executedPlan).head
+    assert(scan.metrics("numFiles").value === 1L,
+      s"expected exactly one pruned file, got ${scan.metrics("numFiles").value}")
+  }
+
   test("only the matching partition directory is scanned") {
     val idx = InvertedIndex.build(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
     val path = tmp("store2") + "/index"
