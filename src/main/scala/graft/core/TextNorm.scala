@@ -11,7 +11,11 @@ import org.apache.spark.sql.functions._
   *   1. collapse runs of whitespace to a single space — Python `re` `\s`
   *      is Unicode-aware, so we use `(?U)` (UNICODE_CHARACTER_CLASS);
   *      Java's default `\s` is ASCII-only and would DELETE (not split on)
-  *      NBSP-like separators via step 3, merging adjacent words.
+  *      NBSP-like separators via step 3, merging adjacent words. Python
+  *      additionally treats the C0 separator controls U+001C..U+001F as
+  *      whitespace (str.isspace semantics) although Unicode White_Space
+  *      excludes them — the class below lists them explicitly. Pinned by
+  *      the Python-golden corpus (TextNormGoldenSpec).
   *   2. lowercase
   *   3. strip everything outside `[a-z0-9 ]` (ASCII keep-set: punctuation
   *      AND non-ASCII letters are removed — "café" → "caf")
@@ -30,7 +34,7 @@ object TextNorm {
     * boundaries are single ASCII spaces.
     */
   def normalize(c: Column): Column =
-    regexp_replace(lower(regexp_replace(c, "(?U)\\s+", " ")), "[^a-z0-9 ]", "")
+    regexp_replace(lower(regexp_replace(c, "(?U)[\\s\\x1c-\\x1f]+", " ")), "[^a-z0-9 ]", "")
 
   /** Tokenize normalized text into a non-empty-word array.
     * Python `.split()` (`mapper/main.py:60`) drops empty tokens; Spark
@@ -45,7 +49,7 @@ object TextNorm {
     * key is a scalar, not a column.
     */
   def normalizeKey(s: String): String =
-    s.trim.toLowerCase.replaceAll("(?U)[^a-z0-9\\s]", "")
+    s.trim.toLowerCase.replaceAll("(?U)[^a-z0-9\\s\\x1c-\\x1f]", "")
 
   /** Input validation for lookup keys: `main/app.py:43-44` rejects any
     * input containing whitespace (`^[^\s\n]+$`).

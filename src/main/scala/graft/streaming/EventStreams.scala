@@ -76,10 +76,10 @@ object EventStreams {
     * Complete-group semantics: each invocation sees all of a user's
     * rows (batch execution, or one watermark-complete group in
     * streaming), folds them through the GroupState machinery, emits
-    * every session, and clears state. A long-running streaming
-    * deployment would swap NoTimeout for EventTimeTimeout and keep the
-    * open session in state between micro-batches — the fold body is
-    * identical; only the flush point moves.
+    * every session, and clears state. The long-running streaming
+    * deployment is [[sessionizeStream]] (EventTimeTimeout): the same
+    * fold, with the open session held in state between micro-batches
+    * and flushed by the watermark instead of end-of-group.
     */
   def sessionize(events: Dataset[Ev], gapMs: Long): Dataset[UserSession] = {
     import events.sparkSession.implicits._
@@ -105,6 +105,70 @@ object EventStreams {
           open.foreach(s => out += UserSession(uid, s.start, s.end, s.n))
           state.remove() // complete-group flush
           out.result().iterator
+      }
+  }
+
+  final case class EvT(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** TRUE incremental sessionization for an unbounded stream: open
+    * sessions live in the state store BETWEEN micro-batches and are
+    * flushed by the watermark, not by end-of-input.
+    *
+    * Mechanics ([[GroupStateTimeout.EventTimeTimeout]]):
+    *   - each batch folds the user's new events into the open session,
+    *     emitting any session closed by an in-batch gap;
+    *   - the open session stays in state with a timeout at
+    *     `session.end + gapMs` — once the watermark (event time minus
+    *     `lateness`) passes that deadline, no on-time event can extend
+    *     the session, so the timed-out invocation emits and clears it.
+    *
+    * State is bounded by the ACTIVE-user set (one open session each),
+    * the requirement for an unbounded run; [[sessionize]] keeps the
+    * complete-group batch semantics (same fold, flush at end of group).
+    */
+  def sessionizeStream(
+      events: Dataset[EvT],
+      gapMs: Long,
+      lateness: String = "10 seconds"): Dataset[UserSession] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", lateness)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[List[SessionState], UserSession](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (uid: Long, rows: Iterator[EvT], state: GroupState[List[SessionState]]) =>
+          if (state.hasTimedOut) {
+            // watermark passed end+gap: the open session can no longer
+            // be extended by on-time data — flush it
+            val out = state.getOption.flatMap(_.headOption)
+              .map(s => UserSession(uid, s.start, s.end, s.n)).iterator
+            state.remove()
+            out
+          } else {
+            val sorted = rows.map(_.ts.getTime).toSeq.sorted
+            var open = state.getOption.flatMap(_.headOption)
+            val closed = List.newBuilder[UserSession]
+            sorted.foreach { t =>
+              open match {
+                case Some(s) if t - s.end <= gapMs =>
+                  open = Some(s.copy(end = t, n = s.n + 1))
+                case Some(s) =>
+                  closed += UserSession(uid, s.start, s.end, s.n)
+                  open = Some(SessionState(t, t, 1))
+                case None =>
+                  open = Some(SessionState(t, t, 1))
+              }
+            }
+            open.foreach { s =>
+              state.update(List(s))
+              // deadline must sit above the current watermark (an event
+              // arriving right at the horizon could otherwise set a
+              // past deadline, which Spark rejects)
+              state.setTimeoutTimestamp(
+                math.max(s.end + gapMs, state.getCurrentWatermarkMs + 1))
+            }
+            closed.result().iterator
+          }
       }
   }
 

@@ -45,6 +45,42 @@ class AsOfJoinSpec extends SparkSpec {
     assert(plan.contains("Exchange hashpartitioning(c_user"), plan)
   }
 
+  test("v2: multi-column keys + timestamp time columns, brute-force checked") {
+    import org.apache.spark.sql.functions.{col, timestamp_micros}
+    val rnd = new scala.util.Random(31)
+    // two-part key (tenant, user), timestamp-typed event times with
+    // deliberate collisions so the tie-break path runs
+    val lRows = (1 to 400).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 1000L, i.toLong)
+    }
+    val rRows = (1 to 300).map { i =>
+      (rnd.nextInt(3).toLong, rnd.nextInt(5).toLong, rnd.nextInt(50).toLong * 1000L, i.toLong)
+    }
+    val l = lRows.toDF("tenant", "user_id", "us", "purchase_id")
+      .select(col("tenant"), col("user_id"), timestamp_micros(col("us")).as("ts"), col("purchase_id"))
+    val r = rRows.toDF("c_tenant", "c_user", "us", "click_id")
+      .select(col("c_tenant"), col("c_user"), timestamp_micros(col("us")).as("c_ts"), col("click_id"))
+    val got = AsOfJoin.join(l, r,
+      Seq("tenant", "user_id"), Seq("c_tenant", "c_user"), "ts", "c_ts", "click_id")
+      .select("purchase_id", "click_id").as[(Long, Option[Long])].collect().toMap
+    // brute force: last right row with same (tenant,user), time <= left
+    // time, ties by highest click_id
+    val expected = lRows.map { case (t, u, us, pid) =>
+      val cands = rRows.filter(c => c._1 == t && c._2 == u && c._3 <= us)
+      pid -> (if (cands.isEmpty) None
+              else Some(cands.maxBy(c => (c._3, c._4))._4))
+    }.toMap
+    assert(got === expected)
+  }
+
+  test("v2 rejects non-time-typed or mismatched columns") {
+    val l = Seq((1L, "x", 1L)).toDF("k", "bad", "id")
+    val r = Seq((1L, "x", 1L)).toDF("k2", "bad2", "id2")
+    intercept[IllegalArgumentException] {
+      AsOfJoin.join(l, r, Seq("k"), Seq("k2"), "bad", "bad2", "id2")
+    }
+  }
+
   test("native operator matches the window composition on the events fixture") {
     val nat = graft.ops.Relational.asofPurchaseToClickNative(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double, Option[Long], Option[Double])].collect().toSet

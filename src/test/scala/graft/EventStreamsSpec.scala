@@ -82,6 +82,40 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows === Set((1L, 900L, 100L), (1L, 900L, 101L)))
   }
 
+  test("sessionizeStream: open sessions survive micro-batches, watermark evicts them") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String): Timestamp = Timestamp.valueOf(s"2026-01-01 $s")
+    val in = MemoryStream[EventStreams.EvT]
+    val q = EventStreams.sessionizeStream(in.toDS(), gapMs = 30L * 60 * 1000,
+        lateness = "10 seconds")
+      .writeStream.format("memory").queryName("sess").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+    def sessions(): Set[UserSession] =
+      spark.table("sess").as[UserSession].collect().toSet
+
+    // batch 1: user 1 opens a session (2 events, 5 min apart)
+    in.addData(EventStreams.EvT(1L, t("10:00:00"), "a"), EventStreams.EvT(1L, t("10:05:00"), "b"))
+    q.processAllAvailable()
+    assert(sessions() === Set.empty) // session still open — survived the batch
+
+    // batch 2: user 2 appears at 11:00, pushing the watermark to
+    // 10:59:50 — past user 1's 10:35 deadline, so the follow-up
+    // timeout batch (processAllAvailable drains it) flushes user 1's
+    // session; user 2's stays open
+    val u1Session = UserSession(1L, t("10:00:00").getTime, t("10:05:00").getTime, 2)
+    in.addData(EventStreams.EvT(2L, t("11:00:00"), "x"))
+    q.processAllAvailable()
+    assert(sessions() === Set(u1Session))
+
+    // batch 3: user 2 extends at the 30-min gap boundary — session
+    // grows instead of closing, and remains open (nothing new emitted)
+    in.addData(EventStreams.EvT(2L, t("11:30:00"), "y"))
+    q.processAllAvailable()
+    val afterB3 = sessions()
+    q.stop()
+    assert(afterB3 === Set(u1Session))
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch window formulation") {
     val evs = Seq(
       Ev(1L, 1000L, "a"), Ev(1L, 2000L, "b"), Ev(1L, 90000L, "c"), // gap at 90s
