@@ -41,6 +41,19 @@ object SparkEntry {
        |  ELSE [array_to_string(ts, ' ')] END AS shl
        |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin
 
+  /** Minhash CTE chain shared by the pair/estimate/cluster oracles —
+    * twin of [[Dedup.minhashSignaturesWide]] (k=8) → bands (b=2) →
+    * candidate pairs. */
+  private val MINHASH_CTES =
+    s"""sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
+       |sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
+       |         FROM sh, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+       |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+       |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key FROM sigs GROUP BY doc_id, band),
+       |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+       |  WHERE l.doc_id < r.doc_id)""".stripMargin
+
   /** Twin of both as-of implementations (window composition and native
     * sort-merge operator). Clicks collapse to one row per (user_id, ts)
     * keeping MAX event_id (arg_max) so the ASOF tie-break matches the
@@ -127,11 +140,15 @@ object SparkEntry {
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
+    "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
+    "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
+    "q_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusters(Dedup.minhashCandidatePairs(docs(s, dir)))),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -150,6 +167,7 @@ object SparkEntry {
       val e = emb(s, dir)
       Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4)
     },
+    "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -292,6 +310,39 @@ object SparkEntry {
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents))
          |) WHERE pos >= 5""".stripMargin,
 
+    "q_repetition" ->
+      s"""WITH base AS (
+         |  SELECT doc_id,
+         |    list_filter(list_transform(str_split(text, chr(10)), l -> trim(l)), l -> len(l) > 0) AS ls,
+         |    $TOKS AS ts
+         |  FROM documents),
+         |lb AS (
+         |  SELECT doc_id, len(ls) AS n_lines, len(list_distinct(ls)) AS n_distinct_lines,
+         |    CASE WHEN len(ts) >= 2
+         |      THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+         |      ELSE CAST([] AS VARCHAR[]) END AS bgs
+         |  FROM base),
+         |agg AS (
+         |  SELECT doc_id, max(c) AS max_bg, sum(c) AS n_bg
+         |  FROM (SELECT doc_id, bg, count(*) AS c
+         |        FROM (SELECT doc_id, unnest(bgs) AS bg FROM lb) GROUP BY doc_id, bg)
+         |  GROUP BY doc_id)
+         |SELECT l.doc_id, CAST(l.n_lines AS INTEGER) AS n_lines,
+         |  CASE WHEN l.n_lines > 0
+         |    THEN round(1.0 - CAST(l.n_distinct_lines AS DOUBLE) / l.n_lines, 6)
+         |    ELSE 0.0 END AS dup_line_ratio,
+         |  CASE WHEN a.n_bg > 0
+         |    THEN round(CAST(a.max_bg AS DOUBLE) / a.n_bg, 6)
+         |    ELSE 0.0 END AS top_bigram_frac
+         |FROM lb l LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_label_centroids" ->
+      // DECIMAL accumulation per coordinate (order-independent, exact),
+      // one divide in double, round 6 — the moneySum treatment
+      """SELECT label, CAST(pos AS INTEGER) AS pos, count(*) AS n_vectors,
+        |  round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS centroid_v
+        |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+        |        unnest(CAST(embedding AS DECIMAL(28,12)[])) AS v FROM embeddings)
+        |GROUP BY label, pos""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT doc_id, text_hash, min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
          |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
@@ -305,14 +356,28 @@ object SparkEntry {
          |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key
          |FROM sigs GROUP BY doc_id, band""".stripMargin,
     "q_minhash_pairs" ->
-      s"""WITH sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
-         |sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
-         |         FROM sh, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
-         |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
-         |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key FROM sigs GROUP BY doc_id, band)
-         |SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
-         |FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
-         |WHERE l.doc_id < r.doc_id""".stripMargin,
+      s"""WITH $MINHASH_CTES
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "q_minhash_est" ->
+      // minwise estimator over the same signatures: matching seeds / k
+      s"""WITH $MINHASH_CTES
+         |SELECT p.doc_a, p.doc_b,
+         |  round(CAST(sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS DOUBLE) / 8, 6) AS est_jaccard
+         |FROM pairs p
+         |JOIN sigs a ON a.doc_id = p.doc_a
+         |JOIN sigs b ON b.doc_id = p.doc_b AND b.seed = a.seed
+         |GROUP BY p.doc_a, p.doc_b""".stripMargin,
+    "q_dedup_clusters" ->
+      // connected components over the candidate-pair graph: min reachable
+      // doc_id per node via a recursive label-closure CTE
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
+         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -106,14 +106,19 @@ object Dedup {
     * plain column expressions over the wide signature row — no second
     * aggregation.
     */
-  def minhashBands(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame = {
+  def minhashBands(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame =
+    bandsFromWide(minhashSignaturesWide(docs, w, k), k, bands)
+
+  /** Band projection over an existing wide signature table (so a caller
+    * that already materialized signatures doesn't recompute them). */
+  private def bandsFromWide(wide: DataFrame, k: Int, bands: Int): DataFrame = {
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       struct(
         lit(b).as("band"),
         md5(concat_ws("|", (b * r until (b + 1) * r).map(s => col(s"sig$s")): _*)).as("band_key"))
     }
-    minhashSignaturesWide(docs, w, k)
+    wide
       .select(col("doc_id"), explode(array(bandStructs: _*)).as("e"))
       .select(col("doc_id"), col("e.band").as("band"), col("e.band_key").as("band_key"))
   }
@@ -145,9 +150,17 @@ object Dedup {
       k: Int = 8,
       bands: Int = 2,
       bucketCap: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    pairsFromBands(minhashBands(docs, w, k, bands), bucketCap, mat)
+
+  /** The hybrid pair generator over any (doc_id, band, band_key) table —
+    * see [[minhashCandidatePairs]] for the plan rationale. */
+  private def pairsFromBands(
+      bandTable: DataFrame,
+      bucketCap: Int,
+      mat: graft.core.Materialize.Strategy): DataFrame = {
     val buckets = graft.core.Materialize(
-      minhashBands(docs, w, k, bands)
+      bandTable
         .groupBy("band", "band_key")
         .agg(collect_list(col("doc_id")).as("ds"))
         .filter(size(col("ds")) >= 2)
@@ -294,5 +307,85 @@ object Dedup {
         bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).cast("int").as("hamming"))
       .filter(col("hamming") <= maxHamming) // shrink before distinct
       .distinct()
+  }
+
+  /** Candidate pairs WITH an estimated Jaccard similarity, read straight
+    * off the minhash signatures: est = (matching signature positions)/k.
+    * This is the minwise estimator (Broder '97) — E[est] = exact Jaccard
+    * — and it prices each candidate WITHOUT re-touching the shingle
+    * sets: the signature table is materialized once and reused by the
+    * band pipeline and both sides of the pair join (two hash joins keyed
+    * by doc id, k small integer comparisons per pair). The downstream
+    * dedup decision can then threshold on `est_jaccard` and only run the
+    * exact [[ngramJaccardPairs]] verification on the survivors.
+    */
+  def minhashEstimatedPairs(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      bucketCap: Int = 64,
+      minEst: Double = 0.0,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val sigs = graft.core.Materialize(minhashSignaturesWide(docs, w, k), mat)
+    val pairs = pairsFromBands(bandsFromWide(sigs, k, bands), bucketCap, mat)
+    val aSide = sigs.select(col("doc_id").as("doc_a") +:
+      (0 until k).map(s => col(s"sig$s").as(s"a$s")): _*)
+    val bSide = sigs.select(col("doc_id").as("doc_b") +:
+      (0 until k).map(s => col(s"sig$s").as(s"b$s")): _*)
+    val matches = (0 until k).map(s =>
+      when(col(s"a$s") === col(s"b$s"), 1).otherwise(0)).reduce(_ + _)
+    pairs
+      .join(aSide, Seq("doc_a"))
+      .join(bSide, Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        round(matches.cast("double") / k, 6).as("est_jaccard"))
+      .filter(col("est_jaccard") >= minEst)
+  }
+
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — every doc gets the smallest
+    * doc_id reachable through the pair graph as its `cluster_id` (so the
+    * canonical representative of each near-dup group is its minimum id,
+    * matching [[exact]]'s convention).
+    *
+    * Each round: one join (edge src → current label) + one min-agg per
+    * node + a convergence count; rounds = graph diameter. LSH dedup
+    * components are near-cliques (every member shares a band bucket
+    * with most others), so 2-3 rounds close them; a long-diameter graph
+    * would want the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce"), which this loop structure
+    * accommodates. Labels are checkpointed per round — the iterative
+    * lineage would otherwise grow unboundedly.
+    *
+    * Only docs that appear in `pairs` are emitted (singletons are their
+    * own cluster trivially).
+    */
+  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+    val edges = graft.core.Materialize(
+      pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = graft.core.Materialize(
+      edges.select(col("src").as("doc_id")).distinct()
+        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIterations) {
+      val neighborMin = edges
+        .join(labels, edges("src") === labels("doc_id"))
+        .groupBy(col("dst"))
+        .agg(min("cluster_id").as("nmin"))
+        .withColumnRenamed("dst", "n_doc_id")
+      val next = graft.core.Materialize(
+        labels
+          .join(neighborMin, labels("doc_id") === col("n_doc_id"), "left")
+          .select(col("doc_id"),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
+            (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("changed")))
+      converged = next.filter(col("changed")).limit(1).count() == 0
+      labels = next.select("doc_id", "cluster_id")
+      it += 1
+    }
+    labels
   }
 }

@@ -168,6 +168,28 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Per-label embedding centroids, emitted FLAT — one row per (label,
+    * dimension) with the mean of that coordinate — the shape a
+    * class-prototype / cluster-quality job consumes (and the shape a
+    * k-means update step is made of: this IS the M-step over a fixed
+    * assignment).
+    *
+    * Determinism: coordinates accumulate in DECIMAL(28,12) (exact,
+    * order-independent — the moneySum treatment), divide once in double,
+    * round to 6. Plan: one explode + one hash aggregation keyed by
+    * (label, pos); partial aggregation compresses each map task to
+    * labels×dims rows before the shuffle.
+    */
+  def labelCentroids(emb: DataFrame): DataFrame =
+    emb
+      .select(col("label"),
+        posexplode(col("embedding").cast("array<decimal(28,12)>")).as(Seq("pos", "v")))
+      .groupBy("label", "pos")
+      .agg(count(lit(1)).as("n_vectors"),
+        round(sum("v").cast("double") / count(lit(1)), 6).as("centroid_v"))
+      .select(col("label"), (col("pos") + 1).cast("int").as("pos"),
+        col("n_vectors"), col("centroid_v"))
+
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare
     * within buckets only, keep pairs above the threshold. The dedup
     * variant of ANN (symmetric, a < b).

@@ -107,6 +107,53 @@ object TextAnalysis {
     )
   }
 
+  /** Repetition signals (the Gopher-rule family): within-document
+    * repetition is the strongest cheap indicator of boilerplate/spam in
+    * a training corpus.
+    *
+    *   - `dup_line_ratio`: fraction of non-empty trimmed lines that are
+    *     duplicates of an earlier line (1 − distinct/total).
+    *   - `top_bigram_frac`: fraction of all token bigrams taken by the
+    *     single most frequent bigram.
+    *
+    * Plan shape: line stats are pure array algebra (no explode); the
+    * bigram mode needs per-(doc, bigram) counts, so one explode and two
+    * hash aggregations keyed by doc_id — the line stats ride through the
+    * aggregation as grouping columns, keeping the operator a single
+    * pipeline (no rejoin, one shuffle). `explode_outer` keeps bigram-less
+    * documents. At 100 TB each doc's bigrams hash within one task's
+    * partial aggregate.
+    */
+  def repetitionSignals(docs: DataFrame): DataFrame = {
+    val lines = filter(
+      transform(split(col("text"), "\n"), l => trim(l)),
+      l => length(l) > 0)
+    val bigrams = when(size(col("ts")) >= 2,
+      transform(sequence(lit(1), size(col("ts")) - 1),
+        i => concat_ws(" ", slice(col("ts"), i, lit(2))))
+    ).otherwise(array().cast("array<string>"))
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), lines.as("ls"), bigrams.as("bgs"))
+      .select(col("doc_id"), size(col("ls")).as("n_lines"),
+        size(array_distinct(col("ls"))).as("n_distinct_lines"),
+        explode_outer(col("bgs")).as("bg"))
+      .groupBy("doc_id", "n_lines", "n_distinct_lines", "bg")
+      .agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "n_lines", "n_distinct_lines")
+      .agg(max(when(col("bg").isNotNull, col("c"))).as("max_bg"),
+        sum(when(col("bg").isNotNull, col("c"))).as("n_bg"))
+      .select(
+        col("doc_id"),
+        col("n_lines").cast("int").as("n_lines"),
+        when(col("n_lines") > 0,
+          round(lit(1.0) - col("n_distinct_lines").cast("double") / col("n_lines"), 6))
+          .otherwise(0.0).as("dup_line_ratio"),
+        when(col("n_bg") > 0,
+          round(col("max_bg").cast("double") / col("n_bg"), 6))
+          .otherwise(0.0).as("top_bigram_frac"))
+  }
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
     * hash every token (md5 — stable across engines), take the window
     * minimum over each w-token sliding window, emit the distinct minima

@@ -108,6 +108,22 @@ object EventStreams {
       }
   }
 
+  /** Streaming exact deduplication: drop rows whose key was already seen
+    * within the watermark horizon (`dropDuplicatesWithinWatermark`) — the
+    * streaming twin of [[graft.ops.Dedup.exact]]'s hash dedup. State is
+    * the seen-key set bounded by the watermark window, the requirement
+    * for an unbounded ingest (plain `dropDuplicates` on a stream retains
+    * every key forever). Ingest-dedup for a training-data feed: key on
+    * the content hash (`md5(normalize(text))`) to suppress re-uploads.
+    */
+  def dedupStream(
+      events: DataFrame,
+      keyCols: Seq[String],
+      lateness: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
+
   final case class EvT(user_id: Long, ts: java.sql.Timestamp, event_type: String)
 
   /** TRUE incremental sessionization for an unbounded stream: open

@@ -101,6 +101,34 @@ class DedupSpec extends SparkSpec {
     assert(df.as[(Long, Long)].collect().toSet.size === 28) // C(8,2)
   }
 
+  test("minhashEstimatedPairs: identical docs estimate 1.0, estimator stays in [0,1]") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> text, 2L -> text,
+      20L -> "some other shared sentence with mild variation here one",
+      21L -> "some other shared sentence with mild variation here two")
+    val got = Dedup.minhashEstimatedPairs(d)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) === 1.0) // all k signatures match
+    assert(got.values.forall(e => e >= 0.0 && e <= 1.0))
+  }
+
+  test("clusters: transitive pairs collapse to the component's min doc_id") {
+    val pairs = Seq((2L, 5L), (5L, 9L), (9L, 11L), (20L, 21L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(pairs).as[(Long, Long)].collect().toMap
+    // chain 2-5-9-11 (diameter 3 — needs >1 propagation round) plus an
+    // isolated pair
+    assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("clusters of the exact-dup corpus match exact()'s canonical ids") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(3L -> text, 7L -> text, 9L -> text,
+      30L -> "completely unrelated words nothing shared at all")
+    val got = Dedup.clusters(Dedup.minhashCandidatePairs(d))
+      .as[(Long, Long)].collect().toMap
+    assert(got === Map(3L -> 3L, 7L -> 3L, 9L -> 3L)) // 30 is a singleton: absent
+  }
+
   test("materialization strategies agree and each executes the signature pipeline once") {
     import graft.core.Materialize
     val d = docs((1L to 10L).map(i =>

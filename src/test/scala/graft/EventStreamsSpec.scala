@@ -82,6 +82,26 @@ class EventStreamsSpec extends SparkSpec {
     assert(rows === Set((1L, 900L, 100L), (1L, 900L, 101L)))
   }
 
+  test("dedupStream drops repeated keys within the watermark, across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, String)]
+    val q = EventStreams.dedupStream(
+      in.toDF().toDF("ts", "content_hash", "payload"),
+      keyCols = Seq("content_hash"), lateness = "30 minutes")
+      .writeStream.format("memory").queryName("dedup").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    in.addData((ts(1), 100L, "first"), (ts(2), 100L, "dup-in-batch"), (ts(3), 200L, "other"))
+    q.processAllAvailable()
+    in.addData((ts(5), 100L, "dup-across-batches"), (ts(6), 300L, "new"))
+    q.processAllAvailable()
+
+    val rows = spark.table("dedup").as[(Timestamp, Long, String)].collect().toSet
+    q.stop()
+    assert(rows === Set(
+      (ts(1), 100L, "first"), (ts(3), 200L, "other"), (ts(6), 300L, "new")))
+  }
+
   test("sessionizeStream: open sessions survive micro-batches, watermark evicts them") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String): Timestamp = Timestamp.valueOf(s"2026-01-01 $s")

@@ -72,6 +72,16 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("labelCentroids: flat per-dimension means, exact") {
+    val df = Seq(
+      ("a", Seq(1f, 2f)), ("a", Seq(3f, 6f)), ("b", Seq(10f, 0f))
+    ).toDF("label", "embedding")
+    val got = Similarity.labelCentroids(df)
+      .as[(String, Int, Long, Double)].collect().toSet
+    assert(got === Set(
+      ("a", 1, 2L, 2.0), ("a", 2, 2L, 4.0), ("b", 1, 1L, 10.0), ("b", 2, 1L, 0.0)))
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))

@@ -40,6 +40,24 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es"))
   }
 
+  test("repetitionSignals: dup lines and dominant bigrams are measured; clean docs score 0") {
+    val d = docs(
+      // 4 non-empty lines, 2 distinct -> dup_line_ratio 0.5;
+      // tokens: "spam spam spam spam ok" -> bigrams [spam spam]x3, [spam ok]
+      1L -> "spam spam spam spam ok\nx\nx\n\n spam spam spam spam ok ",
+      2L -> "all tokens here are different words",  // 1 line, all bigrams unique
+      3L -> "")                                     // degenerate: no lines, no bigrams
+    val got = TextAnalysis.repetitionSignals(d)
+      .as[(Long, Int, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L)._1 === 4)
+    assert(got(1L)._2 === 0.5)
+    // doc 1 tokens: spam spam spam spam ok x x spam spam spam spam ok ->
+    // 11 bigrams, "spam spam" appears 6x -> 6/11
+    assert(got(1L)._3 === math.rint(6.0 / 11 * 1e6) / 1e6)
+    assert(got(2L) === ((1, 0.0, math.rint(1.0 / 5 * 1e6) / 1e6)))
+    assert(got(3L) === ((0, 0.0, 0.0)))
+  }
+
   test("fingerprints: one window-min per full window, deduplicated") {
     val d = docs(1L -> "a b c d e f g") // 7 tokens, w=5 -> 3 windows
     val n = TextAnalysis.fingerprints(d, w = 5).count()
