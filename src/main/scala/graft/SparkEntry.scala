@@ -141,6 +141,12 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
+    "q_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 100)),
+    "q_scrub" -> ((s, dir) => TextAnalysis.scrubStats(docs(s, dir))),
+
+    // ---- training-shard layout ------------------------------------------
+    "q_pack_shards" -> ((s, dir) =>
+      graft.ops.Sampling.packShards(docs(s, dir), tokenBudget = 512, buckets = 8)),
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -335,6 +341,35 @@ object SparkEntry {
          |    THEN round(CAST(a.max_bg AS DOUBLE) / a.n_bg, 6)
          |    ELSE 0.0 END AS top_bigram_frac
          |FROM lb l LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_top_ngrams" ->
+      s"""SELECT ngram, cnt FROM (
+         |  SELECT ngram, count(*) AS cnt,
+         |    row_number() OVER (ORDER BY count(*) DESC, ngram ASC) AS rn
+         |  FROM (SELECT unnest(CASE WHEN len(ts) >= 2
+         |          THEN list_transform(generate_series(1, len(ts) - 1), i -> ts[i] || ' ' || ts[i+1])
+         |          ELSE CAST([] AS VARCHAR[]) END) AS ngram
+         |        FROM (SELECT $TOKS AS ts FROM documents))
+         |  GROUP BY ngram) WHERE rn <= 100""".stripMargin,
+    "q_scrub" ->
+      // single-quoted SQL strings keep the backslashes literal, so RE2
+      // sees the same \t\n\r escapes the Java pattern does
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+        |  CAST(len(regexp_extract_all(text, 'https?://[^ \t\n\r"]+')) AS INTEGER) AS n_urls,
+        |  md5(regexp_replace(regexp_replace(text, 'https?://[^ \t\n\r"]+', '<URL>', 'g'),
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS clean_hash
+        |FROM documents""".stripMargin,
+    "q_pack_shards" ->
+      s"""WITH t AS (SELECT doc_id, len($TOKS) AS n_tokens,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens, pack_bucket,
+         |    sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
+         |  CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket
+         |FROM c""".stripMargin,
     "q_label_centroids" ->
       // DECIMAL accumulation per coordinate (order-independent, exact),
       // one divide in double, round 6 — the moneySum treatment

@@ -32,6 +32,37 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Sequence packing for training shards: assign each document a
+    * (pack_bucket, shard_in_bucket) so that concatenating a bucket's
+    * documents in doc_id order and cutting every `tokenBudget` tokens
+    * puts each document's FIRST token in its assigned shard — the
+    * GPT-style pack-and-split layout, computed without materializing
+    * any concatenation.
+    *
+    * Scale shape: a single global running sum would be one unpartitioned
+    * window (one task); instead documents are first md5-bucketed into
+    * `buckets` independent streams (deterministic, engine-reproducible)
+    * and the running token sum is windowed per bucket — buckets-way
+    * parallel, which is how a multi-writer shard job runs anyway.
+    */
+  def packShards(docs: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame = {
+    require(tokenBudget > 0 && buckets > 0, s"bad packing params $tokenBudget/$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val w = Window.partitionBy("pack_bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(col("doc_id"),
+        size(graft.core.TextNorm.tokens(col("text"))).as("n_tokens"),
+        bucket.as("pack_bucket"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("pack_bucket"),
+        floor((col("cum_tokens") - col("n_tokens")) / tokenBudget)
+          .cast("int").as("shard_in_bucket"))
+  }
+
   /** Stratified deterministic sample: keep up to `perStratum` rows per
     * stratum, chosen by md5 order (a stable "random" order any engine
     * reproduces), ties broken by id. One shuffle on the stratum key. */

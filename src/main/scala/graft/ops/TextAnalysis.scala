@@ -107,6 +107,46 @@ object TextAnalysis {
     )
   }
 
+  /** Corpus-level top-k n-grams — the classic MapReduce demo query,
+    * done with the plan it deserves: partial+final hash aggregation on
+    * the n-gram, then `orderBy(...).limit(k)`, which Spark plans as
+    * TakeOrderedAndProject — a bounded k-row heap per partition and a
+    * k·partitions merge on the driver. Nothing global is ever sorted:
+    * at 100 TB the full ngram→count table stays distributed and only
+    * k rows per task travel. Ties broken by the n-gram string.
+    */
+  def topNgrams(docs: DataFrame, n: Int = 2, k: Int = 100): DataFrame = {
+    val grams = when(size(col("ts")) >= n,
+      transform(sequence(lit(1), size(col("ts")) - (n - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(n))))
+    ).otherwise(array().cast("array<string>"))
+    graft.core.Parallelism.ensure(docs)
+      .select(TextNorm.tokens(col("text")).as("ts"))
+      .select(explode(grams).as("ngram"))
+      .groupBy("ngram")
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("ngram").asc)
+      .limit(k)
+  }
+
+  /** PII/noise scrubbing stats (the C4-style cleanup pass): count and
+    * redact email addresses and URLs. Emits per-document counts plus
+    * the md5 of the redacted text, so a gate can verify the exact
+    * replacement behavior, not just the counts. Patterns stay in the
+    * Java-regex ∩ RE2 common subset so any engine reproduces them.
+    * Pure row-parallel column work — no shuffle at any scale.
+    */
+  def scrubStats(docs: DataFrame): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val url = "https?://[^ \\t\\n\\r\"]+"
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(email)).cast("int").as("n_emails"),
+        regexp_count(col("text"), lit(url)).cast("int").as("n_urls"),
+        md5(regexp_replace(regexp_replace(col("text"), url, "<URL>"),
+          email, "<EMAIL>")).as("clean_hash"))
+  }
+
   /** Repetition signals (the Gopher-rule family): within-document
     * repetition is the strongest cheap indicator of boilerplate/spam in
     * a training corpus.

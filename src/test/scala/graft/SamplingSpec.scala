@@ -33,4 +33,26 @@ class SamplingSpec extends SparkSpec {
       assert(rows.map(_._2).sorted.toSeq === (1 to 7))
     }
   }
+
+  test("packShards: per-bucket running token sums place each doc's first token") {
+    import org.apache.spark.sql.functions.{col, conv, md5, substring}
+    val d = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val got = Sampling.packShards(d, tokenBudget = 10, buckets = 4)
+      .as[(Long, Int, Int, Int)].collect()
+    assert(got.length === 40)
+    // recompute the packing per bucket in plain Scala
+    got.groupBy(_._3).foreach { case (_, rows) =>
+      var cum = 0L
+      rows.sortBy(_._1).foreach { case (_, n, _, shard) =>
+        assert(shard === (cum / 10).toInt)
+        cum += n
+      }
+    }
+    // bucket assignment is the deterministic md5 bucket
+    val bucketCheck = d.select(col("doc_id"),
+      (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+        .cast("long") % 4).cast("int").as("b"))
+      .as[(Long, Int)].collect().toMap
+    got.foreach { case (id, _, b, _) => assert(b === bucketCheck(id)) }
+  }
 }

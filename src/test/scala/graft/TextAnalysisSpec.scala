@@ -58,6 +58,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(3L) === ((0, 0.0, 0.0)))
   }
 
+  test("topNgrams: counts corpus-wide, ranks by count desc then ngram asc") {
+    val d = docs(
+      1L -> "a b a b c",        // bigrams: a b, b a, a b, b c
+      2L -> "a b z z")          // bigrams: a b, b z, z z
+    val got = TextAnalysis.topNgrams(d, n = 2, k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(got === Seq(("a b", 3L), ("b a", 1L), ("b c", 1L)))
+  }
+
+  test("topNgrams plans a bounded TakeOrdered, not a global sort") {
+    val plan = TextAnalysis.topNgrams(docs(1L -> "a b c"), 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("scrubStats counts and redacts emails and urls identically") {
+    val d = docs(
+      1L -> "mail me at jane.doe+x@example.com or visit https://ex.com/a?b=1 now",
+      2L -> "no pii here")
+    val got = TextAnalysis.scrubStats(d)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 1 && got(1L)._3 === 1)
+    assert(got(2L)._2 === 0 && got(2L)._3 === 0)
+    // the redacted text is pinned by its md5
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest("mail me at <EMAIL> or visit <URL> now".getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    assert(got(1L)._4 === expected)
+  }
+
   test("fingerprints: one window-min per full window, deduplicated") {
     val d = docs(1L -> "a b c d e f g") // 7 tokens, w=5 -> 3 windows
     val n = TextAnalysis.fingerprints(d, w = 5).count()
