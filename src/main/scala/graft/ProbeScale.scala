@@ -49,7 +49,15 @@ object ProbeScale {
       .repartition(32)
     val dense = docs.limit(50000).select("doc_id", "text").unionByName(copies)
     time("dense_pairs_capped")(Dedup.minhashCandidatePairs(dense, bucketCap = 64).count())
-    time("dense_pairs_uncapped")(Dedup.minhashCandidatePairs(dense, bucketCap = Int.MaxValue).count())
+    if (sys.env.contains("PROBE_UNCAPPED"))
+      time("dense_pairs_uncapped")(Dedup.minhashCandidatePairs(dense, bucketCap = Int.MaxValue).count())
+    // round-3 operators at ~sf1
+    time("clusters")(Dedup.clusters(Dedup.minhashCandidatePairs(docs)).count())
+    time("minhash_est")(Dedup.minhashEstimatedPairs(docs).count())
+    time("top_ngrams")(graft.ops.TextAnalysis.topNgrams(docs, 2, 100).count())
+    time("repetition")(graft.ops.TextAnalysis.repetitionSignals(docs).count())
+    time("scrub")(graft.ops.TextAnalysis.scrubStats(docs).count())
+    time("pack_shards")(graft.ops.Sampling.packShards(docs, 2048, 32).count())
     spark.stop()
   }
 }

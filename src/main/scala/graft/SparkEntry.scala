@@ -155,6 +155,8 @@ object SparkEntry {
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashCandidatePairs(docs(s, dir)))),
+    "q_dedup_keep" -> ((s, dir) =>
+      Dedup.dropNearDuplicates(docs(s, dir)).select("doc_id")),
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -413,6 +415,19 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
          |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+    "q_dedup_keep" ->
+      // survivors of end-to-end near-dup removal: everything except
+      // non-canonical cluster members
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -244,13 +244,20 @@ object Dedup {
     * signature as a bigint. One groupBy shuffle.
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+    require(bits % 4 == 0, s"bits=$bits must be a multiple of 4 (hex digits)")
+    // materialize each hex DIGIT's value once per token row — the four
+    // bit aggregates of a digit then share it (the inlined form
+    // re-evaluated conv(substring(...)) once per bit per row: 4x the
+    // parse work inside the aggregate's input projection)
     val tok = tokenized(docs)
       .select(col("doc_id"), explode(col("ts")).as("word"))
       .select(col("doc_id"), md5(col("word")).as("h"))
+      .select(col("doc_id") +: (0 until bits / 4).map { d =>
+        conv(substring(col("h"), d + 1, 1), 16, 10).cast("int").as(s"d$d")
+      }: _*)
     // bit j of the hash = bit (3 - j%4) of hex digit j/4
     def bitOf(j: Int): Column =
-      (conv(substring(col("h"), j / 4 + 1, 1), 16, 10).cast("int")
-        .bitwiseAND(lit(1 << (3 - j % 4))) > 0).cast("int")
+      (col(s"d${j / 4}").bitwiseAND(lit(1 << (3 - j % 4))) > 0).cast("int")
     val weights = (0 until bits).map(j => sum(bitOf(j) * 2 - 1).as(s"w$j"))
     val agg = tok.groupBy("doc_id").agg(weights.head, weights.tail: _*)
     val sig = (0 until bits).map(j =>
@@ -361,6 +368,27 @@ object Dedup {
     * Only docs that appear in `pairs` are emitted (singletons are their
     * own cluster trivially).
     */
+  /** End-to-end near-duplicate removal: the whole dedup story as one
+    * call — candidate pairs (hybrid LSH) → connected components →
+    * drop every non-canonical cluster member. Docs in, surviving docs
+    * out; singletons pass through untouched (they never enter the pair
+    * graph). The drop set is one column of doc ids — usually tiny
+    * relative to the corpus, but a dup-heavy crawl can make it large,
+    * so the anti-join strategy is left to AQE (broadcast when it fits,
+    * shuffle when it doesn't) rather than hinted.
+    */
+  def dropNearDuplicates(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      bucketCap: Int = 64): DataFrame = {
+    val losers = clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap))
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
     val edges = graft.core.Materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -129,6 +129,14 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(3L -> 3L, 7L -> 3L, 9L -> 3L)) // 30 is a singleton: absent
   }
 
+  test("dropNearDuplicates keeps one canonical doc per cluster plus singletons") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(3L -> text, 7L -> text, 9L -> text,
+      30L -> "completely unrelated words nothing shared at all")
+    val kept = Dedup.dropNearDuplicates(d).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L, 30L)) // cluster canonical + untouched singleton
+  }
+
   test("materialization strategies agree and each executes the signature pipeline once") {
     import graft.core.Materialize
     val d = docs((1L to 10L).map(i =>
