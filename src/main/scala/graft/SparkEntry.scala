@@ -157,6 +157,14 @@ object SparkEntry {
       Dedup.clusters(Dedup.minhashCandidatePairs(docs(s, dir)))),
     "q_dedup_keep" -> ((s, dir) =>
       Dedup.dropNearDuplicates(docs(s, dir)).select("doc_id")),
+    "q_decontaminate" -> { (s, dir) =>
+      // stand-in eval corpus: every 50th document; survivors = training
+      // docs sharing no 3-gram with it
+      val d = docs(s, dir)
+      Dedup.decontaminate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0)).select("doc_id")
+    },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
@@ -318,6 +326,12 @@ object SparkEntry {
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents))
          |) WHERE pos >= 5""".stripMargin,
 
+    "q_decontaminate" ->
+      s"""WITH evsh AS (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 <> 0),
+         |bad AS (SELECT DISTINCT t.doc_id FROM tr t JOIN evsh e USING (shingle))
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "q_repetition" ->
       s"""WITH base AS (
          |  SELECT doc_id,

@@ -316,6 +316,28 @@ object Dedup {
       .distinct()
   }
 
+  /** Benchmark decontamination: drop every training document that shares
+    * at least one w-token shingle with the evaluation corpus — the
+    * standard n-gram-overlap filter run before training so eval answers
+    * don't leak into the training set.
+    *
+    * Plan shape: both corpora reduce to DISTINCT (doc, shingle) streams;
+    * contaminated ids = semi-join of train shingles against the eval
+    * shingle set (shuffle keyed on the shingle, eval side typically
+    * small → AQE broadcasts it); the final filter is an anti-join on
+    * doc_id. The corpus text itself never moves — only shingles and ids.
+    */
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame = {
+    val trainSh = shingled(docs, w)
+      .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
+    val evalSh = shingled(evalDocs.select(col("doc_id"), col("text")), w)
+      .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
+    val contaminated = trainSh
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Candidate pairs WITH an estimated Jaccard similarity, read straight
     * off the minhash signatures: est = (matching signature positions)/k.
     * This is the minwise estimator (Broder '97) — E[est] = exact Jaccard

@@ -137,6 +137,16 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 30L)) // cluster canonical + untouched singleton
   }
 
+  test("decontaminate drops exactly the docs sharing a shingle with the eval set") {
+    val train = docs(
+      1L -> "alpha beta gamma delta epsilon",   // shares "beta gamma delta" w/ eval
+      2L -> "one two three four five",
+      3L -> "unrelated totally different words here")
+    val eval = docs(100L -> "xx beta gamma delta yy")
+    val kept = Dedup.decontaminate(train, eval).select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(2L, 3L))
+  }
+
   test("materialization strategies agree and each executes the signature pipeline once") {
     import graft.core.Materialize
     val d = docs((1L to 10L).map(i =>
