@@ -198,7 +198,9 @@ object InvertedIndex {
           while (i < ps.size) {
             if (i > 0) out.write(",")
             out.write("\n        \"")
-            out.write(ps(i).getLong(0).toString)
+            // doc ids may be longs (fixtures) or filenames (the
+            // reference's corpus) — either renders as a JSON string key
+            out.write(pyJsonEscape(ps(i).get(0).toString))
             out.write("\": ")
             out.write(ps(i).getLong(1).toString)
             i += 1

@@ -58,6 +58,11 @@ object CorpusWatcher {
     * @param availableNow process what's there, then stop — the
     *   batch-per-arrival semantics of the reference trigger; false for
     *   a continuously running watcher.
+    * @param finalJsonPath when set, every batch also re-exports the
+    *   merged index as the reference's single pretty-printed
+    *   `final_results.json` (`master/main.py:123-126` rewrites it per
+    *   upload) — completing the reference's end-to-end upload→artifact
+    *   flow. Leave None at scale; the snapshot is the real store.
     */
   def start(
       spark: SparkSession,
@@ -65,7 +70,8 @@ object CorpusWatcher {
       indexDir: String,
       checkpointDir: String,
       parityAdd: Boolean = false,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      finalJsonPath: Option[String] = None): StreamingQuery = {
     val docs = spark.readStream
       .format("text")
       .load(watchDir)
@@ -89,6 +95,9 @@ object CorpusWatcher {
         Files.write(tmp, snap.getBytes("UTF-8"))
         Files.move(tmp, Paths.get(indexDir, Latest),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        finalJsonPath.foreach { p =>
+          InvertedIndex.exportSingleFileJson(session.read.parquet(s"$indexDir/$snap"), p)
+        }
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -38,6 +38,31 @@ class CorpusWatcherSpec extends SparkSpec {
       ("bird", "c.txt", 1L)))
   }
 
+  test("finalJsonPath re-exports the reference artifact on every batch") {
+    val (watch, index, ckpt) = (tmp("watchj"), tmp("indexj"), tmp("ckptj"))
+    val json = s"${tmp("finalj")}/final_results.json"
+    writeDoc(watch, "a.txt", "cat dog cat")
+    CorpusWatcher.start(spark, watch, index, ckpt,
+      finalJsonPath = Some(json)).awaitTermination()
+    val got1 = new String(Files.readAllBytes(Paths.get(json)), "UTF-8")
+    // reference shape: json.dumps(indent=4), filename keys
+    assert(got1 ===
+      """{
+        |    "cat": {
+        |        "a.txt": 2
+        |    },
+        |    "dog": {
+        |        "a.txt": 1
+        |    }
+        |}""".stripMargin)
+    // a new upload rewrites the artifact with the merged index
+    writeDoc(watch, "b.txt", "dog")
+    CorpusWatcher.start(spark, watch, index, ckpt,
+      finalJsonPath = Some(json)).awaitTermination()
+    val got2 = new String(Files.readAllBytes(Paths.get(json)), "UTF-8")
+    assert(got2.contains("\"b.txt\": 1") && got2.contains("\"a.txt\": 2"))
+  }
+
   test("parityAdd mode reproduces the reference's additive double-count") {
     val (watch, index, ckpt) = (tmp("watchp"), tmp("indexp"), tmp("ckptp"))
     writeDoc(watch, "a.txt", "cat cat dog")
