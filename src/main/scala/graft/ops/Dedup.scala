@@ -436,6 +436,13 @@ object Dedup {
       labels = next.select("doc_id", "cluster_id")
       it += 1
     }
+    if (!converged)
+      // a graph with diameter > maxIterations (not a dedup shape): the
+      // min label hasn't reached every member yet, so one true
+      // component may still carry several labels (over-split)
+      System.err.println(
+        s"[graft] Dedup.clusters: not converged after $maxIterations rounds; " +
+          "components may be over-split (raise maxIterations)")
     labels
   }
 }
