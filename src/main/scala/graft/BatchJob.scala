@@ -43,6 +43,10 @@ object BatchJob {
       s"mapper/reducer counts must be positive, got $numberOfMappers/$numberOfReducers")
     val session = spark.newSession()
     session.conf.set("spark.sql.shuffle.partitions", numberOfReducers)
+    // the caller asked for EXACTLY R reducers; AQE would coalesce the
+    // counting shuffle below that on a small corpus (cloned session
+    // only — normal queries keep adaptive coalescing)
+    session.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
     val paths = filenames.map(f => s"$corpusDir/$f")
     val docs = session.read.option("wholetext", "true").text(paths: _*)
       .select(regexp_extract(input_file_name(), "[^/]+$", 0).as("doc_id"),

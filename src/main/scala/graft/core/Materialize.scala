@@ -39,7 +39,17 @@ object Materialize {
   case object Persist extends Strategy
 
   /** Materialize `df` under the chosen strategy so later multiple
-    * references execute its pipeline exactly once. */
+    * references execute its pipeline exactly once.
+    *
+    * Lifecycle note for [[Persist]]: the cache entry lives until the
+    * session drops it — a long-running job that calls a persisting
+    * operator per batch should `df.unpersist()` its outputs' inputs (or
+    * `spark.sharedState.cacheManager.clearCache()` between batches)
+    * once downstream results are materialized, or executor storage
+    * accumulates one signature/bucket table per call. LocalCheckpoint
+    * blocks are dropped with the RDD by the ContextCleaner once
+    * unreferenced.
+    */
   def apply(df: DataFrame, strategy: Strategy = LocalCheckpoint): DataFrame =
     strategy match {
       case LocalCheckpoint => df.localCheckpoint()

@@ -52,7 +52,8 @@ object TextNorm {
     s.trim.toLowerCase.replaceAll("(?U)[^a-z0-9\\s\\x1c-\\x1f]", "")
 
   /** Input validation for lookup keys: `main/app.py:43-44` rejects any
-    * input containing whitespace (`^[^\s\n]+$`).
+    * input containing whitespace (`^[^\s\n]+$`) — Python `\s`, so the
+    * class is Unicode plus the C0 separators, like the normalizer.
     */
-  def isValidKey(s: String): Boolean = s.matches("^[^\\s\\n]+$")
+  def isValidKey(s: String): Boolean = s.matches("(?U)^[^\\s\\x1c-\\x1f]+$")
 }

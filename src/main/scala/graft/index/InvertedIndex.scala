@@ -233,15 +233,23 @@ object InvertedIndex {
   }
 
   /** Parse a [[exportSingleFileJson]] artifact back into the flat
-    * canonical index (the import half of the reference's final file). */
-  def importSingleFileJson(spark: SparkSession, path: String): DataFrame = {
+    * canonical index (the import half of the reference's final file).
+    *
+    * @param docIdType type to give the JSON's string doc keys: "long"
+    *   for the numeric-id fixtures, "string" for the reference's
+    *   filename-keyed corpora (a long cast would silently null those).
+    */
+  def importSingleFileJson(
+      spark: SparkSession, path: String, docIdType: String = "long"): DataFrame = {
     import org.apache.spark.sql.types.{LongType, MapType, StringType}
+    require(docIdType == "long" || docIdType == "string",
+      s"docIdType must be long or string, got $docIdType")
     spark.read.option("wholetext", "true").text(path)
       .select(from_json(col("value"),
         MapType(StringType, MapType(StringType, LongType))).as("m"))
       .select(explode(col("m")).as(Seq("word", "postings")))
       .select(col("word"), explode(col("postings")).as(Seq("doc_id", "cnt")))
-      .select(col("word"), col("doc_id").cast("long").as("doc_id"), col("cnt"))
+      .select(col("word"), col("doc_id").cast(docIdType).as("doc_id"), col("cnt"))
   }
 
   /** Round-trip: parse the nested export back into the flat canonical

@@ -372,24 +372,6 @@ object Dedup {
       .filter(col("est_jaccard") >= minEst)
   }
 
-  /** Duplicate CLUSTERS from candidate pairs: connected components by
-    * iterative min-label propagation — every doc gets the smallest
-    * doc_id reachable through the pair graph as its `cluster_id` (so the
-    * canonical representative of each near-dup group is its minimum id,
-    * matching [[exact]]'s convention).
-    *
-    * Each round: one join (edge src → current label) + one min-agg per
-    * node + a convergence count; rounds = graph diameter. LSH dedup
-    * components are near-cliques (every member shares a band bucket
-    * with most others), so 2-3 rounds close them; a long-diameter graph
-    * would want the large-star/small-star variant (Kiveris et al.,
-    * "Connected Components in MapReduce"), which this loop structure
-    * accommodates. Labels are checkpointed per round — the iterative
-    * lineage would otherwise grow unboundedly.
-    *
-    * Only docs that appear in `pairs` are emitted (singletons are their
-    * own cluster trivially).
-    */
   /** End-to-end near-duplicate removal: the whole dedup story as one
     * call — candidate pairs (hybrid LSH) → connected components →
     * drop every non-canonical cluster member. Docs in, surviving docs
@@ -404,20 +386,45 @@ object Dedup {
       w: Int = 3,
       k: Int = 8,
       bands: Int = 2,
-      bucketCap: Int = 64): DataFrame = {
-    val losers = clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap))
+      bucketCap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val losers = clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat), mat = mat)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
     docs.join(losers, Seq("doc_id"), "left_anti")
   }
 
-  def clusters(pairs: DataFrame, maxIterations: Int = 20): DataFrame = {
+  /** Duplicate CLUSTERS from candidate pairs: connected components by
+    * iterative min-label propagation — every doc gets the smallest
+    * doc_id reachable through the pair graph as its `cluster_id` (so the
+    * canonical representative of each near-dup group is its minimum id,
+    * matching [[exact]]'s convention).
+    *
+    * Each round: one join (edge src → current label) + one min-agg per
+    * node + a convergence count; rounds = graph diameter. LSH dedup
+    * components are near-cliques (every member shares a band bucket
+    * with most others), so 2-3 rounds close them; a long-diameter graph
+    * would want the large-star/small-star variant (Kiveris et al.,
+    * "Connected Components in MapReduce"), which this loop structure
+    * accommodates. Labels are materialized per round (strategy
+    * pluggable) — the iterative lineage would otherwise grow
+    * unboundedly.
+    *
+    * Only docs that appear in `pairs` are emitted (singletons are their
+    * own cluster trivially).
+    */
+  def clusters(
+      pairs: DataFrame,
+      maxIterations: Int = 20,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     val edges = graft.core.Materialize(
       pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+        .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))),
+      mat)
     var labels = graft.core.Materialize(
       edges.select(col("src").as("doc_id")).distinct()
-        .select(col("doc_id"), col("doc_id").as("cluster_id")))
+        .select(col("doc_id"), col("doc_id").as("cluster_id")),
+      mat)
     var converged = false
     var it = 0
     while (!converged && it < maxIterations) {
@@ -431,7 +438,8 @@ object Dedup {
           .join(neighborMin, labels("doc_id") === col("n_doc_id"), "left")
           .select(col("doc_id"),
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-            (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("changed")))
+            (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("changed")),
+        mat)
       converged = next.filter(col("changed")).limit(1).count() == 0
       labels = next.select("doc_id", "cluster_id")
       it += 1

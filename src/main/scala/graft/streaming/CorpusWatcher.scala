@@ -96,7 +96,13 @@ object CorpusWatcher {
         Files.move(tmp, Paths.get(indexDir, Latest),
           StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         finalJsonPath.foreach { p =>
-          InvertedIndex.exportSingleFileJson(session.read.parquet(s"$indexDir/$snap"), p)
+          // same discipline as the pointer swap: write aside, then move
+          // atomically — a polling reader never sees a truncated
+          // artifact, and a mid-write crash keeps the previous one
+          val tmpJson = s"$p.tmp"
+          InvertedIndex.exportSingleFileJson(session.read.parquet(s"$indexDir/$snap"), tmpJson)
+          Files.move(Paths.get(tmpJson), Paths.get(p),
+            StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         }
         ()
       }

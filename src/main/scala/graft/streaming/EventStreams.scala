@@ -119,9 +119,10 @@ object EventStreams {
   def dedupStream(
       events: DataFrame,
       keyCols: Seq[String],
-      lateness: String = "10 minutes"): DataFrame =
+      lateness: String = "10 minutes",
+      tsCol: String = "ts"): DataFrame =
     events
-      .withWatermark("ts", lateness)
+      .withWatermark(tsCol, lateness)
       .dropDuplicatesWithinWatermark(keyCols.head, keyCols.tail: _*)
 
   final case class EvT(user_id: Long, ts: java.sql.Timestamp, event_type: String)
@@ -167,7 +168,11 @@ object EventStreams {
             sorted.foreach { t =>
               open match {
                 case Some(s) if t - s.end <= gapMs =>
-                  open = Some(s.copy(end = t, n = s.n + 1))
+                  // min/max, not assignment: a late-but-within-watermark
+                  // event from a later micro-batch may PRECEDE the open
+                  // session's bounds — the span must never regress
+                  open = Some(SessionState(
+                    math.min(s.start, t), math.max(s.end, t), s.n + 1))
                 case Some(s) =>
                   closed += UserSession(uid, s.start, s.end, s.n)
                   open = Some(SessionState(t, t, 1))

@@ -136,6 +136,32 @@ class EventStreamsSpec extends SparkSpec {
     assert(afterB3 === Set(u1Session))
   }
 
+  test("sessionizeStream: late-but-within-watermark events never regress session bounds") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String): Timestamp = Timestamp.valueOf(s"2026-01-01 $s")
+    val in = MemoryStream[EventStreams.EvT]
+    val q = EventStreams.sessionizeStream(in.toDS(), gapMs = 30L * 60 * 1000,
+        lateness = "1 hour") // generous watermark: late arrivals stay in scope
+      .writeStream.format("memory").queryName("sess_late").outputMode("append")
+      .trigger(Trigger.ProcessingTime(0)).start()
+
+    in.addData(EventStreams.EvT(1L, t("10:00:00"), "a"), EventStreams.EvT(1L, t("10:05:00"), "b"))
+    q.processAllAvailable()
+    // batch 2: two LATE user-1 events — one inside the open span, one
+    // before its start; end must stay 10:05, start must extend to 09:58
+    in.addData(EventStreams.EvT(1L, t("10:01:00"), "late"),
+      EventStreams.EvT(1L, t("09:58:00"), "later"),
+      EventStreams.EvT(2L, t("10:30:00"), "x"))
+    q.processAllAvailable()
+    // batch 3: push the watermark past user 1's end+gap deadline
+    in.addData(EventStreams.EvT(2L, t("12:00:00"), "y"))
+    q.processAllAvailable()
+    val rows = spark.table("sess_late").as[UserSession].collect().toSet
+    q.stop()
+    assert(rows.contains(
+      UserSession(1L, t("09:58:00").getTime, t("10:05:00").getTime, 4)))
+  }
+
   test("sessionize (flatMapGroupsWithState) matches the batch window formulation") {
     val evs = Seq(
       Ev(1L, 1000L, "a"), Ev(1L, 2000L, "b"), Ev(1L, 90000L, "c"), // gap at 90s

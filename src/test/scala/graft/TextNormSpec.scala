@@ -40,5 +40,10 @@ class TextNormSpec extends SparkSpec {
     assert(TextNorm.isValidKey("word"))
     assert(!TextNorm.isValidKey("two words"))
     assert(!TextNorm.isValidKey(""))
+    // Python \s parity: Unicode whitespace and the C0 separators are
+    // whitespace to the reference's validator too
+    assert(!TextNorm.isValidKey("a\u00a0b")) // NBSP
+    assert(!TextNorm.isValidKey("a\u001cb")) // file separator
+    assert(!TextNorm.isValidKey("a\u2003b")) // em space
   }
 }
