@@ -53,20 +53,12 @@ case class TopKByScore(
 
   private def scoreIsDouble: Boolean = score.dataType == DoubleType
 
-  /** Order-preserving IEEE-754 twist (an involution): positives keep
-    * their bits (they already sort correctly as signed longs), negatives
-    * flip every bit except the sign, inverting their magnitude order
-    * while staying below the positives. Signed-long comparison of the
-    * keys then matches java.lang.Double.compare (NaN sorts above +Inf —
-    * never fed here). */
-  private def twist(bits: Long): Long = bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
-
   private def toKey(s: Any): Long =
-    if (scoreIsDouble) twist(java.lang.Double.doubleToLongBits(s.asInstanceOf[Double]))
+    if (scoreIsDouble) TopKByScore.sortableDoubleKey(s.asInstanceOf[Double])
     else s.asInstanceOf[Long]
 
   private def fromKey(key: Long): Any =
-    if (scoreIsDouble) java.lang.Double.longBitsToDouble(twist(key))
+    if (scoreIsDouble) TopKByScore.doubleFromSortableKey(key)
     else key
 
   override def dataType: DataType = ArrayType(StructType(Seq(
@@ -143,6 +135,20 @@ case class TopKByScore(
 }
 
 object TopKByScore {
+  /** Order-preserving IEEE-754 twist (an involution): positives keep
+    * their bits (they already sort correctly as signed longs), negatives
+    * flip every bit except the sign, inverting their magnitude order
+    * while staying below the positives. Signed-long comparison of the
+    * keys then matches java.lang.Double.compare (NaN sorts above +Inf —
+    * never fed here). Property-tested in TopKByScoreSpec. */
+  private def twist(bits: Long): Long = bits ^ ((bits >> 63) & 0x7fffffffffffffffL)
+
+  private[functions] def sortableDoubleKey(d: Double): Long =
+    twist(java.lang.Double.doubleToLongBits(d))
+
+  private[functions] def doubleFromSortableKey(key: Long): Double =
+    java.lang.Double.longBitsToDouble(twist(key))
+
   /** Worst element is the maximum: lowest score key, then highest id. */
   private[functions] object WorstFirst extends Ordering[(Long, Long)] {
     override def compare(a: (Long, Long), b: (Long, Long)): Int = {
