@@ -57,4 +57,25 @@ object TextCorpus {
         col("Word").as("word"),
         col("Document").as("doc_id"),
         col("Count").as("cnt"))
+
+  /** JSONL corpus scan — the interchange format most large text corpora
+    * ship in (one JSON object per line, `{"doc_id": ..., "text": ...}`
+    * plus arbitrary extra fields, which are preserved). The schema is
+    * EXPLICIT: inference would scan the data twice and silently widen
+    * types between drops. JSONL is line-splittable, so a 100 TB corpus
+    * scans with normal block parallelism — unlike wholetext files.
+    *
+    * @param extraFields additional `name DDL-type` column declarations,
+    *   e.g. `Seq("lang STRING", "source STRING")`.
+    */
+  def readJsonl(spark: SparkSession, path: String,
+      extraFields: Seq[String] = Nil): DataFrame =
+    spark.read
+      .schema(("doc_id BIGINT" +: "text STRING" +: extraFields).mkString(", "))
+      .json(path)
+
+  /** JSONL corpus sink (one object per line, UTF-8) — the export twin
+    * of [[readJsonl]]. */
+  def writeJsonl(docs: DataFrame, path: String): Unit =
+    docs.write.mode("overwrite").json(path)
 }

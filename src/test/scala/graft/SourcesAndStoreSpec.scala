@@ -38,6 +38,21 @@ class SourcesAndStoreSpec extends SparkSpec {
     assert(back === Set(("cat", "1", 2L), ("dog", "1", 1L)))
   }
 
+  test("JSONL corpus round-trips with extra fields preserved") {
+    val dir = tmp("jsonl") + "/corpus"
+    val docs = Seq((1L, "hello world", "en"), (2L, "hola mundo", "es"))
+      .toDF("doc_id", "text", "lang")
+    TextCorpus.writeJsonl(docs, dir)
+    val back = TextCorpus.readJsonl(spark, dir, extraFields = Seq("lang STRING"))
+      .as[(Long, String, String)].collect().toSet
+    assert(back === Set((1L, "hello world", "en"), (2L, "hola mundo", "es")))
+    // and the index pipeline runs straight off it
+    val idx = graft.index.InvertedIndex.build(TextCorpus.readJsonl(spark, dir))
+      .as[(String, Long, Long)].collect().toSet
+    assert(idx === Set(("hello", 1L, 1L), ("world", 1L, 1L),
+      ("hola", 2L, 1L), ("mundo", 2L, 1L)))
+  }
+
   test("IndexStore round-trips and lookup prunes partitions") {
     val idx = InvertedIndex.build(Seq(
       (1L, "apple banana apple"), (2L, "banana cherry")).toDF("doc_id", "text"))
