@@ -39,18 +39,24 @@ object Bench {
     // noise (this box shows 1.5-2x drift and multi-second stalls between
     // identical runs). Labeled in the output ("runs"/"agg").
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt.max(1)
+    // a failed query must NOT enter the min as its (fast) failure time —
+    // that would report a broken query as a speedup; poison it instead
+    // and list it in a "failures" field
+    val Poison = 1e9
     def onePass(): Map[String, Double] = selected.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}"); false }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else Poison)
     }
     val passes = (1 to runs).map(_ => onePass())
     val results = passes.head.keys.map { k => k -> passes.map(_(k)).min }.toMap
+    val failures = results.collect { case (k, v) if v >= Poison => k }.toSeq.sorted
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","failures":$fs}""")
     spark.stop()
   }
 }

@@ -292,8 +292,10 @@ object SparkEntry {
          |  CAST(len(ts) AS DOUBLE) / length(text) AS tokens_per_char
          |FROM (SELECT doc_id, text, $TOKS AS ts FROM documents)""".stripMargin,
     "q_bpe_tokens" ->
+      // coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed
+      // makes a token-less document 0 — the engines must agree
       s"""SELECT doc_id,
-         |  CAST(list_sum(list_transform(ts, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))) AS BIGINT) AS n_bpe_tokens
+         |  CAST(coalesce(list_sum(list_transform(ts, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens
          |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin,
     "q_quality" -> {
       val stop = Stop.en

@@ -55,4 +55,16 @@ object Materialize {
       case LocalCheckpoint => df.localCheckpoint()
       case Persist         => df.persist(StorageLevel.MEMORY_AND_DISK)
     }
+
+  /** Release a table previously materialized with [[apply]] once its
+    * consumers have materialized (iterative algorithms call this on the
+    * superseded round's table). Persist: drop the cache entry without
+    * blocking. LocalCheckpoint: no-op — the checkpoint RDD's blocks are
+    * reclaimed by the ContextCleaner when the DataFrame becomes
+    * unreachable. */
+  def release(df: DataFrame, strategy: Strategy): Unit =
+    strategy match {
+      case LocalCheckpoint => ()
+      case Persist         => df.unpersist(blocking = false); ()
+    }
 }

@@ -49,7 +49,12 @@ object TextNorm {
     * key is a scalar, not a column.
     */
   def normalizeKey(s: String): String =
-    s.trim.toLowerCase.replaceAll("(?U)[^a-z0-9\\s\\x1c-\\x1f]", "")
+    // Locale.ROOT: default-locale toLowerCase turns "I" into dotless ı
+    // under Turkish-family locales, which the keep-set then strips —
+    // the column path (Spark lower()) and Python .lower() are both
+    // locale-independent, so this must be too
+    s.trim.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("(?U)[^a-z0-9\\s\\x1c-\\x1f]", "")
 
   /** Input validation for lookup keys: `main/app.py:43-44` rejects any
     * input containing whitespace (`^[^\s\n]+$`) — Python `\s`, so the

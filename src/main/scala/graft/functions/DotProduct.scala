@@ -20,7 +20,11 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
   *
   * Numeric contract: sequential fold in index order — bit-identical to
   * the HOF formulation and to DuckDB's `list_reduce(list_transform(..))`
-  * twin, so oracle hashes are unchanged.
+  * twin, so oracle hashes are unchanged. Length-mismatched inputs
+  * return NULL (a corrupt embedding must surface, not produce a
+  * plausible truncated score). Null ELEMENTS are read as 0.0 — the raw
+  * unsafe-buffer semantics; pipelines with nullable embedding elements
+  * should repair them upstream.
   */
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -38,12 +42,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  override def nullable: Boolean = true // null inputs OR length mismatch
+
   override def prettyName: String = "graft_dot"
 
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    val n = a.numElements()
+    if (n != b.numElements()) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
@@ -59,12 +66,16 @@ case class DotProduct(left: Expression, right: Expression)
       val n = ctx.freshName("n")
       val acc = ctx.freshName("acc")
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += $a.getDouble($i) * $b.getDouble($i);
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $acc += $a.getDouble($i) * $b.getDouble($i);
+         |  }
+         |  ${ev.value} = $acc;
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -63,12 +63,16 @@ object InvertedIndex {
     * documents present in the delta, then union. This is the
     * correct-by-document semantics the reference lacks (SURVEY §7.5.1):
     * re-uploading a file replaces its counts instead of doubling them.
-    * The anti-join broadcasts the delta's (small) doc-id set.
+    * The anti-join's strategy is left to the planner: a typical delta's
+    * doc-id set is broadcast-sized, but the watcher's bulk-load path
+    * (first batch = the whole backlog) is not, and a hard broadcast
+    * hint there would OOM the driver instead of falling back to a
+    * shuffle join.
     */
   def upsertDocs(oldIndex: DataFrame, delta: DataFrame): DataFrame = {
     val deltaDocs = delta.select("doc_id").distinct()
     oldIndex
-      .join(broadcast(deltaDocs), Seq("doc_id"), "left_anti")
+      .join(deltaDocs, Seq("doc_id"), "left_anti")
       .unionByName(delta.select("doc_id", "word", "cnt"))
       .select("word", "doc_id", "cnt")
   }

@@ -112,6 +112,9 @@ object Dedup {
   /** Band projection over an existing wide signature table (so a caller
     * that already materialized signatures doesn't recompute them). */
   private def bandsFromWide(wide: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k signatures must divide evenly into bands=$bands (trailing " +
+        "signatures would silently drop out of every band key)")
     val r = k / bands
     val bandStructs = (0 until bands).map { b =>
       struct(
@@ -205,8 +208,16 @@ object Dedup {
     * generation (they'd contribute quadratic pairs; a shingle that
     * common is useless evidence of duplication anyway — this is the
     * standard guard that keeps the work linear at scale).
-    * Jaccard = |A∩B| / (|A|+|B|−|A∩B|) over distinct shingles; single
-    * division, deterministic.
+    *
+    * Semantics under the cap — be precise: the reported score is
+    * |A∩B restricted to df≤maxDf shingles| / (|A|+|B|−that), a LOWER
+    * BOUND of true Jaccard (common shared shingles count toward the
+    * sizes but not the intersection), and a cluster duplicated MORE
+    * than maxDf times has every shingle capped away and yields no pairs
+    * at all. That is the deliberate trade: this operator measures
+    * rare-evidence overlap at bounded cost; saturation-scale duplicate
+    * cliques are exactly what [[exact]] and [[minhashCandidatePairs]]
+    * (whose band buckets have no df cap) are for.
     *
     * Plan shape: per-doc distinct shingle sets are computed WITHOUT a
     * shuffle (`array_distinct` before explode; set sizes ride along as a
@@ -242,6 +253,12 @@ object Dedup {
     * Token hash bits come from the md5 hex prefix (4 bits per hex char)
     * so any engine reproduces them. Emits (doc_id, simhash) with the
     * signature as a bigint. One groupBy shuffle.
+    *
+    * Token-less documents (empty / all-punctuation text) are EXCLUDED —
+    * a signature over zero tokens carries no similarity signal, and
+    * pairing all empty docs would only manufacture hamming-0 cliques;
+    * they deduplicate via [[exact]] (shared empty normalized hash).
+    * The DuckDB twin drops them identically (unnest of an empty list).
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     require(bits % 4 == 0, s"bits=$bits must be a multiple of 4 (hex digits)")
@@ -427,6 +444,7 @@ object Dedup {
       mat)
     var converged = false
     var it = 0
+    var prevRound: DataFrame = labels // superseded round's materialization
     while (!converged && it < maxIterations) {
       val neighborMin = edges
         .join(labels, edges("src") === labels("doc_id"))
@@ -440,10 +458,18 @@ object Dedup {
             least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
             (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("changed")),
         mat)
-      converged = next.filter(col("changed")).limit(1).count() == 0
+      converged = next.filter(col("changed")).limit(1).count() == 0 // forces `next`
+      // the superseded round's cache is dead once `next` is materialized
+      // (not the final one — callers consume it); under Persist this
+      // keeps executor storage at O(1) tables instead of O(rounds)
+      if (prevRound ne next) graft.core.Materialize.release(prevRound, mat)
+      prevRound = next
       labels = next.select("doc_id", "cluster_id")
       it += 1
     }
+    // the edge table is only needed during propagation; the returned
+    // labels keep their own materialization (callers own that one)
+    graft.core.Materialize.release(edges, mat)
     if (!converged)
       // a graph with diameter > maxIterations (not a dedup shape): the
       // min label hasn't reached every member yet, so one true

@@ -42,9 +42,18 @@ object Similarity {
   def norm(a: Column): Column = sqrt(dot(a, a))
 
   /** cosine(a, b), rounded to 6 decimals (kills cross-engine 1-ulp
-    * noise; see module doc). */
+    * noise; see module doc); NULL when either vector has zero norm. */
   def cosine(a: Column, b: Column): Column =
-    round(dot(a, b) / (norm(a) * norm(b)), 6)
+    safeCos(dot(a, b), norm(a) * norm(b))
+
+  /** Cosine from a precomputed dot and norm product — NULL when the
+    * norm product is zero. 0/0 would be NaN, and NaN outranks every
+    * real score through the heap's sortable key; a NULL score instead
+    * is skipped by TopKByScore, fails threshold filters, and loses
+    * max_by comparisons, so zero vectors drop out of every ranking
+    * rather than topping all of them. */
+  private def safeCos(dotC: Column, normProd: Column): Column =
+    when(normProd > 0, round(dotC / normProd, 6))
 
   private def asDouble(c: Column): Column = c.cast("array<double>")
 
@@ -76,7 +85,7 @@ object Similarity {
       .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"))
     val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+        safeCos(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -106,7 +115,7 @@ object Similarity {
     val scored = c.join(q, Seq("bucket"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos"))
+        safeCos(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -142,7 +151,7 @@ object Similarity {
     // (ccos, -cell_id), partial-aggregated map-side, never sorted
     val assign = corp.join(cent)
       .select(col("neighbor_id"), col("v"), col("n"), col("cell_id"),
-        round(dot(col("v"), col("cv")) / (col("n") * col("cn")), 6).as("ccos"))
+        safeCos(dot(col("v"), col("cv")), col("n") * col("cn")).as("ccos"))
       .groupBy("neighbor_id")
       .agg(max_by(
         struct(col("cell_id"), col("v"), col("n")),
@@ -155,7 +164,7 @@ object Similarity {
       .select(col("query_id"), col("qv"), norm(col("qv")).as("qn"))
     val probes = q.join(cent)
       .select(col("query_id"), col("cell_id"),
-        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("pcos"))
+        safeCos(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("pcos"))
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.topK(col("pcos"), col("cell_id"), nprobe).as("tk"))
       .select(col("query_id"), explode(col("tk.id")).as("cell_id"))
@@ -164,7 +173,7 @@ object Similarity {
     val scored = probes.join(assign, Seq("cell_id"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(dot(col("qv"), col("v")) / (col("qn") * col("n")), 6).as("cos"))
+        safeCos(dot(col("qv"), col("v")), col("qn") * col("n")).as("cos"))
     rankTopK(scored, k)
   }
 
@@ -203,7 +212,7 @@ object Similarity {
     l.join(r, Seq("bucket"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos"))
+        safeCos(dot(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
 }

@@ -72,6 +72,12 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("minhashBands rejects a k/bands mismatch") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashBands(docs(1L -> "x"), k = 8, bands = 3) // sig6/sig7 would drop
+    }
+  }
+
   test("minhash hybrid: join path (cap=1) emits the same pairs as the in-group path") {
     // dup-dense corpus: 12 identical docs all land in ONE band bucket —
     // the shape the bucket cap exists for — plus a near-dup pair and an

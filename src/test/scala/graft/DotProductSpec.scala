@@ -31,6 +31,14 @@ class DotProductSpec extends SparkSpec {
     assert(got.isEmpty)
   }
 
+  test("length-mismatched arrays yield null, not a truncated score") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 1.0))).toDF("a", "b")
+    val got = df.select(graft.functions.VectorFunctions.dotp(col("a"), col("b")))
+      .as[Option[Double]].head()
+    assert(got === None)
+  }
+
   test("graft_dot is SQL-callable after extension install") {
     GraftExtensions.install(spark)
     val got = spark.sql("SELECT graft_dot(array(1d, 2d, 3d), array(4d, 5d, 6d))")

@@ -72,6 +72,19 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("zero-norm vectors never rank (no NaN poisoning the heap)") {
+    val corpus = vecs(
+      1L -> Seq(1f, 0f), 2L -> Seq(0.9f, 0.1f),
+      3L -> Seq(0f, 0f)) // zero vector: cos would be 0/0
+    val got = Similarity.bruteForceTopK(vecs(1L -> Seq(1f, 0f)), corpus, 3)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(!got.contains(3L), s"zero vector ranked: $got")
+    assert(got === Set(2L))
+    // and as a query: a zero-norm query simply returns no neighbors
+    val asQuery = Similarity.bruteForceTopK(vecs(9L -> Seq(0f, 0f)), corpus, 3)
+    assert(asQuery.count() === 0)
+  }
+
   test("labelCentroids: flat per-dimension means, exact") {
     val df = Seq(
       ("a", Seq(1f, 2f)), ("a", Seq(3f, 6f)), ("b", Seq(10f, 0f))

@@ -46,4 +46,14 @@ class TextNormSpec extends SparkSpec {
     assert(!TextNorm.isValidKey("a\u001cb")) // file separator
     assert(!TextNorm.isValidKey("a\u2003b")) // em space
   }
+
+  test("normalizeKey is locale-independent (Turkish dotted-I trap)") {
+    val saved = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(new java.util.Locale("tr", "TR"))
+      // default-locale lowercasing would give dotless \u0131, which the
+      // keep-set strips -> "stanbul"; Locale.ROOT keeps the ascii i
+      assert(TextNorm.normalizeKey("Istanbul") === "istanbul")
+    } finally java.util.Locale.setDefault(saved)
+  }
 }
