@@ -257,6 +257,13 @@ object SparkEntry {
     "q_stratified" -> { (s, dir) =>
       graft.ops.Sampling.stratified(docs(s, dir), "lang", "doc_id", 5)
         .select("lang", "doc_id", "sample_rank")
+    },
+    "q_mixture" -> { (s, dir) =>
+      // domain-weighted downsampling: keep all of src0, 30% of src1,
+      // none of src2, half of everything else
+      graft.ops.Sampling.mixture(docs(s, dir), "source", "doc_id",
+        Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
+        .groupBy("source").agg(count(lit(1)).as("n"))
     }
   )
 
@@ -681,6 +688,14 @@ object SparkEntry {
         |FROM (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
         |      FROM documents)
         |GROUP BY 1""".stripMargin,
+    "q_mixture" ->
+      """SELECT source, count(*) AS n FROM (
+        |  SELECT source,
+        |    CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000 AS b
+        |  FROM documents)
+        |WHERE b < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
+        |           WHEN 'src2' THEN 0 ELSE 5000 END)
+        |GROUP BY source""".stripMargin,
     "q_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

@@ -32,6 +32,33 @@ object Sampling {
         .otherwise("test"))
   }
 
+  /** Mixture sampling: deterministically downsample each source/domain
+    * to its configured rate — how a training mix applies domain weights
+    * ("keep 100% of wiki, 30% of web, 5% of logs"). A document is kept
+    * iff its md5 bucket (out of 10_000) falls under the source's rate;
+    * assignment is content-independent and stable, so re-running the
+    * pipeline (or an independent engine) keeps exactly the same rows.
+    * Unlisted sources fall back to `defaultRate`. Pure row-parallel
+    * filter — no shuffle at any scale.
+    */
+  def mixture(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): DataFrame = {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
+    // finer bucket than trainValTest's 100: rates often need basis points
+    val b = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    val threshold = rates.foldLeft(lit((defaultRate * 10000).toInt)) {
+      case (acc, (src, r)) =>
+        when(col(sourceCol) === src, lit((r * 10000).toInt)).otherwise(acc)
+    }
+    df.filter(b < threshold)
+  }
+
   /** Sequence packing for training shards: assign each document a
     * (pack_bucket, shard_in_bucket) so that concatenating a bucket's
     * documents in doc_id order and cutting every `tokenBudget` tokens

@@ -34,6 +34,23 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("mixture keeps rate-0 sources empty, rate-1 sources whole, and is idempotent") {
+    val d = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
+    val kept = Sampling.mixture(d, "source", "id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    val bySrc = kept.groupBy("source").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySrc("src0") === 100L)          // rate 1.0: everything
+    assert(!bySrc.contains("src1"))         // rate 0.0: nothing
+    assert(bySrc("src2") > 20 && bySrc("src2") < 80) // ~half, md5-spread
+    // deterministic: the same call keeps exactly the same rows
+    val again = Sampling.mixture(d, "source", "id",
+      Map("src0" -> 1.0, "src1" -> 0.0), defaultRate = 0.5)
+    assert(again.select("id").as[Long].collect().toSet ===
+      kept.select("id").as[Long].collect().toSet)
+    assert(Sampling.mixture(d, "source", "id", Map.empty).count() === 300L)
+  }
+
   test("packShards: per-bucket running token sums place each doc's first token") {
     import org.apache.spark.sql.functions.{col, conv, md5, substring}
     val d = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
