@@ -202,11 +202,24 @@ object Similarity {
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare
     * within buckets only, keep pairs above the threshold. The dedup
     * variant of ANN (symmetric, a < b).
+    *
+    * The (vec_id, v, bucket, n) table is materialized ONCE before the
+    * self-join (strategy pluggable, [[graft.core.Materialize]]):
+    * DeduplicateRelations re-aliases the two sides, so without it the
+    * embedding scan + per-row norm/bucket pipeline would execute twice —
+    * at a 100 TB embedding table that is 2x the dominant I/O of the job.
+    * Same criterion as [[graft.ops.Dedup.simhashPairs]].
     */
-  def cosineDupPairs(corpus: DataFrame, threshold: Double = 0.95, bits: Int = 8): DataFrame = {
-    val c = corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"),
-      lshBucket(col("embedding"), bits).as("bucket"))
-      .select(col("vec_id"), col("v"), col("bucket"), norm(col("v")).as("n"))
+  def cosineDupPairs(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      bits: Int = 8,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val c = graft.core.Materialize(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"),
+        lshBucket(col("embedding"), bits).as("bucket"))
+        .select(col("vec_id"), col("v"), col("bucket"), norm(col("v")).as("n")),
+      mat)
     val l = c.select(col("bucket"), col("vec_id").as("doc_a"), col("v").as("va"), col("n").as("na"))
     val r = c.select(col("bucket"), col("vec_id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
     l.join(r, Seq("bucket"))

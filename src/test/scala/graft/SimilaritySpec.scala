@@ -102,4 +102,31 @@ class SimilaritySpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(got === Set((1L, 2L)))
   }
+
+  test("cosineDupPairs materializes the bucketed table once (both strategies)") {
+    import graft.core.Materialize
+    val rnd = new scala.util.Random(31)
+    val corpus = vecs((1L to 50L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val viaCheckpoint = Similarity.cosineDupPairs(corpus, threshold = 0.5,
+      mat = Materialize.LocalCheckpoint)
+    val viaPersist = Similarity.cosineDupPairs(corpus, threshold = 0.5,
+      mat = Materialize.Persist)
+    try {
+      // localCheckpoint: both self-join sides scan the checkpointed RDD;
+      // the per-row norm (sqrt) / bucket pipeline is gone from the plan —
+      // only the pair-level dot survives downstream of the join
+      val cpPlan = viaCheckpoint.queryExecution.executedPlan.toString
+      assert(cpPlan.contains("Scan ExistingRDD"), cpPlan)
+      assert(!cpPlan.toLowerCase.contains("sqrt"), cpPlan)
+      // persist: the cache manager substitutes the cached relation into
+      // BOTH join sides — the embedding subplan executes once
+      val persistRows = viaPersist.as[(Long, Long, Double)].collect().toSet
+      val pPlan = viaPersist.queryExecution.executedPlan.toString
+      assert("InMemoryTableScan".r.findAllMatchIn(pPlan).size >= 2, pPlan)
+      assert(persistRows === viaCheckpoint.as[(Long, Long, Double)].collect().toSet)
+    } finally {
+      spark.sharedState.cacheManager.clearCache()
+    }
+  }
 }
