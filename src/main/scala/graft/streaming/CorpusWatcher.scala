@@ -2,6 +2,8 @@ package graft.streaming
 
 import java.nio.file.{Files, Paths, StandardCopyOption}
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -63,6 +65,13 @@ object CorpusWatcher {
     *   `final_results.json` (`master/main.py:123-126` rewrites it per
     *   upload) — completing the reference's end-to-end upload→artifact
     *   flow. Leave None at scale; the snapshot is the real store.
+    * @param retainSnapshots how many newest `snap-*` dirs to keep after
+    *   each pointer swap (≥ 2 so a reader that resolved the PREVIOUS
+    *   pointer can finish its scan before that snapshot is deleted).
+    *   The reference deletes its own intermediates every run
+    *   (`master/main.py:128-133`, SURVEY §2 #23); without this a
+    *   continuously-running watcher accumulates one full index copy per
+    *   arrival batch — unbounded storage on a 100 TB index.
     */
   def start(
       spark: SparkSession,
@@ -71,7 +80,9 @@ object CorpusWatcher {
       checkpointDir: String,
       parityAdd: Boolean = false,
       availableNow: Boolean = true,
-      finalJsonPath: Option[String] = None): StreamingQuery = {
+      finalJsonPath: Option[String] = None,
+      retainSnapshots: Int = 2): StreamingQuery = {
+    require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val docs = spark.readStream
       .format("text")
       .load(watchDir)
@@ -104,8 +115,39 @@ object CorpusWatcher {
           Files.move(Paths.get(tmpJson), Paths.get(p),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         }
+        gcSnapshots(indexDir, retainSnapshots)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Delete all but the newest `retain` snapshot dirs. Snapshot names
+    * are zero-padded (`snap-000000042`) so lexicographic order IS batch
+    * order. Runs AFTER the pointer swap: the newest snapshot (the one
+    * LATEST points to) is always retained, and `retain >= 2` leaves the
+    * previous one for in-flight readers. Deletion failures are
+    * non-fatal (a stale dir costs storage, not correctness) — the next
+    * batch retries.
+    */
+  private[streaming] def gcSnapshots(indexDir: String, retain: Int): Unit = {
+    val dir = Paths.get(indexDir)
+    if (!Files.isDirectory(dir)) return
+    val snaps = {
+      val s = Files.list(dir)
+      try s.iterator().asScala
+        .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("snap-\\d+"))
+        .toVector.sortBy(_.getFileName.toString)
+      finally s.close()
+    }
+    snaps.dropRight(retain).foreach { old =>
+      try {
+        val walk = Files.walk(old)
+        try walk.iterator().asScala.toVector.reverseIterator.foreach(Files.deleteIfExists(_))
+        finally walk.close()
+      } catch {
+        case e: java.io.IOException =>
+          System.err.println(s"[graft] CorpusWatcher: snapshot GC of $old failed: $e")
+      }
+    }
   }
 }

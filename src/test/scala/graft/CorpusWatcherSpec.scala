@@ -78,6 +78,29 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(doubled === Set(("cat", "a.txt", 4L), ("dog", "a.txt", 2L)))
   }
 
+  test("snapshot GC keeps only the newest retainSnapshots dirs, LATEST stays newest") {
+    val (watch, index, ckpt) = (tmp("watchg"), tmp("indexg"), tmp("ckptg"))
+    def snapDirs(): Vector[String] = {
+      val s = Files.list(Paths.get(index))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.matches("snap-\\d+")).toVector.sorted
+      } finally s.close()
+    }
+    (1 to 3).foreach { i =>
+      writeDoc(watch, s"d$i.txt", s"word$i common")
+      CorpusWatcher.start(spark, watch, index, ckpt).awaitTermination()
+    }
+    val snaps = snapDirs()
+    assert(snaps.size <= 2, s"GC left ${snaps.size} snapshots: $snaps")
+    // LATEST points at the newest surviving snapshot and still reads
+    val latest = new String(Files.readAllBytes(Paths.get(index, "LATEST")), "UTF-8").trim
+    assert(latest === snaps.last)
+    assert(indexEntries(index).contains(("word3", "d3.txt", 1L)))
+    assert(indexEntries(index).count(_._1 == "common") === 3)
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")
