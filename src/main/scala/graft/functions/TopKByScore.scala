@@ -1,5 +1,6 @@
 package graft.functions
 
+import java.io.{ByteArrayOutputStream, DataOutputStream}
 import java.nio.ByteBuffer
 
 import scala.collection.mutable
@@ -12,10 +13,14 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Bounded-heap top-k aggregate: keeps the k (score, id) pairs with the
   * highest score (ties broken by lowest id) per group. Scores may be
-  * `bigint` (index counts) or `double` (ANN cosines); ids are `bigint`.
+  * `bigint` (index counts) or `double` (ANN cosines); ids are `bigint`
+  * (vector ids) or `string` (the reference keys documents by FILENAME,
+  * `mapper/main.py:63` — a string-keyed index must rank through the
+  * same scale path).
   *
   * Why not `row_number() over (partition by g order by ...)`? The window
   * formulation shuffles and SORTS every row of every group; this
@@ -28,9 +33,11 @@ import org.apache.spark.sql.types._
   * Buffer: a min-heap of (score, id) pairs, worst element on top for
   * O(log k) eviction. Doubles are stored AS LONG KEYS via the
   * order-preserving IEEE-754 bit twist (sign bit flipped for positives,
-  * all bits flipped for negatives), so one (Long, Long) heap, one flat
-  * serialization format, and one comparison path serve both score
-  * types — no boxing, no per-type heap.
+  * all bits flipped for negatives), so one long score key, one
+  * comparison path, and one serialization format serve both score
+  * types. String ids compare as UTF8String (binary order — exactly
+  * Spark's string sort order) and are COPIED on insert: the eval'd
+  * UTF8String may point into a row buffer the scan reuses.
   */
 case class TopKByScore(
     score: Expression,
@@ -38,7 +45,7 @@ case class TopKByScore(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Long)]] {
+  extends TypedImperativeAggregate[mutable.PriorityQueue[(Long, Any)]] {
 
   require(k > 0, s"k must be positive, got $k")
 
@@ -46,12 +53,13 @@ case class TopKByScore(
 
   override def checkInputDataTypes(): TypeCheckResult =
     if ((score.dataType == LongType || score.dataType == DoubleType) &&
-        id.dataType == LongType) TypeCheckResult.TypeCheckSuccess
+        (id.dataType == LongType || id.dataType == StringType)) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
-      s"$prettyName requires (bigint or double, bigint), got " +
+      s"$prettyName requires (bigint or double, bigint or string), got " +
         s"${score.dataType.simpleString}, ${id.dataType.simpleString}")
 
   private def scoreIsDouble: Boolean = score.dataType == DoubleType
+  private def idIsString: Boolean = id.dataType == StringType
 
   private def toKey(s: Any): Long =
     if (scoreIsDouble) TopKByScore.sortableDoubleKey(s.asInstanceOf[Double])
@@ -63,35 +71,41 @@ case class TopKByScore(
 
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("score", score.dataType, nullable = false),
-    StructField("id", LongType, nullable = false))), containsNull = false)
+    StructField("id", id.dataType, nullable = false))), containsNull = false)
 
   override def nullable: Boolean = false
 
   override def prettyName: String = "graft_top_k"
 
   // dequeue order = "worst first" (lowest score key, then highest id)
-  // via a hand-written static Ordering: Ordering.by captures the
+  // via hand-written static Orderings: Ordering.by captures the
   // implicit tuple ordering in an anon class whose field does not
   // survive task serialization (NPE inside PriorityQueue on the
   // executor).
-  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Long)] =
-    mutable.PriorityQueue.empty[(Long, Long)](TopKByScore.WorstFirst)
+  override def createAggregationBuffer(): mutable.PriorityQueue[(Long, Any)] =
+    mutable.PriorityQueue.empty[(Long, Any)](
+      if (idIsString) TopKByScore.WorstFirstString else TopKByScore.WorstFirstLong)
 
   override def update(
-      buf: mutable.PriorityQueue[(Long, Long)],
-      input: InternalRow): mutable.PriorityQueue[(Long, Long)] = {
+      buf: mutable.PriorityQueue[(Long, Any)],
+      input: InternalRow): mutable.PriorityQueue[(Long, Any)] = {
     val s = score.eval(input)
     val i = id.eval(input)
     if (s != null && i != null) {
-      buf.enqueue((toKey(s), i.asInstanceOf[Long]))
+      val idVal: Any = i match {
+        // defensive copy: the scan may reuse the backing row buffer
+        case u: UTF8String => u.clone()
+        case other         => other
+      }
+      buf.enqueue((toKey(s), idVal))
       if (buf.size > k) buf.dequeue() // evict the worst
     }
     buf
   }
 
   override def merge(
-      buf: mutable.PriorityQueue[(Long, Long)],
-      other: mutable.PriorityQueue[(Long, Long)]): mutable.PriorityQueue[(Long, Long)] = {
+      buf: mutable.PriorityQueue[(Long, Any)],
+      other: mutable.PriorityQueue[(Long, Any)]): mutable.PriorityQueue[(Long, Any)] = {
     other.foreach { e =>
       buf.enqueue(e)
       if (buf.size > k) buf.dequeue()
@@ -99,28 +113,54 @@ case class TopKByScore(
     buf
   }
 
-  override def eval(buf: mutable.PriorityQueue[(Long, Long)]): Any = {
+  override def eval(buf: mutable.PriorityQueue[(Long, Any)]): Any = {
     // emit best-first: score desc, id asc (explicit — never via implicits)
-    val sorted = buf.toArray.sortWith((a, b) =>
-      a._1 > b._1 || (a._1 == b._1 && a._2 < b._2))
+    // "best" = least under the worst-first ordering (highest score key,
+    // then lowest id)
+    val worstFirst = if (idIsString) TopKByScore.WorstFirstString else TopKByScore.WorstFirstLong
+    val sorted = buf.toArray.sortWith((a, b) => worstFirst.compare(a, b) < 0)
     new GenericArrayData(sorted.map { case (s, i) =>
       InternalRow(fromKey(s), i): Any
     })
   }
 
-  override def serialize(buf: mutable.PriorityQueue[(Long, Long)]): Array[Byte] = {
-    val bb = ByteBuffer.allocate(4 + buf.size * 16)
-    bb.putInt(buf.size)
-    buf.foreach { case (s, i) => bb.putLong(s); bb.putLong(i) }
-    bb.array()
-  }
+  override def serialize(buf: mutable.PriorityQueue[(Long, Any)]): Array[Byte] =
+    if (idIsString) {
+      val bos = new ByteArrayOutputStream(4 + buf.size * 24)
+      val out = new DataOutputStream(bos)
+      out.writeInt(buf.size)
+      buf.foreach { case (s, i) =>
+        out.writeLong(s)
+        val bytes = i.asInstanceOf[UTF8String].getBytes
+        out.writeInt(bytes.length)
+        out.write(bytes)
+      }
+      out.flush()
+      bos.toByteArray
+    } else {
+      val bb = ByteBuffer.allocate(4 + buf.size * 16)
+      bb.putInt(buf.size)
+      buf.foreach { case (s, i) => bb.putLong(s); bb.putLong(i.asInstanceOf[Long]) }
+      bb.array()
+    }
 
-  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Long)] = {
+  override def deserialize(bytes: Array[Byte]): mutable.PriorityQueue[(Long, Any)] = {
     val bb = ByteBuffer.wrap(bytes)
     val n = bb.getInt
     val buf = createAggregationBuffer()
     var j = 0
-    while (j < n) { buf.enqueue((bb.getLong, bb.getLong)); j += 1 }
+    if (idIsString) {
+      while (j < n) {
+        val s = bb.getLong
+        val len = bb.getInt
+        val idBytes = new Array[Byte](len)
+        bb.get(idBytes)
+        buf.enqueue((s, UTF8String.fromBytes(idBytes)))
+        j += 1
+      }
+    } else {
+      while (j < n) { buf.enqueue((bb.getLong, bb.getLong)); j += 1 }
+    }
     buf
   }
 
@@ -150,10 +190,21 @@ object TopKByScore {
     java.lang.Double.longBitsToDouble(twist(key))
 
   /** Worst element is the maximum: lowest score key, then highest id. */
-  private[functions] object WorstFirst extends Ordering[(Long, Long)] {
-    override def compare(a: (Long, Long), b: (Long, Long)): Int = {
+  private[functions] object WorstFirstLong extends Ordering[(Long, Any)] {
+    override def compare(a: (Long, Any), b: (Long, Any)): Int = {
       val c = java.lang.Long.compare(b._1, a._1) // lower score ⇒ greater (worse)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2) // higher id ⇒ worse
+      if (c != 0) c
+      else java.lang.Long.compare(a._2.asInstanceOf[Long], b._2.asInstanceOf[Long]) // higher id ⇒ worse
+    }
+  }
+
+  /** Same contract for string ids: UTF8String.compareTo is byte order —
+    * identical to Spark's StringType sort order. */
+  private[functions] object WorstFirstString extends Ordering[(Long, Any)] {
+    override def compare(a: (Long, Any), b: (Long, Any)): Int = {
+      val c = java.lang.Long.compare(b._1, a._1)
+      if (c != 0) c
+      else a._2.asInstanceOf[UTF8String].compareTo(b._2.asInstanceOf[UTF8String])
     }
   }
 

@@ -1,5 +1,7 @@
 package graft
 
+import java.nio.file.{Files, Paths}
+
 import org.apache.spark.sql.functions._
 
 import graft.functions.TopKByScore
@@ -64,6 +66,38 @@ class TopKByScoreSpec extends SparkSpec {
       .select(explode(col("top.score")).as("s")).as[Double].collect().toSet
     assert(got.map(java.lang.Double.doubleToRawLongBits) ===
       vals.map(java.lang.Double.doubleToRawLongBits).toSet)
+  }
+
+  test("string ids: equals the window formulation, byte-order tiebreak") {
+    val rnd = new scala.util.Random(17)
+    // string doc ids (the reference keys documents by filename) with
+    // engineered score ties so the UTF8String tiebreak decides
+    val rows = (1 to 2000).map { i =>
+      (s"w${rnd.nextInt(50)}", f"doc_${rnd.nextInt(300)}%03d.txt", (rnd.nextInt(5) + 1).toLong)
+    }
+    val idx = rows.toDF("word", "doc_id", "cnt")
+      .groupBy("word", "doc_id").agg(max("cnt").as("cnt")) // unique (word, doc)
+    val viaWindow = InvertedIndex.topK(idx, 3)
+      .select("word", "doc_id", "cnt", "rank").as[(String, String, Long, Int)].collect().toSet
+    val viaAgg = InvertedIndex.topKAggregated(idx, 3)
+      .select("word", "doc_id", "cnt", "rank").as[(String, String, Long, Int)].collect().toSet
+    assert(viaAgg === viaWindow)
+  }
+
+  test("topKAggregated ranks a filename-keyed BatchJob index like the window path") {
+    val d = Files.createTempDirectory("graft-topk-batch-")
+    d.toFile.deleteOnExit()
+    Files.write(Paths.get(d.toString, "a.txt"), "cat dog cat cat".getBytes)
+    Files.write(Paths.get(d.toString, "b.txt"), "dog cat".getBytes)
+    Files.write(Paths.get(d.toString, "c.txt"), "cat bird bird".getBytes)
+    val idx = BatchJob.run(spark, d.toString, Seq("a.txt", "b.txt", "c.txt"), 2, 2)
+    val viaWindow = InvertedIndex.topK(idx, 2)
+      .select("word", "doc_id", "cnt", "rank").as[(String, String, Long, Int)].collect().toSet
+    val viaAgg = InvertedIndex.topKAggregated(idx, 2)
+      .select("word", "doc_id", "cnt", "rank").as[(String, String, Long, Int)].collect().toSet
+    assert(viaAgg === viaWindow)
+    // ties on cnt resolve to the lexicographically smallest filename first
+    assert(viaAgg.contains(("dog", "a.txt", 1L, 1)) && viaAgg.contains(("dog", "b.txt", 1L, 2)))
   }
 
   test("groups smaller than k emit all rows; nulls are skipped") {
