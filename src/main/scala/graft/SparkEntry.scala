@@ -74,6 +74,29 @@ object SparkEntry {
        | / (sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]), (acc, x) -> acc + x))
        | * sqrt(list_reduce(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]), (acc, x) -> acc + x))), 6)""".stripMargin
 
+  /** One unrolled Lloyd iteration — twin of [[Similarity.kmeans]]'s
+    * E-step (argmax cosine, ties to lowest cell_id) + M-step (exact
+    * DECIMAL(28,12) per-dimension mean, rounded 6). `prev` is the
+    * incoming centroid CTE; emits assignment `a`, flat-mean `f`, and
+    * reassembled-centroid `c` CTEs. */
+  private def KMEANS_ITER(prev: String, a: String, f: String, c: String): String =
+    s"""$a AS (SELECT cell_id, vec_id, e FROM (
+       |  SELECT c.cell_id, v.vec_id, v.e,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+       |  FROM v, $prev c) WHERE rn = 1),
+       |$f AS (SELECT cell_id, pos, round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv
+       |  FROM (SELECT cell_id, generate_subscripts(e, 1) AS pos, unnest(CAST(e AS DECIMAL(28,12)[])) AS xv FROM $a)
+       |  GROUP BY cell_id, pos),
+       |$c AS (SELECT cell_id, list(cv ORDER BY pos) AS ce FROM $f GROUP BY cell_id)""".stripMargin
+
+  /** Two fixed Lloyd iterations from the modulo-sampled init — twin of
+    * [[Similarity.kmeans]](iterations=2, centroidMod=100). */
+  private val KMEANS_CTES =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |c0 AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id % 100 = 1),
+       |${KMEANS_ITER("c0", "a1", "f1", "c1")},
+       |${KMEANS_ITER("c1", "a2", "f2", "c2")}""".stripMargin
+
   /** Twin of [[Dedup.simhash]] (bits=16): bit j of the token md5 = bit
     * (3 - j%4) of hex digit j/4. Shared by q_simhash and q_simhash_pairs. */
   private val SIMHASH_SQL: String = {
@@ -184,6 +207,11 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4)
     },
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
+    // Lloyd k-means (2 fixed iterations): learned IVF centroids + final
+    // assignments, both deterministic cell-for-cell (rounded cosines,
+    // lowest-cell ties, exact decimal means)
+    "q_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(emb(s, dir))),
+    "q_kmeans_assign" -> ((s, dir) => Similarity.kmeansAssignments(emb(s, dir))),
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -531,6 +559,16 @@ object SparkEntry {
          |WHERE round(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * b.e[i]), (acc, x) -> acc + x)
          |      / (sqrt(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i]), (acc, x) -> acc + x))
          |       * sqrt(list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]), (acc, x) -> acc + x))), 6) >= 0.8""".stripMargin,
+
+    "q_kmeans_centroids" ->
+      s"""WITH $KMEANS_CTES
+         |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,
+    "q_kmeans_assign" ->
+      s"""WITH $KMEANS_CTES
+         |SELECT vec_id, cell_id, cos FROM (
+         |  SELECT v.vec_id, c.cell_id, ${COS_SQL("v.e", "c.ce")} AS cos,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+         |  FROM v, c2 c) WHERE rn = 1""".stripMargin,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

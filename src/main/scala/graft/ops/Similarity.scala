@@ -121,10 +121,11 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the other scale path beside sign-LSH:
     * coarse-quantize the corpus into cells around a deterministic
-    * centroid sample (every vector with `vec_id % centroidMod == 1`;
-    * a production system would k-means these, which is just Lloyd
-    * iterations of this same assignment join), keep an inverted list
-    * per cell, and probe only the `nprobe` cells nearest each query.
+    * centroid sample (every vector with `vec_id % centroidMod == 1` by
+    * default — or pass `centroids` learned by [[kmeans]], which is
+    * Lloyd iterations of this same assignment join), keep an inverted
+    * list per cell, and probe only the `nprobe` cells nearest each
+    * query.
     *
     * Plan shape: centroids are a broadcast dim on BOTH the assignment
     * join and the probe join; the candidate join shuffles on cell_id —
@@ -139,11 +140,18 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nprobe: Int = 4,
-      centroidMod: Int = 100): DataFrame = {
-    val cent = broadcast(
-      corpus.filter(col("vec_id") % centroidMod === 1)
-        .select(col("vec_id").as("cell_id"), asDouble(col("embedding")).as("cv"))
-        .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn")))
+      centroidMod: Int = 100,
+      centroids: Option[DataFrame] = None): DataFrame = {
+    val cent = broadcast(centroids match {
+      // learned centroids (cell_id, cv: array<double>) — e.g. [[kmeans]]
+      // output; better cells than the modulo sample ⇒ better recall at
+      // the same nprobe (pinned by SimilaritySpec's recall comparison)
+      case Some(c) => c.select(col("cell_id"), col("cv"), norm(col("cv")).as("cn"))
+      case None =>
+        corpus.filter(col("vec_id") % centroidMod === 1)
+          .select(col("vec_id").as("cell_id"), asDouble(col("embedding")).as("cv"))
+          .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn"))
+    })
     val corp = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("v"))
       .select(col("neighbor_id"), col("v"), norm(col("v")).as("n"))
     // nearest cell per corpus vector (the inverted lists): an argmax over
@@ -198,6 +206,117 @@ object Similarity {
         round(sum("v").cast("double") / count(lit(1)), 6).as("centroid_v"))
       .select(col("label"), (col("pos") + 1).cast("int").as("pos"),
         col("n_vectors"), col("centroid_v"))
+
+  /** Lloyd (spherical) k-means over the embedding corpus — the learning
+    * loop the IVF coarse quantizer wants: E-step = the same broadcast
+    * argmax-cosine assignment join [[ivfTopK]] builds its inverted
+    * lists with; M-step = [[labelCentroids]]' exact per-dimension mean
+    * (DECIMAL(28,12) accumulation, divide once, round 6). Initial
+    * centroids are the deterministic modulo sample, so cell ids are
+    * stable vector ids across iterations.
+    *
+    * Determinism contract (what makes this oracle-checkable in an
+    * independent engine): cosines round to 6 before the argmax, ties
+    * break to the lowest cell_id, means accumulate order-independently
+    * in DECIMAL and round to 6 — N iterations reproduce cell-for-cell.
+    *
+    * Scale shape: per iteration one broadcast join + one argmax
+    * aggregate + one (cell, dim)-keyed mean — centroid tables are tiny
+    * (k rows) and materialized per round with the iterate-release
+    * pattern of [[Dedup.clusters]]; the corpus (vec, norm) projection
+    * is materialized ONCE and reused by every E-step. A cell that
+    * attracts no vectors drops out (standard Lloyd behavior).
+    *
+    * Fixed iteration count, no convergence probe: k-means quality
+    * improves monotonically and the driver-facing contract needs a
+    * deterministic row set, not a fixpoint (unlike connected
+    * components, where stopping early is WRONG rather than coarser).
+    *
+    * @return centroids (cell_id, cv: array<double>, cn) after
+    *   `iterations` rounds — feed `.select("cell_id", "cv")` to
+    *   [[ivfTopK]]'s `centroids` parameter.
+    */
+  def kmeans(
+      emb: DataFrame,
+      iterations: Int = 2,
+      centroidMod: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    kmeansLoop(emb, iterations, centroidMod, mat)._2
+
+  /** The corpus projection every E-step reuses: (vec_id, v, n). */
+  private def corpusVN(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"), norm(col("v")).as("n"))
+
+  /** E-step: nearest cell per vector — argmax over (ccos desc, cell_id
+    * asc) via max_by on the lexicographic struct, partial-aggregated
+    * map-side, never sorted (the exact shape of ivfTopK's assignment). */
+  private def assignToCells(corp: DataFrame, cent: DataFrame): DataFrame =
+    corp.join(broadcast(cent))
+      .select(col("vec_id"), col("v"), col("n"), col("cell_id"),
+        safeCos(dot(col("v"), col("cv")), col("n") * col("cn")).as("ccos"))
+      .groupBy("vec_id")
+      .agg(max_by(
+        struct(col("cell_id"), col("v"), col("ccos")),
+        struct(col("ccos"), (-col("cell_id")).as("neg_cell"))).as("best"))
+      .select(col("vec_id"), col("best.cell_id").as("cell_id"),
+        col("best.v").as("v"), col("best.ccos").as("cos"))
+
+  private def kmeansLoop(
+      emb: DataFrame,
+      iterations: Int,
+      centroidMod: Int,
+      mat: graft.core.Materialize.Strategy): (DataFrame, DataFrame) = {
+    require(iterations >= 1, s"iterations=$iterations must be >= 1")
+    val corp = graft.core.Materialize(corpusVN(emb), mat)
+    var cent = graft.core.Materialize(
+      corp.filter(col("vec_id") % centroidMod === 1)
+        .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("n").as("cn")),
+      mat)
+    var it = 0
+    while (it < iterations) {
+      // M-step: exact decimal mean per (cell, dimension), then
+      // reassemble the centroid arrays in dimension order
+      val flat = assignToCells(corp, cent)
+        .select(col("cell_id"),
+          posexplode(col("v").cast("array<decimal(28,12)>")).as(Seq("pos", "x")))
+        .groupBy("cell_id", "pos")
+        .agg(round(sum("x").cast("double") / count(lit(1)), 6).as("cv_i"))
+      val next = graft.core.Materialize(
+        flat.groupBy("cell_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv_i")))).as("ps"))
+          .select(col("cell_id"), transform(col("ps"), p => p.getField("cv_i")).as("cv"))
+          .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn")),
+        mat)
+      graft.core.Materialize.release(cent, mat)
+      cent = next
+      it += 1
+    }
+    (corp, cent)
+  }
+
+  /** [[kmeans]] centroids in the flat oracle shape (cell_id, pos,
+    * centroid_v) — one row per coordinate, pos 1-based like
+    * [[labelCentroids]]. */
+  def kmeansCentroids(
+      emb: DataFrame,
+      iterations: Int = 2,
+      centroidMod: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    kmeans(emb, iterations, centroidMod, mat)
+      .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "centroid_v")))
+      .select(col("cell_id"), (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
+
+  /** Final cluster assignment against the learned centroids —
+    * (vec_id, cell_id, cos), one E-step past the last M-step. */
+  def kmeansAssignments(
+      emb: DataFrame,
+      iterations: Int = 2,
+      centroidMod: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (corp, cent) = kmeansLoop(emb, iterations, centroidMod, mat)
+    assignToCells(corp, cent).select(col("vec_id"), col("cell_id"), col("cos"))
+  }
 
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare
     * within buckets only, keep pairs above the threshold. The dedup

@@ -95,6 +95,52 @@ class SimilaritySpec extends SparkSpec {
       ("a", 1, 2L, 2.0), ("a", 2, 2L, 4.0), ("b", 1, 1L, 10.0), ("b", 2, 1L, 0.0)))
   }
 
+  test("kmeans: separable clusters converge to their true centers") {
+    // two tight clusters around (1,0) and (0,1); ids chosen so the
+    // modulo-100 init picks one seed (vec_id=1, in cluster A) — after 2
+    // Lloyd rounds with the surviving cell, every vector assigns there,
+    // so engineer TWO seeds: 1 (cluster A) and 101 (cluster B)
+    val a = (1L to 50L).map(i => i -> Seq(1f + (i % 5) * 0.01f, (i % 3) * 0.01f))
+    val b = (101L to 150L).map(i => i -> Seq((i % 3) * 0.01f, 1f + (i % 5) * 0.01f))
+    val corpus = vecs((a ++ b): _*)
+    val assign = graft.ops.Similarity.kmeansAssignments(corpus, iterations = 2)
+      .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
+    // every A vector lands in cell 1, every B vector in cell 101
+    assert(a.forall { case (i, _) => assign(i) == 1L }, assign.toString)
+    assert(b.forall { case (i, _) => assign(i) == 101L }, assign.toString)
+    // centroids are the per-dimension means of their clusters
+    val cents = graft.ops.Similarity.kmeansCentroids(corpus, iterations = 2)
+      .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    val expA1 = a.map(_._2(0).toDouble).sum / a.size
+    assert(math.abs(cents((1L, 1)) - expA1) < 1e-6, s"${cents((1L, 1))} vs $expA1")
+  }
+
+  test("ivfTopK with kmeans centroids: recall >= modulo-sample centroids") {
+    // clustered corpus (8 gaussian-ish blobs): the modulo sample lands
+    // centroids arbitrarily; 2 Lloyd rounds move them to blob centers,
+    // so nprobe=2 probing must recover at least as many true neighbors
+    val rnd = new scala.util.Random(41)
+    val centers = Array.fill(8)(Array.fill(8)(rnd.nextDouble() * 2 - 1))
+    val corpus = vecs((1L to 400L).map { i =>
+      val c = centers(((i - 1) % 8).toInt)
+      i -> c.map(x => (x + rnd.nextGaussian() * 0.05).toFloat).toSeq
+    }: _*)
+    val queries = corpus.filter($"vec_id" % 100 === 0)
+    val truth = Similarity.bruteForceTopK(queries, corpus, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recall(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val learned = Similarity.kmeans(corpus, iterations = 2, centroidMod = 50)
+      .select("cell_id", "cv")
+    val rModulo = recall(Similarity.ivfTopK(queries, corpus, 10, nprobe = 2, centroidMod = 50))
+    val rKmeans = recall(Similarity.ivfTopK(queries, corpus, 10, nprobe = 2,
+      centroids = Some(learned)))
+    assert(rKmeans >= rModulo, s"kmeans recall $rKmeans < modulo recall $rModulo")
+    assert(rKmeans > 0.5, s"kmeans recall unexpectedly low: $rKmeans")
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))
