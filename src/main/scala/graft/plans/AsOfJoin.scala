@@ -197,13 +197,28 @@ object AsOfJoin {
       leftTimeCol: String,
       rightTimeCol: String,
       rightTieBreakCol: String): DataFrame = {
-    require(leftKeyCols.nonEmpty && leftKeyCols.size == rightKeyCols.size,
-      s"key lists must be non-empty and same-length, got $leftKeyCols vs $rightKeyCols")
     val spark = leftDf.sparkSession
     // idempotent, additive: makes the operator self-contained without a
     // pre-configured session (only ADDS planning of our own node —
     // never changes the semantics of anything else in the session)
     GraftExtensions.install(spark)
+    GraftSqlBridge.ofRows(spark, buildPlan(leftDf, rightDf,
+      leftKeyCols, rightKeyCols, leftTimeCol, rightTimeCol, rightTieBreakCol))
+  }
+
+  /** Validate columns/types and build the logical node — shared by the
+    * Column API ([[join]]) and the SQL table function
+    * (`graft_asof(...)`, [[GraftExtensions]]). */
+  private[plans] def buildPlan(
+      leftDf: DataFrame,
+      rightDf: DataFrame,
+      leftKeyCols: Seq[String],
+      rightKeyCols: Seq[String],
+      leftTimeCol: String,
+      rightTimeCol: String,
+      rightTieBreakCol: String): AsOfJoinPlan = {
+    require(leftKeyCols.nonEmpty && leftKeyCols.size == rightKeyCols.size,
+      s"key lists must be non-empty and same-length, got $leftKeyCols vs $rightKeyCols")
     val lPlan = GraftSqlBridge.analyzedPlan(leftDf)
     val rPlan = GraftSqlBridge.analyzedPlan(rightDf)
     def attr(p: LogicalPlan, name: String): Attribute =
@@ -226,8 +241,7 @@ object AsOfJoin {
     }
     require(lt.dataType == rt.dataType,
       s"time type mismatch: ${lt.dataType.simpleString} vs ${rt.dataType.simpleString}")
-    GraftSqlBridge.ofRows(spark, AsOfJoinPlan(
-      lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, rightTieBreakCol)))
+    AsOfJoinPlan(lPlan, rPlan, lk, rk, lt, rt, attr(rPlan, rightTieBreakCol))
   }
 
   /** Single-key convenience overload (the v1 signature). */

@@ -2,7 +2,10 @@ package graft.plans
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.types.StringType
+import org.apache.spark.unsafe.types.UTF8String
 
 import graft.functions.DotProduct
 
@@ -17,6 +20,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectTableFunction(GraftExtensions.asofTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -30,12 +34,53 @@ object GraftExtensions {
       DotProduct(children.head, children(1))
     })
 
+  /** SQL surface for the native as-of operator — a table-valued
+    * function (FROM-clause callable), since the operator is a whole
+    * relation, not a scalar:
+    *
+    * {{{
+    * SELECT * FROM graft_asof(
+    *   'purchases', 'clicks',       -- table/view names
+    *   'user_id', 'c_user',         -- key columns (CSV for multi-key)
+    *   'ts_ns', 'c_ts',             -- time columns
+    *   'click_id')                  -- right tie-break column
+    * }}}
+    *
+    * All seven arguments are string LITERALS (names are resolved
+    * against the active session's catalog at plan time — the standard
+    * TVF argument style; arbitrary subqueries belong in the Column
+    * API). Key lists are comma-separated, matched positionally.
+    */
+  private val asofTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_asof"),
+    new ExpressionInfo(AsOfJoin.getClass.getName, "graft_asof"),
+    (children: Seq[Expression]) => {
+      require(children.size == 7,
+        "graft_asof(left_table, right_table, left_keys, right_keys, " +
+          "left_time, right_time, right_tie_break) takes exactly seven arguments")
+      val names = Seq("left_table", "right_table", "left_keys", "right_keys",
+        "left_time", "right_time", "right_tie_break")
+      val args = children.zip(names).map {
+        case (Literal(s: UTF8String, StringType), _) => s.toString
+        case (other, what) => throw new IllegalArgumentException(
+          s"graft_asof: $what must be a string literal, got ${other.sql}")
+      }
+      val spark = SparkSession.active
+      def csv(s: String): Seq[String] = s.split(",").map(_.trim).toSeq
+      AsOfJoin.buildPlan(
+        spark.table(args(0)), spark.table(args(1)),
+        csv(args(2)), csv(args(3)), args(4), args(5), args(6))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
   def install(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
+    val (tid, tinfo, tbuilder) = asofTableFunction
+    org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
     if (!spark.experimental.extraStrategies.contains(AsOfJoin.AsOfStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoin.AsOfStrategy

@@ -58,6 +58,9 @@ object TextCorpus {
         col("Document").as("doc_id"),
         col("Count").as("cnt"))
 
+  /** Name of the corrupt-record column [[readJsonl]] surfaces. */
+  val CorruptCol = "_corrupt_record"
+
   /** JSONL corpus scan — the interchange format most large text corpora
     * ship in (one JSON object per line, `{"doc_id": ..., "text": ...}`
     * plus arbitrary extra fields, which are preserved). The schema is
@@ -65,14 +68,40 @@ object TextCorpus {
     * types between drops. JSONL is line-splittable, so a 100 TB corpus
     * scans with normal block parallelism — unlike wholetext files.
     *
+    * Corrupt-record contract: a 100 TB crawl WILL contain malformed
+    * lines, and dropping them silently (or turning them into all-null
+    * rows, the old behavior) loses data without a trace. The scan runs
+    * PERMISSIVE with [[CorruptCol]] declared: a malformed line keeps
+    * its parseable fields, nulls the rest, and carries the RAW line in
+    * [[CorruptCol]]; clean lines carry null there. Callers route rows
+    * with `col(CorruptCol).isNotNull` to a quarantine sink and drop the
+    * column for processing ([[cleanJsonl]]). Spark restriction: a query
+    * whose required schema is ONLY the corrupt column is disallowed
+    * (SPARK-21610) — always select it alongside at least one data
+    * column.
+    *
     * @param extraFields additional `name DDL-type` column declarations,
     *   e.g. `Seq("lang STRING", "source STRING")`.
     */
   def readJsonl(spark: SparkSession, path: String,
       extraFields: Seq[String] = Nil): DataFrame =
     spark.read
-      .schema(("doc_id BIGINT" +: "text STRING" +: extraFields).mkString(", "))
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", CorruptCol)
+      .schema(("doc_id BIGINT" +: "text STRING" +: extraFields :+ s"$CorruptCol STRING")
+        .mkString(", "))
       .json(path)
+
+  /** The clean rows of a [[readJsonl]] scan, corrupt column dropped —
+    * what the processing pipeline consumes. */
+  def cleanJsonl(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNull).drop(CorruptCol)
+
+  /** The malformed rows of a [[readJsonl]] scan: (raw line) plus any
+    * fields that did parse — what a quarantine sink persists for
+    * inspection/replay. */
+  def corruptJsonl(df: DataFrame): DataFrame =
+    df.filter(col(CorruptCol).isNotNull)
 
   /** JSONL corpus sink (one object per line, UTF-8) — the export twin
     * of [[readJsonl]]. */

@@ -21,6 +21,16 @@ object GraftSqlBridge {
       builder: Seq[Expression] => Expression): Unit =
     spark.sessionState.functionRegistry.registerFunction(id, info, builder)
 
+  /** Register a table-valued function (FROM-clause callable) on a live
+    * session — the live-session twin of
+    * `SparkSessionExtensions.injectTableFunction`. */
+  def registerTableFunction(
+      spark: SparkSession,
+      id: FunctionIdentifier,
+      info: ExpressionInfo,
+      builder: Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Unit =
+    spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+
   def ofRows(spark: SparkSession, plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 

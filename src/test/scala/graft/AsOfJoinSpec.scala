@@ -81,6 +81,28 @@ class AsOfJoinSpec extends SparkSpec {
     }
   }
 
+  test("SQL surface: graft_asof table function plans the native operator") {
+    graft.plans.GraftExtensions.install(spark)
+    purchases((1L, 100L, 10L), (1L, 250L, 11L), (2L, 50L, 20L))
+      .createOrReplaceTempView("asof_purchases")
+    clicks((1L, 90L, 1L), (1L, 200L, 2L), (2L, 60L, 3L))
+      .createOrReplaceTempView("asof_clicks")
+    val df = spark.sql(
+      """SELECT purchase_id, click_id FROM graft_asof(
+        |  'asof_purchases', 'asof_clicks',
+        |  'user_id', 'c_user', 'ts_ns', 'c_ts', 'click_id')""".stripMargin)
+    // the FROM-clause call must plan our physical node, not a rewrite
+    assert(df.queryExecution.executedPlan.toString.contains("AsOfJoin"),
+      df.queryExecution.executedPlan.toString)
+    assert(df.as[(Long, Option[Long])].collect().toMap ===
+      Map(10L -> Some(1L), 11L -> Some(2L), 20L -> None))
+    // non-literal / wrong-arity calls fail with an actionable message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_asof('asof_purchases', 'asof_clicks')").collect()
+    }
+    assert(e.getMessage.contains("seven arguments"), e.getMessage)
+  }
+
   test("native operator matches the window composition on the events fixture") {
     val nat = graft.ops.Relational.asofPurchaseToClickNative(spark, "/root/testdata/sf0.001")
       .as[(Long, Long, Long, Double, Option[Long], Option[Double])].collect().toSet

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions.col
+
 import graft.index.{IndexStore, InvertedIndex}
 import graft.sources.TextCorpus
 import SparkSpec.spark.implicits._
@@ -43,7 +45,8 @@ class SourcesAndStoreSpec extends SparkSpec {
     val docs = Seq((1L, "hello world", "en"), (2L, "hola mundo", "es"))
       .toDF("doc_id", "text", "lang")
     TextCorpus.writeJsonl(docs, dir)
-    val back = TextCorpus.readJsonl(spark, dir, extraFields = Seq("lang STRING"))
+    val back = TextCorpus.cleanJsonl(
+        TextCorpus.readJsonl(spark, dir, extraFields = Seq("lang STRING")))
       .as[(Long, String, String)].collect().toSet
     assert(back === Set((1L, "hello world", "en"), (2L, "hola mundo", "es")))
     // and the index pipeline runs straight off it
@@ -51,6 +54,33 @@ class SourcesAndStoreSpec extends SparkSpec {
       .as[(String, Long, Long)].collect().toSet
     assert(idx === Set(("hello", 1L, 1L), ("world", 1L, 1L),
       ("hola", 2L, 1L), ("mundo", 2L, 1L)))
+  }
+
+  test("readJsonl surfaces malformed lines in the corrupt column, keeps clean rows") {
+    val dir = tmp("jsonlbad") + "/corpus"
+    Files.createDirectories(java.nio.file.Paths.get(dir))
+    Files.write(java.nio.file.Paths.get(dir, "part-0.json"),
+      ("""{"doc_id": 1, "text": "good line"}""" + "\n" +
+        """{"doc_id": 2, "text": "truncated""" + "\n" +          // unterminated string
+        """{"doc_id": "not-a-number", "text": "bad id"}""" + "\n" +
+        """{"doc_id": 3, "text": "another good line"}""" + "\n").getBytes("UTF-8"))
+    val df = TextCorpus.readJsonl(spark, dir)
+    // clean rows: exactly the two parseable lines, corrupt column dropped
+    val clean = TextCorpus.cleanJsonl(df).as[(Long, String)].collect().toSet
+    assert(clean === Set((1L, "good line"), (3L, "another good line")))
+    // corrupt rows carry the RAW line for quarantine/replay (selected
+    // alongside a data column — required schema must never be ONLY the
+    // corrupt column, SPARK-21610)
+    val bad = TextCorpus.corruptJsonl(df)
+      .select($"doc_id", col(TextCorpus.CorruptCol).as("raw"))
+      .as[(Option[Long], String)].collect().map(_._2).toSet
+    assert(bad === Set(
+      """{"doc_id": 2, "text": "truncated""",
+      """{"doc_id": "not-a-number", "text": "bad id"}"""))
+    // the bad-typed row keeps its parseable field (text) alongside the raw line
+    val partial = TextCorpus.corruptJsonl(df)
+      .filter($"text" === "bad id").select("doc_id").collect()
+    assert(partial.length === 1 && partial.head.isNullAt(0))
   }
 
   test("IndexStore round-trips and lookup prunes partitions") {
