@@ -58,6 +58,28 @@ object ProbeScale {
     time("repetition")(graft.ops.TextAnalysis.repetitionSignals(docs).count())
     time("scrub")(graft.ops.TextAnalysis.scrubStats(docs).count())
     time("pack_shards")(graft.ops.Sampling.packShards(docs, 2048, 32).count())
+    // round-4: end-to-end near-dup removal (post pairs-materialization
+    // fix) and eval-decontamination at ~sf1
+    time("dedup_keep")(Dedup.dropNearDuplicates(docs).count())
+    time("decontaminate")(Dedup.decontaminate(
+      docs.filter(col("doc_id") % 50 =!= 0),
+      docs.filter(col("doc_id") % 50 === 0)).count())
+    // ~sf1 embeddings: 10 vec_id-shifted copies
+    if (!new java.io.File("/tmp/emb_sf1").exists()) {
+      val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 100000L)))
+        .reduce(_ unionByName _)
+        .write.mode("overwrite").parquet("/tmp/emb_sf1")
+    }
+    val emb = spark.read.parquet("/tmp/emb_sf1")
+    time("cosine_dups")(graft.ops.Similarity.cosineDupPairs(emb, 0.8).count())
+    time("kmeans_assign")(graft.ops.Similarity.kmeansAssignments(emb).count())
+    time("ivf_kmeans_centroids") {
+      val cents = graft.ops.Similarity.kmeans(emb).select("cell_id", "cv")
+      graft.ops.Similarity.ivfTopK(
+        emb.filter(col("vec_id") % 10000 === 0), emb, 10, nprobe = 4,
+        centroids = Some(cents)).count()
+    }
     spark.stop()
   }
 }

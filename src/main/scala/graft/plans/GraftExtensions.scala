@@ -20,6 +20,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectTableFunction(GraftExtensions.asofTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
@@ -32,6 +33,27 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_dot(a, b) takes exactly two arguments")
       DotProduct(children.head, children(1))
+    })
+
+  /** SQL surface for the bounded-heap top-k aggregate:
+    * `SELECT g, graft_top_k(score, id, 3) FROM t GROUP BY g`. The
+    * analyzer wraps a registered AggregateFunction in an
+    * AggregateExpression itself; `k` must be a foldable integer
+    * literal (it sizes the heap at plan time). */
+  private val topKFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_top_k"),
+    new ExpressionInfo(classOf[graft.functions.TopKByScore].getName, "graft_top_k"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_top_k(score, id, k) takes exactly three arguments")
+      val k = children(2) match {
+        case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+        case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_top_k: k must be an integer literal, got ${other.sql}")
+      }
+      graft.functions.TopKByScore(children(0), children(1), k)
     })
 
   /** SQL surface for the native as-of operator — a table-valued
@@ -79,6 +101,8 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     val (id, info, builder) = dotFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
+    val (kid, kinfo, kbuilder) = topKFunction
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
     val (tid, tinfo, tbuilder) = asofTableFunction
     org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
     if (!spark.experimental.extraStrategies.contains(AsOfJoin.AsOfStrategy)) {

@@ -100,6 +100,23 @@ class TopKByScoreSpec extends SparkSpec {
     assert(viaAgg.contains(("dog", "a.txt", 1L, 1)) && viaAgg.contains(("dog", "b.txt", 1L, 2)))
   }
 
+  test("SQL surface: graft_top_k aggregate callable from spark.sql") {
+    graft.plans.GraftExtensions.install(spark)
+    Seq(("g", 1L, 5L), ("g", 2L, 9L), ("g", 3L, 5L), ("h", 4L, 1L))
+      .toDF("g", "id", "score").createOrReplaceTempView("topk_input")
+    val got = spark.sql(
+      """SELECT g, e.id, e.score FROM (
+        |  SELECT g, explode(graft_top_k(score, id, 2)) AS e
+        |  FROM topk_input GROUP BY g)""".stripMargin)
+      .as[(String, Long, Long)].collect().toSet
+    assert(got === Set(("g", 2L, 9L), ("g", 1L, 5L), ("h", 4L, 1L)))
+    // k must be a literal — it sizes the heap at plan time
+    val e = intercept[Exception] {
+      spark.sql("SELECT g, graft_top_k(score, id, id) FROM topk_input GROUP BY g").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("groups smaller than k emit all rows; nulls are skipped") {
     val df = Seq(("g", Some(1L), Some(3L)), ("g", Some(2L), None), ("h", Some(9L), Some(1L)))
       .toDF("g", "id", "score")
