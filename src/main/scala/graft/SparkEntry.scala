@@ -165,6 +165,7 @@ object SparkEntry {
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
     "q_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 100)),
+    "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(docs(s, dir), 50)),
     "q_scrub" -> ((s, dir) => TextAnalysis.scrubStats(docs(s, dir))),
 
     // ---- training-shard layout ------------------------------------------
@@ -189,6 +190,7 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0)).select("doc_id")
     },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
@@ -490,6 +492,36 @@ object SparkEntry {
          |  CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
          |FROM inter JOIN sizes a ON inter.doc_a = a.doc_id JOIN sizes b ON inter.doc_b = b.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2""".stripMargin,
+    "q_chunk_dedup" ->
+      // twin of Dedup.chunkDedup(w=2): non-overlapping 2-token chunks,
+      // corpus-wide first occurrence wins (doc_id, chunk_idx order),
+      // kept text reassembled in chunk order and hashed
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |         array_to_string(ts[(i*2+1):(i*2+2)], ' ') AS chunk
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(0, CAST((len(ts)-1)//2 AS BIGINT))) AS i
+         |             FROM t WHERE len(ts) >= 1)),
+         |mk AS (SELECT doc_id, chunk_idx, chunk,
+         |         row_number() OVER (PARTITION BY md5(chunk) ORDER BY doc_id, chunk_idx) AS rn
+         |       FROM ch),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+         |          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |          md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS kept_hash
+         |        FROM mk GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.kept_hash, md5('')) AS kept_hash
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_vocab_coverage" ->
+      s"""WITH cnts AS (SELECT token, count(*) AS cnt
+         |  FROM (SELECT unnest($TOKS) AS token FROM documents) GROUP BY token),
+         |top AS (SELECT token, cnt,
+         |    CAST(row_number() OVER (ORDER BY cnt DESC, token ASC) AS INTEGER) AS rank
+         |  FROM cnts ORDER BY cnt DESC, token ASC LIMIT 50)
+         |SELECT token, cnt, rank,
+         |  round(CAST(sum(cnt) OVER (ORDER BY rank ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+         |    / (SELECT sum(cnt) FROM cnts), 6) AS cum_frac
+         |FROM top""".stripMargin,
     "q_simhash" -> SIMHASH_SQL,
     "q_simhash_pairs" ->
       // twin of Dedup.simhashPairs(bits=16, maxHamming=3): Hamming-LSH

@@ -333,6 +333,47 @@ object Dedup {
       .distinct()
   }
 
+  /** Sub-document exact dedup at chunk granularity (the RefinedWeb/
+    * "exact substring" family, suffix-array-free): split each document
+    * into NON-OVERLAPPING w-token chunks, hash them, and keep only the
+    * corpus-wide FIRST occurrence of each distinct chunk (first =
+    * lexicographically smallest (doc_id, chunk_idx)); re-emit per-doc
+    * stats and the md5 of the surviving text. Boilerplate repeated
+    * across a crawl disappears from every document but one, without
+    * dropping whole documents the way [[exact]] does.
+    *
+    * Plan shape: one explode, one min-over-window keyed by the chunk
+    * hash (the only corpus-wide shuffle), one per-doc aggregation. The
+    * kept text is reassembled with an in-group sort over each doc's
+    * own chunks — bounded by document size, never corpus-wide.
+    * Determinism: md5 chunk hashes, struct-min winner, chunk_idx order.
+    */
+  def chunkDedup(docs: DataFrame, w: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = when(size(col("ts")) >= 1,
+      // Column `/` is double division; truncate back to int (floor for
+      // the non-negative sizes here) for the inclusive chunk-index bound
+      transform(sequence(lit(0), ((size(col("ts")) - 1) / w).cast("int")),
+        i => concat_ws(" ", slice(col("ts"), i * w + 1, lit(w))))
+    ).otherwise(array().cast("array<string>"))
+    val win = Window.partitionBy("h")
+    tokenized(docs)
+      .select(col("doc_id"), posexplode_outer(chunks).as(Seq("chunk_idx", "chunk")))
+      .withColumn("h", md5(col("chunk")))
+      .withColumn("winner", min(struct(col("doc_id"), col("chunk_idx"))).over(win))
+      .withColumn("kept", col("chunk").isNotNull &&
+        col("winner") === struct(col("doc_id"), col("chunk_idx")))
+      .groupBy("doc_id")
+      .agg(
+        count(col("chunk")).cast("int").as("n_chunks"),
+        count(when(col("kept"), 1)).cast("int").as("n_kept"),
+        md5(concat_ws(" ",
+          transform(
+            array_sort(collect_list(when(col("kept"),
+              struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")))).as("kept_hash"))
+  }
+
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
     * standard n-gram-overlap filter run before training so eval answers

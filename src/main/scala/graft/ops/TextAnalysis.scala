@@ -129,6 +129,33 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Vocabulary coverage — the tokenizer-vocab-building query: the k
+    * most frequent tokens with their counts and the CUMULATIVE fraction
+    * of all corpus tokens a vocabulary truncated at each rank would
+    * cover (the Zipf curve a BPE/unigram tokenizer budget is read off).
+    *
+    * Plan shape: one token-keyed hash aggregation (partial+final), a
+    * TakeOrderedAndProject for the top k (bounded heap per partition —
+    * the full vocabulary is never sorted), one broadcast scalar (total
+    * token count), and a running-sum window over the K RESULT ROWS only
+    * (single partition by construction — k rows, not the corpus; the
+    * corpus-wide stages are all keyed). Integer sums + one division +
+    * round(6) — engine-exact.
+    */
+  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
+    val counts = graft.core.Parallelism.ensure(docs)
+      .select(explode(TextNorm.tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("cnt"))
+    val rankOrder = Window.orderBy(col("cnt").desc, col("token").asc)
+    val running = rankOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts.orderBy(col("cnt").desc, col("token").asc).limit(k)
+      .crossJoin(broadcast(counts.agg(sum("cnt").as("total"))))
+      .select(col("token"), col("cnt"),
+        row_number().over(rankOrder).cast("int").as("rank"),
+        round(sum("cnt").over(running).cast("double") / col("total"), 6).as("cum_frac"))
+  }
+
   /** PII/noise scrubbing stats (the C4-style cleanup pass): count and
     * redact email addresses and URLs. Emits per-document counts plus
     * the md5 of the redacted text, so a gate can verify the exact

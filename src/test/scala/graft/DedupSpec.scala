@@ -143,6 +143,24 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 30L)) // cluster canonical + untouched singleton
   }
 
+  test("chunkDedup keeps only the first corpus-wide occurrence of each chunk") {
+    // doc 1: chunks "a b","c d"; doc 2 repeats "a b" (dropped) + fresh "e f";
+    // doc 3 repeats BOTH its chunks (all dropped); doc 4 has no tokens
+    val d = docs(1L -> "a b c d", 2L -> "a b e f", 3L -> "c d e f", 4L -> "!!!")
+    val got = Dedup.chunkDedup(d, w = 2)
+      .select("doc_id", "n_chunks", "n_kept").as[(Long, Int, Int)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(1L -> ((2, 2)), 2L -> ((2, 1)), 3L -> ((2, 0)), 4L -> ((0, 0))))
+    // kept text of doc 2 is just "e f" (chunk order preserved)
+    val hashes = Dedup.chunkDedup(d, w = 2)
+      .select("doc_id", "kept_hash").as[(Long, String)].collect().toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(hashes(2L) === m("e f"))
+    assert(hashes(3L) === m(""))
+    assert(hashes(1L) === m("a b c d"))
+  }
+
   test("decontaminate drops exactly the docs sharing a shingle with the eval set") {
     val train = docs(
       1L -> "alpha beta gamma delta epsilon",   // shares "beta gamma delta" w/ eval

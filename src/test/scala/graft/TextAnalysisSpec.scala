@@ -73,6 +73,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan)
   }
 
+  test("vocabCoverage: rank by count desc, cumulative fraction of ALL tokens") {
+    // corpus: a x6, b x3, c x1 → total 10
+    val d = docs(1L -> "a a a b b c", 2L -> "a a a b")
+    val got = TextAnalysis.vocabCoverage(d, k = 2)
+      .as[(String, Long, Int, Double)].collect().toSeq
+    assert(got === Seq(("a", 6L, 1, 0.6), ("b", 3L, 2, 0.9)))
+  }
+
+  test("vocabCoverage: corpus-wide stages stay keyed (TakeOrdered, no global sort)") {
+    val d = docs((1L to 50L).map(i => i -> s"w$i common words here"): _*)
+    val plan = TextAnalysis.vocabCoverage(d, k = 10).queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
   test("scrubStats counts and redacts emails and urls identically") {
     val d = docs(
       1L -> "mail me at jane.doe+x@example.com or visit https://ex.com/a?b=1 now",
