@@ -209,6 +209,7 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4)
     },
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
+    "q_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     // Lloyd k-means (2 fixed iterations): learned IVF centroids + final
     // assignments, both deterministic cell-for-cell (rounded cosines,
     // lowest-cell ties, exact decimal means)
@@ -592,6 +593,16 @@ object SparkEntry {
          |      / (sqrt(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i]), (acc, x) -> acc + x))
          |       * sqrt(list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]), (acc, x) -> acc + x))), 6) >= 0.8""".stripMargin,
 
+    "q_quantize_int8" ->
+      // twin of Similarity.quantizeInt8: scale = max|v|/127, code =
+      // round-half-away(v/scale), reconstruction error rounded 6
+      """SELECT vec_id, CAST(pos AS INTEGER) AS pos,
+        |  CASE WHEN scale > 0 THEN CAST(round(x / scale, 0) AS INTEGER) ELSE 0 END AS code,
+        |  round(abs(x - (CASE WHEN scale > 0 THEN CAST(round(x / scale, 0) AS INTEGER) ELSE 0 END) * scale), 6) AS abs_err,
+        |  round(scale, 9) AS scale
+        |FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x,
+        |        list_max(list_transform(e, y -> abs(y))) / 127.0 AS scale
+        |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))""".stripMargin,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

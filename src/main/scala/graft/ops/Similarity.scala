@@ -318,6 +318,32 @@ object Similarity {
     assignToCells(corp, cent).select(col("vec_id"), col("cell_id"), col("cos"))
   }
 
+  /** Symmetric per-vector int8 quantization — the storage format a
+    * 100 TB embedding store actually ships (4x smaller than float32,
+    * 8x smaller than the double working form): scale = max|v| / 127,
+    * code_i = round(v_i / scale) ∈ [-127, 127]. Emitted FLAT
+    * (vec_id, pos, code, abs_err, scale) so the oracle hash-checks the
+    * exact codes AND the reconstruction error |v_i − code_i·scale|.
+    *
+    * Determinism: scale is one IEEE division off an exact float-derived
+    * max; round-half-away-from-zero matches across engines; errors
+    * round to 6. Zero vectors quantize to all-zero codes (scale 0
+    * guard). Pure row-parallel column algebra — no shuffle at any
+    * scale; the lambda iterates a materialized array attribute only.
+    */
+  def quantizeInt8(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .select(col("vec_id"), col("v"),
+        (array_max(transform(col("v"), x => abs(x))) / 127.0).as("scale"))
+      .select(col("vec_id"), col("scale"), posexplode(col("v")).as(Seq("pos", "x")))
+      .select(col("vec_id"), (col("pos") + 1).cast("int").as("pos"),
+        when(col("scale") > 0, round(col("x") / col("scale"), 0).cast("int"))
+          .otherwise(0).as("code"),
+        col("scale"), col("x"))
+      .select(col("vec_id"), col("pos"), col("code"),
+        round(abs(col("x") - col("code") * col("scale")), 6).as("abs_err"),
+        round(col("scale"), 9).as("scale"))
+
   /** Embedding-cosine near-duplicate pairs: bucket by sign-LSH, compare
     * within buckets only, keep pairs above the threshold. The dedup
     * variant of ANN (symmetric, a < b).

@@ -95,6 +95,19 @@ class SimilaritySpec extends SparkSpec {
       ("a", 1, 2L, 2.0), ("a", 2, 2L, 4.0), ("b", 1, 1L, 10.0), ("b", 2, 1L, 0.0)))
   }
 
+  test("quantizeInt8: codes, scale, and reconstruction-error bound") {
+    val got = Similarity.quantizeInt8(vecs(
+        1L -> Seq(1f, -0.5f, 0f), 2L -> Seq(0f, 0f, 0f)))
+      .select("vec_id", "pos", "code", "abs_err")
+      .as[(Long, Int, Int, Double)].collect()
+    val codes = got.map(r => (r._1, r._2) -> r._3).toMap
+    // vec 1: scale = 1/127 → codes 127, -64 (round half away), 0
+    assert(codes === Map((1L, 1) -> 127, (1L, 2) -> -64, (1L, 3) -> 0,
+      (2L, 1) -> 0, (2L, 2) -> 0, (2L, 3) -> 0))
+    // reconstruction error never exceeds half a quantization step
+    assert(got.forall(_._4 <= 0.5 / 127 + 1e-9), got.mkString(","))
+  }
+
   test("kmeans: separable clusters converge to their true centers") {
     // two tight clusters around (1,0) and (0,1); ids chosen so the
     // modulo-100 init picks one seed (vec_id=1, in cluster A) — after 2
