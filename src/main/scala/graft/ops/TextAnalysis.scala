@@ -141,12 +141,23 @@ object TextAnalysis {
     * (single partition by construction — k rows, not the corpus; the
     * corpus-wide stages are all keyed). Integer sums + one division +
     * round(6) — engine-exact.
+    *
+    * The count table feeds BOTH the top-k branch and the total-sum
+    * branch, and exchange reuse does not fire across re-aliased
+    * references — so it is materialized once (pluggable strategy,
+    * [[graft.core.Materialize]]); without it the corpus tokenize+count
+    * pipeline executes twice.
     */
-  def vocabCoverage(docs: DataFrame, k: Int = 100): DataFrame = {
-    val counts = graft.core.Parallelism.ensure(docs)
-      .select(explode(TextNorm.tokens(col("text"))).as("token"))
-      .groupBy("token")
-      .agg(count(lit(1)).as("cnt"))
+  def vocabCoverage(
+      docs: DataFrame,
+      k: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val counts = graft.core.Materialize(
+      graft.core.Parallelism.ensure(docs)
+        .select(explode(TextNorm.tokens(col("text"))).as("token"))
+        .groupBy("token")
+        .agg(count(lit(1)).as("cnt")),
+      mat)
     val rankOrder = Window.orderBy(col("cnt").desc, col("token").asc)
     val running = rankOrder.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     counts.orderBy(col("cnt").desc, col("token").asc).limit(k)

@@ -81,10 +81,14 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Seq(("a", 6L, 1, 0.6), ("b", 3L, 2, 0.9)))
   }
 
-  test("vocabCoverage: corpus-wide stages stay keyed (TakeOrdered, no global sort)") {
+  test("vocabCoverage: TakeOrdered top-k, tokenize+count pipeline executes once") {
     val d = docs((1L to 50L).map(i => i -> s"w$i common words here"): _*)
     val plan = TextAnalysis.vocabCoverage(d, k = 10).queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan)
+    // the count table is materialized once: both branches read the
+    // checkpointed RDD, the corpus tokenizer (Generate) is gone
+    assert(plan.contains("Scan ExistingRDD"), plan)
+    assert(!plan.contains("Generate"), plan)
   }
 
   test("scrubStats counts and redacts emails and urls identically") {
