@@ -121,6 +121,64 @@ object CorpusWatcher {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Watch a directory of JSONL corpus files (the interchange format
+    * large text corpora ship in) and keep the inverted index up to
+    * date — the [[start]] pipeline for `{"doc_id", "text"}` lines
+    * instead of file-per-document blobs.
+    *
+    * Corrupt-line contract at the STREAMING boundary: a crawl feed
+    * WILL contain malformed lines, and a streaming job that crashes on
+    * them (FAILFAST) or silently nulls them loses either availability
+    * or data. Each batch splits on [[graft.sources.TextCorpus.CorruptCol]]:
+    * clean rows merge into the snapshot exactly like [[start]];
+    * corrupt rows APPEND their raw line (plus batch id) to
+    * `quarantineDir` as parquet for inspection/replay. Rows with a
+    * null doc_id (parseable JSON, missing key) are quarantined too —
+    * they cannot key an upsert.
+    */
+  def startJsonl(
+      spark: SparkSession,
+      watchDir: String,
+      indexDir: String,
+      checkpointDir: String,
+      quarantineDir: String,
+      availableNow: Boolean = true,
+      retainSnapshots: Int = 2): StreamingQuery = {
+    val C = graft.sources.TextCorpus.CorruptCol
+    val docs = spark.readStream
+      .format("json")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", C)
+      .schema(s"doc_id BIGINT, text STRING, $C STRING")
+      .load(watchDir)
+    val writer = docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val session = batch.sparkSession
+        // quarantine: corrupt lines keep their raw text; null-doc_id
+        // rows are reconstructed to a JSON line (they parsed — the raw
+        // line is not retained by the reader for them)
+        val bad = batch.filter(col(C).isNotNull || col("doc_id").isNull)
+          .select(
+            coalesce(col(C), to_json(struct(col("doc_id"), col("text")))).as("raw"),
+            lit(batchId).as("batch_id"))
+        bad.write.mode("append").parquet(quarantineDir)
+        val clean = batch.filter(col(C).isNull && col("doc_id").isNotNull)
+          .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        val delta = InvertedIndex.build(clean, idCol = "doc_id")
+        val merged = InvertedIndex.upsertDocs(currentIndex(session, indexDir), delta)
+        val snap = f"snap-$batchId%09d"
+        merged.write.mode("overwrite").parquet(s"$indexDir/$snap")
+        val tmp = Paths.get(indexDir, s".$Latest.tmp")
+        Files.write(tmp, snap.getBytes("UTF-8"))
+        Files.move(tmp, Paths.get(indexDir, Latest),
+          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        gcSnapshots(indexDir, retainSnapshots)
+        ()
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Delete all but the newest `retain` snapshot dirs. Snapshot names
     * are zero-padded (`snap-000000042`) so lexicographic order IS batch
     * order. Runs AFTER the pointer swap: the newest snapshot (the one

@@ -101,6 +101,29 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(indexEntries(index).count(_._1 == "common") === 3)
   }
 
+  test("JSONL watcher indexes clean lines, quarantines corrupt and keyless ones") {
+    val (watch, index, ckpt, quar) =
+      (tmp("watchjl"), tmp("indexjl"), tmp("ckptjl"), tmp("quarjl") + "/bad")
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 1, "text": "cat dog cat"}""" + "\n" +
+        """{"doc_id": 2, "text": "truncated""" + "\n" +       // malformed JSON
+        """{"text": "no id here"}""" + "\n" +                  // parseable, keyless
+        """{"doc_id": 3, "text": "bird"}""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar).awaitTermination()
+    assert(indexEntries(index) === Set(
+      ("cat", "1", 2L), ("dog", "1", 1L), ("bird", "3", 1L)))
+    val bad = spark.read.parquet(quar).select("raw").as[String].collect().toSet
+    assert(bad === Set(
+      """{"doc_id": 2, "text": "truncated""",
+      """{"text":"no id here"}""")) // keyless row re-serialized by to_json
+    // a later arrival merges incrementally (upsert keyed on doc_id)
+    Files.write(Paths.get(watch, "feed-1.json"),
+      """{"doc_id": 1, "text": "replaced"}""".getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar).awaitTermination()
+    assert(indexEntries(index) === Set(
+      ("replaced", "1", 1L), ("bird", "3", 1L)))
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")
