@@ -64,6 +64,8 @@ object ProbeScale {
     time("decontaminate")(Dedup.decontaminate(
       docs.filter(col("doc_id") % 50 =!= 0),
       docs.filter(col("doc_id") % 50 === 0)).count())
+    time("chunk_dedup")(Dedup.chunkDedup(docs).count())
+    time("vocab_coverage")(graft.ops.TextAnalysis.vocabCoverage(docs, 100).count())
     // ~sf1 embeddings: 10 vec_id-shifted copies
     if (!new java.io.File("/tmp/emb_sf1").exists()) {
       val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -72,6 +74,7 @@ object ProbeScale {
         .write.mode("overwrite").parquet("/tmp/emb_sf1")
     }
     val emb = spark.read.parquet("/tmp/emb_sf1")
+    time("quantize_int8")(graft.ops.Similarity.quantizeInt8(emb).count())
     time("cosine_dups")(graft.ops.Similarity.cosineDupPairs(emb, 0.8).count())
     time("kmeans_assign")(graft.ops.Similarity.kmeansAssignments(emb).count())
     time("ivf_kmeans_centroids") {
