@@ -191,6 +191,14 @@ object SparkEntry {
     },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
+    "q_dedup_incremental" -> { (s, dir) =>
+      // daily-crawl shape: even doc_ids are the existing corpus (band
+      // table precomputed), odd doc_ids are the increment
+      val d = docs(s, dir)
+      Dedup.dropDuplicatesAgainst(
+        d.filter(col("doc_id") % 2 =!= 0),
+        Dedup.minhashBands(d.filter(col("doc_id") % 2 === 0))).select("doc_id")
+    },
     "q_simhash" -> ((s, dir) => Dedup.simhash(docs(s, dir))),
     "q_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir))),
 
@@ -493,6 +501,19 @@ object SparkEntry {
          |  CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
          |FROM inter JOIN sizes a ON inter.doc_a = a.doc_id JOIN sizes b ON inter.doc_b = b.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2""".stripMargin,
+    "q_dedup_incremental" ->
+      // bands are per-document, so banding the whole corpus and
+      // splitting in the join equals banding each side separately
+      s"""WITH sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
+         |sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
+         |         FROM sh, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+         |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key FROM sigs GROUP BY doc_id, band),
+         |bad AS (SELECT DISTINCT n.doc_id
+         |  FROM bands n JOIN bands r ON n.band = r.band AND n.band_key = r.band_key
+         |  WHERE n.doc_id % 2 <> 0 AND r.doc_id % 2 = 0)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id % 2 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
     "q_chunk_dedup" ->
       // twin of Dedup.chunkDedup(w=2): non-overlapping 2-token chunks,
       // corpus-wide first occurrence wins (doc_id, chunk_idx order),

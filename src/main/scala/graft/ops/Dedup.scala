@@ -333,6 +333,34 @@ object Dedup {
       .distinct()
   }
 
+  /** Incremental (cross-corpus) near-dup filter — the daily-crawl
+    * pattern: drop every NEW document that shares a minhash band
+    * bucket with the EXISTING corpus. The reference side is a band
+    * table (`(doc_id, band, band_key)`, the [[minhashBands]] shape)
+    * that a production pipeline keeps materialized in storage and only
+    * ever APPENDS to — so each increment signs only its own documents;
+    * the 100 TB history is never re-scanned, just semi-joined on its
+    * precomputed keys.
+    *
+    * Plan shape: sign the increment (the only text scan), one
+    * band-keyed left-semi join against the reference table (AQE
+    * broadcasts a small increment side), one anti-join on doc_id.
+    * Within-increment duplicates are NOT dropped here — run
+    * [[dropNearDuplicates]] on the survivors for that; keeping the two
+    * concerns separate lets the history table stay append-only.
+    */
+  def dropDuplicatesAgainst(
+      newDocs: DataFrame,
+      refBands: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2): DataFrame = {
+    val dupIds = minhashBands(newDocs, w, k, bands)
+      .join(refBands.select(col("band"), col("band_key")), Seq("band", "band_key"), "left_semi")
+      .select("doc_id").distinct()
+    newDocs.join(dupIds, Seq("doc_id"), "left_anti")
+  }
+
   /** Sub-document exact dedup at chunk granularity (the RefinedWeb/
     * "exact substring" family, suffix-array-free): split each document
     * into NON-OVERLAPPING w-token chunks, hash them, and keep only the

@@ -143,6 +143,25 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(3L, 30L)) // cluster canonical + untouched singleton
   }
 
+  test("dropDuplicatesAgainst: increment docs matching a reference band are dropped") {
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val ref = docs(2L -> text, 4L -> "some reference content nothing like the others")
+    val inc = docs(
+      1L -> text,                                               // dup of ref doc 2 → dropped
+      3L -> "a completely fresh document with novel words only", // survives
+      5L -> text)                                               // dup of ref doc 2 → dropped
+    val kept = Dedup.dropDuplicatesAgainst(inc, Dedup.minhashBands(ref))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(3L))
+    // within-increment dups are deliberately NOT dropped (append-only
+    // history contract): two fresh near-identical increment docs survive
+    val inc2 = docs(7L -> "novel words here abc def ghi jkl",
+      9L -> "novel words here abc def ghi jkl")
+    val kept2 = Dedup.dropDuplicatesAgainst(inc2, Dedup.minhashBands(ref))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept2 === Set(7L, 9L))
+  }
+
   test("chunkDedup keeps only the first corpus-wide occurrence of each chunk") {
     // doc 1: chunks "a b","c d"; doc 2 repeats "a b" (dropped) + fresh "e f";
     // doc 3 repeats BOTH its chunks (all dropped); doc 4 has no tokens
