@@ -74,6 +74,35 @@ object SparkEntry {
        | / (sqrt(list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $a[i]), (acc, x) -> acc + x))
        | * sqrt(list_reduce(list_transform(generate_series(1, len($b)), i -> $b[i] * $b[i]), (acc, x) -> acc + x))), 6)""".stripMargin
 
+  /** Sequential-fold dot product twin (shared by the PQ oracle). */
+  private def DOT_SQL(a: String, b: String): String =
+    s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
+
+  /** Twin of [[Similarity.pqCodes]]/[[Similarity.pqCodebooks]] (m=4,
+    * iterations=1, centroidMod=100): per-subspace sub-vectors with
+    * precomputed self-dots, modulo-sampled codebook init, one L2
+    * argmin E-step + decimal-mean M-step, final assignment vs the
+    * trained codebooks. The L2 form `(x·x − 2·x·c) + c·c` mirrors the
+    * engine's operation order exactly. */
+  private val PQ_CTES: String =
+    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |sub AS (SELECT vec_id, CAST(s AS INTEGER) AS s,
+       |          e[(s * (len(e) // 4) + 1):((s + 1) * (len(e) // 4))] AS sv
+       |        FROM v, (SELECT unnest(range(4)) AS s)),
+       |subx AS (SELECT vec_id, s, sv, ${DOT_SQL("sv", "sv")} AS xx FROM sub),
+       |c0 AS (SELECT s, vec_id AS cell_id, sv AS cv, xx AS cc FROM subx WHERE vec_id % 100 = 1),
+       |a1 AS (SELECT vec_id, s, sv, cell_id FROM (
+       |  SELECT x.vec_id, x.s, x.sv, c.cell_id,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.s
+       |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+       |  FROM subx x JOIN c0 c ON x.s = c.s) WHERE rn = 1),
+       |f1 AS (SELECT s, cell_id, pos, round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv_i
+       |  FROM (SELECT s, cell_id, generate_subscripts(sv, 1) AS pos,
+       |          unnest(CAST(sv AS DECIMAL(28,12)[])) AS xv FROM a1)
+       |  GROUP BY s, cell_id, pos),
+       |c1 AS (SELECT s, cell_id, list(cv_i ORDER BY pos) AS cv FROM f1 GROUP BY s, cell_id),
+       |c1x AS (SELECT s, cell_id, cv, ${DOT_SQL("cv", "cv")} AS cc FROM c1)""".stripMargin
+
   /** One unrolled Lloyd iteration — twin of [[Similarity.kmeans]]'s
     * E-step (argmax cosine, ties to lowest cell_id) + M-step (exact
     * DECIMAL(28,12) per-dimension mean, rounded 6). `prev` is the
@@ -218,6 +247,9 @@ object SparkEntry {
     },
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
     "q_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
+    // product quantization: per-subspace codebooks trained in one plan
+    "q_pq_codes" -> ((s, dir) => Similarity.pqCodes(emb(s, dir))),
+    "q_pq_codebooks" -> ((s, dir) => Similarity.pqCodebooks(emb(s, dir))),
     // Lloyd k-means (2 fixed iterations): learned IVF centroids + final
     // assignments, both deterministic cell-for-cell (rounded cosines,
     // lowest-cell ties, exact decimal means)
@@ -624,6 +656,17 @@ object SparkEntry {
         |FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x,
         |        list_max(list_transform(e, y -> abs(y))) / 127.0 AS scale
         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))""".stripMargin,
+    "q_pq_codes" ->
+      s"""WITH $PQ_CTES
+         |SELECT vec_id, s AS subspace, cell_id AS code, d2 FROM (
+         |  SELECT x.vec_id, x.s, c.cell_id,
+         |    round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) AS d2,
+         |    row_number() OVER (PARTITION BY x.vec_id, x.s
+         |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+         |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1""".stripMargin,
+    "q_pq_codebooks" ->
+      s"""WITH $PQ_CTES
+         |SELECT s AS subspace, cell_id, CAST(pos AS INTEGER) AS pos, cv_i AS centroid_v FROM f1""".stripMargin,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

@@ -318,6 +318,104 @@ object Similarity {
     assignToCells(corp, cent).select(col("vec_id"), col("cell_id"), col("cos"))
   }
 
+  /** Product quantization (Jégou et al., PAMI '11) — the codebook
+    * compression the IVF+PQ stack ships at billion-vector scale: split
+    * each vector into `m` equal sub-vectors, k-means a codebook PER
+    * SUBSPACE (all m codebooks train in ONE plan — subspace rides as a
+    * grouping key through the same E/M steps [[kmeans]] uses), and
+    * store each vector as m small centroid ids. Assignment metric is
+    * L2 (argmin ||x−c||², the PQ standard), computed as
+    * `(x·x − 2·x·c) + c·c` with the norms precomputed per side and the
+    * result rounded to 6 — fixed operation order, so an independent
+    * engine reproduces code-for-code. Ties to the lowest cell id.
+    *
+    * Scale shape: the sub-vector table is materialized once and reused
+    * by every E-step; codebooks are broadcast (m × k rows); one keyed
+    * argmin aggregate per iteration. Requires the embedding dimension
+    * to be divisible by `m` (sub-slices are computed per row from
+    * `size(v)/m`).
+    */
+  private def pqLoop(
+      emb: DataFrame,
+      m: Int,
+      iterations: Int,
+      centroidMod: Int,
+      mat: graft.core.Materialize.Strategy): (DataFrame, DataFrame) = {
+    require(m >= 1 && iterations >= 1, s"m=$m and iterations=$iterations must be >= 1")
+    val dsub = (size(col("v")) / m).cast("int")
+    val sub = graft.core.Materialize(
+      emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+        .select(col("vec_id"), col("s"), slice(col("v"), col("s") * dsub + 1, dsub).as("sv"))
+        .select(col("vec_id"), col("s"), col("sv"), dot(col("sv"), col("sv")).as("xx")),
+      mat)
+    var cent = graft.core.Materialize(
+      sub.filter(col("vec_id") % centroidMod === 1)
+        .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"), col("xx").as("cc")),
+      mat)
+    var it = 0
+    while (it < iterations) {
+      val flat = pqAssign(sub, cent)
+        .select(col("s"), col("cell_id"),
+          posexplode(col("sv").cast("array<decimal(28,12)>")).as(Seq("pos", "x")))
+        .groupBy("s", "cell_id", "pos")
+        .agg(round(sum("x").cast("double") / count(lit(1)), 6).as("cv_i"))
+      val next = graft.core.Materialize(
+        flat.groupBy("s", "cell_id")
+          .agg(array_sort(collect_list(struct(col("pos"), col("cv_i")))).as("ps"))
+          .select(col("s"), col("cell_id"),
+            transform(col("ps"), p => p.getField("cv_i")).as("cv"))
+          .select(col("s"), col("cell_id"), col("cv"), dot(col("cv"), col("cv")).as("cc")),
+        mat)
+      graft.core.Materialize.release(cent, mat)
+      cent = next
+      it += 1
+    }
+    (sub, cent)
+  }
+
+  /** PQ E-step: nearest sub-centroid per (vector, subspace) by L2,
+    * min_by on the lexicographic (d2, cell_id) struct — keyed argmin,
+    * partial-aggregated, never sorted. */
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
+    sub.join(broadcast(cent), Seq("s"))
+      .select(col("vec_id"), col("s"), col("sv"), col("cell_id"),
+        round(col("xx") - lit(2.0) * dot(col("sv"), col("cv")) + col("cc"), 6).as("d2"))
+      .groupBy("vec_id", "s")
+      .agg(min_by(struct(col("cell_id"), col("sv"), col("d2")),
+        struct(col("d2"), col("cell_id"))).as("best"))
+      .select(col("vec_id"), col("s"),
+        col("best.cell_id").as("cell_id"), col("best.sv").as("sv"), col("best.d2").as("d2"))
+
+  /** PQ codes: (vec_id, subspace, code, d2) — each vector's m nearest
+    * sub-centroid ids against the trained codebooks, with the rounded
+    * residual L2. */
+  def pqCodes(
+      emb: DataFrame,
+      m: Int = 4,
+      iterations: Int = 1,
+      centroidMod: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (sub, cent) = pqLoop(emb, m, iterations, centroidMod, mat)
+    pqAssign(sub, cent)
+      .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
+  }
+
+  /** The trained PQ codebooks, flat: (subspace, cell_id, pos,
+    * centroid_v) — pos 1-based within the subspace. */
+  def pqCodebooks(
+      emb: DataFrame,
+      m: Int = 4,
+      iterations: Int = 1,
+      centroidMod: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (_, cent) = pqLoop(emb, m, iterations, centroidMod, mat)
+    cent.select(col("s").as("subspace"), col("cell_id"),
+        posexplode(col("cv")).as(Seq("pos", "centroid_v")))
+      .select(col("subspace"), col("cell_id"),
+        (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage format a
     * 100 TB embedding store actually ships (4x smaller than float32,
     * 8x smaller than the double working form): scale = max|v| / 127,

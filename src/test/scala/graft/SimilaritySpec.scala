@@ -108,6 +108,26 @@ class SimilaritySpec extends SparkSpec {
     assert(got.forall(_._4 <= 0.5 / 127 + 1e-9), got.mkString(","))
   }
 
+  test("pqCodes: m codes per vector, identical vectors share codes, valid cells") {
+    val rnd = new scala.util.Random(47)
+    val base = (1L to 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    // vector 40 duplicates vector 2 exactly
+    val corpus = vecs(base.map { case (i, v) => if (i == 40L) i -> base(1)._2 else i -> v }: _*)
+    val codes = graft.ops.Similarity.pqCodes(corpus, m = 4, centroidMod = 10)
+      .select("vec_id", "subspace", "code", "d2")
+      .as[(Long, Int, Long, Double)].collect()
+    // exactly m codes per vector, one per subspace
+    assert(codes.groupBy(_._1).forall(_._2.map(_._2).sorted.toSeq == Seq(0, 1, 2, 3)))
+    // identical vectors quantize identically
+    val byVec = codes.groupBy(_._1).view.mapValues(_.map(c => c._2 -> c._3).toMap)
+    assert(byVec(40L) === byVec(2L))
+    // codes reference trained codebook cells; residuals are non-negative
+    val cells = graft.ops.Similarity.pqCodebooks(corpus, m = 4, centroidMod = 10)
+      .select("subspace", "cell_id").as[(Int, Long)].collect().toSet
+    assert(codes.forall(c => cells.contains((c._2, c._3))), "code not in codebook")
+    assert(codes.forall(_._4 >= -1e-9))
+  }
+
   test("kmeans: separable clusters converge to their true centers") {
     // two tight clusters around (1,0) and (0,1); ids chosen so the
     // modulo-100 init picks one seed (vec_id=1, in cluster A) — after 2
