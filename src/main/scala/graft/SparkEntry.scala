@@ -250,6 +250,10 @@ object SparkEntry {
     // product quantization: per-subspace codebooks trained in one plan
     "q_pq_codes" -> ((s, dir) => Similarity.pqCodes(emb(s, dir))),
     "q_pq_codebooks" -> ((s, dir) => Similarity.pqCodebooks(emb(s, dir))),
+    "q_pq_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
+    },
     // Lloyd k-means (2 fixed iterations): learned IVF centroids + final
     // assignments, both deterministic cell-for-cell (rounded cosines,
     // lowest-cell ties, exact decimal means)
@@ -667,6 +671,27 @@ object SparkEntry {
     "q_pq_codebooks" ->
       s"""WITH $PQ_CTES
          |SELECT s AS subspace, cell_id, CAST(pos AS INTEGER) AS pos, cv_i AS centroid_v FROM f1""".stripMargin,
+    "q_pq_topk" ->
+      // ADC: LUT of rounded sub-distances per (query, subspace, cell),
+      // DECIMAL-exact m-way sums, rank ascending with id ties
+      s"""WITH $PQ_CTES,
+         |codes AS (SELECT vec_id, s, cell_id FROM (
+         |  SELECT x.vec_id, x.s, c.cell_id,
+         |    row_number() OVER (PARTITION BY x.vec_id, x.s
+         |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+         |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, s, sv AS qv, xx AS qq FROM subx WHERE vec_id % 100 = 0),
+         |lut AS (SELECT q.query_id, q.s, c.cell_id,
+         |    CAST(round(q.qq - 2 * ${DOT_SQL("q.qv", "c.cv")} + c.cc, 6) AS DECIMAL(18,6)) AS pd
+         |  FROM q JOIN c1x c ON q.s = c.s),
+         |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.pd) AS DOUBLE) AS adc
+         |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.cell_id = l.cell_id
+         |  WHERE l.query_id <> cd.vec_id
+         |  GROUP BY l.query_id, cd.vec_id)
+         |SELECT query_id, neighbor_id, adc, rank FROM (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

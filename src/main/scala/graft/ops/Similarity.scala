@@ -416,6 +416,52 @@ object Similarity {
         (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
   }
 
+  /** PQ asymmetric-distance (ADC) top-k — the search half of IVF+PQ:
+    * each query computes an m × k lookup table of sub-distances to the
+    * codebook centroids, and every corpus vector's approximate L2 is
+    * the sum of the m table entries its codes select. The corpus text
+    * of this search is the CODES (m small ints per vector), not the
+    * vectors — the scan that matters at 10⁹ vectors is 8-32 bytes/row.
+    *
+    * Plan shape: codebooks+LUT broadcast (m·k·|queries| rows), one
+    * keyed join codes⋈LUT on (subspace, cell), one (query, neighbor)
+    * aggregation, bounded-heap ranking (no Window). Determinism:
+    * sub-distances round to 6 and accumulate as DECIMAL(18,6) — the
+    * m-way sum is order-independent, so ranks reproduce exactly
+    * cross-engine (ranking ascends by distance, ties to lowest id).
+    */
+  def pqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      m: Int = 4,
+      iterations: Int = 1,
+      centroidMod: Int = 100,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (sub, cent) = pqLoop(corpus, m, iterations, centroidMod, mat)
+    val codes = pqAssign(sub, cent)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
+    val dsub = (size(col("v")) / m).cast("int")
+    val qsub = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("v"))
+      .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
+      .select(col("query_id"), col("s"), slice(col("v"), col("s") * dsub + 1, dsub).as("qv"))
+      .select(col("query_id"), col("s"), col("qv"), dot(col("qv"), col("qv")).as("qq"))
+    val lut = qsub.join(broadcast(cent), Seq("s"))
+      .select(col("query_id"), col("s"), col("cell_id"),
+        round(col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"), 6)
+          .cast("decimal(18,6)").as("pd"))
+    val scored = codes.join(broadcast(lut), Seq("s", "cell_id"))
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum("pd").cast("double").as("adc"))
+    scored
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(-col("adc"), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("i", "e")))
+      .select(col("query_id"), col("e.id").as("neighbor_id"), (-col("e.score")).as("adc"),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Symmetric per-vector int8 quantization — the storage format a
     * 100 TB embedding store actually ships (4x smaller than float32,
     * 8x smaller than the double working form): scale = max|v| / 127,

@@ -128,6 +128,33 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(_._4 >= -1e-9))
   }
 
+  test("pqTopK: exact duplicates rank first, k per query, no Window sort") {
+    val rnd = new scala.util.Random(53)
+    val base = (1L to 200L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)).toMap
+    // 100 and 200 are exact duplicates of the two query vectors
+    val corpus = vecs(base.map {
+      case (100L, _) => 100L -> base(10L)
+      case (200L, _) => 200L -> base(20L)
+      case kv => kv
+    }.toSeq: _*)
+    val queries = corpus.filter($"vec_id" === 10L || $"vec_id" === 20L)
+    val df = graft.ops.Similarity.pqTopK(queries, corpus, 5, m = 4, centroidMod = 50)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan)
+    assert(plan.contains("graft_top_k"), plan)
+    val got = df.select("query_id", "neighbor_id", "adc", "rank")
+      .as[(Long, Long, Double, Int)].collect()
+    assert(got.count(_._1 == 10L) === 5 && got.count(_._1 == 20L) === 5)
+    // a duplicate shares the query's codes exactly -> minimal ADC. Other
+    // vectors can TIE (same codes -> same table sum) and lower ids win
+    // ties, so assert the dup is in the top-k at the minimum distance.
+    def minAdc(q: Long) = got.filter(_._1 == q).map(_._3).min
+    val dup10 = got.find(r => r._1 == 10L && r._2 == 100L)
+    val dup20 = got.find(r => r._1 == 20L && r._2 == 200L)
+    assert(dup10.exists(_._3 == minAdc(10L)), got.sortBy(r => (r._1, r._4)).mkString(","))
+    assert(dup20.exists(_._3 == minAdc(20L)), got.sortBy(r => (r._1, r._4)).mkString(","))
+  }
+
   test("kmeans: separable clusters converge to their true centers") {
     // two tight clusters around (1,0) and (0,1); ids chosen so the
     // modulo-100 init picks one seed (vec_id=1, in cluster A) — after 2
