@@ -77,6 +77,12 @@ object ProbeScale {
     time("quantize_int8")(graft.ops.Similarity.quantizeInt8(emb).count())
     time("cosine_dups")(graft.ops.Similarity.cosineDupPairs(emb, 0.8).count())
     time("kmeans_assign")(graft.ops.Similarity.kmeansAssignments(emb).count())
+    time("dedup_incremental")(Dedup.dropDuplicatesAgainst(
+      docs.filter(col("doc_id") % 2 =!= 0),
+      Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0))).count())
+    time("pq_codes")(graft.ops.Similarity.pqCodes(emb).count())
+    time("pq_topk")(graft.ops.Similarity.pqTopK(
+      emb.filter(col("vec_id") % 10000 === 0), emb, 10).count())
     time("ivf_kmeans_centroids") {
       val cents = graft.ops.Similarity.kmeans(emb).select("cell_id", "cv")
       graft.ops.Similarity.ivfTopK(
