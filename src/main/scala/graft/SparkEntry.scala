@@ -303,6 +303,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
     "q_asof_native" -> ((s, dir) => Relational.asofPurchaseToClickNative(s, dir)),
     "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir)),
+    "q_funnel" -> ((s, dir) => Relational.funnel(
+      Relational.events(s, dir), Seq("view", "click", "purchase"))),
 
     // ---- event-time streaming ops, exercised in batch mode --------------
     "q_event_windows" -> { (s, dir) =>
@@ -851,6 +853,18 @@ object SparkEntry {
         |SELECT user_id, min(ts_ms) AS session_start, max(ts_ms) AS session_end,
         |  CAST(count(*) AS INTEGER) AS n_events
         |FROM sess GROUP BY user_id, session_id""".stripMargin,
+    "q_funnel" ->
+      // staged recurrence: t_i(u) = min ts of step-i events at or after
+      // t_{i-1}(u) — a global per-type min would wrongly count early events
+      """WITH e AS (SELECT user_id, epoch_ns(ts) AS ts_ns, event_type FROM events),
+        |s1 AS (SELECT user_id, min(ts_ns) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (SELECT e.user_id, min(e.ts_ns) AS t FROM e JOIN s1 ON e.user_id = s1.user_id AND e.ts_ns >= s1.t
+        |       WHERE e.event_type = 'click' GROUP BY e.user_id),
+        |s3 AS (SELECT e.user_id, min(e.ts_ns) AS t FROM e JOIN s2 ON e.user_id = s2.user_id AND e.ts_ns >= s2.t
+        |       WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+        |SELECT CAST(1 AS INTEGER) AS stage_idx, 'view' AS stage, (SELECT count(*) FROM s1) AS n_users
+        |UNION ALL SELECT CAST(2 AS INTEGER), 'click', (SELECT count(*) FROM s2)
+        |UNION ALL SELECT CAST(3 AS INTEGER), 'purchase', (SELECT count(*) FROM s3)""".stripMargin,
     "q_train_split" ->
       // md5-bucket split: bucket = first 4 hex chars of md5(doc_id) % 100
       """SELECT CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split,

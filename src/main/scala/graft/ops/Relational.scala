@@ -302,6 +302,43 @@ object Relational {
         col("purchase_value"), col("asof_click_id"), col("asof_click_value"))
   }
 
+  /** Ordered funnel analysis — the sequence-analytics staple: how many
+    * users performed step 1, then step 2 AT OR AFTER their first
+    * qualifying step-1 time, then step 3 after that, … Each stage is
+    * the standard recurrence `t_i(u) = min ts of step-i events with
+    * ts >= t_{i-1}(u)` (a global per-type min is WRONG — an early
+    * click before the first view must not count).
+    *
+    * Plan shape: one filtered min-aggregation per stage plus a keyed
+    * join against the previous stage's (user, t) table — everything
+    * shuffles on user_id only, and the per-stage tables are
+    * materialized so the S output branches don't re-run the stage
+    * chain once per branch (the same multiple-reference rule as
+    * [[graft.ops.Dedup.clusters]]). Output: one row per stage with the
+    * surviving-user count.
+    *
+    * @param ev (user_id, ts_ns, event_type) — [[events]] shape.
+    */
+  def funnel(
+      ev: DataFrame,
+      steps: Seq[String],
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    var reached: DataFrame = null
+    val stages = steps.zipWithIndex.map { case (step, i) =>
+      val evs = ev.filter(col("event_type") === step).select(col("user_id"), col("ts_ns"))
+      val r =
+        if (i == 0) evs.groupBy("user_id").agg(min("ts_ns").as("t"))
+        else evs.join(reached.withColumnRenamed("t", "prev_t"), Seq("user_id"))
+          .filter(col("ts_ns") >= col("prev_t"))
+          .groupBy("user_id").agg(min("ts_ns").as("t"))
+      reached = graft.core.Materialize(r, mat)
+      reached.agg(count(lit(1)).as("n_users"))
+        .select(lit(i + 1).as("stage_idx"), lit(step).as("stage"), col("n_users"))
+    }
+    stages.reduce(_ unionByName _)
+  }
+
   /** JSON column extraction over the events `props` payload —
     * semi-structured coverage. */
   def eventProps(spark: SparkSession, dir: String): DataFrame =

@@ -9,6 +9,20 @@ class RelationalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
 
+  test("funnel: ordered recurrence — early out-of-order events don't count") {
+    // u1 completes the funnel; u2's click at t=5 precedes their first
+    // view (t=10) so only the t=20 click counts, no purchase; u3 only
+    // purchases (never enters the funnel)
+    val ev = Seq(
+      (1L, 1L, "view"), (1L, 2L, "click"), (1L, 3L, "purchase"),
+      (2L, 5L, "click"), (2L, 10L, "view"), (2L, 20L, "click"),
+      (3L, 1L, "purchase")
+    ).toDF("user_id", "ts_ns", "event_type")
+    val got = Relational.funnel(ev, Seq("view", "click", "purchase"))
+      .as[(Int, String, Long)].collect().toSeq.sortBy(_._1)
+    assert(got === Seq((1, "view", 2L), (2, "click", 2L), (3, "purchase", 1L)))
+  }
+
   test("pricingSummary groups are complete and averages are in range") {
     val rows = Relational.pricingSummary(spark, dir).collect()
     assert(rows.nonEmpty)
