@@ -343,8 +343,12 @@ object Dedup {
     * precomputed keys.
     *
     * Plan shape: sign the increment (the only text scan), one
-    * band-keyed left-semi join against the reference table (AQE
-    * broadcasts a small increment side), one anti-join on doc_id.
+    * left-semi join against the reference table — both sides shuffle
+    * on (band, band_key); only the build/reference side of a semi join
+    * can broadcast, so that happens while the history is still small,
+    * and a reference table BUCKETED by its band key on storage elides
+    * its exchange entirely (the co-located-join idiom,
+    * ScaleIdiomsSpec). Then one anti-join on doc_id.
     * Within-increment duplicates are NOT dropped here — run
     * [[dropNearDuplicates]] on the survivors for that; keeping the two
     * concerns separate lets the history table stay append-only.

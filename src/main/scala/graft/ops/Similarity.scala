@@ -240,8 +240,15 @@ object Similarity {
       emb: DataFrame,
       iterations: Int = 2,
       centroidMod: Int = 100,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    kmeansLoop(emb, iterations, centroidMod, mat)._2
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (corp, cent) = kmeansLoop(emb, iterations, centroidMod, mat)
+    // the returned centroid table is materialized independently, so the
+    // corpus projection is dead here (under Persist it would otherwise
+    // leak one cached table per call); kmeansAssignments keeps it —
+    // its returned plan still reads it
+    graft.core.Materialize.release(corp, mat)
+    cent
+  }
 
   /** The corpus projection every E-step reuses: (vec_id, v, n). */
   private def corpusVN(emb: DataFrame): DataFrame =
@@ -262,6 +269,22 @@ object Similarity {
       .select(col("vec_id"), col("best.cell_id").as("cell_id"),
         col("best.v").as("v"), col("best.ccos").as("cos"))
 
+  /** Shared Lloyd M-step (k-means AND per-subspace PQ): exact
+    * DECIMAL(28,12) per-dimension means of `vecCol` keyed by
+    * `groupCols`, reassembled in dimension order and rounded to 6 —
+    * the determinism contract both DuckDB oracle families mirror, kept
+    * in ONE place so it cannot drift between them. */
+  private def meanStep(assigned: DataFrame, groupCols: Seq[String], vecCol: String): DataFrame = {
+    val gc = groupCols.map(col)
+    assigned
+      .select(gc :+ posexplode(col(vecCol).cast("array<decimal(28,12)>")).as(Seq("pos", "x")): _*)
+      .groupBy((groupCols :+ "pos").map(col): _*)
+      .agg(round(sum("x").cast("double") / count(lit(1)), 6).as("cv_i"))
+      .groupBy(gc: _*)
+      .agg(array_sort(collect_list(struct(col("pos"), col("cv_i")))).as("ps"))
+      .select(gc :+ transform(col("ps"), p => p.getField("cv_i")).as("cv"): _*)
+  }
+
   private def kmeansLoop(
       emb: DataFrame,
       iterations: Int,
@@ -275,17 +298,8 @@ object Similarity {
       mat)
     var it = 0
     while (it < iterations) {
-      // M-step: exact decimal mean per (cell, dimension), then
-      // reassemble the centroid arrays in dimension order
-      val flat = assignToCells(corp, cent)
-        .select(col("cell_id"),
-          posexplode(col("v").cast("array<decimal(28,12)>")).as(Seq("pos", "x")))
-        .groupBy("cell_id", "pos")
-        .agg(round(sum("x").cast("double") / count(lit(1)), 6).as("cv_i"))
       val next = graft.core.Materialize(
-        flat.groupBy("cell_id")
-          .agg(array_sort(collect_list(struct(col("pos"), col("cv_i")))).as("ps"))
-          .select(col("cell_id"), transform(col("ps"), p => p.getField("cv_i")).as("cv"))
+        meanStep(assignToCells(corp, cent), Seq("cell_id"), "v")
           .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn")),
         mat)
       graft.core.Materialize.release(cent, mat)
@@ -335,6 +349,24 @@ object Similarity {
     * to be divisible by `m` (sub-slices are computed per row from
     * `size(v)/m`).
     */
+  /** (id, s, sv, xx): per-subspace sub-vectors with precomputed
+    * self-dots — the shape both the PQ training corpus and ADC queries
+    * reduce to. RAISES at execution when the embedding dimension is
+    * not divisible by m: silently truncating the tail (what the
+    * integer slice bound alone would do) corrupts every code with no
+    * error. */
+  private def subVectors(df: DataFrame, idCol: String, outId: String, m: Int): DataFrame = {
+    val guarded = when(size(col("v")) % m === 0, col("v"))
+      .otherwise(raise_error(concat(
+        lit("pq: embedding dimension "), size(col("v")).cast("string"),
+        lit(s" is not divisible by m=$m"))))
+    val dsub = (size(col("v")) / m).cast("int")
+    df.select(col(idCol).as(outId), asDouble(col("embedding")).as("v"))
+      .select(col(outId), explode(sequence(lit(0), lit(m - 1))).as("s"), guarded.as("v"))
+      .select(col(outId), col("s"), slice(col("v"), col("s") * dsub + 1, dsub).as("sv"))
+      .select(col(outId), col("s"), col("sv"), dot(col("sv"), col("sv")).as("xx"))
+  }
+
   private def pqLoop(
       emb: DataFrame,
       m: Int,
@@ -342,29 +374,15 @@ object Similarity {
       centroidMod: Int,
       mat: graft.core.Materialize.Strategy): (DataFrame, DataFrame) = {
     require(m >= 1 && iterations >= 1, s"m=$m and iterations=$iterations must be >= 1")
-    val dsub = (size(col("v")) / m).cast("int")
-    val sub = graft.core.Materialize(
-      emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .select(col("vec_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
-        .select(col("vec_id"), col("s"), slice(col("v"), col("s") * dsub + 1, dsub).as("sv"))
-        .select(col("vec_id"), col("s"), col("sv"), dot(col("sv"), col("sv")).as("xx")),
-      mat)
+    val sub = graft.core.Materialize(subVectors(emb, "vec_id", "vec_id", m), mat)
     var cent = graft.core.Materialize(
       sub.filter(col("vec_id") % centroidMod === 1)
         .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"), col("xx").as("cc")),
       mat)
     var it = 0
     while (it < iterations) {
-      val flat = pqAssign(sub, cent)
-        .select(col("s"), col("cell_id"),
-          posexplode(col("sv").cast("array<decimal(28,12)>")).as(Seq("pos", "x")))
-        .groupBy("s", "cell_id", "pos")
-        .agg(round(sum("x").cast("double") / count(lit(1)), 6).as("cv_i"))
       val next = graft.core.Materialize(
-        flat.groupBy("s", "cell_id")
-          .agg(array_sort(collect_list(struct(col("pos"), col("cv_i")))).as("ps"))
-          .select(col("s"), col("cell_id"),
-            transform(col("ps"), p => p.getField("cv_i")).as("cv"))
+        meanStep(pqAssign(sub, cent), Seq("s", "cell_id"), "sv")
           .select(col("s"), col("cell_id"), col("cv"), dot(col("cv"), col("cv")).as("cc")),
         mat)
       graft.core.Materialize.release(cent, mat)
@@ -409,7 +427,11 @@ object Similarity {
       iterations: Int = 1,
       centroidMod: Int = 100,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val (_, cent) = pqLoop(emb, m, iterations, centroidMod, mat)
+    val (sub, cent) = pqLoop(emb, m, iterations, centroidMod, mat)
+    // the codebooks are materialized independently — the sub-vector
+    // table is dead here (Persist would otherwise cache-leak per call);
+    // pqCodes/pqTopK keep it, their returned plans still read it
+    graft.core.Materialize.release(sub, mat)
     cent.select(col("s").as("subspace"), col("cell_id"),
         posexplode(col("cv")).as(Seq("pos", "centroid_v")))
       .select(col("subspace"), col("cell_id"),
@@ -441,11 +463,8 @@ object Similarity {
     val (sub, cent) = pqLoop(corpus, m, iterations, centroidMod, mat)
     val codes = pqAssign(sub, cent)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
-    val dsub = (size(col("v")) / m).cast("int")
-    val qsub = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("v"))
-      .select(col("query_id"), explode(sequence(lit(0), lit(m - 1))).as("s"), col("v"))
-      .select(col("query_id"), col("s"), slice(col("v"), col("s") * dsub + 1, dsub).as("qv"))
-      .select(col("query_id"), col("s"), col("qv"), dot(col("qv"), col("qv")).as("qq"))
+    val qsub = subVectors(queries, "vec_id", "query_id", m)
+      .withColumnRenamed("sv", "qv").withColumnRenamed("xx", "qq")
     val lut = qsub.join(broadcast(cent), Seq("s"))
       .select(col("query_id"), col("s"), col("cell_id"),
         round(col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"), 6)

@@ -99,13 +99,7 @@ object CorpusWatcher {
         val merged =
           if (parityAdd) InvertedIndex.add(old, delta)
           else InvertedIndex.upsertDocs(old, delta)
-        val snap = f"snap-$batchId%09d"
-        merged.write.mode("overwrite").parquet(s"$indexDir/$snap")
-        // atomic pointer swap: write-temp + move
-        val tmp = Paths.get(indexDir, s".$Latest.tmp")
-        Files.write(tmp, snap.getBytes("UTF-8"))
-        Files.move(tmp, Paths.get(indexDir, Latest),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+        val snap = swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         finalJsonPath.foreach { p =>
           // same discipline as the pointer swap: write aside, then move
           // atomically — a polling reader never sees a truncated
@@ -115,7 +109,6 @@ object CorpusWatcher {
           Files.move(Paths.get(tmpJson), Paths.get(p),
             StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
         }
-        gcSnapshots(indexDir, retainSnapshots)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -144,6 +137,7 @@ object CorpusWatcher {
       quarantineDir: String,
       availableNow: Boolean = true,
       retainSnapshots: Int = 2): StreamingQuery = {
+    require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
       .format("json")
@@ -167,25 +161,41 @@ object CorpusWatcher {
           .select(col("doc_id").cast("string").as("doc_id"), col("text"))
         val delta = InvertedIndex.build(clean, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(currentIndex(session, indexDir), delta)
-        val snap = f"snap-$batchId%09d"
-        merged.write.mode("overwrite").parquet(s"$indexDir/$snap")
-        val tmp = Paths.get(indexDir, s".$Latest.tmp")
-        Files.write(tmp, snap.getBytes("UTF-8"))
-        Files.move(tmp, Paths.get(indexDir, Latest),
-          StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
-        gcSnapshots(indexDir, retainSnapshots)
+        swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
-  /** Delete all but the newest `retain` snapshot dirs. Snapshot names
-    * are zero-padded (`snap-000000042`) so lexicographic order IS batch
-    * order. Runs AFTER the pointer swap: the newest snapshot (the one
-    * LATEST points to) is always retained, and `retain >= 2` leaves the
-    * previous one for in-flight readers. Deletion failures are
-    * non-fatal (a stale dir costs storage, not correctness) — the next
-    * batch retries.
+  /** Write the merged index to a new snapshot dir, atomically swap the
+    * LATEST pointer to it, and GC superseded snapshots — the one
+    * publish discipline both watchers share (a future change to the
+    * swap — fsync, object-store-safe rename, retention — lands in one
+    * place). Returns the snapshot name. */
+  private def swapSnapshot(
+      merged: DataFrame,
+      indexDir: String,
+      batchId: Long,
+      retain: Int): String = {
+    val snap = f"snap-$batchId%09d"
+    merged.write.mode("overwrite").parquet(s"$indexDir/$snap")
+    // atomic pointer swap: write-temp + move
+    val tmp = Paths.get(indexDir, s".$Latest.tmp")
+    Files.write(tmp, snap.getBytes("UTF-8"))
+    Files.move(tmp, Paths.get(indexDir, Latest),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    gcSnapshots(indexDir, retain)
+    snap
+  }
+
+  /** Delete all but the newest `retain` snapshot dirs, ordered by the
+    * PARSED numeric batch id (names are zero-padded, but a numeric sort
+    * stays correct even past the pad width, where lexicographic order
+    * would misclassify the newest snapshot as oldest). Runs AFTER the
+    * pointer swap: the newest snapshot (the one LATEST points to) is
+    * always retained, and `retain >= 2` leaves the previous one for
+    * in-flight readers. Deletion failures are non-fatal (a stale dir
+    * costs storage, not correctness) — the next batch retries.
     */
   private[streaming] def gcSnapshots(indexDir: String, retain: Int): Unit = {
     val dir = Paths.get(indexDir)
@@ -194,7 +204,7 @@ object CorpusWatcher {
       val s = Files.list(dir)
       try s.iterator().asScala
         .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("snap-\\d+"))
-        .toVector.sortBy(_.getFileName.toString)
+        .toVector.sortBy(p => p.getFileName.toString.stripPrefix("snap-").toLong)
       finally s.close()
     }
     snaps.dropRight(retain).foreach { old =>

@@ -128,6 +128,14 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(_._4 >= -1e-9))
   }
 
+  test("pq rejects a dimension not divisible by m (no silent tail truncation)") {
+    val corpus = vecs((1L to 20L).map(i => i -> Seq.fill(10)(0.5f)): _*)
+    val e = intercept[Exception] {
+      graft.ops.Similarity.pqCodes(corpus, m = 4, centroidMod = 10).collect()
+    }
+    assert(e.getMessage.contains("not divisible"), e.getMessage)
+  }
+
   test("pqTopK: exact duplicates rank first, k per query, no Window sort") {
     val rnd = new scala.util.Random(53)
     val base = (1L to 200L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)).toMap
