@@ -52,11 +52,21 @@ object Bench {
     val passes = (1 to runs).map(_ => onePass())
     val results = passes.head.keys.map { k => k -> passes.map(_(k)).min }.toMap
     val failures = results.collect { case (k, v) if v >= Poison => k }.toSeq.sorted
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // The driver's artifact keeps only the LAST ~2000 chars of stdout
+    // (BENCH_r04's "tail" cut the first per-query entry and never
+    // parsed). Budget: 70+ queries must fit with the sbt "[success]"
+    // trailer, so the machine line is COMPACT — ms-precision values
+    // (host noise is ±15%, 3 decimals lose nothing) and a basename sf.
+    // The full-precision map goes to stderr for humans.
+    def c(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val qs = results.toSeq.sortBy(_._1).map { case (k, v) => s"\"$k\":${c(v)}" }
       .mkString("{", ",", "}")
     val fs = failures.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs":$runs,"agg":"min","failures":$fs}""")
+    val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    System.err.println(s"[bench] full-precision: " +
+      results.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
+    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","queries":$qs,"sf":"$sfName","runs":$runs,"agg":"min","failures":$fs}""")
     spark.stop()
   }
 }

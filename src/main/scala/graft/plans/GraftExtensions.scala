@@ -49,10 +49,16 @@ object GraftExtensions {
         "graft_top_k(score, id, k) takes exactly three arguments")
       val k = children(2) match {
         case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
-        case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v.toInt
+        case Literal(v: Long, _: org.apache.spark.sql.types.LongType) =>
+          // a bigint literal outside Int range must fail loudly, not
+          // truncate (k = 2^32+1 would silently become 1)
+          if (v < 1 || v > Int.MaxValue) throw new IllegalArgumentException(
+            s"graft_top_k: k=$v is outside [1, ${Int.MaxValue}]")
+          v.toInt
         case other => throw new IllegalArgumentException(
           s"graft_top_k: k must be an integer literal, got ${other.sql}")
       }
+      if (k < 1) throw new IllegalArgumentException(s"graft_top_k: k=$k must be >= 1")
       graft.functions.TopKByScore(children(0), children(1), k)
     })
 

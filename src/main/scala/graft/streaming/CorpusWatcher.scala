@@ -66,8 +66,13 @@ object CorpusWatcher {
     *   upload) — completing the reference's end-to-end upload→artifact
     *   flow. Leave None at scale; the snapshot is the real store.
     * @param retainSnapshots how many newest `snap-*` dirs to keep after
-    *   each pointer swap (≥ 2 so a reader that resolved the PREVIOUS
-    *   pointer can finish its scan before that snapshot is deleted).
+    *   each pointer swap. Use ≥ 2 whenever concurrent readers exist: a
+    *   reader that resolved the PREVIOUS pointer must finish its scan
+    *   before that snapshot is deleted. `1` is accepted but is only
+    *   safe single-process (tests, availableNow batch runs with no
+    *   reader between batches) — it reintroduces the read-after-delete
+    *   race for anyone else. The snapshot LATEST currently names is
+    *   never deleted regardless of this value.
     *   The reference deletes its own intermediates every run
     *   (`master/main.py:128-133`, SURVEY §2 #23); without this a
     *   continuously-running watcher accumulates one full index copy per
@@ -154,9 +159,12 @@ object CorpusWatcher {
         // line is not retained by the reader for them)
         val bad = batch.filter(col(C).isNotNull || col("doc_id").isNull)
           .select(
-            coalesce(col(C), to_json(struct(col("doc_id"), col("text")))).as("raw"),
-            lit(batchId).as("batch_id"))
-        bad.write.mode("append").parquet(quarantineDir)
+            coalesce(col(C), to_json(struct(col("doc_id"), col("text")))).as("raw"))
+        // per-batch dir + overwrite = replay-idempotent (a batch that
+        // fails after this write and reruns overwrites the same path
+        // instead of appending duplicates); the partition-style name
+        // surfaces batch_id as a column when reading the parent dir
+        bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
         val clean = batch.filter(col(C).isNull && col("doc_id").isNotNull)
           .select(col("doc_id").cast("string").as("doc_id"), col("text"))
         val delta = InvertedIndex.build(clean, idCol = "doc_id")
@@ -177,7 +185,13 @@ object CorpusWatcher {
       indexDir: String,
       batchId: Long,
       retain: Int): String = {
-    val snap = f"snap-$batchId%09d"
+    // Snapshot ids are max(batchId, newest existing + 1), NOT the raw
+    // batch id: an existing indexDir paired with a fresh checkpointDir
+    // restarts batch ids at 0, and a raw-id name would collide with —
+    // and overwrite — the very snapshot `merged` is lazily reading
+    // (currentIndex resolves LATEST before this write executes).
+    val snapId = math.max(batchId, snapshotIds(indexDir).maxOption.map(_ + 1L).getOrElse(0L))
+    val snap = f"snap-$snapId%09d"
     merged.write.mode("overwrite").parquet(s"$indexDir/$snap")
     // atomic pointer swap: write-temp + move
     val tmp = Paths.get(indexDir, s".$Latest.tmp")
@@ -188,18 +202,39 @@ object CorpusWatcher {
     snap
   }
 
+  /** Numeric ids of the existing `snap-*` dirs under `indexDir`. */
+  private def snapshotIds(indexDir: String): Vector[Long] = {
+    val dir = Paths.get(indexDir)
+    if (!Files.isDirectory(dir)) return Vector.empty
+    val s = Files.list(dir)
+    try s.iterator().asScala
+      .filter(p => Files.isDirectory(p) && p.getFileName.toString.matches("snap-\\d+"))
+      .map(_.getFileName.toString.stripPrefix("snap-").toLong)
+      .toVector
+    finally s.close()
+  }
+
   /** Delete all but the newest `retain` snapshot dirs, ordered by the
     * PARSED numeric batch id (names are zero-padded, but a numeric sort
     * stays correct even past the pad width, where lexicographic order
     * would misclassify the newest snapshot as oldest). Runs AFTER the
-    * pointer swap: the newest snapshot (the one LATEST points to) is
-    * always retained, and `retain >= 2` leaves the previous one for
+    * pointer swap, and the snapshot LATEST currently names is NEVER in
+    * the drop set — "newest by batch id" is not always the published
+    * one (pair an existing indexDir with a fresh checkpointDir and
+    * batch ids restart at 0, making the just-published snapshot the
+    * numerically oldest; dropping it would leave LATEST dangling).
+    * `retain >= 2` additionally leaves the previous snapshot for
     * in-flight readers. Deletion failures are non-fatal (a stale dir
     * costs storage, not correctness) — the next batch retries.
     */
-  private[streaming] def gcSnapshots(indexDir: String, retain: Int): Unit = {
+  private[graft] def gcSnapshots(indexDir: String, retain: Int): Unit = {
     val dir = Paths.get(indexDir)
     if (!Files.isDirectory(dir)) return
+    val published: Option[String] = {
+      val ptr = Paths.get(indexDir, Latest)
+      if (Files.exists(ptr)) Some(new String(Files.readAllBytes(ptr), "UTF-8").trim)
+      else None
+    }
     val snaps = {
       val s = Files.list(dir)
       try s.iterator().asScala
@@ -207,7 +242,9 @@ object CorpusWatcher {
         .toVector.sortBy(p => p.getFileName.toString.stripPrefix("snap-").toLong)
       finally s.close()
     }
-    snaps.dropRight(retain).foreach { old =>
+    snaps.dropRight(retain)
+      .filterNot(p => published.contains(p.getFileName.toString))
+      .foreach { old =>
       try {
         val walk = Files.walk(old)
         try walk.iterator().asScala.toVector.reverseIterator.foreach(Files.deleteIfExists(_))

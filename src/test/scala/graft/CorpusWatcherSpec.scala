@@ -101,6 +101,55 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(indexEntries(index).count(_._1 == "common") === 3)
   }
 
+  test("snapshot GC never deletes the snapshot LATEST names (fresh-checkpoint id restart)") {
+    // existing indexDir + fresh checkpointDir: batch ids restart at 0, so
+    // the just-published snapshot is numerically the OLDEST — retention by
+    // batch id alone would delete it right after the pointer swap
+    val index = tmp("indexgc")
+    def mkSnap(name: String): Unit = {
+      Files.createDirectories(Paths.get(index, name))
+      Files.write(Paths.get(index, name, "part-0.parquet"), Array[Byte](1))
+    }
+    Seq("snap-000000000", "snap-000000005", "snap-000000006").foreach(mkSnap)
+    Files.write(Paths.get(index, "LATEST"), "snap-000000000".getBytes("UTF-8"))
+    CorpusWatcher.gcSnapshots(index, retain = 2)
+    val left = {
+      val s = Files.list(Paths.get(index))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("snap-")).toSet
+      } finally s.close()
+    }
+    // the published snapshot survives despite being oldest by id
+    assert(left === Set("snap-000000000", "snap-000000005", "snap-000000006"))
+    // and once LATEST moves on, plain retention applies again
+    Files.write(Paths.get(index, "LATEST"), "snap-000000006".getBytes("UTF-8"))
+    CorpusWatcher.gcSnapshots(index, retain = 2)
+    val after = {
+      val s = Files.list(Paths.get(index))
+      try {
+        import scala.jdk.CollectionConverters._
+        s.iterator().asScala.map(_.getFileName.toString)
+          .filter(_.startsWith("snap-")).toSet
+      } finally s.close()
+    }
+    assert(after === Set("snap-000000005", "snap-000000006"))
+  }
+
+  test("JSONL quarantine replay is idempotent (per-batch overwrite, no duplicates)") {
+    val (watch, index, quar) = (tmp("watchrp"), tmp("indexrp"), tmp("quarrp") + "/bad")
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 1, "text": "cat"}""" + "\n" +
+        """{"doc_id": 2, "text": "broken""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptrp1"), quar).awaitTermination()
+    // simulate a replay of the same data (fresh checkpoint => batch 0 again)
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptrp2"), quar).awaitTermination()
+    val bad = spark.read.parquet(quar).select("raw").as[String].collect().toSeq
+    assert(bad === Seq("""{"doc_id": 2, "text": "broken"""),
+      s"replay duplicated quarantine rows: $bad")
+  }
+
   test("JSONL watcher indexes clean lines, quarantines corrupt and keyless ones") {
     val (watch, index, ckpt, quar) =
       (tmp("watchjl"), tmp("indexjl"), tmp("ckptjl"), tmp("quarjl") + "/bad")
