@@ -25,12 +25,15 @@ object ProbeScale {
         .write.mode("overwrite").parquet("/tmp/docs_sf1")
     }
     val docs = spark.read.parquet("/tmp/docs_sf1")
+    // PROBE_SECTION=docs|emb skips the other family (clean-window runs)
+    val section = sys.env.getOrElse("PROBE_SECTION", "all")
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
       println(f"PROBE-STAGE $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
       System.out.flush()
     }
+    if (section == "all" || section == "docs") {
     val bands = Dedup.minhashBands(docs)
     time("bands_count")(bands.count())
     time("bands_group_count")(bands.groupBy("band", "band_key")
@@ -66,6 +69,11 @@ object ProbeScale {
       docs.filter(col("doc_id") % 50 === 0)).count())
     time("chunk_dedup")(Dedup.chunkDedup(docs).count())
     time("vocab_coverage")(graft.ops.TextAnalysis.vocabCoverage(docs, 100).count())
+    time("dedup_incremental")(Dedup.dropDuplicatesAgainst(
+      docs.filter(col("doc_id") % 2 =!= 0),
+      Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0))).count())
+    }
+    if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies
     if (!new java.io.File("/tmp/emb_sf1").exists()) {
       val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
@@ -77,9 +85,6 @@ object ProbeScale {
     time("quantize_int8")(graft.ops.Similarity.quantizeInt8(emb).count())
     time("cosine_dups")(graft.ops.Similarity.cosineDupPairs(emb, 0.8).count())
     time("kmeans_assign")(graft.ops.Similarity.kmeansAssignments(emb).count())
-    time("dedup_incremental")(Dedup.dropDuplicatesAgainst(
-      docs.filter(col("doc_id") % 2 =!= 0),
-      Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0))).count())
     time("pq_codes")(graft.ops.Similarity.pqCodes(emb).count())
     time("pq_topk")(graft.ops.Similarity.pqTopK(
       emb.filter(col("vec_id") % 10000 === 0), emb, 10).count())
@@ -88,6 +93,14 @@ object ProbeScale {
       graft.ops.Similarity.ivfTopK(
         emb.filter(col("vec_id") % 10000 === 0), emb, 10, nprobe = 4,
         centroids = Some(cents)).count()
+    }
+    // the sf0.1-sized twin of pq_topk (same 2-query probe density):
+    // with the FixedK(32) default the sf1/sf0.1 ratio should track the
+    // data ratio (~10x), where the Modulo seed showed 12x+ and growing
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+    time("pq_topk_sf01")(graft.ops.Similarity.pqTopK(
+      emb01.filter(col("vec_id") % 1000 === 0), emb01, 10).count())
+    time("kmeans_assign_sf01")(graft.ops.Similarity.kmeansAssignments(emb01).count())
     }
     spark.stop()
   }

@@ -79,8 +79,9 @@ object SparkEntry {
     s"list_reduce(list_transform(generate_series(1, len($a)), i -> $a[i] * $b[i]), (acc, x) -> acc + x)"
 
   /** Twin of [[Similarity.pqCodes]]/[[Similarity.pqCodebooks]] (m=4,
-    * iterations=1, centroidMod=100): per-subspace sub-vectors with
-    * precomputed self-dots, modulo-sampled codebook init, one L2
+    * iterations=1, seed=FixedK(32)): per-subspace sub-vectors with
+    * precomputed self-dots, fixed-k md5-sampled codebook init (the 32
+    * vec_ids with smallest md5 — corpus-size-independent), one L2
     * argmin E-step + decimal-mean M-step, final assignment vs the
     * trained codebooks. The L2 form `(x·x − 2·x·c) + c·c` mirrors the
     * engine's operation order exactly. */
@@ -90,7 +91,8 @@ object SparkEntry {
        |          e[(s * (len(e) // 4) + 1):((s + 1) * (len(e) // 4))] AS sv
        |        FROM v, (SELECT unnest(range(4)) AS s)),
        |subx AS (SELECT vec_id, s, sv, ${DOT_SQL("sv", "sv")} AS xx FROM sub),
-       |c0 AS (SELECT s, vec_id AS cell_id, sv AS cv, xx AS cc FROM subx WHERE vec_id % 100 = 1),
+       |seedk AS (SELECT vec_id FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
+       |c0 AS (SELECT s, x.vec_id AS cell_id, sv AS cv, xx AS cc FROM subx x JOIN seedk USING (vec_id)),
        |a1 AS (SELECT vec_id, s, sv, cell_id FROM (
        |  SELECT x.vec_id, x.s, x.sv, c.cell_id,
        |    row_number() OVER (PARTITION BY x.vec_id, x.s
@@ -118,11 +120,11 @@ object SparkEntry {
        |  GROUP BY cell_id, pos),
        |$c AS (SELECT cell_id, list(cv ORDER BY pos) AS ce FROM $f GROUP BY cell_id)""".stripMargin
 
-  /** Two fixed Lloyd iterations from the modulo-sampled init — twin of
-    * [[Similarity.kmeans]](iterations=2, centroidMod=100). */
+  /** Two fixed Lloyd iterations from the fixed-k md5-sampled init —
+    * twin of [[Similarity.kmeans]](iterations=2, seed=FixedK(32)). */
   private val KMEANS_CTES =
     s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id % 100 = 1),
+       |c0 AS (SELECT vec_id AS cell_id, e AS ce FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
        |${KMEANS_ITER("c0", "a1", "f1", "c1")},
        |${KMEANS_ITER("c1", "a2", "f2", "c2")}""".stripMargin
 
@@ -142,6 +144,30 @@ object SparkEntry {
        |      FROM (SELECT doc_id, md5(unnest($TOKS)) AS h FROM documents)
        |      GROUP BY doc_id)""".stripMargin
   }
+
+  /** ADC twin shared by q_pq_topk and q_pq_search (the pretrained
+    * path must reproduce the trained-inline path row-for-row): LUT of
+    * rounded sub-distances per (query, subspace, cell), DECIMAL-exact
+    * m-way sums, rank ascending with id ties. */
+  private val PQ_TOPK_SQL: String =
+    s"""WITH $PQ_CTES,
+         |codes AS (SELECT vec_id, s, cell_id FROM (
+         |  SELECT x.vec_id, x.s, c.cell_id,
+         |    row_number() OVER (PARTITION BY x.vec_id, x.s
+         |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+         |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1),
+         |q AS (SELECT vec_id AS query_id, s, sv AS qv, xx AS qq FROM subx WHERE vec_id % 100 = 0),
+         |lut AS (SELECT q.query_id, q.s, c.cell_id,
+         |    CAST(round(q.qq - 2 * ${DOT_SQL("q.qv", "c.cv")} + c.cc, 6) AS DECIMAL(18,6)) AS pd
+         |  FROM q JOIN c1x c ON q.s = c.s),
+         |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.pd) AS DOUBLE) AS adc
+         |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.cell_id = l.cell_id
+         |  WHERE l.query_id <> cd.vec_id
+         |  GROUP BY l.query_id, cd.vec_id)
+         |SELECT query_id, neighbor_id, adc, rank FROM (
+         |  SELECT query_id, neighbor_id, adc,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM adc) WHERE rank <= 10""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -242,8 +268,11 @@ object SparkEntry {
     },
     "q_cosine_dups" -> ((s, dir) => Similarity.cosineDupPairs(emb(s, dir), 0.8, bits = 8)),
     "q_sim_ivf" -> { (s, dir) =>
+      // explicit legacy Modulo seed: keeps the corpus-proportional
+      // sample oracle-covered now that the DEFAULT is FixedK
       val e = emb(s, dir)
-      Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4)
+      Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4,
+        seed = Similarity.CentroidSeed.Modulo(100))
     },
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
     "q_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
@@ -253,6 +282,14 @@ object SparkEntry {
     "q_pq_topk" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.pqTopK(e.filter(col("vec_id") % 100 === 0), e, 10)
+    },
+    // train-once/search-many: the same search THROUGH stored artifacts
+    // (codebooks+codes trained separately) must reproduce q_pq_topk
+    // row-for-row — one oracle pins both paths
+    "q_pq_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.pqSearch(e.filter(col("vec_id") % 100 === 0),
+        Similarity.pqCodebooks(e), Similarity.pqCodes(e), 10)
     },
     // Lloyd k-means (2 fixed iterations): learned IVF centroids + final
     // assignments, both deterministic cell-for-cell (rounded cosines,
@@ -673,27 +710,9 @@ object SparkEntry {
     "q_pq_codebooks" ->
       s"""WITH $PQ_CTES
          |SELECT s AS subspace, cell_id, CAST(pos AS INTEGER) AS pos, cv_i AS centroid_v FROM f1""".stripMargin,
-    "q_pq_topk" ->
-      // ADC: LUT of rounded sub-distances per (query, subspace, cell),
-      // DECIMAL-exact m-way sums, rank ascending with id ties
-      s"""WITH $PQ_CTES,
-         |codes AS (SELECT vec_id, s, cell_id FROM (
-         |  SELECT x.vec_id, x.s, c.cell_id,
-         |    row_number() OVER (PARTITION BY x.vec_id, x.s
-         |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
-         |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1),
-         |q AS (SELECT vec_id AS query_id, s, sv AS qv, xx AS qq FROM subx WHERE vec_id % 100 = 0),
-         |lut AS (SELECT q.query_id, q.s, c.cell_id,
-         |    CAST(round(q.qq - 2 * ${DOT_SQL("q.qv", "c.cv")} + c.cc, 6) AS DECIMAL(18,6)) AS pd
-         |  FROM q JOIN c1x c ON q.s = c.s),
-         |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.pd) AS DOUBLE) AS adc
-         |  FROM codes cd JOIN lut l ON cd.s = l.s AND cd.cell_id = l.cell_id
-         |  WHERE l.query_id <> cd.vec_id
-         |  GROUP BY l.query_id, cd.vec_id)
-         |SELECT query_id, neighbor_id, adc, rank FROM (
-         |  SELECT query_id, neighbor_id, adc,
-         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
-         |  FROM adc) WHERE rank <= 10""".stripMargin,
+    "q_pq_topk" -> PQ_TOPK_SQL,
+    // identical result contract through the pretrained-artifact path
+    "q_pq_search" -> PQ_TOPK_SQL,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

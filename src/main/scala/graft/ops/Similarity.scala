@@ -31,6 +31,42 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Centroid seeding for the Lloyd training loops ([[kmeans]], the PQ
+    * codebook loop) and [[ivfTopK]]'s default coarse quantizer.
+    *
+    * [[CentroidSeed.FixedK]] is the default and the 100 TB-safe choice:
+    * the k corpus vectors with the smallest `md5(vec_id)` — a
+    * deterministic uniform sample whose SIZE does not grow with the
+    * corpus, so the broadcast centroid table stays k rows and the
+    * E-step stays linear in n at any scale. The selection itself is a
+    * bounded heap (`orderBy(md5).limit(k)` plans as
+    * TakeOrderedAndProject — k rows per map task into the driver merge,
+    * no global sort). An independent engine reproduces the sample:
+    * `ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id LIMIT k`.
+    *
+    * [[CentroidSeed.Modulo]] is the legacy sample (every vector with
+    * `vec_id % mod == 1`): #cells ≈ n/mod grows WITH the corpus, which
+    * couples training cost superlinearly to corpus size (measured:
+    * pq_topk 2.1 s at sf0.1 → 24.9 s at sf1, 12× for 10× data). Keep it
+    * only when corpus-proportional cell counts are the point.
+    */
+  sealed trait CentroidSeed
+  object CentroidSeed {
+    /** k smallest-md5(vec_id) vectors — corpus-size-independent. */
+    final case class FixedK(k: Int) extends CentroidSeed {
+      require(k >= 1, s"FixedK(k=$k) must be >= 1")
+    }
+    /** Legacy: vectors with vec_id % mod == 1 — #cells grows with n. */
+    final case class Modulo(mod: Int) extends CentroidSeed {
+      require(mod >= 1, s"Modulo(mod=$mod) must be >= 1")
+    }
+  }
+
+  /** The default seed: 32 cells regardless of corpus size — sized for
+    * the driver fixtures; production tunes k to the corpus (e.g. 2^12+
+    * at billion-vector scale). */
+  val DefaultSeed: CentroidSeed = CentroidSeed.FixedK(32)
+
   /** Sequential-fold dot product of two double arrays — the native
     * codegen'd [[graft.functions.DotProduct]] expression (the HOF
     * formulation `aggregate(zip_with(...))` is interpreted; the native
@@ -121,11 +157,11 @@ object Similarity {
 
   /** IVF (inverted-file) ANN — the other scale path beside sign-LSH:
     * coarse-quantize the corpus into cells around a deterministic
-    * centroid sample (every vector with `vec_id % centroidMod == 1` by
-    * default — or pass `centroids` learned by [[kmeans]], which is
-    * Lloyd iterations of this same assignment join), keep an inverted
-    * list per cell, and probe only the `nprobe` cells nearest each
-    * query.
+    * centroid sample (the fixed-k md5 sample by default, see
+    * [[CentroidSeed]] — or pass `centroids` learned by [[kmeans]],
+    * which is Lloyd iterations of this same assignment join), keep an
+    * inverted list per cell, and probe only the `nprobe` cells nearest
+    * each query.
     *
     * Plan shape: centroids are a broadcast dim on BOTH the assignment
     * join and the probe join; the candidate join shuffles on cell_id —
@@ -140,17 +176,14 @@ object Similarity {
       corpus: DataFrame,
       k: Int,
       nprobe: Int = 4,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       centroids: Option[DataFrame] = None): DataFrame = {
     val cent = broadcast(centroids match {
       // learned centroids (cell_id, cv: array<double>) — e.g. [[kmeans]]
-      // output; better cells than the modulo sample ⇒ better recall at
+      // output; better cells than the seed sample ⇒ better recall at
       // the same nprobe (pinned by SimilaritySpec's recall comparison)
       case Some(c) => c.select(col("cell_id"), col("cv"), norm(col("cv")).as("cn"))
-      case None =>
-        corpus.filter(col("vec_id") % centroidMod === 1)
-          .select(col("vec_id").as("cell_id"), asDouble(col("embedding")).as("cv"))
-          .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn"))
+      case None => seedCells(corpusVN(corpus), seed)
     })
     val corp = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("v"))
       .select(col("neighbor_id"), col("v"), norm(col("v")).as("n"))
@@ -212,13 +245,16 @@ object Similarity {
     * argmax-cosine assignment join [[ivfTopK]] builds its inverted
     * lists with; M-step = [[labelCentroids]]' exact per-dimension mean
     * (DECIMAL(28,12) accumulation, divide once, round 6). Initial
-    * centroids are the deterministic modulo sample, so cell ids are
-    * stable vector ids across iterations.
+    * centroids come from [[CentroidSeed]] (fixed-k md5 sample by
+    * default, so codebook size is corpus-independent); cell ids are
+    * stable seed vector ids across iterations.
     *
     * Determinism contract (what makes this oracle-checkable in an
     * independent engine): cosines round to 6 before the argmax, ties
     * break to the lowest cell_id, means accumulate order-independently
     * in DECIMAL and round to 6 — N iterations reproduce cell-for-cell.
+    * The fixed-k seed is itself engine-agnostic (md5 of the decimal
+    * vec_id string, full-hash order with id tiebreak).
     *
     * Scale shape: per iteration one broadcast join + one argmax
     * aggregate + one (cell, dim)-keyed mean — centroid tables are tiny
@@ -239,9 +275,9 @@ object Similarity {
   def kmeans(
       emb: DataFrame,
       iterations: Int = 2,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val (corp, cent) = kmeansLoop(emb, iterations, centroidMod, mat)
+    val (corp, cent) = kmeansLoop(emb, iterations, seed, mat)
     // the returned centroid table is materialized independently, so the
     // corpus projection is dead here (under Persist it would otherwise
     // leak one cached table per call); kmeansAssignments keeps it —
@@ -254,6 +290,22 @@ object Similarity {
   private def corpusVN(emb: DataFrame): DataFrame =
     emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .select(col("vec_id"), col("v"), norm(col("v")).as("n"))
+
+  /** Initial centroid table (cell_id, cv, cn) from a (vec_id, v, n)
+    * corpus projection — see [[CentroidSeed]] for the scale rationale.
+    * FixedK plans as TakeOrderedAndProject: a bounded heap of k rows
+    * per map task merged on the driver, never a global sort. */
+  private def seedCells(corp: DataFrame, seed: CentroidSeed): DataFrame = seed match {
+    case CentroidSeed.Modulo(mod) =>
+      corp.filter(col("vec_id") % mod === 1)
+        .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("n").as("cn"))
+    case CentroidSeed.FixedK(k) =>
+      corp.select(col("vec_id").as("cell_id"), col("v").as("cv"), col("n").as("cn"),
+          md5(col("vec_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("cell_id"))
+        .limit(k)
+        .select("cell_id", "cv", "cn")
+  }
 
   /** E-step: nearest cell per vector — argmax over (ccos desc, cell_id
     * asc) via max_by on the lexicographic struct, partial-aggregated
@@ -288,14 +340,11 @@ object Similarity {
   private def kmeansLoop(
       emb: DataFrame,
       iterations: Int,
-      centroidMod: Int,
+      seed: CentroidSeed,
       mat: graft.core.Materialize.Strategy): (DataFrame, DataFrame) = {
     require(iterations >= 1, s"iterations=$iterations must be >= 1")
     val corp = graft.core.Materialize(corpusVN(emb), mat)
-    var cent = graft.core.Materialize(
-      corp.filter(col("vec_id") % centroidMod === 1)
-        .select(col("vec_id").as("cell_id"), col("v").as("cv"), col("n").as("cn")),
-      mat)
+    var cent = graft.core.Materialize(seedCells(corp, seed), mat)
     var it = 0
     while (it < iterations) {
       val next = graft.core.Materialize(
@@ -315,9 +364,9 @@ object Similarity {
   def kmeansCentroids(
       emb: DataFrame,
       iterations: Int = 2,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    kmeans(emb, iterations, centroidMod, mat)
+    kmeans(emb, iterations, seed, mat)
       .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "centroid_v")))
       .select(col("cell_id"), (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
 
@@ -326,9 +375,9 @@ object Similarity {
   def kmeansAssignments(
       emb: DataFrame,
       iterations: Int = 2,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val (corp, cent) = kmeansLoop(emb, iterations, centroidMod, mat)
+    val (corp, cent) = kmeansLoop(emb, iterations, seed, mat)
     assignToCells(corp, cent).select(col("vec_id"), col("cell_id"), col("cos"))
   }
 
@@ -367,18 +416,32 @@ object Similarity {
       .select(col(outId), col("s"), col("sv"), dot(col("sv"), col("sv")).as("xx"))
   }
 
+  /** Initial per-subspace codebooks from a materialized sub-vector
+    * table — the same [[CentroidSeed]] contract as [[seedCells]]; the
+    * FixedK sample picks k VECTOR ids (subspace 0 carries one row per
+    * vector, so the heap never sees the m-way blow-up) and takes all m
+    * of their sub-vectors. */
+  private def pqSeedCells(sub: DataFrame, seed: CentroidSeed): DataFrame = seed match {
+    case CentroidSeed.Modulo(mod) =>
+      sub.filter(col("vec_id") % mod === 1)
+        .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"), col("xx").as("cc"))
+    case CentroidSeed.FixedK(k) =>
+      val ids = sub.filter(col("s") === 0)
+        .select(col("vec_id"), md5(col("vec_id").cast("string").cast("binary")).as("h"))
+        .orderBy(col("h"), col("vec_id")).limit(k).select("vec_id")
+      sub.join(broadcast(ids), Seq("vec_id"))
+        .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"), col("xx").as("cc"))
+  }
+
   private def pqLoop(
       emb: DataFrame,
       m: Int,
       iterations: Int,
-      centroidMod: Int,
+      seed: CentroidSeed,
       mat: graft.core.Materialize.Strategy): (DataFrame, DataFrame) = {
     require(m >= 1 && iterations >= 1, s"m=$m and iterations=$iterations must be >= 1")
     val sub = graft.core.Materialize(subVectors(emb, "vec_id", "vec_id", m), mat)
-    var cent = graft.core.Materialize(
-      sub.filter(col("vec_id") % centroidMod === 1)
-        .select(col("s"), col("vec_id").as("cell_id"), col("sv").as("cv"), col("xx").as("cc")),
-      mat)
+    var cent = graft.core.Materialize(pqSeedCells(sub, seed), mat)
     var it = 0
     while (it < iterations) {
       val next = graft.core.Materialize(
@@ -412,9 +475,9 @@ object Similarity {
       emb: DataFrame,
       m: Int = 4,
       iterations: Int = 1,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val (sub, cent) = pqLoop(emb, m, iterations, centroidMod, mat)
+    val (sub, cent) = pqLoop(emb, m, iterations, seed, mat)
     pqAssign(sub, cent)
       .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
   }
@@ -425,9 +488,9 @@ object Similarity {
       emb: DataFrame,
       m: Int = 4,
       iterations: Int = 1,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val (sub, cent) = pqLoop(emb, m, iterations, centroidMod, mat)
+    val (sub, cent) = pqLoop(emb, m, iterations, seed, mat)
     // the codebooks are materialized independently — the sub-vector
     // table is dead here (Persist would otherwise cache-leak per call);
     // pqCodes/pqTopK keep it, their returned plans still read it
@@ -458,11 +521,54 @@ object Similarity {
       k: Int,
       m: Int = 4,
       iterations: Int = 1,
-      centroidMod: Int = 100,
+      seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val (sub, cent) = pqLoop(corpus, m, iterations, centroidMod, mat)
+    val (sub, cent) = pqLoop(corpus, m, iterations, seed, mat)
     val codes = pqAssign(sub, cent)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
+    adcRank(queries, cent, codes, k, m)
+  }
+
+  /** PQ search over PRETRAINED artifacts — the 100 TB usage is
+    * train-once / search-many, so search must never re-run the Lloyd
+    * loop: pass [[pqCodebooks]]' and [[pqCodes]]' (stored) outputs and
+    * only the tiny codebook reassembly, the query LUT, and the
+    * codes-only scan execute. Results are row-identical to [[pqTopK]]
+    * with the same training parameters (the flat codebook explode is
+    * lossless: values were rounded BEFORE flattening).
+    *
+    * @param codebooks (subspace, cell_id, pos, centroid_v) — [[pqCodebooks]] output
+    * @param codes     (vec_id, subspace, code, d2) — [[pqCodes]] output
+    * @param m         subspace count the artifacts were trained with
+    */
+  def pqSearch(
+      queries: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      m: Int = 4): DataFrame = {
+    // reassemble the internal (s, cell_id, cv, cc) codebook shape from
+    // the flat stored form — m·k·d rows, a driver-trivial aggregation
+    val cent = codebooks
+      .groupBy(col("subspace").as("s"), col("cell_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v")))).as("ps"))
+      .select(col("s"), col("cell_id"),
+        transform(col("ps"), p => p.getField("centroid_v")).as("cv"))
+      .select(col("s"), col("cell_id"), col("cv"), dot(col("cv"), col("cv")).as("cc"))
+    val c = codes.select(col("vec_id").as("neighbor_id"),
+      col("subspace").as("s"), col("code").as("cell_id"))
+    adcRank(queries, cent, c, k, m)
+  }
+
+  /** The ADC search half shared by [[pqTopK]] and [[pqSearch]]: query
+    * LUT against the (s, cell_id, cv, cc) codebooks, codes⋈LUT keyed
+    * join, DECIMAL-exact m-way sums, bounded-heap rank. */
+  private def adcRank(
+      queries: DataFrame,
+      cent: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      m: Int): DataFrame = {
     val qsub = subVectors(queries, "vec_id", "query_id", m)
       .withColumnRenamed("sv", "qv").withColumnRenamed("xx", "qq")
     val lut = qsub.join(broadcast(cent), Seq("s"))

@@ -39,8 +39,10 @@ class SimilaritySpec extends SparkSpec {
     val corpus = vecs((1L to 300L).map(i =>
       i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
     val queries = corpus.filter($"vec_id" % 100 === 0)
-    // centroidMod=100 -> 3 cells; nprobe=3 probes them all
-    val ivf = graft.ops.Similarity.ivfTopK(queries, corpus, 5, nprobe = 3)
+    // FixedK(3) -> exactly 3 cells; nprobe=3 probes them all, so every
+    // corpus vector is a candidate for every query
+    val ivf = graft.ops.Similarity.ivfTopK(queries, corpus, 5, nprobe = 3,
+      seed = Similarity.CentroidSeed.FixedK(3))
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
     val brute = graft.ops.Similarity.bruteForceTopK(queries, corpus, 5)
       .select("query_id", "neighbor_id", "rank").as[(Long, Long, Int)].collect().toSet
@@ -113,7 +115,8 @@ class SimilaritySpec extends SparkSpec {
     val base = (1L to 40L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
     // vector 40 duplicates vector 2 exactly
     val corpus = vecs(base.map { case (i, v) => if (i == 40L) i -> base(1)._2 else i -> v }: _*)
-    val codes = graft.ops.Similarity.pqCodes(corpus, m = 4, centroidMod = 10)
+    val codes = graft.ops.Similarity.pqCodes(corpus, m = 4,
+      seed = Similarity.CentroidSeed.Modulo(10))
       .select("vec_id", "subspace", "code", "d2")
       .as[(Long, Int, Long, Double)].collect()
     // exactly m codes per vector, one per subspace
@@ -122,7 +125,8 @@ class SimilaritySpec extends SparkSpec {
     val byVec = codes.groupBy(_._1).view.mapValues(_.map(c => c._2 -> c._3).toMap)
     assert(byVec(40L) === byVec(2L))
     // codes reference trained codebook cells; residuals are non-negative
-    val cells = graft.ops.Similarity.pqCodebooks(corpus, m = 4, centroidMod = 10)
+    val cells = graft.ops.Similarity.pqCodebooks(corpus, m = 4,
+      seed = Similarity.CentroidSeed.Modulo(10))
       .select("subspace", "cell_id").as[(Int, Long)].collect().toSet
     assert(codes.forall(c => cells.contains((c._2, c._3))), "code not in codebook")
     assert(codes.forall(_._4 >= -1e-9))
@@ -131,7 +135,8 @@ class SimilaritySpec extends SparkSpec {
   test("pq rejects a dimension not divisible by m (no silent tail truncation)") {
     val corpus = vecs((1L to 20L).map(i => i -> Seq.fill(10)(0.5f)): _*)
     val e = intercept[Exception] {
-      graft.ops.Similarity.pqCodes(corpus, m = 4, centroidMod = 10).collect()
+      graft.ops.Similarity.pqCodes(corpus, m = 4,
+        seed = Similarity.CentroidSeed.Modulo(10)).collect()
     }
     assert(e.getMessage.contains("not divisible"), e.getMessage)
   }
@@ -146,7 +151,8 @@ class SimilaritySpec extends SparkSpec {
       case kv => kv
     }.toSeq: _*)
     val queries = corpus.filter($"vec_id" === 10L || $"vec_id" === 20L)
-    val df = graft.ops.Similarity.pqTopK(queries, corpus, 5, m = 4, centroidMod = 50)
+    val df = graft.ops.Similarity.pqTopK(queries, corpus, 5, m = 4,
+      seed = Similarity.CentroidSeed.Modulo(50))
     val plan = df.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), plan)
     assert(plan.contains("graft_top_k"), plan)
@@ -171,13 +177,15 @@ class SimilaritySpec extends SparkSpec {
     val a = (1L to 50L).map(i => i -> Seq(1f + (i % 5) * 0.01f, (i % 3) * 0.01f))
     val b = (101L to 150L).map(i => i -> Seq((i % 3) * 0.01f, 1f + (i % 5) * 0.01f))
     val corpus = vecs((a ++ b): _*)
-    val assign = graft.ops.Similarity.kmeansAssignments(corpus, iterations = 2)
+    val assign = graft.ops.Similarity.kmeansAssignments(corpus, iterations = 2,
+      seed = Similarity.CentroidSeed.Modulo(100))
       .select("vec_id", "cell_id").as[(Long, Long)].collect().toMap
     // every A vector lands in cell 1, every B vector in cell 101
     assert(a.forall { case (i, _) => assign(i) == 1L }, assign.toString)
     assert(b.forall { case (i, _) => assign(i) == 101L }, assign.toString)
     // centroids are the per-dimension means of their clusters
-    val cents = graft.ops.Similarity.kmeansCentroids(corpus, iterations = 2)
+    val cents = graft.ops.Similarity.kmeansCentroids(corpus, iterations = 2,
+      seed = Similarity.CentroidSeed.Modulo(100))
       .as[(Long, Int, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
     val expA1 = a.map(_._2(0).toDouble).sum / a.size
     assert(math.abs(cents((1L, 1)) - expA1) < 1e-6, s"${cents((1L, 1))} vs $expA1")
@@ -200,13 +208,68 @@ class SimilaritySpec extends SparkSpec {
       val got = df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
       got.intersect(truth).size.toDouble / truth.size
     }
-    val learned = Similarity.kmeans(corpus, iterations = 2, centroidMod = 50)
-      .select("cell_id", "cv")
-    val rModulo = recall(Similarity.ivfTopK(queries, corpus, 10, nprobe = 2, centroidMod = 50))
+    val learned = Similarity.kmeans(corpus, iterations = 2,
+      seed = Similarity.CentroidSeed.Modulo(50)).select("cell_id", "cv")
+    val rModulo = recall(Similarity.ivfTopK(queries, corpus, 10, nprobe = 2,
+      seed = Similarity.CentroidSeed.Modulo(50)))
     val rKmeans = recall(Similarity.ivfTopK(queries, corpus, 10, nprobe = 2,
       centroids = Some(learned)))
     assert(rKmeans >= rModulo, s"kmeans recall $rKmeans < modulo recall $rModulo")
     assert(rKmeans > 0.5, s"kmeans recall unexpectedly low: $rKmeans")
+  }
+
+  test("FixedK seeding: cell count is corpus-size-independent (the 100x-scale property)") {
+    val rnd = new scala.util.Random(61)
+    def corpus(n: Int) = vecs((1L to n.toLong).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val seed = Similarity.CentroidSeed.FixedK(8)
+    def cells(df: DataFrame): Long =
+      Similarity.kmeansCentroids(df, iterations = 2, seed = seed)
+        .select("cell_id").distinct().count()
+    val small = cells(corpus(120))
+    val big = cells(corpus(480))
+    assert(small === big, s"cell count grew with the corpus: $small -> $big")
+    assert(small === 8L, s"expected the 8 seeded cells, got $small")
+    // legacy Modulo grows with the corpus — the coupling FixedK removes
+    def modCells(df: DataFrame): Long =
+      Similarity.kmeansCentroids(df, iterations = 1,
+        seed = Similarity.CentroidSeed.Modulo(30))
+        .select("cell_id").distinct().count()
+    assert(modCells(corpus(480)) > modCells(corpus(120)))
+  }
+
+  test("FixedK seed selection is a bounded heap, not a global sort") {
+    val rnd = new scala.util.Random(67)
+    val corpus = vecs((1L to 300L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 100 === 0)
+    // ivfTopK seeds inline (no materialization), so the seed subplan is
+    // visible: TakeOrderedAndProject = per-partition heap + driver merge
+    val plan = Similarity.ivfTopK(queries, corpus, 5, nprobe = 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("pqSearch over stored artifacts matches pqTopK and never retrains") {
+    val rnd = new scala.util.Random(71)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val inline = Similarity.pqTopK(queries, corpus, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // train once, store, read back — the serving pattern
+    val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
+    dir.toFile.deleteOnExit()
+    Similarity.pqCodebooks(corpus).write.parquet(s"$dir/codebooks")
+    Similarity.pqCodes(corpus).write.parquet(s"$dir/codes")
+    val searched = Similarity.pqSearch(queries,
+      spark.read.parquet(s"$dir/codebooks"), spark.read.parquet(s"$dir/codes"), 5)
+    val plan = searched.queryExecution.executedPlan.toString
+    // the Lloyd M-step's DECIMAL(28,12) accumulation must be absent:
+    // search reads artifacts, it does not train
+    assert(!plan.contains("28,12"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(searched.as[(Long, Long, Double, Int)].collect().toSet === inline)
   }
 
   test("cosineDupPairs finds in-bucket near-duplicates only") {
