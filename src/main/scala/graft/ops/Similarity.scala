@@ -560,22 +560,89 @@ object Similarity {
     adcRank(queries, cent, c, k, m)
   }
 
-  /** The ADC search half shared by [[pqTopK]] and [[pqSearch]]: query
-    * LUT against the (s, cell_id, cv, cc) codebooks, codes⋈LUT keyed
-    * join, DECIMAL-exact m-way sums, bounded-heap rank. */
+  /** IVF+PQ end-to-end — the billion-vector serving stack both tiers
+    * were built for: a coarse quantizer (Lloyd-trained cells,
+    * [[kmeans]]) restricts WHICH vectors are scored, and PQ ADC scores
+    * them off codes (m small ints/vector), never the raw embeddings.
+    * Per query the scan cost is (nprobe / #coarse cells) of the code
+    * table — both knobs corpus-independent under the FixedK seeds.
+    *
+    * Plan shape: coarse centroids and codebooks broadcast; the
+    * inverted lists and the code table shuffle once each on their
+    * keys (coarse_cell, neighbor_id); every ranking is a bounded heap.
+    * Each corpus vector belongs to exactly ONE coarse cell (argmax),
+    * so candidate (query, neighbor) pairs are unique by construction.
+    * With nprobe >= #coarse cells the result equals [[pqTopK]] with
+    * the same PQ parameters (pinned by spec).
+    *
+    * Determinism: every stage reuses the contracts already pinned by
+    * the kmeans and PQ oracles (rounded cosines, lowest-cell ties,
+    * DECIMAL ADC sums, id tiebreaks) — reproduced in DuckDB as the
+    * q_ivfpq twin.
+    */
+  def ivfpqTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      coarseIterations: Int = 1,
+      m: Int = 4,
+      pqIterations: Int = 1,
+      coarseSeed: CentroidSeed = DefaultSeed,
+      pqSeed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : DataFrame = {
+    val (corp, coarse) = kmeansLoop(corpus, coarseIterations, coarseSeed, mat)
+    // inverted lists: each corpus vector's single nearest coarse cell
+    val lists = assignToCells(corp, coarse)
+      .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
+    // nprobe nearest coarse cells per query (bounded heap over the
+    // broadcast centroid dim — ivfTopK's probe stage)
+    val q = corpusVN(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val probes = q.join(broadcast(coarse))
+      .select(col("query_id"), col("cell_id"),
+        safeCos(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("pcos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("pcos"), col("cell_id"), nprobe).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("coarse_cell"))
+    val candidates = probes.join(lists, Seq("coarse_cell"))
+      .select("query_id", "neighbor_id")
+    val (sub, cent) = pqLoop(corpus, m, pqIterations, pqSeed, mat)
+    val codes = pqAssign(sub, cent)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
+    // corp/coarse/sub/cent stay materialized: the returned plan reads
+    // them (same lifecycle as pqTopK; Persist callers clear the cache)
+    adcRank(queries, cent, codes, k, m, Some(candidates))
+  }
+
+  /** The ADC search half shared by [[pqTopK]], [[pqSearch]] and
+    * [[ivfpqTopK]]: query LUT against the (s, cell_id, cv, cc)
+    * codebooks, codes⋈LUT keyed join, DECIMAL-exact m-way sums,
+    * bounded-heap rank. With `candidates` (query_id, neighbor_id) set,
+    * only those pairs are scored — the IVF restriction: codes join the
+    * candidate list on neighbor_id (a keyed shuffle, never all-pairs)
+    * before the broadcast LUT attaches per-query sub-distances. */
   private def adcRank(
       queries: DataFrame,
       cent: DataFrame,
       codes: DataFrame,
       k: Int,
-      m: Int): DataFrame = {
+      m: Int,
+      candidates: Option[DataFrame] = None): DataFrame = {
     val qsub = subVectors(queries, "vec_id", "query_id", m)
       .withColumnRenamed("sv", "qv").withColumnRenamed("xx", "qq")
     val lut = qsub.join(broadcast(cent), Seq("s"))
       .select(col("query_id"), col("s"), col("cell_id"),
         round(col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"), 6)
           .cast("decimal(18,6)").as("pd"))
-    val scored = codes.join(broadcast(lut), Seq("s", "cell_id"))
+    val joined = candidates match {
+      case Some(cand) =>
+        codes.join(cand.select("query_id", "neighbor_id"), Seq("neighbor_id"))
+          .join(broadcast(lut), Seq("query_id", "s", "cell_id"))
+      case None => codes.join(broadcast(lut), Seq("s", "cell_id"))
+    }
+    val scored = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum("pd").cast("double").as("adc"))
