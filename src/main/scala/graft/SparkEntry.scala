@@ -85,25 +85,34 @@ object SparkEntry {
     * argmin E-step + decimal-mean M-step, final assignment vs the
     * trained codebooks. The L2 form `(x·x − 2·x·c) + c·c` mirrors the
     * engine's operation order exactly. */
-  private val PQ_CTES: String =
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |sub AS (SELECT vec_id, CAST(s AS INTEGER) AS s,
+  /** The shared embedding projection every ANN oracle starts from —
+    * factored out so the KMEANS and PQ CTE bodies can compose in one
+    * WITH (the IVF+PQ twin needs both). */
+  private val V_CTE: String =
+    "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
+
+  /** PQ CTE body (everything but `v`); internal names carry a `p`
+    * prefix where they would collide with the KMEANS iteration CTEs. */
+  private val PQ_BODY: String =
+    s"""sub AS (SELECT vec_id, CAST(s AS INTEGER) AS s,
        |          e[(s * (len(e) // 4) + 1):((s + 1) * (len(e) // 4))] AS sv
        |        FROM v, (SELECT unnest(range(4)) AS s)),
        |subx AS (SELECT vec_id, s, sv, ${DOT_SQL("sv", "sv")} AS xx FROM sub),
        |seedk AS (SELECT vec_id FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
-       |c0 AS (SELECT s, x.vec_id AS cell_id, sv AS cv, xx AS cc FROM subx x JOIN seedk USING (vec_id)),
-       |a1 AS (SELECT vec_id, s, sv, cell_id FROM (
+       |pc0 AS (SELECT s, x.vec_id AS cell_id, sv AS cv, xx AS cc FROM subx x JOIN seedk USING (vec_id)),
+       |pa1 AS (SELECT vec_id, s, sv, cell_id FROM (
        |  SELECT x.vec_id, x.s, x.sv, c.cell_id,
        |    row_number() OVER (PARTITION BY x.vec_id, x.s
        |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
-       |  FROM subx x JOIN c0 c ON x.s = c.s) WHERE rn = 1),
-       |f1 AS (SELECT s, cell_id, pos, round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv_i
+       |  FROM subx x JOIN pc0 c ON x.s = c.s) WHERE rn = 1),
+       |pf1 AS (SELECT s, cell_id, pos, round(CAST(sum(xv) AS DOUBLE) / count(*), 6) AS cv_i
        |  FROM (SELECT s, cell_id, generate_subscripts(sv, 1) AS pos,
-       |          unnest(CAST(sv AS DECIMAL(28,12)[])) AS xv FROM a1)
+       |          unnest(CAST(sv AS DECIMAL(28,12)[])) AS xv FROM pa1)
        |  GROUP BY s, cell_id, pos),
-       |c1 AS (SELECT s, cell_id, list(cv_i ORDER BY pos) AS cv FROM f1 GROUP BY s, cell_id),
-       |c1x AS (SELECT s, cell_id, cv, ${DOT_SQL("cv", "cv")} AS cc FROM c1)""".stripMargin
+       |pc1 AS (SELECT s, cell_id, list(cv_i ORDER BY pos) AS cv FROM pf1 GROUP BY s, cell_id),
+       |c1x AS (SELECT s, cell_id, cv, ${DOT_SQL("cv", "cv")} AS cc FROM pc1)""".stripMargin
+
+  private val PQ_CTES: String = s"$V_CTE,\n$PQ_BODY"
 
   /** One unrolled Lloyd iteration — twin of [[Similarity.kmeans]]'s
     * E-step (argmax cosine, ties to lowest cell_id) + M-step (exact
@@ -122,11 +131,12 @@ object SparkEntry {
 
   /** Two fixed Lloyd iterations from the fixed-k md5-sampled init —
     * twin of [[Similarity.kmeans]](iterations=2, seed=FixedK(32)). */
-  private val KMEANS_CTES =
-    s"""v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-       |c0 AS (SELECT vec_id AS cell_id, e AS ce FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
+  private val KMEANS_BODY =
+    s"""c0 AS (SELECT vec_id AS cell_id, e AS ce FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
        |${KMEANS_ITER("c0", "a1", "f1", "c1")},
        |${KMEANS_ITER("c1", "a2", "f2", "c2")}""".stripMargin
+
+  private val KMEANS_CTES = s"$V_CTE,\n$KMEANS_BODY"
 
   /** Twin of [[Dedup.simhash]] (bits=16): bit j of the token md5 = bit
     * (3 - j%4) of hex digit j/4. Shared by q_simhash and q_simhash_pairs. */
@@ -168,6 +178,51 @@ object SparkEntry {
          |  SELECT query_id, neighbor_id, adc,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM adc) WHERE rank <= 10""".stripMargin
+
+  /** IVF+PQ twin shared by q_ivfpq (trained inline) and q_ivfpq_search
+    * (the same search through stored artifacts — both paths must be
+    * row-identical): the 2-iteration KMEANS coarse quantizer assigns
+    * every vector to one cell (the inverted lists) and ranks each
+    * query's 8 nearest cells (rounded cosine, lowest-cell ties); the
+    * PQ ADC machinery then scores ONLY candidates in probed cells —
+    * codes⋈candidates⋈LUT, DECIMAL-exact m-way sums, rank ascending
+    * with id ties. Twin of [[graft.ops.Similarity.ivfpqTopK]]
+    * (k=10, nprobe=8, coarseIterations=2, m=4, FixedK(32) seeds). */
+  private val IVFPQ_SQL: String =
+    s"""WITH $V_CTE,
+       |$KMEANS_BODY,
+       |$PQ_BODY,
+       |codes AS (SELECT vec_id, s, cell_id FROM (
+       |  SELECT x.vec_id, x.s, c.cell_id,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.s
+       |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+       |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1),
+       |lists AS (SELECT cell_id AS coarse_cell, vec_id AS neighbor_id FROM (
+       |  SELECT c.cell_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+       |  FROM v, c2 c) WHERE rn = 1),
+       |probes AS (SELECT query_id, coarse_cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell_id AS coarse_cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${COS_SQL("q.e", "c.ce")} DESC, c.cell_id ASC) AS prn
+       |  FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q, c2 c) WHERE prn <= 8),
+       |cand AS (SELECT p.query_id, l.neighbor_id
+       |  FROM probes p JOIN lists l ON p.coarse_cell = l.coarse_cell),
+       |q AS (SELECT vec_id AS query_id, s, sv AS qv, xx AS qq FROM subx WHERE vec_id % 100 = 0),
+       |lut AS (SELECT q.query_id, q.s, c.cell_id,
+       |    CAST(round(q.qq - 2 * ${DOT_SQL("q.qv", "c.cv")} + c.cc, 6) AS DECIMAL(18,6)) AS pd
+       |  FROM q JOIN c1x c ON q.s = c.s),
+       |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.pd) AS DOUBLE) AS adc
+       |  FROM codes cd
+       |  JOIN cand ON cand.neighbor_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cand.query_id AND cd.s = l.s AND cd.cell_id = l.cell_id
+       |  WHERE l.query_id <> cd.vec_id
+       |  GROUP BY l.query_id, cd.vec_id)
+       |SELECT query_id, neighbor_id, adc, rank FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM adc) WHERE rank <= 10""".stripMargin
 
   /** One entry per implemented operator from SURVEY.md §2 (+ extensions). */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -296,6 +351,23 @@ object SparkEntry {
     // lowest-cell ties, exact decimal means)
     "q_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(emb(s, dir))),
     "q_kmeans_assign" -> ((s, dir) => Similarity.kmeansAssignments(emb(s, dir))),
+    // IVF+PQ composition: coarse quantizer restricts WHICH vectors are
+    // scored, ADC scores them off codes. coarseIterations=2 matches the
+    // kmeans oracles' training so one twin covers the whole stack
+    "q_ivfpq" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfpqTopK(e.filter(col("vec_id") % 100 === 0), e, 10,
+        nprobe = 8, coarseIterations = 2)
+    },
+    // the same search through the four STORED artifacts (coarse
+    // centroids, assignments, codebooks, codes) must reproduce q_ivfpq
+    // row-for-row — one oracle pins both paths
+    "q_ivfpq_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfpqSearch(e.filter(col("vec_id") % 100 === 0),
+        Similarity.kmeansCentroids(e), Similarity.kmeansAssignments(e),
+        Similarity.pqCodebooks(e), Similarity.pqCodes(e), 10, nprobe = 8)
+    },
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -709,10 +781,13 @@ object SparkEntry {
          |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1""".stripMargin,
     "q_pq_codebooks" ->
       s"""WITH $PQ_CTES
-         |SELECT s AS subspace, cell_id, CAST(pos AS INTEGER) AS pos, cv_i AS centroid_v FROM f1""".stripMargin,
+         |SELECT s AS subspace, cell_id, CAST(pos AS INTEGER) AS pos, cv_i AS centroid_v FROM pf1""".stripMargin,
     "q_pq_topk" -> PQ_TOPK_SQL,
     // identical result contract through the pretrained-artifact path
     "q_pq_search" -> PQ_TOPK_SQL,
+    "q_ivfpq" -> IVFPQ_SQL,
+    // identical result contract through the four stored artifacts
+    "q_ivfpq_search" -> IVFPQ_SQL,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

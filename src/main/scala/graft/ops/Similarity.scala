@@ -546,19 +546,25 @@ object Similarity {
       codebooks: DataFrame,
       codes: DataFrame,
       k: Int,
-      m: Int = 4): DataFrame = {
-    // reassemble the internal (s, cell_id, cv, cc) codebook shape from
-    // the flat stored form — m·k·d rows, a driver-trivial aggregation
-    val cent = codebooks
+      m: Int = 4): DataFrame =
+    adcRank(queries, reassemblePqCodebooks(codebooks), storedCodes(codes), k, m)
+
+  /** Reassemble the internal (s, cell_id, cv, cc) codebook shape from
+    * [[pqCodebooks]]' flat stored form — m·k·d rows, a driver-trivial
+    * aggregation. Lossless: centroid values were rounded to 6 BEFORE
+    * flattening, so `cc` reproduces the trained-inline self-dot. */
+  private def reassemblePqCodebooks(codebooks: DataFrame): DataFrame =
+    codebooks
       .groupBy(col("subspace").as("s"), col("cell_id"))
       .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v")))).as("ps"))
       .select(col("s"), col("cell_id"),
         transform(col("ps"), p => p.getField("centroid_v")).as("cv"))
       .select(col("s"), col("cell_id"), col("cv"), dot(col("cv"), col("cv")).as("cc"))
-    val c = codes.select(col("vec_id").as("neighbor_id"),
+
+  /** [[pqCodes]]' stored shape → [[adcRank]]'s internal code shape. */
+  private def storedCodes(codes: DataFrame): DataFrame =
+    codes.select(col("vec_id").as("neighbor_id"),
       col("subspace").as("s"), col("code").as("cell_id"))
-    adcRank(queries, cent, c, k, m)
-  }
 
   /** IVF+PQ end-to-end — the billion-vector serving stack both tiers
     * were built for: a coarse quantizer (Lloyd-trained cells,
@@ -596,8 +602,70 @@ object Similarity {
     // inverted lists: each corpus vector's single nearest coarse cell
     val lists = assignToCells(corp, coarse)
       .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
-    // nprobe nearest coarse cells per query (bounded heap over the
-    // broadcast centroid dim — ivfTopK's probe stage)
+    val (sub, cent) = pqLoop(corpus, m, pqIterations, pqSeed, mat)
+    val codes = pqAssign(sub, cent)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
+    // corp/coarse/sub/cent stay materialized: the returned plan reads
+    // them (same lifecycle as pqTopK; Persist callers clear the cache)
+    ivfpqRank(queries, coarse, lists, cent, codes, k, nprobe, m)
+  }
+
+  /** IVF+PQ search over PRETRAINED, stored artifacts — the serving
+    * path: [[ivfpqTopK]] welds training to search (right for a
+    * one-shot batch job, wrong for train-once / search-many), this is
+    * the same search fed by the four stored tables the training jobs
+    * emit. Only the tiny codebook/centroid reassembly, the probe
+    * stage, and the codes-only candidate scan execute — no Lloyd
+    * E/M-step, no raw-corpus scan (pinned by spec: the plan contains
+    * no DECIMAL(28,12) accumulation and no Window).
+    *
+    * Results are row-identical to [[ivfpqTopK]] with the same training
+    * parameters — one DuckDB twin (q_ivfpq / q_ivfpq_search) pins both
+    * paths.
+    *
+    * @param coarseCentroids (cell_id, pos, centroid_v) — [[kmeansCentroids]] output
+    * @param assignments     (vec_id, cell_id, …) — [[kmeansAssignments]] output
+    *                        (the inverted lists: each vector's single coarse cell)
+    * @param codebooks       (subspace, cell_id, pos, centroid_v) — [[pqCodebooks]] output
+    * @param codes           (vec_id, subspace, code, d2) — [[pqCodes]] output
+    * @param m               subspace count the PQ artifacts were trained with
+    */
+  def ivfpqSearch(
+      queries: DataFrame,
+      coarseCentroids: DataFrame,
+      assignments: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      m: Int = 4): DataFrame = {
+    // flat stored form → (cell_id, cv, cn); lossless like the PQ
+    // reassembly (coordinates were rounded before flattening)
+    val coarse = coarseCentroids
+      .groupBy("cell_id")
+      .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v")))).as("ps"))
+      .select(col("cell_id"), transform(col("ps"), p => p.getField("centroid_v")).as("cv"))
+      .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn"))
+    val lists = assignments
+      .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
+    ivfpqRank(queries, coarse, lists, reassemblePqCodebooks(codebooks),
+      storedCodes(codes), k, nprobe, m)
+  }
+
+  /** The IVF restriction + ADC search shared by [[ivfpqTopK]] and
+    * [[ivfpqSearch]]: probe the `nprobe` nearest coarse cells per
+    * query (bounded heap over the broadcast centroid dim — ivfTopK's
+    * probe stage), expand to candidates through the inverted lists
+    * (a keyed join on coarse_cell), then ADC-score candidates only. */
+  private def ivfpqRank(
+      queries: DataFrame,
+      coarse: DataFrame,
+      lists: DataFrame,
+      cent: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      nprobe: Int,
+      m: Int): DataFrame = {
     val q = corpusVN(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val probes = q.join(broadcast(coarse))
@@ -608,11 +676,6 @@ object Similarity {
       .select(col("query_id"), explode(col("tk.id")).as("coarse_cell"))
     val candidates = probes.join(lists, Seq("coarse_cell"))
       .select("query_id", "neighbor_id")
-    val (sub, cent) = pqLoop(corpus, m, pqIterations, pqSeed, mat)
-    val codes = pqAssign(sub, cent)
-      .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
-    // corp/coarse/sub/cent stay materialized: the returned plan reads
-    // them (same lifecycle as pqTopK; Persist callers clear the cache)
     adcRank(queries, cent, codes, k, m, Some(candidates))
   }
 

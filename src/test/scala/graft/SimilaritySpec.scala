@@ -272,6 +272,53 @@ class SimilaritySpec extends SparkSpec {
     assert(searched.as[(Long, Long, Double, Int)].collect().toSet === inline)
   }
 
+  test("ivfpqTopK with nprobe >= #coarse cells equals pqTopK (no Window)") {
+    val rnd = new scala.util.Random(81)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    // FixedK(3) -> at most 3 coarse cells; nprobe=3 probes them all, so
+    // the IVF restriction admits every corpus vector and the composed
+    // result must equal flat PQ ADC with the same training parameters
+    val ivfpq = Similarity.ivfpqTopK(queries, corpus, 5, nprobe = 3,
+      coarseSeed = Similarity.CentroidSeed.FixedK(3))
+    assert(!ivfpq.queryExecution.executedPlan.toString.contains("Window"))
+    val got = ivfpq.as[(Long, Long, Double, Int)].collect().toSet
+    val flat = Similarity.pqTopK(queries, corpus, 5)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === flat)
+  }
+
+  test("ivfpqSearch over stored artifacts matches ivfpqTopK and never retrains") {
+    val rnd = new scala.util.Random(82)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val inline = Similarity.ivfpqTopK(queries, corpus, 5, nprobe = 2,
+        coarseIterations = 2)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    // train once, store all four artifacts, read back — the serving
+    // pattern at billion-vector scale (training jobs run rarely; the
+    // search tier only ever reads centroids, lists, codebooks, codes)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
+    dir.toFile.deleteOnExit()
+    Similarity.kmeansCentroids(corpus).write.parquet(s"$dir/coarse")
+    Similarity.kmeansAssignments(corpus).write.parquet(s"$dir/assign")
+    Similarity.pqCodebooks(corpus).write.parquet(s"$dir/codebooks")
+    Similarity.pqCodes(corpus).write.parquet(s"$dir/codes")
+    val searched = Similarity.ivfpqSearch(queries,
+      spark.read.parquet(s"$dir/coarse"), spark.read.parquet(s"$dir/assign"),
+      spark.read.parquet(s"$dir/codebooks"), spark.read.parquet(s"$dir/codes"),
+      5, nprobe = 2)
+    val plan = searched.queryExecution.executedPlan.toString
+    // no Lloyd E/M-step may survive into the serving plan: the
+    // M-step's DECIMAL(28,12) accumulation and any Window sort are the
+    // training fingerprints
+    assert(!plan.contains("28,12"), plan)
+    assert(!plan.contains("Window"), plan)
+    assert(searched.as[(Long, Long, Double, Int)].collect().toSet === inline)
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))
