@@ -361,12 +361,15 @@ object SparkEntry {
     },
     // the same search through the four STORED artifacts (coarse
     // centroids, assignments, codebooks, codes) must reproduce q_ivfpq
-    // row-for-row — one oracle pins both paths
+    // row-for-row — one oracle pins both paths. kmeansModel/pqModel
+    // emit both artifacts of each tier from ONE training run (the
+    // single-artifact entry points would train each tier twice)
     "q_ivfpq_search" -> { (s, dir) =>
       val e = emb(s, dir)
+      val (coarse, assign) = Similarity.kmeansModel(e)
+      val (codebooks, codes) = Similarity.pqModel(e)
       Similarity.ivfpqSearch(e.filter(col("vec_id") % 100 === 0),
-        Similarity.kmeansCentroids(e), Similarity.kmeansAssignments(e),
-        Similarity.pqCodebooks(e), Similarity.pqCodes(e), 10, nprobe = 8)
+        coarse, assign, codebooks, codes, 10, nprobe = 8)
     },
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --

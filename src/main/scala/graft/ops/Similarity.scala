@@ -358,6 +358,14 @@ object Similarity {
     (corp, cent)
   }
 
+  /** The flat stored-centroid projection (cell_id, pos, centroid_v)
+    * shared by [[kmeansCentroids]] and [[kmeansModel]] — pos 1-based
+    * like [[labelCentroids]]. */
+  private def flatCentroids(cent: DataFrame): DataFrame =
+    cent
+      .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "centroid_v")))
+      .select(col("cell_id"), (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
+
   /** [[kmeans]] centroids in the flat oracle shape (cell_id, pos,
     * centroid_v) — one row per coordinate, pos 1-based like
     * [[labelCentroids]]. */
@@ -366,9 +374,7 @@ object Similarity {
       iterations: Int = 2,
       seed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    kmeans(emb, iterations, seed, mat)
-      .select(col("cell_id"), posexplode(col("cv")).as(Seq("pos", "centroid_v")))
-      .select(col("cell_id"), (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
+    flatCentroids(kmeans(emb, iterations, seed, mat))
 
   /** Final cluster assignment against the learned centroids —
     * (vec_id, cell_id, cos), one E-step past the last M-step. */
@@ -379,6 +385,23 @@ object Similarity {
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     val (corp, cent) = kmeansLoop(emb, iterations, seed, mat)
     assignToCells(corp, cent).select(col("vec_id"), col("cell_id"), col("cos"))
+  }
+
+  /** BOTH coarse-quantizer artifacts — ([[kmeansCentroids]]' flat
+    * centroid table, [[kmeansAssignments]]' assignment table) — from
+    * ONE Lloyd training run. A training job that emits the full
+    * serving model (and the q_ivfpq_search oracle) needs both; calling
+    * the two single-artifact entry points would pay the E/M iterations
+    * twice and hold two materialized corpus projections. */
+  def kmeansModel(
+      emb: DataFrame,
+      iterations: Int = 2,
+      seed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : (DataFrame, DataFrame) = {
+    val (corp, cent) = kmeansLoop(emb, iterations, seed, mat)
+    (flatCentroids(cent),
+      assignToCells(corp, cent).select(col("vec_id"), col("cell_id"), col("cos")))
   }
 
   /** Product quantization (Jégou et al., PAMI '11) — the codebook
@@ -482,6 +505,15 @@ object Similarity {
       .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
   }
 
+  /** The flat stored-codebook projection (subspace, cell_id, pos,
+    * centroid_v) shared by [[pqCodebooks]] and [[pqModel]] — pos
+    * 1-based within the subspace. */
+  private def flatPqCodebooks(cent: DataFrame): DataFrame =
+    cent.select(col("s").as("subspace"), col("cell_id"),
+        posexplode(col("cv")).as(Seq("pos", "centroid_v")))
+      .select(col("subspace"), col("cell_id"),
+        (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
+
   /** The trained PQ codebooks, flat: (subspace, cell_id, pos,
     * centroid_v) — pos 1-based within the subspace. */
   def pqCodebooks(
@@ -495,10 +527,23 @@ object Similarity {
     // table is dead here (Persist would otherwise cache-leak per call);
     // pqCodes/pqTopK keep it, their returned plans still read it
     graft.core.Materialize.release(sub, mat)
-    cent.select(col("s").as("subspace"), col("cell_id"),
-        posexplode(col("cv")).as(Seq("pos", "centroid_v")))
-      .select(col("subspace"), col("cell_id"),
-        (col("pos") + 1).cast("int").as("pos"), col("centroid_v"))
+    flatPqCodebooks(cent)
+  }
+
+  /** BOTH PQ artifacts — ([[pqCodebooks]]' flat codebook table,
+    * [[pqCodes]]' code table) — from ONE training run; the PQ half of
+    * the [[kmeansModel]] rationale. */
+  def pqModel(
+      emb: DataFrame,
+      m: Int = 4,
+      iterations: Int = 1,
+      seed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : (DataFrame, DataFrame) = {
+    val (sub, cent) = pqLoop(emb, m, iterations, seed, mat)
+    (flatPqCodebooks(cent),
+      pqAssign(sub, cent)
+        .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2")))
   }
 
   /** PQ asymmetric-distance (ADC) top-k — the search half of IVF+PQ:
@@ -685,7 +730,13 @@ object Similarity {
     * bounded-heap rank. With `candidates` (query_id, neighbor_id) set,
     * only those pairs are scored — the IVF restriction: codes join the
     * candidate list on neighbor_id (a keyed shuffle, never all-pairs)
-    * before the broadcast LUT attaches per-query sub-distances. */
+    * before the broadcast LUT attaches per-query sub-distances.
+    *
+    * m-mismatch guard: every scored pair must have aggregated exactly
+    * `m` sub-distances. A caller whose `m` disagrees with the m the
+    * stored codebooks/codes were trained with would otherwise get
+    * silently-partial sums — the (s, cell_id) join just drops the
+    * unmatched subspaces — so the aggregate RAISES on any other count. */
   private def adcRank(
       queries: DataFrame,
       cent: DataFrame,
@@ -708,7 +759,16 @@ object Similarity {
     val scored = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum("pd").cast("double").as("adc"))
+      .agg(sum("pd").cast("double").as("adc"), count(lit(1)).as("n_sub"))
+      // a NULL sum with the right count is the OTHER mismatch fingerprint:
+      // sub-vector lengths disagreed, so every dot (and hence pd) was NULL
+      .select(col("query_id"), col("neighbor_id"),
+        when(col("n_sub") === m && col("adc").isNotNull, col("adc"))
+          .otherwise(raise_error(concat(
+            lit(s"pq: expected $m non-null sub-distances per (query, neighbor) pair, got "),
+            col("n_sub").cast("string"),
+            lit(" — m disagrees with the m the codebooks/codes were trained with")))
+        ).as("adc"))
     scored
       .groupBy("query_id")
       .agg(graft.functions.TopKByScore.topK(-col("adc"), col("neighbor_id"), k).as("tk"))

@@ -258,8 +258,7 @@ class SimilaritySpec extends SparkSpec {
     val inline = Similarity.pqTopK(queries, corpus, 5)
       .as[(Long, Long, Double, Int)].collect().toSet
     // train once, store, read back — the serving pattern
-    val dir = java.nio.file.Files.createTempDirectory("graft-pq-")
-    dir.toFile.deleteOnExit()
+    val dir = tempDir("graft-pq-")
     Similarity.pqCodebooks(corpus).write.parquet(s"$dir/codebooks")
     Similarity.pqCodes(corpus).write.parquet(s"$dir/codes")
     val searched = Similarity.pqSearch(queries,
@@ -270,6 +269,45 @@ class SimilaritySpec extends SparkSpec {
     assert(!plan.contains("28,12"), plan)
     assert(!plan.contains("Window"), plan)
     assert(searched.as[(Long, Long, Double, Int)].collect().toSet === inline)
+  }
+
+  test("pqSearch raises when m disagrees with the stored artifacts (no silent partial sums)") {
+    val rnd = new scala.util.Random(83)
+    val corpus = vecs((1L to 100L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val (codebooks, codes) = Similarity.pqModel(corpus, m = 4)
+    // m=8 splits queries into more subspaces than the codes carry: the
+    // (s, cell) join drops the unmatched ones — must raise, not rank
+    // over a partial sum
+    val tooMany = intercept[Exception] {
+      Similarity.pqSearch(queries, codebooks, codes, 5, m = 8).collect()
+    }
+    assert(tooMany.getMessage.contains("sub-distances"), tooMany.getMessage)
+    // m=2 matches per-subspace row counts but not sub-vector lengths
+    // (dim 4 queries vs dim 2 codebooks -> NULL dots): the NULL-sum
+    // fingerprint must also raise
+    val wrongDim = intercept[Exception] {
+      Similarity.pqSearch(queries, codebooks, codes, 5, m = 2).collect()
+    }
+    assert(wrongDim.getMessage.contains("sub-distances"), wrongDim.getMessage)
+    // and the correct m still searches clean
+    assert(Similarity.pqSearch(queries, codebooks, codes, 5, m = 4).count() > 0)
+  }
+
+  test("kmeansModel/pqModel emit the same artifacts as the single-artifact entry points") {
+    val rnd = new scala.util.Random(84)
+    val corpus = vecs((1L to 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val (coarse, assign) = Similarity.kmeansModel(corpus)
+    assert(coarse.collect().toSet ===
+      Similarity.kmeansCentroids(corpus).collect().toSet)
+    assert(assign.collect().toSet ===
+      Similarity.kmeansAssignments(corpus).collect().toSet)
+    val (codebooks, codes) = Similarity.pqModel(corpus)
+    assert(codebooks.collect().toSet ===
+      Similarity.pqCodebooks(corpus).collect().toSet)
+    assert(codes.collect().toSet === Similarity.pqCodes(corpus).collect().toSet)
   }
 
   test("ivfpqTopK with nprobe >= #coarse cells equals pqTopK (no Window)") {
@@ -300,8 +338,7 @@ class SimilaritySpec extends SparkSpec {
     // train once, store all four artifacts, read back — the serving
     // pattern at billion-vector scale (training jobs run rarely; the
     // search tier only ever reads centroids, lists, codebooks, codes)
-    val dir = java.nio.file.Files.createTempDirectory("graft-ivfpq-")
-    dir.toFile.deleteOnExit()
+    val dir = tempDir("graft-ivfpq-")
     Similarity.kmeansCentroids(corpus).write.parquet(s"$dir/coarse")
     Similarity.kmeansAssignments(corpus).write.parquet(s"$dir/assign")
     Similarity.pqCodebooks(corpus).write.parquet(s"$dir/codebooks")

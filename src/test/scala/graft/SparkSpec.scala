@@ -30,7 +30,31 @@ object SparkSpec {
   }
 }
 
-/** Base class: shared session. */
-abstract class SparkSpec extends AnyFunSuite {
+/** Base class: shared session + suite-scoped temp dirs. */
+abstract class SparkSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
   lazy val spark: SparkSession = SparkSpec.spark
+
+  private val tempDirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+
+  /** A temp directory deleted RECURSIVELY in afterAll — deleteOnExit
+    * alone never removes a dir that tests wrote trees under (it only
+    * deletes empty dirs), so each run would leak one. */
+  protected def tempDir(prefix: String): java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    tempDirs.synchronized { tempDirs += p }
+    p
+  }
+
+  override protected def afterAll(): Unit = {
+    import scala.jdk.CollectionConverters._
+    tempDirs.synchronized(tempDirs.toVector).foreach { p =>
+      try {
+        val walk = java.nio.file.Files.walk(p)
+        try walk.iterator().asScala.toVector.reverseIterator
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+        finally walk.close()
+      } catch { case _: java.io.IOException => () }
+    }
+    super.afterAll()
+  }
 }
