@@ -383,6 +383,11 @@ object SparkEntry {
     "q_distinct_agg" -> ((s, dir) => Relational.orderPriorityDistincts(s, dir)),
     "q_range_join" -> ((s, dir) => Relational.quantityBands(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
+    // sketch percentiles: exact values are the hash-comparable harness;
+    // the booleans pin the GK sketch's within-5% accuracy claim (the
+    // q_approx_distinct pattern — sketch VALUES are engine/merge-order
+    // specific and can't be oracle'd directly)
+    "q_approx_percentiles" -> ((s, dir) => Relational.quantityPercentilesApprox(s, dir)),
     "q_date_trunc" -> ((s, dir) => Relational.monthlyRevenue(s, dir)),
     "q_brand_revenue" -> ((s, dir) => Relational.brandRevenue(s, dir)),
     // sketch coverage: approx_count_distinct is engine-specific (HLL++),
@@ -878,6 +883,18 @@ object SparkEntry {
         |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
         |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
         |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_approx_percentiles" ->
+      // exact side mirrors q_percentiles; the booleans are Spark's
+      // accuracy claim about its own GK sketch — the oracle asserts
+      // them TRUE (the q_approx_distinct pattern)
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_quantity, 0.5), 4) AS median_qty,
+        |  round(quantile_cont(l_quantity, 0.9), 4) AS p90_qty,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+        |  TRUE AS median_qty_within_tol,
+        |  TRUE AS p90_qty_within_tol,
+        |  TRUE AS median_price_within_tol
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_date_trunc" ->
       """SELECT epoch_us(date_trunc('month', o_orderdate)) AS month_us,

@@ -261,6 +261,46 @@ object Relational {
         round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
         round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"))
 
+  /** Approx-percentile SKETCH twin of [[quantityPercentiles]] — the
+    * 100 TB path: exact `percentile` buffers and sorts every group
+    * value; `approx_percentile` (Greenwald-Khanna summaries) keeps a
+    * bounded mergeable sketch per group with rank error ≤ n/accuracy,
+    * so memory is O(accuracy·log n) regardless of group size.
+    *
+    * Oracle-ability follows q_approx_distinct: sketch VALUES are
+    * engine-specific (GK picks actual elements, partial-merge-order
+    * dependent), so the query emits the exact percentiles
+    * (hash-comparable; they double as the oracle harness — a pure
+    * production run would emit only the sketch) plus per-group
+    * booleans claiming each sketch value is within `relTol` of exact.
+    * The DuckDB twin computes the exact side and asserts TRUE, putting
+    * the accuracy claim itself under the driver's hash gate. The
+    * booleans — not the raw sketch values — are what stays stable
+    * across merge orders: GK's rank-error bound holds for ANY merge
+    * schedule, the specific element returned does not.
+    */
+  def quantityPercentilesApprox(
+      spark: SparkSession,
+      dir: String,
+      accuracy: Int = 10000,
+      relTol: Double = 0.05): DataFrame =
+    t(spark, dir, "lineitem")
+      .groupBy("l_returnflag")
+      .agg(
+        round(expr("percentile(l_quantity, 0.5)"), 4).as("median_qty"),
+        round(expr("percentile(l_quantity, 0.9)"), 4).as("p90_qty"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("median_price"),
+        expr(s"approx_percentile(l_quantity, 0.5, $accuracy)").as("aq50"),
+        expr(s"approx_percentile(l_quantity, 0.9, $accuracy)").as("aq90"),
+        expr(s"approx_percentile(l_extendedprice, 0.5, $accuracy)").as("ap50"))
+      .select(col("l_returnflag"), col("median_qty"), col("p90_qty"), col("median_price"),
+        (abs(col("aq50") - col("median_qty")) / col("median_qty") <= relTol)
+          .as("median_qty_within_tol"),
+        (abs(col("aq90") - col("p90_qty")) / col("p90_qty") <= relTol)
+          .as("p90_qty_within_tol"),
+        (abs(col("ap50") - col("median_price")) / col("median_price") <= relTol)
+          .as("median_price_within_tol"))
+
   /** Date/time scalar-function coverage: revenue by calendar month
     * (date_trunc), plus year/quarter breakdown columns. Month surfaced
     * as epoch-µs so the oracle compares integers, not engine-formatted

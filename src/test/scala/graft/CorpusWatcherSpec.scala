@@ -148,6 +148,12 @@ class CorpusWatcherSpec extends SparkSpec {
     val bad = spark.read.parquet(quar).select("raw").as[String].collect().toSeq
     assert(bad === Seq("""{"doc_id": 2, "text": "broken"""),
       s"replay duplicated quarantine rows: $bad")
+    // partition-discovery contract: reading the quarantine ROOT must
+    // surface batch_id (the per-batch dir name) as a column — the
+    // inspection/replay key the quarantine exists for
+    val withBatch = spark.read.parquet(quar).select("batch_id", "raw")
+      .as[(Int, String)].collect().toSeq
+    assert(withBatch === Seq((0, """{"doc_id": 2, "text": "broken""")), withBatch.toString)
   }
 
   test("JSONL watcher indexes clean lines, quarantines corrupt and keyless ones") {

@@ -33,6 +33,21 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("approx percentiles: sketch stays within tolerance of exact (all groups)") {
+    val rows = Relational.quantityPercentilesApprox(spark, dir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("median_qty_within_tol"), r.toString)
+      assert(r.getAs[Boolean]("p90_qty_within_tol"), r.toString)
+      assert(r.getAs[Boolean]("median_price_within_tol"), r.toString)
+    }
+    // a sketch that drifted to garbage would also fail a loose 20% gate
+    // on a DIFFERENT accuracy knob — pins that accuracy is plumbed through
+    val loose = Relational.quantityPercentilesApprox(spark, dir,
+      accuracy = 100, relTol = 0.2).collect()
+    loose.foreach(r => assert(r.getAs[Boolean]("p90_qty_within_tol"), r.toString))
+  }
+
   test("asof join: every purchase pairs with the latest click at-or-before it") {
     val got = Relational.asofPurchaseToClick(spark, dir)
     // recompute naively: for each purchase row, scan all clicks
