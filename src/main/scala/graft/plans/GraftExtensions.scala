@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectTableFunction(GraftExtensions.asofTableFunction)
+    ext.injectTableFunction(GraftExtensions.minhashPairsTableFunction)
+    ext.injectTableFunction(GraftExtensions.decontaminateTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -101,6 +103,77 @@ object GraftExtensions {
         csv(args(2)), csv(args(3)), args(4), args(5), args(6))
     })
 
+  /** Shared TVF-argument extractors: all graft TVF arguments are
+    * literals (names resolve against the active catalog at plan time;
+    * arbitrary subqueries belong in the Column API). */
+  private def stringArg(fn: String)(e: Expression, what: String): String = e match {
+    case Literal(s: UTF8String, StringType) => s.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a string literal, got ${other.sql}")
+  }
+  private def intArg(fn: String)(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be an integer literal, got ${other.sql}")
+  }
+
+  /** SQL surface for the MinHash near-dup candidate generator — a
+    * whole-relation operator, so a table-valued function:
+    *
+    * {{{
+    * SELECT * FROM graft_minhash_pairs('docs')           -- w=3, k=8, bands=2
+    * SELECT * FROM graft_minhash_pairs('docs', 3, 8, 2)  -- explicit knobs
+    * }}}
+    *
+    * The named table/view must carry (doc_id, text); emits (doc_a,
+    * doc_b). Resolution builds [[graft.ops.Dedup.minhashCandidatePairs]]'
+    * plan, which materializes the band-bucket table EAGERLY
+    * (localCheckpoint) — the SQL call pays that job at analysis rather
+    * than first execution. */
+  private val minhashPairsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_minhash_pairs"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_minhash_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 4,
+        "graft_minhash_pairs(table) or graft_minhash_pairs(table, w, k, bands)")
+      val str = stringArg("graft_minhash_pairs") _
+      val int = intArg("graft_minhash_pairs") _
+      val docs = SparkSession.active.table(str(children.head, "table"))
+      val (w, k, bands) =
+        if (children.size == 4)
+          (int(children(1), "w"), int(children(2), "k"), int(children(3), "bands"))
+        else (3, 8, 2)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.minhashCandidatePairs(docs, w, k, bands))
+    })
+
+  /** SQL surface for benchmark decontamination:
+    *
+    * {{{
+    * SELECT * FROM graft_decontaminate('train_docs', 'eval_docs')     -- w=3
+    * SELECT * FROM graft_decontaminate('train_docs', 'eval_docs', 3)
+    * }}}
+    *
+    * Emits the surviving training rows (every column of the train
+    * table) — training docs sharing no w-token shingle with the eval
+    * corpus, [[graft.ops.Dedup.decontaminate]]. */
+  private val decontaminateTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_decontaminate"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_decontaminate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_decontaminate(train_table, eval_table[, w])")
+      val str = stringArg("graft_decontaminate") _
+      val spark = SparkSession.active
+      val w = if (children.size == 3) intArg("graft_decontaminate")(children(2), "w") else 3
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.decontaminate(
+          spark.table(str(children.head, "train_table")),
+          spark.table(str(children(1), "eval_table")), w))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -109,8 +182,10 @@ object GraftExtensions {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
     val (kid, kinfo, kbuilder) = topKFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
-    val (tid, tinfo, tbuilder) = asofTableFunction
-    org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
+    Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction)
+      .foreach { case (tid, tinfo, tbuilder) =>
+        org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
+      }
     if (!spark.experimental.extraStrategies.contains(AsOfJoin.AsOfStrategy)) {
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoin.AsOfStrategy

@@ -215,4 +215,36 @@ class DedupSpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("SQL surface: graft_minhash_pairs / graft_decontaminate TVFs match the Column API") {
+    graft.plans.GraftExtensions.install(spark)
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> text, 2L -> text,
+      3L -> "completely unrelated words here nothing shared at all",
+      50L -> "held out evaluation prompt with its own distinct phrasing")
+    d.createOrReplaceTempView("tvf_docs")
+    d.filter($"doc_id" < 50).createOrReplaceTempView("tvf_train")
+    d.filter($"doc_id" === 50).createOrReplaceTempView("tvf_eval")
+    val sqlPairs = spark.sql("SELECT * FROM graft_minhash_pairs('tvf_docs')")
+      .as[(Long, Long)].collect().toSet
+    assert(sqlPairs === Dedup.minhashCandidatePairs(d)
+      .as[(Long, Long)].collect().toSet)
+    assert(sqlPairs.contains((1L, 2L)))
+    // explicit-knob arity routes through the same implementation
+    assert(spark.sql("SELECT * FROM graft_minhash_pairs('tvf_docs', 3, 8, 2)")
+      .as[(Long, Long)].collect().toSet === sqlPairs)
+    val sqlSurvivors = spark.sql(
+      "SELECT doc_id FROM graft_decontaminate('tvf_train', 'tvf_eval')")
+      .as[Long].collect().toSet
+    assert(sqlSurvivors === Dedup.decontaminate(
+      d.filter($"doc_id" < 50), d.filter($"doc_id" === 50))
+      .select("doc_id").as[Long].collect().toSet)
+    assert(sqlSurvivors === Set(1L, 2L, 3L))
+    // non-literal arguments fail loudly, not silently
+    val err = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_minhash_pairs(doc_id)").collect()
+    }
+    assert(err.getMessage.contains("string literal") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
 }
