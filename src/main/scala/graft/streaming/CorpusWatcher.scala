@@ -133,6 +133,21 @@ object CorpusWatcher {
     * `quarantineDir` as parquet for inspection/replay. Rows with a
     * null doc_id (parseable JSON, missing key) are quarantined too —
     * they cannot key an upsert.
+    *
+    * Incremental near-dup filtering (`dedupBandsDir`): the daily-crawl
+    * composition — each batch signs its clean documents and drops the
+    * ones sharing a MinHash band bucket with the ACCUMULATED history
+    * ([[graft.ops.Dedup.dropDuplicatesAgainst]]), then appends the
+    * SURVIVORS' bands (dropped docs' bands already exist in the
+    * history, so the table never grows duplicate keys). The band table
+    * is the only dedup state: per-batch partition dirs
+    * (`batch_id=N`, overwrite) make the append replay-idempotent, and
+    * a replayed batch EXCLUDES its own partition from the history read
+    * — otherwise its docs would collide with their own first-attempt
+    * bands and every one would be dropped. The 100 TB property: each
+    * increment scans only its own text; history participates as
+    * precomputed band keys in one semi-join ([[graft.ops.Dedup
+    * .dropDuplicatesAgainst]]'s plan shape).
     */
   def startJsonl(
       spark: SparkSession,
@@ -141,7 +156,8 @@ object CorpusWatcher {
       checkpointDir: String,
       quarantineDir: String,
       availableNow: Boolean = true,
-      retainSnapshots: Int = 2): StreamingQuery = {
+      retainSnapshots: Int = 2,
+      dedupBandsDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
@@ -167,12 +183,44 @@ object CorpusWatcher {
         bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
         val clean = batch.filter(col(C).isNull && col("doc_id").isNotNull)
           .select(col("doc_id").cast("string").as("doc_id"), col("text"))
-        val delta = InvertedIndex.build(clean, idCol = "doc_id")
+        val kept = dedupBandsDir match {
+          case None => clean
+          case Some(bd) =>
+            // survivors feed two actions (band append + index merge):
+            // materialize once so the filter join runs once
+            val survivors = accumulatedBands(session, bd, excludeBatchId = batchId)
+              .map(h => graft.ops.Dedup.dropDuplicatesAgainst(clean, h))
+              .getOrElse(clean)
+              .localCheckpoint()
+            graft.ops.Dedup.minhashBands(survivors)
+              .write.mode("overwrite").parquet(s"$bd/batch_id=$batchId")
+            survivors
+        }
+        val delta = InvertedIndex.build(kept, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(currentIndex(session, indexDir), delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** The accumulated dedup band table under `bandsDir`, EXCLUDING the
+    * partition a replayed `excludeBatchId` wrote on its first attempt;
+    * None before any batch has published bands (partition discovery
+    * cannot infer a schema from an empty root). */
+  private def accumulatedBands(
+      session: SparkSession,
+      bandsDir: String,
+      excludeBatchId: Long): Option[DataFrame] = {
+    val dir = Paths.get(bandsDir)
+    val hasAny = Files.isDirectory(dir) && {
+      val s = Files.list(dir)
+      try s.iterator().asScala.exists(p =>
+        Files.isDirectory(p) && p.getFileName.toString.startsWith("batch_id="))
+      finally s.close()
+    }
+    if (!hasAny) None
+    else Some(session.read.parquet(bandsDir).filter(col("batch_id") =!= excludeBatchId))
   }
 
   /** Write the merged index to a new snapshot dir, atomically swap the
