@@ -138,16 +138,28 @@ object CorpusWatcher {
     * composition — each batch signs its clean documents and drops the
     * ones sharing a MinHash band bucket with the ACCUMULATED history
     * ([[graft.ops.Dedup.dropDuplicatesAgainst]]), then appends the
-    * SURVIVORS' bands (dropped docs' bands already exist in the
-    * history, so the table never grows duplicate keys). The band table
-    * is the only dedup state: per-batch partition dirs
-    * (`batch_id=N`, overwrite) make the append replay-idempotent, and
-    * a replayed batch EXCLUDES its own partition from the history read
-    * — otherwise its docs would collide with their own first-attempt
-    * bands and every one would be dropped. The 100 TB property: each
-    * increment scans only its own text; history participates as
-    * precomputed band keys in one semi-join ([[graft.ops.Dedup
-    * .dropDuplicatesAgainst]]'s plan shape).
+    * SURVIVORS' bands only. Survivors-only is the correct state policy
+    * because the index keeps only survivors: future batches must dedup
+    * against the corpus that was KEPT, and appending a dropped doc's
+    * bands would widen the filter with keys of text that is not in the
+    * index (a dropped doc overlaps history in at least one band bucket,
+    * not necessarily all of them). The band table is the only dedup
+    * state: per-batch partition dirs (`batch_id=N`, overwrite) make the
+    * append replay-idempotent, and a replayed batch EXCLUDES its own
+    * partition from the history read — otherwise its docs would collide
+    * with their own first-attempt bands and every one would be dropped.
+    * The 100 TB property: each increment scans only its own text;
+    * history participates as precomputed band keys in one semi-join
+    * ([[graft.ops.Dedup.dropDuplicatesAgainst]]'s plan shape).
+    *
+    * Within-batch duplicates: `dropDuplicatesAgainst` filters only
+    * against HISTORY — two near-dup docs arriving in the SAME batch
+    * both survive it (and both band-append, under different doc_ids).
+    * Set `dedupWithinBatch = true` to also run
+    * [[graft.ops.Dedup.dropNearDuplicates]] inside each batch (keeps
+    * each intra-batch cluster's minimum doc_id). Off by default: it
+    * adds a connected-components pass per batch, and a feed that is
+    * already unique-per-batch shouldn't pay for it.
     */
   def startJsonl(
       spark: SparkSession,
@@ -157,7 +169,8 @@ object CorpusWatcher {
       quarantineDir: String,
       availableNow: Boolean = true,
       retainSnapshots: Int = 2,
-      dedupBandsDir: Option[String] = None): StreamingQuery = {
+      dedupBandsDir: Option[String] = None,
+      dedupWithinBatch: Boolean = false): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
@@ -183,15 +196,29 @@ object CorpusWatcher {
         bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
         val clean = batch.filter(col(C).isNull && col("doc_id").isNotNull)
           .select(col("doc_id").cast("string").as("doc_id"), col("text"))
-        val kept = dedupBandsDir match {
+        // history filter first, then within-batch (the order
+        // dropDuplicatesAgainst's contract documents): a doc that
+        // near-dups history is gone either way; the intra-batch pass
+        // then keeps each remaining cluster's minimum doc_id
+        val afterHistory = dedupBandsDir match {
           case None => clean
           case Some(bd) =>
-            // survivors feed two actions (band append + index merge):
-            // materialize once so the filter join runs once
-            val survivors = accumulatedBands(session, bd, excludeBatchId = batchId)
+            accumulatedBands(session, bd, excludeBatchId = batchId)
               .map(h => graft.ops.Dedup.dropDuplicatesAgainst(clean, h))
               .getOrElse(clean)
-              .localCheckpoint()
+        }
+        val deduped =
+          if (dedupWithinBatch) graft.ops.Dedup.dropNearDuplicates(afterHistory)
+          else afterHistory
+        val kept = dedupBandsDir match {
+          case None => deduped
+          case Some(bd) =>
+            // survivors feed two actions (band append + index merge):
+            // persist so the filter joins run once, with an explicit
+            // release after the snapshot swap (a long-running stream
+            // must not accumulate one cached table per micro-batch)
+            val survivors = deduped
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
             graft.ops.Dedup.minhashBands(survivors)
               .write.mode("overwrite").parquet(s"$bd/batch_id=$batchId")
             survivors
@@ -199,6 +226,8 @@ object CorpusWatcher {
         val delta = InvertedIndex.build(kept, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(currentIndex(session, indexDir), delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
+        // both consumers (band append + snapshot) are on disk now
+        if (dedupBandsDir.isDefined) kept.unpersist(blocking = false)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -207,18 +236,20 @@ object CorpusWatcher {
   /** The accumulated dedup band table under `bandsDir`, EXCLUDING the
     * partition a replayed `excludeBatchId` wrote on its first attempt;
     * None before any batch has published bands (partition discovery
-    * cannot infer a schema from an empty root). */
+    * cannot infer a schema from an empty root). The existence probe
+    * goes through the Hadoop FileSystem API — the band table lives
+    * wherever Spark can write (HDFS/object store on a cluster), so a
+    * java.nio check would silently report "no history" forever on any
+    * non-local path and turn the dedup filter into a no-op. */
   private def accumulatedBands(
       session: SparkSession,
       bandsDir: String,
       excludeBatchId: Long): Option[DataFrame] = {
-    val dir = Paths.get(bandsDir)
-    val hasAny = Files.isDirectory(dir) && {
-      val s = Files.list(dir)
-      try s.iterator().asScala.exists(p =>
-        Files.isDirectory(p) && p.getFileName.toString.startsWith("batch_id="))
-      finally s.close()
-    }
+    val root = new org.apache.hadoop.fs.Path(bandsDir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    val hasAny = fs.exists(root) &&
+      fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
     if (!hasAny) None
     else Some(session.read.parquet(bandsDir).filter(col("batch_id") =!= excludeBatchId))
   }

@@ -2,6 +2,8 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
+import org.apache.spark.sql.functions.col
+
 import graft.index.InvertedIndex
 import graft.streaming.CorpusWatcher
 import SparkSpec.spark.implicits._
@@ -177,6 +179,85 @@ class CorpusWatcherSpec extends SparkSpec {
     CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar).awaitTermination()
     assert(indexEntries(index) === Set(
       ("replaced", "1", 1L), ("bird", "3", 1L)))
+  }
+
+  test("dedupBandsDir: cross-batch near-dups dropped, survivor-only band appends, no cache growth") {
+    val (watch, index, quar, bands) =
+      (tmp("watchdd"), tmp("indexdd"), tmp("quardd") + "/bad", tmp("bandsdd") + "/bands")
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // batch 0: two distinct documents
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 1, "text": "alpha beta gamma delta"}""" + "\n" +
+        """{"doc_id": 2, "text": "one two three four"}""" + "\n").getBytes("UTF-8"))
+    val ckpt = tmp("ckptdd")
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      dedupBandsDir = Some(bands)).awaitTermination()
+    // batch 1: doc 3 near-dups doc 1 (identical text => identical band
+    // keys); doc 4 is fresh
+    Files.write(Paths.get(watch, "feed-1.json"),
+      ("""{"doc_id": 3, "text": "alpha beta gamma delta"}""" + "\n" +
+        """{"doc_id": 4, "text": "five six seven eight"}""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      dedupBandsDir = Some(bands)).awaitTermination()
+
+    val idx = indexEntries(index)
+    assert(idx.map(_._2) === Set("1", "2", "4"),
+      s"batch 2's near-dup of a batch-1 doc must be absent from the merged index: $idx")
+    assert(idx.filter(_._2 == "4").map(_._1) === Set("five", "six", "seven", "eight"))
+
+    // band table: per-batch partitions, batch 1's partition holds ONLY
+    // the survivor's bands (the dropped doc's bands never append)
+    val bandRows = spark.read.parquet(bands)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .as[(Long, String)].collect().toSet
+    assert(bandRows.map(_._1) === Set(0L, 1L))
+    assert(bandRows.filter(_._1 == 1L).map(_._2) === Set("4"),
+      s"batch_id=1 must contain only survivor bands: $bandRows")
+    assert(bandRows.filter(_._1 == 0L).map(_._2) === Set("1", "2"))
+
+    // the per-batch survivors persist is released after each swap
+    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+      "per-batch survivors cache must be released after the snapshot swap")
+  }
+
+  test("dedupBandsDir: a replayed batch excludes its own first-attempt bands") {
+    val (watch, index, quar, bands) =
+      (tmp("watchrb"), tmp("indexrb"), tmp("quarrb") + "/bad", tmp("bandsrb") + "/bands")
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 1, "text": "alpha beta gamma delta"}""" + "\n" +
+        """{"doc_id": 2, "text": "one two three four"}""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptrb1"), quar,
+      dedupBandsDir = Some(bands)).awaitTermination()
+    // simulate a foreachBatch retry: fresh checkpoint => the same file
+    // set re-runs as batch 0 against a bands dir that already holds the
+    // first attempt's batch_id=0 partition. Without the excludeBatchId
+    // path every doc would collide with its OWN bands and the whole
+    // batch would be dropped.
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptrb2"), quar,
+      dedupBandsDir = Some(bands)).awaitTermination()
+
+    assert(indexEntries(index).map(_._2) === Set("1", "2"),
+      "a replayed batch must not self-collide with its first-attempt bands")
+    val bandRows = spark.read.parquet(bands)
+      .select(col("batch_id").cast("long"), col("doc_id"))
+      .as[(Long, String)].collect().toSet
+    assert(bandRows.map(_._1) === Set(0L))
+    assert(bandRows.map(_._2) === Set("1", "2"))
+  }
+
+  test("dedupWithinBatch drops intra-batch near-dups, keeping the minimum doc_id") {
+    val (watch, index, quar, bands) =
+      (tmp("watchwb"), tmp("indexwb"), tmp("quarwb") + "/bad", tmp("bandswb") + "/bands")
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 6, "text": "alpha beta gamma delta"}""" + "\n" +
+        """{"doc_id": 5, "text": "alpha beta gamma delta"}""" + "\n" +
+        """{"doc_id": 7, "text": "one two three four"}""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptwb"), quar,
+      dedupBandsDir = Some(bands), dedupWithinBatch = true).awaitTermination()
+    assert(indexEntries(index).map(_._2) === Set("5", "7"),
+      "intra-batch cluster keeps its minimum doc_id only")
+    val bandDocs = spark.read.parquet(bands).select("doc_id").as[String].collect().toSet
+    assert(bandDocs === Set("5", "7"), "only intra-batch survivors band-append")
   }
 
   test("re-uploading a document replaces its postings (upsert semantics)") {
