@@ -759,11 +759,14 @@ object Similarity {
     val scored = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")
-      .agg(sum("pd").cast("double").as("adc"), count(lit(1)).as("n_sub"))
-      // a NULL sum with the right count is the OTHER mismatch fingerprint:
-      // sub-vector lengths disagreed, so every dot (and hence pd) was NULL
+      .agg(sum("pd").cast("double").as("adc"), count(col("pd")).as("n_sub"))
+      // n_sub counts NON-NULL sub-distances, which makes the guard
+      // airtight: a pair mixing NULL and non-NULL pd (length-mismatched
+      // sub-vectors) under-counts and raises rather than passing a
+      // silently-partial sum, and n_sub === m alone already implies the
+      // sum is non-null (no separate isNotNull fingerprint needed)
       .select(col("query_id"), col("neighbor_id"),
-        when(col("n_sub") === m && col("adc").isNotNull, col("adc"))
+        when(col("n_sub") === m, col("adc"))
           .otherwise(raise_error(concat(
             lit(s"pq: expected $m non-null sub-distances per (query, neighbor) pair, got "),
             col("n_sub").cast("string"),

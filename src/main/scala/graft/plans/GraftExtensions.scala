@@ -127,9 +127,14 @@ object GraftExtensions {
     *
     * The named table/view must carry (doc_id, text); emits (doc_a,
     * doc_b). Resolution builds [[graft.ops.Dedup.minhashCandidatePairs]]'
-    * plan, which materializes the band-bucket table EAGERLY
-    * (localCheckpoint) — the SQL call pays that job at analysis rather
-    * than first execution. */
+    * plan with the LAZY [[graft.core.Materialize.Persist]] strategy:
+    * analysis (including `EXPLAIN`) runs no job; the first execution
+    * materializes the band-bucket table into the session cache, where
+    * the cache manager dedups by canonicalized plan — re-issuing the
+    * same call reuses the entry instead of accumulating one per call.
+    * Distinct (table, knobs) combinations do each keep an entry until
+    * `spark.catalog.clearCache()` (the release path for a long
+    * session). */
   private val minhashPairsTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_minhash_pairs"),
@@ -145,7 +150,8 @@ object GraftExtensions {
           (int(children(1), "w"), int(children(2), "k"), int(children(3), "bands"))
         else (3, 8, 2)
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
-        graft.ops.Dedup.minhashCandidatePairs(docs, w, k, bands))
+        graft.ops.Dedup.minhashCandidatePairs(docs, w, k, bands,
+          mat = graft.core.Materialize.Persist))
     })
 
   /** SQL surface for benchmark decontamination:
