@@ -91,14 +91,16 @@ object SparkEntry {
   private val V_CTE: String =
     "v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)"
 
-  /** PQ CTE body (everything but `v`); internal names carry a `p`
-    * prefix where they would collide with the KMEANS iteration CTEs. */
-  private val PQ_BODY: String =
+  /** PQ CTE body (everything but `v`), parameterized by the source CTE
+    * (vec_id, e) it trains on — `v` for raw vectors, `rv` for the
+    * residual variant; internal names carry a `p` prefix where they
+    * would collide with the KMEANS iteration CTEs. */
+  private def PQ_BODY_FROM(src: String): String =
     s"""sub AS (SELECT vec_id, CAST(s AS INTEGER) AS s,
        |          e[(s * (len(e) // 4) + 1):((s + 1) * (len(e) // 4))] AS sv
-       |        FROM v, (SELECT unnest(range(4)) AS s)),
+       |        FROM $src, (SELECT unnest(range(4)) AS s)),
        |subx AS (SELECT vec_id, s, sv, ${DOT_SQL("sv", "sv")} AS xx FROM sub),
-       |seedk AS (SELECT vec_id FROM v ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
+       |seedk AS (SELECT vec_id FROM $src ORDER BY md5(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 32),
        |pc0 AS (SELECT s, x.vec_id AS cell_id, sv AS cv, xx AS cc FROM subx x JOIN seedk USING (vec_id)),
        |pa1 AS (SELECT vec_id, s, sv, cell_id FROM (
        |  SELECT x.vec_id, x.s, x.sv, c.cell_id,
@@ -111,6 +113,8 @@ object SparkEntry {
        |  GROUP BY s, cell_id, pos),
        |pc1 AS (SELECT s, cell_id, list(cv_i ORDER BY pos) AS cv FROM pf1 GROUP BY s, cell_id),
        |c1x AS (SELECT s, cell_id, cv, ${DOT_SQL("cv", "cv")} AS cc FROM pc1)""".stripMargin
+
+  private val PQ_BODY: String = PQ_BODY_FROM("v")
 
   private val PQ_CTES: String = s"$V_CTE,\n$PQ_BODY"
 
@@ -217,6 +221,59 @@ object SparkEntry {
        |  FROM codes cd
        |  JOIN cand ON cand.neighbor_id = cd.vec_id
        |  JOIN lut l ON l.query_id = cand.query_id AND cd.s = l.s AND cd.cell_id = l.cell_id
+       |  WHERE l.query_id <> cd.vec_id
+       |  GROUP BY l.query_id, cd.vec_id)
+       |SELECT query_id, neighbor_id, adc, rank FROM (
+       |  SELECT query_id, neighbor_id, adc,
+       |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
+       |  FROM adc) WHERE rank <= 10""".stripMargin
+
+  /** Twin of [[graft.ops.Similarity.ivfpqResidualTopK]] (k=10,
+    * nprobe=8, coarseIterations=2, m=4, FixedK(32) seeds): the IVF+PQ
+    * twin with PQ trained on RESIDUALS `x − centroid(cell(x))` (`rv`
+    * replaces `v` as the PQ source), and the search re-expressing each
+    * query per PROBED cell (`qres`) so the LUT/candidate keys gain
+    * coarse_cell. The residual subtraction is exact IEEE double
+    * arithmetic in both engines. */
+  private val IVFPQ_RESIDUAL_SQL: String =
+    s"""WITH $V_CTE,
+       |$KMEANS_BODY,
+       |lists AS (SELECT cell_id AS coarse_cell, vec_id AS neighbor_id FROM (
+       |  SELECT c.cell_id, v.vec_id,
+       |    row_number() OVER (PARTITION BY v.vec_id
+       |      ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+       |  FROM v, c2 c) WHERE rn = 1),
+       |rv AS (SELECT v.vec_id,
+       |    list_transform(generate_series(1, len(v.e)), i -> v.e[i] - c.ce[i]) AS e
+       |  FROM v JOIN lists l ON l.neighbor_id = v.vec_id JOIN c2 c ON c.cell_id = l.coarse_cell),
+       |${PQ_BODY_FROM("rv")},
+       |codes AS (SELECT vec_id, s, cell_id FROM (
+       |  SELECT x.vec_id, x.s, c.cell_id,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.s
+       |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+       |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1),
+       |probes AS (SELECT query_id, coarse_cell FROM (
+       |  SELECT q.vec_id AS query_id, c.cell_id AS coarse_cell,
+       |    row_number() OVER (PARTITION BY q.vec_id
+       |      ORDER BY ${COS_SQL("q.e", "c.ce")} DESC, c.cell_id ASC) AS prn
+       |  FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q, c2 c) WHERE prn <= 8),
+       |qres AS (SELECT p.query_id, p.coarse_cell,
+       |    list_transform(generate_series(1, len(q.e)), i -> q.e[i] - c.ce[i]) AS e
+       |  FROM probes p JOIN v q ON q.vec_id = p.query_id JOIN c2 c ON c.cell_id = p.coarse_cell),
+       |qsub AS (SELECT query_id, coarse_cell, CAST(s AS INTEGER) AS s,
+       |    e[(s * (len(e) // 4) + 1):((s + 1) * (len(e) // 4))] AS qv
+       |  FROM qres, (SELECT unnest(range(4)) AS s)),
+       |qsubx AS (SELECT query_id, coarse_cell, s, qv, ${DOT_SQL("qv", "qv")} AS qq FROM qsub),
+       |lut AS (SELECT x.query_id, x.coarse_cell, x.s, c.cell_id,
+       |    CAST(round(x.qq - 2 * ${DOT_SQL("x.qv", "c.cv")} + c.cc, 6) AS DECIMAL(18,6)) AS pd
+       |  FROM qsubx x JOIN c1x c ON x.s = c.s),
+       |cand AS (SELECT p.query_id, p.coarse_cell, l.neighbor_id
+       |  FROM probes p JOIN lists l ON p.coarse_cell = l.coarse_cell),
+       |adc AS (SELECT l.query_id, cd.vec_id AS neighbor_id, CAST(sum(l.pd) AS DOUBLE) AS adc
+       |  FROM codes cd
+       |  JOIN cand ON cand.neighbor_id = cd.vec_id
+       |  JOIN lut l ON l.query_id = cand.query_id AND l.coarse_cell = cand.coarse_cell
+       |            AND cd.s = l.s AND cd.cell_id = l.cell_id
        |  WHERE l.query_id <> cd.vec_id
        |  GROUP BY l.query_id, cd.vec_id)
        |SELECT query_id, neighbor_id, adc, rank FROM (
@@ -370,6 +427,13 @@ object SparkEntry {
       val (codebooks, codes) = Similarity.pqModel(e)
       Similarity.ivfpqSearch(e.filter(col("vec_id") % 100 === 0),
         coarse, assign, codebooks, codes, 10, nprobe = 8)
+    },
+    // residual encoding: PQ trained on x − coarse_centroid, searched in
+    // each probed cell's residual frame (Jégou et al. §IV-A)
+    "q_ivfpq_residual" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.ivfpqResidualTopK(e.filter(col("vec_id") % 100 === 0), e, 10,
+        nprobe = 8, coarseIterations = 2)
     },
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
@@ -796,6 +860,7 @@ object SparkEntry {
     "q_ivfpq" -> IVFPQ_SQL,
     // identical result contract through the four stored artifacts
     "q_ivfpq_search" -> IVFPQ_SQL,
+    "q_ivfpq_residual" -> IVFPQ_RESIDUAL_SQL,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

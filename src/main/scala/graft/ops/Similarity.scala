@@ -427,16 +427,25 @@ object Similarity {
     * not divisible by m: silently truncating the tail (what the
     * integer slice bound alone would do) corrupts every code with no
     * error. */
-  private def subVectors(df: DataFrame, idCol: String, outId: String, m: Int): DataFrame = {
+  private def subVectors(df: DataFrame, idCol: String, outId: String, m: Int): DataFrame =
+    subSplit(
+      df.select(col(idCol).as(outId), asDouble(col("embedding")).as("v")),
+      Seq(outId), m)
+
+  /** The sub-splitting core of [[subVectors]] over a pre-projected
+    * (keys…, v: array<double>) table — keyed by ANY column set, so the
+    * residual search path can split per-(query, probed cell) residual
+    * vectors with the same divisibility guard. */
+  private def subSplit(df: DataFrame, keys: Seq[String], m: Int): DataFrame = {
+    val kc = keys.map(col)
     val guarded = when(size(col("v")) % m === 0, col("v"))
       .otherwise(raise_error(concat(
         lit("pq: embedding dimension "), size(col("v")).cast("string"),
         lit(s" is not divisible by m=$m"))))
     val dsub = (size(col("v")) / m).cast("int")
-    df.select(col(idCol).as(outId), asDouble(col("embedding")).as("v"))
-      .select(col(outId), explode(sequence(lit(0), lit(m - 1))).as("s"), guarded.as("v"))
-      .select(col(outId), col("s"), slice(col("v"), col("s") * dsub + 1, dsub).as("sv"))
-      .select(col(outId), col("s"), col("sv"), dot(col("sv"), col("sv")).as("xx"))
+    df.select(kc :+ explode(sequence(lit(0), lit(m - 1))).as("s") :+ guarded.as("v"): _*)
+      .select(kc :+ col("s") :+ slice(col("v"), col("s") * dsub + 1, dsub).as("sv"): _*)
+      .select(kc :+ col("s") :+ col("sv") :+ dot(col("sv"), col("sv")).as("xx"): _*)
   }
 
   /** Initial per-subspace codebooks from a materialized sub-vector
@@ -724,6 +733,104 @@ object Similarity {
     adcRank(queries, cent, codes, k, m, Some(candidates))
   }
 
+  /** Residual-encoded IVF+PQ (Jégou et al., PAMI '11 §IV-A) — the
+    * production variant of [[ivfpqTopK]]: PQ trains on the RESIDUALS
+    * `x − centroid(cell(x))` instead of the raw vectors. The coarse
+    * quantizer already explains most of each vector's magnitude, so
+    * the codebooks spend their m·k cells on the (much smaller, nearly
+    * centered) remainder — where most of the recall at fixed m comes
+    * from. The search re-expresses each query in every PROBED cell's
+    * residual frame (`q − centroid(cell)`) and builds one ADC lookup
+    * table per (query, probed cell); candidate scoring is otherwise
+    * identical to [[ivfpqTopK]]'s codes-only scan.
+    *
+    * Scale shape vs the raw variant: the LUT grows by the factor
+    * `nprobe` (|queries|·nprobe·m·k rows, still broadcast — queries
+    * are the small side by contract) and the candidate join gains
+    * coarse_cell in its key; everything else — bounded-heap probe and
+    * rank, keyed candidate join, codes-only scan — is unchanged, so
+    * the corpus-side cost is identical at any scale.
+    *
+    * Determinism: the residual subtraction is exact IEEE column
+    * algebra over the already-pinned rounded-6 centroids; every
+    * downstream contract (rounded sub-distances, DECIMAL sums, id
+    * ties) is shared with the raw path — reproduced in DuckDB as the
+    * q_ivfpq_residual twin.
+    */
+  def ivfpqResidualTopK(
+      queries: DataFrame,
+      corpus: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      coarseIterations: Int = 1,
+      m: Int = 4,
+      pqIterations: Int = 1,
+      coarseSeed: CentroidSeed = DefaultSeed,
+      pqSeed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : DataFrame = {
+    val (corp, coarse) = kmeansLoop(corpus, coarseIterations, coarseSeed, mat)
+    val assigned = assignToCells(corp, coarse)
+    val lists = assigned
+      .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
+    // the residual corpus: each vector minus its own cell's centroid
+    // (exact double subtraction over materialized attributes)
+    val resid = assigned
+      .join(broadcast(coarse.select(col("cell_id"), col("cv"))), Seq("cell_id"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+    val (sub, cent) = pqLoop(resid, m, pqIterations, pqSeed, mat)
+    val codes = pqAssign(sub, cent)
+      .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
+    ivfpqResidualRank(queries, coarse, lists, cent, codes, k, nprobe, m, mat)
+  }
+
+  /** The residual-frame search: probe nprobe coarse cells per query
+    * (identical to [[ivfpqRank]]'s probe stage — same cells probed, so
+    * recall differences vs the raw path isolate PQ quantization
+    * quality), re-express the query per probed cell, LUT keyed by
+    * (query, coarse_cell, subspace, cell), candidates keyed by
+    * (query, coarse_cell, neighbor). The probe table feeds both the
+    * LUT and the candidate expansion — materialized once. */
+  private def ivfpqResidualRank(
+      queries: DataFrame,
+      coarse: DataFrame,
+      lists: DataFrame,
+      cent: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      mat: graft.core.Materialize.Strategy): DataFrame = {
+    val q = corpusVN(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qfull"), col("n").as("qn"))
+    val probes = graft.core.Materialize(
+      q.join(broadcast(coarse))
+        .select(col("query_id"), col("cell_id"),
+          safeCos(dot(col("qfull"), col("cv")), col("qn") * col("cn")).as("pcos"))
+        .groupBy("query_id")
+        .agg(graft.functions.TopKByScore.topK(col("pcos"), col("cell_id"), nprobe).as("tk"))
+        .select(col("query_id"), explode(col("tk.id")).as("coarse_cell")),
+      mat)
+    val qres = probes
+      .join(q.select(col("query_id"), col("qfull")), Seq("query_id"))
+      .join(broadcast(coarse.select(col("cell_id").as("coarse_cell"), col("cv"))),
+        Seq("coarse_cell"))
+      .select(col("query_id"), col("coarse_cell"),
+        zip_with(col("qfull"), col("cv"), (a, b) => a - b).as("v"))
+    val qsub = subSplit(qres, Seq("query_id", "coarse_cell"), m)
+      .withColumnRenamed("sv", "qv").withColumnRenamed("xx", "qq")
+    val lut = qsub.join(broadcast(cent), Seq("s"))
+      .select(col("query_id"), col("coarse_cell"), col("s"), col("cell_id"),
+        round(col("qq") - lit(2.0) * dot(col("qv"), col("cv")) + col("cc"), 6)
+          .cast("decimal(18,6)").as("pd"))
+    val cand = probes.join(lists, Seq("coarse_cell"))
+      .select("query_id", "coarse_cell", "neighbor_id")
+    val joined = codes.join(cand, Seq("neighbor_id"))
+      .join(broadcast(lut), Seq("query_id", "coarse_cell", "s", "cell_id"))
+    guardedAdcRank(joined, k, m)
+  }
+
   /** The ADC search half shared by [[pqTopK]], [[pqSearch]] and
     * [[ivfpqTopK]]: query LUT against the (s, cell_id, cv, cc)
     * codebooks, codes⋈LUT keyed join, DECIMAL-exact m-way sums,
@@ -756,6 +863,14 @@ object Similarity {
           .join(broadcast(lut), Seq("query_id", "s", "cell_id"))
       case None => codes.join(broadcast(lut), Seq("s", "cell_id"))
     }
+    guardedAdcRank(joined, k, m)
+  }
+
+  /** The ADC tail shared by [[adcRank]] and [[ivfpqResidualRank]]:
+    * DECIMAL-exact m-way sums, the m-mismatch guard, bounded-heap
+    * rank. `joined` carries (query_id, neighbor_id, pd) rows — one per
+    * matched (pair, subspace). */
+  private def guardedAdcRank(joined: DataFrame, k: Int, m: Int): DataFrame = {
     val scored = joined
       .filter(col("query_id") =!= col("neighbor_id"))
       .groupBy("query_id", "neighbor_id")

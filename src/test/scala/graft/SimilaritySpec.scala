@@ -295,6 +295,45 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.pqSearch(queries, codebooks, codes, 5, m = 4).count() > 0)
   }
 
+  test("residual encoding: recall >= raw IVF+PQ at equal (nprobe, m)") {
+    // clustered corpus — the regime residual encoding exists for: the
+    // coarse centroid explains each vector's magnitude, so PQ only has
+    // to encode the small remainder. More clusters than sub-centroids
+    // (40 > 32) keeps RAW PQ from just memorizing the offsets.
+    val rnd = new scala.util.Random(97)
+    val centers = IndexedSeq.fill(40)(IndexedSeq.fill(16)(rnd.nextGaussian() * 10))
+    val rows = (1L to 320L).map { i =>
+      val c = centers(((i - 1) % 40).toInt)
+      i -> c.map(x => (x + rnd.nextGaussian() * 0.3).toFloat).toSeq
+    }
+    val corpus = vecs(rows: _*)
+    val queries = corpus.filter($"vec_id" % 40 === 0) // 8 queries
+    // exact L2 ground truth (driver-side; test-only)
+    val all = rows.toMap
+    def l2(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).map { case (x, y) => val d = x.toDouble - y.toDouble; d * d }.sum
+    val truth: Map[Long, Set[Long]] = rows.collect {
+      case (qid, qv) if qid % 40 == 0 =>
+        qid -> rows.filter(_._1 != qid)
+          .map { case (nid, nv) => (l2(qv, nv), nid) }
+          .sortBy(identity).take(10).map(_._2).toSet
+    }.toMap
+    def recall(result: DataFrame): Double = {
+      val got = result.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+      truth.map { case (qid, t) =>
+        got.getOrElse(qid, Set.empty[Long]).count(t).toDouble / t.size
+      }.sum / truth.size
+    }
+    val raw = recall(Similarity.ivfpqTopK(queries, corpus, 10,
+      nprobe = 8, coarseIterations = 2))
+    val res = recall(Similarity.ivfpqResidualTopK(queries, corpus, 10,
+      nprobe = 8, coarseIterations = 2))
+    info(s"recall@10: raw=$raw residual=$res")
+    assert(res >= raw, s"residual recall $res must be >= raw recall $raw")
+    assert(res > 0.5, s"residual recall $res suspiciously low — broken search?")
+  }
+
   test("kmeansModel/pqModel emit the same artifacts as the single-artifact entry points") {
     val rnd = new scala.util.Random(84)
     val corpus = vecs((1L to 120L).map(i =>
