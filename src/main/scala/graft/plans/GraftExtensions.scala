@@ -24,6 +24,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.asofTableFunction)
     ext.injectTableFunction(GraftExtensions.minhashPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.decontaminateTableFunction)
+    ext.injectTableFunction(GraftExtensions.annSearchTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -180,6 +181,48 @@ object GraftExtensions {
           spark.table(str(children(1), "eval_table")), w))
     })
 
+  /** SQL surface for the IVF+PQ serving call — ANN search over the
+    * four STORED artifact tables the training jobs emit
+    * ([[graft.ops.Similarity.ivfpqSearch]]; train-once / search-many,
+    * so the TVF never touches raw corpus embeddings):
+    *
+    * {{{
+    * SELECT * FROM graft_ann_search(                 -- k=10, nprobe=4, m=4
+    *   'queries', 'coarse_centroids', 'assignments', 'codebooks', 'codes')
+    * SELECT * FROM graft_ann_search(
+    *   'queries', 'coarse_centroids', 'assignments', 'codebooks', 'codes',
+    *   10, 8, 4)                                     -- explicit k, nprobe, m
+    * }}}
+    *
+    * Table shapes: queries (vec_id, embedding); the other four are the
+    * outputs of [[graft.ops.Similarity.kmeansModel]] /
+    * [[graft.ops.Similarity.pqModel]] (coarse_centroids: cell_id/pos/
+    * centroid_v; assignments: vec_id/cell_id; codebooks: subspace/
+    * cell_id/pos/centroid_v; codes: vec_id/subspace/code). Emits
+    * (query_id, neighbor_id, adc, rank). A mis-specified `m` raises
+    * through the ADC guard instead of returning partial sums. */
+  private val annSearchTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_ann_search"),
+    new ExpressionInfo(graft.ops.Similarity.getClass.getName, "graft_ann_search"),
+    (children: Seq[Expression]) => {
+      require(children.size == 5 || children.size == 8,
+        "graft_ann_search(queries, coarse_centroids, assignments, codebooks, " +
+          "codes[, k, nprobe, m])")
+      val str = stringArg("graft_ann_search") _
+      val int = intArg("graft_ann_search") _
+      val spark = SparkSession.active
+      val names = Seq("queries_table", "coarse_centroids_table",
+        "assignments_table", "codebooks_table", "codes_table")
+      val t = children.take(5).zip(names).map { case (e, w) => spark.table(str(e, w)) }
+      val (k, nprobe, m) =
+        if (children.size == 8)
+          (int(children(5), "k"), int(children(6), "nprobe"), int(children(7), "m"))
+        else (10, 4, 4)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Similarity.ivfpqSearch(t(0), t(1), t(2), t(3), t(4), k, nprobe, m))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -188,7 +231,8 @@ object GraftExtensions {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
     val (kid, kinfo, kbuilder) = topKFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
-    Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction)
+    Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
+        annSearchTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

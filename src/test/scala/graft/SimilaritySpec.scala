@@ -334,6 +334,42 @@ class SimilaritySpec extends SparkSpec {
     assert(res > 0.5, s"residual recall $res suspiciously low — broken search?")
   }
 
+  test("SQL surface: graft_ann_search TVF matches the Column API ivfpqSearch") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val rnd = new scala.util.Random(101)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val (coarse, assign) = Similarity.kmeansModel(corpus)
+    val (codebooks, codes) = Similarity.pqModel(corpus)
+    queries.createOrReplaceTempView("ann_q")
+    coarse.createOrReplaceTempView("ann_coarse")
+    assign.createOrReplaceTempView("ann_assign")
+    codebooks.createOrReplaceTempView("ann_cb")
+    codes.createOrReplaceTempView("ann_codes")
+    val api = Similarity.ivfpqSearch(queries, coarse, assign, codebooks, codes,
+      10, nprobe = 8).as[(Long, Long, Double, Int)].collect().toSet
+    val sql = SparkSpec.spark.sql(
+      "SELECT * FROM graft_ann_search('ann_q', 'ann_coarse', 'ann_assign', " +
+        "'ann_cb', 'ann_codes', 10, 8, 4)")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(sql === api)
+    assert(sql.nonEmpty)
+    // default-knob arity plans the same search with (10, 4, 4)
+    val dflt = SparkSpec.spark.sql(
+      "SELECT * FROM graft_ann_search('ann_q', 'ann_coarse', 'ann_assign', " +
+        "'ann_cb', 'ann_codes')")
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(dflt === Similarity.ivfpqSearch(queries, coarse, assign, codebooks,
+      codes, 10, nprobe = 4).as[(Long, Long, Double, Int)].collect().toSet)
+    // non-literal arguments fail loudly, not silently
+    val err = intercept[Exception] {
+      SparkSpec.spark.sql("SELECT * FROM graft_ann_search(vec_id)").collect()
+    }
+    assert(err.getMessage.contains("graft_ann_search") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
+
   test("kmeansModel/pqModel emit the same artifacts as the single-artifact entry points") {
     val rnd = new scala.util.Random(84)
     val corpus = vecs((1L to 120L).map(i =>
