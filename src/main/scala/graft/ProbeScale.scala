@@ -94,6 +94,15 @@ object ProbeScale {
         emb.filter(col("vec_id") % 10000 === 0), emb, 10, nprobe = 4,
         centroids = Some(cents)).count()
     }
+    // composed IVF+PQ (train + search, raw and residual) at ~sf1 —
+    // the round-5 item: does the full composition track the data ratio
+    // like its tiers do?
+    time("ivfpq_sf1")(graft.ops.Similarity.ivfpqTopK(
+      emb.filter(col("vec_id") % 10000 === 0), emb, 10,
+      nprobe = 8, coarseIterations = 2).count())
+    time("ivfpq_residual_sf1")(graft.ops.Similarity.ivfpqResidualTopK(
+      emb.filter(col("vec_id") % 10000 === 0), emb, 10,
+      nprobe = 8, coarseIterations = 2).count())
     // the sf0.1-sized twin of pq_topk (same 2-query probe density):
     // with the FixedK(32) default the sf1/sf0.1 ratio should track the
     // data ratio (~10x), where the Modulo seed showed 12x+ and growing
@@ -101,6 +110,12 @@ object ProbeScale {
     time("pq_topk_sf01")(graft.ops.Similarity.pqTopK(
       emb01.filter(col("vec_id") % 1000 === 0), emb01, 10).count())
     time("kmeans_assign_sf01")(graft.ops.Similarity.kmeansAssignments(emb01).count())
+    time("ivfpq_sf01")(graft.ops.Similarity.ivfpqTopK(
+      emb01.filter(col("vec_id") % 1000 === 0), emb01, 10,
+      nprobe = 8, coarseIterations = 2).count())
+    time("ivfpq_residual_sf01")(graft.ops.Similarity.ivfpqResidualTopK(
+      emb01.filter(col("vec_id") % 1000 === 0), emb01, 10,
+      nprobe = 8, coarseIterations = 2).count())
     }
     spark.stop()
   }
