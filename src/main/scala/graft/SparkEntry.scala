@@ -379,6 +379,13 @@ object SparkEntry {
       Similarity.lshBucketTopK(e.filter(col("vec_id") % 100 === 0), e, 10, bits = 8)
     },
     "q_cosine_dups" -> ((s, dir) => Similarity.cosineDupPairs(emb(s, dir), 0.8, bits = 8)),
+    // SemDeDup: learned (k-means) blocking instead of cosineDupPairs'
+    // random hyperplanes; 0.35 because the synthetic embeddings are
+    // near-orthogonal (max pairwise cos ~0.51) — at 0.95 the gate
+    // would pass on an empty result
+    "q_semantic_dups" -> ((s, dir) => Similarity.semanticDupPairs(emb(s, dir), 0.35)),
+    "q_semantic_keep" -> ((s, dir) =>
+      Similarity.dropSemanticDuplicates(emb(s, dir), 0.35).select("vec_id", "label")),
     "q_sim_ivf" -> { (s, dir) =>
       // explicit legacy Modulo seed: keeps the corpus-proportional
       // sample oracle-covered now that the DEFAULT is FixedK
@@ -833,6 +840,42 @@ object SparkEntry {
          |      / (sqrt(list_reduce(list_transform(generate_series(1, len(a.e)), i -> a.e[i] * a.e[i]), (acc, x) -> acc + x))
          |       * sqrt(list_reduce(list_transform(generate_series(1, len(b.e)), i -> b.e[i] * b.e[i]), (acc, x) -> acc + x))), 6) >= 0.8""".stripMargin,
 
+    "q_semantic_dups" ->
+      // twin of Similarity.semanticDupPairs(0.35): final k-means
+      // assignment (argmax cosine vs c2, ties to lowest cell) as the
+      // blocking key, cosine within blocks only
+      s"""WITH $KMEANS_CTES,
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT v.vec_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+         |  FROM v, c2 c) WHERE rn = 1),
+         |va AS (SELECT v.vec_id, v.e, a.cell_id FROM v JOIN asg a USING (vec_id))
+         |SELECT a.cell_id, a.vec_id AS doc_a, b.vec_id AS doc_b,
+         |  ${COS_SQL("a.e", "b.e")} AS cos
+         |FROM va a JOIN va b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |WHERE ${COS_SQL("a.e", "b.e")} >= 0.35""".stripMargin,
+    "q_semantic_keep" ->
+      // survivors of semantic dedup: connected components over the
+      // semantic-dup pair graph, min-id representative kept (the
+      // q_dedup_keep recursive-closure pattern over semantic pairs)
+      s"""WITH RECURSIVE $KMEANS_CTES,
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT v.vec_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+         |  FROM v, c2 c) WHERE rn = 1),
+         |va AS (SELECT v.vec_id, v.e, a.cell_id FROM v JOIN asg a USING (vec_id)),
+         |pairs AS (SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM va a JOIN va b ON a.cell_id = b.cell_id AND a.vec_id < b.vec_id
+         |  WHERE ${COS_SQL("a.e", "b.e")} >= 0.35),
+         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+         |reach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM edges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |SELECT emb.vec_id, emb.label FROM embeddings emb
+         |WHERE emb.vec_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
     "q_quantize_int8" ->
       // twin of Similarity.quantizeInt8: scale = max|v|/127, code =
       // round-half-away(v/scale), reconstruction error rounded 6

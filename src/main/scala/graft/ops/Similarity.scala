@@ -950,4 +950,75 @@ object Similarity {
         safeCos(dot(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
       .filter(col("cos") >= threshold)
   }
+
+  /** SemDeDup-style semantic duplicate pairs (Abbas et al., 2023,
+    * arXiv:2303.09540): k-means the embedding corpus ([[kmeans]], same
+    * FixedK-seeded Lloyd loop the IVF tier trains), then compare
+    * vectors pairwise ONLY within a cluster and keep pairs at or above
+    * the cosine threshold. Output: (cell_id, doc_a, doc_b, cos) with
+    * doc_a < doc_b.
+    *
+    * vs [[cosineDupPairs]] (sign-LSH buckets): the blocking key here is
+    * LEARNED from the data, so semantically close vectors that straddle
+    * a random hyperplane still land in one block — the trade the paper
+    * makes for a k-means pass over the corpus. Both are approximations
+    * of the O(n²) all-pairs join; they differ only in recall per block
+    * size.
+    *
+    * Scale shape: the clustered corpus table is materialized ONCE
+    * before the self-join (DeduplicateRelations would otherwise run the
+    * k-means assignment plan twice); the join shuffles on `cell_id`, so
+    * per-partition work is bounded by the largest cluster — at 100 TB
+    * pick `k` so n/k vectors fit an executor (the paper runs 50k
+    * clusters for 5B embeddings). No window, no driver collect; the
+    * centroid table stays k rows at any corpus size.
+    */
+  def semanticDupPairs(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      iterations: Int = 2,
+      seed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val assign = kmeansAssignments(corpus, iterations, seed, mat)
+      .select(col("vec_id"), col("cell_id"))
+    val c = graft.core.Materialize(
+      corpus.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .join(assign, Seq("vec_id"))
+        .select(col("vec_id"), col("v"), col("cell_id"), norm(col("v")).as("n")),
+      mat)
+    val l = c.select(col("cell_id"), col("vec_id").as("doc_a"), col("v").as("va"), col("n").as("na"))
+    val r = c.select(col("cell_id"), col("vec_id").as("doc_b"), col("v").as("vb"), col("n").as("nb"))
+    l.join(r, Seq("cell_id"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("cell_id"), col("doc_a"), col("doc_b"),
+        safeCos(dot(col("va"), col("vb")), col("na") * col("nb")).as("cos"))
+      .filter(col("cos") >= threshold)
+  }
+
+  /** End-to-end semantic dedup: [[semanticDupPairs]] →
+    * [[graft.ops.Dedup.clusters]] (connected components, min-id
+    * canonical) → anti-join, keeping one representative per
+    * semantic-dup group — the embedding-space twin of
+    * [[graft.ops.Dedup.dropNearDuplicates]], with the same keep
+    * convention (smallest vec_id survives). Returns the surviving rows
+    * of `corpus` unchanged.
+    *
+    * Components rather than per-pair drops because cosine-near is not
+    * transitive: A≈B and B≈C with A<B<C must not keep C just because
+    * (A,C) missed the threshold — the group keeps exactly its minimum.
+    */
+  def dropSemanticDuplicates(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      iterations: Int = 2,
+      seed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val losers = graft.ops.Dedup.clusters(
+      semanticDupPairs(corpus, threshold, iterations, seed, mat)
+        .select(col("doc_a"), col("doc_b")),
+      mat = mat)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    corpus.join(losers, corpus("vec_id") === losers("doc_id"), "left_anti")
+  }
 }

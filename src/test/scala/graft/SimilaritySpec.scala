@@ -465,4 +465,30 @@ class SimilaritySpec extends SparkSpec {
       spark.sharedState.cacheManager.clearCache()
     }
   }
+
+  test("semanticDupPairs pairs within a learned cluster only") {
+    // every vector is its own FixedK centroid (k >= n), so identical
+    // vectors tie on cosine and land in the LOWEST cell together, while
+    // the orthogonal pair stays separated — the minimal blocking check
+    val corpus = vecs(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(1f, 0f, 0f),
+      3L -> Seq(0f, 1f, 0f), 4L -> Seq(0f, 0f, 1f))
+    val got = Similarity.semanticDupPairs(corpus, threshold = 0.99,
+      seed = Similarity.CentroidSeed.FixedK(4))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(got === Set((1L, 2L)))
+  }
+
+  test("dropSemanticDuplicates keeps the minimum vec_id per connected component") {
+    // A~B and B~C above threshold but A~C below it: non-transitive
+    // chain — the component must drop BOTH B and C, not just B
+    val a = Seq(1f, 0f)
+    val b = Seq(math.cos(0.5).toFloat, math.sin(0.5).toFloat) // cos(A,B)=.878
+    val c = Seq(math.cos(1.0).toFloat, math.sin(1.0).toFloat) // cos(B,C)=.878, cos(A,C)=.540
+    val corpus = vecs(1L -> a, 2L -> b, 3L -> c, 4L -> Seq(0f, -1f))
+    val kept = Similarity.dropSemanticDuplicates(corpus, threshold = 0.8,
+      seed = Similarity.CentroidSeed.FixedK(1)) // one cell: blocking can't hide pairs
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(1L, 4L))
+  }
 }
