@@ -116,6 +116,18 @@ object ProbeScale {
     time("ivfpq_residual_sf01")(graft.ops.Similarity.ivfpqResidualTopK(
       emb01.filter(col("vec_id") % 1000 === 0), emb01, 10,
       nprobe = 8, coarseIterations = 2).count())
+    // round-8: semantic dedup — FixedK(32) blocking means avg cluster
+    // size grows linearly with n, so within-cluster pair work grows
+    // ~n²/k; the probe makes that visible (at a real 100 TB run you
+    // grow k with the corpus to hold n/k constant, per the SemDeDup
+    // paper's 50k clusters for 5B embeddings)
+    time("semantic_dups_sf01")(graft.ops.Similarity.semanticDupPairs(
+      emb01, threshold = 0.35).count())
+    time("semantic_dups_sf1")(graft.ops.Similarity.semanticDupPairs(
+      emb, threshold = 0.35).count())
+    time("semantic_dups_sf1_k320")(graft.ops.Similarity.semanticDupPairs(
+      emb, threshold = 0.35,
+      seed = graft.ops.Similarity.CentroidSeed.FixedK(320)).count())
     }
     spark.stop()
   }

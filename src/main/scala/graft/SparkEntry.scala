@@ -118,6 +118,18 @@ object SparkEntry {
 
   private val PQ_CTES: String = s"$V_CTE,\n$PQ_BODY"
 
+  /** Twin of [[Similarity.pqCodes]] — also the q_encode_codes oracle
+    * (the stored-codebook encode path is lossless, so one twin pins
+    * both routes). */
+  private val PQ_CODES_SQL: String =
+    s"""WITH $PQ_CTES
+       |SELECT vec_id, s AS subspace, cell_id AS code, d2 FROM (
+       |  SELECT x.vec_id, x.s, c.cell_id,
+       |    round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) AS d2,
+       |    row_number() OVER (PARTITION BY x.vec_id, x.s
+       |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
+       |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1""".stripMargin
+
   /** One unrolled Lloyd iteration — twin of [[Similarity.kmeans]]'s
     * E-step (argmax cosine, ties to lowest cell_id) + M-step (exact
     * DECIMAL(28,12) per-dimension mean, rounded 6). `prev` is the
@@ -141,6 +153,15 @@ object SparkEntry {
        |${KMEANS_ITER("c1", "a2", "f2", "c2")}""".stripMargin
 
   private val KMEANS_CTES = s"$V_CTE,\n$KMEANS_BODY"
+
+  /** Twin of [[Similarity.kmeansAssignments]] — also the
+    * q_encode_assign oracle (stored-centroid encode, same logic). */
+  private val KMEANS_ASSIGN_SQL: String =
+    s"""WITH $KMEANS_CTES
+       |SELECT vec_id, cell_id, cos FROM (
+       |  SELECT v.vec_id, c.cell_id, ${COS_SQL("v.e", "c.ce")} AS cos,
+       |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+       |  FROM v, c2 c) WHERE rn = 1""".stripMargin
 
   /** Twin of [[Dedup.simhash]] (bits=16): bit j of the token md5 = bit
     * (3 - j%4) of hex digit j/4. Shared by q_simhash and q_simhash_pairs. */
@@ -415,6 +436,18 @@ object SparkEntry {
     // lowest-cell ties, exact decimal means)
     "q_kmeans_centroids" -> ((s, dir) => Similarity.kmeansCentroids(emb(s, dir))),
     "q_kmeans_assign" -> ((s, dir) => Similarity.kmeansAssignments(emb(s, dir))),
+    // serving-side encode against STORED artifacts (the streaming
+    // indexer's per-batch op): encoding the training corpus through
+    // the lossless reassembly must reproduce the trained-inline
+    // tables row-for-row — each reuses that query's DuckDB twin
+    "q_encode_assign" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.assignWithCentroids(e, Similarity.kmeansCentroids(e))
+    }),
+    "q_encode_codes" -> ((s, dir) => {
+      val e = emb(s, dir)
+      Similarity.pqEncodeWithCodebooks(e, Similarity.pqCodebooks(e))
+    }),
     // IVF+PQ composition: coarse quantizer restricts WHICH vectors are
     // scored, ADC scores them off codes. coarseIterations=2 matches the
     // kmeans oracles' training so one twin covers the whole stack
@@ -886,14 +919,9 @@ object SparkEntry {
         |FROM (SELECT vec_id, generate_subscripts(e, 1) AS pos, unnest(e) AS x,
         |        list_max(list_transform(e, y -> abs(y))) / 127.0 AS scale
         |      FROM (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings))""".stripMargin,
-    "q_pq_codes" ->
-      s"""WITH $PQ_CTES
-         |SELECT vec_id, s AS subspace, cell_id AS code, d2 FROM (
-         |  SELECT x.vec_id, x.s, c.cell_id,
-         |    round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) AS d2,
-         |    row_number() OVER (PARTITION BY x.vec_id, x.s
-         |      ORDER BY round(x.xx - 2 * ${DOT_SQL("x.sv", "c.cv")} + c.cc, 6) ASC, c.cell_id ASC) AS rn
-         |  FROM subx x JOIN c1x c ON x.s = c.s) WHERE rn = 1""".stripMargin,
+    "q_pq_codes" -> PQ_CODES_SQL,
+    // identical result contract through the stored-codebook encode path
+    "q_encode_codes" -> PQ_CODES_SQL,
     "q_pq_codebooks" ->
       s"""WITH $PQ_CTES
          |SELECT s AS subspace, cell_id, CAST(pos AS INTEGER) AS pos, cv_i AS centroid_v FROM pf1""".stripMargin,
@@ -907,12 +935,9 @@ object SparkEntry {
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,
-    "q_kmeans_assign" ->
-      s"""WITH $KMEANS_CTES
-         |SELECT vec_id, cell_id, cos FROM (
-         |  SELECT v.vec_id, c.cell_id, ${COS_SQL("v.e", "c.ce")} AS cos,
-         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
-         |  FROM v, c2 c) WHERE rn = 1""".stripMargin,
+    "q_kmeans_assign" -> KMEANS_ASSIGN_SQL,
+    // identical result contract through the stored-centroid encode path
+    "q_encode_assign" -> KMEANS_ASSIGN_SQL,
 
     "q1_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,

@@ -693,18 +693,66 @@ object Similarity {
       k: Int,
       nprobe: Int = 4,
       m: Int = 4): DataFrame = {
-    // flat stored form → (cell_id, cv, cn); lossless like the PQ
-    // reassembly (coordinates were rounded before flattening)
-    val coarse = coarseCentroids
+    val lists = assignments
+      .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
+    ivfpqRank(queries, reassembleCoarse(coarseCentroids), lists,
+      reassemblePqCodebooks(codebooks), storedCodes(codes), k, nprobe, m)
+  }
+
+  /** Flat stored coarse-centroid form (cell_id, pos, centroid_v) →
+    * the internal (cell_id, cv, cn) shape — the coarse twin of
+    * [[reassemblePqCodebooks]]; lossless (coordinates were rounded to
+    * 6 BEFORE flattening). */
+  private def reassembleCoarse(coarseCentroids: DataFrame): DataFrame =
+    coarseCentroids
       .groupBy("cell_id")
       .agg(array_sort(collect_list(struct(col("pos"), col("centroid_v")))).as("ps"))
       .select(col("cell_id"), transform(col("ps"), p => p.getField("centroid_v")).as("cv"))
       .select(col("cell_id"), col("cv"), norm(col("cv")).as("cn"))
-    val lists = assignments
-      .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
-    ivfpqRank(queries, coarse, lists, reassemblePqCodebooks(codebooks),
-      storedCodes(codes), k, nprobe, m)
-  }
+
+  /** Serving-side ENCODE of new vectors against the STORED artifacts —
+    * no training step: coarse cell assignment vs the fixed centroid
+    * table + PQ codes vs the fixed codebooks. This is the per-batch
+    * operation of an online index maintainer
+    * ([[graft.streaming.EmbeddingIndexer]]): arriving vectors extend
+    * the assignment and code tables that [[ivfpqSearch]] serves from,
+    * while the quantizers stay frozen (the production regime —
+    * retraining shifts every stored code, so it is a separate offline
+    * rebuild, not an ingest-path step).
+    *
+    * Emits exactly the stored shapes the search consumes:
+    * assignments (vec_id, cell_id, cos) and codes (vec_id, subspace,
+    * code, d2). Both reassemblies are lossless, so encoding the
+    * TRAINING corpus through this path reproduces
+    * [[kmeansAssignments]] / [[pqCodes]] row-for-row (pinned by spec
+    * and by the q_encode_assign / q_encode_codes oracle rows, which
+    * reuse those queries' DuckDB twins verbatim).
+    *
+    * Scale shape: both centroid tables broadcast (k and m·k rows,
+    * corpus-independent); one argmax aggregate per tier over the new
+    * vectors only — per-batch cost is linear in the batch, zero in
+    * the accumulated corpus. */
+  def encodeWithModel(
+      emb: DataFrame,
+      coarseCentroids: DataFrame,
+      codebooks: DataFrame,
+      m: Int = 4): (DataFrame, DataFrame) =
+    (assignWithCentroids(emb, coarseCentroids),
+      pqEncodeWithCodebooks(emb, codebooks, m))
+
+  /** The coarse half of [[encodeWithModel]]: assign vectors to the
+    * STORED centroid table — (vec_id, cell_id, cos), the
+    * [[kmeansAssignments]] shape without the training run. */
+  def assignWithCentroids(emb: DataFrame, coarseCentroids: DataFrame): DataFrame =
+    assignToCells(corpusVN(emb), reassembleCoarse(coarseCentroids))
+      .select(col("vec_id"), col("cell_id"), col("cos"))
+
+  /** The PQ half of [[encodeWithModel]]: code vectors against the
+    * STORED codebooks — (vec_id, subspace, code, d2), the [[pqCodes]]
+    * shape without the training run. */
+  def pqEncodeWithCodebooks(emb: DataFrame, codebooks: DataFrame, m: Int = 4): DataFrame =
+    pqAssign(subVectors(emb, "vec_id", "vec_id", m), reassemblePqCodebooks(codebooks))
+      .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
 
   /** The IVF restriction + ADC search shared by [[ivfpqTopK]] and
     * [[ivfpqSearch]]: probe the `nprobe` nearest coarse cells per

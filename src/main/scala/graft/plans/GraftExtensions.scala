@@ -25,6 +25,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.minhashPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.decontaminateTableFunction)
     ext.injectTableFunction(GraftExtensions.annSearchTableFunction)
+    ext.injectTableFunction(GraftExtensions.semanticDupsTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -223,6 +224,40 @@ object GraftExtensions {
         graft.ops.Similarity.ivfpqSearch(t(0), t(1), t(2), t(3), t(4), k, nprobe, m))
     })
 
+  /** SQL surface for SemDeDup-style semantic duplicate pairs
+    * ([[graft.ops.Similarity.semanticDupPairs]]):
+    *
+    * {{{
+    * SELECT * FROM graft_semantic_dups('embeddings')         -- threshold=0.95
+    * SELECT * FROM graft_semantic_dups('embeddings', 0.35)   -- explicit
+    * }}}
+    *
+    * The named table must carry (vec_id, embedding); emits (cell_id,
+    * doc_a, doc_b, cos). Threshold accepts DECIMAL (`0.35`) or DOUBLE
+    * (`0.35E0`) literals. Like `graft_minhash_pairs`, the blocked
+    * corpus materializes via the LAZY Persist strategy: analysis and
+    * EXPLAIN run no job; the session cache dedups repeated calls by
+    * canonicalized plan. */
+  private val semanticDupsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_semantic_dups"),
+    new ExpressionInfo(graft.ops.Similarity.getClass.getName, "graft_semantic_dups"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_semantic_dups(table) or graft_semantic_dups(table, threshold)")
+      val str = stringArg("graft_semantic_dups") _
+      val corpus = SparkSession.active.table(str(children.head, "table"))
+      val threshold = if (children.size == 2) children(1) match {
+        case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_semantic_dups: threshold must be a numeric literal, got ${other.sql}")
+      } else 0.95
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Similarity.semanticDupPairs(corpus, threshold,
+          mat = graft.core.Materialize.Persist))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -232,7 +267,7 @@ object GraftExtensions {
     val (kid, kinfo, kbuilder) = topKFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
     Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
-        annSearchTableFunction)
+        annSearchTableFunction, semanticDupsTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

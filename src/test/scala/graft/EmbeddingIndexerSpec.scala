@@ -1,0 +1,138 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
+
+import graft.ops.Similarity
+import graft.streaming.EmbeddingIndexer
+import SparkSpec.spark.implicits._
+
+class EmbeddingIndexerSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = Files.createTempDirectory(s"graft-$name-")
+    d.toFile.deleteOnExit()
+    d.toString
+  }
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  private def jsonLine(id: Long, v: Seq[Double]): String =
+    s"""{"vec_id": $id, "embedding": [${v.mkString(", ")}]}"""
+
+  /** Base corpus + frozen artifacts written to disk — the offline
+    * training job the indexer serves from. */
+  private def trainArtifacts(corpus: DataFrame, artifacts: String,
+      assignDir: String, codesDir: String): Unit = {
+    val (coarse, assign) = Similarity.kmeansModel(corpus)
+    val (codebooks, codes) = Similarity.pqModel(corpus)
+    coarse.write.mode("overwrite").parquet(s"$artifacts/coarse_centroids")
+    codebooks.write.mode("overwrite").parquet(s"$artifacts/codebooks")
+    // the training corpus's own serving rows, under a reserved batch
+    // partition the streaming appends never collide with
+    assign.write.mode("overwrite").parquet(s"$assignDir/batch_id=-1")
+    codes.write.mode("overwrite").parquet(s"$codesDir/batch_id=-1")
+  }
+
+  test("streamed encode equals batch encodeWithModel; search serves the fresh vector") {
+    val rnd = new scala.util.Random(201)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val (watch, artifacts, assignDir, codesDir, ckpt, quar) =
+      (tmp("eiw"), tmp("eia"), tmp("eias") + "/assign", tmp("eic") + "/codes",
+        tmp("eick"), tmp("eiq") + "/bad")
+    trainArtifacts(corpus, artifacts, assignDir, codesDir)
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+
+    // two fresh vectors arrive (ids far outside the corpus)
+    val nv1 = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val nv2 = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    Files.write(Paths.get(watch, "arrivals-0.jsonl"),
+      (jsonLine(1001L, nv1) + "\n" + jsonLine(1002L, nv2) + "\n").getBytes("UTF-8"))
+    EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir, codesDir,
+      ckpt, quar).awaitTermination()
+
+    // streamed rows == batch encode of the same vectors (same artifacts)
+    val arrived = Seq(1001L -> nv1.map(_.toFloat), 1002L -> nv2.map(_.toFloat))
+    val (wantAssign, wantCodes) = Similarity.encodeWithModel(
+      vecs(arrived: _*),
+      spark.read.parquet(s"$artifacts/coarse_centroids"),
+      spark.read.parquet(s"$artifacts/codebooks"))
+    val gotAssign = spark.read.parquet(assignDir)
+      .filter(col("batch_id") >= 0).select("vec_id", "cell_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(gotAssign === wantAssign.as[(Long, Long, Double)].collect().toSet)
+    assert(gotAssign.map(_._1) === Set(1001L, 1002L))
+    val gotCodes = spark.read.parquet(codesDir)
+      .filter(col("batch_id") >= 0).select("vec_id", "subspace", "code", "d2")
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(gotCodes === wantCodes.as[(Long, Int, Long, Double)].collect().toSet)
+    assert(gotCodes.map(_._1) === Set(1001L, 1002L))
+
+    // the accumulated tables serve the fresh vectors with no retraining
+    // (query under a DIFFERENT id — the ranking excludes self-pairs by
+    // the harness convention that queries come from the corpus)
+    val hits = Similarity.ivfpqSearch(
+      vecs(9999L -> nv1.map(_.toFloat)),
+      spark.read.parquet(s"$artifacts/coarse_centroids"),
+      spark.read.parquet(assignDir),
+      spark.read.parquet(s"$artifacts/codebooks"),
+      spark.read.parquet(codesDir),
+      k = 10, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.contains(1001L),
+      s"a just-arrived vector must be searchable; top-10 was $hits")
+
+    // the per-batch persist is released after both writes (<=, not ===:
+    // cachedBefore includes training-time localCheckpoint RDDs that the
+    // ContextCleaner may collect at any point during the stream)
+    assert(spark.sparkContext.getPersistentRDDs.size <= cachedBefore,
+      "per-batch cache must be released after the partition writes")
+  }
+
+  test("replayed batch overwrites its own partitions (no duplicate serving rows)") {
+    val rnd = new scala.util.Random(202)
+    val corpus = vecs((1L to 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val (watch, artifacts, assignDir, codesDir, quar) =
+      (tmp("eirw"), tmp("eira"), tmp("eiras") + "/assign", tmp("eirc") + "/codes",
+        tmp("eirq") + "/bad")
+    trainArtifacts(corpus, artifacts, assignDir, codesDir)
+    Files.write(Paths.get(watch, "arrivals-0.jsonl"),
+      jsonLine(2001L, Seq.fill(8)(0.25)).getBytes("UTF-8"))
+    EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir, codesDir,
+      tmp("eick1"), quar).awaitTermination()
+    // fresh checkpoint => the same file replays as batch 0 and must
+    // overwrite, not append
+    EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir, codesDir,
+      tmp("eick2"), quar).awaitTermination()
+    val streamed = spark.read.parquet(codesDir).filter(col("batch_id") >= 0)
+      .select("vec_id", "subspace").as[(Long, Int)].collect()
+    assert(streamed.length === 4 && streamed.map(_._1).toSet === Set(2001L),
+      s"replay must not duplicate code rows: ${streamed.toSeq}")
+  }
+
+  test("rows failing the envelope quarantine instead of poisoning the encode") {
+    val rnd = new scala.util.Random(203)
+    val corpus = vecs((1L to 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val (watch, artifacts, assignDir, codesDir, quar) =
+      (tmp("eiqw"), tmp("eiqa"), tmp("eiqas") + "/assign", tmp("eiqc") + "/codes",
+        tmp("eiqq") + "/bad")
+    trainArtifacts(corpus, artifacts, assignDir, codesDir)
+    Files.write(Paths.get(watch, "arrivals-0.jsonl"),
+      ("""{"embedding": [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8]}""" + "\n" +
+        jsonLine(3001L, Seq.fill(8)(0.5)) + "\n").getBytes("UTF-8"))
+    EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir, codesDir,
+      tmp("eick3"), quar).awaitTermination()
+    val kept = spark.read.parquet(codesDir).filter(col("batch_id") >= 0)
+      .select("vec_id").distinct().as[Long].collect().toSet
+    assert(kept === Set(3001L))
+    val quarantined = spark.read.parquet(quar).select("raw").as[String].collect()
+    assert(quarantined.length === 1 && quarantined.head.contains("0.1"),
+      s"the keyless row must quarantine: ${quarantined.toSeq}")
+  }
+}

@@ -479,6 +479,49 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("encodeWithModel through stored artifacts reproduces the trained-inline tables") {
+    val rnd = new scala.util.Random(102)
+    val corpus = vecs((1L to 150L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    // both reassemblies are lossless (values rounded before flattening),
+    // so serving-side encode of the TRAINING corpus is row-identical to
+    // the trained-inline assignment/code tables
+    val viaStored = Similarity.assignWithCentroids(corpus, Similarity.kmeansCentroids(corpus))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(viaStored === Similarity.kmeansAssignments(corpus)
+      .as[(Long, Long, Double)].collect().toSet)
+    val codesViaStored = Similarity.pqEncodeWithCodebooks(corpus, Similarity.pqCodebooks(corpus))
+      .as[(Long, Int, Long, Double)].collect().toSet
+    assert(codesViaStored === Similarity.pqCodes(corpus)
+      .as[(Long, Int, Long, Double)].collect().toSet)
+  }
+
+  test("SQL surface: graft_semantic_dups TVF matches the Column API (decimal literal)") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val rnd = new scala.util.Random(103)
+    val corpus = vecs((1L to 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    corpus.createOrReplaceTempView("sem_emb")
+    try {
+      val api = Similarity.semanticDupPairs(corpus, threshold = 0.35)
+        .as[(Long, Long, Long, Double)].collect().toSet
+      // SQL `0.35` parses as a DECIMAL literal — the extractor must take it
+      val sql = SparkSpec.spark.sql(
+        "SELECT * FROM graft_semantic_dups('sem_emb', 0.35)")
+        .as[(Long, Long, Long, Double)].collect().toSet
+      assert(sql === api)
+      assert(sql.nonEmpty)
+      // non-literal threshold fails loudly
+      val err = intercept[Exception] {
+        SparkSpec.spark.sql("SELECT * FROM graft_semantic_dups('sem_emb', vec_id)").collect()
+      }
+      assert(err.getMessage.contains("graft_semantic_dups") ||
+        err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+    } finally {
+      SparkSpec.spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("dropSemanticDuplicates keeps the minimum vec_id per connected component") {
     // A~B and B~C above threshold but A~C below it: non-transitive
     // chain — the component must drop BOTH B and C, not just B
