@@ -475,6 +475,16 @@ object SparkEntry {
       Similarity.ivfpqResidualTopK(e.filter(col("vec_id") % 100 === 0), e, 10,
         nprobe = 8, coarseIterations = 2)
     },
+    // the same residual search through the four STORED artifacts
+    // (ivfpqResidualModel trains both tiers once) must reproduce
+    // q_ivfpq_residual row-for-row — one oracle pins both paths
+    "q_ivfpq_residual_search" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val (coarse, assign, books, codes) =
+        Similarity.ivfpqResidualModel(e, coarseIterations = 2)
+      Similarity.ivfpqResidualSearch(e.filter(col("vec_id") % 100 === 0),
+        coarse, assign, books, codes, 10, nprobe = 8)
+    },
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -932,6 +942,8 @@ object SparkEntry {
     // identical result contract through the four stored artifacts
     "q_ivfpq_search" -> IVFPQ_SQL,
     "q_ivfpq_residual" -> IVFPQ_RESIDUAL_SQL,
+    // identical result contract through the four stored residual artifacts
+    "q_ivfpq_residual_search" -> IVFPQ_RESIDUAL_SQL,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

@@ -833,6 +833,92 @@ object Similarity {
     ivfpqResidualRank(queries, coarse, lists, cent, codes, k, nprobe, m, mat)
   }
 
+  /** ALL FOUR residual-IVF+PQ artifacts from one training run — the
+    * residual twin of pairing [[kmeansModel]] with [[pqModel]], which
+    * cannot produce these: the PQ tier must train on the RESIDUALS
+    * `x − centroid(cell(x))`, so its corpus depends on the coarse
+    * tier's assignment. Returns (coarse centroids flat, assignments,
+    * residual codebooks flat, residual codes) — exactly the shapes
+    * [[ivfpqResidualSearch]] consumes. */
+  def ivfpqResidualModel(
+      corpus: DataFrame,
+      coarseIterations: Int = 1,
+      m: Int = 4,
+      pqIterations: Int = 1,
+      coarseSeed: CentroidSeed = DefaultSeed,
+      pqSeed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val (corp, coarse) = kmeansLoop(corpus, coarseIterations, coarseSeed, mat)
+    val assigned = assignToCells(corp, coarse)
+    val resid = assigned
+      .join(broadcast(coarse.select(col("cell_id"), col("cv"))), Seq("cell_id"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+    val (sub, cent) = pqLoop(resid, m, pqIterations, pqSeed, mat)
+    val codes = pqAssign(sub, cent)
+      .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
+    (flatCentroids(coarse),
+      assigned.select(col("vec_id"), col("cell_id"), col("cos")),
+      flatPqCodebooks(cent),
+      codes)
+  }
+
+  /** Residual IVF+PQ search over PRETRAINED, stored artifacts — the
+    * serving path of [[ivfpqResidualTopK]], exactly as [[ivfpqSearch]]
+    * serves [[ivfpqTopK]]: only the tiny reassemblies, the probe
+    * stage, and the codes-only candidate scan execute — no Lloyd
+    * E/M-step, no raw-corpus scan. Results are row-identical to
+    * [[ivfpqResidualTopK]] at the same training parameters (the
+    * q_ivfpq_residual / q_ivfpq_residual_search oracle rows share one
+    * DuckDB twin).
+    *
+    * @param codebooks (subspace, cell_id, pos, centroid_v) trained on
+    *   RESIDUALS — [[ivfpqResidualModel]]'s third output; feeding raw
+    *   [[pqCodebooks]] here would silently score the wrong frame,
+    *   which is why the residual artifacts come from ONE model call
+    *   rather than mix-and-match entry points. */
+  def ivfpqResidualSearch(
+      queries: DataFrame,
+      coarseCentroids: DataFrame,
+      assignments: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      m: Int = 4,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : DataFrame = {
+    val lists = assignments
+      .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
+    ivfpqResidualRank(queries, reassembleCoarse(coarseCentroids), lists,
+      reassemblePqCodebooks(codebooks), storedCodes(codes), k, nprobe, m, mat)
+  }
+
+  /** Residual twin of [[encodeWithModel]] — the streaming indexer's
+    * per-batch op when the stored artifacts are residual-trained:
+    * assign each new vector to its coarse cell, subtract that cell's
+    * centroid, code the REMAINDER against the residual codebooks.
+    * Encoding the training corpus reproduces [[ivfpqResidualModel]]'s
+    * assignment and code tables row-for-row (lossless reassemblies;
+    * pinned by spec). */
+  def residualEncodeWithModel(
+      emb: DataFrame,
+      coarseCentroids: DataFrame,
+      codebooks: DataFrame,
+      m: Int = 4): (DataFrame, DataFrame) = {
+    val coarse = reassembleCoarse(coarseCentroids)
+    val assigned = assignToCells(corpusVN(emb), coarse)
+    val resid = assigned
+      .join(broadcast(coarse.select(col("cell_id"), col("cv"))), Seq("cell_id"))
+      .select(col("vec_id"),
+        zip_with(col("v"), col("cv"), (a, b) => a - b).as("embedding"))
+    val codes = pqAssign(subVectors(resid, "vec_id", "vec_id", m),
+        reassemblePqCodebooks(codebooks))
+      .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
+    (assigned.select(col("vec_id"), col("cell_id"), col("cos")), codes)
+  }
+
   /** The residual-frame search: probe nprobe coarse cells per query
     * (identical to [[ivfpqRank]]'s probe stage — same cells probed, so
     * recall differences vs the raw path isolate PQ quantization

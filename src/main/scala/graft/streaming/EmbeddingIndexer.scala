@@ -46,6 +46,13 @@ object EmbeddingIndexer {
     * @param codesDir accumulates (vec_id, subspace, code, d2) —
     *   the ADC scan table
     * @param m subspace count the codebooks were trained with
+    * @param residual set when the stored artifacts are RESIDUAL-trained
+    *   ([[Similarity.ivfpqResidualModel]]): encode subtracts each
+    *   vector's coarse centroid before coding
+    *   ([[Similarity.residualEncodeWithModel]]). The flag must match
+    *   how the artifacts were trained — mixing frames would silently
+    *   mis-code, which is why both artifact sets carry the same
+    *   schemas but come from distinct model calls.
     */
   def startJsonl(
       spark: SparkSession,
@@ -56,6 +63,7 @@ object EmbeddingIndexer {
       checkpointDir: String,
       quarantineDir: String,
       m: Int = 4,
+      residual: Boolean = false,
       availableNow: Boolean = true): StreamingQuery = {
     val emb = spark.readStream
       .format("json")
@@ -72,7 +80,10 @@ object EmbeddingIndexer {
         // the JSON source is read once, release after both writes
         val clean = batch.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        val (assign, codes) = Similarity.encodeWithModel(
+        val encode =
+          if (residual) Similarity.residualEncodeWithModel _
+          else Similarity.encodeWithModel _
+        val (assign, codes) = encode(
           clean,
           session.read.parquet(s"$artifactsDir/coarse_centroids"),
           session.read.parquet(s"$artifactsDir/codebooks"),

@@ -115,6 +115,52 @@ class EmbeddingIndexerSpec extends SparkSpec {
       s"replay must not duplicate code rows: ${streamed.toSeq}")
   }
 
+  test("residual mode codes arrivals in the residual frame of the stored artifacts") {
+    val rnd = new scala.util.Random(204)
+    val corpus = vecs((1L to 150L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val (watch, artifacts, assignDir, codesDir, quar) =
+      (tmp("eirsw"), tmp("eirsa"), tmp("eirsas") + "/assign", tmp("eirsc") + "/codes",
+        tmp("eirsq") + "/bad")
+    val (coarse, assign, books, codes) = Similarity.ivfpqResidualModel(corpus)
+    coarse.write.mode("overwrite").parquet(s"$artifacts/coarse_centroids")
+    books.write.mode("overwrite").parquet(s"$artifacts/codebooks")
+    assign.write.mode("overwrite").parquet(s"$assignDir/batch_id=-1")
+    codes.write.mode("overwrite").parquet(s"$codesDir/batch_id=-1")
+
+    val nv = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    Files.write(Paths.get(watch, "arrivals-0.jsonl"),
+      jsonLine(4001L, nv).getBytes("UTF-8"))
+    EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir, codesDir,
+      tmp("eick4"), quar, residual = true).awaitTermination()
+
+    // streamed rows == batch residual encode of the same vector
+    val (wantAssign, wantCodes) = Similarity.residualEncodeWithModel(
+      vecs(4001L -> nv.map(_.toFloat)),
+      spark.read.parquet(s"$artifacts/coarse_centroids"),
+      spark.read.parquet(s"$artifacts/codebooks"))
+    assert(spark.read.parquet(codesDir).filter(col("batch_id") >= 0)
+      .select("vec_id", "subspace", "code", "d2")
+      .as[(Long, Int, Long, Double)].collect().toSet ===
+      wantCodes.as[(Long, Int, Long, Double)].collect().toSet)
+    assert(spark.read.parquet(assignDir).filter(col("batch_id") >= 0)
+      .select("vec_id", "cell_id", "cos")
+      .as[(Long, Long, Double)].collect().toSet ===
+      wantAssign.as[(Long, Long, Double)].collect().toSet)
+
+    // and the residual serving call finds the fresh vector
+    val hits = Similarity.ivfpqResidualSearch(
+      vecs(9999L -> nv.map(_.toFloat)),
+      spark.read.parquet(s"$artifacts/coarse_centroids"),
+      spark.read.parquet(assignDir),
+      spark.read.parquet(s"$artifacts/codebooks"),
+      spark.read.parquet(codesDir),
+      k = 10, nprobe = 8)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(hits.contains(4001L),
+      s"a just-arrived vector must be searchable in residual mode; top-10 was $hits")
+  }
+
   test("rows failing the envelope quarantine instead of poisoning the encode") {
     val rnd = new scala.util.Random(203)
     val corpus = vecs((1L to 120L).map(i =>

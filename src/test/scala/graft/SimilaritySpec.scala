@@ -496,6 +496,27 @@ class SimilaritySpec extends SparkSpec {
       .as[(Long, Int, Long, Double)].collect().toSet)
   }
 
+  test("ivfpqResidualSearch over stored artifacts matches ivfpqResidualTopK") {
+    val rnd = new scala.util.Random(104)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val (coarse, assign, books, codes) = Similarity.ivfpqResidualModel(corpus)
+    val served = Similarity.ivfpqResidualSearch(queries, coarse, assign, books, codes,
+      10, nprobe = 8).as[(Long, Long, Double, Int)].collect().toSet
+    val inline = Similarity.ivfpqResidualTopK(queries, corpus, 10, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(served === inline)
+    assert(served.nonEmpty)
+    // residualEncodeWithModel of the training corpus reproduces the
+    // model's own assignment/code tables (lossless reassemblies)
+    val (encAssign, encCodes) = Similarity.residualEncodeWithModel(corpus, coarse, books)
+    assert(encAssign.as[(Long, Long, Double)].collect().toSet ===
+      assign.as[(Long, Long, Double)].collect().toSet)
+    assert(encCodes.as[(Long, Int, Long, Double)].collect().toSet ===
+      codes.as[(Long, Int, Long, Double)].collect().toSet)
+  }
+
   test("SQL surface: graft_semantic_dups TVF matches the Column API (decimal literal)") {
     graft.plans.GraftExtensions.install(SparkSpec.spark)
     val rnd = new scala.util.Random(103)
