@@ -377,6 +377,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0)).select("doc_id")
     },
+    "q_decontaminate_bloom" -> { (s, dir) =>
+      // same split as q_decontaminate; the Bloom prefilter is exact-
+      // result-preserving, so both share one oracle
+      val d = docs(s, dir)
+      Dedup.decontaminateBloom(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0)).select("doc_id")
+    },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "q_dedup_incremental" -> { (s, dir) =>
@@ -644,6 +652,14 @@ object SparkEntry {
          |) WHERE pos >= 5""".stripMargin,
 
     "q_decontaminate" ->
+      s"""WITH evsh AS (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 <> 0),
+         |bad AS (SELECT DISTINCT t.doc_id FROM tr t JOIN evsh e USING (shingle))
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    // Bloom prefilter + exact confirm ≡ exact filter (no false
+    // negatives), so the bloom path is pinned to the SAME oracle text.
+    "q_decontaminate_bloom" ->
       s"""WITH evsh AS (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
          |tr AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 <> 0),
          |bad AS (SELECT DISTINCT t.doc_id FROM tr t JOIN evsh e USING (shingle))

@@ -428,6 +428,61 @@ object Dedup {
     docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
+  /** [[decontaminate]] with a broadcast Bloom prefilter on the TRAIN
+    * side — the 100 TB formulation of the same filter. The exact
+    * semi-join above shuffles every distinct (doc, shingle) of the
+    * training corpus on the shingle key; at 100 TB that is the
+    * dominant shuffle, even though almost no train shingle is actually
+    * contaminated. Here the eval side (small: a benchmark suite) is
+    * summarized as a Bloom filter over `xxhash64(shingle)` and embedded
+    * in the plan as a literal, so the train-side stream is prefiltered
+    * MAP-SIDE by a codegen'd [[BloomFilterMightContain]] — no shuffle,
+    * no broadcast-join hash table, just a bit-probe per shingle. Only
+    * the surviving candidates (true hits + the fpp fraction) reach the
+    * exact semi-join that kills false positives.
+    *
+    * Result contract: Bloom filters have no false negatives, so
+    * prefilter + exact confirm ≡ exact confirm — this returns
+    * byte-identical rows to [[decontaminate]] at any fpp, and shares
+    * its DuckDB oracle. The two jobs on the EVAL side (a count to size
+    * the filter, the filter build) are the train-once analogue of
+    * centroid training; the train corpus is touched exactly once.
+    * Sizing: ~9.6 bits/item at fpp=1e-2 — a 1M-shingle eval suite is a
+    * ~1.2 MB plan literal. For eval sets too large to embed, fall back
+    * to [[decontaminate]]'s plain semi-join.
+    */
+  def decontaminateBloom(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      w: Int = 3,
+      fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+
+    val evalSh = shingled(evalDocs.select(col("doc_id"), col("text")), w)
+      .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
+    val evalKeys = evalSh.select(xxhash64(col("shingle")).as("h"))
+    val nEval = math.max(evalKeys.count(), 1L)
+    val bloom = evalKeys.stat.bloomFilter("h", nEval, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("shingle")))))
+
+    val candidates = shingled(docs, w)
+      .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
+      .where(mightContain)
+    val contaminated = candidates
+      .join(evalSh, Seq("shingle"), "left_semi")
+      .select("doc_id").distinct()
+    docs.join(contaminated, Seq("doc_id"), "left_anti")
+  }
+
   /** Candidate pairs WITH an estimated Jaccard similarity, read straight
     * off the minhash signatures: est = (matching signature positions)/k.
     * This is the minwise estimator (Broder '97) — E[est] = exact Jaccard

@@ -190,6 +190,31 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("decontaminateBloom ≡ decontaminate at any fpp; plan carries the map-side bloom probe") {
+    val train = docs((1L to 40L).map { i =>
+      if (i % 10 == 0) i -> s"contaminated shared benchmark answer fragment number ${i / 10}"
+      else i -> s"clean training document $i with words alpha$i beta${i % 7} gamma${i % 5}"
+    }: _*)
+    val eval = docs(
+      100L -> "contaminated shared benchmark answer fragment number 1",
+      101L -> "contaminated shared benchmark answer fragment number 2 3 4")
+    val exact = Dedup.decontaminate(train, eval).select("doc_id").as[Long].collect().toSet
+    // a sloppy filter (fpp=0.5) floods the confirm join with false
+    // positives; the result must not change — no false negatives, and
+    // the exact semi-join kills every false positive
+    for (fpp <- Seq(0.5, 0.01)) {
+      val viaBloom = Dedup.decontaminateBloom(train, eval, fpp = fpp)
+        .select("doc_id").as[Long].collect().toSet
+      assert(viaBloom === exact, s"fpp=$fpp")
+    }
+    assert(exact === (1L to 40L).filterNot(_ % 10 == 0).toSet)
+    // the prefilter is a codegen'd might_contain probe on the train scan,
+    // BEFORE any exchange — i.e. it runs map-side
+    val plan = Dedup.decontaminateBloom(train, eval)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("might_contain"), plan)
+  }
+
   test("materialization strategies agree and each executes the signature pipeline once") {
     import graft.core.Materialize
     val d = docs((1L to 10L).map(i =>
