@@ -232,6 +232,72 @@ object TextAnalysis {
           .otherwise(0.0).as("top_bigram_frac"))
   }
 
+  /** CCNet-style perplexity-proxy quality score (Wenzek et al., LREC
+    * '20): train an add-one-smoothed bigram LM on the corpus itself,
+    * score each document by its mean bigram log-probability. Low
+    * scores = improbable token sequences (boilerplate, mojibake, word
+    * salad) — the standard model-based quality filter, here with the
+    * corpus as its own LM so the operator stays self-contained and
+    * deterministic.
+    *
+    * Model: P(w2|w1) = (c(w1,w2) + 1) / (c(w1) + V), where c(w1) is the
+    * bigram-history count (Σ_w2 c(w1,w2)) and V the corpus vocabulary
+    * size. Training on the scored corpus means every bigram is in-model
+    * — no OOV/backoff branch.
+    *
+    * Determinism: counts are integers; each distinct bigram's logprob
+    * is one IEEE division + one `ln`, rounded to 6 and cast DECIMAL so
+    * the per-doc sum is order-independent exact decimal addition; the
+    * final mean is a single IEEE division rounded to 6 — the same
+    * recipe as tf-idf/k-means, engine-portable.
+    *
+    * Plan at 100 TB: the bigram OCCURRENCE stream is materialized once
+    * (its tokenizer is the expensive narrow stage) and feeds (a) the
+    * model: groupBy(w1,w2) with map-side partial aggregation, so the
+    * model shuffle carries per-task DISTINCT bigrams, not occurrences,
+    * then a tiny groupBy(w1) over the model table and a 1-row vocab
+    * scalar cross-joined in; (b) scoring: occurrences ⋈ model on
+    * (w1,w2) — the one occurrence-level shuffle, AQE-broadcast when the
+    * model is small — then a doc_id groupBy. Head-word skew lands on
+    * the model's partial agg (absorbed map-side), not on a window sort.
+    */
+  def lmBigramScore(
+      docs: DataFrame,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+    val bg = graft.core.Materialize(
+      toks.where(size(col("ts")) >= 2)
+        .select(col("doc_id"), explode(
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => struct(element_at(col("ts"), i).as("w1"),
+              element_at(col("ts"), i + 1).as("w2")))).as("p"))
+        .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2")),
+      mat)
+    val cb = bg.groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ch = cb.groupBy("w1").agg(sum("cb").as("c1"))
+    val vocab = toks.select(explode(col("ts")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lp = cb.join(ch, "w1")
+      .crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"),
+        round(log((col("cb") + lit(1.0)) / (col("c1") + col("v"))), 6)
+          .cast(DecimalType(18, 6)).as("lp"))
+    val perDoc = bg.join(lp, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("lp").as("slp"))
+    val out = docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+    // bg stays live — the returned plan reads it on both the model and
+    // the scoring side; under Persist the CALLER releases (unpersist /
+    // clearCache) once the result is materialized, per Materialize's
+    // lifecycle note. LocalCheckpoint blocks free with the RDD.
+    out
+  }
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
     * hash every token (md5 — stable across engines), take the window
     * minimum over each w-token sliding window, emit the distinct minima

@@ -106,6 +106,20 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._4 === expected)
   }
 
+  test("lmBigramScore: hand-computed add-one bigram logprobs") {
+    // corpus: d1=[a b a b], d2=[a b], d3=[c] → V=3
+    // c(a,b)=3, c(b,a)=1; hist c(a)=3, c(b)=1
+    // lp(a,b)=ln(4/6)=-0.405465 (round 6); lp(b,a)=ln(2/4)=-0.693147
+    val d = docs(1L -> "a b a b", 2L -> "a b", 3L -> "c")
+    val got = TextAnalysis.lmBigramScore(d)
+      .select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // d1: (2·-0.405465 - 0.693147)/3 = -1.504077/3 = -0.501359
+    assert(got(1L) === ((3L, Some(-0.501359))))
+    assert(got(2L) === ((1L, Some(-0.405465))))
+    assert(got(3L) === ((0L, None))) // no bigram → no score
+  }
+
   test("fingerprints: one window-min per full window, deduplicated") {
     val d = docs(1L -> "a b c d e f g") // 7 tokens, w=5 -> 3 windows
     val n = TextAnalysis.fingerprints(d, w = 5).count()
