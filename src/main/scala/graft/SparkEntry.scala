@@ -352,6 +352,7 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
+    "q_lm_score" -> ((s, dir) => TextAnalysis.lmBigramScore(docs(s, dir))),
     "q_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 100)),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(docs(s, dir), 50)),
     "q_scrub" -> ((s, dir) => TextAnalysis.scrubStats(docs(s, dir))),
@@ -574,6 +575,11 @@ object SparkEntry {
       graft.ops.Sampling.stratified(docs(s, dir), "lang", "doc_id", 5)
         .select("lang", "doc_id", "sample_rank")
     },
+    "q_source_cap" -> { (s, dir) =>
+      // domain caps: at most 10 docs per source, bounded-heap ranked
+      graft.ops.Sampling.stratifiedAggregated(docs(s, dir), "source", "doc_id", 10)
+        .select("source", "doc_id", "sample_rank")
+    },
     "q_mixture" -> { (s, dir) =>
       // domain-weighted downsampling: keep all of src0, 30% of src1,
       // none of src2, half of everything else
@@ -690,6 +696,23 @@ object SparkEntry {
          |    THEN round(CAST(a.max_bg AS DOUBLE) / a.n_bg, 6)
          |    ELSE 0.0 END AS top_bigram_frac
          |FROM lb l LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    // add-one-smoothed bigram LM: per-bigram ln rounded 6 then DECIMAL
+    // summed (order-independent), mean = one IEEE division rounded 6
+    "q_lm_score" ->
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |bg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |             FROM t WHERE len(ts) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+         |ch AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM t)),
+         |lp AS (SELECT w1, w2, CAST(round(ln((cb + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp
+         |       FROM cb JOIN ch USING (w1) CROSS JOIN v),
+         |ds AS (SELECT b.doc_id, count(*) AS n_bigrams, sum(l.lp) AS slp
+         |       FROM bg b JOIN lp l USING (w1, w2) GROUP BY b.doc_id)
+         |SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams,
+         |  round(CAST(ds.slp AS DOUBLE) / ds.n_bigrams, 6) AS avg_logprob
+         |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
     "q_top_ngrams" ->
       s"""SELECT ngram, cnt FROM (
          |  SELECT ngram, count(*) AS cnt,
@@ -1160,6 +1183,13 @@ object SparkEntry {
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang
         |    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS INTEGER) AS sample_rank
         |  FROM documents) WHERE sample_rank <= 5""".stripMargin,
+    // bounded-heap per-source cap: rank key is the md5 prefix the heap
+    // carries as a 52-bit long — the SQL orders by the same truncation
+    "q_source_cap" ->
+      """SELECT source, doc_id, sample_rank FROM (
+        |  SELECT source, doc_id, CAST(row_number() OVER (PARTITION BY source
+        |    ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 13), doc_id) AS INTEGER) AS sample_rank
+        |  FROM documents) WHERE sample_rank <= 10""".stripMargin,
     "q_event_props" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k

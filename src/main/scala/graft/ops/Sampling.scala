@@ -100,4 +100,37 @@ object Sampling {
     df.withColumn("sample_rank", row_number().over(w).cast("int"))
       .filter(col("sample_rank") <= perStratum)
   }
+
+  /** [[stratified]] via the bounded-heap aggregate
+    * [[graft.functions.TopKByScore]] — the 100 TB formulation of
+    * per-group caps (domain caps: "at most n documents per source").
+    * The window version shuffles and SORTS every stratum in full, and a
+    * head stratum (one giant domain) lands on one task; here partial
+    * aggregation forwards at most `perStratum` ids per stratum per map
+    * task into the shuffle and nothing is ever sorted — the same
+    * rewrite as `InvertedIndex.topK` → `topKAggregated`.
+    *
+    * Rank key: the id's md5 prefix truncated to 13 hex digits (52 bits
+    * — exactly representable in the heap's long key and in any engine's
+    * numeric type), ties by id. Equivalent to [[stratified]]'s
+    * (full-md5, id) order unless two ids collide in their first 52
+    * md5 bits (~n²/2^52 per stratum); the oracle pins the truncated
+    * order exactly. Non-id columns are recovered by a join on
+    * (stratum, id) — keyed, AQE-broadcast when the sample is small.
+    */
+  def stratifiedAggregated(
+      df: DataFrame, stratumCol: String, idCol: String, perStratum: Int): DataFrame = {
+    require(perStratum > 0, s"perStratum must be positive, got $perStratum")
+    // score DESC in the heap = md5-prefix ASC via negation
+    val key = -conv(substring(md5(col(idCol).cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    val kept = df
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKByScore.topK(key, col(idCol), perStratum).as("top"))
+      .select(col(stratumCol), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col(stratumCol), col("e.id").as(idCol),
+        (col("i") + 1).cast("int").as("sample_rank"))
+    df.join(kept, Seq(stratumCol, idCol))
+      .select(df.columns.map(col) :+ col("sample_rank"): _*)
+  }
 }

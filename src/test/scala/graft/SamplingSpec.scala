@@ -34,6 +34,26 @@ class SamplingSpec extends SparkSpec {
     }
   }
 
+  test("stratifiedAggregated: row-identical to stratified, no per-stratum sort in the plan") {
+    val viaWindow = Sampling.stratified(df, "lang", "id", 7)
+      .select("lang", "id", "sample_rank").as[(String, Long, Int)].collect().toSet
+    val agg = Sampling.stratifiedAggregated(df, "lang", "id", 7)
+    val viaHeap = agg.select("lang", "id", "sample_rank")
+      .as[(String, Long, Int)].collect().toSet
+    // 52-bit-prefix order == full-md5 order on this data (no prefix ties)
+    assert(viaHeap === viaWindow)
+    // caps hold per stratum with dense ranks
+    val byLang = viaHeap.groupBy(_._1)
+    byLang.values.foreach(rows => assert(rows.map(_._3).toSeq.sorted === (1 to 7)))
+    // the whole point: the aggregate path never sorts a stratum —
+    // ranking comes from the bounded heap, not a Window/Sort
+    val plan = agg.queryExecution.executedPlan.toString
+    assert(plan.contains("graft_top_k"), plan)
+    assert(!plan.contains("Window"), plan)
+    // non-id columns survive the recovery join
+    assert(agg.columns.toSeq === Seq("id", "lang", "sample_rank"))
+  }
+
   test("mixture keeps rate-0 sources empty, rate-1 sources whole, and is idempotent") {
     val d = (1L to 300L).map(i => (i, s"src${i % 3}")).toDF("id", "source")
     val kept = Sampling.mixture(d, "source", "id",
