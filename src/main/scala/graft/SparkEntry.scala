@@ -41,18 +41,75 @@ object SparkEntry {
        |  ELSE [array_to_string(ts, ' ')] END AS shl
        |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin
 
-  /** Minhash CTE chain shared by the pair/estimate/cluster oracles —
-    * twin of [[Dedup.minhashSignaturesWide]] (k=8) → bands (b=2) →
-    * candidate pairs. */
-  private val MINHASH_CTES =
-    s"""sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
-       |sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
-       |         FROM sh, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+  /** Minhash sig → band → candidate-pair CTE chain from a named
+    * (doc_id, shingle) relation — parameterized so composed oracles
+    * (q_curate*) can run the SAME chain over a filtered corpus. */
+  private def MINHASH_TAIL(sh: String) =
+    s"""sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
+       |         FROM $sh, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
        |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
        |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key FROM sigs GROUP BY doc_id, band),
        |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
        |  WHERE l.doc_id < r.doc_id)""".stripMargin
+
+  /** Minhash CTE chain shared by the pair/estimate/cluster oracles —
+    * twin of [[Dedup.minhashSignaturesWide]] (k=8) → bands (b=2) →
+    * candidate pairs. */
+  private val MINHASH_CTES =
+    s"""sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
+       |${MINHASH_TAIL("sh")}""".stripMargin
+
+  /** Connected components over `pairs` (min reachable doc_id) — the
+    * recursive closure shared by the cluster/keep/curate oracles;
+    * requires WITH RECURSIVE and a `pairs(doc_a, doc_b)` CTE in scope. */
+  private val CLUSTER_CTES =
+    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |          UNION ALL SELECT doc_b, doc_a FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT DISTINCT src, src FROM edges
+       |  UNION
+       |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
+       |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+
+  /** Twin of the [[graft.ops.Curation]] chain (q_curate /
+    * q_curate_funnel): train corpus = doc_id % 50 <> 0, eval corpus =
+    * doc_id % 50 = 0 (the q_decontaminate convention); stage parameters
+    * mirror the SparkEntry call (minTokens 10, keepLangs [en], mixture
+    * src0=1.0 / src1=0.3 / src2=0.0 / default 0.5, split 80/10).
+    * Produces staged survivor CTEs s1..s4 plus `flags`. */
+  private lazy val CURATE_CTES: String = {
+    def sc(l: String, words: String) =
+      s"len(list_filter(ts, t -> list_contains($words, t))) AS score_$l"
+    s"""flags AS (
+       |  SELECT doc_id, source, q_keep,
+       |    CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
+       |         WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
+       |         ELSE 'zh' END AS pred_lang
+       |  FROM (SELECT doc_id, source, q_keep, score_en, score_de, score_es, score_fr, score_zh,
+       |          greatest(score_en, score_de, score_es, score_fr, score_zh) AS best
+       |    FROM (SELECT doc_id, source,
+       |            (len(ts) >= 10 AND len(list_filter(ts, t -> list_contains(${Stop.en}, t))) > 0) AS q_keep,
+       |            ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
+       |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
+       |          FROM (SELECT doc_id, source, $TOKS AS ts FROM documents WHERE doc_id % 50 <> 0)))),
+       |s1 AS (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'),
+       |sh1 AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
+       |        WHERE doc_id IN (SELECT doc_id FROM s1)),
+       |${MINHASH_TAIL("sh1")},
+       |$CLUSTER_CTES,
+       |s2 AS (SELECT doc_id FROM s1
+       |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
+       |evsh AS (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
+       |tr2 AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES)
+       |        WHERE doc_id IN (SELECT doc_id FROM s2)),
+       |bad AS (SELECT DISTINCT t.doc_id FROM tr2 t JOIN evsh e USING (shingle)),
+       |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |s4 AS (SELECT doc_id FROM s3 JOIN flags USING (doc_id)
+       |       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+       |         < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
+       |            WHEN 'src2' THEN 0 ELSE 5000 END))""".stripMargin
+  }
 
   /** Twin of both as-of implementations (window composition and native
     * sort-merge operator). Clicks collapse to one row per (user_id, ts)
@@ -586,6 +643,28 @@ object SparkEntry {
       graft.ops.Sampling.mixture(docs(s, dir), "source", "doc_id",
         Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
         .groupBy("source").agg(count(lit(1)).as("n"))
+    },
+
+    // ---- end-to-end curation composition ---------------------------------
+    "q_curate" -> { (s, dir) =>
+      // the full chain: quality -> language -> near-dedup ->
+      // decontaminate -> mixture -> split; eval corpus = every 50th doc
+      // (the q_decontaminate convention), mixture = the q_mixture rates
+      val d = docs(s, dir)
+      graft.ops.Curation.curate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5)
+    },
+    "q_curate_funnel" -> { (s, dir) =>
+      // per-stage survivor counts for the same chain/parameters
+      val d = docs(s, dir)
+      graft.ops.Curation.funnel(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5)
     }
   )
 
@@ -778,24 +857,13 @@ object SparkEntry {
       // connected components over the candidate-pair graph: min reachable
       // doc_id per node via a recursive label-closure CTE
       s"""WITH RECURSIVE $MINHASH_CTES,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id)
-         |SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id""".stripMargin,
+         |$CLUSTER_CTES
+         |SELECT doc_id, cluster_id FROM cl""".stripMargin,
     "q_dedup_keep" ->
       // survivors of end-to-end near-dup removal: everything except
       // non-canonical cluster members
       s"""WITH RECURSIVE $MINHASH_CTES,
-         |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
-         |          UNION ALL SELECT doc_b, doc_a FROM pairs),
-         |reach(id, lbl) AS (
-         |  SELECT DISTINCT src, src FROM edges
-         |  UNION
-         |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-         |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
+         |$CLUSTER_CTES
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
     "q_ngram_jaccard" ->
@@ -1178,6 +1246,21 @@ object SparkEntry {
         |WHERE b < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
         |           WHEN 'src2' THEN 0 ELSE 5000 END)
         |GROUP BY source""".stripMargin,
+    "q_curate" ->
+      s"""WITH RECURSIVE $CURATE_CTES
+         |SELECT doc_id, source, pred_lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source, pred_lang,
+         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |      FROM flags WHERE doc_id IN (SELECT doc_id FROM s4))""".stripMargin,
+    "q_curate_funnel" ->
+      s"""WITH RECURSIVE $CURATE_CTES
+         |SELECT CAST(1 AS INTEGER) AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM flags) AS n_docs
+         |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM flags WHERE q_keep)
+         |UNION ALL SELECT 3, 'language', (SELECT count(*) FROM s1)
+         |UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM s2)
+         |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
+         |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4)""".stripMargin,
     "q_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

@@ -1,0 +1,188 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{Materialize, TextNorm}
+
+/** End-to-end corpus curation: the composition a training-data team
+  * actually ships, assembled from this library's proven stages —
+  *
+  *   quality filter → language filter → near-dedup → decontamination
+  *   → mixture sampling → split assignment
+  *
+  * Each stage exists (and is oracle-gated) as a standalone operator in
+  * [[TextAnalysis]] / [[Dedup]] / [[Sampling]]; this module is the glue
+  * a user would otherwise write by hand, with two properties the naive
+  * chain lacks:
+  *
+  *   - The two token-derived filters (quality, language-ID) are FUSED
+  *     into one tokenization pass ([[rowFlags]]) instead of two scans
+  *     plus a doc_id join — at 100 TB the raw-text scan is the dominant
+  *     cost, and quality + language read the exact same token array.
+  *   - [[funnel]] reports per-stage survivor counts (the loss
+  *     accounting every production pipeline publishes) from ONE
+  *     aggregate over a single annotated scan, not one job per stage.
+  *
+  * Stage order is deliberate and load-bearing:
+  * cheap row-parallel predicates (quality, language) run first so the
+  * shuffling stages (near-dedup's band join, decontamination's shingle
+  * semi-join) only ever see survivors; near-dedup precedes
+  * decontamination so contaminated-id lookup work isn't spent on docs
+  * a dedup cluster would drop anyway; mixture (row-parallel again) is
+  * last because its keep-rate is a knob users re-tune per run — putting
+  * it after the expensive stages means a rate change replays only a
+  * filter, not the dedup graph. Split assignment drops no rows (it
+  * stamps a column), so it lives outside the funnel.
+  *
+  * Every stage keys off content or md5(doc_id) — no rand(), no
+  * partition-dependence — so the whole composition is deterministic
+  * and engine-reproducible; the DuckDB oracle replays it end to end
+  * (SparkEntry `q_curate` / `q_curate_funnel`).
+  *
+  * Reference scope note: the reference engine stops at word-count
+  * indexing (`mapper/main.py`, `master/main.py`); curation is part of
+  * this library's training-data superset (SURVEY §2.12), composed from
+  * the operators the reference-equivalent suites already gate.
+  */
+object Curation {
+
+  /** Per-row flags for the token-derived filters, one tokenization
+    * pass: `q_keep` ([[TextAnalysis.qualityScore]]'s keep rule —
+    * ≥ `minTokens` tokens and at least one English stopword hit) and
+    * `pred_lang` ([[TextAnalysis.languageId]]'s stopword-argmax with
+    * the same fixed tie order en, de, es, fr, zh). Carries `text`
+    * through — downstream shingle stages need it — plus `source` for
+    * the mixture stage. Row-parallel, fully codegen'd, no shuffle.
+    */
+  private[graft] def rowFlags(docs: DataFrame, minTokens: Int): DataFrame = {
+    def hits(words: Seq[String]): Column =
+      size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
+    val scored = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"), col("source"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("text"), col("source"),
+        size(col("ts")).as("n_tok"),
+        hits(Stopwords.en).as("score_en"),
+        hits(Stopwords.de).as("score_de"),
+        hits(Stopwords.es).as("score_es"),
+        hits(Stopwords.fr).as("score_fr"),
+        hits(Stopwords.zh).as("score_zh"))
+    val best = greatest(col("score_en"), col("score_de"), col("score_es"),
+      col("score_fr"), col("score_zh"))
+    scored.select(
+      col("doc_id"), col("text"), col("source"),
+      (col("n_tok") >= minTokens && col("score_en") > 0).as("q_keep"),
+      when(col("score_en") === best, "en")
+        .when(col("score_de") === best, "de")
+        .when(col("score_es") === best, "es")
+        .when(col("score_fr") === best, "fr")
+        .otherwise("zh").as("pred_lang"))
+  }
+
+  /** Run the full curation chain and return the kept training manifest:
+    * `(doc_id, source, pred_lang, split)` — one row per surviving doc,
+    * stamped with its deterministic train/val/test assignment.
+    *
+    * @param docs      training corpus with `doc_id`, `text`, `source`
+    * @param evalDocs  held-out eval corpus (`doc_id`, `text`) to
+    *                  decontaminate against
+    * @param keepLangs predicted languages to keep
+    * @param minTokens quality floor (tokens per doc)
+    * @param rates     per-source mixture keep rates; `defaultRate` for
+    *                  unlisted sources
+    * @param mat       materialization for the filtered corpus, which
+    *                  the dedup band join, the decontamination
+    *                  semi-join, and the final projection all
+    *                  reference. Under [[Materialize.Persist]] the
+    *                  caller owns releasing the returned plan's cached
+    *                  inputs (same contract as
+    *                  [[Dedup.minhashCandidatePairs]]).
+    *
+    * Scale shape: the raw corpus is scanned once to build the filtered
+    * survivor set (row-parallel predicates); only survivors' shingles
+    * enter the two keyed shuffles (band grouping, shingle semi-join);
+    * the loser/contaminated id sets are small and AQE broadcasts the
+    * anti-joins; mixture + split are shuffle-free column algebra on the
+    * result. Doc text never shuffles anywhere — bands, shingles and ids
+    * do.
+    */
+  def curate(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val s1 = Materialize(
+      rowFlags(docs, minTokens)
+        .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*)),
+      mat)
+    val s2 = s1.join(Dedup.nearDupLosers(s1, mat = mat), Seq("doc_id"), "left_anti")
+    val s3 = s2.join(Dedup.contaminatedIds(s2, evalDocs), Seq("doc_id"), "left_anti")
+    s3.filter(Sampling.mixtureKeep("source", "doc_id", rates, defaultRate))
+      .select(col("doc_id"), col("source"), col("pred_lang"),
+        Sampling.splitCol("doc_id", trainPct, valPct).as("split"))
+  }
+
+  /** Per-stage survivor counts for the exact chain [[curate]] runs —
+    * `(stage_idx, stage, n_docs)` with stages `ingest, quality,
+    * language, near_dedup, decontaminate, mixture` — the number of docs
+    * still alive AFTER each stage (ingest = input size).
+    *
+    * Single-pass accounting: the input-set-dependent drop sets (dedup
+    * losers over the quality+language survivors, contaminated ids over
+    * the dedup survivors) are computed once as small id tables, then
+    * ONE scan of the flagged corpus left-joins them and evaluates all
+    * six cumulative stage predicates inside one aggregate — at 100 TB
+    * the corpus is read twice total (once to build the survivor set the
+    * drop sets need, once to count), never once per stage.
+    */
+  def funnel(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val langKeep = col("pred_lang").isin(keepLangs: _*)
+    val s1 = Materialize(
+      rowFlags(docs, minTokens).filter(col("q_keep") && langKeep), mat)
+    val losers = Dedup.nearDupLosers(s1, mat = mat)
+    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val contam = Dedup.contaminatedIds(s2, evalDocs)
+
+    val c1 = col("q_keep")
+    val c2 = c1 && langKeep
+    val c3 = c2 && col("is_loser").isNull
+    val c4 = c3 && col("is_contam").isNull
+    val c5 = c4 && Sampling.mixtureKeep("source", "doc_id", rates, defaultRate)
+    val counts = rowFlags(docs, minTokens)
+      .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n0"),
+        count(when(c1, 1)).as("n1"),
+        count(when(c2, 1)).as("n2"),
+        count(when(c3, 1)).as("n3"),
+        count(when(c4, 1)).as("n4"),
+        count(when(c5, 1)).as("n5"))
+
+    def stage(i: Int, name: String, n: String) =
+      struct(lit(i).as("stage_idx"), lit(name).as("stage"), col(n).as("n_docs"))
+    counts
+      .select(explode(array(
+        stage(1, "ingest", "n0"),
+        stage(2, "quality", "n1"),
+        stage(3, "language", "n2"),
+        stage(4, "near_dedup", "n3"),
+        stage(5, "decontaminate", "n4"),
+        stage(6, "mixture", "n5"))).as("st"))
+      .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"))
+  }
+}

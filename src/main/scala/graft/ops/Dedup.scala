@@ -417,15 +417,23 @@ object Dedup {
     * small → AQE broadcasts it); the final filter is an anti-join on
     * doc_id. The corpus text itself never moves — only shingles and ids.
     */
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame = {
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame =
+    docs.join(contaminatedIds(docs, evalDocs, w), Seq("doc_id"), "left_anti")
+
+  /** The ids [[decontaminate]] removes: training docs sharing at least
+    * one w-shingle with the eval corpus. Exposed so composed pipelines
+    * ([[Curation.funnel]]) can account the drop set without running the
+    * anti-join twice. Per-doc-independent: membership depends only on
+    * the doc's own shingles vs the eval set, never on which OTHER
+    * training docs are present. */
+  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame = {
     val trainSh = shingled(docs, w)
       .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
     val evalSh = shingled(evalDocs.select(col("doc_id"), col("text")), w)
       .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
-    val contaminated = trainSh
+    trainSh
       .join(evalSh, Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
-    docs.join(contaminated, Seq("doc_id"), "left_anti")
   }
 
   /** [[decontaminate]] with a broadcast Bloom prefilter on the TRAIN
@@ -532,12 +540,25 @@ object Dedup {
       k: Int = 8,
       bands: Int = 2,
       bucketCap: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val losers = clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat), mat = mat)
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat), Seq("doc_id"), "left_anti")
+
+  /** The ids [[dropNearDuplicates]] removes: non-canonical members of
+    * each near-dup cluster (everyone but the minimum doc_id). Exposed
+    * so composed pipelines ([[Curation.funnel]]) can account the drop
+    * set without a second clustering run. Unlike [[contaminatedIds]]
+    * this IS input-set-dependent — pairs form among the docs passed in,
+    * so call it on the same filtered corpus the removal runs on. */
+  def nearDupLosers(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      bucketCap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat), mat = mat)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
-    docs.join(losers, Seq("doc_id"), "left_anti")
-  }
 
   /** Duplicate CLUSTERS from candidate pairs: connected components by
     * iterative min-label propagation — every doc gets the smallest

@@ -19,18 +19,23 @@ object Sampling {
   private def hashBucket(id: Column): Column =
     conv(substring(md5(id.cast("string")), 1, 4), 16, 10).cast("long") % 100
 
-  /** Train/val/test split: deterministic md5-bucket assignment.
-    * Fractions are integer percentages summing to <= 100 (remainder →
-    * test). */
-  def trainValTest(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+  /** The split label of [[trainValTest]] as a reusable Column —
+    * composed pipelines ([[Curation.curate]]) stamp it onto their final
+    * projection without a second pass. */
+  def splitCol(idCol: String, trainPct: Int = 80, valPct: Int = 10): Column = {
     require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
       s"invalid split $trainPct/$valPct")
     val b = hashBucket(col(idCol))
-    df.withColumn("split",
-      when(b < trainPct, "train")
-        .when(b < trainPct + valPct, "val")
-        .otherwise("test"))
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
   }
+
+  /** Train/val/test split: deterministic md5-bucket assignment.
+    * Fractions are integer percentages summing to <= 100 (remainder →
+    * test). */
+  def trainValTest(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame =
+    df.withColumn("split", splitCol(idCol, trainPct, valPct))
 
   /** Mixture sampling: deterministically downsample each source/domain
     * to its configured rate — how a training mix applies domain weights
@@ -46,7 +51,17 @@ object Sampling {
       sourceCol: String,
       idCol: String,
       rates: Map[String, Double],
-      defaultRate: Double = 1.0): DataFrame = {
+      defaultRate: Double = 1.0): DataFrame =
+    df.filter(mixtureKeep(sourceCol, idCol, rates, defaultRate))
+
+  /** The keep-predicate of [[mixture]] as a reusable Column — composed
+    * pipelines evaluate it alongside other per-row stage predicates in
+    * one scan ([[Curation.funnel]]'s single-pass accounting). */
+  def mixtureKeep(
+      sourceCol: String,
+      idCol: String,
+      rates: Map[String, Double],
+      defaultRate: Double = 1.0): Column = {
     (rates.values.toSeq :+ defaultRate).foreach(r =>
       require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
     // finer bucket than trainValTest's 100: rates often need basis points
@@ -56,7 +71,7 @@ object Sampling {
       case (acc, (src, r)) =>
         when(col(sourceCol) === src, lit((r * 10000).toInt)).otherwise(acc)
     }
-    df.filter(b < threshold)
+    b < threshold
   }
 
   /** Sequence packing for training shards: assign each document a

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Curation, Dedup, Sampling, TextAnalysis}
+import org.apache.spark.sql.functions._
+import SparkSpec.spark.implicits._
+
+class CurationSpec extends SparkSpec {
+
+  // A corpus engineered so each stage drops exactly one known doc:
+  //   2 -> quality (2 tokens), 3 -> language (German argmax, but one
+  //   'the' so it still clears the quality stopword rule), 41/42 ->
+  //   identical text, 42 loses near-dedup to the smaller id, 5 ->
+  //   shares the 3-shingle "alpha beta gamma" with the eval doc,
+  //   6 -> source src2 with mixture rate 0. Survivors: 1, 41.
+  private val en1 =
+    "the quick brown fox jumps over the lazy dog once more today"
+  private val dupText =
+    "a very ordinary sentence about the weather and some other plain topics"
+  private val contamText =
+    "this document quotes alpha beta gamma verbatim from the secret eval set"
+  private val mixText =
+    "the mixture stage will remove this document by its source rate alone"
+  private val docs = Seq(
+    (1L, en1, "src0"),
+    (2L, "short text", "src0"),
+    (3L, "der die das und ist nicht ein eine von zu the", "src0"),
+    (41L, dupText, "src0"),
+    (42L, dupText, "src0"),
+    (5L, contamText, "src0"),
+    (6L, mixText, "src2")
+  ).toDF("doc_id", "text", "source")
+  private val evalDocs = Seq(
+    (9001L, "eval question mentions alpha beta gamma explicitly")
+  ).toDF("doc_id", "text")
+  private val rates = Map("src2" -> 0.0)
+
+  test("rowFlags fuses qualityScore.keep and languageId.pred_lang into one pass") {
+    val flags = Curation.rowFlags(docs, minTokens = 10)
+      .select("doc_id", "q_keep", "pred_lang").as[(Long, Boolean, String)]
+      .collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val viaQuality = TextAnalysis.qualityScore(docs)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    val viaLang = TextAnalysis.languageId(docs)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    docs.select("doc_id").as[Long].collect().foreach { id =>
+      assert(flags(id)._1 === viaQuality(id), s"q_keep mismatch for doc $id")
+      assert(flags(id)._2 === viaLang(id), s"pred_lang mismatch for doc $id")
+    }
+    // the engineered corpus exercises both flags
+    assert(!flags(2L)._1)
+    assert(flags(3L)._1 && flags(3L)._2 === "de")
+  }
+
+  test("curate drops each doc at its designed stage; survivors carry split labels") {
+    val out = Curation.curate(docs, evalDocs, rates = rates)
+    assert(out.columns.toSeq === Seq("doc_id", "source", "pred_lang", "split"))
+    val rows = out.as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(1L, 41L))
+    rows.foreach { r =>
+      assert(r._3 === "en")
+      assert(Set("train", "val", "test").contains(r._4))
+    }
+    // deterministic: a second run is row-identical (split included)
+    val again = Curation.curate(docs, evalDocs, rates = rates)
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(again.toSeq === rows.toSeq)
+  }
+
+  test("funnel counts each stage's survivors; last stage equals curate's output size") {
+    val f = Curation.funnel(docs, evalDocs, rates = rates)
+      .as[(Int, String, Long)].collect().sortBy(_._1)
+    assert(f.map(r => (r._1, r._2)).toSeq === Seq(
+      1 -> "ingest", 2 -> "quality", 3 -> "language",
+      4 -> "near_dedup", 5 -> "decontaminate", 6 -> "mixture"))
+    assert(f.map(_._3).toSeq === Seq(7L, 6L, 5L, 4L, 3L, 2L))
+    // the funnel's terminal count is curate's cardinality by construction
+    assert(f.last._3 === Curation.curate(docs, evalDocs, rates = rates).count())
+  }
+
+  test("stage predicates compose the standalone operators' own answers") {
+    // near-dedup losers over the quality+language survivors: only 42
+    val s1 = Curation.rowFlags(docs, 10)
+      .filter(col("q_keep") && col("pred_lang") === "en")
+    assert(Dedup.nearDupLosers(s1).as[Long].collect().toSeq === Seq(42L))
+    // contamination over the dedup survivors: only 5
+    val s2 = s1.filter(col("doc_id") =!= 42L)
+    assert(Dedup.contaminatedIds(s2, evalDocs).as[Long].collect().toSeq === Seq(5L))
+    // mixture predicate: src2 at rate 0 always drops, default rate keeps
+    val kept = docs.filter(Sampling.mixtureKeep("source", "doc_id", rates))
+      .select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(6L) && kept.contains(1L))
+  }
+
+  test("refactored splitCol/mixtureKeep leave trainValTest/mixture behavior unchanged") {
+    val df = (1L to 500L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
+    val viaOp = Sampling.trainValTest(df, "doc_id").groupBy("split").count()
+      .as[(String, Long)].collect().toMap
+    assert(viaOp.values.sum === 500L)
+    val viaCol = df.select(Sampling.splitCol("doc_id").as("split"))
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(viaCol === viaOp)
+    val opRows = Sampling.mixture(df, "source", "doc_id", Map("src1" -> 0.3), 0.5)
+      .select("doc_id").as[Long].collect().toSet
+    val colRows = df.filter(Sampling.mixtureKeep("source", "doc_id", Map("src1" -> 0.3), 0.5))
+      .select("doc_id").as[Long].collect().toSet
+    assert(opRows === colRows && opRows.nonEmpty)
+  }
+}
