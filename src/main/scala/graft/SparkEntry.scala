@@ -82,13 +82,13 @@ object SparkEntry {
     def sc(l: String, words: String) =
       s"len(list_filter(ts, t -> list_contains($words, t))) AS score_$l"
     s"""flags AS (
-       |  SELECT doc_id, source, q_keep,
+       |  SELECT doc_id, source, n_tok, q_keep,
        |    CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
        |         WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
        |         ELSE 'zh' END AS pred_lang
-       |  FROM (SELECT doc_id, source, q_keep, score_en, score_de, score_es, score_fr, score_zh,
+       |  FROM (SELECT doc_id, source, n_tok, q_keep, score_en, score_de, score_es, score_fr, score_zh,
        |          greatest(score_en, score_de, score_es, score_fr, score_zh) AS best
-       |    FROM (SELECT doc_id, source,
+       |    FROM (SELECT doc_id, source, len(ts) AS n_tok,
        |            (len(ts) >= 10 AND len(list_filter(ts, t -> list_contains(${Stop.en}, t))) > 0) AS q_keep,
        |            ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
        |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
@@ -1254,13 +1254,23 @@ object SparkEntry {
          |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
          |      FROM flags WHERE doc_id IN (SELECT doc_id FROM s4))""".stripMargin,
     "q_curate_funnel" ->
-      s"""WITH RECURSIVE $CURATE_CTES
-         |SELECT CAST(1 AS INTEGER) AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM flags) AS n_docs
-         |UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM flags WHERE q_keep)
-         |UNION ALL SELECT 3, 'language', (SELECT count(*) FROM s1)
-         |UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM s2)
-         |UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
-         |UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4)""".stripMargin,
+      s"""WITH RECURSIVE $CURATE_CTES,
+         |tok AS (SELECT s.stage_idx, CAST(coalesce(sum(f.n_tok), 0) AS BIGINT) AS n_tokens
+         |        FROM (SELECT 1 AS stage_idx, doc_id FROM flags
+         |              UNION ALL SELECT 2, doc_id FROM flags WHERE q_keep
+         |              UNION ALL SELECT 3, doc_id FROM s1
+         |              UNION ALL SELECT 4, doc_id FROM s2
+         |              UNION ALL SELECT 5, doc_id FROM s3
+         |              UNION ALL SELECT 6, doc_id FROM s4) s
+         |        JOIN flags f USING (doc_id) GROUP BY s.stage_idx)
+         |SELECT stage_idx, stage, n_docs, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens FROM (
+         |  SELECT CAST(1 AS INTEGER) AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM flags) AS n_docs
+         |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM flags WHERE q_keep)
+         |  UNION ALL SELECT 3, 'language', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4))
+         |LEFT JOIN tok USING (stage_idx)""".stripMargin,
     "q_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

@@ -53,7 +53,8 @@ object Curation {
     * `pred_lang` ([[TextAnalysis.languageId]]'s stopword-argmax with
     * the same fixed tie order en, de, es, fr, zh). Carries `text`
     * through — downstream shingle stages need it — plus `source` for
-    * the mixture stage. Row-parallel, fully codegen'd, no shuffle.
+    * the mixture stage and `n_tok` for [[funnel]]'s token-weighted
+    * accounting. Row-parallel, fully codegen'd, no shuffle.
     */
   private[graft] def rowFlags(docs: DataFrame, minTokens: Int): DataFrame = {
     def hits(words: Seq[String]): Column =
@@ -70,7 +71,7 @@ object Curation {
     val best = greatest(col("score_en"), col("score_de"), col("score_es"),
       col("score_fr"), col("score_zh"))
     scored.select(
-      col("doc_id"), col("text"), col("source"),
+      col("doc_id"), col("text"), col("source"), col("n_tok"),
       (col("n_tok") >= minTokens && col("score_en") > 0).as("q_keep"),
       when(col("score_en") === best, "en")
         .when(col("score_de") === best, "de")
@@ -129,9 +130,12 @@ object Curation {
   }
 
   /** Per-stage survivor counts for the exact chain [[curate]] runs —
-    * `(stage_idx, stage, n_docs)` with stages `ingest, quality,
-    * language, near_dedup, decontaminate, mixture` — the number of docs
-    * still alive AFTER each stage (ingest = input size).
+    * `(stage_idx, stage, n_docs, n_tokens)` with stages `ingest,
+    * quality, language, near_dedup, decontaminate, mixture` — docs and
+    * TOKENS still alive AFTER each stage (ingest = input size). The
+    * token column is the number that matters to a training run: a stage
+    * that drops 1% of docs may be dropping 30% of tokens if it prunes
+    * long documents, and doc counts alone hide that.
     *
     * Single-pass accounting: the input-set-dependent drop sets (dedup
     * losers over the quality+language survivors, contaminated ids over
@@ -171,18 +175,25 @@ object Curation {
         count(when(c2, 1)).as("n2"),
         count(when(c3, 1)).as("n3"),
         count(when(c4, 1)).as("n4"),
-        count(when(c5, 1)).as("n5"))
+        count(when(c5, 1)).as("n5"),
+        coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("t0"),
+        coalesce(sum(when(c1, col("n_tok"))), lit(0L)).cast("long").as("t1"),
+        coalesce(sum(when(c2, col("n_tok"))), lit(0L)).cast("long").as("t2"),
+        coalesce(sum(when(c3, col("n_tok"))), lit(0L)).cast("long").as("t3"),
+        coalesce(sum(when(c4, col("n_tok"))), lit(0L)).cast("long").as("t4"),
+        coalesce(sum(when(c5, col("n_tok"))), lit(0L)).cast("long").as("t5"))
 
-    def stage(i: Int, name: String, n: String) =
-      struct(lit(i).as("stage_idx"), lit(name).as("stage"), col(n).as("n_docs"))
+    def stage(i: Int, name: String, n: String, t: String) =
+      struct(lit(i).as("stage_idx"), lit(name).as("stage"),
+        col(n).as("n_docs"), col(t).as("n_tokens"))
     counts
       .select(explode(array(
-        stage(1, "ingest", "n0"),
-        stage(2, "quality", "n1"),
-        stage(3, "language", "n2"),
-        stage(4, "near_dedup", "n3"),
-        stage(5, "decontaminate", "n4"),
-        stage(6, "mixture", "n5"))).as("st"))
-      .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"))
+        stage(1, "ingest", "n0", "t0"),
+        stage(2, "quality", "n1", "t1"),
+        stage(3, "language", "n2", "t2"),
+        stage(4, "near_dedup", "n3", "t3"),
+        stage(5, "decontaminate", "n4", "t4"),
+        stage(6, "mixture", "n5", "t5"))).as("st"))
+      .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"), col("st.n_tokens"))
   }
 }

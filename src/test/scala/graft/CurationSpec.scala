@@ -66,13 +66,20 @@ class CurationSpec extends SparkSpec {
     assert(again.toSeq === rows.toSeq)
   }
 
-  test("funnel counts each stage's survivors; last stage equals curate's output size") {
+  test("funnel counts each stage's surviving docs AND tokens; last stage equals curate") {
     val f = Curation.funnel(docs, evalDocs, rates = rates)
-      .as[(Int, String, Long)].collect().sortBy(_._1)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
     assert(f.map(r => (r._1, r._2)).toSeq === Seq(
       1 -> "ingest", 2 -> "quality", 3 -> "language",
       4 -> "near_dedup", 5 -> "decontaminate", 6 -> "mixture"))
     assert(f.map(_._3).toSeq === Seq(7L, 6L, 5L, 4L, 3L, 2L))
+    // token attrition: monotone non-increasing, ingest = whole-corpus
+    // token count, terminal = the survivors' own token counts
+    val tokensOf = graft.ops.TextAnalysis.tokenStats(docs)
+      .select("doc_id", "n_tokens").as[(Long, Long)].collect().toMap
+    assert(f.head._4 === tokensOf.values.sum)
+    assert(f.map(_._4).toSeq === f.map(_._4).toSeq.sorted.reverse)
+    assert(f.last._4 === tokensOf(1L) + tokensOf(41L))
     // the funnel's terminal count is curate's cardinality by construction
     assert(f.last._3 === Curation.curate(docs, evalDocs, rates = rates).count())
   }
