@@ -72,6 +72,15 @@ object ProbeScale {
     time("dedup_incremental")(Dedup.dropDuplicatesAgainst(
       docs.filter(col("doc_id") % 2 =!= 0),
       Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0))).count())
+    // round-8: the full curation composition (quality+lang fused scan →
+    // near-dedup → decontaminate → mixture → split) at both scales —
+    // does the chain track the data ratio, or does a stage compound?
+    def curateAt(d: org.apache.spark.sql.DataFrame) = graft.ops.Curation.curate(
+      d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
+      rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    time("curate_sf01")(curateAt(docs01).count())
+    time("curate_sf1")(curateAt(docs).count())
     }
     if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies

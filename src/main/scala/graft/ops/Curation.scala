@@ -51,34 +51,55 @@ object Curation {
     * pass: `q_keep` ([[TextAnalysis.qualityScore]]'s keep rule —
     * ≥ `minTokens` tokens and at least one English stopword hit) and
     * `pred_lang` ([[TextAnalysis.languageId]]'s stopword-argmax with
-    * the same fixed tie order en, de, es, fr, zh). Carries `text`
-    * through — downstream shingle stages need it — plus `source` for
-    * the mixture stage and `n_tok` for [[funnel]]'s token-weighted
-    * accounting. Row-parallel, fully codegen'd, no shuffle.
+    * the same fixed tie order en, de, es, fr, zh), plus `n_tok` for
+    * [[funnel]]'s token-weighted accounting. ALL input columns pass
+    * through unchanged — the batch chain keeps `text` (downstream
+    * shingle stages) and `source` (mixture), the streaming gate keeps
+    * whatever its JSONL schema carries. Row-parallel, fully codegen'd,
+    * no shuffle. Two-step selects keep the tokenizer materialized once
+    * per row (CollapseProject would otherwise inline it into every
+    * derived stat — the [[TextAnalysis.tokenStats]] precedent).
     */
   private[graft] def rowFlags(docs: DataFrame, minTokens: Int): DataFrame = {
     def hits(words: Seq[String]): Column =
       size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
+    val passThrough = docs.columns.toSeq.map(col)
     val scored = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), col("text"), col("source"), TextNorm.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("text"), col("source"),
+      .select(passThrough :+ TextNorm.tokens(col("text")).as("ts"): _*)
+      .select(passThrough ++ Seq(
         size(col("ts")).as("n_tok"),
         hits(Stopwords.en).as("score_en"),
         hits(Stopwords.de).as("score_de"),
         hits(Stopwords.es).as("score_es"),
         hits(Stopwords.fr).as("score_fr"),
-        hits(Stopwords.zh).as("score_zh"))
+        hits(Stopwords.zh).as("score_zh")): _*)
     val best = greatest(col("score_en"), col("score_de"), col("score_es"),
       col("score_fr"), col("score_zh"))
-    scored.select(
-      col("doc_id"), col("text"), col("source"), col("n_tok"),
+    scored.select(passThrough ++ Seq(
+      col("n_tok"),
       (col("n_tok") >= minTokens && col("score_en") > 0).as("q_keep"),
       when(col("score_en") === best, "en")
         .when(col("score_de") === best, "de")
         .when(col("score_es") === best, "es")
         .when(col("score_fr") === best, "fr")
-        .otherwise("zh").as("pred_lang"))
+        .otherwise("zh").as("pred_lang")): _*)
   }
+
+  /** Row-parallel quality/language gate — the [[curate]] chain's two
+    * cheap predicates packaged for per-batch streaming use
+    * ([[graft.streaming.CorpusWatcher.startJsonl]]). */
+  final case class QualityGate(minTokens: Int = 10, keepLangs: Seq[String] = Seq("en")) {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+  }
+
+  /** Apply a [[QualityGate]]: keep docs passing the quality rule whose
+    * predicted language is in the gate's keep set; output schema equals
+    * the input schema (flag columns are internal). One tokenization
+    * pass, no shuffle — safe to run inside every micro-batch. */
+  def applyGate(docs: DataFrame, gate: QualityGate): DataFrame =
+    rowFlags(docs, gate.minTokens)
+      .filter(col("q_keep") && col("pred_lang").isin(gate.keepLangs: _*))
+      .select(docs.columns.toSeq.map(col): _*)
 
   /** Run the full curation chain and return the kept training manifest:
     * `(doc_id, source, pred_lang, split)` — one row per surviving doc,

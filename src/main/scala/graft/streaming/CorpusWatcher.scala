@@ -160,6 +160,18 @@ object CorpusWatcher {
     * each intra-batch cluster's minimum doc_id). Off by default: it
     * adds a connected-components pass per batch, and a feed that is
     * already unique-per-batch shouldn't pay for it.
+    *
+    * Quality gate (`qualityGate`): the streaming face of the batch
+    * curation chain's row-parallel stages ([[graft.ops.Curation]]) —
+    * each batch's clean rows pass the quality rule (≥ minTokens tokens,
+    * ≥ 1 English stopword hit) and the language-ID keep set BEFORE any
+    * dedup state or index merge sees them. Gate-dropped docs are
+    * DISCARDED, not quarantined: they are well-formed lines the policy
+    * rejects, not corrupt input to replay — same semantics as the batch
+    * chain, where a filtered doc simply isn't in the output. Order
+    * mirrors the batch chain too: the gate runs before the near-dup
+    * filter, so band state and the index only ever accumulate docs
+    * that passed it (a gated doc never widens the dedup filter).
     */
   def startJsonl(
       spark: SparkSession,
@@ -170,7 +182,8 @@ object CorpusWatcher {
       availableNow: Boolean = true,
       retainSnapshots: Int = 2,
       dedupBandsDir: Option[String] = None,
-      dedupWithinBatch: Boolean = false): StreamingQuery = {
+      dedupWithinBatch: Boolean = false,
+      qualityGate: Option[graft.ops.Curation.QualityGate] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
@@ -194,8 +207,12 @@ object CorpusWatcher {
         // instead of appending duplicates); the partition-style name
         // surfaces batch_id as a column when reading the parent dir
         bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
-        val clean = batch.filter(col(C).isNull && col("doc_id").isNotNull)
+        val parsed = batch.filter(col(C).isNull && col("doc_id").isNotNull)
           .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+        val clean = qualityGate match {
+          case None    => parsed
+          case Some(g) => graft.ops.Curation.applyGate(parsed, g)
+        }
         // history filter first, then within-batch (the order
         // dropDuplicatesAgainst's contract documents): a doc that
         // near-dups history is gone either way; the intra-batch pass

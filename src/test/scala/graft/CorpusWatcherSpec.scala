@@ -181,6 +181,35 @@ class CorpusWatcherSpec extends SparkSpec {
       ("replaced", "1", 1L), ("bird", "3", 1L)))
   }
 
+  test("qualityGate drops low-quality and off-language docs before indexing; corrupt lines still quarantine") {
+    val (watch, index, ckpt, quar) =
+      (tmp("watchqg"), tmp("indexqg"), tmp("ckptqg"), tmp("quarqg") + "/bad")
+    // 10: passes (>= 10 tokens, en stopwords); 11: too short (quality);
+    // 12: German argmax with one en stopword hit (language, not quality);
+    // 13: malformed (quarantine path must be unaffected by the gate)
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 10, "text": "the quick brown fox jumps over the lazy dog again today"}""" + "\n" +
+        """{"doc_id": 11, "text": "too short"}""" + "\n" +
+        """{"doc_id": 12, "text": "der die das und ist nicht ein eine von zu the"}""" + "\n" +
+        """{"doc_id": 13, "text": "broken""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      qualityGate = Some(graft.ops.Curation.QualityGate())).awaitTermination()
+    val indexed = indexEntries(index).map(_._2)
+    assert(indexed === Set("10"),
+      s"gate should keep only doc 10, indexed docs: $indexed")
+    // gated docs are DISCARDED (policy), corrupt lines still quarantine
+    val bad = spark.read.parquet(quar).select("raw").as[String].collect().toSet
+    assert(bad === Set("""{"doc_id": 13, "text": "broken"""))
+    // gate parity with the batch operator on identical input
+    val asBatch = Seq((10L, "the quick brown fox jumps over the lazy dog again today"),
+      (11L, "too short"),
+      (12L, "der die das und ist nicht ein eine von zu the"))
+      .toDF("doc_id", "text")
+    val kept = graft.ops.Curation.applyGate(asBatch, graft.ops.Curation.QualityGate())
+    assert(kept.columns.toSeq === Seq("doc_id", "text"))
+    assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(10L))
+  }
+
   test("dedupBandsDir: cross-batch near-dups dropped, survivor-only band appends, no cache growth") {
     val (watch, index, quar, bands) =
       (tmp("watchdd"), tmp("indexdd"), tmp("quardd") + "/bad", tmp("bandsdd") + "/bands")
