@@ -172,6 +172,21 @@ object CorpusWatcher {
     * mirrors the batch chain too: the gate runs before the near-dup
     * filter, so band state and the index only ever accumulate docs
     * that passed it (a gated doc never widens the dedup filter).
+    *
+    * Per-batch funnel metrics (`metricsDir`): the streaming face of
+    * [[graft.ops.Curation.funnel]] — each batch appends one row per
+    * pipeline stage (`ingest, parsed, quality_gate, dedup_history,
+    * dedup_within, indexed` — surviving doc counts) to
+    * `metricsDir/batch_id=N`, the observability a production feed
+    * needs ("batch 412 dropped 80% at the gate" is an incident; a
+    * silent filter is not). Disabled stages report their input count
+    * unchanged, so the schema is stable across configurations. Same
+    * per-batch-overwrite replay idempotence as the quarantine; written
+    * AFTER the snapshot swap so metrics never describe an unpublished
+    * index. Opt-in because each stage count is an extra action over
+    * that stage's (unmaterialized) frame — the micro-batch is re-read
+    * once per enabled stage, acceptable for batch-sized increments but
+    * not free.
     */
   def startJsonl(
       spark: SparkSession,
@@ -183,7 +198,8 @@ object CorpusWatcher {
       retainSnapshots: Int = 2,
       dedupBandsDir: Option[String] = None,
       dedupWithinBatch: Boolean = false,
-      qualityGate: Option[graft.ops.Curation.QualityGate] = None): StreamingQuery = {
+      qualityGate: Option[graft.ops.Curation.QualityGate] = None,
+      metricsDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
@@ -243,6 +259,23 @@ object CorpusWatcher {
         val delta = InvertedIndex.build(kept, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(currentIndex(session, indexDir), delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
+        metricsDir.foreach { md =>
+          // count only the frames a knob actually changed; pass-through
+          // stages reuse the upstream count (no extra action)
+          val nIngest = batch.count()
+          val nParsed = parsed.count()
+          val nGated = if (qualityGate.isDefined) clean.count() else nParsed
+          val nHist = if (dedupBandsDir.isDefined) afterHistory.count() else nGated
+          val nWithin = if (dedupWithinBatch) deduped.count() else nHist
+          val nKept = if (kept eq deduped) nWithin else kept.count()
+          import session.implicits._
+          Seq(
+            (1, "ingest", nIngest), (2, "parsed", nParsed),
+            (3, "quality_gate", nGated), (4, "dedup_history", nHist),
+            (5, "dedup_within", nWithin), (6, "indexed", nKept))
+            .toDF("stage_idx", "stage", "n_docs")
+            .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
+        }
         // both consumers (band append + snapshot) are on disk now
         if (dedupBandsDir.isDefined) kept.unpersist(blocking = false)
         ()
