@@ -72,15 +72,62 @@ object ProbeScale {
     time("dedup_incremental")(Dedup.dropDuplicatesAgainst(
       docs.filter(col("doc_id") % 2 =!= 0),
       Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0))).count())
+    }
     // round-8: the full curation composition (quality+lang fused scan →
     // near-dedup → decontaminate → mixture → split) at both scales —
     // does the chain track the data ratio, or does a stage compound?
+    if (section == "all" || section == "docs" || section == "curate") {
     def curateAt(d: org.apache.spark.sql.DataFrame) = graft.ops.Curation.curate(
       d.filter(col("doc_id") % 50 =!= 0), d.filter(col("doc_id") % 50 === 0),
       rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
     val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
     time("curate_sf01")(curateAt(docs01).count())
     time("curate_sf1")(curateAt(docs).count())
+    }
+    // A/B the flags-pass implementations at sf1 (dev diagnosis): how much
+    // of the scan is the tokenizer, and do the stopword-hit variants differ?
+    if (section == "flagsab") {
+    import graft.ops.Stopwords
+    val langs = Seq(Stopwords.en, Stopwords.de, Stopwords.es, Stopwords.fr, Stopwords.zh)
+    val ts = graft.core.TextNorm.tokens(col("text")).as("ts")
+    def agg6(scored: org.apache.spark.sql.DataFrame): Long =
+      scored.agg(sum(col("n") + col("s0") + col("s1") + col("s2") + col("s3") + col("s4")))
+        .head.getLong(0)
+    def viaHof(hit: (org.apache.spark.sql.Column, Seq[String]) => org.apache.spark.sql.Column): Long =
+      agg6(docs.select(ts).select(
+        size(col("ts")).as("n") +: langs.zipWithIndex.map { case (ws, i) =>
+          size(filter(col("ts"), t => hit(t, ws))).as(s"s$i") }: _*))
+    def viaRegex(): Long = {
+      val padded = concat(lit(" "), graft.core.TextNorm.normalize(col("text")), lit(" "))
+      agg6(docs.select(padded.as("p")).select(
+        regexp_count(col("p"), lit(" (?=[a-z0-9])")).as("n") +: langs.zipWithIndex.map {
+          case (ws, i) =>
+            regexp_count(col("p"), lit(" (?:" + ws.mkString("|") + ")(?= )")).as(s"s$i") }: _*))
+    }
+    for (rep <- 1 to 2) {
+      time(s"ab_tokenize_only_$rep")(docs.select(ts).agg(sum(size(col("ts")))).head.getLong(0))
+      time(s"ab_array_contains_$rep")(viaHof((t, ws) => array_contains(array(ws.map(lit): _*), t)))
+      time(s"ab_isin_$rep")(viaHof((t, ws) => t.isin(ws: _*)))
+      time(s"ab_regexp_count_$rep")(viaRegex())
+    }
+    }
+    // stage-level breakdown of the composition at sf1 (dev diagnosis)
+    if (section == "curatestages") {
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evald = docs.filter(col("doc_id") % 50 === 0)
+    val s1 = graft.ops.Curation.rowFlags(train, 10)
+      .filter(col("q_keep") && col("pred_lang") === "en")
+    time("cs_flags")(s1.count())
+    val losersDf = Dedup.nearDupLosers(s1)
+    time("cs_losers")(losersDf.count())
+    val s2 = s1.join(losersDf, Seq("doc_id"), "left_anti")
+    time("cs_s2")(s2.count())
+    val contam = Dedup.contaminatedIds(s2, evald)
+    time("cs_contam")(contam.count())
+    val s3 = s2.join(contam, Seq("doc_id"), "left_anti")
+    time("cs_s3_full")(s3.count())
+    time("cs_full_curate")(graft.ops.Curation.curate(train, evald,
+      rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5).count())
     }
     if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies

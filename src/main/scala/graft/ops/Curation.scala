@@ -61,8 +61,15 @@ object Curation {
     * derived stat — the [[TextAnalysis.tokenStats]] precedent).
     */
   private[graft] def rowFlags(docs: DataFrame, minTokens: Int): DataFrame = {
+    // isin, not array_contains(array(lits)): inside a higher-order
+    // filter the lambda body is interpreted per token, and the In
+    // predicate evaluates measurably cheaper there than
+    // array_contains over a constructed array — a same-JVM sf1 A/B
+    // (SURVEY §8) put the whole flags pass at 4.1 s vs 7.4 s warm,
+    // i.e. stopword matching drops to ~free against the ~4 s
+    // tokenizer floor, and this chain runs three flag passes
     def hits(words: Seq[String]): Column =
-      size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
+      size(filter(col("ts"), t => t.isin(words: _*)))
     val passThrough = docs.columns.toSeq.map(col)
     val scored = graft.core.Parallelism.ensure(docs)
       .select(passThrough :+ TextNorm.tokens(col("text")).as("ts"): _*)
@@ -112,21 +119,27 @@ object Curation {
     * @param minTokens quality floor (tokens per doc)
     * @param rates     per-source mixture keep rates; `defaultRate` for
     *                  unlisted sources
-    * @param mat       materialization for the filtered corpus, which
-    *                  the dedup band join, the decontamination
-    *                  semi-join, and the final projection all
-    *                  reference. Under [[Materialize.Persist]] the
-    *                  caller owns releasing the returned plan's cached
-    *                  inputs (same contract as
-    *                  [[Dedup.minhashCandidatePairs]]).
+    * @param mat       materialization for the DERIVED dedup tables
+    *                  (band buckets, candidate pairs, cluster labels —
+    *                  the same knob as [[Dedup.minhashCandidatePairs]];
+    *                  under [[Materialize.Persist]] the caller owns
+    *                  release).
     *
-    * Scale shape: the raw corpus is scanned once to build the filtered
-    * survivor set (row-parallel predicates); only survivors' shingles
-    * enter the two keyed shuffles (band grouping, shingle semi-join);
-    * the loser/contaminated id sets are small and AQE broadcasts the
-    * anti-joins; mixture + split are shuffle-free column algebra on the
-    * result. Doc text never shuffles anywhere — bands, shingles and ids
-    * do.
+    * Scale shape: the filtered survivor set is NOT materialized — it
+    * is re-derived from the source scan by each consumer (the band
+    * signing pass, the survivor chain, the decontamination shingle
+    * pass: three corpus scans total). The flags are cheap row-parallel
+    * column algebra — an sf1 A/B put one full flags pass at ~4 s warm,
+    * stopword matching ~free against the tokenizer floor (SURVEY §8) —
+    * so re-deriving them per consumer costs a scan, while
+    * checkpointing the survivors would copy the corpus TEXT into
+    * executor storage, a copy that at 100 TB dwarfs three scans'
+    * compute and pins storage the chain never reads again. Only
+    * survivors' shingles enter the two keyed shuffles (band grouping,
+    * shingle semi-join); the loser/contaminated id sets are small and
+    * AQE broadcasts the anti-joins; mixture + split are shuffle-free
+    * column algebra on the result. Doc text never shuffles anywhere —
+    * bands, shingles and ids do.
     */
   def curate(
       docs: DataFrame,
@@ -139,10 +152,8 @@ object Curation {
       valPct: Int = 10,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
-    val s1 = Materialize(
-      rowFlags(docs, minTokens)
-        .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*)),
-      mat)
+    val s1 = rowFlags(docs, minTokens)
+      .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*))
     val s2 = s1.join(Dedup.nearDupLosers(s1, mat = mat), Seq("doc_id"), "left_anti")
     val s3 = s2.join(Dedup.contaminatedIds(s2, evalDocs), Seq("doc_id"), "left_anti")
     s3.filter(Sampling.mixtureKeep("source", "doc_id", rates, defaultRate))
@@ -162,9 +173,11 @@ object Curation {
     * losers over the quality+language survivors, contaminated ids over
     * the dedup survivors) are computed once as small id tables, then
     * ONE scan of the flagged corpus left-joins them and evaluates all
-    * six cumulative stage predicates inside one aggregate — at 100 TB
-    * the corpus is read twice total (once to build the survivor set the
-    * drop sets need, once to count), never once per stage.
+    * six cumulative stage predicates inside one aggregate — the corpus
+    * is read a constant few times (signing pass, decontamination
+    * shingle pass, count pass — flags re-derived per scan, same
+    * no-text-materialization reasoning as [[curate]]), never once per
+    * stage.
     */
   def funnel(
       docs: DataFrame,
@@ -176,8 +189,7 @@ object Curation {
       mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
-    val s1 = Materialize(
-      rowFlags(docs, minTokens).filter(col("q_keep") && langKeep), mat)
+    val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
     val losers = Dedup.nearDupLosers(s1, mat = mat)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
