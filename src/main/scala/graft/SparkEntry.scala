@@ -60,6 +60,31 @@ object SparkEntry {
     s"""sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
        |${MINHASH_TAIL("sh")}""".stripMargin
 
+  /** DSIR hashed-bigram model chain — twin of
+    * [[graft.ops.Curation.importanceWeights]] (buckets=1024, target =
+    * every 50th doc, raw = the rest): bucket = first 8 md5 hex digits
+    * of "w1 w2" mod 1024; per-bucket smoothed log-ratio rounded to 6dp
+    * DECIMAL; `ds` = per-doc (n_feats, slw) over featureful raw docs. */
+  private val DSIR_CTES = {
+    def bg(where: String, cols: String) =
+      s"""SELECT $cols CAST(CAST(('0x' || substr(md5(ts[i] || ' ' || ts[i+1]), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS b
+         |  FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |        FROM (SELECT doc_id, $TOKS AS ts FROM documents WHERE $where)
+         |        WHERE len(ts) >= 2)""".stripMargin
+    s"""rbg AS (${bg("doc_id % 50 <> 0", "doc_id,")}),
+       |tbg AS (${bg("doc_id % 50 = 0", "")}),
+       |cr AS (SELECT b, count(*) AS cr FROM rbg GROUP BY b),
+       |ct AS (SELECT b, count(*) AS ct FROM tbg GROUP BY b),
+       |nr AS (SELECT count(*) AS nr FROM rbg),
+       |nt AS (SELECT count(*) AS nt FROM tbg),
+       |lr AS (SELECT cr.b,
+       |  CAST(round(ln((coalesce(ct.ct, 0) + 1.0) / (nt.nt + 1024))
+       |           - ln((cr.cr + 1.0) / (nr.nr + 1024)), 6) AS DECIMAL(18,6)) AS lr
+       |  FROM cr LEFT JOIN ct ON cr.b = ct.b CROSS JOIN nr CROSS JOIN nt),
+       |ds AS (SELECT r.doc_id, count(*) AS n_feats, sum(l.lr) AS slw
+       |       FROM rbg r JOIN lr l ON r.b = l.b GROUP BY r.doc_id)""".stripMargin
+  }
+
   /** Connected components over `pairs` (min reachable doc_id) — the
     * recursive closure shared by the cluster/keep/curate oracles;
     * requires WITH RECURSIVE and a `pairs(doc_a, doc_b)` CTE in scope. */
@@ -665,6 +690,21 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0),
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5)
+    },
+    "q_dsir_weights" -> { (s, dir) =>
+      // DSIR importance weights: target = every 50th doc (the
+      // q_decontaminate convention), raw = the rest, 1024 buckets
+      val d = docs(s, dir)
+      graft.ops.Curation.importanceWeights(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0))
+    },
+    "q_dsir_select" -> { (s, dir) =>
+      // the resampling step: 100 most target-like raw docs
+      val d = docs(s, dir)
+      graft.ops.Curation.importanceTopK(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0), 100)
     }
   )
 
@@ -1271,6 +1311,18 @@ object SparkEntry {
          |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
          |  UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4))
          |LEFT JOIN tok USING (stage_idx)""".stripMargin,
+    "q_dsir_weights" ->
+      s"""WITH $DSIR_CTES
+         |SELECT d.doc_id, coalesce(ds.n_feats, 0) AS n_feats,
+         |  CAST(CAST(ds.slw AS DECIMAL(18,6)) AS DOUBLE) AS log_weight
+         |FROM (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0) d
+         |LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_dsir_select" ->
+      s"""WITH $DSIR_CTES
+         |SELECT doc_id, log_weight, rank FROM (
+         |  SELECT doc_id, CAST(CAST(slw AS DECIMAL(18,6)) AS DOUBLE) AS log_weight,
+         |    CAST(row_number() OVER (ORDER BY slw DESC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM ds) WHERE rank <= 100""".stripMargin,
     "q_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

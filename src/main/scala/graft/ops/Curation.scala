@@ -161,6 +161,118 @@ object Curation {
         Sampling.splitCol("doc_id", trainPct, valPct).as("split"))
   }
 
+  /** DSIR-style importance weights (Xie et al., NeurIPS '23 — "Data
+    * Selection for Language Models via Importance Resampling"): score
+    * each raw-corpus document by how target-like its hashed-bigram
+    * profile is. Two bag-of-hashed-ngrams models — bigrams hashed into
+    * `buckets` buckets — are fit by counting: `p_target` over
+    * `targetDocs` (the domain you want more of), `p_raw` over `docs`
+    * (what you have). A document's importance log-weight is
+    *
+    *   log w(d) = Σ_{bigram ∈ d} [ log p̂_target(b(bigram))
+    *                              − log p̂_raw(b(bigram)) ]
+    *
+    * with add-one smoothing on both models. High weight = looks like
+    * the target domain; selection keeps the top-weighted docs
+    * ([[importanceTopK]]).
+    *
+    * Output: `(doc_id, n_feats, log_weight)` — one row per input doc;
+    * docs with fewer than two tokens have `n_feats = 0` and a NULL
+    * weight (no features ⇒ no evidence; they never rank in selection).
+    *
+    * Determinism (the tf-idf / [[TextAnalysis.lmBigramScore]] recipe):
+    * bucket = first 8 md5 hex digits of `"w1 w2"` mod `buckets` —
+    * integer-exact and engine-portable; each OBSERVED bucket's
+    * log-ratio is two IEEE `ln`s rounded to 6dp and cast
+    * DECIMAL(18,6), so the per-doc sum is order-independent exact
+    * decimal addition.
+    *
+    * Plan at 100 TB: the raw corpus's (doc_id, bucket) stream is
+    * materialized once (`mat` — the tokenizer pass is the dominant
+    * cost) and feeds both the raw model and the scoring side. Both
+    * models are groupBy(bucket) with map-side partial aggregation —
+    * the shuffle carries at most `buckets` rows per task, and the
+    * ratio table is ≤ `buckets` rows total (corpus-independent, a
+    * config knob), so scoring joins it BROADCAST: no occurrence-level
+    * shuffle anywhere; the only full-width shuffle is the final
+    * groupBy(doc_id), keyed and combinable. Raw text never leaves the
+    * scan projection.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      targetDocs: DataFrame,
+      buckets: Int = 1024,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    // (…, bucket) stream: one row per bigram occurrence
+    def bucketStream(d: DataFrame, keep: Seq[Column]): DataFrame =
+      graft.core.Parallelism.ensure(d)
+        .select(keep :+ TextNorm.tokens(col("text")).as("ts"): _*)
+        .where(size(col("ts")) >= 2)
+        .select(keep :+ explode(
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1)))).as("bgm"): _*)
+        .select(keep :+ (conv(substring(md5(col("bgm")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"): _*)
+    val rawStream = Materialize(bucketStream(docs, Seq(col("doc_id"))), mat)
+    val tgtStream = bucketStream(targetDocs, Seq.empty)
+    val cr = rawStream.groupBy("b").agg(count(lit(1)).as("cr"))
+    val ct = tgtStream.groupBy("b").agg(count(lit(1)).as("ct"))
+    val nr = rawStream.agg(count(lit(1)).as("nr"))
+    val nt = tgtStream.agg(count(lit(1)).as("nt"))
+    // every bucket a raw doc can hit is in cr by construction; target
+    // counts default to 0 there (smoothing keeps the ratio finite)
+    val lr = cr.join(ct, Seq("b"), "left")
+      .crossJoin(broadcast(nr)).crossJoin(broadcast(nt))
+      .select(col("b"),
+        round(log((coalesce(col("ct"), lit(0L)) + lit(1.0)) / (col("nt") + lit(buckets)))
+          - log((col("cr") + lit(1.0)) / (col("nr") + lit(buckets))), 6)
+          .cast(DecimalType(18, 6)).as("lr"))
+    val perDoc = rawStream.join(broadcast(lr), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("lr").as("log_weight"))
+    // decimal keeps the SUM order-independent; the published column is
+    // double (exact: 6dp decimals at this magnitude map injectively)
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("log_weight").cast(DecimalType(18, 6)).cast("double").as("log_weight"))
+  }
+
+  /** Select the `k` most target-like documents by [[importanceWeights]]
+    * — the resampling step of DSIR, deterministic variant: rank by
+    * `(log_weight desc, doc_id asc)` instead of Gumbel-perturbed
+    * sampling so the selection is reproducible and oracle-checkable.
+    * Featureless (NULL-weight) docs never rank.
+    *
+    * Ranking is the bounded-heap aggregate
+    * ([[graft.functions.TopKByScore]]): each map task forwards at most
+    * k candidates, no partition sort, no Window — the global top-k
+    * costs one k-row merge regardless of corpus size. The 6dp decimal
+    * weights map injectively to doubles at this magnitude, so the
+    * heap's double ordering equals decimal ordering.
+    *
+    * Output: `(doc_id, log_weight, rank)`, rank 1..k best-first.
+    */
+  def importanceTopK(
+      docs: DataFrame,
+      targetDocs: DataFrame,
+      k: Int,
+      buckets: Int = 1024,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    importanceWeights(docs, targetDocs, buckets, mat)
+      .where(col("log_weight").isNotNull)
+      .agg(graft.functions.TopKByScore.topK(
+        col("log_weight"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("e.id").as("doc_id"),
+        col("e.score").as("log_weight"),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Per-stage survivor counts for the exact chain [[curate]] runs —
     * `(stage_idx, stage, n_docs, n_tokens)` with stages `ingest,
     * quality, language, near_dedup, decontaminate, mixture` — docs and

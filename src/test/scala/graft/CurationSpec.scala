@@ -98,6 +98,61 @@ class CurationSpec extends SparkSpec {
     assert(!kept.contains(6L) && kept.contains(1L))
   }
 
+  test("composition plan shape: no Window sort, no cartesian product anywhere in the chain") {
+    // the chain's ranking-free design: every per-group decision is an
+    // aggregate (cluster min-label, funnel conditional counts), never a
+    // partition-sort; candidate generation is always keyed, never all-pairs
+    for ((name, df) <- Seq(
+        "curate" -> Curation.curate(docs, evalDocs, rates = rates),
+        "funnel" -> Curation.funnel(docs, evalDocs, rates = rates))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("Window"), s"$name plans a Window sort:\n$plan")
+      assert(!plan.contains("CartesianProduct"), s"$name plans a cartesian:\n$plan")
+    }
+  }
+
+  // DSIR fixtures: raw doc 11 is a verbatim substring of a target doc
+  // (every bigram target-seen), 12 uses fully disjoint vocabulary
+  // (every bigram target-unseen, log-ratio negative), 13 has one token
+  // (no bigram features at all)
+  private val dsirTarget = Seq(
+    (9101L, "solar panels convert sunlight into clean renewable energy for the power grid"),
+    (9102L, "wind turbines and solar panels feed clean renewable energy into the grid")
+  ).toDF("doc_id", "text")
+  private val dsirRaw = Seq(
+    (11L, "solar panels convert sunlight into clean renewable energy"),
+    (12L, "medieval castles hosted banquets with minstrels jesters and roasted boar"),
+    (13L, "word")
+  ).toDF("doc_id", "text")
+
+  test("importanceWeights: target-like docs outscore unrelated; featureless docs NULL") {
+    val rows = Curation.importanceWeights(dsirRaw, dsirTarget)
+      .select("doc_id", "n_feats", "log_weight")
+      .as[(Long, Long, Option[Double])].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rows.keySet === Set(11L, 12L, 13L))
+    assert(rows(13L) === ((0L, None)), "a <2-token doc has no features and no weight")
+    assert(rows(11L)._1 === 7L && rows(12L)._1 === 9L)
+    val (w11, w12) = (rows(11L)._2.get, rows(12L)._2.get)
+    assert(w11 > w12, s"target-substring doc should outscore disjoint-vocab doc: $w11 vs $w12")
+    assert(w12 < 0, s"all-target-unseen bigrams must score negative: $w12")
+  }
+
+  test("importanceTopK matches sorted importanceWeights; no Window, no cartesian") {
+    val ranked = Curation.importanceTopK(dsirRaw, dsirTarget, k = 2)
+    val plan = ranked.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"selection must be bounded-heap, not a Window sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"unexpected cartesian:\n$plan")
+    val got = ranked.select("doc_id", "log_weight", "rank")
+      .as[(Long, Double, Int)].collect().toSeq
+    val expected = Curation.importanceWeights(dsirRaw, dsirTarget)
+      .where(col("log_weight").isNotNull)
+      .as[(Long, Long, Double)].collect()
+      .sortBy(r => (-r._3, r._1)).take(2).zipWithIndex
+      .map { case (r, i) => (r._1, r._3, i + 1) }.toSeq
+    assert(got === expected)
+    assert(got.head._1 === 11L, "the target-substring doc ranks first")
+  }
+
   test("refactored splitCol/mixtureKeep leave trainValTest/mixture behavior unchanged") {
     val df = (1L to 500L).map(i => (i, s"src${i % 4}")).toDF("doc_id", "source")
     val viaOp = Sampling.trainValTest(df, "doc_id").groupBy("split").count()
