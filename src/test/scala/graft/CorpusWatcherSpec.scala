@@ -214,6 +214,11 @@ class CorpusWatcherSpec extends SparkSpec {
     val (watch, index, ckpt, quar, bands, metrics) =
       (tmp("watchmx"), tmp("indexmx"), tmp("ckptmx"), tmp("quarmx") + "/bad",
         tmp("bandsmx") + "/bands", tmp("metricsmx") + "/metrics")
+    // Cache accounting is scoped to RDDs THIS test creates: earlier
+    // suites in the shared JVM may hold still-referenced checkpoint
+    // RDDs that no amount of GC here can drain, so a global-emptiness
+    // assertion is order-dependent (observed flaky in full-suite runs).
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     val dupText = "a very fine sentence about the weather and other topics today"
     Files.write(Paths.get(watch, "feed-0.json"),
       ("""{"doc_id": 20, "text": "the quick brown fox jumps over the lazy dog again today"}""" + "\n" +
@@ -240,27 +245,26 @@ class CorpusWatcherSpec extends SparkSpec {
       "ingest" -> 1L, "parsed" -> 1L, "quality_gate" -> 1L,
       "dedup_history" -> 0L, "dedup_within" -> 0L, "indexed" -> 0L))
     assert(indexEntries(index).map(_._2) === Set("20", "21"))
-    // Drain leftover cache entries so later tests' strict cache-count
-    // baselines don't race this suite: the survivors persist is released
-    // async (blocking=false), and the dedup stages' localCheckpoint RDDs
-    // are only collected when the ContextCleaner sees them GC'd — nudge
-    // it. (The EmbeddingIndexerSpec precedent documents the same
-    // nondeterminism; here we force the drain instead of loosening the
-    // assertion because a FOLLOWING test compares === against a baseline
-    // captured after this one.)
+    // Drain the cache entries THIS test added (diff vs the baseline):
+    // the survivors persist is released async (blocking=false), and the
+    // dedup stages' localCheckpoint RDDs are only collected when the
+    // ContextCleaner sees them GC'd — nudge it.
+    def leftover() = spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore
     val deadline = System.nanoTime() + 30L * 1000 * 1000 * 1000
-    while (spark.sparkContext.getPersistentRDDs.nonEmpty && System.nanoTime() < deadline) {
+    while (leftover().nonEmpty && System.nanoTime() < deadline) {
       System.gc()
       Thread.sleep(200)
     }
-    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+    assert(leftover().isEmpty,
       "survivors cache should drain after the stream stops")
   }
 
   test("dedupBandsDir: cross-batch near-dups dropped, survivor-only band appends, no cache growth") {
     val (watch, index, quar, bands) =
       (tmp("watchdd"), tmp("indexdd"), tmp("quardd") + "/bad", tmp("bandsdd") + "/bands")
-    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
+    // keyset diff, not size: an earlier suite's checkpoint RDD may get
+    // GC-collected mid-test, shrinking the global count asynchronously
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.keySet
     // batch 0: two distinct documents
     Files.write(Paths.get(watch, "feed-0.json"),
       ("""{"doc_id": 1, "text": "alpha beta gamma delta"}""" + "\n" +
@@ -292,7 +296,7 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(bandRows.filter(_._1 == 0L).map(_._2) === Set("1", "2"))
 
     // the per-batch survivors persist is released after each swap
-    assert(spark.sparkContext.getPersistentRDDs.size === cachedBefore,
+    assert((spark.sparkContext.getPersistentRDDs.keySet -- cachedBefore).isEmpty,
       "per-batch survivors cache must be released after the snapshot swap")
   }
 
