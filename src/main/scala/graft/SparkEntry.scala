@@ -20,6 +20,16 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Skewed domain grouping over the flat 20-source corpus (15/4/1
+    * sources → web/wiki/books) — the temperature-sampling and
+    * epoch-planning queries need unequal group sizes to be
+    * non-degenerate. Twin: the DOMAIN_SQL CASE expression. */
+  private def withDomain(d: DataFrame): DataFrame =
+    d.withColumn("domain",
+      when(col("source") === "src19", "books")
+        .when(col("source").isin("src15", "src16", "src17", "src18"), "wiki")
+        .otherwise("web"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
     InvertedIndex.build(docs(spark, "/root/testdata/sf0.001"))
@@ -28,6 +38,11 @@ object SparkEntry {
   /** Tokenizer twin of [[graft.core.TextNorm.tokens]]. */
   private val TOKS =
     """list_filter(string_split(regexp_replace(lower(regexp_replace(text, '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0)"""
+  /** Twin of [[withDomain]]'s CASE (web/wiki/books). */
+  private val DOMAIN_SQL =
+    """CASE WHEN source = 'src19' THEN 'books'
+      |     WHEN source IN ('src15', 'src16', 'src17', 'src18') THEN 'wiki'
+      |     ELSE 'web' END""".stripMargin
   /** Flat (word, doc_id) token stream over `documents`. */
   private val TOKEN_ROWS =
     s"""SELECT doc_id, unnest($TOKS) AS word FROM documents"""
@@ -470,6 +485,7 @@ object SparkEntry {
     },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
+    "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
     "q_dedup_incremental" -> { (s, dir) =>
       // daily-crawl shape: even doc_ids are the existing corpus (band
       // table precomputed), odd doc_ids are the increment
@@ -668,6 +684,27 @@ object SparkEntry {
       graft.ops.Sampling.mixture(docs(s, dir), "source", "doc_id",
         Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
         .groupBy("source").agg(count(lit(1)).as("n"))
+    },
+    "q_mixture_temp" -> { (s, dir) =>
+      // temperature sampling (T=2) over a derived skewed domain
+      // grouping (the flat 20-source corpus is uniform, so the rates
+      // would all be 1): web=15 sources, wiki=4, books=1
+      val d = withDomain(docs(s, dir))
+      val rates = graft.ops.Sampling.temperatureRates(d, "domain", 2.0)
+        .withColumnRenamed("source", "domain")
+      val kept = graft.ops.Sampling.mixtureTemperature(d, "domain", "doc_id", 2.0)
+        .groupBy("domain").agg(count(lit(1)).as("n_kept"))
+      rates.join(kept, Seq("domain"), "left")
+        .select(col("domain"), col("n_docs"), col("rate"),
+          coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+    },
+    "q_epoch_plan" -> { (s, dir) =>
+      // token-budget epoch planning over the same domains: 50k-token
+      // budget, weights 0.5/0.3/0.2, repetition capped at 2 epochs
+      graft.ops.Sampling.epochPlan(withDomain(docs(s, dir)), "domain",
+        Map("web" -> 0.5, "wiki" -> 0.3, "books" -> 0.2),
+        tokenBudget = 50000L, maxEpochs = 2.0)
+        .withColumnRenamed("source", "domain")
     },
 
     // ---- end-to-end curation composition ---------------------------------
@@ -945,6 +982,27 @@ object SparkEntry {
          |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
          |          CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
          |          md5(coalesce(string_agg(CASE WHEN rn = 1 THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS kept_hash
+         |        FROM mk GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
+         |  coalesce(a.n_kept, 0) AS n_kept,
+         |  coalesce(a.kept_hash, md5('')) AS kept_hash
+         |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_boilerplate" ->
+      // twin of Dedup.boilerplateChunks(w=3, minDocs=5): 3-token chunks
+      // occurring in >= 5 distinct docs are removed from EVERY doc
+      // (chunkDedup keeps the first occurrence; this keeps none)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |ch AS (SELECT doc_id, CAST(i AS INTEGER) AS chunk_idx,
+         |         array_to_string(ts[(i*3+1):(i*3+3)], ' ') AS chunk
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(0, CAST((len(ts)-1)//3 AS BIGINT))) AS i
+         |             FROM t WHERE len(ts) >= 1)),
+         |bad AS (SELECT md5(chunk) AS h FROM ch
+         |        GROUP BY md5(chunk) HAVING count(DISTINCT doc_id) >= 5),
+         |mk AS (SELECT c.doc_id, c.chunk_idx, c.chunk, (b.h IS NOT NULL) AS rm
+         |       FROM ch c LEFT JOIN bad b ON md5(c.chunk) = b.h),
+         |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_chunks,
+         |          CAST(sum(CASE WHEN NOT rm THEN 1 ELSE 0 END) AS INTEGER) AS n_kept,
+         |          md5(coalesce(string_agg(CASE WHEN NOT rm THEN chunk END, ' ' ORDER BY chunk_idx), '')) AS kept_hash
          |        FROM mk GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(a.n_chunks, 0) AS n_chunks,
          |  coalesce(a.n_kept, 0) AS n_kept,
@@ -1286,6 +1344,43 @@ object SparkEntry {
         |WHERE b < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
         |           WHEN 'src2' THEN 0 ELSE 5000 END)
         |GROUP BY source""".stripMargin,
+    "q_mixture_temp" ->
+      // twin of Sampling.temperatureRates/mixtureTemperature (T=2) over
+      // the derived web/wiki/books domain: rate = round of
+      // (n/N)^(1/T-1) normalized so the max (= smallest domain) is 1
+      s"""WITH d AS (SELECT doc_id, $DOMAIN_SQL AS domain FROM documents),
+         |c AS (SELECT domain, count(*) AS n_docs FROM d GROUP BY domain),
+         |t AS (SELECT sum(n_docs) AS n_total FROM c),
+         |r AS (SELECT domain, n_docs,
+         |        pow(CAST(n_docs AS DOUBLE) / n_total, 1.0/2.0 - 1.0) AS raw
+         |      FROM c CROSS JOIN t),
+         |m AS (SELECT max(raw) AS mx FROM r),
+         |rates AS (SELECT domain, n_docs, round(raw / mx, 6) AS rate FROM r CROSS JOIN m),
+         |kept AS (SELECT domain, count(*) AS n_kept
+         |         FROM d JOIN rates USING (domain)
+         |         WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+         |               < rate * 10000
+         |         GROUP BY domain)
+         |SELECT domain, n_docs, rate, coalesce(n_kept, 0) AS n_kept
+         |FROM rates LEFT JOIN kept USING (domain)""".stripMargin,
+    "q_epoch_plan" ->
+      // twin of Sampling.epochPlan (budget 50k, weights .5/.3/.2, cap 2
+      // epochs): desired = floor(budget*w/sum_w), planned capped at
+      // available*maxEpochs, epochs = planned/available to 4dp
+      s"""WITH a AS (SELECT $DOMAIN_SQL AS domain,
+         |             CAST(sum(len($TOKS)) AS BIGINT) AS available_tokens
+         |           FROM documents GROUP BY 1),
+         |p AS (SELECT domain, available_tokens,
+         |        CAST(floor(50000.0 * (CASE domain WHEN 'web' THEN 0.5 WHEN 'wiki' THEN 0.3
+         |                              WHEN 'books' THEN 0.2 ELSE 0.0 END) / 1.0) AS BIGINT) AS desired_tokens
+         |      FROM a),
+         |q AS (SELECT domain, available_tokens, desired_tokens,
+         |        least(desired_tokens, CAST(floor(available_tokens * 2.0) AS BIGINT)) AS planned_tokens
+         |      FROM p)
+         |SELECT domain, available_tokens, desired_tokens, planned_tokens,
+         |  round(CAST(planned_tokens AS DOUBLE) / available_tokens, 4) AS epochs,
+         |  (desired_tokens > planned_tokens) AS truncated
+         |FROM q""".stripMargin,
     "q_curate" ->
       s"""WITH RECURSIVE $CURATE_CTES
          |SELECT doc_id, source, pred_lang,

@@ -380,14 +380,20 @@ object Dedup {
     * own chunks — bounded by document size, never corpus-wide.
     * Determinism: md5 chunk hashes, struct-min winner, chunk_idx order.
     */
-  def chunkDedup(docs: DataFrame, w: Int = 2): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val chunks = when(size(col("ts")) >= 1,
+  /** Non-overlapping w-token chunk array from a MATERIALIZED token
+    * column — the sub-document unit shared by [[chunkDedup]] and
+    * [[boilerplateChunks]]. Empty docs yield an empty array. */
+  private def chunksOf(ts: Column, w: Int): Column =
+    when(size(ts) >= 1,
       // Column `/` is double division; truncate back to int (floor for
       // the non-negative sizes here) for the inclusive chunk-index bound
-      transform(sequence(lit(0), ((size(col("ts")) - 1) / w).cast("int")),
-        i => concat_ws(" ", slice(col("ts"), i * w + 1, lit(w))))
+      transform(sequence(lit(0), ((size(ts) - 1) / w).cast("int")),
+        i => concat_ws(" ", slice(ts, i * w + 1, lit(w))))
     ).otherwise(array().cast("array<string>"))
+
+  def chunkDedup(docs: DataFrame, w: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val chunks = chunksOf(col("ts"), w)
     val win = Window.partitionBy("h")
     tokenized(docs)
       .select(col("doc_id"), posexplode_outer(chunks).as(Seq("chunk_idx", "chunk")))
@@ -404,6 +410,59 @@ object Dedup {
             array_sort(collect_list(when(col("kept"),
               struct(col("chunk_idx"), col("chunk"))))),
             s => s.getField("chunk")))).as("kept_hash"))
+  }
+
+  /** Boilerplate removal at the sub-document level — the RefinedWeb/
+    * CCNet repeated-line rule applied to this corpus's unit
+    * (non-overlapping w-token chunks; with line-structured text the
+    * unit would be the line): a chunk occurring in at least `minDocs`
+    * DISTINCT documents is boilerplate (nav text, license headers,
+    * cookie banners) and is removed from EVERY document — including
+    * the first occurrence, which [[chunkDedup]] would keep. The two
+    * rules answer different questions: chunkDedup de-duplicates
+    * near-identical content, this removes ubiquitous content.
+    *
+    * Output: one row per input document
+    * `(doc_id, n_chunks, n_kept, kept_hash)` — [[chunkDedup]]'s exact
+    * shape (kept_hash = md5 of surviving chunks joined in chunk
+    * order), so the two rules are comparable doc by doc.
+    *
+    * Plan shape (deliberately better than chunkDedup's
+    * text-through-window): chunk TEXT never shuffles. Pass 1 reduces
+    * every occurrence to `(doc_id, chunk_idx, md5(chunk))`, counts
+    * distinct docs per hash (keyed, map-side combinable), semi-joins
+    * the occurrence stream against the over-threshold hashes, and
+    * folds the removed indexes into one small int-array row per
+    * affected doc. Pass 2 re-derives the chunks from the corpus scan
+    * (the [[Curation.curate]] re-derive discipline: three cheap scans
+    * beat materializing text) and drops the removed indexes
+    * row-parallel with an index-aware lambda; the only join is
+    * doc_id-keyed against the removed-index table, which AQE
+    * broadcasts when boilerplate is sparse.
+    */
+  def boilerplateChunks(docs: DataFrame, w: Int = 3, minDocs: Int = 5): DataFrame = {
+    require(w >= 1, s"w=$w must be >= 1")
+    require(minDocs >= 2, s"minDocs=$minDocs must be >= 2 (1 would remove every chunk)")
+    val occ = tokenized(docs)
+      .select(col("doc_id"), posexplode(chunksOf(col("ts"), w)).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), md5(col("chunk")).as("h"))
+    val bad = occ.groupBy("h")
+      .agg(count_distinct(col("doc_id")).as("chunk_df"))
+      .filter(col("chunk_df") >= minDocs)
+      .select("h")
+    val removed = occ.join(bad, Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("chunk_idx")).as("rm"))
+    tokenized(docs)
+      .join(removed, Seq("doc_id"), "left")
+      .select(col("doc_id"), chunksOf(col("ts"), w).as("chunks"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(
+        col("doc_id"),
+        size(col("chunks")).cast("int").as("n_chunks"),
+        (size(col("chunks")) - size(col("rm"))).cast("int").as("n_kept"),
+        md5(concat_ws(" ",
+          filter(col("chunks"), (c, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
   }
 
   /** Benchmark decontamination: drop every training document that shares

@@ -74,6 +74,104 @@ object Sampling {
     b < threshold
   }
 
+  /** Temperature-scaled mixture rates — the multilingual/multi-domain
+    * sampling rule (p_s^(1/T) renormalized; Conneau & Lample's XLM
+    * recipe, UNIMAX-adjacent): compute, per source, the deterministic
+    * keep-rate that reshapes the corpus's source distribution toward
+    * uniform as T grows. With p_s = n_s / N, the target distribution is
+    * q_s ∝ p_s^(1/T); sampling WITHOUT replacement realizes it as a
+    * per-source keep-rate r_s ∝ q_s / p_s = p_s^(1/T − 1), normalized
+    * so the largest rate is 1 (you cannot keep more than all of a
+    * source without repetition — the SMALLEST source keeps everything
+    * and larger sources are downsampled toward it). T = 1 keeps
+    * everything; T → ∞ approaches uniform source mass.
+    *
+    * Output: `(source, n_docs, rate)` — rate rounded to 6dp (IEEE pow
+    * then round, the [[TextAnalysis.lmBigramScore]] determinism
+    * recipe). One groupBy(source) — the rate table is as small as the
+    * source vocabulary at any corpus size, so downstream application
+    * broadcasts it.
+    */
+  def temperatureRates(df: DataFrame, sourceCol: String, temperature: Double): DataFrame = {
+    require(temperature >= 1.0, s"temperature=$temperature must be >= 1 (T=1 keeps everything)")
+    val counts = df.groupBy(col(sourceCol).as("source"))
+      .agg(count(lit(1)).as("n_docs"))
+    val total = counts.agg(sum("n_docs").as("n_total"))
+    val raw = pow(col("n_docs").cast("double") / col("n_total"), lit(1.0 / temperature - 1.0))
+    val withRaw = counts.crossJoin(broadcast(total)).select(
+      col("source"), col("n_docs"), raw.as("raw_rate"))
+    val maxRaw = withRaw.agg(max("raw_rate").as("max_raw"))
+    withRaw.crossJoin(broadcast(maxRaw))
+      .select(col("source"), col("n_docs"),
+        round(col("raw_rate") / col("max_raw"), 6).as("rate"))
+  }
+
+  /** Apply [[temperatureRates]] as a deterministic per-row filter: a
+    * document is kept iff its md5 bucket (out of 10,000 — the
+    * [[mixture]] granularity) falls under its source's computed rate.
+    * The rate table joins broadcast (it has one row per source); the
+    * filter itself is row-parallel. */
+  def mixtureTemperature(
+      df: DataFrame, sourceCol: String, idCol: String, temperature: Double): DataFrame = {
+    val rates = temperatureRates(df, sourceCol, temperature)
+      .withColumnRenamed("source", sourceCol).drop("n_docs")
+    val b = conv(substring(md5(col(idCol).cast("string")), 1, 4), 16, 10)
+      .cast("long") % 10000
+    df.join(broadcast(rates), Seq(sourceCol))
+      .filter(b < col("rate") * 10000)
+      .drop("rate")
+  }
+
+  /** Token-budget epoch planning — "how many passes over each source
+    * does this training run take?" (the Chinchilla/LLaMA-style data
+    * mixing worksheet, as a query): given per-source mixture weights
+    * and a total token budget, report per source the available tokens,
+    * the desired share of the budget, how much of it is actually
+    * servable under the repetition cap, and the implied epoch count.
+    *
+    * desired_s = budget · w_s / Σw  (unlisted sources get weight 0);
+    * planned_s = min(desired_s, available_s · maxEpochs);
+    * epochs_s  = planned_s / available_s, rounded to 4dp;
+    * truncated = the cap bit (desired > planned) — the "this source is
+    * too small for its weight" warning a mixing config needs to surface.
+    *
+    * Integer-exact where it matters: token counts are exact longs
+    * (one tokenize pass, one groupBy(source)); desired/planned are
+    * floor'd to whole tokens. Output: `(source, available_tokens,
+    * desired_tokens, planned_tokens, epochs, truncated)`, one row per
+    * source present in the corpus.
+    */
+  def epochPlan(
+      docs: DataFrame,
+      sourceCol: String,
+      weights: Map[String, Double],
+      tokenBudget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs must be positive")
+    weights.values.foreach(w => require(w >= 0, s"negative weight $w"))
+    val wSum = weights.values.sum
+    require(wSum > 0, "at least one source weight must be positive")
+    val weightOf = weights.foldLeft(lit(0.0)) { case (acc, (src, w)) =>
+      when(col("source") === src, lit(w)).otherwise(acc)
+    }
+    val avail = graft.core.Parallelism.ensure(docs)
+      .select(col(sourceCol).as("source"),
+        size(graft.core.TextNorm.tokens(col("text"))).as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("available_tokens"))
+    avail
+      .select(col("source"), col("available_tokens"),
+        floor(lit(tokenBudget.toDouble) * weightOf / wSum).cast("long").as("desired_tokens"))
+      .select(col("source"), col("available_tokens"), col("desired_tokens"),
+        least(col("desired_tokens"),
+          floor(col("available_tokens") * maxEpochs).cast("long")).as("planned_tokens"))
+      .select(col("source"), col("available_tokens"), col("desired_tokens"),
+        col("planned_tokens"),
+        round(col("planned_tokens").cast("double") / col("available_tokens"), 4).as("epochs"),
+        (col("desired_tokens") > col("planned_tokens")).as("truncated"))
+  }
+
   /** Sequence packing for training shards: assign each document a
     * (pack_bucket, shard_in_bucket) so that concatenating a bucket's
     * documents in doc_id order and cutting every `tokenBudget` tokens

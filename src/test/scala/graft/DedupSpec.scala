@@ -180,6 +180,36 @@ class DedupSpec extends SparkSpec {
     assert(hashes(1L) === m("a b c d"))
   }
 
+  test("boilerplateChunks removes over-threshold chunks everywhere, first occurrence included") {
+    // "aa bb" appears in docs 1,2,3 (df=3 >= minDocs) -> removed from ALL
+    // of them (chunkDedup would keep doc 1's copy); "cc dd" df=2 -> kept;
+    // doc 4 is tokenless; doc 5 has a unique tail chunk after boilerplate
+    val d = docs(
+      1L -> "aa bb cc dd",
+      2L -> "aa bb ee ff",
+      3L -> "aa bb gg hh",
+      4L -> "!!!",
+      5L -> "cc dd aa bb")
+    val got = Dedup.boilerplateChunks(d, w = 2, minDocs = 3)
+      .select("doc_id", "n_chunks", "n_kept", "kept_hash")
+      .as[(Long, Int, Int, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def m(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(1L) === ((2, 1, m("cc dd"))))
+    assert(got(2L) === ((2, 1, m("ee ff"))))
+    assert(got(3L) === ((2, 1, m("gg hh"))))
+    assert(got(4L) === ((0, 0, m(""))))
+    // chunk order preserved: doc 5 keeps its LEADING "cc dd"
+    assert(got(5L) === ((2, 1, m("cc dd"))))
+    // contrast with chunkDedup: the first "aa bb" occurrence survives there
+    val firstWins = Dedup.chunkDedup(d, w = 2)
+      .select("doc_id", "n_kept").as[(Long, Int)].collect().toMap
+    assert(firstWins(1L) === 2)
+    intercept[IllegalArgumentException](Dedup.boilerplateChunks(d, w = 0))
+    intercept[IllegalArgumentException](Dedup.boilerplateChunks(d, minDocs = 1))
+  }
+
   test("decontaminate drops exactly the docs sharing a shingle with the eval set") {
     val train = docs(
       1L -> "alpha beta gamma delta epsilon",   // shares "beta gamma delta" w/ eval

@@ -92,4 +92,50 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Int)].collect().toMap
     got.foreach { case (id, _, b, _) => assert(b === bucketCheck(id)) }
   }
+
+  test("temperatureRates: smallest source pins rate 1, ratios follow p^(1/T-1)") {
+    // p = 0.8 / 0.2 at T=2 gives rates (0.2/0.8)^0.5 = 0.5 and 1.0 exactly
+    val d = ((1L to 8L).map(i => (i, "A")) ++ (9L to 10L).map(i => (i, "B")))
+      .toDF("id", "source")
+    val rates = Sampling.temperatureRates(d, "source", 2.0)
+      .as[(String, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(rates("B")._2 === 1.0)
+    assert(rates("A")._2 === 0.5)
+    assert(rates("A")._1 === 8L && rates("B")._1 === 2L)
+    // T = 1 keeps everything
+    assert(Sampling.temperatureRates(d, "source", 1.0)
+      .select("rate").as[Double].collect().forall(_ === 1.0))
+    intercept[IllegalArgumentException](Sampling.temperatureRates(d, "source", 0.5))
+  }
+
+  test("mixtureTemperature keeps exactly the rows mixture keeps at the computed rates") {
+    val d = ((1L to 80L).map(i => (i, "A")) ++ (81L to 100L).map(i => (i, "B")))
+      .toDF("id", "source")
+    // same 0.8/0.2 split: computed rates are exactly A -> 0.5, B -> 1.0
+    val viaTemp = Sampling.mixtureTemperature(d, "source", "id", 2.0)
+      .select("id").as[Long].collect().toSet
+    val viaStatic = Sampling.mixture(d, "source", "id", Map("A" -> 0.5, "B" -> 1.0))
+      .select("id").as[Long].collect().toSet
+    assert(viaTemp === viaStatic)
+    assert(viaTemp.count(_ > 80L) === 20) // all of the small source survives
+  }
+
+  test("epochPlan: desired from weights, planned capped at maxEpochs, truncation flagged") {
+    val d = Seq(
+      (1L, "X", "a b c d e"), (2L, "X", "f g h i j"),     // X: 10 tokens
+      (3L, "Y", "a b c d e f g h i j"))                    // Y: 10 tokens
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.epochPlan(d, "source",
+      Map("X" -> 0.75, "Y" -> 0.25), tokenBudget = 40L, maxEpochs = 2.0)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // X: desired 30, cap 20 -> truncated at 2.0 epochs
+    assert(got("X") === (("X", 10L, 30L, 20L, 2.0, true)))
+    // Y: desired 10 fits within 2 epochs of 10 tokens
+    assert(got("Y") === (("Y", 10L, 10L, 10L, 1.0, false)))
+    intercept[IllegalArgumentException](
+      Sampling.epochPlan(d, "source", Map("X" -> 1.0), tokenBudget = 0L))
+    intercept[IllegalArgumentException](
+      Sampling.epochPlan(d, "source", Map.empty, tokenBudget = 10L))
+  }
 }
