@@ -512,6 +512,15 @@ object SparkEntry {
     // near-orthogonal (max pairwise cos ~0.51) — at 0.95 the gate
     // would pass on an empty result
     "q_semantic_dups" -> ((s, dir) => Similarity.semanticDupPairs(emb(s, dir), 0.35)),
+    "q_semantic_decontaminate" -> { (s, dir) =>
+      // embedding-space decontamination: train = vec_id % 50 <> 0,
+      // eval = the rest (the q_decontaminate convention), cell-blocked
+      // cosine >= 0.35 against eval evidence
+      val e = emb(s, dir)
+      Similarity.semanticContaminatedIds(
+        e.filter(col("vec_id") % 50 =!= 0),
+        e.filter(col("vec_id") % 50 === 0), 0.35)
+    },
     "q_semantic_keep" -> ((s, dir) =>
       Similarity.dropSemanticDuplicates(emb(s, dir), 0.35).select("vec_id", "label")),
     "q_sim_ivf" -> { (s, dir) =>
@@ -1124,6 +1133,30 @@ object SparkEntry {
          |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)
          |SELECT emb.vec_id, emb.label FROM embeddings emb
          |WHERE emb.vec_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
+    "q_semantic_decontaminate" ->
+      // twin of Similarity.semanticContaminatedIds(0.35): k-means
+      // trained on the TRAIN subset only (v is redefined below, so
+      // KMEANS_BODY's c0..c2 train on train vectors), eval encoded
+      // against the frozen c2 centroids, cosine within shared cells
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |           FROM embeddings WHERE vec_id % 50 <> 0),
+         |$KMEANS_BODY,
+         |asg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT v.vec_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY v.vec_id ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+         |  FROM v, c2 c) WHERE rn = 1),
+         |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+         |       FROM embeddings WHERE vec_id % 50 = 0),
+         |easg AS (SELECT vec_id, cell_id FROM (
+         |  SELECT ev.vec_id, c.cell_id,
+         |    row_number() OVER (PARTITION BY ev.vec_id ORDER BY ${COS_SQL("ev.e", "c.ce")} DESC, c.cell_id ASC) AS rn
+         |  FROM ev, c2 c) WHERE rn = 1),
+         |ta AS (SELECT v.vec_id, v.e, a.cell_id FROM v JOIN asg a USING (vec_id)),
+         |ea AS (SELECT ev.vec_id, ev.e, a.cell_id FROM ev JOIN easg a USING (vec_id))
+         |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_hits, max(cos) AS max_cos FROM (
+         |  SELECT t.vec_id, ${COS_SQL("t.e", "x.e")} AS cos
+         |  FROM ta t JOIN ea x ON t.cell_id = x.cell_id)
+         |WHERE cos >= 0.35 GROUP BY vec_id""".stripMargin,
     "q_quantize_int8" ->
       // twin of Similarity.quantizeInt8: scale = max|v|/127, code =
       // round-half-away(v/scale), reconstruction error rounded 6

@@ -1155,4 +1155,65 @@ object Similarity {
       .select(col("doc_id"))
     corpus.join(losers, corpus("vec_id") === losers("doc_id"), "left_anti")
   }
+
+  /** Semantic decontamination — [[graft.ops.Dedup.decontaminate]]'s
+    * rule lifted to embedding space: a TRAINING vector is contaminated
+    * if some EVAL vector in its k-means cell has cosine ≥ `threshold`
+    * (the paraphrased-benchmark leak an n-gram filter cannot see).
+    * Returns per contaminated training doc the evidence a leak report
+    * needs: `(vec_id, n_hits, max_cos)` — how many eval docs matched
+    * and the tightest match.
+    *
+    * Blocking: the quantizer trains on the TRAINING corpus only
+    * ([[kmeansModel]]); eval vectors are then encoded against the
+    * FROZEN centroids ([[assignWithCentroids]]) — the eval set never
+    * reshapes the blocking structure, so adding a benchmark cannot
+    * move training vectors between cells (and the same stored-model
+    * path serves ongoing decontamination as benchmarks are added).
+    * Approximation contract, same as [[semanticDupPairs]]: a
+    * cross-cell near-pair is missed by design; the oracle replays the
+    * blocking exactly, so the claim that is gated is the composed
+    * rule, not brute-force recall.
+    *
+    * Scale shape: centroid count is corpus-independent (FixedK seed),
+    * both assignment passes are broadcast argmax joins linear in their
+    * corpus, and the only pairwise work is train×eval WITHIN a cell —
+    * the eval side is benchmark-sized, so each cell's join fan-out is
+    * bounded by its eval occupancy, not by the training corpus.
+    */
+  def semanticContaminatedIds(
+      corpus: DataFrame,
+      evalCorpus: DataFrame,
+      threshold: Double = 0.95,
+      iterations: Int = 2,
+      seed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (cent, trainAssign) = kmeansModel(corpus, iterations, seed, mat)
+    val t = corpusVN(corpus)
+      .join(trainAssign.select(col("vec_id"), col("cell_id")), Seq("vec_id"))
+    val e = corpusVN(evalCorpus)
+      .join(assignWithCentroids(evalCorpus, cent).select(col("vec_id"), col("cell_id")),
+        Seq("vec_id"))
+      .select(col("cell_id"), col("v").as("ev"), col("n").as("en"))
+    t.join(e, Seq("cell_id"))
+      .select(col("vec_id"),
+        safeCos(dot(col("v"), col("ev")), col("n") * col("en")).as("cos"))
+      .filter(col("cos") >= threshold)
+      .groupBy("vec_id")
+      .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
+  }
+
+  /** The surviving training corpus after [[semanticContaminatedIds]] —
+    * the embedding-space [[graft.ops.Dedup.decontaminate]]. */
+  def decontaminateSemantic(
+      corpus: DataFrame,
+      evalCorpus: DataFrame,
+      threshold: Double = 0.95,
+      iterations: Int = 2,
+      seed: CentroidSeed = DefaultSeed,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    corpus.join(
+      semanticContaminatedIds(corpus, evalCorpus, threshold, iterations, seed, mat)
+        .select("vec_id"),
+      Seq("vec_id"), "left_anti")
 }

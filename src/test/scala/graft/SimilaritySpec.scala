@@ -479,6 +479,30 @@ class SimilaritySpec extends SparkSpec {
     assert(got === Set((1L, 2L)))
   }
 
+  test("semanticContaminatedIds flags train vectors near an eval vector, with evidence") {
+    // train: t1 aligned with eval e100, t2 orthogonal to everything,
+    // t3 ALSO aligned with e100 (two train docs leaked from one eval
+    // doc). k=2 so t1 and t3 share a learned cell (seeds by md5 order
+    // are vec_ids 1 and 2); eval vectors encode against the frozen
+    // centroids — e100 joins t1/t3's cell, orthogonal e101 ties to the
+    // lowest cell at cos 0 and pairs below threshold
+    val train = vecs(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0f, 1f, 0f), 3L -> Seq(0.99f, 0.01f, 0f))
+    val eval = vecs(100L -> Seq(1f, 0f, 0f), 101L -> Seq(0f, 0f, 1f))
+    val got = Similarity.semanticContaminatedIds(train, eval, threshold = 0.9,
+      seed = Similarity.CentroidSeed.FixedK(2))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got.keySet === Set(1L, 3L), s"orthogonal t2 must not be flagged: $got")
+    assert(got(1L) === ((1L, 1.0)))                 // exactly e100, cos 1
+    assert(got(3L)._1 === 1L)                       // one eval hit
+    assert(got(3L)._2 > 0.9 && got(3L)._2 < 1.0)
+    // the survivor filter is the anti-join of the same evidence
+    val kept = Similarity.decontaminateSemantic(train, eval, threshold = 0.9,
+      seed = Similarity.CentroidSeed.FixedK(2))
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept === Set(2L))
+  }
+
   test("encodeWithModel through stored artifacts reproduces the trained-inline tables") {
     val rnd = new scala.util.Random(102)
     val corpus = vecs((1L to 150L).map(i =>
