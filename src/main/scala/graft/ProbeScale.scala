@@ -84,6 +84,23 @@ object ProbeScale {
     time("curate_sf01")(curateAt(docs01).count())
     time("curate_sf1")(curateAt(docs).count())
     }
+    // round-8: boilerplate removal at both scales — the ids-only-shuffle
+    // design claim: wall-clock should track the data ratio (~10x), since
+    // every exchange carries (doc_id, idx, md5) and text stays in the
+    // row-parallel reassembly scan
+    if (section == "boiler") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (rep <- 1 to 2) {
+      time(s"boilerplate_sf01_$rep")(Dedup.boilerplateChunks(docs01).count())
+      time(s"boilerplate_sf1_$rep")(Dedup.boilerplateChunks(docs).count())
+    }
+    // the sampling planners are scans + source-cardinality aggregates;
+    // probed once to confirm they stay scan-bound at sf1
+    time("mixture_temp_sf1")(graft.ops.Sampling.mixtureTemperature(
+      docs, "source", "doc_id", 2.0).count())
+    time("epoch_plan_sf1")(graft.ops.Sampling.epochPlan(
+      docs, "source", Map("src0" -> 0.5, "src1" -> 0.5), 1000000L).count())
+    }
     // A/B the flags-pass implementations at sf1 (dev diagnosis): how much
     // of the scan is the tokenizer, and do the stopword-hit variants differ?
     if (section == "flagsab") {

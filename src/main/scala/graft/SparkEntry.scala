@@ -444,6 +444,12 @@ object SparkEntry {
 
     // ---- text analysis --------------------------------------------------
     "q_token_stats" -> ((s, dir) => TextAnalysis.tokenStats(docs(s, dir))),
+    "q_token_drift" -> { (s, dir) =>
+      // distribution drift between the derived web domain and the rest
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.tokenDrift(
+        d.filter(col("domain") === "web"), d.filter(col("domain") =!= "web"))
+    },
     "q_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenEstimate(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
@@ -785,6 +791,37 @@ object SparkEntry {
          |  CAST(length(text) AS INTEGER) AS n_chars,
          |  CAST(len(ts) AS DOUBLE) / length(text) AS tokens_per_char
          |FROM (SELECT doc_id, text, $TOKS AS ts FROM documents)""".stripMargin,
+    "q_token_drift" ->
+      // twin of TextAnalysis.tokenDrift(buckets=1024): hashed-unigram
+      // KL/JS with add-one smoothing over the full bucket domain;
+      // per-bucket terms rounded 12dp into DECIMAL(28,12) sums
+      s"""WITH ta AS (SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+         |            FROM (SELECT unnest($TOKS) AS t FROM documents WHERE ($DOMAIN_SQL) = 'web')),
+         |tb AS (SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+         |       FROM (SELECT unnest($TOKS) AS t FROM documents WHERE ($DOMAIN_SQL) <> 'web')),
+         |ca AS (SELECT b, count(*) AS c FROM ta GROUP BY b),
+         |cb AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+         |na AS (SELECT count(*) AS n FROM ta),
+         |nb AS (SELECT count(*) AS n FROM tb),
+         |j AS (SELECT d.b, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb, na.n AS na, nb.n AS nb
+         |      FROM (SELECT unnest(range(1024)) AS b) d
+         |      LEFT JOIN ca ON d.b = ca.b LEFT JOIN cb ON d.b = cb.b
+         |      CROSS JOIN na CROSS JOIN nb),
+         |t AS (SELECT na, nb,
+         |        CAST(round(p * ln(p / q), 12) AS DECIMAL(28,12)) AS tab,
+         |        CAST(round(q * ln(q / p), 12) AS DECIMAL(28,12)) AS tba,
+         |        CAST(round(p * ln(p / m), 12) AS DECIMAL(28,12)) AS tjp,
+         |        CAST(round(q * ln(q / m), 12) AS DECIMAL(28,12)) AS tjq
+         |      FROM (SELECT na, nb,
+         |              (ca + 1.0) / (na + 1024) AS p,
+         |              (cb + 1.0) / (nb + 1024) AS q,
+         |              ((ca + 1.0) / (na + 1024) + (cb + 1.0) / (nb + 1024)) / 2 AS m
+         |            FROM j))
+         |SELECT CAST(max(na) AS BIGINT) AS n_tokens_a, CAST(max(nb) AS BIGINT) AS n_tokens_b,
+         |  round(CAST(sum(tab) AS DOUBLE), 6) AS kl_ab,
+         |  round(CAST(sum(tba) AS DOUBLE), 6) AS kl_ba,
+         |  round(CAST(sum(tjp) + sum(tjq) AS DOUBLE) * 0.5, 6) AS js
+         |FROM t""".stripMargin,
     "q_bpe_tokens" ->
       // coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed
       // makes a token-less document 0 — the engines must agree

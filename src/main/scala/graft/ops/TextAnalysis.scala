@@ -318,6 +318,64 @@ object TextAnalysis {
       .select(col("doc_id"), col("fp"))
       .distinct()
   }
+
+  /** Corpus drift monitor: Kullback-Leibler and Jensen-Shannon
+    * divergence between two corpora's hashed-unigram distributions —
+    * "did today's crawl shift away from yesterday's?" as one cheap
+    * scheduled query, the distributional counterpart of the per-batch
+    * funnel counts ([[graft.streaming.CorpusWatcher]] `metricsDir`).
+    *
+    * Tokens hash into `buckets` md5 buckets (the
+    * [[Curation.importanceWeights]] recipe); both distributions get
+    * add-one smoothing over the FULL bucket domain (so unseen buckets
+    * contribute, and no ratio is ever 0 or ∞); each bucket's
+    * divergence term is rounded to 12dp and accumulated in
+    * DECIMAL(28,12) — order-independent, engine-exact sums (the terms
+    * are O(1/buckets), so the 6dp recipe used for O(1) log-probs would
+    * eat them; 12dp keeps ~7 significant digits per term). Published
+    * metrics round to 6dp.
+    *
+    * Output: ONE row `(n_tokens_a, n_tokens_b, kl_ab, kl_ba, js)`;
+    * `js` is symmetric and bounded by ln 2 ≈ 0.693 (identical corpora
+    * → all three are 0).
+    *
+    * Plan at 100 TB: each side is one tokenize scan + one groupBy on
+    * the bucket key with map-side combine (the shuffle carries at most
+    * `buckets` rows per task); everything downstream joins against the
+    * `buckets`-row range domain — constant-size work with broadcast
+    * totals, no occurrence-level shuffle anywhere.
+    */
+  def tokenDrift(a: DataFrame, b: DataFrame, buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    def counts(d: DataFrame): DataFrame =
+      graft.core.Parallelism.ensure(d)
+        .select(explode(TextNorm.tokens(col("text"))).as("t"))
+        .select((conv(substring(md5(col("t")), 1, 8), 16, 10)
+          .cast("long") % buckets).as("b"))
+        .groupBy("b").agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b).withColumnRenamed("c", "c2")
+    val na = ca.agg(coalesce(sum("c"), lit(0L)).as("na"))
+    val nb = cb.agg(coalesce(sum("c2"), lit(0L)).as("nb"))
+    val dom = a.sparkSession.range(buckets).select(col("id").as("b"))
+    val p = (coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("na") + lit(buckets))
+    val q = (coalesce(col("c2"), lit(0L)) + lit(1.0)) / (col("nb") + lit(buckets))
+    val m = (p + q) / lit(2)
+    def term(x: Column, y: Column): Column =
+      round(x * log(x / y), 12).cast(DecimalType(28, 12))
+    dom.join(ca, Seq("b"), "left").join(cb, Seq("b"), "left")
+      .crossJoin(broadcast(na)).crossJoin(broadcast(nb))
+      .select(col("na"), col("nb"),
+        term(p, q).as("tab"), term(q, p).as("tba"),
+        term(p, m).as("tjp"), term(q, m).as("tjq"))
+      .agg(
+        max(col("na")).as("n_tokens_a"),
+        max(col("nb")).as("n_tokens_b"),
+        round(sum(col("tab")).cast("double"), 6).as("kl_ab"),
+        round(sum(col("tba")).cast("double"), 6).as("kl_ba"),
+        round((sum(col("tjp")) + sum(col("tjq"))).cast("double") * lit(0.5), 6).as("js"))
+  }
 }
 
 /** Tiny closed-class word lists for the language scorer. Public-knowledge

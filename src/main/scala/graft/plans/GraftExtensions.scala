@@ -26,6 +26,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.decontaminateTableFunction)
     ext.injectTableFunction(GraftExtensions.annSearchTableFunction)
     ext.injectTableFunction(GraftExtensions.semanticDupsTableFunction)
+    ext.injectTableFunction(GraftExtensions.boilerplateTableFunction)
+    ext.injectTableFunction(GraftExtensions.semanticDecontaminateTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -258,6 +260,72 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for sub-document boilerplate removal
+    * ([[graft.ops.Dedup.boilerplateChunks]]):
+    *
+    * {{{
+    * SELECT * FROM graft_boilerplate('docs')        -- w=3, minDocs=5
+    * SELECT * FROM graft_boilerplate('docs', 3, 5)  -- explicit knobs
+    * }}}
+    *
+    * The named table must carry (doc_id, text); emits (doc_id,
+    * n_chunks, n_kept, kept_hash). Fully lazy — the operator
+    * materializes nothing (chunks re-derive from the scan), so
+    * analysis and EXPLAIN run no job and there is no cache entry to
+    * release. */
+  private val boilerplateTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_boilerplate"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_boilerplate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 3,
+        "graft_boilerplate(table) or graft_boilerplate(table, w, min_docs)")
+      val str = stringArg("graft_boilerplate") _
+      val int = intArg("graft_boilerplate") _
+      val docs = SparkSession.active.table(str(children.head, "table"))
+      val (w, minDocs) =
+        if (children.size == 3) (int(children(1), "w"), int(children(2), "min_docs"))
+        else (3, 5)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.boilerplateChunks(docs, w, minDocs))
+    })
+
+  /** SQL surface for embedding-space decontamination
+    * ([[graft.ops.Similarity.semanticContaminatedIds]]):
+    *
+    * {{{
+    * SELECT * FROM graft_semantic_decontaminate('train_emb', 'eval_emb')        -- 0.95
+    * SELECT * FROM graft_semantic_decontaminate('train_emb', 'eval_emb', 0.35)
+    * }}}
+    *
+    * Both tables carry (vec_id, embedding); emits (vec_id, n_hits,
+    * max_cos) — the contaminated TRAINING vectors with their eval-hit
+    * evidence. Threshold accepts DECIMAL or DOUBLE literals. The
+    * k-means blocking model materializes via the LAZY Persist strategy
+    * (the `graft_semantic_dups` contract: EXPLAIN runs no job, the
+    * session cache dedups repeated calls). */
+  private val semanticDecontaminateTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_semantic_decontaminate"),
+    new ExpressionInfo(graft.ops.Similarity.getClass.getName, "graft_semantic_decontaminate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_semantic_decontaminate(train_table, eval_table[, threshold])")
+      val str = stringArg("graft_semantic_decontaminate") _
+      val spark = SparkSession.active
+      val threshold = if (children.size == 3) children(2) match {
+        case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
+        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+        case other => throw new IllegalArgumentException(
+          s"graft_semantic_decontaminate: threshold must be a numeric literal, got ${other.sql}")
+      } else 0.95
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Similarity.semanticContaminatedIds(
+          spark.table(str(children.head, "train_table")),
+          spark.table(str(children(1), "eval_table")), threshold,
+          mat = graft.core.Materialize.Persist))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -267,7 +335,8 @@ object GraftExtensions {
     val (kid, kinfo, kbuilder) = topKFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
     Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
-        annSearchTableFunction, semanticDupsTableFunction)
+        annSearchTableFunction, semanticDupsTableFunction,
+        boilerplateTableFunction, semanticDecontaminateTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

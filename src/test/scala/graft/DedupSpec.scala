@@ -302,4 +302,20 @@ class DedupSpec extends SparkSpec {
     assert(err.getMessage.contains("string literal") ||
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
   }
+
+  test("SQL surface: graft_boilerplate TVF matches the Column API, both arities") {
+    graft.plans.GraftExtensions.install(spark)
+    val d = docs(
+      1L -> "aa bb cc dd", 2L -> "aa bb ee ff", 3L -> "aa bb gg hh",
+      4L -> "cc dd aa bb", 5L -> "totally separate content here")
+    d.createOrReplaceTempView("bp_docs")
+    val api = Dedup.boilerplateChunks(d, w = 2, minDocs = 3)
+      .as[(Long, Int, Int, String)].collect().toSet
+    assert(spark.sql("SELECT * FROM graft_boilerplate('bp_docs', 2, 3)")
+      .as[(Long, Int, Int, String)].collect().toSet === api)
+    // default arity = (w=3, minDocs=5)
+    assert(spark.sql("SELECT * FROM graft_boilerplate('bp_docs')")
+      .as[(Long, Int, Int, String)].collect().toSet ===
+      Dedup.boilerplateChunks(d).as[(Long, Int, Int, String)].collect().toSet)
+  }
 }

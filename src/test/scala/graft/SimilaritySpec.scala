@@ -503,6 +503,28 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(2L))
   }
 
+  test("SQL surface: graft_semantic_decontaminate TVF matches the Column API") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val rnd = new scala.util.Random(105)
+    val all = vecs((1L to 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val train = all.filter($"vec_id" % 10 =!= 0)
+    val eval = all.filter($"vec_id" % 10 === 0)
+    train.createOrReplaceTempView("sdc_train")
+    eval.createOrReplaceTempView("sdc_eval")
+    try {
+      val api = Similarity.semanticContaminatedIds(train, eval, threshold = 0.35)
+        .as[(Long, Long, Double)].collect().toSet
+      val sql = SparkSpec.spark.sql(
+        "SELECT * FROM graft_semantic_decontaminate('sdc_train', 'sdc_eval', 0.35)")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(sql === api)
+      assert(sql.nonEmpty, "the random corpus should produce at least one 0.35-cosine hit")
+    } finally {
+      SparkSpec.spark.sharedState.cacheManager.clearCache()
+    }
+  }
+
   test("encodeWithModel through stored artifacts reproduces the trained-inline tables") {
     val rnd = new scala.util.Random(102)
     val corpus = vecs((1L to 150L).map(i =>

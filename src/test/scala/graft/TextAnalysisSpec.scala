@@ -127,4 +127,43 @@ class TextAnalysisSpec extends SparkSpec {
     // 4 tokens < w -> no full window -> no fingerprints
     assert(TextAnalysis.fingerprints(docs(2L -> "a b c d"), w = 5).count() === 0)
   }
+
+  test("tokenDrift: zero on identical corpora, symmetric, replicates the smoothed formula") {
+    val a = docs(1L -> "alpha beta gamma", 2L -> "alpha beta")
+    val b = docs(3L -> "alpha delta", 4L -> "epsilon zeta eta")
+    // identical corpora: all three metrics exactly 0
+    val same = TextAnalysis.tokenDrift(a, a, buckets = 16)
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(same === ((5L, 5L, 0.0, 0.0, 0.0)))
+    val ab = TextAnalysis.tokenDrift(a, b, buckets = 16)
+      .as[(Long, Long, Double, Double, Double)].head()
+    val ba = TextAnalysis.tokenDrift(b, a, buckets = 16)
+      .as[(Long, Long, Double, Double, Double)].head()
+    // symmetry: kl_ab(a,b) == kl_ba(b,a); js symmetric; bounded by ln 2
+    assert(ab._3 === ba._4 && ab._4 === ba._3 && ab._5 === ba._5)
+    assert(ab._3 > 0 && ab._5 > 0 && ab._5 <= math.log(2))
+    // plain-Scala replication of the exact pipeline: md5 bucket, add-one
+    // smoothing over all 16 buckets, 12dp-rounded decimal term sums
+    def bucket(t: String): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.take(8), 16) % 16).toInt
+    }
+    val caM = Seq("alpha", "beta", "gamma", "alpha", "beta").groupBy(bucket).view.mapValues(_.size)
+    val cbM = Seq("alpha", "delta", "epsilon", "zeta", "eta").groupBy(bucket).view.mapValues(_.size)
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP)
+    val (na, nb) = (5.0, 5.0)
+    var (kab, kba, js2) = (BigDecimal(0), BigDecimal(0), BigDecimal(0))
+    for (i <- 0 until 16) {
+      val p = (caM.getOrElse(i, 0) + 1.0) / (na + 16)
+      val q = (cbM.getOrElse(i, 0) + 1.0) / (nb + 16)
+      val m = (p + q) / 2
+      kab += r12(p * math.log(p / q)); kba += r12(q * math.log(q / p))
+      js2 += r12(p * math.log(p / m)) + r12(q * math.log(q / m))
+    }
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(ab._3 === r6(kab.toDouble))
+    assert(ab._4 === r6(kba.toDouble))
+    assert(ab._5 === r6(js2.toDouble * 0.5))
+  }
 }
