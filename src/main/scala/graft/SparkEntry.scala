@@ -100,6 +100,36 @@ object SparkEntry {
        |       FROM rbg r JOIN lr l ON r.b = l.b GROUP BY r.doc_id)""".stripMargin
   }
 
+  /** Twin of [[graft.ops.Curation.classifierWeights]] +
+    * [[graft.ops.Curation.classifierScore]] (q_classifier_score):
+    * hashed unigram+bigram features, pos = non-web domains, neg = web,
+    * 1024 buckets, NB log-odds weights at 6dp decimal, doc logits as
+    * decimal sums. DuckDB's `generate_series(1, 0)` is empty (unlike
+    * Spark's `sequence`), so the bigram comprehension needs no guard. */
+  private val CLS_CTES = {
+    def fs(where: String, cols: String) =
+      s"""SELECT $cols CAST(CAST(('0x' || substr(md5(f), 1, 8)) AS BIGINT) % 1024 AS BIGINT) AS b
+         |  FROM (SELECT doc_id, unnest(list_concat(ts,
+         |          [ts[i] || ' ' || ts[i+1] for i in generate_series(1, len(ts) - 1)])) AS f
+         |        FROM (SELECT doc_id, $TOKS AS ts FROM documents WHERE $where)
+         |        WHERE len(ts) >= 1)""".stripMargin
+    s"""psf AS (${fs(s"($DOMAIN_SQL) <> 'web'", "")}),
+       |nsf AS (${fs(s"($DOMAIN_SQL) = 'web'", "")}),
+       |allf AS (${fs("true", "doc_id,")}),
+       |cp AS (SELECT b, count(*) AS cp FROM psf GROUP BY b),
+       |cn AS (SELECT b, count(*) AS cn FROM nsf GROUP BY b),
+       |np AS (SELECT count(*) AS np FROM psf),
+       |nn AS (SELECT count(*) AS nn FROM nsf),
+       |w AS (SELECT d.b,
+       |  CAST(round(ln((coalesce(cp.cp, 0) + 1.0) / (np.np + 1024))
+       |           - ln((coalesce(cn.cn, 0) + 1.0) / (nn.nn + 1024)), 6) AS DECIMAL(18,6)) AS w
+       |  FROM (SELECT unnest(range(1024)) AS b) d
+       |  LEFT JOIN cp ON d.b = cp.b LEFT JOIN cn ON d.b = cn.b
+       |  CROSS JOIN np CROSS JOIN nn),
+       |sc AS (SELECT f.doc_id, count(*) AS n_feats, sum(w.w) AS logit
+       |       FROM allf f JOIN w ON f.b = w.b GROUP BY f.doc_id)""".stripMargin
+  }
+
   /** Connected components over `pairs` (min reachable doc_id) — the
     * recursive closure shared by the cluster/keep/curate oracles;
     * requires WITH RECURSIVE and a `pairs(doc_a, doc_b)` CTE in scope. */
@@ -757,6 +787,15 @@ object SparkEntry {
       graft.ops.Curation.importanceTopK(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0), 100)
+    },
+    "q_classifier_score" -> { (s, dir) =>
+      // NB quality classifier: curated domains (wiki/books) are the
+      // positive class, raw web the negative; every doc then scores
+      // against the trained weight table at the balanced threshold
+      val d = withDomain(docs(s, dir))
+      graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
     }
   )
 
@@ -1488,6 +1527,12 @@ object SparkEntry {
          |  SELECT doc_id, CAST(CAST(slw AS DECIMAL(18,6)) AS DOUBLE) AS log_weight,
          |    CAST(row_number() OVER (ORDER BY slw DESC, doc_id ASC) AS INTEGER) AS rank
          |  FROM ds) WHERE rank <= 100""".stripMargin,
+    "q_classifier_score" ->
+      s"""WITH $CLS_CTES
+         |SELECT d.doc_id, coalesce(sc.n_feats, 0) AS n_feats,
+         |  CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |  coalesce(CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) >= 0.0, false) AS keep
+         |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin,
     "q_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

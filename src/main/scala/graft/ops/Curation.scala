@@ -341,4 +341,108 @@ object Curation {
         stage(6, "mixture", "n5", "t5"))).as("st"))
       .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"), col("st.n_tokens"))
   }
+
+  // ---- model-based quality classifier ----------------------------------
+
+  /** Hashed unigram + bigram feature stream: one row per feature
+    * occurrence, bucketed by md5 prefix — the fastText wordNgrams=2
+    * feature map, shared by the classifier's trainer and scorer (the
+    * [[importanceWeights]] bucketing recipe, extended with unigrams).
+    * One tokenize + one explode per scan; the bigram array is guarded
+    * because Spark's `sequence(1, 0)` DESCENDS instead of emptying. */
+  private def featureStream(d: DataFrame, keep: Seq[Column], buckets: Int): DataFrame =
+    graft.core.Parallelism.ensure(d)
+      .select(keep :+ TextNorm.tokens(col("text")).as("ts"): _*)
+      .where(size(col("ts")) >= 1)
+      .select(keep :+ explode(concat(col("ts"),
+        when(size(col("ts")) >= 2,
+          transform(sequence(lit(1), size(col("ts")) - 1),
+            i => concat_ws(" ", element_at(col("ts"), i),
+              element_at(col("ts"), i + 1))))
+          .otherwise(array().cast("array<string>")))).as("f"): _*)
+      .select(keep :+ (conv(substring(md5(col("f")), 1, 8), 16, 10)
+        .cast("long") % buckets).as("b"): _*)
+
+  /** Closed-form quality-classifier training: Naive-Bayes log-odds
+    * weights over hashed unigram+bigram features from a labeled pair
+    * of corpora (positive = "looks like the data I want", negative =
+    * raw crawl) — the weight table a fastText-style linear filter
+    * serves from, computable as pure SQL with no gradient loop.
+    *
+    * `w_b = ln((c⁺_b + 1) / (n⁺ + B)) − ln((c⁻_b + 1) / (n⁻ + B))`,
+    * rounded to 6dp DECIMAL (order-independent sums downstream). The
+    * output covers the FULL bucket domain (`buckets` rows — unseen
+    * buckets get the smoothed prior ratio), so [[classifierScore]]'s
+    * inner join drops nothing and the table broadcasts at any corpus
+    * size. The class prior `ln(P⁺/P⁻)` is deliberately absorbed into
+    * the decision threshold (`bias`): quality filters tune the
+    * operating point anyway, and leaving it out keeps training fully
+    * lazy (no count action).
+    *
+    * Plan at 100 TB: two tokenize scans, two bucket-keyed combinable
+    * groupBys (≤ `buckets` rows per map task cross the exchange), and
+    * a `buckets`-row domain join — no occurrence-level shuffle, no
+    * driver-side state.
+    */
+  def classifierWeights(
+      pos: DataFrame,
+      neg: DataFrame,
+      buckets: Int = 1024): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val ps = featureStream(pos, Seq.empty, buckets)
+    val ns = featureStream(neg, Seq.empty, buckets)
+    val cp = ps.groupBy("b").agg(count(lit(1)).as("cp"))
+    val cn = ns.groupBy("b").agg(count(lit(1)).as("cn"))
+    val np = ps.agg(count(lit(1)).as("np"))
+    val nn = ns.agg(count(lit(1)).as("nn"))
+    pos.sparkSession.range(buckets).select(col("id").as("b"))
+      .join(cp, Seq("b"), "left").join(cn, Seq("b"), "left")
+      .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
+      .select(col("b"),
+        round(log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / (col("np") + lit(buckets)))
+          - log((coalesce(col("cn"), lit(0L)) + lit(1.0)) / (col("nn") + lit(buckets))), 6)
+          .cast(DecimalType(18, 6)).as("w"))
+  }
+
+  /** Serve a linear quality classifier from a stored weight table —
+    * the model-based document filter of the FineWeb/DCLM recipe, split
+    * train/serve like the ANN stack's `pqModel`/`ivfpqSearch`: train
+    * once ([[classifierWeights]], or import any externally-trained
+    * `(b, w)` table hashed the same way), score every corpus after.
+    *
+    * Output: `(doc_id, n_feats, logit, keep)` — one row per input doc.
+    * `logit = Σ_features w_b` (6dp decimal accumulation, published as
+    * double); `keep = logit ≥ bias` (`bias` absorbs the class prior —
+    * 0 is the balanced operating point). Featureless docs (no tokens)
+    * score NULL and never keep, the [[importanceWeights]] convention.
+    *
+    * `buckets` MUST equal the weight table's domain size — the hash is
+    * re-derived here, and a mismatch would silently mis-bucket; the
+    * weight table's row count is exactly its bucket count, and the
+    * inner join meets every feature because the trainer emits the full
+    * domain.
+    *
+    * Plan at 100 TB: ONE tokenize scan of the corpus, a broadcast-hash
+    * join against the `buckets`-row weight table, and one combinable
+    * groupBy(doc_id) — raw text never shuffles, per-executor added
+    * memory is the broadcast table (~16 KB at the default size).
+    */
+  def classifierScore(
+      docs: DataFrame,
+      weights: DataFrame,
+      buckets: Int = 1024,
+      bias: Double = 0.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val fs = featureStream(docs, Seq(col("doc_id")), buckets)
+    val perDoc = fs.join(broadcast(weights.select(col("b"), col("w"))), Seq("b"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_feats"), sum("w").as("logit"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        col("logit").cast(DecimalType(18, 6)).cast("double").as("logit"))
+      .withColumn("keep", coalesce(col("logit") >= lit(bias), lit(false)))
+  }
 }

@@ -167,4 +167,43 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(opRows === colRows && opRows.nonEmpty)
   }
+
+  test("classifierScore with uniform weights counts features exactly; featureless docs never keep") {
+    // w = 1 for every bucket -> logit == n_feats == (2*len - 1):
+    // exercises the hash join + decimal sum without replicating md5
+    val uniform = SparkSpec.spark.range(16).select(col("id").as("b"),
+      lit(BigDecimal(1.0)).cast("decimal(18,6)").as("w"))
+    val d = Seq((1L, "alpha beta gamma"), (2L, "solo"), (3L, "??!!"))
+      .toDF("doc_id", "text")
+    val got = Curation.classifierScore(d, uniform, buckets = 16)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) === ((5L, Some(5.0), true)))   // 3 unigrams + 2 bigrams
+    assert(got(2L) === ((1L, Some(1.0), true)))
+    // "??!!" normalizes to no tokens: NULL logit, keep = false
+    assert(got(3L) === ((0L, None, false)))
+    // a positive bias above the best logit rejects everything
+    assert(Curation.classifierScore(d, uniform, buckets = 16, bias = 6.0)
+      .filter(col("keep")).count() === 0)
+  }
+
+  test("classifierWeights + classifierScore separate pos-like from neg-like docs") {
+    val pos = Seq(
+      (1L, "astronomy telescope galaxy nebula observation"),
+      (2L, "telescope observation of the galaxy and nebula"),
+      (3L, "galaxy nebula astronomy telescope survey")).toDF("doc_id", "text")
+    val neg = Seq(
+      (4L, "buy cheap pills now click here buy now"),
+      (5L, "click here now cheap pills buy cheap"),
+      (6L, "now now click buy pills here cheap")).toDF("doc_id", "text")
+    val w = Curation.classifierWeights(pos, neg, buckets = 256)
+    // full domain: every bucket priced exactly once
+    assert(w.count() === 256L && w.select("b").distinct().count() === 256L)
+    val unseen = Seq((10L, "telescope survey of a distant nebula"),
+      (11L, "cheap pills click now")).toDF("doc_id", "text")
+    val scored = Curation.classifierScore(unseen, w, buckets = 256)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> r._4).toMap
+    assert(scored === Map(10L -> true, 11L -> false))
+  }
 }
