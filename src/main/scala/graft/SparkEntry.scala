@@ -493,6 +493,8 @@ object SparkEntry {
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
       graft.ops.Sampling.packShards(docs(s, dir), tokenBudget = 512, buckets = 8)),
+    "q_shuffle_order" -> ((s, dir) =>
+      graft.ops.Sampling.shuffleOrder(docs(s, dir), "doc_id", shards = 16, seed = 42L)),
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -983,6 +985,15 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
          |  CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket
          |FROM c""".stripMargin,
+    "q_shuffle_order" ->
+      """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS k FROM documents),
+        |s AS (SELECT doc_id, k,
+        |    CAST(CAST(('0x' || substr(k, 1, 8)) AS BIGINT) % 16 AS INTEGER) AS shard
+        |  FROM t)
+        |SELECT doc_id, shard,
+        |  CAST(row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1 AS BIGINT) AS pos_in_shard,
+        |  CAST((row_number() OVER (PARTITION BY shard ORDER BY k, doc_id) - 1) * 16 + shard AS BIGINT) AS interleave_pos
+        |FROM s""".stripMargin,
     "q_label_centroids" ->
       // DECIMAL accumulation per coordinate (order-independent, exact),
       // one divide in double, round 6 — the moneySum treatment

@@ -203,6 +203,42 @@ object Sampling {
           .cast("int").as("shard_in_bucket"))
   }
 
+  /** Deterministic global training order: a seeded pseudo-random
+    * permutation of the corpus, realized as `shards` independent
+    * streams — the "shuffle the dataset before each epoch" step of a
+    * training run, reproducible bit-for-bit from (corpus, seed) with
+    * no `rand()` and no engine-dependent partition order.
+    *
+    * Each row's shuffle key is `md5(id ":" seed)`; `shard` is a hash
+    * slice of it, `pos_in_shard` ranks the full key within the shard
+    * (ties by id), `interleave_pos = pos_in_shard * shards + shard` is
+    * the global round-robin order a reader consuming the shard streams
+    * in lockstep sees — unique across the corpus and strictly
+    * increasing within every shard, with gaps only at the tails of
+    * uneven shards. A new seed yields a fresh permutation; epoch k can
+    * simply use seed + k.
+    *
+    * Scale shape: one shuffle on `shard`, then each shard sorts ONLY
+    * its own keys — ids and 32-byte hashes, never document payloads —
+    * so a 100 TB corpus shuffles as `shards`-way parallel narrow
+    * sorts. Size `shards` so a shard's (id, key) stream fits a task
+    * sort spill-free; readers join payloads back by id (keyed,
+    * column-pruned).
+    */
+  def shuffleOrder(df: DataFrame, idCol: String, shards: Int, seed: Long = 0L): DataFrame = {
+    require(shards > 0, s"shards=$shards must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("shard").orderBy(col("shuffle_key"), col(idCol))
+    df.select(col(idCol),
+        md5(concat_ws(":", col(idCol).cast("string"), lit(seed.toString))).as("shuffle_key"))
+      .withColumn("shard",
+        (conv(substring(col("shuffle_key"), 1, 8), 16, 10).cast("long") % shards).cast("int"))
+      .withColumn("pos_in_shard", (row_number().over(w) - 1).cast("long"))
+      .select(col(idCol), col("shard"),
+        col("pos_in_shard"),
+        (col("pos_in_shard") * shards + col("shard")).as("interleave_pos"))
+  }
+
   /** Stratified deterministic sample: keep up to `perStratum` rows per
     * stratum, chosen by md5 order (a stable "random" order any engine
     * reproduces), ties broken by id. One shuffle on the stratum key. */

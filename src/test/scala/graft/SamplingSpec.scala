@@ -138,4 +138,28 @@ class SamplingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Sampling.epochPlan(d, "source", Map.empty, tokenBudget = 10L))
   }
+
+  test("shuffleOrder: seeded permutation — dense per-shard positions, unique interleave, seed-sensitive") {
+    val d = (1L to 400L).toDF("doc_id")
+    val a = Sampling.shuffleOrder(d, "doc_id", shards = 8, seed = 7L)
+      .as[(Long, Int, Long, Long)].collect()
+    // every doc exactly once, shards in range
+    assert(a.length === 400 && a.map(_._1).toSet === (1L to 400L).toSet)
+    assert(a.forall(r => r._2 >= 0 && r._2 < 8))
+    // positions dense 0..n_s-1 within each shard; interleave_pos unique
+    a.groupBy(_._2).values.foreach { s =>
+      assert(s.map(_._3).sorted.toSeq === (0L until s.length).toSeq)
+    }
+    assert(a.map(_._4).distinct.length === 400)
+    // bit-for-bit reproducible at the same seed
+    val a2 = Sampling.shuffleOrder(d, "doc_id", shards = 8, seed = 7L)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(a.sortBy(_._1).toSeq === a2.sortBy(_._1).toSeq)
+    // a different seed is a genuinely different permutation
+    val b = Sampling.shuffleOrder(d, "doc_id", shards = 8, seed = 8L)
+      .as[(Long, Int, Long, Long)].collect()
+    assert(a.sortBy(_._1).map(_._4).toSeq !== b.sortBy(_._1).map(_._4).toSeq)
+    // the order is not the identity (it actually shuffles)
+    assert(a.sortBy(_._4).map(_._1).toSeq !== (1L to 400L).toSeq)
+  }
 }
