@@ -345,20 +345,40 @@ object TextAnalysis {
     * `buckets`-row range domain — constant-size work with broadcast
     * totals, no occurrence-level shuffle anywhere.
     */
-  def tokenDrift(a: DataFrame, b: DataFrame, buckets: Int = 1024): DataFrame = {
+  def tokenDrift(a: DataFrame, b: DataFrame, buckets: Int = 1024): DataFrame =
+    driftFromCounts(bucketCounts(a, buckets), bucketCounts(b, buckets),
+      buckets, a.sparkSession)
+
+  /** Hashed-unigram bucket counts `(b, c)` for one corpus — the
+    * tokenize half of [[tokenDrift]], exposed so callers that ALREADY
+    * hold token counts (the streaming watcher's accumulated inverted
+    * index) can feed [[driftFromCounts]] without re-scanning text. */
+  private[graft] def bucketCounts(d: DataFrame, buckets: Int): DataFrame =
+    graft.core.Parallelism.ensure(d)
+      .select(explode(TextNorm.tokens(col("text"))).as("t"))
+      .select(bucketOf(col("t"), buckets).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("c"))
+
+  /** `md5(token)` prefix → bucket id, the hash every drift-side count
+    * must share (a mismatched hash compares unrelated buckets). */
+  private[graft] def bucketOf(token: Column, buckets: Int): Column =
+    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % buckets
+
+  /** [[tokenDrift]] over precomputed bucket-count tables (`(b, c)`,
+    * missing buckets implicitly 0). Both sides MUST be bucketed by
+    * [[bucketOf]] with this `buckets`. */
+  private[graft] def driftFromCounts(
+      countsA: DataFrame,
+      countsB: DataFrame,
+      buckets: Int,
+      spark: org.apache.spark.sql.SparkSession): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    def counts(d: DataFrame): DataFrame =
-      graft.core.Parallelism.ensure(d)
-        .select(explode(TextNorm.tokens(col("text"))).as("t"))
-        .select((conv(substring(md5(col("t")), 1, 8), 16, 10)
-          .cast("long") % buckets).as("b"))
-        .groupBy("b").agg(count(lit(1)).as("c"))
-    val ca = counts(a)
-    val cb = counts(b).withColumnRenamed("c", "c2")
+    val ca = countsA
+    val cb = countsB.withColumnRenamed("c", "c2")
     val na = ca.agg(coalesce(sum("c"), lit(0L)).as("na"))
     val nb = cb.agg(coalesce(sum("c2"), lit(0L)).as("nb"))
-    val dom = a.sparkSession.range(buckets).select(col("id").as("b"))
+    val dom = spark.range(buckets).select(col("id").as("b"))
     val p = (coalesce(col("c"), lit(0L)) + lit(1.0)) / (col("na") + lit(buckets))
     val q = (coalesce(col("c2"), lit(0L)) + lit(1.0)) / (col("nb") + lit(buckets))
     val m = (p + q) / lit(2)

@@ -187,6 +187,22 @@ object CorpusWatcher {
     * that stage's (unmaterialized) frame — the micro-batch is re-read
     * once per enabled stage, acceptable for batch-sized increments but
     * not free.
+    *
+    * Distribution drift (`driftDir`): the streaming face of
+    * [[graft.ops.TextAnalysis.tokenDrift]] — each batch appends one
+    * row (`batch KL/JS vs the accumulated index`, 1024 hash buckets)
+    * to `driftDir/batch_id=N`, answering "is today's feed the same
+    * distribution as the corpus so far?" numerically, per batch. Both
+    * sides are what the INDEX sees: the batch side is the post-filter
+    * survivors (`kept`), the history side is the pre-merge snapshot's
+    * word counts read DIRECTLY from the index — the accumulated corpus
+    * is never re-tokenized, so the per-batch cost is one scan of the
+    * batch text plus one scan of the index's count column, and the
+    * drift row is computed BEFORE the swap (it describes the feed vs
+    * the published history, and the old snapshot is guaranteed alive
+    * then regardless of `retainSnapshots`). Batch 0 reports drift
+    * against the empty index's uniform smoothing — high by
+    * construction; alert on deltas, not absolutes.
     */
   def startJsonl(
       spark: SparkSession,
@@ -199,7 +215,8 @@ object CorpusWatcher {
       dedupBandsDir: Option[String] = None,
       dedupWithinBatch: Boolean = false,
       qualityGate: Option[graft.ops.Curation.QualityGate] = None,
-      metricsDir: Option[String] = None): StreamingQuery = {
+      metricsDir: Option[String] = None,
+      driftDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
@@ -256,8 +273,23 @@ object CorpusWatcher {
               .write.mode("overwrite").parquet(s"$bd/batch_id=$batchId")
             survivors
         }
+        val old = currentIndex(session, indexDir)
+        driftDir.foreach { dd =>
+          // history side straight from the index's (word, cnt) — the
+          // accumulated corpus is never re-tokenized; written before
+          // the swap, while the old snapshot is guaranteed on disk
+          val buckets = 1024
+          val histCounts = old
+            .select(graft.ops.TextAnalysis.bucketOf(col("word"), buckets).as("b"),
+              col("cnt"))
+            .groupBy("b").agg(sum("cnt").as("c"))
+          graft.ops.TextAnalysis.driftFromCounts(
+            graft.ops.TextAnalysis.bucketCounts(kept, buckets),
+            histCounts, buckets, session)
+            .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
+        }
         val delta = InvertedIndex.build(kept, idCol = "doc_id")
-        val merged = InvertedIndex.upsertDocs(currentIndex(session, indexDir), delta)
+        val merged = InvertedIndex.upsertDocs(old, delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         metricsDir.foreach { md =>
           // count only the frames a knob actually changed; pass-through

@@ -340,6 +340,38 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(bandDocs === Set("5", "7"), "only intra-batch survivors band-append")
   }
 
+  test("driftDir records per-batch drift vs the accumulated index, from index counts alone") {
+    val (watch, index, ckpt, quar, drift) =
+      (tmp("watchdr"), tmp("indexdr"), tmp("ckptdr"), tmp("quardr") + "/bad",
+        tmp("driftdr") + "/drift")
+    val t20 = "the quick brown fox jumps over the lazy dog again today"
+    val t21 = "a very fine sentence about the weather and other topics today"
+    val t30 = "completely different vocabulary regarding astronomy telescopes and galaxies"
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      driftDir = Some(drift)).awaitTermination()
+    Files.write(Paths.get(watch, "feed-0.json"),
+      (s"""{"doc_id": 20, "text": "$t20"}""" + "\n" +
+        s"""{"doc_id": 21, "text": "$t21"}""").getBytes("UTF-8"))
+    run()
+    // batch 0: one row, measured against the EMPTY index (n_tokens_b=0)
+    val r0 = spark.read.parquet(drift).filter(col("batch_id") === 0)
+      .select("n_tokens_a", "n_tokens_b", "js").as[(Long, Long, Double)].collect()
+    assert(r0.length === 1 && r0.head._1 === 22L && r0.head._2 === 0L && r0.head._3 > 0)
+    Files.write(Paths.get(watch, "feed-1.json"),
+      s"""{"doc_id": 30, "text": "$t30"}""".getBytes("UTF-8"))
+    run()
+    // batch 1's row == offline tokenDrift(batch-1 docs, batch-0 docs):
+    // the history side came from the index's (word, cnt) — never from
+    // re-tokenized text — and must be count-exact with the text path
+    val got = spark.read.parquet(drift).filter(col("batch_id") === 1)
+      .select("n_tokens_a", "n_tokens_b", "kl_ab", "kl_ba", "js")
+      .as[(Long, Long, Double, Double, Double)].head()
+    val want = graft.ops.TextAnalysis.tokenDrift(
+      Seq(t30).toDF("text"), Seq(t20, t21).toDF("text"))
+      .as[(Long, Long, Double, Double, Double)].head()
+    assert(got === want)
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")
