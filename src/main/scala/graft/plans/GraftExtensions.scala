@@ -28,6 +28,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.semanticDupsTableFunction)
     ext.injectTableFunction(GraftExtensions.boilerplateTableFunction)
     ext.injectTableFunction(GraftExtensions.semanticDecontaminateTableFunction)
+    ext.injectTableFunction(GraftExtensions.tokenDriftTableFunction)
+    ext.injectTableFunction(GraftExtensions.classifierScoreTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -326,6 +328,72 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for the corpus drift monitor
+    * ([[graft.ops.TextAnalysis.tokenDrift]]):
+    *
+    * {{{
+    * SELECT * FROM graft_token_drift('today', 'baseline')        -- 1024 buckets
+    * SELECT * FROM graft_token_drift('today', 'baseline', 4096)
+    * }}}
+    *
+    * Both named tables carry a `text` column; emits ONE row
+    * `(n_tokens_a, n_tokens_b, kl_ab, kl_ba, js)`. Fully lazy — the
+    * operator materializes nothing, so analysis and EXPLAIN run no job
+    * and there is no cache entry to release. */
+  private val tokenDriftTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_token_drift"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_token_drift"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_token_drift(table_a, table_b[, buckets])")
+      val str = stringArg("graft_token_drift") _
+      val spark = SparkSession.active
+      val buckets =
+        if (children.size == 3) intArg("graft_token_drift")(children(2), "buckets") else 1024
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.tokenDrift(
+          spark.table(str(children.head, "table_a")),
+          spark.table(str(children(1), "table_b")), buckets))
+    })
+
+  /** SQL surface for the model-based quality classifier's serving call
+    * ([[graft.ops.Curation.classifierScore]]):
+    *
+    * {{{
+    * SELECT * FROM graft_classifier_score('docs', 'weights')             -- 1024, bias 0
+    * SELECT * FROM graft_classifier_score('docs', 'weights', 1024, 0.5)
+    * }}}
+    *
+    * `docs` carries (doc_id, text); `weights` is any `(b, w)` table
+    * hashed with the library's bucket recipe (e.g. a stored
+    * `classifierWeights` output) — `buckets` MUST equal its domain
+    * size. Bias accepts DECIMAL or DOUBLE literals. Fully lazy. */
+  private val classifierScoreTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_classifier_score"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_classifier_score"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 4,
+        "graft_classifier_score(docs_table, weights_table[, buckets, bias])")
+      val str = stringArg("graft_classifier_score") _
+      val spark = SparkSession.active
+      val (buckets, bias) =
+        if (children.size == 4) (
+          intArg("graft_classifier_score")(children(2), "buckets"),
+          children(3) match {
+            case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
+            case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+            case other => throw new IllegalArgumentException(
+              s"graft_classifier_score: bias must be a numeric literal, got ${other.sql}")
+          })
+        else (1024, 0.0)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.classifierScore(
+          spark.table(str(children.head, "docs_table")),
+          spark.table(str(children(1), "weights_table")), buckets, bias))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -336,7 +404,8 @@ object GraftExtensions {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
     Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
         annSearchTableFunction, semanticDupsTableFunction,
-        boilerplateTableFunction, semanticDecontaminateTableFunction)
+        boilerplateTableFunction, semanticDecontaminateTableFunction,
+        tokenDriftTableFunction, classifierScoreTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -206,4 +206,30 @@ class CurationSpec extends SparkSpec {
       .map(r => r._1 -> r._4).toMap
     assert(scored === Map(10L -> true, 11L -> false))
   }
+
+  test("SQL surface: graft_classifier_score TVF serves a stored weight table, both arities") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val pos = Seq((1L, "astronomy telescope galaxy nebula")).toDF("doc_id", "text")
+    val neg = Seq((2L, "buy cheap pills now click here")).toDF("doc_id", "text")
+    val d = Seq((10L, "telescope nebula survey"), (11L, "cheap pills now"))
+      .toDF("doc_id", "text")
+    Curation.classifierWeights(pos, neg, buckets = 256)
+      .createOrReplaceTempView("clsw")
+    d.createOrReplaceTempView("clsd")
+    val api = Curation.classifierScore(d,
+      SparkSpec.spark.table("clsw"), buckets = 256)
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_classifier_score('clsd', 'clsw', 256, 0.0)")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet === api)
+    // default arity (1024 buckets) still runs; the weight table's 256-
+    // bucket domain then only prices a slice — exercise it for shape,
+    // not parity
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_classifier_score('clsd', 'clsw')")
+      .columns.toSeq === Seq("doc_id", "n_feats", "logit", "keep"))
+    val err = intercept[Exception](SparkSpec.spark.sql(
+      "SELECT * FROM graft_classifier_score('clsd', 'clsw', 256, 1 + 1)"))
+    assert(err.getMessage.contains("numeric literal") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
 }

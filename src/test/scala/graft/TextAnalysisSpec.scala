@@ -166,4 +166,26 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab._4 === r6(kba.toDouble))
     assert(ab._5 === r6(js2.toDouble * 0.5))
   }
+
+  test("SQL surface: graft_token_drift TVF matches the Column API, both arities") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val a = docs(1L -> "alpha beta gamma", 2L -> "alpha beta")
+    val b = docs(3L -> "alpha delta", 4L -> "epsilon zeta eta")
+    a.createOrReplaceTempView("drift_a")
+    b.createOrReplaceTempView("drift_b")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_token_drift('drift_a', 'drift_b', 16)")
+      .as[(Long, Long, Double, Double, Double)].head() ===
+      TextAnalysis.tokenDrift(a, b, buckets = 16)
+        .as[(Long, Long, Double, Double, Double)].head())
+    // default arity = 1024 buckets
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_token_drift('drift_a', 'drift_b')")
+      .as[(Long, Long, Double, Double, Double)].head() ===
+      TextAnalysis.tokenDrift(a, b)
+        .as[(Long, Long, Double, Double, Double)].head())
+    // non-literal buckets rejected loudly at plan time
+    val err = intercept[Exception](
+      SparkSpec.spark.sql("SELECT * FROM graft_token_drift('drift_a', 'drift_b', 8 + 8)"))
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
 }
