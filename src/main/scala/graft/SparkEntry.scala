@@ -482,6 +482,7 @@ object SparkEntry {
     },
     "q_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenEstimate(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
@@ -879,6 +880,49 @@ object SparkEntry {
          |  (len(ts) >= 10 AND len(list_filter(ts, t -> list_contains($stop, t))) > 0) AS keep
          |FROM (SELECT doc_id, text, $TOKS AS ts FROM documents)""".stripMargin
     },
+    "q_gopher_quality" ->
+      // twin of TextAnalysis.gopherQuality: raw whitespace words, raw
+      // trimmed lines, normalized tokens for the 8-stopword rule; every
+      // ratio integer-derived so the hash compare is bit-exact
+      s"""WITH g AS (SELECT doc_id,
+         |    CAST(len(ws) AS BIGINT) AS n_words,
+         |    CAST(len(ls) AS BIGINT) AS n_lines,
+         |    CAST(length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_chars,
+         |    CAST(length(text) - length(regexp_replace(text, '#', '', 'g'))
+         |      + (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) / 3
+         |      + length(text) - length(regexp_replace(text, '…', '', 'g')) AS BIGINT) AS n_symbols,
+         |    CAST(len(list_filter(ls, l -> substr(l, 1, 1) IN ('-', '*', '•'))) AS BIGINT) AS n_bullet,
+         |    CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS BIGINT) AS n_ell_lines,
+         |    CAST(len(list_filter(ws, w -> regexp_matches(w, '[A-Za-z]'))) AS BIGINT) AS n_alpha,
+         |    CAST(len(list_filter(ts, t -> list_contains(['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'], t))) AS BIGINT) AS n_stop
+         |  FROM (SELECT doc_id, text,
+         |          list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS ws,
+         |          list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> length(l) > 0) AS ls,
+         |          $TOKS AS ts
+         |        FROM documents)),
+         |s AS (SELECT doc_id, n_words,
+         |    CASE WHEN n_words > 0 THEN CAST(n_chars AS DOUBLE) / n_words END AS mean_word_len,
+         |    CASE WHEN n_words > 0 THEN CAST(n_symbols AS DOUBLE) / n_words END AS symbol_ratio,
+         |    CASE WHEN n_lines > 0 THEN CAST(n_bullet AS DOUBLE) / n_lines ELSE 0.0 END AS bullet_line_frac,
+         |    CASE WHEN n_lines > 0 THEN CAST(n_ell_lines AS DOUBLE) / n_lines ELSE 0.0 END AS ellipsis_line_frac,
+         |    CASE WHEN n_words > 0 THEN CAST(n_alpha AS DOUBLE) / n_words END AS alpha_word_frac,
+         |    n_stop
+         |  FROM g)
+         |SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_line_frac,
+         |  ellipsis_line_frac, alpha_word_frac, n_stop,
+         |  coalesce(n_words BETWEEN 50 AND 100000, false) AS r_word_count,
+         |  coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false) AS r_word_len,
+         |  coalesce(symbol_ratio <= 0.1, false) AS r_symbol,
+         |  bullet_line_frac <= 0.9 AS r_bullet,
+         |  ellipsis_line_frac <= 0.3 AS r_ellipsis,
+         |  coalesce(alpha_word_frac >= 0.8, false) AS r_alpha,
+         |  n_stop >= 2 AS r_stop,
+         |  (coalesce(n_words BETWEEN 50 AND 100000, false)
+         |    AND coalesce(mean_word_len BETWEEN 3.0 AND 10.0, false)
+         |    AND coalesce(symbol_ratio <= 0.1, false)
+         |    AND bullet_line_frac <= 0.9 AND ellipsis_line_frac <= 0.3
+         |    AND coalesce(alpha_word_frac >= 0.8, false) AND n_stop >= 2) AS keep
+         |FROM s""".stripMargin,
     "q_lang_id" -> {
       def sc(l: String, words: String) =
         s"CAST(len(list_filter(ts, t -> list_contains($words, t))) AS INTEGER) AS score_$l"

@@ -345,6 +345,79 @@ object TextAnalysis {
     * `buckets`-row range domain — constant-size work with broadcast
     * totals, no occurrence-level shuffle anywhere.
     */
+  /** The Gopher quality rule set (Rae et al. 2021, appendix A1.1) as
+    * per-document diagnostics + a composite keep flag — the de-facto
+    * standard heuristic filter batteries like MassiveText/RefinedWeb
+    * start from, complementing [[qualityScore]] (this library's
+    * minimal gate) with the published seven rules:
+    *
+    *   1. 50 ≤ word count ≤ 100,000
+    *   2. 3 ≤ mean word length ≤ 10
+    *   3. symbol-to-word ratio ≤ 0.1 (`#` and ellipses)
+    *   4. ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
+    *   5. ≤ 30% of lines end with an ellipsis (`...` or `…`)
+    *   6. ≥ 80% of words contain an alphabetic character
+    *   7. ≥ 2 hits of the 8 canonical English stopwords
+    *
+    * Words are RAW whitespace-split tokens (the paper's definition —
+    * punctuation intact, so `mean_word_len` and `alpha_word_frac` see
+    * what a reader sees); rule 7 uses the normalized tokenizer like
+    * every other stopword rule here. Degenerate inputs: a wordless doc
+    * reports NULL word stats and fails rules 1/2/3/6; a lineless doc's
+    * line fractions are 0 (nothing violates a line rule).
+    *
+    * Row-parallel column algebra over one projection (arrays
+    * materialized once), no shuffle, no UDF — the 100 TB cost is the
+    * scan itself, and every ratio is integer-derived so the oracle
+    * hash-matches bit-for-bit.
+    */
+  def gopherQuality(docs: DataFrame): DataFrame = {
+    val stop8 = Seq("the", "be", "to", "of", "and", "that", "have", "with")
+    def rmCount(pat: String, scale: Int = 1): Column =
+      ((length(col("text")) - length(regexp_replace(col("text"), pat, ""))) / scale)
+        .cast("long")
+    val d = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"),
+        filter(split(col("text"), "\\s+"), w => length(w) > 0).as("ws"),
+        filter(transform(split(col("text"), "\n"), l => trim(l)),
+          l => length(l) > 0).as("ls"),
+        TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"),
+        size(col("ws")).cast("long").as("n_words"),
+        size(col("ls")).cast("long").as("n_lines"),
+        length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"),
+        (rmCount("#") + rmCount("\\.\\.\\.", 3) + rmCount("…")).as("n_symbols"),
+        size(filter(col("ls"),
+          l => l.substr(lit(1), lit(1)).isin("-", "*", "•"))).cast("long").as("n_bullet"),
+        size(filter(col("ls"),
+          l => l.endsWith("...") || l.endsWith("…"))).cast("long").as("n_ell_lines"),
+        size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
+        size(filter(col("ts"), t => t.isin(stop8: _*))).cast("long").as("n_stop"))
+    val wordStat: Column => Column = x => when(col("n_words") > 0, x)
+    val lineStat: Column => Column =
+      x => when(col("n_lines") > 0, x).otherwise(lit(0.0))
+    d.select(col("doc_id"), col("n_words"),
+        wordStat(col("n_chars").cast("double") / col("n_words")).as("mean_word_len"),
+        wordStat(col("n_symbols").cast("double") / col("n_words")).as("symbol_ratio"),
+        lineStat(col("n_bullet").cast("double") / col("n_lines")).as("bullet_line_frac"),
+        lineStat(col("n_ell_lines").cast("double") / col("n_lines")).as("ellipsis_line_frac"),
+        wordStat(col("n_alpha").cast("double") / col("n_words")).as("alpha_word_frac"),
+        col("n_stop"))
+      .select(col("doc_id"), col("n_words"), col("mean_word_len"),
+        col("symbol_ratio"), col("bullet_line_frac"), col("ellipsis_line_frac"),
+        col("alpha_word_frac"), col("n_stop"),
+        coalesce(col("n_words").between(50, 100000), lit(false)).as("r_word_count"),
+        coalesce(col("mean_word_len").between(3.0, 10.0), lit(false)).as("r_word_len"),
+        coalesce(col("symbol_ratio") <= 0.1, lit(false)).as("r_symbol"),
+        (col("bullet_line_frac") <= 0.9).as("r_bullet"),
+        (col("ellipsis_line_frac") <= 0.3).as("r_ellipsis"),
+        coalesce(col("alpha_word_frac") >= 0.8, lit(false)).as("r_alpha"),
+        (col("n_stop") >= 2).as("r_stop"))
+      .withColumn("keep",
+        col("r_word_count") && col("r_word_len") && col("r_symbol") &&
+          col("r_bullet") && col("r_ellipsis") && col("r_alpha") && col("r_stop"))
+  }
+
   def tokenDrift(a: DataFrame, b: DataFrame, buckets: Int = 1024): DataFrame =
     driftFromCounts(bucketCounts(a, buckets), bucketCounts(b, buckets),
       buckets, a.sparkSession)

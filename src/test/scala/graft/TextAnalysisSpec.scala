@@ -167,6 +167,37 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab._5 === r6(js2.toDouble * 0.5))
   }
 
+  test("gopherQuality: each rule trips on its engineered doc; good prose keeps") {
+    val good = (1 to 10).map(_ => "the quick brown fox jumps over that lazy dog")
+      .mkString(" ") // 90 words, stopword-rich, all-alpha
+    val d = docs(
+      1L -> good,
+      2L -> "short text with the and of",                       // word count
+      3L -> (Seq.fill(60)("floccinaucinihilipilification").mkString(" ") + " the of"), // word len
+      4L -> (good + " " + Seq.fill(20)("#").mkString(" ")),     // symbols
+      5L -> "- the first\n- the second\n- the third",           // bullets
+      6L -> "the start...\nthe middle…\nthe end...",            // ellipses
+      7L -> (Seq.fill(60)("12345").mkString(" ") + " the of"),  // alpha frac
+      8L -> Seq.fill(60)("nostopwords here today").mkString(" "), // stopwords
+      9L -> "")                                                  // degenerate
+    val got = TextAnalysis.gopherQuality(d).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(got(1L).getAs[Boolean]("keep"))
+    assert(!got(2L).getAs[Boolean]("r_word_count"))
+    assert(!got(3L).getAs[Boolean]("r_word_len") && got(3L).getAs[Boolean]("r_word_count"))
+    assert(!got(4L).getAs[Boolean]("r_symbol") && got(4L).getAs[Boolean]("r_stop"))
+    assert(!got(5L).getAs[Boolean]("r_bullet") && got(5L).getAs[Double]("bullet_line_frac") === 1.0)
+    assert(!got(6L).getAs[Boolean]("r_ellipsis") && got(6L).getAs[Double]("ellipsis_line_frac") === 1.0)
+    assert(!got(7L).getAs[Boolean]("r_alpha") && got(7L).getAs[Boolean]("r_word_count"))
+    assert(!got(8L).getAs[Boolean]("r_stop") && got(8L).getAs[Long]("n_stop") === 0L)
+    // doc 9: wordless — null word stats, word rules false, line fracs 0
+    assert(got(9L).getAs[Long]("n_words") === 0L)
+    assert(got(9L).isNullAt(got(9L).fieldIndex("mean_word_len")))
+    assert(!got(9L).getAs[Boolean]("r_word_count") && !got(9L).getAs[Boolean]("r_alpha"))
+    assert(got(9L).getAs[Double]("bullet_line_frac") === 0.0)
+    assert(!got(9L).getAs[Boolean]("keep"))
+  }
+
   test("SQL surface: graft_token_drift TVF matches the Column API, both arities") {
     graft.plans.GraftExtensions.install(SparkSpec.spark)
     val a = docs(1L -> "alpha beta gamma", 2L -> "alpha beta")
