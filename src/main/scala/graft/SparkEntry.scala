@@ -483,6 +483,12 @@ object SparkEntry {
     "q_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenEstimate(docs(s, dir))),
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
+    "q_lm_score_ref" -> { (s, dir) =>
+      // CCNet deployment shape: LM trained on the curated domains,
+      // every document scored against it (with backoff for OOV)
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.lmScoreAgainst(d, d.filter(col("domain") =!= "web"))
+    },
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
@@ -998,7 +1004,35 @@ object SparkEntry {
          |ds AS (SELECT b.doc_id, count(*) AS n_bigrams, sum(l.lp) AS slp
          |       FROM bg b JOIN lp l USING (w1, w2) GROUP BY b.doc_id)
          |SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams,
-         |  round(CAST(ds.slp AS DOUBLE) / ds.n_bigrams, 6) AS avg_logprob
+         |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_bigrams) / 1000000.0 AS avg_logprob
+         |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_lm_score_ref" ->
+      // twin of lmModel + lmScoreWith: reference = non-web domains;
+      // pre-logged 6dp decimal pair/backoff/oov tables, decimal sums
+      s"""WITH rt AS (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+         |rbg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |              FROM rt WHERE len(ts) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM rbg GROUP BY w1, w2),
+         |ch AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM rt)),
+         |lp AS (SELECT w1, w2, CAST(round(ln((cb + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp
+         |       FROM cb JOIN ch USING (w1) CROSS JOIN v),
+         |bo AS (SELECT w1, CAST(round(ln(1.0 / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp_bo
+         |       FROM ch CROSS JOIN v),
+         |ov AS (SELECT CAST(round(ln(1.0 / v), 6) AS DECIMAL(18,6)) AS lp_oov FROM v),
+         |dbg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |              FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 2)),
+         |ds AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |         count(CASE WHEN l.lp IS NULL THEN 1 END) AS n_oov,
+         |         CAST(sum(coalesce(l.lp, bo.lp_bo, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
+         |       FROM dbg b LEFT JOIN lp l ON b.w1 = l.w1 AND b.w2 = l.w2
+         |         LEFT JOIN bo ON b.w1 = bo.w1 CROSS JOIN ov
+         |       GROUP BY b.doc_id)
+         |SELECT d.doc_id, coalesce(ds.n_bigrams, 0) AS n_bigrams,
+         |  coalesce(ds.n_oov, 0) AS n_oov,
+         |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_bigrams) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
     "q_top_ngrams" ->
       s"""SELECT ngram, cnt FROM (

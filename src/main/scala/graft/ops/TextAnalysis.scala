@@ -290,13 +290,111 @@ object TextAnalysis {
     val out = docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
-        round(col("slp").cast("double") / col("n_bigrams"), 6).as("avg_logprob"))
+        // tie-safe micro-unit mean — see [[lmScoreWith]]'s note
+        (round((col("slp").cast(DecimalType(18, 6)) * 1000000).cast("long").cast("double")
+          / col("n_bigrams")) / lit(1000000.0)).as("avg_logprob"))
     // bg stays live — the returned plan reads it on both the model and
     // the scoring side; under Persist the CALLER releases (unpersist /
     // clearCache) once the result is materialized, per Materialize's
     // lifecycle note. LocalCheckpoint blocks free with the RDD.
     out
   }
+
+  /** A trained bigram LM as three servable tables — the stored-model
+    * face of [[lmBigramScore]]'s self-trained variant, matching
+    * CCNet's actual deployment (Wenzek et al.: the LM trains on a
+    * TARGET-quality corpus once, then scores every crawl):
+    * `pairs (w1, w2, lp)` for in-model bigrams, `backoff (w1, lp_bo)`
+    * for unseen continuations of a seen history, `oov (lp_oov)` (one
+    * row) for unseen histories — the add-one-smoothed probabilities
+    * `(c+1)/(c1+V)`, `1/(c1+V)`, `1/V`, pre-logged and 6dp-decimal so
+    * SERVING does no transcendental math at all, just joins and
+    * decimal sums. Write the three tables as parquet to reuse a model
+    * across runs. */
+  final case class LmModel(pairs: DataFrame, backoff: DataFrame, oov: DataFrame)
+
+  /** Train an [[LmModel]] on `reference`. One bigram-occurrence scan
+    * feeds the pair counts (map-side combinable — the exchange carries
+    * per-task DISTINCT bigrams); the history and OOV tables derive
+    * from the MODEL table (distinct-bigram-sized, not
+    * occurrence-sized); the vocab scalar is one more tokenize scan. */
+  def lmModel(reference: DataFrame): LmModel = {
+    import org.apache.spark.sql.types.DecimalType
+    val toks = graft.core.Parallelism.ensure(reference)
+      .select(TextNorm.tokens(col("text")).as("ts"))
+    val cb = toks.where(size(col("ts")) >= 2)
+      .select(explode(
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("cb"))
+    val ch = cb.groupBy("w1").agg(sum("cb").as("c1"))
+    val vocab = toks.select(explode(col("ts")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    def dec6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
+    LmModel(
+      pairs = cb.join(ch, "w1").crossJoin(broadcast(vocab))
+        .select(col("w1"), col("w2"),
+          dec6(log((col("cb") + lit(1.0)) / (col("c1") + col("v")))).as("lp")),
+      backoff = ch.crossJoin(broadcast(vocab))
+        .select(col("w1"), dec6(log(lit(1.0) / (col("c1") + col("v")))).as("lp_bo")),
+      oov = vocab.select(dec6(log(lit(1.0) / col("v"))).as("lp_oov")))
+  }
+
+  /** Score documents against a stored [[LmModel]]: mean bigram
+    * log-probability with the model's backoff for unseen pairs and
+    * unseen histories, plus the `n_oov` diagnostic (bigrams that fell
+    * off the model — a high fraction means the model no longer fits
+    * the feed, the drift signal CCNet thresholds on).
+    *
+    * Output: `(doc_id, n_bigrams, n_oov, avg_logprob)`; bigram-less
+    * docs report `(0, 0, NULL)`.
+    *
+    * Plan at 100 TB: the corpus bigram stream joins `pairs` on
+    * (w1, w2) and `backoff` on (w1) — both model-sized (AQE
+    * broadcasts them when small), both keyed, no occurrence-level
+    * re-shuffle of text — then one combinable groupBy(doc_id). The
+    * scored corpus is never part of the model, so a fixed reference
+    * LM serves any number of crawl batches. */
+  def lmScoreWith(docs: DataFrame, model: LmModel): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val bg = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 2)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - 1),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val perDoc = bg
+      .join(model.pairs, Seq("w1", "w2"), "left")
+      .join(model.backoff, Seq("w1"), "left")
+      .crossJoin(broadcast(model.oov))
+      .select(col("doc_id"), col("lp"),
+        coalesce(col("lp"), col("lp_bo"), col("lp_oov")).as("lp_eff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"),
+        count(when(col("lp").isNull, lit(1))).as("n_oov"),
+        sum("lp_eff").cast(DecimalType(18, 6)).as("slp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // mean rounded in exact integer micro-units: slp*1e6 is an
+        // exact long (scale-6 decimal), so a 6dp TIE in slp/n is the
+        // exactly-representable double .5 — which every engine rounds
+        // away from zero — whereas round(slp/n, 6) sits one double
+        // rounding error off the tie and engines disagree (observed:
+        // -42.82707/12 at the oracle gate)
+        (round((col("slp") * 1000000).cast("long").cast("double") / col("n_bigrams"))
+          / lit(1000000.0)).as("avg_logprob"))
+  }
+
+  /** [[lmModel]] + [[lmScoreWith]] in one call — train on `reference`,
+    * score `docs` (the q_lm_score_ref oracle shape). */
+  def lmScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
+    lmScoreWith(docs, lmModel(reference))
 
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
     * hash every token (md5 — stable across engines), take the window

@@ -167,6 +167,53 @@ class TextAnalysisSpec extends SparkSpec {
     assert(ab._5 === r6(js2.toDouble * 0.5))
   }
 
+  test("lmScoreWith: stored-model round-trip, OOV backoff tiers, in-corpus parity with lmBigramScore") {
+    val ref = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran on the road")
+    // stored-model round-trip: write the three tables, read back, serve
+    val m0 = TextAnalysis.lmModel(ref)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm-").toString
+    m0.pairs.write.parquet(s"$dir/pairs")
+    m0.backoff.write.parquet(s"$dir/backoff")
+    m0.oov.write.parquet(s"$dir/oov")
+    val m = TextAnalysis.LmModel(
+      spark.read.parquet(s"$dir/pairs"),
+      spark.read.parquet(s"$dir/backoff"),
+      spark.read.parquet(s"$dir/oov"))
+    // "the cat sat": both bigrams in-model, zero OOV; exact value:
+    // lp(the,cat) = ln((2+1)/(4+7)), lp(cat,sat) = ln((1+1)/(2+7)),
+    // 6dp-rounded decimals, mean rounded 6dp (V=7 distinct ref tokens)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    // engine recipe: mean rounded in exact micro-units (ties away from 0)
+    def microMean(parts: Seq[BigDecimal]): Double =
+      (BigDecimal((parts.sum * 1000000).toLongExact)
+        .setScale(0) / parts.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+    val want = microMean(Seq(r6(math.log(3.0 / 11)), r6(math.log(2.0 / 9))))
+    val scored = TextAnalysis.lmScoreWith(
+      docs(10L -> "the cat sat",
+           11L -> "the zebra runs",   // seen history "the" + unseen pair; zebra->runs = unseen history
+           12L -> "xyz"),             // bigram-less
+      m).as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(scored(10L) === ((2L, 0L, Some(want))))
+    // doc 11: 2 bigrams, both OOV — (the,zebra) backs off on seen "the",
+    // (zebra,runs) hits the uniform OOV floor
+    assert(scored(11L)._1 === 2L && scored(11L)._2 === 2L)
+    val expect11 = microMean(Seq(r6(math.log(1.0 / 11)), r6(math.log(1.0 / 7))))
+    assert(scored(11L)._3 === Some(expect11))
+    assert(scored(12L) === ((0L, 0L, None)))
+    // scoring the reference against its own model reproduces the
+    // self-trained operator (zero OOV by construction)
+    val self = TextAnalysis.lmScoreWith(ref, m0)
+    assert(self.filter($"n_oov" =!= 0).count() === 0)
+    assert(self.select("doc_id", "n_bigrams", "avg_logprob")
+      .as[(Long, Long, Option[Double])].collect().toSet ===
+      TextAnalysis.lmBigramScore(ref)
+        .as[(Long, Long, Option[Double])].collect().toSet)
+  }
+
   test("gopherQuality: each rule trips on its engineered doc; good prose keeps") {
     val good = (1 to 10).map(_ => "the quick brown fox jumps over that lazy dog")
       .mkString(" ") // 90 words, stopword-rich, all-alpha
