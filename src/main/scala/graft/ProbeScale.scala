@@ -101,6 +101,39 @@ object ProbeScale {
     time("epoch_plan_sf1")(graft.ops.Sampling.epochPlan(
       docs, "source", Map("src0" -> 0.5, "src1" -> 0.5), 1000000L).count())
     }
+    // round-8: the model-based scorers + order/quality passes at both
+    // scales — all four are designed scan-bound (broadcast/model-sized
+    // joins only), so wall-clock should track the data ratio
+    if (section == "score") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def dom(d: org.apache.spark.sql.DataFrame) = d.withColumn("domain",
+      when(col("source") === "src19", "books")
+        .when(col("source").isin("src15", "src16", "src17", "src18"), "wiki")
+        .otherwise("web"))
+    def classify(d: org.apache.spark.sql.DataFrame) = {
+      val dd = dom(d)
+      graft.ops.Curation.classifierScore(dd,
+        graft.ops.Curation.classifierWeights(
+          dd.filter(col("domain") =!= "web"), dd.filter(col("domain") === "web")))
+    }
+    def lmRef(d: org.apache.spark.sql.DataFrame) = {
+      val dd = dom(d)
+      graft.ops.TextAnalysis.lmScoreAgainst(dd, dd.filter(col("domain") =!= "web"))
+    }
+    // filter on a COMPUTED column so Catalyst can't left-join-eliminate
+    // the scorer under a bare count()
+    for (rep <- 1 to 2) {
+      time(s"classifier_sf01_$rep")(classify(docs01).where(col("keep")).count())
+      time(s"classifier_sf1_$rep")(classify(docs).where(col("keep")).count())
+      time(s"lm_score_ref_sf01_$rep")(lmRef(docs01).where(col("avg_logprob") < 0).count())
+      time(s"lm_score_ref_sf1_$rep")(lmRef(docs).where(col("avg_logprob") < 0).count())
+    }
+    time("gopher_sf1")(graft.ops.TextAnalysis.gopherQuality(docs)
+      .where(col("keep")).count())
+    time("shuffle_order_sf1")(graft.ops.Sampling.shuffleOrder(
+      docs, "doc_id", shards = 64, seed = 7L)
+      .where(col("interleave_pos") % 7 === 0).count())
+    }
     // A/B the flags-pass implementations at sf1 (dev diagnosis): how much
     // of the scan is the tokenizer, and do the stopword-hit variants differ?
     if (section == "flagsab") {
