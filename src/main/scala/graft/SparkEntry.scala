@@ -575,6 +575,15 @@ object SparkEntry {
       Similarity.ivfTopK(e.filter(col("vec_id") % 100 === 0), e, 10, nprobe = 4,
         seed = Similarity.CentroidSeed.Modulo(100))
     },
+    "q_ann_recall" -> { (s, dir) =>
+      // the tuning measurement: IVF(nprobe=4) recall@10 vs brute force
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      graft.ops.Similarity.recallAtK(
+        Similarity.ivfTopK(q, e, 10, nprobe = 4,
+          seed = Similarity.CentroidSeed.Modulo(100)),
+        Similarity.bruteForceTopK(q, e, 10), 10)
+    },
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
     "q_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     // product quantization: per-subspace codebooks trained in one plan
@@ -1249,6 +1258,39 @@ object SparkEntry {
          |      ORDER BY ${COS_SQL("p.qe", "a.e")} DESC, a.neighbor_id ASC) AS INTEGER) AS rank
          |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND p.query_id <> a.neighbor_id)
          |WHERE rank <= 10""".stripMargin,
+    "q_ann_recall" ->
+      // twin of recallAtK(ivfTopK(nprobe=4, Modulo(100)), bruteForceTopK, 10):
+      // both ranked CTEs reuse the q_sim_ivf / q_sim_bruteforce recipes
+      s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |q AS (SELECT vec_id AS query_id, e AS qe FROM v WHERE vec_id % 100 = 0),
+         |bf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${COS_SQL("q.qe", "c.e")} DESC, c.vec_id ASC) AS rank
+         |  FROM q JOIN v c ON q.query_id <> c.vec_id) WHERE rank <= 10),
+         |cent AS (SELECT vec_id AS cell_id, e AS ce FROM v WHERE vec_id % 100 = 1),
+         |assign AS (SELECT cell_id, neighbor_id, e FROM (
+         |  SELECT c.cell_id, v.vec_id AS neighbor_id, v.e,
+         |    row_number() OVER (PARTITION BY v.vec_id
+         |      ORDER BY ${COS_SQL("v.e", "c.ce")} DESC, c.cell_id ASC) AS crn
+         |  FROM v, cent c) WHERE crn = 1),
+         |probes AS (SELECT query_id, qe, cell_id FROM (
+         |  SELECT q.query_id, q.qe, c.cell_id,
+         |    row_number() OVER (PARTITION BY q.query_id
+         |      ORDER BY ${COS_SQL("q.qe", "c.ce")} DESC, c.cell_id ASC) AS prn
+         |  FROM q, cent c) WHERE prn <= 4),
+         |ivf AS (SELECT query_id, neighbor_id FROM (
+         |  SELECT p.query_id, a.neighbor_id,
+         |    row_number() OVER (PARTITION BY p.query_id
+         |      ORDER BY ${COS_SQL("p.qe", "a.e")} DESC, a.neighbor_id ASC) AS rank
+         |  FROM probes p JOIN assign a ON p.cell_id = a.cell_id AND p.query_id <> a.neighbor_id)
+         |  WHERE rank <= 10)
+         |SELECT e.query_id, count(*) AS n_exact,
+         |  count(i.neighbor_id) AS n_hit,
+         |  round(CAST(count(i.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM bf e LEFT JOIN ivf i
+         |  ON e.query_id = i.query_id AND e.neighbor_id = i.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
     "q_cosine_dups" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          |    CAST(${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket

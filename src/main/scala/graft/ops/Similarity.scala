@@ -1203,6 +1203,43 @@ object Similarity {
       .agg(count(lit(1)).as("n_hits"), max(col("cos")).as("max_cos"))
   }
 
+  /** Recall@k of an approximate neighbor table against the exact one —
+    * the measurement every ANN deployment tunes on ("is nprobe=4 good
+    * enough?"), usable with ANY two ranked result tables of this
+    * module's shared shape (`query_id, neighbor_id, rank`):
+    * [[ivfTopK]] / [[lshBucketTopK]] / [[pqTopK]] / [[ivfpqSearch]] vs
+    * [[bruteForceTopK]] ground truth.
+    *
+    * Output: one row per query —
+    * `(query_id, n_exact, n_hit, recall)` with
+    * `recall = n_hit / n_exact` over ranks ≤ k (6dp; n_exact can be
+    * < k when the corpus is small, so the denominator is the truth
+    * size, not k; queries the approx table missed entirely still
+    * report with n_hit = 0). The ratio's denominator is ≤ k, so its
+    * decimal expansion either terminates well before 6dp or repeats —
+    * a 6dp rounding tie is impossible and the value is
+    * engine-portable.
+    *
+    * Plan at 100 TB: both inputs are k-rows-per-query tables; the
+    * intersection is one keyed left join on (query_id, neighbor_id)
+    * and one combinable groupBy(query_id) — cost is the size of the
+    * result tables, never the corpus. Ground truth on a SAMPLE of
+    * queries (the q_ann_recall shape: brute-force only the sampled
+    * queries) keeps the exact side affordable at any corpus size.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val a = approx.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.filter(col("rank") <= k)
+      .select(col("query_id"), col("neighbor_id"))
+      .join(a, Seq("query_id", "neighbor_id"), "left")
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_exact"), count(col("hit")).as("n_hit"))
+      .select(col("query_id"), col("n_exact"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
+  }
+
   /** The surviving training corpus after [[semanticContaminatedIds]] —
     * the embedding-space [[graft.ops.Dedup.decontaminate]]. */
   def decontaminateSemantic(

@@ -503,6 +503,34 @@ class SimilaritySpec extends SparkSpec {
     assert(kept === Set(2L))
   }
 
+  test("recallAtK: exact on hand-built tables; full-probe IVF recalls 1.0 vs brute force") {
+    import SparkSpec.spark.implicits._
+    // truth: q1 -> {a,b,c}; q2 -> {a,b}; approx hits 2/3 and 0/2
+    val exact = Seq((1L, 101L, 1), (1L, 102L, 2), (1L, 103L, 3),
+      (2L, 101L, 1), (2L, 102L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val approx = Seq((1L, 101L, 1), (1L, 103L, 2), (1L, 999L, 3),
+      (2L, 888L, 1), (2L, 889L, 2)).toDF("query_id", "neighbor_id", "rank")
+    val got = graft.ops.Similarity.recallAtK(approx, exact, 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 2L, 0.666667)))
+    assert(got(2L) === ((2L, 2L, 0L, 0.0)))
+    // only ranks <= k count on both sides
+    val gotK1 = graft.ops.Similarity.recallAtK(approx, exact, 1)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(gotK1 === Map(1L -> 1.0, 2L -> 0.0))
+    // end-to-end: probing every cell makes IVF exhaustive -> recall 1.0
+    val rnd = new scala.util.Random(106)
+    val corpus = vecs((1L to 160L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val q = corpus.filter($"vec_id" % 40 === 0)
+    val rec = graft.ops.Similarity.recallAtK(
+      Similarity.ivfTopK(q, corpus, 5, nprobe = 1000,
+        seed = Similarity.CentroidSeed.Modulo(40)),
+      Similarity.bruteForceTopK(q, corpus, 5), 5)
+    assert(rec.count() === 4)
+    assert(rec.filter($"recall" =!= 1.0).count() === 0)
+  }
+
   test("SQL surface: graft_semantic_decontaminate TVF matches the Column API") {
     graft.plans.GraftExtensions.install(SparkSpec.spark)
     val rnd = new scala.util.Random(105)
