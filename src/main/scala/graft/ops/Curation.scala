@@ -418,10 +418,12 @@ object Curation {
     * score NULL and never keep, the [[importanceWeights]] convention.
     *
     * `buckets` MUST equal the weight table's domain size — the hash is
-    * re-derived here, and a mismatch would silently mis-bucket; the
-    * weight table's row count is exactly its bucket count, and the
-    * inner join meets every feature because the trainer emits the full
-    * domain.
+    * re-derived here, and a mismatch would silently mis-bucket.
+    * Buckets ABSENT from the weight table score 0 (and still count in
+    * `n_feats`): [[classifierWeights]] emits the full domain so
+    * nothing is absent, but externally-trained tables often ship
+    * pruned (near-zero weights dropped) and a pruned bucket means "no
+    * evidence", not "skip this feature".
     *
     * Plan at 100 TB: ONE tokenize scan of the corpus, a broadcast-hash
     * join against the `buckets`-row weight table, and one combinable
@@ -436,9 +438,10 @@ object Curation {
     import org.apache.spark.sql.types.DecimalType
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
     val fs = featureStream(docs, Seq(col("doc_id")), buckets)
-    val perDoc = fs.join(broadcast(weights.select(col("b"), col("w"))), Seq("b"))
+    val perDoc = fs.join(broadcast(weights.select(col("b"), col("w"))), Seq("b"), "left")
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_feats"), sum("w").as("logit"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w"), lit(BigDecimal(0)).cast("decimal(18,6)"))).as("logit"))
     docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_feats"), lit(0L)).as("n_feats"),

@@ -185,6 +185,14 @@ class CurationSpec extends SparkSpec {
     // a positive bias above the best logit rejects everything
     assert(Curation.classifierScore(d, uniform, buckets = 16, bias = 6.0)
       .filter(col("keep")).count() === 0)
+    // pruned (sparse) weight table: absent buckets score 0 but still
+    // count as features — n_feats unchanged, logit shrinks
+    val empty = uniform.filter(col("b") < 0)
+    val sparse = Curation.classifierScore(d, empty, buckets = 16)
+      .as[(Long, Long, Option[Double], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(sparse(1L) === ((5L, Some(0.0))))
+    assert(sparse(3L) === ((0L, None)))
   }
 
   test("classifierWeights + classifierScore separate pos-like from neg-like docs") {
