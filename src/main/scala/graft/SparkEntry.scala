@@ -791,6 +791,28 @@ object SparkEntry {
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5)
     },
+    "q_curate_with_funnel" -> { (s, dir) =>
+      // the fused one-run path: manifest + funnel from ONE computation
+      // of the chain's drop sets (same parameters as q_curate /
+      // q_curate_funnel); both outputs union into one discriminated
+      // table so the oracle pins the pair end-to-end
+      val d = docs(s, dir)
+      val r = graft.ops.Curation.curateWithFunnel(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5)
+      r.manifest.select(
+        lit("manifest").as("kind"),
+        col("doc_id"), col("source"), col("pred_lang"), col("split"),
+        lit(null).cast("int").as("stage_idx"), lit(null).cast("string").as("stage"),
+        lit(null).cast("long").as("n_docs"), lit(null).cast("long").as("n_tokens"))
+        .unionByName(r.funnel.select(
+          lit("funnel").as("kind"),
+          lit(null).cast("long").as("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("pred_lang"), lit(null).cast("string").as("split"),
+          col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens")))
+    },
     "q_dsir_weights" -> { (s, dir) =>
       // DSIR importance weights: target = every 50th doc (the
       // q_decontaminate convention), raw = the rest, 1024 buckets
@@ -1639,6 +1661,35 @@ object SparkEntry {
          |              UNION ALL SELECT 6, doc_id FROM s4) s
          |        JOIN flags f USING (doc_id) GROUP BY s.stage_idx)
          |SELECT stage_idx, stage, n_docs, CAST(coalesce(n_tokens, 0) AS BIGINT) AS n_tokens FROM (
+         |  SELECT CAST(1 AS INTEGER) AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM flags) AS n_docs
+         |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM flags WHERE q_keep)
+         |  UNION ALL SELECT 3, 'language', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 4, 'near_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4))
+         |LEFT JOIN tok USING (stage_idx)""".stripMargin,
+    "q_curate_with_funnel" ->
+      s"""WITH RECURSIVE $CURATE_CTES,
+         |tok AS (SELECT s.stage_idx, CAST(coalesce(sum(f.n_tok), 0) AS BIGINT) AS n_tokens
+         |        FROM (SELECT 1 AS stage_idx, doc_id FROM flags
+         |              UNION ALL SELECT 2, doc_id FROM flags WHERE q_keep
+         |              UNION ALL SELECT 3, doc_id FROM s1
+         |              UNION ALL SELECT 4, doc_id FROM s2
+         |              UNION ALL SELECT 5, doc_id FROM s3
+         |              UNION ALL SELECT 6, doc_id FROM s4) s
+         |        JOIN flags f USING (doc_id) GROUP BY s.stage_idx)
+         |SELECT 'manifest' AS kind, doc_id, source, pred_lang, split,
+         |  CAST(NULL AS INTEGER) AS stage_idx, CAST(NULL AS VARCHAR) AS stage,
+         |  CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, source, pred_lang,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, source, pred_lang,
+         |              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |            FROM flags WHERE doc_id IN (SELECT doc_id FROM s4)))
+         |UNION ALL
+         |SELECT 'funnel', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS VARCHAR), stage_idx, stage, n_docs, CAST(coalesce(n_tokens, 0) AS BIGINT)
+         |FROM (
          |  SELECT CAST(1 AS INTEGER) AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM flags) AS n_docs
          |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM flags WHERE q_keep)
          |  UNION ALL SELECT 3, 'language', (SELECT count(*) FROM s1)

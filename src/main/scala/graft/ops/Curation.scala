@@ -154,12 +154,73 @@ object Curation {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val s1 = rowFlags(docs, minTokens)
       .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*))
-    val s2 = s1.join(Dedup.nearDupLosers(s1, mat = mat), Seq("doc_id"), "left_anti")
-    val s3 = s2.join(Dedup.contaminatedIds(s2, evalDocs), Seq("doc_id"), "left_anti")
-    s3.filter(Sampling.mixtureKeep("source", "doc_id", rates, defaultRate))
+    val losers = Dedup.nearDupLosers(s1, mat = mat)
+    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val contam = Dedup.contaminatedIds(s2, evalDocs)
+    manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct)
+  }
+
+  /** The manifest half of the chain, given the two precomputed drop-set
+    * id tables (`losers` over the quality+language survivors, `contam`
+    * over the dedup survivors — the contract [[curate]] establishes).
+    * Anti-joins are id-table-sized (AQE broadcasts them); mixture +
+    * split are shuffle-free column algebra. */
+  private def manifestFrom(
+      s1: DataFrame,
+      losers: DataFrame,
+      contam: DataFrame,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      trainPct: Int,
+      valPct: Int): DataFrame =
+    s1.join(losers, Seq("doc_id"), "left_anti")
+      .join(contam, Seq("doc_id"), "left_anti")
+      .filter(Sampling.mixtureKeep("source", "doc_id", rates, defaultRate))
       .select(col("doc_id"), col("source"), col("pred_lang"),
         Sampling.splitCol("doc_id", trainPct, valPct).as("split"))
+
+  /** Run the chain ONCE and get BOTH outputs — the call every
+    * production run actually wants (the manifest to train on, the
+    * funnel to publish). [[curate]] and [[funnel]] invoked separately
+    * each re-derive the same two drop-set tables (the near-dedup band
+    * graph is the chain's measured cost floor — SURVEY §8), paying the
+    * dedup graph twice; here `nearDupLosers` and `contaminatedIds` are
+    * computed once and feed both outputs.
+    *
+    * The loser table is backed by [[Dedup.clusters]]' materialized
+    * label table, so its three consumers (manifest anti-join, the
+    * contamination input set, the funnel accounting join) replay a
+    * cheap filter, not the band graph; the contaminated-id table is a
+    * lazy shingle semi-join consumed twice, so it is materialized here
+    * under the same `mat` strategy (it is id-sized — rows, not text).
+    * Under [[Materialize.Persist]] the caller owns release, the same
+    * contract as [[Dedup.minhashCandidatePairs]].
+    */
+  def curateWithFunnel(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): CurationResult = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val langKeep = col("pred_lang").isin(keepLangs: _*)
+    val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
+    val losers = Dedup.nearDupLosers(s1, mat = mat)
+    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val contam = Materialize(Dedup.contaminatedIds(s2, evalDocs), mat)
+    CurationResult(
+      manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct),
+      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate))
   }
+
+  /** Both outputs of [[curateWithFunnel]]: the surviving training
+    * manifest and the per-stage loss accounting, derived from one
+    * computation of the chain's drop sets. */
+  final case class CurationResult(manifest: DataFrame, funnel: DataFrame)
 
   /** DSIR-style importance weights (Xie et al., NeurIPS '23 — "Data
     * Selection for Language Models via Importance Resampling"): score
@@ -305,7 +366,21 @@ object Curation {
     val losers = Dedup.nearDupLosers(s1, mat = mat)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
+    funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate)
+  }
 
+  /** The accounting half of the chain, given the precomputed drop-set
+    * tables (same contract as `manifestFrom`): ONE scan of the flagged
+    * corpus left-joins the two id tables and evaluates all six
+    * cumulative stage predicates inside one aggregate. */
+  private def funnelFrom(
+      docs: DataFrame,
+      langKeep: Column,
+      losers: DataFrame,
+      contam: DataFrame,
+      minTokens: Int,
+      rates: Map[String, Double],
+      defaultRate: Double): DataFrame = {
     val c1 = col("q_keep")
     val c2 = c1 && langKeep
     val c3 = c2 && col("is_loser").isNull

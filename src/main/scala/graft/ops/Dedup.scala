@@ -146,15 +146,113 @@ object Dedup {
     * [[graft.core.Materialize]]) so the signature/band pipeline executes
     * exactly once across the three references (small filter, big filter,
     * join sides). Never all-pairs: work per bucket stays C(|bucket|, 2),
-    * now also bounded per-task. */
+    * now also bounded per-task.
+    *
+    * `sizeRatioFloor` (default 0 = off) enables the length-ratio
+    * prefilter: pairs whose smaller distinct-shingle set is under
+    * `floor` × the larger are cut before the distinct/cluster stages,
+    * since J ≤ min/max bounds their Jaccard below `floor`. Set it to
+    * the similarity level the banding scheme targets (r rows/band ⇒
+    * threshold ≈ (1/b)^(1/r); the default k=8,b=2 targets ≈0.84) —
+    * at that setting the pruned collisions are ones that could never
+    * verify at the target similarity. 0 keeps the historical
+    * behavior: every band collision is an edge. */
   def minhashCandidatePairs(
       docs: DataFrame,
       w: Int = 3,
       k: Int = 8,
       bands: Int = 2,
       bucketCap: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    pairsFromBands(minhashBands(docs, w, k, bands), bucketCap, mat)
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): DataFrame =
+    if (sizeRatioFloor <= 0.0)
+      pairsFromBands(minhashBands(docs, w, k, bands), bucketCap, mat)
+    else {
+      require(sizeRatioFloor <= 1.0,
+        s"sizeRatioFloor=$sizeRatioFloor must be in (0, 1] (it is a min/max set-size ratio)")
+      pairsFromBandsWithSize(
+        bandsFromWideWithSize(wideWithSize(docs, w, k), k, bands),
+        bucketCap, mat, sizeRatioFloor)
+    }
+
+  /** [[minhashSignaturesWide]] plus each doc's DISTINCT shingle-set
+    * size — the quantity the length-ratio prefilter bounds Jaccard
+    * with. n_sh is computed row-parallel BEFORE the explode (an
+    * `array_distinct` over the doc's own array), so the signature
+    * groupBy stays a plain hash aggregate — no count-distinct
+    * two-phase expansion, the shuffle rows just carry one extra int. */
+  private def wideWithSize(docs: DataFrame, w: Int, k: Int): DataFrame = {
+    val aggs = (0 until k).map { s =>
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
+    } :+ max(col("n_sh")).as("n_sh")
+    shingled(docs, w)
+      .select(col("doc_id"), size(array_distinct(col("shl"))).as("n_sh"),
+        explode(col("shl")).as("shingle"))
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** [[bandsFromWide]] with the n_sh column riding along. */
+  private def bandsFromWideWithSize(wide: DataFrame, k: Int, bands: Int): DataFrame = {
+    require(k % bands == 0,
+      s"k=$k signatures must divide evenly into bands=$bands (trailing " +
+        "signatures would silently drop out of every band key)")
+    val r = k / bands
+    val bandStructs = (0 until bands).map { b =>
+      struct(
+        lit(b).as("band"),
+        md5(concat_ws("|", (b * r until (b + 1) * r).map(s => col(s"sig$s")): _*)).as("band_key"))
+    }
+    wide
+      .select(col("doc_id"), col("n_sh"), explode(array(bandStructs: _*)).as("e"))
+      .select(col("doc_id"), col("n_sh"), col("e.band").as("band"), col("e.band_key").as("band_key"))
+  }
+
+  /** [[pairsFromBands]] with the length-ratio prefilter: a pair whose
+    * smaller shingle set is less than `floor` of its larger can have
+    * Jaccard at most `floor` (J = |A∩B|/|A∪B| ≤ min/max), so when the
+    * banding scheme targets similarity ≥ `floor` the pruned pairs are
+    * exactly the band collisions that could never verify — they are cut
+    * BEFORE the distinct and the cluster propagation ever see them.
+    * Both pairing paths apply the same predicate: the in-group lambda
+    * path filters the exploded struct pairs; the streaming-join path
+    * puts it in the join filter so over-cap buckets shrink in flight. */
+  private def pairsFromBandsWithSize(
+      bandTable: DataFrame,
+      bucketCap: Int,
+      mat: graft.core.Materialize.Strategy,
+      floor: Double): DataFrame = {
+    val buckets = graft.core.Materialize(
+      bandTable
+        .groupBy("band", "band_key")
+        .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(col("band"), col("band_key"), array_sort(col("ds")).as("ds")),
+      mat)
+    val keepPair =
+      least(col("n_a"), col("n_b")).cast("double") >=
+        lit(floor) * greatest(col("n_a"), col("n_b")).cast("double")
+    val smallPairs = buckets
+      .filter(size(col("ds")) <= bucketCap)
+      .select(explode(pairCombinationsWithSize(col("ds"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .filter(keepPair)
+      .select(col("doc_a"), col("doc_b"))
+    val bigRows = buckets
+      .filter(size(col("ds")) > bucketCap)
+      .select(col("band"), col("band_key"), explode(col("ds")).as("d"))
+      .select(col("band"), col("band_key"),
+        col("d.doc_id").as("doc_id"), col("d.n_sh").as("n_sh"))
+    val bigPairs = bigRows
+      .select(col("band"), col("band_key"), col("doc_id").as("doc_a"), col("n_sh").as("n_a"))
+      .join(bigRows.select(col("band"), col("band_key"),
+        col("doc_id").as("doc_b"), col("n_sh").as("n_b")),
+        Seq("band", "band_key"))
+      .filter(col("doc_a") < col("doc_b") && keepPair)
+      .select(col("doc_a"), col("doc_b"))
+    smallPairs.unionByName(bigPairs).distinct()
+  }
 
   /** The hybrid pair generator over any (doc_id, band, band_key) table —
     * see [[minhashCandidatePairs]] for the plan rationale. */
@@ -240,6 +338,14 @@ object Dedup {
       .select(explode(pairCombinationsWithSize(col("ds"))).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      // length-ratio prefilter — PROVABLY lossless here: the final
+      // filter keeps jaccard >= minJaccard, and J = i/(n_a+n_b-i) is
+      // maximized at i = min(n_a,n_b), i.e. J <= min/max — so a pair
+      // whose smaller set is under minJaccard of its larger can never
+      // survive. Cutting it before the groupBy shrinks the pair-count
+      // shuffle (the per-occurrence rows) instead of the final output.
+      .filter(least(col("n_a"), col("n_b")).cast("double") >=
+        lit(minJaccard) * greatest(col("n_a"), col("n_b")).cast("double"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_inter"), min("n_a").as("n_a"), min("n_b").as("n_b"))
       .withColumn("jaccard", col("n_inter").cast("double") /
@@ -599,8 +705,10 @@ object Dedup {
       k: Int = 8,
       bands: Int = 2,
       bucketCap: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat), Seq("doc_id"), "left_anti")
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): DataFrame =
+    docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat, sizeRatioFloor),
+      Seq("doc_id"), "left_anti")
 
   /** The ids [[dropNearDuplicates]] removes: non-canonical members of
     * each near-dup cluster (everyone but the minimum doc_id). Exposed
@@ -614,8 +722,9 @@ object Dedup {
       k: Int = 8,
       bands: Int = 2,
       bucketCap: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat), mat = mat)
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): DataFrame =
+    clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat, sizeRatioFloor), mat = mat)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
 

@@ -84,6 +84,23 @@ class CurationSpec extends SparkSpec {
     assert(f.last._3 === Curation.curate(docs, evalDocs, rates = rates).count())
   }
 
+  test("curateWithFunnel: both outputs match the standalone calls, from one drop-set computation") {
+    val r = Curation.curateWithFunnel(docs, evalDocs, rates = rates)
+    // manifest half ≡ curate
+    val fusedM = r.manifest.as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+    val aloneM = Curation.curate(docs, evalDocs, rates = rates)
+      .as[(Long, String, String, String)].collect().sortBy(_._1).toSeq
+    assert(fusedM === aloneM)
+    // funnel half ≡ funnel
+    val fusedF = r.funnel.as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    val aloneF = Curation.funnel(docs, evalDocs, rates = rates)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq
+    assert(fusedF === aloneF)
+    // and the chain's designed outcome holds end to end
+    assert(fusedM.map(_._1) === Seq(1L, 41L))
+    assert(fusedF.map(_._3) === Seq(7L, 6L, 5L, 4L, 3L, 2L))
+  }
+
   test("stage predicates compose the standalone operators' own answers") {
     // near-dedup losers over the quality+language survivors: only 42
     val s1 = Curation.rowFlags(docs, 10)

@@ -107,6 +107,40 @@ class DedupSpec extends SparkSpec {
     assert(df.as[(Long, Long)].collect().toSet.size === 28) // C(8,2)
   }
 
+  test("length-ratio prefilter prunes size-mismatched band collisions, keeps true near-dups") {
+    // Engineer a guaranteed band collision between docs of wildly
+    // different shingle-set sizes: with k=2/bands=2 each band key is a
+    // single signature, so a tiny doc whose ONLY shingle is the big
+    // doc's seed-0 minimum shares band 0 by construction.
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val toks = (1 to 20).map(i => s"tok$i")
+    val shingles = toks.sliding(3).map(_.mkString(" ")).toSeq
+    val minSh = shingles.minBy(sh => md5hex("0:" + sh))
+    val d = docs(1L -> toks.mkString(" "), 2L -> toks.mkString(" "), 3L -> minSh)
+    val noFloor = Dedup.minhashCandidatePairs(d, w = 3, k = 2, bands = 2)
+      .as[(Long, Long)].collect().toSet
+    assert(noFloor === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // floor 0.5: the 1-vs-18 shingle-set pairs can have J <= 1/18 and
+    // are cut; the true dup pair (ratio 1) survives
+    val floored = Dedup.minhashCandidatePairs(d, w = 3, k = 2, bands = 2, sizeRatioFloor = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(floored === Set((1L, 2L)))
+    // the over-cap streaming-join path applies the same predicate
+    val flooredJoin = Dedup.minhashCandidatePairs(d, w = 3, k = 2, bands = 2,
+      bucketCap = 1, sizeRatioFloor = 0.5).as[(Long, Long)].collect().toSet
+    assert(flooredJoin === floored)
+    // parity on a true near-dup corpus: the floor changes nothing
+    val dup = docs(
+      10L -> "the quick brown fox jumps over the lazy dog again and again",
+      11L -> "the quick brown fox jumps over the lazy dog again and again",
+      12L -> "completely unrelated words about maritime navigation charts here")
+    val losersOff = Dedup.nearDupLosers(dup).as[Long].collect().toSet
+    val losersOn = Dedup.nearDupLosers(dup, sizeRatioFloor = 0.84).as[Long].collect().toSet
+    assert(losersOn === losersOff)
+  }
+
   test("minhashEstimatedPairs: identical docs estimate 1.0, estimator stays in [0,1]") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(1L -> text, 2L -> text,
