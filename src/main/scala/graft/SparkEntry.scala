@@ -1530,12 +1530,15 @@ object SparkEntry {
         |FROM lineitem GROUP BY l_returnflag""".stripMargin,
     "q_multimodal" ->
       // twin of Multimodal.mediaSummary: DuckDB md5(VARCHAR) hashes the
-      // utf-8 bytes — identical to Spark md5 over encode(text,'UTF-8')
+      // utf-8 bytes — identical to Spark md5 over encode(text,'UTF-8').
+      // Text payloads have no ImageIO reader, so every row is the REAL
+      // decoder's quarantine shape: status 'undecodable', zero geometry
+      // — the failure path of the decode contract, oracle-pinned.
       """SELECT doc_id, 'text/plain' AS mime,
         |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
-        |  CAST(1 + octet_length(encode(text)) % 640 AS INTEGER) AS width,
-        |  CAST(1 + octet_length(encode(text)) % 480 AS INTEGER) AS height,
-        |  CAST(1 + octet_length(encode(text)) % 16 AS INTEGER) AS n_frames,
+        |  'undecodable' AS status,
+        |  CAST(0 AS INTEGER) AS width,
+        |  CAST(0 AS INTEGER) AS height,
         |  md5(text) AS content_md5
         |FROM documents""".stripMargin,
     "q_setops" ->

@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * struct, and per-item decode/feature work runs partition-parallel over
   * the binary bytes.
   *
-  * The image/audio codec libraries are not present in this container,
-  * so [[decodeStub]] is a clearly-marked DETERMINISTIC FAKE — it derives
-  * "frame" geometry from the byte length alone. Everything around it is
-  * real and load-bearing: the envelope schema, the Dataset encoder
-  * round-trip, the mapPartitions batch shape (one iterator per
-  * partition — the Scala twin of a pandas-batch UDF), and the
-  * column-layer feature hashes. Swapping the fake for a real decoder
-  * changes only the body of one function.
+  * Image decode is REAL: [[decodeImages]] reads PNG/JPEG/GIF/BMP
+  * geometry with `javax.imageio` (ships with the JDK — no external
+  * dependency), inside the mapPartitions batch contract. Bytes that no
+  * installed reader accepts (text payloads, corrupt files, truncated
+  * streams) become QUARANTINE rows (`status = 'undecodable'`), never
+  * task failures — at 100 TB a single bad file must not kill a stage.
+  * [[decodeStub]] remains only for media the JDK has no codec for
+  * (video frame sampling): a clearly-marked deterministic fake whose
+  * envelope/batch plumbing is identical, so swapping in a real codec
+  * changes one function body.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); feature hashes are codegen'd column exprs; nothing ever
@@ -25,6 +27,11 @@ object Multimodal {
 
   /** The multimodal envelope: payload + typed metadata. */
   final case class MediaItem(doc_id: Long, content: Array[Byte], mime: String)
+
+  /** Real decode result: geometry when an ImageIO reader accepted the
+    * bytes, a quarantine row (`status = "undecodable"`, zero geometry)
+    * when none did. */
+  final case class DecodedImage(doc_id: Long, n_bytes: Long, status: String, width: Int, height: Int)
 
   /** Fake-decoded media descriptor (see [[decodeStub]]). */
   final case class MediaFrames(doc_id: Long, n_bytes: Long, width: Int, height: Int, n_frames: Int)
@@ -43,9 +50,40 @@ object Multimodal {
         length(encode(col("text"), "UTF-8")).cast("long").as("n_bytes")
       ).as("meta"))
 
-  /** STUB decoder — deterministic fake in place of a real image/video
-    * codec (libs absent in this environment). Geometry is a pure
-    * function of the payload size so any engine can reproduce it:
+  /** REAL image decode over the envelope, `javax.imageio`: one
+    * iterator per partition, bytes never leave the executor, no
+    * shuffle. Every input row yields exactly one output row —
+    * undecodable payloads (no registered reader, corrupt or truncated
+    * bytes) are quarantined as `status = 'undecodable'` with zero
+    * geometry instead of failing the task, so a poisoned file in a
+    * 100 TB corpus costs one row, not a stage retry loop. The
+    * in-memory `ByteArrayInputStream` + `setUseCache(false)` keep
+    * ImageIO off executor-local disk (its default scratch cache).
+    */
+  def decodeImages(env: DataFrame)(implicit spark: SparkSession): Dataset[DecodedImage] = {
+    import spark.implicits._
+    env.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
+      .as[MediaItem]
+      .mapPartitions { items =>
+        javax.imageio.ImageIO.setUseCache(false)
+        items.map { it =>
+          val n = it.content.length.toLong
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(it.content))
+            if (img == null) DecodedImage(it.doc_id, n, "undecodable", 0, 0)
+            else DecodedImage(it.doc_id, n, "decoded", img.getWidth, img.getHeight)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              DecodedImage(it.doc_id, n, "undecodable", 0, 0)
+          }
+        }
+      }
+  }
+
+  /** STUB decoder — deterministic fake standing in ONLY for media the
+    * JDK ships no codec for (video frame sampling; images go through
+    * the real [[decodeImages]]). Geometry is a pure function of the
+    * payload size so any engine can reproduce it:
     *   width = 1 + n_bytes % 640, height = 1 + n_bytes % 480,
     *   n_frames = 1 + n_bytes % 16.
     * The mapPartitions shape (iterator-in/iterator-out per partition,
@@ -75,13 +113,14 @@ object Multimodal {
       col("meta.n_bytes").as("n_bytes"),
       md5(col("content")).as("content_md5"))
 
-  /** The full stub pipeline as one query: envelope → decode →
+  /** The full pipeline as one query: envelope → REAL decode →
     * features, joined on doc_id (both sides partition-local over the
-    * same scan). */
+    * same scan). Text payloads surface as quarantine rows — the
+    * failure path is part of the contract and of the oracle. */
   def mediaSummary(docs: DataFrame)(implicit spark: SparkSession): DataFrame = {
     val env = envelope(docs)
-    decodeStub(env).toDF()
+    decodeImages(env).toDF()
       .join(features(env).drop("n_bytes"), "doc_id")
-      .select("doc_id", "mime", "n_bytes", "width", "height", "n_frames", "content_md5")
+      .select("doc_id", "mime", "n_bytes", "status", "width", "height", "content_md5")
   }
 }
