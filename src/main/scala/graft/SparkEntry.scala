@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.index.InvertedIndex
-import graft.ops.{Dedup, Multimodal, Relational, Similarity, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Multimodal, Relational, Similarity, TextAnalysis}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -74,6 +74,39 @@ object SparkEntry {
   private val MINHASH_CTES =
     s"""sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
        |${MINHASH_TAIL("sh")}""".stripMargin
+
+  /** Merge depth the BPE oracle pair trains at — small enough that the
+    * unrolled DuckDB twin stays tractable, deep enough that multi-char
+    * subwords (a merged pair merging again) are exercised. */
+  private val BPE_MERGES = 12
+
+  /** Unrolled DuckDB twin of [[graft.ops.Bpe.trainMerges]]: `w0` is the
+    * word-frequency table under the space-wrapped symbolization, then
+    * per level one pair-count argmax (the exact (count desc, lhs, rhs)
+    * tiebreak) and one state `replace`. The argmax CTE keeps the
+    * `minFreq` early-stop: a level whose best pair is under threshold
+    * yields no row, and the LEFT JOIN ON TRUE + coalesce leaves state
+    * unchanged, so every later level is empty too — same fixpoint as
+    * the Scala driver loop breaking. */
+  private def BPE_CTES(n: Int, minFreq: Long): String = {
+    val w0 =
+      s"""w0 AS (
+         |  SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') AS syms, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ($TOKEN_ROWS) GROUP BY word)""".stripMargin
+    val levels = (1 to n).map { i =>
+      s"""m$i AS (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT ps[j] AS a, ps[j+1] AS b, cnt
+         |        FROM (SELECT ps, cnt, unnest(generate_series(1, len(ps)-1)) AS j
+         |              FROM (SELECT str_split(trim(syms), '  ') AS ps, cnt FROM w${i - 1})))
+         |  GROUP BY a, b HAVING CAST(sum(cnt) AS BIGINT) >= $minFreq
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w$i AS (
+         |  SELECT w.word, coalesce(replace(w.syms, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' '), w.syms) AS syms, w.cnt
+         |  FROM w${i - 1} w LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }
+    (w0 +: levels).mkString(",\n")
+  }
 
   /** DSIR hashed-bigram model chain — twin of
     * [[graft.ops.Curation.importanceWeights]] (buckets=1024, target =
@@ -480,7 +513,14 @@ object SparkEntry {
       TextAnalysis.tokenDrift(
         d.filter(col("domain") === "web"), d.filter(col("domain") =!= "web"))
     },
-    "q_bpe_tokens" -> ((s, dir) => TextAnalysis.bpeTokenEstimate(docs(s, dir))),
+    "q_bpe_train" -> ((s, dir) => Bpe.train(docs(s, dir), BPE_MERGES)),
+    "q_bpe_tokens" -> { (s, dir) =>
+      // trains its own merge table inline (oracle shape), then serves —
+      // the production path stores train()'s table and serves via
+      // tokenCountsFromModel without retraining
+      val d = docs(s, dir)
+      Bpe.tokenCounts(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
+    },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_lm_score_ref" -> { (s, dir) =>
@@ -763,9 +803,11 @@ object SparkEntry {
     },
     "q_epoch_plan" -> { (s, dir) =>
       // token-budget epoch planning over the same domains: 50k-token
-      // budget, weights 0.5/0.3/0.2, repetition capped at 2 epochs
+      // budget, weights 0.5/0.3/0.15/0.05, repetition capped at 2
+      // epochs; 'arxiv' is weighted but absent from the corpus, so the
+      // plan must surface it as a 0-token truncated row
       graft.ops.Sampling.epochPlan(withDomain(docs(s, dir)), "domain",
-        Map("web" -> 0.5, "wiki" -> 0.3, "books" -> 0.2),
+        Map("web" -> 0.5, "wiki" -> 0.3, "books" -> 0.15, "arxiv" -> 0.05),
         tokenBudget = 50000L, maxEpochs = 2.0)
         .withColumnRenamed("source", "domain")
     },
@@ -901,12 +943,23 @@ object SparkEntry {
          |  round(CAST(sum(tba) AS DOUBLE), 6) AS kl_ba,
          |  round(CAST(sum(tjp) + sum(tjq) AS DOUBLE) * 0.5, 6) AS js
          |FROM t""".stripMargin,
+    "q_bpe_train" ->
+      s"""WITH ${BPE_CTES(BPE_MERGES, 2L)}
+         |${(1 to BPE_MERGES).map(i =>
+              s"SELECT CAST($i AS INTEGER) AS merge_idx, a AS lhs, b AS rhs, a || b AS merged, c AS pair_count FROM m$i")
+            .mkString("\nUNION ALL ")}""".stripMargin,
     "q_bpe_tokens" ->
-      // coalesce: DuckDB list_sum([]) is NULL, Spark's aggregate seed
-      // makes a token-less document 0 — the engines must agree
-      s"""SELECT doc_id,
-         |  CAST(coalesce(list_sum(list_transform(ts, w -> CAST(ceil(length(w) / 4.0) AS BIGINT))), 0) AS BIGINT) AS n_bpe_tokens
-         |FROM (SELECT doc_id, $TOKS AS ts FROM documents)""".stripMargin,
+      // the trained state table already holds every vocab word's final
+      // merged symbolization, so serving in SQL is a per-word piece
+      // count joined onto the token stream; coalesce keeps token-less
+      // documents at 0 (Spark's explode_outer branch)
+      s"""WITH ${BPE_CTES(BPE_MERGES, 2L)},
+         |enc AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w$BPE_MERGES)
+         |SELECT d.doc_id, CAST(coalesce(sum(e.np), 0) AS BIGINT) AS n_bpe_tokens
+         |FROM documents d
+         |LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id
+         |LEFT JOIN enc e ON t.word = e.word
+         |GROUP BY d.doc_id""".stripMargin,
     "q_quality" -> {
       val stop = Stop.en
       s"""SELECT doc_id,
@@ -1629,21 +1682,31 @@ object SparkEntry {
          |SELECT domain, n_docs, rate, coalesce(n_kept, 0) AS n_kept
          |FROM rates LEFT JOIN kept USING (domain)""".stripMargin,
     "q_epoch_plan" ->
-      // twin of Sampling.epochPlan (budget 50k, weights .5/.3/.2, cap 2
-      // epochs): desired = floor(budget*w/sum_w), planned capped at
-      // available*maxEpochs, epochs = planned/available to 4dp
-      s"""WITH a AS (SELECT $DOMAIN_SQL AS domain,
-         |             CAST(sum(len($TOKS)) AS BIGINT) AS available_tokens
-         |           FROM documents GROUP BY 1),
+      // twin of Sampling.epochPlan (budget 50k, weights .5/.3/.15/.05,
+      // cap 2 epochs): desired = floor(budget*w/sum_w), planned capped
+      // at available*maxEpochs, epochs = planned/available to 4dp; the
+      // weighted-but-absent 'arxiv' source is unioned in with 0
+      // available tokens before the plan math, mirroring the engine's
+      // full-outer join against the weight keyset
+      s"""WITH a0 AS (SELECT $DOMAIN_SQL AS domain,
+         |              CAST(sum(len($TOKS)) AS BIGINT) AS available_tokens
+         |            FROM documents GROUP BY 1),
+         |a AS (SELECT * FROM a0
+         |      UNION ALL
+         |      SELECT 'arxiv', CAST(0 AS BIGINT)
+         |      WHERE NOT EXISTS (SELECT 1 FROM a0 WHERE domain = 'arxiv')),
          |p AS (SELECT domain, available_tokens,
          |        CAST(floor(50000.0 * (CASE domain WHEN 'web' THEN 0.5 WHEN 'wiki' THEN 0.3
-         |                              WHEN 'books' THEN 0.2 ELSE 0.0 END) / 1.0) AS BIGINT) AS desired_tokens
+         |                              WHEN 'books' THEN 0.15 WHEN 'arxiv' THEN 0.05
+         |                              ELSE 0.0 END) / 1.0) AS BIGINT) AS desired_tokens
          |      FROM a),
          |q AS (SELECT domain, available_tokens, desired_tokens,
          |        least(desired_tokens, CAST(floor(available_tokens * 2.0) AS BIGINT)) AS planned_tokens
          |      FROM p)
          |SELECT domain, available_tokens, desired_tokens, planned_tokens,
-         |  round(CAST(planned_tokens AS DOUBLE) / available_tokens, 4) AS epochs,
+         |  CASE WHEN available_tokens > 0
+         |       THEN round(CAST(planned_tokens AS DOUBLE) / available_tokens, 4)
+         |       ELSE 0.0 END AS epochs,
          |  (desired_tokens > planned_tokens) AS truncated
          |FROM q""".stripMargin,
     "q_curate" ->

@@ -139,7 +139,11 @@ object Sampling {
     * (one tokenize pass, one groupBy(source)); desired/planned are
     * floor'd to whole tokens. Output: `(source, available_tokens,
     * desired_tokens, planned_tokens, epochs, truncated)`, one row per
-    * source present in the corpus.
+    * source present in the corpus OR named in `weights` — a weighted
+    * source with no corpus rows (or only tokenless ones) still surfaces,
+    * with available=planned=0, epochs=0.0 and truncated=true, so the
+    * "source too small for its weight" warning fires precisely in the
+    * most extreme case instead of vanishing with the missing row.
     */
   def epochPlan(
       docs: DataFrame,
@@ -160,7 +164,13 @@ object Sampling {
         size(graft.core.TextNorm.tokens(col("text"))).as("n_tok"))
       .groupBy("source")
       .agg(sum("n_tok").as("available_tokens"))
-    avail
+    // full-outer against the weight keyset: weighted-but-absent sources
+    // must appear (as 0-token rows) or their truncation warning is lost
+    val wanted = docs.sparkSession
+      .createDataFrame(weights.keys.toSeq.map(Tuple1.apply)).toDF("source")
+    avail.join(wanted, Seq("source"), "full_outer")
+      .select(col("source"),
+        coalesce(col("available_tokens"), lit(0L)).as("available_tokens"))
       .select(col("source"), col("available_tokens"),
         floor(lit(tokenBudget.toDouble) * weightOf / wSum).cast("long").as("desired_tokens"))
       .select(col("source"), col("available_tokens"), col("desired_tokens"),
@@ -168,7 +178,9 @@ object Sampling {
           floor(col("available_tokens") * maxEpochs).cast("long")).as("planned_tokens"))
       .select(col("source"), col("available_tokens"), col("desired_tokens"),
         col("planned_tokens"),
-        round(col("planned_tokens").cast("double") / col("available_tokens"), 4).as("epochs"),
+        when(col("available_tokens") > 0,
+          round(col("planned_tokens").cast("double") / col("available_tokens"), 4))
+          .otherwise(lit(0.0)).as("epochs"),
         (col("desired_tokens") > col("planned_tokens")).as("truncated"))
   }
 
@@ -185,16 +197,26 @@ object Sampling {
     * and the running token sum is windowed per bucket — buckets-way
     * parallel, which is how a multi-writer shard job runs anyway.
     */
-  def packShards(docs: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame = {
+  def packShards(docs: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame =
+    packShardsCounts(
+      docs.select(col("doc_id"),
+        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
+      tokenBudget, buckets)
+
+  /** [[packShards]] over a precomputed `(doc_id, n_tokens)` table, so
+    * a real tokenizer's counts (e.g. [[graft.ops.Bpe.tokenCounts]])
+    * budget the shards instead of the whitespace proxy — same packing
+    * discipline, counts pluggable.
+    */
+  def packShardsCounts(counts: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame = {
     require(tokenBudget > 0 && buckets > 0, s"bad packing params $tokenBudget/$buckets")
     import org.apache.spark.sql.expressions.Window
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("long") % buckets).cast("int")
     val w = Window.partitionBy("pack_bucket").orderBy("doc_id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
-      .select(col("doc_id"),
-        size(graft.core.TextNorm.tokens(col("text"))).as("n_tokens"),
+    counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
         bucket.as("pack_bucket"))
       .withColumn("cum_tokens", sum("n_tokens").over(w))
       .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),

@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Bpe, Sampling}
+import SparkSpec.spark.implicits._
+
+class BpeSpec extends SparkSpec {
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // Sennrich-style corpus: low×3 lower×2 newest×5 widest×3.
+  // Hand-computed merge order under (count desc, lhs asc, rhs asc):
+  //  1. (e,s)  count 8 (ties (s,t) 8; "e" < "s")
+  //  2. (es,t) count 8
+  //  3. (e,w)  count 5 (five-way tie at 5; "e" smallest lhs)
+  //  4. (ew,est) count 5 (tie at 5; "ew" < "l" < "n" < "o")
+  private val sennrich = docs(
+    1L -> "low low low lower lower",
+    2L -> "newest newest newest newest newest widest widest widest")
+
+  test("trainMerges: golden merge order on the Sennrich corpus") {
+    val merges = Bpe.trainMerges(sennrich, numMerges = 4)
+    assert(merges.map(m => (m.lhs, m.rhs)) ===
+      Seq(("e", "s"), ("es", "t"), ("e", "w"), ("ew", "est")))
+    assert(merges.map(_.merge_idx) === Seq(1, 2, 3, 4))
+    assert(merges.head.pair_count === 8L)
+    assert(merges.map(_.merged) === Seq("es", "est", "ew", "ewest"))
+  }
+
+  test("trainMerges: minFrequency early-stops on singleton evidence") {
+    // (a,b) appears twice, (c,d) once — floor 3 learns nothing
+    val d = docs(1L -> "ab ab cd")
+    assert(Bpe.trainMerges(d, numMerges = 5, minFrequency = 3L).isEmpty)
+    // floor 2 learns exactly the one supported merge then stops
+    val one = Bpe.trainMerges(d, numMerges = 5, minFrequency = 2L)
+    assert(one.map(m => (m.lhs, m.rhs)) === Seq(("a", "b")))
+  }
+
+  test("encodeCol: greedy leftmost non-overlapping merge application") {
+    val got = Seq("aaaa", "aaa", "aaaaa", "b").toDF("word")
+      .select(col("word"), Bpe.encodeCol(col("word"), Seq(("a", "a"))).as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("aaaa") === Seq("aa", "aa"))
+    assert(got("aaa") === Seq("aa", "a"))
+    assert(got("aaaaa") === Seq("aa", "aa", "a"))
+    assert(got("b") === Seq("b"))
+  }
+
+  test("encodeCol: merged symbols merge again in later ranks") {
+    val merges = Seq(("e", "s"), ("es", "t"), ("e", "w"), ("ew", "est"))
+    val got = Seq("newest", "widest", "low").toDF("word")
+      .select(col("word"), Bpe.encodeCol(col("word"), merges).as("ps"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(got("newest") === Seq("n", "ewest"))
+    assert(got("widest") === Seq("w", "i", "d", "est"))
+    assert(got("low") === Seq("l", "o", "w"))
+  }
+
+  test("tokenCounts: per-doc subword totals; token-less doc is 0") {
+    val merges = Seq(("e", "s"), ("es", "t"))
+    val d = docs(1L -> "newest low", 2L -> "...", 3L -> "")
+    val got = Bpe.tokenCounts(d, merges).as[(Long, Long)].collect().toMap
+    // newest → n e w est (4) + low → l o w (3)
+    assert(got === Map(1L -> 7L, 2L -> 0L, 3L -> 0L))
+  }
+
+  test("train/collectMerges: stored model table serves identically") {
+    val model = Bpe.train(sennrich, numMerges = 4)
+    assert(model.columns.toSeq ===
+      Seq("merge_idx", "lhs", "rhs", "merged", "pair_count"))
+    // shuffle the stored table's row order; collectMerges must restore rank
+    val served = Bpe.tokenCountsFromModel(sennrich, model.orderBy(col("rhs")))
+    val direct = Bpe.tokenCounts(sennrich, Bpe.trainMerges(sennrich, 4).map(m => (m.lhs, m.rhs)))
+    assert(served.as[(Long, Long)].collect().sorted ===
+      direct.as[(Long, Long)].collect().sorted)
+  }
+
+  test("packShardsCounts: whitespace-count delegate matches packShards; BPE counts plug in") {
+    val d = docs((1L to 20L).map(i => i -> s"alpha beta gamma delta word$i text"): _*)
+    val viaCounts = Sampling.packShardsCounts(
+      d.select(col("doc_id"), size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
+      tokenBudget = 10L, buckets = 4)
+    val direct = Sampling.packShards(d, tokenBudget = 10L, buckets = 4)
+    assert(viaCounts.collect().toSet === direct.collect().toSet)
+
+    val bpeCounts = Bpe.tokenCounts(d, Seq(("a", "l"), ("al", "p")))
+      .withColumnRenamed("n_bpe_tokens", "n_tokens")
+    val packed = Sampling.packShardsCounts(bpeCounts, tokenBudget = 30L, buckets = 2)
+    assert(packed.columns.toSeq ===
+      Seq("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket"))
+    val total = packed.agg(sum("n_tokens")).as[Long].head()
+    val bpeTotal = bpeCounts.agg(sum("n_tokens")).as[Long].head()
+    assert(total === bpeTotal)
+  }
+}

@@ -139,6 +139,24 @@ class SamplingSpec extends SparkSpec {
       Sampling.epochPlan(d, "source", Map.empty, tokenBudget = 10L))
   }
 
+  test("epochPlan: weighted-but-absent and tokenless sources surface as truncated 0-token rows") {
+    val d = Seq(
+      (1L, "X", "a b c d e f g h i j"),                      // X: 10 tokens
+      (2L, "E", ""))                                         // E: present, tokenless
+      .toDF("doc_id", "source", "text")
+    val got = Sampling.epochPlan(d, "source",
+      Map("X" -> 0.5, "Z" -> 0.25, "E" -> 0.25), tokenBudget = 40L, maxEpochs = 2.0)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    // Z is weighted but has no corpus rows: the warning row must exist,
+    // with epochs 0.0 (not NULL) and the truncation bit set
+    assert(got("Z") === (("Z", 0L, 10L, 0L, 0.0, true)))
+    // E is present but tokenless: same degenerate handling, no 0/0 NULL
+    assert(got("E") === (("E", 0L, 10L, 0L, 0.0, true)))
+    assert(got("X") === (("X", 10L, 20L, 20L, 2.0, false)))
+    assert(got.size === 3)
+  }
+
   test("shuffleOrder: seeded permutation — dense per-shard positions, unique interleave, seed-sensitive") {
     val d = (1L to 400L).toDF("doc_id")
     val a = Sampling.shuffleOrder(d, "doc_id", shards = 8, seed = 7L)
