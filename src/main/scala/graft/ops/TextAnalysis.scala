@@ -455,7 +455,10 @@ object TextAnalysis {
     *   4. ≤ 90% of lines start with a bullet (`-`, `*`, `•`)
     *   5. ≤ 30% of lines end with an ellipsis (`...` or `…`)
     *   6. ≥ 80% of words contain an alphabetic character
-    *   7. ≥ 2 hits of the 8 canonical English stopwords
+    *   7. ≥ 2 OCCURRENCES of the 8 canonical English stopwords — not
+    *      distinct stopwords, so "the ... the" alone satisfies it (the
+    *      DataTrove-style reading; implementations that require two
+    *      DISTINCT stopwords will disagree on such degenerate docs)
     *
     * Words are RAW whitespace-split tokens (the paper's definition —
     * punctuation intact, so `mean_word_len` and `alpha_word_frac` see

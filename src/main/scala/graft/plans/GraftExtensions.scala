@@ -122,6 +122,18 @@ object GraftExtensions {
     case other => throw new IllegalArgumentException(
       s"$fn: $what must be an integer literal, got ${other.sql}")
   }
+  /** Numeric-literal argument: SQL writes `0.95`, `CAST(0.9 AS DOUBLE)`
+    * or a plain `1` — the parser types those DECIMAL / DOUBLE / INT, and
+    * all deserve the same treatment for a threshold/bias knob. */
+  private def numArg(fn: String)(e: Expression, what: String): Double = e match {
+    case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
+    case Literal(v: Float, _: org.apache.spark.sql.types.FloatType) => v.toDouble
+    case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
+    case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v.toDouble
+    case Literal(v: Long, _: org.apache.spark.sql.types.LongType) => v.toDouble
+    case other => throw new IllegalArgumentException(
+      s"$fn: $what must be a numeric literal, got ${other.sql}")
+  }
 
   /** SQL surface for the MinHash near-dup candidate generator — a
     * whole-relation operator, so a table-valued function:
@@ -251,12 +263,9 @@ object GraftExtensions {
         "graft_semantic_dups(table) or graft_semantic_dups(table, threshold)")
       val str = stringArg("graft_semantic_dups") _
       val corpus = SparkSession.active.table(str(children.head, "table"))
-      val threshold = if (children.size == 2) children(1) match {
-        case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
-        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
-        case other => throw new IllegalArgumentException(
-          s"graft_semantic_dups: threshold must be a numeric literal, got ${other.sql}")
-      } else 0.95
+      val threshold =
+        if (children.size == 2) numArg("graft_semantic_dups")(children(1), "threshold")
+        else 0.95
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.Similarity.semanticDupPairs(corpus, threshold,
           mat = graft.core.Materialize.Persist))
@@ -302,7 +311,7 @@ object GraftExtensions {
     *
     * Both tables carry (vec_id, embedding); emits (vec_id, n_hits,
     * max_cos) — the contaminated TRAINING vectors with their eval-hit
-    * evidence. Threshold accepts DECIMAL or DOUBLE literals. The
+    * evidence. Threshold accepts any numeric literal. The
     * k-means blocking model materializes via the LAZY Persist strategy
     * (the `graft_semantic_dups` contract: EXPLAIN runs no job, the
     * session cache dedups repeated calls). */
@@ -315,12 +324,10 @@ object GraftExtensions {
         "graft_semantic_decontaminate(train_table, eval_table[, threshold])")
       val str = stringArg("graft_semantic_decontaminate") _
       val spark = SparkSession.active
-      val threshold = if (children.size == 3) children(2) match {
-        case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
-        case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
-        case other => throw new IllegalArgumentException(
-          s"graft_semantic_decontaminate: threshold must be a numeric literal, got ${other.sql}")
-      } else 0.95
+      val threshold =
+        if (children.size == 3)
+          numArg("graft_semantic_decontaminate")(children(2), "threshold")
+        else 0.95
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.Similarity.semanticContaminatedIds(
           spark.table(str(children.head, "train_table")),
@@ -368,7 +375,7 @@ object GraftExtensions {
     * `docs` carries (doc_id, text); `weights` is any `(b, w)` table
     * hashed with the library's bucket recipe (e.g. a stored
     * `classifierWeights` output) — `buckets` MUST equal its domain
-    * size. Bias accepts DECIMAL or DOUBLE literals. Fully lazy. */
+    * size. Bias accepts any numeric literal. Fully lazy. */
   private val classifierScoreTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_classifier_score"),
@@ -381,12 +388,7 @@ object GraftExtensions {
       val (buckets, bias) =
         if (children.size == 4) (
           intArg("graft_classifier_score")(children(2), "buckets"),
-          children(3) match {
-            case Literal(v: Double, _: org.apache.spark.sql.types.DoubleType) => v
-            case Literal(d: org.apache.spark.sql.types.Decimal, _) => d.toDouble
-            case other => throw new IllegalArgumentException(
-              s"graft_classifier_score: bias must be a numeric literal, got ${other.sql}")
-          })
+          numArg("graft_classifier_score")(children(3), "bias"))
         else (1024, 0.0)
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.Curation.classifierScore(
