@@ -99,6 +99,18 @@ object Curation {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
   }
 
+  /** A STORED classifier served as a per-batch gate
+    * ([[graft.streaming.CorpusWatcher.startJsonl]]): docs scoring
+    * `logit < bias` under the frozen `(b, w)` weight table
+    * ([[classifierWeights]] output) are dropped. `buckets` must equal
+    * the table's training-time bucket count — [[classifierScore]]'s
+    * contract. The weight table is model-sized (KBs), broadcast into
+    * every batch; training never happens on the stream. */
+  final case class ClassifierGate(
+      weights: DataFrame, buckets: Int = 1024, bias: Double = 0.0) {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+  }
+
   /** Apply a [[QualityGate]]: keep docs passing the quality rule whose
     * predicted language is in the gate's keep set; output schema equals
     * the input schema (flag columns are internal). One tokenization

@@ -591,15 +591,31 @@ object Dedup {
     * anti-join twice. Per-doc-independent: membership depends only on
     * the doc's own shingles vs the eval set, never on which OTHER
     * training docs are present. */
-  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame = {
-    val trainSh = shingled(docs, w)
-      .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
-    val evalSh = shingled(evalDocs.select(col("doc_id"), col("text")), w)
+  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame =
+    contaminatedIdsAgainst(docs, evalShingles(evalDocs, w), w)
+
+  /** The eval side of [[decontaminate]] as a standalone table: the
+    * DISTINCT w-shingles of the eval corpus, `(shingle)`. Compute ONCE
+    * per eval suite and store it — a frozen benchmark never re-shingles
+    * — then serve any number of corpora (or every streaming batch:
+    * [[graft.streaming.CorpusWatcher.startJsonl]]) through
+    * [[contaminatedIdsAgainst]]. The train/serve split of the
+    * decontamination filter, same discipline as the ANN model tables. */
+  def evalShingles(evalDocs: DataFrame, w: Int = 3): DataFrame =
+    shingled(evalDocs.select(col("doc_id"), col("text")), w)
       .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
-    trainSh
-      .join(evalSh, Seq("shingle"), "left_semi")
+
+  /** [[contaminatedIds]] against a PRECOMPUTED eval shingle table
+    * ([[evalShingles]] output, stored or inline). `w` must equal the
+    * width the table was built with — the shingle strings simply won't
+    * match otherwise (silent no-op, not an error), so persist `w`
+    * alongside the table. Per-batch cost: one shingle pass over `docs`
+    * plus one semi-join; the eval side is never recomputed. */
+  def contaminatedIdsAgainst(docs: DataFrame, evalShingleTable: DataFrame, w: Int = 3): DataFrame =
+    shingled(docs, w)
+      .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
+      .join(evalShingleTable.select("shingle"), Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
-  }
 
   /** [[decontaminate]] with a broadcast Bloom prefilter on the TRAIN
     * side — the 100 TB formulation of the same filter. The exact

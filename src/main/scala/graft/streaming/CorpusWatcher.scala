@@ -173,10 +173,40 @@ object CorpusWatcher {
     * filter, so band state and the index only ever accumulate docs
     * that passed it (a gated doc never widens the dedup filter).
     *
+    * Classifier gate (`classifierGate`): the streaming face of
+    * [[graft.ops.Curation.classifierScore]] — each batch's gated rows
+    * are scored against the FROZEN weight table and docs with
+    * `logit < bias` are discarded (policy-dropped, like the quality
+    * gate — not quarantined). Training never happens on the stream:
+    * the gate serves a stored model, the train/serve split
+    * [[graft.ops.Curation.classifierWeights]] establishes. Runs after
+    * the quality gate (cheap predicates first) and before any dedup
+    * state, so bands and the index only accumulate docs the model kept.
+    * Per-batch cost: one tokenize scan of the batch + a broadcast join
+    * against the model-sized weight table.
+    *
+    * Decontamination (`decontamShingles` + `decontamW`): the streaming
+    * face of [[graft.ops.Dedup.decontaminate]] — docs sharing a
+    * w-shingle with the FROZEN eval suite ([[graft.ops.Dedup
+    * .evalShingles]] output; `decontamW` must equal its build width)
+    * are dropped before any dedup state sees them. Per-doc-independent
+    * (membership never depends on other training docs), so running it
+    * ahead of the near-dup filter changes nothing about who is
+    * contaminated — and it keeps a contaminated arrival from ever
+    * widening the band filter: a later non-leaking near-duplicate of a
+    * contaminated doc SHOULD survive, since the contaminated text never
+    * reached the index. (The batch chain orders dedup first, where the
+    * whole corpus is present at once and the kept manifest is the only
+    * output; at the stream boundary the band-state policy — "bands
+    * describe exactly the indexed corpus" — dominates.) Per-batch cost:
+    * one shingle pass over the batch + one semi-join against the
+    * precomputed eval shingles.
+    *
     * Per-batch funnel metrics (`metricsDir`): the streaming face of
     * [[graft.ops.Curation.funnel]] — each batch appends one row per
-    * pipeline stage (`ingest, parsed, quality_gate, dedup_history,
-    * dedup_within, indexed` — surviving doc counts) to
+    * pipeline stage (`ingest, parsed, quality_gate, classifier,
+    * decontaminated, dedup_history, dedup_within, indexed` — surviving
+    * doc counts) to
     * `metricsDir/batch_id=N`, the observability a production feed
     * needs ("batch 412 dropped 80% at the gate" is an incident; a
     * silent filter is not). Disabled stages report their input count
@@ -215,6 +245,9 @@ object CorpusWatcher {
       dedupBandsDir: Option[String] = None,
       dedupWithinBatch: Boolean = false,
       qualityGate: Option[graft.ops.Curation.QualityGate] = None,
+      classifierGate: Option[graft.ops.Curation.ClassifierGate] = None,
+      decontamShingles: Option[DataFrame] = None,
+      decontamW: Int = 3,
       metricsDir: Option[String] = None,
       driftDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
@@ -246,16 +279,35 @@ object CorpusWatcher {
           case None    => parsed
           case Some(g) => graft.ops.Curation.applyGate(parsed, g)
         }
+        // model gate after the cheap predicate gate: score against the
+        // frozen weight table, keep ids where logit >= bias
+        val scored = classifierGate match {
+          case None => clean
+          case Some(g) =>
+            val keepIds = graft.ops.Curation
+              .classifierScore(clean, g.weights, g.buckets, g.bias)
+              .filter(col("keep")).select("doc_id")
+            clean.join(keepIds, Seq("doc_id"), "left_semi")
+        }
+        // decontaminate BEFORE dedup state (see scaladoc: band-state
+        // policy — a contaminated doc must not widen the filter)
+        val uncontaminated = decontamShingles match {
+          case None => scored
+          case Some(es) =>
+            scored.join(
+              graft.ops.Dedup.contaminatedIdsAgainst(scored, es, decontamW),
+              Seq("doc_id"), "left_anti")
+        }
         // history filter first, then within-batch (the order
         // dropDuplicatesAgainst's contract documents): a doc that
         // near-dups history is gone either way; the intra-batch pass
         // then keeps each remaining cluster's minimum doc_id
         val afterHistory = dedupBandsDir match {
-          case None => clean
+          case None => uncontaminated
           case Some(bd) =>
             accumulatedBands(session, bd, excludeBatchId = batchId)
-              .map(h => graft.ops.Dedup.dropDuplicatesAgainst(clean, h))
-              .getOrElse(clean)
+              .map(h => graft.ops.Dedup.dropDuplicatesAgainst(uncontaminated, h))
+              .getOrElse(uncontaminated)
         }
         val deduped =
           if (dedupWithinBatch) graft.ops.Dedup.dropNearDuplicates(afterHistory)
@@ -297,14 +349,17 @@ object CorpusWatcher {
           val nIngest = batch.count()
           val nParsed = parsed.count()
           val nGated = if (qualityGate.isDefined) clean.count() else nParsed
-          val nHist = if (dedupBandsDir.isDefined) afterHistory.count() else nGated
+          val nClf = if (classifierGate.isDefined) scored.count() else nGated
+          val nDecon = if (decontamShingles.isDefined) uncontaminated.count() else nClf
+          val nHist = if (dedupBandsDir.isDefined) afterHistory.count() else nDecon
           val nWithin = if (dedupWithinBatch) deduped.count() else nHist
           val nKept = if (kept eq deduped) nWithin else kept.count()
           import session.implicits._
           Seq(
             (1, "ingest", nIngest), (2, "parsed", nParsed),
-            (3, "quality_gate", nGated), (4, "dedup_history", nHist),
-            (5, "dedup_within", nWithin), (6, "indexed", nKept))
+            (3, "quality_gate", nGated), (4, "classifier", nClf),
+            (5, "decontaminated", nDecon), (6, "dedup_history", nHist),
+            (7, "dedup_within", nWithin), (8, "indexed", nKept))
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }

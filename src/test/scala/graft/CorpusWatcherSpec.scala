@@ -236,6 +236,7 @@ class CorpusWatcherSpec extends SparkSpec {
         .select("stage", "n_docs").as[(String, Long)].collect().toMap
     assert(metricsOf(0) === Map(
       "ingest" -> 5L, "parsed" -> 4L, "quality_gate" -> 3L,
+      "classifier" -> 3L, "decontaminated" -> 3L,
       "dedup_history" -> 3L, "dedup_within" -> 2L, "indexed" -> 2L))
     // batch 1: a near-dup of a batch-0 survivor dies at the history stage
     Files.write(Paths.get(watch, "feed-1.json"),
@@ -243,6 +244,7 @@ class CorpusWatcherSpec extends SparkSpec {
     run()
     assert(metricsOf(1) === Map(
       "ingest" -> 1L, "parsed" -> 1L, "quality_gate" -> 1L,
+      "classifier" -> 1L, "decontaminated" -> 1L,
       "dedup_history" -> 0L, "dedup_within" -> 0L, "indexed" -> 0L))
     assert(indexEntries(index).map(_._2) === Set("20", "21"))
     // Drain the cache entries THIS test added (diff vs the baseline):
@@ -338,6 +340,58 @@ class CorpusWatcherSpec extends SparkSpec {
       "intra-batch cluster keeps its minimum doc_id only")
     val bandDocs = spark.read.parquet(bands).select("doc_id").as[String].collect().toSet
     assert(bandDocs === Set("5", "7"), "only intra-batch survivors band-append")
+  }
+
+  test("classifierGate + decontamShingles drop model-rejected and contaminated docs; replay-idempotent") {
+    val (watch, index, quar, metrics) =
+      (tmp("watchcg"), tmp("indexcg"), tmp("quarcg") + "/bad", tmp("metricscg") + "/metrics")
+    // frozen artifacts, trained/built BEFORE the stream exists — the
+    // serve-only contract: the stream never trains anything
+    val pos = Seq(
+      (1L, "delightful prose about science and careful clear writing"),
+      (2L, "careful clear writing about science")).toDF("doc_id", "text")
+    val neg = Seq(
+      (3L, "buy cheap pills now click here spam offer"),
+      (4L, "spam offer click now cheap pills")).toDF("doc_id", "text")
+    val weights = graft.ops.Curation.classifierWeights(pos, neg).cache()
+    val evalSh = graft.ops.Dedup.evalShingles(
+      Seq((100L, "the secret benchmark answer sequence")).toDF("doc_id", "text")).cache()
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      classifierGate = Some(graft.ops.Curation.ClassifierGate(weights)),
+      decontamShingles = Some(evalSh),
+      metricsDir = Some(metrics)).awaitTermination()
+    // batch 0: a clean doc establishes the index
+    Files.write(Paths.get(watch, "feed-0.json"),
+      """{"doc_id": 10, "text": "careful clear writing about science"}""".getBytes("UTF-8"))
+    val ckpt = tmp("ckptcg")
+    run(ckpt)
+    assert(indexEntries(index).map(_._2) === Set("10"))
+    // batch 1: clean + contaminated (shares a 3-shingle with the eval
+    // suite) + spam (negative logit under the frozen model)
+    Files.write(Paths.get(watch, "feed-1.json"),
+      ("""{"doc_id": 11, "text": "delightful prose about science"}""" + "\n" +
+        """{"doc_id": 12, "text": "contains the secret benchmark answer sequence inside"}""" + "\n" +
+        """{"doc_id": 13, "text": "buy cheap pills now click here spam offer"}""" + "\n")
+        .getBytes("UTF-8"))
+    run(ckpt)
+    assert(indexEntries(index).map(_._2) === Set("10", "11"),
+      "the contaminated and model-rejected docs must not reach the index")
+    // the funnel attributes each drop to its stage: 3 parsed, the spam
+    // doc dies at the classifier, the leaking doc at decontamination
+    val m1 = spark.read.parquet(metrics).filter(col("batch_id") === 1)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(m1 === Map(
+      "ingest" -> 3L, "parsed" -> 3L, "quality_gate" -> 3L,
+      "classifier" -> 2L, "decontaminated" -> 1L,
+      "dedup_history" -> 1L, "dedup_within" -> 1L, "indexed" -> 1L))
+    // replay batch 1 (fresh checkpoint, same files): deterministic
+    // scoring + shingling drop the same docs; upsert keeps the index
+    // identical — no doc resurrected, none double-counted
+    val before = indexEntries(index)
+    run(tmp("ckptcg2"))
+    assert(indexEntries(index) === before, "replay must be idempotent")
+    weights.unpersist(); evalSh.unpersist()
+    ()
   }
 
   test("driftDir records per-batch drift vs the accumulated index, from index counts alone") {
