@@ -30,6 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.semanticDecontaminateTableFunction)
     ext.injectTableFunction(GraftExtensions.tokenDriftTableFunction)
     ext.injectTableFunction(GraftExtensions.classifierScoreTableFunction)
+    ext.injectTableFunction(GraftExtensions.curateTableFunction)
+    ext.injectTableFunction(GraftExtensions.dsirTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -396,6 +398,82 @@ object GraftExtensions {
           spark.table(str(children(1), "weights_table")), buckets, bias))
     })
 
+  /** SQL surface for the flagship curation composition
+    * ([[graft.ops.Curation.curate]] — quality → language → near-dedup
+    * → decontaminate → mixture → split, the chain a production corpus
+    * run is):
+    *
+    * {{{
+    * SELECT * FROM graft_curate('docs', 'eval')               -- en, min_tokens=10
+    * SELECT * FROM graft_curate('docs', 'eval', 10, 'en,de')  -- explicit knobs
+    * }}}
+    *
+    * `docs` must carry (doc_id, text, source), `eval` (doc_id, text);
+    * emits the kept manifest (doc_id, source, pred_lang, split).
+    * Mixture rates and split percentages stay at the API defaults — a
+    * per-source rates MAP is not a SQL literal; use the Column API for
+    * those. Derived dedup tables use the lazy Persist strategy:
+    * analysis and EXPLAIN run no job, the first execution populates
+    * the session cache (release via `spark.catalog.clearCache()`). */
+  private val curateTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_curate"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_curate"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 4,
+        "graft_curate(docs_table, eval_table[, min_tokens, keep_langs_csv])")
+      val str = stringArg("graft_curate") _
+      val spark = SparkSession.active
+      val (minTokens, langs) =
+        if (children.size == 4) (
+          intArg("graft_curate")(children(2), "min_tokens"),
+          str(children(3), "keep_langs_csv")
+            .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+        else (10, Seq("en"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.curate(
+          spark.table(str(children.head, "docs_table")),
+          spark.table(str(children(1), "eval_table")),
+          keepLangs = langs, minTokens = minTokens,
+          mat = graft.core.Materialize.Persist))
+    })
+
+  /** SQL surface for DSIR importance resampling
+    * ([[graft.ops.Curation.importanceWeights]] /
+    * [[graft.ops.Curation.importanceTopK]]):
+    *
+    * {{{
+    * SELECT * FROM graft_dsir('raw', 'target')            -- per-doc weights, 1024 buckets
+    * SELECT * FROM graft_dsir('raw', 'target', 4096)      -- explicit buckets
+    * SELECT * FROM graft_dsir('raw', 'target', 1024, 100) -- top-k selection
+    * }}}
+    *
+    * Both named tables carry (doc_id, text). Two/three args emit the
+    * weight table (doc_id, n_feats, log_weight); four args emit the
+    * k most target-like raw docs (doc_id, log_weight, rank). Lazy
+    * Persist materialization for the hashed-bigram model tables. */
+  private val dsirTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_dsir"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_dsir"),
+    (children: Seq[Expression]) => {
+      require(children.size >= 2 && children.size <= 4,
+        "graft_dsir(raw_table, target_table[, buckets[, k]])")
+      val str = stringArg("graft_dsir") _
+      val int = intArg("graft_dsir") _
+      val spark = SparkSession.active
+      val raw = spark.table(str(children.head, "raw_table"))
+      val target = spark.table(str(children(1), "target_table"))
+      val buckets = if (children.size >= 3) int(children(2), "buckets") else 1024
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        if (children.size == 4)
+          graft.ops.Curation.importanceTopK(raw, target, int(children(3), "k"),
+            buckets, mat = graft.core.Materialize.Persist)
+        else
+          graft.ops.Curation.importanceWeights(raw, target, buckets,
+            mat = graft.core.Materialize.Persist))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -407,7 +485,8 @@ object GraftExtensions {
     Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
         annSearchTableFunction, semanticDupsTableFunction,
         boilerplateTableFunction, semanticDecontaminateTableFunction,
-        tokenDriftTableFunction, classifierScoreTableFunction)
+        tokenDriftTableFunction, classifierScoreTableFunction,
+        curateTableFunction, dsirTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -232,6 +232,55 @@ class CurationSpec extends SparkSpec {
     assert(scored === Map(10L -> true, 11L -> false))
   }
 
+  test("SQL surface: graft_curate TVF matches the Column-API chain, both arities") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    docs.createOrReplaceTempView("curd")
+    evalDocs.createOrReplaceTempView("cure")
+    // default arity = the API defaults (no per-source rates in SQL)
+    val api = Curation.curate(docs, evalDocs)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(api.nonEmpty)
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_curate('curd', 'cure')")
+      .as[(Long, String, String, String)].collect().toSet === api)
+    // explicit knobs: lower quality floor + keep German
+    val api2 = Curation.curate(docs, evalDocs,
+      keepLangs = Seq("en", "de"), minTokens = 3)
+      .as[(Long, String, String, String)].collect().toSet
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_curate('curd', 'cure', 3, 'en,de')")
+      .as[(Long, String, String, String)].collect().toSet === api2)
+    assert(api2 !== api, "knobs must actually change the manifest")
+    // non-literal table names fail loudly, not silently
+    val err = intercept[Exception](SparkSpec.spark.sql(
+      "SELECT * FROM graft_curate('curd', upper('cure'))"))
+    assert(err.getMessage.contains("string literal") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
+
+  test("SQL surface: graft_dsir TVF matches importanceWeights / importanceTopK") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val raw = Seq(
+      (1L, "stellar astronomy telescope galaxy survey of nebula fields"),
+      (2L, "cheap pills discount offer click now"),
+      (3L, "galaxy survey telescope astronomy")).toDF("doc_id", "text")
+    val target = Seq(
+      (90L, "astronomy telescope galaxy nebula survey")).toDF("doc_id", "text")
+    raw.createOrReplaceTempView("dsraw")
+    target.createOrReplaceTempView("dstgt")
+    val api = Curation.importanceWeights(raw, target, 256)
+      .as[(Long, Long, Option[Double])].collect().toSet
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_dsir('dsraw', 'dstgt', 256)")
+      .as[(Long, Long, Option[Double])].collect().toSet === api)
+    val apiTop = Curation.importanceTopK(raw, target, 2, 256)
+      .as[(Long, Double, Int)].collect().toSet
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_dsir('dsraw', 'dstgt', 256, 2)")
+      .as[(Long, Double, Int)].collect().toSet === apiTop)
+    val err = intercept[Exception](SparkSpec.spark.sql(
+      "SELECT * FROM graft_dsir('dsraw', 'dstgt', 256, 1 + 1)"))
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
+
   test("SQL surface: graft_classifier_score TVF serves a stored weight table, both arities") {
     graft.plans.GraftExtensions.install(SparkSpec.spark)
     val pos = Seq((1L, "astronomy telescope galaxy nebula")).toDF("doc_id", "text")
@@ -246,6 +295,10 @@ class CurationSpec extends SparkSpec {
       .as[(Long, Long, Option[Double], Boolean)].collect().toSet
     assert(SparkSpec.spark
       .sql("SELECT * FROM graft_classifier_score('clsd', 'clsw', 256, 0.0)")
+      .as[(Long, Long, Option[Double], Boolean)].collect().toSet === api)
+    // a plain integer literal is a perfectly good bias too
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_classifier_score('clsd', 'clsw', 256, 0)")
       .as[(Long, Long, Option[Double], Boolean)].collect().toSet === api)
     // default arity (1024 buckets) still runs; the weight table's 256-
     // bucket domain then only prices a slice — exercise it for shape,
