@@ -66,7 +66,17 @@ object Bench {
     val sfName = sfDir.split('/').filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     System.err.println(s"[bench] full-precision: " +
       results.toSeq.sortBy(_._1).map { case (k, v) => s"$k=$v" }.mkString(" "))
-    println(s"""{"metric":"total","value":${c(total)},"unit":"sec","queries":$qs,"sf":"$sfName","runs":$runs,"agg":"min","failures":$fs}""")
+    val line = s"""{"metric":"total","value":${c(total)},"unit":"sec","queries":$qs,"sf":"$sfName","runs":$runs,"agg":"min","failures":$fs}"""
+    println(line)
+    // The driver's console capture has truncated this line before
+    // (BENCH_r08 lost 11 per-query entries + the total off the head of
+    // its tail window). Persist the identical artifact to a file so a
+    // complete copy always exists regardless of capture-window size.
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LAST.json")
+    try java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+      (line + "\n").getBytes("UTF-8"))
+    catch { case e: java.io.IOException =>
+      System.err.println(s"[bench] could not write $outPath: $e") }
     spark.stop()
   }
 }

@@ -178,6 +178,27 @@ object ProbeScale {
     time("cs_s3_full")(s3.count())
     time("cs_full_curate")(graft.ops.Curation.curate(train, evald,
       rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5).count())
+    // round-9: the fused call — manifest AND funnel from one drop-set
+    // computation (the pre-fusion cost of these two outputs was
+    // cs_full_curate + a separate funnel ≈ 2x the chain)
+    time("cs_with_funnel") {
+      val r = graft.ops.Curation.curateWithFunnel(train, evald,
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
+      r.manifest.count() + r.funnel.count()
+    }
+    }
+    // round-9: length-ratio prefilter A/B — candidate pair count and
+    // wall time with the floor off vs at the banding scheme's design
+    // threshold (k=8,b=2 -> ~0.84). Run each twice; read the warm rep.
+    if (section == "ratioab") {
+    for (rep <- 1 to 2) {
+      time(s"ratio_pairs_off_$rep")(Dedup.minhashCandidatePairs(docs).count())
+      time(s"ratio_pairs_084_$rep")(
+        Dedup.minhashCandidatePairs(docs, sizeRatioFloor = 0.84).count())
+      time(s"ratio_losers_off_$rep")(Dedup.nearDupLosers(docs).count())
+      time(s"ratio_losers_084_$rep")(
+        Dedup.nearDupLosers(docs, sizeRatioFloor = 0.84).count())
+    }
     }
     if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies

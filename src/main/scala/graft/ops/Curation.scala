@@ -162,11 +162,12 @@ object Curation {
       defaultRate: Double = 1.0,
       trainPct: Int = 80,
       valPct: Int = 10,
-      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val s1 = rowFlags(docs, minTokens)
       .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*))
-    val losers = Dedup.nearDupLosers(s1, mat = mat)
+    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
     manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct)
@@ -217,11 +218,12 @@ object Curation {
       defaultRate: Double = 1.0,
       trainPct: Int = 80,
       valPct: Int = 10,
-      mat: Materialize.Strategy = Materialize.LocalCheckpoint): CurationResult = {
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
-    val losers = Dedup.nearDupLosers(s1, mat = mat)
+    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Materialize(Dedup.contaminatedIds(s2, evalDocs), mat)
     CurationResult(
@@ -371,11 +373,12 @@ object Curation {
       minTokens: Int = 10,
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
-      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
-    val losers = Dedup.nearDupLosers(s1, mat = mat)
+    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
     funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate)

@@ -64,6 +64,11 @@ class CurationSpec extends SparkSpec {
     val again = Curation.curate(docs, evalDocs, rates = rates)
       .as[(Long, String, String, String)].collect().sortBy(_._1)
     assert(again.toSeq === rows.toSeq)
+    // the opt-in length-ratio prefilter cannot prune exact-copy dups
+    // (size ratio 1.0) — manifest unchanged at the design threshold
+    val withFloor = Curation.curate(docs, evalDocs, rates = rates, sizeRatioFloor = 0.84)
+      .as[(Long, String, String, String)].collect().sortBy(_._1)
+    assert(withFloor.toSeq === rows.toSeq)
   }
 
   test("funnel counts each stage's surviving docs AND tokens; last stage equals curate") {
