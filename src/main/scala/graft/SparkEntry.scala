@@ -488,6 +488,12 @@ object SparkEntry {
       val d = docs(s, dir)
       InvertedIndex.tfIdf(InvertedIndex.build(d), d.count())
     },
+    "q_bm25" -> { (s, dir) =>
+      // multi-term ranked retrieval over the index: Okapi BM25, top 20
+      val d = docs(s, dir)
+      InvertedIndex.bm25TopK(InvertedIndex.build(d),
+        "fast hash join on a small table", d.count(), 20)
+    },
     "q_index_export_roundtrip" -> { (s, dir) =>
       // nested-JSON export codec (the reference's final_results.json
       // shape) must round-trip losslessly back to the flat index
@@ -904,6 +910,30 @@ object SparkEntry {
          |FROM (SELECT word, doc_id, cnt,
          |        count(*) OVER (PARTITION BY word) AS df
          |      FROM ($INDEX_SQL))""".stripMargin,
+
+    "q_bm25" ->
+      // twin of InvertedIndex.bm25TopK (k1=1.2, b=0.75, k=20): idf
+      // rounded to 6dp before use, each contribution rounded to 6dp and
+      // summed as DECIMAL(18,6) — order-independent exact per-doc sums
+      // (the q_lm_score recipe); arithmetic shapes mirror the Column
+      // expressions literally (1.2 + 1.0, not 2.2 — double literals
+      // must take the same IEEE path both engines)
+      s"""WITH idx AS ($INDEX_SQL),
+         |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM idx GROUP BY doc_id),
+         |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |hits AS (SELECT * FROM idx
+         |         WHERE word IN ('fast','hash','join','on','a','small','table')),
+         |idf AS (SELECT word,
+         |          round(ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)), 6) AS idf
+         |        FROM (SELECT word, count(*) AS df FROM hits GROUP BY word)),
+         |contrib AS (SELECT h.doc_id,
+         |    CAST(round(i.idf * (h.cnt * (1.2 + 1.0)) /
+         |        (h.cnt + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / a.avgdl)), 6) AS DECIMAL(18,6)) AS c
+         |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
+         |scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+         |SELECT doc_id, CAST(s AS DOUBLE) AS score,
+         |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
+         |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id,

@@ -56,6 +56,19 @@ object TextNorm {
     s.trim.toLowerCase(java.util.Locale.ROOT)
       .replaceAll("(?U)[^a-z0-9\\s\\x1c-\\x1f]", "")
 
+  /** Driver-side tokenization of a FREE-TEXT query with the exact
+    * column-path semantics ([[normalize]] then [[tokens]]): lowercase,
+    * collapse Unicode whitespace + C0 separators, strip everything
+    * outside [a-z0-9 ], split, drop empties. Multi-word retrieval
+    * entry points ([[graft.index.InvertedIndex.bm25TopK]]) must share
+    * one normalization with the indexed corpus or queries silently
+    * miss — the [[normalizeKey]] discipline, lifted to word lists. */
+  def queryTerms(s: String): Seq[String] =
+    s.toLowerCase(java.util.Locale.ROOT)
+      .replaceAll("(?U)[\\s\\x1c-\\x1f]+", " ")
+      .replaceAll("[^a-z0-9 ]", "")
+      .split(" ").toSeq.filter(_.nonEmpty)
+
   /** Input validation for lookup keys: `main/app.py:43-44` rejects any
     * input containing whitespace (`^[^\s\n]+$`) — Python `\s`, so the
     * class is Unicode plus the C0 separators, like the normalizer.

@@ -137,6 +137,83 @@ object InvertedIndex {
         round(col("cnt") * log((lit(nDocs) + 1.0) / (col("df") + 1.0)), 6).as("tfidf"))
   }
 
+  /** Per-document token totals from the index — `(doc_id, dl)` with
+    * `dl = Σ cnt`, the length statistic BM25 normalizes by. One
+    * combinable groupBy over index rows, no corpus scan. At scale this
+    * is a serving artifact: compute once per index snapshot, store
+    * alongside it, and pass to [[bm25TopK]] so queries never
+    * re-aggregate the index. */
+  def docLengths(index: DataFrame): DataFrame =
+    index.groupBy("doc_id").agg(sum("cnt").as("dl"))
+
+  /** BM25 ranked retrieval — the multi-term query operator the
+    * reference's point [[lookup]] (`main/app.py:72-77`) grows into.
+    * Query text goes through the SHARED normalizer
+    * ([[graft.core.TextNorm.queryTerms]] — same pipeline as the
+    * indexed corpus), then each matching posting contributes the
+    * Okapi term (Robertson et al., TREC-3)
+    *
+    *   idf(t) · cnt·(k1+1) / (cnt + k1·(1−b + b·dl/avgdl)),
+    *   idf(t) = ln(1 + (N − df + 0.5)/(df + 0.5))   (≥ 0 always)
+    *
+    * and a document's score is the sum over its matched terms. Output:
+    * `(doc_id, score, rank)`, rank 1..k by (score desc, doc_id asc).
+    *
+    * Engine-portable determinism (the q_lm_score recipe): idf is
+    * rounded to 6dp BEFORE use, each term contribution is rounded to
+    * 6dp and cast DECIMAL(18,6), so the per-doc sum is exact and
+    * order-independent — no float-summation drift between engines; the
+    * only transcendental (ln) is computed once per TERM, not per row.
+    *
+    * Plan at 100 TB: the `isin(terms)` predicate pushes into the index
+    * scan (partition-prunable exactly like [[lookup]]); `df`/`idf` are
+    * a terms-row aggregate that broadcasts; doc lengths come from the
+    * stored [[docLengths]] artifact (`docLens`) so the only index-wide
+    * work is the matched-postings join onto it, keyed on doc_id; the
+    * final ranking is the bounded-heap aggregate — at most k rows per
+    * map task cross the shuffle, no global sort. With `docLens` left
+    * None the lengths are derived inline (one extra index aggregation
+    * — the oracle/ad-hoc shape).
+    */
+  def bm25TopK(
+      index: DataFrame,
+      query: String,
+      nDocs: Long,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      docLens: Option[DataFrame] = None): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val terms = TextNorm.queryTerms(query).distinct
+    require(terms.nonEmpty, s"query '$query' has no indexable terms")
+    require(k >= 1, s"k=$k must be >= 1")
+    require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
+    val lens = docLens.getOrElse(docLengths(index))
+    val avg = lens.agg((sum("dl") / count(lit(1))).as("avgdl"))
+    val hits = index.filter(col("word").isin(terms: _*))
+    // (word, doc_id) is unique in the index, so df = posting count
+    val idf = hits.groupBy("word").agg(count(lit(1)).as("df"))
+      .select(col("word"),
+        round(log(lit(1.0) +
+          (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)), 6).as("idf"))
+    hits
+      .join(broadcast(idf), Seq("word"))
+      .crossJoin(broadcast(avg))
+      .join(lens, Seq("doc_id"))
+      .select(col("doc_id"),
+        round(col("idf") * (col("cnt") * (k1 + 1.0)) /
+            (col("cnt") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))), 6)
+          .cast(DecimalType(18, 6)).as("contrib"))
+      .groupBy("doc_id")
+      .agg(sum("contrib").as("s"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("s").cast("double"), col("doc_id"), k).as("top"))
+      .select(posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("e.id").as("doc_id"),
+        col("e.score").as("score"),
+        (col("i") + 1).cast("int").as("rank"))
+  }
+
   /** Export in the reference's nested shape `word → {doc → cnt}`
     * (`final_results.json`, `master/main.py:123-126`), one row per word.
     * Postings are sorted by doc_id so the JSON string is deterministic.

@@ -128,4 +128,36 @@ class InvertedIndexSpec extends SparkSpec {
     val back = InvertedIndex.importSingleFileJson(spark, path)
     assert(entries(back) === entries(idx))
   }
+
+  test("bm25TopK ranks by Okapi score with hand-computed values; stored docLengths parity") {
+    // N=3, dl = 2/4/6, avgdl = 4; query "cat fish": cat df=2, fish df=1
+    val c = corpus(
+      1L -> "cat dog",
+      2L -> "cat cat cat fish",
+      3L -> "bird bird bird bird bird bird")
+    val idx = InvertedIndex.build(c)
+    val got = InvertedIndex.bm25TopK(idx, "Cat, FISH!", nDocs = 3, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    // doc 3 matches nothing; doc 2 outranks doc 1 (tf + the fish term)
+    assert(got.map(r => (r._1, r._3)) === Seq((2L, 1), (1L, 2)))
+    // hand check (idf rounded to 6dp first, contributions rounded then
+    // summed): cat idf=ln(1.6)→0.470004, fish idf=ln(8/3)→0.980829;
+    // doc2 = 0.470004·3·2.2/4.2 + 0.980829·2.2/2.2 = 0.738578+0.980829
+    assert(math.abs(got.head._2 - 1.719407) < 1e-4, got.head._2.toString)
+    assert(math.abs(got(1)._2 - 0.590862) < 1e-4, got(1)._2.toString)
+    // serving from a stored doc-length artifact is row-identical
+    val lens = InvertedIndex.docLengths(idx)
+    val served = InvertedIndex.bm25TopK(idx, "cat fish", nDocs = 3, k = 10,
+      docLens = Some(lens)).as[(Long, Double, Int)].collect().toSeq
+    assert(served === got)
+    // equal scores break ties by doc_id ascending
+    val tied = InvertedIndex.bm25TopK(
+      InvertedIndex.build(corpus(7L -> "cat", 5L -> "cat")), "cat", 2, 5)
+      .as[(Long, Double, Int)].collect().toSeq
+    assert(tied.map(r => (r._1, r._3)) === Seq((5L, 1), (7L, 2)))
+    // a query whose terms miss the index entirely returns no rows
+    assert(InvertedIndex.bm25TopK(idx, "zebra", 3, 5).count() === 0L)
+    // a query with no indexable terms is a loud error, not an empty run
+    intercept[IllegalArgumentException](InvertedIndex.bm25TopK(idx, "!!!", 3, 5))
+  }
 }
