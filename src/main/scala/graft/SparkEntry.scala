@@ -566,6 +566,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0)).select("doc_id")
     },
+    "q_contamination_report" -> { (s, dir) =>
+      // the same split's diagnostic: which eval doc leaked into which
+      // training doc, by how many distinct shared 3-shingles
+      val d = docs(s, dir)
+      Dedup.contaminationReport(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0))
+    },
     "q_decontaminate_bloom" -> { (s, dir) =>
       // same split as q_decontaminate; the Bloom prefilter is exact-
       // result-preserving, so both share one oracle
@@ -1070,6 +1078,16 @@ object SparkEntry {
          |bad AS (SELECT DISTINCT t.doc_id FROM tr t JOIN evsh e USING (shingle))
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id % 50 <> 0 AND d.doc_id NOT IN (SELECT doc_id FROM bad)""".stripMargin,
+    "q_contamination_report" ->
+      // both sides are per-doc DISTINCT shingle streams, so count(*)
+      // per (train, eval) pair IS the distinct shared-shingle count
+      s"""WITH evsh AS (SELECT doc_id AS eval_doc_id, unnest(list_distinct(shl)) AS shingle
+         |              FROM ($SHINGLES) WHERE doc_id % 50 = 0),
+         |tr AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle
+         |       FROM ($SHINGLES) WHERE doc_id % 50 <> 0)
+         |SELECT t.doc_id, e.eval_doc_id, CAST(count(*) AS BIGINT) AS n_shared
+         |FROM tr t JOIN evsh e USING (shingle)
+         |GROUP BY t.doc_id, e.eval_doc_id""".stripMargin,
     // Bloom prefilter + exact confirm ≡ exact filter (no false
     // negatives), so the bloom path is pinned to the SAME oracle text.
     "q_decontaminate_bloom" ->

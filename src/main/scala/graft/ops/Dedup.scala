@@ -605,6 +605,34 @@ object Dedup {
     shingled(evalDocs.select(col("doc_id"), col("text")), w)
       .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
 
+  /** Contamination REPORT — the diagnostic behind [[contaminatedIds]]'
+    * drop decision: for each contaminated training doc, WHICH eval
+    * docs it overlaps and by how many distinct shared w-shingles.
+    * "Drop 233 docs" is an action; "benchmark X leaked into these
+    * docs via N n-grams" is the incident report a curation run
+    * publishes (and the evidence needed to fix the leak upstream).
+    *
+    * Output: `(doc_id, eval_doc_id, n_shared)`, one row per
+    * contaminated (train, eval) pair. `Σ distinct doc_id` here equals
+    * [[contaminatedIds]]' row count by construction.
+    *
+    * Plan: both sides reduce to DISTINCT (doc, shingle) streams; ONE
+    * join keyed on the shingle (eval side is benchmark-sized → AQE
+    * broadcasts it) and one combinable pair-keyed count. Since both
+    * sides are per-doc-distinct, `count(*)` IS the distinct shared
+    * shingle count — no count_distinct shuffle. Text never moves.
+    */
+  def contaminationReport(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame = {
+    val trainSh = shingled(docs, w)
+      .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
+    val evalSh = shingled(evalDocs.select(col("doc_id"), col("text")), w)
+      .select(col("doc_id").as("eval_doc_id"),
+        explode(array_distinct(col("shl"))).as("shingle"))
+    trainSh.join(evalSh, Seq("shingle"))
+      .groupBy("doc_id", "eval_doc_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** [[contaminatedIds]] against a PRECOMPUTED eval shingle table
     * ([[evalShingles]] output, stored or inline). `w` must equal the
     * width the table was built with — the shingle strings simply won't

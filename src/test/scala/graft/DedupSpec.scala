@@ -254,6 +254,28 @@ class DedupSpec extends SparkSpec {
     assert(kept === Set(2L, 3L))
   }
 
+  test("contaminationReport attributes each leak to its eval doc with distinct-shingle counts") {
+    val train = docs(
+      1L -> "alpha beta gamma delta epsilon",     // 2 shingles shared with 100
+      2L -> "one two three four",                 // clean
+      3L -> "the secret answer sequence here")    // 2 shingles shared with 200
+    val eval = docs(
+      100L -> "alpha beta gamma delta",
+      200L -> "the secret answer sequence")
+    val rep = Dedup.contaminationReport(train, eval)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep === Set((1L, 100L, 2L), (3L, 200L, 2L)))
+    // the report's distinct train docs ARE the contaminatedIds drop set
+    assert(rep.map(_._1) ===
+      Dedup.contaminatedIds(train, eval).as[Long].collect().toSet)
+    // repeated occurrences of one shingle still count once (both sides
+    // are per-doc-distinct streams)
+    val rep2 = Dedup.contaminationReport(
+      docs(7L -> "alpha beta gamma zz alpha beta gamma"),
+      docs(300L -> "alpha beta gamma")).as[(Long, Long, Long)].collect().toSet
+    assert(rep2 === Set((7L, 300L, 1L)))
+  }
+
   test("decontaminateBloom ≡ decontaminate at any fpp; plan carries the map-side bloom probe") {
     val train = docs((1L to 40L).map { i =>
       if (i % 10 == 0) i -> s"contaminated shared benchmark answer fragment number ${i / 10}"
