@@ -527,6 +527,11 @@ object SparkEntry {
       val d = docs(s, dir)
       Bpe.tokenCounts(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
     },
+    "q_bpe_vocab" -> { (s, dir) =>
+      // the trained tokenizer's symbol inventory (vocab artifact)
+      val d = docs(s, dir)
+      Bpe.vocab(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
+    },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_lm_score_ref" -> { (s, dir) =>
@@ -998,6 +1003,16 @@ object SparkEntry {
          |LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id
          |LEFT JOIN enc e ON t.word = e.word
          |GROUP BY d.doc_id""".stripMargin,
+    "q_bpe_vocab" ->
+      // the trained state table's final symbolizations, exploded to
+      // per-occurrence piece rows: n_words = distinct vocab words
+      // containing the piece, total_count = corpus-weighted occurrences
+      s"""WITH ${BPE_CTES(BPE_MERGES, 2L)},
+         |occ AS (SELECT word, unnest(str_split(trim(syms), '  ')) AS piece, cnt
+         |        FROM w$BPE_MERGES)
+         |SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
+         |  CAST(sum(cnt) AS BIGINT) AS total_count
+         |FROM occ GROUP BY piece""".stripMargin,
     "q_quality" -> {
       val stop = Stop.en
       s"""SELECT doc_id,

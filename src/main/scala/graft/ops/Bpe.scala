@@ -146,6 +146,23 @@ object Bpe {
           .otherwise(size(encodeCol(col("word"), merges)).cast("long")).as("n"))
       .groupBy("doc_id").agg(sum("n").cast("long").as("n_bpe_tokens"))
 
+  /** The served tokenizer's symbol inventory over a corpus — the vocab
+    * file a tokenizer ships alongside its merges: apply the merge list
+    * to the word-frequency table (vocabulary-sized, ONE corpus scan
+    * inside [[wordCounts]]) and count each final piece's usage.
+    * Output: `(piece, n_words, total_count)` — distinct vocab words
+    * containing the piece, and the corpus-weighted occurrence total.
+    * `Σ total_count` equals the corpus' served token count
+    * ([[tokenCounts]] summed), a cross-check the spec pins.
+    */
+  def vocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+    wordCounts(docs)
+      .select(col("word"), col("cnt"),
+        explode(encodeCol(col("word"), merges)).as("piece"))
+      .groupBy("piece")
+      .agg(countDistinct("word").as("n_words"),
+        sum("cnt").as("total_count"))
+
   /** [[tokenCounts]] serving a stored merge TABLE (the
     * [[graft.ops.Curation.classifierScore]] train/serve convention):
     * the table is model-sized, so collecting it to build the plan is

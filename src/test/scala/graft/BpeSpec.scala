@@ -67,6 +67,23 @@ class BpeSpec extends SparkSpec {
     assert(got === Map(1L -> 7L, 2L -> 0L, 3L -> 0L))
   }
 
+  test("vocab: symbol inventory with word/corpus-weighted counts; total cross-checks tokenCounts") {
+    val merges = Bpe.trainMerges(sennrich, numMerges = 4).map(m => (m.lhs, m.rhs))
+    // encoded vocab: low→l,o,w  lower→l,o,w,e,r  newest→n,ewest
+    // widest→w,i,d,est  (word counts 3/2/5/3)
+    val v = Bpe.vocab(sennrich, merges).as[(String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(v === Map(
+      "l" -> ((2L, 5L)), "o" -> ((2L, 5L)), "w" -> ((3L, 8L)),
+      "e" -> ((1L, 2L)), "r" -> ((1L, 2L)),
+      "n" -> ((1L, 5L)), "ewest" -> ((1L, 5L)),
+      "i" -> ((1L, 3L)), "d" -> ((1L, 3L)), "est" -> ((1L, 3L))))
+    // Σ total_count == the corpus' served token total
+    val served = Bpe.tokenCounts(sennrich, merges)
+      .agg(sum("n_bpe_tokens")).as[Long].head()
+    assert(v.values.map(_._2).sum === served)
+  }
+
   test("train/collectMerges: stored model table serves identically") {
     val model = Bpe.train(sennrich, numMerges = 4)
     assert(model.columns.toSeq ===
