@@ -590,6 +590,14 @@ object SparkEntry {
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
     "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
+    "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir))),
+    "q_dup_strip" -> { (s, dir) =>
+      // doc-shaped result hashed down to a compact compare row
+      Dedup.stripDuplicateSpans(docs(s, dir))
+        .select(col("doc_id"), col("n_spans"),
+          length(col("text")).cast("long").as("stripped_len"),
+          md5(col("text")).as("stripped_md5"))
+    },
     "q_dedup_incremental" -> { (s, dir) =>
       // daily-crawl shape: even doc_ids are the existing corpus (band
       // table precomputed), odd doc_ids are the increment
@@ -1329,6 +1337,70 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.kept_hash, md5('')) AS kept_hash
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_dup_spans" ->
+      // twin of Dedup.duplicateSpans(k=24, modP=8, gap=64): mod-p
+      // sampled 24-char anchor grams (h = 13-hex md5 prefix), grams at
+      // >1 sites are duplicated, every non-canonical site (canonical =
+      // min (doc_id, pos)) merges with neighbors <= 64 chars apart
+      // into a span ending 24 past its last anchor
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, text, unnest(range(0, n - 23)) AS p FROM d WHERE n >= 24),
+        |sites AS (
+        |  SELECT doc_id, p,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER)+1, 24)), 1, 13)) AS BIGINT) AS h
+        |  FROM pos),
+        |sel AS (SELECT * FROM sites WHERE h % 8 = 0),
+        |drp AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      count(*) OVER (PARTITION BY h) AS c,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |    FROM sel)
+        |  WHERE c > 1 AND rn > 1),
+        |brk AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 64 THEN 0 ELSE 1 END AS b
+        |  FROM drp),
+        |grp AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + 24 AS BIGINT) AS span_end
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
+    "q_dup_strip" ->
+      // twin of Dedup.stripDuplicateSpans at the same parameters: cut
+      // every span out of its doc, report count/length/md5 of the rest
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, text, unnest(range(0, n - 23)) AS p FROM d WHERE n >= 24),
+        |sites AS (
+        |  SELECT doc_id, p,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER)+1, 24)), 1, 13)) AS BIGINT) AS h
+        |  FROM pos),
+        |sel AS (SELECT * FROM sites WHERE h % 8 = 0),
+        |drp AS (
+        |  SELECT doc_id, p FROM (
+        |    SELECT doc_id, p,
+        |      count(*) OVER (PARTITION BY h) AS c,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn
+        |    FROM sel)
+        |  WHERE c > 1 AND rn > 1),
+        |brk AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 64 THEN 0 ELSE 1 END AS b
+        |  FROM drp),
+        |grp AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk),
+        |spans AS (SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + 24 AS BIGINT) AS span_end
+        |          FROM grp GROUP BY doc_id, g),
+        |seg AS (
+        |  SELECT doc_id, coalesce(lag(span_end) OVER (PARTITION BY doc_id ORDER BY span_start), 0) AS a,
+        |         span_start AS b
+        |  FROM spans
+        |  UNION ALL
+        |  SELECT doc_id, max(span_end) AS a, NULL AS b FROM spans GROUP BY doc_id),
+        |kept AS (
+        |  SELECT s.doc_id,
+        |    string_agg(substr(d.text, CAST(s.a AS INTEGER)+1, CAST(coalesce(s.b, d.n) - s.a AS INTEGER)), '' ORDER BY s.a) AS stripped,
+        |    count(*) - 1 AS n_spans
+        |  FROM seg s JOIN d USING (doc_id) GROUP BY s.doc_id)
+        |SELECT d.doc_id, CAST(coalesce(k.n_spans, 0) AS BIGINT) AS n_spans,
+        |  CAST(length(coalesce(k.stripped, d.text)) AS BIGINT) AS stripped_len,
+        |  md5(coalesce(k.stripped, d.text)) AS stripped_md5
+        |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH cnts AS (SELECT token, count(*) AS cnt
          |  FROM (SELECT unnest($TOKS) AS token FROM documents) GROUP BY token),

@@ -791,6 +791,128 @@ object Dedup {
     * Only docs that appear in `pairs` are emitted (singletons are their
     * own cluster trivially).
     */
+  /** Content-defined anchor sites for substring-level dedup: positions
+    * `p` where the k-char gram starting at `p` hashes to 0 mod `modP`
+    * (Manber-style mod-p sampling — the anchor set depends only on
+    * CONTENT, so two copies of a long substring select the same grams
+    * regardless of their byte offsets; a fixed-stride grid would miss
+    * every unaligned copy). Output: `(doc_id, pos, h)`, one row per
+    * selected site; `h` is the 13-hex-digit md5 prefix of the gram
+    * (52 bits — the repo's engine-portable hash convention), which is
+    * both the sampling key and the global grouping key, so a prefix
+    * collision changes Spark and the oracle identically.
+    *
+    * Scale: anchor selection is entirely map-side (one projection, no
+    * shuffle); only the ~1/modP selected sites ever leave the scan, so
+    * `modP` is the shuffle-volume dial — at 100 TB, modP=32-64 puts the
+    * site table at well under a byte per corpus char. Per-char hashing
+    * cost is O(k) md5 work; a native rolling-hash Expression is the
+    * stated upgrade path if the scan ever becomes compute-bound.
+    */
+  private[ops] def anchorSites(docs: DataFrame, k: Int, modP: Int): DataFrame = {
+    val siteTy = "array<struct<pos:int,h:bigint>>"
+    val gramHash = (p: Column) =>
+      conv(substring(md5(col("text").substr(p + lit(1), lit(k))), 1, 13), 16, 10).cast("long")
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"),
+        when(length(col("text")) >= k,
+          filter(
+            transform(sequence(lit(0), length(col("text")) - k),
+              p => struct(p.as("pos"), gramHash(p).as("h"))),
+            s => s.getField("h") % modP === 0))
+          .otherwise(array().cast(siteTy)).as("anchors"))
+      .select(col("doc_id"), explode(col("anchors")).as("a"))
+      .select(col("doc_id"), col("a.pos").as("pos"), col("a.h").as("h"))
+  }
+
+  /** Duplicated-substring spans (the ExactSubstr family of Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better", 2022,
+    * re-expressed shuffle-light): find corpus-wide repeated regions and
+    * report, per document, the char ranges `[span_start, span_end)`
+    * covering every NON-CANONICAL copy. The gram's canonical site is
+    * its minimum `(doc_id, pos)` — exactly one copy of every repeated
+    * region survives, deterministically.
+    *
+    * Mechanics: [[anchorSites]] → one combinable groupBy(h) keeping
+    * `count` and `min(struct(doc_id, pos))` → sites re-joined on `h`
+    * (same key as the groupBy, so the exchange is reused; AQE
+    * broadcasts the duplicated-gram table when it is small) → per-doc
+    * gaps-and-islands: adjacent droppable anchors ≤ `gap` chars apart
+    * merge into one span ending `k` past the last anchor. `gap >= k`
+    * is required, which makes emitted spans non-overlapping by
+    * construction (next start − prev last > gap ≥ k).
+    *
+    * Detection is probabilistic in the span length: a repeated region
+    * of length L carries L−k+1 grams, each sampled at rate 1/modP, so
+    * the miss probability is (1−1/modP)^(L−k+1) — ~2e-5 for a 100-char
+    * region at the defaults. The window work is per-doc (bounded), the
+    * only corpus-scale shuffle carries (h, doc_id, pos) triples, and
+    * document TEXT never shuffles.
+    */
+  def duplicateSpans(
+      docs: DataFrame, k: Int = 24, modP: Int = 8, gap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(gap >= k, s"gap ($gap) must be >= k ($k) so merged spans cannot overlap")
+    import org.apache.spark.sql.expressions.Window
+    // the anchor scan is the expensive stage (one md5 per char); sites
+    // feed both the gram aggregate and the probe side of the join, and
+    // DeduplicateRelations would otherwise run that scan once per
+    // reference (see Materialize's scaladoc)
+    val sites = graft.core.Materialize(anchorSites(docs, k, modP), mat)
+    val grams = sites.groupBy("h")
+      .agg(count(lit(1)).as("n_sites"),
+        min(struct(col("doc_id"), col("pos"))).as("canon"))
+      .where(col("n_sites") > 1)
+    val droppable = sites.join(grams, "h")
+      .where(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
+      .select(col("doc_id"), col("pos"))
+    val byPos = Window.partitionBy("doc_id").orderBy("pos")
+    val brk = droppable.select(col("doc_id"), col("pos"),
+      when(col("pos") - lag("pos", 1).over(byPos) <= gap, lit(0)).otherwise(lit(1)).as("brk"))
+    brk
+      .select(col("doc_id"), col("pos"), sum("brk").over(byPos).as("grp"))
+      .groupBy(col("doc_id"), col("grp"))
+      .agg(min("pos").cast("long").as("span_start"),
+        (max("pos") + k).cast("long").as("span_end"))
+      .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** Cut every [[duplicateSpans]] range out of its document: the
+    * corpus with repeated regions removed (one canonical copy kept,
+    * per the span semantics). Output: `(doc_id, text, n_spans)` —
+    * same doc-table shape, so the result feeds any downstream stage.
+    *
+    * The cut is a single `aggregate` fold over the doc's sorted span
+    * list (spans are non-overlapping by construction): accumulate the
+    * kept segment before each span, then the tail. Span lists are
+    * per-doc (tiny); the only shuffles are the span computation's own
+    * plus one `groupBy(doc_id)` over span rows — never over text.
+    */
+  def stripDuplicateSpans(
+      docs: DataFrame, k: Int = 24, modP: Int = 8, gap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val perDoc = duplicateSpans(docs, k, modP, gap, mat)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),
+        count(lit(1)).as("n_spans"))
+    val cut = aggregate(
+      col("spans"),
+      struct(lit("").as("acc"), lit(0L).as("from")),
+      (acc, s) => struct(
+        concat(acc.getField("acc"),
+          col("text").substr(acc.getField("from").cast("int") + 1,
+            (s.getField("span_start") - acc.getField("from")).cast("int"))).as("acc"),
+        s.getField("span_end").as("from")),
+      acc => concat(acc.getField("acc"),
+        col("text").substr(acc.getField("from").cast("int") + 1,
+          length(col("text")) - acc.getField("from").cast("int"))))
+    graft.core.Parallelism.ensure(docs)
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("spans").isNull, col("text")).otherwise(cut).as("text"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"))
+  }
+
   def clusters(
       pairs: DataFrame,
       maxIterations: Int = 20,

@@ -374,4 +374,86 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Int, Int, String)].collect().toSet ===
       Dedup.boilerplateChunks(d).as[(Long, Int, Int, String)].collect().toSet)
   }
+
+  // a ~240-char region of distinct words: internally self-dissimilar,
+  // long enough that mod-p anchor sampling is saturated inside it
+  private val region: String =
+    (0 until 40).map(i => f"w${(i * 37) % 997}%03dq").mkString(" ")
+
+  test("duplicateSpans: unaligned cross-doc copy spans only the non-canonical doc") {
+    val junk = "completely unrelated filler prose that shares nothing at all with it "
+    val d = docs(1L -> region, 2L -> (junk + region))
+    val spans = Dedup.duplicateSpans(d, k = 16, modP = 4, gap = 32)
+      .as[(Long, Long, Long)].collect()
+    // doc 1 holds every canonical site -> zero spans there
+    assert(spans.forall(_._1 == 2L), spans.toSeq)
+    assert(spans.nonEmpty)
+    // the copy sits at an offset that is NOT a multiple of any grid --
+    // content-defined anchors must still land inside it
+    val lo = junk.length.toLong
+    val hi = (junk + region).length.toLong
+    spans.foreach { case (_, s, e) =>
+      assert(s >= lo && e <= hi, s"span [$s,$e) outside copy [$lo,$hi)")
+    }
+    // coverage: the merged span(s) reach most of the 240-char region
+    assert(spans.map(p => p._3 - p._2).sum >= region.length * 2 / 3)
+  }
+
+  test("duplicateSpans: within-doc repeat keeps the first occurrence") {
+    val sep = (0 until 20).map(i => s"gap${i}z").mkString(" ") // > gap chars, unique
+    val d = docs(7L -> (region + " " + sep + " " + region))
+    val spans = Dedup.duplicateSpans(d, k = 16, modP = 4, gap = 32)
+      .as[(Long, Long, Long)].collect()
+    val secondStart = (region + " " + sep + " ").length.toLong
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s, _) =>
+      assert(s >= secondStart, s"span start $s inside the canonical first copy")
+    }
+  }
+
+  test("duplicateSpans: spans are disjoint and sorted; gap < k rejected") {
+    val d = docs(1L -> region, 2L -> region, 3L -> ("x " + region))
+    val byDoc = Dedup.duplicateSpans(d, k = 16, modP = 2, gap = 32)
+      .as[(Long, Long, Long)].collect().groupBy(_._1)
+    byDoc.values.foreach { sp =>
+      val sorted = sp.sortBy(_._2)
+      sorted.sliding(2).foreach {
+        case Array(a, b) => assert(a._3 < b._2, s"overlap: $a then $b")
+        case _           =>
+      }
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.duplicateSpans(d, k = 16, modP = 2, gap = 8)
+    }
+  }
+
+  test("stripDuplicateSpans: cut matches a manual splice of duplicateSpans; short docs untouched") {
+    val junk = "leading filler words nothing shared with anything else here at all "
+    val d = docs(
+      1L -> region,
+      2L -> (junk + region + " trailing tail kept after the cut"),
+      3L -> "short",
+      4L -> (region + " middle unique bridge text " + region))
+    val spans = Dedup.duplicateSpans(d, k = 16, modP = 4, gap = 32)
+      .as[(Long, Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(p => (p._2, p._3)).sortBy(_._1)).toMap
+    val texts = d.as[(Long, String)].collect().toMap
+    val expected = texts.map { case (id, t) =>
+      val cut = spans.getOrElse(id, Array.empty[(Long, Long)])
+        .foldLeft(("", 0L)) { case ((acc, from), (s, e)) =>
+          (acc + t.substring(from.toInt, s.toInt), e)
+        }
+      id -> (cut._1 + t.substring(cut._2.toInt))
+    }
+    val got = Dedup.stripDuplicateSpans(d, k = 16, modP = 4, gap = 32)
+      .as[(Long, String, Long)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    expected.foreach { case (id, want) =>
+      assert(got(id)._1 === want, s"doc $id splice mismatch")
+      assert(got(id)._2 === spans.getOrElse(id, Array.empty[(Long, Long)]).length.toLong)
+    }
+    assert(got(3L)._1 === "short" && got(3L)._2 === 0L)
+    // doc 2's copy was actually cut, and the tail survived
+    assert(got(2L)._1.endsWith("trailing tail kept after the cut"))
+    assert(got(2L)._1.length < texts(2L).length)
+  }
 }
