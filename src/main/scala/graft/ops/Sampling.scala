@@ -37,6 +37,18 @@ object Sampling {
   def trainValTest(df: DataFrame, idCol: String, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     df.withColumn("split", splitCol(idCol, trainPct, valPct))
 
+  /** [[mixture]]'s parameters packaged for per-batch streaming use
+    * ([[graft.streaming.CorpusWatcher.startJsonl]]): the keep-rate per
+    * source, and the rate for sources the map does not name (which
+    * includes feeds that carry no `source` field at all — a null
+    * source matches no map entry). The predicate is stateless and
+    * content-independent, so the stream needs no mixture state. */
+  final case class MixtureGate(
+      rates: Map[String, Double], defaultRate: Double = 1.0) {
+    (rates.values.toSeq :+ defaultRate).foreach(r =>
+      require(r >= 0.0 && r <= 1.0, s"rate $r outside [0,1]"))
+  }
+
   /** Mixture sampling: deterministically downsample each source/domain
     * to its configured rate — how a training mix applies domain weights
     * ("keep 100% of wiki, 30% of web, 5% of logs"). A document is kept

@@ -202,11 +202,29 @@ object CorpusWatcher {
     * one shingle pass over the batch + one semi-join against the
     * precomputed eval shingles.
     *
+    * Mixture sampling (`mixtureGate`): the streaming face of
+    * [[graft.ops.Sampling.mixture]] — each batch's post-dedup
+    * survivors are downsampled per source to the gate's rates before
+    * indexing. The feed's optional `source` field carries the domain;
+    * rows without one fall to `defaultRate` (a null source matches no
+    * rate entry). Stage order mirrors the batch chain (dedup first,
+    * mixture after), and the band append happens BEFORE the mixture
+    * filter: the dedup candidate set must be the post-gate corpus —
+    * exactly what [[graft.ops.Curation.curate]] deduplicates against —
+    * so a later near-duplicate of a mixture-dropped doc is still
+    * dropped (rates are per-source admission policy, not evidence the
+    * text is gone). The predicate is content-independent md5-bucket
+    * arithmetic: no mixture state, no extra shuffle, exact batch/
+    * stream parity. (Train/val/test split stamping has no streaming
+    * face for the same reason turned around: [[graft.ops.Sampling
+    * .splitCol]] is derivable from `doc_id` alone at any later read,
+    * so persisting it per batch would add state for nothing.)
+    *
     * Per-batch funnel metrics (`metricsDir`): the streaming face of
     * [[graft.ops.Curation.funnel]] — each batch appends one row per
     * pipeline stage (`ingest, parsed, quality_gate, classifier,
-    * decontaminated, dedup_history, dedup_within, indexed` — surviving
-    * doc counts) to
+    * decontaminated, dedup_history, dedup_within, mixture, indexed` —
+    * surviving doc counts) to
     * `metricsDir/batch_id=N`, the observability a production feed
     * needs ("batch 412 dropped 80% at the gate" is an incident; a
     * silent filter is not). Disabled stages report their input count
@@ -224,7 +242,7 @@ object CorpusWatcher {
     * to `driftDir/batch_id=N`, answering "is today's feed the same
     * distribution as the corpus so far?" numerically, per batch. Both
     * sides are what the INDEX sees: the batch side is the post-filter
-    * survivors (`kept`), the history side is the pre-merge snapshot's
+    * post-mixture survivors, the history side is the pre-merge snapshot's
     * word counts read DIRECTLY from the index — the accumulated corpus
     * is never re-tokenized, so the per-batch cost is one scan of the
     * batch text plus one scan of the index's count column, and the
@@ -248,6 +266,7 @@ object CorpusWatcher {
       classifierGate: Option[graft.ops.Curation.ClassifierGate] = None,
       decontamShingles: Option[DataFrame] = None,
       decontamW: Int = 3,
+      mixtureGate: Option[graft.ops.Sampling.MixtureGate] = None,
       metricsDir: Option[String] = None,
       driftDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
@@ -256,7 +275,7 @@ object CorpusWatcher {
       .format("json")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", C)
-      .schema(s"doc_id BIGINT, text STRING, $C STRING")
+      .schema(s"doc_id BIGINT, text STRING, source STRING, $C STRING")
       .load(watchDir)
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -267,14 +286,15 @@ object CorpusWatcher {
         // line is not retained by the reader for them)
         val bad = batch.filter(col(C).isNotNull || col("doc_id").isNull)
           .select(
-            coalesce(col(C), to_json(struct(col("doc_id"), col("text")))).as("raw"))
+            coalesce(col(C),
+              to_json(struct(col("doc_id"), col("text"), col("source")))).as("raw"))
         // per-batch dir + overwrite = replay-idempotent (a batch that
         // fails after this write and reruns overwrites the same path
         // instead of appending duplicates); the partition-style name
         // surfaces batch_id as a column when reading the parent dir
         bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
         val parsed = batch.filter(col(C).isNull && col("doc_id").isNotNull)
-          .select(col("doc_id").cast("string").as("doc_id"), col("text"))
+          .select(col("doc_id").cast("string").as("doc_id"), col("text"), col("source"))
         val clean = qualityGate match {
           case None    => parsed
           case Some(g) => graft.ops.Curation.applyGate(parsed, g)
@@ -325,6 +345,14 @@ object CorpusWatcher {
               .write.mode("overwrite").parquet(s"$bd/batch_id=$batchId")
             survivors
         }
+        // mixture AFTER the band append (see scaladoc: the dedup
+        // candidate set is the post-gate corpus, mixture is admission
+        // policy on top) — content-independent, so no state
+        val admitted = mixtureGate match {
+          case None => kept
+          case Some(g) =>
+            graft.ops.Sampling.mixture(kept, "source", "doc_id", g.rates, g.defaultRate)
+        }
         val old = currentIndex(session, indexDir)
         driftDir.foreach { dd =>
           // history side straight from the index's (word, cnt) — the
@@ -336,11 +364,11 @@ object CorpusWatcher {
               col("cnt"))
             .groupBy("b").agg(sum("cnt").as("c"))
           graft.ops.TextAnalysis.driftFromCounts(
-            graft.ops.TextAnalysis.bucketCounts(kept, buckets),
+            graft.ops.TextAnalysis.bucketCounts(admitted, buckets),
             histCounts, buckets, session)
             .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
         }
-        val delta = InvertedIndex.build(kept, idCol = "doc_id")
+        val delta = InvertedIndex.build(admitted, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(old, delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         metricsDir.foreach { md =>
@@ -354,12 +382,14 @@ object CorpusWatcher {
           val nHist = if (dedupBandsDir.isDefined) afterHistory.count() else nDecon
           val nWithin = if (dedupWithinBatch) deduped.count() else nHist
           val nKept = if (kept eq deduped) nWithin else kept.count()
+          val nMix = if (mixtureGate.isDefined) admitted.count() else nKept
           import session.implicits._
           Seq(
             (1, "ingest", nIngest), (2, "parsed", nParsed),
             (3, "quality_gate", nGated), (4, "classifier", nClf),
             (5, "decontaminated", nDecon), (6, "dedup_history", nHist),
-            (7, "dedup_within", nWithin), (8, "indexed", nKept))
+            (7, "dedup_within", nWithin), (8, "mixture", nMix),
+            (9, "indexed", nMix))
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }

@@ -237,7 +237,8 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(metricsOf(0) === Map(
       "ingest" -> 5L, "parsed" -> 4L, "quality_gate" -> 3L,
       "classifier" -> 3L, "decontaminated" -> 3L,
-      "dedup_history" -> 3L, "dedup_within" -> 2L, "indexed" -> 2L))
+      "dedup_history" -> 3L, "dedup_within" -> 2L,
+      "mixture" -> 2L, "indexed" -> 2L))
     // batch 1: a near-dup of a batch-0 survivor dies at the history stage
     Files.write(Paths.get(watch, "feed-1.json"),
       s"""{"doc_id": 30, "text": "$dupText"}""".getBytes("UTF-8"))
@@ -245,7 +246,8 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(metricsOf(1) === Map(
       "ingest" -> 1L, "parsed" -> 1L, "quality_gate" -> 1L,
       "classifier" -> 1L, "decontaminated" -> 1L,
-      "dedup_history" -> 0L, "dedup_within" -> 0L, "indexed" -> 0L))
+      "dedup_history" -> 0L, "dedup_within" -> 0L,
+      "mixture" -> 0L, "indexed" -> 0L))
     assert(indexEntries(index).map(_._2) === Set("20", "21"))
     // Drain the cache entries THIS test added (diff vs the baseline):
     // the survivors persist is released async (blocking=false), and the
@@ -383,7 +385,8 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(m1 === Map(
       "ingest" -> 3L, "parsed" -> 3L, "quality_gate" -> 3L,
       "classifier" -> 2L, "decontaminated" -> 1L,
-      "dedup_history" -> 1L, "dedup_within" -> 1L, "indexed" -> 1L))
+      "dedup_history" -> 1L, "dedup_within" -> 1L,
+      "mixture" -> 1L, "indexed" -> 1L))
     // replay batch 1 (fresh checkpoint, same files): deterministic
     // scoring + shingling drop the same docs; upsert keeps the index
     // identical — no doc resurrected, none double-counted
@@ -441,5 +444,43 @@ class CorpusWatcherSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet
     // ALL old postings of a.txt are gone; only the new ones remain
     assert(merged === Set(("new", "a.txt", 1L), ("words", "a.txt", 1L)))
+  }
+
+  test("mixtureGate admits per source after dedup; bands still see mixture-dropped docs") {
+    val (watch, index, ckpt, quar, bands, metrics) =
+      (tmp("watchmix"), tmp("indexmix"), tmp("ckptmix"), tmp("quarmix") + "/bad",
+        tmp("bandsmix") + "/bands", tmp("metricsmix") + "/metrics")
+    val lowPrio = "low priority crawl text that should never reach the index"
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      dedupBandsDir = Some(bands),
+      mixtureGate = Some(graft.ops.Sampling.MixtureGate(
+        Map("src0" -> 1.0, "src1" -> 0.0))),
+      metricsDir = Some(metrics)).awaitTermination()
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 40, "text": "alpha keeps this wiki style document", "source": "src0"}""" + "\n" +
+        s"""{"doc_id": 41, "text": "$lowPrio", "source": "src1"}""" + "\n" +
+        """{"doc_id": 42, "text": "a sourceless document falls to the default rate"}""" + "\n")
+        .getBytes("UTF-8"))
+    run()
+    // rate-0 source never indexed; rate-1 and sourceless (default 1.0) are
+    assert(indexEntries(index).map(_._2) === Set("40", "42"))
+    val m0 = spark.read.parquet(metrics).filter(col("batch_id") === 0)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(m0("dedup_within") === 3L && m0("mixture") === 2L && m0("indexed") === 2L)
+    // the band history was appended BEFORE mixture: the dropped doc's
+    // bands exist, so its later near-duplicate dies at the history
+    // stage even though 41 itself was never indexed
+    assert(spark.read.parquet(bands).select("doc_id").as[String].collect().toSet
+      .contains("41"))
+    Files.write(Paths.get(watch, "feed-1.json"),
+      (s"""{"doc_id": 43, "text": "$lowPrio", "source": "src0"}""" + "\n")
+        .getBytes("UTF-8"))
+    run()
+    assert(indexEntries(index).map(_._2) === Set("40", "42"),
+      "near-dup of a mixture-dropped doc must die at dedup_history")
+    val m1 = spark.read.parquet(metrics).filter(col("batch_id") === 1)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(m1("decontaminated") === 1L && m1("dedup_history") === 0L &&
+      m1("mixture") === 0L)
   }
 }
