@@ -182,7 +182,35 @@ object InvertedIndex {
       k: Int,
       k1: Double = 1.2,
       b: Double = 0.75,
-      docLens: Option[DataFrame] = None): DataFrame = {
+      docLens: Option[DataFrame] = None): DataFrame =
+    bm25Ranked(index,
+      index.sparkSession.range(1).select(lit(nDocs.toDouble).as("n_docs")),
+      query, k, k1, b, docLens)
+
+  /** [[bm25TopK]] straight from a `(doc_id, text)` corpus, with the
+    * doc count derived INSIDE the plan (a broadcast one-row aggregate)
+    * instead of a caller-supplied literal — the fully-lazy shape the
+    * `graft_bm25` SQL surface needs (EXPLAIN must run no job). Builds
+    * the index inline; `doc_id` is assumed unique (the corpus-table
+    * contract), matching the N the long-form caller would pass. */
+  def bm25TopKFromDocs(
+      docs: DataFrame,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Ranked(build(docs),
+      docs.agg(count(lit(1)).cast("double").as("n_docs")),
+      query, k, k1, b, None)
+
+  private def bm25Ranked(
+      index: DataFrame,
+      nDocsF: DataFrame,
+      query: String,
+      k: Int,
+      k1: Double,
+      b: Double,
+      docLens: Option[DataFrame]): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val terms = TextNorm.queryTerms(query).distinct
     require(terms.nonEmpty, s"query '$query' has no indexable terms")
@@ -191,11 +219,13 @@ object InvertedIndex {
     val lens = docLens.getOrElse(docLengths(index))
     val avg = lens.agg((sum("dl") / count(lit(1))).as("avgdl"))
     val hits = index.filter(col("word").isin(terms: _*))
-    // (word, doc_id) is unique in the index, so df = posting count
+    // (word, doc_id) is unique in the index, so df = posting count;
+    // N arrives as a broadcast one-row frame (literal or derived)
     val idf = hits.groupBy("word").agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocsF))
       .select(col("word"),
         round(log(lit(1.0) +
-          (lit(nDocs.toDouble) - col("df") + 0.5) / (col("df") + 0.5)), 6).as("idf"))
+          (col("n_docs") - col("df") + 0.5) / (col("df") + 0.5)), 6).as("idf"))
     hits
       .join(broadcast(idf), Seq("word"))
       .crossJoin(broadcast(avg))

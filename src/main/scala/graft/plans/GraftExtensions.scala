@@ -32,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.classifierScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.curateTableFunction)
     ext.injectTableFunction(GraftExtensions.dsirTableFunction)
+    ext.injectTableFunction(GraftExtensions.bm25TableFunction)
+    ext.injectTableFunction(GraftExtensions.dupSpansTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -474,6 +476,67 @@ object GraftExtensions {
             mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for BM25 ranked retrieval
+    * ([[graft.index.InvertedIndex.bm25TopKFromDocs]]):
+    *
+    * {{{
+    * SELECT * FROM graft_bm25('docs', 'spark shuffle join')      -- top 20
+    * SELECT * FROM graft_bm25('docs', 'spark shuffle join', 5)   -- top k
+    * }}}
+    *
+    * The named table carries (doc_id, text); emits (doc_id, score,
+    * rank) for the k best BM25 matches. The index, doc lengths, and
+    * the corpus size N are all derived inside the plan (N is a
+    * broadcast one-row aggregate), so the function is fully lazy —
+    * EXPLAIN runs no job. */
+  private val bm25TableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_bm25"),
+    new ExpressionInfo(graft.index.InvertedIndex.getClass.getName, "graft_bm25"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_bm25(docs_table, query[, k])")
+      val str = stringArg("graft_bm25") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val query = str(children(1), "query")
+      val k = if (children.size == 3) intArg("graft_bm25")(children(2), "k") else 20
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.InvertedIndex.bm25TopKFromDocs(docs, query, k))
+    })
+
+  /** SQL surface for substring-level dedup
+    * ([[graft.ops.Dedup.duplicateSpans]]):
+    *
+    * {{{
+    * SELECT * FROM graft_dup_spans('docs')             -- k=24, mod_p=8, gap=64
+    * SELECT * FROM graft_dup_spans('docs', 16, 4, 32)  -- explicit knobs
+    * }}}
+    *
+    * The named table carries (doc_id, text); emits (doc_id,
+    * span_start, span_end) — the char ranges of every non-canonical
+    * copy of a corpus-wide repeated region. The anchor-site table
+    * materializes via the LAZY Persist strategy (the
+    * `graft_semantic_dups` contract: EXPLAIN runs no job, the session
+    * cache dedups repeated calls). */
+  private val dupSpansTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_dup_spans"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_dup_spans"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 4,
+        "graft_dup_spans(docs_table) or graft_dup_spans(docs_table, k, mod_p, gap)")
+      val str = stringArg("graft_dup_spans") _
+      val int = intArg("graft_dup_spans") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val (k, modP, gap) =
+        if (children.size == 4)
+          (int(children(1), "k"), int(children(2), "mod_p"), int(children(3), "gap"))
+        else (24, 8, 64)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.duplicateSpans(docs, k, modP, gap,
+          mat = graft.core.Materialize.Persist))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -486,7 +549,8 @@ object GraftExtensions {
         annSearchTableFunction, semanticDupsTableFunction,
         boilerplateTableFunction, semanticDecontaminateTableFunction,
         tokenDriftTableFunction, classifierScoreTableFunction,
-        curateTableFunction, dsirTableFunction)
+        curateTableFunction, dsirTableFunction,
+        bm25TableFunction, dupSpansTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

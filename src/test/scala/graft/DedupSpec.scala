@@ -456,4 +456,19 @@ class DedupSpec extends SparkSpec {
     assert(got(2L)._1.endsWith("trailing tail kept after the cut"))
     assert(got(2L)._1.length < texts(2L).length)
   }
+
+  test("SQL surface: graft_dup_spans TVF matches the Column API, both arities") {
+    graft.plans.GraftExtensions.install(spark)
+    val junk = "completely unrelated filler prose that shares nothing at all with it "
+    val d = docs(1L -> region, 2L -> (junk + region))
+    d.createOrReplaceTempView("span_docs")
+    val api = Dedup.duplicateSpans(d, k = 16, modP = 4, gap = 32)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(spark.sql("SELECT * FROM graft_dup_spans('span_docs', 16, 4, 32)")
+      .as[(Long, Long, Long)].collect().toSet === api)
+    // default arity = (k=24, modP=8, gap=64)
+    assert(spark.sql("SELECT * FROM graft_dup_spans('span_docs')")
+      .as[(Long, Long, Long)].collect().toSet ===
+      Dedup.duplicateSpans(d).as[(Long, Long, Long)].collect().toSet)
+  }
 }

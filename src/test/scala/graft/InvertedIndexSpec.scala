@@ -160,4 +160,28 @@ class InvertedIndexSpec extends SparkSpec {
     // a query with no indexable terms is a loud error, not an empty run
     intercept[IllegalArgumentException](InvertedIndex.bm25TopK(idx, "!!!", 3, 5))
   }
+
+  test("SQL surface: graft_bm25 TVF matches the literal-N Column API, both arities") {
+    graft.plans.GraftExtensions.install(spark)
+    val c = corpus(
+      1L -> "cat dog",
+      2L -> "cat cat cat fish",
+      3L -> "bird bird bird bird bird bird")
+    c.createOrReplaceTempView("bm25_docs")
+    val api = InvertedIndex.bm25TopK(InvertedIndex.build(c), "cat fish", nDocs = 3, k = 10)
+      .as[(Long, Double, Int)].collect().toSeq
+    // derived-N variant == literal-N variant == the TVF
+    assert(InvertedIndex.bm25TopKFromDocs(c, "cat fish", k = 10)
+      .as[(Long, Double, Int)].collect().toSeq === api)
+    assert(spark.sql("SELECT * FROM graft_bm25('bm25_docs', 'cat fish', 10)")
+      .as[(Long, Double, Int)].collect().toSeq === api)
+    // default arity: k=20 (same rows here — only 2 docs match)
+    assert(spark.sql("SELECT * FROM graft_bm25('bm25_docs', 'cat fish')")
+      .as[(Long, Double, Int)].collect().toSeq === api)
+    // a non-literal query argument is rejected loudly
+    val err = intercept[Exception](
+      spark.sql("SELECT * FROM graft_bm25('bm25_docs', doc_id)").collect())
+    assert(err.getMessage.contains("graft_bm25") ||
+      err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
 }
