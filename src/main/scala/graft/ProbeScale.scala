@@ -101,6 +101,18 @@ object ProbeScale {
     time("epoch_plan_sf1")(graft.ops.Sampling.epochPlan(
       docs, "source", Map("src0" -> 0.5, "src1" -> 0.5), 1000000L).count())
     }
+    // round-9: substring-level dedup at both scales — the sf1 corpus is
+    // 10 id-shifted copies, so ~9/10 of all anchor sites are droppable:
+    // the worst case for the span path (the droppable join and the
+    // per-doc windows see almost every site)
+    if (section == "spans") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (rep <- 1 to 2) {
+      time(s"dup_spans_sf01_$rep")(Dedup.duplicateSpans(docs01).count())
+      time(s"dup_spans_sf1_$rep")(Dedup.duplicateSpans(docs).count())
+      time(s"dup_strip_sf1_$rep")(Dedup.stripDuplicateSpans(docs).count())
+    }
+    }
     // round-8: the model-based scorers + order/quality passes at both
     // scales — all four are designed scan-bound (broadcast/model-sized
     // joins only), so wall-clock should track the data ratio

@@ -598,6 +598,15 @@ object SparkEntry {
           length(col("text")).cast("long").as("stripped_len"),
           md5(col("text")).as("stripped_md5"))
     },
+    "q_dup_spans_incr" -> { (s, dir) =>
+      // daily-crawl shape (the q_dedup_incremental convention): even
+      // doc_ids are the accumulated corpus (anchor history precomputed),
+      // odd doc_ids are the increment
+      val d = docs(s, dir)
+      Dedup.duplicateSpansAgainst(
+        d.filter(col("doc_id") % 2 =!= 0),
+        Dedup.anchorSites(d.filter(col("doc_id") % 2 === 0)))
+    },
     "q_dedup_incremental" -> { (s, dir) =>
       // daily-crawl shape: even doc_ids are the existing corpus (band
       // table precomputed), odd doc_ids are the increment
@@ -1401,6 +1410,28 @@ object SparkEntry {
         |  CAST(length(coalesce(k.stripped, d.text)) AS BIGINT) AS stripped_len,
         |  md5(coalesce(k.stripped, d.text)) AS stripped_md5
         |FROM d LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "q_dup_spans_incr" ->
+      // twin of Dedup.duplicateSpansAgainst(k=24, modP=8, gap=64):
+      // increment (odd doc_ids) sites whose anchor gram appears
+      // anywhere in the history (even doc_ids) are droppable — no
+      // canonical exception; islands as in q_dup_spans
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, text, unnest(range(0, n - 23)) AS p FROM d WHERE n >= 24),
+        |sites AS (
+        |  SELECT doc_id, p,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER)+1, 24)), 1, 13)) AS BIGINT) AS h
+        |  FROM pos),
+        |sel AS (SELECT * FROM sites WHERE h % 8 = 0),
+        |hist AS (SELECT DISTINCT h FROM sel WHERE doc_id % 2 = 0),
+        |drp AS (
+        |  SELECT s.doc_id, s.p FROM sel s JOIN hist USING (h)
+        |  WHERE s.doc_id % 2 <> 0),
+        |brk AS (SELECT doc_id, p,
+        |    CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 64 THEN 0 ELSE 1 END AS b
+        |  FROM drp),
+        |grp AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk)
+        |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + 24 AS BIGINT) AS span_end
+        |FROM grp GROUP BY doc_id, g""".stripMargin,
     "q_vocab_coverage" ->
       s"""WITH cnts AS (SELECT token, count(*) AS cnt
          |  FROM (SELECT unnest($TOKS) AS token FROM documents) GROUP BY token),

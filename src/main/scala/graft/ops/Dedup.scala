@@ -809,7 +809,7 @@ object Dedup {
     * cost is O(k) md5 work; a native rolling-hash Expression is the
     * stated upgrade path if the scan ever becomes compute-bound.
     */
-  private[ops] def anchorSites(docs: DataFrame, k: Int, modP: Int): DataFrame = {
+  def anchorSites(docs: DataFrame, k: Int = 24, modP: Int = 8): DataFrame = {
     val siteTy = "array<struct<pos:int,h:bigint>>"
     val gramHash = (p: Column) =>
       conv(substring(md5(col("text").substr(p + lit(1), lit(k))), 1, 13), 16, 10).cast("long")
@@ -866,15 +866,49 @@ object Dedup {
     val droppable = sites.join(grams, "h")
       .where(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
       .select(col("doc_id"), col("pos"))
+    spansFromDroppable(droppable, k, gap)
+  }
+
+  /** Gaps-and-islands over droppable anchor positions: adjacent sites
+    * ≤ `gap` apart merge; a span ends `k` past its last anchor. The
+    * windows are per-doc (bounded) — no corpus-wide sort anywhere. */
+  private def spansFromDroppable(droppable: DataFrame, k: Int, gap: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val byPos = Window.partitionBy("doc_id").orderBy("pos")
-    val brk = droppable.select(col("doc_id"), col("pos"),
-      when(col("pos") - lag("pos", 1).over(byPos) <= gap, lit(0)).otherwise(lit(1)).as("brk"))
-    brk
+    droppable
+      .select(col("doc_id"), col("pos"),
+        when(col("pos") - lag("pos", 1).over(byPos) <= gap, lit(0)).otherwise(lit(1)).as("brk"))
       .select(col("doc_id"), col("pos"), sum("brk").over(byPos).as("grp"))
       .groupBy(col("doc_id"), col("grp"))
       .agg(min("pos").cast("long").as("span_start"),
         (max("pos") + k).cast("long").as("span_end"))
       .select(col("doc_id"), col("span_start"), col("span_end"))
+  }
+
+  /** The incremental face of [[duplicateSpans]] — the daily-crawl
+    * pattern ([[dropDuplicatesAgainst]]'s contract at substring
+    * granularity): spans in `docs` covering regions ALREADY PRESENT in
+    * an accumulated anchor-history table ([[anchorSites]] output,
+    * append-only, column `h`; `k`/`modP` must equal its build
+    * parameters). The history holds every canonical copy by
+    * definition, so every matching increment site is droppable — no
+    * canonical exception, and the history is never re-scanned beyond
+    * one semi-join. Within-increment duplication is [[duplicateSpans]]'
+    * job; run it separately if the increment can self-duplicate.
+    *
+    * Scale: one anchor scan over the INCREMENT only (map-side), one
+    * semi-join on `h` against the history (AQE broadcasts small
+    * increments' site tables), per-doc island windows. Increment text
+    * never shuffles; history text was never stored.
+    */
+  def duplicateSpansAgainst(
+      docs: DataFrame, history: DataFrame,
+      k: Int = 24, modP: Int = 8, gap: Int = 64): DataFrame = {
+    require(gap >= k, s"gap ($gap) must be >= k ($k) so merged spans cannot overlap")
+    val droppable = anchorSites(docs, k, modP)
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    spansFromDroppable(droppable, k, gap)
   }
 
   /** Cut every [[duplicateSpans]] range out of its document: the

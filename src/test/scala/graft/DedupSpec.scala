@@ -457,6 +457,25 @@ class DedupSpec extends SparkSpec {
     assert(got(2L)._1.length < texts(2L).length)
   }
 
+  test("duplicateSpansAgainst: increment spans only where the history already has the region") {
+    val history = docs(2L -> region, 4L -> "other archived content nothing like the increment")
+    val hist = Dedup.anchorSites(history, k = 16, modP = 4)
+    val freshTail = " genuinely new content the archive has never seen before at all"
+    val inc = docs(11L -> (region + freshTail), 13L -> ("unrelated increment doc " + freshTail))
+    val spans = Dedup.duplicateSpansAgainst(inc, hist, k = 16, modP = 4, gap = 32)
+      .as[(Long, Long, Long)].collect()
+    // only doc 11's copied region matches history; the fresh tail and
+    // doc 13 produce nothing — NO canonical exception applies (the
+    // history owns the canonical copy, so the increment's copy spans)
+    assert(spans.nonEmpty && spans.forall(_._1 == 11L), spans.toSeq)
+    spans.foreach { case (_, s, e) =>
+      assert(s >= 0 && e <= region.length.toLong, s"span [$s,$e) outside the copied region")
+    }
+    // history processed alone (duplicateSpans) keeps its single copy:
+    // nothing in the history itself is a duplicate
+    assert(Dedup.duplicateSpans(history, k = 16, modP = 4, gap = 32).count() === 0L)
+  }
+
   test("SQL surface: graft_dup_spans TVF matches the Column API, both arities") {
     graft.plans.GraftExtensions.install(spark)
     val junk = "completely unrelated filler prose that shares nothing at all with it "
