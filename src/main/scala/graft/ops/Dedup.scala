@@ -924,8 +924,26 @@ object Dedup {
     */
   def stripDuplicateSpans(
       docs: DataFrame, k: Int = 24, modP: Int = 8, gap: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val perDoc = duplicateSpans(docs, k, modP, gap, mat)
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    spliceOut(docs, duplicateSpans(docs, k, modP, gap, mat))
+
+  /** [[stripDuplicateSpans]] in the incremental frame: cut every
+    * [[duplicateSpansAgainst]] range — regions the accumulated anchor
+    * history has already seen — out of the increment's documents. The
+    * daily-crawl text-rewrite: today's docs keep only what the corpus
+    * does not already contain. Same output shape and cost profile as
+    * the batch strip; the history contributes one semi-join. */
+  def stripDuplicateSpansAgainst(
+      docs: DataFrame, history: DataFrame,
+      k: Int = 24, modP: Int = 8, gap: Int = 64): DataFrame =
+    spliceOut(docs, duplicateSpansAgainst(docs, history, k, modP, gap))
+
+  /** Cut `spans` (non-overlapping per doc) out of `docs`: one
+    * `aggregate` fold over each doc's sorted span list accumulates the
+    * kept segment before each span, then the tail. Span lists are
+    * per-doc (tiny); text never shuffles. */
+  private def spliceOut(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val perDoc = spans
       .groupBy("doc_id")
       .agg(sort_array(collect_list(struct(col("span_start"), col("span_end")))).as("spans"),
         count(lit(1)).as("n_spans"))

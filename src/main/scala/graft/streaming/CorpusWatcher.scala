@@ -220,6 +220,22 @@ object CorpusWatcher {
     * .splitCol]] is derivable from `doc_id` alone at any later read,
     * so persisting it per batch would add state for nothing.)
     *
+    * Substring-level strip (`spanHistoryDir`): the streaming face of
+    * [[graft.ops.Dedup.stripDuplicateSpansAgainst]] — regions the
+    * accumulated anchor history has already seen (default k=24,
+    * modP=8, gap=64) are CUT OUT of each batch's admitted docs before
+    * indexing; the stripped survivors' own [[graft.ops.Dedup
+    * .anchorSites]] append as this batch's `batch_id=N` partition
+    * (post-strip, so an already-seen region is stored exactly once;
+    * replay excludes the batch's own first attempt, the band-table
+    * discipline). Runs LAST — after whole-doc dedup (which still
+    * compares RAW text: bands describe admitted docs' original bytes,
+    * exactly what a future raw arrival looks like) and after mixture
+    * (rewrite only what is admitted). Doc counts are unchanged (it
+    * rewrites, never drops), so the funnel needs no extra stage.
+    * Within-batch self-repeats are [[graft.ops.Dedup.duplicateSpans]]'
+    * job — compose it upstream if an increment can self-duplicate.
+    *
     * Per-batch funnel metrics (`metricsDir`): the streaming face of
     * [[graft.ops.Curation.funnel]] — each batch appends one row per
     * pipeline stage (`ingest, parsed, quality_gate, classifier,
@@ -267,6 +283,7 @@ object CorpusWatcher {
       decontamShingles: Option[DataFrame] = None,
       decontamW: Int = 3,
       mixtureGate: Option[graft.ops.Sampling.MixtureGate] = None,
+      spanHistoryDir: Option[String] = None,
       metricsDir: Option[String] = None,
       driftDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
@@ -353,6 +370,27 @@ object CorpusWatcher {
           case Some(g) =>
             graft.ops.Sampling.mixture(kept, "source", "doc_id", g.rates, g.defaultRate)
         }
+        // substring-level strip LAST (rewrite only what is admitted):
+        // regions the accumulated anchor history has seen are cut out;
+        // the stripped survivors' OWN anchors append as this batch's
+        // partition (post-strip, so already-seen regions are stored
+        // once). Whole-doc dedup above still compares in RAW text
+        // space — bands describe admitted docs' original text, exactly
+        // what future raw arrivals look like.
+        val content = spanHistoryDir match {
+          case None => admitted
+          case Some(sd) =>
+            val stripped =
+              accumulatedPartitions(session, sd, excludeBatchId = batchId)
+                .map(h => graft.ops.Dedup
+                  .stripDuplicateSpansAgainst(admitted, h)
+                  .select(col("doc_id"), col("text")))
+                .getOrElse(admitted.select(col("doc_id"), col("text")))
+                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            graft.ops.Dedup.anchorSites(stripped)
+              .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
+            stripped
+        }
         val old = currentIndex(session, indexDir)
         driftDir.foreach { dd =>
           // history side straight from the index's (word, cnt) — the
@@ -364,11 +402,11 @@ object CorpusWatcher {
               col("cnt"))
             .groupBy("b").agg(sum("cnt").as("c"))
           graft.ops.TextAnalysis.driftFromCounts(
-            graft.ops.TextAnalysis.bucketCounts(admitted, buckets),
+            graft.ops.TextAnalysis.bucketCounts(content, buckets),
             histCounts, buckets, session)
             .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
         }
-        val delta = InvertedIndex.build(admitted, idCol = "doc_id")
+        val delta = InvertedIndex.build(content, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(old, delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         metricsDir.foreach { md =>
@@ -395,6 +433,7 @@ object CorpusWatcher {
         }
         // both consumers (band append + snapshot) are on disk now
         if (dedupBandsDir.isDefined) kept.unpersist(blocking = false)
+        if (spanHistoryDir.isDefined) content.unpersist(blocking = false)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -411,14 +450,23 @@ object CorpusWatcher {
   private def accumulatedBands(
       session: SparkSession,
       bandsDir: String,
+      excludeBatchId: Long): Option[DataFrame] =
+    accumulatedPartitions(session, bandsDir, excludeBatchId)
+
+  /** Any append-only `batch_id=N`-partitioned history table (bands,
+    * anchor sites), EXCLUDING a replayed batch's own first-attempt
+    * partition; None before any batch has published. */
+  private def accumulatedPartitions(
+      session: SparkSession,
+      dir: String,
       excludeBatchId: Long): Option[DataFrame] = {
-    val root = new org.apache.hadoop.fs.Path(bandsDir)
+    val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(session.sessionState.newHadoopConf())
     val hasAny = fs.exists(root) &&
       fs.listStatus(root).exists(st =>
         st.isDirectory && st.getPath.getName.startsWith("batch_id="))
     if (!hasAny) None
-    else Some(session.read.parquet(bandsDir).filter(col("batch_id") =!= excludeBatchId))
+    else Some(session.read.parquet(dir).filter(col("batch_id") =!= excludeBatchId))
   }
 
   /** Write the merged index to a new snapshot dir, atomically swap the

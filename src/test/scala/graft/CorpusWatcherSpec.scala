@@ -483,4 +483,43 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(m1("decontaminated") === 1L && m1("dedup_history") === 0L &&
       m1("mixture") === 0L)
   }
+
+  test("spanHistoryDir strips already-seen regions from later batches; replay-idempotent") {
+    val (watch, index, quar, hist) =
+      (tmp("watchsp"), tmp("indexsp"), tmp("quarsp") + "/bad", tmp("histsp") + "/anchors")
+    // a ~230-char region with a distinctive middle token, long enough
+    // that mod-8 anchor sampling saturates inside it
+    val region = (0 until 18).map(i => f"rw${(i * 53) % 997}%03dx").mkString(" ") +
+      " sentinelmiddle " + (18 until 36).map(i => f"rw${(i * 53) % 997}%03dx").mkString(" ")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      spanHistoryDir = Some(hist)).awaitTermination()
+    Files.write(Paths.get(watch, "feed-0.json"),
+      s"""{"doc_id": 50, "text": "$region uniquetailzero ending"}""".getBytes("UTF-8"))
+    val ckpt = tmp("ckptsp")
+    run(ckpt)
+    // batch 0 had no history: indexed intact, anchors published
+    assert(indexEntries(index).exists(e => e._1 == "sentinelmiddle" && e._2 == "50"))
+    assert(spark.read.parquet(hist).filter(col("batch_id") === 0).count() > 0)
+    // simulate a foreachBatch retry (fresh checkpoint, same file set,
+    // re-runs as batch 0): without the excludeBatchId path doc 50
+    // would collide with its OWN first-attempt anchors and strip its
+    // entire text before indexing
+    run(tmp("ckptsp2"))
+    assert(indexEntries(index).exists(e => e._1 == "sentinelmiddle" && e._2 == "50"),
+      "a replayed batch must not self-strip against its first-attempt anchors")
+    // batch 1 re-ships the region inside fresh material: the region is
+    // CUT (its tokens never reach the index for doc 51), the fresh
+    // lead-in and tail survive
+    Files.write(Paths.get(watch, "feed-1.json"),
+      s"""{"doc_id": 51, "text": "freshleadin opening words $region uniquetailone closing"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val entries = indexEntries(index)
+    assert(entries.exists(e => e._1 == "freshleadin" && e._2 == "51"))
+    assert(entries.exists(e => e._1 == "uniquetailone" && e._2 == "51"))
+    assert(!entries.exists(e => e._1 == "sentinelmiddle" && e._2 == "51"),
+      "the already-seen region must be stripped from doc 51")
+    assert(entries.exists(e => e._1 == "sentinelmiddle" && e._2 == "50"),
+      "the history's own copy stays indexed")
+  }
 }
