@@ -466,6 +466,17 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- core parity: the inverted-index pipeline (SURVEY §2 #1-#28) ----
     "q_index_build" -> ((s, dir) => InvertedIndex.build(docs(s, dir))),
+    "q_index_positional" -> { (s, dir) =>
+      // positions flattened to CSV: array-typed compare columns are
+      // engine-ambiguous; the CSV string is not
+      InvertedIndex.buildPositional(docs(s, dir))
+        .select(col("word"), col("doc_id"),
+          concat_ws(",", col("positions").cast("array<string>")).as("pos_csv"),
+          col("cnt"))
+    },
+    "q_phrase_search" -> ((s, dir) =>
+      InvertedIndex.phraseSearch(
+        InvertedIndex.buildPositional(docs(s, dir)), "Data SLOW!")),
     "q_lookup" -> ((s, dir) => InvertedIndex.lookup(InvertedIndex.build(docs(s, dir)), "Data")),
     "q_index_merge_parity" -> { (s, dir) =>
       // reference semantics (master/main.py:106-121): re-indexed docs get ADDED
@@ -921,6 +932,27 @@ object SparkEntry {
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Map(
     "q_index_build" -> INDEX_SQL,
+    "q_index_positional" ->
+      // twin of InvertedIndex.buildPositional: token ordinal per doc,
+      // sorted position list per (word, doc)
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |p AS (SELECT doc_id, unnest(range(len(ts))) AS i, ts FROM t),
+         |w AS (SELECT doc_id, i, ts[CAST(i AS INTEGER)+1] AS word FROM p)
+         |SELECT word, doc_id,
+         |  array_to_string(list_sort(list(i)), ',') AS pos_csv,
+         |  count(*) AS cnt
+         |FROM w GROUP BY word, doc_id""".stripMargin,
+    "q_phrase_search" ->
+      // twin of phraseSearch(buildPositional(documents), 'data slow'):
+      // adjacency via a self-join one position apart
+      s"""WITH t AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |p AS (SELECT doc_id, unnest(range(len(ts))) AS i, ts FROM t),
+         |w AS (SELECT doc_id, i, ts[CAST(i AS INTEGER)+1] AS word FROM p),
+         |a AS (SELECT doc_id, i AS start FROM w WHERE word = 'data'),
+         |b AS (SELECT doc_id, i FROM w WHERE word = 'slow')
+         |SELECT a.doc_id, count(*) AS n_matches, CAST(min(a.start) AS BIGINT) AS first_pos
+         |FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.start + 1
+         |GROUP BY a.doc_id""".stripMargin,
     "q_lookup" ->
       s"""SELECT doc_id, cnt FROM ($INDEX_SQL) WHERE word = 'data' ORDER BY cnt DESC, doc_id""",
     "q_index_merge_parity" ->

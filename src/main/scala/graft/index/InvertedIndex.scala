@@ -48,6 +48,58 @@ object InvertedIndex {
       .groupBy("word", "doc_id")
       .agg(count(lit(1)).as("cnt"))
 
+  /** Positional variant of [[build]]: `(word, doc_id, positions, cnt)`
+    * with `positions` the sorted token indices of every occurrence —
+    * the index shape phrase queries need (the reference's
+    * count-per-word index cannot answer adjacency). Same single
+    * shuffle as [[build]]; `positions` is bounded per (word, doc)
+    * by the document's own length, so no postings list ever exceeds a
+    * document-sized row.
+    */
+  def buildPositional(
+      docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col(idCol).as("doc_id"),
+        posexplode(TextNorm.tokens(col(textCol))).as(Seq("pos", "word")))
+      .groupBy("word", "doc_id")
+      .agg(sort_array(collect_list(col("pos"))).as("positions"),
+        count(lit(1)).cast("long").as("cnt"))
+
+  /** Exact phrase search over a [[buildPositional]] index: documents
+    * containing the query terms at CONSECUTIVE token positions, with
+    * occurrence counts and the first match position. The classic
+    * shifted-intersection: term i at position p votes for a phrase
+    * start at p − i; a start supported by all m distinct term slots is
+    * a match (a term repeated in the phrase occupies several slots and
+    * must match at each offset — `countDistinct(term_idx)` keeps the
+    * vote honest).
+    *
+    * Plan at scale: the phrase's terms push into the index scan as an
+    * `isin` (partition-prunable exactly like [[lookup]]); the exploded
+    * vote table is occurrences-of-phrase-terms-sized, never
+    * index-sized; both aggregations are combinable; the tiny
+    * `(term_idx, word)` table broadcasts. Output: `(doc_id,
+    * n_matches, first_pos)`.
+    */
+  def phraseSearch(posIndex: DataFrame, phrase: String): DataFrame = {
+    val terms = TextNorm.queryTerms(phrase) // order matters; no distinct
+    require(terms.nonEmpty, s"phrase '$phrase' has no indexable terms")
+    val spark = posIndex.sparkSession
+    import spark.implicits._
+    val termRows = terms.zipWithIndex.map { case (w, i) => (i, w) }.toDF("term_idx", "word")
+    posIndex
+      .filter(col("word").isin(terms.distinct: _*))
+      .join(broadcast(termRows), Seq("word"))
+      .select(col("doc_id"), col("term_idx"), explode(col("positions")).as("pos"))
+      .select(col("doc_id"), col("term_idx"), (col("pos") - col("term_idx")).as("start"))
+      .groupBy("doc_id", "start")
+      .agg(countDistinct("term_idx").as("n_terms"))
+      .where(col("n_terms") === terms.length)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).cast("long").as("n_matches"),
+        min("start").cast("long").as("first_pos"))
+  }
+
   /** Incremental merge, PARITY mode: add delta counts into the old index
     * (`master/main.py:106-121`). Re-indexing a document that is already
     * in the index double-counts it — faithfully kept; see upsertDocs for

@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.dsirTableFunction)
     ext.injectTableFunction(GraftExtensions.bm25TableFunction)
     ext.injectTableFunction(GraftExtensions.dupSpansTableFunction)
+    ext.injectTableFunction(GraftExtensions.phraseTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -504,6 +505,31 @@ object GraftExtensions {
         graft.index.InvertedIndex.bm25TopKFromDocs(docs, query, k))
     })
 
+  /** SQL surface for exact phrase search
+    * ([[graft.index.InvertedIndex.phraseSearch]]):
+    *
+    * {{{
+    * SELECT * FROM graft_phrase('docs', 'data slow')
+    * }}}
+    *
+    * The named table carries (doc_id, text); emits (doc_id, n_matches,
+    * first_pos) for documents containing the phrase's terms at
+    * consecutive token positions. The positional index is built inside
+    * the plan — fully lazy, EXPLAIN runs no job. */
+  private val phraseTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_phrase"),
+    new ExpressionInfo(graft.index.InvertedIndex.getClass.getName, "graft_phrase"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_phrase(docs_table, phrase)")
+      val str = stringArg("graft_phrase") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.InvertedIndex.phraseSearch(
+          graft.index.InvertedIndex.buildPositional(docs),
+          str(children(1), "phrase")))
+    })
+
   /** SQL surface for substring-level dedup
     * ([[graft.ops.Dedup.duplicateSpans]]):
     *
@@ -550,7 +576,7 @@ object GraftExtensions {
         boilerplateTableFunction, semanticDecontaminateTableFunction,
         tokenDriftTableFunction, classifierScoreTableFunction,
         curateTableFunction, dsirTableFunction,
-        bm25TableFunction, dupSpansTableFunction)
+        bm25TableFunction, dupSpansTableFunction, phraseTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

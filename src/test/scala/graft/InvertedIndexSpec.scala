@@ -161,6 +161,41 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](InvertedIndex.bm25TopK(idx, "!!!", 3, 5))
   }
 
+  test("buildPositional records sorted occurrence positions; phraseSearch finds adjacency") {
+    val c = corpus(
+      1L -> "cat dog cat dog",
+      2L -> "dog cat",
+      3L -> "cat cat")
+    val idx = InvertedIndex.buildPositional(c)
+    val got = idx.as[(String, Long, Seq[Int], Long)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    assert(got(("cat", 1L)) === ((Seq(0, 2), 2L)))
+    assert(got(("dog", 1L)) === ((Seq(1, 3), 2L)))
+    assert(got(("cat", 3L)) === ((Seq(0, 1), 2L)))
+    // "cat dog": doc 1 matches at starts 0 and 2; doc 2 has the words
+    // REVERSED (no adjacency), doc 3 lacks "dog" entirely
+    val ph = InvertedIndex.phraseSearch(idx, "Cat, DOG!")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(ph === Set((1L, 2L, 0L)))
+    // a repeated-term phrase must match each slot independently:
+    // "cat cat" needs consecutive cats — only doc 3 has them
+    val rep = InvertedIndex.phraseSearch(idx, "cat cat")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(rep === Set((3L, 1L, 0L)))
+    // single-term phrase degenerates to occurrence counting
+    val one = InvertedIndex.phraseSearch(idx, "dog")
+      .as[(Long, Long, Long)].collect().toSet
+    assert(one === Set((1L, 2L, 1L), (2L, 1L, 0L)))
+    // absent phrase -> empty; unindexable phrase -> loud error
+    assert(InvertedIndex.phraseSearch(idx, "dog zebra").count() === 0L)
+    intercept[IllegalArgumentException](InvertedIndex.phraseSearch(idx, "!!!"))
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(spark)
+    c.createOrReplaceTempView("phrase_docs")
+    assert(spark.sql("SELECT * FROM graft_phrase('phrase_docs', 'cat dog')")
+      .as[(Long, Long, Long)].collect().toSet === ph)
+  }
+
   test("SQL surface: graft_bm25 TVF matches the literal-N Column API, both arities") {
     graft.plans.GraftExtensions.install(spark)
     val c = corpus(
