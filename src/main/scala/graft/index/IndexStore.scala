@@ -81,4 +81,34 @@ object IndexStore {
       .select(col("doc_id"), col("cnt"))
       .orderBy(col("cnt").desc, col("doc_id").asc)
   }
+
+  /** Persist a [[InvertedIndex.buildPositional]] index under the same
+    * partition-for-pruning discipline as [[save]] — the positions
+    * column rides along, so a served phrase query reads only its
+    * terms' partitions. */
+  def savePositional(posIndex: DataFrame, path: String, layout: Layout = FirstChar): Unit =
+    posIndex
+      .withColumn(PrefixCol, layout.prefixCol)
+      .write.mode("overwrite")
+      .partitionBy(PrefixCol)
+      .parquet(path)
+
+  /** Served phrase search over a [[savePositional]] store: the
+    * phrase's terms pin BOTH a prefix `isin` (partition pruning — at
+    * most one directory per distinct term) and a word `isin` (pushed
+    * into the row-group scan) before [[InvertedIndex.phraseSearch]]
+    * runs its shifted-intersection on the pruned postings. At 100 TB
+    * the cost is per-term-postings-sized, never index-sized — the
+    * [[lookup]] serving story at phrase granularity. `layout` must
+    * match the one the store was saved with. */
+  def phraseSearch(spark: SparkSession, path: String, phrase: String,
+      layout: Layout = FirstChar): DataFrame = {
+    val keys = TextNorm.queryTerms(phrase).distinct
+    require(keys.nonEmpty, s"phrase '$phrase' has no indexable terms")
+    val pruned = spark.read.parquet(path)
+      .filter(col(PrefixCol).isin(keys.map(layout.prefixOf): _*) &&
+        col("word").isin(keys: _*))
+      .select("word", "doc_id", "positions", "cnt")
+    graft.index.InvertedIndex.phraseSearch(pruned, phrase)
+  }
 }

@@ -142,6 +142,29 @@ class SourcesAndStoreSpec extends SparkSpec {
       s"expected exactly one pruned file, got ${scan.metrics("numFiles").value}")
   }
 
+  test("savePositional + served phraseSearch: parity with the unstored form, pruned scan") {
+    val c = Seq(
+      (1L, "cat dog cat dog"),
+      (2L, "dog cat"),
+      (3L, "cat cat zebra")).toDF("doc_id", "text")
+    val pos = InvertedIndex.buildPositional(c)
+    val path = tmp("storepos") + "/posindex"
+    IndexStore.savePositional(pos, path, IndexStore.HashPrefix)
+    val want = InvertedIndex.phraseSearch(pos, "cat dog")
+      .as[(Long, Long, Long)].collect().toSet
+    val served = IndexStore.phraseSearch(spark, path, "Cat, DOG!", IndexStore.HashPrefix)
+    assert(served.as[(Long, Long, Long)].collect().toSet === want)
+    // the scan must pin the two terms' md5 prefixes as partition
+    // filters and push the word isin — per-term-postings cost, never
+    // index-sized
+    val plan = IndexStore.phraseSearch(spark, path, "cat dog", IndexStore.HashPrefix)
+      .queryExecution.executedPlan.toString
+    val pfLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
+    assert(pfLine.contains("word_pfx"), s"no partition filter in: $pfLine\n$plan")
+    assert(plan.contains("In(word, [cat,dog])") || plan.contains("In(word, [dog,cat])"),
+      s"word isin not pushed in:\n$plan")
+  }
+
   test("only the matching partition directory is scanned") {
     val idx = InvertedIndex.build(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
     val path = tmp("store2") + "/index"
