@@ -813,6 +813,10 @@ object SparkEntry {
 
     // ---- multimodal plumbing (binary payload + stub decode) -------------
     "q_multimodal" -> ((s, dir) => Multimodal.mediaSummary(docs(s, dir))(s)),
+    "q_audio_probe" -> ((s, dir) =>
+      // fixtures carry no audio bytes: every row exercises the REAL
+      // decoder's quarantine path (the spec pins real-WAV decode)
+      Multimodal.decodeAudio(Multimodal.envelope(docs(s, dir)))(s).toDF()),
 
     // ---- deterministic sampling / dataset splitting ----------------------
     "q_train_split" -> { (s, dir) =>
@@ -1791,6 +1795,17 @@ object SparkEntry {
         |  CAST(0 AS INTEGER) AS width,
         |  CAST(0 AS INTEGER) AS height,
         |  md5(text) AS content_md5
+        |FROM documents""".stripMargin,
+    "q_audio_probe" ->
+      // twin of Multimodal.decodeAudio over text payloads: no JDK
+      // audio reader accepts them, so every row is the quarantine shape
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'undecodable' AS status,
+        |  '' AS encoding,
+        |  CAST(0.0 AS DOUBLE) AS sample_rate,
+        |  CAST(0 AS INTEGER) AS channels,
+        |  CAST(0 AS BIGINT) AS frames
         |FROM documents""".stripMargin,
     "q_setops" ->
       """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),

@@ -8,9 +8,11 @@ import org.apache.spark.sql.functions._
   * struct, and per-item decode/feature work runs partition-parallel over
   * the binary bytes.
   *
-  * Image decode is REAL: [[decodeImages]] reads PNG/JPEG/GIF/BMP
-  * geometry with `javax.imageio` (ships with the JDK — no external
-  * dependency), inside the mapPartitions batch contract. Bytes that no
+  * Image and audio decode are REAL: [[decodeImages]] reads
+  * PNG/JPEG/GIF/BMP geometry with `javax.imageio`, [[decodeAudio]]
+  * reads WAV/AIFF/AU container metadata with `javax.sound.sampled`
+  * (both ship with the JDK — no external dependency), inside the
+  * mapPartitions batch contract. Bytes that no
   * installed reader accepts (text payloads, corrupt files, truncated
   * streams) become QUARANTINE rows (`status = 'undecodable'`), never
   * task failures — at 100 TB a single bad file must not kill a stage.
@@ -75,6 +77,45 @@ object Multimodal {
           } catch {
             case scala.util.control.NonFatal(_) =>
               DecodedImage(it.doc_id, n, "undecodable", 0, 0)
+          }
+        }
+      }
+  }
+
+  /** Real decode result for audio payloads: container-level metadata
+    * when a registered reader accepted the bytes, a quarantine row
+    * otherwise. `frames` is the frame count the container declares
+    * (-1 in the header maps to -1 here — streams of unknown length
+    * are a real shape, not an error). */
+  final case class DecodedAudio(doc_id: Long, n_bytes: Long, status: String,
+      encoding: String, sample_rate: Double, channels: Int, frames: Long)
+
+  /** REAL audio decode over the envelope, `javax.sound.sampled`
+    * (ships with the JDK: WAV/AIFF/AU readers): encoding, sample
+    * rate, channel count, and declared frame length per payload. Same
+    * contract as [[decodeImages]] — one output row per input row,
+    * bytes never leave the executor, undecodable payloads quarantine
+    * (`status = 'undecodable'`) instead of failing the task. Header
+    * parsing only: the PCM body is not decompressed, so cost per item
+    * is O(header), not O(bytes). With this, [[decodeStub]] stands in
+    * for video alone.
+    */
+  def decodeAudio(env: DataFrame)(implicit spark: SparkSession): Dataset[DecodedAudio] = {
+    import spark.implicits._
+    env.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
+      .as[MediaItem]
+      .mapPartitions { items =>
+        items.map { it =>
+          val n = it.content.length.toLong
+          try {
+            val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+              new java.io.ByteArrayInputStream(it.content))
+            val f = aff.getFormat
+            DecodedAudio(it.doc_id, n, "decoded", f.getEncoding.toString,
+              f.getSampleRate.toDouble, f.getChannels, aff.getFrameLength.toLong)
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              DecodedAudio(it.doc_id, n, "undecodable", "", 0.0, 0, 0L)
           }
         }
       }

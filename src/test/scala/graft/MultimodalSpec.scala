@@ -78,6 +78,34 @@ class MultimodalSpec extends SparkSpec {
     assert(frames(2L).width === 2 && frames(2L).n_frames === 2)
   }
 
+  /** A real in-memory WAV: `frames` frames of silent 16-bit mono PCM
+    * at the given rate (JDK encoder). */
+  private def wavBytes(sampleRate: Float, frames: Int): Array[Byte] = {
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(sampleRate, 16, 1, true, false)
+    val pcm = new Array[Byte](frames * fmt.getFrameSize)
+    val ais = new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, frames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(ais, AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  test("decodeAudio reads a real WAV's declared format via javax.sound.sampled") {
+    implicit val s = spark
+    val wav = wavBytes(sampleRate = 8000f, frames = 1600)
+    val env = Seq((40L, wav, "audio/wav"), (1L, "not audio at all".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val byId = Multimodal.decodeAudio(env).collect().map(d => d.doc_id -> d).toMap
+    assert(byId(40L).status === "decoded")
+    assert(byId(40L).sample_rate === 8000.0 && byId(40L).channels === 1)
+    assert(byId(40L).frames === 1600L)
+    assert(byId(40L).encoding === "PCM_SIGNED")
+    // non-audio bytes quarantine as a row, never a task failure
+    assert(byId(1L).status === "undecodable" && byId(1L).channels === 0)
+  }
+
   test("mediaSummary joins real decode output with content hashes") {
     implicit val s = spark
     val row = Multimodal.mediaSummary(docs).where($"doc_id" === 1L)
