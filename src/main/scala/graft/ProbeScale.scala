@@ -104,13 +104,36 @@ object ProbeScale {
     // round-9: substring-level dedup at both scales — the sf1 corpus is
     // 10 id-shifted copies, so ~9/10 of all anchor sites are droppable:
     // the worst case for the span path (the droppable join and the
-    // per-doc windows see almost every site)
+    // per-doc windows see almost every site). strip is forced through
+    // the splice (sum of spliced lengths) — a bare count() would prune
+    // the fold and join-eliminate the whole span branch, timing nothing
     if (section == "spans") {
     val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    def forceStrip(d: org.apache.spark.sql.DataFrame): Long =
+      Dedup.stripDuplicateSpans(d)
+        .agg(sum(length(col("text")))).collect().head.getLong(0)
     for (rep <- 1 to 2) {
       time(s"dup_spans_sf01_$rep")(Dedup.duplicateSpans(docs01).count())
       time(s"dup_spans_sf1_$rep")(Dedup.duplicateSpans(docs).count())
-      time(s"dup_strip_sf1_$rep")(Dedup.stripDuplicateSpans(docs).count())
+      time(s"dup_strip_sf1_$rep")(forceStrip(docs))
+    }
+    }
+    // stage-level breakdown of the span path (variance diagnosis)
+    if (section == "spansdbg") {
+    for (rep <- 1 to 3) {
+      val sites = graft.core.Materialize(Dedup.anchorSites(docs, 24, 8),
+        graft.core.Materialize.LocalCheckpoint)
+      time(s"sites_ckpt_$rep")(sites.count())
+      val grams = sites.groupBy("h")
+        .agg(count(lit(1)).as("n_sites"),
+          min(struct(col("doc_id"), col("pos"))).as("canon"))
+        .where(col("n_sites") > 1)
+      time(s"grams_agg_$rep")(grams.count())
+      val droppable = sites.join(grams, "h")
+        .where(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
+        .select(col("doc_id"), col("pos"))
+      time(s"droppable_$rep")(droppable.count())
+      time(s"spans_full_$rep")(Dedup.duplicateSpans(docs).count())
     }
     }
     // round-8: the model-based scorers + order/quality passes at both
