@@ -545,6 +545,10 @@ object SparkEntry {
     },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
+    "q_entropy" -> ((s, dir) => TextAnalysis.entropySignals(docs(s, dir))),
+    // spec-gated only: DEFLATE exists in no SQL engine, so the driver
+    // records the weaker rows-only check for this one (documented)
+    "q_compression" -> ((s, dir) => TextAnalysis.compressionSignals(docs(s, dir))),
     "q_lm_score_ref" -> { (s, dir) =>
       // CCNet deployment shape: LM trained on the curated domains,
       // every document scored against it (with backoff for OOV)
@@ -1066,6 +1070,22 @@ object SparkEntry {
          |SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
          |  CAST(sum(cnt) AS BIGINT) AS total_count
          |FROM occ GROUP BY piece""".stripMargin,
+    "q_entropy" ->
+      // twin of TextAnalysis.entropySignals: char-level Shannon
+      // entropy, per-char terms rounded to 6dp DECIMAL before the sum
+      // (the q_bm25-idf recipe)
+      """WITH d AS (SELECT doc_id, text, length(text) AS n FROM documents),
+        |pos AS (SELECT doc_id, n, unnest(range(0, n)) AS i, text FROM d WHERE n > 0),
+        |ch AS (SELECT doc_id, n, substr(text, CAST(i AS INTEGER)+1, 1) AS ch FROM pos),
+        |cnt AS (SELECT doc_id, n, ch, count(*) AS c FROM ch GROUP BY 1, 2, 3),
+        |term AS (SELECT doc_id,
+        |    CAST(round((c / CAST(n AS DOUBLE)) * log2(CAST(n AS DOUBLE) / c), 6) AS DECIMAL(18,6)) AS t
+        |  FROM cnt),
+        |agg AS (SELECT doc_id, count(*) AS nd, CAST(sum(t) AS DOUBLE) AS h FROM term GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(d.n AS BIGINT) AS n_chars,
+        |  coalesce(a.nd, 0) AS n_distinct_chars,
+        |  coalesce(a.h, 0.0) AS char_entropy
+        |FROM d LEFT JOIN agg a USING (doc_id)""".stripMargin,
     "q_quality" -> {
       val stop = Stop.en
       s"""SELECT doc_id,

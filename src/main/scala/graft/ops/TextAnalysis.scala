@@ -570,6 +570,80 @@ object TextAnalysis {
         round(sum(col("tba")).cast("double"), 6).as("kl_ba"),
         round((sum(col("tjp")) + sum(col("tjq"))).cast("double") * lit(0.5), 6).as("js"))
   }
+
+  /** Information-theoretic quality signal: per-document character-level
+    * Shannon entropy (bits/char) plus the distinct-character count —
+    * the gibberish/degeneracy detector that length and stopword ratios
+    * miss (a base64 blob has HIGH entropy, "aaaa…" has ~0; natural
+    * English sits near 4.1 bits at the character level, Shannon 1951).
+    *
+    * Engine-portable determinism, the q_bm25-idf recipe: each
+    * character's contribution (c/n)·log2(n/c) is rounded to 6dp and
+    * cast DECIMAL(18,6) BEFORE summing, so the per-doc sum is exact
+    * and order-independent; the only transcendental is one log2 per
+    * DISTINCT character per doc (≤ alphabet-sized).
+    *
+    * Character = one UTF-16 code unit in Spark's `substr` and one code
+    * point in most SQL engines — identical over ASCII/BMP corpora;
+    * supplementary-plane text would need a code-point splitter on the
+    * Spark side (documented, not silently wrong: counts would differ,
+    * not crash). Shuffle: one groupBy on (doc_id, ch) — combinable,
+    * alphabet-bounded per doc.
+    */
+  def entropySignals(docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val base = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), length(col("text")).as("n"), col("text"))
+    val terms = base
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("n"), explode(sequence(lit(0), col("n") - 1)).as("i"),
+        col("text"))
+      .select(col("doc_id"), col("n"), col("text").substr(col("i") + 1, lit(1)).as("ch"))
+      .groupBy(col("doc_id"), col("n"), col("ch"))
+      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), col("n"),
+        round((col("c") / col("n")) * log2(col("n") / col("c")), 6)
+          .cast(DecimalType(18, 6)).as("t"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("nd"), sum("t").cast("double").as("h"))
+    base.select(col("doc_id"), col("n").cast("long").as("n_chars"))
+      .join(terms, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_chars"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_chars"),
+        coalesce(col("h"), lit(0.0)).as("char_entropy"))
+  }
+
+  /** Compression-ratio quality signal (the Gopher/CCNet-family
+    * heuristic SQL cannot express — no DEFLATE in any SQL engine, so
+    * this operator is SPEC-gated, not oracle-gated): per-document
+    * zlib-deflated size and ratio. Highly repetitive boilerplate
+    * compresses far below natural text; random/encoded blobs barely
+    * compress — both tails are drop candidates. Level 6, one Deflater
+    * per partition (reset per doc, no allocation churn), bytes never
+    * leave the executor, no shuffle. Ratio rounded to 4dp.
+    */
+  def compressionSignals(docs: DataFrame): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { rows =>
+        val deflater = new java.util.zip.Deflater(6)
+        val buf = new Array[Byte](64 * 1024)
+        rows.map { case (id, text) =>
+          val in = Option(text).getOrElse("").getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(in)
+          deflater.finish()
+          var out = 0L
+          while (!deflater.finished()) out += deflater.deflate(buf)
+          val ratio =
+            if (in.length == 0) 0.0
+            else math.rint(out.toDouble / in.length * 10000) / 10000
+          (id, in.length.toLong, out, ratio)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
+  }
 }
 
 /** Tiny closed-class word lists for the language scorer. Public-knowledge

@@ -266,4 +266,36 @@ class TextAnalysisSpec extends SparkSpec {
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
   }
+
+  test("entropySignals: hand-computed char entropy; degenerate and uniform extremes") {
+    val d = docs(
+      1L -> "aaaa",   // one symbol: H = 0
+      2L -> "abab",   // two symbols, uniform: H = 1 bit
+      3L -> "abcd",   // four symbols, uniform: H = 2 bits
+      4L -> "aab")    // H = 2/3·log2(3/2) + 1/3·log2(3) ≈ 0.918295
+    val got = TextAnalysis.entropySignals(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 4L, 1L, 0.0)))
+    assert(got(2L) === ((2L, 4L, 2L, 1.0)))
+    assert(got(3L) === ((3L, 4L, 4L, 2.0)))
+    assert(got(4L)._3 === 2L)
+    // 6dp-rounded terms: 0.389975 + 0.528321
+    assert(math.abs(got(4L)._4 - 0.918296) < 1e-9, got(4L)._4.toString)
+  }
+
+  test("compressionSignals: repetitive text compresses far below varied text; ratio bounds") {
+    val rep = "spam spam spam " * 50
+    val varied = (0 until 150).map(i => f"w${(i * 7919) % 99991}%05dx").mkString(" ")
+    val d = docs(1L -> rep, 2L -> varied)
+    val got = TextAnalysis.compressionSignals(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === rep.length.toLong) // ASCII: bytes == chars
+    assert(got(1L)._4 < 0.1, s"repetitive ratio ${got(1L)._4} should be tiny")
+    assert(got(2L)._4 > got(1L)._4 * 3, "varied text must compress much worse")
+    assert(got(2L)._4 <= 1.1 && got(1L)._4 > 0.0)
+    // deterministic: same bytes -> same deflated size on re-run
+    val again = TextAnalysis.compressionSignals(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(again === got)
+  }
 }
