@@ -53,6 +53,24 @@ object EmbeddingIndexer {
     *   how the artifacts were trained — mixing frames would silently
     *   mis-code, which is why both artifact sets carry the same
     *   schemas but come from distinct model calls.
+    * @param dedupD2 streaming semantic dedup (the SemDeDup gate at
+    *   serving precision): drop an arriving vector whose nearest
+    *   ACCUMULATED neighbor — scored by the same IVF+PQ serving call
+    *   the index answers queries with (k=1, nprobe=1: same-coarse-cell
+    *   blocking, the SemDeDup argument) — sits within this ADC L2²
+    *   distance. The history is the CODES, not raw embeddings (the
+    *   indexer stores codes precisely so the corpus never needs a raw
+    *   scan), so the comparison carries the quantizer's error: set the
+    *   threshold from a recall probe, and for unit-normalized
+    *   embeddings use d2 = 2·(1−cos). Within-batch self-duplicates
+    *   pass (both get stored) — the gate is vs-history, the
+    *   [[CorpusWatcher]] band-filter contract. Replay excludes the
+    *   batch's own first-attempt partitions, so a retried batch never
+    *   self-collides.
+    * @param dropsDir when the gate is on, each batch's dropped
+    *   evidence rows (vec_id, neighbor_id, adc) land here under
+    *   `batch_id=N` (per-batch overwrite, replay-idempotent) — the
+    *   observability face of a silent drop policy.
     */
   def startJsonl(
       spark: SparkSession,
@@ -64,6 +82,8 @@ object EmbeddingIndexer {
       quarantineDir: String,
       m: Int = 4,
       residual: Boolean = false,
+      dedupD2: Option[Double] = None,
+      dropsDir: Option[String] = None,
       availableNow: Boolean = true): StreamingQuery = {
     val emb = spark.readStream
       .format("json")
@@ -80,19 +100,59 @@ object EmbeddingIndexer {
         // the JSON source is read once, release after both writes
         val clean = batch.filter(col("vec_id").isNotNull && col("embedding").isNotNull)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val coarse = session.read.parquet(s"$artifactsDir/coarse_centroids")
+        val codebooks = session.read.parquet(s"$artifactsDir/codebooks")
+        // semantic-dup gate BEFORE encode: score each arrival against
+        // the accumulated serving tables (excluding this batch's own
+        // first-attempt partitions — replay safety) with the index's
+        // own search call; survivors alone get encoded and stored
+        val gated = dedupD2 match {
+          case None => clean
+          case Some(d2max) =>
+            (accumulated(session, assignmentsDir, batchId),
+              accumulated(session, codesDir, batchId)) match {
+              case (Some(accAssign), Some(accCodes)) =>
+                val search =
+                  if (residual)
+                    Similarity.ivfpqResidualSearch(
+                      clean, coarse, accAssign, codebooks, accCodes, 1, 1, m)
+                  else
+                    Similarity.ivfpqSearch(
+                      clean, coarse, accAssign, codebooks, accCodes, 1, 1, m)
+                val hits = graft.core.Materialize(
+                  search.filter(col("adc") <= d2max)
+                    .select(col("query_id").as("vec_id"), col("neighbor_id"), col("adc")),
+                  graft.core.Materialize.LocalCheckpoint)
+                dropsDir.foreach(dd =>
+                  hits.write.mode("overwrite").parquet(s"$dd/batch_id=$batchId"))
+                clean.join(hits.select("vec_id"), Seq("vec_id"), "left_anti")
+              case _ => clean // no history yet: nothing to collide with
+            }
+        }
         val encode =
           if (residual) Similarity.residualEncodeWithModel _
           else Similarity.encodeWithModel _
-        val (assign, codes) = encode(
-          clean,
-          session.read.parquet(s"$artifactsDir/coarse_centroids"),
-          session.read.parquet(s"$artifactsDir/codebooks"),
-          m)
+        val (assign, codes) = encode(gated, coarse, codebooks, m)
         assign.write.mode("overwrite").parquet(s"$assignmentsDir/batch_id=$batchId")
         codes.write.mode("overwrite").parquet(s"$codesDir/batch_id=$batchId")
         clean.unpersist(blocking = false)
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** The accumulated serving table under `dir`, EXCLUDING a replayed
+    * batch's own first-attempt partition; None before anything has
+    * published (the [[CorpusWatcher]] band-history discipline,
+    * Hadoop-FS probed so object-store paths work). */
+  private def accumulated(
+      session: SparkSession, dir: String, excludeBatchId: Long): Option[DataFrame] = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    val hasAny = fs.exists(root) &&
+      fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (!hasAny) None
+    else Some(session.read.parquet(dir).filter(col("batch_id") =!= excludeBatchId))
   }
 }

@@ -181,4 +181,56 @@ class EmbeddingIndexerSpec extends SparkSpec {
     assert(quarantined.length === 1 && quarantined.head.contains("0.1"),
       s"the keyless row must quarantine: ${quarantined.toSeq}")
   }
+
+  test("dedupD2 gate drops arrivals near accumulated codes; far vectors pass and extend the filter") {
+    val rnd = new scala.util.Random(204)
+    val rows = (1L to 200L).map(i => i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1))
+    val corpus = vecs(rows: _*)
+    val (watch, artifacts, assignDir, codesDir, ckpt, quar, drops) =
+      (tmp("eidw"), tmp("eida"), tmp("eidas") + "/assign", tmp("eidc") + "/codes",
+        tmp("eidck"), tmp("eidq") + "/bad", tmp("eidd") + "/drops")
+    trainArtifacts(corpus, artifacts, assignDir, codesDir)
+    val coarse = spark.read.parquet(s"$artifacts/coarse_centroids")
+    val codebooks = spark.read.parquet(s"$artifacts/codebooks")
+    // Self-calibrate the gate: the history holds CODES, so a re-arrival
+    // sits at quantization-error distance from its stored twin, while a
+    // genuinely novel vector sits at nearest-neighbor distance. Measure
+    // both with the serving call itself and gate between them.
+    val novel = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    val novelDf = vecs(9001L -> novel.map(_.toFloat))
+    val dNearest = Similarity.ivfpqSearch(novelDf, coarse,
+      spark.read.parquet(assignDir), codebooks, spark.read.parquet(codesDir),
+      k = 1, nprobe = 1).select("adc").as[Double].head()
+    val (selfAssign, selfCodes) = Similarity.encodeWithModel(
+      vecs(9002L -> novel.map(_.toFloat)), coarse, codebooks)
+    val dSelf = Similarity.ivfpqSearch(novelDf, coarse,
+      selfAssign, codebooks, selfCodes, k = 1, nprobe = 1)
+      .select("adc").as[Double].head()
+    assert(dSelf < dNearest, s"fixture sanity: self-quant $dSelf vs nearest $dNearest")
+    val gate = (dSelf + dNearest) / 2
+    def run(): Unit = EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir,
+      codesDir, ckpt, quar, dedupD2 = Some(gate), dropsDir = Some(drops))
+      .awaitTermination()
+    // batch 0: an exact copy of training vec 7 (quantization-error
+    // distance -> gated) + the novel vector (nearest distance -> kept)
+    val dup = rows(6)._2.map(_.toDouble)
+    Files.write(Paths.get(watch, "arrivals-0.jsonl"),
+      (jsonLine(2001L, dup) + "\n" + jsonLine(2002L, novel) + "\n").getBytes("UTF-8"))
+    run()
+    def served: Set[Long] = spark.read.parquet(assignDir).filter(col("batch_id") >= 0)
+      .select("vec_id").as[Long].collect().toSet
+    assert(served === Set(2002L), s"dup must be gated, novel kept; got $served")
+    val d0 = spark.read.parquet(drops).filter(col("batch_id") === 0)
+      .select("vec_id", "neighbor_id", "adc").as[(Long, Long, Double)].collect()
+    assert(d0.length === 1 && d0.head._1 === 2001L && d0.head._3 <= gate, d0.toSeq)
+    // batch 1: a copy of the PREVIOUS BATCH's survivor — the filter
+    // must have grown to include batch 0's appended codes
+    Files.write(Paths.get(watch, "arrivals-1.jsonl"),
+      jsonLine(2003L, novel).getBytes("UTF-8"))
+    run()
+    assert(served === Set(2002L), s"near-dup of a batch-0 survivor must be gated; got $served")
+    val d1 = spark.read.parquet(drops).filter(col("batch_id") === 1)
+      .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(d1 === Set((2003L, 2002L)))
+  }
 }
