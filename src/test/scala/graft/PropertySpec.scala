@@ -1,0 +1,118 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.{Bpe, Dedup, TextAnalysis}
+import SparkSpec.spark.implicits._
+
+/** Seeded randomized cross-validation: each test drives an operator
+  * over several generated corpora and checks it against an independent
+  * plain-Scala reference implementation (or an algebraic invariant).
+  * Deterministic seeds — these are tables of properties, not flaky
+  * fuzzing; a failure always reproduces.
+  */
+class PropertySpec extends SparkSpec {
+
+  test("clusters == plain union-find components on random pair graphs") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 10 + rnd.nextInt(30)
+      val edges = (0 until n).map(_ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)).filter(e => e._1 != e._2)
+      if (edges.nonEmpty) {
+        // reference: textbook DSU with min-id representatives
+        val parent = scala.collection.mutable.Map[Long, Long]()
+        def find(x: Long): Long = {
+          val p = parent.getOrElseUpdate(x, x)
+          if (p == x) x else { val r = find(p); parent(x) = r; r }
+        }
+        edges.foreach { case (a, b) =>
+          val (ra, rb) = (find(a), find(b))
+          if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+        }
+        val want = parent.keys.map(x => x -> find(x)).toMap
+        val got = Dedup.clusters(edges.toDF("doc_a", "doc_b"))
+          .as[(Long, Long)].collect().toMap
+        assert(got === want, s"seed=$seed edges=$edges")
+      }
+    }
+  }
+
+  test("entropySignals == plain-Scala entropy under the same 6dp-term recipe") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(100 + seed)
+      val texts = (1L to 20L).map { id =>
+        val alphabet = "abcdefgh  " // biased toward spaces + 8 letters
+        id -> (0 until (5 + rnd.nextInt(60)))
+          .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      }
+      def ref(t: String): (Long, Double) = {
+        val n = t.length.toDouble
+        val byCh = t.groupBy(identity).map { case (_, g) => g.length }
+        val h = byCh.map { c =>
+          BigDecimal(math.rint((c / n) * (math.log(n / c) / math.log(2.0)) * 1e6) / 1e6)
+            .setScale(6)
+        }.sum
+        (byCh.size.toLong, h.toDouble)
+      }
+      val got = TextAnalysis.entropySignals(texts.toDF("doc_id", "text"))
+        .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> ((r._3, r._4))).toMap
+      texts.foreach { case (id, t) =>
+        assert(got(id) === ref(t), s"seed=$seed doc=$id text='$t'")
+      }
+    }
+  }
+
+  test("BPE encode: pieces always concatenate back to the word, at any merge depth") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(200 + seed)
+      val words = Seq("low", "lower", "lowest", "newest", "widest", "wide", "new")
+      val docs = (1L to 12L).map(id =>
+        id -> (0 until (3 + rnd.nextInt(10))).map(_ => words(rnd.nextInt(words.length)))
+          .mkString(" ")).toDF("doc_id", "text")
+      for (depth <- Seq(1, 4, 9)) {
+        val merges = Bpe.trainMerges(docs, numMerges = depth, minFrequency = 1L)
+          .map(m => (m.lhs, m.rhs))
+        val bad = docs
+          .select(explode(graft.core.TextNorm.tokens(col("text"))).as("word"))
+          .distinct()
+          .select(col("word"),
+            concat_ws("", Bpe.encodeCol(col("word"), merges)).as("glued"))
+          .filter(col("word") =!= col("glued"))
+          .collect()
+        assert(bad.isEmpty, s"seed=$seed depth=$depth lossy encodings: ${bad.toSeq}")
+      }
+    }
+  }
+
+  test("stripDuplicateSpans: char accounting is exact; unique random corpora never span") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      def randText(len: Int): String =
+        (0 until len).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+      // unique random texts: no 16-gram repeats at these sizes
+      val unique = (1L to 10L).map(id => id -> randText(80 + rnd.nextInt(120)))
+      assert(Dedup.duplicateSpans(unique.toDF("doc_id", "text"),
+        k = 16, modP = 2, gap = 32).count() === 0L, s"seed=$seed false duplicate")
+      // inject a shared region into half the docs: removed chars must
+      // equal the span table's total span length, doc by doc
+      val shared = randText(150)
+      val mixed = unique.map { case (id, t) =>
+        id -> (if (id % 2 == 0) t.take(40) + shared + t.drop(40) else t)
+      }.toDF("doc_id", "text")
+      val spanLen = Dedup.duplicateSpans(mixed, k = 16, modP = 2, gap = 32)
+        .groupBy("doc_id").agg(sum(col("span_end") - col("span_start")).as("cut"))
+        .as[(Long, Long)].collect().toMap
+      val lens = mixed.select(col("doc_id"), length(col("text")).cast("long"))
+        .as[(Long, Long)].collect().toMap
+      val stripped = Dedup.stripDuplicateSpans(mixed, k = 16, modP = 2, gap = 32)
+        .select(col("doc_id"), length(col("text")).cast("long"), col("n_spans"))
+        .as[(Long, Long, Long)].collect()
+      stripped.foreach { case (id, strippedLen, nSpans) =>
+        assert(strippedLen === lens(id) - spanLen.getOrElse(id, 0L),
+          s"seed=$seed doc=$id: stripped $strippedLen orig ${lens(id)} cut ${spanLen.get(id)}")
+        assert((nSpans > 0) === spanLen.contains(id))
+      }
+    }
+  }
+}
