@@ -122,11 +122,18 @@ object InvertedIndex {
     * shuffle join.
     */
   def upsertDocs(oldIndex: DataFrame, delta: DataFrame): DataFrame = {
+    // schema-driven (not pinned to the flat (word, doc_id, cnt)): the
+    // POSITIONAL index upserts through the same call — replace-by-doc
+    // semantics need no column arithmetic, so any index shape carrying
+    // (word, doc_id) works; old and delta must share the delta's schema
+    val cols = delta.columns.toSeq
+    val rest = cols.filterNot(Set("word", "doc_id").contains)
     val deltaDocs = delta.select("doc_id").distinct()
     oldIndex
       .join(deltaDocs, Seq("doc_id"), "left_anti")
-      .unionByName(delta.select("doc_id", "word", "cnt"))
-      .select("word", "doc_id", "cnt")
+      .select(cols.map(col): _*)
+      .unionByName(delta.select(cols.map(col): _*))
+      .select(("word" +: "doc_id" +: rest).map(col): _*)
   }
 
   /** Point lookup (`main/app.py:72-77`): postings of one word, count

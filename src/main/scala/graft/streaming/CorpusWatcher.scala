@@ -36,20 +36,27 @@ object CorpusWatcher {
 
   private val Latest = "LATEST"
 
-  /** Read the current index snapshot (empty index if none yet). */
-  def currentIndex(spark: SparkSession, indexDir: String): DataFrame = {
+  /** Read the current index snapshot (empty index if none yet; the
+    * empty frame's schema follows the watcher's index shape — flat or
+    * positional — so batch 0's upsert unions cleanly either way). */
+  def currentIndex(
+      spark: SparkSession, indexDir: String, positional: Boolean = false): DataFrame = {
     val ptr = Paths.get(indexDir, Latest)
     if (Files.exists(ptr)) {
       val snap = new String(Files.readAllBytes(ptr), "UTF-8").trim
       spark.read.parquet(s"$indexDir/$snap")
     } else {
       import org.apache.spark.sql.types._
+      val base = Seq(
+        StructField("word", StringType),
+        StructField("doc_id", StringType))
+      val tail =
+        if (positional) Seq(
+          StructField("positions", ArrayType(IntegerType)),
+          StructField("cnt", LongType))
+        else Seq(StructField("cnt", LongType))
       spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        StructType(Seq(
-          StructField("word", StringType),
-          StructField("doc_id", StringType),
-          StructField("cnt", LongType))))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], StructType(base ++ tail))
     }
   }
 
@@ -236,6 +243,19 @@ object CorpusWatcher {
     * Within-batch self-repeats are [[graft.ops.Dedup.duplicateSpans]]'
     * job — compose it upstream if an increment can self-duplicate.
     *
+    * Positional snapshots (`positional`): the maintained index is
+    * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
+    * positions, cnt)` instead of the flat counts, so
+    * [[graft.index.InvertedIndex.phraseSearch]] (and the served
+    * [[graft.index.IndexStore.phraseSearch]], after a partitioned
+    * save) answer phrase queries straight off `currentIndex` — an
+    * incrementally-maintained phrase-searchable index. Upsert
+    * semantics need no column arithmetic (replace-by-doc), so the
+    * merge path is shared with the flat shape. Opt-in: each posting
+    * row carries its positions list, so snapshots are larger and
+    * per-batch merge writes proportionally more — pay it only when
+    * phrase queries are the point.
+    *
     * Per-batch funnel metrics (`metricsDir`): the streaming face of
     * [[graft.ops.Curation.funnel]] — each batch appends one row per
     * pipeline stage (`ingest, parsed, quality_gate, classifier,
@@ -284,6 +304,7 @@ object CorpusWatcher {
       decontamW: Int = 3,
       mixtureGate: Option[graft.ops.Sampling.MixtureGate] = None,
       spanHistoryDir: Option[String] = None,
+      positional: Boolean = false,
       metricsDir: Option[String] = None,
       driftDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
@@ -391,7 +412,7 @@ object CorpusWatcher {
               .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
             stripped
         }
-        val old = currentIndex(session, indexDir)
+        val old = currentIndex(session, indexDir, positional)
         driftDir.foreach { dd =>
           // history side straight from the index's (word, cnt) — the
           // accumulated corpus is never re-tokenized; written before
@@ -406,7 +427,9 @@ object CorpusWatcher {
             histCounts, buckets, session)
             .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
         }
-        val delta = InvertedIndex.build(content, idCol = "doc_id")
+        val delta =
+          if (positional) InvertedIndex.buildPositional(content, idCol = "doc_id")
+          else InvertedIndex.build(content, idCol = "doc_id")
         val merged = InvertedIndex.upsertDocs(old, delta)
         swapSnapshot(merged, indexDir, batchId, retainSnapshots)
         metricsDir.foreach { md =>

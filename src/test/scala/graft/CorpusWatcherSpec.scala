@@ -522,4 +522,31 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(entries.exists(e => e._1 == "sentinelmiddle" && e._2 == "50"),
       "the history's own copy stays indexed")
   }
+
+  test("positional snapshots answer phrase queries; re-upload replaces positions") {
+    val (watch, index, ckpt, quar) =
+      (tmp("watchpos"), tmp("indexpos"), tmp("ckptpos"), tmp("quarpos") + "/bad")
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      positional = true).awaitTermination()
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 60, "text": "cat dog cat dog"}""" + "\n" +
+        """{"doc_id": 61, "text": "dog cat"}""" + "\n").getBytes("UTF-8"))
+    run()
+    val snap0 = CorpusWatcher.currentIndex(spark, index, positional = true)
+    assert(snap0.columns.toSeq === Seq("word", "doc_id", "positions", "cnt"))
+    // adjacency served straight off the snapshot: only doc 60 has
+    // "cat dog" (doc 61 has the words reversed)
+    val ph0 = graft.index.InvertedIndex.phraseSearch(snap0, "cat dog")
+      .as[(String, Long, Long)].collect().toSet
+    assert(ph0 === Set(("60", 2L, 0L)), ph0.toString)
+    // re-upload doc 60 with the phrase broken: upsert must REPLACE its
+    // positions, and the phrase now matches nowhere
+    Files.write(Paths.get(watch, "feed-1.json"),
+      """{"doc_id": 60, "text": "cat bird dog"}""".getBytes("UTF-8"))
+    run()
+    val snap1 = CorpusWatcher.currentIndex(spark, index, positional = true)
+    assert(graft.index.InvertedIndex.phraseSearch(snap1, "cat dog").count() === 0L)
+    assert(snap1.filter(col("doc_id") === "60" && col("word") === "cat")
+      .select("positions").as[Seq[Int]].head() === Seq(0))
+  }
 }
