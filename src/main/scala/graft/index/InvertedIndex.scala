@@ -92,8 +92,12 @@ object InvertedIndex {
       .join(broadcast(termRows), Seq("word"))
       .select(col("doc_id"), col("term_idx"), explode(col("positions")).as("pos"))
       .select(col("doc_id"), col("term_idx"), (col("pos") - col("term_idx")).as("start"))
+      // (doc_id, start, term_idx) is unique by construction — one vote
+      // row per (term_idx, p) with start = p − term_idx — so a plain
+      // count equals count(DISTINCT term_idx) without the distinct
+      // aggregate's extra expansion exchange
       .groupBy("doc_id", "start")
-      .agg(countDistinct("term_idx").as("n_terms"))
+      .agg(count(lit(1)).as("n_terms"))
       .where(col("n_terms") === terms.length)
       .groupBy("doc_id")
       .agg(count(lit(1)).cast("long").as("n_matches"),
