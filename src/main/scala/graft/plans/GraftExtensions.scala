@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.dsirTableFunction)
     ext.injectTableFunction(GraftExtensions.bm25TableFunction)
     ext.injectTableFunction(GraftExtensions.dupSpansTableFunction)
+    ext.injectTableFunction(GraftExtensions.dupStripTableFunction)
     ext.injectTableFunction(GraftExtensions.phraseTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
@@ -563,6 +564,37 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for substring-level strip
+    * ([[graft.ops.Dedup.stripDuplicateSpans]]):
+    *
+    * {{{
+    * SELECT * FROM graft_dup_strip('docs')             -- k=24, mod_p=8, gap=64
+    * SELECT * FROM graft_dup_strip('docs', 16, 4, 32)  -- explicit knobs
+    * }}}
+    *
+    * The named table carries (doc_id, text); emits the doc-shaped
+    * (doc_id, text, n_spans) with every duplicated span cut out (one
+    * canonical copy survives corpus-wide) — the rewrite face of
+    * `graft_dup_spans`, same lazy Persist materialization. */
+  private val dupStripTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_dup_strip"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_dup_strip"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 4,
+        "graft_dup_strip(docs_table) or graft_dup_strip(docs_table, k, mod_p, gap)")
+      val str = stringArg("graft_dup_strip") _
+      val int = intArg("graft_dup_strip") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val (k, modP, gap) =
+        if (children.size == 4)
+          (int(children(1), "k"), int(children(2), "mod_p"), int(children(3), "gap"))
+        else (24, 8, 64)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.stripDuplicateSpans(docs, k, modP, gap,
+          mat = graft.core.Materialize.Persist))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -576,7 +608,7 @@ object GraftExtensions {
         boilerplateTableFunction, semanticDecontaminateTableFunction,
         tokenDriftTableFunction, classifierScoreTableFunction,
         curateTableFunction, dsirTableFunction,
-        bm25TableFunction, dupSpansTableFunction, phraseTableFunction)
+        bm25TableFunction, dupSpansTableFunction, dupStripTableFunction, phraseTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

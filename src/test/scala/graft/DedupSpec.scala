@@ -489,5 +489,10 @@ class DedupSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft_dup_spans('span_docs')")
       .as[(Long, Long, Long)].collect().toSet ===
       Dedup.duplicateSpans(d).as[(Long, Long, Long)].collect().toSet)
+    // the rewrite face: graft_dup_strip == stripDuplicateSpans
+    assert(spark.sql("SELECT * FROM graft_dup_strip('span_docs', 16, 4, 32)")
+      .as[(Long, String, Long)].collect().toSet ===
+      Dedup.stripDuplicateSpans(d, k = 16, modP = 4, gap = 32)
+        .as[(Long, String, Long)].collect().toSet)
   }
 }
