@@ -840,7 +840,12 @@ object Dedup {
     * gaps-and-islands: adjacent droppable anchors ≤ `gap` chars apart
     * merge into one span ending `k` past the last anchor. `gap >= k`
     * is required, which makes emitted spans non-overlapping by
-    * construction (next start − prev last > gap ≥ k).
+    * construction (next start − prev last > gap ≥ k). Note the merge
+    * is deliberately lossy at boundaries: two duplicated anchors from
+    * DISTINCT repeated regions ≤ `gap` apart bridge, cutting the
+    * unique sliver between them — the standard anti-shredding
+    * tradeoff; shrink `gap` toward `k` to keep more unique text at
+    * the cost of more, shorter spans.
     *
     * Detection is probabilistic in the span length: a repeated region
     * of length L carries L−k+1 grams, each sampled at rate 1/modP, so
