@@ -555,6 +555,13 @@ object SparkEntry {
       val d = withDomain(docs(s, dir))
       TextAnalysis.lmScoreAgainst(d, d.filter(col("domain") =!= "web"))
     },
+    "q_ppl_buckets" -> { (s, dir) =>
+      // CCNet head/middle/tail: per-SOURCE perplexity terciles under
+      // the stored reference LM (non-web domains)
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.perplexityBuckets(d,
+        TextAnalysis.lmModel(d.filter(col("domain") =!= "web")))
+    },
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
@@ -1254,6 +1261,44 @@ object SparkEntry {
          |  coalesce(ds.n_oov, 0) AS n_oov,
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_bigrams) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_ppl_buckets" ->
+      // twin of perplexityBuckets over the stored reference LM: same
+      // scoring CTEs as q_lm_score_ref, then per-source quantile_cont
+      // thresholds (ANSI interpolation = Spark percentile; rounded 6dp
+      // before comparison) and the head/middle/tail case
+      s"""WITH rt AS (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+         |rbg AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |        FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |              FROM rt WHERE len(ts) >= 2)),
+         |cb AS (SELECT w1, w2, count(*) AS cb FROM rbg GROUP BY w1, w2),
+         |ch AS (SELECT w1, sum(cb) AS c1 FROM cb GROUP BY w1),
+         |v AS (SELECT count(DISTINCT w) AS v FROM (SELECT unnest(ts) AS w FROM rt)),
+         |lp AS (SELECT w1, w2, CAST(round(ln((cb + 1.0) / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp
+         |       FROM cb JOIN ch USING (w1) CROSS JOIN v),
+         |bo AS (SELECT w1, CAST(round(ln(1.0 / (c1 + v)), 6) AS DECIMAL(18,6)) AS lp_bo
+         |       FROM ch CROSS JOIN v),
+         |ov AS (SELECT CAST(round(ln(1.0 / v), 6) AS DECIMAL(18,6)) AS lp_oov FROM v),
+         |dbg AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2
+         |        FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |              FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 2)),
+         |ds AS (SELECT b.doc_id, count(*) AS n_bigrams,
+         |         CAST(sum(coalesce(l.lp, bo.lp_bo, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
+         |       FROM dbg b LEFT JOIN lp l ON b.w1 = l.w1 AND b.w2 = l.w2
+         |         LEFT JOIN bo ON b.w1 = bo.w1 CROSS JOIN ov
+         |       GROUP BY b.doc_id),
+         |sc AS (SELECT d.doc_id, d.source,
+         |         round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_bigrams) / 1000000.0 AS avg_logprob
+         |       FROM documents d LEFT JOIN ds USING (doc_id)),
+         |th AS (SELECT source,
+         |         round(quantile_cont(avg_logprob, 0.67), 6) AS t_head,
+         |         round(quantile_cont(avg_logprob, 0.33), 6) AS t_mid
+         |       FROM sc WHERE avg_logprob IS NOT NULL GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.avg_logprob,
+         |  CASE WHEN sc.avg_logprob IS NULL THEN 'tail'
+         |       WHEN sc.avg_logprob >= th.t_head THEN 'head'
+         |       WHEN sc.avg_logprob >= th.t_mid THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sc LEFT JOIN th USING (source)""".stripMargin,
     "q_top_ngrams" ->
       s"""SELECT ngram, cnt FROM (
          |  SELECT ngram, count(*) AS cnt,

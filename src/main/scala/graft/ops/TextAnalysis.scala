@@ -391,6 +391,48 @@ object TextAnalysis {
           / lit(1000000.0)).as("avg_logprob"))
   }
 
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020): stamp each
+    * document's perplexity bucket RELATIVE TO ITS SOURCE — the move
+    * that makes LM filtering fair across domains (an absolute
+    * threshold would call every low-resource domain "tail").
+    * Higher `avg_logprob` = more reference-like = head.
+    *
+    * Thresholds are per-source exact percentiles of the score
+    * (`qHead`/`qMid`, rounded to 6dp before comparison — Spark's
+    * `percentile` and DuckDB's `quantile_cont` share the ANSI
+    * interpolation, the q_percentiles precedent), computed inline or
+    * served from a precomputed `thresholds` table `(source, t_head,
+    * t_mid)` — the train/serve convention: at 100 TB compute the
+    * artifact once from `percentile_approx` or a sample (an exact
+    * per-source percentile holds the group's scores in one buffer)
+    * and stamp every shard from the broadcast table. Unscorable docs
+    * (no bigrams) land in `tail`. Output: `(doc_id, source,
+    * avg_logprob, ppl_bucket)`.
+    */
+  def perplexityBuckets(
+      docs: DataFrame,
+      model: LmModel,
+      sourceCol: String = "source",
+      qHead: Double = 0.67,
+      qMid: Double = 0.33,
+      thresholds: Option[DataFrame] = None): DataFrame = {
+    require(qHead > qMid && qMid > 0 && qHead < 1, s"bad quantiles head=$qHead mid=$qMid")
+    val scored = lmScoreWith(docs, model)
+      .join(docs.select(col("doc_id"), col(sourceCol).as("source")), Seq("doc_id"))
+    val th = thresholds.getOrElse(
+      scored.where(col("avg_logprob").isNotNull)
+        .groupBy("source")
+        .agg(
+          round(expr(s"percentile(avg_logprob, $qHead)"), 6).as("t_head"),
+          round(expr(s"percentile(avg_logprob, $qMid)"), 6).as("t_mid")))
+    scored.join(broadcast(th), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        when(col("avg_logprob").isNull, lit("tail"))
+          .when(col("avg_logprob") >= col("t_head"), lit("head"))
+          .when(col("avg_logprob") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** [[lmModel]] + [[lmScoreWith]] in one call — train on `reference`,
     * score `docs` (the q_lm_score_ref oracle shape). */
   def lmScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =

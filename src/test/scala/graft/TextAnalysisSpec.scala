@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.{col, expr, round}
 import graft.ops.TextAnalysis
 import SparkSpec.spark.implicits._
 
@@ -265,6 +266,50 @@ class TextAnalysisSpec extends SparkSpec {
       SparkSpec.spark.sql("SELECT * FROM graft_token_drift('drift_a', 'drift_b', 8 + 8)"))
     assert(err.getMessage.contains("integer literal") ||
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
+
+  test("perplexityBuckets: per-source terciles follow score order; stored thresholds serve; unscorable -> tail") {
+    val ref = docs(
+      100L -> "the cat sat on the mat and the cat sat again",
+      101L -> "the dog ran to the park and the dog ran back")
+    val model = TextAnalysis.lmModel(ref)
+    // one source, six docs spanning reference-like to gibberish, plus
+    // a doc with no bigrams (unscorable)
+    val d = Seq(
+      (1L, "the cat sat on the mat", "src0"),
+      (2L, "the dog ran to the park", "src0"),
+      (3L, "the cat ran to the mat", "src0"),
+      (4L, "mat the on sat cat the", "src0"),
+      (5L, "zz qq ww ee rr tt", "src0"),
+      (6L, "totally unseen gibberish tokens here", "src0"),
+      (7L, "solo", "src0")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.perplexityBuckets(d, model)
+      .as[(Long, String, Option[Double], String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(7L) === ((None, "tail")), "no bigrams -> tail")
+    // buckets must be monotone in the score: every head score >= every
+    // middle score >= every tail score (within the one source)
+    val byBucket = got.collect { case (_, (Some(s), b)) => b -> s }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (h <- byBucket.getOrElse("head", Nil); m <- byBucket.getOrElse("middle", Nil))
+      assert(h >= m, s"head $h < middle $m")
+    for (m <- byBucket.getOrElse("middle", Nil); t <- byBucket.getOrElse("tail", Nil))
+      assert(m >= t, s"middle $m < tail $t")
+    assert(byBucket.keySet === Set("head", "middle", "tail"))
+    // serving from a stored threshold artifact is row-identical
+    val storedTh = TextAnalysis.lmScoreWith(d, model)
+      .join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .where(col("avg_logprob").isNotNull)
+      .groupBy("source")
+      .agg(round(expr("percentile(avg_logprob, 0.67)"), 6).as("t_head"),
+        round(expr("percentile(avg_logprob, 0.33)"), 6).as("t_mid"))
+      .cache()
+    val served = TextAnalysis.perplexityBuckets(d, model, thresholds = Some(storedTh))
+      .as[(Long, String, Option[Double], String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(served === got)
+    storedTh.unpersist()
+    ()
   }
 
   test("entropySignals: hand-computed char entropy; degenerate and uniform extremes") {
