@@ -650,6 +650,14 @@ object SparkEntry {
       Similarity.lshBucketTopK(e.filter(col("vec_id") % 100 === 0), e, 10, bits = 8)
     },
     "q_cosine_dups" -> ((s, dir) => Similarity.cosineDupPairs(emb(s, dir), 0.8, bits = 8)),
+    "q_margin_mine" -> { (s, dir) =>
+      // bitext-style parallel-pair mining: even vec_ids are corpus X,
+      // odd are corpus Y (disjoint id spaces, the established split)
+      val e = emb(s, dir)
+      Similarity.marginMine(
+        e.filter(col("vec_id") % 2 === 0),
+        e.filter(col("vec_id") % 2 =!= 0), k = 4, threshold = 1.05)
+    },
     // SemDeDup: learned (k-means) blocking instead of cosineDupPairs'
     // random hyperplanes; 0.35 because the synthetic embeddings are
     // near-orthogonal (max pairwise cos ~0.51) — at 0.95 the gate
@@ -1567,6 +1575,38 @@ object SparkEntry {
          |SELECT * FROM (SELECT query_id, neighbor_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q_margin_mine" ->
+      // twin of marginMine(k=4, threshold=1.05): ratio margin over
+      // exact top-4 cosine neighborhoods in both directions, best
+      // target per source by (margin desc, id asc)
+      """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+        |x AS (SELECT * FROM v WHERE vec_id % 2 = 0), y AS (SELECT * FROM v WHERE vec_id % 2 <> 0),
+        |fs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, w) -> acc + w)
+        |      / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, w) -> acc + w))
+        |       * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, w) -> acc + w))), 6) AS cos
+        |  FROM x q JOIN y c ON q.vec_id <> c.vec_id),
+        |bs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |    round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, w) -> acc + w)
+        |      / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, w) -> acc + w))
+        |       * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, w) -> acc + w))), 6) AS cos
+        |  FROM y q JOIN x c ON q.vec_id <> c.vec_id),
+        |f AS (SELECT * FROM (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |      FROM fs) WHERE rank <= 4),
+        |b AS (SELECT * FROM (SELECT query_id, neighbor_id, cos,
+        |        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |      FROM bs) WHERE rank <= 4),
+        |ax AS (SELECT query_id, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4 AS avg_x FROM f GROUP BY query_id),
+        |ay AS (SELECT query_id AS neighbor_id, CAST(sum(CAST(cos AS DECIMAL(18,6))) AS DOUBLE) / 4 AS avg_y FROM b GROUP BY query_id),
+        |m AS (SELECT f.query_id, f.neighbor_id,
+        |        round(f.cos * 2.0 / (ax.avg_x + ay.avg_y), 6) AS margin
+        |      FROM f JOIN ax USING (query_id) JOIN ay USING (neighbor_id)
+        |      WHERE round(f.cos * 2.0 / (ax.avg_x + ay.avg_y), 6) >= 1.05)
+        |SELECT query_id AS src_id, neighbor_id AS tgt_id, margin FROM (
+        |  SELECT query_id, neighbor_id, margin,
+        |    row_number() OVER (PARTITION BY query_id ORDER BY margin DESC, neighbor_id ASC) AS rn
+        |  FROM m) WHERE rn = 1""".stripMargin,
     "q_sim_lsh" ->
       s"""WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
          |    CAST(${(0 until 8).map(j => s"(CASE WHEN embedding[${j + 1}] > 0 THEN ${1L << j} ELSE 0 END)").mkString(" + ")} AS BIGINT) AS bucket

@@ -1240,6 +1240,60 @@ object Similarity {
         round(col("n_hit").cast("double") / col("n_exact"), 6).as("recall"))
   }
 
+  /** Margin-based candidate-pair mining from PRECOMPUTED ranked
+    * neighbor tables (Artetxe & Schwenk 2019's ratio margin — the
+    * standard bitext/parallel-pair miner, re-expressed over any
+    * `(query_id, neighbor_id, cos, rank)` tables):
+    *
+    *   margin(x, y) = cos(x, y) / (½·(avgₖ cos(x, NNₖ(x→Y)) +
+    *                                  avgₖ cos(y, NNₖ(y→X))))
+    *
+    * A raw cosine threshold over-selects hubs (vectors close to
+    * everything); dividing by both sides' neighborhood averages keeps
+    * only pairs that are close RELATIVE to everything else they are
+    * close to. Candidates are the forward top-k pairs; each source
+    * keeps its best target by (margin desc, id asc) when the margin
+    * clears `threshold`.
+    *
+    * Determinism: input cosines arrive 6dp-rounded (every ranked
+    * producer here emits them so); neighborhood averages are exact
+    * DECIMAL sums divided by k; the margin is rounded to 6dp.
+    * Scale: two combinable per-query aggregates + two broadcastable
+    * (queries-sized) average tables + a bounded-heap best-per-source —
+    * cost rides entirely on the kNN producer, which is the point:
+    * feed [[bruteForceTopK]] for exactness or [[ivfpqSearch]]-style
+    * ANN output at 100 TB (recall measured by [[recallAtK]]).
+    */
+  def marginMineFrom(
+      fwd: DataFrame, bwd: DataFrame, k: Int, threshold: Double): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(k >= 1, s"k=$k must be >= 1")
+    def avgOf(t: DataFrame, out: String) = t.filter(col("rank") <= k)
+      .groupBy("query_id")
+      .agg((sum(col("cos").cast(DecimalType(18, 6))).cast("double") / k).as(out))
+    val ax = avgOf(fwd, "avg_x")
+    val ay = avgOf(bwd, "avg_y").withColumnRenamed("query_id", "neighbor_id")
+    fwd.filter(col("rank") <= k)
+      .join(ax, Seq("query_id"))
+      .join(ay, Seq("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(col("cos") * 2.0 / (col("avg_x") + col("avg_y")), 6).as("margin"))
+      .where(col("margin") >= threshold)
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("margin"), col("neighbor_id"), 1).as("tk"))
+      .select(col("query_id").as("src_id"),
+        element_at(col("tk.id"), 1).as("tgt_id"),
+        element_at(col("tk.score"), 1).as("margin"))
+  }
+
+  /** [[marginMineFrom]] over exact [[bruteForceTopK]] neighbors in
+    * both directions — the oracle/baseline shape (O(|X|·|Y|) scoring;
+    * swap in an ANN producer at scale). `x` and `y` are
+    * `(vec_id, embedding)` corpora with DISJOINT id spaces. */
+  def marginMine(
+      x: DataFrame, y: DataFrame, k: Int = 4, threshold: Double = 1.0): DataFrame =
+    marginMineFrom(bruteForceTopK(x, y, k), bruteForceTopK(y, x, k), k, threshold)
+
   /** The surviving training corpus after [[semanticContaminatedIds]] —
     * the embedding-space [[graft.ops.Dedup.decontaminate]]. */
   def decontaminateSemantic(

@@ -629,4 +629,45 @@ class SimilaritySpec extends SparkSpec {
       .select("vec_id").as[Long].collect().toSet
     assert(kept === Set(1L, 4L))
   }
+
+  test("marginMine == a plain-Scala ratio-margin reference on seeded random corpora") {
+    val rnd = new scala.util.Random(99)
+    def rv() = Seq.fill(4)(rnd.nextFloat() * 2 - 1)
+    val xs = (0L until 12L by 2).map(i => i -> rv())
+    val ys = (1L until 13L by 2).map(i => i -> rv())
+    val (k, threshold) = (2, 1.0)
+    // reference: same arithmetic contract — 6dp-rounded cosines,
+    // exact-decimal neighborhood sums, 6dp-rounded margin
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    def cos(a: Seq[Float], b: Seq[Float]) = {
+      val (d, na, nb) = (a.zip(b).map(p => p._1.toDouble * p._2).sum,
+        math.sqrt(a.map(v => v.toDouble * v).sum), math.sqrt(b.map(v => v.toDouble * v).sum))
+      r6(d / (na * nb))
+    }
+    def topK(from: Seq[(Long, Seq[Float])], to: Seq[(Long, Seq[Float])]) =
+      from.map { case (qid, qv) =>
+        qid -> to.map { case (nid, nv) => (nid, cos(qv, nv)) }
+          .sortBy { case (nid, c) => (-c, nid) }.take(k)
+      }.toMap
+    val fwd = topK(xs, ys)
+    val bwd = topK(ys, xs)
+    def avg(nns: Seq[(Long, Double)]) =
+      nns.map(p => BigDecimal(p._2).setScale(6)).sum.toDouble / k
+    val want = fwd.flatMap { case (x, nns) =>
+      val cands = nns.map { case (y, c) =>
+        (y, r6(c * 2.0 / (avg(fwd(x)) + avg(bwd(y)))))
+      }.filter(_._2 >= threshold)
+      if (cands.isEmpty) None
+      else { val best = cands.minBy { case (y, m) => (-m, y) }; Some(x -> best) }
+    }
+    val got = Similarity.marginMine(vecs(xs: _*), vecs(ys: _*), k, threshold)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === want, s"got $got\nwant $want")
+    // precomputed-table face is identical (the ANN plug-in contract)
+    val viaFrom = Similarity.marginMineFrom(
+      Similarity.bruteForceTopK(vecs(xs: _*), vecs(ys: _*), k),
+      Similarity.bruteForceTopK(vecs(ys: _*), vecs(xs: _*), k), k, threshold)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(viaFrom === got)
+  }
 }
