@@ -543,6 +543,11 @@ object SparkEntry {
       val d = docs(s, dir)
       Bpe.vocab(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
     },
+    "q_bpe_fertility" -> { (s, dir) =>
+      // pieces per word by source — the tokenizer-fit diagnostic
+      val d = docs(s, dir)
+      Bpe.fertility(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
+    },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.entropySignals(docs(s, dir))),
@@ -1085,6 +1090,19 @@ object SparkEntry {
          |SELECT piece, CAST(count(DISTINCT word) AS BIGINT) AS n_words,
          |  CAST(sum(cnt) AS BIGINT) AS total_count
          |FROM occ GROUP BY piece""".stripMargin,
+    "q_bpe_fertility" ->
+      // twin of Bpe.fertility: per-word piece counts from the trained
+      // state table, aggregated per source; wordless source -> NULL
+      s"""WITH ${BPE_CTES(BPE_MERGES, 2L)},
+         |enc AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w$BPE_MERGES),
+         |tr AS (SELECT d.source, t.word
+         |       FROM documents d LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id)
+         |SELECT tr.source, CAST(count(tr.word) AS BIGINT) AS n_words,
+         |  CAST(coalesce(sum(e.np), 0) AS BIGINT) AS n_bpe_tokens,
+         |  CASE WHEN count(tr.word) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(sum(e.np), 0) AS DOUBLE) / count(tr.word), 6) END AS fertility
+         |FROM tr LEFT JOIN enc e ON tr.word = e.word
+         |GROUP BY tr.source""".stripMargin,
     "q_entropy" ->
       // twin of TextAnalysis.entropySignals: char-level Shannon
       // entropy, per-char terms rounded to 6dp DECIMAL before the sum

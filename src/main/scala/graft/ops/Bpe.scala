@@ -163,6 +163,30 @@ object Bpe {
       .agg(countDistinct("word").as("n_words"),
         sum("cnt").as("total_count"))
 
+  /** Tokenizer fertility per source: subword pieces emitted per
+    * whitespace word — the standard tokenizer-fit diagnostic (a
+    * fertility near 1 means the vocab covers the domain; high
+    * fertility flags a domain the merges never saw, where every word
+    * shatters into characters). One tokenize scan + one combinable
+    * groupBy(source); word text joins only the vocabulary-sized
+    * symbolization table. Output: `(source, n_words, n_bpe_tokens,
+    * fertility)`, fertility NULL for a wordless source. */
+  def fertility(
+      docs: DataFrame, merges: Seq[(String, String)],
+      sourceCol: String = "source"): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col(sourceCol).as("source"),
+        explode_outer(TextNorm.tokens(col("text"))).as("word"))
+      .select(col("source"),
+        when(col("word").isNull, lit(0L)).otherwise(lit(1L)).as("nw"),
+        when(col("word").isNull, lit(0L))
+          .otherwise(size(encodeCol(col("word"), merges)).cast("long")).as("np"))
+      .groupBy("source")
+      .agg(sum("nw").as("n_words"), sum("np").as("n_bpe_tokens"))
+      .select(col("source"), col("n_words"), col("n_bpe_tokens"),
+        when(col("n_words") > 0,
+          round(col("n_bpe_tokens").cast("double") / col("n_words"), 6)).as("fertility"))
+
   /** [[tokenCounts]] serving a stored merge TABLE (the
     * [[graft.ops.Curation.classifierScore]] train/serve convention):
     * the table is model-sized, so collecting it to build the plan is

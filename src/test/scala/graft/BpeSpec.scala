@@ -84,6 +84,20 @@ class BpeSpec extends SparkSpec {
     assert(v.values.map(_._2).sum === served)
   }
 
+  test("fertility: pieces per word by source; wordless source is NULL") {
+    val merges = Bpe.trainMerges(sennrich, numMerges = 4).map(m => (m.lhs, m.rhs))
+    val d = Seq(
+      (1L, "low low low lower lower", "a"),
+      (2L, "newest newest newest newest newest widest widest widest", "a"),
+      (3L, "!!!", "empty")).toDF("doc_id", "text", "source")
+    val got = Bpe.fertility(d, merges)
+      .as[(String, Long, Long, Option[Double])].collect().map(r => r._1 -> r).toMap
+    // encoded pieces: low=3, lower=5, newest=2, widest=4 at counts
+    // 3/2/5/3 -> 9+10+10+12 = 41 pieces over 13 words
+    assert(got("a") === (("a", 13L, 41L, Some(math.rint(41.0 / 13 * 1e6) / 1e6))))
+    assert(got("empty") === (("empty", 0L, 0L, None)))
+  }
+
   test("train/collectMerges: stored model table serves identically") {
     val model = Bpe.train(sennrich, numMerges = 4)
     assert(model.columns.toSeq ===
