@@ -615,6 +615,12 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0)).select("doc_id")
     },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    "q_novelty" -> { (s, dir) =>
+      // overlap score vs a frozen reference: the q_decontaminate split
+      // (eval = doc_id % 50 == 0), every doc scored
+      val d = docs(s, dir)
+      Dedup.noveltyScore(d, Dedup.evalShingles(d.filter(col("doc_id") % 50 === 0)))
+    },
     "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
     "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
     "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir))),
@@ -1473,6 +1479,19 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.kept_hash, md5('')) AS kept_hash
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_novelty" ->
+      // twin of Dedup.noveltyScore vs the q_decontaminate eval split:
+      // per-doc distinct shingles, fraction absent from the reference
+      s"""WITH s AS ($SHINGLES),
+         |ds AS (SELECT DISTINCT doc_id, shingle
+         |       FROM (SELECT doc_id, unnest(shl) AS shingle FROM s)),
+         |ref AS (SELECT DISTINCT shingle
+         |        FROM (SELECT unnest(shl) AS shingle FROM s WHERE doc_id % 50 = 0))
+         |SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+         |  CAST(count(r.shingle) AS BIGINT) AS n_seen,
+         |  round(1.0 - CAST(count(r.shingle) AS DOUBLE) / count(*), 6) AS novelty
+         |FROM ds d LEFT JOIN ref r ON d.shingle = r.shingle
+         |GROUP BY d.doc_id""".stripMargin,
     "q_dup_spans" ->
       // twin of Dedup.duplicateSpans(k=24, modP=8, gap=64): mod-p
       // sampled 24-char anchor grams (h = 13-hex md5 prefix), grams at

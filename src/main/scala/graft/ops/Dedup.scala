@@ -605,6 +605,33 @@ object Dedup {
     shingled(evalDocs.select(col("doc_id"), col("text")), w)
       .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
 
+  /** N-gram novelty vs a reference — the memorization/overlap SCORE
+    * the binary [[decontaminate]] rule grows into: the fraction of a
+    * document's distinct w-shingles NOT present in a precomputed
+    * reference shingle table ([[evalShingles]] output — a frozen eval
+    * suite, yesterday's corpus, or any comparison set). novelty 0 =
+    * fully contained in the reference (memorized/duplicated);
+    * novelty 1 = entirely fresh. Thresholding at < 1 generalizes the
+    * any-overlap drop; as a score it feeds audits ("how much of this
+    * shard is already in the corpus?") rather than a single verdict.
+    *
+    * Plan: one distinct (doc, shingle) stream, ONE left join keyed on
+    * the shingle (reference is table-sized → AQE broadcasts small
+    * ones), one combinable per-doc count — text never shuffles.
+    * Output: `(doc_id, n_shingles, n_seen, novelty)` for EVERY doc
+    * (shingle-less docs carry their single degenerate shingle, the
+    * [[shinglesFromTokens]] contract).
+    */
+  def noveltyScore(docs: DataFrame, refShingles: DataFrame, w: Int = 3): DataFrame =
+    shingled(docs, w)
+      .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
+      .join(refShingles.select(col("shingle")).distinct().withColumn("seen", lit(1)),
+        Seq("shingle"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("seen")).as("n_seen"))
+      .select(col("doc_id"), col("n_shingles"), col("n_seen"),
+        round(lit(1.0) - col("n_seen").cast("double") / col("n_shingles"), 6).as("novelty"))
+
   /** Contamination REPORT — the diagnostic behind [[contaminatedIds]]'
     * drop decision: for each contaminated training doc, WHICH eval
     * docs it overlaps and by how many distinct shared w-shingles.

@@ -36,6 +36,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.dupSpansTableFunction)
     ext.injectTableFunction(GraftExtensions.dupStripTableFunction)
     ext.injectTableFunction(GraftExtensions.phraseTableFunction)
+    ext.injectTableFunction(GraftExtensions.marginMineTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -506,6 +507,39 @@ object GraftExtensions {
         graft.index.InvertedIndex.bm25TopKFromDocs(docs, query, k))
     })
 
+  /** SQL surface for margin-based pair mining
+    * ([[graft.ops.Similarity.marginMine]]):
+    *
+    * {{{
+    * SELECT * FROM graft_margin_mine('x_emb', 'y_emb')            -- k=4, threshold=1.0
+    * SELECT * FROM graft_margin_mine('x_emb', 'y_emb', 4, 1.05)   -- explicit knobs
+    * }}}
+    *
+    * Both named tables carry (vec_id, embedding) with disjoint id
+    * spaces; emits (src_id, tgt_id, margin) — each source's best
+    * target by ratio margin. Exact brute-force neighborhoods (the
+    * baseline shape; the Column API's `marginMineFrom` takes ANN
+    * tables at scale). Fully lazy — EXPLAIN runs no job. */
+  private val marginMineTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_margin_mine"),
+    new ExpressionInfo(graft.ops.Similarity.getClass.getName, "graft_margin_mine"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 4,
+        "graft_margin_mine(x_table, y_table) or graft_margin_mine(x_table, y_table, k, threshold)")
+      val str = stringArg("graft_margin_mine") _
+      val spark = SparkSession.active
+      val x = spark.table(str(children.head, "x_table"))
+      val y = spark.table(str(children(1), "y_table"))
+      val (k, threshold) =
+        if (children.size == 4)
+          (intArg("graft_margin_mine")(children(2), "k"),
+            numArg("graft_margin_mine")(children(3), "threshold"))
+        else (4, 1.0)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Similarity.marginMine(x, y, k, threshold))
+    })
+
   /** SQL surface for exact phrase search
     * ([[graft.index.InvertedIndex.phraseSearch]]):
     *
@@ -608,7 +642,8 @@ object GraftExtensions {
         boilerplateTableFunction, semanticDecontaminateTableFunction,
         tokenDriftTableFunction, classifierScoreTableFunction,
         curateTableFunction, dsirTableFunction,
-        bm25TableFunction, dupSpansTableFunction, dupStripTableFunction, phraseTableFunction)
+        bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
+        phraseTableFunction, marginMineTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

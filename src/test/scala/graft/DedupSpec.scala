@@ -457,6 +457,21 @@ class DedupSpec extends SparkSpec {
     assert(got(2L)._1.length < texts(2L).length)
   }
 
+  test("noveltyScore: overlap fraction vs a reference; fully-contained and fully-fresh extremes") {
+    val ref = Dedup.evalShingles(docs(100L -> "alpha beta gamma delta epsilon"))
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",      // fully contained -> 0
+      2L -> "zeta eta theta iota kappa",           // fully fresh -> 1
+      3L -> "alpha beta gamma something new here") // 2/4 shingles seen
+    val got = Dedup.noveltyScore(d, ref)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 3L, 3L, 0.0)))
+    assert(got(2L) === ((2L, 3L, 0L, 1.0)))
+    // doc 3 shingles: "alpha beta gamma", "beta gamma something",
+    // "gamma something new", "something new here" -> 1 of 4 seen
+    assert(got(3L) === ((3L, 4L, 1L, 0.75)))
+  }
+
   test("duplicateSpansAgainst: increment spans only where the history already has the region") {
     val history = docs(2L -> region, 4L -> "other archived content nothing like the increment")
     val hist = Dedup.anchorSites(history, k = 16, modP = 4)

@@ -669,5 +669,16 @@ class SimilaritySpec extends SparkSpec {
       Similarity.bruteForceTopK(vecs(ys: _*), vecs(xs: _*), k), k, threshold)
       .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
     assert(viaFrom === got)
+    // SQL surface parity, both arities
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    vecs(xs: _*).createOrReplaceTempView("mm_x")
+    vecs(ys: _*).createOrReplaceTempView("mm_y")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_margin_mine('mm_x', 'mm_y', 2, 1.0)")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap === got)
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_margin_mine('mm_x', 'mm_y')")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap ===
+      Similarity.marginMine(vecs(xs: _*), vecs(ys: _*))
+        .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap)
   }
 }
