@@ -87,21 +87,28 @@ object SparkEntry {
     * `minFreq` early-stop: a level whose best pair is under threshold
     * yields no row, and the LEFT JOIN ON TRUE + coalesce leaves state
     * unchanged, so every later level is empty too — same fixpoint as
-    * the Scala driver loop breaking. */
+    * the Scala driver loop breaking.
+    *
+    * Every CTE is `AS MATERIALIZED`: each level references the previous
+    * one twice (m_i and w_i both read w_{i-1}), so if DuckDB inlines the
+    * chain the plan re-evaluates w0 O(2^n) times — the round-9 gate
+    * measured 267 s for this twin at sf0.01; materialized it is < 1 s
+    * with identical rows (gate-cost is a first-class constraint: a
+    * driver-side timeout zeroes the round's correctness artifact). */
   private def BPE_CTES(n: Int, minFreq: Long): String = {
     val w0 =
-      s"""w0 AS (
+      s"""w0 AS MATERIALIZED (
          |  SELECT word, regexp_replace(word, '(.)', ' \\1 ', 'g') AS syms, CAST(count(*) AS BIGINT) AS cnt
          |  FROM ($TOKEN_ROWS) GROUP BY word)""".stripMargin
     val levels = (1 to n).map { i =>
-      s"""m$i AS (
+      s"""m$i AS MATERIALIZED (
          |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
          |  FROM (SELECT ps[j] AS a, ps[j+1] AS b, cnt
          |        FROM (SELECT ps, cnt, unnest(generate_series(1, len(ps)-1)) AS j
          |              FROM (SELECT str_split(trim(syms), '  ') AS ps, cnt FROM w${i - 1})))
          |  GROUP BY a, b HAVING CAST(sum(cnt) AS BIGINT) >= $minFreq
          |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
-         |w$i AS (
+         |w$i AS MATERIALIZED (
          |  SELECT w.word, coalesce(replace(w.syms, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' '), w.syms) AS syms, w.cnt
          |  FROM w${i - 1} w LEFT JOIN m$i m ON TRUE)""".stripMargin
     }

@@ -41,22 +41,44 @@ object Relational {
   private def decimalAvg(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(e.cast("decimal(18,4)")).cast("double") / count(lit(1)), 4)
 
-  /** The events fixture stores TIMESTAMP(NANOS) which Spark's Parquet
-    * reader rejects; read `ts` as epoch-nanos BIGINT instead
-    * (`spark.sql.legacy.parquet.nanosAsLong`). Nanos longs order and
-    * bucket exactly like timestamps, and the oracle mirrors them with
-    * DuckDB's `epoch_ns`.
+  /** Schema-adaptive events reader — the engine-internal contract is
+    * `ts_ns`: epoch NANOS as BIGINT (orders and buckets exactly like a
+    * timestamp; DuckDB mirrors with `epoch_ns(ts)`). The fixture's
+    * physical type has drifted across regenerations (INT64 nanos →
+    * TIMESTAMP(MICROS, NTZ)), so we branch on what actually arrives
+    * instead of hard-requiring one layout:
     *
-    * The conf must be set when the session is BUILT (Bench, Verify, and
-    * the test fixture all do) — a query function must not mutate shared
-    * session state as a side effect (round-1 ADVICE), so we only check
-    * here and fail fast with an actionable message. */
+    *  - BIGINT (INT64-nanos file read under
+    *    `spark.sql.legacy.parquet.nanosAsLong=true`): already nanos,
+    *    just rename.
+    *  - TIMESTAMP / TIMESTAMP_NTZ (MICROS file): `unix_micros * 1000`.
+    *    An NTZ column is first cast to TIMESTAMP — the session tz is
+    *    pinned to UTC in Bench/Verify/tests, so the instant is
+    *    preserved and `unix_micros` (which needs TimestampType) is
+    *    well-typed.
+    *
+    * A query function must not mutate shared session state as a side
+    * effect (round-1 ADVICE), so no conf is touched here; an
+    * unrecognized type fails fast naming this adapter. */
   private[graft] def events(spark: SparkSession, dir: String): DataFrame = {
-    require(
-      spark.conf.getOption("spark.sql.legacy.parquet.nanosAsLong").contains("true"),
-      "reading events.parquet (TIMESTAMP nanos) requires " +
-        "spark.sql.legacy.parquet.nanosAsLong=true at session build time")
-    t(spark, dir, "events").withColumnRenamed("ts", "ts_ns")
+    import org.apache.spark.sql.types.{LongType, TimestampType, TimestampNTZType}
+    val raw =
+      try t(spark, dir, "events")
+      catch {
+        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+          throw new IllegalArgumentException(
+            "events.parquet stores TIMESTAMP(NANOS); reading it requires " +
+              "spark.sql.legacy.parquet.nanosAsLong=true at session build time", e)
+      }
+    raw.schema("ts").dataType match {
+      case LongType => raw.withColumnRenamed("ts", "ts_ns")
+      case TimestampType | TimestampNTZType =>
+        raw.withColumn("ts_ns",
+          unix_micros(col("ts").cast(TimestampType)) * lit(1000L)).drop("ts")
+      case other => throw new IllegalArgumentException(
+        s"events.ts arrived as $other — Relational.events only adapts BIGINT " +
+          "nanos or TIMESTAMP[_NTZ] micros; update the adapter for the new fixture type")
+    }
   }
 
   /** TPC-H Q1 shape: scan-heavy partial+final hash aggregate, filter

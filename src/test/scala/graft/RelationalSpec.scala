@@ -50,9 +50,16 @@ class RelationalSpec extends SparkSpec {
 
   test("asof join: every purchase pairs with the latest click at-or-before it") {
     val got = Relational.asofPurchaseToClick(spark, dir)
-    // recompute naively: for each purchase row, scan all clicks
-    val ev = spark.read.parquet(s"$dir/events.parquet")
-      .selectExpr("event_id", "cast(ts as long) ts", "user_id", "event_type")
+    // recompute naively: for each purchase row, scan all clicks.
+    // NOTE `cast(ts as long)` on a timestamp is SECONDS — it collapses
+    // distinct micro timestamps; derive nanos the same way the adapter does
+    val raw = spark.read.parquet(s"$dir/events.parquet")
+    val tsExpr = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => "ts"
+      case _ => "unix_micros(cast(ts as timestamp)) * 1000"
+    }
+    val ev = raw
+      .selectExpr("event_id", s"$tsExpr as ts", "user_id", "event_type")
       .as[(Long, Long, Long, String)].collect()
     val clicks = ev.filter(_._4 == "click").groupBy(_._3)
     val expected = ev.filter(_._4 == "purchase").map { case (pid, ts, uid, _) =>
@@ -96,12 +103,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
-  test("events() fails fast when the nanos conf is missing") {
+  test("events() adapts to the timestamp-micros fixture without the nanos conf") {
+    // the regenerated fixture stores TIMESTAMP(MICROS); the adapter must
+    // produce epoch-nanos BIGINT with no legacy conf involved at all
     val bare = spark.newSession()
     bare.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
-    val e = intercept[IllegalArgumentException] {
-      Relational.eventProps(bare, dir)
+    bare.conf.set("spark.sql.session.timeZone", "UTC")
+    val ev = Relational.events(bare, dir)
+    assert(ev.schema("ts_ns").dataType === org.apache.spark.sql.types.LongType)
+    // spot-check the instant: ts_ns agrees with an independent epoch read
+    val viaAdapter = ev.selectExpr("event_id", "ts_ns").as[(Long, Long)].collect().toMap
+    val raw = bare.read.parquet(s"$dir/events.parquet")
+    val independent = raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.selectExpr("event_id", "ts").as[(Long, Long)].collect().toMap
+      case _ =>
+        raw.selectExpr("event_id", "unix_micros(cast(ts as timestamp)) * 1000")
+          .as[(Long, Long)].collect().toMap
     }
-    assert(e.getMessage.contains("nanosAsLong"))
+    assert(viaAdapter === independent)
+    // and distinct micro-instants stay distinct (a seconds-granularity
+    // cast would collapse them)
+    assert(viaAdapter.values.toSet.size === independent.values.toSet.size)
   }
 }
