@@ -37,6 +37,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.dupStripTableFunction)
     ext.injectTableFunction(GraftExtensions.phraseTableFunction)
     ext.injectTableFunction(GraftExtensions.marginMineTableFunction)
+    ext.injectTableFunction(GraftExtensions.noveltyTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -203,6 +204,38 @@ object GraftExtensions {
         graft.ops.Dedup.decontaminate(
           spark.table(str(children.head, "train_table")),
           spark.table(str(children(1), "eval_table")), w))
+    })
+
+  /** SQL surface for the n-gram novelty score
+    * ([[graft.ops.Dedup.noveltyScore]] — the memorization/overlap audit
+    * the binary decontaminate rule grows into):
+    *
+    * {{{
+    * SELECT * FROM graft_novelty('docs', 'ref_shingles')     -- w=3
+    * SELECT * FROM graft_novelty('docs', 'ref_shingles', 3)
+    * }}}
+    *
+    * `docs` carries (doc_id, text); `ref_shingles` is any stored
+    * shingle table (a [[graft.ops.Dedup.evalShingles]] output —
+    * `w` must equal the width it was built with, same contract as
+    * [[graft.ops.Dedup.contaminatedIdsAgainst]]). Emits
+    * (doc_id, n_shingles, n_seen, novelty) for every doc. Fully lazy —
+    * the operator materializes nothing, so analysis and EXPLAIN run no
+    * job and there is no cache entry to release. */
+  private val noveltyTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_novelty"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_novelty"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_novelty(docs_table, ref_shingles_table[, w])")
+      val str = stringArg("graft_novelty") _
+      val spark = SparkSession.active
+      val w = if (children.size == 3) intArg("graft_novelty")(children(2), "w") else 3
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.noveltyScore(
+          spark.table(str(children.head, "docs_table")),
+          spark.table(str(children(1), "ref_shingles_table")), w))
     })
 
   /** SQL surface for the IVF+PQ serving call — ANN search over the
@@ -643,7 +676,7 @@ object GraftExtensions {
         tokenDriftTableFunction, classifierScoreTableFunction,
         curateTableFunction, dsirTableFunction,
         bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
-        phraseTableFunction, marginMineTableFunction)
+        phraseTableFunction, marginMineTableFunction, noveltyTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -472,6 +472,33 @@ class DedupSpec extends SparkSpec {
     assert(got(3L) === ((3L, 4L, 1L, 0.75)))
   }
 
+  test("SQL surface: graft_novelty TVF matches the Column API, both arities; EXPLAIN runs no job") {
+    graft.plans.GraftExtensions.install(spark)
+    val ref = Dedup.evalShingles(docs(100L -> "alpha beta gamma delta epsilon"))
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon",
+      2L -> "zeta eta theta iota kappa",
+      3L -> "alpha beta gamma something new here")
+    d.createOrReplaceTempView("nov_docs")
+    ref.createOrReplaceTempView("nov_ref")
+    val api = Dedup.noveltyScore(d, ref).as[(Long, Long, Long, Double)].collect().toSet
+    assert(spark.sql("SELECT * FROM graft_novelty('nov_docs', 'nov_ref', 3)")
+      .as[(Long, Long, Long, Double)].collect().toSet === api)
+    // default arity (w=3)
+    assert(spark.sql("SELECT * FROM graft_novelty('nov_docs', 'nov_ref')")
+      .as[(Long, Long, Long, Double)].collect().toSet === api)
+    // fully lazy: planning/EXPLAIN must not launch a job
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    spark.sql("EXPLAIN SELECT * FROM graft_novelty('nov_docs', 'nov_ref')").collect()
+    // the EXPLAIN itself collects a LocalRelation of text — no Spark job
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length === before)
+    // non-literal args fail with an actionable message
+    val e = intercept[Exception] {
+      spark.sql("SELECT * FROM graft_novelty('nov_docs', 'nov_ref', 1 + 2)").collect()
+    }
+    assert(e.getMessage.contains("integer literal"), e.getMessage)
+  }
+
   test("duplicateSpansAgainst: increment spans only where the history already has the region") {
     val history = docs(2L -> region, 4L -> "other archived content nothing like the increment")
     val hist = Dedup.anchorSites(history, k = 16, modP = 4)
