@@ -60,11 +60,11 @@ object SparkEntry {
     * (doc_id, shingle) relation — parameterized so composed oracles
     * (q_curate*) can run the SAME chain over a filtered corpus. */
   private def MINHASH_TAIL(sh: String) =
-    s"""sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
+    s"""sigs AS MATERIALIZED (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig
        |         FROM $sh, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
-       |bands AS (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+       |bands AS MATERIALIZED (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
        |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key FROM sigs GROUP BY doc_id, band),
-       |pairs AS (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+       |pairs AS MATERIALIZED (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
        |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
        |  WHERE l.doc_id < r.doc_id)""".stripMargin
 
@@ -79,6 +79,17 @@ object SparkEntry {
     * unrolled DuckDB twin stays tractable, deep enough that multi-char
     * subwords (a merged pair merging again) are exercised. */
   private val BPE_MERGES = 12
+
+  /** q_budget_mix parameters, shared by the query and its twin so the
+    * per-source floor(budget·w/Σw) literals cannot drift. src19's share
+    * exceeds its sf0.01 availability (whole-source keep path); the
+    * others hit a boundary doc; every unweighted source contributes 0. */
+  private val BUDGET_MIX_WEIGHTS = Map("src0" -> 1.0, "src1" -> 2.0, "src3" -> 0.5, "src19" -> 4.0)
+  private val BUDGET_MIX_TOKENS = 6000L
+  private def budgetMixDesired(src: String): Long = {
+    val wSum = BUDGET_MIX_WEIGHTS.values.sum
+    math.floor(BUDGET_MIX_TOKENS.toDouble * BUDGET_MIX_WEIGHTS(src) / wSum).toLong
+  }
 
   /** Unrolled DuckDB twin of [[graft.ops.Bpe.trainMerges]]: `w0` is the
     * word-frequency table under the space-wrapped symbolization, then
@@ -174,24 +185,27 @@ object SparkEntry {
     * recursive closure shared by the cluster/keep/curate oracles;
     * requires WITH RECURSIVE and a `pairs(doc_a, doc_b)` CTE in scope. */
   private val CLUSTER_CTES =
-    s"""edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+    s"""edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
        |          UNION ALL SELECT doc_b, doc_a FROM pairs),
        |reach(id, lbl) AS (
        |  SELECT DISTINCT src, src FROM edges
        |  UNION
        |  SELECT e.dst, r.lbl FROM reach r JOIN edges e ON e.src = r.id),
-       |cl AS (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
+       |cl AS MATERIALIZED (SELECT id AS doc_id, min(lbl) AS cluster_id FROM reach GROUP BY id)""".stripMargin
 
   /** Twin of the [[graft.ops.Curation]] chain (q_curate /
     * q_curate_funnel): train corpus = doc_id % 50 <> 0, eval corpus =
     * doc_id % 50 = 0 (the q_decontaminate convention); stage parameters
     * mirror the SparkEntry call (minTokens 10, keepLangs [en], mixture
     * src0=1.0 / src1=0.3 / src2=0.0 / default 0.5, split 80/10).
-    * Produces staged survivor CTEs s1..s4 plus `flags`. */
+    * Produces staged survivor CTEs s1..s4 plus `flags`. Every
+    * multi-referenced CTE is `AS MATERIALIZED` — the BPE_CTES rationale:
+    * inlined, the funnel twins re-tokenized the corpus per reference
+    * (24 s each at sf0.01; materialized < 1 s, identical rows). */
   private lazy val CURATE_CTES: String = {
     def sc(l: String, words: String) =
       s"len(list_filter(ts, t -> list_contains($words, t))) AS score_$l"
-    s"""flags AS (
+    s"""flags AS MATERIALIZED (
        |  SELECT doc_id, source, n_tok, q_keep,
        |    CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
        |         WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
@@ -203,19 +217,19 @@ object SparkEntry {
        |            ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
        |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
        |          FROM (SELECT doc_id, source, $TOKS AS ts FROM documents WHERE doc_id % 50 <> 0)))),
-       |s1 AS (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'),
-       |sh1 AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
+       |s1 AS MATERIALIZED (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'),
+       |sh1 AS MATERIALIZED (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
        |        WHERE doc_id IN (SELECT doc_id FROM s1)),
        |${MINHASH_TAIL("sh1")},
        |$CLUSTER_CTES,
-       |s2 AS (SELECT doc_id FROM s1
+       |s2 AS MATERIALIZED (SELECT doc_id FROM s1
        |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
-       |evsh AS (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
-       |tr2 AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES)
+       |evsh AS MATERIALIZED (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
+       |tr2 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES)
        |        WHERE doc_id IN (SELECT doc_id FROM s2)),
-       |bad AS (SELECT DISTINCT t.doc_id FROM tr2 t JOIN evsh e USING (shingle)),
-       |s3 AS (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
-       |s4 AS (SELECT doc_id FROM s3 JOIN flags USING (doc_id)
+       |bad AS MATERIALIZED (SELECT DISTINCT t.doc_id FROM tr2 t JOIN evsh e USING (shingle)),
+       |s3 AS MATERIALIZED (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM bad)),
+       |s4 AS MATERIALIZED (SELECT doc_id FROM s3 JOIN flags USING (doc_id)
        |       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
        |         < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
        |            WHEN 'src2' THEN 0 ELSE 5000 END))""".stripMargin
@@ -898,6 +912,23 @@ object SparkEntry {
         Map("web" -> 0.5, "wiki" -> 0.3, "books" -> 0.15, "arxiv" -> 0.05),
         tokenBudget = 50000L, maxEpochs = 2.0)
         .withColumnRenamed("source", "domain")
+    },
+    "q_budget_mix" -> { (s, dir) =>
+      // token-budget mixture SELECTION: the doc manifest that fills
+      // each source's budget share in deterministic md5 order; src19's
+      // share exceeds its availability (whole source kept), the others
+      // stop at their boundary doc, unweighted sources contribute 0
+      graft.ops.Sampling.budgetedMixture(docs(s, dir), "source",
+        BUDGET_MIX_WEIGHTS, BUDGET_MIX_TOKENS)
+    },
+    "q_split_safe" -> { (s, dir) =>
+      // leakage-safe split: near-dup clusters (same pair graph as
+      // q_dedup_clusters) hash their canonical representative, so no
+      // cluster straddles train/val/test
+      val d = docs(s, dir)
+      graft.ops.Sampling.leakageSafeSplit(d,
+        Dedup.clusters(Dedup.minhashCandidatePairs(d)))
+        .select("doc_id", "split_key", "split")
     },
 
     // ---- end-to-end curation composition ---------------------------------
@@ -2071,6 +2102,37 @@ object SparkEntry {
          |       ELSE 0.0 END AS epochs,
          |  (desired_tokens > planned_tokens) AS truncated
          |FROM q""".stripMargin,
+    "q_budget_mix" ->
+      // twin of Sampling.budgetedMixtureCounts: per source, take docs
+      // in (md5(doc_id), doc_id) order until the budget share is
+      // reached — the crossing doc included, tokenless docs never. The
+      // engine's bucketed decomposition (interior buckets wholesale,
+      // one boundary window) must equal this naive per-source running
+      // sum because the bucket is the hash's own 2-hex-digit prefix.
+      s"""WITH tc AS (SELECT doc_id, source, CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |            FROM documents),
+         |sel AS (SELECT source, doc_id, n_tokens,
+         |    sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+         |      ROWS UNBOUNDED PRECEDING) - n_tokens AS cum_before,
+         |    CASE source ${BUDGET_MIX_WEIGHTS.keys.toSeq.sorted.map(s =>
+                 s"WHEN '$s' THEN ${budgetMixDesired(s)}").mkString(" ")}
+         |         ELSE 0 END AS desired
+         |  FROM tc WHERE n_tokens > 0)
+         |SELECT source, doc_id, n_tokens
+         |FROM sel WHERE desired > 0 AND cum_before < desired""".stripMargin,
+    "q_split_safe" ->
+      // twin of Sampling.leakageSafeSplit: split bucket hashes the
+      // cluster representative (connected-component min doc_id from the
+      // q_dedup_clusters closure), own id for singletons
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |$CLUSTER_CTES
+         |SELECT doc_id, split_key,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, split_key,
+         |        CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |      FROM (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
+         |            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id))""".stripMargin,
     "q_curate" ->
       s"""WITH RECURSIVE $CURATE_CTES
          |SELECT doc_id, source, pred_lang,

@@ -22,14 +22,8 @@ object Sampling {
   /** The split label of [[trainValTest]] as a reusable Column —
     * composed pipelines ([[Curation.curate]]) stamp it onto their final
     * projection without a second pass. */
-  def splitCol(idCol: String, trainPct: Int = 80, valPct: Int = 10): Column = {
-    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
-      s"invalid split $trainPct/$valPct")
-    val b = hashBucket(col(idCol))
-    when(b < trainPct, "train")
-      .when(b < trainPct + valPct, "val")
-      .otherwise("test")
-  }
+  def splitCol(idCol: String, trainPct: Int = 80, valPct: Int = 10): Column =
+    splitColOf(col(idCol), trainPct, valPct)
 
   /** Train/val/test split: deterministic md5-bucket assignment.
     * Fractions are integer percentages summing to <= 100 (remainder →
@@ -316,4 +310,135 @@ object Sampling {
     df.join(kept, Seq(stratumCol, idCol))
       .select(df.columns.map(col) :+ col("sample_rank"): _*)
   }
+
+  /** [[splitCol]] over an arbitrary key Column (not just a named id
+    * column) — the building block [[leakageSafeSplit]] hashes its
+    * cluster representative with. */
+  def splitColOf(key: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    require(trainPct > 0 && valPct >= 0 && trainPct + valPct <= 100,
+      s"invalid split $trainPct/$valPct")
+    val b = hashBucket(key)
+    when(b < trainPct, "train")
+      .when(b < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Leakage-safe train/val/test split: near-duplicate documents must
+    * never straddle the split boundary — a test doc whose near-copy
+    * sits in train inflates eval scores exactly the way benchmark
+    * contamination does (the within-corpus face of the Lee et al. 2022
+    * dedup argument). [[trainValTest]] hashes each doc independently,
+    * so the members of a duplicate cluster scatter across splits; here
+    * every doc hashes its CLUSTER REPRESENTATIVE (the canonical min
+    * doc_id from [[Dedup.clusters]]) instead, so a whole near-dup
+    * cluster lands on one side, deterministically. Docs in no cluster
+    * (the overwhelming majority) hash their own id — for them the
+    * assignment is IDENTICAL to [[trainValTest]], so turning the
+    * leakage guard on only moves clustered docs.
+    *
+    * @param clusters `(doc_id, cluster_id)` — [[Dedup.clusters]]
+    *   output (docs absent from it are singletons). Cluster-table-sized
+    *   join: broadcast/AQE when the dup graph is small, keyed shuffle
+    *   otherwise; the split itself stays row-parallel.
+    * @return docs + `split_key` (the hashed representative) + `split`.
+    */
+  def leakageSafeSplit(
+      docs: DataFrame,
+      clusters: DataFrame,
+      idCol: String = "doc_id",
+      trainPct: Int = 80,
+      valPct: Int = 10): DataFrame = {
+    val reps = clusters.select(col("doc_id").as(idCol), col("cluster_id"))
+    docs.join(reps, Seq(idCol), "left")
+      .withColumn("split_key", coalesce(col("cluster_id"), col(idCol)))
+      .withColumn("split", splitColOf(col("split_key"), trainPct, valPct))
+      .drop("cluster_id")
+  }
+
+  /** Token-budget mixture SELECTION — the manifest face of
+    * [[epochPlan]]: given per-source mixture weights and a total token
+    * budget, pick the actual documents. Per source, the budget share is
+    * `floor(budget · w_s / Σw)` and docs are taken in deterministic
+    * md5(doc_id) order (ties by id — the [[stratified]] order, so the
+    * "random" fill is stable across runs and engines) until the share
+    * is reached; the doc that crosses the boundary is included (budgets
+    * are floors, not caps), tokenless docs are never selected (they
+    * cannot fill a token budget), and unweighted sources contribute
+    * nothing.
+    *
+    * Scale shape — the naive formulation is ONE window per source
+    * (order every doc, running-sum the tokens), which serializes a head
+    * source onto one task. Instead the md5 order is split at its own
+    * prefix: `bucket` = the first 2 hex digits (so bucket-major,
+    * full-hash-minor order IS the global md5 order — fixed-width
+    * lowercase hex sorts identically as text and as a number), and
+    *
+    *   1. per (source, bucket) token sums → a `sources × 256` table
+    *      (broadcastable at any corpus size),
+    *   2. a prefix sum over that tiny table finds each bucket's
+    *      starting cumulative count,
+    *   3. interior buckets keep/drop WHOLESALE by a row-parallel
+    *      predicate; only the single boundary bucket per source (~1/256
+    *      of its docs) pays a window sort.
+    *
+    * @param counts `(doc_id, source, n_tokens)` — precomputed counts,
+    *   so a real tokenizer's numbers ([[graft.ops.Bpe.tokenCounts]])
+    *   can budget the mix (the [[packShardsCounts]] discipline).
+    * @return the selected manifest `(source, doc_id, n_tokens)`.
+    */
+  def budgetedMixtureCounts(
+      counts: DataFrame,
+      weights: Map[String, Double],
+      tokenBudget: Long): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
+    weights.values.foreach(w => require(w >= 0, s"negative weight $w"))
+    val wSum = weights.values.sum
+    require(wSum > 0, "at least one source weight must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val desired = weights.foldLeft(lit(0L)) { case (acc, (src, w)) =>
+      when(col("source") === src,
+        lit(math.floor(tokenBudget.toDouble * w / wSum).toLong)).otherwise(acc)
+    }
+    val rows = counts
+      .select(col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
+        md5(col("doc_id").cast("string")).as("h"))
+      .filter(col("n_tokens") > 0)
+      .withColumn("desired", desired)
+      .filter(col("desired") > 0)
+      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // (source, bucket) token sums + prefix over the tiny per-source table
+    val bw = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bucketCum = rows.groupBy("source", "bucket")
+      .agg(sum("n_tokens").as("bucket_tokens"))
+      .withColumn("cum_before_bucket", sum("bucket_tokens").over(bw) - col("bucket_tokens"))
+    val tagged = rows.join(broadcast(bucketCum), Seq("source", "bucket"))
+    // interior buckets resolve row-parallel; only boundary buckets sort
+    val keepAll = tagged
+      .filter(col("cum_before_bucket") + col("bucket_tokens") <= col("desired"))
+    val boundary = tagged
+      .filter(col("cum_before_bucket") < col("desired") &&
+        col("cum_before_bucket") + col("bucket_tokens") > col("desired"))
+    val inBucket = Window.partitionBy("source", "bucket").orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val boundaryKept = boundary
+      .withColumn("cum_before",
+        col("cum_before_bucket") + sum("n_tokens").over(inBucket) - col("n_tokens"))
+      .filter(col("cum_before") < col("desired"))
+    keepAll.select("source", "doc_id", "n_tokens")
+      .unionByName(boundaryKept.select("source", "doc_id", "n_tokens"))
+  }
+
+  /** [[budgetedMixtureCounts]] from raw documents, counting with the
+    * library's whitespace tokenizer (one tokenize scan). */
+  def budgetedMixture(
+      docs: DataFrame,
+      sourceCol: String,
+      weights: Map[String, Double],
+      tokenBudget: Long): DataFrame =
+    budgetedMixtureCounts(
+      graft.core.Parallelism.ensure(docs)
+        .select(col("doc_id"), col(sourceCol).as("source"),
+          size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
+      weights, tokenBudget)
 }

@@ -180,4 +180,81 @@ class SamplingSpec extends SparkSpec {
     // the order is not the identity (it actually shuffles)
     assert(a.sortBy(_._4).map(_._1).toSeq !== (1L to 400L).toSeq)
   }
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+
+  test("budgetedMixtureCounts == naive hash-order fill; boundary/exhaust/tokenless/unweighted edges") {
+    // 600 docs over 3 sources so many of the 256 hash buckets are
+    // interior (the wholesale keep/drop path really runs), plus
+    // engineered edges: tokenless docs, an unweighted source, and a
+    // source whose share exceeds its availability
+    val rows = (1L to 600L).map { i =>
+      val src = s"s${i % 3}"
+      val tok = if (i % 97 == 0) 0L else 1L + i % 13
+      (i, src, tok)
+    }
+    val counts = rows.toDF("doc_id", "source", "n_tokens")
+    val weights = Map("s0" -> 1.0, "s1" -> 3.0) // s2 unweighted
+    val budget = 900L
+    val wSum = weights.values.sum
+    val got = Sampling.budgetedMixtureCounts(counts, weights, budget)
+      .as[(String, Long, Long)].collect().toSet
+    // plain-Scala reference: per source, md5(doc_id) order, running sum,
+    // keep while cum_before < floor(budget*w/sum)
+    val expected = rows.filter(_._3 > 0).groupBy(_._2).flatMap { case (src, docs) =>
+      val desired = weights.get(src).map(w => math.floor(budget * w / wSum).toLong).getOrElse(0L)
+      var cum = 0L
+      docs.sortBy(d => (md5hex(d._1.toString), d._1)).flatMap { d =>
+        val keep = desired > 0 && cum < desired
+        cum += d._3
+        if (keep) Some((src, d._1, d._3)) else None
+      }
+    }.toSet
+    assert(got === expected)
+    // the edges actually occurred: s1's fill stopped mid-source (boundary
+    // doc included, so kept tokens reach or just overflow the share)...
+    val s1Desired = math.floor(budget * 3.0 / wSum).toLong
+    val s1Kept = got.filter(_._1 == "s1").toSeq.map(_._3).sum
+    assert(s1Kept >= s1Desired && got.count(_._1 == "s1") < rows.count(_._2 == "s1"))
+    // ...s2 contributed nothing, and no tokenless doc was selected
+    assert(!got.exists(_._1 == "s2"))
+    assert(got.forall(_._3 > 0))
+    // a share larger than the whole source keeps every tokenful doc
+    val all = Sampling.budgetedMixtureCounts(counts, Map("s0" -> 1.0), 1000000L)
+      .as[(String, Long, Long)].collect()
+    assert(all.map(_._2).toSet ===
+      rows.filter(r => r._2 == "s0" && r._3 > 0).map(_._1).toSet)
+  }
+
+  test("leakageSafeSplit: clusters never straddle splits; singletons match trainValTest") {
+    val docs = (1L to 300L).map(i => (i, s"text $i")).toDF("doc_id", "text")
+    // three engineered clusters whose canonical ids differ
+    val clusters = Seq(
+      (10L, 10L), (57L, 10L), (203L, 10L),
+      (20L, 20L), (88L, 20L),
+      (31L, 31L), (32L, 31L), (33L, 31L)
+    ).toDF("doc_id", "cluster_id")
+    val got = Sampling.leakageSafeSplit(docs, clusters)
+      .select("doc_id", "split_key", "split").as[(Long, Long, String)].collect()
+    assert(got.length === 300)
+    val bySplit = got.map(r => r._1 -> r._3).toMap
+    // every cluster member carries its representative's split
+    assert(Set(bySplit(10L), bySplit(57L), bySplit(203L)).size === 1)
+    assert(Set(bySplit(20L), bySplit(88L)).size === 1)
+    assert(Set(bySplit(31L), bySplit(32L), bySplit(33L)).size === 1)
+    // members hash the representative, singletons hash themselves
+    got.foreach { case (id, key, _) =>
+      val expectKey = Map(57L -> 10L, 203L -> 10L, 88L -> 20L, 32L -> 31L, 33L -> 31L)
+      assert(key === expectKey.getOrElse(id, if (Set(10L, 20L, 31L)(id)) id else id))
+    }
+    // for docs in no cluster the assignment is IDENTICAL to trainValTest
+    val plain = Sampling.trainValTest(docs, "doc_id")
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val clustered = Set(10L, 57L, 203L, 20L, 88L, 31L, 32L, 33L)
+    got.filterNot(r => clustered(r._1)).foreach { case (id, _, split) =>
+      assert(split === plain(id), s"singleton $id moved")
+    }
+  }
 }
