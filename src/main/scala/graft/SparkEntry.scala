@@ -868,6 +868,10 @@ object SparkEntry {
       // fixtures carry no audio bytes: every row exercises the REAL
       // decoder's quarantine path (the spec pins real-WAV decode)
       Multimodal.decodeAudio(Multimodal.envelope(docs(s, dir)))(s).toDF()),
+    "q_image_phash" -> ((s, dir) =>
+      // text payloads -> the perceptual hasher's quarantine path (the
+      // spec pins real-PNG aHash/dHash + hamming pairing)
+      Multimodal.imagePhash(Multimodal.envelope(docs(s, dir)))(s).toDF()),
 
     // ---- deterministic sampling / dataset splitting ----------------------
     "q_train_split" -> { (s, dir) =>
@@ -1986,6 +1990,17 @@ object SparkEntry {
         |  CAST(0.0 AS DOUBLE) AS sample_rate,
         |  CAST(0 AS INTEGER) AS channels,
         |  CAST(0 AS BIGINT) AS frames
+        |FROM documents""".stripMargin,
+    "q_image_phash" ->
+      // twin of Multimodal.imagePhash over text payloads: no ImageIO
+      // reader accepts them, so every row is the quarantine shape
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'undecodable' AS status,
+        |  CAST(0 AS INTEGER) AS width,
+        |  CAST(0 AS INTEGER) AS height,
+        |  CAST(0 AS BIGINT) AS ahash,
+        |  CAST(0 AS BIGINT) AS dhash
         |FROM documents""".stripMargin,
     "q_setops" ->
       """WITH early AS (SELECT o_custkey FROM orders WHERE o_orderdate < TIMESTAMP '1997-01-01'),

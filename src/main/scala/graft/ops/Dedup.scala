@@ -402,35 +402,57 @@ object Dedup {
       docs: DataFrame,
       bits: Int = 16,
       maxHamming: Int = 3,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    hammingPairs(simhash(docs, bits).withColumnRenamed("simhash", "sig"),
+      bits, maxHamming, mat)
+
+  /** Hamming-near pairs over ANY `(doc_id, sig)` bigint-signature table
+    * — the segment-blocking engine behind [[simhashPairs]], exposed so
+    * other signature families (image perceptual hashes,
+    * [[Multimodal.imageDupPairs]]) ride the same machinery. Split the
+    * signature into maxHamming+1 equal segments; by pigeonhole, any
+    * pair within Hamming distance ≤ maxHamming has at most maxHamming
+    * differing segments, hence AT LEAST ONE identical segment — so
+    * blocking on every segment has perfect recall. (Round-1 version
+    * blocked on 2 halves with maxHamming=3, which only guarantees
+    * recall for distance ≤ 1 — round-1 ADVICE.) Then verify
+    * `bit_count(xor) <= maxHamming`. Bucket join, no all-pairs.
+    */
+  def hammingPairs(
+      sigs: DataFrame,
+      bits: Int,
+      maxHamming: Int = 3,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     val segs = maxHamming + 1
     require(bits % segs == 0,
       s"bits=$bits must be divisible by maxHamming+1=$segs segments")
     val segBits = bits / segs
-    // Materialize the (doc_id, simhash) table once: the self-join's two
+    // Materialize the (doc_id, sig) table once: the self-join's two
     // sides get fresh expression ids (DeduplicateRelations), so exchange
-    // reuse never fires and the whole regex+md5+16-agg pipeline would
-    // execute twice. The table is one row per doc — tiny relative to its
+    // reuse never fires and the whole upstream pipeline (regex+md5+16
+    // aggregates for simhash, image decode for phash) would execute
+    // twice. The table is one row per doc — tiny relative to its
     // compute. Strategy is pluggable ([[graft.core.Materialize]]):
     // localCheckpoint on a single node, Persist on a fault-tolerant
     // cluster.
-    val s = graft.core.Materialize(simhash(docs, bits), mat)
+    val s = graft.core.Materialize(sigs.select(col("doc_id"), col("sig")), mat)
     val blocked = s.select(
-      col("doc_id"), col("simhash"),
+      col("doc_id"), col("sig"),
       explode(array((0 until segs).map { j =>
         struct(lit(j).as("blk"),
-          shiftrightunsigned(col("simhash"), j * segBits)
-            .bitwiseAND(lit((1L << segBits) - 1)).as("key"))
+          shiftrightunsigned(col("sig"), j * segBits)
+            .bitwiseAND(lit(if (segBits == 64) -1L else (1L << segBits) - 1)).as("key"))
       }: _*)).as("b")
-    ).select(col("doc_id"), col("simhash"), col("b.blk").as("blk"), col("b.key").as("key"))
+    ).select(col("doc_id"), col("sig"), col("b.blk").as("blk"), col("b.key").as("key"))
     // NOTE plan-shape choice: unlike minhash/jaccard, this stays a
     // self-JOIN. Group-and-pair materializes C(|block|,2) structs per
-    // block inside an interpreted lambda; simhash blocks hold ~n/2^segBits
-    // docs (hundreds+), where the streaming hash join wins — measured 3x
-    // faster at sf0.1. Group-and-pair only wins when group size is
-    // capped small (jaccard's maxDf, minhash's near-dup bands).
-    val l = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_a"), col("simhash").as("sim_a"))
-    val r = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_b"), col("simhash").as("sim_b"))
+    // block inside an interpreted lambda; signature blocks hold
+    // ~n/2^segBits docs (hundreds+), where the streaming hash join wins
+    // — measured 3x faster at sf0.1. Group-and-pair only wins when
+    // group size is capped small (jaccard's maxDf, minhash's near-dup
+    // bands).
+    val l = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_a"), col("sig").as("sim_a"))
+    val r = blocked.select(col("blk"), col("key"), col("doc_id").as("doc_b"), col("sig").as("sim_b"))
     l.join(r, Seq("blk", "key"))
       .filter(col("doc_a") < col("doc_b"))
       .select(col("doc_a"), col("doc_b"),

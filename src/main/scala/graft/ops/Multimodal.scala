@@ -145,6 +145,103 @@ object Multimodal {
       }
   }
 
+  /** Perceptual-hash row: 64-bit aHash (mean-threshold over an 8×8
+    * block-average luminance grid) and dHash (horizontal gradient over
+    * a 9×8 grid) when an ImageIO reader accepted the bytes; a
+    * quarantine row (zero hashes/geometry) otherwise. */
+  final case class ImagePhash(doc_id: Long, n_bytes: Long, status: String,
+      width: Int, height: Int, ahash: Long, dhash: Long)
+
+  /** REAL image perceptual hashing — the multimodal face of near-dup
+    * detection: re-encoded, resized, or slightly-edited copies of an
+    * image keep (near-)identical perceptual hashes while their raw
+    * bytes (and so [[features]]' `content_md5`) differ completely.
+    * Decode is [[decodeImages]]' `javax.imageio` path under the same
+    * quarantine contract; the downscale is a MANUAL block-average over
+    * `getRGB` (no `Graphics2D.drawImage`, whose interpolation is
+    * platform/hint dependent — block means over integer pixel grids
+    * are bit-deterministic everywhere). Luminance is integer BT.601
+    * (299r + 587g + 114b, no floats), aHash bit = cell > mean (ties
+    * low), dHash bit = right neighbor > left, both packed row-major
+    * MSB-first.
+    *
+    * Scale shape: mapPartitions over the envelope, bytes never leave
+    * the executor, no shuffle; downstream grouping/pairing touches only
+    * (doc_id, 2×long). Pair via [[imageDupPairs]].
+    */
+  def imagePhash(env: DataFrame)(implicit spark: SparkSession): Dataset[ImagePhash] = {
+    import spark.implicits._
+    env.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
+      .as[MediaItem]
+      .mapPartitions { items =>
+        javax.imageio.ImageIO.setUseCache(false)
+        items.map { it =>
+          val n = it.content.length.toLong
+          try {
+            val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(it.content))
+            if (img == null) ImagePhash(it.doc_id, n, "undecodable", 0, 0, 0L, 0L)
+            else {
+              // block-average luminance grid, rows x cols, integer math
+              def grid(rows: Int, cols: Int): Array[Array[Long]] = {
+                val (w, h) = (img.getWidth, img.getHeight)
+                Array.tabulate(rows, cols) { (r, c) =>
+                  val x0 = c * w / cols; val x1 = math.max(x0 + 1, (c + 1) * w / cols)
+                  val y0 = r * h / rows; val y1 = math.max(y0 + 1, (r + 1) * h / rows)
+                  var sum = 0L; var cnt = 0L
+                  var y = y0
+                  while (y < h && y < y1) {
+                    var x = x0
+                    while (x < w && x < x1) {
+                      val rgb = img.getRGB(x, y)
+                      sum += 299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                        114L * (rgb & 0xff)
+                      cnt += 1; x += 1
+                    }
+                    y += 1
+                  }
+                  if (cnt == 0) 0L else sum / cnt
+                }
+              }
+              val a = grid(8, 8)
+              val mean = a.flatten.sum / 64
+              var ahash = 0L
+              var i = 0
+              while (i < 64) {
+                if (a(i / 8)(i % 8) > mean) ahash |= (1L << (63 - i)); i += 1
+              }
+              val d = grid(8, 9)
+              var dhash = 0L
+              i = 0
+              while (i < 64) {
+                val r = i / 8; val c = i % 8
+                if (d(r)(c + 1) > d(r)(c)) dhash |= (1L << (63 - i)); i += 1
+              }
+              ImagePhash(it.doc_id, n, "decoded", img.getWidth, img.getHeight, ahash, dhash)
+            }
+          } catch {
+            case scala.util.control.NonFatal(_) =>
+              ImagePhash(it.doc_id, n, "undecodable", 0, 0, 0L, 0L)
+          }
+        }
+      }
+  }
+
+  /** Image near-dup pairs: Hamming-near dHashes via the SAME
+    * segment-blocked machinery text SimHash uses
+    * ([[Dedup.hammingPairs]] — perfect recall at ≤ maxHamming by
+    * pigeonhole, bucket join, no all-pairs). Quarantined rows never
+    * pair (their zero hash carries no signal — the [[Dedup.simhash]]
+    * empty-doc rule). Emits `(doc_a, doc_b, hamming)`.
+    */
+  def imageDupPairs(
+      phashes: DataFrame,
+      maxHamming: Int = 3,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    Dedup.hammingPairs(
+      phashes.filter(col("status") === "decoded")
+        .select(col("doc_id"), col("dhash").as("sig")),
+      bits = 64, maxHamming = maxHamming, mat = mat)
+
   /** Column-layer content features over the envelope: md5 of the raw
     * bytes (dedup key for media), byte length. Pure codegen'd exprs. */
   def features(env: DataFrame): DataFrame =

@@ -38,6 +38,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.phraseTableFunction)
     ext.injectTableFunction(GraftExtensions.marginMineTableFunction)
     ext.injectTableFunction(GraftExtensions.noveltyTableFunction)
+    ext.injectTableFunction(GraftExtensions.hammingPairsTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -236,6 +237,43 @@ object GraftExtensions {
         graft.ops.Dedup.noveltyScore(
           spark.table(str(children.head, "docs_table")),
           spark.table(str(children(1), "ref_shingles_table")), w))
+    })
+
+  /** SQL surface for the generic Hamming-near pairing engine
+    * ([[graft.ops.Dedup.hammingPairs]] — the segment-blocked machinery
+    * behind text SimHash and image perceptual-hash dedup):
+    *
+    * {{{
+    * SELECT * FROM graft_hamming_pairs('sigs')        -- bits=64, max_hamming=3
+    * SELECT * FROM graft_hamming_pairs('sigs', 64, 3)
+    * }}}
+    *
+    * The named table carries `(doc_id, sig)` with the signature as a
+    * BIGINT — a stored [[graft.ops.Dedup.simhash]] output, a
+    * [[graft.ops.Multimodal.imagePhash]] table projected as
+    * `SELECT doc_id, dhash AS sig`, or any other bigint fingerprint.
+    * Emits (doc_a, doc_b, hamming). `bits` must be divisible by
+    * max_hamming+1 (the pigeonhole segment count). Lazy Persist
+    * materialization for the signature table (the self-join reads it
+    * twice): EXPLAIN runs no job; the first execution populates the
+    * session cache. */
+  private val hammingPairsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_hamming_pairs"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_hamming_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 3,
+        "graft_hamming_pairs(sigs_table[, bits, max_hamming])")
+      val str = stringArg("graft_hamming_pairs") _
+      val int = intArg("graft_hamming_pairs") _
+      val spark = SparkSession.active
+      val (bits, maxHamming) =
+        if (children.size == 3) (int(children(1), "bits"), int(children(2), "max_hamming"))
+        else (64, 3)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.hammingPairs(
+          spark.table(str(children.head, "sigs_table")), bits, maxHamming,
+          mat = graft.core.Materialize.Persist))
     })
 
   /** SQL surface for the IVF+PQ serving call — ANN search over the
@@ -676,7 +714,8 @@ object GraftExtensions {
         tokenDriftTableFunction, classifierScoreTableFunction,
         curateTableFunction, dsirTableFunction,
         bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
-        phraseTableFunction, marginMineTableFunction, noveltyTableFunction)
+        phraseTableFunction, marginMineTableFunction, noveltyTableFunction,
+        hammingPairsTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -106,6 +106,96 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).status === "undecodable" && byId(1L).channels === 0)
   }
 
+  /** Envelope rows from raw (doc_id, bytes) pairs. */
+  private def imgEnv(rows: (Long, Array[Byte])*) =
+    rows.toDF("doc_id", "content")
+      .select($"doc_id", $"content",
+        struct(lit("image/png").as("mime"),
+          length($"content").cast("long").as("n_bytes")).as("meta"))
+
+  /** A patterned PNG with an optional rectangular patch painted over —
+    * the "slightly edited copy" of a perceptual-dup test. */
+  private def patternPng(w: Int, h: Int, patch: Option[(Int, Int, Int, Int, Int)] = None): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach { y =>
+      val v = if ((x / 8 + y / 8) % 2 == 0) 0xf0f0f0 else 0x101010 // checkerboard
+      img.setRGB(x, y, v)
+    })
+    patch.foreach { case (px, py, pw, ph, rgb) =>
+      (px until (px + pw)).foreach(x => (py until (py + ph)).foreach(y => img.setRGB(x, y, rgb)))
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  test("imagePhash: identical pixels hash identically across re-encodes; edits move few bits; text quarantines") {
+    implicit val s = spark
+    val base = patternPng(64, 64)
+    // same pixels, re-encoded independently (fresh PNG bytes)
+    val copy = patternPng(64, 64)
+    assert(!java.util.Arrays.equals(base, copy) || base.sameElements(copy)) // bytes may or may not differ; pixels identical
+    // small edit: one 6x6 patch repainted
+    val edited = patternPng(64, 64, Some((30, 30, 6, 6, 0x808080)))
+    // genuinely different image: inverted checkerboard phase + gradient
+    val other = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach(y => img.setRGB(x, y, (x * 4 << 16) | (y * 4 << 8))))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    val ph = Multimodal.imagePhash(imgEnv(
+        1L -> base, 2L -> copy, 3L -> edited, 4L -> other,
+        9L -> "not an image".getBytes("UTF-8")))
+      .collect().map(p => p.doc_id -> p).toMap
+    // identical pixels -> identical hashes, regardless of byte encoding
+    assert(ph(1L).status === "decoded")
+    assert(ph(1L).ahash === ph(2L).ahash && ph(1L).dhash === ph(2L).dhash)
+    // a small patch moves at most a few dHash bits; a different image moves many
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(ph(1L).dhash, ph(3L).dhash) <= 3,
+      s"edit moved ${ham(ph(1L).dhash, ph(3L).dhash)} bits")
+    assert(ham(ph(1L).dhash, ph(4L).dhash) > 10,
+      s"different image only ${ham(ph(1L).dhash, ph(4L).dhash)} bits away")
+    // text payloads quarantine with zero hashes (and never pair below)
+    assert(ph(9L).status === "undecodable" && ph(9L).ahash === 0L && ph(9L).dhash === 0L)
+  }
+
+  test("imageDupPairs == brute-force hamming over decoded hashes; quarantined rows never pair") {
+    implicit val s = spark
+    val imgs: Seq[(Long, Array[Byte])] = Seq(
+      1L -> patternPng(64, 64),
+      2L -> patternPng(64, 64), // exact perceptual dup of 1
+      3L -> patternPng(64, 64, Some((30, 30, 6, 6, 0x808080))), // near dup
+      4L -> patternPng(48, 48), // same pattern at another size: phash is scale-invariant by design
+      9L -> "not an image".getBytes("UTF-8"))
+    val phashes = Multimodal.imagePhash(imgEnv(imgs: _*)).toDF()
+    val got = Multimodal.imageDupPairs(phashes, maxHamming = 3)
+      .as[(Long, Long, Int)].collect().toSet
+    // brute-force reference over the decoded rows
+    val hs = phashes.filter($"status" === "decoded")
+      .select("doc_id", "dhash").as[(Long, Long)].collect()
+    val expected = (for {
+      (a, ha) <- hs; (b, hb) <- hs if a < b
+      d = java.lang.Long.bitCount(ha ^ hb) if d <= 3
+    } yield (a, b, d)).toSet
+    assert(got === expected)
+    // the dup structure we engineered is actually present
+    assert(got.contains((1L, 2L, 0)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 3L))
+    assert(!got.exists(p => p._1 == 9L || p._2 == 9L))
+    // SQL surface: graft_hamming_pairs over the stored-signature shape
+    graft.plans.GraftExtensions.install(spark)
+    phashes.filter($"status" === "decoded")
+      .selectExpr("doc_id", "dhash AS sig").createOrReplaceTempView("phash_sigs")
+    val viaSql = spark.sql("SELECT * FROM graft_hamming_pairs('phash_sigs', 64, 3)")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(viaSql === got)
+    assert(spark.sql("SELECT * FROM graft_hamming_pairs('phash_sigs')")
+      .as[(Long, Long, Int)].collect().toSet === got) // default arity = (64, 3)
+  }
+
   test("mediaSummary joins real decode output with content hashes") {
     implicit val s = spark
     val row = Multimodal.mediaSummary(docs).where($"doc_id" === 1L)
