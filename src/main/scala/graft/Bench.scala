@@ -22,8 +22,9 @@ object Bench {
       // Single-node with a large heap: keep the object hash map.
       // On a real cluster, size this to executor memory instead.
       .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "10000000")
-      // events.parquet stores TIMESTAMP(NANOS); session-level (set at
-      // build time, not mutated mid-query — see ADVICE round 1)
+      // only matters if events.parquet is INT64-nanos (the reader
+      // adapts to TIMESTAMP micros too — Relational.events); harmless
+      // otherwise, session-level by the set-at-build-time rule
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

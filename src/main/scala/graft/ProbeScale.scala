@@ -235,6 +235,29 @@ object ProbeScale {
         Dedup.nearDupLosers(docs, sizeRatioFloor = 0.84).count())
     }
     }
+    // round-10: the new sampling/split/script ops at both scales — all
+    // designed scan-bound (budgeted mixture: one tokenize scan + a
+    // sources×256 broadcast table + one boundary-bucket window per
+    // source; leakage-safe split: the cluster graph it composes
+    // dominates; scriptSignals: pure row-parallel regexp passes)
+    if (section == "r10") {
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    val weights = Map("src0" -> 1.0, "src1" -> 2.0, "src3" -> 0.5, "src19" -> 4.0)
+    for (rep <- 1 to 2) {
+      time(s"budget_mix_sf01_$rep")(graft.ops.Sampling.budgetedMixture(
+        docs01, "source", weights, 60000L).count())
+      time(s"budget_mix_sf1_$rep")(graft.ops.Sampling.budgetedMixture(
+        docs, "source", weights, 600000L).count())
+      time(s"script_sf01_$rep")(graft.ops.TextAnalysis.scriptSignals(docs01)
+        .where(col("dominant_script") === "latin").count())
+      time(s"script_sf1_$rep")(graft.ops.TextAnalysis.scriptSignals(docs)
+        .where(col("dominant_script") === "latin").count())
+    }
+    time("split_safe_sf1") {
+      val cl = Dedup.clusters(Dedup.minhashCandidatePairs(docs))
+      graft.ops.Sampling.leakageSafeSplit(docs, cl).groupBy("split").count().count()
+    }
+    }
     if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies
     if (!new java.io.File("/tmp/emb_sf1").exists()) {

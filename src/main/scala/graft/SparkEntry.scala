@@ -570,6 +570,7 @@ object SparkEntry {
       Bpe.fertility(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
     },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    "q_script" -> ((s, dir) => TextAnalysis.scriptSignals(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.entropySignals(docs(s, dir))),
     // spec-gated only: DEFLATE exists in no SQL engine, so the driver
@@ -1232,6 +1233,37 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
          |          ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents)))""".stripMargin
+    },
+    "q_script" -> {
+      // twin of TextAnalysis.scriptSignals: the same BMP block ranges
+      // in RE2 \x{..} syntax; priority order must match the Scala list
+      val scripts = Seq(
+        "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+        "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+        "greek" -> "[\\x{0370}-\\x{03FF}]",
+        "arabic" -> "[\\x{0600}-\\x{06FF}]",
+        "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+        "devanagari" -> "[\\x{0900}-\\x{097F}]",
+        "cjk_han" -> "[\\x{4E00}-\\x{9FFF}]",
+        "kana" -> "[\\x{3040}-\\x{30FF}]",
+        "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+      val cnts = scripts.map { case (n, r) =>
+        s"CAST(length(text) - length(regexp_replace(text, '$r', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(",\n        |  ")
+      val fracs = scripts.map { case (n, _) =>
+        s"CASE WHEN n_chars > 0 THEN round(CAST(n_$n AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS frac_$n"
+      }.mkString(",\n        |  ")
+      val dom = scripts.map { case (n, _) =>
+        s"WHEN n_$n > 0 AND n_$n = best THEN '$n'"
+      }.mkString("\n        |       ")
+      s"""SELECT doc_id, n_chars, ${scripts.map("n_" + _._1).mkString(", ")},
+        |  $fracs,
+        |  CASE $dom
+        |       ELSE 'none' END AS dominant_script
+        |FROM (SELECT *, greatest(${scripts.map("n_" + _._1).mkString(", ")}) AS best
+        |      FROM (SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars,
+        |  $cnts
+        |            FROM documents))""".stripMargin
     },
     "q_fingerprints" ->
       s"""SELECT DISTINCT doc_id, fp FROM (

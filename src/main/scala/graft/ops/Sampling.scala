@@ -389,7 +389,8 @@ object Sampling {
   def budgetedMixtureCounts(
       counts: DataFrame,
       weights: Map[String, Double],
-      tokenBudget: Long): DataFrame = {
+      tokenBudget: Long,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
     weights.values.foreach(w => require(w >= 0, s"negative weight $w"))
     val wSum = weights.values.sum
@@ -399,13 +400,21 @@ object Sampling {
       when(col("source") === src,
         lit(math.floor(tokenBudget.toDouble * w / wSum).toLong)).otherwise(acc)
     }
-    val rows = counts
-      .select(col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
-        md5(col("doc_id").cast("string")).as("h"))
-      .filter(col("n_tokens") > 0)
-      .withColumn("desired", desired)
-      .filter(col("desired") > 0)
-      .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int"))
+    // Materialize the narrow projection ONCE (doc ids, counts, hashes —
+    // never text): it is referenced three times below (bucket sums,
+    // interior branch, boundary branch), and without materialization
+    // each reference re-runs the upstream tokenize scan — a plan audit
+    // caught the corpus being tokenized 4x. Pluggable strategy, the
+    // [[graft.core.Materialize]] contract.
+    val rows = graft.core.Materialize(
+      counts
+        .select(col("doc_id"), col("source"), col("n_tokens").cast("long").as("n_tokens"),
+          md5(col("doc_id").cast("string")).as("h"))
+        .filter(col("n_tokens") > 0)
+        .withColumn("desired", desired)
+        .filter(col("desired") > 0)
+        .withColumn("bucket", conv(substring(col("h"), 1, 2), 16, 10).cast("int")),
+      mat)
     // (source, bucket) token sums + prefix over the tiny per-source table
     val bw = Window.partitionBy("source").orderBy("bucket")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -435,10 +444,11 @@ object Sampling {
       docs: DataFrame,
       sourceCol: String,
       weights: Map[String, Double],
-      tokenBudget: Long): DataFrame =
+      tokenBudget: Long,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
     budgetedMixtureCounts(
       graft.core.Parallelism.ensure(docs)
         .select(col("doc_id"), col(sourceCol).as("source"),
           size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
-      weights, tokenBudget)
+      weights, tokenBudget, mat)
 }

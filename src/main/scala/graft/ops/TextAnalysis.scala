@@ -107,6 +107,58 @@ object TextAnalysis {
     )
   }
 
+  /** Writing-system (Unicode script) detection — the multilingual
+    * complement to [[languageId]]: stopword lists only discriminate
+    * between Latin-script languages; for a crawl that mixes alphabets
+    * the FIRST routing decision is "which script is this document
+    * written in", and that is a pure character-class count. Per doc:
+    * the character count in each major script block, the corresponding
+    * fraction of all characters (6dp), and the dominant script (argmax
+    * over letter scripts, ties broken by the fixed order below; a doc
+    * with no letters in any tracked script → 'none').
+    *
+    * Ranges are BMP block ranges (not Unicode categories — both
+    * engines must count identically, and block ranges are plain
+    * character classes in Java regex and RE2 alike): latin includes
+    * the Latin-1/Extended letter blocks, cjk_han is the unified
+    * ideograph block, kana covers hiragana+katakana. Supplementary-
+    * plane text (emoji) is counted only in `n_chars` (Spark counts
+    * UTF-16 units there — document corpora at the gate are BMP).
+    *
+    * Row-parallel column algebra (one regexp_replace per script — no
+    * tokenize, no shuffle, no UDF); the 100 TB cost is the scan.
+    */
+  def scriptSignals(docs: DataFrame): DataFrame = {
+    // (name, Java-regex block range) in dominant-priority order
+    val scripts = Seq(
+      "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+      "cyrillic" -> "[\\u0400-\\u04FF]",
+      "greek" -> "[\\u0370-\\u03FF]",
+      "arabic" -> "[\\u0600-\\u06FF]",
+      "hebrew" -> "[\\u0590-\\u05FF]",
+      "devanagari" -> "[\\u0900-\\u097F]",
+      "cjk_han" -> "[\\u4E00-\\u9FFF]",
+      "kana" -> "[\\u3040-\\u30FF]",
+      "hangul" -> "[\\uAC00-\\uD7AF]")
+    def cnt(range: String): Column =
+      (length(col("text")) - length(regexp_replace(col("text"), range, ""))).cast("long")
+    val counted = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id") +: length(col("text")).cast("long").as("n_chars") +:
+        scripts.map { case (n, r) => cnt(r).as(s"n_$n") }: _*)
+    val best = greatest(scripts.map { case (n, _) => col(s"n_$n") }: _*)
+    val dominant = scripts.foldRight(lit("none")) { case ((n, _), acc) =>
+      when(col(s"n_$n") > 0 && col(s"n_$n") === best, lit(n)).otherwise(acc)
+    }
+    counted.select(
+      col("doc_id") +: col("n_chars") +:
+        (scripts.map { case (n, _) => col(s"n_$n") } ++
+          scripts.map { case (n, _) =>
+            when(col("n_chars") > 0,
+              round(col(s"n_$n").cast("double") / col("n_chars"), 6))
+              .otherwise(lit(0.0)).as(s"frac_$n")
+          } :+ dominant.as("dominant_script")): _*)
+  }
+
   /** Corpus-level top-k n-grams — the classic MapReduce demo query,
     * done with the plan it deserves: partial+final hash aggregation on
     * the n-gram, then `orderBy(...).limit(k)`, which Spark plans as

@@ -41,6 +41,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got === Map(1L -> "en", 2L -> "de", 3L -> "es"))
   }
 
+  test("scriptSignals routes by writing system; mixed docs pick the majority; no letters -> none") {
+    val got = TextAnalysis.scriptSignals(docs(
+      1L -> "plain english text",
+      2L -> "привет мир это русский текст",          // Cyrillic
+      3L -> "τα ελληνικα γραμματα",                  // Greek
+      4L -> "هذا نص عربي قصير",                      // Arabic
+      5L -> "这是一段中文文本没有空格",                 // Han
+      6L -> "ひらがなとカタカナのテキスト",             // Kana
+      7L -> "한국어 텍스트 예시",                      // Hangul
+      8L -> "mostly latin words here с парой слов",  // latin-majority mix (21 vs 13)
+      9L -> "12345 !!! ...",                         // no letters at all
+      10L -> ""))                                    // empty
+      .select("doc_id", "dominant_script").as[(Long, String)].collect().toMap
+    assert(got === Map(
+      1L -> "latin", 2L -> "cyrillic", 3L -> "greek", 4L -> "arabic",
+      5L -> "cjk_han", 6L -> "kana", 7L -> "hangul", 8L -> "latin",
+      9L -> "none", 10L -> "none"))
+    // fractions are exact counts over n_chars and sum to <= 1
+    val r2 = TextAnalysis.scriptSignals(docs(2L -> "привет мир"))
+      .select("n_chars", "n_cyrillic", "frac_cyrillic").as[(Long, Long, Double)].head()
+    assert(r2 === ((10L, 9L, 0.9)))
+  }
+
   test("repetitionSignals: dup lines and dominant bigrams are measured; clean docs score 0") {
     val d = docs(
       // 4 non-empty lines, 2 distinct -> dup_line_ratio 0.5;
