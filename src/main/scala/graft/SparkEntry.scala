@@ -935,6 +935,21 @@ object SparkEntry {
         Dedup.clusters(Dedup.minhashCandidatePairs(d)))
         .select("doc_id", "split_key", "split")
     },
+    "q_split_audit" -> { (s, dir) =>
+      // the audit BOTH ways on one cluster table: a plain hash split
+      // leaks (clusters straddle), the safe split audits to zero —
+      // the guarantee itself is what gets hash-gated
+      val d = docs(s, dir)
+      val cl = Dedup.clusters(Dedup.minhashCandidatePairs(d))
+      graft.ops.Sampling.splitLeakageAudit(
+          graft.ops.Sampling.trainValTest(d, "doc_id"), cl)
+        .select(lit("plain").as("kind"), col("n_clusters"),
+          col("n_straddling"), col("n_docs_in_straddling"))
+        .unionByName(graft.ops.Sampling.splitLeakageAudit(
+            graft.ops.Sampling.leakageSafeSplit(d, cl), cl)
+          .select(lit("safe").as("kind"), col("n_clusters"),
+            col("n_straddling"), col("n_docs_in_straddling")))
+    },
 
     // ---- end-to-end curation composition ---------------------------------
     "q_curate" -> { (s, dir) =>
@@ -2180,6 +2195,33 @@ object SparkEntry {
          |        CAST(('0x' || substr(md5(CAST(split_key AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
          |      FROM (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS split_key
          |            FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id))""".stripMargin,
+    "q_split_audit" ->
+      // twin of Sampling.splitLeakageAudit both ways over the same
+      // cluster closure: plain split hashes doc_id, safe split hashes
+      // the cluster representative (so its straddling count is 0)
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |$CLUSTER_CTES,
+         |pl AS (SELECT cl.cluster_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM cl JOIN (SELECT doc_id,
+         |               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |             FROM documents) d USING (doc_id)),
+         |sf AS (SELECT cluster_id,
+         |         CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |       FROM (SELECT cluster_id,
+         |               CAST(('0x' || substr(md5(CAST(cluster_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |             FROM cl)),
+         |pa AS (SELECT cluster_id, count(DISTINCT split) AS ns, count(*) AS nd FROM pl GROUP BY 1),
+         |sa AS (SELECT cluster_id, count(DISTINCT split) AS ns, count(*) AS nd FROM sf GROUP BY 1)
+         |SELECT 'plain' AS kind, CAST(count(*) AS BIGINT) AS n_clusters,
+         |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_straddling,
+         |  CAST(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT) AS n_docs_in_straddling
+         |FROM pa
+         |UNION ALL
+         |SELECT 'safe', CAST(count(*) AS BIGINT),
+         |  CAST(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END) AS BIGINT),
+         |  CAST(sum(CASE WHEN ns > 1 THEN nd ELSE 0 END) AS BIGINT)
+         |FROM sa""".stripMargin,
     "q_curate" ->
       s"""WITH RECURSIVE $CURATE_CTES
          |SELECT doc_id, source, pred_lang,

@@ -355,6 +355,30 @@ object Sampling {
       .drop("cluster_id")
   }
 
+  /** Split-leakage AUDIT — the verification query for
+    * [[leakageSafeSplit]]'s guarantee, runnable against ANY split
+    * assignment: per near-dup cluster, how many distinct splits its
+    * members landed in; summarized as
+    * `(n_clusters, n_straddling, n_docs_in_straddling)`. A
+    * [[leakageSafeSplit]] assignment audits to `n_straddling = 0` by
+    * construction; a plain [[trainValTest]] over the same corpus shows
+    * the leakage the guard exists for. Run it after any manual split
+    * to certify eval integrity.
+    *
+    * Cost: cluster-table-sized join + two combinable aggregates —
+    * never corpus-sized beyond the id/split projection.
+    */
+  def splitLeakageAudit(docsWithSplit: DataFrame, clusters: DataFrame): DataFrame =
+    clusters.select(col("doc_id"), col("cluster_id"))
+      .join(docsWithSplit.select(col("doc_id"), col("split")), Seq("doc_id"))
+      .groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n_splits"), count(lit(1)).as("n_docs"))
+      .agg(
+        count(lit(1)).as("n_clusters"),
+        sum(when(col("n_splits") > 1, 1L).otherwise(0L)).as("n_straddling"),
+        sum(when(col("n_splits") > 1, col("n_docs")).otherwise(0L))
+          .as("n_docs_in_straddling"))
+
   /** Token-budget mixture SELECTION — the manifest face of
     * [[epochPlan]]: given per-source mixture weights and a total token
     * budget, pick the actual documents. Per source, the budget share is

@@ -256,5 +256,17 @@ class SamplingSpec extends SparkSpec {
     got.filterNot(r => clustered(r._1)).foreach { case (id, _, split) =>
       assert(split === plain(id), s"singleton $id moved")
     }
+    // the audit certifies the guarantee: safe -> zero straddling;
+    // plain -> matches a brute-force recount of cluster split spread
+    val safeAudit = Sampling.splitLeakageAudit(
+        Sampling.leakageSafeSplit(docs, clusters), clusters)
+      .as[(Long, Long, Long)].head()
+    assert(safeAudit === ((3L, 0L, 0L)))
+    val plainAudit = Sampling.splitLeakageAudit(
+        Sampling.trainValTest(docs, "doc_id"), clusters)
+      .as[(Long, Long, Long)].head()
+    val members = Map(10L -> Seq(10L, 57L, 203L), 20L -> Seq(20L, 88L), 31L -> Seq(31L, 32L, 33L))
+    val straddlers = members.values.filter(ms => ms.map(plain).toSet.size > 1)
+    assert(plainAudit === ((3L, straddlers.size.toLong, straddlers.map(_.size).sum.toLong)))
   }
 }
