@@ -39,6 +39,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.marginMineTableFunction)
     ext.injectTableFunction(GraftExtensions.noveltyTableFunction)
     ext.injectTableFunction(GraftExtensions.hammingPairsTableFunction)
+    ext.injectTableFunction(GraftExtensions.scriptTableFunction)
+    ext.injectTableFunction(GraftExtensions.splitSafeTableFunction)
+    ext.injectTableFunction(GraftExtensions.splitAuditTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -274,6 +277,83 @@ object GraftExtensions {
         graft.ops.Dedup.hammingPairs(
           spark.table(str(children.head, "sigs_table")), bits, maxHamming,
           mat = graft.core.Materialize.Persist))
+    })
+
+  /** SQL surface for Unicode writing-system detection
+    * ([[graft.ops.TextAnalysis.scriptSignals]]):
+    *
+    * {{{
+    * SELECT * FROM graft_script('docs')
+    * }}}
+    *
+    * The named table carries (doc_id, text); emits per-doc script-block
+    * counts/fractions + dominant_script. Fully lazy — no cache entry. */
+  private val scriptTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_script"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_script"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_script(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.scriptSignals(SparkSession.active.table(
+          stringArg("graft_script")(children.head, "docs_table"))))
+    })
+
+  /** SQL surface for the leakage-safe split
+    * ([[graft.ops.Sampling.leakageSafeSplit]]):
+    *
+    * {{{
+    * SELECT * FROM graft_split_safe('docs', 'clusters')         -- 80/10
+    * SELECT * FROM graft_split_safe('docs', 'clusters', 90, 5)
+    * }}}
+    *
+    * `docs` carries doc_id (any other columns pass through);
+    * `clusters` is a stored `(doc_id, cluster_id)` table
+    * ([[graft.ops.Dedup.clusters]] output). Emits docs + split_key +
+    * split. Fully lazy — no cache entry. */
+  private val splitSafeTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_split_safe"),
+    new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_split_safe"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 4,
+        "graft_split_safe(docs_table, clusters_table[, train_pct, val_pct])")
+      val str = stringArg("graft_split_safe") _
+      val int = intArg("graft_split_safe") _
+      val spark = SparkSession.active
+      val (tr, va) =
+        if (children.size == 4) (int(children(2), "train_pct"), int(children(3), "val_pct"))
+        else (80, 10)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Sampling.leakageSafeSplit(
+          spark.table(str(children.head, "docs_table")),
+          spark.table(str(children(1), "clusters_table")),
+          trainPct = tr, valPct = va))
+    })
+
+  /** SQL surface for the split-leakage audit
+    * ([[graft.ops.Sampling.splitLeakageAudit]]):
+    *
+    * {{{
+    * SELECT * FROM graft_split_audit('split_docs', 'clusters')
+    * }}}
+    *
+    * `split_docs` carries (doc_id, split) — any split assignment;
+    * `clusters` is the stored cluster table. Emits ONE row
+    * (n_clusters, n_straddling, n_docs_in_straddling); a leakage-safe
+    * assignment audits to zero straddling. Fully lazy. */
+  private val splitAuditTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_split_audit"),
+    new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_split_audit"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_split_audit(split_docs_table, clusters_table)")
+      val str = stringArg("graft_split_audit") _
+      val spark = SparkSession.active
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Sampling.splitLeakageAudit(
+          spark.table(str(children.head, "split_docs_table")),
+          spark.table(str(children(1), "clusters_table"))))
     })
 
   /** SQL surface for the IVF+PQ serving call — ANN search over the
@@ -715,7 +795,8 @@ object GraftExtensions {
         curateTableFunction, dsirTableFunction,
         bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
         phraseTableFunction, marginMineTableFunction, noveltyTableFunction,
-        hammingPairsTableFunction)
+        hammingPairsTableFunction, scriptTableFunction,
+        splitSafeTableFunction, splitAuditTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -268,5 +268,16 @@ class SamplingSpec extends SparkSpec {
     val members = Map(10L -> Seq(10L, 57L, 203L), 20L -> Seq(20L, 88L), 31L -> Seq(31L, 32L, 33L))
     val straddlers = members.values.filter(ms => ms.map(plain).toSet.size > 1)
     assert(plainAudit === ((3L, straddlers.size.toLong, straddlers.map(_.size).sum.toLong)))
+    // SQL surface parity: both TVFs over the stored-table shapes
+    graft.plans.GraftExtensions.install(spark)
+    docs.createOrReplaceTempView("lss_docs")
+    clusters.createOrReplaceTempView("lss_clusters")
+    val viaSql = spark.sql("SELECT doc_id, split_key, split FROM graft_split_safe('lss_docs', 'lss_clusters')")
+      .as[(Long, Long, String)].collect().toSet
+    assert(viaSql === got.toSet)
+    Sampling.leakageSafeSplit(docs, clusters).select("doc_id", "split")
+      .createOrReplaceTempView("lss_split")
+    assert(spark.sql("SELECT * FROM graft_split_audit('lss_split', 'lss_clusters')")
+      .as[(Long, Long, Long)].head() === ((3L, 0L, 0L)))
   }
 }

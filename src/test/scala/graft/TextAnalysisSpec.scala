@@ -62,6 +62,14 @@ class TextAnalysisSpec extends SparkSpec {
     val r2 = TextAnalysis.scriptSignals(docs(2L -> "привет мир"))
       .select("n_chars", "n_cyrillic", "frac_cyrillic").as[(Long, Long, Double)].head()
     assert(r2 === ((10L, 9L, 0.9)))
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(spark)
+    val d = docs(1L -> "plain english", 2L -> "привет мир")
+    d.createOrReplaceTempView("script_docs")
+    assert(spark.sql("SELECT doc_id, dominant_script FROM graft_script('script_docs')")
+      .as[(Long, String)].collect().toMap ===
+      TextAnalysis.scriptSignals(d).select("doc_id", "dominant_script")
+        .as[(Long, String)].collect().toMap)
   }
 
   test("repetitionSignals: dup lines and dominant bigrams are measured; clean docs score 0") {
