@@ -8,6 +8,10 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // Relational.events' NTZ->TIMESTAMP cast is session-tz-dependent;
+      // pin UTC so a micros-fixture bench derives the same ts_ns as
+      // Verify/tests on any host (Verify/VerifyOne/SparkSpec do the same)
+      .config("spark.sql.session.timeZone", "UTC")
       // InferFiltersFromGenerate substitutes the full generator expression
       // into an inferred size()>0 filter; for our explode-of-computed-array
       // plans (shingles, bands) that re-runs the tokenizer per lambda

@@ -258,6 +258,35 @@ object ProbeScale {
       graft.ops.Sampling.leakageSafeSplit(docs, cl).groupBy("split").count().count()
     }
     }
+    // round-11: BPE at production depth — (a) the driver-local trainer
+    // vs the distributed per-merge loop at depth 100 (the >=10x
+    // merges/sec claim), (b) local training to depth 2000, (c) serving
+    // through the native min-rank encoder at depth 2000 at both scales
+    // (scan-bound: wall-clock should track the data ratio)
+    if (section == "bpe") {
+    import graft.ops.Bpe
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    time("bpe_train_dist_d100")(Bpe.trainMergesDistributed(
+      docs01, 100, 1L, graft.core.Materialize.LocalCheckpoint).size.toLong)
+    time("bpe_train_local_d100")(Bpe.trainMerges(docs01, 100, 1L).size.toLong)
+    // the fixture corpus' vocabulary saturates at ~90 merges, so the
+    // serving-depth probe trains its merge table on a synthetic
+    // 3000-word lexicon (driver-local, sub-second) — encode cost
+    // depends only on the table's depth, not on where it was learned
+    var deep: Seq[(String, String)] = null
+    time("bpe_train_local_deep") {
+      val rnd = new scala.util.Random(42)
+      val lexicon = (1 to 3000).map(_ => (1 to (6 + rnd.nextInt(10)))
+        .map(_ => ('a' + rnd.nextInt(26)).toChar).mkString)
+      val wc = lexicon.zipWithIndex.map { case (w, i) => (w, 1L + (i % 5)) }.toArray
+      deep = Bpe.trainMergesLocal(wc, 4000, 1L).map(m => (m.lhs, m.rhs))
+      deep.size.toLong
+    }
+    for (rep <- 1 to 2) {
+      time(s"bpe_tokens_sf01_deep_$rep")(Bpe.tokenCounts(docs01, deep).count())
+      time(s"bpe_tokens_sf1_deep_$rep")(Bpe.tokenCounts(docs, deep).count())
+    }
+    }
     if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies
     if (!new java.io.File("/tmp/emb_sf1").exists()) {

@@ -1253,7 +1253,9 @@ object SparkEntry {
       // twin of TextAnalysis.scriptSignals: the same BMP block ranges
       // in RE2 \x{..} syntax; priority order must match the Scala list
       val scripts = Seq(
-        "latin" -> "[A-Za-z\\x{00C0}-\\x{024F}]",
+        // letter blocks only: the multiplication/division signs
+        // (U+00D7/U+00F7) are excluded, matching the Scala op
+        "latin" -> "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]",
         "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
         "greek" -> "[\\x{0370}-\\x{03FF}]",
         "arabic" -> "[\\x{0600}-\\x{06FF}]",

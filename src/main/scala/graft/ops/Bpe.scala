@@ -26,25 +26,41 @@ import graft.core.{Materialize, TextNorm}
   *
   * Training scale shape (the 100 TB stance): the corpus is scanned
   * ONCE, for the word-frequency table — a groupBy(word) whose result
-  * is vocabulary-sized, not corpus-sized. Every iteration after that
-  * runs on the vocab table: one explode of adjacent symbol pairs
-  * weighted by word count, one combinable groupBy(pair) aggregate, a
-  * single-row argmax collected to the driver (the model lives
-  * driver-side by construction, like a tokenizer file), and one
-  * row-parallel replace. The state table is re-materialized per
-  * iteration (strategy pluggable) so lineage stays flat — the
-  * [[Dedup.clusters]] iteration discipline. Driver loop length =
-  * `numMerges`, a model hyper-parameter, never a function of corpus
-  * size.
+  * is vocabulary-sized, not corpus-sized. Refinement then runs on that
+  * table, in one of two EXACTLY-equivalent forms (the spec pins
+  * parity):
   *
-  * Serving: the merge table folds into a chain of `numMerges` nested
-  * codegen'd `replace` calls applied row-parallel — merges ride into
-  * every task as plan literals (the broadcast analogue), the corpus is
-  * scanned once, and the only shuffle is the final combinable
-  * groupBy(doc_id). For production-sized merge tables (30k+) chunk the
-  * chain across sequential projections or drop to a broadcast-map
-  * mapPartitions encoder; at oracle scale the pure-column chain is the
-  * faster and simpler form.
+  *  - **Driver-local** (the default whenever the vocabulary fits,
+  *    guarded by `maxLocalVocab`): collect the word-frequency table —
+  *    it is model-sized state, like a tokenizer file — and run the
+  *    merge loop in memory with incremental pair-count maintenance
+  *    (only words containing the chosen pair are touched per step).
+  *    This is how every production BPE trainer works, and it turns
+  *    30k merges from 30k sequential Spark jobs into one job plus an
+  *    in-memory loop.
+  *  - **Distributed** (the fallback for a vocabulary too large to
+  *    collect): per merge, one explode of adjacent symbol pairs
+  *    weighted by word count, one combinable groupBy(pair) aggregate,
+  *    a single-row argmax, one row-parallel replace; state
+  *    re-materialized per iteration (strategy pluggable) so lineage
+  *    stays flat — the [[Dedup.clusters]] iteration discipline.
+  *
+  * Driver loop length = `numMerges`, a model hyper-parameter, never a
+  * function of corpus size.
+  *
+  * Serving — two equivalent forms, one per operating depth:
+  *
+  *  - [[encodeCol]], the executable spec: the merge table folded into
+  *    a chain of `numMerges` nested codegen'd `replace` calls. Also
+  *    the shape of the DuckDB oracle twin. Fine at oracle depth;
+  *    structurally cannot reach a production 30k-merge vocab (the
+  *    expression tree is `numMerges` deep).
+  *  - [[encodeFast]], the production path the serve functions use: a
+  *    native Catalyst expression ([[graft.functions.BpeEncode]])
+  *    around the iterative min-rank encoder — O(len²) per word,
+  *    independent of vocabulary size, merges riding into tasks as one
+  *    plan-reference object. The corpus is scanned once and the only
+  *    shuffle is the final combinable groupBy.
   *
   * Determinism: ties in the pair argmax break by (count desc, left
   * asc, right asc) — exact on longs and ASCII strings in both engines.
@@ -73,14 +89,125 @@ object Bpe {
   /** Learn up to `numMerges` merges; stops early when the best
     * remaining pair's count falls under `minFrequency` (merging
     * singleton evidence learns noise). Returns the ordered merge list
-    * (driver-side — it IS the model). */
+    * (driver-side — it IS the model).
+    *
+    * When the word-frequency table holds at most `maxLocalVocab`
+    * distinct words it is collected and refined driver-local (the
+    * model-sized-state convention — the merge list was always going to
+    * live on the driver); otherwise the distributed per-merge loop
+    * runs. Both paths produce IDENTICAL merges (the spec pins parity),
+    * so the guard is purely an execution-cost dial. */
   def trainMerges(
       docs: DataFrame,
       numMerges: Int,
       minFrequency: Long = 2L,
-      mat: Materialize.Strategy = Materialize.LocalCheckpoint): Seq[Merge] = {
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      maxLocalVocab: Long = 1000000L): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
     require(minFrequency >= 1, s"minFrequency=$minFrequency must be >= 1")
+    // one probe job: fetch at most maxLocalVocab+1 rows — if that was
+    // all of them, they ARE the vocabulary and refinement runs local
+    val cap = math.min(maxLocalVocab, Int.MaxValue - 2L).toInt
+    val probe = wordCounts(docs).limit(cap + 1).collect()
+    if (probe.length <= cap)
+      trainMergesLocal(probe.map(r => (r.getString(0), r.getLong(1))), numMerges, minFrequency)
+    else trainMergesDistributed(docs, numMerges, minFrequency, mat)
+  }
+
+  /** Driver-local exact BPE refinement over the collected
+    * word-frequency table, with incremental pair-count maintenance:
+    * per merge, only the words CONTAINING the chosen pair are
+    * re-counted (subtract their old adjacent-pair contributions, apply
+    * the leftmost-greedy merge, add the new ones). Same argmax and
+    * tie-break ((count desc, lhs asc, rhs asc) — exact on longs and
+    * ASCII) as the distributed loop, so the merge sequences are
+    * identical by construction. */
+  private[graft] def trainMergesLocal(
+      words: Array[(String, Long)],
+      numMerges: Int,
+      minFrequency: Long): Seq[Merge] = {
+    import scala.collection.mutable
+    // symbol sequences, one per distinct word (code-point split — the
+    // charSyms twin)
+    val syms = new Array[mutable.ArrayBuffer[String]](words.length)
+    val cnts = new Array[Long](words.length)
+    var i = 0
+    while (i < words.length) {
+      val (w, c) = words(i)
+      val buf = new mutable.ArrayBuffer[String](w.length)
+      var ci = 0
+      while (ci < w.length) {
+        val cp = w.codePointAt(ci)
+        buf += new String(Character.toChars(cp))
+        ci += Character.charCount(cp)
+      }
+      syms(i) = buf; cnts(i) = c
+      i += 1
+    }
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def contribute(wi: Int, sign: Long): Unit = {
+      val s = syms(wi)
+      var j = 0
+      while (j < s.length - 1) {
+        val p = (s(j), s(j + 1))
+        val nv = pairCount.getOrElse(p, 0L) + sign * cnts(wi)
+        if (nv == 0L) pairCount.remove(p) else pairCount.update(p, nv)
+        if (sign > 0) pairWords.getOrElseUpdate(p, mutable.Set.empty) += wi
+        j += 1
+      }
+    }
+    i = 0
+    while (i < words.length) { contribute(i, 1L); i += 1 }
+    val out = mutable.ListBuffer.empty[Merge]
+    var done = false
+    while (out.size < numMerges && !done) {
+      // argmax by (count desc, lhs asc, rhs asc)
+      var best: (String, String) = null
+      var bc = 0L
+      pairCount.foreach { case (p, c) =>
+        if (best == null || c > bc ||
+          (c == bc && (p._1 < best._1 || (p._1 == best._1 && p._2 < best._2)))) {
+          best = p; bc = c
+        }
+      }
+      if (best == null || bc < minFrequency) done = true
+      else {
+        out += Merge(out.size + 1, best._1, best._2, best._1 + best._2, bc)
+        val ab = best._1 + best._2
+        // pairWords entries go stale lazily (a word may have lost the
+        // pair to an earlier merge); contribute(-1)/merge/contribute(+1)
+        // is a no-op for those, so staleness costs time, never truth
+        val affected = pairWords.remove(best).map(_.toArray).getOrElse(Array.empty)
+        java.util.Arrays.sort(affected)
+        affected.foreach { wi =>
+          contribute(wi, -1L)
+          val s = syms(wi)
+          val merged = new mutable.ArrayBuffer[String](s.length)
+          var rp = 0
+          while (rp < s.length) {
+            if (rp < s.length - 1 && s(rp) == best._1 && s(rp + 1) == best._2) {
+              merged += ab; rp += 2
+            } else { merged += s(rp); rp += 1 }
+          }
+          syms(wi) = merged
+          contribute(wi, 1L)
+        }
+        pairCount.remove(best)
+      }
+    }
+    out.toList
+  }
+
+  /** The distributed per-merge refinement loop — one pair-count
+    * aggregate + argmax + row-parallel replace per merge. Exact twin of
+    * [[trainMergesLocal]]; used when the vocabulary exceeds
+    * `maxLocalVocab`. */
+  private[graft] def trainMergesDistributed(
+      docs: DataFrame,
+      numMerges: Int,
+      minFrequency: Long,
+      mat: Materialize.Strategy): Seq[Merge] = {
     var words = Materialize(
       wordCounts(docs).select(charSyms(col("word")).as("syms"), col("cnt")), mat)
     val out = scala.collection.mutable.ListBuffer.empty[Merge]
@@ -126,11 +253,26 @@ object Bpe {
 
   /** Encode one word column with an ordered merge list: the wrapped
     * symbolization folded through one `replace` per merge, then split
-    * back to the piece array. Pure codegen'd column algebra. */
+    * back to the piece array. Pure codegen'd column algebra — the
+    * EXECUTABLE SPEC of the encode semantics and the shape of the
+    * DuckDB oracle twin, usable to oracle depth (~64 merges; the
+    * expression tree is one `replace` deep per merge). Production
+    * serving goes through [[encodeFast]]. */
   def encodeCol(word: Column, merges: Seq[(String, String)]): Column =
     pieces(merges.foldLeft(charSyms(word)) { case (s, (a, b)) =>
       replace(s, lit(s" $a  $b "), lit(s" $a$b "))
     })
+
+  /** Production encode path: the native iterative min-rank encoder
+    * ([[graft.functions.BpeEncode]]) — one plan node at ANY vocabulary
+    * depth, O(len²) per word independent of merge-list size, still
+    * inside whole-stage codegen. Bit-identical to [[encodeCol]] on
+    * trained merge lists (the parity spec pins it; see the equivalence
+    * contract on [[graft.functions.BpeEncoder]]). */
+  def encodeFast(word: Column, merges: Seq[(String, String)]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.BpeEncode(
+        org.apache.spark.sql.GraftSqlBridge.expression(word), merges))
 
   /** True subword token counts per document under a trained merge
     * list: `(doc_id, n_bpe_tokens)`, token-less docs 0 — the counts
@@ -143,7 +285,7 @@ object Bpe {
       .select(col("doc_id"), explode_outer(TextNorm.tokens(col("text"))).as("word"))
       .select(col("doc_id"),
         when(col("word").isNull, lit(0L))
-          .otherwise(size(encodeCol(col("word"), merges)).cast("long")).as("n"))
+          .otherwise(size(encodeFast(col("word"), merges)).cast("long")).as("n"))
       .groupBy("doc_id").agg(sum("n").cast("long").as("n_bpe_tokens"))
 
   /** The served tokenizer's symbol inventory over a corpus — the vocab
@@ -158,7 +300,7 @@ object Bpe {
   def vocab(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
     wordCounts(docs)
       .select(col("word"), col("cnt"),
-        explode(encodeCol(col("word"), merges)).as("piece"))
+        explode(encodeFast(col("word"), merges)).as("piece"))
       .groupBy("piece")
       .agg(countDistinct("word").as("n_words"),
         sum("cnt").as("total_count"))
@@ -180,7 +322,7 @@ object Bpe {
       .select(col("source"),
         when(col("word").isNull, lit(0L)).otherwise(lit(1L)).as("nw"),
         when(col("word").isNull, lit(0L))
-          .otherwise(size(encodeCol(col("word"), merges)).cast("long")).as("np"))
+          .otherwise(size(encodeFast(col("word"), merges)).cast("long")).as("np"))
       .groupBy("source")
       .agg(sum("nw").as("n_words"), sum("np").as("n_bpe_tokens"))
       .select(col("source"), col("n_words"), col("n_bpe_tokens"),

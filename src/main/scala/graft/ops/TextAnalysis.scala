@@ -120,10 +120,13 @@ object TextAnalysis {
     * Ranges are BMP block ranges (not Unicode categories — both
     * engines must count identically, and block ranges are plain
     * character classes in Java regex and RE2 alike): latin includes
-    * the Latin-1/Extended letter blocks, cjk_han is the unified
-    * ideograph block, kana covers hiragana+katakana. Supplementary-
-    * plane text (emoji) is counted only in `n_chars` (Spark counts
-    * UTF-16 units there — document corpora at the gate are BMP).
+    * the Latin-1/Extended letter blocks minus the two non-letters the
+    * block range would otherwise sweep in (U+00D7 ×, U+00F7 ÷),
+    * cjk_han is the unified ideograph block, kana covers
+    * hiragana+katakana. Supplementary-plane text (emoji) is counted
+    * only in `n_chars` — Spark's `length()` counts code points
+    * (UTF8String.numChars), as does DuckDB's, so both engines agree
+    * there too; the script classes themselves are BMP-only.
     *
     * Row-parallel column algebra (one regexp_replace per script — no
     * tokenize, no shuffle, no UDF); the 100 TB cost is the scan.
@@ -131,7 +134,7 @@ object TextAnalysis {
   def scriptSignals(docs: DataFrame): DataFrame = {
     // (name, Java-regex block range) in dominant-priority order
     val scripts = Seq(
-      "latin" -> "[A-Za-z\\u00C0-\\u024F]",
+      "latin" -> "[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F]",
       "cyrillic" -> "[\\u0400-\\u04FF]",
       "greek" -> "[\\u0370-\\u03FF]",
       "arabic" -> "[\\u0600-\\u06FF]",

@@ -134,7 +134,13 @@ class MultimodalSpec extends SparkSpec {
     val base = patternPng(64, 64)
     // same pixels, re-encoded independently (fresh PNG bytes)
     val copy = patternPng(64, 64)
-    assert(!java.util.Arrays.equals(base, copy) || base.sameElements(copy)) // bytes may or may not differ; pixels identical
+    // pixels must be identical (the byte encodings may legitimately differ);
+    // the hash-equality assertion below is what pins the perceptual claim
+    locally {
+      val bi = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(base))
+      val ci = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(copy))
+      assert((0 until 64).forall(x => (0 until 64).forall(y => bi.getRGB(x, y) == ci.getRGB(x, y))))
+    }
     // small edit: one 6x6 patch repainted
     val edited = patternPng(64, 64, Some((30, 30, 6, 6, 0x808080)))
     // genuinely different image: inverted checkerboard phase + gradient
