@@ -873,6 +873,11 @@ object SparkEntry {
       // text payloads -> the perceptual hasher's quarantine path (the
       // spec pins real-PNG aHash/dHash + hamming pairing)
       Multimodal.imagePhash(Multimodal.envelope(docs(s, dir)))(s).toDF()),
+    "q_video_probe" -> ((s, dir) =>
+      // fixtures carry no video bytes: every row exercises the REAL
+      // MP4/AVI header parser's quarantine path (the spec pins real
+      // container parsing on hand-built MP4/AVI bytes)
+      Multimodal.decodeVideo(Multimodal.envelope(docs(s, dir)))(s).toDF()),
 
     // ---- deterministic sampling / dataset splitting ----------------------
     "q_train_split" -> { (s, dir) =>
@@ -2039,6 +2044,20 @@ object SparkEntry {
         |  CAST(0.0 AS DOUBLE) AS sample_rate,
         |  CAST(0 AS INTEGER) AS channels,
         |  CAST(0 AS BIGINT) AS frames
+        |FROM documents""".stripMargin,
+    "q_video_probe" ->
+      // twin of Multimodal.decodeVideo over text payloads: text parses
+      // as neither MP4 nor AVI (the box walk rejects it), so every row
+      // is the quarantine shape — the failure path, oracle-pinned
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  'undecodable' AS status,
+        |  '' AS container,
+        |  '' AS codec,
+        |  CAST(0 AS INTEGER) AS width,
+        |  CAST(0 AS INTEGER) AS height,
+        |  CAST(0.0 AS DOUBLE) AS duration_s,
+        |  CAST(0 AS BIGINT) AS n_frames
         |FROM documents""".stripMargin,
     "q_image_phash" ->
       // twin of Multimodal.imagePhash over text payloads: no ImageIO

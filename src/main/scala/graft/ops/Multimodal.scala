@@ -11,15 +11,16 @@ import org.apache.spark.sql.functions._
   * Image and audio decode are REAL: [[decodeImages]] reads
   * PNG/JPEG/GIF/BMP geometry with `javax.imageio`, [[decodeAudio]]
   * reads WAV/AIFF/AU container metadata with `javax.sound.sampled`
-  * (both ship with the JDK — no external dependency), inside the
-  * mapPartitions batch contract. Bytes that no
+  * (both ship with the JDK — no external dependency), and
+  * [[decodeVideo]] reads MP4/AVI container metadata (geometry,
+  * duration, codec fourcc, frame count) by direct byte parsing of the
+  * box/RIFF structure — the JDK ships no video codec, so frame-pixel
+  * decode is out of scope, but everything a curation pipeline filters
+  * on lives in the header. All run inside the mapPartitions batch
+  * contract. Bytes that no
   * installed reader accepts (text payloads, corrupt files, truncated
   * streams) become QUARANTINE rows (`status = 'undecodable'`), never
   * task failures — at 100 TB a single bad file must not kill a stage.
-  * [[decodeStub]] remains only for media the JDK has no codec for
-  * (video frame sampling): a clearly-marked deterministic fake whose
-  * envelope/batch plumbing is identical, so swapping in a real codec
-  * changes one function body.
   *
   * Scale notes: decode is embarrassingly parallel (mapPartitions, no
   * shuffle); feature hashes are codegen'd column exprs; nothing ever
@@ -34,9 +35,6 @@ object Multimodal {
     * bytes, a quarantine row (`status = "undecodable"`, zero geometry)
     * when none did. */
   final case class DecodedImage(doc_id: Long, n_bytes: Long, status: String, width: Int, height: Int)
-
-  /** Fake-decoded media descriptor (see [[decodeStub]]). */
-  final case class MediaFrames(doc_id: Long, n_bytes: Long, width: Int, height: Int, n_frames: Int)
 
   /** Wrap a documents table into the envelope: the utf-8 bytes of
     * `text` stand in for real media bytes (fixtures carry no images);
@@ -97,8 +95,8 @@ object Multimodal {
     * bytes never leave the executor, undecodable payloads quarantine
     * (`status = 'undecodable'`) instead of failing the task. Header
     * parsing only: the PCM body is not decompressed, so cost per item
-    * is O(header), not O(bytes). With this, [[decodeStub]] stands in
-    * for video alone.
+    * is O(header), not O(bytes) — the same stance [[decodeVideo]]
+    * takes for MP4/AVI.
     */
   def decodeAudio(env: DataFrame)(implicit spark: SparkSession): Dataset[DecodedAudio] = {
     import spark.implicits._
@@ -121,26 +119,46 @@ object Multimodal {
       }
   }
 
-  /** STUB decoder — deterministic fake standing in ONLY for media the
-    * JDK ships no codec for (video frame sampling; images go through
-    * the real [[decodeImages]]). Geometry is a pure function of the
-    * payload size so any engine can reproduce it:
-    *   width = 1 + n_bytes % 640, height = 1 + n_bytes % 480,
-    *   n_frames = 1 + n_bytes % 16.
-    * The mapPartitions shape (iterator-in/iterator-out per partition,
-    * bytes never leaving the executor) is the real decode contract.
+  /** Real video decode result: container-level metadata when the bytes
+    * parsed as an MP4 (ISO BMFF) or AVI (RIFF) container, a quarantine
+    * row otherwise. `duration_s` is the header-declared duration;
+    * `n_frames` is the declared sample/frame count (-1 when the
+    * container does not declare one — a real shape, not an error). */
+  final case class DecodedVideo(doc_id: Long, n_bytes: Long, status: String,
+      container: String, codec: String, width: Int, height: Int,
+      duration_s: Double, n_frames: Long)
+
+  /** REAL video container metadata over the envelope — plain byte
+    * parsing of the two dominant container layouts, no codec library
+    * (the JDK ships none; full frame DECODE stays out of reach without
+    * new dependencies, but geometry/duration/codec-fourcc — the fields
+    * a curation pipeline filters on — live in the container header,
+    * the same O(header) stance as [[decodeAudio]]):
+    *
+    *  - MP4/ISO-BMFF: box walk to `moov/mvhd` (timescale+duration) and
+    *    the `vide`-handler trak's `tkhd` (16.16 fixed-point geometry),
+    *    `stbl/stsd` (codec fourcc), `stbl/stts` (sample count).
+    *  - AVI/RIFF: `hdrl/avih` (frame timing, total frames, geometry)
+    *    and the `vids` stream's `strh` handler fourcc.
+    *
+    * Same contract as [[decodeImages]]: one output row per input row,
+    * bytes never leave the executor, no shuffle, and bytes that parse
+    * as neither container — text payloads, corrupt or truncated
+    * streams, box sizes walking out of bounds — quarantine
+    * (`status = 'undecodable'`) instead of failing the task.
     */
-  def decodeStub(env: DataFrame)(implicit spark: SparkSession): Dataset[MediaFrames] = {
+  def decodeVideo(env: DataFrame)(implicit spark: SparkSession): Dataset[DecodedVideo] = {
     import spark.implicits._
     env.select(col("doc_id"), col("content"), col("meta.mime").as("mime"))
       .as[MediaItem]
       .mapPartitions { items =>
         items.map { it =>
           val n = it.content.length.toLong
-          MediaFrames(it.doc_id, n,
-            width = 1 + (n % 640).toInt,
-            height = 1 + (n % 480).toInt,
-            n_frames = 1 + (n % 16).toInt)
+          VideoContainers.parse(it.content) match {
+            case Some(v) => DecodedVideo(it.doc_id, n, "decoded", v.container,
+              v.codec, v.width, v.height, v.durationS, v.nFrames)
+            case None => DecodedVideo(it.doc_id, n, "undecodable", "", "", 0, 0, 0.0, 0L)
+          }
         }
       }
   }
@@ -260,5 +278,178 @@ object Multimodal {
     decodeImages(env).toDF()
       .join(features(env).drop("n_bytes"), "doc_id")
       .select("doc_id", "mime", "n_bytes", "status", "width", "height", "content_md5")
+  }
+}
+
+/** Byte-level parsers for the two dominant video container layouts —
+  * header metadata only, no codec. Every read is bounds-checked; any
+  * walk that leaves the buffer returns None (the quarantine signal),
+  * never throws on adversarial bytes.
+  */
+private[graft] object VideoContainers {
+
+  final case class Info(container: String, codec: String, width: Int,
+      height: Int, durationS: Double, nFrames: Long)
+
+  def parse(b: Array[Byte]): Option[Info] =
+    try parseMp4(b).orElse(parseAvi(b))
+    catch { case scala.util.control.NonFatal(_) => None }
+
+  // ---- primitive readers (None on out-of-bounds) ------------------------
+  private def be32(b: Array[Byte], o: Int): Option[Long] =
+    if (o < 0 || o + 4 > b.length) None
+    else Some(((b(o) & 0xffL) << 24) | ((b(o + 1) & 0xffL) << 16) |
+      ((b(o + 2) & 0xffL) << 8) | (b(o + 3) & 0xffL))
+  private def be64(b: Array[Byte], o: Int): Option[Long] =
+    for (h <- be32(b, o); l <- be32(b, o + 4)) yield (h << 32) | l
+  private def le32(b: Array[Byte], o: Int): Option[Long] =
+    if (o < 0 || o + 4 > b.length) None
+    else Some(((b(o + 3) & 0xffL) << 24) | ((b(o + 2) & 0xffL) << 16) |
+      ((b(o + 1) & 0xffL) << 8) | (b(o) & 0xffL))
+  private def cc(b: Array[Byte], o: Int): Option[String] =
+    if (o < 0 || o + 4 > b.length) None
+    else Some(new String(b, o, 4, java.nio.charset.StandardCharsets.ISO_8859_1))
+
+  // ---- MP4 / ISO base media file format ---------------------------------
+
+  /** Children of the byte range [from, to) as (type, contentStart,
+    * contentEnd); walk stops cleanly at the first malformed box. */
+  private def mp4Children(b: Array[Byte], from: Int, to: Int): Seq[(String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = from
+    var ok = true
+    while (ok && off + 8 <= to) {
+      (be32(b, off), cc(b, off + 4)) match {
+        case (Some(sz32), Some(name)) =>
+          // size semantics: 1 -> 64-bit largesize follows; 0 -> to end
+          val (size, hdr) =
+            if (sz32 == 1L) (be64(b, off + 8).getOrElse(-1L), 16)
+            else if (sz32 == 0L) ((to - off).toLong, 8)
+            else (sz32, 8)
+          if (size < hdr || off + size > to || size > Int.MaxValue) ok = false
+          else {
+            out += ((name, off + hdr, off + size.toInt))
+            off += size.toInt
+          }
+        case _ => ok = false
+      }
+    }
+    out.result()
+  }
+
+  private def findBox(b: Array[Byte], from: Int, to: Int, name: String): Option[(Int, Int)] =
+    mp4Children(b, from, to).collectFirst { case (`name`, s, e) => (s, e) }
+
+  private def parseMp4(b: Array[Byte]): Option[Info] = {
+    val top = mp4Children(b, 0, b.length)
+    // a real BMFF stream leads with a recognizable top-level box — the
+    // cheap reject for text/garbage whose first 8 bytes happen to chain
+    val known = Set("ftyp", "styp", "moov", "moof", "mdat", "free",
+      "skip", "wide", "pdin", "sidx", "uuid", "meta")
+    if (top.isEmpty || !known.contains(top.head._1)) return None
+    val (ms, me) = top.collectFirst { case ("moov", s, e) => (s, e) }.getOrElse(return None)
+    // movie header: global timescale + duration
+    val (hs, he) = findBox(b, ms, me, "mvhd").getOrElse(return None)
+    val mvhdV = if (hs < b.length) b(hs) & 0xff else return None
+    val (tScale, dur) =
+      if (mvhdV == 1) (be32(b, hs + 20), be64(b, hs + 24))
+      else (be32(b, hs + 12), be32(b, hs + 16).map(_.toLong))
+    val durationS = (for (ts <- tScale; d <- dur; if ts > 0) yield d.toDouble / ts).getOrElse(0.0)
+    if (he < hs) return None
+    // the video track: first trak whose mdia/hdlr handler is 'vide'
+    // (fallback: first trak at all, for audio-only or exotic streams)
+    val traks = mp4Children(b, ms, me).collect { case ("trak", s, e) => (s, e) }
+    def handler(ts: Int, te: Int): Option[String] =
+      for {
+        (ds, de) <- findBox(b, ts, te, "mdia")
+        (is, _) <- findBox(b, ds, de, "hdlr")
+        h <- cc(b, is + 8)
+      } yield h
+    val trak = traks.find { case (s, e) => handler(s, e).contains("vide") }
+      .orElse(traks.headOption).getOrElse(return None)
+    // track header geometry: 16.16 fixed point at the box tail
+    val wh = for {
+      (ks, _) <- findBox(b, trak._1, trak._2, "tkhd")
+      v = b(ks) & 0xff
+      base = if (v == 1) ks + 88 else ks + 76
+      w <- be32(b, base)
+      h <- be32(b, base + 4)
+    } yield ((w >> 16).toInt, (h >> 16).toInt)
+    val (w, h) = wh.getOrElse((0, 0))
+    // codec fourcc (stsd first entry) + declared sample count (stts)
+    val stbl = for {
+      (ds, de) <- findBox(b, trak._1, trak._2, "mdia")
+      (is, ie) <- findBox(b, ds, de, "minf")
+      (ss, se) <- findBox(b, is, ie, "stbl")
+    } yield (ss, se)
+    val codec = stbl.flatMap { case (ss, se) =>
+      findBox(b, ss, se, "stsd").flatMap { case (s, _) => cc(b, s + 12) }
+    }.getOrElse("")
+    val nFrames = stbl.flatMap { case (ss, se) =>
+      findBox(b, ss, se, "stts").flatMap { case (s, _) =>
+        be32(b, s + 4).map { entries =>
+          var total = 0L
+          var i = 0L
+          while (i < entries) {
+            total += be32(b, s + 8 + (i * 8).toInt).getOrElse(0L)
+            i += 1
+          }
+          total
+        }
+      }
+    }.getOrElse(-1L)
+    Some(Info("mp4", codec.trim, w, h, durationS, nFrames))
+  }
+
+  // ---- AVI / RIFF -------------------------------------------------------
+
+  /** RIFF children of [from, to) as (id, listType-or-"", contentStart,
+    * contentEnd); chunks are word-aligned (odd sizes pad one byte). */
+  private def riffChildren(b: Array[Byte], from: Int, to: Int): Seq[(String, String, Int, Int)] = {
+    val out = Seq.newBuilder[(String, String, Int, Int)]
+    var off = from
+    var ok = true
+    while (ok && off + 8 <= to) {
+      (cc(b, off), le32(b, off + 8 - 4)) match {
+        case (Some(id), Some(sz)) =>
+          val end = off + 8 + sz
+          if (sz < 0 || end > to) ok = false
+          else {
+            if (id == "LIST" && sz >= 4)
+              out += ((id, cc(b, off + 8).getOrElse(""), off + 12, end.toInt))
+            else out += ((id, "", off + 8, end.toInt))
+            off = (end + (sz & 1L)).toInt // word alignment
+          }
+        case _ => ok = false
+      }
+    }
+    out.result()
+  }
+
+  private def parseAvi(b: Array[Byte]): Option[Info] = {
+    if (!cc(b, 0).contains("RIFF") || !cc(b, 8).contains("AVI ")) return None
+    val end = le32(b, 4).map(sz => math.min(b.length.toLong, 8L + sz).toInt).getOrElse(b.length)
+    val hdrl = riffChildren(b, 12, end)
+      .collectFirst { case ("LIST", "hdrl", s, e) => (s, e) }.getOrElse(return None)
+    val avih = riffChildren(b, hdrl._1, hdrl._2)
+      .collectFirst { case ("avih", _, s, e) => (s, e) }.getOrElse(return None)
+    val info = for {
+      usPerFrame <- le32(b, avih._1)
+      totalFrames <- le32(b, avih._1 + 16)
+      w <- le32(b, avih._1 + 32)
+      h <- le32(b, avih._1 + 36)
+    } yield {
+      // the video stream's handler fourcc: strl list whose strh is 'vids'
+      val codec = riffChildren(b, hdrl._1, hdrl._2)
+        .collect { case ("LIST", "strl", s, e) => (s, e) }
+        .flatMap { case (s, e) => riffChildren(b, s, e)
+          .collectFirst { case ("strh", _, cs, _) => cs } }
+        .collectFirst {
+          case cs if cc(b, cs).contains("vids") => cc(b, cs + 4).getOrElse("")
+        }.getOrElse("")
+      Info("avi", codec.trim, w.toInt, h.toInt,
+        totalFrames.toDouble * usPerFrame / 1e6, totalFrames)
+    }
+    info
   }
 }

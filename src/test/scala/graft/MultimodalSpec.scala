@@ -69,13 +69,88 @@ class MultimodalSpec extends SparkSpec {
     assert(byId(1L).status === "undecodable" && byId(2L).status === "undecodable")
   }
 
-  test("decodeStub derives deterministic geometry from payload size (video stand-in)") {
+  // ---- hand-built container bytes for the video header parser ----------
+
+  /** ISO-BMFF box: 4-byte BE size + fourcc + payload. */
+  private def mp4Box(name: String, payload: Array[Byte]*): Array[Byte] = {
+    val content = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+    bb.putInt(8 + content.length).put(name.getBytes("ISO-8859-1")).put(content)
+    bb.array
+  }
+  private def be(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4).putInt(i).array
+  private def zeros(n: Int) = new Array[Byte](n)
+
+  /** Minimal-but-valid MP4: ftyp + moov(mvhd, trak(tkhd, mdia(hdlr vide,
+    * minf(stbl(stsd avc1, stts))))). timescale 600, duration 1200 (2 s),
+    * 320x240, 48 declared samples. */
+  private def mp4Bytes(): Array[Byte] = {
+    val mvhd = mp4Box("mvhd", zeros(4) /*v0+flags*/, zeros(8) /*ctime,mtime*/,
+      be(600) /*timescale*/, be(1200) /*duration*/, zeros(80))
+    val tkhd = mp4Box("tkhd", zeros(4), zeros(20) /*ctime..duration*/,
+      zeros(8 + 2 + 2 + 2 + 2 + 36) /*reserved..matrix*/,
+      be(320 << 16), be(240 << 16))
+    val hdlr = mp4Box("hdlr", zeros(4), zeros(4), "vide".getBytes("ISO-8859-1"), zeros(12))
+    val avc1 = mp4Box("avc1", zeros(16)) // entry body truncated: only the fourcc is read
+    val stsd = mp4Box("stsd", zeros(4), be(1), avc1)
+    val stts = mp4Box("stts", zeros(4), be(2), be(40), be(25), be(8), be(25)) // 40+8 samples
+    val stbl = mp4Box("stbl", stsd, stts)
+    val minf = mp4Box("minf", stbl)
+    val mdia = mp4Box("mdia", hdlr, minf)
+    val trak = mp4Box("trak", tkhd, mdia)
+    val ftyp = mp4Box("ftyp", "isom".getBytes("ISO-8859-1"), be(512))
+    ftyp ++ mp4Box("moov", mvhd, trak)
+  }
+
+  /** RIFF chunk: fourcc + LE size + payload (even-sized here). */
+  private def riffChunk(id: String, payload: Array[Byte]*): Array[Byte] = {
+    val content = payload.flatten.toArray
+    val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put(id.getBytes("ISO-8859-1")).putInt(content.length).put(content)
+    bb.array
+  }
+  private def le(i: Int): Array[Byte] = java.nio.ByteBuffer.allocate(4)
+    .order(java.nio.ByteOrder.LITTLE_ENDIAN).putInt(i).array
+
+  /** Minimal AVI: RIFF(AVI  LIST(hdrl avih LIST(strl strh vids/XVID))).
+    * 40000 us/frame x 100 frames = 4 s, 640x480. */
+  private def aviBytes(): Array[Byte] = {
+    val avih = riffChunk("avih", le(40000), le(0), le(0), le(0),
+      le(100) /*totalFrames*/, le(0), le(1) /*streams*/, le(0),
+      le(640), le(480), zeros(16))
+    val strh = riffChunk("strh", "vids".getBytes("ISO-8859-1"),
+      "XVID".getBytes("ISO-8859-1"), zeros(48))
+    val strl = riffChunk("LIST", "strl".getBytes("ISO-8859-1"), strh)
+    val hdrl = riffChunk("LIST", "hdrl".getBytes("ISO-8859-1"), avih, strl)
+    val body = "AVI ".getBytes("ISO-8859-1") ++ hdrl
+    "RIFF".getBytes("ISO-8859-1") ++ le(body.length) ++ body
+  }
+
+  test("decodeVideo parses real MP4 and AVI headers; text and truncated bytes quarantine") {
     implicit val s = spark
-    val frames = Multimodal.decodeStub(Multimodal.envelope(docs))
-      .collect().map(f => f.doc_id -> f).toMap
-    assert(frames(1L).n_bytes === 11L)
-    assert(frames(1L).width === 12 && frames(1L).height === 12 && frames(1L).n_frames === 12)
-    assert(frames(2L).width === 2 && frames(2L).n_frames === 2)
+    val mp4 = mp4Bytes()
+    val avi = aviBytes()
+    val env = Seq(
+      (50L, mp4, "video/mp4"),
+      (51L, avi, "video/x-msvideo"),
+      (52L, mp4.take(40), "video/mp4"), // truncated mid-moov
+      (1L, "definitely not a movie".getBytes("UTF-8"), "text/plain"))
+      .toDF("doc_id", "content", "mime")
+      .select(col("doc_id"), col("content"),
+        struct(col("mime"), length(col("content")).cast("long").as("n_bytes")).as("meta"))
+    val byId = Multimodal.decodeVideo(env).collect().map(d => d.doc_id -> d).toMap
+    assert(byId(50L).status === "decoded" && byId(50L).container === "mp4")
+    assert(byId(50L).width === 320 && byId(50L).height === 240)
+    assert(byId(50L).duration_s === 2.0 && byId(50L).n_frames === 48L)
+    assert(byId(50L).codec === "avc1")
+    assert(byId(51L).status === "decoded" && byId(51L).container === "avi")
+    assert(byId(51L).width === 640 && byId(51L).height === 480)
+    assert(byId(51L).duration_s === 4.0 && byId(51L).n_frames === 100L)
+    assert(byId(51L).codec === "XVID")
+    // malformed/foreign bytes: one quarantine row each, no task failure
+    assert(byId(52L).status === "undecodable")
+    assert(byId(1L).status === "undecodable" && byId(1L).width === 0)
   }
 
   /** A real in-memory WAV: `frames` frames of silent 16-bit mono PCM
