@@ -258,6 +258,29 @@ object ProbeScale {
       graft.ops.Sampling.leakageSafeSplit(docs, cl).groupBy("split").count().count()
     }
     }
+    // round-11: shared-graph split safety — curate + leakage-safe split
+    // + audit paying the minhash→cluster graph TWICE (the standalone
+    // composition round 10 shipped) vs ONCE (the chain's exposed
+    // cluster table + SplitMode.LeakageSafe)
+    if (section == "graphshare") {
+    import graft.ops.{Curation, Sampling}
+    val train = docs.filter(col("doc_id") % 50 =!= 0)
+    val evald = docs.filter(col("doc_id") % 50 === 0)
+    val rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0)
+    for (rep <- 1 to 2) {
+      time(s"gs_two_graphs_$rep") {
+        val r = Curation.curateWithFunnel(train, evald, rates = rates, defaultRate = 0.5)
+        val cl2 = Dedup.clusters(Dedup.minhashCandidatePairs(train)) // the re-run
+        val sp = Sampling.leakageSafeSplit(r.manifest.select("doc_id"), cl2)
+        r.funnel.count() + Sampling.splitLeakageAudit(sp, cl2).count()
+      }
+      time(s"gs_shared_graph_$rep") {
+        val r = Curation.curateWithFunnel(train, evald, rates = rates, defaultRate = 0.5,
+          split = Curation.SplitMode.LeakageSafe)
+        r.funnel.count() + Sampling.splitLeakageAudit(r.manifest, r.clusters).count()
+      }
+    }
+    }
     // round-11: BPE at production depth — (a) the driver-local trainer
     // vs the distributed per-merge loop at depth 100 (the >=10x
     // merges/sec claim), (b) local training to depth 2000, (c) serving

@@ -47,6 +47,33 @@ import graft.core.{Materialize, TextNorm}
   */
 object Curation {
 
+  /** How [[curate]]/[[curateWithFunnel]] stamp the manifest's `split`
+    * column. */
+  sealed trait SplitMode
+  object SplitMode {
+    /** Independent per-doc hash split ([[Sampling.splitCol]]) — the
+      * default, and the historical behavior. */
+    case object Hash extends SplitMode
+    /** Cluster-representative split ([[Sampling.leakageSafeSplit]]
+      * semantics) served from the chain's OWN near-dup cluster table —
+      * the graph the dedup stage already computed, so certifying the
+      * split against it costs zero extra graph builds (running
+      * [[Sampling.leakageSafeSplit]] standalone after a curate pays
+      * minhash→bands→pairs→clusters a second time).
+      *
+      * Honesty note the spec pins: because the chain's dedup stage
+      * drops every non-canonical cluster member, each survivor IS its
+      * cluster's representative, so on the manifest this assignment
+      * COINCIDES with [[Hash]] — the mode's value is the certificate,
+      * not a different answer: the returned
+      * [[CurationResult.clusters]] table lets
+      * [[Sampling.splitLeakageAudit]] prove `n_straddling = 0` (and
+      * lets any OTHER table be split/audited against the same graph)
+      * without re-running it, and the guard stays correct if the chain
+      * is ever configured to keep duplicates. */
+    case object LeakageSafe extends SplitMode
+  }
+
   /** Per-row flags for the token-derived filters, one tokenization
     * pass: `q_keep` ([[TextAnalysis.qualityScore]]'s keep rule —
     * ≥ `minTokens` tokens and at least one English stopword hit) and
@@ -163,15 +190,34 @@ object Curation {
       trainPct: Int = 80,
       valPct: Int = 10,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
-      sizeRatioFloor: Double = 0.0): DataFrame = {
+      sizeRatioFloor: Double = 0.0,
+      split: SplitMode = SplitMode.Hash): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val s1 = rowFlags(docs, minTokens)
       .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*))
-    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
+    val cl = chainClusters(s1, mat, sizeRatioFloor)
+    val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
-    manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct)
+    manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl)
   }
+
+  /** The chain's near-dup cluster table — exactly what
+    * [[Dedup.nearDupLosers]] builds internally, computed here so the
+    * manifest's [[SplitMode.LeakageSafe]] column, the loser drop set,
+    * and the caller-facing [[CurationResult.clusters]] all share ONE
+    * graph build. Materialized under `mat` (caller owns release under
+    * [[Materialize.Persist]], as everywhere). */
+  private def chainClusters(
+      s1: DataFrame, mat: Materialize.Strategy, sizeRatioFloor: Double): DataFrame =
+    Dedup.clusters(
+      Dedup.minhashCandidatePairs(s1, mat = mat, sizeRatioFloor = sizeRatioFloor),
+      mat = mat)
+
+  /** Non-canonical members of each cluster — [[Dedup.nearDupLosers]]'
+    * filter, over an already-built cluster table. */
+  private def losersOf(cl: DataFrame): DataFrame =
+    cl.filter(col("doc_id") =!= col("cluster_id")).select("doc_id")
 
   /** The manifest half of the chain, given the two precomputed drop-set
     * id tables (`losers` over the quality+language survivors, `contam`
@@ -185,12 +231,25 @@ object Curation {
       rates: Map[String, Double],
       defaultRate: Double,
       trainPct: Int,
-      valPct: Int): DataFrame =
-    s1.join(losers, Seq("doc_id"), "left_anti")
+      valPct: Int,
+      split: SplitMode,
+      cl: DataFrame): DataFrame = {
+    val kept = s1.join(losers, Seq("doc_id"), "left_anti")
       .join(contam, Seq("doc_id"), "left_anti")
       .filter(Sampling.mixtureKeep("source", "doc_id", rates, defaultRate))
-      .select(col("doc_id"), col("source"), col("pred_lang"),
-        Sampling.splitCol("doc_id", trainPct, valPct).as("split"))
+    split match {
+      case SplitMode.Hash =>
+        kept.select(col("doc_id"), col("source"), col("pred_lang"),
+          Sampling.splitCol("doc_id", trainPct, valPct).as("split"))
+      case SplitMode.LeakageSafe =>
+        // cluster-table-sized left join; split_key = the representative
+        // ([[Sampling.leakageSafeSplit]] verbatim, minus its passthrough)
+        kept.join(cl.select(col("doc_id"), col("cluster_id")), Seq("doc_id"), "left")
+          .select(col("doc_id"), col("source"), col("pred_lang"),
+            Sampling.splitColOf(coalesce(col("cluster_id"), col("doc_id")),
+              trainPct, valPct).as("split"))
+    }
+  }
 
   /** Run the chain ONCE and get BOTH outputs — the call every
     * production run actually wants (the manifest to train on, the
@@ -219,22 +278,34 @@ object Curation {
       trainPct: Int = 80,
       valPct: Int = 10,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
-      sizeRatioFloor: Double = 0.0): CurationResult = {
+      sizeRatioFloor: Double = 0.0,
+      split: SplitMode = SplitMode.Hash): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
-    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
+    val cl = chainClusters(s1, mat, sizeRatioFloor)
+    val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Materialize(Dedup.contaminatedIds(s2, evalDocs), mat)
     CurationResult(
-      manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct),
-      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate))
+      manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
+      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate),
+      clusters = cl)
   }
 
-  /** Both outputs of [[curateWithFunnel]]: the surviving training
+  /** The outputs of [[curateWithFunnel]]: the surviving training
     * manifest and the per-stage loss accounting, derived from one
-    * computation of the chain's drop sets. */
-  final case class CurationResult(manifest: DataFrame, funnel: DataFrame)
+    * computation of the chain's drop sets — plus the chain's near-dup
+    * cluster table (`(doc_id, cluster_id)` over the quality+language
+    * survivors, [[Dedup.clusters]] shape). The cluster table is the
+    * expensive artifact a split-safety workflow needs next:
+    * [[Sampling.splitLeakageAudit]] certifies the manifest against it,
+    * and [[Sampling.leakageSafeSplit]] can stamp any other table from
+    * it — neither re-runs minhash→bands→pairs→clusters. Backed by the
+    * chain's `mat` materialization (caller owns release under
+    * [[Materialize.Persist]]). */
+  final case class CurationResult(manifest: DataFrame, funnel: DataFrame,
+      clusters: DataFrame)
 
   /** DSIR-style importance weights (Xie et al., NeurIPS '23 — "Data
     * Selection for Language Models via Importance Resampling"): score

@@ -106,6 +106,33 @@ class CurationSpec extends SparkSpec {
     assert(fusedF.map(_._3) === Seq(7L, 6L, 5L, 4L, 3L, 2L))
   }
 
+  test("SplitMode.LeakageSafe: parity with standalone leakageSafeSplit over the shared graph; audit zero; clusters exposed") {
+    val r = Curation.curateWithFunnel(docs, evalDocs, rates = rates,
+      split = Curation.SplitMode.LeakageSafe)
+    // the exposed cluster table is the chain's graph: 41/42 one cluster
+    val cl = r.clusters.as[(Long, Long)].collect().toMap
+    assert(cl === Map(41L -> 41L, 42L -> 41L))
+    // parity: the manifest's split equals Sampling.leakageSafeSplit
+    // stamped from the SAME cluster table — no second graph build
+    val viaStandalone = Sampling.leakageSafeSplit(
+      r.manifest.select("doc_id"), r.clusters)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    val got = r.manifest.select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got === viaStandalone)
+    // certificate: the manifest audits leak-free against the chain graph
+    val audit = Sampling.splitLeakageAudit(r.manifest, r.clusters)
+      .as[(Long, Long, Long)].collect().head
+    assert(audit._2 === 0L, s"straddling clusters: $audit")
+    // honesty pin: with drop-losers dedup every survivor is its own
+    // representative, so LeakageSafe coincides with the default Hash
+    val viaHash = Curation.curate(docs, evalDocs, rates = rates)
+      .select("doc_id", "split").as[(Long, String)].collect().toMap
+    assert(got === viaHash)
+    // funnel unchanged by split mode
+    assert(r.funnel.as[(Int, String, Long, Long)].collect().sortBy(_._1).map(_._3).toSeq
+      === Seq(7L, 6L, 5L, 4L, 3L, 2L))
+  }
+
   test("stage predicates compose the standalone operators' own answers") {
     // near-dedup losers over the quality+language survivors: only 42
     val s1 = Curation.rowFlags(docs, 10)
