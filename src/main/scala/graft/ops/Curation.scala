@@ -191,16 +191,29 @@ object Curation {
       valPct: Int = 10,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
       sizeRatioFloor: Double = 0.0,
-      split: SplitMode = SplitMode.Hash): DataFrame = {
+      split: SplitMode = SplitMode.Hash,
+      evalShingles: Option[DataFrame] = None): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val s1 = rowFlags(docs, minTokens)
       .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*))
     val cl = chainClusters(s1, mat, sizeRatioFloor)
     val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
-    val contam = Dedup.contaminatedIds(s2, evalDocs)
+    val contam = contamOf(s2, evalDocs, evalShingles)
     manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl)
   }
+
+  /** The chain's contaminated-id table: the train/serve split of
+    * decontamination. With `evalShingles` (a STORED
+    * [[Dedup.evalShingles]] artifact — a frozen benchmark suite never
+    * re-shingles), the eval corpus is not touched at all; otherwise the
+    * eval docs are shingled in-plan, the historical behavior. */
+  private def contamOf(
+      s2: DataFrame, evalDocs: DataFrame, evalShingles: Option[DataFrame]): DataFrame =
+    evalShingles match {
+      case Some(sh) => Dedup.contaminatedIdsAgainst(s2, sh)
+      case None => Dedup.contaminatedIds(s2, evalDocs)
+    }
 
   /** The chain's near-dup cluster table — exactly what
     * [[Dedup.nearDupLosers]] builds internally, computed here so the
@@ -279,14 +292,15 @@ object Curation {
       valPct: Int = 10,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
       sizeRatioFloor: Double = 0.0,
-      split: SplitMode = SplitMode.Hash): CurationResult = {
+      split: SplitMode = SplitMode.Hash,
+      evalShingles: Option[DataFrame] = None): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
     val cl = chainClusters(s1, mat, sizeRatioFloor)
     val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
-    val contam = Materialize(Dedup.contaminatedIds(s2, evalDocs), mat)
+    val contam = Materialize(contamOf(s2, evalDocs, evalShingles), mat)
     CurationResult(
       manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
       funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate),

@@ -564,13 +564,22 @@ object GraftExtensions {
     * SELECT * FROM graft_curate('docs', 'eval', 10, 'en,de')  -- explicit knobs
     * }}}
     *
-    * `docs` must carry (doc_id, text, source), `eval` (doc_id, text);
-    * emits the kept manifest (doc_id, source, pred_lang, split).
+    * `docs` must carry (doc_id, text, source). The second argument is
+    * either an eval CORPUS (doc_id, text) — shingled in-plan — or a
+    * STORED shingle table ([[graft.ops.Dedup.evalShingles]] output,
+    * recognized by its `(shingle)` schema): a standing benchmark suite
+    * shingles once and every curate call after serves the artifact,
+    * never re-reading the eval text. Emits the kept manifest (doc_id,
+    * source, pred_lang, split).
     * Mixture rates and split percentages stay at the API defaults — a
     * per-source rates MAP is not a SQL literal; use the Column API for
-    * those. Derived dedup tables use the lazy Persist strategy:
-    * analysis and EXPLAIN run no job, the first execution populates
-    * the session cache (release via `spark.catalog.clearCache()`). */
+    * those. Derived dedup tables use the Persist strategy (release via
+    * `spark.catalog.clearCache()`). NOTE: unlike the scan-shaped TVFs
+    * (graft_novelty etc.), planning this one is not job-free — the
+    * near-dedup stage's cluster propagation is an iterative fixpoint
+    * ([[graft.ops.Dedup.clusters]]), so resolving the table function
+    * (including under EXPLAIN) runs that bounded, survivor-sized loop;
+    * the cached tables make the subsequent execution cheap. */
   private val curateTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_curate"),
@@ -586,12 +595,16 @@ object GraftExtensions {
           str(children(3), "keep_langs_csv")
             .split(",").map(_.trim).filter(_.nonEmpty).toSeq)
         else (10, Seq("en"))
+      // schema sniff is plan-time metadata only — no job
+      val evalT = spark.table(str(children(1), "eval_table"))
+      val stored = evalT.columns.contains("shingle") && !evalT.columns.contains("text")
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.Curation.curate(
           spark.table(str(children.head, "docs_table")),
-          spark.table(str(children(1), "eval_table")),
+          evalT,
           keepLangs = langs, minTokens = minTokens,
-          mat = graft.core.Materialize.Persist))
+          mat = graft.core.Materialize.Persist,
+          evalShingles = if (stored) Some(evalT) else None))
     })
 
   /** SQL surface for DSIR importance resampling

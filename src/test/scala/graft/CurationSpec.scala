@@ -289,6 +289,31 @@ class CurationSpec extends SparkSpec {
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
   }
 
+  test("graft_curate serves a stored eval-shingle table; parity with the re-shingling path") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    docs.createOrReplaceTempView("curd")
+    evalDocs.createOrReplaceTempView("cure")
+    // the frozen artifact: shingle the eval suite ONCE, store, serve
+    Dedup.evalShingles(evalDocs).createOrReplaceTempView("cure_sh")
+    val viaCorpus = SparkSpec.spark.sql("SELECT * FROM graft_curate('curd', 'cure')")
+      .as[(Long, String, String, String)].collect().toSet
+    val viaStored = SparkSpec.spark.sql("SELECT * FROM graft_curate('curd', 'cure_sh')")
+      .as[(Long, String, String, String)].collect().toSet
+    assert(viaStored === viaCorpus)
+    // Column API parity too
+    val api = Curation.curate(docs, evalDocs,
+      evalShingles = Some(Dedup.evalShingles(evalDocs)))
+      .as[(Long, String, String, String)].collect().toSet
+    assert(api === viaCorpus)
+    // honesty pin: planning graft_curate is NOT job-free — the cluster
+    // propagation fixpoint must run (documented on the TVF); what the
+    // stored-shingle path saves is the eval re-shingle, not planning
+    val before = SparkSpec.spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    SparkSpec.spark.sql("EXPLAIN SELECT * FROM graft_curate('curd', 'cure_sh')").collect()
+    assert(SparkSpec.spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).length > before)
+  }
+
   test("SQL surface: graft_dsir TVF matches importanceWeights / importanceTopK") {
     graft.plans.GraftExtensions.install(SparkSpec.spark)
     val raw = Seq(
