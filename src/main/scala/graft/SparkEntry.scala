@@ -576,6 +576,7 @@ object SparkEntry {
     // spec-gated only: DEFLATE exists in no SQL engine, so the driver
     // records the weaker rows-only check for this one (documented)
     "q_compression" -> ((s, dir) => TextAnalysis.compressionSignals(docs(s, dir))),
+    "q_compression_proxy" -> ((s, dir) => TextAnalysis.compressionProxy(docs(s, dir))),
     "q_lm_score_ref" -> { (s, dir) =>
       // CCNet deployment shape: LM trained on the curated domains,
       // every document scored against it (with backoff for OOV)
@@ -1254,6 +1255,23 @@ object SparkEntry {
          |          ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents)))""".stripMargin
     },
+    "q_compression_proxy" ->
+      // twin of TextAnalysis.compressionProxy: distinct char-8-gram
+      // ratio — DEFLATE itself has no SQL twin (q_compression stays
+      // rows-only by design); this proxy is the hash-gated signal
+      """SELECT d.doc_id,
+        |  CAST(coalesce(g.ng, 0) AS BIGINT) AS n_grams,
+        |  CAST(coalesce(g.nd, 0) AS BIGINT) AS n_distinct_grams,
+        |  CASE WHEN g.ng IS NOT NULL
+        |       THEN round(CAST(g.nd AS DOUBLE) / g.ng, 6)
+        |       ELSE 0.0 END AS proxy_ratio
+        |FROM documents d LEFT JOIN (
+        |  SELECT doc_id, count(*) AS ng, count(DISTINCT gm) AS nd
+        |  FROM (SELECT doc_id, substring(text, CAST(i AS INTEGER), 8) AS gm
+        |        FROM (SELECT doc_id, text,
+        |                unnest(generate_series(1, length(text) - 7)) AS i
+        |              FROM documents WHERE length(text) >= 8))
+        |  GROUP BY doc_id) g USING (doc_id)""".stripMargin,
     "q_script" -> {
       // twin of TextAnalysis.scriptSignals: the same BMP block ranges
       // in RE2 \x{..} syntax; priority order must match the Scala list

@@ -741,6 +741,51 @@ object TextAnalysis {
       }
       .toDF("doc_id", "n_bytes", "n_deflated", "ratio")
   }
+
+  /** Oracle-able compression PROXY — the SQL-expressible companion to
+    * [[compressionSignals]] (DEFLATE exists in no SQL engine, so that
+    * operator is spec-gated only; this one closes the asymmetry with a
+    * hash-gated second signal). The proxy is the distinct char-k-gram
+    * ratio: LZ77's back-references fire exactly where a k-gram has
+    * occurred before in the window, so
+    *
+    *   proxy_ratio = distinct k-grams / total k-gram positions
+    *
+    * falls with repetition just as the deflate ratio does (boilerplate
+    * loops reuse grams → low; natural text → mid; random blobs → ~1;
+    * the spec pins the ORDERING agreement with real DEFLATE on all
+    * three shapes). Deterministic integer/6dp arithmetic, identical in
+    * both engines over BMP text (same `substr` caveat as
+    * [[entropySignals]]).
+    *
+    * Scale shape: one position explode (the [[entropySignals]] cost
+    * model — the scan dominates), one combinable groupBy(doc_id)
+    * carrying (doc_id, gram) pairs; the gram itself (k chars) is the
+    * shuffle key — shorter than any portable hash of it, so no
+    * hashing. Docs shorter than k have no gram positions and publish
+    * ratio 0.0 (nothing to compress against — matches
+    * [[compressionSignals]]' empty-doc convention).
+    */
+  def compressionProxy(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 2, s"k=$k must be >= 2")
+    val base = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), length(col("text")).as("n"), col("text"))
+    val grams = base
+      .where(col("n") >= k)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("n") - (k - 1))).as("i"), col("text"))
+      .select(col("doc_id"), col("text").substr(col("i"), lit(k)).as("g"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("ng"), countDistinct("g").as("nd"))
+    base.select(col("doc_id"))
+      .join(grams, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("ng"), lit(0L)).as("n_grams"),
+        coalesce(col("nd"), lit(0L)).as("n_distinct_grams"),
+        when(col("ng").isNotNull,
+          round(col("nd").cast("double") / col("ng"), 6))
+          .otherwise(lit(0.0)).as("proxy_ratio"))
+  }
 }
 
 /** Tiny closed-class word lists for the language scorer. Public-knowledge

@@ -374,4 +374,30 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
     assert(again === got)
   }
+
+  test("compressionProxy orders text shapes like real DEFLATE; exact counts; short docs 0") {
+    val rep = "spam spam spam " * 50        // boilerplate loop
+    // natural-ish prose with recurring phrases but varying content —
+    // some 8-grams repeat (function words), most don't
+    val natural = (1 to 40).map(i =>
+      s"the cat number $i sat on the mat and looked at the open door").mkString(" ")
+    val rnd = new scala.util.Random(7)
+    val random = (1 to 300).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    val d = docs(1L -> rep, 2L -> natural, 3L -> random, 4L -> "tiny")
+    val proxy = TextAnalysis.compressionProxy(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // exact gram accounting: the repeated text is globally 5-periodic
+    // ("spam "), so every 8-gram equals one of the 5 phase-distinct grams
+    assert(proxy(1L)._2 === (rep.length - 7).toLong)
+    assert(proxy(1L)._3 === 5L)
+    // below-k docs: no gram positions, ratio 0 by convention
+    assert(proxy(4L) === ((4L, 0L, 0L, 0.0)))
+    // ordering agreement with the spec-gated DEFLATE signal
+    val deflate = TextAnalysis.compressionSignals(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    assert(proxy(1L)._4 < proxy(2L)._4 && proxy(2L)._4 < proxy(3L)._4)
+    assert(deflate(1L) < deflate(2L) && deflate(2L) < deflate(3L))
+    // random text: nearly all grams distinct
+    assert(proxy(3L)._4 > 0.95)
+  }
 }
