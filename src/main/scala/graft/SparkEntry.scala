@@ -577,6 +577,10 @@ object SparkEntry {
     // records the weaker rows-only check for this one (documented)
     "q_compression" -> ((s, dir) => TextAnalysis.compressionSignals(docs(s, dir))),
     "q_compression_proxy" -> ((s, dir) => TextAnalysis.compressionProxy(docs(s, dir))),
+    // count-min sketch heavy hitters: estimate vs exact, overcount visible
+    "q_cms_topk" -> ((s, dir) => TextAnalysis.cmsTopTokens(docs(s, dir))),
+    // median/MAD robust length outliers
+    "q_length_outliers" -> ((s, dir) => TextAnalysis.lengthOutliers(docs(s, dir))),
     "q_lm_score_ref" -> { (s, dir) =>
       // CCNet deployment shape: LM trained on the curated domains,
       // every document scored against it (with backoff for OOV)
@@ -638,6 +642,10 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0)).select("doc_id")
     },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // the S-curve the banding parameters are chosen from (no corpus scan)
+    "q_lsh_plan" -> ((s, _) => Dedup.bandingPlan(s)),
+    // banding recall/precision vs exact Jaccard on a deterministic sample
+    "q_dedup_eval" -> ((s, dir) => Dedup.bandingEval(docs(s, dir))),
     "q_novelty" -> { (s, dir) =>
       // overlap score vs a frozen reference: the q_decontaminate split
       // (eval = doc_id % 50 == 0), every doc scored
@@ -1272,6 +1280,31 @@ object SparkEntry {
         |                unnest(generate_series(1, length(text) - 7)) AS i
         |              FROM documents WHERE length(text) >= 8))
         |  GROUP BY doc_id) g USING (doc_id)""".stripMargin,
+    "q_cms_topk" ->
+      // twin of TextAnalysis.cmsTopTokens(depth=4, width=1024, k=50):
+      // seeded md5 bucket per sketch row, min-of-depth estimate,
+      // (est DESC, word ASC) total order at the boundary
+      s"""WITH vocab AS MATERIALIZED (SELECT word, count(*) AS cnt FROM ($TOKEN_ROWS) GROUP BY word),
+         |coords AS MATERIALIZED (SELECT word, cnt, r,
+         |    CAST(('0x' || substr(md5(r || ':' || word), 1, 8)) AS BIGINT) % 1024 AS b
+         |  FROM vocab, (SELECT unnest(range(4)) AS r)),
+         |counters AS MATERIALIZED (SELECT r, b, sum(cnt) AS c FROM coords GROUP BY r, b),
+         |est AS (SELECT word, cnt, min(c) AS est
+         |  FROM coords JOIN counters USING (r, b) GROUP BY word, cnt)
+         |SELECT CAST(row_number() OVER (ORDER BY est DESC, word) AS BIGINT) AS rank,
+         |  word, CAST(est AS BIGINT) AS est, CAST(cnt AS BIGINT) AS exact,
+         |  CAST(est - cnt AS BIGINT) AS overcount
+         |FROM est ORDER BY est DESC, word LIMIT 50""".stripMargin,
+    "q_length_outliers" ->
+      // twin of TextAnalysis.lengthOutliers(kMad=3.0): exact
+      // percentile_cont median/MAD (the q_percentiles parity), same
+      // multiplication association (3.0 * 1.4826) * mad both engines
+      s"""WITH lens AS MATERIALIZED (SELECT doc_id, CAST(len($TOKS) AS INTEGER) AS n_tokens FROM documents),
+         |med AS (SELECT quantile_cont(n_tokens, 0.5) AS med FROM lens),
+         |mad AS (SELECT quantile_cont(abs(n_tokens - med), 0.5) AS mad FROM lens, med)
+         |SELECT doc_id, n_tokens, med, mad,
+         |  (abs(n_tokens - med) > 3.0 * 1.4826 * mad) AS is_outlier
+         |FROM lens, med, mad""".stripMargin,
     "q_script" -> {
       // twin of TextAnalysis.scriptSignals: the same BMP block ranges
       // in RE2 \x{..} syntax; priority order must match the Scala list
@@ -1539,6 +1572,51 @@ object SparkEntry {
          |  CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
          |FROM inter JOIN sizes a ON inter.doc_a = a.doc_id JOIN sizes b ON inter.doc_b = b.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2""".stripMargin,
+    "q_lsh_plan" ->
+      // twin of Dedup.bandingPlan(k=8, bands=2): powers unrolled into
+      // the same explicit IEEE multiplications (libm pow may differ in
+      // the last ulp across engines; x*x*x*x cannot)
+      """SELECT CAST(i AS DOUBLE) / 20.0 AS jaccard,
+        |  round(s * s * s * s, 6) AS p_one_band,
+        |  round(1.0 - (1.0 - s * s * s * s) * (1.0 - s * s * s * s), 6) AS p_detect
+        |FROM (SELECT i, CAST(i AS DOUBLE) / 20.0 AS s
+        |      FROM (SELECT unnest(range(1, 20)) AS i))""".stripMargin,
+    "q_dedup_eval" ->
+      // twin of Dedup.bandingEval(w=3, k=8, bands=2, tau=0.5,
+      // sampleMod=16): all sample pairs labeled by exact Jaccard over
+      // distinct shingle sets (no df cap) vs band-bucket detection
+      s"""WITH samp AS MATERIALIZED (SELECT doc_id FROM documents
+         |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 16 = 0),
+         |sh0 AS MATERIALIZED (SELECT DISTINCT s.doc_id, s.shingle
+         |  FROM (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)) s JOIN samp USING (doc_id)),
+         |sizes AS MATERIALIZED (SELECT doc_id, count(*) AS n_sh FROM sh0 GROUP BY doc_id),
+         |inter AS MATERIALIZED (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM sh0 l JOIN sh0 r ON l.shingle = r.shingle AND l.doc_id < r.doc_id GROUP BY 1, 2),
+         |sigs AS MATERIALIZED (SELECT doc_id, CAST(seed AS INTEGER) AS seed,
+         |    min(md5(seed || ':' || shingle)) AS sig
+         |  FROM sh0, (SELECT unnest(range(8)) AS seed) GROUP BY doc_id, seed),
+         |bands AS MATERIALIZED (SELECT doc_id, CAST(seed // 4 AS INTEGER) AS band,
+         |  md5(string_agg(sig, '|' ORDER BY seed)) AS band_key FROM sigs GROUP BY doc_id, band),
+         |det AS MATERIALIZED (SELECT DISTINCT l.doc_id AS doc_a, r.doc_id AS doc_b
+         |  FROM bands l JOIN bands r ON l.band = r.band AND l.band_key = r.band_key
+         |    AND l.doc_id < r.doc_id),
+         |lab AS (SELECT
+         |    CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |      / (a.n_sh + b.n_sh - coalesce(i.n_inter, 0)) >= 0.5 AS pos,
+         |    (d.doc_a IS NOT NULL) AS det
+         |  FROM sizes a JOIN sizes b ON a.doc_id < b.doc_id
+         |  LEFT JOIN inter i ON i.doc_a = a.doc_id AND i.doc_b = b.doc_id
+         |  LEFT JOIN det d ON d.doc_a = a.doc_id AND d.doc_b = b.doc_id)
+         |SELECT count(*) AS n_pairs,
+         |  CAST(sum(CASE WHEN pos AND det THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+         |  CAST(sum(CASE WHEN NOT pos AND det THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+         |  CAST(sum(CASE WHEN pos AND NOT det THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+         |  CAST(sum(CASE WHEN NOT pos AND NOT det THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+         |  round(CAST(sum(CASE WHEN pos AND det THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / nullif(sum(CASE WHEN pos THEN 1 ELSE 0 END), 0), 6) AS recall,
+         |  round(CAST(sum(CASE WHEN pos AND det THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / nullif(sum(CASE WHEN det THEN 1 ELSE 0 END), 0), 6) AS precision
+         |FROM lab""".stripMargin,
     "q_dedup_incremental" ->
       // bands are per-document, so banding the whole corpus and
       // splitting in the join equals banding each side separately

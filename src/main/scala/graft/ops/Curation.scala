@@ -83,9 +83,21 @@ object Curation {
     * through unchanged — the batch chain keeps `text` (downstream
     * shingle stages) and `source` (mixture), the streaming gate keeps
     * whatever its JSONL schema carries. Row-parallel, fully codegen'd,
-    * no shuffle. Two-step selects keep the tokenizer materialized once
-    * per row (CollapseProject would otherwise inline it into every
-    * derived stat — the [[TextAnalysis.tokenStats]] precedent).
+    * no shuffle.
+    *
+    * PLAN-SHAPE CONTRACT — the Generate barrier. A plain two-step
+    * select does NOT protect the tokenizer from the gate that follows:
+    * `PushPredicateThroughNonJoin` substitutes the flag aliases into
+    * `filter(q_keep && pred_lang…)` and pushes the condition below the
+    * projection, inlining the interpreted tokenizer ~27× into one
+    * per-row predicate (the round-11 stream probe caught it: 22 s for
+    * a 50k-doc gate that costs ~2 s tokenized once). Alias
+    * substitution cannot cross a `Generate`, so both expensive layers
+    * are sealed behind `explode(array(…))` one-row generators: the
+    * tokenizer evaluates once into `ts`, the six token-derived stats
+    * evaluate once into a struct, and any predicate a caller stacks on
+    * `q_keep`/`pred_lang` is pushed down only as far as cheap
+    * struct-field extractions above the second Generate.
     */
   private[graft] def rowFlags(docs: DataFrame, minTokens: Int): DataFrame = {
     // isin, not array_contains(array(lits)): inside a higher-order
@@ -99,23 +111,23 @@ object Curation {
       size(filter(col("ts"), t => t.isin(words: _*)))
     val passThrough = docs.columns.toSeq.map(col)
     val scored = graft.core.Parallelism.ensure(docs)
-      .select(passThrough :+ TextNorm.tokens(col("text")).as("ts"): _*)
-      .select(passThrough ++ Seq(
+      .select(passThrough :+ explode(array(TextNorm.tokens(col("text")))).as("ts"): _*)
+      .select(passThrough :+ explode(array(struct(
         size(col("ts")).as("n_tok"),
-        hits(Stopwords.en).as("score_en"),
-        hits(Stopwords.de).as("score_de"),
-        hits(Stopwords.es).as("score_es"),
-        hits(Stopwords.fr).as("score_fr"),
-        hits(Stopwords.zh).as("score_zh")): _*)
-    val best = greatest(col("score_en"), col("score_de"), col("score_es"),
-      col("score_fr"), col("score_zh"))
+        hits(Stopwords.en).as("s_en"),
+        hits(Stopwords.de).as("s_de"),
+        hits(Stopwords.es).as("s_es"),
+        hits(Stopwords.fr).as("s_fr"),
+        hits(Stopwords.zh).as("s_zh")))).as("fl"): _*)
+    val best = greatest(col("fl.s_en"), col("fl.s_de"), col("fl.s_es"),
+      col("fl.s_fr"), col("fl.s_zh"))
     scored.select(passThrough ++ Seq(
-      col("n_tok"),
-      (col("n_tok") >= minTokens && col("score_en") > 0).as("q_keep"),
-      when(col("score_en") === best, "en")
-        .when(col("score_de") === best, "de")
-        .when(col("score_es") === best, "es")
-        .when(col("score_fr") === best, "fr")
+      col("fl.n_tok").as("n_tok"),
+      (col("fl.n_tok") >= minTokens && col("fl.s_en") > 0).as("q_keep"),
+      when(col("fl.s_en") === best, "en")
+        .when(col("fl.s_de") === best, "de")
+        .when(col("fl.s_es") === best, "es")
+        .when(col("fl.s_fr") === best, "fr")
         .otherwise("zh").as("pred_lang")): _*)
   }
 

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.core.TextNorm
@@ -1072,5 +1072,111 @@ object Dedup {
         s"[graft] Dedup.clusters: not converged after $maxIterations rounds; " +
           "components may be over-split (raise maxIterations)")
     labels
+  }
+
+  /** The banding scheme's S-curve — detection probability as a function
+    * of true Jaccard similarity, for `k` minhashes in `bands` bands of
+    * r = k/bands rows: P(detect | J=s) = 1 − (1 − s^r)^bands. This is
+    * how b and r are CHOSEN before a 100 TB dedup run: pick the curve
+    * whose knee (threshold ≈ (1/b)^(1/r)) sits at the similarity level
+    * the run should catch. 19 rows (s = 0.05 … 0.95), no corpus scan.
+    *
+    * Determinism: the powers are unrolled into explicit IEEE
+    * multiplications (correctly-rounded in every engine), not
+    * `pow`/libm (which may differ in the last ulp across platforms);
+    * 6dp rounding then matches hash-exactly.
+    */
+  def bandingPlan(spark: SparkSession, k: Int = 8, bands: Int = 2): DataFrame = {
+    require(k % bands == 0, s"k=$k must divide into bands=$bands")
+    val r = k / bands
+    def powN(base: Column, n: Int): Column =
+      (1 until n).foldLeft(base)((acc, _) => acc * base)
+    val s = col("id").cast("double") / lit(20.0)
+    val pBand = powN(s, r)
+    spark.range(1, 20).select(
+      s.as("jaccard"),
+      round(pBand, 6).as("p_one_band"),
+      round(lit(1.0) - powN(lit(1.0) - pBand, bands), 6).as("p_detect"))
+  }
+
+  /** Empirical recall/precision of the MinHash+LSH banding scheme
+    * against EXACT n-gram Jaccard, on a deterministic document sample —
+    * the measurement that validates [[bandingPlan]]'s theory on the
+    * actual corpus before committing a full run (banding recall is
+    * distribution-dependent: the S-curve integrates over the corpus's
+    * real similarity histogram).
+    *
+    * Sample = docs whose md5(doc_id) bucket ≡ 0 (mod `sampleMod`) —
+    * content-independent, reproducible in any engine. Within the
+    * sample, ALL pairs are labeled: exact Jaccard over distinct
+    * w-shingle sets (ground truth; no df cap — the sample bounds group
+    * sizes, and a df-capped intersection would undercount), detection =
+    * sharing ≥ 1 LSH band bucket. One confusion row vs `tau` comes out:
+    * `(n_pairs, tp, fp, fn, tn, recall, precision)` — the rates are
+    * NULL when their denominator is empty (no positive pairs in the
+    * sample / nothing detected), never a divide-by-zero artifact.
+    *
+    * Scale contract: the pair enumeration is quadratic IN THE SAMPLE,
+    * by design — this is a fixed-size diagnostic, not a corpus
+    * operator. At 100 TB you raise `sampleMod` to hold the sample at
+    * a few thousand docs (the estimate's variance depends on sample
+    * size, not corpus size); the corpus-scale path stays
+    * [[minhashCandidatePairs]].
+    */
+  def bandingEval(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      tau: Double = 0.5,
+      sampleMod: Int = 16): DataFrame = {
+    require(tau > 0.0 && tau <= 1.0, s"tau=$tau outside (0,1]")
+    require(sampleMod >= 1, s"sampleMod=$sampleMod must be >= 1")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % sampleMod
+    val sample = docs.filter(bucket === 0)
+    // ground truth: distinct shingle rows → sizes → pairwise intersections
+    val sh = shingled(sample, w)
+      .select(col("doc_id"), explode(col("shl")).as("shingle")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
+    val inter = sh.as("l")
+      .join(sh.as("r"),
+        col("l.shingle") === col("r.shingle") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // every sample pair (a < b), zero-intersection ones included — they
+    // are the true negatives the precision denominator needs
+    val pairs = sizes.as("a")
+      .join(sizes.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(
+        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.n_sh").as("na"), col("b.n_sh").as("nb"))
+      .join(inter, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        (coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("na") + col("nb") - coalesce(col("n_inter"), lit(0L)))).as("jaccard"))
+    // detection: the same band keys minhashBands builds for the corpus
+    val bd = minhashBands(sample, w, k, bands)
+    val detected = bd.as("l")
+      .join(bd.as("r"),
+        col("l.band") === col("r.band") && col("l.band_key") === col("r.band_key") &&
+          col("l.doc_id") < col("r.doc_id"))
+      .select(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .distinct()
+      .withColumn("det", lit(true))
+    val labeled = pairs.join(detected, Seq("doc_a", "doc_b"), "left")
+      .select(col("jaccard"), coalesce(col("det"), lit(false)).as("det"))
+    val isPos = col("jaccard") >= tau
+    labeled.agg(
+      count(lit(1)).as("n_pairs"),
+      sum(when(isPos && col("det"), 1L).otherwise(0L)).as("tp"),
+      sum(when(!isPos && col("det"), 1L).otherwise(0L)).as("fp"),
+      sum(when(isPos && !col("det"), 1L).otherwise(0L)).as("fn"),
+      sum(when(!isPos && !col("det"), 1L).otherwise(0L)).as("tn"))
+      .select(col("n_pairs"), col("tp"), col("fp"), col("fn"), col("tn"),
+        round(col("tp").cast("double") /
+          when(col("tp") + col("fn") > 0, col("tp") + col("fn")), 6).as("recall"),
+        round(col("tp").cast("double") /
+          when(col("tp") + col("fp") > 0, col("tp") + col("fp")), 6).as("precision"))
   }
 }

@@ -786,6 +786,110 @@ object TextAnalysis {
           round(col("nd").cast("double") / col("ng"), 6))
           .otherwise(lit(0.0)).as("proxy_ratio"))
   }
+
+  /** Count-min sketch over the token stream: `depth` hash rows ×
+    * `width` counters, hash r of a token = first 8 md5 hex digits of
+    * `"r:token"` mod `width` (the [[bucketOf]] recipe, seeded per row —
+    * engine-portable, so the sketch is bit-reproducible anywhere).
+    * Output `(r, b, c)` — at most depth×width rows regardless of
+    * corpus size: THE streaming-memory property that makes CMS the
+    * heavy-hitter sketch at 100 TB (counters fit in L2; merging two
+    * corpora's sketches is elementwise addition of these tables).
+    *
+    * Plan: one vocabulary-sized combinable groupBy (the token-count
+    * table), then the depth bucket projections aggregate THAT — the
+    * occurrence stream crosses the exchange once, pre-combined per map
+    * task, and the second shuffle carries ≤ vocab×depth tiny rows.
+    */
+  def cmsCounters(docs: DataFrame, depth: Int = 4, width: Int = 1024): DataFrame = {
+    require(depth >= 1, s"depth=$depth must be >= 1")
+    require(width >= 2, s"width=$width must be >= 2")
+    cmsBuckets(tokenCountsOf(docs), depth, width)
+      .groupBy("r", "b").agg(sum("cnt").as("c"))
+  }
+
+  /** Exact per-token corpus counts — the vocabulary table both CMS
+    * halves derive from. */
+  private def tokenCountsOf(docs: DataFrame): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(explode(TextNorm.tokens(col("text"))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("cnt"))
+
+  /** (word, cnt, r, b): each vocab row exploded to its `depth` sketch
+    * coordinates. */
+  private def cmsBuckets(vocab: DataFrame, depth: Int, width: Int): DataFrame =
+    vocab.select(col("word"), col("cnt"), explode(array((0 until depth).map { r =>
+      struct(lit(r).as("r"),
+        (conv(substring(md5(concat(lit(s"$r:"), col("word"))), 1, 8), 16, 10)
+          .cast("long") % width).as("b"))
+    }: _*)).as("e"))
+      .select(col("word"), col("cnt"), col("e.r").as("r"), col("e.b").as("b"))
+
+  /** Top-k tokens by count-min ESTIMATE, with the exact count and the
+    * sketch's overcount beside each — the harness that validates a CMS
+    * configuration (depth/width) against the corpus before serving
+    * point estimates from counters alone. est ≥ exact always (CMS
+    * never undercounts); overcount = collision mass in the token's
+    * minimum-loaded counter.
+    *
+    * `(rank, word, est, exact, overcount)`, rank 1..k by (est DESC,
+    * word ASC) — total order, so the boundary is deterministic.
+    *
+    * Plan: the counter table (≤ depth×width rows) broadcasts back onto
+    * the vocab's sketch coordinates; min-of-depth per token; global
+    * top-k through the bounded-heap aggregate ([[graft.functions
+    * .TopKByScore]]) — map tasks forward at most k rows, nothing sorts
+    * the vocabulary.
+    */
+  def cmsTopTokens(
+      docs: DataFrame, depth: Int = 4, width: Int = 1024, k: Int = 50): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val vocab = tokenCountsOf(docs)
+    val coords = cmsBuckets(vocab, depth, width)
+    val counters = coords.groupBy("r", "b").agg(sum("cnt").as("c"))
+    val est = coords.join(broadcast(counters), Seq("r", "b"))
+      .groupBy("word", "cnt").agg(min("c").as("est"))
+    est.agg(graft.functions.TopKByScore.topK(col("est"),
+        concat_ws(" ", col("word"), col("cnt").cast("string")), k).as("tk"))
+      .select(posexplode(col("tk")).as(Seq("i", "e")))
+      .select((col("i") + 1).cast("long").as("rank"),
+        split(col("e.id"), " ").getItem(0).as("word"),
+        col("e.score").as("est"),
+        split(col("e.id"), " ").getItem(1).cast("long").as("exact"))
+      .withColumn("overcount", col("est") - col("exact"))
+  }
+
+  /** Robust outlier flags on document token length — median/MAD
+    * (median absolute deviation), the quality-signal outlier rule that
+    * survives the heavy-tailed length distributions web corpora have
+    * (mean/stddev do not: one 10 MB page drags the mean). A doc is an
+    * outlier when |n_tokens − median| > k · 1.4826 · MAD (1.4826
+    * scales MAD to σ under normality — the standard robust z).
+    *
+    * Output: one row per doc — `(doc_id, n_tokens, med, mad,
+    * is_outlier)`. When MAD = 0 (over half the corpus has the exact
+    * median length) only docs differing from the median at all can
+    * flag, which the rule already encodes.
+    *
+    * Scale note (the q_percentiles precedent): exact `percentile` here
+    * for engine-exact oracle parity — it buffers the value column on
+    * one reducer, fine for a diagnostic; at 100 TB swap
+    * `percentile_approx` in (the two-row stats table is the only
+    * change, q_approx_percentiles demonstrates the sketch machinery).
+    */
+  def lengthOutliers(docs: DataFrame, kMad: Double = 3.0): DataFrame = {
+    require(kMad > 0.0, s"kMad=$kMad must be positive")
+    val lens = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), size(TextNorm.tokens(col("text"))).as("n_tokens"))
+    val med = lens.agg(expr("percentile(n_tokens, 0.5)").as("med"))
+    val withMed = lens.crossJoin(broadcast(med))
+    val mad = withMed
+      .agg(expr("percentile(abs(n_tokens - med), 0.5)").as("mad"))
+    withMed.crossJoin(broadcast(mad))
+      .select(col("doc_id"), col("n_tokens"), col("med"), col("mad"),
+        (abs(col("n_tokens") - col("med")) > lit(kMad) * lit(1.4826) * col("mad"))
+          .as("is_outlier"))
+  }
 }
 
 /** Tiny closed-class word lists for the language scorer. Public-knowledge

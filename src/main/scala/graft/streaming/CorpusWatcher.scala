@@ -319,6 +319,27 @@ object CorpusWatcher {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
+        // Per-batch stage persistence ledger. Every enabled stage below
+        // is REFERENCED 2-3x by its consumers (a gate's semi-join, a
+        // dedup filter's bands side + anti-join side, the band append +
+        // index merge) — without a materialization point those
+        // references multiply: by the dedup stage the plan tree holds
+        // ~12 copies of the parse+gate chain, and a 50k-doc batch pays
+        // the tokenizer twelve times (the round-11 stream probe caught
+        // it). The batch chain's "re-derive, don't cache text" argument
+        // (Curation.curate) is a 100 TB-corpus tradeoff; a micro-batch
+        // is batch-sized by definition, so caching each stage's text
+        // once per batch is the right side of that tradeoff here.
+        // `eq`-guarded so a disabled stage (frame aliases its input)
+        // is never double-persisted; everything unpersists after the
+        // snapshot swap + metrics.
+        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        def staged(df: DataFrame): DataFrame =
+          if (persisted.exists(_ eq df)) df
+          else {
+            persisted += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            df
+          }
         // quarantine: corrupt lines keep their raw text; null-doc_id
         // rows are reconstructed to a JSON line (they parsed — the raw
         // line is not retained by the reader for them)
@@ -335,7 +356,7 @@ object CorpusWatcher {
           .select(col("doc_id").cast("string").as("doc_id"), col("text"), col("source"))
         val clean = qualityGate match {
           case None    => parsed
-          case Some(g) => graft.ops.Curation.applyGate(parsed, g)
+          case Some(g) => staged(graft.ops.Curation.applyGate(parsed, g))
         }
         // model gate after the cheap predicate gate: score against the
         // frozen weight table, keep ids where logit >= bias
@@ -345,16 +366,16 @@ object CorpusWatcher {
             val keepIds = graft.ops.Curation
               .classifierScore(clean, g.weights, g.buckets, g.bias)
               .filter(col("keep")).select("doc_id")
-            clean.join(keepIds, Seq("doc_id"), "left_semi")
+            staged(clean.join(keepIds, Seq("doc_id"), "left_semi"))
         }
         // decontaminate BEFORE dedup state (see scaladoc: band-state
         // policy — a contaminated doc must not widen the filter)
         val uncontaminated = decontamShingles match {
           case None => scored
           case Some(es) =>
-            scored.join(
+            staged(scored.join(
               graft.ops.Dedup.contaminatedIdsAgainst(scored, es, decontamW),
-              Seq("doc_id"), "left_anti")
+              Seq("doc_id"), "left_anti"))
         }
         // history filter first, then within-batch (the order
         // dropDuplicatesAgainst's contract documents): a doc that
@@ -364,21 +385,19 @@ object CorpusWatcher {
           case None => uncontaminated
           case Some(bd) =>
             accumulatedBands(session, bd, excludeBatchId = batchId)
-              .map(h => graft.ops.Dedup.dropDuplicatesAgainst(uncontaminated, h))
+              .map(h => staged(graft.ops.Dedup.dropDuplicatesAgainst(uncontaminated, h)))
               .getOrElse(uncontaminated)
         }
         val deduped =
-          if (dedupWithinBatch) graft.ops.Dedup.dropNearDuplicates(afterHistory)
+          if (dedupWithinBatch) staged(graft.ops.Dedup.dropNearDuplicates(afterHistory))
           else afterHistory
         val kept = dedupBandsDir match {
           case None => deduped
           case Some(bd) =>
             // survivors feed two actions (band append + index merge):
-            // persist so the filter joins run once, with an explicit
-            // release after the snapshot swap (a long-running stream
-            // must not accumulate one cached table per micro-batch)
-            val survivors = deduped
-              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            // staged so the filter joins run once (eq-guard makes this
+            // a no-op when the within-batch pass already persisted it)
+            val survivors = staged(deduped)
             graft.ops.Dedup.minhashBands(survivors)
               .write.mode("overwrite").parquet(s"$bd/batch_id=$batchId")
             survivors
@@ -401,13 +420,12 @@ object CorpusWatcher {
         val content = spanHistoryDir match {
           case None => admitted
           case Some(sd) =>
-            val stripped =
+            val stripped = staged(
               accumulatedPartitions(session, sd, excludeBatchId = batchId)
                 .map(h => graft.ops.Dedup
                   .stripDuplicateSpansAgainst(admitted, h)
                   .select(col("doc_id"), col("text")))
-                .getOrElse(admitted.select(col("doc_id"), col("text")))
-                .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+                .getOrElse(admitted.select(col("doc_id"), col("text"))))
             graft.ops.Dedup.anchorSites(stripped)
               .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
             stripped
@@ -454,9 +472,10 @@ object CorpusWatcher {
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }
-        // both consumers (band append + snapshot) are on disk now
-        if (dedupBandsDir.isDefined) kept.unpersist(blocking = false)
-        if (spanHistoryDir.isDefined) content.unpersist(blocking = false)
+        // every consumer (band/anchor appends, snapshot, metrics) is
+        // on disk now — release the whole batch's stage ledger (a
+        // long-running stream must not accumulate caches per batch)
+        persisted.foreach(_.unpersist(blocking = false))
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

@@ -537,4 +537,50 @@ class DedupSpec extends SparkSpec {
       Dedup.stripDuplicateSpans(d, k = 16, modP = 4, gap = 32)
         .as[(Long, String, Long)].collect().toSet)
   }
+
+  test("bandingPlan: 19-row S-curve, exact closed-form values, monotone, knee placement") {
+    val rows = Dedup.bandingPlan(spark).orderBy("jaccard")
+      .as[(Double, Double, Double)].collect()
+    assert(rows.length === 19)
+    // s = 0.5 exactly representable: p_band = 0.5^4 = 0.0625 exact;
+    // detect = 1 - 0.9375^2 = 0.12109375 -> 0.121094 at 6dp
+    val s05 = rows(9)
+    assert(s05._1 === 0.5)
+    assert(s05._2 === 0.0625)
+    assert(s05._3 === 0.121094)
+    rows.sliding(2).foreach { w => assert(w(0)._3 <= w(1)._3) }
+    // the 50%-detect crossover of the k=8,b=2 scheme sits between
+    // s=0.70 and s=0.75 (threshold (1/2)^(1/4) ~ 0.84 is the 75% point)
+    assert(rows(13)._3 < 0.5 && rows(14)._3 > 0.5)
+  }
+
+  test("bandingEval: exact copies are TP, unrelated docs are TN, rates exact") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(
+      1L -> same, 2L -> same,
+      3L -> "completely different words about unrelated topics and nothing shared here")
+    val r = Dedup.bandingEval(d, sampleMod = 1)
+      .as[(Long, Long, Long, Long, Long, Double, Double)].collect().head
+    assert(r === ((3L, 1L, 0L, 0L, 2L, 1.0, 1.0)))
+  }
+
+  test("bandingEval: sample is the md5 bucket, pair count = C(|sample|, 2)") {
+    val d = docs((1L to 40L).map(i => i -> s"document number $i body text"): _*)
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 4
+    val nS = d.filter(bucket === 0).count()
+    val r = Dedup.bandingEval(d, sampleMod = 4).select("n_pairs")
+      .as[Long].collect().head
+    assert(nS >= 2) // the fixture must actually exercise pairing
+    assert(r === nS * (nS - 1) / 2)
+  }
+
+  test("bandingEval: empty positive set reports NULL recall, not a division artifact") {
+    val d = docs(
+      1L -> "alpha beta gamma delta epsilon words one",
+      2L -> "totally different content nothing shared at all here")
+    val row = Dedup.bandingEval(d, sampleMod = 1).collect().head
+    assert(row.getAs[Long]("tp") === 0L)
+    assert(row.isNullAt(row.fieldIndex("recall")))
+  }
 }

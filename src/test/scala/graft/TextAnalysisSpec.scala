@@ -400,4 +400,52 @@ class TextAnalysisSpec extends SparkSpec {
     // random text: nearly all grams distinct
     assert(proxy(3L)._4 > 0.95)
   }
+
+  test("cmsTopTokens: wide sketch is exact and totally ordered; narrow never undercounts") {
+    val d = docs(1L -> "aa bb aa cc", 2L -> "aa bb dd", 3L -> "aa xx yy zz")
+    val wide = TextAnalysis.cmsTopTokens(d, depth = 4, width = 4096, k = 10).collect()
+    assert(wide.length === 7)
+    wide.foreach(r => assert(r.getAs[Long]("est") === r.getAs[Long]("exact")))
+    assert(wide.head.getAs[String]("word") === "aa") // 4 occurrences
+    assert(wide.head.getAs[Long]("est") === 4L)
+    assert(wide(1).getAs[String]("word") === "bb") // 2, then the five 1s by word asc
+    assert(wide.drop(2).map(_.getAs[String]("word")).toSeq ===
+      Seq("cc", "dd", "xx", "yy", "zz"))
+    assert(wide.map(_.getAs[Long]("rank")).toSeq === (1L to 7L))
+    // 7 tokens into 2x2 counters MUST collide for at least 3 tokens
+    // (at most one singleton bucket per row per side of the min)
+    val narrow = TextAnalysis.cmsTopTokens(d, depth = 2, width = 2, k = 10).collect()
+    narrow.foreach(r => assert(r.getAs[Long]("est") >= r.getAs[Long]("exact")))
+    assert(narrow.count(_.getAs[Long]("overcount") > 0) >= 3)
+  }
+
+  test("cmsCounters: fixed table size, total mass = token occurrences per row") {
+    val d = docs(1L -> "aa bb aa cc", 2L -> "aa bb dd")
+    val c = TextAnalysis.cmsCounters(d, depth = 3, width = 8)
+    assert(c.count() <= 3 * 8)
+    val perRow = c.groupBy("r").agg(expr("sum(c)").as("m")).as[(Int, Long)]
+      .collect().toMap
+    assert(perRow === Map(0 -> 7L, 1 -> 7L, 2 -> 7L)) // every row sees all 7 occurrences
+  }
+
+  test("lengthOutliers: MAD = 0 edge — any deviation from the median flags") {
+    val d = docs(1L -> "a a", 2L -> "b b", 3L -> "c c", 4L -> "d d",
+      5L -> ("x " * 50).trim)
+    val got = TextAnalysis.lengthOutliers(d).as[(Long, Int, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === 2.0 && got(1L)._4 === 0.0)
+    assert((1L to 4L).forall(i => !got(i)._5))
+    assert(got(5L)._5)
+  }
+
+  test("lengthOutliers: exact median/MAD and the 3-sigma-equivalent cut") {
+    // lengths 2,4,6,8,40: med=6, |dev| sorted [0,2,2,4,34] -> mad=2,
+    // cut = 3*1.4826*2 = 8.8956 -> only the 40-token doc flags
+    val d = docs(1L -> "a a", 2L -> ("b " * 4).trim, 3L -> ("c " * 6).trim,
+      4L -> ("d " * 8).trim, 5L -> ("e " * 40).trim)
+    val got = TextAnalysis.lengthOutliers(d).as[(Long, Int, Double, Double, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._3 === 6.0 && got(1L)._4 === 2.0)
+    assert(got.values.count(_._5) === 1 && got(5L)._5)
+  }
 }
