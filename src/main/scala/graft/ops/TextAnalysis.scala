@@ -63,17 +63,24 @@ object TextAnalysis {
     val digits = (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
     graft.core.Parallelism.ensure(docs)
       // stage 1: tokenize once; stage 2: stopword-hit count once; stage 3:
-      // ratios from materialized attributes only
-      .select(col("doc_id"), col("text"), TextNorm.tokens(col("text")).as("ts"))
-      .select(col("doc_id"), col("text"), size(col("ts")).as("n_tok"),
-        size(filter(col("ts"), t => array_contains(stopArr, t))).as("n_stop"))
+      // ratios from materialized attributes only. Both token stages are
+      // explode(array(...)) one-row generators, not plain projections:
+      // alias substitution cannot cross a Generate, so a caller's
+      // filter on `keep`/`stopword_ratio` pushes down as cheap
+      // struct-field reads instead of re-inlining the tokenizer into
+      // the predicate (the Curation.rowFlags pushdown-blowup contract)
+      .select(col("doc_id"), col("text"),
+        explode(array(TextNorm.tokens(col("text")))).as("ts"))
+      .select(col("doc_id"), col("text"), explode(array(struct(
+        size(col("ts")).as("n_tok"),
+        size(filter(col("ts"), t => array_contains(stopArr, t))).as("n_stop")))).as("tk"))
       .select(
         col("doc_id"),
         (punct / length(col("text"))).as("punct_ratio"),
         (digits / length(col("text"))).as("digit_ratio"),
-        (col("n_stop").cast("double") / col("n_tok")).as("stopword_ratio"),
-        (length(regexp_replace(col("text"), " ", "")).cast("double") / col("n_tok")).as("mean_word_len"),
-        (col("n_tok") >= 10 && col("n_stop") > 0).as("keep")
+        (col("tk.n_stop").cast("double") / col("tk.n_tok")).as("stopword_ratio"),
+        (length(regexp_replace(col("text"), " ", "")).cast("double") / col("tk.n_tok")).as("mean_word_len"),
+        (col("tk.n_tok") >= 10 && col("tk.n_stop") > 0).as("keep")
       )
   }
 
@@ -86,23 +93,28 @@ object TextAnalysis {
   def languageId(docs: DataFrame): DataFrame = {
     def score(words: Seq[String]): Column =
       size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
+    // both layers sealed behind one-row generators: a filter on
+    // pred_lang would otherwise inline 25+ tokenizer copies into the
+    // pushed predicate (the Curation.rowFlags pushdown-blowup contract)
     val scored = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts")).select(
-      col("doc_id"),
-      score(Stopwords.en).as("score_en"),
-      score(Stopwords.de).as("score_de"),
-      score(Stopwords.es).as("score_es"),
-      score(Stopwords.fr).as("score_fr"),
-      score(Stopwords.zh).as("score_zh")
-    )
-    val best = greatest(col("score_en"), col("score_de"), col("score_es"), col("score_fr"), col("score_zh"))
+      .select(col("doc_id"), explode(array(TextNorm.tokens(col("text")))).as("ts"))
+      .select(col("doc_id"), explode(array(struct(
+        score(Stopwords.en).as("score_en"),
+        score(Stopwords.de).as("score_de"),
+        score(Stopwords.es).as("score_es"),
+        score(Stopwords.fr).as("score_fr"),
+        score(Stopwords.zh).as("score_zh")))).as("sc"))
+    val best = greatest(col("sc.score_en"), col("sc.score_de"), col("sc.score_es"),
+      col("sc.score_fr"), col("sc.score_zh"))
     scored.select(
       col("doc_id"),
-      col("score_en"), col("score_de"), col("score_es"), col("score_fr"), col("score_zh"),
-      when(col("score_en") === best, "en")
-        .when(col("score_de") === best, "de")
-        .when(col("score_es") === best, "es")
-        .when(col("score_fr") === best, "fr")
+      col("sc.score_en").as("score_en"), col("sc.score_de").as("score_de"),
+      col("sc.score_es").as("score_es"), col("sc.score_fr").as("score_fr"),
+      col("sc.score_zh").as("score_zh"),
+      when(col("sc.score_en") === best, "en")
+        .when(col("sc.score_de") === best, "de")
+        .when(col("sc.score_es") === best, "es")
+        .when(col("sc.score_fr") === best, "fr")
         .otherwise("zh").as("pred_lang")
     )
   }
@@ -580,7 +592,11 @@ object TextAnalysis {
         filter(transform(split(col("text"), "\n"), l => trim(l)),
           l => length(l) > 0).as("ls"),
         TextNorm.tokens(col("text")).as("ts"))
-      .select(col("doc_id"),
+      // the eight counts sealed behind a one-row generator: a caller's
+      // filter on `keep` (the op's whole point) would otherwise inline
+      // every array builder into the pushed predicate (the
+      // Curation.rowFlags pushdown-blowup contract)
+      .select(col("doc_id"), explode(array(struct(
         size(col("ws")).cast("long").as("n_words"),
         size(col("ls")).cast("long").as("n_lines"),
         length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"),
@@ -590,7 +606,12 @@ object TextAnalysis {
         size(filter(col("ls"),
           l => l.endsWith("...") || l.endsWith("…"))).cast("long").as("n_ell_lines"),
         size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-        size(filter(col("ts"), t => t.isin(stop8: _*))).cast("long").as("n_stop"))
+        size(filter(col("ts"), t => t.isin(stop8: _*))).cast("long").as("n_stop")))).as("ct"))
+      .select(col("doc_id"), col("ct.n_words").as("n_words"),
+        col("ct.n_lines").as("n_lines"), col("ct.n_chars").as("n_chars"),
+        col("ct.n_symbols").as("n_symbols"), col("ct.n_bullet").as("n_bullet"),
+        col("ct.n_ell_lines").as("n_ell_lines"), col("ct.n_alpha").as("n_alpha"),
+        col("ct.n_stop").as("n_stop"))
     val wordStat: Column => Column = x => when(col("n_words") > 0, x)
     val lineStat: Column => Column =
       x => when(col("n_lines") > 0, x).otherwise(lit(0.0))

@@ -50,4 +50,33 @@ class ScaleIdiomsSpec extends SparkSpec {
       spark.sql("DROP TABLE IF EXISTS g_lines_b")
     }
   }
+
+  test("the Generate barrier holds: gated flag ops keep ONE tokenizer in the plan") {
+    // Filters over computed flag columns get alias-substituted and
+    // pushed below plain projections (PushPredicateThroughNonJoin); a
+    // two-step select is NO shield. rowFlags/qualityScore/languageId/
+    // gopherQuality seal their expensive layers behind explode(array(…))
+    // generators — this pins the executed-plan tokenizer count so a
+    // refactor back to bare projections goes red, not 10x slower.
+    // (Round-11 stream probe: the unsealed gate held 27 tokenizer
+    // copies in one pushed predicate, 22 s instead of 4 at 50k docs.)
+    val d = (1L to 20L)
+      .map(i => (i, s"the document number $i is a body of text that has twelve tokens"))
+      .toDF("doc_id", "text")
+    def rx(df: org.apache.spark.sql.DataFrame): Int =
+      "regexp_replace".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    val gate = graft.ops.Curation.applyGate(d, graft.ops.Curation.QualityGate())
+    assert(rx(gate) <= 3, s"gate plan re-inlined the tokenizer (${rx(gate)} copies)")
+    assert(gate.count() > 0) // the fixture passes the gate at all
+    // bounds = each op's SINGLE-evaluation regex inventory (tokenizer
+    // counts 2: normalize is two regexp_replaces; qualityScore adds 3
+    // one-shot ratio regexes, gopherQuality 5) — duplication pushes
+    // well past these
+    val q = graft.ops.TextAnalysis.qualityScore(d).filter(col("keep"))
+    assert(rx(q) <= 5, s"qualityScore keep-filter re-inlined (${rx(q)} copies)")
+    val l = graft.ops.TextAnalysis.languageId(d).filter(col("pred_lang") === "en")
+    assert(rx(l) <= 3, s"languageId pred_lang-filter re-inlined (${rx(l)} copies)")
+    val g = graft.ops.TextAnalysis.gopherQuality(d).filter(col("keep"))
+    assert(rx(g) <= 7, s"gopherQuality keep-filter re-inlined (${rx(g)} copies)")
+  }
 }
