@@ -601,6 +601,12 @@ object SparkEntry {
     "q_top_ngrams" -> ((s, dir) => TextAnalysis.topNgrams(docs(s, dir), 2, 100)),
     "q_vocab_coverage" -> ((s, dir) => TextAnalysis.vocabCoverage(docs(s, dir), 50)),
     "q_scrub" -> ((s, dir) => TextAnalysis.scrubStats(docs(s, dir))),
+    // C4-style token blocklist gate (any listed token drops the page)
+    "q_blocklist" -> ((s, dir) => TextAnalysis.blocklistSignals(docs(s, dir))),
+    // PII patterns beyond scrub's email/URL: IPv4 / SSN / phone + redaction hash
+    "q_pii" -> ((s, dir) => TextAnalysis.piiSignals(docs(s, dir))),
+    // encoding-damage (mojibake) signatures; the repair face is spec-gated
+    "q_mojibake" -> ((s, dir) => TextAnalysis.mojibakeSignals(docs(s, dir))),
 
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
@@ -610,6 +616,8 @@ object SparkEntry {
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // duplicate-group-size histogram (corpus health / reclaim estimate)
+    "q_dup_spectrum" -> ((s, dir) => Dedup.duplicationSpectrum(docs(s, dir))),
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
@@ -1496,6 +1504,41 @@ object SparkEntry {
         |  md5(regexp_replace(regexp_replace(text, 'https?://[^ \t\n\r"]+', '<URL>', 'g'),
         |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g')) AS clean_hash
         |FROM documents""".stripMargin,
+    "q_blocklist" -> {
+      // twin of TextAnalysis.blocklistSignals(Blocklist.default):
+      // same normalized-token membership test, same 6dp fraction
+      val terms = graft.ops.Blocklist.default.map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tokens,
+         |  CAST(n_blk AS BIGINT) AS n_blocked,
+         |  CASE WHEN n_tok > 0 THEN round(CAST(n_blk AS DOUBLE) / n_tok, 6) ELSE 0.0 END AS frac_blocked,
+         |  n_blk = 0 AS keep
+         |FROM (SELECT doc_id, len(ts) AS n_tok,
+         |        len(list_filter(ts, t -> list_contains([$terms], t))) AS n_blk
+         |      FROM (SELECT doc_id, $TOKS AS ts FROM documents))""".stripMargin
+    },
+    "q_pii" ->
+      // twin of TextAnalysis.piiSignals: identical RE2/Java patterns,
+      // identical IP -> SSN -> phone redaction order
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b')) AS INTEGER) AS n_ips,
+        |  CAST(len(regexp_extract_all(text, '\b\d{3}-\d{2}-\d{4}\b')) AS INTEGER) AS n_ssns,
+        |  CAST(len(regexp_extract_all(text, '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b')) AS INTEGER) AS n_phones,
+        |  md5(regexp_replace(regexp_replace(regexp_replace(text,
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\b\d{3}-\d{2}-\d{4}\b', '<SSN>', 'g'),
+        |    '\(\d{3}\) ?\d{3}-\d{4}|\b\d{3}-\d{3}-\d{4}\b', '<PHONE>', 'g')) AS redacted_hash
+        |FROM documents""".stripMargin,
+    "q_mojibake" ->
+      // twin of TextAnalysis.mojibakeSignals: the same char classes in
+      // RE2 \x{..} syntax (Java \uXXXX literals on the Scala side)
+      """SELECT doc_id, n_moji_latin1, n_moji_cp1252, n_c1_controls, n_replacement,
+        |  n_moji_latin1 + n_moji_cp1252 + n_c1_controls + n_replacement > 0 AS is_mojibake
+        |FROM (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '\x{00C3}[\x{0080}-\x{00BF}]')) AS INTEGER) AS n_moji_latin1,
+        |  CAST(len(regexp_extract_all(text, '\x{00E2}\x{20AC}')) AS INTEGER) AS n_moji_cp1252,
+        |  CAST(len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS INTEGER) AS n_c1_controls,
+        |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS INTEGER) AS n_replacement
+        |FROM documents)""".stripMargin,
     "q_pack_shards" ->
       s"""WITH t AS (SELECT doc_id, len($TOKS) AS n_tokens,
          |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
@@ -1529,6 +1572,18 @@ object SparkEntry {
          |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
          |FROM (SELECT doc_id, md5(regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g')) AS text_hash
          |      FROM documents)""".stripMargin,
+    "q_dup_spectrum" ->
+      // twin of Dedup.duplicationSpectrum: same normalized-text hash as
+      // q_dedup_exact, group sizes histogrammed, 6dp corpus fraction
+      s"""WITH g AS MATERIALIZED (SELECT md5(regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g')) AS h,
+         |    count(*) AS n_copies
+         |  FROM documents GROUP BY 1),
+         |sp AS MATERIALIZED (SELECT n_copies, count(*) AS n_groups FROM g GROUP BY n_copies),
+         |tot AS (SELECT sum(n_copies * n_groups) AS tot FROM sp)
+         |SELECT CAST(n_copies AS BIGINT) AS n_copies, CAST(n_groups AS BIGINT) AS n_groups,
+         |  CAST(n_copies * n_groups AS BIGINT) AS n_docs,
+         |  round(CAST(n_copies * n_groups AS DOUBLE) / tot, 6) AS frac_docs
+         |FROM sp, tot""".stripMargin,
     "q_minhash_bands" ->
       s"""WITH sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
          |sigs AS (SELECT doc_id, CAST(seed AS INTEGER) AS seed, min(md5(seed || ':' || shingle)) AS sig

@@ -71,6 +71,33 @@ object Dedup {
       .select("doc_id", "text_hash", "canonical_id", "is_dup")
   }
 
+  /** Duplication spectrum — the corpus-health histogram every dedup run
+    * should be judged by: for each exact-duplicate group size
+    * `n_copies` (same normalized-text hash as [[exact]]), how many
+    * groups have that size, how many documents they hold, and the
+    * fraction of the corpus they are. A healthy crawl has almost all
+    * mass at n_copies = 1; a heavy tail (boilerplate farms, mirrored
+    * sites) says what an exact pass will reclaim BEFORE paying for it,
+    * and how much work is left for the near-dup pass after.
+    *
+    * Plan: one corpus-sized combinable groupBy on the hash (the same
+    * exchange [[exact]] pays), then a group-count-sized groupBy and a
+    * broadcast one-row total — output is at most `max group size`
+    * rows, so everything after the first aggregate is free at 100 TB.
+    */
+  def duplicationSpectrum(docs: DataFrame): DataFrame = {
+    val groups = graft.core.Parallelism.ensure(docs)
+      .select(md5(TextNorm.normalize(col("text"))).as("text_hash"))
+      .groupBy("text_hash").agg(count(lit(1)).as("n_copies"))
+    val spectrum = groups.groupBy("n_copies").agg(count(lit(1)).as("n_groups"))
+    val total = spectrum.agg(sum(col("n_copies") * col("n_groups")).as("tot"))
+    spectrum.crossJoin(broadcast(total))
+      .select(col("n_copies"), col("n_groups"),
+        (col("n_copies") * col("n_groups")).as("n_docs"),
+        round((col("n_copies") * col("n_groups")).cast("double") / col("tot"), 6)
+          .as("frac_docs"))
+  }
+
   /** MinHash signatures, WIDE form: one row per doc_id with columns
     * sig0..sig{k-1}. Each signature simulates an independent hash
     * function as `min(md5(seed || ':' || shingle))` — the lexicographic

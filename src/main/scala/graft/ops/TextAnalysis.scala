@@ -911,6 +911,174 @@ object TextAnalysis {
         (abs(col("n_tokens") - col("med")) > lit(kMad) * lit(1.4826) * col("mad"))
           .as("is_outlier"))
   }
+
+  /** C4-style blocklist gate: per-doc count of tokens on a term
+    * blocklist, the blocked fraction, and the keep flag — C4's rule is
+    * the strict one (ANY listed token drops the page), encoded here as
+    * `keep = n_blocked == 0`; callers wanting a softer threshold filter
+    * on `frac_blocked` instead.
+    *
+    * Tokens are the index normalizer's (lowercased, alnum-only), so
+    * the list entries must be normalized terms. This literal-list face
+    * folds the list into the plan (right for the few-hundred-term
+    * published lists); [[blocklistSignalsFrom]] is the table face for
+    * lists too large to inline.
+    *
+    * Both token stats are sealed behind one-row Generate barriers —
+    * this is a flag op callers WILL filter on, and a pushed `keep`
+    * predicate must not re-inline the tokenizer (the
+    * `Curation.rowFlags` pushdown-blowup contract).
+    */
+  def blocklistSignals(
+      docs: DataFrame, blocklist: Seq[String] = Blocklist.default): DataFrame = {
+    require(blocklist.nonEmpty, "blocklist must not be empty")
+    val blockArr = array(blocklist.map(lit): _*)
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), explode(array(TextNorm.tokens(col("text")))).as("ts"))
+      .select(col("doc_id"), explode(array(struct(
+        size(col("ts")).as("n_tok"),
+        size(filter(col("ts"), t => array_contains(blockArr, t))).as("n_blk")))).as("bk"))
+      .select(col("doc_id"),
+        col("bk.n_tok").cast("long").as("n_tokens"),
+        col("bk.n_blk").cast("long").as("n_blocked"),
+        when(col("bk.n_tok") > 0,
+          round(col("bk.n_blk").cast("double") / col("bk.n_tok"), 6))
+          .otherwise(lit(0.0)).as("frac_blocked"),
+        (col("bk.n_blk") === 0).as("keep"))
+  }
+
+  /** Table face of [[blocklistSignals]] for blocklists too large to
+    * inline as a literal (multi-million-entry URL/phrase lists): the
+    * token stream joins a broadcast `(term)` table and re-aggregates
+    * per doc. One tokenize scan, one corpus-token-sized exchange (the
+    * groupBy), list-side cost a broadcast build. Identical output to
+    * the literal face on the same list (parity-specced).
+    */
+  def blocklistSignalsFrom(docs: DataFrame, terms: DataFrame): DataFrame = {
+    val t = terms.select(col("term").as("word")).distinct()
+      .withColumn("blk", lit(1L))
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), size(col("ts")).cast("long").as("n_tokens"),
+        explode_outer(col("ts")).as("word"))
+      .join(broadcast(t), Seq("word"), "left")
+      .groupBy("doc_id")
+      .agg(max("n_tokens").as("n_tokens"),
+        sum(coalesce(col("blk"), lit(0L))).as("n_blocked"))
+      .select(col("doc_id"), col("n_tokens"), col("n_blocked"),
+        when(col("n_tokens") > 0,
+          round(col("n_blocked").cast("double") / col("n_tokens"), 6))
+          .otherwise(lit(0.0)).as("frac_blocked"),
+        (col("n_blocked") === 0).as("keep"))
+  }
+
+  /** PII signal detection beyond [[scrubStats]]' email/URL pass: counts
+    * of IPv4-, SSN-, and phone-shaped matches per doc plus the md5 of
+    * the text with all three redacted (IP → SSN → phone order, so a
+    * redacted token can't partially re-match a later pattern). Same
+    * contract as scrub: the patterns are leftmost non-overlapping
+    * scans with identical semantics in Java regex and RE2, so the
+    * oracle twin hash-matches. Row-parallel, no shuffle, no tokenize.
+    *
+    * The phone pattern is deliberately strict (parenthesized or
+    * dashed NANP shapes) — a loose pattern false-positives on
+    * version strings and ranges, and a PII *redactor* must prefer
+    * precision; recall comes from adding patterns, not loosening one.
+    */
+  def piiSignals(docs: DataFrame): DataFrame = {
+    val ip = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val ssn = "\\b\\d{3}-\\d{2}-\\d{4}\\b"
+    val phone = "\\(\\d{3}\\) ?\\d{3}-\\d{4}|\\b\\d{3}-\\d{3}-\\d{4}\\b"
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(ip)).cast("int").as("n_ips"),
+        regexp_count(col("text"), lit(ssn)).cast("int").as("n_ssns"),
+        regexp_count(col("text"), lit(phone)).cast("int").as("n_phones"),
+        md5(regexp_replace(regexp_replace(regexp_replace(col("text"),
+          ip, "<IP>"), ssn, "<SSN>"), phone, "<PHONE>")).as("redacted_hash"))
+  }
+
+  /** Mojibake (encoding-damage) detection — the ftfy problem class: a
+    * crawl always contains documents whose UTF-8 bytes were decoded as
+    * Latin-1/cp1252 somewhere upstream. Per doc, counts of the four
+    * robust damage signatures plus the composite flag:
+    *
+    *  - `n_moji_latin1`: 'Ã' followed by a continuation-range char
+    *    (U+0080–U+00BF) — a 0xC3-lead UTF-8 pair read as Latin-1, the
+    *    signature every accented-Latin text shows when damaged.
+    *  - `n_moji_cp1252`: the literal 'â€' pair (0xE2 0x80 read as
+    *    cp1252) — the smart-quote/dash family ('’', '“', '—'), the
+    *    most common real-world mojibake.
+    *  - `n_c1_controls`: bare C1 control chars (U+0080–U+009F) — never
+    *    present in clean text, always present in Latin-1-decoded UTF-8.
+    *  - `n_replacement`: U+FFFD replacement chars — a decoder already
+    *    gave up upstream.
+    *
+    * Pure character-class regexp counts: row-parallel, no tokenize,
+    * engine-portable (the twin uses the same classes in RE2 `\x{..}`
+    * syntax). The repair face is [[fixMojibake]] — byte-level recode,
+    * which no SQL engine can twin, so it is spec-gated like DEFLATE.
+    */
+  def mojibakeSignals(docs: DataFrame): DataFrame = {
+    val latin1Sig = "\u00C3[\u0080-\u00BF]"
+    val cp1252Sig = "\u00E2\u20AC"
+    val c1 = "[\u0080-\u009F]"
+    val repl = "\uFFFD"
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(latin1Sig)).cast("int").as("n_moji_latin1"),
+        regexp_count(col("text"), lit(cp1252Sig)).cast("int").as("n_moji_cp1252"),
+        regexp_count(col("text"), lit(c1)).cast("int").as("n_c1_controls"),
+        regexp_count(col("text"), lit(repl)).cast("int").as("n_replacement"))
+      .withColumn("is_mojibake",
+        col("n_moji_latin1") + col("n_moji_cp1252") +
+          col("n_c1_controls") + col("n_replacement") > 0)
+  }
+
+  /** The 27 chars Windows-1252 places in the 0x80–0x9F byte range
+    * (where Latin-1 has C1 controls), paired with those byte values as
+    * chars — the 1:1 `translate` mapping that folds a
+    * UTF-8-read-as-cp1252 text back to its UTF-8-read-as-Latin-1 form,
+    * after which one Latin-1 re-encode recovers the original bytes.
+    * (The five bytes cp1252 leaves unmapped pass through as C1 chars
+    * in both views, so they need no entry.) */
+  private val Cp1252Extras =
+    "\u20AC\u201A\u0192\u201E\u2026\u2020\u2021\u02C6\u2030\u0160\u2039\u0152\u017D\u2018\u2019\u201C\u201D\u2022\u2013\u2014\u02DC\u2122\u0161\u203A\u0153\u017E\u0178"
+  private val Cp1252AsC1 =
+    "\u0080\u0082\u0083\u0084\u0085\u0086\u0087\u0088\u0089\u008A\u008B\u008C\u008E\u0091\u0092\u0093\u0094\u0095\u0096\u0097\u0098\u0099\u009A\u009B\u009C\u009E\u009F"
+
+  /** Repair the exactly-once-misdecoded case — UTF-8 bytes read as
+    * Latin-1 OR as Windows-1252: fold the cp1252 view onto the Latin-1
+    * view with a 1:1 `translate` (the two charsets differ only in the
+    * 0x80–0x9F slots, and Spark 4's `encode` only speaks the standard
+    * charsets, so the cp1252 leg is a char mapping, not a charset),
+    * then re-encode Latin-1 and decode UTF-8. Two guards: a damage
+    * signature must be present ('Ã'/'Â' + continuation-range char, or
+    * the cp1252 'â€' pair) or clean accented text would be mangled;
+    * and after the fold every char must be ≤ U+00FF or the original
+    * byte stream is not recoverable — that text stays flagged by
+    * [[mojibakeSignals]] but untouched (wrong fixes are worse than
+    * flags). Spec-gated (byte-level recode has no SQL twin);
+    * row-parallel.
+    */
+  def fixMojibake(text: Column): Column = {
+    val folded = translate(text, Cp1252Extras, Cp1252AsC1)
+    val sig = text.rlike("[\u00C2\u00C3][\u0080-\u00BF]") ||
+      text.rlike("\u00E2\u20AC")
+    when(sig && !folded.rlike("[^\u0000-\u00FF]"),
+      decode(encode(folded, "ISO-8859-1"), "UTF-8")).otherwise(text)
+  }
+}
+
+/** Default token blocklist for [[TextAnalysis.blocklistSignals]] — a
+  * short spam-marker list standing in for the published filter lists a
+  * production run supplies (C4 uses a ~400-term list; pass it, or a
+  * table via [[TextAnalysis.blocklistSignalsFrom]]). Entries must be
+  * normalized tokens (lowercase alnum).
+  */
+object Blocklist {
+  val default = Seq("casino", "viagra", "lottery", "jackpot", "porn",
+    "xxx", "betting", "pills", "spam", "scam")
 }
 
 /** Tiny closed-class word lists for the language scorer. Public-knowledge

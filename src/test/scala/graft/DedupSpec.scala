@@ -583,4 +583,24 @@ class DedupSpec extends SparkSpec {
     assert(row.getAs[Long]("tp") === 0L)
     assert(row.isNullAt(row.fieldIndex("recall")))
   }
+
+  test("duplicationSpectrum: group-size histogram with corpus fractions") {
+    // normalization folds case/punct: A appears 3x, B 2x, one unique
+    val d = docs(
+      1L -> "Hello  World", 2L -> "hello world!", 3L -> "HELLO world",
+      4L -> "same text", 5L -> "Same Text",
+      6L -> "unique snowflake")
+    val got = Dedup.duplicationSpectrum(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L))
+    assert(got(1L) === ((1L, 1L, 1L, 0.166667)))
+    assert(got(2L) === ((2L, 1L, 2L, 0.333333)))
+    assert(got(3L) === ((3L, 1L, 3L, 0.5)))
+  }
+
+  test("duplicationSpectrum: all-unique corpus is one row with fraction 1") {
+    val d = docs(1L -> "aa", 2L -> "bb", 3L -> "cc")
+    val got = Dedup.duplicationSpectrum(d).as[(Long, Long, Long, Double)].collect()
+    assert(got.toSeq === Seq((1L, 3L, 3L, 1.0)))
+  }
 }

@@ -448,4 +448,86 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(1L)._3 === 6.0 && got(1L)._4 === 2.0)
     assert(got.values.count(_._5) === 1 && got(5L)._5)
   }
+
+  test("blocklistSignals: counts, fraction, C4 any-hit drop; tokenless doc keeps") {
+    val d = docs(
+      1L -> "win the lottery now visit our casino today",   // 2 of 8 blocked
+      2L -> "a perfectly ordinary document about cats",
+      3L -> "!!! ...")                                      // tokenless
+    val got = TextAnalysis.blocklistSignals(d)
+      .as[(Long, Long, Long, Double, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 8L, 2L, 0.25, false)))
+    assert(got(2L) === ((2L, 6L, 0L, 0.0, true)))
+    assert(got(3L) === ((3L, 0L, 0L, 0.0, true)))
+  }
+
+  test("blocklistSignals: list entries match normalized tokens (case/punct-folded text)") {
+    // "CASINO!" normalizes to token "casino"
+    val d = docs(1L -> "CASINO! Jackpot?")
+    val got = TextAnalysis.blocklistSignals(d)
+      .as[(Long, Long, Long, Double, Boolean)].head()
+    assert(got === ((1L, 2L, 2L, 1.0, false)))
+  }
+
+  test("blocklistSignalsFrom: table face is identical to the literal face") {
+    val d = docs(
+      1L -> "win the lottery now visit our casino today",
+      2L -> "a perfectly ordinary document about cats",
+      3L -> "!!! ...",
+      4L -> "spam spam spam eggs")
+    val termDf = graft.ops.Blocklist.default.toDF("term")
+    val lit = TextAnalysis.blocklistSignals(d).orderBy("doc_id").collect().toSeq
+    val tab = TextAnalysis.blocklistSignalsFrom(d, termDf).orderBy("doc_id").collect().toSeq
+    assert(lit === tab)
+  }
+
+  test("piiSignals: engineered matches with the exact redaction hash") {
+    val text = "Call (555) 123-4567 or 555-123-4567. SSN 123-45-6789, host 10.0.0.1."
+    val redacted = "Call <PHONE> or <PHONE>. SSN <SSN>, host <IP>."
+    val got = TextAnalysis.piiSignals(docs(1L -> text))
+      .as[(Long, Int, Int, Int, String)].head()
+    val wantHash = java.security.MessageDigest.getInstance("MD5")
+      .digest(redacted.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got === ((1L, 1, 1, 2, wantHash)))
+  }
+
+  test("piiSignals: no false positives on versions, dates, and long digit runs") {
+    val d = docs(1L -> "v1.2.3 released 2024-10-05; build 12345.6789.0.1234; range 100-2000-4000")
+    val got = TextAnalysis.piiSignals(d).as[(Long, Int, Int, Int, String)].head()
+    assert((got._2, got._3, got._4) === ((0, 0, 0)))
+  }
+
+  test("mojibakeSignals: damaged fixtures count, clean text is all-zero") {
+    val latin1Damaged = new String("Caf\u00e9 d\u00e9j\u00e0 vu".getBytes("UTF-8"), "ISO-8859-1")
+    val cp1252Damaged = new String("don\u2019t \u2014 \u201cquoted\u201d".getBytes("UTF-8"), "windows-1252")
+    val d = docs(1L -> latin1Damaged, 2L -> cp1252Damaged,
+      3L -> "clean caf\u00e9 na\u00efve text", 4L -> ("broken \uFFFD char"))
+    val got = TextAnalysis.mojibakeSignals(d)
+      .as[(Long, Int, Int, Int, Int, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 === 3 && got(1L)._6)           // three A-tilde pairs
+    assert(got(2L)._3 >= 3 && got(2L)._6)            // three cp1252 'a-circ euro' pairs
+    assert(got(3L) === ((3L, 0, 0, 0, 0, false)))
+    assert(got(4L)._5 === 1 && got(4L)._6)
+  }
+
+  test("fixMojibake: repairs latin1- and cp1252-misdecoded text, leaves clean and unrepairable text alone") {
+    val cafe = "Caf\u00e9 d\u00e9j\u00e0 vu"
+    val quotes = "don\u2019t \u2014 \u201cquoted\u2019"
+    val latin1Damaged = new String(cafe.getBytes("UTF-8"), "ISO-8859-1")
+    val cp1252Damaged = new String(quotes.getBytes("UTF-8"), "windows-1252")
+    val clean = "clean caf\u00e9 na\u00efve text"
+    val unrepairable = "flagged \u00c3\u00a9 but also \u4e2d\u6587" // >U+00FF chars, bytes unrecoverable
+    // U+201D's UTF-8 tail byte 0x9D is an UNDEFINED cp1252 slot: Java's
+    // decoder yields U+FFFD, the byte is gone, and the guard must refuse
+    val lostByte = new String("closing \u201d quote".getBytes("UTF-8"), "windows-1252")
+    val d = docs(1L -> latin1Damaged, 2L -> cp1252Damaged, 3L -> clean, 4L -> unrepairable,
+      5L -> lostByte)
+    val got = d.select(col("doc_id"), TextAnalysis.fixMojibake(col("text")).as("t"))
+      .as[(Long, String)].collect().map(r => r._1 -> r._2).toMap
+    assert(got(1L) === cafe)
+    assert(got(2L) === quotes)
+    assert(got(3L) === clean)
+    assert(got(4L) === unrepairable)
+    assert(got(5L) === lostByte)
+  }
 }
