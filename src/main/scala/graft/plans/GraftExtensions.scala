@@ -40,6 +40,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.noveltyTableFunction)
     ext.injectTableFunction(GraftExtensions.hammingPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.scriptTableFunction)
+    ext.injectTableFunction(GraftExtensions.blocklistTableFunction)
+    ext.injectTableFunction(GraftExtensions.piiTableFunction)
+    ext.injectTableFunction(GraftExtensions.mojibakeTableFunction)
+    ext.injectTableFunction(GraftExtensions.dupSpectrumTableFunction)
     ext.injectTableFunction(GraftExtensions.splitSafeTableFunction)
     ext.injectTableFunction(GraftExtensions.splitAuditTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
@@ -297,6 +301,70 @@ object GraftExtensions {
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.TextAnalysis.scriptSignals(SparkSession.active.table(
           stringArg("graft_script")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of the C4-style blocklist gate:
+    * {{{
+    * SELECT * FROM graft_blocklist('docs')            -- default list
+    * SELECT * FROM graft_blocklist('docs', 'terms')   -- (term) table
+    * }}}
+    * One-arg uses [[graft.ops.Blocklist.default]]; two-arg routes
+    * through the broadcast-table face. Fully lazy — no cache entry. */
+  private val blocklistTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_blocklist"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_blocklist"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_blocklist(docs_table[, terms_table])")
+      val d = SparkSession.active.table(
+        stringArg("graft_blocklist")(children.head, "docs_table"))
+      val out =
+        if (children.size == 1) graft.ops.TextAnalysis.blocklistSignals(d)
+        else graft.ops.TextAnalysis.blocklistSignalsFrom(d, SparkSession.active.table(
+          stringArg("graft_blocklist")(children(1), "terms_table")))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(out)
+    })
+
+  /** SQL face of the PII signal pass:
+    * `SELECT * FROM graft_pii('docs')` — per-doc IPv4/SSN/phone counts
+    * plus the ordered-redaction hash. Fully lazy. */
+  private val piiTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_pii"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_pii"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_pii(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.piiSignals(SparkSession.active.table(
+          stringArg("graft_pii")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of encoding-damage detection:
+    * `SELECT * FROM graft_mojibake('docs')` — the four mojibake
+    * signature counts + the composite flag. Fully lazy. */
+  private val mojibakeTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_mojibake"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_mojibake"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_mojibake(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.mojibakeSignals(SparkSession.active.table(
+          stringArg("graft_mojibake")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of the duplicate-group-size histogram:
+    * `SELECT * FROM graft_dup_spectrum('docs')`. Fully lazy. */
+  private val dupSpectrumTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_dup_spectrum"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_dup_spectrum"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_dup_spectrum(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.duplicationSpectrum(SparkSession.active.table(
+          stringArg("graft_dup_spectrum")(children.head, "docs_table"))))
     })
 
   /** SQL surface for the leakage-safe split
@@ -809,7 +877,9 @@ object GraftExtensions {
         bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
         phraseTableFunction, marginMineTableFunction, noveltyTableFunction,
         hammingPairsTableFunction, scriptTableFunction,
-        splitSafeTableFunction, splitAuditTableFunction)
+        splitSafeTableFunction, splitAuditTableFunction,
+        blocklistTableFunction, piiTableFunction,
+        mojibakeTableFunction, dupSpectrumTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -603,4 +603,12 @@ class DedupSpec extends SparkSpec {
     val got = Dedup.duplicationSpectrum(d).as[(Long, Long, Long, Double)].collect()
     assert(got.toSeq === Seq((1L, 3L, 3L, 1.0)))
   }
+
+  test("SQL surface: graft_dup_spectrum TVF matches the Column API") {
+    graft.plans.GraftExtensions.install(spark)
+    val d = docs(1L -> "Hello  World", 2L -> "hello world!", 3L -> "unique")
+    d.createOrReplaceTempView("spectrum_docs")
+    assert(spark.sql("SELECT * FROM graft_dup_spectrum('spectrum_docs')").collect().toSet ===
+      Dedup.duplicationSpectrum(d).collect().toSet)
+  }
 }

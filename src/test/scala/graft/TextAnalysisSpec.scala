@@ -530,4 +530,22 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === unrepairable)
     assert(got(5L) === lostByte)
   }
+
+  test("SQL surface: graft_blocklist / graft_pii / graft_mojibake TVFs match the Column API") {
+    graft.plans.GraftExtensions.install(spark)
+    val d = docs(
+      1L -> "win the lottery now visit our casino today",
+      2L -> "Call (555) 123-4567, SSN 123-45-6789",
+      3L -> new String("Caf\u00e9".getBytes("UTF-8"), "ISO-8859-1"))
+    d.createOrReplaceTempView("tvf_docs")
+    graft.ops.Blocklist.default.toDF("term").createOrReplaceTempView("tvf_terms")
+    assert(spark.sql("SELECT * FROM graft_blocklist('tvf_docs')").collect().toSet ===
+      TextAnalysis.blocklistSignals(d).collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_blocklist('tvf_docs', 'tvf_terms')").collect().toSet ===
+      TextAnalysis.blocklistSignalsFrom(d, graft.ops.Blocklist.default.toDF("term")).collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_pii('tvf_docs')").collect().toSet ===
+      TextAnalysis.piiSignals(d).collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_mojibake('tvf_docs')").collect().toSet ===
+      TextAnalysis.mojibakeSignals(d).collect().toSet)
+  }
 }
