@@ -281,6 +281,30 @@ object ProbeScale {
       }
     }
     }
+    // round-11: the new curation signals at both scales — all designed
+    // scan-bound (blocklist: one tokenize pass + literal-array member
+    // test; pii/mojibake: row-parallel regexp passes; spectrum: one
+    // corpus-sized combinable groupBy then histogram-sized work)
+    if (section == "r11b") {
+    import graft.ops.TextAnalysis
+    val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+    for (rep <- 1 to 2) {
+      time(s"blocklist_sf01_$rep")(TextAnalysis.blocklistSignals(docs01)
+        .where(!col("keep")).count())
+      time(s"blocklist_sf1_$rep")(TextAnalysis.blocklistSignals(docs)
+        .where(!col("keep")).count())
+      time(s"pii_sf01_$rep")(TextAnalysis.piiSignals(docs01)
+        .where(col("n_ips") + col("n_ssns") + col("n_phones") > 0).count())
+      time(s"pii_sf1_$rep")(TextAnalysis.piiSignals(docs)
+        .where(col("n_ips") + col("n_ssns") + col("n_phones") > 0).count())
+      time(s"mojibake_sf01_$rep")(TextAnalysis.mojibakeSignals(docs01)
+        .where(col("is_mojibake")).count())
+      time(s"mojibake_sf1_$rep")(TextAnalysis.mojibakeSignals(docs)
+        .where(col("is_mojibake")).count())
+      time(s"spectrum_sf01_$rep")(Dedup.duplicationSpectrum(docs01).count())
+      time(s"spectrum_sf1_$rep")(Dedup.duplicationSpectrum(docs).count())
+    }
+    }
     // round-11: BPE at production depth — (a) the driver-local trainer
     // vs the distributed per-merge loop at depth 100 (the >=10x
     // merges/sec claim), (b) local training to depth 2000, (c) serving
