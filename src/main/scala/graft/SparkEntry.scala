@@ -202,22 +202,32 @@ object SparkEntry {
     * multi-referenced CTE is `AS MATERIALIZED` — the BPE_CTES rationale:
     * inlined, the funnel twins re-tokenized the corpus per reference
     * (24 s each at sf0.01; materialized < 1 s, identical rows). */
-  private lazy val CURATE_CTES: String = {
+  /** The curate chain's CTE prefix, optionally with a token-blocklist
+    * stage fused into the flags pass (the Scala chain's `rowFlags`
+    * shape); `None` is the historical three-filter chain the existing
+    * q_curate* twins use verbatim. */
+  private def curateCtesWith(blocklist: Option[Seq[String]]): String = {
     def sc(l: String, words: String) =
       s"len(list_filter(ts, t -> list_contains($words, t))) AS score_$l"
+    val blkExpr = blocklist.map { terms =>
+      val lst = terms.map(t => s"'$t'").mkString("[", ", ", "]")
+      s",\n       |            len(list_filter(ts, t -> list_contains($lst, t))) AS n_blk"
+    }.getOrElse("")
+    val blkCol = if (blocklist.isDefined) ", n_blk" else ""
+    val blkFilter = if (blocklist.isDefined) " AND n_blk = 0" else ""
     s"""flags AS MATERIALIZED (
-       |  SELECT doc_id, source, n_tok, q_keep,
+       |  SELECT doc_id, source, n_tok, q_keep$blkCol,
        |    CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
        |         WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
        |         ELSE 'zh' END AS pred_lang
-       |  FROM (SELECT doc_id, source, n_tok, q_keep, score_en, score_de, score_es, score_fr, score_zh,
+       |  FROM (SELECT doc_id, source, n_tok, q_keep$blkCol, score_en, score_de, score_es, score_fr, score_zh,
        |          greatest(score_en, score_de, score_es, score_fr, score_zh) AS best
        |    FROM (SELECT doc_id, source, len(ts) AS n_tok,
        |            (len(ts) >= 10 AND len(list_filter(ts, t -> list_contains(${Stop.en}, t))) > 0) AS q_keep,
        |            ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
-       |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
+       |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}$blkExpr
        |          FROM (SELECT doc_id, source, $TOKS AS ts FROM documents WHERE doc_id % 50 <> 0)))),
-       |s1 AS MATERIALIZED (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'),
+       |s1 AS MATERIALIZED (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'$blkFilter),
        |sh1 AS MATERIALIZED (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
        |        WHERE doc_id IN (SELECT doc_id FROM s1)),
        |${MINHASH_TAIL("sh1")},
@@ -234,6 +244,11 @@ object SparkEntry {
        |         < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
        |            WHEN 'src2' THEN 0 ELSE 5000 END))""".stripMargin
   }
+  private lazy val CURATE_CTES: String = curateCtesWith(None)
+  /** The blocklist-enabled chain's twin: two terms common in the test
+    * corpus, so the stage genuinely drops documents at the gate. */
+  private val CURATE_BLOCKLIST = Seq("vector", "slow")
+  private lazy val CURATE_BL_CTES: String = curateCtesWith(Some(CURATE_BLOCKLIST))
 
   /** Twin of both as-of implementations (window composition and native
     * sort-merge operator). Clicks collapse to one row per (user_id, ts)
@@ -984,6 +999,18 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0),
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5)
+    },
+    "q_curate_blocklist" -> { (s, dir) =>
+      // the same chain with the opt-in C4-style blocklist stage fused
+      // into the flags pass — a different survivor set feeds the dedup
+      // graph, so this pins the enabled path END-TO-END
+      val d = docs(s, dir)
+      graft.ops.Curation.curate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5,
+        blocklist = CURATE_BLOCKLIST)
     },
     "q_curate_funnel" -> { (s, dir) =>
       // per-stage survivor counts for the same chain/parameters
@@ -2396,6 +2423,13 @@ object SparkEntry {
          |FROM sa""".stripMargin,
     "q_curate" ->
       s"""WITH RECURSIVE $CURATE_CTES
+         |SELECT doc_id, source, pred_lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source, pred_lang,
+         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |      FROM flags WHERE doc_id IN (SELECT doc_id FROM s4))""".stripMargin,
+    "q_curate_blocklist" ->
+      s"""WITH RECURSIVE $CURATE_BL_CTES
          |SELECT doc_id, source, pred_lang,
          |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
          |FROM (SELECT doc_id, source, pred_lang,

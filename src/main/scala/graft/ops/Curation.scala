@@ -99,7 +99,8 @@ object Curation {
     * `q_keep`/`pred_lang` is pushed down only as far as cheap
     * struct-field extractions above the second Generate.
     */
-  private[graft] def rowFlags(docs: DataFrame, minTokens: Int): DataFrame = {
+  private[graft] def rowFlags(
+      docs: DataFrame, minTokens: Int, blocklist: Seq[String] = Nil): DataFrame = {
     // isin, not array_contains(array(lits)): inside a higher-order
     // filter the lambda body is interpreted per token, and the In
     // predicate evaluates measurably cheaper there than
@@ -110,15 +111,20 @@ object Curation {
     def hits(words: Seq[String]): Column =
       size(filter(col("ts"), t => t.isin(words: _*)))
     val passThrough = docs.columns.toSeq.map(col)
+    // the optional blocklist count rides the SAME struct (and so the
+    // same tokenize pass) as the language scores — a third flag pass
+    // would triple the chain's dominant scan cost for nothing
+    val stats = Seq(
+      size(col("ts")).as("n_tok"),
+      hits(Stopwords.en).as("s_en"),
+      hits(Stopwords.de).as("s_de"),
+      hits(Stopwords.es).as("s_es"),
+      hits(Stopwords.fr).as("s_fr"),
+      hits(Stopwords.zh).as("s_zh")) ++
+      (if (blocklist.isEmpty) Nil else Seq(hits(blocklist).as("s_bl")))
     val scored = graft.core.Parallelism.ensure(docs)
       .select(passThrough :+ explode(array(TextNorm.tokens(col("text")))).as("ts"): _*)
-      .select(passThrough :+ explode(array(struct(
-        size(col("ts")).as("n_tok"),
-        hits(Stopwords.en).as("s_en"),
-        hits(Stopwords.de).as("s_de"),
-        hits(Stopwords.es).as("s_es"),
-        hits(Stopwords.fr).as("s_fr"),
-        hits(Stopwords.zh).as("s_zh")))).as("fl"): _*)
+      .select(passThrough :+ explode(array(struct(stats: _*))).as("fl"): _*)
     val best = greatest(col("fl.s_en"), col("fl.s_de"), col("fl.s_es"),
       col("fl.s_fr"), col("fl.s_zh"))
     scored.select(passThrough ++ Seq(
@@ -128,13 +134,15 @@ object Curation {
         .when(col("fl.s_de") === best, "de")
         .when(col("fl.s_es") === best, "es")
         .when(col("fl.s_fr") === best, "fr")
-        .otherwise("zh").as("pred_lang")): _*)
+        .otherwise("zh").as("pred_lang"),
+      (if (blocklist.isEmpty) lit(true) else col("fl.s_bl") === 0).as("b_keep")): _*)
   }
 
   /** Row-parallel quality/language gate — the [[curate]] chain's two
     * cheap predicates packaged for per-batch streaming use
     * ([[graft.streaming.CorpusWatcher.startJsonl]]). */
-  final case class QualityGate(minTokens: Int = 10, keepLangs: Seq[String] = Seq("en")) {
+  final case class QualityGate(minTokens: Int = 10, keepLangs: Seq[String] = Seq("en"),
+      blocklist: Seq[String] = Nil) {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
   }
 
@@ -155,8 +163,8 @@ object Curation {
     * the input schema (flag columns are internal). One tokenization
     * pass, no shuffle — safe to run inside every micro-batch. */
   def applyGate(docs: DataFrame, gate: QualityGate): DataFrame =
-    rowFlags(docs, gate.minTokens)
-      .filter(col("q_keep") && col("pred_lang").isin(gate.keepLangs: _*))
+    rowFlags(docs, gate.minTokens, gate.blocklist)
+      .filter(col("q_keep") && col("pred_lang").isin(gate.keepLangs: _*) && col("b_keep"))
       .select(docs.columns.toSeq.map(col): _*)
 
   /** Run the full curation chain and return the kept training manifest:
@@ -204,10 +212,11 @@ object Curation {
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
       sizeRatioFloor: Double = 0.0,
       split: SplitMode = SplitMode.Hash,
-      evalShingles: Option[DataFrame] = None): DataFrame = {
+      evalShingles: Option[DataFrame] = None,
+      blocklist: Seq[String] = Nil): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
-    val s1 = rowFlags(docs, minTokens)
-      .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*))
+    val s1 = rowFlags(docs, minTokens, blocklist)
+      .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*) && col("b_keep"))
     val cl = chainClusters(s1, mat, sizeRatioFloor)
     val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
@@ -305,17 +314,19 @@ object Curation {
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
       sizeRatioFloor: Double = 0.0,
       split: SplitMode = SplitMode.Hash,
-      evalShingles: Option[DataFrame] = None): CurationResult = {
+      evalShingles: Option[DataFrame] = None,
+      blocklist: Seq[String] = Nil): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
-    val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
+    val s1 = rowFlags(docs, minTokens, blocklist)
+      .filter(col("q_keep") && langKeep && col("b_keep"))
     val cl = chainClusters(s1, mat, sizeRatioFloor)
     val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Materialize(contamOf(s2, evalDocs, evalShingles), mat)
     CurationResult(
       manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
-      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate),
+      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate, blocklist),
       clusters = cl)
   }
 
@@ -471,14 +482,16 @@ object Curation {
       rates: Map[String, Double] = Map.empty,
       defaultRate: Double = 1.0,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
-      sizeRatioFloor: Double = 0.0): DataFrame = {
+      sizeRatioFloor: Double = 0.0,
+      blocklist: Seq[String] = Nil): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
-    val s1 = rowFlags(docs, minTokens).filter(col("q_keep") && langKeep)
+    val s1 = rowFlags(docs, minTokens, blocklist)
+      .filter(col("q_keep") && langKeep && col("b_keep"))
     val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
-    funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate)
+    funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate, blocklist)
   }
 
   /** The accounting half of the chain, given the precomputed drop-set
@@ -492,25 +505,29 @@ object Curation {
       contam: DataFrame,
       minTokens: Int,
       rates: Map[String, Double],
-      defaultRate: Double): DataFrame = {
+      defaultRate: Double,
+      blocklist: Seq[String] = Nil): DataFrame = {
     val c1 = col("q_keep")
     val c2 = c1 && langKeep
-    val c3 = c2 && col("is_loser").isNull
+    val cB = c2 && col("b_keep") // ≡ c2 when no blocklist (b_keep is literal true)
+    val c3 = cB && col("is_loser").isNull
     val c4 = c3 && col("is_contam").isNull
     val c5 = c4 && Sampling.mixtureKeep("source", "doc_id", rates, defaultRate)
-    val counts = rowFlags(docs, minTokens)
+    val counts = rowFlags(docs, minTokens, blocklist)
       .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
       .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
       .agg(
         count(lit(1)).as("n0"),
         count(when(c1, 1)).as("n1"),
         count(when(c2, 1)).as("n2"),
+        count(when(cB, 1)).as("nb"),
         count(when(c3, 1)).as("n3"),
         count(when(c4, 1)).as("n4"),
         count(when(c5, 1)).as("n5"),
         coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("t0"),
         coalesce(sum(when(c1, col("n_tok"))), lit(0L)).cast("long").as("t1"),
         coalesce(sum(when(c2, col("n_tok"))), lit(0L)).cast("long").as("t2"),
+        coalesce(sum(when(cB, col("n_tok"))), lit(0L)).cast("long").as("tb"),
         coalesce(sum(when(c3, col("n_tok"))), lit(0L)).cast("long").as("t3"),
         coalesce(sum(when(c4, col("n_tok"))), lit(0L)).cast("long").as("t4"),
         coalesce(sum(when(c5, col("n_tok"))), lit(0L)).cast("long").as("t5"))
@@ -518,14 +535,24 @@ object Curation {
     def stage(i: Int, name: String, n: String, t: String) =
       struct(lit(i).as("stage_idx"), lit(name).as("stage"),
         col(n).as("n_docs"), col(t).as("n_tokens"))
-    counts
-      .select(explode(array(
-        stage(1, "ingest", "n0", "t0"),
-        stage(2, "quality", "n1", "t1"),
-        stage(3, "language", "n2", "t2"),
+    // the blocklist stage row exists only when the stage is on — the
+    // default funnel keeps its historical six-stage shape (and oracle)
+    val head = Seq(
+      stage(1, "ingest", "n0", "t0"),
+      stage(2, "quality", "n1", "t1"),
+      stage(3, "language", "n2", "t2"))
+    val tail =
+      if (blocklist.isEmpty) Seq(
         stage(4, "near_dedup", "n3", "t3"),
         stage(5, "decontaminate", "n4", "t4"),
-        stage(6, "mixture", "n5", "t5"))).as("st"))
+        stage(6, "mixture", "n5", "t5"))
+      else Seq(
+        stage(4, "blocklist", "nb", "tb"),
+        stage(5, "near_dedup", "n3", "t3"),
+        stage(6, "decontaminate", "n4", "t4"),
+        stage(7, "mixture", "n5", "t5"))
+    counts
+      .select(explode(array(head ++ tail: _*)).as("st"))
       .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"), col("st.n_tokens"))
   }
 

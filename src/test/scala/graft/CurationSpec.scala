@@ -367,4 +367,50 @@ class CurationSpec extends SparkSpec {
     assert(err.getMessage.contains("numeric literal") ||
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
   }
+
+  test("blocklist stage: fused into the flags pass, drops at its own funnel stage") {
+    // doc 7 passes quality+language but carries a blocked token
+    val d = docs.unionByName(Seq(
+      (7L, "the weather report mentions a casino and the usual town news today", "src0"))
+      .toDF("doc_id", "text", "source"))
+    val bl = Seq("casino")
+    val out = Curation.curate(d, evalDocs, rates = rates, blocklist = bl)
+    assert(out.as[(Long, String, String, String)].collect().map(_._1).sorted
+      === Array(1L, 41L)) // 7 is gone, baseline survivors unchanged
+    // without the blocklist, doc 7 survives — the stage is genuinely opt-in
+    val outDefault = Curation.curate(d, evalDocs, rates = rates)
+    assert(outDefault.as[(Long, String, String, String)].collect().map(_._1).sorted
+      === Array(1L, 7L, 41L))
+    // funnel grows the blocklist stage between language and near_dedup
+    val f = Curation.funnel(d, evalDocs, rates = rates, blocklist = bl)
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(f.map(_._2).toSeq === Seq(
+      "ingest", "quality", "language", "blocklist", "near_dedup", "decontaminate", "mixture"))
+    val byStage = f.map(r => r._2 -> r._3).toMap
+    assert(byStage("language") - byStage("blocklist") === 1L) // exactly doc 7
+    // the default funnel keeps its historical six-stage shape
+    val f0 = Curation.funnel(d, evalDocs, rates = rates)
+    assert(f0.count() === 6L)
+    // fused == standalone: the chain's blocklist decision matches blocklistSignals
+    val standalone = TextAnalysis.blocklistSignals(d, bl)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(!standalone(7L) && standalone(1L))
+  }
+
+  test("blocklist stage: curateWithFunnel and the streaming QualityGate carry it too") {
+    val d = docs.unionByName(Seq(
+      (7L, "the weather report mentions a casino and the usual town news today", "src0"))
+      .toDF("doc_id", "text", "source"))
+    val bl = Seq("casino")
+    val r = Curation.curateWithFunnel(d, evalDocs, rates = rates, blocklist = bl)
+    assert(r.manifest.as[(Long, String, String, String)].collect().map(_._1).sorted
+      === Array(1L, 41L))
+    assert(r.funnel.count() === 7L)
+    // streaming face: the per-batch gate applies the same rule
+    val gated = Curation.applyGate(d, Curation.QualityGate(blocklist = bl))
+      .select("doc_id").as[Long].collect().sorted
+    val ungated = Curation.applyGate(d, Curation.QualityGate())
+      .select("doc_id").as[Long].collect().sorted
+    assert(!gated.contains(7L) && ungated.contains(7L))
+  }
 }

@@ -78,5 +78,7 @@ class ScaleIdiomsSpec extends SparkSpec {
     assert(rx(l) <= 3, s"languageId pred_lang-filter re-inlined (${rx(l)} copies)")
     val g = graft.ops.TextAnalysis.gopherQuality(d).filter(col("keep"))
     assert(rx(g) <= 7, s"gopherQuality keep-filter re-inlined (${rx(g)} copies)")
+    val b = graft.ops.TextAnalysis.blocklistSignals(d).filter(col("keep"))
+    assert(rx(b) <= 3, s"blocklistSignals keep-filter re-inlined (${rx(b)} copies)")
   }
 }
