@@ -210,6 +210,21 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(kept.select("doc_id").as[Long].collect().toSeq === Seq(10L))
   }
 
+  test("qualityGate with a blocklist drops blocked arrivals at the stream gate too") {
+    val (watch, index, ckpt, quar) =
+      (tmp("watchbl"), tmp("indexbl"), tmp("ckptbl"), tmp("quarbl") + "/bad")
+    // 20 passes; 21 passes quality+language but carries a blocked token
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 20, "text": "the quick brown fox jumps over the lazy dog again today"}""" + "\n" +
+        """{"doc_id": 21, "text": "the town casino is open late and the locals visit it often"}""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      qualityGate = Some(graft.ops.Curation.QualityGate(
+        blocklist = Seq("casino")))).awaitTermination()
+    val indexed = indexEntries(index).map(_._2)
+    assert(indexed === Set("20"),
+      s"blocklisted doc 21 should be gated out, indexed docs: $indexed")
+  }
+
   test("metricsDir records each batch's per-stage funnel counts (all knobs on)") {
     val (watch, index, ckpt, quar, bands, metrics) =
       (tmp("watchmx"), tmp("indexmx"), tmp("ckptmx"), tmp("quarmx") + "/bad",
