@@ -633,6 +633,8 @@ object SparkEntry {
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
     // duplicate-group-size histogram (corpus health / reclaim estimate)
     "q_dup_spectrum" -> ((s, dir) => Dedup.duplicationSpectrum(docs(s, dir))),
+    // MOSS-style winnowing-fingerprint candidate pairs (local overlap)
+    "q_fingerprint_pairs" -> ((s, dir) => Dedup.fingerprintPairs(docs(s, dir))),
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
@@ -1381,6 +1383,20 @@ object SparkEntry {
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents))
          |) WHERE pos >= 5""".stripMargin,
 
+    "q_fingerprint_pairs" ->
+      // twin of Dedup.fingerprintPairs(w=5, minShared=2, maxDf=64):
+      // the q_fingerprints stream, df-capped, self-joined per fp
+      s"""WITH fp AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM (SELECT doc_id, generate_subscripts(ts, 1) AS pos, md5(unnest(ts)) AS h
+         |        FROM (SELECT doc_id, $TOKS AS ts FROM documents))
+         |) WHERE pos >= 5),
+         |kept AS MATERIALIZED (SELECT doc_id, fp FROM fp
+         |  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64))
+         |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared
+         |FROM kept l JOIN kept r ON l.fp = r.fp AND l.doc_id < r.doc_id
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_decontaminate" ->
       s"""WITH evsh AS (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
          |tr AS (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 <> 0),

@@ -98,6 +98,48 @@ object Dedup {
           .as("frac_docs"))
   }
 
+  /** Winnowing-fingerprint candidate pairs — the MOSS
+    * (plagiarism-detection) family beside MinHash-banding and
+    * SimHash-Hamming: pairs of docs sharing at least `minShared`
+    * window-min fingerprints ([[TextAnalysis.fingerprints]], the
+    * Schleimer/Wilkerson/Aiken winnowing scheme). Where a shared band
+    * says "these docs are globally similar", a shared fingerprint says
+    * "these docs contain the same LOCAL w-token region" — so this
+    * family surfaces partial overlap (a copied paragraph inside an
+    * otherwise-different page) that whole-doc MinHash dilutes away,
+    * without paying [[duplicateSpans]]' position machinery when only
+    * the pairing is wanted.
+    *
+    * Scale shape (the minhash discipline): the fingerprint table
+    * materializes ONCE (self-join sides re-derive otherwise);
+    * fingerprints in more than `maxDf` docs are dropped BEFORE pairing
+    * — an over-shared region is boilerplate, and its C(df, 2) pair
+    * blow-up would both flood the output and concentrate one key's
+    * work in one task. Join work is bounded by Σ C(df, 2) over kept
+    * fingerprints ≤ n_fp · maxDf² — fingerprint-keyed, never
+    * all-pairs. Output: `(doc_a, doc_b, n_shared)`, doc_a < doc_b.
+    */
+  def fingerprintPairs(
+      docs: DataFrame,
+      w: Int = 5,
+      minShared: Int = 2,
+      maxDf: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (df-1 docs pair per fingerprint)")
+    val fp = graft.core.Materialize(TextAnalysis.fingerprints(docs, w), mat)
+    val kept = fp.join(
+      fp.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    kept.as("l")
+      .join(kept.as("r"),
+        col("l.fp") === col("r.fp") && col("l.doc_id") < col("r.doc_id"))
+      .groupBy(col("l.doc_id").as("doc_a"), col("r.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** MinHash signatures, WIDE form: one row per doc_id with columns
     * sig0..sig{k-1}. Each signature simulates an independent hash
     * function as `min(md5(seed || ':' || shingle))` — the lexicographic

@@ -611,4 +611,28 @@ class DedupSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft_dup_spectrum('spectrum_docs')").collect().toSet ===
       Dedup.duplicationSpectrum(d).collect().toSet)
   }
+
+  test("fingerprintPairs: local copied region pairs docs; unrelated docs never pair") {
+    // docs 1 and 2 share one verbatim 9-token region inside otherwise
+    // different text; doc 3 is disjoint
+    val region = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = docs(
+      1L -> s"completely original opening words here $region and an original tail",
+      2L -> s"a different framing sentence leads into $region with other closing words",
+      3L -> "nothing in this document resembles the copied region at all today")
+    val got = Dedup.fingerprintPairs(d, w = 5, minShared = 2)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(p => (p._1, p._2)).toSeq === Seq((1L, 2L)))
+    assert(got.head._3 >= 2)
+  }
+
+  test("fingerprintPairs: the df cap drops boilerplate fingerprints before pairing") {
+    // every doc shares the same region -> its fingerprints have df = 4;
+    // with maxDf = 3 they are dropped and nothing pairs
+    val region = "alpha beta gamma delta epsilon zeta eta theta iota"
+    val d = docs((1L to 4L).map(i => i -> s"doc number $i distinct words then $region"): _*)
+    assert(Dedup.fingerprintPairs(d, w = 5, minShared = 1, maxDf = 3).count() === 0L)
+    // raising the cap restores all C(4,2) pairs
+    assert(Dedup.fingerprintPairs(d, w = 5, minShared = 1, maxDf = 4).count() === 6L)
+  }
 }
