@@ -622,6 +622,8 @@ object SparkEntry {
     "q_pii" -> ((s, dir) => TextAnalysis.piiSignals(docs(s, dir))),
     // encoding-damage (mojibake) signatures; the repair face is spec-gated
     "q_mojibake" -> ((s, dir) => TextAnalysis.mojibakeSignals(docs(s, dir))),
+    // code-vs-prose routing signals (symbol density, keywords, indentation)
+    "q_code_detect" -> ((s, dir) => TextAnalysis.codeSignals(docs(s, dir))),
 
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
@@ -1582,6 +1584,21 @@ object SparkEntry {
         |  CAST(len(regexp_extract_all(text, '[\x{0080}-\x{009F}]')) AS INTEGER) AS n_c1_controls,
         |  CAST(len(regexp_extract_all(text, '\x{FFFD}')) AS INTEGER) AS n_replacement
         |FROM documents)""".stripMargin,
+    "q_code_detect" -> {
+      // twin of TextAnalysis.codeSignals: same symbol class, keyword
+      // list, and (?m) indent pattern; same composite rule
+      val kws = graft.ops.CodeKeywords.default.map(t => s"'$t'").mkString(", ")
+      s"""SELECT doc_id, n_chars, n_sym, frac_sym, n_kw_hits, indent_lines,
+         |  frac_sym >= 0.03 OR (n_kw_hits >= 2 AND indent_lines >= 2) AS is_code
+         |FROM (SELECT doc_id, n_chars, n_sym,
+         |        CASE WHEN n_chars > 0 THEN round(CAST(n_sym AS DOUBLE) / n_chars, 6) ELSE 0.0 END AS frac_sym,
+         |        n_kw_hits, indent_lines
+         |  FROM (SELECT doc_id, CAST(length(text) AS INTEGER) AS n_chars,
+         |          CAST(len(regexp_extract_all(text, '[{}\\[\\]();=<>]')) AS BIGINT) AS n_sym,
+         |          CAST(len(list_filter($TOKS, t -> list_contains([$kws], t))) AS BIGINT) AS n_kw_hits,
+         |          CAST(len(regexp_extract_all(text, '(?m)^[ \\t]{2,}[^ \\t\\r\\n]')) AS BIGINT) AS indent_lines
+         |        FROM documents))""".stripMargin
+    },
     "q_pack_shards" ->
       s"""WITH t AS (SELECT doc_id, len($TOKS) AS n_tokens,
          |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket

@@ -1035,6 +1035,54 @@ object TextAnalysis {
           col("n_c1_controls") + col("n_replacement") > 0)
   }
 
+  /** Code-vs-prose detection — the routing decision a mixed crawl makes
+    * before language-specific curation (code wants different dedup
+    * granularity, different quality rules, its own mixture weight).
+    * Pure surface statistics, deliberately model-free and deterministic:
+    *
+    *  - `n_sym` / `frac_sym`: count/fraction of code-indicative symbol
+    *    chars (braces, brackets, semicolons, operators) — prose sits
+    *    well under 1%, real code at 5-15%.
+    *  - `n_kw_hits`: normalized-token hits in a small cross-language
+    *    keyword list (def/class/return/import/…) — symbols catch
+    *    C-family code, keywords catch whitespace-languages (Python).
+    *  - `indent_lines`: lines starting with 2+ spaces or a tab — block
+    *    structure survives even symbol-light code.
+    *  - `is_code`: the composite — symbol-dense OR (keyword evidence
+    *    AND indentation evidence).
+    *
+    * The token layer is Generate-sealed (this is a flag op — callers
+    * filter on `is_code`); the char counts are per-pattern regexp
+    * passes, row-parallel, identical in Java regex and RE2 (the `(?m)`
+    * inline flag is common syntax). One tokenize + three regexp passes
+    * per row; the 100 TB cost is the scan.
+    */
+  def codeSignals(docs: DataFrame): DataFrame = {
+    val sym = "[{}\\[\\]();=<>]"
+    val indent = "(?m)^[ \\t]{2,}[^ \\t\\r\\n]"
+    val kwArr = array(CodeKeywords.default.map(lit): _*)
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"),
+        explode(array(TextNorm.tokens(col("text")))).as("ts"))
+      .select(col("doc_id"), col("text"), explode(array(struct(
+        size(col("ts")).as("n_tok"),
+        size(filter(col("ts"), t => array_contains(kwArr, t))).as("n_kw")))).as("ck"))
+      // counts staged once (the tokenStats two-step idiom), ratios and
+      // the composite derive from materialized attributes only
+      .select(col("doc_id"),
+        length(col("text")).as("n_chars"),
+        regexp_count(col("text"), lit(sym)).cast("long").as("n_sym"),
+        col("ck.n_kw").cast("long").as("n_kw_hits"),
+        regexp_count(col("text"), lit(indent)).cast("long").as("indent_lines"))
+      .select(col("doc_id"), col("n_chars"), col("n_sym"),
+        when(col("n_chars") > 0,
+          round(col("n_sym").cast("double") / col("n_chars"), 6))
+          .otherwise(lit(0.0)).as("frac_sym"),
+        col("n_kw_hits"), col("indent_lines"))
+      .withColumn("is_code",
+        col("frac_sym") >= 0.03 || (col("n_kw_hits") >= 2 && col("indent_lines") >= 2))
+  }
+
   /** The 27 chars Windows-1252 places in the 0x80–0x9F byte range
     * (where Latin-1 has C1 controls), paired with those byte values as
     * chars — the 1:1 `translate` mapping that folds a
@@ -1079,6 +1127,18 @@ object TextAnalysis {
 object Blocklist {
   val default = Seq("casino", "viagra", "lottery", "jackpot", "porn",
     "xxx", "betting", "pills", "spam", "scam")
+}
+
+/** Cross-language code keywords for [[TextAnalysis.codeSignals]] —
+  * normalized tokens (the index normalizer strips punctuation, so
+  * `#include` arrives as `include`). Deliberately short and common
+  * across C-family/Python/JS; symbols, not keywords, carry most of the
+  * signal for brace languages.
+  */
+object CodeKeywords {
+  val default = Seq("def", "class", "return", "import", "function",
+    "var", "const", "void", "int", "public", "static", "include",
+    "self", "null", "true", "false")
 }
 
 /** Tiny closed-class word lists for the language scorer. Public-knowledge

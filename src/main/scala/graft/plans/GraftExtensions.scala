@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.hammingPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.scriptTableFunction)
     ext.injectTableFunction(GraftExtensions.blocklistTableFunction)
+    ext.injectTableFunction(GraftExtensions.codeDetectTableFunction)
     ext.injectTableFunction(GraftExtensions.piiTableFunction)
     ext.injectTableFunction(GraftExtensions.mojibakeTableFunction)
     ext.injectTableFunction(GraftExtensions.dupSpectrumTableFunction)
@@ -352,6 +353,21 @@ object GraftExtensions {
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.TextAnalysis.mojibakeSignals(SparkSession.active.table(
           stringArg("graft_mojibake")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of code-vs-prose routing:
+    * `SELECT * FROM graft_code_detect('docs')` — symbol density,
+    * keyword hits, indentation evidence + the composite flag. Fully
+    * lazy. */
+  private val codeDetectTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_code_detect"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_code_detect"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_code_detect(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.codeSignals(SparkSession.active.table(
+          stringArg("graft_code_detect")(children.head, "docs_table"))))
     })
 
   /** SQL face of the duplicate-group-size histogram:
@@ -879,7 +895,8 @@ object GraftExtensions {
         hammingPairsTableFunction, scriptTableFunction,
         splitSafeTableFunction, splitAuditTableFunction,
         blocklistTableFunction, piiTableFunction,
-        mojibakeTableFunction, dupSpectrumTableFunction)
+        mojibakeTableFunction, dupSpectrumTableFunction,
+        codeDetectTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

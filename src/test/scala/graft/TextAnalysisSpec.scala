@@ -547,5 +547,23 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.piiSignals(d).collect().toSet)
     assert(spark.sql("SELECT * FROM graft_mojibake('tvf_docs')").collect().toSet ===
       TextAnalysis.mojibakeSignals(d).collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_code_detect('tvf_docs')").collect().toSet ===
+      TextAnalysis.codeSignals(d).collect().toSet)
+  }
+
+  test("codeSignals: symbol-dense and keyword+indent code flag; prose and empty docs do not") {
+    val cCode = "int main() { int x = f(a[i]); if (x > 0) { return g(x); } }"
+    val pyCode = "def load(path):\n  import json\n  data = read(path)\n  return data\nclass Loader:\n  def run(self):\n    return self.load"
+    val prose = "the meeting ran long and the committee agreed to continue the discussion next week"
+    val d = docs(1L -> cCode, 2L -> pyCode, 3L -> prose, 4L -> "")
+    val got = TextAnalysis.codeSignals(d)
+      .as[(Long, Int, Long, Double, Long, Long, Boolean)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._7, s"C-style snippet should flag: ${got(1L)}")
+    assert(got(1L)._4 >= 0.03)                       // symbol-dense route
+    assert(got(2L)._7, s"Python-style snippet should flag: ${got(2L)}")
+    assert(got(2L)._5 >= 2 && got(2L)._6 >= 2)       // keyword+indent route
+    assert(!got(3L)._7 && got(3L)._3 === 0L)
+    assert(got(4L) === ((4L, 0, 0L, 0.0, 0L, 0L, false)))
   }
 }
