@@ -624,6 +624,8 @@ object SparkEntry {
     "q_mojibake" -> ((s, dir) => TextAnalysis.mojibakeSignals(docs(s, dir))),
     // code-vs-prose routing signals (symbol density, keywords, indentation)
     "q_code_detect" -> ((s, dir) => TextAnalysis.codeSignals(docs(s, dir))),
+    // RAG passage chunking: sliding token windows with stable md5 ids
+    "q_passages" -> ((s, dir) => TextAnalysis.passages(docs(s, dir))),
 
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
@@ -1599,6 +1601,18 @@ object SparkEntry {
          |          CAST(len(regexp_extract_all(text, '(?m)^[ \\t]{2,}[^ \\t\\r\\n]')) AS BIGINT) AS indent_lines
          |        FROM documents))""".stripMargin
     },
+    "q_passages" ->
+      // twin of TextAnalysis.passages(size=64, stride=32): same integer
+      // ceil-division window rule, 1-based inclusive list slice
+      s"""SELECT doc_id, CAST(k AS BIGINT) AS passage_idx,
+         |  CAST(k * 32 + 1 AS BIGINT) AS start_tok,
+         |  CAST(len(ts[(k*32+1):(k*32+64)]) AS BIGINT) AS n_tok,
+         |  md5(array_to_string(ts[(k*32+1):(k*32+64)], ' ')) AS passage_md5
+         |FROM (SELECT doc_id, ts, unnest(range(0, kmax + 1)) AS k
+         |      FROM (SELECT doc_id, ts,
+         |              CASE WHEN len(ts) > 64 THEN (len(ts) - 64 + 31) // 32 ELSE 0 END AS kmax
+         |            FROM (SELECT doc_id, $TOKS AS ts FROM documents)
+         |            WHERE len(ts) > 0))""".stripMargin,
     "q_pack_shards" ->
       s"""WITH t AS (SELECT doc_id, len($TOKS) AS n_tokens,
          |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket

@@ -1035,6 +1035,48 @@ object TextAnalysis {
           col("n_c1_controls") + col("n_replacement") > 0)
   }
 
+  /** Overlapping passage chunking — the retrieval-corpus preparation
+    * step (RAG): each doc becomes sliding token windows of `window`
+    * tokens at `stride` steps, with stable deterministic ids. The
+    * chunk rule: windows start at 1 + k·stride for k = 0 ..
+    * ceil((n − window)/stride) (one window when n ≤ window), so every
+    * token is covered and the LAST window may run short — the
+    * convention retrieval chunkers use (no token left behind, no
+    * redundant tail windows).
+    *
+    * Output: `(doc_id, passage_idx, start_tok, n_tok, passage_md5)` —
+    * the md5 of the space-joined window is the stable passage id an
+    * embedding pipeline keys on ([[graft.ops.Similarity]] then
+    * operates per passage; [[graft.ops.Dedup.chunkDedup]] is the
+    * NON-overlapping cousin used for dedup rather than retrieval).
+    * Tokenless docs emit no passages.
+    *
+    * Scale shape: one tokenize pass, the window explode is per-row
+    * (≤ n/stride rows per doc), and the slice/join/md5 are
+    * row-parallel over materialized arrays — no shuffle at all; k_max
+    * uses integer ceil-division, exact in both engines.
+    */
+  def passages(docs: DataFrame, window: Int = 64, stride: Int = 32): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    require(stride >= 1 && stride <= window,
+      s"stride=$stride must be in [1, window=$window] (gaps would drop tokens)")
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).as("n"))
+      .select(col("doc_id"), col("ts"),
+        explode(when(col("n") > 0,
+          sequence(lit(0),
+            when(col("n") > window,
+              (col("n") - window + (stride - 1)).divide(stride).cast("int"))
+              .otherwise(lit(0))))
+          .otherwise(array().cast("array<int>"))).as("k"))
+      .select(col("doc_id"),
+        col("k").cast("long").as("passage_idx"),
+        (col("k") * stride + 1).cast("long").as("start_tok"),
+        size(slice(col("ts"), col("k") * stride + 1, lit(window))).cast("long").as("n_tok"),
+        md5(concat_ws(" ", slice(col("ts"), col("k") * stride + 1, lit(window)))).as("passage_md5"))
+  }
+
   /** Code-vs-prose detection — the routing decision a mixed crawl makes
     * before language-specific curation (code wants different dedup
     * granularity, different quality rules, its own mixture weight).

@@ -566,4 +566,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(!got(3L)._7 && got(3L)._3 === 0L)
     assert(got(4L) === ((4L, 0, 0L, 0.0, 0L, 0L, false)))
   }
+
+  test("passages: hand-computed sliding windows, short tails covered, tokenless docs empty") {
+    val d = docs(1L -> "a b c d e", 2L -> "x y", 3L -> "!!!")
+    val got = TextAnalysis.passages(d, window = 3, stride = 2)
+      .as[(Long, Long, Long, Long, String)].collect().sortBy(r => (r._1, r._2))
+    def h(ws: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(ws.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    // doc 1: n=5, kmax=ceil((5-3)/2)=1 -> windows [a b c], [c d e]
+    // doc 2: n=2 <= window -> one short window [x y]; doc 3: tokenless -> none
+    assert(got.toSeq === Seq(
+      (1L, 0L, 1L, 3L, h("a b c")),
+      (1L, 1L, 3L, 3L, h("c d e")),
+      (2L, 0L, 1L, 2L, h("x y"))))
+    // stride == window degenerates to non-overlapping chunks
+    val chunks = TextAnalysis.passages(d, window = 2, stride = 2)
+      .filter(col("doc_id") === 1L).as[(Long, Long, Long, Long, String)]
+      .collect().sortBy(_._2)
+    assert(chunks.map(r => (r._3, r._4)).toSeq === Seq((1L, 2L), (3L, 2L), (5L, 1L)))
+  }
 }
