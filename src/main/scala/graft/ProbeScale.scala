@@ -303,6 +303,17 @@ object ProbeScale {
         .where(col("is_mojibake")).count())
       time(s"spectrum_sf01_$rep")(Dedup.duplicationSpectrum(docs01).count())
       time(s"spectrum_sf1_$rep")(Dedup.duplicationSpectrum(docs).count())
+      time(s"code_detect_sf01_$rep")(TextAnalysis.codeSignals(docs01)
+        .where(col("is_code")).count())
+      time(s"code_detect_sf1_$rep")(TextAnalysis.codeSignals(docs)
+        .where(col("is_code")).count())
+      time(s"passages_sf01_$rep")(TextAnalysis.passages(docs01).count())
+      time(s"passages_sf1_$rep")(TextAnalysis.passages(docs).count())
+      // the 10x corpus is 10 doc_id-shifted copies: every fingerprint's
+      // df multiplies by 10, so the SAME maxDf discipline that guards
+      // boilerplate guards the dense corpus — pairs stay bounded
+      time(s"fp_pairs_sf01_$rep")(Dedup.fingerprintPairs(docs01).count())
+      time(s"fp_pairs_sf1_$rep")(Dedup.fingerprintPairs(docs).count())
     }
     }
     // round-11: BPE at production depth — (a) the driver-local trainer

@@ -1388,14 +1388,16 @@ object SparkEntry {
          |) WHERE pos >= 5""".stripMargin,
 
     "q_fingerprint_pairs" ->
-      // twin of Dedup.fingerprintPairs(w=5, minShared=2, maxDf=64):
-      // the q_fingerprints stream, df-capped, self-joined per fp
+      // twin of Dedup.fingerprintPairs(w=4, k=3, minShared=2, maxDf=64):
+      // 3-gram hashes winnowed by a 4-window min, df-capped, self-joined
       s"""WITH fp AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM (
          |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
-         |    ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS fp
-         |  FROM (SELECT doc_id, generate_subscripts(ts, 1) AS pos, md5(unnest(ts)) AS h
-         |        FROM (SELECT doc_id, $TOKS AS ts FROM documents))
-         |) WHERE pos >= 5),
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM (SELECT doc_id, generate_subscripts(gs, 1) AS pos, md5(unnest(gs)) AS h
+         |        FROM (SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+         |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gs
+         |              FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3))
+         |) WHERE pos >= 4),
          |kept AS MATERIALIZED (SELECT doc_id, fp FROM fp
          |  WHERE fp IN (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 64))
          |SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_shared

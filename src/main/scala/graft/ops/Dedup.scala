@@ -101,8 +101,11 @@ object Dedup {
   /** Winnowing-fingerprint candidate pairs — the MOSS
     * (plagiarism-detection) family beside MinHash-banding and
     * SimHash-Hamming: pairs of docs sharing at least `minShared`
-    * window-min fingerprints ([[TextAnalysis.fingerprints]], the
-    * Schleimer/Wilkerson/Aiken winnowing scheme). Where a shared band
+    * window-min fingerprints ([[TextAnalysis.fingerprints]] with
+    * k-GRAM hashes — the full Schleimer/Wilkerson/Aiken winnowing
+    * scheme; unigram hashes are rejected, see the require, because
+    * their window-min collapses to the vocabulary's smallest-hash
+    * tokens and pairs on vocabulary, not content). Where a shared band
     * says "these docs are globally similar", a shared fingerprint says
     * "these docs contain the same LOCAL w-token region" — so this
     * family surfaces partial overlap (a copied paragraph inside an
@@ -121,13 +124,16 @@ object Dedup {
     */
   def fingerprintPairs(
       docs: DataFrame,
-      w: Int = 5,
+      w: Int = 4,
+      k: Int = 3,
       minShared: Int = 2,
       maxDf: Int = 64,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (df-1 docs pair per fingerprint)")
-    val fp = graft.core.Materialize(TextAnalysis.fingerprints(docs, w), mat)
+    require(k >= 2, s"k=$k must be >= 2: unigram fingerprints collapse to the " +
+      "globally-smallest-hash tokens and pair on vocabulary, not content")
+    val fp = graft.core.Materialize(TextAnalysis.fingerprints(docs, w, k), mat)
     val kept = fp.join(
       fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"),

@@ -514,12 +514,27 @@ object TextAnalysis {
     * The window is per-document (`partitionBy doc_id`) so the shuffle is
     * one hash-partition on doc_id; no global sort.
     */
-  def fingerprints(docs: DataFrame, w: Int = 5): DataFrame = {
+  def fingerprints(docs: DataFrame, w: Int = 5, k: Int = 1): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    // k = 1 (the historical default) hashes single tokens — adequate
+    // for per-doc signatures but DEGENERATE for cross-doc pairing on a
+    // small vocabulary: the window-min can only ever land on the
+    // globally-smallest-hash tokens, so the whole corpus collapses to
+    // a handful of distinct fingerprints (29 observed at sf0.1).
+    // k > 1 is the full Schleimer/Wilkerson/Aiken scheme: hash k-token
+    // GRAMS, winnow those — the gram space is content-specific, so
+    // shared fingerprints imply shared local regions
+    // ([[graft.ops.Dedup.fingerprintPairs]] uses k = 3).
     val win = Window.partitionBy("doc_id").orderBy("pos")
       .rowsBetween(-(w - 1), Window.currentRow)
-    graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), posexplode(TextNorm.tokens(col("text"))).as(Seq("pos", "word")))
-      .select(col("doc_id"), col("pos"), md5(col("word")).as("h"))
+    val grams = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= k)
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(1), size(col("ts")) - (k - 1)),
+        i => concat_ws(" ", slice(col("ts"), i, lit(k))))).as(Seq("pos", "g")))
+    grams
+      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
       .withColumn("fp", min(col("h")).over(win))
       .filter(col("pos") >= w - 1)  // only full windows
       .select(col("doc_id"), col("fp"))
