@@ -639,6 +639,10 @@ object SparkEntry {
     "q_dup_spectrum" -> ((s, dir) => Dedup.duplicationSpectrum(docs(s, dir))),
     // MOSS-style winnowing-fingerprint candidate pairs (local overlap)
     "q_fingerprint_pairs" -> ((s, dir) => Dedup.fingerprintPairs(docs(s, dir))),
+    // quality keep policy: longest cluster member survives, not min-id
+    "q_dedup_keep_best" -> ((s, dir) =>
+      Dedup.dropNearDuplicatesBy(docs(s, dir),
+        size(graft.core.TextNorm.tokens(col("text")))).select("doc_id")),
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
@@ -1692,6 +1696,21 @@ object SparkEntry {
          |$CLUSTER_CTES
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
+    "q_dedup_keep_best" ->
+      // survivors under the longest-member keep policy: per cluster,
+      // max token count then min doc_id wins; everyone else drops
+      s"""WITH RECURSIVE $MINHASH_CTES,
+         |$CLUSTER_CTES,
+         |members AS MATERIALIZED (SELECT c.doc_id, c.cluster_id, len($TOKS) AS s
+         |  FROM cl c JOIN documents d ON d.doc_id = c.doc_id),
+         |best AS (SELECT cluster_id, max(s) AS smax FROM members GROUP BY cluster_id),
+         |winners AS (SELECT m.cluster_id, min(m.doc_id) AS keep_id
+         |  FROM members m JOIN best b ON m.cluster_id = b.cluster_id AND m.s = b.smax
+         |  GROUP BY m.cluster_id),
+         |losers AS (SELECT m.doc_id FROM members m
+         |  JOIN winners w ON m.cluster_id = w.cluster_id AND m.doc_id <> w.keep_id)
+         |SELECT d.doc_id FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM losers)""".stripMargin,
     "q_ngram_jaccard" ->
       s"""WITH sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
          |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),

@@ -878,6 +878,49 @@ object Dedup {
     docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat, sizeRatioFloor),
       Seq("doc_id"), "left_anti")
 
+  /** Near-dup removal with a QUALITY keep policy: instead of each
+    * cluster's minimum doc_id, keep the member maximizing `score`
+    * (ties broken by minimum doc_id — a total order, deterministic).
+    * This is what production dedup actually wants: when a page exists
+    * as a full article and a truncated syndication copy, min-id keeps
+    * whichever crawled first; score-keep retains the best copy (pass
+    * token count for "longest wins", a [[Curation.classifierScore]]
+    * logit for "cleanest wins", …).
+    *
+    * Scale shape: the cluster graph is the same build as
+    * [[dropNearDuplicates]]; `score` is evaluated only for CLUSTERED
+    * members (cluster-table-sized join — at production dup rates a few
+    * percent of the corpus), and the winner selection is two
+    * cluster-sized aggregates. The corpus-sized work is unchanged:
+    * candidate generation + one anti-join.
+    */
+  def dropNearDuplicatesBy(
+      docs: DataFrame,
+      score: Column,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      bucketCap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0): DataFrame = {
+    val cl = clusters(
+      minhashCandidatePairs(docs, w, k, bands, bucketCap, mat, sizeRatioFloor), mat = mat)
+    // score only the clustered members — docs join cl is keyed and
+    // cluster-table-sized (AQE broadcasts the cluster side)
+    val members = docs.join(cl, Seq("doc_id"))
+      .select(col("doc_id"), col("cluster_id"), score.as("_s"))
+    // (max score, then min doc_id) via two cluster-sized aggregates —
+    // type-generic (no numeric negation trick), trivially twinnable
+    val best = members.groupBy("cluster_id").agg(max("_s").as("_smax"))
+    val winners = members.join(best, Seq("cluster_id"))
+      .filter(col("_s") === col("_smax"))
+      .groupBy("cluster_id").agg(min("doc_id").as("keep_id"))
+    val losers = members.join(winners, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select("doc_id")
+    docs.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   /** The ids [[dropNearDuplicates]] removes: non-canonical members of
     * each near-dup cluster (everyone but the minimum doc_id). Exposed
     * so composed pipelines ([[Curation.funnel]]) can account the drop

@@ -635,4 +635,26 @@ class DedupSpec extends SparkSpec {
     // raising the cap restores all C(4,2) pairs
     assert(Dedup.fingerprintPairs(d, w = 5, minShared = 1, maxDf = 4).count() === 6L)
   }
+
+  test("dropNearDuplicatesBy keeps the best-scoring cluster member, not the min id") {
+    // 10 and 11 near-dup (one word changed); 11 is LONGER, so the
+    // length policy keeps 11 where min-id policy keeps 10
+    val base = "a very ordinary sentence about the weather and some other plain " +
+      "topics in the town report"
+    val d = docs(
+      10L -> base,
+      11L -> (base + " with more words"),
+      12L -> "completely unrelated text that stands alone")
+    val score = org.apache.spark.sql.functions.size(graft.core.TextNorm.tokens(col("text")))
+    val kept = Dedup.dropNearDuplicatesBy(d, score)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq === Seq(11L, 12L))
+    val keptMinId = Dedup.dropNearDuplicates(d)
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptMinId.toSeq === Seq(10L, 12L))
+    // constant score degenerates to the min-id policy (the tiebreak)
+    val keptConst = Dedup.dropNearDuplicatesBy(d, lit(1))
+      .select("doc_id").as[Long].collect().sorted
+    assert(keptConst.toSeq === Seq(10L, 12L))
+  }
 }
