@@ -626,6 +626,8 @@ object SparkEntry {
     "q_code_detect" -> ((s, dir) => TextAnalysis.codeSignals(docs(s, dir))),
     // RAG passage chunking: sliding token windows with stable md5 ids
     "q_passages" -> ((s, dir) => TextAnalysis.passages(docs(s, dir))),
+    // sentence segmentation stats + the truncation tell
+    "q_sentences" -> ((s, dir) => TextAnalysis.sentenceSignals(docs(s, dir))),
 
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
@@ -1607,6 +1609,19 @@ object SparkEntry {
          |          CAST(len(regexp_extract_all(text, '(?m)^[ \\t]{2,}[^ \\t\\r\\n]')) AS BIGINT) AS indent_lines
          |        FROM documents))""".stripMargin
     },
+    "q_sentences" ->
+      // twin of TextAnalysis.sentenceSignals: same terminator-run split,
+      // letter-bearing segment rule, and trailing-terminator pattern
+      s"""SELECT doc_id,
+         |  CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |  CAST(len(segs) AS BIGINT) AS n_sentences,
+         |  CASE WHEN len(segs) > 0
+         |       THEN round(CAST(len($TOKS) AS DOUBLE) / len(segs), 6) END AS mean_sentence_tokens,
+         |  regexp_matches(text, '[.!?][ \\t\\r\\n]*$$') AS ends_sentence
+         |FROM (SELECT doc_id, text,
+         |        list_filter(string_split_regex(text, '[.!?]+'),
+         |          s -> regexp_matches(s, '[A-Za-z]')) AS segs
+         |      FROM documents)""".stripMargin,
     "q_passages" ->
       // twin of TextAnalysis.passages(size=64, stride=32): same integer
       // ceil-division window rule, 1-based inclusive list slice

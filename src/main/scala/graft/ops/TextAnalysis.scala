@@ -1050,6 +1050,34 @@ object TextAnalysis {
           col("n_c1_controls") + col("n_replacement") > 0)
   }
 
+  /** Sentence-level signals — the segmentation statistics quality
+    * batteries lean on beside token counts: sentence count (non-empty
+    * letter-bearing segments between `[.!?]` terminator runs), mean
+    * tokens per sentence (6dp; NULL when no sentences), and the
+    * ends-with-terminator flag — a C4-ish truncation tell (a page cut
+    * mid-sentence usually IS a truncated or boilerplate-damaged page).
+    *
+    * The split + letter test runs in one higher-order filter over the
+    * materialized segment array; the token count shares the
+    * Generate-sealed struct (flag-op discipline — callers filter on
+    * `ends_sentence` or threshold `mean_sentence_tokens`).
+    * Row-parallel, no shuffle; patterns identical in Java regex / RE2.
+    */
+  def sentenceSignals(docs: DataFrame): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"),
+        explode(array(struct(
+          TextNorm.tokens(col("text")).as("ts"),
+          filter(split(col("text"), "[.!?]+"),
+            seg => seg.rlike("[A-Za-z]")).as("segs")))).as("sx"))
+      .select(col("doc_id"),
+        size(col("sx.ts")).cast("long").as("n_tokens"),
+        size(col("sx.segs")).cast("long").as("n_sentences"),
+        when(size(col("sx.segs")) > 0,
+          round(size(col("sx.ts")).cast("double") / size(col("sx.segs")), 6))
+          .as("mean_sentence_tokens"),
+        col("text").rlike("[.!?][ \\t\\r\\n]*$").as("ends_sentence"))
+
   /** Overlapping passage chunking — the retrieval-corpus preparation
     * step (RAG): each doc becomes sliding token windows of `window`
     * tokens at `stride` steps, with stable deterministic ids. The

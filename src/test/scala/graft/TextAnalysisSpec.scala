@@ -585,4 +585,20 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().sortBy(_._2)
     assert(chunks.map(r => (r._3, r._4)).toSeq === Seq((1L, 2L), (3L, 2L), (5L, 1L)))
   }
+
+  test("sentenceSignals: segment counting, mean length, and the truncation tell") {
+    val d = docs(
+      1L -> "First sentence here. Second one! A third?",   // 3 sentences, ends clean
+      2L -> "A page cut off mid sentence with no",          // 1 fragment, truncated
+      3L -> "Ellipsis... then more words. trailing  ",      // "..." is ONE terminator run
+      4L -> "12345 !!! ???",                                // no letter-bearing segments
+      5L -> "")
+    val got = TextAnalysis.sentenceSignals(d)
+      .as[(Long, Long, Long, Option[Double], Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, 7L, 3L, Some(math.rint(7.0 / 3 * 1e6) / 1e6), true)))
+    assert(got(2L) === ((2L, 8L, 1L, Some(8.0), false)))
+    assert(got(3L)._3 === 3L && got(3L)._5 === false)       // trailing spaces after no terminator
+    assert(got(4L) === ((4L, 1L, 0L, None, true)))          // punct strips to 1 token, "???" ends the text
+    assert(got(5L) === ((5L, 0L, 0L, None, false)))
+  }
 }
