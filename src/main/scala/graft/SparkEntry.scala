@@ -645,6 +645,13 @@ object SparkEntry {
     "q_dedup_keep_best" -> ((s, dir) =>
       Dedup.dropNearDuplicatesBy(docs(s, dir),
         size(graft.core.TextNorm.tokens(col("text")))).select("doc_id")),
+    // incremental winnowing: arrivals vs an append-only fp history
+    "q_fp_pairs_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.fingerprintPairsAgainst(
+        d.filter(col("doc_id") % 10 === 0),
+        TextAnalysis.fingerprints(d.filter(col("doc_id") % 10 =!= 0), 4, 3))
+    },
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
@@ -1711,6 +1718,24 @@ object SparkEntry {
          |$CLUSTER_CTES
          |SELECT d.doc_id FROM documents d
          |WHERE d.doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)""".stripMargin,
+    "q_fp_pairs_incr" ->
+      // twin of fingerprintPairsAgainst over the %10 split: same winnow
+      // stream per side, history-side df cap, pair aggregation
+      s"""WITH fps AS MATERIALIZED (SELECT DISTINCT doc_id, fp FROM (
+         |  SELECT doc_id, pos, min(h) OVER (PARTITION BY doc_id ORDER BY pos
+         |    ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS fp
+         |  FROM (SELECT doc_id, generate_subscripts(gs, 1) AS pos, md5(unnest(gs)) AS h
+         |        FROM (SELECT doc_id, list_transform(generate_series(1, len(ts) - 2),
+         |                i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2]) AS gs
+         |              FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3))
+         |) WHERE pos >= 4),
+         |ref AS MATERIALIZED (SELECT doc_id, fp FROM fps WHERE doc_id % 10 <> 0),
+         |refkept AS MATERIALIZED (SELECT doc_id, fp FROM ref
+         |  WHERE fp IN (SELECT fp FROM ref GROUP BY fp HAVING count(*) <= 64)),
+         |inc AS (SELECT doc_id, fp FROM fps WHERE doc_id % 10 = 0)
+         |SELECT i.doc_id, r.doc_id AS ref_doc_id, count(*) AS n_shared
+         |FROM inc i JOIN refkept r ON i.fp = r.fp
+         |GROUP BY 1, 2 HAVING count(*) >= 2""".stripMargin,
     "q_dedup_keep_best" ->
       // survivors under the longest-member keep policy: per cluster,
       // max token count then min doc_id wins; everyone else drops

@@ -878,6 +878,41 @@ object Dedup {
     docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat, sizeRatioFloor),
       Seq("doc_id"), "left_anti")
 
+  /** Incremental cross-corpus face of [[fingerprintPairs]] — the
+    * daily-crawl pattern ([[dropDuplicatesAgainst]]'s contract, the
+    * provenance-reporting variant): the increment signs itself with
+    * k-gram winnowing fingerprints and joins an APPEND-ONLY
+    * `(doc_id, fp)` history table; output names WHICH history doc each
+    * arrival shares ≥ `minShared` local regions with. History text is
+    * never touched — only its fingerprint table; after admission the
+    * caller appends the survivors' own fingerprints.
+    *
+    * The df cap applies to the HISTORY side (a region fingerprinted in
+    * > `maxDf` history docs is boilerplate; joining it would pay its
+    * posting list per arrival). The cap's df table is one keyed
+    * combinable aggregate over the history fingerprint table per call
+    * — at 100 TB maintain it incrementally alongside the history
+    * (it is `(fp, df)`-sized) and filter before calling.
+    */
+  def fingerprintPairsAgainst(
+      newDocs: DataFrame,
+      refFps: DataFrame,
+      w: Int = 4,
+      k: Int = 3,
+      minShared: Int = 2,
+      maxDf: Int = 64): DataFrame = {
+    require(minShared >= 1, s"minShared=$minShared must be >= 1")
+    require(k >= 2, s"k=$k must be >= 2 (see fingerprintPairs)")
+    val inc = TextAnalysis.fingerprints(newDocs, w, k)
+    val refKept = refFps.join(
+      refFps.groupBy("fp").agg(count(lit(1)).as("df"))
+        .filter(col("df") <= maxDf).select("fp"),
+      Seq("fp"))
+    inc.join(refKept.withColumnRenamed("doc_id", "ref_doc_id"), Seq("fp"))
+      .groupBy("doc_id", "ref_doc_id").agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-dup removal with a QUALITY keep policy: instead of each
     * cluster's minimum doc_id, keep the member maximizing `score`
     * (ties broken by minimum doc_id — a total order, deterministic).

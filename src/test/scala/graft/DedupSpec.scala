@@ -657,4 +657,23 @@ class DedupSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(keptConst.toSeq === Seq(10L, 12L))
   }
+
+  test("fingerprintPairsAgainst: arrivals name their history matches; history cap applies") {
+    val region = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val history = docs(
+      100L -> s"an archived page where $region appears in the middle of prose",
+      101L -> "an unrelated archived page about completely different matters entirely")
+    val refFps = graft.ops.TextAnalysis.fingerprints(history, 4, 3)
+    val arrivals = docs(
+      200L -> s"fresh crawl copy reusing $region almost verbatim in new framing",
+      201L -> "a genuinely novel arrival with nothing shared at all today")
+    val got = Dedup.fingerprintPairsAgainst(arrivals, refFps)
+      .as[(Long, Long, Long)].collect()
+    assert(got.map(r => (r._1, r._2)).toSeq === Seq((200L, 100L)))
+    assert(got.head._3 >= 2)
+    // a boilerplate region present in MANY history docs is df-capped out
+    val bloat = docs((300L to 310L).map(i => i -> s"boilerplate host page $i with $region inside"): _*)
+    val bloatFps = graft.ops.TextAnalysis.fingerprints(bloat, 4, 3)
+    assert(Dedup.fingerprintPairsAgainst(arrivals, bloatFps, maxDf = 5).count() === 0L)
+  }
 }
