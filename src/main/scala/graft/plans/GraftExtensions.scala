@@ -42,6 +42,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.scriptTableFunction)
     ext.injectTableFunction(GraftExtensions.blocklistTableFunction)
     ext.injectTableFunction(GraftExtensions.codeDetectTableFunction)
+    ext.injectTableFunction(GraftExtensions.sentencesTableFunction)
+    ext.injectTableFunction(GraftExtensions.passagesTableFunction)
+    ext.injectTableFunction(GraftExtensions.fingerprintPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.piiTableFunction)
     ext.injectTableFunction(GraftExtensions.mojibakeTableFunction)
     ext.injectTableFunction(GraftExtensions.dupSpectrumTableFunction)
@@ -368,6 +371,51 @@ object GraftExtensions {
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.TextAnalysis.codeSignals(SparkSession.active.table(
           stringArg("graft_code_detect")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of sentence segmentation:
+    * `SELECT * FROM graft_sentences('docs')`. Fully lazy. */
+  private val sentencesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_sentences"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_sentences"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_sentences(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.sentenceSignals(SparkSession.active.table(
+          stringArg("graft_sentences")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of RAG passage chunking:
+    * `SELECT * FROM graft_passages('docs')` — default window 64,
+    * stride 32. Fully lazy. */
+  private val passagesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_passages"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_passages"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_passages(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.passages(SparkSession.active.table(
+          stringArg("graft_passages")(children.head, "docs_table"))))
+    })
+
+  /** SQL face of winnowing-fingerprint pairing:
+    * `SELECT * FROM graft_fingerprint_pairs('docs')` — default
+    * (w=4, k=3, minShared=2, maxDf=64). Fully lazy. */
+  private val fingerprintPairsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_fingerprint_pairs"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_fingerprint_pairs"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_fingerprint_pairs(docs_table)")
+      // Persist, not localCheckpoint: a TVF body must stay lazy (the
+      // graft_minhash_pairs convention — EXPLAIN runs no job)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.fingerprintPairs(
+          SparkSession.active.table(
+            stringArg("graft_fingerprint_pairs")(children.head, "docs_table")),
+          mat = graft.core.Materialize.Persist))
     })
 
   /** SQL face of the duplicate-group-size histogram:
@@ -896,7 +944,8 @@ object GraftExtensions {
         splitSafeTableFunction, splitAuditTableFunction,
         blocklistTableFunction, piiTableFunction,
         mojibakeTableFunction, dupSpectrumTableFunction,
-        codeDetectTableFunction)
+        codeDetectTableFunction, sentencesTableFunction,
+        passagesTableFunction, fingerprintPairsTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -658,6 +658,22 @@ class DedupSpec extends SparkSpec {
     assert(keptConst.toSeq === Seq(10L, 12L))
   }
 
+  test("SQL surface: graft_fingerprint_pairs TVF matches the Column API; EXPLAIN runs no job") {
+    graft.plans.GraftExtensions.install(spark)
+    val region = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val d = docs(
+      1L -> s"original page framing around $region and a tail",
+      2L -> s"different page framing with $region and other words",
+      3L -> "nothing shared with the others in this one at all")
+    d.createOrReplaceTempView("fpp_docs")
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    spark.sql("EXPLAIN SELECT * FROM graft_fingerprint_pairs('fpp_docs')").collect()
+    assert(spark.sparkContext.statusTracker.getJobIdsForGroup(null).length === before,
+      "EXPLAIN of the TVF must not run a Spark job")
+    assert(spark.sql("SELECT * FROM graft_fingerprint_pairs('fpp_docs')").collect().toSet ===
+      Dedup.fingerprintPairs(d).collect().toSet)
+  }
+
   test("fingerprintPairsAgainst: arrivals name their history matches; history cap applies") {
     val region = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val history = docs(

@@ -549,6 +549,10 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.mojibakeSignals(d).collect().toSet)
     assert(spark.sql("SELECT * FROM graft_code_detect('tvf_docs')").collect().toSet ===
       TextAnalysis.codeSignals(d).collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_sentences('tvf_docs')").collect().toSet ===
+      TextAnalysis.sentenceSignals(d).collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_passages('tvf_docs')").collect().toSet ===
+      TextAnalysis.passages(d).collect().toSet)
   }
 
   test("codeSignals: symbol-dense and keyword+indent code flag; prose and empty docs do not") {
