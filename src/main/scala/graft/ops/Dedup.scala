@@ -941,9 +941,13 @@ object Dedup {
     val cl = clusters(
       minhashCandidatePairs(docs, w, k, bands, bucketCap, mat, sizeRatioFloor), mat = mat)
     // score only the clustered members — docs join cl is keyed and
-    // cluster-table-sized (AQE broadcasts the cluster side)
-    val members = docs.join(cl, Seq("doc_id"))
-      .select(col("doc_id"), col("cluster_id"), score.as("_s"))
+    // cluster-table-sized (AQE broadcasts the cluster side); the table
+    // is referenced three times below (best, winner filter, losers),
+    // so it materializes once — id+score rows, never text
+    val members = graft.core.Materialize(
+      docs.join(cl, Seq("doc_id"))
+        .select(col("doc_id"), col("cluster_id"), score.as("_s")),
+      mat)
     // (max score, then min doc_id) via two cluster-sized aggregates —
     // type-generic (no numeric negation trick), trivially twinnable
     val best = members.groupBy("cluster_id").agg(max("_s").as("_smax"))
