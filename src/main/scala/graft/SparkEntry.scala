@@ -628,6 +628,8 @@ object SparkEntry {
     "q_passages" -> ((s, dir) => TextAnalysis.passages(docs(s, dir))),
     // sentence segmentation stats + the truncation tell
     "q_sentences" -> ((s, dir) => TextAnalysis.sentenceSignals(docs(s, dir))),
+    // Unicode NFC canonical-form audit (native expression + DuckDB twin)
+    "q_unicode_norm" -> ((s, dir) => TextAnalysis.unicodeNorm(docs(s, dir))),
 
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
@@ -1616,6 +1618,12 @@ object SparkEntry {
          |          CAST(len(regexp_extract_all(text, '(?m)^[ \\t]{2,}[^ \\t\\r\\n]')) AS BIGINT) AS indent_lines
          |        FROM documents))""".stripMargin
     },
+    "q_unicode_norm" ->
+      // twin of TextAnalysis.unicodeNorm: both sides run the published
+      // Unicode NFC algorithm (JDK Normalizer / DuckDB ICU)
+      """SELECT doc_id, md5(nfc_normalize(text)) AS nfc_hash,
+        |  nfc_normalize(text) <> text AS changed
+        |FROM documents""".stripMargin,
     "q_sentences" ->
       // twin of TextAnalysis.sentenceSignals: same terminator-run split,
       // letter-bearing segment rule, and trailing-terminator pattern

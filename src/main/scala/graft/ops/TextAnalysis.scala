@@ -1050,6 +1050,29 @@ object TextAnalysis {
           col("n_c1_controls") + col("n_replacement") > 0)
   }
 
+  /** Column face of the native NFC expression
+    * ([[graft.functions.NfcNormalize]]). */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.NfcNormalize(
+        org.apache.spark.sql.GraftSqlBridge.expression(text)))
+
+  /** Unicode canonical-form audit — per doc, the md5 of the
+    * NFC-normalized text and whether normalization CHANGED it. Run
+    * before exact dedup / shingle hashing: precomposed and
+    * combining-mark spellings of the same text are byte-different but
+    * canonically identical, and every hash-based operator downstream
+    * silently misses the match ([[graft.ops.Dedup.exact]]'s normalize
+    * lowercases and strips, but never composes). Row-parallel, no
+    * shuffle; ASCII-clean corpora take the `isNormalized` fast path.
+    */
+  def unicodeNorm(docs: DataFrame): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"), nfc(col("text")).as("_n"))
+      .select(col("doc_id"),
+        md5(col("_n")).as("nfc_hash"),
+        (col("_n") =!= col("text")).as("changed"))
+
   /** Sentence-level signals — the segmentation statistics quality
     * batteries lean on beside token counts: sentence count (non-empty
     * letter-bearing segments between `[.!?]` terminator runs), mean

@@ -20,6 +20,7 @@ import graft.functions.DotProduct
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftExtensions.dotFunction)
+    ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
     ext.injectTableFunction(GraftExtensions.asofTableFunction)
     ext.injectTableFunction(GraftExtensions.minhashPairsTableFunction)
@@ -61,6 +62,14 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 2, "graft_dot(a, b) takes exactly two arguments")
       DotProduct(children.head, children(1))
+    })
+
+  private val nfcFunction: (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_nfc"),
+    new ExpressionInfo(classOf[graft.functions.NfcNormalize].getName, "graft_nfc"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_nfc(text) takes exactly one argument")
+      graft.functions.NfcNormalize(children.head)
     })
 
   /** SQL surface for the bounded-heap top-k aggregate:
@@ -933,6 +942,8 @@ object GraftExtensions {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, id, info, builder)
     val (kid, kinfo, kbuilder) = topKFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
+    val (nid, ninfo, nbuilder) = nfcFunction
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, nid, ninfo, nbuilder)
     Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
         annSearchTableFunction, semanticDupsTableFunction,
         boilerplateTableFunction, semanticDecontaminateTableFunction,

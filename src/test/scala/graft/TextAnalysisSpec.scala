@@ -605,4 +605,29 @@ class TextAnalysisSpec extends SparkSpec {
     assert(got(4L) === ((4L, 1L, 0L, None, true)))          // punct strips to 1 token, "???" ends the text
     assert(got(5L) === ((5L, 0L, 0L, None, false)))
   }
+
+  test("unicodeNorm: combining marks compose, NFC is idempotent, SQL scalar matches") {
+    val decomposed = "cafe\u0301 and more"     // e + combining acute
+    val precomposed = "caf\u00e9 and more"     // precomposed e-acute
+    val d = docs(1L -> decomposed, 2L -> precomposed, 3L -> "plain ascii")
+    val got = TextAnalysis.unicodeNorm(d)
+      .as[(Long, String, Boolean)].collect().map(r => r._1 -> r).toMap
+    // the two spellings hash identically after NFC; only the
+    // decomposed one was CHANGED by normalization
+    assert(got(1L)._2 === got(2L)._2)
+    assert(got(1L)._3 && !got(2L)._3 && !got(3L)._3)
+    // direct column face: composition + idempotence
+    val n = d.filter(col("doc_id") === 1L)
+      .select(TextAnalysis.nfc(col("text")).as("n1"),
+        TextAnalysis.nfc(TextAnalysis.nfc(col("text"))).as("n2"))
+      .as[(String, String)].head()
+    assert(n._1 === precomposed && n._2 === precomposed)
+    // SQL scalar parity through the registered function
+    graft.plans.GraftExtensions.install(spark)
+    d.createOrReplaceTempView("nfc_docs")
+    assert(spark.sql("SELECT doc_id, md5(graft_nfc(text)) AS h FROM nfc_docs")
+      .as[(Long, String)].collect().toMap ===
+      TextAnalysis.unicodeNorm(d).select("doc_id", "nfc_hash")
+        .as[(Long, String)].collect().toMap)
+  }
 }
