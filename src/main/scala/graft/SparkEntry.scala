@@ -634,6 +634,9 @@ object SparkEntry {
     // ---- training-shard layout ------------------------------------------
     "q_pack_shards" -> ((s, dir) =>
       graft.ops.Sampling.packShards(docs(s, dir), tokenBudget = 512, buckets = 8)),
+    // GPT-style fixed-context packing plan (docs split at boundaries)
+    "q_context_plan" -> ((s, dir) =>
+      graft.ops.Sampling.contextPlan(docs(s, dir), ctxLen = 128, buckets = 8)),
     "q_shuffle_order" -> ((s, dir) =>
       graft.ops.Sampling.shuffleOrder(docs(s, dir), "doc_id", shards = 16, seed = 42L)),
 
@@ -657,6 +660,9 @@ object SparkEntry {
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
+    // corpus-level inter-source overlap (minhash of each source's
+    // shingle-set union; the mixture designer's contamination screen)
+    "q_source_overlap" -> ((s, dir) => Dedup.sourceOverlap(docs(s, dir))),
     "q_dedup_clusters" -> ((s, dir) =>
       Dedup.clusters(Dedup.minhashCandidatePairs(docs(s, dir)))),
     "q_dedup_keep" -> ((s, dir) =>
@@ -777,6 +783,9 @@ object SparkEntry {
         Similarity.bruteForceTopK(q, e, 10), 10)
     },
     "q_label_centroids" -> ((s, dir) => Similarity.labelCentroids(emb(s, dir))),
+    // robust per-label OOD screen: cosine distance to own centroid,
+    // median/MAD-flagged (mislabels, encoder failures, novel content)
+    "q_emb_outliers" -> ((s, dir) => Similarity.embeddingOutliers(emb(s, dir))),
     "q_quantize_int8" -> ((s, dir) => Similarity.quantizeInt8(emb(s, dir))),
     // product quantization: per-subspace codebooks trained in one plan
     "q_pq_codes" -> ((s, dir) => Similarity.pqCodes(emb(s, dir))),
@@ -896,6 +905,8 @@ object SparkEntry {
     "q_asof_join" -> ((s, dir) => Relational.asofPurchaseToClick(s, dir)),
     "q_asof_native" -> ((s, dir) => Relational.asofPurchaseToClickNative(s, dir)),
     "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir)),
+    // generic single-scan column profiler over the events table
+    "q_profile" -> ((s, dir) => Relational.profile(Relational.events(s, dir))),
     "q_funnel" -> ((s, dir) => Relational.funnel(
       Relational.events(s, dir), Seq("view", "click", "purchase"))),
 
@@ -1660,6 +1671,25 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
          |  CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket
          |FROM c""".stripMargin,
+    "q_context_plan" ->
+      // twin of Sampling.contextPlan(ctxLen=128, buckets=8): same
+      // bucketed running sum, context span = floor-division of the
+      // doc's [start, end] token offsets by the context length
+      s"""WITH t AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, n_tokens, pack_bucket,
+         |    sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
+         |  CASE WHEN n_tokens > 0 THEN CAST(floor((cum - n_tokens) / 128.0) AS INTEGER) END AS start_ctx,
+         |  CASE WHEN n_tokens > 0 THEN CAST(floor((cum - 1) / 128.0) AS INTEGER) END AS end_ctx,
+         |  CAST(CASE WHEN n_tokens > 0
+         |    THEN floor((cum - 1) / 128.0) - floor((cum - n_tokens) / 128.0) + 1
+         |    ELSE 0 END AS INTEGER) AS n_contexts,
+         |  CASE WHEN n_tokens > 0 THEN CAST((cum - n_tokens) % 128 AS INTEGER) END AS head_offset
+         |FROM c""".stripMargin,
     "q_shuffle_order" ->
       """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS k FROM documents),
         |s AS (SELECT doc_id, k,
@@ -1677,6 +1707,28 @@ object SparkEntry {
         |FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
         |        unnest(CAST(embedding AS DECIMAL(28,12)[])) AS v FROM embeddings)
         |GROUP BY label, pos""".stripMargin,
+    "q_emb_outliers" ->
+      // twin of Similarity.embeddingOutliers(kMad=3.0): q_label_centroids'
+      // round-6 decimal-mean centroids assembled into arrays, round-6
+      // cosine distance, then the q_length_outliers median/MAD recipe
+      // per label (same 3.0 * 1.4826 association)
+      s"""WITH c0 AS MATERIALIZED (SELECT label, pos,
+         |    round(CAST(sum(v) AS DOUBLE) / count(*), 6) AS centroid_v
+         |  FROM (SELECT label, generate_subscripts(embedding, 1) AS pos,
+         |          unnest(CAST(embedding AS DECIMAL(28,12)[])) AS v FROM embeddings)
+         |  GROUP BY label, pos),
+         |cent AS MATERIALIZED (SELECT label, list(centroid_v ORDER BY pos) AS cv FROM c0 GROUP BY label),
+         |d AS MATERIALIZED (SELECT e.vec_id, e.label,
+         |    round(1 - ${COS_SQL("e.ve", "c.cv")}, 6) AS cos_dist
+         |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings) e
+         |  JOIN cent c ON c.label = e.label),
+         |med AS (SELECT label, quantile_cont(cos_dist, 0.5) AS med FROM d GROUP BY label),
+         |mad AS (SELECT d.label, quantile_cont(abs(d.cos_dist - m.med), 0.5) AS mad
+         |  FROM d JOIN med m ON m.label = d.label GROUP BY d.label)
+         |SELECT d.vec_id, d.label, d.cos_dist, m.med, a.mad,
+         |  (abs(d.cos_dist - m.med) > 3.0 * 1.4826 * a.mad) AS is_outlier
+         |FROM d JOIN med m ON m.label = d.label
+         |JOIN mad a ON a.label = d.label""".stripMargin,
     "q_dedup_exact" ->
       s"""SELECT doc_id, text_hash, min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
          |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
@@ -1713,6 +1765,28 @@ object SparkEntry {
          |JOIN sigs a ON a.doc_id = p.doc_a
          |JOIN sigs b ON b.doc_id = p.doc_b AND b.seed = a.seed
          |GROUP BY p.doc_a, p.doc_b""".stripMargin,
+    "q_source_overlap" ->
+      // twin of Dedup.sourceOverlap(w=3, k=16): per-source minhash of
+      // the shingle-set UNION (min over the source's whole shingle
+      // stream), minwise estimator = matching slots / 16
+      s"""WITH sh AS MATERIALIZED (SELECT source, unnest(shl) AS shingle FROM (
+         |  SELECT source, CASE WHEN len(ts) >= 3
+         |    THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+         |    ELSE [array_to_string(ts, ' ')] END AS shl
+         |  FROM (SELECT source, $TOKS AS ts FROM documents))),
+         |sigs AS MATERIALIZED (SELECT source, CAST(seed AS INTEGER) AS seed,
+         |    min(md5(seed || ':' || shingle)) AS sig
+         |  FROM sh, (SELECT unnest(range(16)) AS seed) GROUP BY source, seed),
+         |cnt AS MATERIALIZED (SELECT source, count(DISTINCT shingle) AS n_shingles FROM sh GROUP BY source),
+         |m AS (SELECT a.source AS source_a, b.source AS source_b,
+         |    sum(CASE WHEN a.sig = b.sig THEN 1 ELSE 0 END) AS nm
+         |  FROM sigs a JOIN sigs b ON a.seed = b.seed AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT m.source_a, m.source_b,
+         |  ca.n_shingles AS n_shingles_a, cb.n_shingles AS n_shingles_b,
+         |  round(CAST(nm AS DOUBLE) / 16, 6) AS est_jaccard
+         |FROM m JOIN cnt ca ON ca.source = m.source_a
+         |JOIN cnt cb ON cb.source = m.source_b""".stripMargin,
     "q_dedup_clusters" ->
       // connected components over the candidate-pair graph: min reachable
       // doc_id per node via a recursive label-closure CTE
@@ -2632,7 +2706,27 @@ object SparkEntry {
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(k) AS BIGINT) AS sum_k, CAST(min(k) AS BIGINT) AS min_k, CAST(max(k) AS BIGINT) AS max_k
         |FROM (SELECT event_type, CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events)
-        |GROUP BY event_type""".stripMargin
+        |GROUP BY event_type""".stripMargin,
+    "q_profile" ->
+      // twin of Relational.profile over the adapted events table
+      // (ts → ts_ns bigint nanos): one UNION ALL branch per column;
+      // min/max are selections so no rounding is needed for parity
+      """WITH base AS MATERIALIZED (SELECT event_id, epoch_ns(ts) AS ts_ns,
+        |    user_id, event_type, value, props FROM events)
+        |SELECT 'event_id' AS col_name, 'bigint' AS dtype, count(*) AS n_rows,
+        |  count(*) - count(event_id) AS n_nulls, count(DISTINCT event_id) AS n_distinct,
+        |  CAST(min(event_id) AS DOUBLE) AS min_num, CAST(max(event_id) AS DOUBLE) AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str FROM base
+        |UNION ALL SELECT 'ts_ns', 'bigint', count(*), count(*) - count(ts_ns),
+        |  count(DISTINCT ts_ns), CAST(min(ts_ns) AS DOUBLE), CAST(max(ts_ns) AS DOUBLE), NULL, NULL FROM base
+        |UNION ALL SELECT 'user_id', 'bigint', count(*), count(*) - count(user_id),
+        |  count(DISTINCT user_id), CAST(min(user_id) AS DOUBLE), CAST(max(user_id) AS DOUBLE), NULL, NULL FROM base
+        |UNION ALL SELECT 'event_type', 'string', count(*), count(*) - count(event_type),
+        |  count(DISTINCT event_type), NULL, NULL, min(event_type), max(event_type) FROM base
+        |UNION ALL SELECT 'value', 'double', count(*), count(*) - count(value),
+        |  count(DISTINCT value), min(value), max(value), NULL, NULL FROM base
+        |UNION ALL SELECT 'props', 'string', count(*), count(*) - count(props),
+        |  count(DISTINCT props), NULL, NULL, min(props), max(props) FROM base""".stripMargin
   )
 
   /** DuckDB list literals for the stopword sets (twin of

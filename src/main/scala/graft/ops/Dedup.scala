@@ -1336,4 +1336,66 @@ object Dedup {
         round(col("tp").cast("double") /
           when(col("tp") + col("fp") > 0, col("tp") + col("fp")), 6).as("precision"))
   }
+
+  /** Per-SOURCE MinHash signature — the minwise hash of the UNION of a
+    * source's shingle sets (min over a union is the min of mins, so
+    * grouping the doc-level shingle stream by source IS the union's
+    * signature; no per-doc signatures are materialized). One combinable
+    * groupBy(source) over the exploded shingle stream; the result is
+    * source-count-sized. `n_shingles` is the source's DISTINCT shingle
+    * count (partial-distinct two-phase aggregate — shingle-keyed and
+    * combinable, never a sort).
+    */
+  def sourceSignatures(docs: DataFrame, w: Int = 3, k: Int = 16): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val aggs = (0 until k).map { s =>
+      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
+    } :+ countDistinct(col("shingle")).as("n_shingles")
+    graft.core.Parallelism.ensure(docs)
+      .select(col("source"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("source"), shinglesFromTokens(col("ts"), w).as("shl"))
+      .select(col("source"), explode(col("shl")).as("shingle"))
+      .groupBy("source")
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Corpus-level inter-source overlap report: for every source pair,
+    * the MinHash-estimated Jaccard of their full shingle sets — the
+    * "how much does source A duplicate source B" question a mixture
+    * designer asks before weighting sources, and the corpus-level
+    * contamination screen (an eval suite smuggled into a crawl shows
+    * up as an anomalously overlapping source pair).
+    *
+    * Estimator: matching signature slots / k over the per-source
+    * union signatures ([[sourceSignatures]]) — the standard minwise
+    * estimator, E[match] = J. k controls estimator stddev
+    * (sqrt(J(1-J)/k)), not corpus cost: the corpus pays ONE shingle
+    * scan + one combinable groupBy(source) regardless of k.
+    *
+    * Scale shape: the pair join runs on the source-count-sized
+    * signature table (a broadcast self-join on `source_a < source_b`
+    * — sources number in the dozens at 100 TB, so the quadratic term
+    * is over a table that fits in a cache line, not the corpus). The
+    * signature table is MATERIALIZED before the self-join — Catalyst
+    * re-executes an un-materialized subtree once per self-join side
+    * (DeduplicateRelations), which here would mean scanning the corpus
+    * twice. Output: `(source_a, source_b, n_shingles_a, n_shingles_b,
+    * est_jaccard)`, est rounded 6.
+    */
+  def sourceOverlap(
+      docs: DataFrame, w: Int = 3, k: Int = 16,
+      mat: graft.core.Materialize.Strategy =
+        graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val sigs = graft.core.Materialize(sourceSignatures(docs, w, k), mat)
+    val matches = (0 until k).map { s =>
+      when(col(s"a.sig$s") === col(s"b.sig$s"), 1).otherwise(0)
+    }.reduce(_ + _)
+    sigs.as("a").join(broadcast(sigs.as("b")),
+        col("a.source") < col("b.source"))
+      .select(
+        col("a.source").as("source_a"), col("b.source").as("source_b"),
+        col("a.n_shingles").as("n_shingles_a"),
+        col("b.n_shingles").as("n_shingles_b"),
+        round(matches.cast("double") / lit(k), 6).as("est_jaccard"))
+  }
 }

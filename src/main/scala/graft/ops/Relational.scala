@@ -410,4 +410,75 @@ object Relational {
       .groupBy("event_type")
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
+
+  /** Generic column profiler — the data-quality sweep run before
+    * trusting a new table (ingest smoke check, schema-drift tripwire,
+    * partition-health dashboard feed): per column, row/null/distinct
+    * counts and min/max, one output row per column.
+    *
+    * Plan shape: ONE corpus scan. All per-column aggregates live in a
+    * single `agg(...)` — nulls and min/max are plain combinable
+    * aggregates; the distinct counts rewrite into Catalyst's Expand
+    * (one pass, expansion factor = #profiled columns, each branch a
+    * partial-distinct combinable aggregate — a shuffle keyed by the
+    * column's own values, never a sort). The wide single-row result is
+    * then unpivoted driver-free via one `explode(array(struct...))`.
+    * At a 1000-column table the Expand factor is the knob: profile in
+    * column batches, or swap `countDistinct` for
+    * `approx_count_distinct` (HLL sketches are engine-specific, so the
+    * approx variant trades the oracle twin for one no-Expand pass).
+    *
+    * Type dispatch: numerics/booleans/timestamps surface min/max in
+    * `min_num`/`max_num` (timestamps as epoch micros — exact in a
+    * double to year ~2255), strings in `min_str`/`max_str` (binary
+    * collation, both engines); complex types profile counts only.
+    * Min/max are selections, not accumulations, so no rounding is
+    * needed for cross-engine parity.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.types._
+    val nullNum = lit(null).cast("double")
+    val nullStr = lit(null).cast("string")
+    val fields = df.schema.fields.toSeq
+    val perCol = fields.zipWithIndex.map { case (f, i) =>
+      val c = col(f.name)
+      val (dtype, minNum, maxNum, minStr, maxStr) = f.dataType match {
+        case ByteType | ShortType | IntegerType | LongType =>
+          ("bigint", min(c).cast("double"), max(c).cast("double"), nullStr, nullStr)
+        case FloatType | DoubleType | _: DecimalType =>
+          ("double", min(c).cast("double"), max(c).cast("double"), nullStr, nullStr)
+        case TimestampType | TimestampNTZType =>
+          ("timestamp",
+            unix_micros(min(c).cast(TimestampType)).cast("double"),
+            unix_micros(max(c).cast(TimestampType)).cast("double"), nullStr, nullStr)
+        case DateType =>
+          ("date", unix_date(min(c)).cast("double"), unix_date(max(c)).cast("double"),
+            nullStr, nullStr)
+        case BooleanType =>
+          ("boolean", min(c.cast("int")).cast("double"), max(c.cast("int")).cast("double"),
+            nullStr, nullStr)
+        case StringType =>
+          ("string", nullNum, nullNum, min(c), max(c))
+        case other =>
+          (other.typeName, nullNum, nullNum, nullStr, nullStr)
+      }
+      (f.name, dtype,
+        Seq((count(lit(1)) - count(c)).as(s"nn_$i"),
+          countDistinct(c).as(s"nd_$i"),
+          minNum.as(s"mn_$i"), maxNum.as(s"mx_$i"),
+          minStr.as(s"ms_$i"), maxStr.as(s"xs_$i")))
+    }
+    val aggExprs = count(lit(1)).as("n_rows") +: perCol.flatMap(_._3)
+    val wide = df.agg(aggExprs.head, aggExprs.tail: _*)
+    wide
+      .select(explode(array(perCol.zipWithIndex.map { case ((name, dtype, _), i) =>
+        struct(
+          lit(name).as("col_name"), lit(dtype).as("dtype"), col("n_rows"),
+          col(s"nn_$i").cast("long").as("n_nulls"),
+          col(s"nd_$i").cast("long").as("n_distinct"),
+          col(s"mn_$i").as("min_num"), col(s"mx_$i").as("max_num"),
+          col(s"ms_$i").as("min_str"), col(s"xs_$i").as("max_str"))
+      }: _*)).as("p"))
+      .select(col("p.*"))
+  }
 }

@@ -475,4 +475,60 @@ object Sampling {
         .select(col("doc_id"), col(sourceCol).as("source"),
           size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
       weights, tokenBudget, mat)
+
+  /** GPT-style context packing plan — concatenate the token stream and
+    * split it at fixed `ctxLen` boundaries, documents crossing a
+    * boundary split with them (the standard causal-LM data layout, vs
+    * [[packShards]]' never-split shard assignment). Output maps each
+    * doc to its context span: `(doc_id, n_tokens, pack_bucket,
+    * start_ctx, end_ctx, n_contexts, head_offset)` — which fixed-size
+    * contexts the doc's tokens land in within its bucket's stream, and
+    * at what offset inside the first one. Token-less docs occupy no
+    * context (NULL span, n_contexts = 0).
+    *
+    * Scale shape — the [[packShards]] discipline: a single global
+    * prefix sum would serialize on one window sort, so the stream is
+    * bucketed by md5(doc_id) into `buckets` independent streams and
+    * the running sum is a per-bucket window (each sorts ~1/buckets of
+    * the DOC COUNT — three longs per doc, text never enters the
+    * window). Within a bucket the order is doc_id — deterministic and
+    * engine-agnostic. One tokenize scan, one bucket-keyed window, no
+    * other shuffle.
+    */
+  def contextPlan(docs: DataFrame, ctxLen: Long, buckets: Int = 32): DataFrame =
+    contextPlanCounts(
+      graft.core.Parallelism.ensure(docs)
+        .select(col("doc_id"),
+          size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
+      ctxLen, buckets)
+
+  /** [[contextPlan]] over a precomputed `(doc_id, n_tokens)` table, so
+    * a trained tokenizer's counts ([[graft.ops.Bpe.tokenCounts]]) can
+    * drive the layout instead of the whitespace proxy. */
+  def contextPlanCounts(counts: DataFrame, ctxLen: Long, buckets: Int = 32): DataFrame = {
+    require(ctxLen > 0 && buckets > 0, s"bad context-plan params $ctxLen/$buckets")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val w = Window.partitionBy("pack_bucket").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+        bucket.as("pack_bucket"))
+      .withColumn("cum_tokens", sum("n_tokens").over(w))
+      .select(col("doc_id"), col("n_tokens"), col("pack_bucket"),
+        (col("cum_tokens") - col("n_tokens")).as("start_off"),
+        (col("cum_tokens") - 1).as("end_off"))
+      .select(col("doc_id"), col("n_tokens").cast("int").as("n_tokens"),
+        col("pack_bucket"),
+        when(col("n_tokens") > 0,
+          floor(col("start_off") / ctxLen)).cast("int").as("start_ctx"),
+        when(col("n_tokens") > 0,
+          floor(col("end_off") / ctxLen)).cast("int").as("end_ctx"),
+        when(col("n_tokens") > 0,
+          floor(col("end_off") / ctxLen) - floor(col("start_off") / ctxLen) + 1)
+          .otherwise(0L).cast("int").as("n_contexts"),
+        when(col("n_tokens") > 0,
+          (col("start_off") % ctxLen)).cast("int").as("head_offset"))
+  }
 }

@@ -1321,6 +1321,61 @@ object Similarity {
       x: DataFrame, y: DataFrame, k: Int = 4, threshold: Double = 1.0): DataFrame =
     marginMineFrom(bruteForceTopK(x, y, k), bruteForceTopK(y, x, k), k, threshold)
 
+  /** Embedding-space outlier scoring — the OOD screen a curated corpus
+    * runs per label/source bucket: each vector's cosine distance to
+    * its own label centroid, robust-z-scored against the label's
+    * distance distribution (median + MAD, the
+    * [[graft.ops.TextAnalysis.lengthOutliers]] discipline — mean/stddev
+    * would let the outliers move their own threshold). Flags vectors
+    * whose embedding sits far from everything sharing their label:
+    * mislabeled items, encoder failures, or genuinely novel content.
+    *
+    * Determinism: centroids are [[labelCentroids]]' DECIMAL-accumulated
+    * round-6 means assembled into arrays; cosine rounds to 6 (the
+    * module contract); median/MAD are exact interpolated percentiles
+    * (the `quantile_cont` parity); the flag compares with the same
+    * association both engines use.
+    *
+    * Scale shape: centroid and per-label stat tables are label-count-
+    * sized broadcasts; the distance table is MATERIALIZED once (three
+    * consumers — the two percentile stages and the output — would
+    * otherwise each re-run the dot products over the corpus) and the
+    * corpus pays one scan for it plus one label-keyed percentile
+    * aggregate. Exact grouped percentiles collect each group's
+    * distances onto one reducer — fine while any single label's rows
+    * fit an executor (labels number in the dozens to thousands); at
+    * extreme per-label cardinality swap the stat stage to
+    * `approx_percentile` and give up the oracle twin.
+    *
+    * @return (vec_id, label, cos_dist, med, mad, is_outlier)
+    */
+  def embeddingOutliers(
+      emb: DataFrame, kMad: Double = 3.0,
+      mat: graft.core.Materialize.Strategy =
+        graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(kMad > 0.0, s"kMad=$kMad must be positive")
+    val centroids = labelCentroids(emb)
+      .groupBy("label")
+      .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid_v")))),
+        e => e.getField("centroid_v")).as("cv"))
+    val dists = graft.core.Materialize(emb
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+      .join(broadcast(centroids), Seq("label"))
+      .select(col("vec_id"), col("label"),
+        round(lit(1) - cosine(col("v"), col("cv")), 6).as("cos_dist")), mat)
+    val meds = dists.groupBy("label")
+      .agg(expr("percentile(cos_dist, 0.5)").as("med"))
+    val mads = dists.join(broadcast(meds), Seq("label"))
+      .groupBy("label")
+      .agg(expr("percentile(abs(cos_dist - med), 0.5)").as("mad"))
+    dists
+      .join(broadcast(meds), Seq("label"))
+      .join(broadcast(mads), Seq("label"))
+      .select(col("vec_id"), col("label"), col("cos_dist"), col("med"), col("mad"),
+        (abs(col("cos_dist") - col("med")) > lit(kMad) * lit(1.4826) * col("mad"))
+          .as("is_outlier"))
+  }
+
   /** The surviving training corpus after [[semanticContaminatedIds]] —
     * the embedding-space [[graft.ops.Dedup.decontaminate]]. */
   def decontaminateSemantic(

@@ -692,4 +692,36 @@ class DedupSpec extends SparkSpec {
     val bloatFps = graft.ops.TextAnalysis.fingerprints(bloat, 4, 3)
     assert(Dedup.fingerprintPairsAgainst(arrivals, bloatFps, maxDf = 5).count() === 0L)
   }
+
+  test("sourceOverlap: identical sources estimate 1, disjoint estimate 0, pairs ordered") {
+    val d = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta", "a"),
+      (2L, "alpha beta gamma delta epsilon zeta", "b"),   // b == a shingle-for-shingle
+      (3L, "one two three four five six seven", "c"),     // c shares nothing
+      (4L, "eight nine ten eleven twelve", "c")
+    ).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d, w = 3, k = 8)
+      .as[(String, String, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r).toMap
+    assert(got.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    assert(got(("a", "b"))._5 === 1.0)   // identical shingle sets: every slot matches
+    assert(got(("a", "c"))._5 === 0.0)   // disjoint: no slot can match
+    assert(got(("a", "b"))._3 === 4L && got(("a", "b"))._4 === 4L) // 6 tokens → 4 shingles
+    assert(got(("a", "c"))._4 === 8L)    // union of c's two docs: 5 + 3 shingles
+  }
+
+  test("sourceOverlap: the union signature sees overlap no single doc pair has") {
+    // each doc shares nothing doc-to-doc across sources, but the SOURCES
+    // overlap heavily: x's docs jointly cover y's shingles
+    val shared = "the quick brown fox jumps over the lazy dog again"
+    val d = Seq(
+      (1L, shared, "x"),
+      (2L, "completely unrelated filler text padding here", "x"),
+      (3L, shared, "y")
+    ).toDF("doc_id", "text", "source")
+    val est = Dedup.sourceOverlap(d, w = 3, k = 16)
+      .where(col("source_a") === "x" && col("source_b") === "y")
+      .select("est_jaccard").as[Double].head()
+    assert(est > 0.0, s"sources sharing a doc's worth of shingles must overlap (est=$est)")
+  }
 }

@@ -126,4 +126,40 @@ class RelationalSpec extends SparkSpec {
     // cast would collapse them)
     assert(viaAdapter.values.toSet.size === independent.values.toSet.size)
   }
+
+  test("profile: per-column null/distinct/min-max across numeric, string, bool, timestamp") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Some(2.5), Some("b"), Some(true), Some(1000000L)),
+      (2L, Some(-1.0), Some("a"), Some(false), Some(2000000L)),
+      (3L, None, Some("a"), None, None),
+      (4L, Some(2.5), None, Some(true), Some(1500000L))
+    ).toDF("id", "x", "s", "flag", "us")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+    val p = Relational.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "x", "s", "flag", "ts"))
+    assert(p.values.forall(_.getLong(2) === 4L))                   // n_rows
+    val id = p("id"); val x = p("x"); val s = p("s"); val fl = p("flag"); val ts = p("ts")
+    assert((id.getLong(3), id.getLong(4), id.getDouble(5), id.getDouble(6)) === ((0L, 4L, 1.0, 4.0)))
+    assert((x.getString(1), x.getLong(3), x.getLong(4), x.getDouble(5), x.getDouble(6)) ===
+      (("double", 1L, 2L, -1.0, 2.5)))
+    assert((s.getLong(3), s.getLong(4), s.getString(7), s.getString(8)) === ((1L, 2L, "a", "b")))
+    assert(s.isNullAt(5) && s.isNullAt(6))                         // strings carry no numeric range
+    assert((fl.getString(1), fl.getLong(4), fl.getDouble(5), fl.getDouble(6)) ===
+      (("boolean", 2L, 0.0, 1.0)))
+    assert((ts.getString(1), ts.getLong(3), ts.getDouble(5), ts.getDouble(6)) ===
+      (("timestamp", 1L, 1000000.0, 2000000.0)))                   // epoch micros
+  }
+
+  test("profile runs as ONE job over one scan of the input") {
+    import SparkSpec.spark.implicits._
+    val df = (1L to 100L).map(i => (i, s"v${i % 7}")).toDF("id", "v")
+    val plan = Relational.profile(df).queryExecution.executedPlan.toString
+    // multiple count-distincts rewrite into a single Expand pass, not
+    // one scan per column: exactly one LocalTableScan/scan node
+    assert("(?i)expand".r.findAllIn(plan).size >= 1, plan)
+    assert("LocalTableScan".r.findAllIn(plan).size === 1, plan)
+  }
 }

@@ -280,4 +280,46 @@ class SamplingSpec extends SparkSpec {
     assert(spark.sql("SELECT * FROM graft_split_audit('lss_split', 'lss_clusters')")
       .as[(Long, Long, Long)].head() === ((3L, 0L, 0L)))
   }
+
+  test("contextPlanCounts: spans split at fixed boundaries, offsets exact, empty docs span nothing") {
+    // one bucket → one deterministic stream ordered by doc_id:
+    // tokens 5, 10, 3, 0 at ctxLen=8 → offsets [0,4], [5,14], [15,17], —
+    val counts = Seq((1L, 5L), (2L, 10L), (3L, 3L), (4L, 0L))
+      .toDF("doc_id", "n_tokens")
+    val got = Sampling.contextPlanCounts(counts, ctxLen = 8, buckets = 1)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_ctx", "end_ctx", "n_contexts", "head_offset")
+      .collect()
+    assert(got(0).toSeq === Seq(1L, 5, 0, 0, 1, 0))
+    assert(got(1).toSeq === Seq(2L, 10, 0, 1, 2, 5))
+    assert(got(2).toSeq === Seq(3L, 3, 1, 2, 2, 7))
+    assert(got(3).getInt(4) === 0)          // empty doc: zero contexts...
+    assert(got(3).isNullAt(2) && got(3).isNullAt(3) && got(3).isNullAt(5)) // ...and no span
+  }
+
+  test("contextPlan: per-bucket streams are gapless and heads line up with running token sums") {
+    val docs = (1L to 200L)
+      .map(i => (i, if (i % 17 == 0) "" else ("w " * ((i % 23).toInt + 1)).trim))
+      .toDF("doc_id", "text")
+    val plan = Sampling.contextPlan(docs, ctxLen = 16, buckets = 4).cache()
+    try {
+      assert(plan.count() === 200)
+      // within a bucket, docs tile the token stream with no gaps:
+      // head_offset must equal the previous docs' token sum mod ctxLen
+      val byBucket = plan.orderBy("pack_bucket", "doc_id")
+        .select("pack_bucket", "n_tokens", "start_ctx", "head_offset")
+        .as[(Int, Int, Option[Int], Option[Int])].collect()
+        .groupBy(_._1).values
+      byBucket.foreach { rows =>
+        var cum = 0L
+        rows.foreach { case (_, n, startCtx, head) =>
+          if (n > 0) {
+            assert(head.get === (cum % 16).toInt)
+            assert(startCtx.get === (cum / 16).toInt)
+          } else assert(startCtx.isEmpty && head.isEmpty)
+          cum += n
+        }
+      }
+    } finally plan.unpersist()
+  }
 }

@@ -681,4 +681,28 @@ class SimilaritySpec extends SparkSpec {
       Similarity.marginMine(vecs(xs: _*), vecs(ys: _*))
         .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap)
   }
+
+  test("embeddingOutliers flags the vector far from its label's centroid, per label") {
+    // label 0: a tight cluster near e1 plus one vector along e2 — the
+    // outlier; label 1: a tight cluster near e2 (its own frame, so the
+    // e2 direction is NOT an outlier there)
+    val emb = Seq(
+      (1L, Seq(1.00f, 0.01f), 0), (2L, Seq(0.99f, 0.02f), 0),
+      (3L, Seq(1.01f, 0.00f), 0), (4L, Seq(0.98f, 0.01f), 0),
+      (5L, Seq(1.00f, 0.02f), 0), (6L, Seq(0.01f, 1.00f), 0),  // ← the stray
+      // label 1: two exact duplicate pairs → every member's deviation
+      // EQUALS the MAD, safely under the 3·1.4826 cut (a 3-point label
+      // would make the MAD degenerate — that's the caller's k to tune)
+      (7L, Seq(0.00f, 1.00f), 1), (8L, Seq(0.00f, 1.00f), 1),
+      (9L, Seq(0.02f, 1.00f), 1), (10L, Seq(0.02f, 1.00f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliers(emb)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(6L), "the cross-cluster stray must flag")
+    assert((got - 6L).values.forall(!_), s"tight-cluster members must not flag: $got")
+    // distances are honest: the stray's distance dwarfs its label median
+    val stray = Similarity.embeddingOutliers(emb)
+      .where($"vec_id" === 6L).select("cos_dist", "med").as[(Double, Double)].head()
+    assert(stray._1 > 0.5 && stray._2 < 0.05)
+  }
 }
