@@ -51,6 +51,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.dupSpectrumTableFunction)
     ext.injectTableFunction(GraftExtensions.splitSafeTableFunction)
     ext.injectTableFunction(GraftExtensions.splitAuditTableFunction)
+    ext.injectTableFunction(GraftExtensions.sourceOverlapTableFunction)
+    ext.injectTableFunction(GraftExtensions.profileTableFunction)
+    ext.injectTableFunction(GraftExtensions.contextPlanTableFunction)
+    ext.injectTableFunction(GraftExtensions.embOutliersTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -495,6 +499,109 @@ object GraftExtensions {
         graft.ops.Sampling.splitLeakageAudit(
           spark.table(str(children.head, "split_docs_table")),
           spark.table(str(children(1), "clusters_table"))))
+    })
+
+  /** SQL surface for the corpus-level inter-source overlap report
+    * ([[graft.ops.Dedup.sourceOverlap]]):
+    *
+    * {{{
+    * SELECT * FROM graft_source_overlap('docs')        -- w=3, k=16
+    * SELECT * FROM graft_source_overlap('docs', 3, 64) -- tighter estimator
+    * }}}
+    *
+    * Emits (source_a, source_b, n_shingles_a, n_shingles_b,
+    * est_jaccard). Persist strategy so the TVF stays lazy (EXPLAIN
+    * runs no job) while the signature table still computes once. */
+  private val sourceOverlapTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_source_overlap"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_source_overlap"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 3,
+        "graft_source_overlap(docs_table) or graft_source_overlap(docs_table, w, k)")
+      val str = stringArg("graft_source_overlap") _
+      val int = intArg("graft_source_overlap") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val (w, k) =
+        if (children.size == 3) (int(children(1), "w"), int(children(2), "k"))
+        else (3, 16)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.sourceOverlap(docs, w, k,
+          mat = graft.core.Materialize.Persist))
+    })
+
+  /** SQL surface for the generic column profiler
+    * ([[graft.ops.Relational.profile]]):
+    *
+    * {{{
+    * SELECT * FROM graft_profile('any_table')
+    * }}}
+    *
+    * One row per column: (col_name, dtype, n_rows, n_nulls,
+    * n_distinct, min_num, max_num, min_str, max_str). Fully lazy. */
+  private val profileTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_profile"),
+    new ExpressionInfo(graft.ops.Relational.getClass.getName, "graft_profile"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_profile(table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Relational.profile(SparkSession.active.table(
+          stringArg("graft_profile")(children.head, "table"))))
+    })
+
+  /** SQL surface for the fixed-context packing plan
+    * ([[graft.ops.Sampling.contextPlan]]):
+    *
+    * {{{
+    * SELECT * FROM graft_context_plan('docs', 2048)      -- buckets=32
+    * SELECT * FROM graft_context_plan('docs', 2048, 64)
+    * }}}
+    *
+    * Emits (doc_id, n_tokens, pack_bucket, start_ctx, end_ctx,
+    * n_contexts, head_offset). Fully lazy. */
+  private val contextPlanTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_context_plan"),
+    new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_context_plan"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_context_plan(docs_table, ctx_len[, buckets])")
+      val int = intArg("graft_context_plan") _
+      val docs = SparkSession.active.table(
+        stringArg("graft_context_plan")(children.head, "docs_table"))
+      val buckets = if (children.size == 3) int(children(2), "buckets") else 32
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Sampling.contextPlan(docs,
+          int(children(1), "ctx_len").toLong, buckets))
+    })
+
+  /** SQL surface for the per-label embedding outlier screen
+    * ([[graft.ops.Similarity.embeddingOutliers]]):
+    *
+    * {{{
+    * SELECT * FROM graft_emb_outliers('emb')        -- k_mad=3.0
+    * SELECT * FROM graft_emb_outliers('emb', 4.5)
+    * }}}
+    *
+    * `emb` carries (vec_id, embedding, label); emits (vec_id, label,
+    * cos_dist, med, mad, is_outlier). Persist strategy so the TVF
+    * stays lazy while the distance table still computes once. */
+  private val embOutliersTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_emb_outliers"),
+    new ExpressionInfo(graft.ops.Similarity.getClass.getName, "graft_emb_outliers"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_emb_outliers(emb_table[, k_mad])")
+      val emb = SparkSession.active.table(
+        stringArg("graft_emb_outliers")(children.head, "emb_table"))
+      val kMad =
+        if (children.size == 2) numArg("graft_emb_outliers")(children(1), "k_mad")
+        else 3.0
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Similarity.embeddingOutliers(emb, kMad,
+          mat = graft.core.Materialize.Persist))
     })
 
   /** SQL surface for the IVF+PQ serving call — ANN search over the
@@ -956,7 +1063,9 @@ object GraftExtensions {
         blocklistTableFunction, piiTableFunction,
         mojibakeTableFunction, dupSpectrumTableFunction,
         codeDetectTableFunction, sentencesTableFunction,
-        passagesTableFunction, fingerprintPairsTableFunction)
+        passagesTableFunction, fingerprintPairsTableFunction,
+        sourceOverlapTableFunction, profileTableFunction,
+        contextPlanTableFunction, embOutliersTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -723,5 +723,13 @@ class DedupSpec extends SparkSpec {
       .where(col("source_a") === "x" && col("source_b") === "y")
       .select("est_jaccard").as[Double].head()
     assert(est > 0.0, s"sources sharing a doc's worth of shingles must overlap (est=$est)")
+    // SQL surface parity, both arities
+    graft.plans.GraftExtensions.install(spark)
+    d.createOrReplaceTempView("so_docs")
+    assert(spark.sql("SELECT * FROM graft_source_overlap('so_docs', 3, 16)")
+      .as[(String, String, Long, Long, Double)].collect().toSet ===
+      Dedup.sourceOverlap(d, w = 3, k = 16)
+        .as[(String, String, Long, Long, Double)].collect().toSet)
+    assert(spark.sql("SELECT * FROM graft_source_overlap('so_docs')").count() === 1L)
   }
 }

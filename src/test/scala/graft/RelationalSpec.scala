@@ -161,5 +161,11 @@ class RelationalSpec extends SparkSpec {
     // one scan per column: exactly one LocalTableScan/scan node
     assert("(?i)expand".r.findAllIn(plan).size >= 1, plan)
     assert("LocalTableScan".r.findAllIn(plan).size === 1, plan)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    df.createOrReplaceTempView("pr_t")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_profile('pr_t')")
+      .collect().map(_.toSeq).toSet ===
+      Relational.profile(df).collect().map(_.toSeq).toSet)
   }
 }

@@ -320,6 +320,11 @@ class SamplingSpec extends SparkSpec {
           cum += n
         }
       }
+      // SQL surface parity
+      graft.plans.GraftExtensions.install(spark)
+      docs.createOrReplaceTempView("cp_docs")
+      assert(spark.sql("SELECT * FROM graft_context_plan('cp_docs', 16, 4)")
+        .collect().map(_.toSeq).toSet === plan.collect().map(_.toSeq).toSet)
     } finally plan.unpersist()
   }
 }

@@ -704,5 +704,10 @@ class SimilaritySpec extends SparkSpec {
     val stray = Similarity.embeddingOutliers(emb)
       .where($"vec_id" === 6L).select("cos_dist", "med").as[(Double, Double)].head()
     assert(stray._1 > 0.5 && stray._2 < 0.05)
+    // SQL surface parity, explicit-k_mad arity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    emb.createOrReplaceTempView("eo_emb")
+    assert(SparkSpec.spark.sql("SELECT vec_id, is_outlier FROM graft_emb_outliers('eo_emb', 3.0)")
+      .as[(Long, Boolean)].collect().toMap === got)
   }
 }
