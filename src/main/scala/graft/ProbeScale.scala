@@ -597,6 +597,38 @@ object ProbeScale {
       emb, threshold = 0.35,
       seed = graft.ops.Similarity.CentroidSeed.FixedK(320)).count())
     }
+    // round-11 second half: source overlap (one shingle scan + one
+    // combinable groupBy(source); the pair join is source-count-sized),
+    // context plan (one tokenize scan + one bucket-keyed window),
+    // profiler (one scan, Expand for the distincts), embedding
+    // outliers (one distance scan + label-keyed percentiles)
+    if (section == "r11c") {
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val emb10 = {
+        if (!new java.io.File("/tmp/emb_sf1").exists()) {
+          val base = emb01
+          (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet("/tmp/emb_sf1")
+        }
+        spark.read.parquet("/tmp/emb_sf1")
+      }
+      for (rep <- 1 to 2) {
+        time(s"source_overlap_sf01_$rep")(Dedup.sourceOverlap(docs01).count())
+        time(s"source_overlap_sf1_$rep")(Dedup.sourceOverlap(docs).count())
+        time(s"context_plan_sf01_$rep")(
+          graft.ops.Sampling.contextPlan(docs01, 2048, 32).count())
+        time(s"context_plan_sf1_$rep")(
+          graft.ops.Sampling.contextPlan(docs, 2048, 32).count())
+        time(s"profile_docs_sf01_$rep")(graft.ops.Relational.profile(docs01).count())
+        time(s"profile_docs_sf1_$rep")(graft.ops.Relational.profile(docs).count())
+        time(s"emb_outliers_sf01_$rep")(
+          graft.ops.Similarity.embeddingOutliers(emb01).where(col("is_outlier")).count())
+        time(s"emb_outliers_sf1_$rep")(
+          graft.ops.Similarity.embeddingOutliers(emb10).where(col("is_outlier")).count())
+      }
+    }
     spark.stop()
   }
 }

@@ -1341,20 +1341,29 @@ object Dedup {
     * source's shingle sets (min over a union is the min of mins, so
     * grouping the doc-level shingle stream by source IS the union's
     * signature; no per-doc signatures are materialized). One combinable
-    * groupBy(source) over the exploded shingle stream; the result is
-    * source-count-sized. `n_shingles` is the source's DISTINCT shingle
-    * count (partial-distinct two-phase aggregate — shingle-keyed and
-    * combinable, never a sort).
-    */
+    * groupBy(source) over the source's DISTINCT shingle set; the
+    * result is source-count-sized.
+    *
+    * Two-stage shape, deliberately: the shingle stream is deduplicated
+    * to `(source, shingle)` FIRST (combinable partial dedup, one
+    * shuffle), and only then are the k hashes computed and min-folded.
+    * Min over the distinct set equals min over the raw stream, and
+    * `n_shingles` falls out as a plain count — whereas fusing
+    * `countDistinct` into the same aggregate Expands every shingle
+    * row into a distinct branch carrying k string buffers per
+    * (source, shingle) group (measured 20 s vs 2 s at sf0.1), and the
+    * k md5s would be paid per OCCURRENCE instead of per distinct
+    * shingle. */
   def sourceSignatures(docs: DataFrame, w: Int = 3, k: Int = 16): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val aggs = (0 until k).map { s =>
       min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
-    } :+ countDistinct(col("shingle")).as("n_shingles")
+    } :+ count(lit(1)).as("n_shingles")
     graft.core.Parallelism.ensure(docs)
       .select(col("source"), TextNorm.tokens(col("text")).as("ts"))
       .select(col("source"), shinglesFromTokens(col("ts"), w).as("shl"))
       .select(col("source"), explode(col("shl")).as("shingle"))
+      .distinct()
       .groupBy("source")
       .agg(aggs.head, aggs.tail: _*)
   }
