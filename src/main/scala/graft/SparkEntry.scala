@@ -692,6 +692,9 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0)).select("doc_id")
     },
     "q_ngram_jaccard" -> ((s, dir) => Dedup.ngramJaccardPairs(docs(s, dir))),
+    // asymmetric shingle containment (quote/excerpt detection — the
+    // small-inside-large pairs Jaccard structurally misses)
+    "q_containment" -> ((s, dir) => Dedup.containmentPairs(docs(s, dir))),
     // the S-curve the banding parameters are chosen from (no corpus scan)
     "q_lsh_plan" -> ((s, _) => Dedup.bandingPlan(s)),
     // banding recall/precision vs exact Jaccard on a deterministic sample
@@ -907,6 +910,9 @@ object SparkEntry {
     "q_event_props" -> ((s, dir) => Relational.eventProps(s, dir)),
     // generic single-scan column profiler over the events table
     "q_profile" -> ((s, dir) => Relational.profile(Relational.events(s, dir))),
+    // sparse fixed-width histogram with under/overflow buckets
+    "q_histogram" -> ((s, dir) =>
+      Relational.histogram(Relational.events(s, dir), "value", 50.0, 450.0, 16)),
     "q_funnel" -> ((s, dir) => Relational.funnel(
       Relational.events(s, dir), Seq("view", "click", "purchase"))),
 
@@ -1844,6 +1850,21 @@ object SparkEntry {
          |  CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) AS jaccard
          |FROM inter JOIN sizes a ON inter.doc_a = a.doc_id JOIN sizes b ON inter.doc_b = b.doc_id
          |WHERE CAST(n_inter AS DOUBLE) / (a.n_sh + b.n_sh - n_inter) >= 0.2""".stripMargin,
+    "q_containment" ->
+      // twin of Dedup.containmentPairs(w=3, maxDf=50, min=0.5): the
+      // q_ngram_jaccard candidate chain WITHOUT the length-ratio
+      // prefilter (lossless only for Jaccard), asymmetric ratios
+      s"""WITH sh AS (SELECT DISTINCT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
+         |sizes AS (SELECT doc_id, count(*) AS n_sh FROM sh GROUP BY doc_id),
+         |rare AS (SELECT * FROM (SELECT doc_id, shingle, count(*) OVER (PARTITION BY shingle) AS df FROM sh) WHERE df <= 50),
+         |inter AS (SELECT l.doc_id AS doc_a, r.doc_id AS doc_b, count(*) AS n_inter
+         |  FROM rare l JOIN rare r ON l.shingle = r.shingle WHERE l.doc_id < r.doc_id
+         |  GROUP BY doc_a, doc_b)
+         |SELECT doc_a, doc_b, n_inter,
+         |  CAST(n_inter AS DOUBLE) / a.n_sh AS containment_a,
+         |  CAST(n_inter AS DOUBLE) / b.n_sh AS containment_b
+         |FROM inter JOIN sizes a ON inter.doc_a = a.doc_id JOIN sizes b ON inter.doc_b = b.doc_id
+         |WHERE greatest(CAST(n_inter AS DOUBLE) / a.n_sh, CAST(n_inter AS DOUBLE) / b.n_sh) >= 0.5""".stripMargin,
     "q_lsh_plan" ->
       // twin of Dedup.bandingPlan(k=8, bands=2): powers unrolled into
       // the same explicit IEEE multiplications (libm pow may differ in
@@ -2726,7 +2747,19 @@ object SparkEntry {
         |UNION ALL SELECT 'value', 'double', count(*), count(*) - count(value),
         |  count(DISTINCT value), min(value), max(value), NULL, NULL FROM base
         |UNION ALL SELECT 'props', 'string', count(*), count(*) - count(props),
-        |  count(DISTINCT props), NULL, NULL, min(props), max(props) FROM base""".stripMargin
+        |  count(DISTINCT props), NULL, NULL, min(props), max(props) FROM base""".stripMargin,
+    "q_histogram" ->
+      // twin of Relational.histogram(value, 50, 450, 16): same
+      // subtract/divide/floor in IEEE doubles, same least clamp at the
+      // top edge; bin width (450-50)/16 = 25.0 exactly
+      """WITH b AS (SELECT CASE WHEN value < 50.0 THEN -1 WHEN value >= 450.0 THEN 16
+        |    ELSE least(CAST(floor((value - 50.0) / 25.0) AS INTEGER), 15) END AS bucket
+        |  FROM events WHERE value IS NOT NULL)
+        |SELECT bucket,
+        |  CASE WHEN bucket BETWEEN 0 AND 15 THEN 50.0 + bucket * 25.0 END AS lo_edge,
+        |  CASE WHEN bucket BETWEEN 0 AND 15 THEN 50.0 + (bucket + 1) * 25.0 END AS hi_edge,
+        |  count(*) AS n
+        |FROM b GROUP BY bucket""".stripMargin
   )
 
   /** DuckDB list literals for the stopword sets (twin of

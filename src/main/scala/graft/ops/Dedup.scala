@@ -429,6 +429,46 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("jaccard"))
   }
 
+  /** Exact shingle-set CONTAINMENT per candidate pair — the asymmetric
+    * companion to [[ngramJaccardPairs]]: containment_a = |A∩B| / |A|
+    * (how much of A lives inside B). Jaccard misses the quote/excerpt
+    * relationship — a paragraph wholly lifted into a much longer
+    * document scores near-zero Jaccard but containment_a = 1 — and
+    * that asymmetry is the signal eval-contamination and
+    * quote-detection actually want.
+    *
+    * Same candidate machinery as Jaccard (df-capped shingle buckets,
+    * one pair aggregate) with one deliberate difference: NO
+    * length-ratio prefilter. That prefilter is lossless for Jaccard
+    * (J ≤ min/max) but would erase exactly the small-inside-large
+    * pairs containment exists to find. The df cap `maxDf` remains the
+    * boilerplate/scale guard. Keeps pairs where EITHER side's
+    * containment clears `minContainment`.
+    */
+  def containmentPairs(
+      docs: DataFrame, w: Int = 3, maxDf: Int = 50,
+      minContainment: Double = 0.5): DataFrame = {
+    require(minContainment > 0.0 && minContainment <= 1.0,
+      s"minContainment=$minContainment must be in (0, 1]")
+    val base = shingled(docs, w).select(col("doc_id"), array_distinct(col("shl")).as("shl"))
+    val byShingle = base
+      .select(col("doc_id"), size(col("shl")).as("n_sh"), explode(col("shl")).as("shingle"))
+      .groupBy("shingle")
+      .agg(collect_list(struct(col("doc_id"), col("n_sh"))).as("ds"))
+      .filter(size(col("ds")).between(2, maxDf))
+      .select(array_sort(col("ds")).as("ds"))
+    byShingle
+      .select(explode(pairCombinationsWithSize(col("ds"))).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        col("p.n_a").as("n_a"), col("p.n_b").as("n_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_inter"), min("n_a").as("n_a"), min("n_b").as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        (col("n_inter").cast("double") / col("n_a")).as("containment_a"),
+        (col("n_inter").cast("double") / col("n_b")).as("containment_b"))
+      .filter(greatest(col("containment_a"), col("containment_b")) >= minContainment)
+  }
+
   /** SimHash (Charikar '02), `bits`-bit variant: per token-hash bit j,
     * weight_j = Σ_tokens (bit_j ? +1 : −1); signature bit j = weight_j>0.
     * Token hash bits come from the md5 hex prefix (4 bits per hex char)

@@ -411,6 +411,40 @@ object Relational {
       .agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
         min("k").as("min_k"), max("k").as("max_k"))
 
+  /** Fixed-width numeric histogram — the distribution sketch behind
+    * every data-quality dashboard ([[profile]] gives the range, this
+    * gives the shape). `bins` equal-width buckets over [lo, hi), plus
+    * bucket −1 for underflow and bucket `bins` for overflow (their
+    * edges are NULL); empty buckets are absent (sparse output — a
+    * dense axis is a tiny bins-table left join away, and at 100 TB the
+    * sparse form is one combinable groupBy over at most bins+2 keys).
+    * NULL values are excluded.
+    *
+    * Determinism: bucket assignment is one subtraction, one division,
+    * one floor — identical IEEE operations in any engine; the floor is
+    * clamped with `least` so a value one ulp under `hi` can't round
+    * into the overflow bucket on one engine and not the other.
+    */
+  def histogram(
+      df: DataFrame, valueCol: String,
+      lo: Double, hi: Double, bins: Int): DataFrame = {
+    require(bins > 0, s"bins=$bins must be positive")
+    require(hi > lo, s"empty range [$lo, $hi)")
+    val w = (hi - lo) / bins
+    val v = col(valueCol).cast("double")
+    val bucket = when(v < lo, lit(-1))
+      .when(v >= hi, lit(bins))
+      .otherwise(least(floor((v - lit(lo)) / lit(w)).cast("int"), lit(bins - 1)))
+    val inRange = col("bucket").between(0, bins - 1)
+    df.where(v.isNotNull)
+      .select(bucket.as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
+      .select(col("bucket"),
+        when(inRange, lit(lo) + col("bucket") * lit(w)).as("lo_edge"),
+        when(inRange, lit(lo) + (col("bucket") + 1) * lit(w)).as("hi_edge"),
+        col("n"))
+  }
+
   /** Generic column profiler — the data-quality sweep run before
     * trusting a new table (ingest smoke check, schema-drift tripwire,
     * partition-health dashboard feed): per column, row/null/distinct

@@ -55,6 +55,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.profileTableFunction)
     ext.injectTableFunction(GraftExtensions.contextPlanTableFunction)
     ext.injectTableFunction(GraftExtensions.embOutliersTableFunction)
+    ext.injectTableFunction(GraftExtensions.containmentTableFunction)
+    ext.injectTableFunction(GraftExtensions.histogramTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -604,6 +606,61 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for asymmetric shingle containment
+    * ([[graft.ops.Dedup.containmentPairs]]):
+    *
+    * {{{
+    * SELECT * FROM graft_containment('docs')             -- w=3, maxDf=50, min=0.5
+    * SELECT * FROM graft_containment('docs', 3, 50, 0.8)
+    * }}}
+    *
+    * Emits (doc_a, doc_b, n_inter, containment_a, containment_b).
+    * Fully lazy. */
+  private val containmentTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_containment"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_containment"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 4,
+        "graft_containment(docs_table[, w, max_df, min_containment])")
+      val docs = SparkSession.active.table(
+        stringArg("graft_containment")(children.head, "docs_table"))
+      val int = intArg("graft_containment") _
+      val (w, maxDf, minC) =
+        if (children.size == 4)
+          (int(children(1), "w"), int(children(2), "max_df"),
+            numArg("graft_containment")(children(3), "min_containment"))
+        else (3, 50, 0.5)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.containmentPairs(docs, w, maxDf, minC))
+    })
+
+  /** SQL surface for the fixed-width histogram
+    * ([[graft.ops.Relational.histogram]]):
+    *
+    * {{{
+    * SELECT * FROM graft_histogram('events', 'value', 0, 500, 20)
+    * }}}
+    *
+    * Emits sparse (bucket, lo_edge, hi_edge, n) with −1/bins
+    * under/overflow rows. Fully lazy. */
+  private val histogramTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_histogram"),
+    new ExpressionInfo(graft.ops.Relational.getClass.getName, "graft_histogram"),
+    (children: Seq[Expression]) => {
+      require(children.size == 5,
+        "graft_histogram(table, value_col, lo, hi, bins)")
+      val str = stringArg("graft_histogram") _
+      val num = numArg("graft_histogram") _
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Relational.histogram(
+          SparkSession.active.table(str(children.head, "table")),
+          str(children(1), "value_col"),
+          num(children(2), "lo"), num(children(3), "hi"),
+          intArg("graft_histogram")(children(4), "bins")))
+    })
+
   /** SQL surface for the IVF+PQ serving call — ANN search over the
     * four STORED artifact tables the training jobs emit
     * ([[graft.ops.Similarity.ivfpqSearch]]; train-once / search-many,
@@ -1065,7 +1122,8 @@ object GraftExtensions {
         codeDetectTableFunction, sentencesTableFunction,
         passagesTableFunction, fingerprintPairsTableFunction,
         sourceOverlapTableFunction, profileTableFunction,
-        contextPlanTableFunction, embOutliersTableFunction)
+        contextPlanTableFunction, embOutliersTableFunction,
+        containmentTableFunction, histogramTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -732,4 +732,25 @@ class DedupSpec extends SparkSpec {
         .as[(String, String, Long, Long, Double)].collect().toSet)
     assert(spark.sql("SELECT * FROM graft_source_overlap('so_docs')").count() === 1L)
   }
+
+  test("containmentPairs finds the excerpt-inside-document pair Jaccard misses") {
+    val big = ((1 to 40).map(i => s"w$i") :+ "quoted passage lives here verbatim").mkString(" ")
+    val d = docs(
+      1L -> "quoted passage lives here verbatim",  // wholly inside doc 2
+      2L -> big,
+      3L -> "unrelated content sharing no shingles with anything")
+    val got = Dedup.containmentPairs(d).as[(Long, Long, Long, Double, Double)].collect()
+    assert(got.length === 1)
+    val (a, b, _, ca, cb) = got.head
+    assert((a, b) === ((1L, 2L)))
+    assert(ca === 1.0, s"every shingle of the excerpt is in the host (got $ca)")
+    assert(cb < 0.2, s"the host is mostly NOT the excerpt (got $cb)")
+    // and the symmetric detector indeed misses it at its default cut
+    assert(Dedup.ngramJaccardPairs(d).count() === 0L)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(spark)
+    d.createOrReplaceTempView("ct_docs")
+    assert(spark.sql("SELECT * FROM graft_containment('ct_docs', 3, 50, 0.5)")
+      .as[(Long, Long, Long, Double, Double)].collect().toSet === got.toSet)
+  }
 }

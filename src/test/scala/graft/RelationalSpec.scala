@@ -168,4 +168,33 @@ class RelationalSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet ===
       Relational.profile(df).collect().map(_.toSeq).toSet)
   }
+
+  test("histogram: fixed-width buckets, under/overflow edges NULL, nulls excluded") {
+    import SparkSpec.spark.implicits._
+    val vals: Seq[Option[Double]] = Seq(
+      Some(-5.0),             // underflow → bucket -1
+      Some(0.0), Some(9.99),  // bucket 0
+      Some(10.0),             // bucket 1 (left-closed edges)
+      Some(39.999999999),     // just under hi → top in-range bucket 3
+      Some(40.0), Some(99.0), // overflow → bucket 4
+      None)                   // excluded
+    val got = Relational.histogram(vals.toDF("v"), "v", 0.0, 40.0, 4)
+      .collect().map(r => r.getInt(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getDouble(1)),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3)))).toMap
+    assert(got === Map(
+      -1 -> ((None, None, 1L)),
+      0 -> ((Some(0.0), Some(10.0), 2L)),
+      1 -> ((Some(10.0), Some(20.0), 1L)),
+      3 -> ((Some(30.0), Some(40.0), 1L)),
+      4 -> ((None, None, 2L))))
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    vals.toDF("v").createOrReplaceTempView("hg_t")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_histogram('hg_t', 'v', 0.0, 40.0, 4)")
+      .collect().map(_.toSeq).toSet ===
+      Relational.histogram(vals.toDF("v"), "v", 0.0, 40.0, 4)
+        .collect().map(_.toSeq).toSet)
+  }
 }
