@@ -628,6 +628,10 @@ object SparkEntry {
     "q_passages" -> ((s, dir) => TextAnalysis.passages(docs(s, dir))),
     // sentence segmentation stats + the truncation tell
     "q_sentences" -> ((s, dir) => TextAnalysis.sentenceSignals(docs(s, dir))),
+    // Flesch / Flesch-Kincaid readability (vowel-group syllable proxy)
+    "q_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
+    // per-source one-look health dashboard (volume, truncation, dups)
+    "q_corpus_health" -> ((s, dir) => TextAnalysis.corpusHealth(docs(s, dir))),
     // Unicode NFC canonical-form audit (native expression + DuckDB twin)
     "q_unicode_norm" -> ((s, dir) => TextAnalysis.unicodeNorm(docs(s, dir))),
 
@@ -1654,6 +1658,43 @@ object SparkEntry {
          |        list_filter(string_split_regex(text, '[.!?]+'),
          |          s -> regexp_matches(s, '[A-Za-z]')) AS segs
          |      FROM documents)""".stripMargin,
+    "q_readability" ->
+      // twin of TextAnalysis.readability: same tokens/segments as
+      // q_sentences, vowel-group syllable proxy (min 1/word), constants
+      // and association copied literally; empty token list sums to 0
+      s"""SELECT doc_id, n_tokens, n_sentences, n_syllables,
+         |  CASE WHEN n_sentences > 0 AND n_tokens > 0
+         |       THEN round(206.835 - 1.015 * (CAST(n_tokens AS DOUBLE) / n_sentences)
+         |                  - 84.6 * (CAST(n_syllables AS DOUBLE) / n_tokens), 6) END AS flesch,
+         |  CASE WHEN n_sentences > 0 AND n_tokens > 0
+         |       THEN round(0.39 * (CAST(n_tokens AS DOUBLE) / n_sentences)
+         |                  + 11.8 * (CAST(n_syllables AS DOUBLE) / n_tokens) - 15.59, 6) END AS fk_grade
+         |FROM (SELECT doc_id,
+         |        CAST(len(ts) AS BIGINT) AS n_tokens,
+         |        CAST(len(list_filter(string_split_regex(text, '[.!?]+'),
+         |          s -> regexp_matches(s, '[A-Za-z]'))) AS BIGINT) AS n_sentences,
+         |        CAST(coalesce(list_sum(list_transform(ts,
+         |          t -> greatest(1, len(regexp_extract_all(t, '[aeiouy]+'))))), 0) AS BIGINT) AS n_syllables
+         |      FROM (SELECT doc_id, text, $TOKS AS ts FROM documents))""".stripMargin,
+    "q_corpus_health" ->
+      // twin of TextAnalysis.corpusHealth: count aggregate + separate
+      // single-distinct aggregate joined on source, ratios round 6
+      s"""WITH c AS MATERIALIZED (SELECT source, count(*) AS n_docs,
+         |    sum(CASE WHEN len($TOKS) = 0 THEN 1 ELSE 0 END) AS n_empty,
+         |    sum(len($TOKS)) AS total_tokens,
+         |    sum(CASE WHEN regexp_matches(text, '[.!?][ \\t\\r\\n]*$$') THEN 1 ELSE 0 END) AS n_ends
+         |  FROM documents GROUP BY source),
+         |d AS MATERIALIZED (SELECT source,
+         |    count(DISTINCT md5(regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'))) AS n_distinct_texts
+         |  FROM documents GROUP BY source)
+         |SELECT c.source, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(n_empty AS BIGINT) AS n_empty,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_tokens,
+         |  round(CAST(n_ends AS DOUBLE) / n_docs, 6) AS frac_ends_sentence,
+         |  CAST(n_distinct_texts AS BIGINT) AS n_distinct_texts,
+         |  round(1.0 - CAST(n_distinct_texts AS DOUBLE) / n_docs, 6) AS dup_frac
+         |FROM c JOIN d ON c.source = d.source""".stripMargin,
     "q_passages" ->
       // twin of TextAnalysis.passages(size=64, stride=32): same integer
       // ceil-division window rule, 1-based inclusive list slice

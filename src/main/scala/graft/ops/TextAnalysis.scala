@@ -1101,6 +1101,87 @@ object TextAnalysis {
           .as("mean_sentence_tokens"),
         col("text").rlike("[.!?][ \\t\\r\\n]*$").as("ends_sentence"))
 
+  /** Readability scores — Flesch Reading Ease and Flesch-Kincaid
+    * grade (Kincaid et al. '75), the classical difficulty signals a
+    * curation mix uses to stratify by audience level. Words are the
+    * index normalizer's tokens; sentences are [[sentenceSignals]]'
+    * letter-bearing segments; syllables are the standard vowel-group
+    * proxy (runs of `[aeiouy]` per token, min 1 — hyphenation
+    * dictionaries don't exist at corpus scale, and the proxy's bias is
+    * uniform across docs, which is all a RANKING signal needs).
+    *
+    * Determinism: counts are exact ints; the two formulas are written
+    * with one fixed association (constants first, one round-6 at the
+    * end) and the twin mirrors it literally. NULL scores for docs with
+    * no sentences or no tokens. Row-parallel, no shuffle; the three
+    * count columns ride one Generate-sealed struct (flag-op
+    * discipline — callers threshold `fk_grade`).
+    */
+  def readability(docs: DataFrame): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"),
+        explode(array(struct(
+          TextNorm.tokens(col("text")).as("ts"),
+          filter(split(col("text"), "[.!?]+"),
+            seg => seg.rlike("[A-Za-z]")).as("segs")))).as("sx"))
+      .select(col("doc_id"),
+        size(col("sx.ts")).cast("long").as("n_tokens"),
+        size(col("sx.segs")).cast("long").as("n_sentences"),
+        aggregate(
+          transform(col("sx.ts"),
+            t => greatest(lit(1), size(regexp_extract_all(t, lit("[aeiouy]+"), lit(0))))),
+          lit(0L), (acc, x) => acc + x).as("n_syllables"))
+      .select(col("doc_id"), col("n_tokens"), col("n_sentences"), col("n_syllables"),
+        when(col("n_sentences") > 0 && col("n_tokens") > 0,
+          round(lit(206.835)
+            - lit(1.015) * (col("n_tokens").cast("double") / col("n_sentences"))
+            - lit(84.6) * (col("n_syllables").cast("double") / col("n_tokens")), 6))
+          .as("flesch"),
+        when(col("n_sentences") > 0 && col("n_tokens") > 0,
+          round(lit(0.39) * (col("n_tokens").cast("double") / col("n_sentences"))
+            + lit(11.8) * (col("n_syllables").cast("double") / col("n_tokens"))
+            - lit(15.59), 6))
+          .as("fk_grade"))
+
+  /** Per-source corpus health report — the one-look dashboard a data
+    * owner checks before a training run: volume (docs, tokens),
+    * emptiness, truncation rate (the [[sentenceSignals]] trailing-
+    * terminator tell), and exact-duplicate pressure (distinct
+    * normalized texts vs docs — [[graft.ops.Dedup.duplicationSpectrum]]
+    * gives the full histogram; this gives the per-source headline).
+    *
+    * Plan shape: one corpus scan feeds a combinable groupBy(source)
+    * for the counts; the distinct-text count runs as its OWN
+    * single-distinct aggregate (fusing it into the first would Expand
+    * every row — the [[graft.ops.Relational.profile]] lesson) and
+    * joins back on the source-count-sized key. Fractions are
+    * count ratios, round 6.
+    */
+  def corpusHealth(docs: DataFrame): DataFrame = {
+    val base = graft.core.Parallelism.ensure(docs)
+      .select(col("source"), col("text"),
+        explode(array(struct(
+          size(TextNorm.tokens(col("text"))).cast("long").as("n_tok"),
+          col("text").rlike("[.!?][ \\t\\r\\n]*$").as("ends")))).as("sx"))
+    val counts = base
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("sx.n_tok") === 0, 1L).otherwise(0L)).as("n_empty"),
+        sum(col("sx.n_tok")).as("total_tokens"),
+        sum(when(col("sx.ends"), 1L).otherwise(0L)).as("n_ends"))
+    val distincts = docs
+      .select(col("source"), md5(TextNorm.normalize(col("text"))).as("h"))
+      .groupBy("source")
+      .agg(countDistinct(col("h")).as("n_distinct_texts"))
+    counts.join(distincts, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_empty"), col("total_tokens"),
+        round(col("total_tokens").cast("double") / col("n_docs"), 6).as("mean_tokens"),
+        round(col("n_ends").cast("double") / col("n_docs"), 6).as("frac_ends_sentence"),
+        col("n_distinct_texts"),
+        round(lit(1.0) - col("n_distinct_texts").cast("double") / col("n_docs"), 6)
+          .as("dup_frac"))
+  }
+
   /** Overlapping passage chunking — the retrieval-corpus preparation
     * step (RAG): each doc becomes sliding token windows of `window`
     * tokens at `stride` steps, with stable deterministic ids. The

@@ -57,6 +57,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.embOutliersTableFunction)
     ext.injectTableFunction(GraftExtensions.containmentTableFunction)
     ext.injectTableFunction(GraftExtensions.histogramTableFunction)
+    ext.injectTableFunction(GraftExtensions.readabilityTableFunction)
+    ext.injectTableFunction(GraftExtensions.corpusHealthTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -661,6 +663,34 @@ object GraftExtensions {
           intArg("graft_histogram")(children(4), "bins")))
     })
 
+  /** SQL surface for Flesch/Flesch-Kincaid readability
+    * ([[graft.ops.TextAnalysis.readability]]):
+    * `SELECT * FROM graft_readability('docs')`. Fully lazy. */
+  private val readabilityTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_readability"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_readability"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_readability(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.readability(SparkSession.active.table(
+          stringArg("graft_readability")(children.head, "docs_table"))))
+    })
+
+  /** SQL surface for the per-source health report
+    * ([[graft.ops.TextAnalysis.corpusHealth]]):
+    * `SELECT * FROM graft_corpus_health('docs')`. Fully lazy. */
+  private val corpusHealthTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_corpus_health"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_corpus_health"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_corpus_health(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.corpusHealth(SparkSession.active.table(
+          stringArg("graft_corpus_health")(children.head, "docs_table"))))
+    })
+
   /** SQL surface for the IVF+PQ serving call — ANN search over the
     * four STORED artifact tables the training jobs emit
     * ([[graft.ops.Similarity.ivfpqSearch]]; train-once / search-many,
@@ -1123,7 +1153,8 @@ object GraftExtensions {
         passagesTableFunction, fingerprintPairsTableFunction,
         sourceOverlapTableFunction, profileTableFunction,
         contextPlanTableFunction, embOutliersTableFunction,
-        containmentTableFunction, histogramTableFunction)
+        containmentTableFunction, histogramTableFunction,
+        readabilityTableFunction, corpusHealthTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -630,4 +630,55 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.unicodeNorm(d).select("doc_id", "nfc_hash")
         .as[(Long, String)].collect().toMap)
   }
+
+  test("readability: hand-checked Flesch / FK on a two-sentence doc; degenerate docs NULL") {
+    // "the cat sat. it ran fast." → tokens 6, sentences 2, syllables:
+    // the(1) cat(1) sat(1) it(1) ran(1) fast(1) = 6 → wps=3, spw=1
+    val got = TextAnalysis.readability(docs(
+      1L -> "the cat sat. it ran fast.",
+      2L -> "12 34. 56!",        // letterless segments → 0 sentences
+      3L -> ""))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((6L, 2L, 6L)))
+    assert(r1.getDouble(4) === math.rint((206.835 - 1.015 * 3.0 - 84.6 * 1.0) * 1e6) / 1e6)
+    assert(r1.getDouble(5) === math.rint((0.39 * 3.0 + 11.8 * 1.0 - 15.59) * 1e6) / 1e6)
+    assert(got(2L).isNullAt(4) && got(2L).isNullAt(5))  // no sentences → NULL scores
+    assert(got(3L).isNullAt(4) && got(3L).getLong(3) === 0L)
+    // multi-vowel-group + vowelless words: "beautiful" eau+i+u? groups
+    // are RUNS: b-eau-t-i-f-u-l → 3; "rhythm" has y → 1; "zzz" min-1
+    val r4 = TextAnalysis.readability(docs(4L -> "beautiful rhythm zzz."))
+      .select("n_syllables").as[Long].head()
+    assert(r4 === 5L)
+  }
+
+  test("corpusHealth: per-source volume, truncation, and dup pressure") {
+    val d = Seq(
+      (1L, "alpha beta gamma.", "a"),
+      (2L, "alpha beta gamma.", "a"),     // exact dup of 1
+      (3L, "Alpha, beta... GAMMA", "a"),  // normalizes to the same text
+      (4L, "mid sentence cut", "a"),      // no trailing terminator
+      (5L, "", "b")                       // empty doc
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.corpusHealth(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val a = got("a")
+    assert((a.getLong(1), a.getLong(2), a.getLong(3)) === ((4L, 0L, 12L)))
+    assert(a.getDouble(4) === 3.0)            // mean tokens
+    assert(a.getDouble(5) === 0.5)            // 2 of 4 end with a terminator
+    assert(a.getLong(6) === 2L)               // 3 texts collapse to 2 normal forms
+    assert(a.getDouble(7) === 0.5)            // dup_frac = 1 - 2/4
+    val b = got("b")
+    assert((b.getLong(1), b.getLong(2), b.getLong(3), b.getLong(6)) === ((1L, 1L, 0L, 1L)))
+    assert(b.getDouble(7) === 0.0)
+    // SQL surfaces
+    graft.plans.GraftExtensions.install(spark)
+    d.createOrReplaceTempView("ch_docs")
+    assert(spark.sql("SELECT * FROM graft_corpus_health('ch_docs')")
+      .collect().map(_.toSeq).toSet ===
+      TextAnalysis.corpusHealth(d).collect().map(_.toSeq).toSet)
+    assert(spark.sql("SELECT * FROM graft_readability('ch_docs')")
+      .collect().map(_.toSeq).toSet ===
+      TextAnalysis.readability(d).collect().map(_.toSeq).toSet)
+  }
 }
