@@ -627,6 +627,16 @@ object ProbeScale {
           graft.ops.Similarity.embeddingOutliers(emb01).where(col("is_outlier")).count())
         time(s"emb_outliers_sf1_$rep")(
           graft.ops.Similarity.embeddingOutliers(emb10).where(col("is_outlier")).count())
+        time(s"containment_sf01_$rep")(Dedup.containmentPairs(docs01).count())
+        time(s"containment_sf1_$rep")(Dedup.containmentPairs(docs).count())
+        time(s"readability_sf01_$rep")(
+          graft.ops.TextAnalysis.readability(docs01).count())
+        time(s"readability_sf1_$rep")(
+          graft.ops.TextAnalysis.readability(docs).count())
+        time(s"corpus_health_sf01_$rep")(
+          graft.ops.TextAnalysis.corpusHealth(docs01).count())
+        time(s"corpus_health_sf1_$rep")(
+          graft.ops.TextAnalysis.corpusHealth(docs).count())
       }
     }
     spark.stop()
