@@ -514,6 +514,9 @@ object SparkEntry {
       InvertedIndex.phraseSearch(
         InvertedIndex.buildPositional(docs(s, dir)), "Data SLOW!")),
     "q_lookup" -> ((s, dir) => InvertedIndex.lookup(InvertedIndex.build(docs(s, dir)), "Data")),
+    // AND-of-terms boolean retrieval (posting-list intersection)
+    "q_bool_search" -> ((s, dir) => InvertedIndex.booleanSearch(
+      InvertedIndex.build(docs(s, dir)), Seq("hash", "JOIN", "scan"))),
     "q_index_merge_parity" -> { (s, dir) =>
       // reference semantics (master/main.py:106-121): re-indexed docs get ADDED
       // again → doc_id < 100 double-counted. Oracle pins the double-count.
@@ -1138,6 +1141,14 @@ object SparkEntry {
          |GROUP BY a.doc_id""".stripMargin,
     "q_lookup" ->
       s"""SELECT doc_id, cnt FROM ($INDEX_SQL) WHERE word = 'data' ORDER BY cnt DESC, doc_id""",
+    "q_bool_search" ->
+      // twin of InvertedIndex.booleanSearch(AND): intersection via
+      // count over unique (word, doc) postings, summed-count ranking
+      s"""SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+         |  CAST(sum(cnt) AS BIGINT) AS total_cnt
+         |FROM ($INDEX_SQL) WHERE word IN ('hash', 'join', 'scan')
+         |GROUP BY doc_id HAVING count(*) = 3
+         |ORDER BY total_cnt DESC, doc_id""".stripMargin,
     "q_index_merge_parity" ->
       s"""SELECT word, doc_id, cnt * (CASE WHEN doc_id < 100 THEN 2 ELSE 1 END) AS cnt
          |FROM ($INDEX_SQL)""".stripMargin,

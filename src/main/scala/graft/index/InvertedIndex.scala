@@ -153,6 +153,36 @@ object InvertedIndex {
       .orderBy(col("cnt").desc, col("doc_id"))
   }
 
+  /** Boolean multi-term retrieval over the [[build]] index — the
+    * AND/OR query layer between [[lookup]] (one term) and [[bm25TopK]]
+    * (scored ranking): documents matching ALL terms (`requireAll`,
+    * posting-list intersection) or ANY term (union), ranked by summed
+    * term count with doc_id tiebreak. Terms normalize through the
+    * shared query preprocessor and de-duplicate, so `AND(x, x)`
+    * degrades to `AND(x)` rather than an impossible count.
+    *
+    * Plan shape: the `isin` pushes into the (word-partitioned, served)
+    * index scan like the BM25 term filter — cost is the matched
+    * postings, never the index; the intersection is one combinable
+    * groupBy(doc_id) (postings are unique per (word, doc), so
+    * `count(*) = n_terms` IS set intersection). Output is
+    * query-result-sized; the sort is the serving convention
+    * ([[lookup]]).
+    */
+  def booleanSearch(
+      index: DataFrame, terms: Seq[String], requireAll: Boolean = true): DataFrame = {
+    require(terms.nonEmpty, "booleanSearch needs at least one term")
+    val keys = terms.map(TextNorm.normalizeKey).distinct
+    val hits = index
+      .filter(col("word").isin(keys: _*))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_matched"), sum("cnt").as("total_cnt"))
+    (if (requireAll) hits.filter(col("n_matched") === keys.size) else hits)
+      .select(col("doc_id"), col("n_matched").cast("int").as("n_matched"),
+        col("total_cnt").cast("long").as("total_cnt"))
+      .orderBy(col("total_cnt").desc, col("doc_id"))
+  }
+
   /** Top-k postings per word — the bounded version of lookup's full sort,
     * for serving at scale: rank within each word partition, keep k.
     * Deterministic tiebreak `doc_id` asc.

@@ -219,4 +219,21 @@ class InvertedIndexSpec extends SparkSpec {
     assert(err.getMessage.contains("graft_bm25") ||
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
   }
+
+  test("booleanSearch: AND intersects postings, OR unions, terms normalize and dedupe") {
+    val idx = InvertedIndex.build(corpus(
+      1L -> "cat dog cat",    // both terms, cat twice
+      2L -> "cat bird",       // cat only
+      3L -> "dog dog dog",    // dog only
+      4L -> "fish"))          // neither
+    val and = InvertedIndex.booleanSearch(idx, Seq("cat", "dog"))
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(and === Seq((1L, 2, 3L)))             // only doc 1 has both; 2+1 occurrences
+    val or = InvertedIndex.booleanSearch(idx, Seq("cat", "dog"), requireAll = false)
+      .as[(Long, Int, Long)].collect().toSeq
+    assert(or === Seq((1L, 2, 3L), (3L, 1, 3L), (2L, 1, 1L)))  // cnt desc, doc_id tiebreak
+    // "Cat." normalizes to cat; the duplicate must not make AND impossible
+    assert(InvertedIndex.booleanSearch(idx, Seq("Cat.", "cat", "dog"))
+      .as[(Long, Int, Long)].collect().toSeq === and)
+  }
 }
