@@ -307,11 +307,16 @@ class CurationSpec extends SparkSpec {
     assert(api === viaCorpus)
     // honesty pin: planning graft_curate is NOT job-free — the cluster
     // propagation fixpoint must run (documented on the TVF); what the
-    // stored-shingle path saves is the eval re-shingle, not planning
-    val before = SparkSpec.spark.sparkContext.statusTracker.getJobIdsForGroup(null).length
+    // stored-shingle path saves is the eval re-shingle, not planning.
+    // Compare MAX job id, not count: the status store evicts old jobs
+    // past its retention cap, so the count can SHRINK across a long
+    // shared-session suite run while new jobs still get fresh (higher,
+    // monotonic) ids.
+    def maxJobId: Int = SparkSpec.spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val before = maxJobId
     SparkSpec.spark.sql("EXPLAIN SELECT * FROM graft_curate('curd', 'cure_sh')").collect()
-    assert(SparkSpec.spark.sparkContext.statusTracker
-      .getJobIdsForGroup(null).length > before)
+    assert(maxJobId > before)
   }
 
   test("SQL surface: graft_dsir TVF matches importanceWeights / importanceTopK") {
