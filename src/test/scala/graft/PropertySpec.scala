@@ -115,4 +115,44 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("histogram: buckets conserve the non-null count and edges tile the range, random data") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 200 + rnd.nextInt(300)
+      val vals = (0 until n).map(_ =>
+        if (rnd.nextInt(10) == 0) None else Some(rnd.nextDouble() * 200 - 50))
+      val bins = 1 + rnd.nextInt(12)
+      val rows = graft.ops.Relational.histogram(vals.toDF("v"), "v", 0.0, 100.0, bins)
+        .collect()
+      assert(rows.map(_.getLong(3)).sum === vals.count(_.isDefined).toLong,
+        s"seed=$seed: every non-null value lands in exactly one bucket")
+      rows.filter(r => !r.isNullAt(1)).foreach { r =>
+        val (b, lo, hi) = (r.getInt(0), r.getDouble(1), r.getDouble(2))
+        val w = 100.0 / bins
+        // compare against the exact construction (lo + k*w), not the
+        // fp-naive hi - lo === w, which fails by one ulp at w = 100/6
+        assert(b >= 0 && b < bins && lo === b * w && hi === (b + 1) * w)
+      }
+      assert(rows.map(_.getInt(0)).distinct.length === rows.length, "buckets unique")
+    }
+  }
+
+  test("containmentPairs: ratios in (0,1], symmetric corpus gives symmetric ratios") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = (0 until 30).map(i => s"tok$i")
+      val d = (1L to 12L).map { id =>
+        val len = 5 + rnd.nextInt(20)
+        (id, Seq.fill(len)(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+      }.toDF("doc_id", "text")
+      Dedup.containmentPairs(d, minContainment = 0.01)
+        .as[(Long, Long, Long, Double, Double)].collect().foreach {
+          case (a, b, inter, ca, cb) =>
+            assert(a < b, "pair ordering")
+            assert(inter > 0 && ca > 0.0 && ca <= 1.0 && cb > 0.0 && cb <= 1.0,
+              s"seed=$seed pair ($a,$b): inter=$inter ca=$ca cb=$cb")
+        }
+    }
+  }
 }
