@@ -644,6 +644,9 @@ object SparkEntry {
     // GPT-style fixed-context packing plan (docs split at boundaries)
     "q_context_plan" -> ((s, dir) =>
       graft.ops.Sampling.contextPlan(docs(s, dir), ctxLen = 128, buckets = 8)),
+    // fill/waste accounting for the same layout (window-free)
+    "q_context_fill" -> ((s, dir) =>
+      graft.ops.Sampling.contextPlanSummary(docs(s, dir), ctxLen = 128, buckets = 8)),
     "q_shuffle_order" -> ((s, dir) =>
       graft.ops.Sampling.shuffleOrder(docs(s, dir), "doc_id", shards = 16, seed = 42L)),
 
@@ -1748,6 +1751,21 @@ object SparkEntry {
          |    ELSE 0 END AS INTEGER) AS n_contexts,
          |  CASE WHEN n_tokens > 0 THEN CAST((cum - n_tokens) % 128 AS INTEGER) END AS head_offset
          |FROM c""".stripMargin,
+    "q_context_fill" ->
+      // twin of Sampling.contextPlanSummary(128, 8): ceil via -floor(-x)
+      s"""WITH t AS (SELECT
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket,
+         |    CAST(len($TOKS) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |g AS (SELECT pack_bucket, count(*) AS n_docs, sum(n_tokens) AS total_tokens
+         |  FROM t GROUP BY pack_bucket)
+         |SELECT pack_bucket, CAST(n_docs AS BIGINT) AS n_docs,
+         |  CAST(total_tokens AS BIGINT) AS total_tokens,
+         |  CAST(-floor(-total_tokens / 128.0) AS BIGINT) AS n_contexts,
+         |  CASE WHEN total_tokens > 0
+         |       THEN round(CAST(total_tokens AS DOUBLE) /
+         |                  (CAST(-floor(-total_tokens / 128.0) AS BIGINT) * 128), 6) END AS fill_ratio
+         |FROM g""".stripMargin,
     "q_shuffle_order" ->
       """WITH t AS (SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':' || '42') AS k FROM documents),
         |s AS (SELECT doc_id, k,

@@ -502,6 +502,34 @@ object Sampling {
           size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
       ctxLen, buckets)
 
+  /** Fill accounting for a [[contextPlan]] layout — the waste report a
+    * training-infra owner reads before committing to a context length:
+    * per bucket, the token volume, the context count it occupies
+    * (`ceil(total / ctxLen)` — integer arithmetic, exact in any
+    * engine), and the fill ratio (tokens / capacity, round 6; the
+    * complement is padding waste in the last context). One combinable
+    * groupBy over the counts — the plan's window never runs.
+    */
+  def contextPlanSummary(docs: DataFrame, ctxLen: Long, buckets: Int = 32): DataFrame = {
+    require(ctxLen > 0 && buckets > 0, s"bad context-plan params $ctxLen/$buckets")
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    graft.core.Parallelism.ensure(docs)
+      .select(bucket.as("pack_bucket"),
+        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"))
+      .groupBy("pack_bucket")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("total_tokens"))
+      .select(col("pack_bucket"), col("n_docs"), col("total_tokens"),
+        (-floorDiv(-col("total_tokens"), ctxLen)).cast("long").as("n_contexts"),
+        when(col("total_tokens") > 0,
+          round(col("total_tokens").cast("double") /
+            ((-floorDiv(-col("total_tokens"), ctxLen)) * ctxLen), 6)).as("fill_ratio"))
+  }
+
+  /** ceil-division via floor: `ceil(a/b) = -floor(-a/b)` — exact
+    * integer arithmetic, twinnable as the same expression in SQL. */
+  private def floorDiv(a: Column, b: Long): Column = floor(a / b)
+
   /** [[contextPlan]] over a precomputed `(doc_id, n_tokens)` table, so
     * a trained tokenizer's counts ([[graft.ops.Bpe.tokenCounts]]) can
     * drive the layout instead of the whitespace proxy. */

@@ -325,6 +325,26 @@ class SamplingSpec extends SparkSpec {
       docs.createOrReplaceTempView("cp_docs")
       assert(spark.sql("SELECT * FROM graft_context_plan('cp_docs', 16, 4)")
         .collect().map(_.toSeq).toSet === plan.collect().map(_.toSeq).toSet)
+      // the fill summary agrees with the plan it summarizes: per
+      // bucket, n_contexts = the plan's max end_ctx + 1, and the fill
+      // ratio is total/(n_contexts*ctx)
+      val summary = Sampling.contextPlanSummary(docs, ctxLen = 16, buckets = 4)
+        .as[(Int, Long, Long, Long, Option[Double])].collect()
+        .map(r => r._1 -> r).toMap
+      val byB = plan.orderBy("pack_bucket", "doc_id")
+        .select("pack_bucket", "n_tokens", "end_ctx")
+        .as[(Int, Int, Option[Int])].collect().groupBy(_._1)
+      byB.foreach { case (b, rows) =>
+        val (_, nDocs, total, nCtx, fill) = summary(b)
+        assert(nDocs === rows.length.toLong)
+        assert(total === rows.map(_._2.toLong).sum)
+        assert(nCtx === rows.flatMap(_._3).maxOption.map(_ + 1L).getOrElse(0L),
+          s"bucket $b: summary contexts must equal the plan's last context + 1")
+        assert(fill.get === math.rint(total.toDouble / (nCtx * 16) * 1e6) / 1e6)
+      }
+      // summary plan is window-free (the whole point)
+      assert(!Sampling.contextPlanSummary(docs, 16, 4)
+        .queryExecution.executedPlan.toString.contains("Window"))
     } finally plan.unpersist()
   }
 }
