@@ -605,6 +605,12 @@ object SparkEntry {
       val d = withDomain(docs(s, dir))
       TextAnalysis.lmScoreAgainst(d, d.filter(col("domain") =!= "web"))
     },
+    "q_lm3_score" -> { (s, dir) =>
+      // CCNet-fidelity upgrade: trigram LM with stupid backoff
+      // (Brants '07), trained on the curated domains, scoring all docs
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.lm3ScoreAgainst(d, d.filter(col("domain") =!= "web"))
+    },
     "q_ppl_buckets" -> { (s, dir) =>
       // CCNet head/middle/tail: per-SOURCE perplexity terciles under
       // the stored reference LM (non-web domains)
@@ -1547,6 +1553,51 @@ object SparkEntry {
          |  coalesce(ds.n_oov, 0) AS n_oov,
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_bigrams) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_lm3_score" ->
+      // twin of lm3Model + lm3ScoreWith (stupid backoff, α = 0.4):
+      // history counts derive from the next-higher count table; α and
+      // α² appear as CAST(0.4 AS DOUBLE) products so the IEEE doubles
+      // match the JVM's lit(alpha)/lit(alpha*alpha) bit-for-bit before
+      // the 6dp rounding; serving = three left joins + coalesce
+      s"""WITH rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+         |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM rt WHERE len(ts) >= 3)),
+         |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123 FROM r3 GROUP BY w1, w2, w3),
+         |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3g GROUP BY w1, w2),
+         |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |             FROM rt WHERE len(ts) >= 2)),
+         |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c23 FROM r2 GROUP BY w1, w2),
+         |c2 AS (SELECT w1, sum(c23) AS c2 FROM c2g GROUP BY w1),
+         |c1g AS MATERIALIZED (SELECT w, count(*) AS c3 FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
+         |nv AS MATERIALIZED (SELECT sum(c3) AS n, count(*) AS v FROM c1g),
+         |tri AS (SELECT w1, w2, w3,
+         |          CAST(round(ln(CAST(c123 AS DOUBLE) / c12), 6) AS DECIMAL(18,6)) AS lp3
+         |        FROM c3g JOIN c12 USING (w1, w2)),
+         |bi AS (SELECT w1 AS w2, w2 AS w3,
+         |         CAST(round(ln(CAST(0.4 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2)), 6) AS DECIMAL(18,6)) AS lp2
+         |       FROM c2g JOIN c2 USING (w1)),
+         |uni AS (SELECT w AS w3,
+         |          CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * ((c3 + 1.0) / (n + v))), 6) AS DECIMAL(18,6)) AS lp1
+         |        FROM c1g CROSS JOIN nv),
+         |ov AS (SELECT CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * (1.0 / (n + v))), 6) AS DECIMAL(18,6)) AS lp_oov FROM nv),
+         |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
+         |ds AS (SELECT d.doc_id, count(*) AS n_trigrams,
+         |         count(CASE WHEN t.lp3 IS NULL THEN 1 END) AS n_bo,
+         |         count(CASE WHEN t.lp3 IS NULL AND b.lp2 IS NULL AND u.lp1 IS NULL THEN 1 END) AS n_oov,
+         |         CAST(sum(coalesce(t.lp3, b.lp2, u.lp1, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
+         |       FROM d3 d LEFT JOIN tri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+         |         LEFT JOIN bi b ON d.w2 = b.w2 AND d.w3 = b.w3
+         |         LEFT JOIN uni u ON d.w3 = u.w3
+         |         CROSS JOIN ov
+         |       GROUP BY d.doc_id)
+         |SELECT dd.doc_id, coalesce(ds.n_trigrams, 0) AS n_trigrams,
+         |  coalesce(ds.n_bo, 0) AS n_bo, coalesce(ds.n_oov, 0) AS n_oov,
+         |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_trigrams) / 1000000.0 AS avg_logprob
+         |FROM documents dd LEFT JOIN ds USING (doc_id)""".stripMargin,
     "q_ppl_buckets" ->
       // twin of perplexityBuckets over the stored reference LM: same
       // scoring CTEs as q_lm_score_ref, then per-source quantile_cont

@@ -505,6 +505,124 @@ object TextAnalysis {
   def lmScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
     lmScoreWith(docs, lmModel(reference))
 
+  /** A trained TRIGRAM LM with stupid backoff (Brants et al., EMNLP '07
+    * "Large Language Models in Machine Translation") as four servable
+    * tables — the CCNet-fidelity upgrade over the bigram [[LmModel]]
+    * (real CCNet scores with a 5-gram KenLM; trigram-with-backoff is
+    * the same model family at the order this corpus' data volume
+    * supports). Stupid backoff is THE web-scale choice: unnormalized
+    * relative frequencies with a fixed backoff penalty α = 0.4, no
+    * discounting pass over the count tables — Brants et al. showed it
+    * matches Kneser-Ney quality at large data while training as plain
+    * counting, exactly what a 100 TB groupBy pipeline wants.
+    *
+    * Score of a trigram (w1, w2, w3):
+    *   - trigram tier:  ln(c123 / c12)            if c123 > 0
+    *   - bigram tier:   ln(α · c23 / c2)          else if c23 > 0
+    *   - unigram tier:  ln(α² · (c3 + 1)/(N + V)) else
+    * where c12 / c2 are HISTORY counts derived from the next-higher
+    * count table (Σ over continuations — the [[lmModel]] convention),
+    * N is the reference token count and V its vocabulary; the add-one
+    * unigram floor makes the chain total (an OOV w3 scores
+    * ln(α²/(N+V)), the `oov` row). α is FOLDED INTO the pre-logged
+    * tables, so serving is three left joins + one `coalesce` — no
+    * arithmetic branches, no transcendental math, the same
+    * 6dp-decimal discipline as [[LmModel]]. Write the tables as
+    * parquet to reuse a model across crawls. */
+  final case class Lm3Model(tri: DataFrame, bi: DataFrame, uni: DataFrame, oov: DataFrame)
+
+  /** Train an [[Lm3Model]] on `reference`. Three occurrence scans (tri
+    * / bi / unigram), each a map-side-combinable groupBy whose exchange
+    * carries per-task DISTINCT n-grams, not occurrences; every history
+    * table derives from its model table (distinct-n-gram-sized); the
+    * (N, V) scalar pair is one token-stream aggregate broadcast into
+    * the unigram tier. α = 0.4 per Brants et al. */
+  def lm3Model(reference: DataFrame, alpha: Double = 0.4): Lm3Model = {
+    import org.apache.spark.sql.types.DecimalType
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    val toks = graft.core.Parallelism.ensure(reference)
+      .select(TextNorm.tokens(col("text")).as("ts"))
+    def grams(n: Int): DataFrame = {
+      val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
+      toks.where(size(col("ts")) >= n)
+        .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
+        .select(cols: _*)
+    }
+    val c3g = grams(3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
+    val c12 = c3g.groupBy("w1", "w2").agg(sum("c123").as("c12"))
+    val c2g = grams(2).groupBy("w1", "w2").agg(count(lit(1)).as("c23"))
+    val c2 = c2g.groupBy("w1").agg(sum("c23").as("c2"))
+    val c1g = toks.select(explode(col("ts")).as("w")).groupBy("w").agg(count(lit(1)).as("c3"))
+    val nv = c1g.agg(sum("c3").as("n"), count(lit(1)).as("v"))
+    def dec6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
+    Lm3Model(
+      tri = c3g.join(c12, Seq("w1", "w2"))
+        .select(col("w1"), col("w2"), col("w3"),
+          dec6(log(col("c123").cast("double") / col("c12"))).as("lp3")),
+      // the bigram tier keys on (w2, w3) — the CONTEXT the trigram
+      // backs off to — so serving joins it without renaming
+      bi = c2g.join(c2, "w1")
+        .select(col("w1").as("w2"), col("w2").as("w3"),
+          dec6(log(lit(alpha) * (col("c23").cast("double") / col("c2")))).as("lp2")),
+      uni = c1g.crossJoin(broadcast(nv))
+        .select(col("w").as("w3"),
+          dec6(log(lit(alpha * alpha) * ((col("c3") + lit(1.0)) / (col("n") + col("v"))))).as("lp1")),
+      oov = nv.select(
+        dec6(log(lit(alpha * alpha) * (lit(1.0) / (col("n") + col("v"))))).as("lp_oov")))
+  }
+
+  /** Score documents against a stored [[Lm3Model]]: mean trigram
+    * stupid-backoff log-score with the `n_bo` (trigrams that fell off
+    * the trigram tier) and `n_oov` (fell through to the unigram/OOV
+    * floor — the model-drift signal) diagnostics.
+    *
+    * Output: `(doc_id, n_trigrams, n_bo, n_oov, avg_logprob)`;
+    * docs under 3 tokens report `(0, 0, 0, NULL)`.
+    *
+    * Plan at 100 TB: the corpus trigram stream left-joins `tri` on
+    * (w1, w2, w3), `bi` on (w2, w3), `uni` on (w3) — all model-sized,
+    * AQE-broadcast when small, no occurrence-level re-shuffle of text —
+    * then one combinable groupBy(doc_id). Scored corpus is never part
+    * of the model: one frozen reference LM serves every crawl batch. */
+  def lm3ScoreWith(docs: DataFrame, model: Lm3Model): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val tg = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= 3)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - 2),
+          i => struct(element_at(col("ts"), i).as("w1"),
+            element_at(col("ts"), i + 1).as("w2"),
+            element_at(col("ts"), i + 2).as("w3")))).as("p"))
+      .select(col("doc_id"), col("p.w1").as("w1"), col("p.w2").as("w2"), col("p.w3").as("w3"))
+    val perDoc = tg
+      .join(model.tri, Seq("w1", "w2", "w3"), "left")
+      .join(model.bi, Seq("w2", "w3"), "left")
+      .join(model.uni, Seq("w3"), "left")
+      .crossJoin(broadcast(model.oov))
+      .select(col("doc_id"), col("lp3"), col("lp2"), col("lp1"),
+        coalesce(col("lp3"), col("lp2"), col("lp1"), col("lp_oov")).as("lp_eff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_trigrams"),
+        count(when(col("lp3").isNull, lit(1))).as("n_bo"),
+        count(when(col("lp3").isNull && col("lp2").isNull && col("lp1").isNull, lit(1)))
+          .as("n_oov"),
+        sum("lp_eff").cast(DecimalType(18, 6)).as("slp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_trigrams"), lit(0L)).as("n_trigrams"),
+        coalesce(col("n_bo"), lit(0L)).as("n_bo"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // exact integer micro-unit mean — see [[lmScoreWith]]'s tie note
+        (round((col("slp") * 1000000).cast("long").cast("double") / col("n_trigrams"))
+          / lit(1000000.0)).as("avg_logprob"))
+  }
+
+  /** [[lm3Model]] + [[lm3ScoreWith]] in one call — the q_lm3_score
+    * oracle shape. */
+  def lm3ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
+    lm3ScoreWith(docs, lm3Model(reference))
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
     * hash every token (md5 — stable across engines), take the window
     * minimum over each w-token sliding window, emit the distinct minima

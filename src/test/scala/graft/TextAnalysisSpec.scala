@@ -246,6 +246,52 @@ class TextAnalysisSpec extends SparkSpec {
         .as[(Long, Long, Option[Double])].collect().toSet)
   }
 
+  test("lm3ScoreWith: stupid-backoff tiers hand-computed, round-trip, self-scoring never backs off") {
+    val ref = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran on the road")
+    // ref counts (N = 12 tokens, V = 7):
+    //   tri c123 all 1; c12(the,cat) = 2, c12(on,the) = 2, rest 1
+    //   bi  c23(the,cat) = 2, c23(on,the) = 2, rest 1; c2(the) = 4, c2(cat) = 2, c2(sat) = c2(on→2)...
+    //   uni c3(the) = 4
+    val m0 = TextAnalysis.lm3Model(ref)
+    // stored-model round-trip: write the four tables, read back, serve
+    val dir = java.nio.file.Files.createTempDirectory("graft-lm3-").toString
+    m0.tri.write.parquet(s"$dir/tri"); m0.bi.write.parquet(s"$dir/bi")
+    m0.uni.write.parquet(s"$dir/uni"); m0.oov.write.parquet(s"$dir/oov")
+    val m = TextAnalysis.Lm3Model(
+      spark.read.parquet(s"$dir/tri"), spark.read.parquet(s"$dir/bi"),
+      spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/oov"))
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def microMean(parts: Seq[BigDecimal]): Double =
+      (BigDecimal((parts.sum * 1000000).toLongExact).setScale(0) / parts.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+    val a = 0.4; val a2 = a * a // the exact lit(alpha)/lit(alpha*alpha) doubles
+    val scored = TextAnalysis.lm3ScoreWith(
+      docs(10L -> "the cat sat on",   // both trigrams in-model
+           11L -> "the cat jumped",   // tri miss → bi miss → OOV unigram floor
+           12L -> "cat sat the road", // tri miss → uni tier; tri miss → bi tier
+           13L -> "xy z"),            // trigram-less
+      m).as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    // doc 10: lp3(the,cat,sat) = ln(1/2), lp3(cat,sat,on) = ln(1/1) = 0
+    assert(scored(10L) === ((2L, 0L, 0L,
+      Some(microMean(Seq(r6(math.log(0.5)), r6(0.0)))))))
+    // doc 11: (the,cat,jumped) falls through every tier → ln(α²·1/(N+V))
+    assert(scored(11L) === ((1L, 1L, 1L,
+      Some(microMean(Seq(r6(math.log(a2 * (1.0 / 19)))))))))
+    // doc 12: (cat,sat,the) → unigram tier ln(α²·(4+1)/(N+V));
+    //         (sat,the,road) → bigram tier ln(α·c23(the,road)/c2(the)) = ln(α·1/4)
+    assert(scored(12L) === ((2L, 2L, 0L,
+      Some(microMean(Seq(
+        r6(math.log(a2 * (5.0 / 19))),
+        r6(math.log(a * (1.0 / 4)))))))))
+    assert(scored(13L) === ((0L, 0L, 0L, None)))
+    // self-scoring: every ref trigram is in the trigram tier
+    val self = TextAnalysis.lm3ScoreWith(ref, m0)
+    assert(self.filter($"n_bo" =!= 0 || $"n_oov" =!= 0).count() === 0)
+  }
+
   test("gopherQuality: each rule trips on its engineered doc; good prose keeps") {
     val good = (1 to 10).map(_ => "the quick brown fox jumps over that lazy dog")
       .mkString(" ") // 90 words, stopword-rich, all-alpha
