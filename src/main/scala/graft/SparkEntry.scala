@@ -715,6 +715,9 @@ object SparkEntry {
     "q_lsh_plan" -> ((s, _) => Dedup.bandingPlan(s)),
     // banding recall/precision vs exact Jaccard on a deterministic sample
     "q_dedup_eval" -> ((s, dir) => Dedup.bandingEval(docs(s, dir))),
+    // char-level recall/precision of the anchor-gram span approximation
+    // vs exact repeated-substring ground truth on an md5-bucket sample
+    "q_span_eval" -> ((s, dir) => Dedup.spanEval(docs(s, dir))),
     "q_novelty" -> { (s, dir) =>
       // overlap score vs a frozen reference: the q_decontaminate split
       // (eval = doc_id % 50 == 0), every doc scored
@@ -2124,6 +2127,56 @@ object SparkEntry {
         |grp AS (SELECT doc_id, p, sum(b) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM brk)
         |SELECT doc_id, CAST(min(p) AS BIGINT) AS span_start, CAST(max(p) + 24 AS BIGINT) AS span_end
         |FROM grp GROUP BY doc_id, g""".stripMargin,
+    "q_span_eval" ->
+      // twin of Dedup.spanEval(k=24, modP=8, gap=64, sampleMod=4):
+      // ground truth = the span chain at modP=1/gap=24 (every gram an
+      // anchor, contiguous-coverage merging — exact non-canonical
+      // duplicated-char coverage); detection = the production chain;
+      // confusion counted per covered char over a FULL join
+      """WITH smp AS MATERIALIZED (
+        |  SELECT doc_id, text, length(text) AS n FROM documents
+        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0),
+        |sites AS MATERIALIZED (
+        |  SELECT doc_id, p,
+        |    CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER)+1, 24)), 1, 13)) AS BIGINT) AS h
+        |  FROM (SELECT doc_id, text, unnest(range(0, n - 23)) AS p FROM smp WHERE n >= 24)),
+        |tdrp AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM sites)
+        |  WHERE c > 1 AND rn > 1),
+        |tch AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(a, b)) AS cpos FROM (
+        |    SELECT doc_id, min(p) AS a, max(p) + 24 AS b FROM (
+        |      SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM (
+        |        SELECT doc_id, p,
+        |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 24 THEN 0 ELSE 1 END AS brk
+        |        FROM tdrp))
+        |    GROUP BY doc_id, g)),
+        |sel AS (SELECT * FROM sites WHERE h % 8 = 0),
+        |ddrp AS (SELECT doc_id, p FROM (
+        |    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c,
+        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM sel)
+        |  WHERE c > 1 AND rn > 1),
+        |dch AS MATERIALIZED (
+        |  SELECT doc_id, unnest(range(a, b)) AS cpos FROM (
+        |    SELECT doc_id, min(p) AS a, max(p) + 24 AS b FROM (
+        |      SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM (
+        |        SELECT doc_id, p,
+        |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 64 THEN 0 ELSE 1 END AS brk
+        |        FROM ddrp))
+        |    GROUP BY doc_id, g)),
+        |j AS (SELECT t.doc_id IS NOT NULL AS tt, d.doc_id IS NOT NULL AS dd
+        |      FROM tch t FULL JOIN dch d ON t.doc_id = d.doc_id AND t.cpos = d.cpos),
+        |conf AS (SELECT
+        |    CAST(count(CASE WHEN tt AND dd THEN 1 END) AS BIGINT) AS tp,
+        |    CAST(count(CASE WHEN tt AND NOT dd THEN 1 END) AS BIGINT) AS fn,
+        |    CAST(count(CASE WHEN NOT tt AND dd THEN 1 END) AS BIGINT) AS fp
+        |  FROM j)
+        |SELECT (SELECT CAST(count(*) AS BIGINT) FROM smp) AS n_docs,
+        |  tp + fn AS truth_chars, tp + fp AS det_chars, tp, fp, fn,
+        |  round(CAST(tp AS DOUBLE) / nullif(tp + fn, 0), 6) AS recall,
+        |  round(CAST(tp AS DOUBLE) / nullif(tp + fp, 0), 6) AS precision
+        |FROM conf""".stripMargin,
     "q_dup_strip" ->
       // twin of Dedup.stripDuplicateSpans at the same parameters: cut
       // every span out of its doc, report count/length/md5 of the rest

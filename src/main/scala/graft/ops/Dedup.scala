@@ -1377,6 +1377,71 @@ object Dedup {
           when(col("tp") + col("fp") > 0, col("tp") + col("fp")), 6).as("precision"))
   }
 
+  /** Empirical char-level recall/precision of [[duplicateSpans]]'
+    * anchor-gram approximation against EXACT repeated-substring ground
+    * truth, on a deterministic document sample — the [[bandingEval]]
+    * counterpart for the span family (the VERDICT-ordered measurement:
+    * modP sampling and gap merging are distribution-dependent, so the
+    * approximation must be validated on the actual corpus before a
+    * full run).
+    *
+    * Ground truth = [[duplicateSpans]] at `modP = 1, gap = k`: every
+    * k-gram is an anchor (sampling rate 1) and islands merge only when
+    * their coverage is contiguous, which yields EXACTLY the chars
+    * covered by non-canonical copies of duplicated k-grams — no
+    * approximation remains. Anchor selection is per-GRAM (`h` depends
+    * only on content), so the modP run sees either ALL copies of a
+    * gram or none; the canonical site is therefore identical in both
+    * runs, and the confusion isolates precisely the two approximations:
+    * misses = grams the mod-p sample skipped, false chars = unique
+    * slivers bridged by `gap` merging.
+    *
+    * Output (one row): `(n_docs, truth_chars, det_chars, tp, fp, fn,
+    * recall, precision)` — char-level counts over the sample; rates
+    * NULL when their denominator is empty.
+    *
+    * Scale contract: the modP=1 anchor scan is one md5 per sample
+    * char — quadratic in NOTHING, but linear work at sampling rate 1,
+    * so it runs on the md5-bucket sample only (`sampleMod` dials the
+    * sample; variance depends on sample size, not corpus size). The
+    * corpus-scale path stays [[duplicateSpans]].
+    */
+  def spanEval(
+      docs: DataFrame,
+      k: Int = 24,
+      modP: Int = 8,
+      gap: Int = 64,
+      sampleMod: Int = 4,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(sampleMod >= 1, s"sampleMod=$sampleMod must be >= 1")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % sampleMod
+    // the sample feeds both span runs and the doc count
+    val sample = graft.core.Materialize(docs.filter(bucket === 0), mat)
+    // spans are non-overlapping per doc by construction (gap >= k), so
+    // the exploded char rows are already distinct
+    def chars(spans: DataFrame, flag: String) =
+      spans.select(col("doc_id"),
+        explode(sequence(col("span_start"), col("span_end") - 1)).as("cpos"))
+        .withColumn(flag, lit(true))
+    val t = chars(duplicateSpans(sample, k, 1, k, mat), "t")
+    val d = chars(duplicateSpans(sample, k, modP, gap, mat), "d")
+    val conf = t.join(d, Seq("doc_id", "cpos"), "full")
+      .agg(
+        count(when(col("t") && col("d"), 1)).as("tp"),
+        count(when(col("t") && col("d").isNull, 1)).as("fn"),
+        count(when(col("t").isNull && col("d"), 1)).as("fp"))
+    conf.crossJoin(broadcast(sample.agg(count(lit(1)).as("n_docs"))))
+      .select(col("n_docs"),
+        (col("tp") + col("fn")).as("truth_chars"),
+        (col("tp") + col("fp")).as("det_chars"),
+        col("tp"), col("fp"), col("fn"),
+        round(col("tp").cast("double") /
+          when(col("tp") + col("fn") > 0, col("tp") + col("fn")), 6).as("recall"),
+        round(col("tp").cast("double") /
+          when(col("tp") + col("fp") > 0, col("tp") + col("fp")), 6).as("precision"))
+  }
+
   /** Per-SOURCE MinHash signature — the minwise hash of the UNION of a
     * source's shingle sets (min over a union is the min of mins, so
     * grouping the doc-level shingle stream by source IS the union's

@@ -427,6 +427,32 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("spanEval: exact config is perfect; prod config isolates sampling misses and gap bridging") {
+    val uniqA = "alpha bravo charlie delta echo foxtrot golf hotel india juliet "
+    val uniqB = "kilo lima mike november oscar papa quebec romeo sierra tango "
+    val bridge = " uniq1 uniq2 uniq3 " // < prod gap, > exact gap (with the k pad)
+    val d = docs(
+      1L -> region,                              // canonical holder
+      2L -> (uniqA + region),                    // one non-canonical copy
+      3L -> (uniqB + region + bridge + region))  // two copies, bridged in prod
+    // exact parameterization IS the ground truth: perfect confusion row
+    val exact = Dedup.spanEval(d, k = 16, modP = 1, gap = 16, sampleMod = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(exact._1 === 3L)
+    assert(exact._2 > 0L)                        // known overlaps detected
+    assert(exact._4 === exact._2 && exact._5 === 0L && exact._6 === 0L)
+    assert(exact._7 === Some(1.0) && exact._8 === Some(1.0))
+    // production parameterization: same truth denominator; mod-p misses
+    // land in fn, the gap-bridged unique sliver in doc 3 lands in fp
+    val prod = Dedup.spanEval(d, k = 16, modP = 4, gap = 64, sampleMod = 1)
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Double])].head()
+    assert(prod._2 === exact._2)                 // truth independent of modP/gap
+    assert(prod._4 + prod._6 === prod._2)
+    assert(prod._5 > 0L, "bridged sliver must show as false-positive chars")
+    assert(prod._7.exists(r => r > 0.5 && r <= 1.0), s"recall ${prod._7}")
+    assert(prod._8.exists(p => p > 0.5 && p < 1.0), s"precision ${prod._8}")
+  }
+
   test("stripDuplicateSpans: cut matches a manual splice of duplicateSpans; short docs untouched") {
     val junk = "leading filler words nothing shared with anything else here at all "
     val d = docs(
