@@ -655,6 +655,10 @@ object SparkEntry {
       graft.ops.Sampling.contextPlanSummary(docs(s, dir), ctxLen = 128, buckets = 8)),
     "q_shuffle_order" -> ((s, dir) =>
       graft.ops.Sampling.shuffleOrder(docs(s, dir), "doc_id", shards = 16, seed = 42L)),
+    // per-shard manifest (counts + doc_id-ordered content checksum) of
+    // the q_pack_shards layout — what writeShards certifies on disk
+    "q_shard_manifest" -> ((s, dir) =>
+      graft.ops.Sampling.shardManifest(docs(s, dir), tokenBudget = 512, buckets = 8)),
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1786,6 +1790,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
          |  CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket
          |FROM c""".stripMargin,
+    "q_shard_manifest" ->
+      // twin of Sampling.shardManifest(512, 8): the q_pack_shards
+      // assignment, then per-shard count/token-sum/md5-of-ordered-row-md5s
+      s"""WITH t AS (SELECT doc_id, text, len($TOKS) AS n_tokens,
+         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
+         |  FROM documents),
+         |c AS (SELECT doc_id, text, n_tokens, pack_bucket,
+         |    sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+         |  FROM t)
+         |SELECT pack_bucket, CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), '' ORDER BY doc_id)) AS content_md5
+         |FROM c GROUP BY pack_bucket, shard_in_bucket""".stripMargin,
     "q_context_plan" ->
       // twin of Sampling.contextPlan(ctxLen=128, buckets=8): same
       // bucketed running sum, context span = floor-division of the

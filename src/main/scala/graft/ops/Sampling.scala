@@ -231,6 +231,73 @@ object Sampling {
           .cast("int").as("shard_in_bucket"))
   }
 
+  /** Per-shard manifest of the [[packShards]] layout: for every shard,
+    * its document count, token total, and a deterministic content
+    * checksum — `md5` of the per-doc `md5(doc_id ":" text)` digests
+    * concatenated in `doc_id` order, i.e. a digest of EXACTLY the rows
+    * a shard file holds in the order [[writeShards]] writes them. The
+    * artifact a training job checks its inputs against.
+    *
+    * Scale shape: one tokenize scan (the packing assignment), one
+    * row-digest projection, one combinable groupBy(shard). Per-group
+    * state is one shard's digest list — bounded by `tokenBudget` by
+    * construction, never corpus-sized.
+    */
+  def shardManifest(docs: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame = {
+    val rows = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
+    packShards(docs, tokenBudget, buckets)
+      .join(rows, "doc_id")
+      .groupBy("pack_bucket", "shard_in_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("row_md5")))),
+            s => s.getField("row_md5")), "")).as("content_md5"))
+  }
+
+  /** Materialize the [[packShards]] layout as the artifact a training
+    * job consumes: parquet shard files under `outDir/shards/` (one
+    * file per shard, rows in `doc_id` order, layout columns stored
+    * alongside the payload) plus the certified manifest under
+    * `outDir/manifest/`. Returns the manifest computed FROM THE
+    * WRITTEN DATA — reading back what landed on disk, so the returned
+    * checksums certify the artifact, not the plan; it equals
+    * [[shardManifest]] of the input by construction (the spec pins
+    * this round-trip).
+    *
+    * Scale shape: one shuffle co-locates each shard's rows
+    * (`repartition` on the shard key), writers run shards-way
+    * parallel, and the within-task sort covers (bucket, shard, doc)
+    * so the partitioned write needs no second sort. The manifest is
+    * one grouped pass over the written files. Shard size is bounded
+    * by `tokenBudget`, so per-task memory is budget-sized at any
+    * corpus scale.
+    */
+  def writeShards(
+      docs: DataFrame, outDir: String, tokenBudget: Long, buckets: Int = 32): DataFrame = {
+    graft.core.Parallelism.ensure(docs)
+      .join(packShards(docs, tokenBudget, buckets)
+        .select("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket"), "doc_id")
+      .repartition(col("pack_bucket"), col("shard_in_bucket"))
+      .sortWithinPartitions("pack_bucket", "shard_in_bucket", "doc_id")
+      .write.mode("overwrite")
+      .partitionBy("pack_bucket", "shard_in_bucket")
+      .parquet(s"$outDir/shards")
+    val written = docs.sparkSession.read.parquet(s"$outDir/shards")
+      .select(col("doc_id"), col("n_tokens"), col("pack_bucket"), col("shard_in_bucket"),
+        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
+      .groupBy("pack_bucket", "shard_in_bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("row_md5")))),
+            s => s.getField("row_md5")), "")).as("content_md5"))
+    written.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    docs.sparkSession.read.parquet(s"$outDir/manifest")
+  }
+
   /** Deterministic global training order: a seeded pseudo-random
     * permutation of the corpus, realized as `shards` independent
     * streams — the "shuffle the dataset before each epoch" step of a

@@ -93,6 +93,40 @@ class SamplingSpec extends SparkSpec {
     got.foreach { case (id, _, b, _) => assert(b === bucketCheck(id)) }
   }
 
+  test("writeShards: round-trip read-back equals input; manifest certifies the written files") {
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shards-").toString
+    val returned = Sampling.writeShards(d, out, tokenBudget = 10, buckets = 4)
+    // the returned manifest certifies the DISK artifact and equals the
+    // pure plan-side manifest of the input
+    val planned = Sampling.shardManifest(d, tokenBudget = 10, buckets = 4)
+      .as[(Int, Int, Long, Long, String)].collect().toSet
+    assert(returned.as[(Int, Int, Long, Long, String)].collect().toSet === planned)
+    assert(planned.nonEmpty)
+    // shard files: exactly one data file per shard directory
+    val shardDirs = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.getName.startsWith("pack_bucket="))
+      .flatMap(_.listFiles().filter(_.getName.startsWith("shard_in_bucket=")))
+    assert(shardDirs.length === planned.size)
+    shardDirs.foreach { dir =>
+      assert(dir.listFiles().count(_.getName.endsWith(".parquet")) === 1, dir.toString)
+    }
+    // read-back payload equality: every (doc_id, text) survives intact,
+    // layout columns match the packing plan
+    val back = spark.read.parquet(s"$out/shards")
+    assert(back.select("doc_id", "text").as[(Long, String)].collect().toSet ===
+      d.as[(Long, String)].collect().toSet)
+    val assign = Sampling.packShards(d, tokenBudget = 10, buckets = 4)
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    back.select(col("doc_id"), col("n_tokens"), col("pack_bucket"), col("shard_in_bucket"))
+      .as[(Long, Int, Int, Int)].collect()
+      .foreach { case (id, n, b, s) => assert(assign(id) === ((n, b, s))) }
+    // the stored manifest parquet matches what was returned
+    assert(spark.read.parquet(s"$out/manifest")
+      .as[(Int, Int, Long, Long, String)].collect().toSet === planned)
+  }
+
   test("temperatureRates: smallest source pins rate 1, ratios follow p^(1/T-1)") {
     // p = 0.8 / 0.2 at T=2 gives rates (0.2/0.8)^0.5 = 0.5 and 1.0 exactly
     val d = ((1L to 8L).map(i => (i, "A")) ++ (9L to 10L).map(i => (i, "B")))
