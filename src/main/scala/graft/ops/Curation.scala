@@ -85,19 +85,22 @@ object Curation {
     * whatever its JSONL schema carries. Row-parallel, fully codegen'd,
     * no shuffle.
     *
-    * PLAN-SHAPE CONTRACT — the Generate barrier. A plain two-step
-    * select does NOT protect the tokenizer from the gate that follows:
+    * PLAN-SHAPE CONTRACT — the seal. A plain two-step select does NOT
+    * protect the tokenizer from the gate that follows:
     * `PushPredicateThroughNonJoin` substitutes the flag aliases into
     * `filter(q_keep && pred_lang…)` and pushes the condition below the
     * projection, inlining the interpreted tokenizer ~27× into one
     * per-row predicate (the round-11 stream probe caught it: 22 s for
     * a 50k-doc gate that costs ~2 s tokenized once). Alias
-    * substitution cannot cross a `Generate`, so both expensive layers
-    * are sealed behind `explode(array(…))` one-row generators: the
-    * tokenizer evaluates once into `ts`, the six token-derived stats
-    * evaluate once into a struct, and any predicate a caller stacks on
-    * `q_keep`/`pred_lang` is pushed down only as far as cheap
-    * struct-field extractions above the second Generate.
+    * substitution never crosses [[graft.functions.PlanSeal]], so both
+    * expensive layers are sealed: the tokenizer evaluates once into
+    * `ts`, the six token-derived stats evaluate once into a struct,
+    * and any predicate a caller stacks on `q_keep`/`pred_lang` is
+    * pushed down only as far as cheap struct-field extractions above
+    * the sealed projection. (Round 11 sealed with `explode(array(…))`
+    * one-row Generates — same plan shape, but the Generate pair
+    * priced at ~50 µs/doc in row copies; PlanSeal keeps the shape at
+    * zero execution cost, measured in the round-12 A/B.)
     */
   private[graft] def rowFlags(
       docs: DataFrame, minTokens: Int, blocklist: Seq[String] = Nil): DataFrame = {
@@ -123,8 +126,8 @@ object Curation {
       hits(Stopwords.zh).as("s_zh")) ++
       (if (blocklist.isEmpty) Nil else Seq(hits(blocklist).as("s_bl")))
     val scored = graft.core.Parallelism.ensure(docs)
-      .select(passThrough :+ explode(array(TextNorm.tokens(col("text")))).as("ts"): _*)
-      .select(passThrough :+ explode(array(struct(stats: _*))).as("fl"): _*)
+      .select(passThrough :+ graft.functions.PlanSeal.seal(TextNorm.tokens(col("text"))).as("ts"): _*)
+      .select(passThrough :+ graft.functions.PlanSeal.seal(struct(stats: _*)).as("fl"): _*)
     val best = greatest(col("fl.s_en"), col("fl.s_de"), col("fl.s_es"),
       col("fl.s_fr"), col("fl.s_zh"))
     scored.select(passThrough ++ Seq(

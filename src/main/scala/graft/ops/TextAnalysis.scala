@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
 import graft.core.TextNorm
+import graft.functions.PlanSeal.seal
 
 /** Text-analysis operators for a training-data pipeline, all expressed as
   * codegen-friendly column expressions over the `documents` table
@@ -64,16 +65,16 @@ object TextAnalysis {
     graft.core.Parallelism.ensure(docs)
       // stage 1: tokenize once; stage 2: stopword-hit count once; stage 3:
       // ratios from materialized attributes only. Both token stages are
-      // explode(array(...)) one-row generators, not plain projections:
-      // alias substitution cannot cross a Generate, so a caller's
-      // filter on `keep`/`stopword_ratio` pushes down as cheap
-      // struct-field reads instead of re-inlining the tokenizer into
-      // the predicate (the Curation.rowFlags pushdown-blowup contract)
+      // PlanSeal-ed projections: alias substitution never crosses the
+      // seal, so a caller's filter on `keep`/`stopword_ratio` pushes
+      // down as cheap struct-field reads instead of re-inlining the
+      // tokenizer into the predicate (the Curation.rowFlags
+      // pushdown-blowup contract), at zero execution cost
       .select(col("doc_id"), col("text"),
-        explode(array(TextNorm.tokens(col("text")))).as("ts"))
-      .select(col("doc_id"), col("text"), explode(array(struct(
+        seal(TextNorm.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), col("text"), seal(struct(
         size(col("ts")).as("n_tok"),
-        size(filter(col("ts"), t => array_contains(stopArr, t))).as("n_stop")))).as("tk"))
+        size(filter(col("ts"), t => array_contains(stopArr, t))).as("n_stop"))).as("tk"))
       .select(
         col("doc_id"),
         (punct / length(col("text"))).as("punct_ratio"),
@@ -93,17 +94,17 @@ object TextAnalysis {
   def languageId(docs: DataFrame): DataFrame = {
     def score(words: Seq[String]): Column =
       size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
-    // both layers sealed behind one-row generators: a filter on
-    // pred_lang would otherwise inline 25+ tokenizer copies into the
-    // pushed predicate (the Curation.rowFlags pushdown-blowup contract)
+    // both layers PlanSeal-ed: a filter on pred_lang would otherwise
+    // inline 25+ tokenizer copies into the pushed predicate (the
+    // Curation.rowFlags pushdown-blowup contract)
     val scored = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), explode(array(TextNorm.tokens(col("text")))).as("ts"))
-      .select(col("doc_id"), explode(array(struct(
+      .select(col("doc_id"), seal(TextNorm.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), seal(struct(
         score(Stopwords.en).as("score_en"),
         score(Stopwords.de).as("score_de"),
         score(Stopwords.es).as("score_es"),
         score(Stopwords.fr).as("score_fr"),
-        score(Stopwords.zh).as("score_zh")))).as("sc"))
+        score(Stopwords.zh).as("score_zh"))).as("sc"))
     val best = greatest(col("sc.score_en"), col("sc.score_de"), col("sc.score_es"),
       col("sc.score_fr"), col("sc.score_zh"))
     scored.select(
@@ -725,11 +726,11 @@ object TextAnalysis {
         filter(transform(split(col("text"), "\n"), l => trim(l)),
           l => length(l) > 0).as("ls"),
         TextNorm.tokens(col("text")).as("ts"))
-      // the eight counts sealed behind a one-row generator: a caller's
-      // filter on `keep` (the op's whole point) would otherwise inline
-      // every array builder into the pushed predicate (the
-      // Curation.rowFlags pushdown-blowup contract)
-      .select(col("doc_id"), explode(array(struct(
+      // the eight counts PlanSeal-ed: a caller's filter on `keep` (the
+      // op's whole point) would otherwise inline every array builder
+      // into the pushed predicate (the Curation.rowFlags
+      // pushdown-blowup contract)
+      .select(col("doc_id"), seal(struct(
         size(col("ws")).cast("long").as("n_words"),
         size(col("ls")).cast("long").as("n_lines"),
         length(regexp_replace(col("text"), "\\s", "")).cast("long").as("n_chars"),
@@ -739,7 +740,7 @@ object TextAnalysis {
         size(filter(col("ls"),
           l => l.endsWith("...") || l.endsWith("…"))).cast("long").as("n_ell_lines"),
         size(filter(col("ws"), w => w.rlike("[A-Za-z]"))).cast("long").as("n_alpha"),
-        size(filter(col("ts"), t => t.isin(stop8: _*))).cast("long").as("n_stop")))).as("ct"))
+        size(filter(col("ts"), t => t.isin(stop8: _*))).cast("long").as("n_stop"))).as("ct"))
       .select(col("doc_id"), col("ct.n_words").as("n_words"),
         col("ct.n_lines").as("n_lines"), col("ct.n_chars").as("n_chars"),
         col("ct.n_symbols").as("n_symbols"), col("ct.n_bullet").as("n_bullet"),
@@ -1057,7 +1058,7 @@ object TextAnalysis {
     * published lists); [[blocklistSignalsFrom]] is the table face for
     * lists too large to inline.
     *
-    * Both token stats are sealed behind one-row Generate barriers —
+    * Both token stats are PlanSeal-ed —
     * this is a flag op callers WILL filter on, and a pushed `keep`
     * predicate must not re-inline the tokenizer (the
     * `Curation.rowFlags` pushdown-blowup contract).
@@ -1067,10 +1068,10 @@ object TextAnalysis {
     require(blocklist.nonEmpty, "blocklist must not be empty")
     val blockArr = array(blocklist.map(lit): _*)
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), explode(array(TextNorm.tokens(col("text")))).as("ts"))
-      .select(col("doc_id"), explode(array(struct(
+      .select(col("doc_id"), seal(TextNorm.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), seal(struct(
         size(col("ts")).as("n_tok"),
-        size(filter(col("ts"), t => array_contains(blockArr, t))).as("n_blk")))).as("bk"))
+        size(filter(col("ts"), t => array_contains(blockArr, t))).as("n_blk"))).as("bk"))
       .select(col("doc_id"),
         col("bk.n_tok").cast("long").as("n_tokens"),
         col("bk.n_blk").cast("long").as("n_blocked"),
@@ -1200,17 +1201,17 @@ object TextAnalysis {
     *
     * The split + letter test runs in one higher-order filter over the
     * materialized segment array; the token count shares the
-    * Generate-sealed struct (flag-op discipline — callers filter on
+    * PlanSeal-ed struct (flag-op discipline — callers filter on
     * `ends_sentence` or threshold `mean_sentence_tokens`).
     * Row-parallel, no shuffle; patterns identical in Java regex / RE2.
     */
   def sentenceSignals(docs: DataFrame): DataFrame =
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), col("text"),
-        explode(array(struct(
+        seal(struct(
           TextNorm.tokens(col("text")).as("ts"),
           filter(split(col("text"), "[.!?]+"),
-            seg => seg.rlike("[A-Za-z]")).as("segs")))).as("sx"))
+            seg => seg.rlike("[A-Za-z]")).as("segs"))).as("sx"))
       .select(col("doc_id"),
         size(col("sx.ts")).cast("long").as("n_tokens"),
         size(col("sx.segs")).cast("long").as("n_sentences"),
@@ -1232,16 +1233,16 @@ object TextAnalysis {
     * with one fixed association (constants first, one round-6 at the
     * end) and the twin mirrors it literally. NULL scores for docs with
     * no sentences or no tokens. Row-parallel, no shuffle; the three
-    * count columns ride one Generate-sealed struct (flag-op
+    * count columns ride one PlanSeal-ed struct (flag-op
     * discipline — callers threshold `fk_grade`).
     */
   def readability(docs: DataFrame): DataFrame =
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), col("text"),
-        explode(array(struct(
+        seal(struct(
           TextNorm.tokens(col("text")).as("ts"),
           filter(split(col("text"), "[.!?]+"),
-            seg => seg.rlike("[A-Za-z]")).as("segs")))).as("sx"))
+            seg => seg.rlike("[A-Za-z]")).as("segs"))).as("sx"))
       .select(col("doc_id"),
         size(col("sx.ts")).cast("long").as("n_tokens"),
         size(col("sx.segs")).cast("long").as("n_sentences"),
@@ -1278,9 +1279,9 @@ object TextAnalysis {
   def corpusHealth(docs: DataFrame): DataFrame = {
     val base = graft.core.Parallelism.ensure(docs)
       .select(col("source"), col("text"),
-        explode(array(struct(
+        seal(struct(
           size(TextNorm.tokens(col("text"))).cast("long").as("n_tok"),
-          col("text").rlike("[.!?][ \\t\\r\\n]*$").as("ends")))).as("sx"))
+          col("text").rlike("[.!?][ \\t\\r\\n]*$").as("ends"))).as("sx"))
     val counts = base
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
@@ -1370,10 +1371,10 @@ object TextAnalysis {
     val kwArr = array(CodeKeywords.default.map(lit): _*)
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"), col("text"),
-        explode(array(TextNorm.tokens(col("text")))).as("ts"))
-      .select(col("doc_id"), col("text"), explode(array(struct(
+        seal(TextNorm.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), col("text"), seal(struct(
         size(col("ts")).as("n_tok"),
-        size(filter(col("ts"), t => array_contains(kwArr, t))).as("n_kw")))).as("ck"))
+        size(filter(col("ts"), t => array_contains(kwArr, t))).as("n_kw"))).as("ck"))
       // counts staged once (the tokenStats two-step idiom), ratios and
       // the composite derive from materialized attributes only
       .select(col("doc_id"),
