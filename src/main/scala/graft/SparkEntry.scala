@@ -729,6 +729,9 @@ object SparkEntry {
       Dedup.noveltyScore(d, Dedup.evalShingles(d.filter(col("doc_id") % 50 === 0)))
     },
     "q_chunk_dedup" -> ((s, dir) => Dedup.chunkDedup(docs(s, dir))),
+    // natural-boundary sub-doc dedup; this corpus is single-newline
+    // structured, so the line-group boundary exercises the C4 rule
+    "q_para_dedup" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir), boundary = "\\n+")),
     "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
     "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir))),
     "q_dup_strip" -> { (s, dir) =>
@@ -2086,6 +2089,27 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.kept_hash, md5('')) AS kept_hash
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_para_dedup" ->
+      // twin of Dedup.paragraphDedup(boundary="\n+"): trimmed non-empty
+      // newline-split units, duplicates matched on the md5 of the
+      // normalized token stream, first (doc_id, para_idx) wins, kept
+      // raw paragraphs rejoined with blank lines and hashed
+      """WITH p AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\n+'), x -> trim(x)), x -> len(x) > 0) AS ps
+        |  FROM documents),
+        |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx,
+        |    md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' ')) AS h
+        |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM p)),
+        |mk AS (SELECT doc_id, para_idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+        |  FROM occ),
+        |rm AS (SELECT doc_id, list(para_idx) AS rm FROM mk WHERE rn > 1 GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(len(p.ps) AS INTEGER) AS n_paras,
+        |  CAST(len(p.ps) - coalesce(len(r.rm), 0) AS INTEGER) AS n_kept,
+        |  md5(array_to_string(
+        |    list_filter(p.ps, (x, i) -> NOT list_contains(coalesce(r.rm, CAST([] AS INTEGER[])), CAST(i - 1 AS INTEGER))),
+        |    chr(10) || chr(10))) AS kept_hash
+        |FROM p LEFT JOIN rm r USING (doc_id)""".stripMargin,
     "q_boilerplate" ->
       // twin of Dedup.boilerplateChunks(w=3, minDocs=5): 3-token chunks
       // occurring in >= 5 distinct docs are removed from EVERY doc

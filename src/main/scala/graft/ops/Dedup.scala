@@ -708,6 +708,71 @@ object Dedup {
           filter(col("chunks"), (c, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
   }
 
+  /** Natural-boundary sub-document dedup — [[chunkDedup]]'s
+    * first-occurrence-wins rule at PARAGRAPH granularity, the unit
+    * production pipelines (C4's line rule, RefinedWeb) actually dedup
+    * at: fixed w-token windows cut mid-thought and miss reformatted
+    * copies, while a quoted or syndicated paragraph is exactly the
+    * content unit that repeats across a crawl.
+    *
+    * Paragraphs = maximal runs split at blank-line boundaries
+    * (`\n[ \t]*\n` — a newline pair with optional horizontal
+    * whitespace between), trimmed, empties dropped. Two paragraphs
+    * are duplicates when their NORMALIZED token streams match
+    * (md5 of the space-joined [[graft.core.TextNorm.tokens]]), so
+    * re-wrapped/re-punctuated copies still collapse; the canonical
+    * copy is the minimum `(doc_id, para_idx)` — exactly one survivor
+    * per distinct paragraph, deterministically.
+    *
+    * Output: one row per input document
+    * `(doc_id, n_paras, n_kept, kept_hash)` — [[chunkDedup]]'s shape
+    * (kept_hash = md5 of the surviving RAW paragraphs joined with
+    * blank lines in paragraph order), so window-dedup and
+    * paragraph-dedup are comparable doc by doc.
+    *
+    * Plan shape (the [[boilerplateChunks]] discipline, not
+    * chunkDedup's text-through-window): paragraph TEXT never
+    * shuffles. Pass 1 reduces occurrences to
+    * `(doc_id, para_idx, h)`, picks each hash's winner with one
+    * combinable groupBy(h), and folds the dropped indexes into one
+    * small int-array row per affected doc. Pass 2 re-derives the
+    * paragraph array from the corpus scan and drops the removed
+    * indexes row-parallel; the only joins are hash-keyed (winner
+    * re-attach) and doc_id-keyed (AQE-broadcast when duplication is
+    * sparse).
+    */
+  def paragraphDedup(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
+    // boundary is a Java-regex split pattern; the default is the
+    // blank-line paragraph convention. Corpora without blank-line
+    // structure (single-newline-delimited pages, like this test
+    // corpus) pass "\\n+" — the unit becomes the line group, i.e.
+    // C4's line-level rule under the same winner machinery.
+    val paras = filter(
+      transform(split(col("text"), boundary), p => trim(p)),
+      p => length(p) > 0)
+    val occ = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("para_idx"))).as("winner"))
+    val dropped = occ.join(winners, "h")
+      .where(!(col("winner.doc_id") === col("doc_id") &&
+        col("winner.para_idx") === col("para_idx")))
+      .groupBy("doc_id")
+      .agg(collect_list(col("para_idx")).as("rm"))
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paras.as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(
+        col("doc_id"),
+        size(col("ps")).cast("int").as("n_paras"),
+        (size(col("ps")) - size(col("rm"))).cast("int").as("n_kept"),
+        md5(concat_ws("\n\n",
+          filter(col("ps"), (p, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
+  }
+
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
     * standard n-gram-overlap filter run before training so eval answers

@@ -375,6 +375,34 @@ class DedupSpec extends SparkSpec {
       Dedup.boilerplateChunks(d).as[(Long, Int, Int, String)].collect().toSet)
   }
 
+  test("paragraphDedup: blank-line units, normalized matching, first occurrence wins") {
+    val shared = "This paragraph is syndicated boilerplate that appears everywhere."
+    val reWrapped = "this  paragraph is\tsyndicated BOILERPLATE, that appears everywhere" // same tokens
+    val d = docs(
+      1L -> s"Unique opening for doc one.\n\n$shared\n\nUnique closing one.",
+      2L -> s"$shared\n \nDifferent middle for doc two.",   // blank line with a space
+      3L -> s"Totally fresh content here.\n\n$reWrapped",   // reformatted copy
+      4L -> "Single paragraph only.",
+      5L -> "")
+    val got = Dedup.paragraphDedup(d)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def h(paras: String*): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(paras.mkString("\n\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // doc 1 holds the canonical copy: everything kept
+    assert(got(1L) === ((3, 3, h("Unique opening for doc one.", shared, "Unique closing one."))))
+    // doc 2 loses the exact copy (doc 1 is canonical)
+    assert(got(2L) === ((2, 1, h("Different middle for doc two."))))
+    // doc 3 loses the REFORMATTED copy — normalized-token matching
+    assert(got(3L) === ((2, 1, h("Totally fresh content here."))))
+    assert(got(4L) === ((1, 1, h("Single paragraph only."))))
+    assert(got(5L) === ((0, 0, h())))
+    // within-doc repeats also collapse to the first occurrence
+    val within = Dedup.paragraphDedup(docs(9L -> s"$shared\n\nmiddle bit\n\n$shared"))
+      .as[(Long, Int, Int, String)].head()
+    assert(within === ((9L, 3, 2, h(shared, "middle bit"))))
+  }
+
   // a ~240-char region of distinct words: internally self-dissimilar,
   // long enough that mod-p anchor sampling is saturated inside it
   private val region: String =
