@@ -481,6 +481,63 @@ object CorpusWatcher {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Compact an append-only `batch_id=N`-partitioned history table
+    * (dedup bands, anchor sites): rewrite every partition EXCEPT the
+    * newest batch's into one, so the partition/file count stops
+    * growing one-per-batch forever — at daily-crawl cadence the
+    * file listing, not the data, becomes the history's bottleneck.
+    * Returns the number of source partitions compacted (0 = nothing
+    * to do).
+    *
+    * Safety contract, in order of importance:
+    *
+    *  - REPLAY: the newest batch partition is never touched. A
+    *    restarted stream replays at most its last uncommitted batch,
+    *    and [[accumulatedPartitions]] hides that batch's
+    *    first-attempt rows by its `batch_id`; folding them into a
+    *    compacted partition would un-hide them and make the replayed
+    *    batch dedup against itself. Everything older is committed and
+    *    can no longer replay.
+    *  - ID SPACE: compacted partitions get FRESH NEGATIVE ids
+    *    (`batch_id=-1, -2, …`). Streaming batch ids are non-negative,
+    *    so a future batch can neither overwrite a compacted partition
+    *    nor exclude it as its own replay; re-compaction folds older
+    *    compacted partitions in and moves further down.
+    *  - CRASH: write-then-delete. The combined partition lands under
+    *    a fresh id first; only then are the sources deleted
+    *    (individually idempotent). A crash between the two leaves
+    *    DUPLICATE rows, which every consumer tolerates — the band and
+    *    anchor histories feed semi-joins, where multiplicity is
+    *    invisible — and the next compaction run clears.
+    *  - CONCURRENT APPEND: a batch landing mid-run gets a fresh
+    *    higher id the listing never saw; it is simply not compacted
+    *    this round.
+    *
+    * Scale shape: one keyed-nothing read of the source partitions and
+    * one write — no shuffle unless `numFiles` forces a coalesce below
+    * the input's parallelism. Size `numFiles` to the history's data
+    * volume (1 is right until a single partition's rows stop fitting
+    * one task's write).
+    */
+  def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
+    require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(st => st.getPath.getName.stripPrefix("batch_id=").toLong -> st.getPath)
+    val newestBatch = parts.map(_._1).filter(_ >= 0).maxOption
+    val sources = parts.filterNot { case (id, _) => newestBatch.contains(id) }
+    if (sources.size < 2) return 0
+    val target = math.min(parts.map(_._1).min, 0L) - 1L
+    session.read.parquet(sources.map(_._2.toString): _*)
+      .coalesce(numFiles)
+      .write.mode("overwrite").parquet(s"$dir/batch_id=$target")
+    sources.foreach { case (_, p) => fs.delete(p, true) }
+    sources.size
+  }
+
   /** The accumulated dedup band table under `bandsDir`, EXCLUDING the
     * partition a replayed `excludeBatchId` wrote on its first attempt;
     * None before any batch has published bands (partition discovery

@@ -319,6 +319,51 @@ class CorpusWatcherSpec extends SparkSpec {
       "per-batch survivors cache must be released after the snapshot swap")
   }
 
+  test("compactHistory: folds all but the newest batch into one negative-id partition") {
+    val dir = tmp("compact") + "/bands"
+    def bandsOf(rows: (Long, String)*) =
+      graft.ops.Dedup.minhashBands(rows.toDF("doc_id", "text"))
+    // four per-batch partitions, disjoint docs
+    (0 to 3).foreach { b =>
+      bandsOf((b * 10 + 1).toLong -> s"alpha beta gamma delta batch $b",
+              (b * 10 + 2).toLong -> s"one two three four batch $b")
+        .write.mode("overwrite").parquet(s"$dir/batch_id=$b")
+    }
+    def partitions: Set[Long] =
+      new java.io.File(dir).listFiles().filter(_.isDirectory)
+        .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+    def historyRows(exclude: Long): Set[(Long, Int, String)] =
+      spark.read.parquet(dir).filter(col("batch_id") =!= exclude)
+        .select(col("doc_id").cast("long"), col("band").cast("int"), col("band_key"))
+        .as[(Long, Int, String)].collect().toSet
+    val before = historyRows(exclude = 3)
+    val beforeAll = historyRows(exclude = Long.MinValue)
+
+    assert(CorpusWatcher.compactHistory(spark, dir) === 3)
+    assert(partitions === Set(-1L, 3L),
+      s"compaction must leave the newest batch partition untouched: $partitions")
+    // the accumulated-history read (excluding the replayable newest
+    // batch) sees exactly the same band rows
+    assert(historyRows(exclude = 3) === before)
+    assert(historyRows(exclude = Long.MinValue) === beforeAll)
+    // idempotent: a second run with nothing to fold is a no-op
+    assert(CorpusWatcher.compactHistory(spark, dir) === 0)
+    assert(partitions === Set(-1L, 3L))
+
+    // concurrent-append shape: a new batch lands, the NEXT compaction
+    // folds the compacted partition and the superseded batch together,
+    // moving further down the negative id space
+    bandsOf(41L -> "five six seven eight batch 4")
+      .write.mode("overwrite").parquet(s"$dir/batch_id=4")
+    val allBefore = historyRows(exclude = Long.MinValue)
+    assert(CorpusWatcher.compactHistory(spark, dir) === 2) // {-1, 3}
+    assert(partitions === Set(-2L, 4L))
+    assert(historyRows(exclude = Long.MinValue) === allBefore)
+    // file count: the compacted partition is a single data file
+    assert(new java.io.File(s"$dir/batch_id=-2")
+      .listFiles().count(_.getName.endsWith(".parquet")) === 1)
+  }
+
   test("dedupBandsDir: a replayed batch excludes its own first-attempt bands") {
     val (watch, index, quar, bands) =
       (tmp("watchrb"), tmp("indexrb"), tmp("quarrb") + "/bad", tmp("bandsrb") + "/bands")
