@@ -98,18 +98,59 @@ object Sampling {
     * source vocabulary at any corpus size, so downstream application
     * broadcasts it.
     */
-  def temperatureRates(df: DataFrame, sourceCol: String, temperature: Double): DataFrame = {
+  def temperatureRates(df: DataFrame, sourceCol: String, temperature: Double): DataFrame =
+    temperatureRatesFromCounts(
+      df.groupBy(col(sourceCol).as("source")).agg(count(lit(1)).as("n_docs")),
+      temperature)
+
+  /** [[temperatureRates]]' formula over a PRECOMPUTED `(source, <count>)`
+    * table (the count column is the second column, whatever its name —
+    * doc counts, token counts, an accumulated streaming stats table):
+    * rate_s ∝ p_s^(1/T − 1), largest rate normalized to 1, rounded 6dp.
+    * Counts must be positive — a zero-mass source has no well-defined
+    * rate under the negative exponent; filter it out and let the
+    * applier's default rate cover it. Output: the input columns plus
+    * `rate`. */
+  def temperatureRatesFromCounts(counts: DataFrame, temperature: Double): DataFrame = {
     require(temperature >= 1.0, s"temperature=$temperature must be >= 1 (T=1 keeps everything)")
-    val counts = df.groupBy(col(sourceCol).as("source"))
-      .agg(count(lit(1)).as("n_docs"))
-    val total = counts.agg(sum("n_docs").as("n_total"))
-    val raw = pow(col("n_docs").cast("double") / col("n_total"), lit(1.0 / temperature - 1.0))
+    val Seq(srcCol, nCol) = counts.columns.take(2).toSeq
+    val total = counts.agg(sum(nCol).as("n_total"))
+    val raw = pow(col(nCol).cast("double") / col("n_total"), lit(1.0 / temperature - 1.0))
     val withRaw = counts.crossJoin(broadcast(total)).select(
-      col("source"), col("n_docs"), raw.as("raw_rate"))
+      col(srcCol), col(nCol), raw.as("raw_rate"))
     val maxRaw = withRaw.agg(max("raw_rate").as("max_raw"))
     withRaw.crossJoin(broadcast(maxRaw))
-      .select(col("source"), col("n_docs"),
+      .select(col(srcCol), col(nCol),
         round(col("raw_rate") / col("max_raw"), 6).as("rate"))
+  }
+
+  /** The ADAPTIVE streaming mixture gate
+    * ([[graft.streaming.CorpusWatcher.startJsonl]]): where
+    * [[MixtureGate]] applies FIXED per-source rates, this one computes
+    * temperature rates per batch from the ACCUMULATED per-source token
+    * table under `statsDir` — ingestion is where a pipeline actually
+    * applies temperature/budget policy, and the distribution it must
+    * reshape is the whole feed so far, not one batch's sample.
+    *
+    * Mechanics (the band-table discipline): each batch OVERWRITES its
+    * own `statsDir/batch_id=N` partition with its pre-mixture
+    * per-source `(n_docs, n_tokens)` counts — stats describe the feed,
+    * so they are computed BEFORE admission and are a pure function of
+    * the batch content, which makes the overwrite replay-idempotent
+    * WITHOUT the exclude-own-batch dance (a replay rewrites the
+    * identical rows, then reads the identical accumulated table).
+    * Rates are [[temperatureRatesFromCounts]] over the accumulated
+    * token sums; admission is the same content-independent md5-bucket
+    * predicate as [[mixture]], so a document's fate is deterministic
+    * given (corpus-so-far, doc_id). Sources with no accumulated
+    * tokens (and null-source rows) take `defaultRate`.
+    */
+  final case class AdaptiveMixtureGate(
+      statsDir: String,
+      temperature: Double = 2.0,
+      defaultRate: Double = 1.0) {
+    require(temperature >= 1.0, s"temperature=$temperature must be >= 1")
+    require(defaultRate >= 0.0 && defaultRate <= 1.0, s"defaultRate $defaultRate outside [0,1]")
   }
 
   /** Apply [[temperatureRates]] as a deterministic per-row filter: a

@@ -226,6 +226,12 @@ object CorpusWatcher {
     * face for the same reason turned around: [[graft.ops.Sampling
     * .splitCol]] is derivable from `doc_id` alone at any later read,
     * so persisting it per batch would add state for nothing.)
+    * The ADAPTIVE variant (`adaptiveMixtureGate`, exclusive with the
+    * fixed-rate gate) computes temperature rates per batch from the
+    * accumulated per-source token table it maintains under its
+    * `statsDir` — see [[graft.ops.Sampling.AdaptiveMixtureGate]] for
+    * the replay-idempotence argument (stats are pre-admission and
+    * content-pure, so a replay overwrites identical rows).
     *
     * Substring-level strip (`spanHistoryDir`): the streaming face of
     * [[graft.ops.Dedup.stripDuplicateSpansAgainst]] — regions the
@@ -303,11 +309,14 @@ object CorpusWatcher {
       decontamShingles: Option[DataFrame] = None,
       decontamW: Int = 3,
       mixtureGate: Option[graft.ops.Sampling.MixtureGate] = None,
+      adaptiveMixtureGate: Option[graft.ops.Sampling.AdaptiveMixtureGate] = None,
       spanHistoryDir: Option[String] = None,
       positional: Boolean = false,
       metricsDir: Option[String] = None,
       driftDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
+    require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
+      "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
       .format("json")
@@ -404,11 +413,42 @@ object CorpusWatcher {
         }
         // mixture AFTER the band append (see scaladoc: the dedup
         // candidate set is the post-gate corpus, mixture is admission
-        // policy on top) — content-independent, so no state
-        val admitted = mixtureGate match {
-          case None => kept
-          case Some(g) =>
+        // policy on top) — content-independent, so no state beyond the
+        // adaptive gate's accumulated per-source token table
+        val admitted = (mixtureGate, adaptiveMixtureGate) match {
+          case (Some(g), _) =>
             graft.ops.Sampling.mixture(kept, "source", "doc_id", g.rates, g.defaultRate)
+          case (None, Some(g)) =>
+            // 1. publish this batch's pre-mixture per-source stats.
+            //    Computed BEFORE admission from the post-dedup stream,
+            //    so they are a pure function of batch content: a
+            //    replay overwrites identical rows, then reads the
+            //    identical accumulated table — idempotent without the
+            //    exclude-own-batch dance the band table needs.
+            val keptStats = staged(kept)
+            keptStats.groupBy("source")
+              .agg(count(lit(1)).as("n_docs"),
+                sum(size(graft.core.TextNorm.tokens(col("text"))).cast("long"))
+                  .as("n_tokens"))
+              .coalesce(1)
+              .write.mode("overwrite").parquet(s"${g.statsDir}/batch_id=$batchId")
+            // 2. temperature rates from the ACCUMULATED token mass
+            //    (source-vocabulary-sized at any corpus scale)
+            val acc = session.read.parquet(g.statsDir)
+              .where(col("source").isNotNull)
+              .groupBy("source").agg(sum("n_tokens").as("n_tokens"))
+              .where(col("n_tokens") > 0)
+            val rates = graft.ops.Sampling
+              .temperatureRatesFromCounts(acc, g.temperature)
+              .select(col("source"), col("rate"))
+            // 3. the same md5-bucket admission predicate as mixture();
+            //    null/unseen sources fall to defaultRate
+            val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+              .cast("long") % 10000
+            keptStats.join(broadcast(rates), Seq("source"), "left")
+              .filter(b < coalesce(col("rate"), lit(g.defaultRate)) * 10000)
+              .select(keptStats.columns.map(col): _*)
+          case (None, None) => kept
         }
         // substring-level strip LAST (rewrite only what is admitted):
         // regions the accumulated anchor history has seen are cut out;
@@ -461,7 +501,9 @@ object CorpusWatcher {
           val nHist = if (dedupBandsDir.isDefined) afterHistory.count() else nDecon
           val nWithin = if (dedupWithinBatch) deduped.count() else nHist
           val nKept = if (kept eq deduped) nWithin else kept.count()
-          val nMix = if (mixtureGate.isDefined) admitted.count() else nKept
+          val nMix =
+            if (mixtureGate.isDefined || adaptiveMixtureGate.isDefined) admitted.count()
+            else nKept
           import session.implicits._
           Seq(
             (1, "ingest", nIngest), (2, "parsed", nParsed),

@@ -319,6 +319,50 @@ class CorpusWatcherSpec extends SparkSpec {
       "per-batch survivors cache must be released after the snapshot swap")
   }
 
+  test("adaptiveMixtureGate: rates follow the ACCUMULATED token distribution across batches") {
+    val (watch, index, quar, stats) =
+      (tmp("watcham"), tmp("indexam"), tmp("quaram") + "/bad", tmp("statsam") + "/stats")
+    val ckpt = tmp("ckptam")
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 10000
+    }
+    def line(id: Long, src: Option[String]): String = {
+      val srcField = src.map(s => s""", "source": "$s"""").getOrElse("")
+      s"""{"doc_id": $id, "text": "alpha beta gamma delta tok$id"$srcField}"""
+    }
+    val gate = Some(graft.ops.Sampling.AdaptiveMixtureGate(stats, temperature = 2.0))
+    // batch 0: token mass web:wiki = 40:10 = 0.8:0.2 → at T=2 the rates
+    // are EXACT ((0.2/0.8)^0.5): web 0.5, wiki 1.0; doc 99 has no
+    // source → defaultRate 1.0
+    val b0 = ((1L to 8L).map(i => line(i, Some("web"))) ++
+      Seq(line(11L, Some("wiki")), line(12L, Some("wiki")), line(99L, None)))
+    Files.write(Paths.get(watch, "feed-0.json"), (b0.mkString("\n") + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      adaptiveMixtureGate = gate).awaitTermination()
+    val expect0 = (1L to 8L).filter(bucket(_) < 5000).toSet ++ Set(11L, 12L, 99L)
+    def indexedDocs: Set[Long] = indexEntries(index).map(_._2.toLong)
+    assert(indexedDocs === expect0)
+    // batch 1: 30 wiki docs shift the ACCUMULATED mass to web 40 /
+    // wiki 160 = 0.2:0.8 → rates flip: wiki 0.5, web 1.0. The same
+    // source that was fully admitted in batch 0 is now downsampled.
+    val b1 = (101L to 130L).map(i => line(i, Some("wiki")))
+    Files.write(Paths.get(watch, "feed-1.json"), (b1.mkString("\n") + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      adaptiveMixtureGate = gate).awaitTermination()
+    val expect1 = (101L to 130L).filter(bucket(_) < 5000).toSet
+    assert(expect1.nonEmpty && expect1.size < 30, "fixture must be non-degenerate")
+    assert(indexedDocs === expect0 ++ expect1)
+    // the stats table holds each batch's PRE-mixture per-source counts
+    val st = spark.read.parquet(stats)
+      .select(col("batch_id").cast("long"), col("source"), col("n_docs"), col("n_tokens"))
+      .as[(Long, Option[String], Long, Long)].collect().toSet
+    assert(st === Set(
+      (0L, Some("web"), 8L, 40L), (0L, Some("wiki"), 2L, 10L), (0L, None, 1L, 5L),
+      (1L, Some("wiki"), 30L, 150L)))
+  }
+
   test("compactHistory: folds all but the newest batch into one negative-id partition") {
     val dir = tmp("compact") + "/bands"
     def bandsOf(rows: (Long, String)*) =
