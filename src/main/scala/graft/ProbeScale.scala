@@ -543,7 +543,9 @@ object ProbeScale {
     }
     if (section == "all" || section == "emb") {
     // ~sf1 embeddings: 10 vec_id-shifted copies
-    if (!new java.io.File("/tmp/emb_sf1").exists()) {
+    // _SUCCESS, not bare existence: a crashed prior run leaves a
+    // partial directory that would silently skew timings and counts
+    if (!new java.io.File("/tmp/emb_sf1/_SUCCESS").exists()) {
       val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 100000L)))
         .reduce(_ unionByName _)
@@ -606,7 +608,7 @@ object ProbeScale {
       val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
       val emb10 = {
-        if (!new java.io.File("/tmp/emb_sf1").exists()) {
+        if (!new java.io.File("/tmp/emb_sf1/_SUCCESS").exists()) {
           val base = emb01
           (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
             .reduce(_ unionByName _)

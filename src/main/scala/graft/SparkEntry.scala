@@ -1871,7 +1871,9 @@ object SparkEntry {
          |  GROUP BY label, pos),
          |cent AS MATERIALIZED (SELECT label, list(centroid_v ORDER BY pos) AS cv FROM c0 GROUP BY label),
          |d AS MATERIALIZED (SELECT e.vec_id, e.label,
-         |    round(1 - ${COS_SQL("e.ve", "c.cv")}, 6) AS cos_dist
+         |    CASE WHEN sqrt(${DOT_SQL("e.ve", "e.ve")}) * sqrt(${DOT_SQL("c.cv", "c.cv")}) = 0
+         |         THEN 2.0
+         |         ELSE round(1 - ${COS_SQL("e.ve", "c.cv")}, 6) END AS cos_dist
          |  FROM (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS ve FROM embeddings) e
          |  JOIN cent c ON c.label = e.label),
          |med AS (SELECT label, quantile_cont(cos_dist, 0.5) AS med FROM d GROUP BY label),

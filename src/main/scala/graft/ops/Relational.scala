@@ -496,9 +496,19 @@ object Relational {
         case other =>
           (other.typeName, nullNum, nullNum, nullStr, nullStr)
       }
+      // MapType (and anything containing one) is not orderable/groupable
+      // in Spark — a direct countDistinct fails at analysis time. Count
+      // distinct SERIALIZED values instead (to_json), documented as
+      // serialized-form distinctness: two equal maps always serialize
+      // equally within one engine, so the count is exact up to map key
+      // ordering differences across construction paths.
+      val nd =
+        if (org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(f.dataType))
+          countDistinct(c)
+        else countDistinct(to_json(c))
       (f.name, dtype,
         Seq((count(lit(1)) - count(c)).as(s"nn_$i"),
-          countDistinct(c).as(s"nd_$i"),
+          nd.as(s"nd_$i"),
           minNum.as(s"mn_$i"), maxNum.as(s"mx_$i"),
           minStr.as(s"ms_$i"), maxStr.as(s"xs_$i")))
     }

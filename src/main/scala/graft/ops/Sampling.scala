@@ -634,8 +634,12 @@ object Sampling {
             ((-floorDiv(-col("total_tokens"), ctxLen)) * ctxLen), 6)).as("fill_ratio"))
   }
 
-  /** ceil-division via floor: `ceil(a/b) = -floor(-a/b)` — exact
-    * integer arithmetic, twinnable as the same expression in SQL. */
+  /** ceil-division via floor: `ceil(a/b) = -floor(-a/b)`. NOT integer
+    * arithmetic — Spark promotes long/long `/` to IEEE-double division
+    * (as does the DuckDB twin's `a / b`, so engine parity holds
+    * regardless) — which is exact only while `a` stays well under 2^53
+    * (~9e15 tokens PER BUCKET; raise `buckets` long before that).
+    * Twinnable as the same expression in SQL. */
   private def floorDiv(a: Column, b: Long): Column = floor(a / b)
 
   /** [[contextPlan]] over a precomputed `(doc_id, n_tokens)` table, so

@@ -1358,11 +1358,19 @@ object Similarity {
       .groupBy("label")
       .agg(transform(array_sort(collect_list(struct(col("pos"), col("centroid_v")))),
         e => e.getField("centroid_v")).as("cv"))
+    // zero-norm vectors (the archetypal encoder failure this screen
+    // exists to catch) have no cosine — safeCos yields NULL — and a
+    // NULL distance would silently drop them from every
+    // `where(is_outlier)`. Pin them to the MAX cosine distance (2.0)
+    // instead: maximally far from any centroid, so they flag as
+    // outliers whenever the label's spread is sane, and the med/mad
+    // stats see a well-defined value in every engine.
     val dists = graft.core.Materialize(emb
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
       .join(broadcast(centroids), Seq("label"))
       .select(col("vec_id"), col("label"),
-        round(lit(1) - cosine(col("v"), col("cv")), 6).as("cos_dist")), mat)
+        coalesce(round(lit(1) - cosine(col("v"), col("cv")), 6), lit(2.0))
+          .as("cos_dist")), mat)
     val meds = dists.groupBy("label")
       .agg(expr("percentile(cos_dist, 0.5)").as("med"))
     val mads = dists.join(broadcast(meds), Seq("label"))

@@ -153,6 +153,24 @@ class RelationalSpec extends SparkSpec {
       (("timestamp", 1L, 1000000.0, 2000000.0)))                   // epoch micros
   }
 
+  test("profile: map columns (unorderable) still profile counts, not crash") {
+    import SparkSpec.spark.implicits._
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, Map("a" -> 1, "b" -> 2)),
+      (2L, Map("a" -> 1, "b" -> 2)),
+      (3L, Map("c" -> 3)),
+      (4L, Map.empty[String, Int])
+    ).toDF("id", "m")
+      .withColumn("m", when(col("id") === 4L, lit(null)).otherwise(col("m")))
+    val p = Relational.profile(df).collect().map(r => r.getString(0) -> r).toMap
+    val m = p("m")
+    assert(m.getString(1) === "map")
+    assert(m.getLong(3) === 1L)   // n_nulls
+    assert(m.getLong(4) === 2L)   // n_distinct over serialized form
+    assert(m.isNullAt(5) && m.isNullAt(6) && m.isNullAt(7) && m.isNullAt(8))
+  }
+
   test("profile runs as ONE job over one scan of the input") {
     import SparkSpec.spark.implicits._
     val df = (1L to 100L).map(i => (i, s"v${i % 7}")).toDF("id", "v")

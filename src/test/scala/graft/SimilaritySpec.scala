@@ -710,4 +710,21 @@ class SimilaritySpec extends SparkSpec {
     assert(SparkSpec.spark.sql("SELECT vec_id, is_outlier FROM graft_emb_outliers('eo_emb', 3.0)")
       .as[(Long, Boolean)].collect().toMap === got)
   }
+
+  test("embeddingOutliers: a zero-norm vector pins to max distance and flags") {
+    // the archetypal encoder failure — a NULL cosine would silently
+    // drop it from where(is_outlier); the sentinel keeps it visible
+    val emb = Seq(
+      (1L, Seq(1.00f, 0.01f), 0), (2L, Seq(0.99f, 0.02f), 0),
+      (3L, Seq(1.01f, 0.00f), 0), (4L, Seq(0.98f, 0.01f), 0),
+      (5L, Seq(1.00f, 0.02f), 0),
+      (6L, Seq(0.00f, 0.00f), 0)  // ← dead encoder output
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embeddingOutliers(emb)
+      .select("vec_id", "cos_dist", "is_outlier")
+      .as[(Long, Double, Boolean)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(6L)._1 === 2.0)
+    assert(got(6L)._2, "zero-norm vector must flag as an outlier")
+    assert((got - 6L).values.forall(!_._2), s"healthy members must not flag: $got")
+  }
 }
