@@ -18,7 +18,7 @@ object ProbeScale {
     spark.sparkContext.setLogLevel("ERROR")
     // ~sf1 corpus: 10 doc_id-shifted copies of sf0.1 (dense-duplicate
     // stress for the dedup family); regenerated on demand under /tmp
-    if (!new java.io.File("/tmp/docs_sf1").exists()) {
+    if (!new java.io.File("/tmp/docs_sf1/_SUCCESS").exists()) {
       val base = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
       (0 until 10).map(i => base.withColumn("doc_id", col("doc_id") + lit(i * 100000L)))
         .reduce(_ unionByName _)
@@ -639,6 +639,32 @@ object ProbeScale {
           graft.ops.TextAnalysis.corpusHealth(docs01).count())
         time(s"corpus_health_sf1_$rep")(
           graft.ops.TextAnalysis.corpusHealth(docs).count())
+      }
+    }
+    // round-12 additions: trigram LM (three model-keyed joins + one
+    // groupBy(doc_id)), paragraph dedup (hash-only shuffle, text
+    // re-derived), span eval (sample-bounded by contract — sampleMod
+    // scales with the corpus so the diagnostic stays fixed-cost),
+    // shard manifest (one tokenize scan + one combinable groupBy)
+    if (section == "r12") {
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      for (rep <- 1 to 2) {
+        time(s"lm3_score_sf01_$rep")(graft.ops.TextAnalysis.lm3ScoreAgainst(
+          docs01, docs01.filter(col("source") =!= "src0")).count())
+        time(s"lm3_score_sf1_$rep")(graft.ops.TextAnalysis.lm3ScoreAgainst(
+          docs, docs.filter(col("source") =!= "src0")).count())
+        time(s"para_dedup_sf01_$rep")(Dedup.paragraphDedup(docs01, "\\n+").count())
+        time(s"para_dedup_sf1_$rep")(Dedup.paragraphDedup(docs, "\\n+").count())
+        time(s"span_eval_sf01_$rep")(Dedup.spanEval(docs01).count())
+        // 10x corpus, 10x sampleMod: the sample (and so the cost)
+        // should hold ~flat — that is the op's scale contract
+        time(s"span_eval_sf1_$rep")(Dedup.spanEval(docs, sampleMod = 40).count())
+        time(s"shard_manifest_sf01_$rep")(
+          graft.ops.Sampling.shardManifest(docs01, 4096).count())
+        time(s"shard_manifest_sf1_$rep")(
+          graft.ops.Sampling.shardManifest(docs, 4096).count())
+        time(s"write_shards_sf1_$rep")(graft.ops.Sampling.writeShards(
+          docs, s"/tmp/shards_probe_$rep", 4096).count())
       }
     }
     spark.stop()

@@ -59,6 +59,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.histogramTableFunction)
     ext.injectTableFunction(GraftExtensions.readabilityTableFunction)
     ext.injectTableFunction(GraftExtensions.corpusHealthTableFunction)
+    ext.injectTableFunction(GraftExtensions.paraDedupTableFunction)
+    ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
+    ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
+    ext.injectTableFunction(GraftExtensions.shardManifestTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1128,6 +1132,110 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for natural-boundary sub-document dedup
+    * ([[graft.ops.Dedup.paragraphDedup]]):
+    *
+    * {{{
+    * SELECT * FROM graft_para_dedup('docs')          -- blank-line units
+    * SELECT * FROM graft_para_dedup('docs', '\n+')   -- line groups (C4 rule)
+    * }}}
+    *
+    * Emits (doc_id, n_paras, n_kept, kept_hash) — first occurrence of
+    * each normalized paragraph wins corpus-wide. */
+  private val paraDedupTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_para_dedup"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_para_dedup"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_para_dedup(docs_table[, boundary_regex])")
+      val str = stringArg("graft_para_dedup") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val boundary =
+        if (children.size == 2) str(children(1), "boundary_regex") else "\\n[ \\t]*\\n"
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.paragraphDedup(docs, boundary))
+    })
+
+  /** SQL surface for the span-dedup approximation measurement
+    * ([[graft.ops.Dedup.spanEval]]):
+    *
+    * {{{
+    * SELECT * FROM graft_span_eval('docs')                 -- defaults
+    * SELECT * FROM graft_span_eval('docs', 24, 8, 64, 4)   -- k, mod_p, gap, sample_mod
+    * }}}
+    *
+    * One confusion row: char-level recall/precision of the production
+    * anchor-gram chain vs exact repeated-substring ground truth on an
+    * md5-bucket document sample. */
+  private val spanEvalTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_span_eval"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_span_eval"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 5,
+        "graft_span_eval(docs_table[, k, mod_p, gap, sample_mod])")
+      val str = stringArg("graft_span_eval") _
+      val int = intArg("graft_span_eval") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val (k, modP, gap, sampleMod) =
+        if (children.size == 5)
+          (int(children(1), "k"), int(children(2), "mod_p"),
+            int(children(3), "gap"), int(children(4), "sample_mod"))
+        else (24, 8, 64, 4)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.spanEval(docs, k, modP, gap, sampleMod,
+          mat = graft.core.Materialize.Persist))
+    })
+
+  /** SQL surface for trigram stupid-backoff LM scoring
+    * ([[graft.ops.TextAnalysis.lm3ScoreAgainst]]):
+    *
+    * {{{
+    * SELECT * FROM graft_lm3_score('docs', 'reference_docs')
+    * }}}
+    *
+    * Trains the trigram model on the reference table, scores every doc
+    * in the first: (doc_id, n_trigrams, n_bo, n_oov, avg_logprob). */
+  private val lm3ScoreTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_lm3_score"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_lm3_score"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_lm3_score(docs_table, reference_table)")
+      val str = stringArg("graft_lm3_score") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val ref = SparkSession.active.table(str(children(1), "reference_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.lm3ScoreAgainst(docs, ref))
+    })
+
+  /** SQL surface for the shard-layout manifest
+    * ([[graft.ops.Sampling.shardManifest]]):
+    *
+    * {{{
+    * SELECT * FROM graft_shard_manifest('docs', 512)      -- buckets=32
+    * SELECT * FROM graft_shard_manifest('docs', 512, 8)
+    * }}}
+    *
+    * Per shard of the packShards layout: doc/token counts and the
+    * doc_id-ordered content checksum writeShards certifies on disk. */
+  private val shardManifestTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_shard_manifest"),
+    new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_shard_manifest"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_shard_manifest(docs_table, token_budget[, buckets])")
+      val str = stringArg("graft_shard_manifest") _
+      val int = intArg("graft_shard_manifest") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val budget = int(children(1), "token_budget")
+      val buckets = if (children.size == 3) int(children(2), "buckets") else 32
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Sampling.shardManifest(docs, budget.toLong, buckets))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -1154,7 +1262,9 @@ object GraftExtensions {
         sourceOverlapTableFunction, profileTableFunction,
         contextPlanTableFunction, embOutliersTableFunction,
         containmentTableFunction, histogramTableFunction,
-        readabilityTableFunction, corpusHealthTableFunction)
+        readabilityTableFunction, corpusHealthTableFunction,
+        paraDedupTableFunction, spanEvalTableFunction,
+        lm3ScoreTableFunction, shardManifestTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -401,6 +401,12 @@ class DedupSpec extends SparkSpec {
     val within = Dedup.paragraphDedup(docs(9L -> s"$shared\n\nmiddle bit\n\n$shared"))
       .as[(Long, Int, Int, String)].head()
     assert(within === ((9L, 3, 2, h(shared, "middle bit"))))
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("pd_docs")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_para_dedup('pd_docs')")
+      .as[(Long, Int, Int, String)].collect().toSet ===
+      got.map { case (id, (a, b, c)) => (id, a, b, c) }.toSet)
   }
 
   // a ~240-char region of distinct words: internally self-dissimilar,
@@ -479,6 +485,13 @@ class DedupSpec extends SparkSpec {
     assert(prod._5 > 0L, "bridged sliver must show as false-positive chars")
     assert(prod._7.exists(r => r > 0.5 && r <= 1.0), s"recall ${prod._7}")
     assert(prod._8.exists(p => p > 0.5 && p < 1.0), s"precision ${prod._8}")
+    // SQL surface parity (explicit-knob arity)
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("se_docs")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_span_eval('se_docs', 16, 4, 64, 1)")
+      .as[(Long, Long, Long, Long, Long, Long, Option[Double], Option[Double])]
+      .head() === prod)
   }
 
   test("stripDuplicateSpans: cut matches a manual splice of duplicateSpans; short docs untouched") {

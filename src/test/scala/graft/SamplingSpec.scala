@@ -125,6 +125,12 @@ class SamplingSpec extends SparkSpec {
     // the stored manifest parquet matches what was returned
     assert(spark.read.parquet(s"$out/manifest")
       .as[(Int, Int, Long, Long, String)].collect().toSet === planned)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("sm_docs")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_shard_manifest('sm_docs', 10, 4)")
+      .as[(Int, Int, Long, Long, String)].collect().toSet === planned)
   }
 
   test("temperatureRates: smallest source pins rate 1, ratios follow p^(1/T-1)") {

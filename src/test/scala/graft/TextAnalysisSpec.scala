@@ -290,6 +290,14 @@ class TextAnalysisSpec extends SparkSpec {
     // self-scoring: every ref trigram is in the trigram tier
     val self = TextAnalysis.lm3ScoreWith(ref, m0)
     assert(self.filter($"n_bo" =!= 0 || $"n_oov" =!= 0).count() === 0)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    ref.createOrReplaceTempView("lm3_ref")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_lm3_score('lm3_ref', 'lm3_ref')")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet ===
+      TextAnalysis.lm3ScoreAgainst(ref, ref)
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
   }
 
   test("gopherQuality: each rule trips on its engineered doc; good prose keeps") {
