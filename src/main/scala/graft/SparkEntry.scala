@@ -80,6 +80,50 @@ object SparkEntry {
     * subwords (a merged pair merging again) are exercised. */
   private val BPE_MERGES = 12
 
+  /** Shared trigram-LM CTE chain (train on non-web domains, score all
+    * docs) — twin of lm3Model + lm3ScoreWith (stupid backoff, α = 0.4):
+    * history counts derive from the next-higher count table; α and α²
+    * appear as `CAST(0.4 AS DOUBLE)` products so the IEEE doubles
+    * match the JVM's `lit(alpha)`/`lit(alpha*alpha)` bit-for-bit
+    * before the 6dp rounding; serving = three left joins + coalesce.
+    * Used by q_lm3_score and q_ppl3_buckets. */
+  private val LM3_CTES =
+    s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+       |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |             FROM rt WHERE len(ts) >= 3)),
+       |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123 FROM r3 GROUP BY w1, w2, w3),
+       |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3g GROUP BY w1, w2),
+       |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |             FROM rt WHERE len(ts) >= 2)),
+       |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c23 FROM r2 GROUP BY w1, w2),
+       |c2 AS (SELECT w1, sum(c23) AS c2 FROM c2g GROUP BY w1),
+       |c1g AS MATERIALIZED (SELECT w, count(*) AS c3 FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
+       |nv AS MATERIALIZED (SELECT sum(c3) AS n, count(*) AS v FROM c1g),
+       |tri AS (SELECT w1, w2, w3,
+       |          CAST(round(ln(CAST(c123 AS DOUBLE) / c12), 6) AS DECIMAL(18,6)) AS lp3
+       |        FROM c3g JOIN c12 USING (w1, w2)),
+       |bi AS (SELECT w1 AS w2, w2 AS w3,
+       |         CAST(round(ln(CAST(0.4 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2)), 6) AS DECIMAL(18,6)) AS lp2
+       |       FROM c2g JOIN c2 USING (w1)),
+       |uni AS (SELECT w AS w3,
+       |          CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * ((c3 + 1.0) / (n + v))), 6) AS DECIMAL(18,6)) AS lp1
+       |        FROM c1g CROSS JOIN nv),
+       |ov AS (SELECT CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * (1.0 / (n + v))), 6) AS DECIMAL(18,6)) AS lp_oov FROM nv),
+       |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
+       |ds AS (SELECT d.doc_id, count(*) AS n_trigrams,
+       |         count(CASE WHEN t.lp3 IS NULL THEN 1 END) AS n_bo,
+       |         count(CASE WHEN t.lp3 IS NULL AND b.lp2 IS NULL AND u.lp1 IS NULL THEN 1 END) AS n_oov,
+       |         CAST(sum(coalesce(t.lp3, b.lp2, u.lp1, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
+       |       FROM d3 d LEFT JOIN tri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+       |         LEFT JOIN bi b ON d.w2 = b.w2 AND d.w3 = b.w3
+       |         LEFT JOIN uni u ON d.w3 = u.w3
+       |         CROSS JOIN ov
+       |       GROUP BY d.doc_id)""".stripMargin
+
   /** q_budget_mix parameters, shared by the query and its twin so the
     * per-source floor(budget·w/Σw) literals cannot drift. src19's share
     * exceeds its sf0.01 availability (whole-source keep path); the
@@ -618,6 +662,12 @@ object SparkEntry {
       TextAnalysis.perplexityBuckets(d,
         TextAnalysis.lmModel(d.filter(col("domain") =!= "web")))
     },
+    "q_ppl3_buckets" -> { (s, dir) =>
+      // the same bucket rule under the trigram stupid-backoff scorer
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.perplexityBuckets3(d,
+        TextAnalysis.lm3Model(d.filter(col("domain") =!= "web")))
+    },
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
@@ -732,6 +782,14 @@ object SparkEntry {
     // natural-boundary sub-doc dedup; this corpus is single-newline
     // structured, so the line-group boundary exercises the C4 rule
     "q_para_dedup" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir), boundary = "\\n+")),
+    // incremental face: odd-id increment vs even-id history hashes
+    "q_para_dedup_incr" -> { (s, dir) =>
+      val d = docs(s, dir)
+      Dedup.paragraphDedupAgainst(
+        d.filter(col("doc_id") % 2 =!= 0),
+        Dedup.paragraphHashes(d.filter(col("doc_id") % 2 === 0), "\\n+"),
+        boundary = "\\n+")
+    },
     "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
     "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir))),
     "q_dup_strip" -> { (s, dir) =>
@@ -1564,50 +1622,30 @@ object SparkEntry {
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_bigrams) / 1000000.0 AS avg_logprob
          |FROM documents d LEFT JOIN ds USING (doc_id)""".stripMargin,
     "q_lm3_score" ->
-      // twin of lm3Model + lm3ScoreWith (stupid backoff, α = 0.4):
-      // history counts derive from the next-higher count table; α and
-      // α² appear as CAST(0.4 AS DOUBLE) products so the IEEE doubles
-      // match the JVM's lit(alpha)/lit(alpha*alpha) bit-for-bit before
-      // the 6dp rounding; serving = three left joins + coalesce
-      s"""WITH rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
-         |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
-         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
-         |             FROM rt WHERE len(ts) >= 3)),
-         |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123 FROM r3 GROUP BY w1, w2, w3),
-         |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3g GROUP BY w1, w2),
-         |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
-         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
-         |             FROM rt WHERE len(ts) >= 2)),
-         |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c23 FROM r2 GROUP BY w1, w2),
-         |c2 AS (SELECT w1, sum(c23) AS c2 FROM c2g GROUP BY w1),
-         |c1g AS MATERIALIZED (SELECT w, count(*) AS c3 FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
-         |nv AS MATERIALIZED (SELECT sum(c3) AS n, count(*) AS v FROM c1g),
-         |tri AS (SELECT w1, w2, w3,
-         |          CAST(round(ln(CAST(c123 AS DOUBLE) / c12), 6) AS DECIMAL(18,6)) AS lp3
-         |        FROM c3g JOIN c12 USING (w1, w2)),
-         |bi AS (SELECT w1 AS w2, w2 AS w3,
-         |         CAST(round(ln(CAST(0.4 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2)), 6) AS DECIMAL(18,6)) AS lp2
-         |       FROM c2g JOIN c2 USING (w1)),
-         |uni AS (SELECT w AS w3,
-         |          CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * ((c3 + 1.0) / (n + v))), 6) AS DECIMAL(18,6)) AS lp1
-         |        FROM c1g CROSS JOIN nv),
-         |ov AS (SELECT CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * (1.0 / (n + v))), 6) AS DECIMAL(18,6)) AS lp_oov FROM nv),
-         |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
-         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-         |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
-         |ds AS (SELECT d.doc_id, count(*) AS n_trigrams,
-         |         count(CASE WHEN t.lp3 IS NULL THEN 1 END) AS n_bo,
-         |         count(CASE WHEN t.lp3 IS NULL AND b.lp2 IS NULL AND u.lp1 IS NULL THEN 1 END) AS n_oov,
-         |         CAST(sum(coalesce(t.lp3, b.lp2, u.lp1, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
-         |       FROM d3 d LEFT JOIN tri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
-         |         LEFT JOIN bi b ON d.w2 = b.w2 AND d.w3 = b.w3
-         |         LEFT JOIN uni u ON d.w3 = u.w3
-         |         CROSS JOIN ov
-         |       GROUP BY d.doc_id)
+      // the shared LM3_CTES chain, then the per-doc diagnostics + mean
+      s"""WITH $LM3_CTES
          |SELECT dd.doc_id, coalesce(ds.n_trigrams, 0) AS n_trigrams,
          |  coalesce(ds.n_bo, 0) AS n_bo, coalesce(ds.n_oov, 0) AS n_oov,
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_trigrams) / 1000000.0 AS avg_logprob
          |FROM documents dd LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_ppl3_buckets" ->
+      // twin of perplexityBuckets3: the shared LM3_CTES scoring chain,
+      // then per-source quantile_cont terciles (ANSI interpolation =
+      // Spark percentile; rounded 6dp) and the head/middle/tail case
+      s"""WITH $LM3_CTES,
+         |sc AS (SELECT dd.doc_id, dd.source,
+         |         round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_trigrams) / 1000000.0 AS avg_logprob
+         |       FROM documents dd LEFT JOIN ds USING (doc_id)),
+         |th AS (SELECT source,
+         |         round(quantile_cont(avg_logprob, 0.67), 6) AS t_head,
+         |         round(quantile_cont(avg_logprob, 0.33), 6) AS t_mid
+         |       FROM sc WHERE avg_logprob IS NOT NULL GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.avg_logprob,
+         |  CASE WHEN sc.avg_logprob IS NULL THEN 'tail'
+         |       WHEN sc.avg_logprob >= th.t_head THEN 'head'
+         |       WHEN sc.avg_logprob >= th.t_mid THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sc LEFT JOIN th USING (source)""".stripMargin,
     "q_ppl_buckets" ->
       // twin of perplexityBuckets over the stored reference LM: same
       // scoring CTEs as q_lm_score_ref, then per-source quantile_cont
@@ -2112,6 +2150,27 @@ object SparkEntry {
         |    list_filter(p.ps, (x, i) -> NOT list_contains(coalesce(r.rm, CAST([] AS INTEGER[])), CAST(i - 1 AS INTEGER))),
         |    chr(10) || chr(10))) AS kept_hash
         |FROM p LEFT JOIN rm r USING (doc_id)""".stripMargin,
+    "q_para_dedup_incr" ->
+      // twin of Dedup.paragraphDedupAgainst(boundary="\n+"): history =
+      // even-id docs' distinct normalized-paragraph hashes; every
+      // increment (odd-id) paragraph matching the history drops — no
+      // canonical exception
+      """WITH p AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '\n+'), x -> trim(x)), x -> len(x) > 0) AS ps
+        |  FROM documents),
+        |occ AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx,
+        |    md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' ')) AS h
+        |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM p)),
+        |hist AS (SELECT DISTINCT h FROM occ WHERE doc_id % 2 = 0),
+        |rm AS (SELECT doc_id, list(para_idx) AS rm
+        |       FROM occ JOIN hist USING (h) WHERE doc_id % 2 <> 0 GROUP BY doc_id)
+        |SELECT p.doc_id, CAST(len(p.ps) AS INTEGER) AS n_paras,
+        |  CAST(len(p.ps) - coalesce(len(r.rm), 0) AS INTEGER) AS n_kept,
+        |  md5(array_to_string(
+        |    list_filter(p.ps, (x, i) -> NOT list_contains(coalesce(r.rm, CAST([] AS INTEGER[])), CAST(i - 1 AS INTEGER))),
+        |    chr(10) || chr(10))) AS kept_hash
+        |FROM p LEFT JOIN rm r USING (doc_id)
+        |WHERE p.doc_id % 2 <> 0""".stripMargin,
     "q_boilerplate" ->
       // twin of Dedup.boilerplateChunks(w=3, minDocs=5): 3-token chunks
       // occurring in >= 5 distinct docs are removed from EVERY doc

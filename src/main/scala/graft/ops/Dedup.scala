@@ -773,6 +773,62 @@ object Dedup {
           filter(col("ps"), (p, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
   }
 
+  /** The normalized-paragraph hash table [[paragraphDedupAgainst]]
+    * filters against — one row per DISTINCT paragraph hash in `docs`
+    * (column `h`). Append each increment's survivors to an append-only
+    * history (the band-table discipline); the history holds hashes
+    * only, never text. */
+  def paragraphHashes(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
+    val paras = filter(
+      transform(split(col("text"), boundary), p => trim(p)),
+      p => length(p) > 0)
+    graft.core.Parallelism.ensure(docs)
+      .select(explode(paras).as("para"))
+      .select(md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+      .distinct()
+  }
+
+  /** The incremental face of [[paragraphDedup]] — the daily-crawl
+    * pattern at paragraph granularity ([[duplicateSpansAgainst]]'s
+    * contract): drop every paragraph of `docs` whose NORMALIZED form
+    * the accumulated [[paragraphHashes]] history has already seen.
+    * The history holds every canonical copy by definition, so every
+    * matching increment paragraph is droppable — no canonical
+    * exception. Within-increment duplication is [[paragraphDedup]]'s
+    * job; run it separately if an increment can self-duplicate.
+    *
+    * Output: [[paragraphDedup]]'s exact shape
+    * `(doc_id, n_paras, n_kept, kept_hash)`.
+    *
+    * Scale: one paragraph scan over the INCREMENT only, one semi-join
+    * on `h` against the history (AQE broadcasts small increments'
+    * hash tables), one doc_id-keyed dropped-index fold; increment
+    * text never shuffles, history text was never stored. */
+  def paragraphDedupAgainst(
+      docs: DataFrame, history: DataFrame,
+      boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
+    val paras = filter(
+      transform(split(col("text"), boundary), p => trim(p)),
+      p => length(p) > 0)
+    val occ = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+    val dropped = occ.join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("para_idx")).as("rm"))
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paras.as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(
+        col("doc_id"),
+        size(col("ps")).cast("int").as("n_paras"),
+        (size(col("ps")) - size(col("rm"))).cast("int").as("n_kept"),
+        md5(concat_ws("\n\n",
+          filter(col("ps"), (p, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
+  }
+
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
     * standard n-gram-overlap filter run before training so eval answers

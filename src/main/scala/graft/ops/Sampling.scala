@@ -339,6 +339,40 @@ object Sampling {
     docs.sparkSession.read.parquet(s"$outDir/manifest")
   }
 
+  /** Audit a [[writeShards]] artifact: recompute every shard's
+    * manifest row from the FILES ON DISK and diff it against the
+    * stored manifest — the check a training job runs before trusting
+    * its inputs (bit-rot, partial copies, a shard touched after
+    * certification). Output: one row per shard present on EITHER side
+    * — `(pack_bucket, shard_in_bucket, ok, stored_md5, actual_md5)`;
+    * `ok` is false for any count/checksum mismatch, a manifest shard
+    * missing on disk, or an on-disk shard the manifest never recorded.
+    *
+    * Scale: the same one grouped pass over the shard files the
+    * manifest itself cost, plus a manifest-sized full join. */
+  def verifyShards(
+      session: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
+    val actual = session.read.parquet(s"$outDir/shards")
+      .select(col("doc_id"), col("n_tokens"), col("pack_bucket"), col("shard_in_bucket"),
+        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
+      .groupBy("pack_bucket", "shard_in_bucket")
+      .agg(count(lit(1)).as("a_docs"),
+        sum("n_tokens").as("a_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("doc_id"), col("row_md5")))),
+            s => s.getField("row_md5")), "")).as("a_md5"))
+    val stored = session.read.parquet(s"$outDir/manifest")
+      .select(col("pack_bucket"), col("shard_in_bucket"),
+        col("n_docs").as("m_docs"), col("n_tokens").as("m_tokens"),
+        col("content_md5").as("m_md5"))
+    stored.join(actual, Seq("pack_bucket", "shard_in_bucket"), "full")
+      .select(col("pack_bucket"), col("shard_in_bucket"),
+        (col("m_docs") <=> col("a_docs") &&
+          col("m_tokens") <=> col("a_tokens") &&
+          col("m_md5") <=> col("a_md5")).as("ok"),
+        col("m_md5").as("stored_md5"), col("a_md5").as("actual_md5"))
+  }
+
   /** Deterministic global training order: a seeded pseudo-random
     * permutation of the corpus, realized as `shards` independent
     * streams — the "shuffle the dataset before each epoch" step of a

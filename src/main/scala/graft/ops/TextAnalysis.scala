@@ -624,6 +624,39 @@ object TextAnalysis {
   def lm3ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
     lm3ScoreWith(docs, lm3Model(reference))
 
+  /** [[perplexityBuckets]] under the TRIGRAM stupid-backoff model —
+    * CCNet's head/middle/tail split driven by the higher-order scorer
+    * (the actual CCNet deployment pairs the bucket rule with its
+    * KenLM; the bigram variant remains for the cheaper pass). Same
+    * per-source exact-percentile thresholds (computed inline or
+    * served from a precomputed `(source, t_head, t_mid)` table — at
+    * 100 TB compute that artifact once and broadcast it), same
+    * `tail` fate for unscorable (sub-3-token) docs. Output:
+    * `(doc_id, source, avg_logprob, ppl_bucket)`. */
+  def perplexityBuckets3(
+      docs: DataFrame,
+      model: Lm3Model,
+      sourceCol: String = "source",
+      qHead: Double = 0.67,
+      qMid: Double = 0.33,
+      thresholds: Option[DataFrame] = None): DataFrame = {
+    require(qHead > qMid && qMid > 0 && qHead < 1, s"bad quantiles head=$qHead mid=$qMid")
+    val scored = lm3ScoreWith(docs, model)
+      .join(docs.select(col("doc_id"), col(sourceCol).as("source")), Seq("doc_id"))
+    val th = thresholds.getOrElse(
+      scored.where(col("avg_logprob").isNotNull)
+        .groupBy("source")
+        .agg(
+          round(expr(s"percentile(avg_logprob, $qHead)"), 6).as("t_head"),
+          round(expr(s"percentile(avg_logprob, $qMid)"), 6).as("t_mid")))
+    scored.join(broadcast(th), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        when(col("avg_logprob").isNull, lit("tail"))
+          .when(col("avg_logprob") >= col("t_head"), lit("head"))
+          .when(col("avg_logprob") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
     * hash every token (md5 — stable across engines), take the window
     * minimum over each w-token sliding window, emit the distinct minima

@@ -409,6 +409,28 @@ class DedupSpec extends SparkSpec {
       got.map { case (id, (a, b, c)) => (id, a, b, c) }.toSet)
   }
 
+  test("paragraphDedupAgainst: history paragraphs drop with no canonical exception") {
+    val seen = "This content already lives in the accumulated corpus history."
+    val reWrapped = "this CONTENT already,  lives in\tthe accumulated corpus history" // same tokens
+    val hist = Dedup.paragraphHashes(docs(1L -> s"Old lead-in.\n\n$seen"))
+    val got = Dedup.paragraphDedupAgainst(
+      docs(
+        10L -> s"$seen\n\nFresh follow-up paragraph.",  // exact history hit
+        11L -> s"Fresh opening.\n\n$reWrapped",         // normalized history hit
+        12L -> "Entirely new material only."),
+      hist)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    def h(paras: String*): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(paras.mkString("\n\n").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(got(10L) === ((2, 1, h("Fresh follow-up paragraph."))))
+    assert(got(11L) === ((2, 1, h("Fresh opening."))))
+    assert(got(12L) === ((1, 1, h("Entirely new material only."))))
+    // the history holds hashes only — one row per distinct paragraph
+    assert(hist.columns.toSeq === Seq("h"))
+    assert(hist.count() === 2)
+  }
+
   // a ~240-char region of distinct words: internally self-dissimilar,
   // long enough that mod-p anchor sampling is saturated inside it
   private val region: String =

@@ -131,6 +131,30 @@ class SamplingSpec extends SparkSpec {
     assert(SparkSpec.spark
       .sql("SELECT * FROM graft_shard_manifest('sm_docs', 10, 4)")
       .as[(Int, Int, Long, Long, String)].collect().toSet === planned)
+    // the audit passes on the intact artifact
+    val audit = Sampling.verifyShards(spark, out)
+      .as[(Int, Int, Boolean, String, String)].collect()
+    assert(audit.length === planned.size && audit.forall(_._3), audit.mkString("\n"))
+    // tamper with one shard (smuggle an extra row file in) → its audit
+    // row goes red, every other shard stays green
+    val victim = new java.io.File(s"$out/shards").listFiles()
+      .filter(_.getName.startsWith("pack_bucket=")).head
+      .listFiles().filter(_.getName.startsWith("shard_in_bucket=")).head
+    val extraDir = java.nio.file.Files.createTempDirectory("graft-extra-").toString
+    Seq((999L, "sneaky injected row", 3)).toDF("doc_id", "text", "n_tokens")
+      .coalesce(1).write.mode("overwrite").parquet(extraDir)
+    val part = new java.io.File(extraDir).listFiles()
+      .filter(_.getName.endsWith(".parquet")).head
+    java.nio.file.Files.copy(part.toPath,
+      java.nio.file.Paths.get(victim.toString, "smuggled.parquet"))
+    val after = Sampling.verifyShards(spark, out)
+      .as[(Int, Int, Boolean, String, String)].collect()
+    val vb = victim.getParentFile.getName.stripPrefix("pack_bucket=").toInt
+    val vs = victim.getName.stripPrefix("shard_in_bucket=").toInt
+    assert(after.count(!_._3) === 1)
+    val bad = after.find(!_._3).get
+    assert((bad._1, bad._2) === ((vb, vs)))
+    assert(bad._4 !== bad._5)
   }
 
   test("temperatureRates: smallest source pins rate 1, ratios follow p^(1/T-1)") {
