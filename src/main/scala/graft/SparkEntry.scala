@@ -705,6 +705,11 @@ object SparkEntry {
       graft.ops.Sampling.contextPlanSummary(docs(s, dir), ctxLen = 128, buckets = 8)),
     "q_shuffle_order" -> ((s, dir) =>
       graft.ops.Sampling.shuffleOrder(docs(s, dir), "doc_id", shards = 16, seed = 42L)),
+    // UniMax weights-free budget allocation over the skewed domains
+    // (books caps at maxEpochs, wiki/web split the remainder equally)
+    "q_unimax" -> ((s, dir) =>
+      graft.ops.Sampling.unimaxPlan(withDomain(docs(s, dir)), "domain",
+        tokenBudget = 40000L, maxEpochs = 2.0)),
     // per-shard manifest (counts + doc_id-ordered content checksum) of
     // the q_pack_shards layout — what writeShards certifies on disk
     "q_shard_manifest" -> ((s, dir) =>
@@ -1831,6 +1836,34 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
          |  CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket
          |FROM c""".stripMargin,
+    "q_unimax" ->
+      // twin of Sampling.unimaxPlan(domain, 40000, 2.0): ascending-
+      // capacity waterfilling; the capped set is a prefix so the test
+      // is per-row; uncapped sources share floor((B - capped)/n) each
+      s"""WITH a AS MATERIALIZED (
+         |  SELECT src AS source, CAST(sum(n) AS BIGINT) AS available_tokens,
+         |    CAST(floor(sum(n) * 2.0) AS BIGINT) AS capacity
+         |  FROM (SELECT ($DOMAIN_SQL) AS src, len($TOKS) AS n FROM documents)
+         |  GROUP BY src),
+         |r AS (SELECT *, row_number() OVER (ORDER BY capacity, source) AS rn,
+         |        CAST(coalesce(sum(capacity) OVER (ORDER BY capacity, source
+         |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev,
+         |        count(*) OVER () AS k
+         |      FROM a),
+         |c AS (SELECT *, capacity <= (40000.0 - cum_prev) / (k - rn + 1) AS capped FROM r),
+         |p AS (SELECT CAST(sum(CASE WHEN capped THEN capacity ELSE 0 END) AS BIGINT) AS capped_total,
+         |        CAST(sum(CASE WHEN capped THEN 0 ELSE 1 END) AS BIGINT) AS n_uncapped FROM c),
+         |f AS (SELECT c.source, c.available_tokens, c.capacity,
+         |        CAST(CASE WHEN c.capped THEN c.capacity
+         |             ELSE floor((40000.0 - p.capped_total) / p.n_uncapped) END AS BIGINT) AS alloc_tokens,
+         |        c.capped
+         |      FROM c CROSS JOIN p)
+         |SELECT source, available_tokens, capacity, alloc_tokens,
+         |  CASE WHEN available_tokens > 0
+         |    THEN round(CAST(alloc_tokens AS DOUBLE) / available_tokens, 4)
+         |    ELSE 0.0 END AS epochs,
+         |  capped
+         |FROM f""".stripMargin,
     "q_shard_manifest" ->
       // twin of Sampling.shardManifest(512, 8): the q_pack_shards
       // assignment, then per-shard count/token-sum/md5-of-ordered-row-md5s

@@ -231,6 +231,75 @@ object Sampling {
         (col("desired_tokens") > col("planned_tokens")).as("truncated"))
   }
 
+  /** UniMax budget allocation (Chung et al., "UniMax: Fairer and More
+    * Effective Language Sampling for Large-Scale Multilingual
+    * Pretraining", 2023) — the weights-FREE counterpart to
+    * [[epochPlan]]: distribute `tokenBudget` as uniformly as possible
+    * across sources, subject to no source repeating more than
+    * `maxEpochs` times. Small sources hit their repetition cap and
+    * take everything they can; the remainder splits EQUALLY among the
+    * sources big enough to absorb it — no temperature knob, no weight
+    * table, provably minimal skew under the cap.
+    *
+    * Closed form (waterfilling over the k-row per-source table):
+    * sort sources by capacity `cap_s = available_s · maxEpochs`
+    * ascending; source i is capped iff
+    * `cap_i ≤ (B − Σ_{j<i} cap_j) / (k − i + 1)` (the capped set is a
+    * prefix of the ascending order, so the test is per-row); every
+    * uncapped source gets the common level
+    * `(B − Σ_capped cap_j) / n_uncapped`. Allocations floor to whole
+    * tokens (Σ alloc can undershoot B by < k tokens — the same
+    * integer discipline as [[epochPlan]]).
+    *
+    * Output: `(source, available_tokens, capacity, alloc_tokens,
+    * epochs, capped)` — epochs = alloc/available rounded 4dp (0.0 for
+    * empty sources, which sit at capacity 0, capped, alloc 0).
+    *
+    * Scale: one tokenize scan + one combinable groupBy(source); the
+    * waterfilling runs over the source-count-sized table (windows over
+    * k rows). */
+  def unimaxPlan(
+      docs: DataFrame,
+      sourceCol: String,
+      tokenBudget: Long,
+      maxEpochs: Double = 4.0): DataFrame = {
+    require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
+    require(maxEpochs > 0, s"maxEpochs=$maxEpochs must be positive")
+    import org.apache.spark.sql.expressions.Window
+    val avail = graft.core.Parallelism.ensure(docs)
+      .select(col(sourceCol).as("source"),
+        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+      .groupBy("source")
+      .agg(sum("n_tok").as("available_tokens"))
+      .select(col("source"), col("available_tokens"),
+        floor(col("available_tokens") * maxEpochs).cast("long").as("capacity"))
+    val byCap = Window.orderBy(col("capacity"), col("source"))
+    val ranked = avail
+      .withColumn("rn", row_number().over(byCap))
+      .withColumn("cum_prev",
+        coalesce(sum("capacity").over(byCap.rowsBetween(Window.unboundedPreceding, -1)),
+          lit(0L)))
+      .withColumn("k", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("capped",
+        col("capacity") <=
+          (lit(tokenBudget.toDouble) - col("cum_prev")) / (col("k") - col("rn") + 1))
+    val pool = ranked.agg(
+      sum(when(col("capped"), col("capacity")).otherwise(lit(0L))).as("capped_total"),
+      sum(when(!col("capped"), 1L).otherwise(0L)).as("n_uncapped"))
+    ranked.crossJoin(broadcast(pool))
+      .select(col("source"), col("available_tokens"), col("capacity"),
+        when(col("capped"), col("capacity"))
+          .otherwise(floor((lit(tokenBudget.toDouble) - col("capped_total"))
+            / col("n_uncapped")).cast("long")).as("alloc_tokens"),
+        col("capped"))
+      .select(col("source"), col("available_tokens"), col("capacity"),
+        col("alloc_tokens"),
+        when(col("available_tokens") > 0,
+          round(col("alloc_tokens").cast("double") / col("available_tokens"), 4))
+          .otherwise(lit(0.0)).as("epochs"),
+        col("capped"))
+  }
+
   /** Sequence packing for training shards: assign each document a
     * (pack_bucket, shard_in_bucket) so that concatenating a bucket's
     * documents in doc_id order and cutting every `tokenBudget` tokens

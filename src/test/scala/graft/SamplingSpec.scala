@@ -157,6 +157,31 @@ class SamplingSpec extends SparkSpec {
     assert(bad._4 !== bad._5)
   }
 
+  test("unimaxPlan: waterfilling caps small sources, splits the rest equally") {
+    // token counts per source: A=10, B=50, C=100 (one doc each, N
+    // single-char tokens); maxEpochs=1 → capacities are the counts
+    def toks(n: Int): String = Seq.fill(n)("x").mkString(" ")
+    val d = Seq(("A", toks(10)), ("B", toks(50)), ("C", toks(100)))
+      .toDF("source", "text")
+    // B=100: A capped (level 100/3=33.3 ≥ 10); B uncapped (45 < 50);
+    // uncapped share = (100-10)/2 = 45 each
+    val got = Sampling.unimaxPlan(d, "source", tokenBudget = 100L, maxEpochs = 1.0)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("A") === (("A", 10L, 10L, 10L, 1.0, true)))
+    assert(got("B") === (("B", 50L, 50L, 45L, 0.9, false)))
+    assert(got("C") === (("C", 100L, 100L, 45L, 0.45, false)))
+    // budget above total capacity: everything capped at maxEpochs
+    val all = Sampling.unimaxPlan(d, "source", tokenBudget = 1000L, maxEpochs = 2.0)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+    assert(all.forall(r => r._6 && r._4 === r._3 && r._5 === 2.0))
+    // epochs never exceed the cap anywhere
+    val any = Sampling.unimaxPlan(d, "source", tokenBudget = 120L, maxEpochs = 1.5)
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+    assert(any.forall(_._5 <= 1.5))
+    assert(any.map(_._4).sum <= 120L)
+  }
+
   test("temperatureRates: smallest source pins rate 1, ratios follow p^(1/T-1)") {
     // p = 0.8 / 0.2 at T=2 gives rates (0.2/0.8)^0.5 = 0.5 and 1.0 exactly
     val d = ((1L to 8L).map(i => (i, "A")) ++ (9L to 10L).map(i => (i, "B")))
