@@ -829,6 +829,38 @@ object Dedup {
           filter(col("ps"), (p, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
   }
 
+  /** The text-REWRITE face of [[paragraphDedupAgainst]]
+    * ([[stripDuplicateSpansAgainst]]'s contract at paragraph
+    * granularity): cut every paragraph the accumulated
+    * [[paragraphHashes]] history has seen out of the increment's
+    * documents, keeping the survivors joined by blank lines. Output:
+    * `(doc_id, text, n_dropped)` — doc-table-shaped, so the result
+    * feeds any downstream stage. Same cost profile as the report
+    * face; increment text never shuffles. */
+  def stripParagraphsAgainst(
+      docs: DataFrame, history: DataFrame,
+      boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
+    val paras = filter(
+      transform(split(col("text"), boundary), p => trim(p)),
+      p => length(p) > 0)
+    val occ = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+    val dropped = occ.join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("para_idx")).as("rm"))
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paras.as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(
+        col("doc_id"),
+        concat_ws("\n\n",
+          filter(col("ps"), (p, i) => !array_contains(col("rm"), i))).as("text"),
+        size(col("rm")).cast("int").as("n_dropped"))
+  }
+
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
     * standard n-gram-overlap filter run before training so eval answers

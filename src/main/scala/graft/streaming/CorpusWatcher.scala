@@ -249,6 +249,16 @@ object CorpusWatcher {
     * Within-batch self-repeats are [[graft.ops.Dedup.duplicateSpans]]'
     * job — compose it upstream if an increment can self-duplicate.
     *
+    * Paragraph-level strip (`paraHistoryDir`): the same discipline one
+    * granularity up — paragraphs (split at `paraBoundary`, default
+    * `\n+` = line groups) whose NORMALIZED hash the accumulated
+    * [[graft.ops.Dedup.paragraphHashes]] history holds are CUT from
+    * each batch's admitted docs ([[graft.ops.Dedup
+    * .stripParagraphsAgainst]]); the stripped survivors' own hashes
+    * append as this batch's partition. Runs BEFORE the substring
+    * strip (coarser unit first); both stages compose. History holds
+    * 32-byte hashes only — never text.
+    *
     * Positional snapshots (`positional`): the maintained index is
     * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
     * positions, cnt)` instead of the flat counts, so
@@ -310,6 +320,8 @@ object CorpusWatcher {
       decontamW: Int = 3,
       mixtureGate: Option[graft.ops.Sampling.MixtureGate] = None,
       adaptiveMixtureGate: Option[graft.ops.Sampling.AdaptiveMixtureGate] = None,
+      paraHistoryDir: Option[String] = None,
+      paraBoundary: String = "\\n+",
       spanHistoryDir: Option[String] = None,
       positional: Boolean = false,
       metricsDir: Option[String] = None,
@@ -457,15 +469,34 @@ object CorpusWatcher {
         // once). Whole-doc dedup above still compares in RAW text
         // space — bands describe admitted docs' original text, exactly
         // what future raw arrivals look like.
-        val content = spanHistoryDir match {
+        // paragraph-level strip BEFORE the substring strip (coarser
+        // unit first): paragraphs the accumulated hash history has
+        // seen are cut; the stripped survivors' OWN paragraph hashes
+        // append as this batch's partition (post-strip, so a paragraph
+        // is stored exactly once) — the span-history discipline one
+        // granularity up
+        val paraContent = paraHistoryDir match {
           case None => admitted
+          case Some(pd) =>
+            val stripped = staged(
+              accumulatedPartitions(session, pd, excludeBatchId = batchId)
+                .map(h => graft.ops.Dedup
+                  .stripParagraphsAgainst(admitted, h, paraBoundary)
+                  .select(col("doc_id"), col("text")))
+                .getOrElse(admitted.select(col("doc_id"), col("text"))))
+            graft.ops.Dedup.paragraphHashes(stripped, paraBoundary)
+              .write.mode("overwrite").parquet(s"$pd/batch_id=$batchId")
+            stripped
+        }
+        val content = spanHistoryDir match {
+          case None => paraContent
           case Some(sd) =>
             val stripped = staged(
               accumulatedPartitions(session, sd, excludeBatchId = batchId)
                 .map(h => graft.ops.Dedup
-                  .stripDuplicateSpansAgainst(admitted, h)
+                  .stripDuplicateSpansAgainst(paraContent, h)
                   .select(col("doc_id"), col("text")))
-                .getOrElse(admitted.select(col("doc_id"), col("text"))))
+                .getOrElse(paraContent.select(col("doc_id"), col("text"))))
             graft.ops.Dedup.anchorSites(stripped)
               .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
             stripped

@@ -627,6 +627,39 @@ class CorpusWatcherSpec extends SparkSpec {
       "the history's own copy stays indexed")
   }
 
+  test("paraHistoryDir strips already-seen paragraphs from later batches; replay-idempotent") {
+    val (watch, index, quar, hist) =
+      (tmp("watchpp"), tmp("indexpp"), tmp("quarpp") + "/bad", tmp("histpp") + "/paras")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      paraHistoryDir = Some(hist)).awaitTermination()
+    // JSON \n escapes parse to real newlines; default boundary is \n+
+    Files.write(Paths.get(watch, "feed-0.json"),
+      """{"doc_id": 70, "text": "seenpara shared content here\nuniquezero tail"}"""
+        .getBytes("UTF-8"))
+    val ckpt = tmp("ckptpp")
+    run(ckpt)
+    assert(indexEntries(index).exists(e => e._1 == "seenpara" && e._2 == "70"))
+    assert(spark.read.parquet(hist).filter(col("batch_id") === 0).count() > 0)
+    // foreachBatch retry (fresh checkpoint, same files, re-runs as
+    // batch 0): excludeBatchId must hide the first-attempt hashes or
+    // doc 70 self-strips to nothing
+    run(tmp("ckptpp2"))
+    assert(indexEntries(index).exists(e => e._1 == "seenpara" && e._2 == "70"),
+      "a replayed batch must not self-strip against its first-attempt hashes")
+    // batch 1 repeats the paragraph inside fresh material: cut for doc
+    // 71, fresh lines survive, the history's own copy stays indexed
+    Files.write(Paths.get(watch, "feed-1.json"),
+      """{"doc_id": 71, "text": "freshline opening\nseenpara shared content here\nuniqueone tail"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val entries = indexEntries(index)
+    assert(entries.exists(e => e._1 == "freshline" && e._2 == "71"))
+    assert(entries.exists(e => e._1 == "uniqueone" && e._2 == "71"))
+    assert(!entries.exists(e => e._1 == "seenpara" && e._2 == "71"),
+      "the already-seen paragraph must be stripped from doc 71")
+    assert(entries.exists(e => e._1 == "seenpara" && e._2 == "70"))
+  }
+
   test("positional snapshots answer phrase queries; re-upload replaces positions") {
     val (watch, index, ckpt, quar) =
       (tmp("watchpos"), tmp("indexpos"), tmp("ckptpos"), tmp("quarpos") + "/bad")

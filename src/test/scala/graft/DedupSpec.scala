@@ -429,6 +429,11 @@ class DedupSpec extends SparkSpec {
     // the history holds hashes only — one row per distinct paragraph
     assert(hist.columns.toSeq === Seq("h"))
     assert(hist.count() === 2)
+    // the rewrite face cuts the same paragraphs and keeps the rest
+    val stripped = Dedup.stripParagraphsAgainst(
+      docs(10L -> s"$seen\n\nFresh follow-up paragraph."), hist)
+      .as[(Long, String, Int)].head()
+    assert(stripped === ((10L, "Fresh follow-up paragraph.", 1)))
   }
 
   // a ~240-char region of distinct words: internally self-dissimilar,
