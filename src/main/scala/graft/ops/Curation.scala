@@ -333,6 +333,54 @@ object Curation {
       clusters = cl)
   }
 
+  /** The END of every curation run: [[curate]] straight into
+    * [[Sampling.writeShards]] — the curated corpus materialized as the
+    * artifact a training job consumes, one split at a time
+    * (`outDir/train/…`, `outDir/val/…`, `outDir/test/…`, each with its
+    * shard files and certified manifest). Returns the combined
+    * manifest table with a `split` column; splits the manifest left
+    * empty write nothing and contribute no rows.
+    *
+    * Plan shape: the chain runs ONCE (its manifest is materialized
+    * under `mat` — it feeds three split filters); each split's text is
+    * recovered by one doc_id semi-join (manifest-sized, AQE-broadcast)
+    * and handed to the writer. Doc text flows scan → one co-locating
+    * shuffle → disk; it never enters the chain's own shuffles.
+    */
+  def curateToShards(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      outDir: String,
+      tokenBudget: Long,
+      buckets: Int = 32,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0,
+      split: SplitMode = SplitMode.Hash,
+      evalShingles: Option[DataFrame] = None,
+      blocklist: Seq[String] = Nil): DataFrame = {
+    val manifest = Materialize(
+      curate(docs, evalDocs, keepLangs, minTokens, rates, defaultRate,
+        trainPct, valPct, mat, sizeRatioFloor, split, evalShingles, blocklist),
+      mat)
+    val written = Seq("train", "val", "test").flatMap { sp =>
+      val ids = manifest.filter(col("split") === sp).select("doc_id")
+      if (ids.isEmpty) None
+      else Some(
+        Sampling.writeShards(
+          docs.join(ids, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
+          s"$outDir/$sp", tokenBudget, buckets)
+          .withColumn("split", lit(sp)))
+    }
+    written.reduceOption(_ unionByName _)
+      .getOrElse(docs.sparkSession.emptyDataFrame)
+  }
+
   /** The outputs of [[curateWithFunnel]]: the surviving training
     * manifest and the per-stage loss accounting, derived from one
     * computation of the chain's drop sets — plus the chain's near-dup

@@ -34,6 +34,39 @@ class CurationSpec extends SparkSpec {
   ).toDF("doc_id", "text")
   private val rates = Map("src2" -> 0.0)
 
+  test("curateToShards: the chain's survivors land on disk as certified per-split shards") {
+    // 40 clean distinct English docs (unique shingles → no near-dups)
+    // + the known-drop docs from the designed corpus
+    val big = ((1L to 40L).map(i =>
+      (i, s"the quick number$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i and", "src0")) ++
+      Seq((101L, "short text", "src0"), (102L, contamText, "src0")))
+      .toDF("doc_id", "text", "source")
+    val out = java.nio.file.Files.createTempDirectory("graft-cts-").toString
+    val written = Curation.curateToShards(big, evalDocs, out, tokenBudget = 30, buckets = 4)
+      .select("split", "n_docs").as[(String, Long)].collect()
+    val manifest = Curation.curate(big, evalDocs)
+      .select("split", "doc_id").as[(String, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    // every nonempty split got shards whose doc totals match the chain
+    assert(written.nonEmpty)
+    written.groupBy(_._1).foreach { case (sp, rows) =>
+      assert(rows.map(_._2).sum === manifest(sp).size.toLong, sp)
+    }
+    manifest.keys.foreach { sp =>
+      // the written artifact audits clean and holds exactly the
+      // manifest's doc ids for that split
+      val audit = Sampling.verifyShards(spark, s"$out/$sp")
+        .select("ok").as[Boolean].collect()
+      assert(audit.nonEmpty && audit.forall(identity), sp)
+      assert(spark.read.parquet(s"$out/$sp/shards").select("doc_id")
+        .as[Long].collect().toSet === manifest(sp), sp)
+    }
+    // the dropped docs are nowhere in the artifact
+    val allWritten = manifest.keys.flatMap(sp =>
+      spark.read.parquet(s"$out/$sp/shards").select("doc_id").as[Long].collect()).toSet
+    assert(!allWritten.contains(101L) && !allWritten.contains(102L))
+  }
+
   test("rowFlags fuses qualityScore.keep and languageId.pred_lang into one pass") {
     val flags = Curation.rowFlags(docs, minTokens = 10)
       .select("doc_id", "q_keep", "pred_lang").as[(Long, Boolean, String)]
