@@ -63,6 +63,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.shardManifestTableFunction)
+    ext.injectTableFunction(GraftExtensions.unimaxTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1236,6 +1237,34 @@ object GraftExtensions {
         graft.ops.Sampling.shardManifest(docs, budget.toLong, buckets))
     })
 
+  /** SQL surface for UniMax budget allocation
+    * ([[graft.ops.Sampling.unimaxPlan]]):
+    *
+    * {{{
+    * SELECT * FROM graft_unimax('docs', 'source', 40000)       -- maxEpochs=4
+    * SELECT * FROM graft_unimax('docs', 'source', 40000, 2)
+    * }}}
+    *
+    * Weights-free waterfilling: per source, available/capacity/alloc
+    * tokens, epochs, and the capped bit. (Integer maxEpochs at the
+    * SQL surface; call the Scala API for fractional caps.) */
+  private val unimaxTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_unimax"),
+    new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_unimax"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3 || children.size == 4,
+        "graft_unimax(docs_table, source_col, token_budget[, max_epochs])")
+      val str = stringArg("graft_unimax") _
+      val int = intArg("graft_unimax") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val srcCol = str(children(1), "source_col")
+      val budget = int(children(2), "token_budget")
+      val maxEpochs = if (children.size == 4) int(children(3), "max_epochs").toDouble else 4.0
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Sampling.unimaxPlan(docs, srcCol, budget.toLong, maxEpochs))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -1264,7 +1293,8 @@ object GraftExtensions {
         containmentTableFunction, histogramTableFunction,
         readabilityTableFunction, corpusHealthTableFunction,
         paraDedupTableFunction, spanEvalTableFunction,
-        lm3ScoreTableFunction, shardManifestTableFunction)
+        lm3ScoreTableFunction, shardManifestTableFunction,
+        unimaxTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

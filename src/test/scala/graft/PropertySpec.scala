@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import graft.ops.{Bpe, Dedup, TextAnalysis}
+import graft.ops.{Bpe, Dedup, Sampling, TextAnalysis}
 import SparkSpec.spark.implicits._
 
 /** Seeded randomized cross-validation: each test drives an operator
@@ -135,6 +135,58 @@ class PropertySpec extends SparkSpec {
         assert(b >= 0 && b < bins && lo === b * w && hi === (b + 1) * w)
       }
       assert(rows.map(_.getInt(0)).distinct.length === rows.length, "buckets unique")
+    }
+  }
+
+  test("paragraphDedup: kept counts conserve; a corpus with unique paragraphs loses nothing") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(200 + seed)
+      val vocab = (0 until 40).map(i => s"pw$i$seed")
+      def para(): String =
+        Seq.fill(3 + rnd.nextInt(6))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      // half the docs repeat a shared paragraph, half are all-fresh
+      val shared = para()
+      val d = (1L to 10L).map { id =>
+        val ps = Seq.fill(1 + rnd.nextInt(3))(para()) ++
+          (if (id % 2 == 0) Seq(shared) else Nil)
+        (id, ps.mkString("\n\n"))
+      }.toDF("doc_id", "text")
+      val rows = Dedup.paragraphDedup(d).as[(Long, Int, Int, String)].collect()
+      rows.foreach { case (id, n, kept, _) =>
+        assert(kept >= 0 && kept <= n, s"seed=$seed doc=$id")
+      }
+      // exactly one copy of every duplicated paragraph survives: total
+      // kept == total distinct normalized paragraphs in the corpus
+      val distinctParas = d.as[(Long, String)].collect()
+        .flatMap(_._2.split("\n\n")).map(_.trim).filter(_.nonEmpty)
+        .map(_.toLowerCase.replaceAll("[^a-z0-9 ]", "").split("\\s+").mkString(" "))
+        .distinct.length
+      assert(rows.map(_._3).sum === distinctParas, s"seed=$seed")
+    }
+  }
+
+  test("unimaxPlan: allocations respect caps, budget, and equal uncapped shares") {
+    for (seed <- 1 to 3) {
+      val rnd = new scala.util.Random(300 + seed)
+      val d = ('A' to ('A' + 5 + rnd.nextInt(4)).toChar).map { s =>
+        (s.toString, Seq.fill(1 + rnd.nextInt(80))("x").mkString(" "))
+      }.toDF("source", "text")
+      val budget = 50L + rnd.nextInt(300)
+      val got = Sampling.unimaxPlan(d, "source", budget, maxEpochs = 2.0)
+        .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      got.foreach { case (s, avail, cap, alloc, epochs, capped) =>
+        assert(alloc <= cap, s"seed=$seed $s alloc=$alloc cap=$cap")
+        assert(cap === math.floor(avail * 2.0).toLong, s"seed=$seed $s")
+        if (capped) assert(alloc === cap, s"seed=$seed $s")
+      }
+      assert(got.map(_._4).sum <= budget, s"seed=$seed")
+      // uncapped sources all receive the identical share
+      val shares = got.filter(!_._6).map(_._4).distinct
+      assert(shares.length <= 1, s"seed=$seed shares=${shares.toSeq}")
+      // and if anything is uncapped, the budget is (near-)exhausted:
+      // undershoot only by the flooring, bounded by the source count
+      if (shares.nonEmpty)
+        assert(budget - got.map(_._4).sum < got.length, s"seed=$seed")
     }
   }
 

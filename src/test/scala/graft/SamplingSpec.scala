@@ -180,6 +180,13 @@ class SamplingSpec extends SparkSpec {
       .as[(String, Long, Long, Long, Double, Boolean)].collect()
     assert(any.forall(_._5 <= 1.5))
     assert(any.map(_._4).sum <= 120L)
+    // SQL surface parity (integer-epochs arity)
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("um_docs")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_unimax('um_docs', 'source', 100, 1)")
+      .as[(String, Long, Long, Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap === got)
   }
 
   test("temperatureRates: smallest source pins rate 1, ratios follow p^(1/T-1)") {
