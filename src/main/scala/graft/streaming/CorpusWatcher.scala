@@ -322,6 +322,7 @@ object CorpusWatcher {
       adaptiveMixtureGate: Option[graft.ops.Sampling.AdaptiveMixtureGate] = None,
       paraHistoryDir: Option[String] = None,
       paraBoundary: String = "\\n+",
+      compactEvery: Option[Int] = None,
       spanHistoryDir: Option[String] = None,
       positional: Boolean = false,
       metricsDir: Option[String] = None,
@@ -545,6 +546,23 @@ object CorpusWatcher {
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }
+        // periodic history compaction — the operational face of
+        // [[compactHistory]], run AFTER everything the batch publishes
+        // is on disk. Safe mid-stream by the compaction contract (the
+        // newest batch partition is never touched, ids are negative);
+        // every (compactEvery)-th batch folds each history's older
+        // partitions so file counts stay bounded at crawl cadence.
+        // NOT the adaptive gate's stats dir: compaction's crash window
+        // leaves duplicate rows, invisible to the semi-join histories
+        // but double-counted by the stats table's SUM consumer —
+        // compact that one offline, when the stream is down.
+        compactEvery.foreach { n =>
+          require(n >= 1, s"compactEvery=$n must be >= 1")
+          if (batchId % n == (n - 1).toLong) {
+            (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir)
+              .foreach(dir => compactHistory(session, dir))
+          }
+        }
         // every consumer (band/anchor appends, snapshot, metrics) is
         // on disk now — release the whole batch's stage ledger (a
         // long-running stream must not accumulate caches per batch)
@@ -579,9 +597,12 @@ object CorpusWatcher {
     *  - CRASH: write-then-delete. The combined partition lands under
     *    a fresh id first; only then are the sources deleted
     *    (individually idempotent). A crash between the two leaves
-    *    DUPLICATE rows, which every consumer tolerates — the band and
-    *    anchor histories feed semi-joins, where multiplicity is
-    *    invisible — and the next compaction run clears.
+    *    DUPLICATE rows, which every INTENDED consumer tolerates — the
+    *    band, anchor, and paragraph histories feed semi-joins, where
+    *    multiplicity is invisible — and the next compaction run
+    *    clears. Do NOT auto-compact tables whose consumers SUM rows
+    *    (the adaptive gate's stats dir): duplicates double-count
+    *    there; compact those only while no consumer runs.
     *  - CONCURRENT APPEND: a batch landing mid-run gets a fresh
     *    higher id the listing never saw; it is simply not compacted
     *    this round.

@@ -363,6 +363,37 @@ class CorpusWatcherSpec extends SparkSpec {
       (1L, Some("wiki"), 30L, 150L)))
   }
 
+  test("compactEvery folds history partitions mid-stream without changing dedup behavior") {
+    val (watch, index, quar, bands) =
+      (tmp("watchce"), tmp("indexce"), tmp("quarce") + "/bad", tmp("bandsce") + "/bands")
+    val ckpt = tmp("ckptce")
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      dedupBandsDir = Some(bands), compactEvery = Some(1)).awaitTermination()
+    def feed(n: Int, lines: String*): Unit =
+      Files.write(Paths.get(watch, s"feed-$n.json"),
+        (lines.mkString("\n") + "\n").getBytes("UTF-8"))
+    feed(0,
+      """{"doc_id": 1, "text": "alpha beta gamma delta"}""",
+      """{"doc_id": 2, "text": "one two three four"}""")
+    run()
+    feed(1,
+      """{"doc_id": 3, "text": "alpha beta gamma delta"}""",  // dups 1
+      """{"doc_id": 4, "text": "five six seven eight"}""")
+    run()
+    feed(2,
+      """{"doc_id": 5, "text": "five six seven eight"}""",    // dups 4
+      """{"doc_id": 6, "text": "nine ten eleven twelve"}""")
+    run()
+    // dedup across all three batches behaved exactly as without
+    // compaction: cross-batch near-dups 3 and 5 are gone
+    assert(indexEntries(index).map(_._2).toSet === Set("1", "2", "4", "6"))
+    // after batch 2's compaction pass: batches 0+1 folded into one
+    // negative-id partition, the newest batch partition left alone
+    val parts = new java.io.File(bands).listFiles().filter(_.isDirectory)
+      .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+    assert(parts === Set(-1L, 2L), parts.toString)
+  }
+
   test("compactHistory: folds all but the newest batch into one negative-id partition") {
     val dir = tmp("compact") + "/bands"
     def bandsOf(rows: (Long, String)*) =
