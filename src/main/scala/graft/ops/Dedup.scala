@@ -1204,25 +1204,18 @@ object Dedup {
     * Scale: anchor selection is entirely map-side (one projection, no
     * shuffle); only the ~1/modP selected sites ever leave the scan, so
     * `modP` is the shuffle-volume dial — at 100 TB, modP=32-64 puts the
-    * site table at well under a byte per corpus char. Per-char hashing
-    * cost is O(k) md5 work; a native rolling-hash Expression is the
-    * stated upgrade path if the scan ever becomes compute-bound.
+    * site table at well under a byte per corpus char. The scan runs on
+    * the native [[graft.functions.GramAnchors]] expression (one
+    * byte-level pass per doc, no per-position expression
+    * interpretation or hex round-trips — the round-12 upgrade of the
+    * original higher-order-function formulation, value-identical by
+    * the parity spec).
     */
-  def anchorSites(docs: DataFrame, k: Int = 24, modP: Int = 8): DataFrame = {
-    val siteTy = "array<struct<pos:int,h:bigint>>"
-    val gramHash = (p: Column) =>
-      conv(substring(md5(col("text").substr(p + lit(1), lit(k))), 1, 13), 16, 10).cast("long")
+  def anchorSites(docs: DataFrame, k: Int = 24, modP: Int = 8): DataFrame =
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), col("text"),
-        when(length(col("text")) >= k,
-          filter(
-            transform(sequence(lit(0), length(col("text")) - k),
-              p => struct(p.as("pos"), gramHash(p).as("h"))),
-            s => s.getField("h") % modP === 0))
-          .otherwise(array().cast(siteTy)).as("anchors"))
-      .select(col("doc_id"), explode(col("anchors")).as("a"))
+      .select(col("doc_id"),
+        explode(graft.functions.GramAnchors.anchors(col("text"), k, modP)).as("a"))
       .select(col("doc_id"), col("a.pos").as("pos"), col("a.h").as("h"))
-  }
 
   /** Duplicated-substring spans (the ExactSubstr family of Lee et al.,
     * "Deduplicating Training Data Makes Language Models Better", 2022,

@@ -441,6 +441,39 @@ class DedupSpec extends SparkSpec {
   private val region: String =
     (0 until 40).map(i => f"w${(i * 37) % 997}%03dq").mkString(" ")
 
+  test("GramAnchors == the higher-order md5 formulation, ASCII through emoji") {
+    val rnd = new scala.util.Random(7)
+    val alphabets = Seq("abcdef gh", "áéíöü αβγ", "漢字かな 混合abc", "emoji😀mix🎉 text")
+    val texts = (alphabets.flatMap { a =>
+      val cps = a.codePoints().toArray
+      (1 to 5).map { _ =>
+        val len = rnd.nextInt(40)
+        new String((0 until len).flatMap(_ =>
+          Character.toChars(cps(rnd.nextInt(cps.length)))).toArray)
+      }
+    } :+ "" :+ "short").zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("doc_id", "text")
+    for ((k, modP) <- Seq((4, 2), (8, 1), (16, 4))) {
+      val native = Dedup.anchorSites(d, k, modP).as[(Long, Int, Long)].collect().toSet
+      // reference: the pre-round-12 Column formulation, verbatim
+      val siteTy = "array<struct<pos:int,h:bigint>>"
+      val gramHash = (p: org.apache.spark.sql.Column) =>
+        conv(substring(md5(col("text").substr(p + lit(1), lit(k))), 1, 13), 16, 10).cast("long")
+      val ref = d.select(col("doc_id"), col("text"),
+          when(length(col("text")) >= k,
+            filter(
+              transform(sequence(lit(0), length(col("text")) - k),
+                p => struct(p.as("pos"), gramHash(p).as("h"))),
+              s => s.getField("h") % modP === 0))
+            .otherwise(array().cast(siteTy)).as("anchors"))
+        .select(col("doc_id"), explode(col("anchors")).as("a"))
+        .select(col("doc_id"), col("a.pos"), col("a.h"))
+        .as[(Long, Int, Long)].collect().toSet
+      assert(native === ref, s"k=$k modP=$modP")
+      assert(native.nonEmpty || texts.forall(_._2.length < k), s"degenerate fixture k=$k")
+    }
+  }
+
   test("duplicateSpans: unaligned cross-doc copy spans only the non-canonical doc") {
     val junk = "completely unrelated filler prose that shares nothing at all with it "
     val d = docs(1L -> region, 2L -> (junk + region))
