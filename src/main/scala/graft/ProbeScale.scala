@@ -419,12 +419,15 @@ object ProbeScale {
     // by design — keys, never text); the snapshot rewrite is the one
     // stage linear in the INDEX (the documented plain-parquet stand-in
     // for a Delta MERGE). No stage may grow super-linearly.
-    if (section == "stream") {
+    // "stream12" = the same harness with the round-12 stages swapped
+    // in: paragraph-history strip + periodic compaction + the ADAPTIVE
+    // mixture gate in place of the fixed-rate one
+    if (section == "stream" || section == "stream12") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import graft.streaming.CorpusWatcher
     import graft.ops.{Curation, Dedup, Sampling}
-    val root = "/tmp/stream_probe"
+    val root = if (section == "stream12") "/tmp/stream12_probe" else "/tmp/stream_probe"
     def rmrf(p: String): Unit = {
       val d = Paths.get(p)
       if (Files.exists(d)) {
@@ -487,7 +490,15 @@ object ProbeScale {
           qualityGate = Some(Curation.QualityGate()),
           classifierGate = Some(Curation.ClassifierGate(weights)),
           decontamShingles = Some(evalSh), decontamW = decontamW,
-          mixtureGate = Some(Sampling.MixtureGate(rates, defaultRate = 0.5)),
+          mixtureGate =
+            if (section == "stream12") None
+            else Some(Sampling.MixtureGate(rates, defaultRate = 0.5)),
+          adaptiveMixtureGate =
+            if (section == "stream12")
+              Some(Sampling.AdaptiveMixtureGate(s"$root/mixstats", temperature = 2.0))
+            else None,
+          paraHistoryDir = if (section == "stream12") Some(s"$root/paras") else None,
+          compactEvery = if (section == "stream12") Some(3) else None,
           spanHistoryDir = Some(spans),
           metricsDir = Some(metrics), driftDir = Some(drift))
           .awaitTermination()
