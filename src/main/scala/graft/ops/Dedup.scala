@@ -152,19 +152,21 @@ object Dedup {
     * minimum of a uniform hex hash is a valid minwise permutation
     * sample.
     *
-    * ONE explode + ONE groupBy computes all k signatures as k aggregate
-    * columns (the round-1 formulation crossJoined a seed table and paid
-    * a k-times-larger shuffle plus a second aggregation).
+    * Since round 12 this is a ROW-PARALLEL projection over the native
+    * [[graft.functions.MinHashSigs]] expression: one pass per doc
+    * computes all k minima, so the exploded shingle stream and the
+    * groupBy(doc_id) SHUFFLE of the aggregate formulation (one row per
+    * shingle OCCURRENCE into the exchange) are gone from every MinHash
+    * consumer. Value-identical by the parity spec; the expression is
+    * PlanSeal-ed so multi-field consumers evaluate it once.
     */
-  def minhashSignaturesWide(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame = {
-    val aggs = (0 until k).map { s =>
-      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
-    }
-    shingled(docs, w)
-      .select(col("doc_id"), explode(col("shl")).as("shingle"))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-  }
+  def minhashSignaturesWide(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        graft.functions.PlanSeal.seal(
+          graft.functions.MinHashSigs.of(TextNorm.tokens(col("text")), w, k)).as("mh"))
+      .select(col("doc_id") +:
+        (0 until k).map(s => col("mh.sigs").getItem(s).as(s"sig$s")): _*)
 
   /** MinHash signatures, LONG form (doc_id, seed, sig) — the wide form
     * unpivoted; kept as the interoperable representation. */
@@ -252,20 +254,16 @@ object Dedup {
 
   /** [[minhashSignaturesWide]] plus each doc's DISTINCT shingle-set
     * size — the quantity the length-ratio prefilter bounds Jaccard
-    * with. n_sh is computed row-parallel BEFORE the explode (an
-    * `array_distinct` over the doc's own array), so the signature
-    * groupBy stays a plain hash aggregate — no count-distinct
-    * two-phase expansion, the shuffle rows just carry one extra int. */
-  private def wideWithSize(docs: DataFrame, w: Int, k: Int): DataFrame = {
-    val aggs = (0 until k).map { s =>
-      min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
-    } :+ max(col("n_sh")).as("n_sh")
-    shingled(docs, w)
-      .select(col("doc_id"), size(array_distinct(col("shl"))).as("n_sh"),
-        explode(col("shl")).as("shingle"))
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-  }
+    * with. The native expression computes both in the same row-local
+    * pass (its `n_sh` field IS the distinct count), so this too is
+    * shuffle-free. */
+  private def wideWithSize(docs: DataFrame, w: Int, k: Int): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        graft.functions.PlanSeal.seal(
+          graft.functions.MinHashSigs.of(TextNorm.tokens(col("text")), w, k)).as("mh"))
+      .select(col("doc_id") +: col("mh.n_sh").as("n_sh") +:
+        (0 until k).map(s => col("mh.sigs").getItem(s).as(s"sig$s")): _*)
 
   /** [[bandsFromWide]] with the n_sh column riding along. */
   private def bandsFromWideWithSize(wide: DataFrame, k: Int, bands: Int): DataFrame = {

@@ -26,6 +26,30 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === Seq("a b"))
   }
 
+  test("MinHashSigs == the aggregate min(md5) formulation, short and empty docs included") {
+    val rnd = new scala.util.Random(11)
+    val vocab = Seq("alpha", "beta", "gamma7", "delta", "kanji", "mix42", "x1", "the")
+    val texts = ((1 to 15).map { _ =>
+      Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq("", "one", "two tokens")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("doc_id", "text")
+    for ((w, k) <- Seq((3, 8), (2, 4))) {
+      val native = Dedup.minhashSignaturesWide(d, w, k).collect()
+        .map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+      // reference: the pre-round-12 explode + groupBy aggregate chain
+      val aggs = (0 until k).map(s =>
+        min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s"))
+      val ref = d.select(col("doc_id"), Dedup.shingleCol(col("text"), w).as("shl"))
+        .select(col("doc_id"), explode(col("shl")).as("shingle"))
+        .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
+        .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
+      assert(native === ref, s"w=$w k=$k")
+    }
+    // the signature plan is shuffle-free: no exchange anywhere
+    val plan = Dedup.minhashSignaturesWide(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("minhash long form matches wide form") {
     val d = docs(1L -> "a b c d e f", 2L -> "b c d e f g")
     val wide = Dedup.minhashSignaturesWide(d, w = 3, k = 4)
