@@ -481,25 +481,17 @@ object Dedup {
     */
   def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
     require(bits % 4 == 0, s"bits=$bits must be a multiple of 4 (hex digits)")
-    // materialize each hex DIGIT's value once per token row — the four
-    // bit aggregates of a digit then share it (the inlined form
-    // re-evaluated conv(substring(...)) once per bit per row: 4x the
-    // parse work inside the aggregate's input projection)
-    val tok = tokenized(docs)
-      .select(col("doc_id"), explode(col("ts")).as("word"))
-      .select(col("doc_id"), md5(col("word")).as("h"))
-      .select(col("doc_id") +: (0 until bits / 4).map { d =>
-        conv(substring(col("h"), d + 1, 1), 16, 10).cast("int").as(s"d$d")
-      }: _*)
-    // bit j of the hash = bit (3 - j%4) of hex digit j/4
-    def bitOf(j: Int): Column =
-      (col(s"d${j / 4}").bitwiseAND(lit(1 << (3 - j % 4))) > 0).cast("int")
-    val weights = (0 until bits).map(j => sum(bitOf(j) * 2 - 1).as(s"w$j"))
-    val agg = tok.groupBy("doc_id").agg(weights.head, weights.tail: _*)
-    val sig = (0 until bits).map(j =>
-      when(col(s"w$j") > 0, lit(1L << (bits - 1 - j))).otherwise(0L)
-    ).reduce(_ + _)
-    agg.select(col("doc_id"), sig.as("simhash"))
+    // row-local since round 12: the native [[graft.functions
+    // .SimHashSig]] expression folds the per-token ±1 bit votes inside
+    // one pass per doc — the exploded token stream and the per-bit
+    // groupBy SHUFFLE of the aggregate formulation are gone
+    // (value-identical by the parity spec). Token-less docs surface as
+    // NULL and are filtered, reproducing the aggregate form's
+    // no-group exclusion.
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        graft.functions.SimHashSig.of(TextNorm.tokens(col("text")), bits).as("simhash"))
+      .where(col("simhash").isNotNull)
   }
 
   /** SimHash near-dup pairs, Hamming-LSH blocking: split the signature

@@ -76,6 +76,37 @@ class DedupSpec extends SparkSpec {
     assert(got.toSeq === Seq((1L, 2L, 1.0)))
   }
 
+  test("SimHashSig == the per-bit aggregate formulation; token-less docs excluded") {
+    val rnd = new scala.util.Random(13)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps7", "zeta", "the", "x")
+    val texts = ((1 to 15).map { _ =>
+      Seq.fill(1 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq("", "...", "one")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("doc_id", "text")
+    for (bits <- Seq(16, 64)) {
+      val native = Dedup.simhash(d, bits).as[(Long, Long)].collect().toMap
+      // reference: the pre-round-12 explode + per-bit sum chain
+      val tok = d.select(col("doc_id"), graft.core.TextNorm.tokens(col("text")).as("ts"))
+        .select(col("doc_id"), explode(col("ts")).as("word"))
+        .select(col("doc_id"), md5(col("word")).as("h"))
+        .select(col("doc_id") +: (0 until bits / 4).map { dg =>
+          conv(substring(col("h"), dg + 1, 1), 16, 10).cast("int").as(s"d$dg")
+        }: _*)
+      def bitOf(j: Int) =
+        (col(s"d${j / 4}").bitwiseAND(lit(1 << (3 - j % 4))) > 0).cast("int")
+      val weights = (0 until bits).map(j => sum(bitOf(j) * 2 - 1).as(s"w$j"))
+      val sig = (0 until bits).map(j =>
+        when(col(s"w$j") > 0, lit(1L << (bits - 1 - j))).otherwise(0L)).reduce(_ + _)
+      val ref = tok.groupBy("doc_id").agg(weights.head, weights.tail: _*)
+        .select(col("doc_id"), sig.as("simhash"))
+        .as[(Long, Long)].collect().toMap
+      assert(native === ref, s"bits=$bits")
+    }
+    // shuffle-free signature plan
+    val plan = Dedup.simhash(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("simhash pigeonhole: blocked pairs == brute-force pairs within maxHamming") {
     // 20 near-ish docs: blocking must not lose any qualifying pair
     val d = docs((1L to 20L).map(i =>
