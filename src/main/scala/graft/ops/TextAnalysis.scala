@@ -663,8 +663,11 @@ object TextAnalysis {
     * as the document's fingerprint set. Two docs sharing fingerprints
     * share content even after edits.
     *
-    * The window is per-document (`partitionBy doc_id`) so the shuffle is
-    * one hash-partition on doc_id; no global sort.
+    * Row-local since round 12: the native
+    * [[graft.functions.WinnowFps]] expression winnows each doc in one
+    * pass — the per-doc hash-partition shuffle and window sort of the
+    * original formulation are gone (value-identical by the parity
+    * spec).
     */
   def fingerprints(docs: DataFrame, w: Int = 5, k: Int = 1): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
@@ -677,20 +680,10 @@ object TextAnalysis {
     // GRAMS, winnow those — the gram space is content-specific, so
     // shared fingerprints imply shared local regions
     // ([[graft.ops.Dedup.fingerprintPairs]] uses k = 3).
-    val win = Window.partitionBy("doc_id").orderBy("pos")
-      .rowsBetween(-(w - 1), Window.currentRow)
-    val grams = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
-      .where(size(col("ts")) >= k)
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(1), size(col("ts")) - (k - 1)),
-        i => concat_ws(" ", slice(col("ts"), i, lit(k))))).as(Seq("pos", "g")))
-    grams
-      .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
-      .withColumn("fp", min(col("h")).over(win))
-      .filter(col("pos") >= w - 1)  // only full windows
-      .select(col("doc_id"), col("fp"))
-      .distinct()
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        explode(graft.functions.WinnowFps.of(
+          TextNorm.tokens(col("text")), w, k)).as("fp"))
   }
 
   /** Corpus drift monitor: Kullback-Leibler and Jensen-Shannon

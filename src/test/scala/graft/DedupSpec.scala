@@ -26,6 +26,37 @@ class DedupSpec extends SparkSpec {
     assert(got(2L) === Seq("a b"))
   }
 
+  test("WinnowFps == the window-min formulation, degenerate docs included") {
+    val rnd = new scala.util.Random(17)
+    val vocab = Seq("alpha", "beta", "gamma", "delta", "eps", "zeta", "the", "x9")
+    val texts = ((1 to 15).map { _ =>
+      Seq.fill(rnd.nextInt(40))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    } ++ Seq("", "one two", "a b c d")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("doc_id", "text")
+    for ((w, k) <- Seq((5, 1), (4, 3), (2, 2))) {
+      val native = graft.ops.TextAnalysis.fingerprints(d, w, k)
+        .as[(Long, String)].collect().toSet
+      // reference: the pre-round-12 Window chain
+      import org.apache.spark.sql.expressions.Window
+      val win = Window.partitionBy("doc_id").orderBy("pos")
+        .rowsBetween(-(w - 1), Window.currentRow)
+      val ref = d.select(col("doc_id"), graft.core.TextNorm.tokens(col("text")).as("ts"))
+        .where(size(col("ts")) >= k)
+        .select(col("doc_id"), posexplode(transform(
+          sequence(lit(1), size(col("ts")) - (k - 1)),
+          i => concat_ws(" ", slice(col("ts"), i, lit(k))))).as(Seq("pos", "g")))
+        .select(col("doc_id"), col("pos"), md5(col("g")).as("h"))
+        .withColumn("fp", min(col("h")).over(win))
+        .filter(col("pos") >= w - 1)
+        .select(col("doc_id"), col("fp")).distinct()
+        .as[(Long, String)].collect().toSet
+      assert(native === ref, s"w=$w k=$k")
+    }
+    val plan = graft.ops.TextAnalysis.fingerprints(d, 4, 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), plan)
+  }
+
   test("MinHashSigs == the aggregate min(md5) formulation, short and empty docs included") {
     val rnd = new scala.util.Random(11)
     val vocab = Seq("alpha", "beta", "gamma7", "delta", "kanji", "mix42", "x1", "the")
