@@ -1578,6 +1578,73 @@ object Dedup {
           when(col("tp") + col("fp") > 0, col("tp") + col("fp")), 6).as("precision"))
   }
 
+  /** The modP DIAL for substring dedup — [[bandingPlan]]'s counterpart
+    * for the span family, data-driven where the S-curve is closed-form:
+    * mod-p sampling's miss probability depends on the corpus's ACTUAL
+    * duplicated-span length distribution (a span of length L carries
+    * L−k+1 grams, each sampled at rate 1/modP, so it is missed with
+    * probability (1−1/modP)^(L−k+1) — short spans dominate the misses,
+    * and only the corpus knows how short its spans are; the round-12
+    * [[spanEval]] measured recall 0.571 at modP=8 on this corpus for
+    * exactly that reason).
+    *
+    * Per candidate `modP`, the estimated CHAR-level recall over the
+    * exact ground-truth spans of an md5-bucket sample
+    * (= [[duplicateSpans]] at modP=1/gap=k, the [[spanEval]] truth):
+    * `est_recall = Σ_spans L·(1 − (1−1/modP)^(L−k+1)) / Σ_spans L` —
+    * a detected span is counted fully covered (the ~modP-char edge
+    * truncation spanEval measures is ignored), so the estimate is an
+    * UPPER bound on spanEval's recall at the same parameters; pick the
+    * largest modP whose estimate clears the target with margin.
+    *
+    * Determinism: per-span terms are IEEE pow rounded to 6dp and
+    * DECIMAL-summed (order-independent; the [[graft.ops.Sampling
+    * .temperatureRates]] pow-then-round precedent), the final ratio
+    * one division rounded 6.
+    *
+    * Output: one row per candidate — `(mod_p, n_spans, truth_chars,
+    * est_recall)`; with no duplicated spans in the sample the recall
+    * is NULL, never a 0/0 artifact.
+    *
+    * Scale contract: the modP=1 scan runs on the SAMPLE only (raise
+    * `sampleMod` with the corpus — the [[spanEval]] contract); the
+    * estimate itself is span-table-sized × |candidates|.
+    */
+  def spanPlan(
+      docs: DataFrame,
+      k: Int = 24,
+      sampleMod: Int = 4,
+      candidates: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(sampleMod >= 1, s"sampleMod=$sampleMod must be >= 1")
+    require(candidates.nonEmpty && candidates.forall(_ >= 2),
+      s"candidates must all be >= 2, got $candidates")
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % sampleMod
+    val sample = docs.filter(bucket === 0)
+    val truth = graft.core.Materialize(
+      duplicateSpans(sample, k, 1, k, mat)
+        .select((col("span_end") - col("span_start")).as("len")),
+      mat)
+    val cand = docs.sparkSession
+      .createDataFrame(candidates.map(Tuple1.apply)).toDF("mod_p")
+    val terms = truth.crossJoin(broadcast(cand))
+      .select(col("mod_p"), col("len"),
+        round(col("len") *
+          (lit(1.0) - pow(lit(1.0) - lit(1.0) / col("mod_p"), col("len") - (k - 1))), 6)
+          .cast(DecimalType(28, 6)).as("t"))
+    cand.join(
+      terms.groupBy("mod_p")
+        .agg(count(lit(1)).as("n_spans"), sum("len").as("truth_chars"), sum("t").as("st")),
+      Seq("mod_p"), "left")
+      .select(col("mod_p"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("truth_chars"), lit(0L)).as("truth_chars"),
+        round(col("st").cast("double") /
+          when(col("truth_chars") > 0, col("truth_chars")), 6).as("est_recall"))
+  }
+
   /** Per-SOURCE MinHash signature — the minwise hash of the UNION of a
     * source's shingle sets (min over a union is the min of mins, so
     * grouping the doc-level shingle stream by source IS the union's

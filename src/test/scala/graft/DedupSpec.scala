@@ -640,6 +640,41 @@ class DedupSpec extends SparkSpec {
       .head() === prod)
   }
 
+  test("spanPlan: estimates match the closed form over the exact spans; monotone in rate") {
+    val uniqA = "totally fresh lead material preceding the copied area "
+    val d = docs(
+      1L -> region,
+      2L -> (uniqA + region),                       // long copied span
+      3L -> ("prefix bits " + region.take(80) + " unrelated tail words here entirely"))
+    val got = Dedup.spanPlan(d, k = 16, sampleMod = 1, candidates = Seq(2, 8, 32))
+      .as[(Int, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // cross-check against the closed form computed from the exact spans
+    val lens = Dedup.duplicateSpans(d, k = 16, modP = 1, gap = 16)
+      .select((col("span_end") - col("span_start")).as("len")).as[Long].collect()
+    assert(lens.nonEmpty)
+    def expect(p: Int): Double = {
+      val terms = lens.map { l =>
+        BigDecimal(l * (1.0 - math.pow(1.0 - 1.0 / p, (l - 15).toDouble)))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP)
+      }
+      BigDecimal(terms.sum.toDouble / lens.sum)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }
+    Seq(2, 8, 32).foreach { p =>
+      assert(got(p)._1 === lens.length.toLong, s"p=$p")
+      assert(got(p)._2 === lens.sum, s"p=$p")
+      assert(got(p)._3 === Some(expect(p)), s"p=$p")
+    }
+    // denser sampling can only help
+    assert(got(2)._3.get >= got(8)._3.get && got(8)._3.get >= got(32)._3.get)
+    // no duplicated spans → NULL estimate, not a 0/0 artifact
+    val none = Dedup.spanPlan(docs(9L -> "fully unique content with nothing repeated"),
+      k = 16, sampleMod = 1, candidates = Seq(8))
+      .as[(Int, Long, Long, Option[Double])].head()
+    assert(none === ((8, 0L, 0L, None)))
+  }
+
   test("stripDuplicateSpans: cut matches a manual splice of duplicateSpans; short docs untouched") {
     val junk = "leading filler words nothing shared with anything else here at all "
     val d = docs(
