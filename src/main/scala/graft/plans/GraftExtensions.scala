@@ -64,6 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.shardManifestTableFunction)
     ext.injectTableFunction(GraftExtensions.unimaxTableFunction)
+    ext.injectTableFunction(GraftExtensions.spanPlanTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1189,6 +1190,35 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for the span-dedup sampling-rate dial
+    * ([[graft.ops.Dedup.spanPlan]]):
+    *
+    * {{{
+    * SELECT * FROM graft_span_plan('docs')           -- k=24, sample_mod=4
+    * SELECT * FROM graft_span_plan('docs', 24, 4)
+    * }}}
+    *
+    * Per candidate modP: estimated char recall from the sample's exact
+    * span-length distribution (upper bound on graft_span_eval's
+    * measurement at the same parameters). */
+  private val spanPlanTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_span_plan"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_span_plan"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 3,
+        "graft_span_plan(docs_table[, k, sample_mod])")
+      val str = stringArg("graft_span_plan") _
+      val int = intArg("graft_span_plan") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val (k, sampleMod) =
+        if (children.size == 3) (int(children(1), "k"), int(children(2), "sample_mod"))
+        else (24, 4)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.spanPlan(docs, k, sampleMod,
+          mat = graft.core.Materialize.Persist))
+    })
+
   /** SQL surface for trigram stupid-backoff LM scoring
     * ([[graft.ops.TextAnalysis.lm3ScoreAgainst]]):
     *
@@ -1294,7 +1324,7 @@ object GraftExtensions {
         readabilityTableFunction, corpusHealthTableFunction,
         paraDedupTableFunction, spanEvalTableFunction,
         lm3ScoreTableFunction, shardManifestTableFunction,
-        unimaxTableFunction)
+        unimaxTableFunction, spanPlanTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

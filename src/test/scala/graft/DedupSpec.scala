@@ -668,6 +668,13 @@ class DedupSpec extends SparkSpec {
     }
     // denser sampling can only help
     assert(got(2)._3.get >= got(8)._3.get && got(8)._3.get >= got(32)._3.get)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("sp_docs")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_span_plan('sp_docs', 16, 1)")
+      .as[(Int, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      .view.filterKeys(Seq(2, 8, 32).contains).toMap === got)
     // no duplicated spans → NULL estimate, not a 0/0 artifact
     val none = Dedup.spanPlan(docs(9L -> "fully unique content with nothing repeated"),
       k = 16, sampleMod = 1, candidates = Seq(8))
