@@ -140,17 +140,41 @@ object Sampling {
     * WITHOUT the exclude-own-batch dance (a replay rewrites the
     * identical rows, then reads the identical accumulated table).
     * Rates are [[temperatureRatesFromCounts]] over the accumulated
-    * token sums; admission is the same content-independent md5-bucket
-    * predicate as [[mixture]], so a document's fate is deterministic
-    * given (corpus-so-far, doc_id). Sources with no accumulated
-    * tokens (and null-source rows) take `defaultRate`.
+    * token sums — or, when `unimaxBudget` is set, the UniMax
+    * waterfilling allocation ([[unimaxAllocFromCounts]]) with
+    * `rate_s = min(1, alloc_s / available_s)`: sources whose
+    * accumulated mass already exceeds their uniform share of the
+    * budget are throttled toward it, the epoch-cap covering the small
+    * ones — the budget-policy face of the same gate. Admission is the
+    * same content-independent md5-bucket predicate as [[mixture]], so
+    * a document's fate is deterministic given (corpus-so-far,
+    * doc_id). Sources with no accumulated tokens (and null-source
+    * rows) take `defaultRate`.
     */
   final case class AdaptiveMixtureGate(
       statsDir: String,
       temperature: Double = 2.0,
-      defaultRate: Double = 1.0) {
+      defaultRate: Double = 1.0,
+      unimaxBudget: Option[Long] = None,
+      unimaxMaxEpochs: Double = 4.0) {
     require(temperature >= 1.0, s"temperature=$temperature must be >= 1")
     require(defaultRate >= 0.0 && defaultRate <= 1.0, s"defaultRate $defaultRate outside [0,1]")
+    unimaxBudget.foreach(b => require(b > 0, s"unimaxBudget=$b must be positive"))
+    require(unimaxMaxEpochs > 0, s"unimaxMaxEpochs=$unimaxMaxEpochs must be positive")
+
+    /** `(source, rate)` under this gate's policy, from an accumulated
+      * `(source, n_tokens)` table. */
+    private[graft] def ratesFrom(acc: DataFrame): DataFrame = unimaxBudget match {
+      case None =>
+        temperatureRatesFromCounts(acc, temperature).select(col("source"), col("rate"))
+      case Some(b) =>
+        unimaxAllocFromCounts(
+          acc.select(col("source"), col("n_tokens").as("available_tokens")),
+          b, unimaxMaxEpochs)
+          .select(col("source"),
+            round(least(lit(1.0),
+              col("alloc_tokens").cast("double") / col("available_tokens")), 6).as("rate"))
+    }
   }
 
   /** Apply [[temperatureRates]] as a deterministic per-row filter: a
@@ -262,15 +286,33 @@ object Sampling {
       docs: DataFrame,
       sourceCol: String,
       tokenBudget: Long,
-      maxEpochs: Double = 4.0): DataFrame = {
+      maxEpochs: Double = 4.0): DataFrame =
+    unimaxAllocFromCounts(
+      graft.core.Parallelism.ensure(docs)
+        .select(col(sourceCol).as("source"),
+          size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
+        .groupBy("source")
+        .agg(sum("n_tok").as("available_tokens")),
+      tokenBudget, maxEpochs)
+      .select(col("source"), col("available_tokens"), col("capacity"),
+        col("alloc_tokens"),
+        when(col("available_tokens") > 0,
+          round(col("alloc_tokens").cast("double") / col("available_tokens"), 4))
+          .otherwise(lit(0.0)).as("epochs"),
+        col("capped"))
+
+  /** [[unimaxPlan]]'s waterfilling over a PRECOMPUTED
+    * `(source, available_tokens)` table (an accumulated streaming
+    * stats table, a stored profile — anything already counted).
+    * Output: `(source, available_tokens, capacity, alloc_tokens,
+    * capped)`. */
+  def unimaxAllocFromCounts(
+      counts: DataFrame, tokenBudget: Long, maxEpochs: Double = 4.0): DataFrame = {
     require(tokenBudget > 0, s"tokenBudget=$tokenBudget must be positive")
     require(maxEpochs > 0, s"maxEpochs=$maxEpochs must be positive")
     import org.apache.spark.sql.expressions.Window
-    val avail = graft.core.Parallelism.ensure(docs)
-      .select(col(sourceCol).as("source"),
-        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tok"))
-      .groupBy("source")
-      .agg(sum("n_tok").as("available_tokens"))
+    val avail = counts
+      .select(col("source"), col("available_tokens").cast("long").as("available_tokens"))
       .select(col("source"), col("available_tokens"),
         floor(col("available_tokens") * maxEpochs).cast("long").as("capacity"))
     val byCap = Window.orderBy(col("capacity"), col("source"))
@@ -291,12 +333,6 @@ object Sampling {
         when(col("capped"), col("capacity"))
           .otherwise(floor((lit(tokenBudget.toDouble) - col("capped_total"))
             / col("n_uncapped")).cast("long")).as("alloc_tokens"),
-        col("capped"))
-      .select(col("source"), col("available_tokens"), col("capacity"),
-        col("alloc_tokens"),
-        when(col("available_tokens") > 0,
-          round(col("alloc_tokens").cast("double") / col("available_tokens"), 4))
-          .otherwise(lit(0.0)).as("epochs"),
         col("capped"))
   }
 

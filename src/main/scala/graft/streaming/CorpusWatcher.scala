@@ -445,15 +445,14 @@ object CorpusWatcher {
                   .as("n_tokens"))
               .coalesce(1)
               .write.mode("overwrite").parquet(s"${g.statsDir}/batch_id=$batchId")
-            // 2. temperature rates from the ACCUMULATED token mass
-            //    (source-vocabulary-sized at any corpus scale)
+            // 2. policy rates (temperature or UniMax budget) from the
+            //    ACCUMULATED token mass (source-vocabulary-sized at
+            //    any corpus scale)
             val acc = session.read.parquet(g.statsDir)
               .where(col("source").isNotNull)
               .groupBy("source").agg(sum("n_tokens").as("n_tokens"))
               .where(col("n_tokens") > 0)
-            val rates = graft.ops.Sampling
-              .temperatureRatesFromCounts(acc, g.temperature)
-              .select(col("source"), col("rate"))
+            val rates = g.ratesFrom(acc)
             // 3. the same md5-bucket admission predicate as mixture();
             //    null/unseen sources fall to defaultRate
             val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)

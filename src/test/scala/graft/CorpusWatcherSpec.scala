@@ -363,6 +363,41 @@ class CorpusWatcherSpec extends SparkSpec {
       (1L, Some("wiki"), 30L, 150L)))
   }
 
+  test("adaptiveMixtureGate UniMax policy: over-share sources throttle toward the budget") {
+    val (watch, index, quar, stats) =
+      (tmp("watchum"), tmp("indexum"), tmp("quarum") + "/bad", tmp("statsum") + "/stats")
+    val ckpt = tmp("ckptum")
+    def bucket(id: Long): Long = {
+      val h = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(h.substring(0, 4), 16) % 10000
+    }
+    def line(id: Long, src: String): String =
+      s"""{"doc_id": $id, "text": "alpha beta gamma delta tok$id", "source": "$src"}"""
+    val gate = Some(graft.ops.Sampling.AdaptiveMixtureGate(stats,
+      unimaxBudget = Some(60L), unimaxMaxEpochs = 1.0))
+    // batch 0: web 40 / wiki 10 tokens — total capacity 50 <= budget
+    // 60, so BOTH sources are capped at their capacity: rate 1.0, all
+    // admitted
+    val b0 = (1L to 8L).map(line(_, "web")) ++ Seq(line(11L, "wiki"), line(12L, "wiki"))
+    Files.write(Paths.get(watch, "feed-0.json"), (b0.mkString("\n") + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      adaptiveMixtureGate = gate).awaitTermination()
+    def indexedDocs: Set[Long] = indexEntries(index).map(_._2.toLong)
+    val expect0 = (1L to 8L).toSet ++ Set(11L, 12L)
+    assert(indexedDocs === expect0)
+    // batch 1: +30 web docs → accumulated web 190 / wiki 10. Waterfill
+    // B=60: wiki capped (alloc 10, rate 1), web uncapped with alloc
+    // floor((60-10)/1)=50 → rate round(50/190, 6) = 0.263158
+    val b1 = (201L to 230L).map(line(_, "web"))
+    Files.write(Paths.get(watch, "feed-1.json"), (b1.mkString("\n") + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      adaptiveMixtureGate = gate).awaitTermination()
+    val expect1 = (201L to 230L).filter(bucket(_) < 0.263158 * 10000).toSet
+    assert(expect1.nonEmpty && expect1.size < 30, "fixture must be non-degenerate")
+    assert(indexedDocs === expect0 ++ expect1)
+  }
+
   test("compactEvery folds history partitions mid-stream without changing dedup behavior") {
     val (watch, index, quar, bands) =
       (tmp("watchce"), tmp("indexce"), tmp("quarce") + "/bad", tmp("bandsce") + "/bands")
