@@ -714,6 +714,10 @@ object SparkEntry {
     // the q_pack_shards layout — what writeShards certifies on disk
     "q_shard_manifest" -> ((s, dir) =>
       graft.ops.Sampling.shardManifest(docs(s, dir), tokenBudget = 512, buckets = 8)),
+    // the PRE-SHUFFLED layout's manifest (pos_in_shard-ordered
+    // digests) — what writeShardsShuffled certifies on disk
+    "q_shuffled_manifest" -> ((s, dir) =>
+      graft.ops.Sampling.shuffledManifest(docs(s, dir), shards = 8, seed = 7L)),
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
@@ -1839,6 +1843,21 @@ object SparkEntry {
          |SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens, pack_bucket,
          |  CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket
          |FROM c""".stripMargin,
+    "q_shuffled_manifest" ->
+      // twin of Sampling.shuffledManifest(shards=8, seed=7): the
+      // q_shuffle_order permutation, then per-shard counts + md5 of
+      // the pos-ordered row digests
+      s"""WITH t AS (SELECT doc_id, text, md5(CAST(doc_id AS VARCHAR) || ':' || '7') AS kk FROM documents),
+         |s AS (SELECT doc_id, text, kk,
+         |    CAST(CAST(('0x' || substr(kk, 1, 8)) AS BIGINT) % 8 AS INTEGER) AS shard
+         |  FROM t),
+         |o AS (SELECT doc_id, text, shard,
+         |    row_number() OVER (PARTITION BY shard ORDER BY kk, doc_id) - 1 AS pos
+         |  FROM s)
+         |SELECT shard, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(len($TOKS)) AS BIGINT) AS n_tokens,
+         |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), '' ORDER BY pos)) AS content_md5
+         |FROM o GROUP BY shard""".stripMargin,
     "q_unimax" ->
       // twin of Sampling.unimaxPlan(domain, 40000, 2.0): ascending-
       // capacity waterfilling; the capped set is a prefix so the test

@@ -444,6 +444,60 @@ object Sampling {
     docs.sparkSession.read.parquet(s"$outDir/manifest")
   }
 
+  /** [[shardManifest]] for the PRE-SHUFFLED layout: per
+    * [[shuffleOrder]] shard, doc/token counts and the md5 over row
+    * digests in `pos_in_shard` order — certifying exactly the byte
+    * order [[writeShardsShuffled]] lays on disk. */
+  def shuffledManifest(docs: DataFrame, shards: Int, seed: Long = 0L): DataFrame = {
+    val rows = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
+    shuffleOrder(docs, "doc_id", shards, seed)
+      .join(rows, "doc_id")
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos_in_shard"), col("row_md5")))),
+            s => s.getField("row_md5")), "")).as("content_md5"))
+  }
+
+  /** [[writeShards]] in TRAINING ORDER: the artifact a data loader
+    * actually consumes is pre-shuffled (WebDataset-style), so rows
+    * land on disk in the [[shuffleOrder]] permutation — one parquet
+    * file per shard, rows in `pos_in_shard` order (a reader
+    * interleaving the shard streams reproduces the seeded global
+    * order bit-for-bit), `pos_in_shard` stored alongside the payload,
+    * and the certified [[shuffledManifest]]-shaped manifest computed
+    * from the written data under `outDir/manifest`. A new epoch is a
+    * new `seed` (and a new artifact). Same plan shape as
+    * [[writeShards]]: one co-locating shuffle, shards-way-parallel
+    * writers, sort covered within the task. */
+  def writeShardsShuffled(
+      docs: DataFrame, outDir: String, shards: Int, seed: Long = 0L): DataFrame = {
+    graft.core.Parallelism.ensure(docs)
+      .join(shuffleOrder(docs, "doc_id", shards, seed)
+        .select("doc_id", "shard", "pos_in_shard"), "doc_id")
+      .repartition(col("shard"))
+      .sortWithinPartitions("shard", "pos_in_shard")
+      .write.mode("overwrite")
+      .partitionBy("shard")
+      .parquet(s"$outDir/shards")
+    val written = docs.sparkSession.read.parquet(s"$outDir/shards")
+      .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"),
+        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tokens").as("n_tokens"),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col("pos_in_shard"), col("row_md5")))),
+            s => s.getField("row_md5")), "")).as("content_md5"))
+    written.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    docs.sparkSession.read.parquet(s"$outDir/manifest")
+  }
+
   /** Audit a [[writeShards]] artifact: recompute every shard's
     * manifest row from the FILES ON DISK and diff it against the
     * stored manifest — the check a training job runs before trusting

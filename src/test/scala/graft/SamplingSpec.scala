@@ -157,6 +157,31 @@ class SamplingSpec extends SparkSpec {
     assert(bad._4 !== bad._5)
   }
 
+  test("writeShardsShuffled: rows land in seeded training order; manifest certifies disk") {
+    import org.apache.spark.sql.functions.col
+    val d = (1L to 60L).map(i => (i, ("tok " * (i % 5 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-shuf-").toString
+    val returned = Sampling.writeShardsShuffled(d, out, shards = 4, seed = 9L)
+    val planned = Sampling.shuffledManifest(d, shards = 4, seed = 9L)
+      .as[(Int, Long, Long, String)].collect().toSet
+    assert(returned.as[(Int, Long, Long, String)].collect().toSet === planned)
+    assert(planned.nonEmpty)
+    // rows read back per shard IN FILE ORDER match the seeded
+    // permutation exactly (pos_in_shard strictly increasing)
+    val order = Sampling.shuffleOrder(d, "doc_id", 4, 9L)
+      .as[(Long, Int, Long, Long)].collect()
+      .groupBy(_._2).view.mapValues(_.sortBy(_._3).map(_._1).toSeq).toMap
+    order.keys.foreach { sh =>
+      val onDisk = spark.read.parquet(s"$out/shards/shard=$sh")
+        .select("doc_id").as[Long].collect().toSeq
+      assert(onDisk === order(sh), s"shard $sh")
+    }
+    // a different seed is a different artifact
+    val other = Sampling.shuffledManifest(d, shards = 4, seed = 10L)
+      .as[(Int, Long, Long, String)].collect().toSet
+    assert(other.map(_._4) !== planned.map(_._4))
+  }
+
   test("unimaxPlan: waterfilling caps small sources, splits the rest equally") {
     // token counts per source: A=10, B=50, C=100 (one doc each, N
     // single-char tokens); maxEpochs=1 → capacities are the counts
