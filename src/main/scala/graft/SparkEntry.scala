@@ -1155,6 +1155,16 @@ object SparkEntry {
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5)
     },
+    "q_funnel_samples" -> { (s, dir) =>
+      // per-stage example dropped docs for the same chain/parameters
+      val d = docs(s, dir)
+      graft.ops.Curation.funnelSamples(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        n = 5,
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5)
+    },
     "q_curate_with_funnel" -> { (s, dir) =>
       // the fused one-run path: manifest + funnel from ONE computation
       // of the chain's drop sets (same parameters as q_curate /
@@ -3031,6 +3041,27 @@ object SparkEntry {
          |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
          |  UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4))
          |LEFT JOIN tok USING (stage_idx)""".stripMargin,
+    "q_funnel_samples" ->
+      // twin of Curation.funnelSamples(n=5): first-failing-stage
+      // attribution from the shared chain CTEs, then per-stage
+      // row_number over (52-bit md5 prefix, doc_id) capped at 5 —
+      // the stratifiedAggregated order, numeric on the truncated hash
+      s"""WITH RECURSIVE $CURATE_CTES,
+         |drops AS (
+         |  SELECT 2 AS stage_idx, 'quality' AS stage, doc_id FROM flags WHERE NOT q_keep
+         |  UNION ALL SELECT 3, 'language', doc_id FROM flags
+         |    WHERE q_keep AND doc_id NOT IN (SELECT doc_id FROM s1)
+         |  UNION ALL SELECT 4, 'near_dedup', doc_id FROM s1
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM s2)
+         |  UNION ALL SELECT 5, 'decontaminate', doc_id FROM s2
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM s3)
+         |  UNION ALL SELECT 6, 'mixture', doc_id FROM s3
+         |    WHERE doc_id NOT IN (SELECT doc_id FROM s4))
+         |SELECT CAST(stage_idx AS INTEGER) AS stage_idx, stage, doc_id, sample_rank FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY stage_idx
+         |      ORDER BY CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 13)) AS BIGINT), doc_id) AS INTEGER) AS sample_rank
+         |  FROM drops)
+         |WHERE sample_rank <= 5""".stripMargin,
     "q_curate_with_funnel" ->
       s"""WITH RECURSIVE $CURATE_CTES,
          |tok AS (SELECT s.stage_idx, CAST(coalesce(sum(f.n_tok), 0) AS BIGINT) AS n_tokens

@@ -545,6 +545,69 @@ object Curation {
     funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate, blocklist)
   }
 
+  /** Per-stage EXAMPLE documents for the funnel — the incident-report
+    * face of [[funnel]]: up to `n` doc_ids dropped AT each stage
+    * (passed every earlier predicate, failed this one), chosen in
+    * deterministic md5 order via the bounded-heap
+    * [[graft.functions.TopKByScore]] (the [[Sampling
+    * .stratifiedAggregated]] recipe — at most `n` ids per stage per
+    * map task enter the shuffle, nothing sorts). "Stage 4 dropped 80%"
+    * is a number; these are the documents you open to see WHY.
+    *
+    * Output: `(stage_idx, stage, doc_id, sample_rank)` — indices and
+    * names exactly as [[funnel]] reports them (ingest never drops, so
+    * it never appears; the blocklist stage appears only when enabled).
+    * Same cost profile as [[funnel]]: the chain's drop sets once, one
+    * flagged-corpus scan, one stage-keyed bounded aggregate.
+    */
+  def funnelSamples(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      n: Int = 5,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0,
+      blocklist: Seq[String] = Nil): DataFrame = {
+    require(n >= 1, s"n=$n must be >= 1")
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val langKeep = col("pred_lang").isin(keepLangs: _*)
+    val s1 = rowFlags(docs, minTokens, blocklist)
+      .filter(col("q_keep") && langKeep && col("b_keep"))
+    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
+    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val contam = Dedup.contaminatedIds(s2, evalDocs)
+    // first-failing-stage attribution, numbered as funnel() reports
+    val bl = blocklist.nonEmpty
+    val dropStage =
+      when(!col("q_keep"), struct(lit(2).as("stage_idx"), lit("quality").as("stage")))
+        .when(!langKeep, struct(lit(3).as("stage_idx"), lit("language").as("stage")))
+        .when(!col("b_keep"),
+          struct(lit(4).as("stage_idx"), lit("blocklist").as("stage")))
+        .when(col("is_loser").isNotNull,
+          struct(lit(if (bl) 5 else 4).as("stage_idx"), lit("near_dedup").as("stage")))
+        .when(col("is_contam").isNotNull,
+          struct(lit(if (bl) 6 else 5).as("stage_idx"), lit("decontaminate").as("stage")))
+        .when(!Sampling.mixtureKeep("source", "doc_id", rates, defaultRate),
+          struct(lit(if (bl) 7 else 6).as("stage_idx"), lit("mixture").as("stage")))
+    val dropped = rowFlags(docs, minTokens, blocklist)
+      .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+      .select(col("doc_id"), dropStage.as("st"))
+      .where(col("st").isNotNull)
+    // bounded-heap per stage: score = md5-prefix asc (52 bits), ties by id
+    val key = -conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    dropped
+      .groupBy(col("st.stage_idx").as("stage_idx"), col("st.stage").as("stage"))
+      .agg(graft.functions.TopKByScore.topK(key, col("doc_id"), n).as("top"))
+      .select(col("stage_idx"), col("stage"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("stage_idx"), col("stage"), col("e.id").as("doc_id"),
+        (col("i") + 1).cast("int").as("sample_rank"))
+  }
+
   /** The accounting half of the chain, given the precomputed drop-set
     * tables (same contract as `manifestFrom`): ONE scan of the flagged
     * corpus left-joins the two id tables and evaluates all six

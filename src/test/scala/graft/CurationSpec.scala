@@ -67,6 +67,31 @@ class CurationSpec extends SparkSpec {
     assert(!allWritten.contains(101L) && !allWritten.contains(102L))
   }
 
+  test("funnelSamples: each designed drop shows up at exactly its stage") {
+    val got = Curation.funnelSamples(docs, evalDocs, n = 5, rates = rates)
+      .as[(Int, String, Long, Int)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    assert(got === Map(
+      (2, "quality") -> Set(2L),
+      (3, "language") -> Set(3L),
+      (4, "near_dedup") -> Set(42L),
+      (5, "decontaminate") -> Set(5L),
+      (6, "mixture") -> Set(6L)))
+    // n caps the examples: with n=1 every stage still reports its doc
+    // (each stage drops exactly one here)
+    assert(Curation.funnelSamples(docs, evalDocs, n = 1, rates = rates).count() === 5)
+    // with a blocklist the indices shift exactly as funnel()'s rows do
+    val bl = Curation.funnelSamples(
+      docs, evalDocs, n = 5, rates = rates, blocklist = Seq("weather"))
+      .as[(Int, String, Long, Int)].collect()
+      .groupBy(r => (r._1, r._2)).view.mapValues(_.map(_._3).toSet).toMap
+    // 41/42 both contain 'weather' → they drop at the blocklist stage;
+    // near_dedup then has nothing left to drop
+    assert(bl((4, "blocklist")) === Set(41L, 42L))
+    assert(!bl.contains((5, "near_dedup")))
+    assert(bl((6, "decontaminate")) === Set(5L) && bl((7, "mixture")) === Set(6L))
+  }
+
   test("rowFlags fuses qualityScore.keep and languageId.pred_lang into one pass") {
     val flags = Curation.rowFlags(docs, minTokens = 10)
       .select("doc_id", "q_keep", "pred_lang").as[(Long, Boolean, String)]
