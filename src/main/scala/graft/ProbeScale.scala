@@ -558,7 +558,10 @@ object ProbeScale {
     // partial directory that would silently skew timings and counts
     if (!new java.io.File("/tmp/emb_sf1/_SUCCESS").exists()) {
       val base = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
-      (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 100000L)))
+      // SAME shift as the r11c builder below: both sections share the
+      // /tmp cache, so divergent layouts would make probe numbers
+      // depend on which section ran first (review catch)
+      (0 until 10).map(i => base.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
         .reduce(_ unionByName _)
         .write.mode("overwrite").parquet("/tmp/emb_sf1")
     }

@@ -377,8 +377,17 @@ object Curation {
           s"$outDir/$sp", tokenBudget, buckets)
           .withColumn("split", lit(sp)))
     }
-    written.reduceOption(_ unionByName _)
-      .getOrElse(docs.sparkSession.emptyDataFrame)
+    written.reduceOption(_ unionByName _).getOrElse {
+      // schema-correct empty result (a bare emptyDataFrame would make
+      // callers selecting the documented columns fail at analysis)
+      import org.apache.spark.sql.types._
+      docs.sparkSession.createDataFrame(
+        docs.sparkSession.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(
+          StructField("pack_bucket", IntegerType), StructField("shard_in_bucket", IntegerType),
+          StructField("n_docs", LongType), StructField("n_tokens", LongType),
+          StructField("content_md5", StringType), StructField("split", StringType))))
+    }
   }
 
   /** The outputs of [[curateWithFunnel]]: the surviving training

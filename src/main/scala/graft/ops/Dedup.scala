@@ -698,6 +698,33 @@ object Dedup {
           filter(col("chunks"), (c, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
   }
 
+  /** Trimmed non-empty paragraph array split at `boundary` — the ONE
+    * definition of the paragraph unit, shared by every
+    * paragraph-granularity op: batch dedup, the hash history, the
+    * incremental faces, and the streaming strip must stay
+    * hash-compatible, so the unit (and its normalization) lives here
+    * exactly once. */
+  private def paraCol(boundary: String): Column =
+    filter(transform(split(col("text"), boundary), p => trim(p)),
+      p => length(p) > 0)
+
+  /** `(doc_id, para_idx, h)`: each paragraph's index and the md5 of
+    * its NORMALIZED token stream — the duplicate-matching key. */
+  private def paraOcc(docs: DataFrame, boundary: String): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), posexplode(paraCol(boundary)).as(Seq("para_idx", "para")))
+      .select(col("doc_id"), col("para_idx"),
+        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+
+  /** Re-derive each doc's paragraph array alongside its dropped-index
+    * list (`dropped`: (doc_id, rm array<int>)). */
+  private def paraWithDrops(
+      docs: DataFrame, dropped: DataFrame, boundary: String): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paraCol(boundary).as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+
   /** Natural-boundary sub-document dedup — [[chunkDedup]]'s
     * first-occurrence-wins rule at PARAGRAPH granularity, the unit
     * production pipelines (C4's line rule, RefinedWeb) actually dedup
@@ -737,13 +764,7 @@ object Dedup {
     // structure (single-newline-delimited pages, like this test
     // corpus) pass "\\n+" — the unit becomes the line group, i.e.
     // C4's line-level rule under the same winner machinery.
-    val paras = filter(
-      transform(split(col("text"), boundary), p => trim(p)),
-      p => length(p) > 0)
-    val occ = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
-      .select(col("doc_id"), col("para_idx"),
-        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+    val occ = paraOcc(docs, boundary)
     val winners = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("winner"))
     val dropped = occ.join(winners, "h")
@@ -751,10 +772,7 @@ object Dedup {
         col("winner.para_idx") === col("para_idx")))
       .groupBy("doc_id")
       .agg(collect_list(col("para_idx")).as("rm"))
-    graft.core.Parallelism.ensure(docs)
-      .join(dropped, Seq("doc_id"), "left")
-      .select(col("doc_id"), paras.as("ps"),
-        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+    paraWithDrops(docs, dropped, boundary)
       .select(
         col("doc_id"),
         size(col("ps")).cast("int").as("n_paras"),
@@ -768,15 +786,8 @@ object Dedup {
     * (column `h`). Append each increment's survivors to an append-only
     * history (the band-table discipline); the history holds hashes
     * only, never text. */
-  def paragraphHashes(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
-    val paras = filter(
-      transform(split(col("text"), boundary), p => trim(p)),
-      p => length(p) > 0)
-    graft.core.Parallelism.ensure(docs)
-      .select(explode(paras).as("para"))
-      .select(md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
-      .distinct()
-  }
+  def paragraphHashes(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n"): DataFrame =
+    paraOcc(docs, boundary).select("h").distinct()
 
   /** The incremental face of [[paragraphDedup]] — the daily-crawl
     * pattern at paragraph granularity ([[duplicateSpansAgainst]]'s
@@ -796,28 +807,23 @@ object Dedup {
     * text never shuffles, history text was never stored. */
   def paragraphDedupAgainst(
       docs: DataFrame, history: DataFrame,
-      boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
-    val paras = filter(
-      transform(split(col("text"), boundary), p => trim(p)),
-      p => length(p) > 0)
-    val occ = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
-      .select(col("doc_id"), col("para_idx"),
-        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
-    val dropped = occ.join(history.select("h"), Seq("h"), "left_semi")
-      .groupBy("doc_id")
-      .agg(collect_list(col("para_idx")).as("rm"))
-    graft.core.Parallelism.ensure(docs)
-      .join(dropped, Seq("doc_id"), "left")
-      .select(col("doc_id"), paras.as("ps"),
-        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      boundary: String = "\\n[ \\t]*\\n"): DataFrame =
+    paraWithDrops(docs, paraDroppedAgainst(docs, history, boundary), boundary)
       .select(
         col("doc_id"),
         size(col("ps")).cast("int").as("n_paras"),
         (size(col("ps")) - size(col("rm"))).cast("int").as("n_kept"),
         md5(concat_ws("\n\n",
           filter(col("ps"), (p, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
-  }
+
+  /** The dropped-index table both incremental faces share: increment
+    * paragraphs whose hash the history holds, folded per doc. */
+  private def paraDroppedAgainst(
+      docs: DataFrame, history: DataFrame, boundary: String): DataFrame =
+    paraOcc(docs, boundary)
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("para_idx")).as("rm"))
 
   /** The text-REWRITE face of [[paragraphDedupAgainst]]
     * ([[stripDuplicateSpansAgainst]]'s contract at paragraph
@@ -829,27 +835,13 @@ object Dedup {
     * face; increment text never shuffles. */
   def stripParagraphsAgainst(
       docs: DataFrame, history: DataFrame,
-      boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
-    val paras = filter(
-      transform(split(col("text"), boundary), p => trim(p)),
-      p => length(p) > 0)
-    val occ = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), posexplode(paras).as(Seq("para_idx", "para")))
-      .select(col("doc_id"), col("para_idx"),
-        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
-    val dropped = occ.join(history.select("h"), Seq("h"), "left_semi")
-      .groupBy("doc_id")
-      .agg(collect_list(col("para_idx")).as("rm"))
-    graft.core.Parallelism.ensure(docs)
-      .join(dropped, Seq("doc_id"), "left")
-      .select(col("doc_id"), paras.as("ps"),
-        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      boundary: String = "\\n[ \\t]*\\n"): DataFrame =
+    paraWithDrops(docs, paraDroppedAgainst(docs, history, boundary), boundary)
       .select(
         col("doc_id"),
         concat_ws("\n\n",
           filter(col("ps"), (p, i) => !array_contains(col("rm"), i))).as("text"),
         size(col("rm")).cast("int").as("n_dropped"))
-  }
 
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
@@ -1550,18 +1542,35 @@ object Dedup {
       sampleMod: Int = 4,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     require(sampleMod >= 1, s"sampleMod=$sampleMod must be >= 1")
+    require(gap >= k, s"gap ($gap) must be >= k ($k) so merged spans cannot overlap")
     val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long") % sampleMod
     // the sample feeds both span runs and the doc count
     val sample = graft.core.Materialize(docs.filter(bucket === 0), mat)
+    // ONE modP=1 anchor scan serves BOTH runs: gram selection is
+    // per-GRAM (h depends only on content), so the detection run's
+    // site table is exactly the `h % modP == 0` subset of the truth
+    // run's — re-scanning would pay the dominant per-char md5 cost
+    // twice (the round-12 review catch; the DuckDB twin shares its
+    // sites CTE the same way)
+    val sites = graft.core.Materialize(anchorSites(sample, k, 1), mat)
+    def droppableOf(s: DataFrame): DataFrame = {
+      val grams = s.groupBy("h")
+        .agg(count(lit(1)).as("n_sites"),
+          min(struct(col("doc_id"), col("pos"))).as("canon"))
+        .where(col("n_sites") > 1)
+      s.join(grams, "h")
+        .where(!(col("doc_id") === col("canon.doc_id") && col("pos") === col("canon.pos")))
+        .select(col("doc_id"), col("pos"))
+    }
     // spans are non-overlapping per doc by construction (gap >= k), so
     // the exploded char rows are already distinct
     def chars(spans: DataFrame, flag: String) =
       spans.select(col("doc_id"),
         explode(sequence(col("span_start"), col("span_end") - 1)).as("cpos"))
         .withColumn(flag, lit(true))
-    val t = chars(duplicateSpans(sample, k, 1, k, mat), "t")
-    val d = chars(duplicateSpans(sample, k, modP, gap, mat), "d")
+    val t = chars(spansFromDroppable(droppableOf(sites), k, k), "t")
+    val d = chars(spansFromDroppable(droppableOf(sites.where(col("h") % modP === 0)), k, gap), "d")
     val conf = t.join(d, Seq("doc_id", "cpos"), "full")
       .agg(
         count(when(col("t") && col("d"), 1)).as("tp"),

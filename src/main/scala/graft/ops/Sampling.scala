@@ -377,6 +377,27 @@ object Sampling {
           .cast("int").as("shard_in_bucket"))
   }
 
+  /** Per-doc content digest every shard writer/auditor hashes —
+    * `md5(doc_id ":" text)`. One definition: the manifests, the disk
+    * audits, and the DuckDB twins must never drift apart. */
+  private def rowMd5: Column =
+    md5(concat_ws(":", col("doc_id").cast("string"), col("text")))
+
+  /** The manifest aggregation every shard writer/auditor shares: per
+    * group, the doc count, token sum, and md5 over `row_md5` digests
+    * joined in `orderCol` order. `rows` must carry the group columns,
+    * `orderCol`, `n_tokens`, and `row_md5`. */
+  private def manifestAgg(
+      rows: DataFrame, groupCols: Seq[String], orderCol: String,
+      docsName: String = "n_docs", tokensName: String = "n_tokens",
+      md5Name: String = "content_md5"): DataFrame =
+    rows.groupBy(groupCols.map(col): _*)
+      .agg(count(lit(1)).as(docsName),
+        sum("n_tokens").as(tokensName),
+        md5(array_join(
+          transform(sort_array(collect_list(struct(col(orderCol), col("row_md5")))),
+            s => s.getField("row_md5")), "")).as(md5Name))
+
   /** Per-shard manifest of the [[packShards]] layout: for every shard,
     * its document count, token total, and a deterministic content
     * checksum — `md5` of the per-doc `md5(doc_id ":" text)` digests
@@ -389,19 +410,12 @@ object Sampling {
     * state is one shard's digest list — bounded by `tokenBudget` by
     * construction, never corpus-sized.
     */
-  def shardManifest(docs: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame = {
-    val rows = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"),
-        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
-    packShards(docs, tokenBudget, buckets)
-      .join(rows, "doc_id")
-      .groupBy("pack_bucket", "shard_in_bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("doc_id"), col("row_md5")))),
-            s => s.getField("row_md5")), "")).as("content_md5"))
-  }
+  def shardManifest(docs: DataFrame, tokenBudget: Long, buckets: Int = 32): DataFrame =
+    manifestAgg(
+      packShards(docs, tokenBudget, buckets)
+        .join(graft.core.Parallelism.ensure(docs)
+          .select(col("doc_id"), rowMd5.as("row_md5")), "doc_id"),
+      Seq("pack_bucket", "shard_in_bucket"), "doc_id")
 
   /** Materialize the [[packShards]] layout as the artifact a training
     * job consumes: parquet shard files under `outDir/shards/` (one
@@ -431,15 +445,11 @@ object Sampling {
       .write.mode("overwrite")
       .partitionBy("pack_bucket", "shard_in_bucket")
       .parquet(s"$outDir/shards")
-    val written = docs.sparkSession.read.parquet(s"$outDir/shards")
-      .select(col("doc_id"), col("n_tokens"), col("pack_bucket"), col("shard_in_bucket"),
-        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
-      .groupBy("pack_bucket", "shard_in_bucket")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("doc_id"), col("row_md5")))),
-            s => s.getField("row_md5")), "")).as("content_md5"))
+    val written = manifestAgg(
+      docs.sparkSession.read.parquet(s"$outDir/shards")
+        .select(col("doc_id"), col("n_tokens"), col("pack_bucket"),
+          col("shard_in_bucket"), rowMd5.as("row_md5")),
+      Seq("pack_bucket", "shard_in_bucket"), "doc_id")
     written.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     docs.sparkSession.read.parquet(s"$outDir/manifest")
   }
@@ -448,20 +458,14 @@ object Sampling {
     * [[shuffleOrder]] shard, doc/token counts and the md5 over row
     * digests in `pos_in_shard` order — certifying exactly the byte
     * order [[writeShardsShuffled]] lays on disk. */
-  def shuffledManifest(docs: DataFrame, shards: Int, seed: Long = 0L): DataFrame = {
-    val rows = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"),
-        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"),
-        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
-    shuffleOrder(docs, "doc_id", shards, seed)
-      .join(rows, "doc_id")
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos_in_shard"), col("row_md5")))),
-            s => s.getField("row_md5")), "")).as("content_md5"))
-  }
+  def shuffledManifest(docs: DataFrame, shards: Int, seed: Long = 0L): DataFrame =
+    manifestAgg(
+      shuffleOrder(docs, "doc_id", shards, seed)
+        .join(graft.core.Parallelism.ensure(docs)
+          .select(col("doc_id"),
+            size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"),
+            rowMd5.as("row_md5")), "doc_id"),
+      Seq("shard"), "pos_in_shard")
 
   /** [[writeShards]] in TRAINING ORDER: the artifact a data loader
     * actually consumes is pre-shuffled (WebDataset-style), so rows
@@ -484,16 +488,12 @@ object Sampling {
       .write.mode("overwrite")
       .partitionBy("shard")
       .parquet(s"$outDir/shards")
-    val written = docs.sparkSession.read.parquet(s"$outDir/shards")
-      .select(col("doc_id"), col("shard"), col("pos_in_shard"),
-        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"),
-        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
-      .groupBy("shard")
-      .agg(count(lit(1)).as("n_docs"),
-        sum("n_tokens").as("n_tokens"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("pos_in_shard"), col("row_md5")))),
-            s => s.getField("row_md5")), "")).as("content_md5"))
+    val written = manifestAgg(
+      docs.sparkSession.read.parquet(s"$outDir/shards")
+        .select(col("doc_id"), col("shard"), col("pos_in_shard"),
+          size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens"),
+          rowMd5.as("row_md5")),
+      Seq("shard"), "pos_in_shard")
     written.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
     docs.sparkSession.read.parquet(s"$outDir/manifest")
   }
@@ -511,15 +511,12 @@ object Sampling {
     * manifest itself cost, plus a manifest-sized full join. */
   def verifyShards(
       session: org.apache.spark.sql.SparkSession, outDir: String): DataFrame = {
-    val actual = session.read.parquet(s"$outDir/shards")
-      .select(col("doc_id"), col("n_tokens"), col("pack_bucket"), col("shard_in_bucket"),
-        md5(concat_ws(":", col("doc_id").cast("string"), col("text"))).as("row_md5"))
-      .groupBy("pack_bucket", "shard_in_bucket")
-      .agg(count(lit(1)).as("a_docs"),
-        sum("n_tokens").as("a_tokens"),
-        md5(array_join(
-          transform(sort_array(collect_list(struct(col("doc_id"), col("row_md5")))),
-            s => s.getField("row_md5")), "")).as("a_md5"))
+    val actual = manifestAgg(
+      session.read.parquet(s"$outDir/shards")
+        .select(col("doc_id"), col("n_tokens"), col("pack_bucket"),
+          col("shard_in_bucket"), rowMd5.as("row_md5")),
+      Seq("pack_bucket", "shard_in_bucket"), "doc_id",
+      docsName = "a_docs", tokensName = "a_tokens", md5Name = "a_md5")
     val stored = session.read.parquet(s"$outDir/manifest")
       .select(col("pack_bucket"), col("shard_in_bucket"),
         col("n_docs").as("m_docs"), col("n_tokens").as("m_tokens"),

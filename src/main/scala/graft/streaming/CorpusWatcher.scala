@@ -330,6 +330,7 @@ object CorpusWatcher {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
+    compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
       .format("json")
@@ -453,12 +454,16 @@ object CorpusWatcher {
               .groupBy("source").agg(sum("n_tokens").as("n_tokens"))
               .where(col("n_tokens") > 0)
             val rates = g.ratesFrom(acc)
-            // 3. the same md5-bucket admission predicate as mixture();
+            // 3. the same md5-bucket admission predicate as mixture():
+            //    thresholds truncate to integer basis points exactly
+            //    like mixtureKeep's `(r * 10000).toInt`, so the stream
+            //    and the batch op admit identical sets at identical
+            //    rates (floor ≡ toInt for the non-negative rates here);
             //    null/unseen sources fall to defaultRate
             val b = conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
               .cast("long") % 10000
             keptStats.join(broadcast(rates), Seq("source"), "left")
-              .filter(b < coalesce(col("rate"), lit(g.defaultRate)) * 10000)
+              .filter(b < floor(coalesce(col("rate"), lit(g.defaultRate)) * 10000))
               .select(keptStats.columns.map(col): _*)
           case (None, None) => kept
         }
@@ -556,7 +561,6 @@ object CorpusWatcher {
         // but double-counted by the stats table's SUM consumer —
         // compact that one offline, when the stream is down.
         compactEvery.foreach { n =>
-          require(n >= 1, s"compactEvery=$n must be >= 1")
           if (batchId % n == (n - 1).toLong) {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir)
               .foreach(dir => compactHistory(session, dir))

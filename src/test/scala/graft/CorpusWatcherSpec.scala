@@ -393,7 +393,8 @@ class CorpusWatcherSpec extends SparkSpec {
     Files.write(Paths.get(watch, "feed-1.json"), (b1.mkString("\n") + "\n").getBytes("UTF-8"))
     CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
       adaptiveMixtureGate = gate).awaitTermination()
-    val expect1 = (201L to 230L).filter(bucket(_) < 0.263158 * 10000).toSet
+    // threshold truncates to integer basis points (mixtureKeep parity)
+    val expect1 = (201L to 230L).filter(bucket(_) < math.floor(0.263158 * 10000)).toSet
     assert(expect1.nonEmpty && expect1.size < 30, "fixture must be non-degenerate")
     assert(indexedDocs === expect0 ++ expect1)
   }
