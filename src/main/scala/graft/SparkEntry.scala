@@ -75,6 +75,47 @@ object SparkEntry {
     s"""sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)),
        |${MINHASH_TAIL("sh")}""".stripMargin
 
+  // ---- Unicode tokenizer mode (the `_uni` oracle pair) ------------------
+  /** Multilingual probe rows (doc_id < 0, never colliding with fixture
+    * ids) unioned into the `_uni` queries on BOTH engines — the fixture
+    * corpus is pure ASCII (verified), so without them the Unicode twin
+    * would be vacuously equal to the ASCII one. Cyrillic dup pair, CJK
+    * (scriptio continua) dup pair, unrelated Arabic singleton. Written
+    * as `\\u` escapes so source encoding can never corrupt them; the
+    * SQL VALUES literals derive from the SAME constants (no drift). */
+  private val UniRows: Seq[(Long, String)] = Seq(
+    -1L -> "\u041f\u0440\u0438\u0432\u0435\u0442, \u043c\u0438\u0440! \u042d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442 \u043e \u0431\u044b\u0441\u0442\u0440\u043e\u0439 \u0431\u0443\u0440\u043e\u0439 \u043b\u0438\u0441\u0435 \u0438 \u043b\u0435\u043d\u0438\u0432\u043e\u0439 \u0441\u043e\u0431\u0430\u043a\u0435.",
+    -2L -> "\u041f\u0440\u0438\u0432\u0435\u0442, \u043c\u0438\u0440! \u042d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442 \u043e \u0431\u044b\u0441\u0442\u0440\u043e\u0439 \u0431\u0443\u0440\u043e\u0439 \u043b\u0438\u0441\u0435 \u0438 \u043b\u0435\u043d\u0438\u0432\u043e\u0439 \u0441\u043e\u0431\u0430\u043a\u0435.",
+    -3L -> "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u9ad8\u8d28\u91cf\u7684\u8bad\u7ec3\u6570\u636e\u624d\u80fd\u8868\u73b0\u826f\u597d\u3002",
+    -4L -> "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u9ad8\u8d28\u91cf\u7684\u8bad\u7ec3\u6570\u636e\u624d\u80fd\u8868\u73b0\u826f\u597d\u3002",
+    -5L -> "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 \u0647\u0630\u0647 \u0648\u062b\u064a\u0642\u0629 \u0627\u062e\u062a\u0628\u0627\u0631 \u0639\u0646 \u0627\u0644\u062b\u0639\u0644\u0628 \u0627\u0644\u0628\u0646\u064a \u0627\u0644\u0633\u0631\u064a\u0639")
+
+  /** `documents` + the probe rows, Spark side. */
+  private def uniDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(UniRows.toDF("doc_id", "text"))
+  }
+
+  /** `documents` + the probe rows, DuckDB side. */
+  private val DOCS_UNI =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT * FROM (VALUES ${UniRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)""".stripMargin
+
+  /** Tokenizer twin of [[graft.core.TextNorm.tokensUnicode]] — the
+    * regex chain mirrors the Catalyst one step for step; the whitespace
+    * classes are equal by construction (RE2 ASCII `\s` ∪ `\p{Z}` ∪ NEL
+    * ∪ C0 separators == Java `(?U)\s` ∪ `\p{Z}` ∪ NEL ∪ C0). */
+  private val TOKS_UNI =
+    """list_filter(string_split(trim(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(text, '[\s\p{Z}\x{0085}\x1c-\x1f]+', ' ', 'g')), '[^\p{L}\p{N} ]', '', 'g'), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), ' +', ' ', 'g')), ' '), t -> len(t) > 0)"""
+
+  /** [[SHINGLES]] with the Unicode tokenizer over [[DOCS_UNI]]. */
+  private val SHINGLES_UNI =
+    s"""SELECT doc_id, CASE WHEN len(ts) >= 3
+       |  THEN list_transform(generate_series(1, len(ts) - 2), i -> ts[i] || ' ' || ts[i+1] || ' ' || ts[i+2])
+       |  ELSE [array_to_string(ts, ' ')] END AS shl
+       |FROM (SELECT doc_id, $TOKS_UNI AS ts FROM ($DOCS_UNI))""".stripMargin
+
   /** Merge depth the BPE oracle pair trains at — small enough that the
     * unrolled DuckDB twin stays tractable, deep enough that multi-char
     * subwords (a merged pair merging again) are exercised. */
@@ -632,6 +673,10 @@ object SparkEntry {
       Bpe.fertility(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
     },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
+    // Unicode tokenizer mode over the multilingual-augmented corpus:
+    // under the ASCII tokenizer the probe rows would have n_tok = 0
+    "q_quality_uni" -> ((s, dir) =>
+      TextAnalysis.qualityScore(uniDocs(s, dir), tok = graft.core.TextNorm.tokensUnicode)),
     "q_script" -> ((s, dir) => TextAnalysis.scriptSignals(docs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.entropySignals(docs(s, dir))),
@@ -738,6 +783,12 @@ object SparkEntry {
     },
     "q_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     "q_minhash_pairs" -> ((s, dir) => Dedup.minhashCandidatePairs(docs(s, dir))),
+    // Unicode tokenizer mode: the Cyrillic and CJK dup pairs are only
+    // detectable because tokensUnicode sees their text — the ASCII
+    // tokenizer maps all five probe rows to zero tokens (one "" shingle)
+    // and would near-dup Cyrillic against Arabic unverified
+    "q_minhash_pairs_uni" -> ((s, dir) =>
+      Dedup.minhashCandidatePairs(uniDocs(s, dir), tok = graft.core.TextNorm.tokensUnicode)),
     "q_minhash_est" -> ((s, dir) => Dedup.minhashEstimatedPairs(docs(s, dir))),
     // corpus-level inter-source overlap (minhash of each source's
     // shingle-set union; the mixture designer's contamination screen)
@@ -1394,6 +1445,19 @@ object SparkEntry {
          |  (len(ts) >= 10 AND len(list_filter(ts, t -> list_contains($stop, t))) > 0) AS keep
          |FROM (SELECT doc_id, text, $TOKS AS ts FROM documents)""".stripMargin
     },
+    "q_quality_uni" -> {
+      // same signal algebra as q_quality, Unicode tokenizer, corpus
+      // augmented with the multilingual probe rows; the raw-text char
+      // ratios keep the ASCII classes by design (tokenizer-independent)
+      val stop = Stop.en
+      s"""SELECT doc_id,
+         |  CAST(length(text) - length(regexp_replace(text, '[^a-zA-Z0-9\\s]', '', 'g')) AS DOUBLE) / length(text) AS punct_ratio,
+         |  CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS DOUBLE) / length(text) AS digit_ratio,
+         |  CAST(len(list_filter(ts, t -> list_contains($stop, t))) AS DOUBLE) / len(ts) AS stopword_ratio,
+         |  CAST(length(replace(text, ' ', '')) AS DOUBLE) / len(ts) AS mean_word_len,
+         |  (len(ts) >= 10 AND len(list_filter(ts, t -> list_contains($stop, t))) > 0) AS keep
+         |FROM (SELECT doc_id, text, $TOKS_UNI AS ts FROM ($DOCS_UNI))""".stripMargin
+    },
     "q_gopher_quality" ->
       // twin of TextAnalysis.gopherQuality: raw whitespace words, raw
       // trimmed lines, normalized tokens for the 8-stopword rule; every
@@ -2012,6 +2076,10 @@ object SparkEntry {
          |FROM sigs GROUP BY doc_id, band""".stripMargin,
     "q_minhash_pairs" ->
       s"""WITH $MINHASH_CTES
+         |SELECT doc_a, doc_b FROM pairs""".stripMargin,
+    "q_minhash_pairs_uni" ->
+      s"""WITH sh AS (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES_UNI)),
+         |${MINHASH_TAIL("sh")}
          |SELECT doc_a, doc_b FROM pairs""".stripMargin,
     "q_minhash_est" ->
       // minwise estimator over the same signatures: matching seeds / k

@@ -43,6 +43,48 @@ object TextNorm {
   def tokens(c: Column): Column =
     filter(split(normalize(c), " "), t => length(t) > lit(0))
 
+  /** Unicode-aware normalizer — the opt-in MULTILINGUAL mode of the
+    * pipeline family (dedup shingles, quality signals, LMs, BPE all
+    * consume a token stream; the §2-parity [[normalize]] strips every
+    * non-ASCII letter, so CJK/Cyrillic/Arabic text tokenizes to NOTHING
+    * and silently passes every gate — the normal case for a real
+    * multilingual crawl). §2-parity callers keep [[normalize]]; this
+    * mode is threaded as a `tok` parameter where it matters.
+    *
+    *   1. collapse whitespace to one space — Unicode `\s` PLUS category
+    *      Z (NBSP & friends are separators, not strippable letters:
+    *      deleting them would MERGE adjacent words) plus U+0085 NEL and
+    *      the C0 separators, the same class the DuckDB twin spells as
+    *      RE2 `[\s\p{Z}\x{0085}\x1c-\x1f]` (ASCII `\s` ∪ Z ∪ NEL —
+    *      the two engines' classes are equal by construction);
+    *   2. lowercase (Unicode; known cross-engine edge: U+0130 İ lowers
+    *      to `i̇` (i + combining dot) on the JVM but `i` in DuckDB —
+    *      oracle fixtures avoid it, the JVM behavior is spec-pinned);
+    *   3. keep letters, digits, spaces: strip `[^\p{L}\p{N} ]`
+    *      (category classes — identical in Java regex and RE2);
+    *   4. space out Han/Hiragana/Katakana code points so
+    *      scriptio-continua runs tokenize per character (word-boundary
+    *      shingles are meaningless on an unsegmented 200-char run;
+    *      char-grams are the standard CJK dedup unit) — Java spells
+    *      the scripts `\p{IsHan}`, RE2 `\p{Han}`;
+    *   5. re-collapse the introduced double spaces and trim.
+    *
+    * All plain `Column → Column` regex algebra: row-parallel, no UDF,
+    * scan-cost at 100 TB like [[normalize]].
+    */
+  def normalizeUnicode(c: Column): Column = {
+    val ws = regexp_replace(c, "(?U)[\\s\\p{Z}\\u0085\\x1c-\\x1f]+", " ")
+    val kept = regexp_replace(lower(ws), "[^\\p{L}\\p{N} ]", "")
+    val cjk = regexp_replace(kept, "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])", " $1 ")
+    trim(regexp_replace(cjk, " {2,}", " "))
+  }
+
+  /** Tokenize with the Unicode normalizer — same split/filter contract
+    * as [[tokens]]. Pass as the `tok` parameter of the dedup/quality
+    * family to stop non-Latin text from vanishing at the tokenizer. */
+  def tokensUnicode(c: Column): Column =
+    filter(split(normalizeUnicode(c), " "), t => length(t) > lit(0))
+
   /** Normalize a lookup key the way the UI does (`main/app.py:67-68`):
     * trim, lowercase, strip non-alphanumerics (Unicode `\s` in the
     * keep-set, mirroring Python `re`). Driver-side (plain String): the

@@ -32,10 +32,17 @@ object Dedup {
 
   /** (doc_id, ts): the token array materialized once per document.
     * Scan-parallelism guarded: the tokenizer + everything stacked on it
-    * is the expensive narrow stage (see [[graft.core.Parallelism]]). */
-  private[ops] def tokenized(docs: DataFrame): DataFrame =
+    * is the expensive narrow stage (see [[graft.core.Parallelism]]).
+    * `tok` is the pipeline family's tokenizer dial: the §2-parity
+    * ASCII [[TextNorm.tokens]] by default,
+    * [[TextNorm.tokensUnicode]] for multilingual corpora (non-Latin
+    * text tokenizes to NOTHING under the default and silently passes
+    * every dedup gate). */
+  private[ops] def tokenized(
+      docs: DataFrame,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), tok(col("text")).as("ts"))
 
   /** w-token shingles from a MATERIALIZED token-array column.
     * `slice` + `concat_ws` over the array — cheap per-iteration work. */
@@ -49,8 +56,11 @@ object Dedup {
 
   /** (doc_id, shl): shingle array per document, one projection per
     * stage (tokens → shingles) so neither is recomputed inside lambdas. */
-  private[ops] def shingled(docs: DataFrame, w: Int): DataFrame =
-    tokenized(docs).select(col("doc_id"), shinglesFromTokens(col("ts"), w).as("shl"))
+  private[ops] def shingled(
+      docs: DataFrame,
+      w: Int,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    tokenized(docs, tok).select(col("doc_id"), shinglesFromTokens(col("ts"), w).as("shl"))
 
   /** Back-compat shape: shingles straight from the text column. */
   def shingleCol(textCol: Column, w: Int): Column =
@@ -160,18 +170,32 @@ object Dedup {
     * consumer. Value-identical by the parity spec; the expression is
     * PlanSeal-ed so multi-field consumers evaluate it once.
     */
-  def minhashSignaturesWide(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame =
+  def minhashSignaturesWide(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"),
         graft.functions.PlanSeal.seal(
-          graft.functions.MinHashSigs.of(TextNorm.tokens(col("text")), w, k)).as("mh"))
+          graft.functions.MinHashSigs.of(tok(col("text")), w, k)).as("mh"))
+      // null text → null tokens → null struct. The aggregate formulation
+      // EXCLUDED such docs (no shingle rows → no group); keeping them as
+      // all-null sig rows would give every null-text doc the identical
+      // md5('') band key (concat_ws skips nulls) and near-dup them against
+      // each other unverified — the simhash isNotNull parity concern.
+      .where(col("mh").isNotNull)
       .select(col("doc_id") +:
         (0 until k).map(s => col("mh.sigs").getItem(s).as(s"sig$s")): _*)
 
   /** MinHash signatures, LONG form (doc_id, seed, sig) — the wide form
     * unpivoted; kept as the interoperable representation. */
-  def minhashSignatures(docs: DataFrame, w: Int = 3, k: Int = 8): DataFrame =
-    minhashSignaturesWide(docs, w, k)
+  def minhashSignatures(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    minhashSignaturesWide(docs, w, k, tok)
       .select(col("doc_id"), explode(array((0 until k).map { s =>
         struct(lit(s).as("seed"), col(s"sig$s").as("sig"))
       }: _*)).as("e"))
@@ -183,8 +207,13 @@ object Dedup {
     * plain column expressions over the wide signature row — no second
     * aggregation.
     */
-  def minhashBands(docs: DataFrame, w: Int = 3, k: Int = 8, bands: Int = 2): DataFrame =
-    bandsFromWide(minhashSignaturesWide(docs, w, k), k, bands)
+  def minhashBands(
+      docs: DataFrame,
+      w: Int = 3,
+      k: Int = 8,
+      bands: Int = 2,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    bandsFromWide(minhashSignaturesWide(docs, w, k, tok), k, bands)
 
   /** Band projection over an existing wide signature table (so a caller
     * that already materialized signatures doesn't recompute them). */
@@ -241,14 +270,15 @@ object Dedup {
       bands: Int = 2,
       bucketCap: Int = 64,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
-      sizeRatioFloor: Double = 0.0): DataFrame =
+      sizeRatioFloor: Double = 0.0,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
     if (sizeRatioFloor <= 0.0)
-      pairsFromBands(minhashBands(docs, w, k, bands), bucketCap, mat)
+      pairsFromBands(minhashBands(docs, w, k, bands, tok), bucketCap, mat)
     else {
       require(sizeRatioFloor <= 1.0,
         s"sizeRatioFloor=$sizeRatioFloor must be in (0, 1] (it is a min/max set-size ratio)")
       pairsFromBandsWithSize(
-        bandsFromWideWithSize(wideWithSize(docs, w, k), k, bands),
+        bandsFromWideWithSize(wideWithSize(docs, w, k, tok), k, bands),
         bucketCap, mat, sizeRatioFloor)
     }
 
@@ -257,11 +287,14 @@ object Dedup {
     * with. The native expression computes both in the same row-local
     * pass (its `n_sh` field IS the distinct count), so this too is
     * shuffle-free. */
-  private def wideWithSize(docs: DataFrame, w: Int, k: Int): DataFrame =
+  private def wideWithSize(
+      docs: DataFrame, w: Int, k: Int,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"),
         graft.functions.PlanSeal.seal(
-          graft.functions.MinHashSigs.of(TextNorm.tokens(col("text")), w, k)).as("mh"))
+          graft.functions.MinHashSigs.of(tok(col("text")), w, k)).as("mh"))
+      .where(col("mh").isNotNull) // null-text exclusion — see minhashSignaturesWide
       .select(col("doc_id") +: col("mh.n_sh").as("n_sh") +:
         (0 until k).map(s => col("mh.sigs").getItem(s).as(s"sig$s")): _*)
 
@@ -399,8 +432,10 @@ object Dedup {
     * corpus scan + two hash aggregations. Round 1 spent ~30 s here on a
     * distinct + window + self-join + two-join chain.
     */
-  def ngramJaccardPairs(docs: DataFrame, w: Int = 3, maxDf: Int = 50, minJaccard: Double = 0.2): DataFrame = {
-    val base = shingled(docs, w).select(col("doc_id"), array_distinct(col("shl")).as("shl"))
+  def ngramJaccardPairs(
+      docs: DataFrame, w: Int = 3, maxDf: Int = 50, minJaccard: Double = 0.2,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
+    val base = shingled(docs, w, tok).select(col("doc_id"), array_distinct(col("shl")).as("shl"))
     val byShingle = base
       .select(col("doc_id"), size(col("shl")).as("n_sh"), explode(col("shl")).as("shingle"))
       .groupBy("shingle")
@@ -479,7 +514,9 @@ object Dedup {
     * they deduplicate via [[exact]] (shared empty normalized hash).
     * The DuckDB twin drops them identically (unnest of an empty list).
     */
-  def simhash(docs: DataFrame, bits: Int = 16): DataFrame = {
+  def simhash(
+      docs: DataFrame, bits: Int = 16,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     require(bits % 4 == 0, s"bits=$bits must be a multiple of 4 (hex digits)")
     // row-local since round 12: the native [[graft.functions
     // .SimHashSig]] expression folds the per-token ±1 bit votes inside
@@ -490,7 +527,7 @@ object Dedup {
     // no-group exclusion.
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"),
-        graft.functions.SimHashSig.of(TextNorm.tokens(col("text")), bits).as("simhash"))
+        graft.functions.SimHashSig.of(tok(col("text")), bits).as("simhash"))
       .where(col("simhash").isNotNull)
   }
 
@@ -507,8 +544,9 @@ object Dedup {
       docs: DataFrame,
       bits: Int = 16,
       maxHamming: Int = 3,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
-    hammingPairs(simhash(docs, bits).withColumnRenamed("simhash", "sig"),
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    hammingPairs(simhash(docs, bits, tok).withColumnRenamed("simhash", "sig"),
       bits, maxHamming, mat)
 
   /** Hamming-near pairs over ANY `(doc_id, sig)` bigint-signature table

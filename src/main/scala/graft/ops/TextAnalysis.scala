@@ -57,8 +57,17 @@ object TextAnalysis {
   /** Quality scoring: punctuation ratio, digit ratio, stopword ratio,
     * mean word length, and a composite keep/drop signal — the usual
     * Gopher/C4-style filters, minus anything model-based.
+    *
+    * `tok` is the pipeline tokenizer dial
+    * ([[graft.core.TextNorm.tokensUnicode]] for multilingual corpora —
+    * under the default ASCII tokenizer non-Latin text has n_tok = 0 and
+    * its token-derived signals are vacuous); the raw-text character
+    * ratios (punct, digit) are tokenizer-independent by design.
     */
-  def qualityScore(docs: DataFrame, stopwords: Seq[String] = Stopwords.en): DataFrame = {
+  def qualityScore(
+      docs: DataFrame,
+      stopwords: Seq[String] = Stopwords.en,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     val stopArr = array(stopwords.map(lit): _*)
     val punct = (length(col("text")) - length(regexp_replace(col("text"), "[^a-zA-Z0-9\\s]", ""))).cast("double")
     val digits = (length(col("text")) - length(regexp_replace(col("text"), "[0-9]", ""))).cast("double")
@@ -71,7 +80,7 @@ object TextAnalysis {
       // tokenizer into the predicate (the Curation.rowFlags
       // pushdown-blowup contract), at zero execution cost
       .select(col("doc_id"), col("text"),
-        seal(TextNorm.tokens(col("text"))).as("ts"))
+        seal(tok(col("text"))).as("ts"))
       .select(col("doc_id"), col("text"), seal(struct(
         size(col("ts")).as("n_tok"),
         size(filter(col("ts"), t => array_contains(stopArr, t))).as("n_stop"))).as("tk"))
@@ -1031,12 +1040,12 @@ object TextAnalysis {
     val est = coords.join(broadcast(counters), Seq("r", "b"))
       .groupBy("word", "cnt").agg(min("c").as("est"))
     est.agg(graft.functions.TopKByScore.topK(col("est"),
-        concat_ws(" ", col("word"), col("cnt").cast("string")), k).as("tk"))
+        concat_ws("\u0000", col("word"), col("cnt").cast("string")), k).as("tk"))
       .select(posexplode(col("tk")).as(Seq("i", "e")))
       .select((col("i") + 1).cast("long").as("rank"),
-        split(col("e.id"), " ").getItem(0).as("word"),
+        split(col("e.id"), "\u0000").getItem(0).as("word"),
         col("e.score").as("est"),
-        split(col("e.id"), " ").getItem(1).cast("long").as("exact"))
+        split(col("e.id"), "\u0000").getItem(1).cast("long").as("exact"))
       .withColumn("overcount", col("est") - col("exact"))
   }
 

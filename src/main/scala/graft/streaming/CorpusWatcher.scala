@@ -602,19 +602,24 @@ object CorpusWatcher {
     *    (individually idempotent). A crash between the two leaves
     *    DUPLICATE rows, which every INTENDED consumer tolerates — the
     *    band, anchor, and paragraph histories feed semi-joins, where
-    *    multiplicity is invisible — and the next compaction run
-    *    clears. Do NOT auto-compact tables whose consumers SUM rows
-    *    (the adaptive gate's stats dir): duplicates double-count
-    *    there; compact those only while no consumer runs.
+    *    multiplicity is invisible — and which the next compaction run
+    *    clears FOR REAL: the compaction read is `.distinct()`
+    *    (key-only tables, so row dedup is semantics-preserving), so
+    *    crash-window duplicates — and ordinary cross-batch repeats of
+    *    the same key — collapse instead of persisting in every future
+    *    compacted generation. Do NOT auto-compact tables whose
+    *    consumers SUM rows (the adaptive gate's stats dir): the crash
+    *    window double-counts there; use [[compactStats]], whose
+    *    re-aggregation + marker-file contract is sum-safe.
     *  - CONCURRENT APPEND: a batch landing mid-run gets a fresh
     *    higher id the listing never saw; it is simply not compacted
     *    this round.
     *
-    * Scale shape: one keyed-nothing read of the source partitions and
-    * one write — no shuffle unless `numFiles` forces a coalesce below
-    * the input's parallelism. Size `numFiles` to the history's data
-    * volume (1 is right until a single partition's rows stop fitting
-    * one task's write).
+    * Scale shape: one read of the source partitions, one hash-only
+    * `.distinct()` shuffle (rows are band/anchor/paragraph KEYS — the
+    * text never entered the history), one write. Size `numFiles` to
+    * the history's data volume (1 is right until a single partition's
+    * rows stop fitting one task's write).
     */
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
@@ -629,6 +634,7 @@ object CorpusWatcher {
     if (sources.size < 2) return 0
     val target = math.min(parts.map(_._1).min, 0L) - 1L
     session.read.parquet(sources.map(_._2.toString): _*)
+      .distinct()
       .coalesce(numFiles)
       .write.mode("overwrite").parquet(s"$dir/batch_id=$target")
     sources.foreach { case (_, p) => fs.delete(p, true) }

@@ -62,15 +62,19 @@ class DedupSpec extends SparkSpec {
     val vocab = Seq("alpha", "beta", "gamma7", "delta", "kanji", "mix42", "x1", "the")
     val texts = ((1 to 15).map { _ =>
       Seq.fill(rnd.nextInt(25))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
-    } ++ Seq("", "one", "two tokens")).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    } ++ Seq("", "one", "two tokens", null, null)).zipWithIndex.map { case (t, i) => (i.toLong, t) }
     val d = texts.toDF("doc_id", "text")
     for ((w, k) <- Seq((3, 8), (2, 4))) {
       val native = Dedup.minhashSignaturesWide(d, w, k).collect()
         .map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
-      // reference: the pre-round-12 explode + groupBy aggregate chain
+      // reference: the pre-round-12 explode + groupBy aggregate chain.
+      // Null text is excluded on both sides (the contract the null-text
+      // test below pins); without the explicit filter the reference
+      // chain would hand null docs a [""] shingle via concat_ws.
       val aggs = (0 until k).map(s =>
         min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s"))
-      val ref = d.select(col("doc_id"), Dedup.shingleCol(col("text"), w).as("shl"))
+      val ref = d.where(col("text").isNotNull)
+        .select(col("doc_id"), Dedup.shingleCol(col("text"), w).as("shl"))
         .select(col("doc_id"), explode(col("shl")).as("shingle"))
         .groupBy("doc_id").agg(aggs.head, aggs.tail: _*)
         .collect().map(r => r.getLong(0) -> (1 to k).map(r.getString)).toMap
@@ -79,6 +83,24 @@ class DedupSpec extends SparkSpec {
     // the signature plan is shuffle-free: no exchange anywhere
     val plan = Dedup.minhashSignaturesWide(d).queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), plan)
+  }
+
+  test("null-text docs are excluded from minhash signatures and candidate pairs") {
+    // a JSONL line missing `text` parses to null and can reach the dedup
+    // family when no quality gate runs; the aggregate formulation dropped
+    // such docs (no shingle rows → no group), and the native path must
+    // too — otherwise every null doc shares the identical all-null-sig
+    // band key md5('') and they near-dup each other unverified
+    val text = "the quick brown fox jumps over the lazy dog again and again"
+    val d = docs(1L -> text, 2L -> text, 3L -> null, 4L -> null, 5L -> null)
+    assert(Dedup.minhashSignaturesWide(d).select("doc_id")
+      .as[Long].collect().toSet === Set(1L, 2L))
+    // both pairing paths: plain, and the size-ratio path (wideWithSize)
+    val plain = Dedup.minhashCandidatePairs(d).as[(Long, Long)].collect().toSet
+    val sized = Dedup.minhashCandidatePairs(d, sizeRatioFloor = 0.5)
+      .as[(Long, Long)].collect().toSet
+    assert(plain === Set((1L, 2L)))
+    assert(sized === Set((1L, 2L)))
   }
 
   test("minhash long form matches wide form") {
@@ -1007,5 +1029,39 @@ class DedupSpec extends SparkSpec {
     d.createOrReplaceTempView("ct_docs")
     assert(spark.sql("SELECT * FROM graft_containment('ct_docs', 3, 50, 0.5)")
       .as[(Long, Long, Long, Double, Double)].collect().toSet === got.toSet)
+  }
+  test("unicode tokenizer mode: non-Latin dups invisible to the ASCII tokenizer are found, and its false positives vanish") {
+    val ru = "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442 \u043e \u0431\u044b\u0441\u0442\u0440\u043e\u0439 \u0431\u0443\u0440\u043e\u0439 \u043b\u0438\u0441\u0435 \u0438 \u043b\u0435\u043d\u0438\u0432\u043e\u0439 \u0441\u043e\u0431\u0430\u043a\u0435"
+    val ar = "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 \u0647\u0630\u0647 \u0648\u062b\u064a\u0642\u0629 \u0627\u062e\u062a\u0628\u0627\u0631 \u0639\u0646 \u0627\u0644\u062b\u0639\u0644\u0628 \u0627\u0644\u0628\u0646\u064a \u0627\u0644\u0633\u0631\u064a\u0639"
+    val d = docs(1L -> ru, 2L -> ru, 3L -> ar)
+    // ASCII mode: ALL THREE docs tokenize to nothing -> identical ""
+    // shingle -> identical signatures -> every pair is a (false)
+    // candidate; the Cyrillic dup is indistinguishable from the
+    // unrelated Arabic doc. This is the silently-passes-every-gate
+    // failure the unicode mode exists to close.
+    val ascii = Dedup.minhashCandidatePairs(d).as[(Long, Long)].collect().toSet
+    assert(ascii === Set((1L, 2L), (1L, 3L), (2L, 3L)))
+    // Unicode mode: only the true Cyrillic duplicate pair survives
+    val uni = Dedup.minhashCandidatePairs(d, tok = graft.core.TextNorm.tokensUnicode)
+      .as[(Long, Long)].collect().toSet
+    assert(uni === Set((1L, 2L)))
+  }
+
+  test("unicode tokenizer mode: CJK NEAR-dup (2 of 22 chars changed) pairs via char shingles") {
+    // scriptio continua: the unicode normalizer splits Han runs per
+    // character, so w=3 shingles are char trigrams and a 2-char edit
+    // leaves most shingles shared; bands=8 (r=1) banding then catches
+    // the pair. Under the ASCII tokenizer both docs have zero tokens.
+    val zhA = "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u9ad8\u8d28\u91cf\u7684\u8bad\u7ec3\u6570\u636e\u624d\u80fd\u8868\u73b0\u826f\u597d"
+    val zhB = "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u9ad8\u8d28\u91cf\u7684\u8bad\u7ec3\u6570\u636e\u624d\u80fd\u8868\u73b0\u4f18\u79c0"
+    val d = docs(1L -> zhA, 2L -> zhB)
+    val uni = Dedup.minhashCandidatePairs(d, bands = 8,
+        tok = graft.core.TextNorm.tokensUnicode)
+      .as[(Long, Long)].collect().toSet
+    assert(uni === Set((1L, 2L)))
+    // and the estimator sees high-but-not-1 similarity via simhash too:
+    val sigs = Dedup.simhash(d, bits = 64, tok = graft.core.TextNorm.tokensUnicode)
+      .as[(Long, Long)].collect().toMap
+    assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 16)
   }
 }
