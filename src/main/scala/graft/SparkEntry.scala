@@ -1207,14 +1207,17 @@ object SparkEntry {
         defaultRate = 0.5)
     },
     "q_funnel_samples" -> { (s, dir) =>
-      // per-stage example dropped docs for the same chain/parameters
+      // per-stage example dropped docs for the same chain/parameters —
+      // via the FUSED path (manifest + funnel + samples from one
+      // computation of the drop sets; the standalone funnelSamples is
+      // parity-specced against this in CurationSpec)
       val d = docs(s, dir)
-      graft.ops.Curation.funnelSamples(
+      graft.ops.Curation.curateWithFunnel(
         d.filter(col("doc_id") % 50 =!= 0),
         d.filter(col("doc_id") % 50 === 0),
-        n = 5,
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
-        defaultRate = 0.5)
+        defaultRate = 0.5,
+        samples = 5).samples.get
     },
     "q_curate_with_funnel" -> { (s, dir) =>
       // the fused one-run path: manifest + funnel from ONE computation

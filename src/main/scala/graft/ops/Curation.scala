@@ -318,8 +318,10 @@ object Curation {
       sizeRatioFloor: Double = 0.0,
       split: SplitMode = SplitMode.Hash,
       evalShingles: Option[DataFrame] = None,
-      blocklist: Seq[String] = Nil): CurationResult = {
+      blocklist: Seq[String] = Nil,
+      samples: Int = 0): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    require(samples >= 0, s"samples=$samples must be >= 0 (0 = no sample output)")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens, blocklist)
       .filter(col("q_keep") && langKeep && col("b_keep"))
@@ -330,7 +332,12 @@ object Curation {
     CurationResult(
       manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
       funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate, blocklist),
-      clusters = cl)
+      clusters = cl,
+      // the incident-report face rides the SAME losers/contam tables —
+      // consuming all three outputs builds the dedup graph once
+      samples = if (samples == 0) None
+        else Some(samplesFrom(docs, langKeep, losers, contam, samples,
+          minTokens, rates, defaultRate, blocklist)))
   }
 
   /** The END of every curation run: [[curate]] straight into
@@ -400,9 +407,12 @@ object Curation {
     * and [[Sampling.leakageSafeSplit]] can stamp any other table from
     * it — neither re-runs minhash→bands→pairs→clusters. Backed by the
     * chain's `mat` materialization (caller owns release under
-    * [[Materialize.Persist]]). */
+    * [[Materialize.Persist]]). `samples` (present when
+    * `curateWithFunnel(samples = n)` was asked for) is the
+    * [[funnelSamples]] table over the SAME drop sets — manifest,
+    * funnel and samples from one computation of the chain. */
   final case class CurationResult(manifest: DataFrame, funnel: DataFrame,
-      clusters: DataFrame)
+      clusters: DataFrame, samples: Option[DataFrame] = None)
 
   /** DSIR-style importance weights (Xie et al., NeurIPS '23 — "Data
     * Selection for Language Models via Importance Resampling"): score
@@ -585,9 +595,34 @@ object Curation {
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens, blocklist)
       .filter(col("q_keep") && langKeep && col("b_keep"))
-    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
+    val cl = chainClusters(s1, mat, sizeRatioFloor)
+    val losers = losersOf(cl)
     val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
-    val contam = Dedup.contaminatedIds(s2, evalDocs)
+    // contam MATERIALIZED (id-sized): lazy it would re-execute the s2
+    // shingle semi-join — a full tokenize scan — inside the final
+    // attribution query (r12 shipped it lazy here; curateWithFunnel
+    // already materialized it, and the parity spec pins the two paths)
+    val contam = Materialize(contamOf(s2, evalDocs, None), mat)
+    samplesFrom(docs, langKeep, losers, contam, n, minTokens, rates,
+      defaultRate, blocklist)
+  }
+
+  /** The attribution half of [[funnelSamples]], given the chain's two
+    * precomputed drop-set id tables (the `funnelFrom` contract) — so
+    * [[curateWithFunnel]] can emit manifest + funnel + samples from ONE
+    * computation of the dedup graph and the contamination set. Cost on
+    * top of the shared drop sets: one flagged-corpus scan and one
+    * stage-keyed bounded aggregate. */
+  private def samplesFrom(
+      docs: DataFrame,
+      langKeep: Column,
+      losers: DataFrame,
+      contam: DataFrame,
+      n: Int,
+      minTokens: Int,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      blocklist: Seq[String]): DataFrame = {
     // first-failing-stage attribution, numbered as funnel() reports
     val bl = blocklist.nonEmpty
     val dropStage =

@@ -162,6 +162,19 @@ class CurationSpec extends SparkSpec {
     // and the chain's designed outcome holds end to end
     assert(fusedM.map(_._1) === Seq(1L, 41L))
     assert(fusedF.map(_._3) === Seq(7L, 6L, 5L, 4L, 3L, 2L))
+    // no samples output unless asked for
+    assert(r.samples.isEmpty)
+  }
+
+  test("curateWithFunnel(samples = n): third output ≡ standalone funnelSamples, same drop sets") {
+    val r = Curation.curateWithFunnel(docs, evalDocs, rates = rates, samples = 5)
+    val fusedS = r.samples.get.as[(Int, String, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    val aloneS = Curation.funnelSamples(docs, evalDocs, n = 5, rates = rates)
+      .as[(Int, String, Long, Int)].collect().sortBy(t => (t._1, t._4)).toSeq
+    assert(fusedS === aloneS)
+    // manifest + funnel are still the standalone values beside it
+    assert(r.manifest.as[(Long, String, String, String)].collect().map(_._1).sorted.toSeq
+      === Seq(1L, 41L))
   }
 
   test("SplitMode.LeakageSafe: parity with standalone leakageSafeSplit over the shared graph; audit zero; clusters exposed") {
