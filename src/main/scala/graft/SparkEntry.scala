@@ -165,6 +165,75 @@ object SparkEntry {
        |         CROSS JOIN ov
        |       GROUP BY d.doc_id)""".stripMargin
 
+  /** Shared 5-gram-LM CTE chain — twin of lmnModel(order = 5) +
+    * lmnScoreWith (stupid backoff, the CCNet deployment order): same
+    * derive-history-from-own-count-table construction as LM3_CTES one
+    * tier per order, α-powers written as parenthesized CAST(0.4 AS
+    * DOUBLE) product chains so the IEEE doubles match the JVM's
+    * left-folded `lit(aPow(k))` bit for bit before the 6dp rounding;
+    * serving = four suffix left joins + unigram + coalesce. */
+  private val LM5_CTES = {
+    val a1 = "CAST(0.4 AS DOUBLE)"
+    val a2 = s"($a1 * $a1)"
+    val a3 = s"($a1 * $a1 * $a1)"
+    val a4 = s"($a1 * $a1 * $a1 * $a1)"
+    s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+       |r5 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3, ts[i+3] AS w4, ts[i+4] AS w5
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 4)) AS i
+       |             FROM rt WHERE len(ts) >= 5)),
+       |c5g AS MATERIALIZED (SELECT w1, w2, w3, w4, w5, count(*) AS c FROM r5 GROUP BY ALL),
+       |h5 AS (SELECT w1, w2, w3, w4, sum(c) AS h FROM c5g GROUP BY ALL),
+       |r4 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3, ts[i+3] AS w4
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 3)) AS i
+       |             FROM rt WHERE len(ts) >= 4)),
+       |c4g AS MATERIALIZED (SELECT w1, w2, w3, w4, count(*) AS c FROM r4 GROUP BY ALL),
+       |h4 AS (SELECT w1, w2, w3, sum(c) AS h FROM c4g GROUP BY ALL),
+       |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |             FROM rt WHERE len(ts) >= 3)),
+       |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c FROM r3 GROUP BY ALL),
+       |h3 AS (SELECT w1, w2, sum(c) AS h FROM c3g GROUP BY ALL),
+       |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |             FROM rt WHERE len(ts) >= 2)),
+       |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM r2 GROUP BY ALL),
+       |h2 AS (SELECT w1, sum(c) AS h FROM c2g GROUP BY ALL),
+       |c1g AS MATERIALIZED (SELECT w, count(*) AS c1 FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
+       |nv AS MATERIALIZED (SELECT sum(c1) AS n, count(*) AS v FROM c1g),
+       |t5 AS (SELECT w1, w2, w3, w4, w5,
+       |         CAST(round(ln(CAST(c AS DOUBLE) / h), 6) AS DECIMAL(18,6)) AS lp5
+       |       FROM c5g JOIN h5 USING (w1, w2, w3, w4)),
+       |t4 AS (SELECT w1 AS w2, w2 AS w3, w3 AS w4, w4 AS w5,
+       |         CAST(round(ln($a1 * (CAST(c AS DOUBLE) / h)), 6) AS DECIMAL(18,6)) AS lp4
+       |       FROM c4g JOIN h4 USING (w1, w2, w3)),
+       |t3 AS (SELECT w1 AS w3, w2 AS w4, w3 AS w5,
+       |         CAST(round(ln($a2 * (CAST(c AS DOUBLE) / h)), 6) AS DECIMAL(18,6)) AS lp3
+       |       FROM c3g JOIN h3 USING (w1, w2)),
+       |t2 AS (SELECT w1 AS w4, w2 AS w5,
+       |         CAST(round(ln($a3 * (CAST(c AS DOUBLE) / h)), 6) AS DECIMAL(18,6)) AS lp2
+       |       FROM c2g JOIN h2 USING (w1)),
+       |uni AS (SELECT w AS w5,
+       |          CAST(round(ln($a4 * ((c1 + 1.0) / (n + v))), 6) AS DECIMAL(18,6)) AS lp1
+       |        FROM c1g CROSS JOIN nv),
+       |ov AS (SELECT CAST(round(ln($a4 * (1.0 / (n + v))), 6) AS DECIMAL(18,6)) AS lp_oov FROM nv),
+       |d5 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3, ts[i+3] AS w4, ts[i+4] AS w5
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 4)) AS i
+       |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 5)),
+       |ds AS (SELECT d.doc_id, count(*) AS n_ngrams,
+       |         count(CASE WHEN t5.lp5 IS NULL THEN 1 END) AS n_bo,
+       |         count(CASE WHEN t5.lp5 IS NULL AND t4.lp4 IS NULL AND t3.lp3 IS NULL
+       |                     AND t2.lp2 IS NULL AND u.lp1 IS NULL THEN 1 END) AS n_oov,
+       |         CAST(sum(coalesce(t5.lp5, t4.lp4, t3.lp3, t2.lp2, u.lp1, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
+       |       FROM d5 d
+       |         LEFT JOIN t5 ON d.w1 = t5.w1 AND d.w2 = t5.w2 AND d.w3 = t5.w3 AND d.w4 = t5.w4 AND d.w5 = t5.w5
+       |         LEFT JOIN t4 ON d.w2 = t4.w2 AND d.w3 = t4.w3 AND d.w4 = t4.w4 AND d.w5 = t4.w5
+       |         LEFT JOIN t3 ON d.w3 = t3.w3 AND d.w4 = t3.w4 AND d.w5 = t3.w5
+       |         LEFT JOIN t2 ON d.w4 = t2.w4 AND d.w5 = t2.w5
+       |         LEFT JOIN uni u ON d.w5 = u.w5
+       |         CROSS JOIN ov
+       |       GROUP BY d.doc_id)""".stripMargin
+  }
+
   /** q_budget_mix parameters, shared by the query and its twin so the
     * per-source floor(budget·w/Σw) literals cannot drift. src19's share
     * exceeds its sf0.01 availability (whole-source keep path); the
@@ -706,6 +775,12 @@ object SparkEntry {
       val d = withDomain(docs(s, dir))
       TextAnalysis.perplexityBuckets(d,
         TextAnalysis.lmModel(d.filter(col("domain") =!= "web")))
+    },
+    "q_lm5_score" -> { (s, dir) =>
+      // the CCNet deployment ORDER: 5-gram stupid backoff via the
+      // order-parameterized ladder, same train/score domain split
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.lm5ScoreAgainst(d, d.filter(col("domain") =!= "web"))
     },
     "q_ppl3_buckets" -> { (s, dir) =>
       // the same bucket rule under the trigram stupid-backoff scorer
@@ -1716,6 +1791,13 @@ object SparkEntry {
          |SELECT dd.doc_id, coalesce(ds.n_trigrams, 0) AS n_trigrams,
          |  coalesce(ds.n_bo, 0) AS n_bo, coalesce(ds.n_oov, 0) AS n_oov,
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_trigrams) / 1000000.0 AS avg_logprob
+         |FROM documents dd LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_lm5_score" ->
+      // the shared LM5_CTES chain, then the per-doc diagnostics + mean
+      s"""WITH $LM5_CTES
+         |SELECT dd.doc_id, coalesce(ds.n_ngrams, 0) AS n_ngrams,
+         |  coalesce(ds.n_bo, 0) AS n_bo, coalesce(ds.n_oov, 0) AS n_oov,
+         |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_ngrams) / 1000000.0 AS avg_logprob
          |FROM documents dd LEFT JOIN ds USING (doc_id)""".stripMargin,
     "q_ppl3_buckets" ->
       // twin of perplexityBuckets3: the shared LM3_CTES scoring chain,

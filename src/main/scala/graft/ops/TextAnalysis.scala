@@ -633,6 +633,120 @@ object TextAnalysis {
   def lm3ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
     lm3ScoreWith(docs, lm3Model(reference))
 
+  /** An ORDER-PARAMETERIZED stupid-backoff LM — the [[Lm3Model]]
+    * construction generalized so the ladder reaches the 5-gram order
+    * CCNet's published filter actually deploys (Wenzek et al., LREC '20
+    * score with a 5-gram KenLM; Brants et al. '07 stupid backoff is the
+    * web-scale training rule). `tiers(0)` is the full-order table keyed
+    * (w1..wN); `tiers(i)` the (N−i)-gram tier keyed on the LAST N−i
+    * words (the backed-off context, so serving joins without renames —
+    * the [[Lm3Model]] `bi` convention); then the add-one `uni` tier and
+    * the `oov` floor. Tier j's penalty α^(N−j) is folded into its
+    * pre-logged 6dp-decimal column, so serving is pure left joins +
+    * one coalesce. Write the tables as parquet to reuse across crawls. */
+  final case class LmnModel(order: Int, tiers: Seq[DataFrame], uni: DataFrame, oov: DataFrame)
+
+  /** Train an [[LmnModel]] of the given order (2..8; 5 = the CCNet
+    * deployment order). One occurrence scan per order (each a map-side-
+    * combinable groupBy whose exchange carries per-task DISTINCT
+    * n-grams, not occurrences — at 100 TB the model tables, not the
+    * corpus, size every shuffle); each history table derives from its
+    * own count table (the [[lm3Model]] derive-from-next-higher trick);
+    * (N, V) is one broadcast scalar pair.
+    *
+    * IEEE discipline: α^k is built by left-folded repeated
+    * multiplication so the DuckDB twin's `CAST(0.4 AS DOUBLE) * …`
+    * product chain is the same arithmetic shape bit for bit. */
+  def lmnModel(reference: DataFrame, order: Int, alpha: Double = 0.4): LmnModel = {
+    import org.apache.spark.sql.types.DecimalType
+    require(order >= 2 && order <= 8, s"order=$order must be in 2..8")
+    require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
+    val toks = graft.core.Parallelism.ensure(reference)
+      .select(TextNorm.tokens(col("text")).as("ts"))
+    def grams(n: Int): DataFrame = {
+      val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
+      toks.where(size(col("ts")) >= n)
+        .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
+        .select(cols: _*)
+    }
+    def dec6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
+    // ((1.0 * α) * α) * … — 1.0 * x == x exactly, so the shape equals
+    // the twin's bare k-term product
+    def aPow(k: Int): Double = (1 to k).foldLeft(1.0)((acc, _) => acc * alpha)
+    val tiers = (order to 2 by -1).map { j =>
+      val keys = (1 to j).map(i => s"w$i")
+      val cjg = grams(j).groupBy(keys.head, keys.tail: _*).agg(count(lit(1)).as("c"))
+      val hist = cjg.groupBy(keys.dropRight(1).head, keys.dropRight(1).tail: _*)
+        .agg(sum("c").as("h"))
+      val penalty = aPow(order - j)
+      val lp =
+        if (order == j) log(col("c").cast("double") / col("h"))
+        else log(lit(penalty) * (col("c").cast("double") / col("h")))
+      // serve-position names: tier j keys the LAST j words of the n-gram
+      val served = (1 to j).map(i => col(s"w$i").as(s"w${order - j + i}"))
+      cjg.join(hist, keys.dropRight(1))
+        .select(served :+ dec6(lp).as(s"lp$j"): _*)
+    }
+    val c1g = toks.select(explode(col("ts")).as("w")).groupBy("w").agg(count(lit(1)).as("c1"))
+    val nv = c1g.agg(sum("c1").as("n"), count(lit(1)).as("v"))
+    LmnModel(order, tiers,
+      uni = c1g.crossJoin(broadcast(nv))
+        .select(col("w").as(s"w$order"),
+          dec6(log(lit(aPow(order - 1)) * ((col("c1") + lit(1.0)) / (col("n") + col("v"))))).as("lp1")),
+      oov = nv.select(
+        dec6(log(lit(aPow(order - 1)) * (lit(1.0) / (col("n") + col("v"))))).as("lp_oov")))
+  }
+
+  /** Score documents against a stored [[LmnModel]]: mean n-gram
+    * stupid-backoff log-score, with `n_bo` (n-grams that fell off the
+    * full-order tier) and `n_oov` (fell through every tier to the OOV
+    * floor) diagnostics. Output: `(doc_id, n_ngrams, n_bo, n_oov,
+    * avg_logprob)`; docs under `order` tokens report `(0, 0, 0, NULL)`.
+    * Same serving plan as [[lm3ScoreWith]] at any order: the corpus
+    * n-gram stream left-joins each (model-sized, AQE-broadcast) tier
+    * on its suffix keys, then one combinable groupBy(doc_id). */
+  def lmnScoreWith(docs: DataFrame, model: LmnModel): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val order = model.order
+    val tg = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .where(size(col("ts")) >= order)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - (order - 1)),
+          i => struct((1 to order).map(j =>
+            element_at(col("ts"), i + lit(j - 1)).as(s"w$j")): _*))).as("p"))
+      .select(col("doc_id") +: (1 to order).map(j => col(s"p.w$j").as(s"w$j")): _*)
+    val joined = model.tiers.zipWithIndex.foldLeft(tg) { case (acc, (tier, i)) =>
+      val j = order - i // tier order: keys are the last j words
+      acc.join(tier, ((order - j + 1) to order).map(x => s"w$x"), "left")
+    }.join(model.uni, Seq(s"w$order"), "left")
+      .crossJoin(broadcast(model.oov))
+    val lps = (order to 2 by -1).map(j => col(s"lp$j")) ++ Seq(col("lp1"), col("lp_oov"))
+    val top = col(s"lp$order")
+    val allNull = ((order to 2 by -1).map(j => col(s"lp$j").isNull) :+ col("lp1").isNull)
+      .reduce(_ && _)
+    val perDoc = joined
+      .select(col("doc_id"), top, allNull.as("is_oov"), coalesce(lps: _*).as("lp_eff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(top.isNull, lit(1))).as("n_bo"),
+        count(when(col("is_oov"), lit(1))).as("n_oov"),
+        sum("lp_eff").cast(DecimalType(18, 6)).as("slp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_bo"), lit(0L)).as("n_bo"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // exact integer micro-unit mean — see [[lmScoreWith]]'s tie note
+        (round((col("slp") * 1000000).cast("long").cast("double") / col("n_ngrams"))
+          / lit(1000000.0)).as("avg_logprob"))
+  }
+
+  /** [[lmnModel]] + [[lmnScoreWith]] at order 5 — the q_lm5_score
+    * oracle shape (the CCNet deployment order). */
+  def lm5ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
+    lmnScoreWith(docs, lmnModel(reference, 5))
+
   /** [[perplexityBuckets]] under the TRIGRAM stupid-backoff model —
     * CCNet's head/middle/tail split driven by the higher-order scorer
     * (the actual CCNet deployment pairs the bucket rule with its

@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.paraDedupTableFunction)
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
+    ext.injectTableFunction(GraftExtensions.lmnScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.shardManifestTableFunction)
     ext.injectTableFunction(GraftExtensions.unimaxTableFunction)
     ext.injectTableFunction(GraftExtensions.spanPlanTableFunction)
@@ -1241,6 +1242,31 @@ object GraftExtensions {
         graft.ops.TextAnalysis.lm3ScoreAgainst(docs, ref))
     })
 
+  /** SQL surface for n-gram stupid-backoff LM scoring at a chosen
+    * order ([[graft.ops.TextAnalysis.lmnModel]] +
+    * [[graft.ops.TextAnalysis.lmnScoreWith]]):
+    *
+    * {{{
+    * SELECT * FROM graft_lmn_score('docs', 'reference_docs', 5)
+    * }}}
+    *
+    * Trains an order-n model on the reference table, scores every doc
+    * in the first: (doc_id, n_ngrams, n_bo, n_oov, avg_logprob). */
+  private val lmnScoreTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_lmn_score"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_lmn_score"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3, "graft_lmn_score(docs_table, reference_table, order)")
+      val str = stringArg("graft_lmn_score") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val ref = SparkSession.active.table(str(children(1), "reference_table"))
+      val order = intArg("graft_lmn_score")(children(2), "order")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.lmnScoreWith(docs,
+          graft.ops.TextAnalysis.lmnModel(ref, order)))
+    })
+
   /** SQL surface for the shard-layout manifest
     * ([[graft.ops.Sampling.shardManifest]]):
     *
@@ -1323,7 +1349,8 @@ object GraftExtensions {
         containmentTableFunction, histogramTableFunction,
         readabilityTableFunction, corpusHealthTableFunction,
         paraDedupTableFunction, spanEvalTableFunction,
-        lm3ScoreTableFunction, shardManifestTableFunction,
+        lm3ScoreTableFunction, lmnScoreTableFunction,
+        shardManifestTableFunction,
         unimaxTableFunction, spanPlanTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)

@@ -300,6 +300,57 @@ class TextAnalysisSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
   }
 
+  test("lmnModel order 5: four backoff tiers hand-computed; order 3 ≡ lm3Model") {
+    val ref = docs(
+      1L -> "a b c d e f",
+      2L -> "a b c d x y")
+    // counts: c5 all 1, h5(a,b,c,d) = 2; c4(a,b,c,d) = 2, h4(b,c,d) = 2;
+    // c2(d,e) = 1, h2(d) = 2; unigrams N = 12, V = 8 → N+V = 20, c1(e) = 1
+    val m = TextAnalysis.lmnModel(ref, 5)
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def microMean(parts: Seq[BigDecimal]): Double =
+      (BigDecimal((parts.sum * 1000000).toLongExact).setScale(0) / parts.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+    val a = 0.4; val a2 = a * a; val a3 = a * a * a; val a4 = a * a * a * a
+    val scored = TextAnalysis.lmnScoreWith(
+      docs(10L -> "a b c d e",    // 5-gram tier: ln(1/2)
+           11L -> "q a b c d x",  // 4-gram tier ln(α·2/2) then 5-gram tier ln(1/2)
+           12L -> "q q q q e",    // falls to the unigram tier ln(α⁴·2/20)
+           13L -> "q q q q qq",   // falls through everything → OOV floor
+           14L -> "a b c",        // under 5 tokens
+           15L -> "q q q d e"),   // bigram tier: ln(α³·1/2)
+      m).as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(scored(10L) === ((1L, 0L, 0L, Some(microMean(Seq(r6(math.log(0.5))))))))
+    assert(scored(11L) === ((2L, 1L, 0L,
+      Some(microMean(Seq(r6(math.log(a * 1.0)), r6(math.log(0.5))))))))
+    assert(scored(12L) === ((1L, 1L, 0L,
+      Some(microMean(Seq(r6(math.log(a4 * (2.0 / 20)))))))))
+    assert(scored(13L) === ((1L, 1L, 1L,
+      Some(microMean(Seq(r6(math.log(a4 * (1.0 / 20)))))))))
+    assert(scored(14L) === ((0L, 0L, 0L, None)))
+    assert(scored(15L) === ((1L, 1L, 0L,
+      Some(microMean(Seq(r6(math.log(a3 * (1.0 / 2)))))))))
+    // self-scoring never backs off at the full order
+    val self = TextAnalysis.lmnScoreWith(ref, m)
+    assert(self.filter($"n_bo" =!= 0 || $"n_oov" =!= 0).count() === 0)
+    // the order-3 instantiation IS lm3: same scores on a mixed corpus
+    val mixed = docs(20L -> "a b c d e f", 21L -> "a b q c d", 22L -> "zz qq a")
+    val via3 = TextAnalysis.lm3ScoreWith(mixed, TextAnalysis.lm3Model(ref))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    val viaN = TextAnalysis.lmnScoreWith(mixed, TextAnalysis.lmnModel(ref, 3))
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(viaN === via3)
+    // SQL surface parity at order 5
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    ref.createOrReplaceTempView("lmn_ref")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_lmn_score('lmn_ref', 'lmn_ref', 5)")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet ===
+      TextAnalysis.lmnScoreWith(ref, m)
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
+  }
+
   test("gopherQuality: each rule trips on its engineered doc; good prose keeps") {
     val good = (1 to 10).map(_ => "the quick brown fox jumps over that lazy dog")
       .mkString(" ") // 90 words, stopword-rich, all-alpha
