@@ -280,6 +280,33 @@ object SparkEntry {
     (w0 +: levels).mkString(",\n")
   }
 
+  /** [[BPE_CTES]] in BYTE-LEVEL mode over the multilingual-augmented
+    * corpus: w0 symbolizes each word's UTF-8 bytes as uppercase hex
+    * pairs (`hex(encode(...))` — uppercase in DuckDB and Spark alike);
+    * the merge/replace machinery is symbol-content-agnostic, so the
+    * level CTEs are identical. Words come from the Unicode tokenizer —
+    * the whole point of byte fallback is text outside the ASCII
+    * alphabet. */
+  private def BPE_BYTES_CTES(n: Int, minFreq: Long): String = {
+    val w0 =
+      s"""w0 AS MATERIALIZED (
+         |  SELECT word, regexp_replace(hex(encode(word)), '(..)', ' \\1 ', 'g') AS syms, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM (SELECT doc_id, unnest($TOKS_UNI) AS word FROM ($DOCS_UNI)) GROUP BY word)""".stripMargin
+    val levels = (1 to n).map { i =>
+      s"""m$i AS MATERIALIZED (
+         |  SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
+         |  FROM (SELECT ps[j] AS a, ps[j+1] AS b, cnt
+         |        FROM (SELECT ps, cnt, unnest(generate_series(1, len(ps)-1)) AS j
+         |              FROM (SELECT str_split(trim(syms), '  ') AS ps, cnt FROM w${i - 1})))
+         |  GROUP BY a, b HAVING CAST(sum(cnt) AS BIGINT) >= $minFreq
+         |  ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+         |w$i AS MATERIALIZED (
+         |  SELECT w.word, coalesce(replace(w.syms, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || m.b || ' '), w.syms) AS syms, w.cnt
+         |  FROM w${i - 1} w LEFT JOIN m$i m ON TRUE)""".stripMargin
+    }
+    (w0 +: levels).mkString(",\n")
+  }
+
   /** DSIR hashed-bigram model chain — twin of
     * [[graft.ops.Curation.importanceWeights]] (buckets=1024, target =
     * every 50th doc, raw = the rest): bucket = first 8 md5 hex digits
@@ -730,6 +757,17 @@ object SparkEntry {
       // tokenCountsFromModel without retraining
       val d = docs(s, dir)
       Bpe.tokenCounts(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
+    },
+    "q_bpe_bytes" -> { (s, dir) =>
+      // BYTE-LEVEL mode over the multilingual-augmented corpus: UTF-8
+      // hex-pair alphabet (zero-OOV coverage), Unicode tokenizer — the
+      // per-doc served token counts a shard budget should use on
+      // out-of-alphabet text
+      val d = uniDocs(s, dir)
+      val tokU = graft.core.TextNorm.tokensUnicode _
+      Bpe.tokenCounts(d,
+        Bpe.trainMerges(d, BPE_MERGES, byteLevel = true, tok = tokU).map(m => (m.lhs, m.rhs)),
+        byteLevel = true, tok = tokU)
     },
     "q_bpe_vocab" -> { (s, dir) =>
       // the trained tokenizer's symbol inventory (vocab artifact)
@@ -1472,6 +1510,18 @@ object SparkEntry {
          |SELECT d.doc_id, CAST(coalesce(sum(e.np), 0) AS BIGINT) AS n_bpe_tokens
          |FROM documents d
          |LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id
+         |LEFT JOIN enc e ON t.word = e.word
+         |GROUP BY d.doc_id""".stripMargin,
+    "q_bpe_bytes" ->
+      // byte-level serving via the trained state table (every served
+      // word is in the vocab, so its final symbolization IS its
+      // encoding); token stream and corpus are the Unicode-augmented
+      // ones, exercising multi-byte symbols cross-engine
+      s"""WITH ${BPE_BYTES_CTES(BPE_MERGES, 2L)},
+         |enc AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w$BPE_MERGES)
+         |SELECT d.doc_id, CAST(coalesce(sum(e.np), 0) AS BIGINT) AS n_bpe_tokens
+         |FROM ($DOCS_UNI) d
+         |LEFT JOIN (SELECT doc_id, unnest($TOKS_UNI) AS word FROM ($DOCS_UNI)) t ON d.doc_id = t.doc_id
          |LEFT JOIN enc e ON t.word = e.word
          |GROUP BY d.doc_id""".stripMargin,
     "q_bpe_vocab" ->

@@ -37,7 +37,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Thread safety: built once, then read-only; Spark shares one instance
   * across a plan's tasks via the codegen reference array.
   */
-final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
+final class BpeEncoder(merges: Seq[(String, String)], byteLevel: Boolean = false)
+    extends Serializable {
   private val lhsArr: Array[String] = merges.map(_._1).toArray
   private val rhsArr: Array[String] = merges.map(_._2).toArray
 
@@ -53,21 +54,38 @@ final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
     m
   }
 
+  private val hexDigits = "0123456789ABCDEF".toCharArray
+
   /** Encode one word to its BPE pieces. Code-point splitting matches
     * `encodeCol`'s `regexp_replace(word, "(.)", ...)` (Java regex `.`
-    * is one code point); the empty word yields `[""]`, matching the
-    * column chain's `split(trim(""), "  ")`. */
+    * is one code point); byte-level splitting matches `byteSyms`'
+    * uppercase-hex `hex(encode(word, 'UTF-8'))` pairs — the GPT-2-style
+    * coverage guarantee (every symbol is one of the fixed 256 hex
+    * pairs, so no character is ever out-of-alphabet). The empty word
+    * yields `[""]` in both modes, matching the column chain's
+    * `split(trim(""), "  ")`. */
   def encode(word: String): Array[String] = {
     if (word.isEmpty) return Array("")
-    // initial symbolization: one symbol per code point
-    var syms = new Array[String](word.length) // UTF-16 length >= #code points
+    var syms: Array[String] = null
     var len = 0
-    var ci = 0
-    while (ci < word.length) {
-      val cp = word.codePointAt(ci)
-      syms(len) = new String(Character.toChars(cp))
-      len += 1
-      ci += Character.charCount(cp)
+    if (byteLevel) {
+      val bytes = word.getBytes("UTF-8")
+      syms = new Array[String](bytes.length)
+      while (len < bytes.length) {
+        val b = bytes(len) & 0xff
+        syms(len) = new String(Array(hexDigits(b >> 4), hexDigits(b & 0xf)))
+        len += 1
+      }
+    } else {
+      // initial symbolization: one symbol per code point
+      syms = new Array[String](word.length) // UTF-16 length >= #code points
+      var ci = 0
+      while (ci < word.length) {
+        val cp = word.codePointAt(ci)
+        syms(len) = new String(Character.toChars(cp))
+        len += 1
+        ci += Character.charCount(cp)
+      }
     }
     while (len >= 2) {
       // lowest-rank adjacent pair present in the word
@@ -115,7 +133,8 @@ final class BpeEncoder(merges: Seq[(String, String)]) extends Serializable {
   * codegen, so the tokenize→encode→aggregate pipeline stays in one
   * codegen'd stage at any vocabulary depth.
   */
-case class BpeEncode(child: Expression, merges: Seq[(String, String)])
+case class BpeEncode(child: Expression, merges: Seq[(String, String)],
+    byteLevel: Boolean = false)
     extends UnaryExpression {
 
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
@@ -128,7 +147,7 @@ case class BpeEncode(child: Expression, merges: Seq[(String, String)])
 
   override def prettyName: String = "graft_bpe_encode"
 
-  @transient private lazy val encoder = new BpeEncoder(merges)
+  @transient private lazy val encoder = new BpeEncoder(merges, byteLevel)
 
   override def nullSafeEval(w: Any): Any =
     encoder.encodeArrayData(w.asInstanceOf[UTF8String])

@@ -14,7 +14,10 @@ import graft.core.{Materialize, TextNorm}
   * Representation — the whole algorithm is string algebra over a
   * SPACE-WRAPPED symbolization: a word's symbol sequence is the concat
   * of `" s "` for each symbol (`"low"` → `" l  o  w "`). Symbols are
-  * drawn from [[TextNorm.tokens]]' alphabet (`[a-z0-9]`), so the
+  * drawn from [[TextNorm.tokens]]' alphabet (`[a-z0-9]`) — or, in the
+  * opt-in BYTE-LEVEL mode, from the fixed 256 uppercase hex pairs of
+  * the word's UTF-8 bytes ([[byteSyms]] — the GPT-2-family coverage
+  * guarantee for out-of-alphabet text) — so in either mode the
   * spaces can never collide with symbol content, and applying merge
   * (a, b) → ab is exactly `replace(syms, " a  b ", " ab ")`: each
   * symbol carries its OWN leading and trailing space, so matches can
@@ -76,14 +79,31 @@ object Bpe {
   private def charSyms(word: Column): Column =
     regexp_replace(word, "(.)", " $1 ")
 
+  /** BYTE-LEVEL initial symbolization — the GPT-2-family coverage
+    * guarantee: the word's UTF-8 bytes, each as a two-digit uppercase
+    * hex symbol (`"ab"` → `" 61  62 "`). The base alphabet is the
+    * FIXED 256 hex pairs, so any text in any script decomposes — no
+    * character can ever be out-of-vocabulary, and served token counts
+    * stop under-counting exactly on the out-of-domain text where shard
+    * budgeting matters. Hex is uppercase in Spark's `hex()` and
+    * DuckDB's alike (twin-checked); symbols stay space-free, so the
+    * wrapped-replace merge algebra is unchanged. */
+  private def byteSyms(word: Column): Column =
+    regexp_replace(hex(encode(word, "UTF-8")), "(..)", " $1 ")
+
+  /** The mode dial: [[byteSyms]] when byte-level, [[charSyms]] else. */
+  private def syms0(word: Column, byteLevel: Boolean): Column =
+    if (byteLevel) byteSyms(word) else charSyms(word)
+
   /** Back from wrapped symbolization to the symbol array. */
   private def pieces(syms: Column): Column = split(trim(syms), "  ")
 
   /** Corpus word-frequency table — the single corpus-sized scan of
-    * training. */
-  def wordCounts(docs: DataFrame): DataFrame =
+    * training. `tok` is the pipeline tokenizer dial
+    * ([[TextNorm.tokensUnicode]] for multilingual corpora). */
+  def wordCounts(docs: DataFrame, tok: Column => Column = TextNorm.tokens): DataFrame =
     graft.core.Parallelism.ensure(docs)
-      .select(explode(TextNorm.tokens(col("text"))).as("word"))
+      .select(explode(tok(col("text"))).as("word"))
       .groupBy("word").agg(count(lit(1)).as("cnt"))
 
   /** Learn up to `numMerges` merges; stops early when the best
@@ -102,16 +122,19 @@ object Bpe {
       numMerges: Int,
       minFrequency: Long = 2L,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
-      maxLocalVocab: Long = 1000000L): Seq[Merge] = {
+      maxLocalVocab: Long = 1000000L,
+      byteLevel: Boolean = false,
+      tok: Column => Column = TextNorm.tokens): Seq[Merge] = {
     require(numMerges >= 1, s"numMerges=$numMerges must be >= 1")
     require(minFrequency >= 1, s"minFrequency=$minFrequency must be >= 1")
     // one probe job: fetch at most maxLocalVocab+1 rows — if that was
     // all of them, they ARE the vocabulary and refinement runs local
     val cap = math.min(maxLocalVocab, Int.MaxValue - 2L).toInt
-    val probe = wordCounts(docs).limit(cap + 1).collect()
+    val probe = wordCounts(docs, tok).limit(cap + 1).collect()
     if (probe.length <= cap)
-      trainMergesLocal(probe.map(r => (r.getString(0), r.getLong(1))), numMerges, minFrequency)
-    else trainMergesDistributed(docs, numMerges, minFrequency, mat)
+      trainMergesLocal(probe.map(r => (r.getString(0), r.getLong(1))), numMerges,
+        minFrequency, byteLevel)
+    else trainMergesDistributed(docs, numMerges, minFrequency, mat, byteLevel, tok)
   }
 
   /** Driver-local exact BPE refinement over the collected
@@ -125,21 +148,26 @@ object Bpe {
   private[graft] def trainMergesLocal(
       words: Array[(String, Long)],
       numMerges: Int,
-      minFrequency: Long): Seq[Merge] = {
+      minFrequency: Long,
+      byteLevel: Boolean = false): Seq[Merge] = {
     import scala.collection.mutable
-    // symbol sequences, one per distinct word (code-point split — the
-    // charSyms twin)
+    // symbol sequences, one per distinct word: code-point split (the
+    // charSyms twin) or uppercase-hex UTF-8 bytes (the byteSyms twin)
     val syms = new Array[mutable.ArrayBuffer[String]](words.length)
     val cnts = new Array[Long](words.length)
     var i = 0
     while (i < words.length) {
       val (w, c) = words(i)
       val buf = new mutable.ArrayBuffer[String](w.length)
-      var ci = 0
-      while (ci < w.length) {
-        val cp = w.codePointAt(ci)
-        buf += new String(Character.toChars(cp))
-        ci += Character.charCount(cp)
+      if (byteLevel) {
+        w.getBytes("UTF-8").foreach(b => buf += f"${b & 0xff}%02X")
+      } else {
+        var ci = 0
+        while (ci < w.length) {
+          val cp = w.codePointAt(ci)
+          buf += new String(Character.toChars(cp))
+          ci += Character.charCount(cp)
+        }
       }
       syms(i) = buf; cnts(i) = c
       i += 1
@@ -207,9 +235,11 @@ object Bpe {
       docs: DataFrame,
       numMerges: Int,
       minFrequency: Long,
-      mat: Materialize.Strategy): Seq[Merge] = {
+      mat: Materialize.Strategy,
+      byteLevel: Boolean = false,
+      tok: Column => Column = TextNorm.tokens): Seq[Merge] = {
     var words = Materialize(
-      wordCounts(docs).select(charSyms(col("word")).as("syms"), col("cnt")), mat)
+      wordCounts(docs, tok).select(syms0(col("word"), byteLevel).as("syms"), col("cnt")), mat)
     val out = scala.collection.mutable.ListBuffer.empty[Merge]
     var done = false
     while (out.size < numMerges && !done) {
@@ -245,9 +275,12 @@ object Bpe {
       docs: DataFrame,
       numMerges: Int,
       minFrequency: Long = 2L,
-      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      byteLevel: Boolean = false,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     val spark = docs.sparkSession
-    spark.createDataFrame(trainMerges(docs, numMerges, minFrequency, mat))
+    spark.createDataFrame(trainMerges(docs, numMerges, minFrequency, mat,
+        byteLevel = byteLevel, tok = tok))
       .select("merge_idx", "lhs", "rhs", "merged", "pair_count")
   }
 
@@ -258,8 +291,10 @@ object Bpe {
     * DuckDB oracle twin, usable to oracle depth (~64 merges; the
     * expression tree is one `replace` deep per merge). Production
     * serving goes through [[encodeFast]]. */
-  def encodeCol(word: Column, merges: Seq[(String, String)]): Column =
-    pieces(merges.foldLeft(charSyms(word)) { case (s, (a, b)) =>
+  def encodeCol(
+      word: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
+    pieces(merges.foldLeft(syms0(word, byteLevel)) { case (s, (a, b)) =>
       replace(s, lit(s" $a  $b "), lit(s" $a$b "))
     })
 
@@ -269,10 +304,12 @@ object Bpe {
     * inside whole-stage codegen. Bit-identical to [[encodeCol]] on
     * trained merge lists (the parity spec pins it; see the equivalence
     * contract on [[graft.functions.BpeEncoder]]). */
-  def encodeFast(word: Column, merges: Seq[(String, String)]): Column =
+  def encodeFast(
+      word: Column, merges: Seq[(String, String)],
+      byteLevel: Boolean = false): Column =
     org.apache.spark.sql.GraftSqlBridge.column(
       graft.functions.BpeEncode(
-        org.apache.spark.sql.GraftSqlBridge.expression(word), merges))
+        org.apache.spark.sql.GraftSqlBridge.expression(word), merges, byteLevel))
 
   /** True subword token counts per document under a trained merge
     * list: `(doc_id, n_bpe_tokens)`, token-less docs 0 — the counts
@@ -280,12 +317,15 @@ object Bpe {
     * when a real tokenizer is in play. One corpus scan, the encode
     * chain row-parallel over the exploded token stream, one combinable
     * groupBy(doc_id). */
-  def tokenCounts(docs: DataFrame, merges: Seq[(String, String)]): DataFrame =
+  def tokenCounts(
+      docs: DataFrame, merges: Seq[(String, String)],
+      byteLevel: Boolean = false,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), explode_outer(TextNorm.tokens(col("text"))).as("word"))
+      .select(col("doc_id"), explode_outer(tok(col("text"))).as("word"))
       .select(col("doc_id"),
         when(col("word").isNull, lit(0L))
-          .otherwise(size(encodeFast(col("word"), merges)).cast("long")).as("n"))
+          .otherwise(size(encodeFast(col("word"), merges, byteLevel)).cast("long")).as("n"))
       .groupBy("doc_id").agg(sum("n").cast("long").as("n_bpe_tokens"))
 
   /** The served tokenizer's symbol inventory over a corpus — the vocab

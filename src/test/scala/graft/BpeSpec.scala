@@ -206,4 +206,50 @@ class BpeSpec extends SparkSpec {
     val bpeTotal = bpeCounts.agg(sum("n_tokens")).as[Long].head()
     assert(total === bpeTotal)
   }
+  test("byte-level mode: zero-OOV on out-of-alphabet text; trainer + encoder parity") {
+    val tokU = graft.core.TextNorm.tokensUnicode _
+    val d = docs(
+      1L -> "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u043f\u0440\u0438\u0432\u0435\u0442",
+      2L -> "\u5b66\u4e60\u5b66\u4e60\u5b66\u4e60",
+      3L -> "abc abc")
+    // byte-level training (unicode tokenizer): local ≡ forced-distributed
+    val local = Bpe.trainMerges(d, numMerges = 6, byteLevel = true, tok = tokU)
+    val dist = Bpe.trainMergesDistributed(d, numMerges = 6, minFrequency = 2L,
+      graft.core.Materialize.LocalCheckpoint, byteLevel = true, tok = tokU)
+    assert(local === dist)
+    assert(local.nonEmpty)
+    // every learned symbol is hex-pair-composed (the fixed 256 alphabet)
+    local.foreach { m =>
+      assert(m.merged.matches("[0-9A-F]+") && m.merged.length % 2 == 0, m)
+    }
+    val merges = local.map(m => (m.lhs, m.rhs))
+    // zero-OOV pin: a word the trainer NEVER saw — emoji (4-byte UTF-8),
+    // Arabic, an unseen CJK char — still decomposes completely: pieces
+    // concatenate back to the word's exact UTF-8 hex, nothing vanishes
+    def hexOf(w: String): String =
+      w.getBytes("UTF-8").map(b => f"${b & 0xff}%02X").mkString
+    for (unseen <- Seq("\ud83d\ude00", "\u0645\u0631\u062d\u0628\u0627", "\u597d", "caf\u00e9")) {
+      val pieces = Seq(unseen).toDF("w")
+        .select(Bpe.encodeFast(col("w"), merges, byteLevel = true).as("p"))
+        .as[Seq[String]].head()
+      assert(pieces.nonEmpty && pieces.forall(_.matches("[0-9A-F]+")), pieces)
+      assert(pieces.mkString === hexOf(unseen), s"bytes vanished for $unseen")
+      // the executable-spec column chain agrees piece for piece
+      val viaCol = Seq(unseen).toDF("w")
+        .select(Bpe.encodeCol(col("w"), merges, byteLevel = true).as("p"))
+        .as[Seq[String]].head()
+      assert(viaCol === pieces)
+    }
+    // under CHAR mode the same corpus trains symbols outside any fixed
+    // alphabet (raw code points) — the contrast the byte mode closes
+    val charMerges = Bpe.trainMerges(d, numMerges = 2, tok = tokU)
+    assert(charMerges.exists(m => !m.merged.matches("[0-9A-Fa-f]+")))
+    // served counts: byte-level totals count EVERY byte of unseen text
+    val counts = Bpe.tokenCounts(docs(9L -> "\ud83d\ude00 \u597d"), merges,
+      byteLevel = true, tok = tokU)
+      .as[(Long, Long)].collect().toMap
+    // 4-byte emoji is stripped by the tokenizer keep-set (not a letter),
+    // so the doc is the single Han char: 3 bytes, no merges apply
+    assert(counts(9L) === 3L)
+  }
 }
