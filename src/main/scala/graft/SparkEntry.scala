@@ -234,6 +234,42 @@ object SparkEntry {
        |       GROUP BY d.doc_id)""".stripMargin
   }
 
+  /** spanPlan CTE chain (k=24, sampleMod=4, the default candidate
+    * ladder) + its final projection, shared by q_span_plan and the
+    * q_modp_recommend argmax over it. */
+  private val SPAN_PLAN_CTES =
+    """smp AS MATERIALIZED (
+      |  SELECT doc_id, text, length(text) AS n FROM documents
+      |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0),
+      |sites AS MATERIALIZED (
+      |  SELECT doc_id, p,
+      |    CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER)+1, 24)), 1, 13)) AS BIGINT) AS h
+      |  FROM (SELECT doc_id, text, unnest(range(0, n - 23)) AS p FROM smp WHERE n >= 24)),
+      |tdrp AS (SELECT doc_id, p FROM (
+      |    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c,
+      |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM sites)
+      |  WHERE c > 1 AND rn > 1),
+      |lens AS (SELECT CAST(b - a AS BIGINT) AS len FROM (
+      |    SELECT doc_id, min(p) AS a, max(p) + 24 AS b FROM (
+      |      SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM (
+      |        SELECT doc_id, p,
+      |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 24 THEN 0 ELSE 1 END AS brk
+      |        FROM tdrp))
+      |    GROUP BY doc_id, g)),
+      |cand AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS mod_p),
+      |terms AS (SELECT mod_p, len,
+      |    CAST(round(len * (1.0 - power(1.0 - (1.0 / mod_p), len - 23)), 6) AS DECIMAL(28,6)) AS t
+      |  FROM lens CROSS JOIN cand),
+      |agg AS (SELECT mod_p, CAST(count(*) AS BIGINT) AS n_spans,
+      |    CAST(sum(len) AS BIGINT) AS truth_chars,
+      |    CAST(sum(t) AS DECIMAL(28,6)) AS st
+      |  FROM terms GROUP BY mod_p)""".stripMargin
+  private val SPAN_PLAN_SELECT =
+    """SELECT c.mod_p, coalesce(a.n_spans, 0) AS n_spans,
+      |  coalesce(a.truth_chars, 0) AS truth_chars,
+      |  round(CAST(a.st AS DOUBLE) / nullif(a.truth_chars, 0), 6) AS est_recall
+      |FROM cand c LEFT JOIN agg a USING (mod_p)""".stripMargin
+
   /** q_budget_mix parameters, shared by the query and its twin so the
     * per-source floor(budget·w/Σw) literals cannot drift. src19's share
     * exceeds its sf0.01 availability (whole-source keep path); the
@@ -948,6 +984,13 @@ object SparkEntry {
     // the modP dial: estimated char recall per candidate sampling rate
     // from the sample's exact span-length distribution
     "q_span_plan" -> ((s, dir) => Dedup.spanPlan(docs(s, dir))),
+    "q_modp_recommend" -> { (s, dir) =>
+      // the plan-to-parameter wire: largest modP clearing 0.75 recall
+      // (driver-side argmax over the candidate-sized plan table,
+      // surfaced as a one-row frame for the oracle gate)
+      val p = Dedup.recommendModP(docs(s, dir), targetRecall = 0.75)
+      s.createDataFrame(Seq(Tuple1(p))).toDF("mod_p")
+    },
     "q_novelty" -> { (s, dir) =>
       // overlap score vs a frozen reference: the q_decontaminate split
       // (eval = doc_id % 50 == 0), every doc scored
@@ -2553,36 +2596,17 @@ object SparkEntry {
       // twin of Dedup.spanPlan(k=24, sampleMod=4): the q_span_eval
       // ground-truth chain reduced to span LENGTHS, then per-candidate
       // modP the 6dp-decimal-summed L*(1-(1-1/p)^(L-k+1)) estimate
-      """WITH smp AS MATERIALIZED (
-        |  SELECT doc_id, text, length(text) AS n FROM documents
-        |  WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 4 = 0),
-        |sites AS MATERIALIZED (
-        |  SELECT doc_id, p,
-        |    CAST(('0x' || substr(md5(substr(text, CAST(p AS INTEGER)+1, 24)), 1, 13)) AS BIGINT) AS h
-        |  FROM (SELECT doc_id, text, unnest(range(0, n - 23)) AS p FROM smp WHERE n >= 24)),
-        |tdrp AS (SELECT doc_id, p FROM (
-        |    SELECT doc_id, p, count(*) OVER (PARTITION BY h) AS c,
-        |      row_number() OVER (PARTITION BY h ORDER BY doc_id, p) AS rn FROM sites)
-        |  WHERE c > 1 AND rn > 1),
-        |lens AS (SELECT CAST(b - a AS BIGINT) AS len FROM (
-        |    SELECT doc_id, min(p) AS a, max(p) + 24 AS b FROM (
-        |      SELECT doc_id, p, sum(brk) OVER (PARTITION BY doc_id ORDER BY p) AS g FROM (
-        |        SELECT doc_id, p,
-        |          CASE WHEN p - lag(p) OVER (PARTITION BY doc_id ORDER BY p) <= 24 THEN 0 ELSE 1 END AS brk
-        |        FROM tdrp))
-        |    GROUP BY doc_id, g)),
-        |cand AS (SELECT unnest([2, 4, 8, 16, 32, 64]) AS mod_p),
-        |terms AS (SELECT mod_p, len,
-        |    CAST(round(len * (1.0 - power(1.0 - (1.0 / mod_p), len - 23)), 6) AS DECIMAL(28,6)) AS t
-        |  FROM lens CROSS JOIN cand),
-        |agg AS (SELECT mod_p, CAST(count(*) AS BIGINT) AS n_spans,
-        |    CAST(sum(len) AS BIGINT) AS truth_chars,
-        |    CAST(sum(t) AS DECIMAL(28,6)) AS st
-        |  FROM terms GROUP BY mod_p)
-        |SELECT c.mod_p, coalesce(a.n_spans, 0) AS n_spans,
-        |  coalesce(a.truth_chars, 0) AS truth_chars,
-        |  round(CAST(a.st AS DOUBLE) / nullif(a.truth_chars, 0), 6) AS est_recall
-        |FROM cand c LEFT JOIN agg a USING (mod_p)""".stripMargin,
+      s"""WITH $SPAN_PLAN_CTES
+         |$SPAN_PLAN_SELECT""".stripMargin,
+    "q_modp_recommend" ->
+      // twin of Dedup.recommendModP(target = 0.75): largest candidate
+      // clearing the target; all-zero spans -> largest candidate
+      // (nothing to miss); none clears -> 1 (exact mode)
+      s"""WITH $SPAN_PLAN_CTES,
+         |plan AS MATERIALIZED ($SPAN_PLAN_SELECT)
+         |SELECT CAST(coalesce(CASE WHEN (SELECT max(n_spans) FROM plan) = 0
+         |    THEN (SELECT max(mod_p) FROM plan)
+         |    ELSE (SELECT max(mod_p) FROM plan WHERE est_recall >= 0.75) END, 1) AS INTEGER) AS mod_p""".stripMargin,
     "q_dup_strip" ->
       // twin of Dedup.stripDuplicateSpans at the same parameters: cut
       // every span out of its doc, report count/length/md5 of the rest

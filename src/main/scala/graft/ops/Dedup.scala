@@ -1262,9 +1262,14 @@ object Dedup {
     * Detection is probabilistic in the span length: a repeated region
     * of length L carries L−k+1 grams, each sampled at rate 1/modP, so
     * the miss probability is (1−1/modP)^(L−k+1) — ~2e-5 for a 100-char
-    * region at the defaults. The window work is per-doc (bounded), the
-    * only corpus-scale shuffle carries (h, doc_id, pos) triples, and
-    * document TEXT never shuffles.
+    * region at the defaults, but dominated in practice by the corpus's
+    * SHORT-span tail (round-12 [[spanEval]] measured recall 0.571 at
+    * modP=8 on the fixture corpus). Don't guess modP: run
+    * [[recommendModP]] (or [[spanPlan]] + [[recommendModPFrom]]) on a
+    * sample with your recall target and pass its answer here. The
+    * window work is per-doc (bounded), the only corpus-scale shuffle
+    * carries (h, doc_id, pos) triples, and document TEXT never
+    * shuffles.
     */
   def duplicateSpans(
       docs: DataFrame, k: Int = 24, modP: Int = 8, gap: Int = 64,
@@ -1691,6 +1696,42 @@ object Dedup {
         round(col("st").cast("double") /
           when(col("truth_chars") > 0, col("truth_chars")), 6).as("est_recall"))
   }
+
+  /** The modP RECOMMENDATION — the missing wire between [[spanEval]]'s
+    * measurement and the parameter a user actually passes to
+    * [[duplicateSpans]] / the streaming `spanHistoryDir` chain: from a
+    * [[spanPlan]] table, pick the LARGEST candidate (cheapest — anchor
+    * volume is ∝ 1/modP) whose estimated char recall clears
+    * `targetRecall`. Argmin over the candidate-sized plan table — no
+    * corpus scan happens here.
+    *
+    * Degenerate contracts, in the order they bind: a sample with NO
+    * duplicated spans (NULL est_recall) has nothing to miss — the
+    * largest candidate wins; when even the smallest candidate misses
+    * the target, the answer is `1` (modP=1 keeps every anchor site:
+    * exact detection, recall 1 by construction — the only setting that
+    * can honor the target). */
+  def recommendModPFrom(plan: DataFrame, targetRecall: Double): Int = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"targetRecall=$targetRecall must be in (0, 1]")
+    val rows = plan.select(col("mod_p").cast("int"), col("n_spans").cast("long"),
+      col("est_recall")).collect()
+    require(rows.nonEmpty, "empty spanPlan table")
+    if (rows.forall(_.getLong(1) == 0L)) rows.map(_.getInt(0)).max
+    else rows.filter(r => !r.isNullAt(2) && r.getDouble(2) >= targetRecall)
+      .map(_.getInt(0)).maxOption.getOrElse(1)
+  }
+
+  /** [[recommendModPFrom]] with the plan built in — one sample-scan
+    * [[spanPlan]] then the argmin. */
+  def recommendModP(
+      docs: DataFrame,
+      targetRecall: Double,
+      k: Int = 24,
+      sampleMod: Int = 4,
+      candidates: Seq[Int] = Seq(2, 4, 8, 16, 32, 64),
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): Int =
+    recommendModPFrom(spanPlan(docs, k, sampleMod, candidates, mat), targetRecall)
 
   /** Per-SOURCE MinHash signature — the minwise hash of the UNION of a
     * source's shingle sets (min over a union is the min of mins, so

@@ -236,7 +236,10 @@ object CorpusWatcher {
     * Substring-level strip (`spanHistoryDir`): the streaming face of
     * [[graft.ops.Dedup.stripDuplicateSpansAgainst]] — regions the
     * accumulated anchor history has already seen (default k=24,
-    * modP=8, gap=64) are CUT OUT of each batch's admitted docs before
+    * modP=8, gap=64; size modP with
+    * [[graft.ops.Dedup.recommendModP]] on a batch sample rather than
+    * guessing — short-span recall is corpus-dependent) are CUT OUT of
+    * each batch's admitted docs before
     * indexing; the stripped survivors' own [[graft.ops.Dedup
     * .anchorSites]] append as this batch's `batch_id=N` partition
     * (post-strip, so an already-seen region is stored exactly once;

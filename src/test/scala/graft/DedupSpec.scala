@@ -704,6 +704,27 @@ class DedupSpec extends SparkSpec {
     assert(none === ((8, 0L, 0L, None)))
   }
 
+  test("recommendModP: largest candidate clearing the target; documented fallbacks") {
+    def plan(rows: (Int, Long, Option[Double])*) =
+      rows.toDF("mod_p", "n_spans", "est_recall")
+    val p = plan((2, 5L, Some(0.9)), (4, 5L, Some(0.76)), (8, 5L, Some(0.69)))
+    // largest clearing wins, not the first
+    assert(Dedup.recommendModPFrom(p, 0.75) === 4)
+    assert(Dedup.recommendModPFrom(p, 0.5) === 8)
+    // nothing clears → 1 (exact mode is the only setting honoring it)
+    assert(Dedup.recommendModPFrom(p, 0.95) === 1)
+    // no duplicated spans at all → nothing to miss → cheapest candidate
+    assert(Dedup.recommendModPFrom(
+      plan((2, 0L, None), (8, 0L, None)), 0.99) === 8)
+    // end-to-end: tied to the real spanPlan table on a real corpus
+    val uniqA = "totally fresh lead material preceding the copied area "
+    val d = docs(1L -> region, 2L -> (uniqA + region))
+    val table = Dedup.spanPlan(d, k = 16, sampleMod = 1, candidates = Seq(2, 8, 32))
+    val rec = Dedup.recommendModPFrom(table, 0.5)
+    val rows = table.as[(Int, Long, Long, Option[Double])].collect()
+    assert(rows.filter(_._4.exists(_ >= 0.5)).map(_._1).max === rec)
+  }
+
   test("stripDuplicateSpans: cut matches a manual splice of duplicateSpans; short docs untouched") {
     val junk = "leading filler words nothing shared with anything else here at all "
     val d = docs(
