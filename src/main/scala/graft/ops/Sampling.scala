@@ -150,6 +150,12 @@ object Sampling {
     * a document's fate is deterministic given (corpus-so-far,
     * doc_id). Sources with no accumulated tokens (and null-source
     * rows) take `defaultRate`.
+    *
+    * Partition growth: the stats dir gains one `batch_id=N` partition
+    * per micro-batch; [[graft.streaming.CorpusWatcher.compactStats]]
+    * (run by `compactEvery`, marker-guarded so the SUM consumer can
+    * never observe a double-count crash state) folds the old ones, so
+    * listing cost stays bounded at streaming cadence.
     */
   final case class AdaptiveMixtureGate(
       statsDir: String,

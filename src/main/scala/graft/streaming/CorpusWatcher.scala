@@ -436,6 +436,10 @@ object CorpusWatcher {
           case (Some(g), _) =>
             graft.ops.Sampling.mixture(kept, "source", "doc_id", g.rates, g.defaultRate)
           case (None, Some(g)) =>
+            // 0. finish any interrupted stats compaction BEFORE reading
+            //    or writing the table (one marker existence probe — the
+            //    guarantee that no read here ever sees the crash state)
+            recoverStats(session, g.statsDir)
             // 1. publish this batch's pre-mixture per-source stats.
             //    Computed BEFORE admission from the post-dedup stream,
             //    so they are a pure function of batch content: a
@@ -559,14 +563,16 @@ object CorpusWatcher {
         // newest batch partition is never touched, ids are negative);
         // every (compactEvery)-th batch folds each history's older
         // partitions so file counts stay bounded at crawl cadence.
-        // NOT the adaptive gate's stats dir: compaction's crash window
-        // leaves duplicate rows, invisible to the semi-join histories
-        // but double-counted by the stats table's SUM consumer —
-        // compact that one offline, when the stream is down.
+        // The adaptive gate's stats dir takes the SUM-SAFE protocol
+        // ([[compactStats]] — marker-guarded swap, recovery replayed
+        // before every stats read), never the semi-join one: its
+        // consumer sums rows, so the plain crash window would
+        // double-count token mass.
         compactEvery.foreach { n =>
           if (batchId % n == (n - 1).toLong) {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir)
               .foreach(dir => compactHistory(session, dir))
+            adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }
         }
         // every consumer (band/anchor appends, snapshot, metrics) is
@@ -642,6 +648,99 @@ object CorpusWatcher {
       .write.mode("overwrite").parquet(s"$dir/batch_id=$target")
     sources.foreach { case (_, p) => fs.delete(p, true) }
     sources.size
+  }
+
+  /** SUM-SAFE compaction for the adaptive gate's per-source stats table
+    * — the one history [[compactHistory]] must NOT touch: its consumer
+    * SUMS rows, so the plain write-then-delete crash window (compacted
+    * copy AND sources both visible) would double-count token mass and
+    * silently skew every subsequent mixture rate. Without compaction
+    * the stats dir grows one partition per micro-batch forever — the
+    * same file-listing bottleneck the band history had.
+    *
+    * Protocol (write-hidden → marker → swap-in → delete → unmark):
+    *
+    *   1. [[recoverStats]] — finish any interrupted run FIRST (also
+    *      called by the stream before every stats read, so no read in
+    *      this process ever sees an unresolved crash state);
+    *   2. aggregate every partition EXCEPT the newest non-negative
+    *      batch's (replay overwrites its own partition — folding it in
+    *      would double it on replay; the [[compactHistory]] rule) to
+    *      one `(source, n_docs, n_tokens)` row set, written to the
+    *      dot-prefixed `.compact_tmp` dir — INVISIBLE to partition
+    *      discovery, so a crash here leaves the visible table intact;
+    *   3. atomically (temp + rename) write `.compact_marker` naming
+    *      the target id and the source partitions — the intent record;
+    *   4. rename `.compact_tmp` into `batch_id=<fresh negative id>`;
+    *   5. delete the sources; 6. delete the marker.
+    *
+    * Crash anywhere: sources are deleted only after the marker AND the
+    * target are durable, the target becomes visible only via the
+    * rename, and [[recoverStats]] replays the remaining steps from the
+    * marker before the next read — so the visible table never
+    * double-counts, and under-counts only between steps 5 and the
+    * recovery that completes them (a window no reader in this process
+    * can observe). Returns compacted source-partition count. */
+  def compactStats(session: SparkSession, dir: String): Int = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return 0
+    recoverStats(session, dir)
+    val parts = fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+      .map(st => st.getPath.getName.stripPrefix("batch_id=").toLong -> st.getPath)
+    val newestBatch = parts.map(_._1).filter(_ >= 0).maxOption
+    val sources = parts.filterNot { case (id, _) => newestBatch.contains(id) }
+    if (sources.size < 2) return 0
+    val target = math.min(parts.map(_._1).min, 0L) - 1L
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    fs.delete(tmp, true)
+    session.read.parquet(sources.map(_._2.toString): _*)
+      .groupBy("source")
+      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+      .coalesce(1)
+      .write.mode("overwrite").parquet(tmp.toString)
+    val markerTmp = new org.apache.hadoop.fs.Path(root, ".compact_marker.tmp")
+    val marker = new org.apache.hadoop.fs.Path(root, ".compact_marker")
+    val body = (s"batch_id=$target" +: sources.map(_._2.getName)).mkString("\n")
+    val out = fs.create(markerTmp, true)
+    out.write(body.getBytes("UTF-8")); out.close()
+    fs.rename(markerTmp, marker)
+    fs.rename(tmp, new org.apache.hadoop.fs.Path(root, s"batch_id=$target"))
+    sources.foreach { case (_, p) => fs.delete(p, true) }
+    fs.delete(marker, false)
+    sources.size
+  }
+
+  /** Crash recovery for [[compactStats]]: replay the marker's remaining
+    * steps. No marker → any stray `.compact_tmp` is pre-marker garbage
+    * (sources all intact) and is deleted. Marker present → the tmp holds
+    * (or the target already holds) the sources' exact sums: make the
+    * target visible if it isn't, delete the named sources, drop the
+    * marker. Idempotent — every step checks before acting. */
+  def recoverStats(session: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    if (!fs.exists(root)) return
+    val marker = new org.apache.hadoop.fs.Path(root, ".compact_marker")
+    val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
+    if (!fs.exists(marker)) {
+      fs.delete(tmp, true) // pre-marker crash: visible table intact
+      fs.delete(new org.apache.hadoop.fs.Path(root, ".compact_marker.tmp"), false)
+      return
+    }
+    val in = fs.open(marker)
+    val body = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val lines = body.split("\n").toSeq
+    val targetDir = new org.apache.hadoop.fs.Path(root, lines.head)
+    if (!fs.exists(targetDir) && fs.exists(tmp)) fs.rename(tmp, targetDir)
+    if (fs.exists(targetDir)) {
+      lines.tail.foreach(n => fs.delete(new org.apache.hadoop.fs.Path(root, n), true))
+      fs.delete(marker, false)
+    }
+    // marker without tmp or target cannot occur (tmp write precedes the
+    // marker); if it somehow does, leave the marker for inspection
+    // rather than guessing — sources are still intact, sums correct
   }
 
   /** The accumulated dedup band table under `bandsDir`, EXCLUDING the

@@ -475,6 +475,69 @@ class CorpusWatcherSpec extends SparkSpec {
       .listFiles().count(_.getName.endsWith(".parquet")) === 1)
   }
 
+  test("compactStats: sum-safe fold of the adaptive stats table; every crash state recovers") {
+    val dir = tmp("cstats") + "/stats"
+    def statsOf(rows: (String, Long, Long)*) =
+      rows.toDF("source", "n_docs", "n_tokens")
+    (0 to 3).foreach { b =>
+      statsOf(("src0", 2L, (100 + b).toLong), ("src1", 1L, (50 + b).toLong))
+        .coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=$b")
+    }
+    def partitions: Set[Long] =
+      new java.io.File(dir).listFiles().filter(f => f.isDirectory && !f.getName.startsWith("."))
+        .map(_.getName.stripPrefix("batch_id=").toLong).toSet
+    // THE consumer's exact read: accumulated per-source SUMS
+    def sums: Map[String, Long] =
+      spark.read.parquet(dir).groupBy("source").agg(org.apache.spark.sql.functions.sum("n_tokens").as("t"))
+        .as[(String, Long)].collect().toMap
+    val before = sums
+    assert(CorpusWatcher.compactStats(spark, dir) === 3)
+    assert(partitions === Set(-1L, 3L),
+      s"newest batch partition must survive (replay overwrite target): $partitions")
+    assert(sums === before) // the sum-safety pin
+    // nothing left to fold → no-op
+    assert(CorpusWatcher.compactStats(spark, dir) === 0)
+    // recompaction folds the negative generation + superseded batches
+    statsOf(("src0", 1L, 10L)).coalesce(1).write.mode("overwrite").parquet(s"$dir/batch_id=4")
+    val all2 = sums
+    assert(CorpusWatcher.compactStats(spark, dir) === 2)
+    assert(partitions === Set(-2L, 4L))
+    assert(sums === all2)
+
+    // crash BEFORE the marker: stray tmp is garbage, visible table intact
+    statsOf(("junk", 9L, 999L)).coalesce(1).write.parquet(s"$dir/.compact_tmp")
+    CorpusWatcher.recoverStats(spark, dir)
+    assert(!new java.io.File(s"$dir/.compact_tmp").exists())
+    assert(sums === all2)
+
+    // crash AFTER the marker, BEFORE the swap: tmp holds the source's
+    // exact sums; recovery completes rename + delete + unmark
+    val srcRows = spark.read.parquet(s"$dir/batch_id=-2")
+      .groupBy("source").agg(org.apache.spark.sql.functions.sum("n_docs").as("n_docs"), org.apache.spark.sql.functions.sum("n_tokens").as("n_tokens"))
+    srcRows.coalesce(1).write.parquet(s"$dir/.compact_tmp")
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".compact_marker"),
+      "batch_id=-3\nbatch_id=-2".getBytes("UTF-8"))
+    CorpusWatcher.recoverStats(spark, dir)
+    assert(partitions === Set(-3L, 4L))
+    assert(sums === all2)
+    assert(!new java.io.File(s"$dir/.compact_marker").exists())
+
+    // crash AFTER the swap, BEFORE source deletion — the DOUBLE-COUNT
+    // window: target and a stale source both visible; recovery deletes
+    // the marker-named source before any consumer read sees it
+    spark.read.parquet(s"$dir/batch_id=-3")
+      .coalesce(1).write.parquet(s"$dir/batch_id=-5") // stale duplicate source
+    java.nio.file.Files.write(java.nio.file.Paths.get(dir, ".compact_marker"),
+      "batch_id=-3\nbatch_id=-5".getBytes("UTF-8"))
+    assert(sums !== all2) // the crash state really does double-count
+    CorpusWatcher.recoverStats(spark, dir)
+    assert(partitions === Set(-3L, 4L))
+    assert(sums === all2)
+    // recovery is idempotent
+    CorpusWatcher.recoverStats(spark, dir)
+    assert(sums === all2)
+  }
+
   test("dedupBandsDir: a replayed batch excludes its own first-attempt bands") {
     val (watch, index, quar, bands) =
       (tmp("watchrb"), tmp("indexrb"), tmp("quarrb") + "/bad", tmp("bandsrb") + "/bands")
