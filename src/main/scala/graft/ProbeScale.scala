@@ -681,6 +681,68 @@ object ProbeScale {
           docs, s"/tmp/shards_probe_$rep", 4096).count())
       }
     }
+
+    // round-13 additions: 5-gram LM (model-sized serving must hold at
+    // 10x), unicode-tokenizer minhash (same plan shape as ASCII — the
+    // tok dial must not change the scale contract), byte-level BPE
+    // counting, and the fused paragraph strip (the stream12 hot stage,
+    // measured standalone)
+    if (section == "r13") {
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val tokU = graft.core.TextNorm.tokensUnicode _
+      for (rep <- 1 to 2) {
+        time(s"lm5_score_sf01_$rep")(graft.ops.TextAnalysis.lm5ScoreAgainst(
+          docs01, docs01.filter(col("source") =!= "src0")).count())
+        time(s"lm5_score_sf1_$rep")(graft.ops.TextAnalysis.lm5ScoreAgainst(
+          docs, docs.filter(col("source") =!= "src0")).count())
+        time(s"minhash_uni_sf01_$rep")(
+          Dedup.minhashCandidatePairs(docs01, tok = tokU).count())
+        time(s"minhash_uni_sf1_$rep")(
+          Dedup.minhashCandidatePairs(docs, tok = tokU).count())
+        val merges = graft.ops.Bpe.trainMerges(docs01, 32, byteLevel = true)
+          .map(m => (m.lhs, m.rhs))
+        time(s"bpe_bytes_count_sf01_$rep")(
+          graft.ops.Bpe.tokenCounts(docs01, merges, byteLevel = true).count())
+        time(s"bpe_bytes_count_sf1_$rep")(
+          graft.ops.Bpe.tokenCounts(docs, merges, byteLevel = true).count())
+        // fused vs unfused paragraph strip+append over a history built
+        // from a shifted half of the corpus (the streaming hot path)
+        val hist = Dedup.paragraphHashes(docs.filter(col("doc_id") % 2 === 0), "\\n+")
+          .localCheckpoint()
+        time(s"para_strip_fused_sf1_$rep") {
+          val (stripped, hashes) =
+            Dedup.stripParagraphsWithHashes(docs, hist, "\\n+")
+          stripped.count() + hashes.count()
+        }
+        time(s"para_strip_unfused_sf1_$rep") {
+          val stripped = Dedup.stripParagraphsAgainst(docs, hist, "\\n+")
+            .select(col("doc_id"), col("text")).localCheckpoint()
+          Dedup.paragraphHashes(stripped, "\\n+").count() + stripped.count()
+        }
+        // the streaming batch-dedup chain (history filter + within-batch
+        // + band append), one signature pass vs three — the r13 stream
+        // rewiring, isolated from the rest of the stream's stages
+        val bHist = Dedup.minhashBands(docs.filter(col("doc_id") % 2 === 0))
+          .localCheckpoint()
+        val inc = docs.filter(col("doc_id") % 2 =!= 0)
+        time(s"dedup_chain_unshared_sf1_$rep") {
+          val after = Dedup.dropDuplicatesAgainst(inc, bHist).persist()
+          val survivors = Dedup.dropNearDuplicates(after).persist()
+          val n = Dedup.minhashBands(survivors).count() + survivors.count()
+          after.unpersist(); survivors.unpersist(); n
+        }
+        time(s"dedup_chain_shared_sf1_$rep") {
+          val bands0 = Dedup.minhashBands(inc).persist()
+          val after = Dedup.dropDuplicatesAgainstBands(inc, bands0, bHist).persist()
+          val bandsAfter = bands0.join(after.select("doc_id"), Seq("doc_id"), "left_semi")
+          val survivors = after.join(Dedup.nearDupLosersFromBands(bandsAfter),
+            Seq("doc_id"), "left_anti").persist()
+          val n = bands0.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi").count() +
+            survivors.count()
+          bands0.unpersist(); after.unpersist(); survivors.unpersist(); n
+        }
+      }
+    }
     spark.stop()
   }
 }

@@ -164,11 +164,17 @@ object Curation {
   /** Apply a [[QualityGate]]: keep docs passing the quality rule whose
     * predicted language is in the gate's keep set; output schema equals
     * the input schema (flag columns are internal). One tokenization
-    * pass, no shuffle — safe to run inside every micro-batch. */
-  def applyGate(docs: DataFrame, gate: QualityGate): DataFrame =
+    * pass, no shuffle — safe to run inside every micro-batch.
+    * `keepTokenCount = true` additionally keeps the pass's `n_tok`
+    * column (= `size(TextNorm.tokens(text))`) so a downstream consumer
+    * that needs token counts — the adaptive gate's stats publish —
+    * reuses THIS tokenize pass instead of paying its own. */
+  def applyGate(docs: DataFrame, gate: QualityGate,
+      keepTokenCount: Boolean = false): DataFrame =
     rowFlags(docs, gate.minTokens, gate.blocklist)
       .filter(col("q_keep") && col("pred_lang").isin(gate.keepLangs: _*) && col("b_keep"))
-      .select(docs.columns.toSeq.map(col): _*)
+      .select((docs.columns.toSeq.map(col) ++
+        (if (keepTokenCount) Seq(col("n_tok")) else Nil)): _*)
 
   /** Run the full curation chain and return the kept training manifest:
     * `(doc_id, source, pred_lang, split)` — one row per surviving doc,

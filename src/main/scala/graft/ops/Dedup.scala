@@ -629,8 +629,22 @@ object Dedup {
       refBands: DataFrame,
       w: Int = 3,
       k: Int = 8,
-      bands: Int = 2): DataFrame = {
-    val dupIds = minhashBands(newDocs, w, k, bands)
+      bands: Int = 2): DataFrame =
+    dropDuplicatesAgainstBands(newDocs, minhashBands(newDocs, w, k, bands), refBands)
+
+  /** [[dropDuplicatesAgainst]] over a PRECOMPUTED band table of the
+    * increment — the shared-signature idiom: a streaming batch signs
+    * itself ONCE and feeds the history filter, the within-batch pair
+    * graph, and the band append from the same (materialized) band
+    * table instead of re-running the tokenize+minhash scan per
+    * consumer. `newBands` must be `minhashBands(newDocs, …)` (each
+    * doc's signature depends only on its own text, so any id-subset
+    * of a band table IS that subset's band table). */
+  def dropDuplicatesAgainstBands(
+      newDocs: DataFrame,
+      newBands: DataFrame,
+      refBands: DataFrame): DataFrame = {
+    val dupIds = newBands
       .join(refBands.select(col("band"), col("band_key")), Seq("band", "band_key"), "left_semi")
       .select("doc_id").distinct()
     newDocs.join(dupIds, Seq("doc_id"), "left_anti")
@@ -747,12 +761,17 @@ object Dedup {
       p => length(p) > 0)
 
   /** `(doc_id, para_idx, h)`: each paragraph's index and the md5 of
-    * its NORMALIZED token stream — the duplicate-matching key. */
+    * its NORMALIZED token stream — the duplicate-matching key. Since
+    * round 13 this explodes the native row-local
+    * [[graft.functions.ParaHashes]] array (one scan pass per doc,
+    * reused buffers) instead of posexploding paragraphs and paying the
+    * regex normalizer + md5 per paragraph ROW — value-identical by the
+    * parity spec, and the streaming paragraph stage's dominant cost. */
   private def paraOcc(docs: DataFrame, boundary: String): DataFrame =
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), posexplode(paraCol(boundary)).as(Seq("para_idx", "para")))
-      .select(col("doc_id"), col("para_idx"),
-        md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+      .select(col("doc_id"),
+        explode(graft.functions.ParaHashes.of(col("text"), boundary)).as("e"))
+      .select(col("doc_id"), col("e.para_idx").as("para_idx"), col("e.h").as("h"))
 
   /** Re-derive each doc's paragraph array alongside its dropped-index
     * list (`dropped`: (doc_id, rm array<int>)). */
@@ -880,6 +899,44 @@ object Dedup {
         concat_ws("\n\n",
           filter(col("ps"), (p, i) => !array_contains(col("rm"), i))).as("text"),
         size(col("rm")).cast("int").as("n_dropped"))
+
+  /** [[stripParagraphsAgainst]] FUSED with the history append's hash
+    * table — the streaming paragraph stage's one-scan form. The strip
+    * needs each increment paragraph's hash (to match the history);
+    * the history append needs the SURVIVORS' hashes — and a stripped
+    * document's paragraphs are exactly the occurrence rows the history
+    * semi-join did NOT match, so both outputs derive from ONE
+    * [[paraOcc]] scan (materialized under `mat` — (doc_id, idx, hash)
+    * triples, never text): `newHashes` = the occ rows anti-joined
+    * against the history, distinct. Re-deriving the hashes from the
+    * stripped text (what the r12 stream did) paid the per-paragraph
+    * normalize+md5 pass TWICE per batch.
+    *
+    * Returns (stripped docs in [[stripParagraphsAgainst]]'s exact
+    * shape, the survivors' distinct `h` table ≡
+    * `paragraphHashes(stripped)` — the parity spec pins both). Under
+    * [[graft.core.Materialize.Persist]] the caller owns release. */
+  def stripParagraphsWithHashes(
+      docs: DataFrame, history: DataFrame,
+      boundary: String = "\\n[ \\t]*\\n",
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : (DataFrame, DataFrame) = {
+    val occ = graft.core.Materialize(paraOcc(docs, boundary), mat)
+    val dropped = occ
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("para_idx")).as("rm"))
+    val stripped = paraWithDrops(docs, dropped, boundary)
+      .select(
+        col("doc_id"),
+        concat_ws("\n\n",
+          filter(col("ps"), (p, i) => !array_contains(col("rm"), i))).as("text"),
+        size(col("rm")).cast("int").as("n_dropped"))
+    val newHashes = occ
+      .join(history.select("h"), Seq("h"), "left_anti")
+      .select("h").distinct()
+    (stripped, newHashes)
+  }
 
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
@@ -1191,6 +1248,19 @@ object Dedup {
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
 
+  /** [[nearDupLosers]] over a PRECOMPUTED band table (the
+    * [[dropDuplicatesAgainstBands]] shared-signature idiom): candidate
+    * pairs from the given bands, connected components, non-canonical
+    * members out. Value-identical to signing `docs` directly because a
+    * doc's bands depend only on its own text. */
+  def nearDupLosersFromBands(
+      bandTable: DataFrame,
+      bucketCap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    clusters(pairsFromBands(bandTable, bucketCap, mat), mat = mat)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select("doc_id")
+
   /** Duplicate CLUSTERS from candidate pairs: connected components by
     * iterative min-label propagation — every doc gets the smallest
     * doc_id reachable through the pair graph as its `cluster_id` (so the
@@ -1359,6 +1429,45 @@ object Dedup {
       docs: DataFrame, history: DataFrame,
       k: Int = 24, modP: Int = 8, gap: Int = 64): DataFrame =
     spliceOut(docs, duplicateSpansAgainst(docs, history, k, modP, gap))
+
+  /** [[stripDuplicateSpansAgainst]] FUSED with the history append's
+    * anchor table — the [[stripParagraphsWithHashes]] discipline at
+    * substring granularity, with one extra subtlety: stripping REWRITES
+    * text, so a rewritten doc's anchors are not a subset of its
+    * original sites (positions shift and new k-grams appear at cut
+    * seams). The fusion is still exact: docs the strip left untouched
+    * (`n_spans = 0` — the dominant case on a real crawl, where most
+    * arrivals repeat nothing) contribute their ALREADY-COMPUTED site
+    * rows verbatim, and only the rewritten docs are re-scanned. One
+    * full anchor scan (materialized under `mat` — (doc_id, pos, h)
+    * triples, never text) plus a rescan proportional to the REWRITTEN
+    * text volume, versus two full per-char-md5 scans in the unfused
+    * r12 stream.
+    *
+    * Returns (stripped docs in [[stripDuplicateSpansAgainst]]'s exact
+    * shape, the stripped docs' anchor table ≡
+    * `anchorSites(stripped, k, modP)` — the parity spec pins both).
+    * The stripped frame is materialized under `mat` (it feeds both the
+    * caller and the rescan side); under
+    * [[graft.core.Materialize.Persist]] the caller owns release. */
+  def stripDuplicateSpansWithAnchors(
+      docs: DataFrame, history: DataFrame,
+      k: Int = 24, modP: Int = 8, gap: Int = 64,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : (DataFrame, DataFrame) = {
+    require(gap >= k, s"gap ($gap) must be >= k ($k) so merged spans cannot overlap")
+    val sites = graft.core.Materialize(anchorSites(docs, k, modP), mat)
+    val droppable = sites
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .select(col("doc_id"), col("pos"))
+    val stripped = graft.core.Materialize(
+      spliceOut(docs, spansFromDroppable(droppable, k, gap)), mat)
+    val changed = stripped.filter(col("n_spans") > 0)
+    val newAnchors = sites
+      .join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(anchorSites(changed.select(col("doc_id"), col("text")), k, modP))
+    (stripped, newAnchors)
+  }
 
   /** Cut `spans` (non-overlapping per doc) out of `docs`: one
     * `aggregate` fold over each doc's sorted span list accumulates the

@@ -381,8 +381,12 @@ object CorpusWatcher {
         val parsed = batch.filter(col(C).isNull && col("doc_id").isNotNull)
           .select(col("doc_id").cast("string").as("doc_id"), col("text"), col("source"))
         val clean = qualityGate match {
-          case None    => parsed
-          case Some(g) => staged(graft.ops.Curation.applyGate(parsed, g))
+          case None => parsed
+          case Some(g) => staged(graft.ops.Curation.applyGate(parsed, g,
+            // the adaptive gate's stats publish needs per-doc token
+            // counts — ride the gate's tokenize pass instead of
+            // paying a second one at stats time
+            keepTokenCount = adaptiveMixtureGate.nonEmpty))
         }
         // model gate after the cheap predicate gate: score against the
         // frozen weight table, keep ids where logit >= bias
@@ -406,25 +410,46 @@ object CorpusWatcher {
         // history filter first, then within-batch (the order
         // dropDuplicatesAgainst's contract documents): a doc that
         // near-dups history is gone either way; the intra-batch pass
-        // then keeps each remaining cluster's minimum doc_id
-        val afterHistory = dedupBandsDir match {
-          case None => uncontaminated
-          case Some(bd) =>
-            accumulatedBands(session, bd, excludeBatchId = batchId)
-              .map(h => staged(graft.ops.Dedup.dropDuplicatesAgainst(uncontaminated, h)))
-              .getOrElse(uncontaminated)
-        }
-        val deduped =
-          if (dedupWithinBatch) staged(graft.ops.Dedup.dropNearDuplicates(afterHistory))
-          else afterHistory
+        // then keeps each remaining cluster's minimum doc_id.
+        // With a band history on, the batch signs itself ONCE: the
+        // staged band table feeds the history semi-join, the
+        // within-batch pair graph, and the band append (a doc's
+        // signature depends only on its own text, so an id-subset of
+        // the band table IS that subset's band table) — the r12 stream
+        // paid the tokenize+minhash scan up to three times here.
+        // the two intermediate dedup frames, surfaced for the metrics
+        // block's per-stage counts
+        var afterHistoryF: DataFrame = uncontaminated
+        var dedupedF: DataFrame = uncontaminated
         val kept = dedupBandsDir match {
-          case None => deduped
+          case None =>
+            dedupedF =
+              if (dedupWithinBatch)
+                staged(graft.ops.Dedup.dropNearDuplicates(uncontaminated))
+              else uncontaminated
+            dedupedF
           case Some(bd) =>
+            val bands0 = staged(graft.ops.Dedup.minhashBands(uncontaminated))
+            val afterHistory = accumulatedBands(session, bd, excludeBatchId = batchId)
+              .map(h => staged(
+                graft.ops.Dedup.dropDuplicatesAgainstBands(uncontaminated, bands0, h)))
+              .getOrElse(uncontaminated)
+            afterHistoryF = afterHistory
+            val deduped =
+              if (dedupWithinBatch) {
+                val bandsAfter =
+                  if (afterHistory eq uncontaminated) bands0
+                  else bands0.join(afterHistory.select("doc_id"), Seq("doc_id"), "left_semi")
+                staged(afterHistory.join(
+                  graft.ops.Dedup.nearDupLosersFromBands(bandsAfter),
+                  Seq("doc_id"), "left_anti"))
+              } else afterHistory
+            dedupedF = deduped
             // survivors feed two actions (band append + index merge):
             // staged so the filter joins run once (eq-guard makes this
             // a no-op when the within-batch pass already persisted it)
             val survivors = staged(deduped)
-            graft.ops.Dedup.minhashBands(survivors)
+            bands0.join(survivors.select("doc_id"), Seq("doc_id"), "left_semi")
               .write.mode("overwrite").parquet(s"$bd/batch_id=$batchId")
             survivors
         }
@@ -447,10 +472,14 @@ object CorpusWatcher {
             //    identical accumulated table — idempotent without the
             //    exclude-own-batch dance the band table needs.
             val keptStats = staged(kept)
+            // token counts: reuse the quality gate's n_tok column when
+            // it rode along (one tokenize pass per batch, not two);
+            // identical by construction (n_tok = size(tokens(text)))
+            val nTok =
+              if (keptStats.columns.contains("n_tok")) col("n_tok").cast("long")
+              else size(graft.core.TextNorm.tokens(col("text"))).cast("long")
             keptStats.groupBy("source")
-              .agg(count(lit(1)).as("n_docs"),
-                sum(size(graft.core.TextNorm.tokens(col("text"))).cast("long"))
-                  .as("n_tokens"))
+              .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
               .coalesce(1)
               .write.mode("overwrite").parquet(s"${g.statsDir}/batch_id=$batchId")
             // 2. policy rates (temperature or UniMax budget) from the
@@ -490,28 +519,45 @@ object CorpusWatcher {
         val paraContent = paraHistoryDir match {
           case None => admitted
           case Some(pd) =>
-            val stripped = staged(
-              accumulatedPartitions(session, pd, excludeBatchId = batchId)
-                .map(h => graft.ops.Dedup
-                  .stripParagraphsAgainst(admitted, h, paraBoundary)
-                  .select(col("doc_id"), col("text")))
-                .getOrElse(admitted.select(col("doc_id"), col("text"))))
-            graft.ops.Dedup.paragraphHashes(stripped, paraBoundary)
-              .write.mode("overwrite").parquet(s"$pd/batch_id=$batchId")
-            stripped
+            accumulatedPartitions(session, pd, excludeBatchId = batchId) match {
+              case Some(h) =>
+                // ONE paragraph scan for strip + history append (the
+                // fused op): re-deriving survivor hashes from the
+                // stripped text paid the per-paragraph normalize+md5
+                // pass twice per batch — the round-12 stream's
+                // dominant added cost
+                val (strippedRaw, newHashes) =
+                  graft.ops.Dedup.stripParagraphsWithHashes(admitted, h, paraBoundary)
+                val stripped = staged(strippedRaw.select(col("doc_id"), col("text")))
+                newHashes.write.mode("overwrite").parquet(s"$pd/batch_id=$batchId")
+                stripped
+              case None =>
+                val stripped = staged(admitted.select(col("doc_id"), col("text")))
+                graft.ops.Dedup.paragraphHashes(stripped, paraBoundary)
+                  .write.mode("overwrite").parquet(s"$pd/batch_id=$batchId")
+                stripped
+            }
         }
         val content = spanHistoryDir match {
           case None => paraContent
           case Some(sd) =>
-            val stripped = staged(
-              accumulatedPartitions(session, sd, excludeBatchId = batchId)
-                .map(h => graft.ops.Dedup
-                  .stripDuplicateSpansAgainst(paraContent, h)
-                  .select(col("doc_id"), col("text")))
-                .getOrElse(paraContent.select(col("doc_id"), col("text"))))
-            graft.ops.Dedup.anchorSites(stripped)
-              .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
-            stripped
+            accumulatedPartitions(session, sd, excludeBatchId = batchId) match {
+              case Some(h) =>
+                // fused strip + anchor append: one per-char-md5 scan
+                // plus a rescan of only the REWRITTEN docs, instead of
+                // two full scans (the paragraph-stage fusion at
+                // substring granularity)
+                val (strippedRaw, newAnchors) =
+                  graft.ops.Dedup.stripDuplicateSpansWithAnchors(paraContent, h)
+                val stripped = staged(strippedRaw.select(col("doc_id"), col("text")))
+                newAnchors.write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
+                stripped
+              case None =>
+                val stripped = staged(paraContent.select(col("doc_id"), col("text")))
+                graft.ops.Dedup.anchorSites(stripped)
+                  .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
+                stripped
+            }
         }
         val old = currentIndex(session, indexDir, positional)
         driftDir.foreach { dd =>
@@ -541,9 +587,9 @@ object CorpusWatcher {
           val nGated = if (qualityGate.isDefined) clean.count() else nParsed
           val nClf = if (classifierGate.isDefined) scored.count() else nGated
           val nDecon = if (decontamShingles.isDefined) uncontaminated.count() else nClf
-          val nHist = if (dedupBandsDir.isDefined) afterHistory.count() else nDecon
-          val nWithin = if (dedupWithinBatch) deduped.count() else nHist
-          val nKept = if (kept eq deduped) nWithin else kept.count()
+          val nHist = if (dedupBandsDir.isDefined) afterHistoryF.count() else nDecon
+          val nWithin = if (dedupWithinBatch) dedupedF.count() else nHist
+          val nKept = if (kept eq dedupedF) nWithin else kept.count()
           val nMix =
             if (mixtureGate.isDefined || adaptiveMixtureGate.isDefined) admitted.count()
             else nKept

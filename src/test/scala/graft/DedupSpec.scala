@@ -544,6 +544,75 @@ class DedupSpec extends SparkSpec {
     assert(stripped === ((10L, "Fresh follow-up paragraph.", 1)))
   }
 
+  test("ParaHashes == the posexplode + tokenize + md5 formulation, edge paragraphs included") {
+    val rnd = new scala.util.Random(23)
+    val frags = Seq("Quick Brown fox", "  padded  ", "\tTAB lead", "mixed 42 Punct!!",
+      "ünïcode Wörds", "", "\t", "alpha\nbeta", "x")
+    val texts = ((1 to 12).map { _ =>
+      Seq.fill(1 + rnd.nextInt(6))(frags(rnd.nextInt(frags.size)))
+        .mkString(if (rnd.nextBoolean()) "\n\n" else "\n \n")
+    } ++ Seq("", "single para only", "\n\n\n", "a\n\nb\n\na"))
+      .zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val d = texts.toDF("doc_id", "text")
+    for (boundary <- Seq("\\n[ \\t]*\\n", "\\n+")) {
+      val native = Dedup.paragraphHashes(d, boundary).as[String].collect().toSet
+      // reference: the pre-round-13 Column formulation, verbatim
+      val paraColRef = filter(
+        transform(split(col("text"), boundary), p => trim(p)), p => length(p) > 0)
+      val ref = d
+        .select(col("doc_id"), posexplode(paraColRef).as(Seq("para_idx", "para")))
+        .select(md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+        .distinct().as[String].collect().toSet
+      assert(native === ref, s"boundary=$boundary")
+      // and the full occurrence shape (doc, idx, h) agrees via the
+      // report face, which consumes paraOcc directly
+      val viaOcc = Dedup.paragraphDedup(d, boundary)
+        .as[(Long, Int, Int, String)].collect().toSet
+      val refOcc = {
+        val occ = d
+          .select(col("doc_id"), posexplode(paraColRef).as(Seq("para_idx", "para")))
+          .select(col("doc_id"), col("para_idx"),
+            md5(concat_ws(" ", graft.core.TextNorm.tokens(col("para")))).as("h"))
+        val winners = occ.groupBy("h")
+          .agg(min(struct(col("doc_id"), col("para_idx"))).as("winner"))
+        val dropped = occ.join(winners, "h")
+          .where(!(col("winner.doc_id") === col("doc_id") &&
+            col("winner.para_idx") === col("para_idx")))
+          .groupBy("doc_id").agg(collect_list(col("para_idx")).as("rm"))
+        d.join(dropped, Seq("doc_id"), "left")
+          .select(col("doc_id"), paraColRef.as("ps"),
+            coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+          .select(col("doc_id"),
+            size(col("ps")).cast("int").as("n_paras"),
+            (size(col("ps")) - size(col("rm"))).cast("int").as("n_kept"),
+            md5(concat_ws("\n\n",
+              filter(col("ps"), (p, i) => !array_contains(col("rm"), i)))).as("kept_hash"))
+          .as[(Long, Int, Int, String)].collect().toSet
+      }
+      assert(viaOcc === refOcc, s"boundary=$boundary")
+    }
+  }
+
+  test("stripParagraphsWithHashes: one-scan fusion == strip + rehash of the stripped text") {
+    val seen = "This paragraph was already absorbed last week."
+    val hist = Dedup.paragraphHashes(docs(1L -> s"Old lead-in.\n\n$seen"))
+    val d = docs(
+      10L -> s"$seen\n\nFresh follow-up paragraph.",
+      11L -> s"Totally new.\n\n$seen\n\nAnd more new.",
+      12L -> seen,
+      13L -> "Nothing shared at all.")
+    val (stripped, hashes) = Dedup.stripParagraphsWithHashes(d, hist)
+    val alone = Dedup.stripParagraphsAgainst(d, hist)
+    assert(stripped.as[(Long, String, Int)].collect().toSet ===
+      alone.as[(Long, String, Int)].collect().toSet)
+    // the survivors' hash table is exactly paragraphHashes(stripped)
+    val viaRehash = Dedup.paragraphHashes(
+      alone.select(col("doc_id"), col("text"))).as[String].collect().toSet
+    assert(hashes.as[String].collect().toSet === viaRehash)
+    // shape contract: hashes only, one row per distinct survivor
+    assert(hashes.columns.toSeq === Seq("h"))
+  }
+
   // a ~240-char region of distinct words: internally self-dissimilar,
   // long enough that mod-p anchor sampling is saturated inside it
   private val region: String =
@@ -702,6 +771,33 @@ class DedupSpec extends SparkSpec {
       k = 16, sampleMod = 1, candidates = Seq(8))
       .as[(Int, Long, Long, Option[Double])].head()
     assert(none === ((8, 0L, 0L, None)))
+  }
+
+  test("stripDuplicateSpansWithAnchors: fusion == strip + full anchor rescan of the stripped text") {
+    val junkA = "leading filler words nothing shared with anything else here at all "
+    val junkB = "another entirely different unique tail closing this document out now "
+    val hist = Dedup.anchorSites(docs(1L -> region), k = 16, modP = 2)
+    val d = docs(
+      10L -> (junkA + region + " " + junkB), // rewritten (seen region cut)
+      11L -> junkA,                          // untouched (nothing shared)
+      12L -> region,                         // rewritten to (almost) nothing
+      13L -> (junkB + junkA))                // untouched
+    val (stripped, anchors) =
+      Dedup.stripDuplicateSpansWithAnchors(d, hist, k = 16, modP = 2, gap = 16)
+    val alone = Dedup.stripDuplicateSpansAgainst(d, hist, k = 16, modP = 2, gap = 16)
+    assert(stripped.as[(Long, String, Long)].collect().toSet ===
+      alone.as[(Long, String, Long)].collect().toSet)
+    // the fused anchor table is exactly a full rescan of the stripped
+    // text — INCLUDING the rewritten docs' shifted positions and any
+    // new seam grams the cut created
+    val viaRescan = Dedup.anchorSites(
+      alone.select(col("doc_id"), col("text")), k = 16, modP = 2)
+      .as[(Long, Int, Long)].collect().toSet
+    assert(anchors.as[(Long, Int, Long)].collect().toSet === viaRescan)
+    // sanity: the fixture really exercises both branches
+    val changed = stripped.filter(col("n_spans") > 0)
+      .select("doc_id").as[Long].collect().toSet
+    assert(changed === Set(10L, 12L))
   }
 
   test("recommendModP: largest candidate clearing the target; documented fallbacks") {
