@@ -856,6 +856,13 @@ object SparkEntry {
       val d = withDomain(docs(s, dir))
       TextAnalysis.lm5ScoreAgainst(d, d.filter(col("domain") =!= "web"))
     },
+    "q_ppl5_buckets" -> { (s, dir) =>
+      // the full CCNet deployment shape: 5-gram LM + per-source
+      // terciles, via the order-parameterized bucket rule
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.perplexityBucketsN(d,
+        TextAnalysis.lmnModel(d.filter(col("domain") =!= "web"), 5))
+    },
     "q_ppl3_buckets" -> { (s, dir) =>
       // the same bucket rule under the trigram stupid-backoff scorer
       val d = withDomain(docs(s, dir))
@@ -1892,6 +1899,24 @@ object SparkEntry {
          |  coalesce(ds.n_bo, 0) AS n_bo, coalesce(ds.n_oov, 0) AS n_oov,
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_ngrams) / 1000000.0 AS avg_logprob
          |FROM documents dd LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_ppl5_buckets" ->
+      // twin of perplexityBucketsN(order 5): the shared LM5_CTES
+      // scoring chain, then per-source quantile_cont terciles and the
+      // head/middle/tail case (the q_ppl3_buckets shape one order up)
+      s"""WITH $LM5_CTES,
+         |sc AS (SELECT dd.doc_id, dd.source,
+         |         round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_ngrams) / 1000000.0 AS avg_logprob
+         |       FROM documents dd LEFT JOIN ds USING (doc_id)),
+         |th AS (SELECT source,
+         |         round(quantile_cont(avg_logprob, 0.67), 6) AS t_head,
+         |         round(quantile_cont(avg_logprob, 0.33), 6) AS t_mid
+         |       FROM sc WHERE avg_logprob IS NOT NULL GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.avg_logprob,
+         |  CASE WHEN sc.avg_logprob IS NULL THEN 'tail'
+         |       WHEN sc.avg_logprob >= th.t_head THEN 'head'
+         |       WHEN sc.avg_logprob >= th.t_mid THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sc LEFT JOIN th USING (source)""".stripMargin,
     "q_ppl3_buckets" ->
       // twin of perplexityBuckets3: the shared LM3_CTES scoring chain,
       // then per-source quantile_cont terciles (ANSI interpolation =

@@ -747,6 +747,37 @@ object TextAnalysis {
   def lm5ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
     lmnScoreWith(docs, lmnModel(reference, 5))
 
+  /** [[perplexityBuckets3]] under an ORDER-PARAMETERIZED model — the
+    * head/middle/tail split driven by the [[lmnScoreWith]] scorer, so
+    * the bucket rule rides the same ladder as the score (at order 5
+    * this IS the CCNet deployment: 5-gram LM + per-source terciles).
+    * Same threshold contract: computed inline or served from a stored
+    * `(source, t_head, t_mid)` table; sub-`order`-token docs land in
+    * `tail`. Output: `(doc_id, source, avg_logprob, ppl_bucket)`. */
+  def perplexityBucketsN(
+      docs: DataFrame,
+      model: LmnModel,
+      sourceCol: String = "source",
+      qHead: Double = 0.67,
+      qMid: Double = 0.33,
+      thresholds: Option[DataFrame] = None): DataFrame = {
+    require(qHead > qMid && qMid > 0 && qHead < 1, s"bad quantiles head=$qHead mid=$qMid")
+    val scored = lmnScoreWith(docs, model)
+      .join(docs.select(col("doc_id"), col(sourceCol).as("source")), Seq("doc_id"))
+    val th = thresholds.getOrElse(
+      scored.where(col("avg_logprob").isNotNull)
+        .groupBy("source")
+        .agg(
+          round(expr(s"percentile(avg_logprob, $qHead)"), 6).as("t_head"),
+          round(expr(s"percentile(avg_logprob, $qMid)"), 6).as("t_mid")))
+    scored.join(broadcast(th), Seq("source"), "left")
+      .select(col("doc_id"), col("source"), col("avg_logprob"),
+        when(col("avg_logprob").isNull, lit("tail"))
+          .when(col("avg_logprob") >= col("t_head"), lit("head"))
+          .when(col("avg_logprob") >= col("t_mid"), lit("middle"))
+          .otherwise(lit("tail")).as("ppl_bucket"))
+  }
+
   /** [[perplexityBuckets]] under the TRIGRAM stupid-backoff model —
     * CCNet's head/middle/tail split driven by the higher-order scorer
     * (the actual CCNet deployment pairs the bucket rule with its

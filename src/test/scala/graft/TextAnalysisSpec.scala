@@ -448,6 +448,33 @@ class TextAnalysisSpec extends SparkSpec {
     ()
   }
 
+  test("perplexityBucketsN: order-3 instantiation ≡ perplexityBuckets3; order-5 buckets monotone") {
+    val ref = docs(
+      100L -> "the cat sat on the mat and the cat sat again today",
+      101L -> "the dog ran to the park and the dog ran back today")
+    val d = Seq(
+      (1L, "the cat sat on the mat and the cat", "src0"),
+      (2L, "the dog ran to the park and the dog", "src0"),
+      (3L, "mat the on sat cat the park to ran", "src0"),
+      (4L, "zz qq ww ee rr tt yy uu ii", "src0"),
+      (5L, "tiny", "src0")).toDF("doc_id", "text", "source")
+    val via3 = TextAnalysis.perplexityBuckets3(d, TextAnalysis.lm3Model(ref))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    val viaN = TextAnalysis.perplexityBucketsN(d, TextAnalysis.lmnModel(ref, 3))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(viaN === via3)
+    val got5 = TextAnalysis.perplexityBucketsN(d, TextAnalysis.lmnModel(ref, 5))
+      .as[(Long, String, Option[Double], String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got5(5L) === ((None, "tail")), "sub-order doc -> tail")
+    val byBucket = got5.values.collect { case (Some(s), b) => b -> s }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (h <- byBucket.getOrElse("head", Nil); m <- byBucket.getOrElse("middle", Nil))
+      assert(h >= m, s"head $h < middle $m")
+    for (m <- byBucket.getOrElse("middle", Nil); t <- byBucket.getOrElse("tail", Nil))
+      assert(m >= t, s"middle $m < tail $t")
+  }
+
   test("entropySignals: hand-computed char entropy; degenerate and uniform extremes") {
     val d = docs(
       1L -> "aaaa",   // one symbol: H = 0
