@@ -106,8 +106,10 @@ object SparkEntry {
     * regex chain mirrors the Catalyst one step for step; the whitespace
     * classes are equal by construction (RE2 ASCII `\s` ∪ `\p{Z}` ∪ NEL
     * ∪ C0 separators == Java `(?U)\s` ∪ `\p{Z}` ∪ NEL ∪ C0). */
-  private val TOKS_UNI =
-    """list_filter(string_split(trim(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(text, '[\s\p{Z}\x{0085}\x1c-\x1f]+', ' ', 'g')), '[^\p{L}\p{N} ]', '', 'g'), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), ' +', ' ', 'g')), ' '), t -> len(t) > 0)"""
+  private def toksUniOf(e: String): String =
+    """list_filter(string_split(trim(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(EXPR, '[\s\p{Z}\x{0085}\x1c-\x1f]+', ' ', 'g')), '[^\p{L}\p{N} ]', '', 'g'), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), ' +', ' ', 'g')), ' '), t -> len(t) > 0)"""
+      .replace("EXPR", e)
+  private val TOKS_UNI = toksUniOf("text")
 
   /** [[SHINGLES]] with the Unicode tokenizer over [[DOCS_UNI]]. */
   private val SHINGLES_UNI =
@@ -1008,6 +1010,8 @@ object SparkEntry {
     // natural-boundary sub-doc dedup; this corpus is single-newline
     // structured, so the line-group boundary exercises the C4 rule
     "q_para_dedup" -> ((s, dir) => Dedup.paragraphDedup(docs(s, dir), boundary = "\\n+")),
+    "q_para_dedup_uni" -> ((s, dir) =>
+      Dedup.paragraphDedup(uniDocs(s, dir), boundary = "\\n+", unicode = true)),
     // incremental face: odd-id increment vs even-id history hashes
     "q_para_dedup_incr" -> { (s, dir) =>
       val d = docs(s, dir)
@@ -2465,6 +2469,27 @@ object SparkEntry {
          |  coalesce(a.n_kept, 0) AS n_kept,
          |  coalesce(a.kept_hash, md5('')) AS kept_hash
          |FROM documents d LEFT JOIN agg a USING (doc_id)""".stripMargin,
+    "q_para_dedup_uni" ->
+      // twin of paragraphDedup(boundary="\n+", unicode = true) over the
+      // multilingual-augmented corpus: the q_para_dedup machinery with
+      // the Unicode normalizer in the hash — the Cyrillic/CJK dup rows
+      // collapse only because the tokenizer sees their text
+      s"""WITH p AS MATERIALIZED (SELECT doc_id,
+         |    list_filter(list_transform(regexp_split_to_array(text, '\\n+'), x -> trim(x)), x -> len(x) > 0) AS ps
+         |  FROM ($DOCS_UNI)),
+         |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS para_idx,
+         |    md5(array_to_string(${toksUniOf("ps[i]")}, ' ')) AS h
+         |  FROM (SELECT doc_id, ps, unnest(generate_series(1, len(ps))) AS i FROM p)),
+         |mk AS (SELECT doc_id, para_idx,
+         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, para_idx) AS rn
+         |  FROM occ),
+         |rm AS (SELECT doc_id, list(para_idx) AS rm FROM mk WHERE rn > 1 GROUP BY doc_id)
+         |SELECT p.doc_id, CAST(len(p.ps) AS INTEGER) AS n_paras,
+         |  CAST(len(p.ps) - coalesce(len(r.rm), 0) AS INTEGER) AS n_kept,
+         |  md5(coalesce(array_to_string(
+         |    list_filter(p.ps, (x, i) -> NOT list_contains(coalesce(r.rm, CAST([] AS INTEGER[])), CAST(i - 1 AS INTEGER))),
+         |    chr(10) || chr(10)), '')) AS kept_hash
+         |FROM p LEFT JOIN rm r USING (doc_id)""".stripMargin,
     "q_para_dedup" ->
       // twin of Dedup.paragraphDedup(boundary="\n+"): trimmed non-empty
       // newline-split units, duplicates matched on the md5 of the
@@ -2482,9 +2507,9 @@ object SparkEntry {
         |rm AS (SELECT doc_id, list(para_idx) AS rm FROM mk WHERE rn > 1 GROUP BY doc_id)
         |SELECT p.doc_id, CAST(len(p.ps) AS INTEGER) AS n_paras,
         |  CAST(len(p.ps) - coalesce(len(r.rm), 0) AS INTEGER) AS n_kept,
-        |  md5(array_to_string(
+        |  md5(coalesce(array_to_string(
         |    list_filter(p.ps, (x, i) -> NOT list_contains(coalesce(r.rm, CAST([] AS INTEGER[])), CAST(i - 1 AS INTEGER))),
-        |    chr(10) || chr(10))) AS kept_hash
+        |    chr(10) || chr(10)), '')) AS kept_hash
         |FROM p LEFT JOIN rm r USING (doc_id)""".stripMargin,
     "q_para_dedup_incr" ->
       // twin of Dedup.paragraphDedupAgainst(boundary="\n+"): history =
@@ -2502,9 +2527,9 @@ object SparkEntry {
         |       FROM occ JOIN hist USING (h) WHERE doc_id % 2 <> 0 GROUP BY doc_id)
         |SELECT p.doc_id, CAST(len(p.ps) AS INTEGER) AS n_paras,
         |  CAST(len(p.ps) - coalesce(len(r.rm), 0) AS INTEGER) AS n_kept,
-        |  md5(array_to_string(
+        |  md5(coalesce(array_to_string(
         |    list_filter(p.ps, (x, i) -> NOT list_contains(coalesce(r.rm, CAST([] AS INTEGER[])), CAST(i - 1 AS INTEGER))),
-        |    chr(10) || chr(10))) AS kept_hash
+        |    chr(10) || chr(10)), '')) AS kept_hash
         |FROM p LEFT JOIN rm r USING (doc_id)
         |WHERE p.doc_id % 2 <> 0""".stripMargin,
     "q_boilerplate" ->

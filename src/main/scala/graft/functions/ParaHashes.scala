@@ -41,7 +41,8 @@ import org.apache.spark.unsafe.types.UTF8String
   * Output: `array<struct<para_idx: int, h: string>>`; null text →
   * null (explode then drops the row, the split-of-null contract).
   */
-case class ParaHashes(child: Expression, boundary: String)
+case class ParaHashes(child: Expression, boundary: String,
+    unicode: Boolean = false)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(
@@ -52,9 +53,15 @@ case class ParaHashes(child: Expression, boundary: String)
   override def nullable: Boolean = child.nullable
 
   @transient private lazy val boundaryRe = java.util.regex.Pattern.compile(boundary)
-  @transient private lazy val wsRe =
-    java.util.regex.Pattern.compile("(?U)[\\s\\x1c-\\x1f]+")
-  @transient private lazy val keepRe = java.util.regex.Pattern.compile("[^a-z0-9 ]")
+  // ASCII mode: TextNorm.normalize's exact patterns. Unicode mode:
+  // TextNorm.normalizeUnicode's — whitespace ∪ Z ∪ NEL ∪ C0 collapse,
+  // \p{L}\p{N} keep-set, per-char spacing of Han/kana runs.
+  @transient private lazy val wsRe = java.util.regex.Pattern.compile(
+    if (unicode) "(?U)[\\s\\p{Z}\\u0085\\x1c-\\x1f]+" else "(?U)[\\s\\x1c-\\x1f]+")
+  @transient private lazy val keepRe = java.util.regex.Pattern.compile(
+    if (unicode) "[^\\p{L}\\p{N} ]" else "[^a-z0-9 ]")
+  @transient private lazy val cjkRe = java.util.regex.Pattern.compile(
+    "([\\p{IsHan}\\p{IsHiragana}\\p{IsKatakana}])")
 
   /** Spark `trim` semantics: strip 0x20 SPACES only (not \t\n). */
   private def trimSpaces(s: String): String = {
@@ -81,7 +88,8 @@ case class ParaHashes(child: Expression, boundary: String)
         // the ASCII keep-set, then space-join the non-empty tokens
         val collapsed = wsRe.matcher(para).replaceAll(" ")
         val lowered = UTF8String.fromString(collapsed).toLowerCase.toString
-        val kept = keepRe.matcher(lowered).replaceAll("")
+        val kept0 = keepRe.matcher(lowered).replaceAll("")
+        val kept = if (unicode) cjkRe.matcher(kept0).replaceAll(" $1 ") else kept0
         val sb = new java.lang.StringBuilder(kept.length)
         var p = 0
         var wrote = false
@@ -119,7 +127,11 @@ case class ParaHashes(child: Expression, boundary: String)
 }
 
 object ParaHashes {
-  /** `array<struct<para_idx, h>>` over a text column. */
-  def of(text: Column, boundary: String): Column =
-    GraftSqlBridge.column(ParaHashes(GraftSqlBridge.expression(text), boundary))
+  /** `array<struct<para_idx, h>>` over a text column. `unicode` hashes
+    * the [[graft.core.TextNorm.tokensUnicode]] stream instead of the
+    * §2-parity ASCII one (multilingual corpora: under the ASCII
+    * normalizer every non-Latin paragraph hashes to md5("") and
+    * cross-dedups against unrelated paragraphs of any other script). */
+  def of(text: Column, boundary: String, unicode: Boolean = false): Column =
+    GraftSqlBridge.column(ParaHashes(GraftSqlBridge.expression(text), boundary, unicode))
 }

@@ -138,12 +138,13 @@ object Dedup {
       k: Int = 3,
       minShared: Int = 2,
       maxDf: Int = 64,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     require(minShared >= 1, s"minShared=$minShared must be >= 1")
     require(maxDf >= 2, s"maxDf=$maxDf must be >= 2 (df-1 docs pair per fingerprint)")
     require(k >= 2, s"k=$k must be >= 2: unigram fingerprints collapse to the " +
       "globally-smallest-hash tokens and pair on vocabulary, not content")
-    val fp = graft.core.Materialize(TextAnalysis.fingerprints(docs, w, k), mat)
+    val fp = graft.core.Materialize(TextAnalysis.fingerprints(docs, w, k, tok), mat)
     val kept = fp.join(
       fp.groupBy("fp").agg(count(lit(1)).as("df"))
         .filter(col("df") <= maxDf).select("fp"),
@@ -767,10 +768,11 @@ object Dedup {
     * reused buffers) instead of posexploding paragraphs and paying the
     * regex normalizer + md5 per paragraph ROW — value-identical by the
     * parity spec, and the streaming paragraph stage's dominant cost. */
-  private def paraOcc(docs: DataFrame, boundary: String): DataFrame =
+  private def paraOcc(
+      docs: DataFrame, boundary: String, unicode: Boolean = false): DataFrame =
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"),
-        explode(graft.functions.ParaHashes.of(col("text"), boundary)).as("e"))
+        explode(graft.functions.ParaHashes.of(col("text"), boundary, unicode)).as("e"))
       .select(col("doc_id"), col("e.para_idx").as("para_idx"), col("e.h").as("h"))
 
   /** Re-derive each doc's paragraph array alongside its dropped-index
@@ -815,13 +817,14 @@ object Dedup {
     * re-attach) and doc_id-keyed (AQE-broadcast when duplication is
     * sparse).
     */
-  def paragraphDedup(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n"): DataFrame = {
+  def paragraphDedup(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n",
+      unicode: Boolean = false): DataFrame = {
     // boundary is a Java-regex split pattern; the default is the
     // blank-line paragraph convention. Corpora without blank-line
     // structure (single-newline-delimited pages, like this test
     // corpus) pass "\\n+" — the unit becomes the line group, i.e.
     // C4's line-level rule under the same winner machinery.
-    val occ = paraOcc(docs, boundary)
+    val occ = paraOcc(docs, boundary, unicode)
     val winners = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("winner"))
     val dropped = occ.join(winners, "h")
@@ -843,8 +846,9 @@ object Dedup {
     * (column `h`). Append each increment's survivors to an append-only
     * history (the band-table discipline); the history holds hashes
     * only, never text. */
-  def paragraphHashes(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n"): DataFrame =
-    paraOcc(docs, boundary).select("h").distinct()
+  def paragraphHashes(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n",
+      unicode: Boolean = false): DataFrame =
+    paraOcc(docs, boundary, unicode).select("h").distinct()
 
   /** The incremental face of [[paragraphDedup]] — the daily-crawl
     * pattern at paragraph granularity ([[duplicateSpansAgainst]]'s
@@ -864,8 +868,9 @@ object Dedup {
     * text never shuffles, history text was never stored. */
   def paragraphDedupAgainst(
       docs: DataFrame, history: DataFrame,
-      boundary: String = "\\n[ \\t]*\\n"): DataFrame =
-    paraWithDrops(docs, paraDroppedAgainst(docs, history, boundary), boundary)
+      boundary: String = "\\n[ \\t]*\\n",
+      unicode: Boolean = false): DataFrame =
+    paraWithDrops(docs, paraDroppedAgainst(docs, history, boundary, unicode), boundary)
       .select(
         col("doc_id"),
         size(col("ps")).cast("int").as("n_paras"),
@@ -876,8 +881,9 @@ object Dedup {
   /** The dropped-index table both incremental faces share: increment
     * paragraphs whose hash the history holds, folded per doc. */
   private def paraDroppedAgainst(
-      docs: DataFrame, history: DataFrame, boundary: String): DataFrame =
-    paraOcc(docs, boundary)
+      docs: DataFrame, history: DataFrame, boundary: String,
+      unicode: Boolean = false): DataFrame =
+    paraOcc(docs, boundary, unicode)
       .join(history.select("h"), Seq("h"), "left_semi")
       .groupBy("doc_id")
       .agg(collect_list(col("para_idx")).as("rm"))
@@ -892,8 +898,9 @@ object Dedup {
     * face; increment text never shuffles. */
   def stripParagraphsAgainst(
       docs: DataFrame, history: DataFrame,
-      boundary: String = "\\n[ \\t]*\\n"): DataFrame =
-    paraWithDrops(docs, paraDroppedAgainst(docs, history, boundary), boundary)
+      boundary: String = "\\n[ \\t]*\\n",
+      unicode: Boolean = false): DataFrame =
+    paraWithDrops(docs, paraDroppedAgainst(docs, history, boundary, unicode), boundary)
       .select(
         col("doc_id"),
         concat_ws("\n\n",
@@ -919,9 +926,10 @@ object Dedup {
   def stripParagraphsWithHashes(
       docs: DataFrame, history: DataFrame,
       boundary: String = "\\n[ \\t]*\\n",
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      unicode: Boolean = false)
       : (DataFrame, DataFrame) = {
-    val occ = graft.core.Materialize(paraOcc(docs, boundary), mat)
+    val occ = graft.core.Materialize(paraOcc(docs, boundary, unicode), mat)
     val dropped = occ
       .join(history.select("h"), Seq("h"), "left_semi")
       .groupBy("doc_id")

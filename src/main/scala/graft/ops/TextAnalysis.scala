@@ -823,7 +823,8 @@ object TextAnalysis {
     * original formulation are gone (value-identical by the parity
     * spec).
     */
-  def fingerprints(docs: DataFrame, w: Int = 5, k: Int = 1): DataFrame = {
+  def fingerprints(docs: DataFrame, w: Int = 5, k: Int = 1,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     // k = 1 (the historical default) hashes single tokens — adequate
     // for per-doc signatures but DEGENERATE for cross-doc pairing on a
@@ -837,7 +838,7 @@ object TextAnalysis {
     graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"),
         explode(graft.functions.WinnowFps.of(
-          TextNorm.tokens(col("text")), w, k)).as("fp"))
+          tok(col("text")), w, k)).as("fp"))
   }
 
   /** Corpus drift monitor: Kullback-Leibler and Jensen-Shannon

@@ -1181,4 +1181,55 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(java.lang.Long.bitCount(sigs(1L) ^ sigs(2L)) <= 16)
   }
+  test("paragraph family unicode mode: ParaHashes == tokensUnicode Column chain; non-Latin paragraph dups collapse") {
+    val ru = "\u041f\u0440\u0438\u0432\u0435\u0442, \u043c\u0438\u0440! \u042d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0430\u0431\u0437\u0430\u0446 \u043e \u043b\u0438\u0441\u0435."
+    val ru2 = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0430\u0431\u0437\u0430\u0446 \u043e \u043b\u0438\u0441\u0435"
+    val zh = "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u6570\u636e"
+    val ar = "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 \u0647\u0630\u0647 \u0641\u0642\u0631\u0629 \u0627\u062e\u062a\u0628\u0627\u0631"
+    val d = docs(
+      1L -> (ru + "\n\n" + zh),
+      2L -> (ru2 + "\n\nsome ascii paragraph here"),
+      3L -> (ar + "\n\n" + zh),
+      4L -> "plain english paragraph\n\nsome ascii paragraph here")
+    // parity: native unicode hashing == the posexplode + tokensUnicode
+    // Column formulation
+    for (boundary <- Seq("\\n[ \\t]*\\n", "\\n+")) {
+      val native = Dedup.paragraphHashes(d, boundary, unicode = true)
+        .as[String].collect().toSet
+      val paraColRef = filter(
+        transform(split(col("text"), boundary), p => trim(p)), p => length(p) > 0)
+      val ref = d
+        .select(col("doc_id"), posexplode(paraColRef).as(Seq("para_idx", "para")))
+        .select(md5(concat_ws(" ",
+          graft.core.TextNorm.tokensUnicode(col("para")))).as("h"))
+        .distinct().as[String].collect().toSet
+      assert(native === ref, s"boundary=$boundary")
+    }
+    // the demonstration: ASCII mode hashes EVERY non-Latin paragraph to
+    // md5("") — ru, ru2, zh, ar all "duplicates" of each other; unicode
+    // mode collapses exactly the true matches (ru≡ru2 normalized, zh≡zh)
+    val uni = Dedup.paragraphDedup(d, unicode = true)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(uni(1L) === ((2, 2)))  // first occurrences keep everything
+    assert(uni(2L) === ((2, 1)))  // ru2 ≡ ru dropped, ascii para kept
+    assert(uni(3L) === ((2, 1)))  // ar kept, zh dup of doc 1's dropped
+    assert(uni(4L) === ((2, 1)))  // ascii para dup of doc 2's dropped
+    val ascii = Dedup.paragraphDedup(d)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // doc 3's two non-Latin paragraphs BOTH vanish as "duplicates" of
+    // doc 1's — cross-script false positives, the failure mode closed
+    assert(ascii(3L) === ((2, 0)))
+  }
+
+  test("fingerprint family unicode mode: winnowed pairs exist only when the tokenizer sees the text") {
+    val ru = "\u041f\u0440\u0438\u0432\u0435\u0442, \u043c\u0438\u0440! \u042d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0430\u0431\u0437\u0430\u0446 \u043e \u043b\u0438\u0441\u0435."
+    val base = ru + " " + ru + " " + ru
+    val d = docs(1L -> base, 2L -> (base + " \u0434\u043e\u043f\u043e\u043b\u043d\u0438\u0442\u0435\u043b\u044c\u043d\u043e"))
+    val tokU = graft.core.TextNorm.tokensUnicode _
+    assert(graft.ops.TextAnalysis.fingerprints(d, w = 2, k = 2).count() === 0)
+    assert(graft.ops.TextAnalysis.fingerprints(d, w = 2, k = 2, tok = tokU).count() > 0)
+    val pairs = Dedup.fingerprintPairs(d, w = 2, k = 2, minShared = 1, tok = tokU)
+      .as[(Long, Long, Long)].collect()
+    assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
+  }
 }
