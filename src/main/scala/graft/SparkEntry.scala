@@ -823,6 +823,9 @@ object SparkEntry {
     "q_quality_uni" -> ((s, dir) =>
       TextAnalysis.qualityScore(uniDocs(s, dir), tok = graft.core.TextNorm.tokensUnicode)),
     "q_script" -> ((s, dir) => TextAnalysis.scriptSignals(docs(s, dir))),
+    // script-first routing over the multilingual-augmented corpus: the
+    // probe rows route to their scripts, the Latin fixture to langId
+    "q_lang_route" -> ((s, dir) => TextAnalysis.languageRoute(uniDocs(s, dir))),
     "q_gopher_quality" -> ((s, dir) => TextAnalysis.gopherQuality(docs(s, dir))),
     "q_entropy" -> ((s, dir) => TextAnalysis.entropySignals(docs(s, dir))),
     // spec-gated only: DEFLATE exists in no SQL engine, so the driver
@@ -1695,6 +1698,49 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
          |          ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents)))""".stripMargin
+    },
+    "q_lang_route" -> {
+      // twin of TextAnalysis.languageRoute: the q_script ranges + the
+      // q_lang_id score algebra over DOCS_UNI, route = pred_lang inside
+      // latin, the script name elsewhere
+      val scripts = Seq(
+        "latin" -> "[A-Za-z\\x{00C0}-\\x{00D6}\\x{00D8}-\\x{00F6}\\x{00F8}-\\x{024F}]",
+        "cyrillic" -> "[\\x{0400}-\\x{04FF}]",
+        "greek" -> "[\\x{0370}-\\x{03FF}]",
+        "arabic" -> "[\\x{0600}-\\x{06FF}]",
+        "hebrew" -> "[\\x{0590}-\\x{05FF}]",
+        "devanagari" -> "[\\x{0900}-\\x{097F}]",
+        "cjk_han" -> "[\\x{4E00}-\\x{9FFF}]",
+        "kana" -> "[\\x{3040}-\\x{30FF}]",
+        "hangul" -> "[\\x{AC00}-\\x{D7AF}]")
+      val cnts = scripts.map { case (n, r) =>
+        s"CAST(length(text) - length(regexp_replace(text, '$r', '', 'g')) AS BIGINT) AS n_$n"
+      }.mkString(",\n         |    ")
+      val dom = scripts.map { case (n, _) =>
+        s"WHEN n_$n > 0 AND n_$n = best THEN '$n'"
+      }.mkString("\n         |         ")
+      def sc(l: String, words: String) =
+        s"CAST(len(list_filter(ts, t -> list_contains($words, t))) AS INTEGER) AS score_$l"
+      s"""WITH base AS (SELECT doc_id,
+         |    $cnts,
+         |    ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
+         |    ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
+         |  FROM (SELECT doc_id, text, $TOKS AS ts FROM ($DOCS_UNI))),
+         |b2 AS (SELECT *,
+         |    greatest(${scripts.map("n_" + _._1).mkString(", ")}) AS best,
+         |    greatest(score_en, score_de, score_es, score_fr, score_zh) AS bestl
+         |  FROM base),
+         |b3 AS (SELECT doc_id,
+         |    CASE $dom
+         |         ELSE 'none' END AS dominant_script,
+         |    CASE WHEN score_en = bestl THEN 'en' WHEN score_de = bestl THEN 'de'
+         |         WHEN score_es = bestl THEN 'es' WHEN score_fr = bestl THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang
+         |  FROM b2)
+         |SELECT doc_id, dominant_script, pred_lang,
+         |  CASE WHEN dominant_script = 'latin' THEN pred_lang
+         |       ELSE dominant_script END AS route
+         |FROM b3""".stripMargin
     },
     "q_compression_proxy" ->
       // twin of TextAnalysis.compressionProxy: distinct char-8-gram

@@ -153,27 +153,38 @@ object TextAnalysis {
     * Row-parallel column algebra (one regexp_replace per script — no
     * tokenize, no shuffle, no UDF); the 100 TB cost is the scan.
     */
-  def scriptSignals(docs: DataFrame): DataFrame = {
-    // (name, Java-regex block range) in dominant-priority order
-    val scripts = Seq(
-      "latin" -> "[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F]",
-      "cyrillic" -> "[\\u0400-\\u04FF]",
-      "greek" -> "[\\u0370-\\u03FF]",
-      "arabic" -> "[\\u0600-\\u06FF]",
-      "hebrew" -> "[\\u0590-\\u05FF]",
-      "devanagari" -> "[\\u0900-\\u097F]",
-      "cjk_han" -> "[\\u4E00-\\u9FFF]",
-      "kana" -> "[\\u3040-\\u30FF]",
-      "hangul" -> "[\\uAC00-\\uD7AF]")
-    def cnt(range: String): Column =
-      (length(col("text")) - length(regexp_replace(col("text"), range, ""))).cast("long")
-    val counted = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id") +: length(col("text")).cast("long").as("n_chars") +:
-        scripts.map { case (n, r) => cnt(r).as(s"n_$n") }: _*)
-    val best = greatest(scripts.map { case (n, _) => col(s"n_$n") }: _*)
-    val dominant = scripts.foldRight(lit("none")) { case ((n, _), acc) =>
+  /** (name, Java-regex block range) in dominant-priority order —
+    * shared by [[scriptSignals]] and [[languageRoute]] so the two
+    * faces can never disagree on what a script is. */
+  private val ScriptRanges: Seq[(String, String)] = Seq(
+    "latin" -> "[A-Za-z\\u00C0-\\u00D6\\u00D8-\\u00F6\\u00F8-\\u024F]",
+    "cyrillic" -> "[\\u0400-\\u04FF]",
+    "greek" -> "[\\u0370-\\u03FF]",
+    "arabic" -> "[\\u0600-\\u06FF]",
+    "hebrew" -> "[\\u0590-\\u05FF]",
+    "devanagari" -> "[\\u0900-\\u097F]",
+    "cjk_han" -> "[\\u4E00-\\u9FFF]",
+    "kana" -> "[\\u3040-\\u30FF]",
+    "hangul" -> "[\\uAC00-\\uD7AF]")
+
+  /** Count of `range`-class chars in `text` (len-minus-stripped). */
+  private def scriptCnt(range: String): Column =
+    (length(col("text")) - length(regexp_replace(col("text"), range, ""))).cast("long")
+
+  /** Dominant script over materialized `n_<script>` count columns. */
+  private def dominantScript: Column = {
+    val best = greatest(ScriptRanges.map { case (n, _) => col(s"n_$n") }: _*)
+    ScriptRanges.foldRight(lit("none")) { case ((n, _), acc) =>
       when(col(s"n_$n") > 0 && col(s"n_$n") === best, lit(n)).otherwise(acc)
     }
+  }
+
+  def scriptSignals(docs: DataFrame): DataFrame = {
+    val scripts = ScriptRanges
+    val counted = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id") +: length(col("text")).cast("long").as("n_chars") +:
+        scripts.map { case (n, r) => scriptCnt(r).as(s"n_$n") }: _*)
+    val dominant = dominantScript
     counted.select(
       col("doc_id") +: col("n_chars") +:
         (scripts.map { case (n, _) => col(s"n_$n") } ++
@@ -182,6 +193,51 @@ object TextAnalysis {
               round(col(s"n_$n").cast("double") / col("n_chars"), 6))
               .otherwise(lit(0.0)).as(s"frac_$n")
           } :+ dominant.as("dominant_script")): _*)
+  }
+
+  /** Script-first language routing — the FIRST dispatch decision a
+    * multilingual pipeline makes (the [[scriptSignals]] scaladoc's
+    * point made executable): stopword lists only discriminate WITHIN
+    * the Latin script, so a crawl routes by dominant script first and
+    * consults the stopword language id only inside `latin`. Output:
+    * `(doc_id, dominant_script, pred_lang, route)` where `route` is
+    * the dispatch key — [[languageId]]'s prediction for Latin-script
+    * docs, the script name itself for every other script (hand the doc
+    * to that script's pipeline: its own tokenizer mode, stopword
+    * families, LM), and `none` when no tracked letters exist (the
+    * quality gate's problem, not the router's).
+    *
+    * ONE scan, no join: the script counts are raw-text regex algebra
+    * and the language scores ride a single sealed tokenize pass in the
+    * same projection — where the compose-it-yourself join of
+    * [[scriptSignals]] + [[languageId]] would scan twice and shuffle
+    * on doc_id. Row-parallel; the 100 TB cost is the scan.
+    */
+  def languageRoute(docs: DataFrame): DataFrame = {
+    def score(words: Seq[String]): Column =
+      size(filter(col("ts"), t => array_contains(array(words.map(lit): _*), t)))
+    val scored = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"), seal(TextNorm.tokens(col("text"))).as("ts"))
+      .select(col("doc_id") +:
+        ScriptRanges.map { case (n, r) => scriptCnt(r).as(s"n_$n") } :+
+        seal(struct(
+          score(Stopwords.en).as("score_en"),
+          score(Stopwords.de).as("score_de"),
+          score(Stopwords.es).as("score_es"),
+          score(Stopwords.fr).as("score_fr"),
+          score(Stopwords.zh).as("score_zh"))).as("sc"): _*)
+    val bestLang = greatest(col("sc.score_en"), col("sc.score_de"), col("sc.score_es"),
+      col("sc.score_fr"), col("sc.score_zh"))
+    val predLang = when(col("sc.score_en") === bestLang, "en")
+      .when(col("sc.score_de") === bestLang, "de")
+      .when(col("sc.score_es") === bestLang, "es")
+      .when(col("sc.score_fr") === bestLang, "fr")
+      .otherwise("zh")
+    scored
+      .select(col("doc_id"), dominantScript.as("dominant_script"), predLang.as("pred_lang"))
+      .select(col("doc_id"), col("dominant_script"), col("pred_lang"),
+        when(col("dominant_script") === "latin", col("pred_lang"))
+          .otherwise(col("dominant_script")).as("route"))
   }
 
   /** Corpus-level top-k n-grams — the classic MapReduce demo query,

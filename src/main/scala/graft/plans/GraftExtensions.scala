@@ -41,6 +41,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.noveltyTableFunction)
     ext.injectTableFunction(GraftExtensions.hammingPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.scriptTableFunction)
+    ext.injectTableFunction(GraftExtensions.langRouteTableFunction)
     ext.injectTableFunction(GraftExtensions.blocklistTableFunction)
     ext.injectTableFunction(GraftExtensions.codeDetectTableFunction)
     ext.injectTableFunction(GraftExtensions.sentencesTableFunction)
@@ -329,6 +330,26 @@ object GraftExtensions {
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.TextAnalysis.scriptSignals(SparkSession.active.table(
           stringArg("graft_script")(children.head, "docs_table"))))
+    })
+
+  /** SQL surface for script-first language routing
+    * ([[graft.ops.TextAnalysis.languageRoute]]):
+    *
+    * {{{
+    * SELECT * FROM graft_lang_route('docs')
+    * }}}
+    *
+    * Emits (doc_id, dominant_script, pred_lang, route) — the dispatch
+    * key of a multilingual pipeline. Fully lazy — no cache entry. */
+  private val langRouteTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_lang_route"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_lang_route"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_lang_route(docs_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.languageRoute(SparkSession.active.table(
+          stringArg("graft_lang_route")(children.head, "docs_table"))))
     })
 
   /** SQL face of the C4-style blocklist gate:
@@ -1339,6 +1360,7 @@ object GraftExtensions {
         bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
         phraseTableFunction, marginMineTableFunction, noveltyTableFunction,
         hammingPairsTableFunction, scriptTableFunction,
+        langRouteTableFunction,
         splitSafeTableFunction, splitAuditTableFunction,
         blocklistTableFunction, piiTableFunction,
         mojibakeTableFunction, dupSpectrumTableFunction,

@@ -813,4 +813,38 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet ===
       TextAnalysis.readability(d).collect().map(_.toSeq).toSet)
   }
+  test("languageRoute: script-first dispatch, langId only inside latin; one scan, no join") {
+    val d = Seq(
+      (1L, "the quick brown fox and the lazy dog", "s"),
+      (2L, "der schnelle braune fuchs und der hund", "s"),
+      (3L, "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442", "s"),
+      (4L, "\u673a\u5668\u5b66\u4e60\u5f88\u597d", "s"),
+      (5L, "12345 !!!", "s")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.languageRoute(d)
+      .as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> ((r._2, r._4))).toMap
+    assert(got(1L) === (("latin", "en")))
+    assert(got(2L) === (("latin", "de")))
+    assert(got(3L) === (("cyrillic", "cyrillic")))
+    assert(got(4L) === (("cjk_han", "cjk_han")))
+    assert(got(5L) === (("none", "none")))
+    // dominant_script agrees with scriptSignals; pred_lang with languageId
+    val viaSig = TextAnalysis.scriptSignals(d)
+      .select("doc_id", "dominant_script").as[(Long, String)].collect().toMap
+    val viaLang = TextAnalysis.languageId(d)
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    TextAnalysis.languageRoute(d).as[(Long, String, String, String)].collect()
+      .foreach { r =>
+        assert(r._2 === viaSig(r._1)); assert(r._3 === viaLang(r._1))
+      }
+    // single-scan plan: no Join, no Exchange
+    val plan = TextAnalysis.languageRoute(d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Join") && !plan.contains("Exchange"), plan)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("route_docs")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_lang_route('route_docs')")
+      .as[(Long, String, String, String)].collect().toSet ===
+      TextAnalysis.languageRoute(d).as[(Long, String, String, String)].collect().toSet)
+  }
 }
