@@ -106,9 +106,14 @@ object SparkEntry {
     * regex chain mirrors the Catalyst one step for step; the whitespace
     * classes are equal by construction (RE2 ASCII `\s` ∪ `\p{Z}` ∪ NEL
     * ∪ C0 separators == Java `(?U)\s` ∪ `\p{Z}` ∪ NEL ∪ C0). */
-  private def toksUniOf(e: String): String =
-    """list_filter(string_split(trim(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(EXPR, '[\s\p{Z}\x{0085}\x1c-\x1f]+', ' ', 'g')), '[^\p{L}\p{N} ]', '', 'g'), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), ' +', ' ', 'g')), ' '), t -> len(t) > 0)"""
+  /** Twin of [[graft.core.TextNorm.normalizeUnicode]] (the normalized
+    * STRING — [[toksUniOf]] splits it). DuckDB's `' +'` collapse equals
+    * Spark's `" {2,}"` (both leave single spaces). */
+  private def normUniOf(e: String): String =
+    """trim(regexp_replace(regexp_replace(regexp_replace(lower(regexp_replace(EXPR, '[\s\p{Z}\x{0085}\x1c-\x1f]+', ' ', 'g')), '[^\p{L}\p{N} ]', '', 'g'), '([\p{Han}\p{Hiragana}\p{Katakana}])', ' \1 ', 'g'), ' +', ' ', 'g'))"""
       .replace("EXPR", e)
+  private def toksUniOf(e: String): String =
+    s"""list_filter(string_split(${normUniOf(e)}, ' '), t -> len(t) > 0)"""
   private val TOKS_UNI = toksUniOf("text")
 
   /** [[SHINGLES]] with the Unicode tokenizer over [[DOCS_UNI]]. */
@@ -927,6 +932,10 @@ object SparkEntry {
 
     // ---- dedup ----------------------------------------------------------
     "q_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir))),
+    // unicode normalizer: the Cyrillic/CJK dup pairs hash as real
+    // groups instead of every non-Latin doc collapsing into md5("")
+    "q_dedup_exact_uni" -> ((s, dir) =>
+      Dedup.exact(uniDocs(s, dir), norm = graft.core.TextNorm.normalizeUnicode)),
     // duplicate-group-size histogram (corpus health / reclaim estimate)
     "q_dup_spectrum" -> ((s, dir) => Dedup.duplicationSpectrum(docs(s, dir))),
     // MOSS-style winnowing-fingerprint candidate pairs (local overlap)
@@ -2308,6 +2317,11 @@ object SparkEntry {
          |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
          |FROM (SELECT doc_id, md5(regexp_replace(lower(regexp_replace(text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g')) AS text_hash
          |      FROM documents)""".stripMargin,
+    "q_dedup_exact_uni" ->
+      s"""SELECT doc_id, text_hash, min(doc_id) OVER (PARTITION BY text_hash) AS canonical_id,
+         |  doc_id <> min(doc_id) OVER (PARTITION BY text_hash) AS is_dup
+         |FROM (SELECT doc_id, md5(${normUniOf("text")}) AS text_hash
+         |      FROM ($DOCS_UNI))""".stripMargin,
     "q_dup_spectrum" ->
       // twin of Dedup.duplicationSpectrum: same normalized-text hash as
       // q_dedup_exact, group sizes histogrammed, 6dp corpus fraction

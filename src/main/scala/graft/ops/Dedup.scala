@@ -71,11 +71,17 @@ object Dedup {
     * Window-free formulation: aggregate per hash then rejoin would be
     * two shuffles; a min-over-window is one.
     */
-  def exact(docs: DataFrame): DataFrame = {
+  def exact(docs: DataFrame,
+      norm: Column => Column = TextNorm.normalize): DataFrame = {
+    // `norm` is the pipeline normalizer dial: the default strips every
+    // non-ASCII letter, so on a multilingual corpus ALL non-Latin docs
+    // hash to md5("") and false-dup each other across scripts — pass
+    // TextNorm.normalizeUnicode there (the tokensUnicode concern at
+    // whole-document granularity)
     import org.apache.spark.sql.expressions.Window
     val byHash = Window.partitionBy("text_hash")
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), md5(TextNorm.normalize(col("text"))).as("text_hash"))
+      .select(col("doc_id"), md5(norm(col("text"))).as("text_hash"))
       .withColumn("canonical_id", min(col("doc_id")).over(byHash))
       .withColumn("is_dup", col("doc_id") =!= col("canonical_id"))
       .select("doc_id", "text_hash", "canonical_id", "is_dup")
@@ -95,9 +101,10 @@ object Dedup {
     * broadcast one-row total — output is at most `max group size`
     * rows, so everything after the first aggregate is free at 100 TB.
     */
-  def duplicationSpectrum(docs: DataFrame): DataFrame = {
+  def duplicationSpectrum(docs: DataFrame,
+      norm: Column => Column = TextNorm.normalize): DataFrame = {
     val groups = graft.core.Parallelism.ensure(docs)
-      .select(md5(TextNorm.normalize(col("text"))).as("text_hash"))
+      .select(md5(norm(col("text"))).as("text_hash"))
       .groupBy("text_hash").agg(count(lit(1)).as("n_copies"))
     val spectrum = groups.groupBy("n_copies").agg(count(lit(1)).as("n_groups"))
     val total = spectrum.agg(sum(col("n_copies") * col("n_groups")).as("tot"))
@@ -677,11 +684,12 @@ object Dedup {
         i => concat_ws(" ", slice(ts, i * w + 1, lit(w))))
     ).otherwise(array().cast("array<string>"))
 
-  def chunkDedup(docs: DataFrame, w: Int = 2): DataFrame = {
+  def chunkDedup(docs: DataFrame, w: Int = 2,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val chunks = chunksOf(col("ts"), w)
     val win = Window.partitionBy("h")
-    tokenized(docs)
+    tokenized(docs, tok)
       .select(col("doc_id"), posexplode_outer(chunks).as(Seq("chunk_idx", "chunk")))
       .withColumn("h", md5(col("chunk")))
       .withColumn("winner", min(struct(col("doc_id"), col("chunk_idx"))).over(win))
@@ -957,8 +965,9 @@ object Dedup {
     * small → AQE broadcasts it); the final filter is an anti-join on
     * doc_id. The corpus text itself never moves — only shingles and ids.
     */
-  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame =
-    docs.join(contaminatedIds(docs, evalDocs, w), Seq("doc_id"), "left_anti")
+  def decontaminate(docs: DataFrame, evalDocs: DataFrame, w: Int = 3,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    docs.join(contaminatedIds(docs, evalDocs, w, tok), Seq("doc_id"), "left_anti")
 
   /** The ids [[decontaminate]] removes: training docs sharing at least
     * one w-shingle with the eval corpus. Exposed so composed pipelines
@@ -966,8 +975,9 @@ object Dedup {
     * anti-join twice. Per-doc-independent: membership depends only on
     * the doc's own shingles vs the eval set, never on which OTHER
     * training docs are present. */
-  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, w: Int = 3): DataFrame =
-    contaminatedIdsAgainst(docs, evalShingles(evalDocs, w), w)
+  def contaminatedIds(docs: DataFrame, evalDocs: DataFrame, w: Int = 3,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    contaminatedIdsAgainst(docs, evalShingles(evalDocs, w, tok), w, tok)
 
   /** The eval side of [[decontaminate]] as a standalone table: the
     * DISTINCT w-shingles of the eval corpus, `(shingle)`. Compute ONCE
@@ -976,8 +986,9 @@ object Dedup {
     * [[graft.streaming.CorpusWatcher.startJsonl]]) through
     * [[contaminatedIdsAgainst]]. The train/serve split of the
     * decontamination filter, same discipline as the ANN model tables. */
-  def evalShingles(evalDocs: DataFrame, w: Int = 3): DataFrame =
-    shingled(evalDocs.select(col("doc_id"), col("text")), w)
+  def evalShingles(evalDocs: DataFrame, w: Int = 3,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    shingled(evalDocs.select(col("doc_id"), col("text")), w, tok)
       .select(explode(array_distinct(col("shl"))).as("shingle")).distinct()
 
   /** N-gram novelty vs a reference — the memorization/overlap SCORE
@@ -997,8 +1008,9 @@ object Dedup {
     * (shingle-less docs carry their single degenerate shingle, the
     * [[shinglesFromTokens]] contract).
     */
-  def noveltyScore(docs: DataFrame, refShingles: DataFrame, w: Int = 3): DataFrame =
-    shingled(docs, w)
+  def noveltyScore(docs: DataFrame, refShingles: DataFrame, w: Int = 3,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    shingled(docs, w, tok)
       .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
       .join(refShingles.select(col("shingle")).distinct().withColumn("seen", lit(1)),
         Seq("shingle"), "left")
@@ -1041,8 +1053,9 @@ object Dedup {
     * match otherwise (silent no-op, not an error), so persist `w`
     * alongside the table. Per-batch cost: one shingle pass over `docs`
     * plus one semi-join; the eval side is never recomputed. */
-  def contaminatedIdsAgainst(docs: DataFrame, evalShingleTable: DataFrame, w: Int = 3): DataFrame =
-    shingled(docs, w)
+  def contaminatedIdsAgainst(docs: DataFrame, evalShingleTable: DataFrame, w: Int = 3,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    shingled(docs, w, tok)
       .select(col("doc_id"), explode(array_distinct(col("shl"))).as("shingle"))
       .join(evalShingleTable.select("shingle"), Seq("shingle"), "left_semi")
       .select("doc_id").distinct()
@@ -1867,13 +1880,14 @@ object Dedup {
     * (source, shingle) group (measured 20 s vs 2 s at sf0.1), and the
     * k md5s would be paid per OCCURRENCE instead of per distinct
     * shingle. */
-  def sourceSignatures(docs: DataFrame, w: Int = 3, k: Int = 16): DataFrame = {
+  def sourceSignatures(docs: DataFrame, w: Int = 3, k: Int = 16,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
     require(k >= 1, s"k=$k must be >= 1")
     val aggs = (0 until k).map { s =>
       min(md5(concat(lit(s"$s:"), col("shingle")))).as(s"sig$s")
     } :+ count(lit(1)).as("n_shingles")
     graft.core.Parallelism.ensure(docs)
-      .select(col("source"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("source"), tok(col("text")).as("ts"))
       .select(col("source"), shinglesFromTokens(col("ts"), w).as("shl"))
       .select(col("source"), explode(col("shl")).as("shingle"))
       .distinct()
@@ -1907,8 +1921,9 @@ object Dedup {
   def sourceOverlap(
       docs: DataFrame, w: Int = 3, k: Int = 16,
       mat: graft.core.Materialize.Strategy =
-        graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    val sigs = graft.core.Materialize(sourceSignatures(docs, w, k), mat)
+        graft.core.Materialize.LocalCheckpoint,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
+    val sigs = graft.core.Materialize(sourceSignatures(docs, w, k, tok), mat)
     val matches = (0 until k).map { s =>
       when(col(s"a.sig$s") === col(s"b.sig$s"), 1).otherwise(0)
     }.reduce(_ + _)

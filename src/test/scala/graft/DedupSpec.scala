@@ -1232,4 +1232,31 @@ class DedupSpec extends SparkSpec {
       .as[(Long, Long, Long)].collect()
     assert(pairs.map(p => (p._1, p._2)).toSet === Set((1L, 2L)))
   }
+  test("unicode normalizer dial: exact dedup stops cross-script false dups; decontam/novelty see non-Latin text") {
+    val ru = "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442"
+    val ar = "\u0645\u0631\u062d\u0628\u0627 \u0628\u0627\u0644\u0639\u0627\u0644\u0645 \u0647\u0630\u0647 \u0648\u062b\u064a\u0642\u0629 \u0627\u062e\u062a\u0628\u0627\u0631" // 5 words, like ru: the ASCII residue ("    ") collides
+    val normU = graft.core.TextNorm.normalizeUnicode _
+    val tokU = graft.core.TextNorm.tokensUnicode _
+    val d = docs(1L -> ru, 2L -> (ru + "!"), 3L -> ar)
+    // ASCII normalizer: all three docs hash md5("") -> one giant false
+    // group; unicode: ru≡ru! (punctuation-normalized) dup, ar distinct
+    val ascii = Dedup.exact(d).select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(ascii === Map(1L -> false, 2L -> true, 3L -> true))
+    val uni = Dedup.exact(d, norm = normU)
+      .select("doc_id", "is_dup").as[(Long, Boolean)].collect().toMap
+    assert(uni === Map(1L -> false, 2L -> true, 3L -> false))
+    // decontamination: an eval doc quoting the Cyrillic text only
+    // contaminates when the tokenizer sees it
+    val evalDocs = docs(100L -> ru)
+    assert(Dedup.contaminatedIds(d, evalDocs).count() === 3) // "" shingle matches all
+    val uniContam = Dedup.contaminatedIds(d, evalDocs, tok = tokU)
+      .as[Long].collect().toSet
+    assert(uniContam === Set(1L, 2L))
+    // novelty: under unicode the Arabic doc is fully novel vs a
+    // Cyrillic reference, the quoted docs are not
+    val nov = Dedup.noveltyScore(d, Dedup.evalShingles(evalDocs, tok = tokU), tok = tokU)
+      .select("doc_id", "novelty").as[(Long, Double)].collect().toMap
+    assert(nov(3L) === 1.0)
+    assert(nov(1L) === 0.0)
+  }
 }
