@@ -713,12 +713,13 @@ object TextAnalysis {
     * IEEE discipline: α^k is built by left-folded repeated
     * multiplication so the DuckDB twin's `CAST(0.4 AS DOUBLE) * …`
     * product chain is the same arithmetic shape bit for bit. */
-  def lmnModel(reference: DataFrame, order: Int, alpha: Double = 0.4): LmnModel = {
+  def lmnModel(reference: DataFrame, order: Int, alpha: Double = 0.4,
+      tok: Column => Column = TextNorm.tokens): LmnModel = {
     import org.apache.spark.sql.types.DecimalType
     require(order >= 2 && order <= 8, s"order=$order must be in 2..8")
     require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
     val toks = graft.core.Parallelism.ensure(reference)
-      .select(TextNorm.tokens(col("text")).as("ts"))
+      .select(tok(col("text")).as("ts"))
     def grams(n: Int): DataFrame = {
       val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
       toks.where(size(col("ts")) >= n)
@@ -761,11 +762,15 @@ object TextAnalysis {
     * Same serving plan as [[lm3ScoreWith]] at any order: the corpus
     * n-gram stream left-joins each (model-sized, AQE-broadcast) tier
     * on its suffix keys, then one combinable groupBy(doc_id). */
-  def lmnScoreWith(docs: DataFrame, model: LmnModel): DataFrame = {
+  def lmnScoreWith(docs: DataFrame, model: LmnModel,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
+    // `tok` MUST be the tokenizer the model trained under — a unicode
+    // char-level CJK model served through the ASCII tokenizer (or vice
+    // versa) scores a different token stream than it counted
     import org.apache.spark.sql.types.DecimalType
     val order = model.order
     val tg = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), tok(col("text")).as("ts"))
       .where(size(col("ts")) >= order)
       .select(col("doc_id"), explode(
         transform(sequence(lit(1), size(col("ts")) - (order - 1)),

@@ -847,4 +847,20 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String, String, String)].collect().toSet ===
       TextAnalysis.languageRoute(d).as[(Long, String, String, String)].collect().toSet)
   }
+  test("lmnModel unicode tokenizer: CJK char-level LM scores; ASCII tokenizer sees nothing") {
+    val tokU = graft.core.TextNorm.tokensUnicode _
+    val ref = docs(1L -> "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u6570\u636e\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u6570\u636e")
+    val d = docs(10L -> "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u6570\u636e")
+    // ASCII: zero tokens anywhere -> no n-grams, NULL scores
+    val ascii = TextAnalysis.lmnScoreWith(d, TextAnalysis.lmnModel(ref, 3))
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(ascii === ((10L, 0L, 0L, 0L, None)))
+    // unicode: char trigrams from the training text score, never back off
+    val uni = TextAnalysis.lmnScoreWith(d,
+      TextAnalysis.lmnModel(ref, 3, tok = tokU), tok = tokU)
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(uni._2 === 10L) // 12 char tokens -> 10 trigrams
+    assert(uni._3 === 0L && uni._4 === 0L) // all in the trigram tier
+    assert(uni._5.nonEmpty)
+  }
 }
