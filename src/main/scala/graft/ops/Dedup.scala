@@ -1165,8 +1165,9 @@ object Dedup {
       bands: Int = 2,
       bucketCap: Int = 64,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
-      sizeRatioFloor: Double = 0.0): DataFrame =
-    docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat, sizeRatioFloor),
+      sizeRatioFloor: Double = 0.0,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    docs.join(nearDupLosers(docs, w, k, bands, bucketCap, mat, sizeRatioFloor, tok),
       Seq("doc_id"), "left_anti")
 
   /** Incremental cross-corpus face of [[fingerprintPairs]] — the
@@ -1264,8 +1265,9 @@ object Dedup {
       bands: Int = 2,
       bucketCap: Int = 64,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
-      sizeRatioFloor: Double = 0.0): DataFrame =
-    clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat, sizeRatioFloor), mat = mat)
+      sizeRatioFloor: Double = 0.0,
+      tok: Column => Column = TextNorm.tokens): DataFrame =
+    clusters(minhashCandidatePairs(docs, w, k, bands, bucketCap, mat, sizeRatioFloor, tok), mat = mat)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select("doc_id")
 

@@ -329,11 +329,23 @@ object CorpusWatcher {
       spanHistoryDir: Option[String] = None,
       positional: Boolean = false,
       metricsDir: Option[String] = None,
-      driftDir: Option[String] = None): StreamingQuery = {
+      driftDir: Option[String] = None,
+      unicodeTokens: Boolean = false): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
+    // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
+    // switches every CONTENT-KEYED stage — band signatures (history +
+    // within-batch + append), decontamination shingles, paragraph
+    // hashes, the adaptive gate's token counts — so non-Latin arrivals
+    // stop hashing to nothing and silently passing every gate. The
+    // quality/classifier gates keep their own (stopword-family) token
+    // semantics, and the index/drift artifacts keep §2 ASCII parity.
+    // A history dir written under one setting must be served under the
+    // same setting (hashes are tokenizer-dependent).
+    val tok: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      if (unicodeTokens) graft.core.TextNorm.tokensUnicode else graft.core.TextNorm.tokens
     val C = graft.sources.TextCorpus.CorruptCol
     val docs = spark.readStream
       .format("json")
@@ -404,7 +416,7 @@ object CorpusWatcher {
           case None => scored
           case Some(es) =>
             staged(scored.join(
-              graft.ops.Dedup.contaminatedIdsAgainst(scored, es, decontamW),
+              graft.ops.Dedup.contaminatedIdsAgainst(scored, es, decontamW, tok),
               Seq("doc_id"), "left_anti"))
         }
         // history filter first, then within-batch (the order
@@ -425,11 +437,11 @@ object CorpusWatcher {
           case None =>
             dedupedF =
               if (dedupWithinBatch)
-                staged(graft.ops.Dedup.dropNearDuplicates(uncontaminated))
+                staged(graft.ops.Dedup.dropNearDuplicates(uncontaminated, tok = tok))
               else uncontaminated
             dedupedF
           case Some(bd) =>
-            val bands0 = staged(graft.ops.Dedup.minhashBands(uncontaminated))
+            val bands0 = staged(graft.ops.Dedup.minhashBands(uncontaminated, tok = tok))
             val afterHistory = accumulatedBands(session, bd, excludeBatchId = batchId)
               .map(h => staged(
                 graft.ops.Dedup.dropDuplicatesAgainstBands(uncontaminated, bands0, h)))
@@ -476,8 +488,9 @@ object CorpusWatcher {
             // it rode along (one tokenize pass per batch, not two);
             // identical by construction (n_tok = size(tokens(text)))
             val nTok =
-              if (keptStats.columns.contains("n_tok")) col("n_tok").cast("long")
-              else size(graft.core.TextNorm.tokens(col("text"))).cast("long")
+              if (!unicodeTokens && keptStats.columns.contains("n_tok"))
+                col("n_tok").cast("long") // the gate's ASCII tokenize pass
+              else size(tok(col("text"))).cast("long")
             keptStats.groupBy("source")
               .agg(count(lit(1)).as("n_docs"), sum(nTok).as("n_tokens"))
               .coalesce(1)
@@ -527,13 +540,15 @@ object CorpusWatcher {
                 // pass twice per batch — the round-12 stream's
                 // dominant added cost
                 val (strippedRaw, newHashes) =
-                  graft.ops.Dedup.stripParagraphsWithHashes(admitted, h, paraBoundary)
+                  graft.ops.Dedup.stripParagraphsWithHashes(admitted, h, paraBoundary,
+                    unicode = unicodeTokens)
                 val stripped = staged(strippedRaw.select(col("doc_id"), col("text")))
                 newHashes.write.mode("overwrite").parquet(s"$pd/batch_id=$batchId")
                 stripped
               case None =>
                 val stripped = staged(admitted.select(col("doc_id"), col("text")))
-                graft.ops.Dedup.paragraphHashes(stripped, paraBoundary)
+                graft.ops.Dedup.paragraphHashes(stripped, paraBoundary,
+                    unicode = unicodeTokens)
                   .write.mode("overwrite").parquet(s"$pd/batch_id=$batchId")
                 stripped
             }

@@ -816,4 +816,32 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(snap1.filter(col("doc_id") === "60" && col("word") === "cat")
       .select("positions").as[Seq[Int]].head() === Seq(0))
   }
+  test("unicodeTokens: non-Latin cross-batch dups drop; the ASCII mode would false-drop fresh text") {
+    val ru = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442 \u043e \u043b\u0438\u0441\u0435"
+    val ru2 = "\u0441\u043e\u0432\u0441\u0435\u043c \u0434\u0440\u0443\u0433\u043e\u0439 \u0440\u0443\u0441\u0441\u043a\u0438\u0439 \u0442\u0435\u043a\u0441\u0442 \u043d\u0438\u0447\u0435\u0433\u043e \u043e\u0431\u0449\u0435\u0433\u043e \u043d\u0435\u0442"
+    def runPair(unicodeTokens: Boolean): Set[String] = {
+      val tag = if (unicodeTokens) "u" else "a"
+      val (watch, index, quar, bands) = (tmp(s"watchuni$tag"), tmp(s"indexuni$tag"),
+        tmp(s"quaruni$tag") + "/bad", tmp(s"bandsuni$tag") + "/bands")
+      val ckpt = tmp(s"ckptuni$tag")
+      Files.write(Paths.get(watch, "feed-0.json"),
+        (s"""{"doc_id": 1, "text": "$ru"}""" + "\n").getBytes("UTF-8"))
+      CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+        dedupBandsDir = Some(bands), unicodeTokens = unicodeTokens).awaitTermination()
+      // batch 1: doc 2 re-sends doc 1's text (true dup); doc 3 is FRESH
+      // Cyrillic sharing nothing
+      Files.write(Paths.get(watch, "feed-1.json"),
+        (s"""{"doc_id": 2, "text": "$ru"}""" + "\n" +
+          s"""{"doc_id": 3, "text": "$ru2"}""" + "\n").getBytes("UTF-8"))
+      CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+        dedupBandsDir = Some(bands), unicodeTokens = unicodeTokens).awaitTermination()
+      spark.read.parquet(bands).select("doc_id").as[String].collect().toSet
+    }
+    // unicode mode: doc 2 dropped as a true dup, doc 3 survives
+    assert(runPair(unicodeTokens = true) === Set("1", "3"))
+    // ASCII mode: every Cyrillic doc signs the identical empty token
+    // stream, so the FRESH doc 3 is falsely dropped too — the silent
+    // failure the dial closes
+    assert(runPair(unicodeTokens = false) === Set("1"))
+  }
 }
