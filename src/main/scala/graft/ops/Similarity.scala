@@ -67,6 +67,36 @@ object Similarity {
     * at billion-vector scale). */
   val DefaultSeed: CentroidSeed = CentroidSeed.FixedK(32)
 
+  /** The SemDeDup k-grows-with-n recipe made executable (it was a
+    * SURVEY §8 paragraph; nothing connected it to the parameter a user
+    * passes): within-cell pair work is Σ_c n_c² ≈ n · cellSize under
+    * balanced cells, so holding CELL SIZE constant — not k — keeps the
+    * blocked-pair stage linear in the corpus. k = ceil(n /
+    * targetCellSize), floored at 1. The paper's own operating point
+    * (50k clusters for 5B embeddings) is targetCellSize = 100k;
+    * the right value is "n_c vectors fit one executor's pairwise
+    * pass". Pass the result anywhere a [[CentroidSeed]] goes. */
+  def cellSeedFor(nVectors: Long, targetCellSize: Int = 1024): CentroidSeed = {
+    require(nVectors >= 0, s"nVectors=$nVectors must be >= 0")
+    require(targetCellSize >= 1, s"targetCellSize=$targetCellSize must be >= 1")
+    CentroidSeed.FixedK(math.max(1L,
+      (nVectors + targetCellSize - 1) / targetCellSize).toInt)
+  }
+
+  /** [[semanticDupPairs]] with the cell count AUTO-SIZED from the
+    * corpus ([[cellSeedFor]] — one count job, then the same pipeline):
+    * the call to use when the corpus size is not known ahead; the
+    * fixed-seed form remains for stored-artifact serving, where k must
+    * match the trained tables. */
+  def semanticDupPairsAuto(
+      corpus: DataFrame,
+      threshold: Double = 0.95,
+      targetCellSize: Int = 1024,
+      iterations: Int = 2,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    semanticDupPairs(corpus, threshold, iterations,
+      cellSeedFor(corpus.count(), targetCellSize), mat)
+
   /** Sequential-fold dot product of two double arrays — the native
     * codegen'd [[graft.functions.DotProduct]] expression (the HOF
     * formulation `aggregate(zip_with(...))` is interpreted; the native

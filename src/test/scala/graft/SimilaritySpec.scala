@@ -727,4 +727,22 @@ class SimilaritySpec extends SparkSpec {
     assert(got(6L)._2, "zero-norm vector must flag as an outlier")
     assert((got - 6L).values.forall(!_._2), s"healthy members must not flag: $got")
   }
+  test("cellSeedFor + semanticDupPairsAuto: k grows with n at constant cell size; auto == explicit") {
+    import graft.ops.Similarity
+    assert(Similarity.cellSeedFor(0) === Similarity.CentroidSeed.FixedK(1))
+    assert(Similarity.cellSeedFor(1000, 100) === Similarity.CentroidSeed.FixedK(10))
+    assert(Similarity.cellSeedFor(1001, 100) === Similarity.CentroidSeed.FixedK(11))
+    assert(Similarity.cellSeedFor(5000000000L, 100000) ===
+      Similarity.CentroidSeed.FixedK(50000)) // the SemDeDup paper's point
+    val corpus = vecs((1L to 16L).map { i =>
+      i -> Seq((i % 4).toFloat + 1f, (i % 3).toFloat, (i % 5).toFloat)
+    }: _*)
+    val auto = Similarity.semanticDupPairsAuto(corpus, threshold = 0.9, targetCellSize = 4)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    val explicit = Similarity.semanticDupPairs(corpus, threshold = 0.9,
+        seed = Similarity.cellSeedFor(16, 4))
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+    assert(auto === explicit)
+    assert(auto.nonEmpty)
+  }
 }
