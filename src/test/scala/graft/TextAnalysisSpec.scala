@@ -863,4 +863,21 @@ class TextAnalysisSpec extends SparkSpec {
     assert(uni._3 === 0L && uni._4 === 0L) // all in the trigram tier
     assert(uni._5.nonEmpty)
   }
+  test("LmnModel: stored parquet tables round-trip and serve identically") {
+    val ref = docs(
+      1L -> "a b c d e f g h",
+      2L -> "a b c d x y z w")
+    val m0 = TextAnalysis.lmnModel(ref, 5)
+    val dir = java.nio.file.Files.createTempDirectory("graft-lmn-").toString
+    m0.tiers.zipWithIndex.foreach { case (t, i) => t.write.parquet(s"$dir/tier$i") }
+    m0.uni.write.parquet(s"$dir/uni"); m0.oov.write.parquet(s"$dir/oov")
+    val m = TextAnalysis.LmnModel(5,
+      m0.tiers.indices.map(i => spark.read.parquet(s"$dir/tier$i")),
+      spark.read.parquet(s"$dir/uni"), spark.read.parquet(s"$dir/oov"))
+    val mixed = docs(10L -> "a b c d e f", 11L -> "q a b c d", 12L -> "zz qq a b c")
+    assert(TextAnalysis.lmnScoreWith(mixed, m)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet ===
+      TextAnalysis.lmnScoreWith(mixed, m0)
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
+  }
 }
