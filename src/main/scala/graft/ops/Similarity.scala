@@ -79,8 +79,10 @@ object Similarity {
   def cellSeedFor(nVectors: Long, targetCellSize: Int = 1024): CentroidSeed = {
     require(nVectors >= 0, s"nVectors=$nVectors must be >= 0")
     require(targetCellSize >= 1, s"targetCellSize=$targetCellSize must be >= 1")
-    CentroidSeed.FixedK(math.max(1L,
-      (nVectors + targetCellSize - 1) / targetCellSize).toInt)
+    val k = math.max(1L, (nVectors + targetCellSize - 1) / targetCellSize)
+    require(k <= Int.MaxValue,
+      s"k=$k cells (n=$nVectors / cell=$targetCellSize) exceeds Int range — raise targetCellSize")
+    CentroidSeed.FixedK(k.toInt)
   }
 
   /** [[semanticDupPairs]] with the cell count AUTO-SIZED from the

@@ -561,10 +561,16 @@ object CorpusWatcher {
                 // fused strip + anchor append: one per-char-md5 scan
                 // plus a rescan of only the REWRITTEN docs, instead of
                 // two full scans (the paragraph-stage fusion at
-                // substring granularity)
+                // substring granularity). NOT staged: the fused op
+                // already materializes the stripped frame internally
+                // (its rescan branch reads it), so a persist here would
+                // store the batch text twice; downstream consumers read
+                // the checkpoint blocks, which the ContextCleaner
+                // reclaims after the batch like every op-internal
+                // materialization
                 val (strippedRaw, newAnchors) =
                   graft.ops.Dedup.stripDuplicateSpansWithAnchors(paraContent, h)
-                val stripped = staged(strippedRaw.select(col("doc_id"), col("text")))
+                val stripped = strippedRaw.select(col("doc_id"), col("text"))
                 newAnchors.write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
                 stripped
               case None =>
