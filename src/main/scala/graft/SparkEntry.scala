@@ -768,6 +768,14 @@ object SparkEntry {
       InvertedIndex.bm25TopK(InvertedIndex.build(d),
         "fast hash join on a small table", d.count(), 20)
     },
+    "q_hybrid_search" -> { (s, dir) =>
+      // hybrid RAG-style retrieval: BM25 pool ⊕ exact-cosine pool for
+      // the same need (text query + query vector doc 0), RRF-fused
+      val e = emb(s, dir)
+      InvertedIndex.hybridTopK(docs(s, dir), e,
+        "fast hash join on a small table",
+        e.filter(col("vec_id") === 0), k = 20, poolK = 50)
+    },
     "q_index_export_roundtrip" -> { (s, dir) =>
       // nested-JSON export codec (the reference's final_results.json
       // shape) must round-trip losslessly back to the flat index
@@ -1522,6 +1530,47 @@ object SparkEntry {
          |SELECT doc_id, CAST(s AS DOUBLE) AS score,
          |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
          |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+
+    "q_hybrid_search" ->
+      // twin of InvertedIndex.hybridTopK(k=20, poolK=50, rrfK=60): the
+      // q_bm25 arm and the q_sim_bruteforce arm (query vec_id=0), each
+      // cut at rank 50, fused by RRF with each reciprocal rounded 6dp
+      // into DECIMAL(18,6) before the sum (order-independent exact);
+      // reciprocals divide as DOUBLE on both engines (CAST shape —
+      // bare 1.0/60.0 would be DECIMAL division in DuckDB)
+      s"""WITH idx AS ($INDEX_SQL),
+         |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM idx GROUP BY doc_id),
+         |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+         |hits AS (SELECT * FROM idx
+         |         WHERE word IN ('fast','hash','join','on','a','small','table')),
+         |idf AS (SELECT word,
+         |          round(ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)), 6) AS idf
+         |        FROM (SELECT word, count(*) AS df FROM hits GROUP BY word)),
+         |contrib AS (SELECT h.doc_id,
+         |    CAST(round(i.idf * (h.cnt * (1.2 + 1.0)) /
+         |        (h.cnt + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / a.avgdl)), 6) AS DECIMAL(18,6)) AS c
+         |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
+         |lex AS MATERIALIZED (SELECT doc_id, bm25_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS bm25_rank
+         |    FROM (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)) WHERE bm25_rank <= 50),
+         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+         |scored AS (SELECT c.vec_id AS doc_id,
+         |    round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
+         |      / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+         |       * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6) AS cos
+         |  FROM (SELECT * FROM v WHERE vec_id = 0) q JOIN v c ON q.vec_id <> c.vec_id),
+         |sem AS MATERIALIZED (SELECT doc_id, cos_rank FROM (
+         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS cos_rank
+         |    FROM scored) WHERE cos_rank <= 50),
+         |fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.bm25_rank, s.cos_rank,
+         |      coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.bm25_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+         |    + coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.cos_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
+         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+         |SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS DOUBLE) AS rrf_score, rank
+         |FROM (SELECT doc_id, bm25_rank, cos_rank, rrf,
+         |        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+         |      FROM fused)
+         |WHERE rank <= 20""".stripMargin,
 
     "q_token_stats" ->
       s"""SELECT doc_id,

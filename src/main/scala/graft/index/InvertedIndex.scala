@@ -337,6 +337,84 @@ object InvertedIndex {
         (col("i") + 1).cast("int").as("rank"))
   }
 
+  /** Hybrid lexical + semantic retrieval: the BM25 ranking and the
+    * exact embedding-cosine ranking for the SAME information need,
+    * fused by reciprocal-rank fusion (Cormack, Clarke & Buettcher,
+    * SIGIR 2009): `score(d) = Σ_systems 1 / (rrfK + rank_s(d))`,
+    * summing only over the systems whose top-`poolK` pool contains
+    * `d`. RRF needs no score calibration between the two systems —
+    * only ranks cross the fusion boundary, which is exactly why it is
+    * the standard first fusion for RAG-style retrieval stacks.
+    *
+    * Engine-portable determinism: each reciprocal term is rounded to
+    * 6dp and cast DECIMAL(18,6) before the (two-term) sum, so fused
+    * scores are exact and the final (rrf desc, doc_id asc) order is
+    * reproducible on any engine. Both input rankings already carry
+    * deterministic ranks (BM25 contributions are DECIMAL-exact; cosine
+    * is 6dp-rounded; ties break by doc id).
+    *
+    * Plan at 100 TB: each arm is its own scale path — BM25 is the
+    * partition-prunable index scan + bounded-heap top-k above, the
+    * semantic arm is exact top-k here (swap in [[graft.ops.Similarity
+    * .ivfTopK]]'s output via [[hybridFromRankings]] when the corpus
+    * warrants ANN). Fusion itself touches at most `2·poolK` rows — a
+    * driver-sized frame regardless of corpus size, so the final window
+    * sort is bounded by construction, not by data.
+    *
+    * @param docs       (doc_id, text) corpus — the lexical arm
+    * @param embeddings (vec_id, embedding) with vec_id ≡ doc_id — the
+    *                   semantic arm
+    * @param queryText  lexical query
+    * @param queryVec   ONE-row (vec_id, embedding) query vector; its
+    *                   vec_id is excluded from the semantic pool
+    * @return (doc_id, bm25_rank, cos_rank, rrf_score, rank), top `k`
+    *         by fused score; a null arm rank means the doc was outside
+    *         that system's pool
+    */
+  def hybridTopK(
+      docs: DataFrame,
+      embeddings: DataFrame,
+      queryText: String,
+      queryVec: DataFrame,
+      k: Int,
+      poolK: Int = 50,
+      rrfK: Int = 60): DataFrame = {
+    require(k >= 1, s"k=$k must be >= 1")
+    val lex = bm25TopKFromDocs(docs, queryText, poolK)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val sem = graft.ops.Similarity.bruteForceTopK(queryVec, embeddings, poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("cos_rank"))
+    hybridFromRankings(lex, sem, k, rrfK)
+  }
+
+  /** RRF fusion over two PRE-RANKED pools — the composition face of
+    * [[hybridTopK]] (plug an ANN arm, a second index, a reranker...).
+    * Inputs carry (doc_id, bm25_rank) / (doc_id, cos_rank); each pool
+    * must be bounded (top-`poolK` of its system) — fusion cost is the
+    * pool union, never the corpus. */
+  def hybridFromRankings(
+      lex: DataFrame,
+      sem: DataFrame,
+      k: Int,
+      rrfK: Int = 60): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    require(rrfK >= 0, s"rrfK=$rrfK must be >= 0")
+    def recip(rank: Column): Column =
+      coalesce(round(lit(1.0) / (lit(rrfK.toDouble) + rank), 6)
+        .cast(DecimalType(18, 6)), lit(0).cast(DecimalType(18, 6)))
+    val fused = lex.join(sem, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        (recip(col("bm25_rank")) + recip(col("cos_rank"))).as("rrf"))
+    // ≤ 2·poolK rows reach this window — bounded by construction (see
+    // scaladoc); the empty-frame Window partition is deliberate
+    fused
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("rrf").desc, col("doc_id").asc)).cast("int"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("bm25_rank"), col("cos_rank"),
+        col("rrf").cast("double").as("rrf_score"), col("rank"))
+  }
+
   /** Export in the reference's nested shape `word → {doc → cnt}`
     * (`final_results.json`, `master/main.py:123-126`), one row per word.
     * Postings are sorted by doc_id so the JSON string is deterministic.

@@ -34,6 +34,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.curateTableFunction)
     ext.injectTableFunction(GraftExtensions.dsirTableFunction)
     ext.injectTableFunction(GraftExtensions.bm25TableFunction)
+    ext.injectTableFunction(GraftExtensions.hybridTableFunction)
     ext.injectTableFunction(GraftExtensions.dupSpansTableFunction)
     ext.injectTableFunction(GraftExtensions.dupStripTableFunction)
     ext.injectTableFunction(GraftExtensions.phraseTableFunction)
@@ -1034,6 +1035,43 @@ object GraftExtensions {
         graft.index.InvertedIndex.bm25TopKFromDocs(docs, query, k))
     })
 
+  /** SQL surface for hybrid lexical+semantic retrieval
+    * ([[graft.index.InvertedIndex.hybridTopK]] — BM25 ⊕ exact cosine,
+    * reciprocal-rank fused):
+    *
+    * {{{
+    * SELECT * FROM graft_hybrid('docs', 'emb', 'spark join', 0)        -- k=20, poolK=50
+    * SELECT * FROM graft_hybrid('docs', 'emb', 'spark join', 0, 5, 30) -- explicit knobs
+    * }}}
+    *
+    * `docs` carries (doc_id, text), `emb` carries (vec_id, embedding)
+    * with vec_id ≡ doc_id; the fourth argument names the query VECTOR
+    * by vec_id (a one-row filter on `emb` — the TVF surface stays
+    * literal-only). Emits (doc_id, bm25_rank, cos_rank, rrf_score,
+    * rank). Fully lazy — EXPLAIN runs no job. */
+  private val hybridTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_hybrid"),
+    new ExpressionInfo(graft.index.InvertedIndex.getClass.getName, "graft_hybrid"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4 || children.size == 6,
+        "graft_hybrid(docs_table, emb_table, query, query_vec_id[, k, pool_k])")
+      val str = stringArg("graft_hybrid") _
+      val int = intArg("graft_hybrid") _
+      val spark = SparkSession.active
+      val docs = spark.table(str(children.head, "docs_table"))
+      val embT = spark.table(str(children(1), "emb_table"))
+      val query = str(children(2), "query")
+      val qid = int(children(3), "query_vec_id")
+      val (k, poolK) =
+        if (children.size == 6) (int(children(4), "k"), int(children(5), "pool_k"))
+        else (20, 50)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.InvertedIndex.hybridTopK(docs, embT, query,
+          embT.filter(org.apache.spark.sql.functions.col("vec_id") === qid),
+          k, poolK))
+    })
+
   /** SQL surface for margin-based pair mining
     * ([[graft.ops.Similarity.marginMine]]):
     *
@@ -1357,7 +1395,8 @@ object GraftExtensions {
         boilerplateTableFunction, semanticDecontaminateTableFunction,
         tokenDriftTableFunction, classifierScoreTableFunction,
         curateTableFunction, dsirTableFunction,
-        bm25TableFunction, dupSpansTableFunction, dupStripTableFunction,
+        bm25TableFunction, hybridTableFunction,
+        dupSpansTableFunction, dupStripTableFunction,
         phraseTableFunction, marginMineTableFunction, noveltyTableFunction,
         hammingPairsTableFunction, scriptTableFunction,
         langRouteTableFunction,

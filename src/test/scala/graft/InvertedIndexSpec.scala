@@ -161,6 +161,37 @@ class InvertedIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException](InvertedIndex.bm25TopK(idx, "!!!", 3, 5))
   }
 
+  test("hybridTopK fuses BM25 and cosine pools by RRF with hand-computed scores") {
+    // lexical arm, query "cat": doc 2 ("cat", dl=1) outranks doc 1
+    // ("cat fish", dl=2); docs 3/4 match nothing
+    val c = corpus(1L -> "cat fish", 2L -> "cat", 3L -> "dog", 4L -> "bird")
+    // semantic arm, query vec 0 = [1,0]: cos order 3 (.995) > 1 (.894)
+    // > 4 (.447) > 2 (0)
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.5)), (2L, Array(0.0, 1.0)),
+      (3L, Array(1.0, 0.1)), (4L, Array(0.5, 1.0))).toDF("vec_id", "embedding")
+    val got = InvertedIndex.hybridTopK(c, e, "cat",
+      e.filter($"vec_id" === 0L), k = 4, poolK = 10)
+      .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq
+    // RRF(60): doc1 = 1/62+1/62 = .032258 beats the lexical winner
+    // doc2 = 1/61+1/64 = .032018; semantic-only docs keep a null
+    // lexical rank and vice versa
+    assert(got === Seq(
+      (1L, Some(2), Some(2), 0.032258, 1),
+      (2L, Some(1), Some(4), 0.032018, 2),
+      (3L, None, Some(1), 0.016393, 3),
+      (4L, None, Some(3), 0.015873, 4)))
+    // k cuts the fused ranking, not the pools
+    assert(InvertedIndex.hybridTopK(c, e, "cat",
+      e.filter($"vec_id" === 0L), k = 2, poolK = 10).count() === 2L)
+    // equal fused scores break ties by doc_id ascending
+    val tied = InvertedIndex.hybridFromRankings(
+      Seq((9L, 1)).toDF("doc_id", "bm25_rank"),
+      Seq((5L, 1)).toDF("doc_id", "cos_rank"), k = 5)
+      .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq
+    assert(tied.map(r => (r._1, r._5)) === Seq((5L, 1), (9L, 2)))
+  }
+
   test("buildPositional records sorted occurrence positions; phraseSearch finds adjacency") {
     val c = corpus(
       1L -> "cat dog cat dog",
@@ -218,6 +249,31 @@ class InvertedIndexSpec extends SparkSpec {
       spark.sql("SELECT * FROM graft_bm25('bm25_docs', doc_id)").collect())
     assert(err.getMessage.contains("graft_bm25") ||
       err.getMessage.toLowerCase.contains("unresolved"), err.getMessage)
+  }
+
+  test("SQL surface: graft_hybrid TVF matches the Column API, both arities, and is lazy") {
+    graft.plans.GraftExtensions.install(spark)
+    val c = corpus(1L -> "cat fish", 2L -> "cat", 3L -> "dog", 4L -> "bird")
+    val e = Seq(
+      (0L, Array(1.0, 0.0)), (1L, Array(1.0, 0.5)), (2L, Array(0.0, 1.0)),
+      (3L, Array(1.0, 0.1)), (4L, Array(0.5, 1.0))).toDF("vec_id", "embedding")
+    c.createOrReplaceTempView("hyb_docs")
+    e.createOrReplaceTempView("hyb_emb")
+    val api = InvertedIndex.hybridTopK(c, e, "cat",
+      e.filter($"vec_id" === 0L), k = 4, poolK = 10)
+      .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq
+    assert(spark.sql("SELECT * FROM graft_hybrid('hyb_docs', 'hyb_emb', 'cat', 0, 4, 10)")
+      .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq === api)
+    // default arity runs (k=20, poolK=50 — same 4 docs here)
+    assert(spark.sql("SELECT * FROM graft_hybrid('hyb_docs', 'hyb_emb', 'cat', 0)")
+      .count() === 4L)
+    // fully lazy: EXPLAIN must run no job (compare max job id — counts
+    // shrink past the tracker's retention cap in long suites)
+    def maxJobId: Int = spark.sparkContext.statusTracker
+      .getJobIdsForGroup(null).foldLeft(-1)(math.max)
+    val before = maxJobId
+    spark.sql("EXPLAIN SELECT * FROM graft_hybrid('hyb_docs', 'hyb_emb', 'cat', 0)").collect()
+    assert(maxJobId === before, "EXPLAIN of the TVF must not run a Spark job")
   }
 
   test("booleanSearch: AND intersects postings, OR unions, terms normalize and dedupe") {
