@@ -743,6 +743,27 @@ object ProbeScale {
         }
       }
     }
+    if (section == "r13b") {
+      // sentence-span dedup (C4 rule): 10x docs — hash-only shuffle,
+      // cost should track sentence count linearly; the /tmp sf1 corpus
+      // is 10 shifted copies, so cross-copy spans ALL duplicate (dense
+      // worst case for the winner groupBy)
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      for (rep <- 1 to 2) {
+        time(s"sentence_spans_sf01_$rep")(Dedup.sentenceSpanDedup(docs01).count())
+        time(s"sentence_spans_sf1_$rep")(Dedup.sentenceSpanDedup(docs).count())
+        // hybrid retrieval: corpus-side scale lives in the two arms
+        // (index agg + brute cosine); fusion is a ≤2·poolK-row window
+        time(s"hybrid_sf01_$rep")(graft.index.InvertedIndex.hybridTopK(
+          docs01, emb01, "fast hash join on a small table",
+          emb01.filter(col("vec_id") === 0), k = 20, poolK = 50).count())
+        time(s"hybrid_sf1_$rep")(graft.index.InvertedIndex.hybridTopK(
+          docs.select(col("doc_id"), col("text")),
+          emb01, "fast hash join on a small table",
+          emb01.filter(col("vec_id") === 0), k = 20, poolK = 50).count())
+      }
+    }
     spark.stop()
   }
 }

@@ -97,6 +97,27 @@ object SparkEntry {
       .unionByName(UniRows.toDF("doc_id", "text"))
   }
 
+  /** Probe rows for the sentence-span queries: the synthetic corpus
+    * has no duplicated three-sentence run, so these carry the rule's
+    * drop path through the oracle (the DOCS_UNI discipline). Doc
+    * 9000000 (even → the incr history side) holds the canonical span;
+    * 9000001 repeats it re-punctuated — normalization must collapse
+    * the copies. Pure ASCII, no quotes (SQL literal safety). */
+  private val SpanRows: Seq[(Long, String)] = Seq(
+    9000000L -> "Alpha beta gamma. Delta epsilon. Zeta eta theta. Unique tail one.",
+    9000001L -> "Intro line two! Alpha beta gamma! Delta, epsilon? Zeta eta THETA. Another tail.")
+
+  private def spanDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(SpanRows.toDF("doc_id", "text"))
+  }
+
+  /** `documents` + the span probe rows, DuckDB side. */
+  private val DOCS_SPAN =
+    s"""SELECT doc_id, text FROM documents
+       |UNION ALL SELECT * FROM (VALUES ${SpanRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)""".stripMargin
+
   /** `documents` + the probe rows, DuckDB side. */
   private val DOCS_UNI =
     s"""SELECT doc_id, text FROM documents
@@ -1039,6 +1060,14 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 =!= 0),
         Dedup.paragraphHashes(d.filter(col("doc_id") % 2 === 0), "\\n+"),
         boundary = "\\n+")
+    },
+    // C4's published three-sentence-span rule + its incremental face
+    "q_sentence_spans" -> ((s, dir) => Dedup.sentenceSpanDedup(spanDocs(s, dir))),
+    "q_sentence_spans_incr" -> { (s, dir) =>
+      val d = spanDocs(s, dir)
+      Dedup.sentenceSpanDedupAgainst(
+        d.filter(col("doc_id") % 2 =!= 0),
+        Dedup.sentenceSpanHashes(d.filter(col("doc_id") % 2 === 0)))
     },
     "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
     "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir))),
@@ -2641,6 +2670,59 @@ object SparkEntry {
         |    chr(10) || chr(10)), '')) AS kept_hash
         |FROM p LEFT JOIN rm r USING (doc_id)
         |WHERE p.doc_id % 2 <> 0""".stripMargin,
+    "q_sentence_spans" ->
+      // twin of Dedup.sentenceSpanDedup(span=3): sentences split at
+      // terminator runs, span key = md5 of the '|'-joined normalized
+      // sentence hashes, first (doc_id, span_idx) wins, sentences
+      // covered by non-canonical spans drop (1-based lambda index i
+      // maps to Spark's 0-based i-1); empty survivor list hashes ''
+      s"""WITH d AS ($DOCS_SPAN),
+        |p AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
+        |  FROM d),
+        |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
+        |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
+        |  FROM p),
+        |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
+        |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
+        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3)),
+        |mk AS (SELECT doc_id, span_idx,
+        |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
+        |  FROM occ),
+        |rm AS (SELECT doc_id, list(span_idx) AS rm FROM mk WHERE rn > 1 GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(ps) AS INTEGER) AS n_sentences,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_hash
+        |FROM (SELECT s.doc_id, s.ps,
+        |        list_filter(s.ps, (x, i) -> len(list_filter(coalesce(r.rm, CAST([] AS INTEGER[])),
+        |          v -> v <= i - 1 AND i - 1 < v + 3)) = 0) AS kept
+        |      FROM sh s LEFT JOIN rm r USING (doc_id))""".stripMargin,
+    "q_sentence_spans_incr" ->
+      // twin of Dedup.sentenceSpanDedupAgainst(span=3): history =
+      // even-id docs' distinct span keys; every odd-id span matching
+      // the history drops its covered sentences — no canonical
+      // exception
+      s"""WITH d AS ($DOCS_SPAN),
+        |p AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
+        |  FROM d),
+        |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
+        |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
+        |  FROM p),
+        |occ AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
+        |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
+        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3)),
+        |hist AS (SELECT DISTINCT h FROM occ WHERE doc_id % 2 = 0),
+        |rm AS (SELECT doc_id, list(span_idx) AS rm
+        |       FROM occ JOIN hist USING (h) WHERE doc_id % 2 <> 0 GROUP BY doc_id)
+        |SELECT doc_id, CAST(len(ps) AS INTEGER) AS n_sentences,
+        |  CAST(len(kept) AS INTEGER) AS n_kept,
+        |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_hash
+        |FROM (SELECT s.doc_id, s.ps,
+        |        list_filter(s.ps, (x, i) -> len(list_filter(coalesce(r.rm, CAST([] AS INTEGER[])),
+        |          v -> v <= i - 1 AND i - 1 < v + 3)) = 0) AS kept
+        |      FROM sh s LEFT JOIN rm r USING (doc_id)
+        |      WHERE s.doc_id % 2 <> 0)""".stripMargin,
     "q_boilerplate" ->
       // twin of Dedup.boilerplateChunks(w=3, minDocs=5): 3-token chunks
       // occurring in >= 5 distinct docs are removed from EVERY doc

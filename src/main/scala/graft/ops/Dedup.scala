@@ -954,6 +954,120 @@ object Dedup {
     (stripped, newHashes)
   }
 
+  /** C4's three-sentence-span rule (Raffel et al. 2020 §2.2: "we
+    * discarded all but one of any three-sentence span occurring more
+    * than once in the data set"), generalized to `span` consecutive
+    * sentences — the granularity BETWEEN [[paragraphDedup]] (natural
+    * blocks) and [[duplicateSpans]] (arbitrary substrings) that the
+    * flagship published pipeline actually shipped.
+    *
+    * Sentences = trimmed non-empty segments split at terminator runs
+    * (`[.!?]+`, [[graft.ops.TextAnalysis.sentenceSignals]]'s unit). A
+    * span's duplicate-matching key is the md5 over its `span`
+    * NORMALIZED sentence hashes in document order (sentence hash =
+    * [[graft.functions.ParaHashes]]' md5 of the normalized token
+    * stream — md5 doesn't compose, but matching the hash SEQUENCE is
+    * exactly matching the normalized sentence sequence), so
+    * re-punctuated/re-wrapped copies still collapse. The canonical
+    * occurrence is the global minimum `(doc_id, span_idx)`; every
+    * sentence covered by a NON-canonical occurrence is dropped
+    * (overlapping drops union sentence-wise — deterministic, and the
+    * canonical copy itself survives unless another duplicated span
+    * overlaps it, C4's own behavior).
+    *
+    * Output: [[paragraphDedup]]'s per-doc shape `(doc_id, n_sentences,
+    * n_kept, kept_hash)`; kept_hash = md5 of the surviving RAW
+    * sentences joined with a single space in order (the split consumes
+    * terminators — the hash certifies surviving content + order).
+    * Docs with fewer than `span` sentences form no spans and pass
+    * untouched.
+    *
+    * Plan shape (the [[paragraphDedup]] discipline): sentence TEXT
+    * never shuffles. Span keys derive ROW-LOCALLY from the native
+    * per-doc hash array (one ParaHashes scan — no per-sentence rows, no
+    * self-join over positions); occurrences reduce to `(doc_id,
+    * span_idx, h)`; one combinable groupBy(h) picks winners; dropped
+    * span indexes fold into one small int-array row per affected doc;
+    * pass 2 re-derives the sentence array from the corpus scan and
+    * drops covered sentences row-parallel. At 100 TB the shuffle
+    * volume is one 16-byte key per sentence — proportional to sentence
+    * count, never to text.
+    */
+  def sentenceSpanDedup(docs: DataFrame, span: Int = 3,
+      boundary: String = "[.!?]+", unicode: Boolean = false): DataFrame = {
+    require(span >= 1, s"span=$span must be >= 1")
+    val occ = sentenceSpanOcc(docs, span, boundary, unicode)
+    val winners = occ.groupBy("h")
+      .agg(min(struct(col("doc_id"), col("span_idx"))).as("winner"))
+    val dropped = occ.join(winners, "h")
+      .where(!(col("winner.doc_id") === col("doc_id") &&
+        col("winner.span_idx") === col("span_idx")))
+      .groupBy("doc_id")
+      .agg(collect_list(col("span_idx")).as("rm"))
+    sentencesWithSpanDrops(docs, dropped, span, boundary)
+  }
+
+  /** The distinct span-key table [[sentenceSpanDedupAgainst]] filters
+    * against — one row per distinct `span`-sentence key in `docs`
+    * (column `h`). Append each increment's keys to an append-only
+    * history (the [[paragraphHashes]] discipline); keys only, never
+    * text. */
+  def sentenceSpanHashes(docs: DataFrame, span: Int = 3,
+      boundary: String = "[.!?]+", unicode: Boolean = false): DataFrame =
+    sentenceSpanOcc(docs, span, boundary, unicode).select("h").distinct()
+
+  /** The incremental face of [[sentenceSpanDedup]]
+    * ([[paragraphDedupAgainst]]'s contract at span granularity): drop
+    * every sentence of `docs` covered by a span the accumulated
+    * [[sentenceSpanHashes]] history has already seen. Same shape and
+    * cost profile as the batch face; one semi-join on `h` against the
+    * history, increment text never shuffles. */
+  def sentenceSpanDedupAgainst(docs: DataFrame, history: DataFrame,
+      span: Int = 3, boundary: String = "[.!?]+",
+      unicode: Boolean = false): DataFrame =
+    sentencesWithSpanDrops(docs,
+      sentenceSpanOcc(docs, span, boundary, unicode)
+        .join(history.select("h"), Seq("h"), "left_semi")
+        .groupBy("doc_id")
+        .agg(collect_list(col("span_idx")).as("rm")),
+      span, boundary)
+
+  /** `(doc_id, span_idx, h)`: every `span`-sentence window's key,
+    * derived row-locally from the per-doc ParaHashes array. */
+  private def sentenceSpanOcc(docs: DataFrame, span: Int,
+      boundary: String, unicode: Boolean): DataFrame = {
+    val sh = transform(
+      graft.functions.ParaHashes.of(col("text"), boundary, unicode),
+      e => e.getField("h"))
+    // CaseWhen short-circuits per row, so sequence() never sees a
+    // negative stop on short docs; null/short docs explode to no rows
+    val spans = when(size(sh) >= span,
+      transform(sequence(lit(0), size(sh) - span), i =>
+        struct(i.cast("int").as("span_idx"),
+          md5(concat_ws("|",
+            (0 until span).map(j => element_at(sh, i + j + 1)): _*)).as("h"))))
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), explode(spans).as("e"))
+      .select(col("doc_id"), col("e.span_idx").as("span_idx"), col("e.h").as("h"))
+  }
+
+  /** Pass 2 both span faces share: re-derive the sentence array and
+    * drop every sentence a removed span covers (sentence i drops iff
+    * ∃ s ∈ rm: s ≤ i < s + span). */
+  private def sentencesWithSpanDrops(docs: DataFrame, dropped: DataFrame,
+      span: Int, boundary: String): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paraCol(boundary).as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col("doc_id"), col("ps"),
+        filter(col("ps"), (p, i) =>
+          !exists(col("rm"), s => s <= i && i < s + span)).as("kept"))
+      .select(col("doc_id"),
+        size(col("ps")).cast("int").as("n_sentences"),
+        size(col("kept")).cast("int").as("n_kept"),
+        md5(concat_ws(" ", col("kept"))).as("kept_hash"))
+
   /** Benchmark decontamination: drop every training document that shares
     * at least one w-token shingle with the evaluation corpus — the
     * standard n-gram-overlap filter run before training so eval answers

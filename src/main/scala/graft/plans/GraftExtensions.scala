@@ -62,6 +62,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.readabilityTableFunction)
     ext.injectTableFunction(GraftExtensions.corpusHealthTableFunction)
     ext.injectTableFunction(GraftExtensions.paraDedupTableFunction)
+    ext.injectTableFunction(GraftExtensions.sentenceSpansTableFunction)
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.lmnScoreTableFunction)
@@ -1219,6 +1220,30 @@ object GraftExtensions {
         graft.ops.Dedup.paragraphDedup(docs, boundary))
     })
 
+  /** SQL surface for C4's three-sentence-span rule
+    * ([[graft.ops.Dedup.sentenceSpanDedup]]):
+    *
+    * {{{
+    * SELECT * FROM graft_sentence_spans('docs')      -- span=3 (C4)
+    * SELECT * FROM graft_sentence_spans('docs', 2)   -- span dial
+    * }}}
+    *
+    * Emits (doc_id, n_sentences, n_kept, kept_hash). Fully lazy. */
+  private val sentenceSpansTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_sentence_spans"),
+    new ExpressionInfo(graft.ops.Dedup.getClass.getName, "graft_sentence_spans"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_sentence_spans(docs_table[, span])")
+      val str = stringArg("graft_sentence_spans") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val span =
+        if (children.size == 2) intArg("graft_sentence_spans")(children(1), "span") else 3
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Dedup.sentenceSpanDedup(docs, span))
+    })
+
   /** SQL surface for the span-dedup approximation measurement
     * ([[graft.ops.Dedup.spanEval]]):
     *
@@ -1409,7 +1434,8 @@ object GraftExtensions {
         contextPlanTableFunction, embOutliersTableFunction,
         containmentTableFunction, histogramTableFunction,
         readabilityTableFunction, corpusHealthTableFunction,
-        paraDedupTableFunction, spanEvalTableFunction,
+        paraDedupTableFunction, sentenceSpansTableFunction,
+        spanEvalTableFunction,
         lm3ScoreTableFunction, lmnScoreTableFunction,
         shardManifestTableFunction,
         unimaxTableFunction, spanPlanTableFunction)

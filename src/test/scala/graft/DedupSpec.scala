@@ -544,6 +544,73 @@ class DedupSpec extends SparkSpec {
     assert(stripped === ((10L, "Fresh follow-up paragraph.", 1)))
   }
 
+  test("sentenceSpanDedup: C4's three-sentence rule — normalized spans, overlap union, short docs pass") {
+    def h(kept: String*): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val d = docs(
+      1L -> "a one. b two. c three. d four.",
+      // re-punctuated copy of doc 1's first span buried mid-doc
+      2L -> "x pre. a one! b two? c three. y post.",
+      // full copy of doc 1: BOTH spans duplicate, drops union to all 4
+      3L -> "a one. b two. c three. d four.",
+      // fewer than 3 sentences: no spans form, passes untouched
+      4L -> "short one. short two.")
+    val got = Dedup.sentenceSpanDedup(d)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1 holds every canonical occurrence: nothing drops
+    assert(got(1L) === ((4, 4, h("a one", "b two", "c three", "d four"))))
+    // doc 2 loses exactly the 3 sentences its duplicated span covers
+    assert(got(2L) === ((5, 2, h("x pre", "y post"))))
+    // doc 3: spans [0..2] and [1..3] both drop — sentence-wise union
+    assert(got(3L) === ((4, 0, h())))
+    assert(got(4L) === ((2, 2, h("short one", "short two"))))
+    // span is a dial: at span=2 doc 3 still empties, doc 2 loses (a,b)+(b,c)
+    val two = Dedup.sentenceSpanDedup(d, span = 2)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(two(3L) === 0 && two(2L) === 2 && two(1L) === 4)
+    // SQL surface parity, both arities
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("ss_docs")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_sentence_spans('ss_docs')")
+      .as[(Long, Int, Int, String)].collect().toSet ===
+      got.map { case (id, (a, b, c)) => (id, a, b, c) }.toSet)
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_sentence_spans('ss_docs', 2)")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r._3).toMap === two)
+  }
+
+  test("sentenceSpanDedupAgainst: history spans drop with no canonical exception; unicode dial") {
+    def h(kept: String*): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hist = Dedup.sentenceSpanHashes(docs(1L -> "a one. b two. c three. d four."))
+    // distinct span keys only — (a,b,c) and (b,c,d), never text
+    assert(hist.columns.toSeq === Seq("h"))
+    assert(hist.count() === 2)
+    val got = Dedup.sentenceSpanDedupAgainst(docs(
+      10L -> "x pre. a one! b two? c three. y post.", // history hit mid-doc
+      11L -> "a one. b two. c three. d four.",        // full copy: NO canonical exception
+      12L -> "entirely new. fresh stuff. nothing shared. here at all."),
+      hist)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(10L) === ((5, 2, h("x pre", "y post"))))
+    assert(got(11L) === ((4, 0, h())))
+    assert(got(12L) === ((4, 4, h("entirely new", "fresh stuff", "nothing shared", "here at all"))))
+    // ASCII mode hashes every CJK sentence to the SAME empty token
+    // stream — two DIFFERENT CJK docs falsely collapse; the unicode
+    // dial keeps them apart (the streaming Cyrillic lesson at span
+    // granularity)
+    val cjk = docs(
+      20L -> "東京は首都. 人口が多い. 面積は広い.",
+      21L -> "別の文書. 全く違う. 内容です.")
+    val ascii = Dedup.sentenceSpanDedup(cjk)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    val uni = Dedup.sentenceSpanDedup(cjk, unicode = true)
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> r._3).toMap
+    assert(ascii(21L) === 0, "ASCII mode must falsely drop the second CJK doc")
+    assert(uni(20L) === 3 && uni(21L) === 3, "unicode mode keeps both docs intact")
+  }
+
   test("ParaHashes == the posexplode + tokenize + md5 formulation, edge paragraphs included") {
     val rnd = new scala.util.Random(23)
     val frags = Seq("Quick Brown fox", "  padded  ", "\tTAB lead", "mixed 42 Punct!!",
