@@ -762,6 +762,16 @@ object ProbeScale {
           docs.select(col("doc_id"), col("text")),
           emb01, "fast hash join on a small table",
           emb01.filter(col("vec_id") === 0), k = 20, poolK = 50).count())
+        // interpolated KN at the KenLM deployment order: model tables
+        // size every shuffle (distinct n-grams), serving is suffix
+        // joins — cost should track lm5's, not explode with the
+        // continuation-count derivation
+        val ref01 = docs01.filter(col("source") =!= "src0")
+        val ref1 = docs.filter(col("source") =!= "src0")
+        time(s"kn5_score_sf01_$rep")(graft.ops.TextAnalysis.knScoreWith(
+          docs01, graft.ops.TextAnalysis.knModel(ref01, 5)).count())
+        time(s"kn5_score_sf1_$rep")(graft.ops.TextAnalysis.knScoreWith(
+          docs, graft.ops.TextAnalysis.knModel(ref1, 5)).count())
       }
     }
     spark.stop()

@@ -808,6 +808,199 @@ object TextAnalysis {
   def lm5ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
     lmnScoreWith(docs, lmnModel(reference, 5))
 
+  /** An interpolated KNESER-NEY model in ARPA backoff form — the
+    * smoothing KenLM actually ships (the K in the 5-gram KenLM CCNet
+    * deploys; Kneser & Ney '95, interpolated form per Chen & Goodman
+    * '99 §2.7), completing the ladder above [[lmnModel]]'s stupid
+    * backoff: KN replaces the crude α penalty with a principled
+    * discount D whose freed mass interpolates a CONTINUATION-count
+    * lower-order distribution ("how many contexts does this word
+    * follow?" — the novel-continuation question stupid backoff never
+    * asks).
+    *
+    * `tiers(i)` is the order-(N−i) probability table keyed on the LAST
+    * N−i words (the [[LmnModel]] serving convention), column
+    * `lp{N−i}` = 6dp-decimal log of the FULL interpolated probability;
+    * `bows(i)` is the order-(N−i) BACKOFF table keyed on the last
+    * N−i−1 words... see [[knModel]] for the exact recursion. `unk` is
+    * the one-row OOV floor. Serving is left joins + one bow-cumulative
+    * CASE — the [[lmnScoreWith]] plan at every order. */
+  final case class KnModel(order: Int, tiers: Seq[DataFrame],
+      uni: DataFrame, bows: Seq[DataFrame], unk: DataFrame)
+
+  /** Train a [[KnModel]] of the given order.
+    *
+    * The recursion (interpolated KN, ARPA backoff representation —
+    * stored probabilities are the full interpolated values and
+    * `bow(h) = λ(h)`, so `p(w|h) = p*(hw)` when `hw` is stored, else
+    * `λ(h)·p(w|h′)` — identical to the interpolated model everywhere):
+    *
+    *   - top tier N (raw counts c): `p*(w|h) = max(c(hw)−D, 0)/c(h)
+    *     + λ(h)·p*(w|h′)` with `λ(h) = D·N1+(h•)/c(h)`;
+    *   - middle tiers k < N (CONTINUATION counts `cc(u) = N1+(•u)`,
+    *     derived from the (k+1)-gram count table by grouping on the
+    *     last k words): same shape over cc with denominator
+    *     `N1+(•h•) = Σ_w cc(hw)`;
+    *   - unigram: `p*(w) = max(cc(w)−D, 0)/U + λ_u·1/(V+1)` with
+    *     `U = N1+(••)`, `λ_u = D·|{w: cc(w)>0}|/U` — the uniform end
+    *     ranges over vocab + one unk event, so every tier sums to
+    *     EXACTLY 1 (the spec pins it);
+    *   - OOV floor: `p_unk = λ_u/(V+1)`.
+    *
+    * Known doc-boundary artifact (KenLM pads with `<s>`; we score raw
+    * streams): an n-gram occurring ONLY at document starts has no left
+    * extension, so it is absent from continuation space and serves
+    * through the backoff path — consistent, just discounted.
+    *
+    * Engine-portable determinism: every aggregate sums BIGINT counts
+    * (exact); each tier's probability is then ONE fixed-shape double
+    * expression per row, with the lower tier's probability arriving as
+    * a 12dp-decimal round-trip (the q_token_drift recipe — decimals
+    * are engine-exact, and the cast back to double is exact), and only
+    * the final log rounds to the stored 6dp decimal. The twin mirrors
+    * the shapes literally.
+    *
+    * Plan at 100 TB: one occurrence scan per order feeding map-side-
+    * combinable groupBys (exchanges carry DISTINCT n-grams, never
+    * occurrences); continuation tables derive from the NEXT-HIGHER
+    * count table (model-sized); the bottom-up interpolation joins are
+    * model-table-sized. Write the tables as parquet to reuse across
+    * crawls. */
+  def knModel(reference: DataFrame, order: Int, discount: Double = 0.75,
+      tok: Column => Column = TextNorm.tokens): KnModel = {
+    import org.apache.spark.sql.types.DecimalType
+    require(order >= 2 && order <= 8, s"order=$order must be in 2..8")
+    require(discount > 0 && discount < 1, s"discount=$discount must be in (0, 1)")
+    val toks = graft.core.Parallelism.ensure(reference)
+      .select(tok(col("text")).as("ts"))
+    def grams(n: Int): DataFrame = {
+      val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
+      toks.where(size(col("ts")) >= n)
+        .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
+        .select(cols: _*)
+    }
+    def dec6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
+    def dec12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
+    val D = lit(discount)
+    // raw count tables, order N down to 1 (cnt(k) keyed w1..wk)
+    val cnt: Map[Int, DataFrame] = (1 to order).map { k =>
+      k -> grams(k).groupBy((1 to k).map(i => s"w$i").head,
+        (1 to k).map(i => s"w$i").tail: _*).agg(count(lit(1)).as("c"))
+    }.toMap
+    // unigram tier: continuation counts from the bigram table
+    val cc1 = cnt(2).groupBy(col("w2").as("w")).agg(count(lit(1)).as("cc"))
+    val uStats = cc1.agg(sum("cc").as("u"), count(lit(1)).as("wc"))
+      .crossJoin(cnt(1).agg(count(lit(1)).as("v")))
+    val p1 = cc1.crossJoin(broadcast(uStats))
+      .select(col("w"),
+        dec12(greatest(col("cc") - D, lit(0.0)) / col("u") +
+          (D * col("wc") / col("u")) * (lit(1.0) / (col("v") + lit(1.0)))).as("p"))
+    val unk = uStats.select(
+      dec6(log((D * col("wc") / col("u")) * (lit(1.0) / (col("v") + lit(1.0))))).as("lp_unk"))
+    // middle + top tiers, bottom-up: tier k needs tier k−1's probs
+    val built = (2 to order).foldLeft((p1, Seq.empty[DataFrame], Seq.empty[DataFrame])) {
+      case ((pLower, tiers, bows), k) =>
+        val keys = (1 to k).map(i => s"w$i")
+        val ctx = keys.dropRight(1)
+        // tier k's count space: raw counts at the top, continuation
+        // counts below (distinct left-extensions in the (k+1)-gram table)
+        val ck =
+          if (k == order) cnt(k)
+          else cnt(k + 1).groupBy((2 to k + 1).map(i => col(s"w$i").as(s"w${i - 1}")): _*)
+            .agg(count(lit(1)).as("c"))
+        val hk = ck.groupBy(ctx.head, ctx.tail: _*)
+          .agg(sum("c").as("den"), count(lit(1)).as("nf"))
+        // lower tier keys on the last k−1 words — rename to join
+        val pL = pLower.toDF((2 to k).map(i => s"w$i") :+ "p": _*)
+        val pk = ck.join(hk, ctx)
+          .join(pL, (2 to k).map(i => s"w$i"))
+          .select(keys.map(col) :+
+            dec12(greatest(col("c") - D, lit(0.0)) / col("den") +
+              (D * col("nf") / col("den")) * col("p").cast("double")).as("p"): _*)
+        // serve-position names: tier k keys the LAST k words
+        val served = (1 to k).map(i => col(s"w$i").as(s"w${order - k + i}"))
+        val tier = pk.select(served :+ dec6(log(col("p").cast("double"))).as(s"lp$k"): _*)
+        val bow = hk.select(
+          ctx.zipWithIndex.map { case (c0, i) => col(c0).as(s"w${order - k + 1 + i}") } :+
+            dec6(log(D * col("nf") / col("den"))).as(s"bo$k"): _*)
+        (pk.select(keys.map(col) :+ col("p"): _*), tiers :+ tier, bows :+ bow)
+    }
+    val (_, tiersAsc, bowsAsc) = built
+    KnModel(order, tiersAsc.reverse, // tier N first, the LmnModel convention
+      uni = p1.select(col("w").as(s"w$order"), dec6(log(col("p").cast("double"))).as("lp1")),
+      bows = bowsAsc.reverse, unk = unk)
+  }
+
+  /** Score documents against a stored [[KnModel]]: mean interpolated
+    * Kneser-Ney log-probability over the doc's n-gram stream, ARPA
+    * backoff evaluation — the longest stored suffix wins and each
+    * skipped tier contributes its context's bow (missing context ⇒
+    * bow 1 ⇒ log 0, the ARPA convention). Diagnostics mirror
+    * [[lmnScoreWith]]: `(doc_id, n_ngrams, n_bo, n_oov, avg_logprob)`;
+    * docs under `order` tokens report `(0, 0, 0, NULL)`.
+    *
+    * Plan at 100 TB: the corpus n-gram stream left-joins each tier on
+    * its suffix keys and each bow table on its context keys — ALL
+    * model-sized, AQE-broadcast when small, no occurrence-level
+    * re-shuffle of text — then one combinable groupBy(doc_id). The
+    * scored corpus is never part of the model. */
+  def knScoreWith(docs: DataFrame, model: KnModel,
+      tok: Column => Column = TextNorm.tokens): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val order = model.order
+    val tg = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), tok(col("text")).as("ts"))
+      .where(size(col("ts")) >= order)
+      .select(col("doc_id"), explode(
+        transform(sequence(lit(1), size(col("ts")) - (order - 1)),
+          i => struct((1 to order).map(j =>
+            element_at(col("ts"), i + lit(j - 1)).as(s"w$j")): _*))).as("p"))
+      .select(col("doc_id") +: (1 to order).map(j => col(s"p.w$j").as(s"w$j")): _*)
+    val withTiers = model.tiers.zipWithIndex.foldLeft(tg) { case (acc, (tier, i)) =>
+      val k = order - i // tier order: keys are the last k words
+      acc.join(tier, ((order - k + 1) to order).map(x => s"w$x"), "left")
+    }.join(model.uni, Seq(s"w$order"), "left")
+    val joined = model.bows.zipWithIndex.foldLeft(withTiers) { case (acc, (bow, i)) =>
+      val k = order - i // bow k keys the last k−1 words BEFORE w_order
+      acc.join(bow, ((order - k + 1) to (order - 1)).map(x => s"w$x"), "left")
+    }.crossJoin(broadcast(model.unk))
+    // falling to tier k pays the bows of every tier above it
+    def zero = lit(java.math.BigDecimal.ZERO).cast(DecimalType(18, 6))
+    def bowsAbove(k: Int): Column =
+      ((k + 1) to order).map(j => coalesce(col(s"bo$j"), zero))
+        .foldLeft(zero)(_ + _)
+    val score = (order to 2 by -1).foldRight(
+      when(col("lp1").isNotNull, bowsAbove(1) + col("lp1"))
+        .otherwise(bowsAbove(1) + col("lp_unk"))) { (k, lower) =>
+      when(col(s"lp$k").isNotNull, bowsAbove(k) + col(s"lp$k")).otherwise(lower)
+    }
+    val top = col(s"lp$order")
+    val allNull = ((order to 2 by -1).map(j => col(s"lp$j").isNull) :+ col("lp1").isNull)
+      .reduce(_ && _)
+    val perDoc = joined
+      .select(col("doc_id"), top, allNull.as("is_oov"),
+        score.cast(DecimalType(18, 6)).as("lp_eff"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_ngrams"),
+        count(when(top.isNull, lit(1))).as("n_bo"),
+        count(when(col("is_oov"), lit(1))).as("n_oov"),
+        sum("lp_eff").cast(DecimalType(18, 6)).as("slp"))
+    docs.select("doc_id").join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_ngrams"), lit(0L)).as("n_ngrams"),
+        coalesce(col("n_bo"), lit(0L)).as("n_bo"),
+        coalesce(col("n_oov"), lit(0L)).as("n_oov"),
+        // exact integer micro-unit mean — see [[lmScoreWith]]'s tie note
+        (round((col("slp") * 1000000).cast("long").cast("double") / col("n_ngrams"))
+          / lit(1000000.0)).as("avg_logprob"))
+  }
+
+  /** [[knModel]] + [[knScoreWith]] at order 3 — the q_kn_score oracle
+    * shape (order 5 is the same parameterized path; the KN5 spec and
+    * probe drive it). */
+  def kn3ScoreAgainst(docs: DataFrame, reference: DataFrame): DataFrame =
+    knScoreWith(docs, knModel(reference, 3))
+
   /** [[perplexityBuckets3]] under an ORDER-PARAMETERIZED model — the
     * head/middle/tail split driven by the [[lmnScoreWith]] scorer, so
     * the bucket rule rides the same ladder as the score (at order 5

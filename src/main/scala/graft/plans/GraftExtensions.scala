@@ -66,6 +66,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.lmnScoreTableFunction)
+    ext.injectTableFunction(GraftExtensions.knScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.shardManifestTableFunction)
     ext.injectTableFunction(GraftExtensions.unimaxTableFunction)
     ext.injectTableFunction(GraftExtensions.spanPlanTableFunction)
@@ -1351,6 +1352,33 @@ object GraftExtensions {
           graft.ops.TextAnalysis.lmnModel(ref, order)))
     })
 
+  /** SQL surface for interpolated Kneser-Ney scoring
+    * ([[graft.ops.TextAnalysis.knScoreWith]] over a model trained
+    * in-plan — the ARPA-backoff KenLM fidelity rung):
+    *
+    * {{{
+    * SELECT * FROM graft_kn_score('docs', 'ref')      -- order 3, D=0.75
+    * SELECT * FROM graft_kn_score('docs', 'ref', 5)   -- the KenLM order
+    * }}}
+    *
+    * Emits (doc_id, n_ngrams, n_bo, n_oov, avg_logprob). */
+  private val knScoreTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_kn_score"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_kn_score"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_kn_score(docs_table, reference_table[, order])")
+      val str = stringArg("graft_kn_score") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val ref = SparkSession.active.table(str(children(1), "reference_table"))
+      val order =
+        if (children.size == 3) intArg("graft_kn_score")(children(2), "order") else 3
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.knScoreWith(docs,
+          graft.ops.TextAnalysis.knModel(ref, order)))
+    })
+
   /** SQL surface for the shard-layout manifest
     * ([[graft.ops.Sampling.shardManifest]]):
     *
@@ -1436,7 +1464,7 @@ object GraftExtensions {
         readabilityTableFunction, corpusHealthTableFunction,
         paraDedupTableFunction, sentenceSpansTableFunction,
         spanEvalTableFunction,
-        lm3ScoreTableFunction, lmnScoreTableFunction,
+        lm3ScoreTableFunction, lmnScoreTableFunction, knScoreTableFunction,
         shardManifestTableFunction,
         unimaxTableFunction, spanPlanTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>

@@ -351,6 +351,113 @@ class TextAnalysisSpec extends SparkSpec {
         .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
   }
 
+  test("knModel order 2: interpolated Kneser-Ney hand-computed; tiers sum to exactly 1") {
+    // ref "a b a b c": bigrams (a,b)x2 (b,a)x1 (b,c)x1; continuation
+    // counts cc1(a)=cc1(b)=cc1(c)=1, U=3 distinct bigrams, V=3
+    val ref = docs(1L -> "a b a b c")
+    val m = TextAnalysis.knModel(ref, 2) // D = 0.75
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+    def r12(x: Double) = BigDecimal(x).setScale(12, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def microMean(parts: Seq[BigDecimal]): Double =
+      (BigDecimal((parts.sum * 1000000).toLongExact).setScale(0) / parts.length)
+        .setScale(0, BigDecimal.RoundingMode.HALF_UP).toDouble / 1000000.0
+    val D = 0.75
+    // unigram: p1(w) = max(1−D,0)/3 + (D·3/3)·(1/(3+1)), same for a/b/c
+    val p1 = r12(math.max(1 - D, 0.0) / 3 + (D * 3 / 3) * (1.0 / (3 + 1.0)))
+    val pUnk = (D * 3 / 3) * (1.0 / (3 + 1.0)) // = 0.1875
+    val uni = m.uni.as[(String, java.math.BigDecimal)].collect()
+      .map { case (w, lp) => w -> lp.doubleValue }.toMap
+    assert(uni.keySet === Set("a", "b", "c"))
+    uni.values.foreach(lp => assert(BigDecimal(lp) === r6(math.log(p1))))
+    assert(m.unk.as[java.math.BigDecimal].head().doubleValue ===
+      r6(math.log(pUnk)).toDouble)
+    // top tier: p2(a,b) = (2−D)/2 + (D·1/2)·p1; p2(b,·) = (1−D)/2 + (D·2/2)·p1
+    val tier2 = m.tiers.head.as[(String, String, java.math.BigDecimal)].collect()
+      .map { case (w1, w2, lp) => (w1, w2) -> lp.doubleValue }.toMap
+    val p2ab = r12((2 - D) / 2 + (D * 1 / 2) * p1)
+    val p2b_ = r12((1 - D) / 2 + (D * 2 / 2) * p1)
+    assert(BigDecimal(tier2(("a", "b"))) === r6(math.log(p2ab)))
+    assert(BigDecimal(tier2(("b", "a"))) === r6(math.log(p2b_)))
+    assert(BigDecimal(tier2(("b", "c"))) === r6(math.log(p2b_)))
+    // backoff weights: λ(a) = D·1/2, λ(b) = D·2/2
+    val bows = m.bows.head.as[(String, java.math.BigDecimal)].collect()
+      .map { case (w, bo) => w -> bo.doubleValue }.toMap
+    assert(BigDecimal(bows("a")) === r6(math.log(D * 1 / 2)))
+    assert(BigDecimal(bows("b")) === r6(math.log(D * 2 / 2)))
+    // NORMALIZATION — the property stupid backoff lacks. Unigram tier:
+    // Σ_vocab p1 + p_unk = 1; context b: stored + λ(b)·(p1(b) + p_unk) = 1
+    assert(math.abs(uni.values.map(math.exp).sum + pUnk - 1.0) < 2e-6)
+    val givenB = math.exp(tier2(("b", "a"))) + math.exp(tier2(("b", "c"))) +
+      math.exp(bows("b")) * (math.exp(uni("b")) + pUnk)
+    assert(math.abs(givenB - 1.0) < 2e-6, s"sum p(.|b) = $givenB")
+    // serving: stored bigrams, backoff via bow, unseen-context bow=1, OOV floor
+    val scored = TextAnalysis.knScoreWith(docs(
+      10L -> "a b c",  // (a,b) and (b,c) both stored
+      11L -> "b b",    // miss → bo2(b) + lp1(b)
+      12L -> "a z",    // OOV → bo2(a) + lp_unk
+      13L -> "z b",    // unseen context z: bow = 1 (log 0) → lp1(b)
+      14L -> "a"),     // under order
+      m).as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(scored(10L) === ((2L, 0L, 0L,
+      Some(microMean(Seq(r6(math.log(p2ab)), r6(math.log(p2b_))))))))
+    assert(scored(11L) === ((1L, 1L, 0L,
+      Some(microMean(Seq(r6(math.log(D * 2 / 2)) + r6(math.log(p1))))))))
+    assert(scored(12L) === ((1L, 1L, 1L,
+      Some(microMean(Seq(r6(math.log(D * 1 / 2)) + r6(math.log(pUnk))))))))
+    assert(scored(13L) === ((1L, 1L, 0L,
+      Some(microMean(Seq(r6(math.log(p1))))))))
+    assert(scored(14L) === ((0L, 0L, 0L, None)))
+  }
+
+  test("knModel orders 3 and 5: self-scoring stays on the top tier; stored-model round-trip") {
+    val ref = docs(
+      1L -> "the cat sat on the mat",
+      2L -> "the cat ran on the road")
+    val m3 = TextAnalysis.knModel(ref, 3)
+    val self = TextAnalysis.knScoreWith(ref, m3)
+    assert(self.filter($"n_bo" =!= 0 || $"n_oov" =!= 0).count() === 0)
+    assert(self.filter($"avg_logprob".isNull).count() === 0)
+    // backoff path engages on mixed text and still yields finite scores
+    val mixed = TextAnalysis.knScoreWith(
+      docs(20L -> "the cat sat on a zebra", 21L -> "qq zz ww"), m3)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(mixed(20L)._2 > 0L)                 // some backoffs
+    assert(mixed(21L) === ((1L, 1L, 1L)))      // full OOV trigram
+    // order 5 is the same parameterized path (the KenLM deployment order)
+    val m5 = TextAnalysis.knModel(docs(1L -> "a b c d e f g a b c d e"), 5)
+    assert(m5.tiers.size === 4 && m5.bows.size === 4)
+    val s5 = TextAnalysis.knScoreWith(docs(30L -> "a b c d e"), m5)
+      .as[(Long, Long, Long, Long, Option[Double])].head()
+    assert(s5._2 === 1L && s5._3 === 0L && s5._5.isDefined)
+    // stored-model round-trip: all 2(N−1)+2 tables through parquet
+    val dir = java.nio.file.Files.createTempDirectory("graft-kn-").toString
+    m3.tiers.zipWithIndex.foreach { case (t, i) => t.write.parquet(s"$dir/t$i") }
+    m3.bows.zipWithIndex.foreach { case (b, i) => b.write.parquet(s"$dir/b$i") }
+    m3.uni.write.parquet(s"$dir/uni"); m3.unk.write.parquet(s"$dir/unk")
+    val back = TextAnalysis.KnModel(3,
+      m3.tiers.indices.map(i => spark.read.parquet(s"$dir/t$i")),
+      spark.read.parquet(s"$dir/uni"),
+      m3.bows.indices.map(i => spark.read.parquet(s"$dir/b$i")),
+      spark.read.parquet(s"$dir/unk"))
+    val viaStored = TextAnalysis.knScoreWith(ref, back)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet
+    assert(viaStored === TextAnalysis.knScoreWith(ref, m3)
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
+    // SQL surface parity, both arities
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    ref.createOrReplaceTempView("kn_ref")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_kn_score('kn_ref', 'kn_ref')")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet ===
+      TextAnalysis.knScoreWith(ref, m3)
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_kn_score('kn_ref', 'kn_ref', 2)")
+      .as[(Long, Long, Long, Long, Option[Double])].collect().toSet ===
+      TextAnalysis.knScoreWith(ref, TextAnalysis.knModel(ref, 2))
+        .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
+  }
+
   test("gopherQuality: each rule trips on its engineered doc; good prose keeps") {
     val good = (1 to 10).map(_ => "the quick brown fox jumps over that lazy dog")
       .mkString(" ") // 90 words, stopword-rich, all-alpha
