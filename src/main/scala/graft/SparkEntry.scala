@@ -1076,6 +1076,13 @@ object SparkEntry {
         d.filter(col("doc_id") % 2 =!= 0),
         Dedup.sentenceSpanHashes(d.filter(col("doc_id") % 2 === 0)))
     },
+    "q_sentence_strip" -> { (s, dir) =>
+      // the rewrite face: cut history-covered sentences, rejoin ". "
+      val d = spanDocs(s, dir)
+      Dedup.stripSentenceSpansAgainst(
+        d.filter(col("doc_id") % 2 =!= 0),
+        Dedup.sentenceSpanHashes(d.filter(col("doc_id") % 2 === 0)))
+    },
     "q_boilerplate" -> ((s, dir) => Dedup.boilerplateChunks(docs(s, dir))),
     "q_dup_spans" -> ((s, dir) => Dedup.duplicateSpans(docs(s, dir))),
     "q_dup_strip" -> { (s, dir) =>
@@ -2793,6 +2800,29 @@ object SparkEntry {
         |SELECT doc_id, CAST(len(ps) AS INTEGER) AS n_sentences,
         |  CAST(len(kept) AS INTEGER) AS n_kept,
         |  md5(coalesce(array_to_string(kept, ' '), '')) AS kept_hash
+        |FROM (SELECT s.doc_id, s.ps,
+        |        list_filter(s.ps, (x, i) -> len(list_filter(coalesce(r.rm, CAST([] AS INTEGER[])),
+        |          v -> v <= i - 1 AND i - 1 < v + 3)) = 0) AS kept
+        |      FROM sh s LEFT JOIN rm r USING (doc_id)
+        |      WHERE s.doc_id % 2 <> 0)""".stripMargin,
+    "q_sentence_strip" ->
+      // twin of Dedup.stripSentenceSpansAgainst(span=3): the incr drop
+      // logic, survivors rejoined with '. ' (empty list coalesces '')
+      s"""WITH d AS ($DOCS_SPAN),
+        |p AS MATERIALIZED (SELECT doc_id,
+        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
+        |  FROM d),
+        |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
+        |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
+        |  FROM p),
+        |occ AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
+        |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
+        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3)),
+        |hist AS (SELECT DISTINCT h FROM occ WHERE doc_id % 2 = 0),
+        |rm AS (SELECT doc_id, list(span_idx) AS rm
+        |       FROM occ JOIN hist USING (h) WHERE doc_id % 2 <> 0 GROUP BY doc_id)
+        |SELECT doc_id, coalesce(array_to_string(kept, '. '), '') AS text,
+        |  CAST(len(ps) - len(kept) AS INTEGER) AS n_dropped
         |FROM (SELECT s.doc_id, s.ps,
         |        list_filter(s.ps, (x, i) -> len(list_filter(coalesce(r.rm, CAST([] AS INTEGER[])),
         |          v -> v <= i - 1 AND i - 1 < v + 3)) = 0) AS kept

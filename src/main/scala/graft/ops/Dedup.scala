@@ -1032,6 +1032,39 @@ object Dedup {
         .agg(collect_list(col("span_idx")).as("rm")),
       span, boundary)
 
+  /** The text-REWRITE face of [[sentenceSpanDedupAgainst]]
+    * ([[stripParagraphsAgainst]]'s contract at span granularity): cut
+    * every sentence covered by a history-matched span out of the
+    * increment's documents. Output: `(doc_id, text, n_dropped)` —
+    * doc-table-shaped; n_dropped counts SENTENCES. Survivors rejoin
+    * with `". "` — the split consumed the original terminators, and
+    * this joiner re-splits to exactly the surviving units, so
+    * downstream sentence-granularity ops see a consistent stream.
+    * (For the STREAMING strip ladder prefer the substring-level
+    * [[stripDuplicateSpansAgainst]] — strictly finer and already
+    * fused with its history append; this face is the batch C4 shape.)
+    * Same cost profile as the report face; increment text never
+    * shuffles. */
+  def stripSentenceSpansAgainst(docs: DataFrame, history: DataFrame,
+      span: Int = 3, boundary: String = "[.!?]+",
+      unicode: Boolean = false): DataFrame = {
+    require(span >= 1, s"span=$span must be >= 1")
+    val dropped = sentenceSpanOcc(docs, span, boundary, unicode)
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("span_idx")).as("rm"))
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paraCol(boundary).as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col("doc_id"), col("ps"),
+        filter(col("ps"), (p, i) =>
+          !exists(col("rm"), s => s <= i && i < s + span)).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(". ", col("kept")).as("text"),
+        (size(col("ps")) - size(col("kept"))).cast("int").as("n_dropped"))
+  }
+
   /** `(doc_id, span_idx, h)`: every `span`-sentence window's key,
     * derived row-locally from the per-doc ParaHashes array. */
   private def sentenceSpanOcc(docs: DataFrame, span: Int,

@@ -596,6 +596,18 @@ class DedupSpec extends SparkSpec {
     assert(got(10L) === ((5, 2, h("x pre", "y post"))))
     assert(got(11L) === ((4, 0, h())))
     assert(got(12L) === ((4, 4, h("entirely new", "fresh stuff", "nothing shared", "here at all"))))
+    // the rewrite face cuts the covered sentences and rejoins '. ' —
+    // re-splitting the stripped text recovers exactly the survivors
+    val stripped = Dedup.stripSentenceSpansAgainst(docs(
+      10L -> "x pre. a one! b two? c three. y post.",
+      11L -> "a one. b two. c three. d four.",
+      12L -> "entirely new. fresh stuff. nothing shared. here at all."),
+      hist)
+      .as[(Long, String, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(stripped(10L) === (("x pre. y post", 3)))
+    assert(stripped(11L) === (("", 4)))
+    assert(stripped(12L) ===
+      (("entirely new. fresh stuff. nothing shared. here at all", 0)))
     // ASCII mode hashes every CJK sentence to the SAME empty token
     // stream — two DIFFERENT CJK docs falsely collapse; the unicode
     // dial keeps them apart (the streaming Cyrillic lesson at span
