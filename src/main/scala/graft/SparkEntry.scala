@@ -156,6 +156,64 @@ object SparkEntry {
     * match the JVM's `lit(alpha)`/`lit(alpha*alpha)` bit-for-bit
     * before the 6dp rounding; serving = three left joins + coalesce.
     * Used by q_lm3_score and q_ppl3_buckets. */
+  /** Shared interpolated-Kneser-Ney CTE chain (order 3, D = 0.75) —
+    * twin of knModel + knScoreWith; see q_kn_score's commentary. */
+  private val KN3_CTES =
+    s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+         |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM rt WHERE len(ts) >= 3)),
+         |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c FROM r3 GROUP BY ALL),
+         |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+         |             FROM rt WHERE len(ts) >= 2)),
+         |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM r2 GROUP BY ALL),
+         |c1g AS MATERIALIZED (SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
+         |cc1 AS MATERIALIZED (SELECT w2 AS w, count(*) AS cc FROM c2g GROUP BY w2),
+         |us AS MATERIALIZED (SELECT u, wc, v FROM
+         |        (SELECT sum(cc) AS u, count(*) AS wc FROM cc1)
+         |        CROSS JOIN (SELECT count(*) AS v FROM c1g)),
+         |p1 AS MATERIALIZED (SELECT w,
+         |    CAST(round(greatest(cc - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / u
+         |      + ((CAST(0.75 AS DOUBLE) * wc) / u) * (CAST(1 AS DOUBLE) / (v + CAST(1 AS DOUBLE))), 12) AS DECIMAL(28,12)) AS p
+         |  FROM cc1 CROSS JOIN us),
+         |unk AS (SELECT CAST(round(ln(((CAST(0.75 AS DOUBLE) * wc) / u) * (CAST(1 AS DOUBLE) / (v + CAST(1 AS DOUBLE)))), 6) AS DECIMAL(18,6)) AS lp_unk FROM us),
+         |cc2 AS MATERIALIZED (SELECT w2, w3, count(*) AS c FROM c3g GROUP BY w2, w3),
+         |h2 AS MATERIALIZED (SELECT w2, sum(c) AS den, count(*) AS nf FROM cc2 GROUP BY w2),
+         |p2 AS MATERIALIZED (SELECT c2.w2, c2.w3,
+         |    CAST(round(greatest(c2.c - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / h.den
+         |      + ((CAST(0.75 AS DOUBLE) * h.nf) / h.den) * CAST(p1.p AS DOUBLE), 12) AS DECIMAL(28,12)) AS p
+         |  FROM cc2 c2 JOIN h2 h USING (w2) JOIN p1 ON c2.w3 = p1.w),
+         |h3 AS MATERIALIZED (SELECT w1, w2, sum(c) AS den, count(*) AS nf FROM c3g GROUP BY w1, w2),
+         |p3 AS (SELECT g.w1, g.w2, g.w3,
+         |    CAST(round(greatest(g.c - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / h.den
+         |      + ((CAST(0.75 AS DOUBLE) * h.nf) / h.den) * CAST(p2.p AS DOUBLE), 12) AS DECIMAL(28,12)) AS p
+         |  FROM c3g g JOIN h3 h USING (w1, w2) JOIN p2 USING (w2, w3)),
+         |t3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp3 FROM p3),
+         |t2 AS MATERIALIZED (SELECT w2, w3, CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp2 FROM p2),
+         |t1 AS MATERIALIZED (SELECT w AS w3, CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp1 FROM p1),
+         |b3 AS MATERIALIZED (SELECT w1, w2, CAST(round(ln((CAST(0.75 AS DOUBLE) * nf) / den), 6) AS DECIMAL(18,6)) AS bo3 FROM h3),
+         |b2 AS MATERIALIZED (SELECT w2, CAST(round(ln((CAST(0.75 AS DOUBLE) * nf) / den), 6) AS DECIMAL(18,6)) AS bo2 FROM h2),
+         |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+         |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
+         |ds AS (SELECT d.doc_id, count(*) AS n_ngrams,
+         |         count(CASE WHEN t3.lp3 IS NULL THEN 1 END) AS n_bo,
+         |         count(CASE WHEN t3.lp3 IS NULL AND t2.lp2 IS NULL AND t1.lp1 IS NULL THEN 1 END) AS n_oov,
+         |         CAST(sum(CAST(CASE
+         |             WHEN t3.lp3 IS NOT NULL THEN CAST(0 AS DECIMAL(18,6)) + t3.lp3
+         |             WHEN t2.lp2 IS NOT NULL THEN CAST(0 AS DECIMAL(18,6)) + coalesce(b3.bo3, CAST(0 AS DECIMAL(18,6))) + t2.lp2
+         |             WHEN t1.lp1 IS NOT NULL THEN CAST(0 AS DECIMAL(18,6)) + coalesce(b3.bo3, CAST(0 AS DECIMAL(18,6))) + coalesce(b2.bo2, CAST(0 AS DECIMAL(18,6))) + t1.lp1
+         |             ELSE CAST(0 AS DECIMAL(18,6)) + coalesce(b3.bo3, CAST(0 AS DECIMAL(18,6))) + coalesce(b2.bo2, CAST(0 AS DECIMAL(18,6))) + unk.lp_unk
+         |           END AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS slp
+         |       FROM d3 d LEFT JOIN t3 ON d.w1 = t3.w1 AND d.w2 = t3.w2 AND d.w3 = t3.w3
+         |         LEFT JOIN t2 ON d.w2 = t2.w2 AND d.w3 = t2.w3
+         |         LEFT JOIN t1 ON d.w3 = t1.w3
+         |         LEFT JOIN b3 ON d.w1 = b3.w1 AND d.w2 = b3.w2
+         |         LEFT JOIN b2 ON d.w2 = b2.w2
+         |         CROSS JOIN unk
+         |       GROUP BY d.doc_id)""".stripMargin
+
   private val LM3_CTES =
     s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
        |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
@@ -888,6 +946,13 @@ object SparkEntry {
       // train/score domain split as the stupid-backoff ladder
       val d = withDomain(docs(s, dir))
       TextAnalysis.kn3ScoreAgainst(d, d.filter(col("domain") =!= "web"))
+    },
+    "q_kn_buckets" -> { (s, dir) =>
+      // the FULL published CCNet deployment shape: Kneser-Ney LM +
+      // per-source perplexity terciles
+      val d = withDomain(docs(s, dir))
+      TextAnalysis.perplexityBucketsKn(d,
+        TextAnalysis.knModel(d.filter(col("domain") =!= "web"), 3))
     },
     "q_ppl_buckets" -> { (s, dir) =>
       // CCNet head/middle/tail: per-SOURCE perplexity terciles under
@@ -2053,64 +2118,29 @@ object SparkEntry {
       // as the same CAST-shaped doubles the JVM lit()s produce.
       // Serving: longest stored suffix wins, each skipped tier pays
       // its context's bow (missing context ⇒ bow 1 ⇒ +0.000000)
-      s"""WITH rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
-         |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
-         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
-         |             FROM rt WHERE len(ts) >= 3)),
-         |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c FROM r3 GROUP BY ALL),
-         |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
-         |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
-         |             FROM rt WHERE len(ts) >= 2)),
-         |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c FROM r2 GROUP BY ALL),
-         |c1g AS MATERIALIZED (SELECT w, count(*) AS c FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
-         |cc1 AS MATERIALIZED (SELECT w2 AS w, count(*) AS cc FROM c2g GROUP BY w2),
-         |us AS MATERIALIZED (SELECT u, wc, v FROM
-         |        (SELECT sum(cc) AS u, count(*) AS wc FROM cc1)
-         |        CROSS JOIN (SELECT count(*) AS v FROM c1g)),
-         |p1 AS MATERIALIZED (SELECT w,
-         |    CAST(round(greatest(cc - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / u
-         |      + ((CAST(0.75 AS DOUBLE) * wc) / u) * (CAST(1 AS DOUBLE) / (v + CAST(1 AS DOUBLE))), 12) AS DECIMAL(28,12)) AS p
-         |  FROM cc1 CROSS JOIN us),
-         |unk AS (SELECT CAST(round(ln(((CAST(0.75 AS DOUBLE) * wc) / u) * (CAST(1 AS DOUBLE) / (v + CAST(1 AS DOUBLE)))), 6) AS DECIMAL(18,6)) AS lp_unk FROM us),
-         |cc2 AS MATERIALIZED (SELECT w2, w3, count(*) AS c FROM c3g GROUP BY w2, w3),
-         |h2 AS MATERIALIZED (SELECT w2, sum(c) AS den, count(*) AS nf FROM cc2 GROUP BY w2),
-         |p2 AS MATERIALIZED (SELECT c2.w2, c2.w3,
-         |    CAST(round(greatest(c2.c - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / h.den
-         |      + ((CAST(0.75 AS DOUBLE) * h.nf) / h.den) * CAST(p1.p AS DOUBLE), 12) AS DECIMAL(28,12)) AS p
-         |  FROM cc2 c2 JOIN h2 h USING (w2) JOIN p1 ON c2.w3 = p1.w),
-         |h3 AS MATERIALIZED (SELECT w1, w2, sum(c) AS den, count(*) AS nf FROM c3g GROUP BY w1, w2),
-         |p3 AS (SELECT g.w1, g.w2, g.w3,
-         |    CAST(round(greatest(g.c - CAST(0.75 AS DOUBLE), CAST(0 AS DOUBLE)) / h.den
-         |      + ((CAST(0.75 AS DOUBLE) * h.nf) / h.den) * CAST(p2.p AS DOUBLE), 12) AS DECIMAL(28,12)) AS p
-         |  FROM c3g g JOIN h3 h USING (w1, w2) JOIN p2 USING (w2, w3)),
-         |t3 AS MATERIALIZED (SELECT w1, w2, w3, CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp3 FROM p3),
-         |t2 AS MATERIALIZED (SELECT w2, w3, CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp2 FROM p2),
-         |t1 AS MATERIALIZED (SELECT w AS w3, CAST(round(ln(CAST(p AS DOUBLE)), 6) AS DECIMAL(18,6)) AS lp1 FROM p1),
-         |b3 AS MATERIALIZED (SELECT w1, w2, CAST(round(ln((CAST(0.75 AS DOUBLE) * nf) / den), 6) AS DECIMAL(18,6)) AS bo3 FROM h3),
-         |b2 AS MATERIALIZED (SELECT w2, CAST(round(ln((CAST(0.75 AS DOUBLE) * nf) / den), 6) AS DECIMAL(18,6)) AS bo2 FROM h2),
-         |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
-         |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-         |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
-         |ds AS (SELECT d.doc_id, count(*) AS n_ngrams,
-         |         count(CASE WHEN t3.lp3 IS NULL THEN 1 END) AS n_bo,
-         |         count(CASE WHEN t3.lp3 IS NULL AND t2.lp2 IS NULL AND t1.lp1 IS NULL THEN 1 END) AS n_oov,
-         |         CAST(sum(CAST(CASE
-         |             WHEN t3.lp3 IS NOT NULL THEN CAST(0 AS DECIMAL(18,6)) + t3.lp3
-         |             WHEN t2.lp2 IS NOT NULL THEN CAST(0 AS DECIMAL(18,6)) + coalesce(b3.bo3, CAST(0 AS DECIMAL(18,6))) + t2.lp2
-         |             WHEN t1.lp1 IS NOT NULL THEN CAST(0 AS DECIMAL(18,6)) + coalesce(b3.bo3, CAST(0 AS DECIMAL(18,6))) + coalesce(b2.bo2, CAST(0 AS DECIMAL(18,6))) + t1.lp1
-         |             ELSE CAST(0 AS DECIMAL(18,6)) + coalesce(b3.bo3, CAST(0 AS DECIMAL(18,6))) + coalesce(b2.bo2, CAST(0 AS DECIMAL(18,6))) + unk.lp_unk
-         |           END AS DECIMAL(18,6))) AS DECIMAL(18,6)) AS slp
-         |       FROM d3 d LEFT JOIN t3 ON d.w1 = t3.w1 AND d.w2 = t3.w2 AND d.w3 = t3.w3
-         |         LEFT JOIN t2 ON d.w2 = t2.w2 AND d.w3 = t2.w3
-         |         LEFT JOIN t1 ON d.w3 = t1.w3
-         |         LEFT JOIN b3 ON d.w1 = b3.w1 AND d.w2 = b3.w2
-         |         LEFT JOIN b2 ON d.w2 = b2.w2
-         |         CROSS JOIN unk
-         |       GROUP BY d.doc_id)
+      s"""WITH $KN3_CTES
          |SELECT dd.doc_id, coalesce(ds.n_ngrams, 0) AS n_ngrams,
          |  coalesce(ds.n_bo, 0) AS n_bo, coalesce(ds.n_oov, 0) AS n_oov,
          |  round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_ngrams) / 1000000.0 AS avg_logprob
          |FROM documents dd LEFT JOIN ds USING (doc_id)""".stripMargin,
+    "q_kn_buckets" ->
+      // twin of perplexityBucketsKn(order 3): the shared KN3_CTES
+      // scoring chain, then per-source quantile_cont terciles and the
+      // head/middle/tail case (the q_ppl3_buckets tail over KN scores)
+      s"""WITH $KN3_CTES,
+         |sc AS (SELECT dd.doc_id, dd.source,
+         |         round(CAST(CAST(ds.slp * 1000000 AS BIGINT) AS DOUBLE) / ds.n_ngrams) / 1000000.0 AS avg_logprob
+         |       FROM documents dd LEFT JOIN ds USING (doc_id)),
+         |th AS (SELECT source,
+         |         round(quantile_cont(avg_logprob, 0.67), 6) AS t_head,
+         |         round(quantile_cont(avg_logprob, 0.33), 6) AS t_mid
+         |       FROM sc WHERE avg_logprob IS NOT NULL GROUP BY source)
+         |SELECT sc.doc_id, sc.source, sc.avg_logprob,
+         |  CASE WHEN sc.avg_logprob IS NULL THEN 'tail'
+         |       WHEN sc.avg_logprob >= th.t_head THEN 'head'
+         |       WHEN sc.avg_logprob >= th.t_mid THEN 'middle'
+         |       ELSE 'tail' END AS ppl_bucket
+         |FROM sc LEFT JOIN th USING (source)""".stripMargin,
     "q_lm5_score" ->
       // the shared LM5_CTES chain, then the per-doc diagnostics + mean
       s"""WITH $LM5_CTES

@@ -548,9 +548,21 @@ object TextAnalysis {
       sourceCol: String = "source",
       qHead: Double = 0.67,
       qMid: Double = 0.33,
-      thresholds: Option[DataFrame] = None): DataFrame = {
+      thresholds: Option[DataFrame] = None): DataFrame =
+    bucketizeScored(lmScoreWith(docs, model), docs, sourceCol, qHead, qMid, thresholds)
+
+  /** The tercile rule every perplexity-bucket face shares: attach the
+    * source, compute (or serve) the per-source exact-percentile
+    * thresholds, stamp head/middle/tail; NULL scores land in tail. */
+  private def bucketizeScored(
+      scored0: DataFrame,
+      docs: DataFrame,
+      sourceCol: String,
+      qHead: Double,
+      qMid: Double,
+      thresholds: Option[DataFrame]): DataFrame = {
     require(qHead > qMid && qMid > 0 && qHead < 1, s"bad quantiles head=$qHead mid=$qMid")
-    val scored = lmScoreWith(docs, model)
+    val scored = scored0
       .join(docs.select(col("doc_id"), col(sourceCol).as("source")), Seq("doc_id"))
     val th = thresholds.getOrElse(
       scored.where(col("avg_logprob").isNotNull)
@@ -1014,23 +1026,8 @@ object TextAnalysis {
       sourceCol: String = "source",
       qHead: Double = 0.67,
       qMid: Double = 0.33,
-      thresholds: Option[DataFrame] = None): DataFrame = {
-    require(qHead > qMid && qMid > 0 && qHead < 1, s"bad quantiles head=$qHead mid=$qMid")
-    val scored = lmnScoreWith(docs, model)
-      .join(docs.select(col("doc_id"), col(sourceCol).as("source")), Seq("doc_id"))
-    val th = thresholds.getOrElse(
-      scored.where(col("avg_logprob").isNotNull)
-        .groupBy("source")
-        .agg(
-          round(expr(s"percentile(avg_logprob, $qHead)"), 6).as("t_head"),
-          round(expr(s"percentile(avg_logprob, $qMid)"), 6).as("t_mid")))
-    scored.join(broadcast(th), Seq("source"), "left")
-      .select(col("doc_id"), col("source"), col("avg_logprob"),
-        when(col("avg_logprob").isNull, lit("tail"))
-          .when(col("avg_logprob") >= col("t_head"), lit("head"))
-          .when(col("avg_logprob") >= col("t_mid"), lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
-  }
+      thresholds: Option[DataFrame] = None): DataFrame =
+    bucketizeScored(lmnScoreWith(docs, model), docs, sourceCol, qHead, qMid, thresholds)
 
   /** [[perplexityBuckets]] under the TRIGRAM stupid-backoff model —
     * CCNet's head/middle/tail split driven by the higher-order scorer
@@ -1047,23 +1044,24 @@ object TextAnalysis {
       sourceCol: String = "source",
       qHead: Double = 0.67,
       qMid: Double = 0.33,
-      thresholds: Option[DataFrame] = None): DataFrame = {
-    require(qHead > qMid && qMid > 0 && qHead < 1, s"bad quantiles head=$qHead mid=$qMid")
-    val scored = lm3ScoreWith(docs, model)
-      .join(docs.select(col("doc_id"), col(sourceCol).as("source")), Seq("doc_id"))
-    val th = thresholds.getOrElse(
-      scored.where(col("avg_logprob").isNotNull)
-        .groupBy("source")
-        .agg(
-          round(expr(s"percentile(avg_logprob, $qHead)"), 6).as("t_head"),
-          round(expr(s"percentile(avg_logprob, $qMid)"), 6).as("t_mid")))
-    scored.join(broadcast(th), Seq("source"), "left")
-      .select(col("doc_id"), col("source"), col("avg_logprob"),
-        when(col("avg_logprob").isNull, lit("tail"))
-          .when(col("avg_logprob") >= col("t_head"), lit("head"))
-          .when(col("avg_logprob") >= col("t_mid"), lit("middle"))
-          .otherwise(lit("tail")).as("ppl_bucket"))
-  }
+      thresholds: Option[DataFrame] = None): DataFrame =
+    bucketizeScored(lm3ScoreWith(docs, model), docs, sourceCol, qHead, qMid, thresholds)
+
+  /** [[perplexityBucketsN]] under the interpolated KNESER-NEY model —
+    * the FULL published CCNet deployment (Wenzek et al. LREC '20:
+    * 5-gram KenLM + per-source perplexity terciles; [[knModel]] IS the
+    * KenLM smoothing). Same threshold contract as every bucket face:
+    * computed inline or served from a stored `(source, t_head, t_mid)`
+    * table; sub-`order`-token docs land in `tail`. Output:
+    * `(doc_id, source, avg_logprob, ppl_bucket)`. */
+  def perplexityBucketsKn(
+      docs: DataFrame,
+      model: KnModel,
+      sourceCol: String = "source",
+      qHead: Double = 0.67,
+      qMid: Double = 0.33,
+      thresholds: Option[DataFrame] = None): DataFrame =
+    bucketizeScored(knScoreWith(docs, model), docs, sourceCol, qHead, qMid, thresholds)
 
   /** Document fingerprinting by winnowing (Schleimer et al., SIGMOD '03):
     * hash every token (md5 — stable across engines), take the window

@@ -582,6 +582,44 @@ class TextAnalysisSpec extends SparkSpec {
       assert(m >= t, s"middle $m < tail $t")
   }
 
+  test("perplexityBucketsKn: KN scores drive the same tercile rule; stored thresholds serve") {
+    val ref = docs(
+      100L -> "the cat sat on the mat and the cat sat again today",
+      101L -> "the dog ran to the park and the dog ran back today")
+    val d = Seq(
+      (1L, "the cat sat on the mat and the cat", "src0"),
+      (2L, "the dog ran to the park and the dog", "src0"),
+      (3L, "mat the on sat cat the park to ran", "src0"),
+      (4L, "zz qq ww ee rr tt yy uu ii", "src0"),
+      (5L, "tiny", "src0")).toDF("doc_id", "text", "source")
+    val m = TextAnalysis.knModel(ref, 3)
+    val got = TextAnalysis.perplexityBucketsKn(d, m)
+      .as[(Long, String, Option[Double], String)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    assert(got(5L) === ((None, "tail")), "sub-order doc -> tail")
+    // scores are the KN scorer's, buckets monotone in them
+    val scores = TextAnalysis.knScoreWith(d, m)
+      .as[(Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r._5).toMap
+    got.foreach { case (id, (s, _)) => assert(s === scores(id)) }
+    val byBucket = got.values.collect { case (Some(s), b) => b -> s }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    for (h <- byBucket.getOrElse("head", Nil); m0 <- byBucket.getOrElse("middle", Nil))
+      assert(h >= m0, s"head $h < middle $m0")
+    for (m0 <- byBucket.getOrElse("middle", Nil); t <- byBucket.getOrElse("tail", Nil))
+      assert(m0 >= t, s"middle $m0 < tail $t")
+    // the train/serve split: a stored thresholds table reproduces the
+    // inline buckets exactly
+    val th = TextAnalysis.perplexityBucketsKn(d, m)
+      .where($"avg_logprob".isNotNull).groupBy("source")
+      .agg(round(expr("percentile(avg_logprob, 0.67)"), 6).as("t_head"),
+        round(expr("percentile(avg_logprob, 0.33)"), 6).as("t_mid"))
+    val served = TextAnalysis.perplexityBucketsKn(d, m, thresholds = Some(th))
+      .as[(Long, String, Option[Double], String)].collect().toSet
+    assert(served === TextAnalysis.perplexityBucketsKn(d, m)
+      .as[(Long, String, Option[Double], String)].collect().toSet)
+  }
+
   test("entropySignals: hand-computed char entropy; degenerate and uniform extremes") {
     val d = docs(
       1L -> "aaaa",   // one symbol: H = 0
