@@ -1065,6 +1065,54 @@ object Dedup {
         (size(col("ps")) - size(col("kept"))).cast("int").as("n_dropped"))
   }
 
+  /** [[stripSentenceSpansAgainst]] FUSED with the history append's key
+    * table — the streaming C4 stage's one-scan form (the
+    * [[stripDuplicateSpansWithAnchors]] recipe at sentence-span
+    * granularity): the strip needs each increment span's key (to match
+    * the history); the history append needs the SURVIVORS' keys — and
+    * an UNTOUCHED doc's post-strip spans are exactly its occurrence
+    * rows, already computed, while a REWRITTEN doc's windows cross the
+    * removal seams, so only the rewritten docs re-scan. Returns
+    * (stripped docs in [[stripSentenceSpansAgainst]]'s exact shape,
+    * the survivors' distinct `h` table ≡ `sentenceSpanHashes(stripped)`
+    * — the parity spec pins both). The stripped frame is materialized
+    * INTERNALLY (the rescan branch reads it) — do not stage it again.
+    * Under [[graft.core.Materialize.Persist]] the caller owns release. */
+  def stripSentenceSpansWithHashes(
+      docs: DataFrame, history: DataFrame,
+      span: Int = 3, boundary: String = "[.!?]+",
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      unicode: Boolean = false): (DataFrame, DataFrame) = {
+    require(span >= 1, s"span=$span must be >= 1")
+    val occ = graft.core.Materialize(
+      sentenceSpanOcc(docs, span, boundary, unicode), mat)
+    val dropped = occ
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("span_idx")).as("rm"))
+    val stripped = graft.core.Materialize(
+      graft.core.Parallelism.ensure(docs)
+        .join(dropped, Seq("doc_id"), "left")
+        .select(col("doc_id"), paraCol(boundary).as("ps"),
+          coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+        .select(col("doc_id"), col("ps"),
+          filter(col("ps"), (p, i) =>
+            !exists(col("rm"), s => s <= i && i < s + span)).as("kept"))
+        .select(col("doc_id"),
+          concat_ws(". ", col("kept")).as("text"),
+          (size(col("ps")) - size(col("kept"))).cast("int").as("n_dropped")),
+      mat)
+    val changed = stripped.filter(col("n_dropped") > 0)
+    val newKeys = occ
+      .join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
+      .select("h")
+      .unionByName(
+        sentenceSpanOcc(changed.select(col("doc_id"), col("text")),
+          span, boundary, unicode).select("h"))
+      .distinct()
+    (stripped, newKeys)
+  }
+
   /** `(doc_id, span_idx, h)`: every `span`-sentence window's key,
     * derived row-locally from the per-doc ParaHashes array. */
   private def sentenceSpanOcc(docs: DataFrame, span: Int,

@@ -262,6 +262,17 @@ object CorpusWatcher {
     * strip (coarser unit first); both stages compose. History holds
     * 32-byte hashes only — never text.
     *
+    * Sentence-span strip (`sentenceSpanHistoryDir`): C4's published
+    * three-sentence rule as a streaming stage
+    * ([[graft.ops.Dedup.stripSentenceSpansWithHashes]]) — sentences
+    * covered by a span the accumulated
+    * [[graft.ops.Dedup.sentenceSpanHashes]] history holds are CUT;
+    * the survivors' own span keys append as this batch's partition.
+    * Runs BETWEEN the paragraph and substring strips (the granularity
+    * ladder coarse → fine); survivors rejoin with `". "` so the units
+    * re-split identically next batch. All three strip histories hold
+    * keys only — never text — and share the semi-join compaction.
+    *
     * Positional snapshots (`positional`): the maintained index is
     * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
     * positions, cnt)` instead of the flat counts, so
@@ -326,6 +337,7 @@ object CorpusWatcher {
       paraHistoryDir: Option[String] = None,
       paraBoundary: String = "\\n+",
       compactEvery: Option[Int] = None,
+      sentenceSpanHistoryDir: Option[String] = None,
       spanHistoryDir: Option[String] = None,
       positional: Boolean = false,
       metricsDir: Option[String] = None,
@@ -553,8 +565,30 @@ object CorpusWatcher {
                 stripped
             }
         }
-        val content = spanHistoryDir match {
+        // C4's three-sentence-span rule between the paragraph and
+        // substring strips (coarse -> fine); fused strip + key append
+        // (untouched docs reuse their occurrence rows, only REWRITTEN
+        // docs re-scan). Internally materialized -- not staged again.
+        val sentenceContent = sentenceSpanHistoryDir match {
           case None => paraContent
+          case Some(cd) =>
+            accumulatedPartitions(session, cd, excludeBatchId = batchId) match {
+              case Some(h) =>
+                val (strippedRaw, newKeys) =
+                  graft.ops.Dedup.stripSentenceSpansWithHashes(paraContent, h,
+                    unicode = unicodeTokens)
+                val stripped = strippedRaw.select(col("doc_id"), col("text"))
+                newKeys.write.mode("overwrite").parquet(s"$cd/batch_id=$batchId")
+                stripped
+              case None =>
+                val stripped = staged(paraContent.select(col("doc_id"), col("text")))
+                graft.ops.Dedup.sentenceSpanHashes(stripped, unicode = unicodeTokens)
+                  .write.mode("overwrite").parquet(s"$cd/batch_id=$batchId")
+                stripped
+            }
+        }
+        val content = spanHistoryDir match {
+          case None => sentenceContent
           case Some(sd) =>
             accumulatedPartitions(session, sd, excludeBatchId = batchId) match {
               case Some(h) =>
@@ -569,12 +603,12 @@ object CorpusWatcher {
                 // reclaims after the batch like every op-internal
                 // materialization
                 val (strippedRaw, newAnchors) =
-                  graft.ops.Dedup.stripDuplicateSpansWithAnchors(paraContent, h)
+                  graft.ops.Dedup.stripDuplicateSpansWithAnchors(sentenceContent, h)
                 val stripped = strippedRaw.select(col("doc_id"), col("text"))
                 newAnchors.write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
                 stripped
               case None =>
-                val stripped = staged(paraContent.select(col("doc_id"), col("text")))
+                val stripped = staged(sentenceContent.select(col("doc_id"), col("text")))
                 graft.ops.Dedup.anchorSites(stripped)
                   .write.mode("overwrite").parquet(s"$sd/batch_id=$batchId")
                 stripped
@@ -637,7 +671,7 @@ object CorpusWatcher {
         // double-count token mass.
         compactEvery.foreach { n =>
           if (batchId % n == (n - 1).toLong) {
-            (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir)
+            (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++ sentenceSpanHistoryDir)
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }

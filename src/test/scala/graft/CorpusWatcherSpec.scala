@@ -790,6 +790,38 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(entries.exists(e => e._1 == "seenpara" && e._2 == "70"))
   }
 
+  test("sentenceSpanHistoryDir strips already-seen 3-sentence spans; replay-idempotent") {
+    val (watch, index, quar, hist) =
+      (tmp("watchss"), tmp("indexss"), tmp("quarss") + "/bad", tmp("histss") + "/spans")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      sentenceSpanHistoryDir = Some(hist)).awaitTermination()
+    Files.write(Paths.get(watch, "feed-0.json"),
+      """{"doc_id": 80, "text": "alphaone first. betatwo second. gammathree third. zerotail fourth."}"""
+        .getBytes("UTF-8"))
+    val ckpt = tmp("ckptss")
+    run(ckpt)
+    assert(indexEntries(index).exists(e => e._1 == "alphaone" && e._2 == "80"))
+    assert(spark.read.parquet(hist).filter(col("batch_id") === 0).count() > 0)
+    // foreachBatch retry (fresh checkpoint, same files, re-runs as
+    // batch 0): excludeBatchId must hide the first-attempt keys or
+    // doc 80 self-strips
+    run(tmp("ckptss2"))
+    assert(indexEntries(index).exists(e => e._1 == "alphaone" && e._2 == "80"),
+      "a replayed batch must not self-strip against its first-attempt keys")
+    // batch 1 repeats a seen span (re-punctuated) inside fresh
+    // sentences: the covered sentences are cut, fresh ones survive
+    Files.write(Paths.get(watch, "feed-1.json"),
+      """{"doc_id": 81, "text": "freshopen lead. alphaone first! betatwo second? gammathree third. freshtail end."}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val entries = indexEntries(index)
+    assert(entries.exists(e => e._1 == "freshopen" && e._2 == "81"))
+    assert(entries.exists(e => e._1 == "freshtail" && e._2 == "81"))
+    assert(!entries.exists(e => e._1 == "alphaone" && e._2 == "81"),
+      "the already-seen span's sentences must be stripped from doc 81")
+    assert(entries.exists(e => e._1 == "alphaone" && e._2 == "80"))
+  }
+
   test("positional snapshots answer phrase queries; re-upload replaces positions") {
     val (watch, index, ckpt, quar) =
       (tmp("watchpos"), tmp("indexpos"), tmp("ckptpos"), tmp("quarpos") + "/bad")

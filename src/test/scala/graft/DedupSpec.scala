@@ -692,6 +692,34 @@ class DedupSpec extends SparkSpec {
     assert(hashes.columns.toSeq === Seq("h"))
   }
 
+  test("stripSentenceSpansWithHashes: one-scan fusion == strip + rehash, incl. seam spans") {
+    val hist = Dedup.sentenceSpanHashes(docs(1L -> "a one. b two. c three. d four."))
+    val d = docs(
+      10L -> "x pre. a one! b two? c three. y post.",  // rewritten, survivors < span
+      11L -> "a one. b two. c three. d four.",         // fully stripped
+      12L -> "totally new. fresh stuff. nothing shared. here now.", // untouched
+      // rewritten with enough survivors that NEW seam spans form —
+      // (p,q,r)/(q,r,s) never existed in the original doc
+      13L -> "p one. q two. a one! b two? c three. r three. s four.")
+    val (stripped, keys) = Dedup.stripSentenceSpansWithHashes(d, hist)
+    val alone = Dedup.stripSentenceSpansAgainst(d, hist)
+    assert(stripped.as[(Long, String, Int)].collect().toSet ===
+      alone.as[(Long, String, Int)].collect().toSet)
+    // the survivors' key table is exactly sentenceSpanHashes(stripped)
+    val viaRehash = Dedup.sentenceSpanHashes(
+      alone.select(col("doc_id"), col("text"))).as[String].collect().toSet
+    assert(keys.as[String].collect().toSet === viaRehash)
+    assert(keys.columns.toSeq === Seq("h"))
+    // the seam spans are genuinely new keys (doc 13 contributes spans
+    // its original occurrence rows never held)
+    val originalKeys = Dedup.sentenceSpanHashes(d.filter($"doc_id" === 13L))
+      .as[String].collect().toSet
+    val strippedKeys = Dedup.sentenceSpanHashes(
+      alone.filter($"doc_id" === 13L).select(col("doc_id"), col("text")))
+      .as[String].collect().toSet
+    assert((strippedKeys -- originalKeys).nonEmpty, "expected new seam spans")
+  }
+
   // a ~240-char region of distinct words: internally self-dissimilar,
   // long enough that mod-p anchor sampling is saturated inside it
   private val region: String =
