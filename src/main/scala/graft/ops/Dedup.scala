@@ -1026,11 +1026,7 @@ object Dedup {
       span: Int = 3, boundary: String = "[.!?]+",
       unicode: Boolean = false): DataFrame =
     sentencesWithSpanDrops(docs,
-      sentenceSpanOcc(docs, span, boundary, unicode)
-        .join(history.select("h"), Seq("h"), "left_semi")
-        .groupBy("doc_id")
-        .agg(collect_list(col("span_idx")).as("rm")),
-      span, boundary)
+      spanDroppedAgainst(docs, history, span, boundary, unicode), span, boundary)
 
   /** The text-REWRITE face of [[sentenceSpanDedupAgainst]]
     * ([[stripParagraphsAgainst]]'s contract at span granularity): cut
@@ -1047,23 +1043,9 @@ object Dedup {
     * shuffles. */
   def stripSentenceSpansAgainst(docs: DataFrame, history: DataFrame,
       span: Int = 3, boundary: String = "[.!?]+",
-      unicode: Boolean = false): DataFrame = {
-    require(span >= 1, s"span=$span must be >= 1")
-    val dropped = sentenceSpanOcc(docs, span, boundary, unicode)
-      .join(history.select("h"), Seq("h"), "left_semi")
-      .groupBy("doc_id")
-      .agg(collect_list(col("span_idx")).as("rm"))
-    graft.core.Parallelism.ensure(docs)
-      .join(dropped, Seq("doc_id"), "left")
-      .select(col("doc_id"), paraCol(boundary).as("ps"),
-        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
-      .select(col("doc_id"), col("ps"),
-        filter(col("ps"), (p, i) =>
-          !exists(col("rm"), s => s <= i && i < s + span)).as("kept"))
-      .select(col("doc_id"),
-        concat_ws(". ", col("kept")).as("text"),
-        (size(col("ps")) - size(col("kept"))).cast("int").as("n_dropped"))
-  }
+      unicode: Boolean = false): DataFrame =
+    sentencesStripWithSpanDrops(docs,
+      spanDroppedAgainst(docs, history, span, boundary, unicode), span, boundary)
 
   /** [[stripSentenceSpansAgainst]] FUSED with the history append's key
     * table — the streaming C4 stage's one-scan form (the
@@ -1091,17 +1073,7 @@ object Dedup {
       .groupBy("doc_id")
       .agg(collect_list(col("span_idx")).as("rm"))
     val stripped = graft.core.Materialize(
-      graft.core.Parallelism.ensure(docs)
-        .join(dropped, Seq("doc_id"), "left")
-        .select(col("doc_id"), paraCol(boundary).as("ps"),
-          coalesce(col("rm"), array().cast("array<int>")).as("rm"))
-        .select(col("doc_id"), col("ps"),
-          filter(col("ps"), (p, i) =>
-            !exists(col("rm"), s => s <= i && i < s + span)).as("kept"))
-        .select(col("doc_id"),
-          concat_ws(". ", col("kept")).as("text"),
-          (size(col("ps")) - size(col("kept"))).cast("int").as("n_dropped")),
-      mat)
+      sentencesStripWithSpanDrops(docs, dropped, span, boundary), mat)
     val changed = stripped.filter(col("n_dropped") > 0)
     val newKeys = occ
       .join(changed.select("doc_id"), Seq("doc_id"), "left_anti")
@@ -1131,6 +1103,30 @@ object Dedup {
       .select(col("doc_id"), explode(spans).as("e"))
       .select(col("doc_id"), col("e.span_idx").as("span_idx"), col("e.h").as("h"))
   }
+
+  /** The dropped-span table both incremental span faces share:
+    * increment spans whose key the history holds, folded per doc. */
+  private def spanDroppedAgainst(docs: DataFrame, history: DataFrame,
+      span: Int, boundary: String, unicode: Boolean): DataFrame =
+    sentenceSpanOcc(docs, span, boundary, unicode)
+      .join(history.select("h"), Seq("h"), "left_semi")
+      .groupBy("doc_id")
+      .agg(collect_list(col("span_idx")).as("rm"))
+
+  /** [[sentencesWithSpanDrops]]' text-rewrite twin: survivors rejoin
+    * `". "` into `(doc_id, text, n_dropped)`. */
+  private def sentencesStripWithSpanDrops(docs: DataFrame, dropped: DataFrame,
+      span: Int, boundary: String): DataFrame =
+    graft.core.Parallelism.ensure(docs)
+      .join(dropped, Seq("doc_id"), "left")
+      .select(col("doc_id"), paraCol(boundary).as("ps"),
+        coalesce(col("rm"), array().cast("array<int>")).as("rm"))
+      .select(col("doc_id"), col("ps"),
+        filter(col("ps"), (p, i) =>
+          !exists(col("rm"), s => s <= i && i < s + span)).as("kept"))
+      .select(col("doc_id"),
+        concat_ws(". ", col("kept")).as("text"),
+        (size(col("ps")) - size(col("kept"))).cast("int").as("n_dropped"))
 
   /** Pass 2 both span faces share: re-derive the sentence array and
     * drop every sentence a removed span covers (sentence i drops iff

@@ -615,17 +615,21 @@ object TextAnalysis {
     * table derives from its model table (distinct-n-gram-sized); the
     * (N, V) scalar pair is one token-stream aggregate broadcast into
     * the unigram tier. α = 0.4 per Brants et al. */
+  /** The n-gram occurrence stream every LM builder shares: one explode
+    * over a `(ts)` token-array frame into (w1..wn) rows. */
+  private def gramsOf(toks: DataFrame, n: Int): DataFrame = {
+    val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
+    toks.where(size(col("ts")) >= n)
+      .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
+      .select(cols: _*)
+  }
+
   def lm3Model(reference: DataFrame, alpha: Double = 0.4): Lm3Model = {
     import org.apache.spark.sql.types.DecimalType
     require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
     val toks = graft.core.Parallelism.ensure(reference)
       .select(TextNorm.tokens(col("text")).as("ts"))
-    def grams(n: Int): DataFrame = {
-      val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
-      toks.where(size(col("ts")) >= n)
-        .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
-        .select(cols: _*)
-    }
+    def grams(n: Int): DataFrame = gramsOf(toks, n)
     val c3g = grams(3).groupBy("w1", "w2", "w3").agg(count(lit(1)).as("c123"))
     val c12 = c3g.groupBy("w1", "w2").agg(sum("c123").as("c12"))
     val c2g = grams(2).groupBy("w1", "w2").agg(count(lit(1)).as("c23"))
@@ -732,12 +736,7 @@ object TextAnalysis {
     require(alpha > 0 && alpha < 1, s"alpha=$alpha must be in (0, 1)")
     val toks = graft.core.Parallelism.ensure(reference)
       .select(tok(col("text")).as("ts"))
-    def grams(n: Int): DataFrame = {
-      val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
-      toks.where(size(col("ts")) >= n)
-        .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
-        .select(cols: _*)
-    }
+    def grams(n: Int): DataFrame = gramsOf(toks, n)
     def dec6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
     // ((1.0 * α) * α) * … — 1.0 * x == x exactly, so the shape equals
     // the twin's bare k-term product
@@ -885,12 +884,7 @@ object TextAnalysis {
     require(discount > 0 && discount < 1, s"discount=$discount must be in (0, 1)")
     val toks = graft.core.Parallelism.ensure(reference)
       .select(tok(col("text")).as("ts"))
-    def grams(n: Int): DataFrame = {
-      val cols = (1 to n).map(j => element_at(col("ts"), col("i") + lit(j - 1)).as(s"w$j"))
-      toks.where(size(col("ts")) >= n)
-        .select(explode(sequence(lit(1), size(col("ts")) - (n - 1))).as("i"), col("ts"))
-        .select(cols: _*)
-    }
+    def grams(n: Int): DataFrame = gramsOf(toks, n)
     def dec6(c: Column) = round(c, 6).cast(DecimalType(18, 6))
     def dec12(c: Column) = round(c, 12).cast(DecimalType(28, 12))
     val D = lit(discount)
