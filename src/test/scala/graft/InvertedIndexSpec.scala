@@ -190,6 +190,15 @@ class InvertedIndexSpec extends SparkSpec {
       Seq((5L, 1)).toDF("doc_id", "cos_rank"), k = 5)
       .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq
     assert(tied.map(r => (r._1, r._5)) === Seq((5L, 1), (9L, 2)))
+    // the ANN scale path: an ivfTopK arm plugs into hybridFromRankings
+    // and (at full probe, where IVF ≡ brute force) reproduces hybridTopK
+    val annArm = graft.ops.Similarity.ivfTopK(
+      e.filter($"vec_id" === 0L), e, k = 10, nprobe = 64)
+      .select($"neighbor_id".as("doc_id"), $"rank".as("cos_rank"))
+    val lexArm = InvertedIndex.bm25TopKFromDocs(c, "cat", 10)
+      .select($"doc_id", $"rank".as("bm25_rank"))
+    assert(InvertedIndex.hybridFromRankings(lexArm, annArm, k = 4)
+      .as[(Long, Option[Int], Option[Int], Double, Int)].collect().toSeq === got)
   }
 
   test("buildPositional records sorted occurrence positions; phraseSearch finds adjacency") {
