@@ -422,12 +422,18 @@ object ProbeScale {
     // "stream12" = the same harness with the round-12 stages swapped
     // in: paragraph-history strip + periodic compaction + the ADAPTIVE
     // mixture gate in place of the fixed-rate one
-    if (section == "stream" || section == "stream12") {
+    // "stream13" = stream12 + the sentence-span strip stage (the full
+    // coarse->fine strip ladder: paragraph -> 3-sentence span ->
+    // substring), pricing the C4 stage inside the complete stack
+    if (section == "stream" || section == "stream12" || section == "stream13") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import graft.streaming.CorpusWatcher
     import graft.ops.{Curation, Dedup, Sampling}
-    val root = if (section == "stream12") "/tmp/stream12_probe" else "/tmp/stream_probe"
+    val root =
+      if (section == "stream13") "/tmp/stream13_probe"
+      else if (section == "stream12") "/tmp/stream12_probe"
+      else "/tmp/stream_probe"
     def rmrf(p: String): Unit = {
       val d = Paths.get(p)
       if (Files.exists(d)) {
@@ -491,14 +497,15 @@ object ProbeScale {
           classifierGate = Some(Curation.ClassifierGate(weights)),
           decontamShingles = Some(evalSh), decontamW = decontamW,
           mixtureGate =
-            if (section == "stream12") None
-            else Some(Sampling.MixtureGate(rates, defaultRate = 0.5)),
-          adaptiveMixtureGate =
-            if (section == "stream12")
-              Some(Sampling.AdaptiveMixtureGate(s"$root/mixstats", temperature = 2.0))
+            if (section == "stream") Some(Sampling.MixtureGate(rates, defaultRate = 0.5))
             else None,
-          paraHistoryDir = if (section == "stream12") Some(s"$root/paras") else None,
-          compactEvery = if (section == "stream12") Some(3) else None,
+          adaptiveMixtureGate =
+            if (section == "stream") None
+            else Some(Sampling.AdaptiveMixtureGate(s"$root/mixstats", temperature = 2.0)),
+          paraHistoryDir = if (section == "stream") None else Some(s"$root/paras"),
+          compactEvery = if (section == "stream") None else Some(3),
+          sentenceSpanHistoryDir =
+            if (section == "stream13") Some(s"$root/sspans") else None,
           spanHistoryDir = Some(spans),
           metricsDir = Some(metrics), driftDir = Some(drift))
           .awaitTermination()
