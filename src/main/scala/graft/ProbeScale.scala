@@ -761,14 +761,24 @@ object ProbeScale {
         time(s"sentence_spans_sf01_$rep")(Dedup.sentenceSpanDedup(docs01).count())
         time(s"sentence_spans_sf1_$rep")(Dedup.sentenceSpanDedup(docs).count())
         // hybrid retrieval: corpus-side scale lives in the two arms
-        // (index agg + brute cosine); fusion is a ≤2·poolK-row window
+        // (index agg + brute cosine) — BOTH must see 10x data, so the
+        // sf1 leg reads the shared /tmp/emb_sf1 cache (same builder as
+        // the emb section; _SUCCESS-guarded); fusion stays a
+        // ≤2·poolK-row window either way
+        if (!new java.io.File("/tmp/emb_sf1/_SUCCESS").exists()) {
+          (0 until 10).map(i =>
+            emb01.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+            .reduce(_ unionByName _)
+            .write.mode("overwrite").parquet("/tmp/emb_sf1")
+        }
+        val emb1 = spark.read.parquet("/tmp/emb_sf1")
         time(s"hybrid_sf01_$rep")(graft.index.InvertedIndex.hybridTopK(
           docs01, emb01, "fast hash join on a small table",
           emb01.filter(col("vec_id") === 0), k = 20, poolK = 50).count())
         time(s"hybrid_sf1_$rep")(graft.index.InvertedIndex.hybridTopK(
           docs.select(col("doc_id"), col("text")),
-          emb01, "fast hash join on a small table",
-          emb01.filter(col("vec_id") === 0), k = 20, poolK = 50).count())
+          emb1, "fast hash join on a small table",
+          emb1.filter(col("vec_id") === 0), k = 20, poolK = 50).count())
         // interpolated KN at the KenLM deployment order: model tables
         // size every shuffle (distinct n-grams), serving is suffix
         // joins — cost should track lm5's, not explode with the

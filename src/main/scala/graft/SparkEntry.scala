@@ -101,11 +101,15 @@ object SparkEntry {
     * has no duplicated three-sentence run, so these carry the rule's
     * drop path through the oracle (the DOCS_UNI discipline). Doc
     * 9000000 (even → the incr history side) holds the canonical span;
-    * 9000001 repeats it re-punctuated — normalization must collapse
-    * the copies. Pure ASCII, no quotes (SQL literal safety). */
+    * 9000001 repeats it re-punctuated AND re-whitespaced (a literal
+    * tab inside the span) — normalization must collapse the copies,
+    * so a whitespace-regex drift between the engines' twins now FAILS
+    * the oracle instead of hiding (the r13 '\\\\s+' review catch).
+    * Pure ASCII, no quotes (SQL literal safety; the tab survives both
+    * the Scala and the single-quoted SQL literal verbatim). */
   private val SpanRows: Seq[(Long, String)] = Seq(
     9000000L -> "Alpha beta gamma. Delta epsilon. Zeta eta theta. Unique tail one.",
-    9000001L -> "Intro line two! Alpha beta gamma! Delta, epsilon? Zeta eta THETA. Another tail.")
+    9000001L -> "Intro line two! Alpha beta\tgamma! Delta, epsilon? Zeta eta THETA. Another tail.")
 
   private def spanDocs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -117,6 +121,23 @@ object SparkEntry {
   private val DOCS_SPAN =
     s"""SELECT doc_id, text FROM documents
        |UNION ALL SELECT * FROM (VALUES ${SpanRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)""".stripMargin
+
+  /** Shared sentence-span CTE prologue (the C4 three-sentence rule's
+    * twin machinery over DOCS_SPAN): sentence split at terminator
+    * runs, per-sentence normalized-token md5, 3-sentence span keys.
+    * ONE copy so the normalization cannot drift between the three
+    * span twins. */
+  private val SPAN_CTES =
+    s"""d AS ($DOCS_SPAN),
+       |p AS MATERIALIZED (SELECT doc_id,
+       |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
+       |  FROM d),
+       |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
+       |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
+       |  FROM p),
+       |occ AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
+       |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
+       |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3))""".stripMargin
 
   /** `documents` + the probe rows, DuckDB side. */
   private val DOCS_UNI =
@@ -156,6 +177,62 @@ object SparkEntry {
     * match the JVM's `lit(alpha)`/`lit(alpha*alpha)` bit-for-bit
     * before the 6dp rounding; serving = three left joins + coalesce.
     * Used by q_lm3_score and q_ppl3_buckets. */
+  /** Shared Okapi-BM25 CTE chain (query "fast hash join on a small
+    * table", k1=1.2, b=0.75) — ONE copy of the IEEE-shape-sensitive
+    * arithmetic (idf rounded 6dp before use, contributions rounded
+    * then DECIMAL-summed), used by q_bm25 and q_hybrid_search. */
+  private val BM25_CTES =
+    s"""idx AS ($INDEX_SQL),
+       |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM idx GROUP BY doc_id),
+       |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
+       |hits AS (SELECT * FROM idx
+       |         WHERE word IN ('fast','hash','join','on','a','small','table')),
+       |idf AS (SELECT word,
+       |          round(ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)), 6) AS idf
+       |        FROM (SELECT word, count(*) AS df FROM hits GROUP BY word)),
+       |contrib AS (SELECT h.doc_id,
+       |    CAST(round(i.idf * (h.cnt * (1.2 + 1.0)) /
+       |        (h.cnt + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / a.avgdl)), 6) AS DECIMAL(18,6)) AS c
+       |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
+       |scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)""".stripMargin
+
+  private val LM3_CTES =
+    s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
+       |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |             FROM rt WHERE len(ts) >= 3)),
+       |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123 FROM r3 GROUP BY w1, w2, w3),
+       |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3g GROUP BY w1, w2),
+       |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
+       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
+       |             FROM rt WHERE len(ts) >= 2)),
+       |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c23 FROM r2 GROUP BY w1, w2),
+       |c2 AS (SELECT w1, sum(c23) AS c2 FROM c2g GROUP BY w1),
+       |c1g AS MATERIALIZED (SELECT w, count(*) AS c3 FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
+       |nv AS MATERIALIZED (SELECT sum(c3) AS n, count(*) AS v FROM c1g),
+       |tri AS (SELECT w1, w2, w3,
+       |          CAST(round(ln(CAST(c123 AS DOUBLE) / c12), 6) AS DECIMAL(18,6)) AS lp3
+       |        FROM c3g JOIN c12 USING (w1, w2)),
+       |bi AS (SELECT w1 AS w2, w2 AS w3,
+       |         CAST(round(ln(CAST(0.4 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2)), 6) AS DECIMAL(18,6)) AS lp2
+       |       FROM c2g JOIN c2 USING (w1)),
+       |uni AS (SELECT w AS w3,
+       |          CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * ((c3 + 1.0) / (n + v))), 6) AS DECIMAL(18,6)) AS lp1
+       |        FROM c1g CROSS JOIN nv),
+       |ov AS (SELECT CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * (1.0 / (n + v))), 6) AS DECIMAL(18,6)) AS lp_oov FROM nv),
+       |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
+       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
+       |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
+       |ds AS (SELECT d.doc_id, count(*) AS n_trigrams,
+       |         count(CASE WHEN t.lp3 IS NULL THEN 1 END) AS n_bo,
+       |         count(CASE WHEN t.lp3 IS NULL AND b.lp2 IS NULL AND u.lp1 IS NULL THEN 1 END) AS n_oov,
+       |         CAST(sum(coalesce(t.lp3, b.lp2, u.lp1, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
+       |       FROM d3 d LEFT JOIN tri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
+       |         LEFT JOIN bi b ON d.w2 = b.w2 AND d.w3 = b.w3
+       |         LEFT JOIN uni u ON d.w3 = u.w3
+       |         CROSS JOIN ov
+       |       GROUP BY d.doc_id)""".stripMargin
+
   /** Shared interpolated-Kneser-Ney CTE chain (order 3, D = 0.75) —
     * twin of knModel + knScoreWith; see q_kn_score's commentary. */
   private val KN3_CTES =
@@ -213,43 +290,6 @@ object SparkEntry {
          |         LEFT JOIN b2 ON d.w2 = b2.w2
          |         CROSS JOIN unk
          |       GROUP BY d.doc_id)""".stripMargin
-
-  private val LM3_CTES =
-    s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
-       |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
-       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 2)) AS i
-       |             FROM rt WHERE len(ts) >= 3)),
-       |c3g AS MATERIALIZED (SELECT w1, w2, w3, count(*) AS c123 FROM r3 GROUP BY w1, w2, w3),
-       |c12 AS (SELECT w1, w2, sum(c123) AS c12 FROM c3g GROUP BY w1, w2),
-       |r2 AS (SELECT ts[i] AS w1, ts[i+1] AS w2
-       |       FROM (SELECT ts, unnest(generate_series(1, len(ts) - 1)) AS i
-       |             FROM rt WHERE len(ts) >= 2)),
-       |c2g AS MATERIALIZED (SELECT w1, w2, count(*) AS c23 FROM r2 GROUP BY w1, w2),
-       |c2 AS (SELECT w1, sum(c23) AS c2 FROM c2g GROUP BY w1),
-       |c1g AS MATERIALIZED (SELECT w, count(*) AS c3 FROM (SELECT unnest(ts) AS w FROM rt) GROUP BY w),
-       |nv AS MATERIALIZED (SELECT sum(c3) AS n, count(*) AS v FROM c1g),
-       |tri AS (SELECT w1, w2, w3,
-       |          CAST(round(ln(CAST(c123 AS DOUBLE) / c12), 6) AS DECIMAL(18,6)) AS lp3
-       |        FROM c3g JOIN c12 USING (w1, w2)),
-       |bi AS (SELECT w1 AS w2, w2 AS w3,
-       |         CAST(round(ln(CAST(0.4 AS DOUBLE) * (CAST(c23 AS DOUBLE) / c2)), 6) AS DECIMAL(18,6)) AS lp2
-       |       FROM c2g JOIN c2 USING (w1)),
-       |uni AS (SELECT w AS w3,
-       |          CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * ((c3 + 1.0) / (n + v))), 6) AS DECIMAL(18,6)) AS lp1
-       |        FROM c1g CROSS JOIN nv),
-       |ov AS (SELECT CAST(round(ln((CAST(0.4 AS DOUBLE) * CAST(0.4 AS DOUBLE)) * (1.0 / (n + v))), 6) AS DECIMAL(18,6)) AS lp_oov FROM nv),
-       |d3 AS (SELECT doc_id, ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
-       |       FROM (SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 2)) AS i
-       |             FROM (SELECT doc_id, $TOKS AS ts FROM documents) WHERE len(ts) >= 3)),
-       |ds AS (SELECT d.doc_id, count(*) AS n_trigrams,
-       |         count(CASE WHEN t.lp3 IS NULL THEN 1 END) AS n_bo,
-       |         count(CASE WHEN t.lp3 IS NULL AND b.lp2 IS NULL AND u.lp1 IS NULL THEN 1 END) AS n_oov,
-       |         CAST(sum(coalesce(t.lp3, b.lp2, u.lp1, ov.lp_oov)) AS DECIMAL(18,6)) AS slp
-       |       FROM d3 d LEFT JOIN tri t ON d.w1 = t.w1 AND d.w2 = t.w2 AND d.w3 = t.w3
-       |         LEFT JOIN bi b ON d.w2 = b.w2 AND d.w3 = b.w3
-       |         LEFT JOIN uni u ON d.w3 = u.w3
-       |         CROSS JOIN ov
-       |       GROUP BY d.doc_id)""".stripMargin
 
   /** Shared 5-gram-LM CTE chain — twin of lmnModel(order = 5) +
     * lmnScoreWith (stupid backoff, the CCNet deployment order): same
@@ -1622,19 +1662,7 @@ object SparkEntry {
       // (the q_lm_score recipe); arithmetic shapes mirror the Column
       // expressions literally (1.2 + 1.0, not 2.2 — double literals
       // must take the same IEEE path both engines)
-      s"""WITH idx AS ($INDEX_SQL),
-         |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM idx GROUP BY doc_id),
-         |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
-         |hits AS (SELECT * FROM idx
-         |         WHERE word IN ('fast','hash','join','on','a','small','table')),
-         |idf AS (SELECT word,
-         |          round(ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)), 6) AS idf
-         |        FROM (SELECT word, count(*) AS df FROM hits GROUP BY word)),
-         |contrib AS (SELECT h.doc_id,
-         |    CAST(round(i.idf * (h.cnt * (1.2 + 1.0)) /
-         |        (h.cnt + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / a.avgdl)), 6) AS DECIMAL(18,6)) AS c
-         |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
-         |scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)
+      s"""WITH $BM25_CTES
          |SELECT doc_id, CAST(s AS DOUBLE) AS score,
          |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
          |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
@@ -1646,21 +1674,10 @@ object SparkEntry {
       // into DECIMAL(18,6) before the sum (order-independent exact);
       // reciprocals divide as DOUBLE on both engines (CAST shape —
       // bare 1.0/60.0 would be DECIMAL division in DuckDB)
-      s"""WITH idx AS ($INDEX_SQL),
-         |lens AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS dl FROM idx GROUP BY doc_id),
-         |a AS (SELECT CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl FROM lens),
-         |hits AS (SELECT * FROM idx
-         |         WHERE word IN ('fast','hash','join','on','a','small','table')),
-         |idf AS (SELECT word,
-         |          round(ln(1.0 + ((SELECT count(*) FROM documents) - df + 0.5) / (df + 0.5)), 6) AS idf
-         |        FROM (SELECT word, count(*) AS df FROM hits GROUP BY word)),
-         |contrib AS (SELECT h.doc_id,
-         |    CAST(round(i.idf * (h.cnt * (1.2 + 1.0)) /
-         |        (h.cnt + 1.2 * ((1.0 - 0.75) + 0.75 * l.dl / a.avgdl)), 6) AS DECIMAL(18,6)) AS c
-         |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
+      s"""WITH $BM25_CTES,
          |lex AS MATERIALIZED (SELECT doc_id, bm25_rank FROM (
          |    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS bm25_rank
-         |    FROM (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)) WHERE bm25_rank <= 50),
+         |    FROM scores) WHERE bm25_rank <= 50),
          |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
          |scored AS (SELECT c.vec_id AS doc_id,
          |    round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
@@ -2788,16 +2805,7 @@ object SparkEntry {
       // sentence hashes, first (doc_id, span_idx) wins, sentences
       // covered by non-canonical spans drop (1-based lambda index i
       // maps to Spark's 0-based i-1); empty survivor list hashes ''
-      s"""WITH d AS ($DOCS_SPAN),
-        |p AS MATERIALIZED (SELECT doc_id,
-        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
-        |  FROM d),
-        |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
-        |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
-        |  FROM p),
-        |occ AS (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
-        |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
-        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3)),
+      s"""WITH $SPAN_CTES,
         |mk AS (SELECT doc_id, span_idx,
         |    row_number() OVER (PARTITION BY h ORDER BY doc_id, span_idx) AS rn
         |  FROM occ),
@@ -2814,16 +2822,7 @@ object SparkEntry {
       // even-id docs' distinct span keys; every odd-id span matching
       // the history drops its covered sentences — no canonical
       // exception
-      s"""WITH d AS ($DOCS_SPAN),
-        |p AS MATERIALIZED (SELECT doc_id,
-        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
-        |  FROM d),
-        |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
-        |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
-        |  FROM p),
-        |occ AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
-        |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
-        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3)),
+      s"""WITH $SPAN_CTES,
         |hist AS (SELECT DISTINCT h FROM occ WHERE doc_id % 2 = 0),
         |rm AS (SELECT doc_id, list(span_idx) AS rm
         |       FROM occ JOIN hist USING (h) WHERE doc_id % 2 <> 0 GROUP BY doc_id)
@@ -2838,16 +2837,7 @@ object SparkEntry {
     "q_sentence_strip" ->
       // twin of Dedup.stripSentenceSpansAgainst(span=3): the incr drop
       // logic, survivors rejoined with '. ' (empty list coalesces '')
-      s"""WITH d AS ($DOCS_SPAN),
-        |p AS MATERIALIZED (SELECT doc_id,
-        |    list_filter(list_transform(regexp_split_to_array(text, '[.!?]+'), x -> trim(x)), x -> len(x) > 0) AS ps
-        |  FROM d),
-        |sh AS MATERIALIZED (SELECT doc_id, ps, list_transform(generate_series(1, len(ps)),
-        |    i -> md5(array_to_string(list_filter(string_split(regexp_replace(lower(regexp_replace(ps[i], '\\\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0), ' '))) AS hs
-        |  FROM p),
-        |occ AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS span_idx,
-        |    md5(hs[i] || '|' || hs[i+1] || '|' || hs[i+2]) AS h
-        |  FROM (SELECT doc_id, hs, unnest(generate_series(1, len(hs) - 2)) AS i FROM sh WHERE len(hs) >= 3)),
+      s"""WITH $SPAN_CTES,
         |hist AS (SELECT DISTINCT h FROM occ WHERE doc_id % 2 = 0),
         |rm AS (SELECT doc_id, list(span_idx) AS rm
         |       FROM occ JOIN hist USING (h) WHERE doc_id % 2 <> 0 GROUP BY doc_id)

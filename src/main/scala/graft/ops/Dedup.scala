@@ -826,13 +826,15 @@ object Dedup {
     * sparse).
     */
   def paragraphDedup(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n",
-      unicode: Boolean = false): DataFrame = {
+      unicode: Boolean = false,
+      mat: graft.core.Materialize.Strategy =
+        graft.core.Materialize.LocalCheckpoint): DataFrame = {
     // boundary is a Java-regex split pattern; the default is the
     // blank-line paragraph convention. Corpora without blank-line
     // structure (single-newline-delimited pages, like this test
     // corpus) pass "\\n+" — the unit becomes the line group, i.e.
     // C4's line-level rule under the same winner machinery.
-    val occ = paraOcc(docs, boundary, unicode)
+    val occ = graft.core.Materialize(paraOcc(docs, boundary, unicode), mat)
     val winners = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("para_idx"))).as("winner"))
     val dropped = occ.join(winners, "h")
@@ -994,9 +996,15 @@ object Dedup {
     * count, never to text.
     */
   def sentenceSpanDedup(docs: DataFrame, span: Int = 3,
-      boundary: String = "[.!?]+", unicode: Boolean = false): DataFrame = {
+      boundary: String = "[.!?]+", unicode: Boolean = false,
+      mat: graft.core.Materialize.Strategy =
+        graft.core.Materialize.LocalCheckpoint): DataFrame = {
     require(span >= 1, s"span=$span must be >= 1")
-    val occ = sentenceSpanOcc(docs, span, boundary, unicode)
+    // occ feeds BOTH the winners aggregate and the dropped join — an
+    // un-materialized subtree would run the corpus ParaHashes scan
+    // once per reference (TVF callers pass Persist to stay lazy)
+    val occ = graft.core.Materialize(
+      sentenceSpanOcc(docs, span, boundary, unicode), mat)
     val winners = occ.groupBy("h")
       .agg(min(struct(col("doc_id"), col("span_idx"))).as("winner"))
     val dropped = occ.join(winners, "h")

@@ -1218,7 +1218,8 @@ object GraftExtensions {
       val boundary =
         if (children.size == 2) str(children(1), "boundary_regex") else "\\n[ \\t]*\\n"
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
-        graft.ops.Dedup.paragraphDedup(docs, boundary))
+        graft.ops.Dedup.paragraphDedup(docs, boundary,
+          mat = graft.core.Materialize.Persist))
     })
 
   /** SQL surface for C4's three-sentence-span rule
@@ -1242,7 +1243,8 @@ object GraftExtensions {
       val span =
         if (children.size == 2) intArg("graft_sentence_spans")(children(1), "span") else 3
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
-        graft.ops.Dedup.sentenceSpanDedup(docs, span))
+        graft.ops.Dedup.sentenceSpanDedup(docs, span,
+          mat = graft.core.Materialize.Persist))
     })
 
   /** SQL surface for the span-dedup approximation measurement
