@@ -144,6 +144,95 @@ object SparkEntry {
     s"""SELECT doc_id, text FROM documents
        |UNION ALL SELECT * FROM (VALUES ${UniRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)""".stripMargin
 
+  /** Probe rows for the C4 line-rule queries — the fixture corpus has
+    * NO newlines, terminal punctuation, braces, or trigger phrases
+    * (verified), so every fixture doc cleans to the empty page and
+    * only these rows carry the rule paths through the oracle (the
+    * DOCS_UNI discipline). 9100000: a keeper exercising every line
+    * reason at once (short / unterminated / javascript / policy
+    * drops, a tab-indented CR-terminated line pinning the trim set).
+    * 9100001: lorem-ipsum page gate. 9100002: curly-brace page gate.
+    * 9100003: clean lines but under the 5-sentence floor. 9100004: a
+    * keeper whose first line ends in the end-quotation mark. ASCII,
+    * no single quotes (SQL literal safety; newlines/tab/CR survive
+    * both the Scala and the SQL literal verbatim). */
+  private val C4Rows: Seq[(Long, String)] = Seq(
+    9100000L -> Seq(
+      "The quick brown fox jumps over the lazy dog.",
+      "A second full sentence keeps this page alive!",
+      "Does a question mark count as terminal?",
+      "\tAn indented line with a tab survives trimming.\r",
+      "Too short.",
+      "this line has no terminal punctuation at all",
+      "Please enable javascript to view the page.",
+      "Read our privacy policy before continuing.",
+      "Closing sentence number five stands right here.",
+      "And a sixth sentence finishes off the page.").mkString("\n"),
+    9100001L -> "A first fine sentence sits here. Lorem ipsum dolor sit amet fills out the rest. More plain words follow now.",
+    9100002L -> Seq(
+      "A perfectly good sentence sits here.",
+      "function demo() { return 1; }",
+      "Another good sentence ends the page.").mkString("\n"),
+    9100003L -> Seq(
+      "Only three real sentences live on this page.",
+      "The second sentence is also quite fine.",
+      "The third sentence closes the page out.").mkString("\n"),
+    9100004L -> Seq(
+      "He said \"the quoted words end this line.\"",
+      "She agreed with the whole statement today.",
+      "A third sentence adds some weight.",
+      "A fourth sentence adds even more.",
+      "The fifth sentence completes the quota.").mkString("\n"))
+
+  private def c4Docs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(C4Rows.toDF("doc_id", "text"))
+  }
+
+  /** Shared C4 line-rule CTE chain — twin of
+    * [[graft.ops.TextAnalysis.c4LineStats]]/`c4Clean` at the paper
+    * defaults. The trim set / word-split class interpolate the SAME
+    * public constant the Scala op uses (raw control characters —
+    * DuckDB literals do not process escapes), and the policy
+    * predicate derives from [[graft.ops.TextAnalysis.C4PolicyPhrases]],
+    * so neither can drift. */
+  private val C4_WS = graft.ops.TextAnalysis.C4TrimChars
+  private def c4PolicyPred(v: String): String =
+    graft.ops.TextAnalysis.C4PolicyPhrases
+      .map(p => s"contains(lower($v), '$p')").mkString(" OR ")
+  private val C4_CTES =
+    s"""d AS (SELECT doc_id, text FROM documents
+       |       UNION ALL SELECT * FROM (VALUES ${C4Rows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)),
+       |lx AS MATERIALIZED (SELECT doc_id, text,
+       |    list_transform(string_split(coalesce(text, ''), chr(10)), l -> trim(l, '$C4_WS')) AS ls
+       |  FROM d),
+       |kx AS MATERIALIZED (SELECT doc_id, text, ls,
+       |    list_filter(ls, l -> len(list_filter(regexp_split_to_array(l, '[$C4_WS]+'), w -> len(w) > 0)) >= 3
+       |      AND regexp_matches(l, '[.!?"]$$')
+       |      AND NOT contains(lower(l), 'javascript')
+       |      AND NOT (${c4PolicyPred("l")})) AS kept
+       |  FROM lx),
+       |cx AS MATERIALIZED (SELECT doc_id, text, ls, kept,
+       |    coalesce(array_to_string(kept, chr(10)), '') AS clean
+       |  FROM kx),
+       |c4 AS MATERIALIZED (SELECT doc_id,
+       |    CAST(len(ls) AS BIGINT) AS n_lines,
+       |    CAST(len(kept) AS BIGINT) AS n_kept,
+       |    CAST(len(list_filter(ls, l -> len(list_filter(regexp_split_to_array(l, '[$C4_WS]+'), w -> len(w) > 0)) < 3)) AS BIGINT) AS n_drop_short,
+       |    CAST(len(list_filter(ls, l -> NOT regexp_matches(l, '[.!?"]$$'))) AS BIGINT) AS n_drop_punct,
+       |    CAST(len(list_filter(ls, l -> contains(lower(l), 'javascript'))) AS BIGINT) AS n_drop_js,
+       |    CAST(len(list_filter(ls, l -> ${c4PolicyPred("l")})) AS BIGINT) AS n_drop_policy,
+       |    CAST(len(list_filter(regexp_split_to_array(clean, '[.!?]+'), seg -> regexp_matches(seg, '[A-Za-z]'))) AS BIGINT) AS n_sentences,
+       |    contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
+       |    contains(coalesce(text, ''), '{') AS has_brace,
+       |    md5(clean) AS clean_hash,
+       |    clean,
+       |    (len(list_filter(regexp_split_to_array(clean, '[.!?]+'), seg -> regexp_matches(seg, '[A-Za-z]'))) >= 5
+       |      AND NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
+       |      AND NOT contains(coalesce(text, ''), '{')) AS keep
+       |  FROM cx)""".stripMargin
+
   /** Tokenizer twin of [[graft.core.TextNorm.tokensUnicode]] — the
     * regex chain mirrors the Catalyst one step for step; the whitespace
     * classes are equal by construction (RE2 ASCII `\s` ∪ `\p{Z}` ∪ NEL
@@ -1039,6 +1128,8 @@ object SparkEntry {
     "q_passages" -> ((s, dir) => TextAnalysis.passages(docs(s, dir))),
     // sentence segmentation stats + the truncation tell
     "q_sentences" -> ((s, dir) => TextAnalysis.sentenceSignals(docs(s, dir))),
+    "q_c4_stats" -> ((s, dir) => TextAnalysis.c4LineStats(c4Docs(s, dir))),
+    "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(c4Docs(s, dir))),
     // Flesch / Flesch-Kincaid readability (vowel-group syllable proxy)
     "q_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
     // per-source one-look health dashboard (volume, truncation, dups)
@@ -2326,6 +2417,23 @@ object SparkEntry {
          |        list_filter(string_split_regex(text, '[.!?]+'),
          |          s -> regexp_matches(s, '[A-Za-z]')) AS segs
          |      FROM documents)""".stripMargin,
+    "q_c4_stats" ->
+      // twin of TextAnalysis.c4LineStats at the paper defaults (3
+      // words/line, 5 sentences/page): per-line predicates and the
+      // trim/word-split sets interpolate the op's own constants (see
+      // C4_CTES); reason counts are independent predicates; keep =
+      // sentence floor AND NOT page triggers
+      s"""WITH $C4_CTES
+         |SELECT doc_id, n_lines, n_kept, n_drop_short, n_drop_punct,
+         |  n_drop_js, n_drop_policy, n_sentences, has_lorem, has_brace,
+         |  clean_hash, keep
+         |FROM c4""".stripMargin,
+    "q_c4_clean" ->
+      // the rewrite face: surviving pages with kept lines rejoined by
+      // chr(10) (empty rejoin coalesces '' — the array_to_string NULL
+      // gotcha — though keepers can't be empty under minSentences=5)
+      s"""WITH $C4_CTES
+         |SELECT doc_id, clean AS text FROM c4 WHERE keep""".stripMargin,
     "q_readability" ->
       // twin of TextAnalysis.readability: same tokens/segments as
       // q_sentences, vowel-group syllable proxy (min 1/word), constants

@@ -1647,6 +1647,126 @@ object TextAnalysis {
           .as("mean_sentence_tokens"),
         col("text").rlike("[.!?][ \\t\\r\\n]*$").as("ends_sentence"))
 
+  /** The released C4 cleaner's policy-phrase line triggers — lines
+    * carrying cookie/ToS boilerplate are navigation chrome, not prose.
+    * Public list from the reference implementation accompanying
+    * Raffel et al. 2020 (TensorFlow Datasets `c4_utils`). */
+  val C4PolicyPhrases: Seq[String] = Seq(
+    "terms of use", "privacy policy", "cookie policy",
+    "uses cookies", "use of cookies", "use cookies")
+
+  /** Blank characters trimmed off each line (space, tab, CR, FF, VT —
+    * CRLF corpora must clean identically to LF ones). `\n` cannot
+    * appear: lines are `\n` splits. */
+  val C4TrimChars = " \t\r\f\u000B"
+  /** The same set as a regex class body, for the within-line word
+    * split. Interpolation yields the RESOLVED control characters, so
+    * the DuckDB twin — whose single-quoted literals do not process
+    * backslash escapes — interpolates the byte-identical pattern from
+    * the same public constant. */
+  private val C4WsClass = s"[$C4TrimChars]+"
+
+  /** C4's line-level cleaning rules (Raffel et al. 2020 §2.2) in one
+    * row-local pass — the published pre-dedup cleanup that the
+    * three-sentence span rule ([[graft.ops.Dedup.sentenceSpanDedup]])
+    * assumes has already run:
+    *
+    *   - keep only lines ending in a terminal punctuation mark
+    *     (`.` `!` `?` `"` — the paper's end-quotation-mark set);
+    *   - keep only lines with at least `minWordsPerLine` (3 in the
+    *     paper) whitespace-separated words;
+    *   - drop lines containing "javascript" (case-insensitive) or any
+    *     [[C4PolicyPhrases]] member;
+    *   - drop the whole page when it mentions "lorem ipsum"
+    *     (case-insensitive) or contains an opening curly bracket
+    *     (the released cleaner's brace convention — a brace means
+    *     code, not prose);
+    *   - drop the whole page when the CLEANED text has fewer than
+    *     `minSentences` (5) sentences, counted with this repo's
+    *     segmentation unit ([[sentenceSignals]]: letter-bearing
+    *     segments between `[.!?]+` terminator runs — the original
+    *     used a local sentence-tokenizer model, which neither exists
+    *     at corpus scale nor changes the filter's intent).
+    *
+    * Lines are `\n` splits trimmed of [[C4TrimChars]]; kept lines
+    * re-join with `\n`. The per-reason drop counts are INDEPENDENT
+    * predicates (a 2-word unpunctuated line counts in BOTH
+    * `n_drop_short` and `n_drop_punct`) — attribution, not a
+    * partition of the dropped set. NULL text behaves as the empty
+    * page (`keep = false`). Everything is regex/HOF algebra over
+    * sealed arrays: row-parallel, zero shuffle, scan cost at 100 TB.
+    */
+  def c4LineStats(docs: DataFrame, minWordsPerLine: Int = 3,
+      minSentences: Int = 5,
+      policyPhrases: Seq[String] = C4PolicyPhrases): DataFrame =
+    c4Faces(docs, minWordsPerLine, minSentences, policyPhrases)
+      .drop("clean")
+
+  /** The REWRITE face of [[c4LineStats]]: surviving pages only, text
+    * replaced by the kept-line join — the stage a C4-shaped corpus
+    * build runs between ingest and span dedup. */
+  def c4Clean(docs: DataFrame, minWordsPerLine: Int = 3,
+      minSentences: Int = 5,
+      policyPhrases: Seq[String] = C4PolicyPhrases): DataFrame =
+    c4Faces(docs, minWordsPerLine, minSentences, policyPhrases)
+      .where(col("keep"))
+      .select(col("doc_id"), col("clean").as("text"))
+
+  private def c4Faces(docs: DataFrame, minWordsPerLine: Int,
+      minSentences: Int, policyPhrases: Seq[String]): DataFrame = {
+    require(minWordsPerLine >= 1,
+      s"minWordsPerLine=$minWordsPerLine must be >= 1")
+    require(minSentences >= 0, s"minSentences=$minSentences must be >= 0")
+    val okShort = (l: Column) =>
+      size(filter(split(l, C4WsClass), w => length(w) > lit(0))) >=
+        lit(minWordsPerLine)
+    val okPunct = (l: Column) => l.rlike("[.!?\"]$")
+    val isJs = (l: Column) => lower(l).contains(lit("javascript"))
+    val isPolicy = (l: Column) =>
+      if (policyPhrases.isEmpty) lit(false)
+      else policyPhrases
+        .map(p => lower(l).contains(lit(p.toLowerCase(java.util.Locale.ROOT))))
+        .reduce(_ || _)
+    // each stage seals what the next references more than once, so
+    // CollapseProject cannot re-inline the line split / keep filter /
+    // rejoin per consumer (the flag-op discipline)
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), col("text"),
+        seal(struct(
+          transform(split(coalesce(col("text"), lit("")), "\n"),
+            l => trim(l, C4TrimChars)).as("lines"))).as("s1"))
+      .select(col("doc_id"), col("text"), col("s1.lines").as("lines"),
+        seal(struct(
+          filter(col("s1.lines"),
+            l => okShort(l) && okPunct(l) && !isJs(l) && !isPolicy(l))
+            .as("kept"))).as("s2"))
+      .select(col("doc_id"), col("text"), col("lines"),
+        size(col("s2.kept")).cast("long").as("n_kept"),
+        seal(struct(
+          array_join(col("s2.kept"), "\n").as("clean"))).as("s3"))
+      .select(col("doc_id"),
+        size(col("lines")).cast("long").as("n_lines"),
+        col("n_kept"),
+        size(filter(col("lines"), l => !okShort(l))).cast("long")
+          .as("n_drop_short"),
+        size(filter(col("lines"), l => !okPunct(l))).cast("long")
+          .as("n_drop_punct"),
+        size(filter(col("lines"), l => isJs(l))).cast("long")
+          .as("n_drop_js"),
+        size(filter(col("lines"), l => isPolicy(l))).cast("long")
+          .as("n_drop_policy"),
+        size(filter(split(col("s3.clean"), "[.!?]+"),
+          seg => seg.rlike("[A-Za-z]"))).cast("long").as("n_sentences"),
+        lower(coalesce(col("text"), lit("")))
+          .contains(lit("lorem ipsum")).as("has_lorem"),
+        coalesce(col("text"), lit("")).contains(lit("{")).as("has_brace"),
+        md5(col("s3.clean")).as("clean_hash"),
+        col("s3.clean").as("clean"))
+      .withColumn("keep",
+        col("n_sentences") >= lit(minSentences.toLong) &&
+          !col("has_lorem") && !col("has_brace"))
+  }
+
   /** Readability scores — Flesch Reading Ease and Flesch-Kincaid
     * grade (Kincaid et al. '75), the classical difficulty signals a
     * curation mix uses to stratify by audience level. Words are the

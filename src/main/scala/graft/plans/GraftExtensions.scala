@@ -63,6 +63,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.corpusHealthTableFunction)
     ext.injectTableFunction(GraftExtensions.paraDedupTableFunction)
     ext.injectTableFunction(GraftExtensions.sentenceSpansTableFunction)
+    ext.injectTableFunction(GraftExtensions.c4StatsTableFunction)
+    ext.injectTableFunction(GraftExtensions.c4CleanTableFunction)
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.lmnScoreTableFunction)
@@ -1247,6 +1249,51 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for C4's line-level cleaning rules
+    * ([[graft.ops.TextAnalysis.c4LineStats]] /
+    * [[graft.ops.TextAnalysis.c4Clean]]) at the paper defaults:
+    *
+    * {{{
+    * SELECT * FROM graft_c4_stats('docs')        -- per-page line stats + keep
+    * SELECT * FROM graft_c4_stats('docs', 5)     -- min words/line dial
+    * SELECT * FROM graft_c4_clean('docs')        -- surviving pages, rewritten
+    * }}}
+    *
+    * Row-local (no shuffle at any size) — both faces stay fully lazy. */
+  private val c4StatsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_c4_stats"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_c4_stats"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_c4_stats(docs_table[, min_words_per_line])")
+      val docs = SparkSession.active.table(
+        stringArg("graft_c4_stats")(children.head, "docs_table"))
+      val minWords =
+        if (children.size == 2)
+          intArg("graft_c4_stats")(children(1), "min_words_per_line")
+        else 3
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.c4LineStats(docs, minWords))
+    })
+
+  private val c4CleanTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_c4_clean"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_c4_clean"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1 || children.size == 2,
+        "graft_c4_clean(docs_table[, min_words_per_line])")
+      val docs = SparkSession.active.table(
+        stringArg("graft_c4_clean")(children.head, "docs_table"))
+      val minWords =
+        if (children.size == 2)
+          intArg("graft_c4_clean")(children(1), "min_words_per_line")
+        else 3
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.c4Clean(docs, minWords))
+    })
+
   /** SQL surface for the span-dedup approximation measurement
     * ([[graft.ops.Dedup.spanEval]]):
     *
@@ -1465,6 +1512,7 @@ object GraftExtensions {
         containmentTableFunction, histogramTableFunction,
         readabilityTableFunction, corpusHealthTableFunction,
         paraDedupTableFunction, sentenceSpansTableFunction,
+        c4StatsTableFunction, c4CleanTableFunction,
         spanEvalTableFunction,
         lm3ScoreTableFunction, lmnScoreTableFunction, knScoreTableFunction,
         shardManifestTableFunction,

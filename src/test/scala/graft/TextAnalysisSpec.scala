@@ -1025,4 +1025,96 @@ class TextAnalysisSpec extends SparkSpec {
       TextAnalysis.lmnScoreWith(mixed, m0)
         .as[(Long, Long, Long, Long, Option[Double])].collect().toSet)
   }
+
+  // ---- C4 line-level cleaning rules (Raffel et al. 2020 §2.2) ----
+
+  private val c4Page = Seq(
+    "The quick brown fox jumps over the lazy dog.",
+    "A second full sentence keeps this page alive!",
+    "Does a question mark count as terminal?",
+    "\tAn indented line with a tab survives trimming.\r",
+    "Too short.",
+    "this line has no terminal punctuation at all",
+    "Please enable javascript to view the page.",
+    "Read our privacy policy before continuing.",
+    "Closing sentence number five stands right here.",
+    "And a sixth sentence finishes off the page.").mkString("\n")
+
+  test("c4LineStats: every line rule attributed on one page; keeper survives") {
+    val got = TextAnalysis.c4LineStats(docs(1L -> c4Page))
+      .select("n_lines", "n_kept", "n_drop_short", "n_drop_punct",
+        "n_drop_js", "n_drop_policy", "n_sentences", "has_lorem",
+        "has_brace", "keep")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Boolean, Boolean, Boolean)]
+      .head()
+    assert(got === ((10L, 6L, 1L, 1L, 1L, 1L, 6L, false, false, true)))
+  }
+
+  test("c4Clean: kept lines rejoin with newline, trimmed (tab/CR pin); page gates drop whole docs") {
+    val lorem = "A first fine sentence sits here. Lorem Ipsum dolor sit amet fills out the rest."
+    val brace = "A good sentence sits here.\nfunction demo() { return 1; }"
+    val floor = "Just one single sentence lives here."
+    val out = TextAnalysis.c4Clean(docs(
+        1L -> c4Page, 2L -> lorem, 3L -> brace, 4L -> floor))
+      .as[(Long, String)].collect().toMap
+    assert(out.keySet === Set(1L))
+    val lines = out(1L).split("\n").toSeq
+    assert(lines.size === 6)
+    // the indented CRLF line came through trimmed, in original order
+    assert(lines(3) === "An indented line with a tab survives trimming.")
+    assert(lines.head === "The quick brown fox jumps over the lazy dog.")
+  }
+
+  test("c4LineStats: independent reason counts — one line can carry several reasons") {
+    // 2 words, unterminated, javascript AND a policy phrase
+    val l = "javascript cookie-policy"
+    val got = TextAnalysis.c4LineStats(docs(1L -> (l + "\nuse cookies")))
+      .select("n_drop_short", "n_drop_punct", "n_drop_js", "n_drop_policy", "n_kept")
+      .as[(Long, Long, Long, Long, Long)].head()
+    // line1: short+punct+js; line2 "use cookies": short+punct+policy
+    assert(got === ((2L, 2L, 1L, 1L, 0L)))
+  }
+
+  test("c4 dials: minWordsPerLine, minSentences, empty policy list, end-quote mark") {
+    val quotePage = Seq(
+      "He said \"the quoted words end this line.\"",
+      "Read our privacy policy before continuing.",
+      "A third sentence adds some weight.").mkString("\n")
+    // default: policy line dropped, floor 5 not met
+    assert(TextAnalysis.c4Clean(docs(1L -> quotePage)).count() === 0)
+    // policy list emptied + floor 3: the end-quote line must count as terminated
+    val kept = TextAnalysis.c4Clean(docs(1L -> quotePage),
+        minSentences = 3, policyPhrases = Seq.empty)
+      .as[(Long, String)].head()._2
+    assert(kept.split("\n").length === 3)
+    // raising minWordsPerLine past the longest line (8 words) drops all
+    val strict = TextAnalysis.c4LineStats(docs(1L -> quotePage),
+        minWordsPerLine = 9)
+      .select("n_kept").as[Long].head()
+    assert(strict === 0L)
+  }
+
+  test("c4LineStats: null text is the empty page — keep false, no NULL flags") {
+    val got = TextAnalysis.c4LineStats(
+        Seq((1L, null.asInstanceOf[String]), (2L, "")).toDF("doc_id", "text"))
+      .select("doc_id", "n_lines", "n_kept", "has_lorem", "keep")
+      .as[(Long, Long, Long, Boolean, Boolean)].collect().toSet
+    assert(got === Set((1L, 1L, 0L, false, false), (2L, 1L, 0L, false, false)))
+  }
+
+  test("graft_c4_stats / graft_c4_clean TVF parity, both arities") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    docs(1L -> c4Page, 2L -> "Too few sentences here.")
+      .createOrReplaceTempView("c4_docs")
+    val want = TextAnalysis.c4LineStats(SparkSpec.spark.table("c4_docs"))
+      .collect().toSet
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_c4_stats('c4_docs')")
+      .collect().toSet === want)
+    val clean = SparkSpec.spark.sql("SELECT * FROM graft_c4_clean('c4_docs')")
+      .as[(Long, String)].collect().toMap
+    assert(clean.keySet === Set(1L) && clean(1L).split("\n").length === 6)
+    // dial arity: a min-words floor past every line keeps nothing
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_c4_clean('c4_docs', 20)").count() === 0)
+  }
 }
