@@ -190,6 +190,67 @@ object SparkEntry {
       .unionByName(C4Rows.toDF("doc_id", "text"))
   }
 
+  /** Probe pages for the HTML queries — the fixture corpus is plain
+    * text, so these carry every extraction path: a full page (head/
+    * title/style dropped, script block spanning a fake close tag,
+    * comment, entity, list structure), a nav link-farm (high link
+    * density), malformed markup (unclosed tag, stray `<`, the
+    * decode-AFTER-strip order pin via `&lt;tag&gt;`), an entity
+    * battery (apostrophe + numeric passthrough), and a plain CRLF
+    * multiline page (total-function pass-through). ASCII, no single
+    * quotes (SQL literal safety). */
+  private val HtmlRows: Seq[(Long, String)] = Seq(
+    9200000L -> ("<!DOCTYPE html><html><head><title>A Probe Page</title>" +
+      "<style>body { color: red; }</style></head><body><h1>Main Heading</h1>" +
+      "<p>First paragraph with <b>bold</b> text &amp; an entity.</p>" +
+      "<script>var x = \"</p>\"; alert(1);</script>" +
+      "<p>Second paragraph links to <a href=\"https://example.com\">a fine " +
+      "example site</a> today.</p><!-- hidden comment -->" +
+      "<ul><li>Item one</li><li>Item two</li></ul></body></html>"),
+    9200001L -> ("<body><p><a href=\"/a\">Nav one</a> <a href=\"/b\">Nav two" +
+      "</a> <a href=\"/c\">Nav three</a></p></body>"),
+    9200002L -> ("Unclosed <b bold start and a stray < less-than sign here. " +
+      "An escaped &lt;tag&gt; must survive extraction as text."),
+    9200003L -> ("Fish &amp; chips cost five pounds&nbsp;today. A &#8364; " +
+      "sign passes through. He said &quot;hello&quot; and &#39;bye&#39;."),
+    9200004L -> "Plain first line.\r\nPlain second line.\n\nPlain third line.")
+
+  private def htmlDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(HtmlRows.toDF("doc_id", "text"))
+  }
+
+  /** DuckDB twin of [[graft.ops.Html]]'s extraction chain over an
+    * input expression — every pattern/entity interpolates the op's
+    * own PUBLIC constants (Java-regex ∩ RE2 subset; DuckDB literals
+    * take the raw pattern bytes), so the chain cannot drift. */
+  private def htmlExtractSql(in: String): String = {
+    import graft.ops.Html
+    val breaks =
+      s"""regexp_replace(regexp_replace(regexp_replace($in, '${Html.CommentPat}', ' ', 'g'), '${Html.InvisiblePat}', ' ', 'g'), '${Html.LineBreakPat}', chr(10), 'g')"""
+    val noTags = s"regexp_replace($breaks, '${Html.TagPat}', ' ', 'g')"
+    val decoded = Html.Entities.foldLeft(noTags) { case (acc, (ent, ch)) =>
+      val rep = if (ch == "'") "chr(39)" else s"'$ch'"
+      s"replace($acc, '$ent', $rep)"
+    }
+    val collapsed = s"regexp_replace($decoded, '${Html.HWsPat}', ' ', 'g')"
+    s"coalesce(array_to_string(list_filter(list_transform(string_split($collapsed, chr(10)), l -> trim(l, ' ')), l -> len(l) > 0), chr(10)), '')"
+  }
+
+  /** Shared HTML CTE prologue: the probe-extended corpus and the
+    * extracted text + anchor-char sum both faces consume. */
+  private val HTML_CTES = {
+    import graft.ops.Html
+    s"""d AS (SELECT doc_id, text FROM documents
+       |       UNION ALL SELECT * FROM (VALUES ${HtmlRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)),
+       |hx AS MATERIALIZED (SELECT doc_id, coalesce(text, '') AS raw FROM d),
+       |ex AS MATERIALIZED (SELECT doc_id, raw,
+       |    ${htmlExtractSql("raw")} AS txt,
+       |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(raw, '${Html.AnchorPat}', 1), a -> len(regexp_replace(a, '${Html.TagPat}', '', 'g')))), 0) AS BIGINT) AS anchor_chars
+       |  FROM hx)""".stripMargin
+  }
+
   /** Shared C4 line-rule CTE chain — twin of
     * [[graft.ops.TextAnalysis.c4LineStats]]/`c4Clean` at the paper
     * defaults. The trim set / word-split class interpolate the SAME
@@ -1130,6 +1191,8 @@ object SparkEntry {
     "q_sentences" -> ((s, dir) => TextAnalysis.sentenceSignals(docs(s, dir))),
     "q_c4_stats" -> ((s, dir) => TextAnalysis.c4LineStats(c4Docs(s, dir))),
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(c4Docs(s, dir))),
+    "q_html_text" -> ((s, dir) => graft.ops.Html.htmlToText(htmlDocs(s, dir))),
+    "q_html_signals" -> ((s, dir) => graft.ops.Html.htmlSignals(htmlDocs(s, dir))),
     // Flesch / Flesch-Kincaid readability (vowel-group syllable proxy)
     "q_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
     // per-source one-look health dashboard (volume, truncation, dups)
@@ -2434,6 +2497,30 @@ object SparkEntry {
       // gotcha — though keepers can't be empty under minSentences=5)
       s"""WITH $C4_CTES
          |SELECT doc_id, clean AS text FROM c4 WHERE keep""".stripMargin,
+    "q_html_text" ->
+      // twin of Html.htmlToText: the identical replace chain (comment
+      // -> invisible blocks -> line-break tags -> tag strip -> named
+      // entities, &amp; last -> horizontal collapse -> line cleanup),
+      // every pattern interpolated from the op's public constants
+      s"""WITH $HTML_CTES
+         |SELECT doc_id, txt AS text FROM ex""".stripMargin,
+    "q_html_signals" ->
+      // twin of Html.htmlSignals: counts on raw markup, link density
+      // = anchor chars / extracted chars (NULL on empty), extraction
+      // yield, nullif''d title
+      s"""WITH $HTML_CTES
+         |SELECT doc_id,
+         |  regexp_matches(raw, '${graft.ops.Html.LooksHtmlPat}') AS looks_html,
+         |  CAST(len(regexp_extract_all(raw, '${graft.ops.Html.TagPat}')) AS BIGINT) AS n_tags,
+         |  CAST(len(regexp_extract_all(raw, '${graft.ops.Html.AnchorOpenPat}')) AS BIGINT) AS n_anchors,
+         |  CAST(coalesce(list_sum(list_transform(regexp_extract_all(raw, '${graft.ops.Html.InvisiblePat}'), b -> len(b))), 0) AS BIGINT) AS script_chars,
+         |  anchor_chars,
+         |  CAST(len(raw) AS BIGINT) AS n_chars_raw,
+         |  CAST(len(txt) AS BIGINT) AS n_chars_text,
+         |  CASE WHEN len(txt) > 0 THEN round(CAST(anchor_chars AS DOUBLE) / len(txt), 6) END AS link_density,
+         |  CASE WHEN len(raw) > 0 THEN round(CAST(len(txt) AS DOUBLE) / len(raw), 6) END AS text_ratio,
+         |  nullif(regexp_extract(raw, '${graft.ops.Html.TitlePat}', 1), '') AS title
+         |FROM ex""".stripMargin,
     "q_readability" ->
       // twin of TextAnalysis.readability: same tokens/segments as
       // q_sentences, vowel-group syllable proxy (min 1/word), constants

@@ -65,6 +65,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.sentenceSpansTableFunction)
     ext.injectTableFunction(GraftExtensions.c4StatsTableFunction)
     ext.injectTableFunction(GraftExtensions.c4CleanTableFunction)
+    ext.injectTableFunction(GraftExtensions.htmlTextTableFunction)
+    ext.injectTableFunction(GraftExtensions.htmlSignalsTableFunction)
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.lmnScoreTableFunction)
@@ -1294,6 +1296,38 @@ object GraftExtensions {
         graft.ops.TextAnalysis.c4Clean(docs, minWords))
     })
 
+  /** SQL surface for the HTML extraction pair ([[graft.ops.Html]]):
+    *
+    * {{{
+    * SELECT * FROM graft_html_text('pages')      -- markup stripped
+    * SELECT * FROM graft_html_signals('pages')   -- link density & friends
+    * }}}
+    *
+    * Row-local; both faces fully lazy. */
+  private val htmlTextTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_html_text"),
+    new ExpressionInfo(graft.ops.Html.getClass.getName, "graft_html_text"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_html_text(docs_table)")
+      val docs = SparkSession.active.table(
+        stringArg("graft_html_text")(children.head, "docs_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Html.htmlToText(docs))
+    })
+
+  private val htmlSignalsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_html_signals"),
+    new ExpressionInfo(graft.ops.Html.getClass.getName, "graft_html_signals"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_html_signals(docs_table)")
+      val docs = SparkSession.active.table(
+        stringArg("graft_html_signals")(children.head, "docs_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Html.htmlSignals(docs))
+    })
+
   /** SQL surface for the span-dedup approximation measurement
     * ([[graft.ops.Dedup.spanEval]]):
     *
@@ -1513,6 +1547,7 @@ object GraftExtensions {
         readabilityTableFunction, corpusHealthTableFunction,
         paraDedupTableFunction, sentenceSpansTableFunction,
         c4StatsTableFunction, c4CleanTableFunction,
+        htmlTextTableFunction, htmlSignalsTableFunction,
         spanEvalTableFunction,
         lm3ScoreTableFunction, lmnScoreTableFunction, knScoreTableFunction,
         shardManifestTableFunction,
