@@ -97,15 +97,19 @@ object Html {
       "\n")
   }
 
-  /** The REWRITE face: `(doc_id, text)` with markup stripped — what a
-    * crawl pipeline feeds into [[TextAnalysis.c4Clean]] and the dedup
-    * ladder. Pages without markup pass through (modulo whitespace
-    * normalization — the chain is total, not HTML-gated). NULL text
-    * behaves as the empty page. */
-  def htmlToText(docs: DataFrame): DataFrame =
+  /** The REWRITE face: `text` replaced by the markup-stripped prose —
+    * what a crawl pipeline feeds into [[TextAnalysis.c4Clean]] and
+    * the dedup ladder. Pages without markup pass through (modulo
+    * whitespace normalization — the chain is total, not HTML-gated).
+    * NULL text behaves as the empty page. All other input columns
+    * pass through unchanged (streaming callers carry `source`). */
+  def htmlToText(docs: DataFrame): DataFrame = {
+    val keep = docs.columns.toSeq
+      .filter(c => c != "doc_id" && c != "text").map(col)
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"),
-        extract(coalesce(col("text"), lit(""))).as("text"))
+      .select(col("doc_id") +: keep :+
+        extract(coalesce(col("text"), lit(""))).as("text"): _*)
+  }
 
   /** The SIGNALS face: markup statistics a curation gate thresholds
     * BEFORE paying for downstream stages — tag/anchor counts, script

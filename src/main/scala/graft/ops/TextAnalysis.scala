@@ -1704,16 +1704,22 @@ object TextAnalysis {
 
   /** The REWRITE face of [[c4LineStats]]: surviving pages only, text
     * replaced by the kept-line join — the stage a C4-shaped corpus
-    * build runs between ingest and span dedup. */
+    * build runs between ingest and span dedup. Every input column
+    * other than `text` passes through unchanged (a streaming caller
+    * carries `source` beside the text — recovering it afterwards
+    * would cost a join this row-local stage has no business paying). */
   def c4Clean(docs: DataFrame, minWordsPerLine: Int = 3,
       minSentences: Int = 5,
-      policyPhrases: Seq[String] = C4PolicyPhrases): DataFrame =
-    c4Faces(docs, minWordsPerLine, minSentences, policyPhrases)
+      policyPhrases: Seq[String] = C4PolicyPhrases): DataFrame = {
+    val extras = docs.columns.toSeq.filter(c => c != "doc_id" && c != "text")
+    c4Faces(docs, minWordsPerLine, minSentences, policyPhrases, extras)
       .where(col("keep"))
-      .select(col("doc_id"), col("clean").as("text"))
+      .select(col("doc_id") +: extras.map(col) :+ col("clean").as("text"): _*)
+  }
 
   private def c4Faces(docs: DataFrame, minWordsPerLine: Int,
-      minSentences: Int, policyPhrases: Seq[String]): DataFrame = {
+      minSentences: Int, policyPhrases: Seq[String],
+      extras: Seq[String] = Seq.empty): DataFrame = {
     require(minWordsPerLine >= 1,
       s"minWordsPerLine=$minWordsPerLine must be >= 1")
     require(minSentences >= 0, s"minSentences=$minSentences must be >= 0")
@@ -1730,38 +1736,40 @@ object TextAnalysis {
     // each stage seals what the next references more than once, so
     // CollapseProject cannot re-inline the line split / keep filter /
     // rejoin per consumer (the flag-op discipline)
+    val keep = extras.map(col)
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), col("text"),
+      .select(col("doc_id") +: keep :+ col("text") :+
         seal(struct(
           transform(split(coalesce(col("text"), lit("")), "\n"),
-            l => trim(l, C4TrimChars)).as("lines"))).as("s1"))
-      .select(col("doc_id"), col("text"), col("s1.lines").as("lines"),
+            l => trim(l, C4TrimChars)).as("lines"))).as("s1"): _*)
+      .select(col("doc_id") +: keep :+ col("text") :+
+        col("s1.lines").as("lines") :+
         seal(struct(
           filter(col("s1.lines"),
             l => okShort(l) && okPunct(l) && !isJs(l) && !isPolicy(l))
-            .as("kept"))).as("s2"))
-      .select(col("doc_id"), col("text"), col("lines"),
-        size(col("s2.kept")).cast("long").as("n_kept"),
+            .as("kept"))).as("s2"): _*)
+      .select(col("doc_id") +: keep :+ col("text") :+ col("lines") :+
+        size(col("s2.kept")).cast("long").as("n_kept") :+
         seal(struct(
-          array_join(col("s2.kept"), "\n").as("clean"))).as("s3"))
-      .select(col("doc_id"),
-        size(col("lines")).cast("long").as("n_lines"),
-        col("n_kept"),
+          array_join(col("s2.kept"), "\n").as("clean"))).as("s3"): _*)
+      .select(col("doc_id") +: keep :+
+        size(col("lines")).cast("long").as("n_lines") :+
+        col("n_kept") :+
         size(filter(col("lines"), l => !okShort(l))).cast("long")
-          .as("n_drop_short"),
+          .as("n_drop_short") :+
         size(filter(col("lines"), l => !okPunct(l))).cast("long")
-          .as("n_drop_punct"),
+          .as("n_drop_punct") :+
         size(filter(col("lines"), l => isJs(l))).cast("long")
-          .as("n_drop_js"),
+          .as("n_drop_js") :+
         size(filter(col("lines"), l => isPolicy(l))).cast("long")
-          .as("n_drop_policy"),
+          .as("n_drop_policy") :+
         size(filter(split(col("s3.clean"), "[.!?]+"),
-          seg => seg.rlike("[A-Za-z]"))).cast("long").as("n_sentences"),
+          seg => seg.rlike("[A-Za-z]"))).cast("long").as("n_sentences") :+
         lower(coalesce(col("text"), lit("")))
-          .contains(lit("lorem ipsum")).as("has_lorem"),
-        coalesce(col("text"), lit("")).contains(lit("{")).as("has_brace"),
-        md5(col("s3.clean")).as("clean_hash"),
-        col("s3.clean").as("clean"))
+          .contains(lit("lorem ipsum")).as("has_lorem") :+
+        coalesce(col("text"), lit("")).contains(lit("{")).as("has_brace") :+
+        md5(col("s3.clean")).as("clean_hash") :+
+        col("s3.clean").as("clean"): _*)
       .withColumn("keep",
         col("n_sentences") >= lit(minSentences.toLong) &&
           !col("has_lorem") && !col("has_brace"))

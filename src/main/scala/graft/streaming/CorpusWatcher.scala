@@ -168,6 +168,17 @@ object CorpusWatcher {
     * adds a connected-components pass per batch, and a feed that is
     * already unique-per-batch shouldn't pay for it.
     *
+    * Crawl-front rewrites (`htmlExtract`, `c4Rules`): the streaming
+    * faces of [[graft.ops.Html.htmlToText]] and
+    * [[graft.ops.TextAnalysis.c4Clean]], applied to parsed rows
+    * BEFORE every content gate — a raw-crawl feed carries markup, and
+    * the quality/dedup ladder is specified over prose. Extraction
+    * rewrites text and never drops rows; the C4 line rules drop
+    * boilerplate lines and sub-floor pages (page drops are policy,
+    * like the gates — not quarantined). Both are row-local (no new
+    * shuffle, no state) and deterministic, so replay idempotence is
+    * inherited; `source` passes through the rewrites.
+    *
     * Quality gate (`qualityGate`): the streaming face of the batch
     * curation chain's row-parallel stages ([[graft.ops.Curation]]) —
     * each batch's clean rows pass the quality rule (≥ minTokens tokens,
@@ -342,7 +353,9 @@ object CorpusWatcher {
       positional: Boolean = false,
       metricsDir: Option[String] = None,
       driftDir: Option[String] = None,
-      unicodeTokens: Boolean = false): StreamingQuery = {
+      unicodeTokens: Boolean = false,
+      htmlExtract: Boolean = false,
+      c4Rules: Boolean = false): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -404,9 +417,20 @@ object CorpusWatcher {
         bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
         val parsed = batch.filter(col(C).isNull && col("doc_id").isNotNull)
           .select(col("doc_id").cast("string").as("doc_id"), col("text"), col("source"))
+        // crawl-front stages, BEFORE every content gate: a raw-markup
+        // feed first extracts prose (row-local), then applies C4's
+        // line rules (row-local, drops boilerplate lines + sub-floor
+        // pages) — so the quality/dedup ladder sees what it was
+        // designed for. Both rewrite faces pass `source` through.
+        val pages =
+          if (!htmlExtract) parsed
+          else staged(graft.ops.Html.htmlToText(parsed))
+        val prose =
+          if (!c4Rules) pages
+          else staged(graft.ops.TextAnalysis.c4Clean(pages))
         val clean = qualityGate match {
-          case None => parsed
-          case Some(g) => staged(graft.ops.Curation.applyGate(parsed, g,
+          case None => prose
+          case Some(g) => staged(graft.ops.Curation.applyGate(prose, g,
             // the adaptive gate's stats publish needs per-doc token
             // counts — ride the gate's tokenize pass instead of
             // paying a second one at stats time
@@ -639,7 +663,11 @@ object CorpusWatcher {
           // stages reuse the upstream count (no extra action)
           val nIngest = batch.count()
           val nParsed = parsed.count()
-          val nGated = if (qualityGate.isDefined) clean.count() else nParsed
+          // html extraction rewrites text but never drops rows — the
+          // stage row reuses the parsed count (no extra action)
+          val nHtml = nParsed
+          val nC4 = if (c4Rules) prose.count() else nHtml
+          val nGated = if (qualityGate.isDefined) clean.count() else nC4
           val nClf = if (classifierGate.isDefined) scored.count() else nGated
           val nDecon = if (decontamShingles.isDefined) uncontaminated.count() else nClf
           val nHist = if (dedupBandsDir.isDefined) afterHistoryF.count() else nDecon
@@ -651,10 +679,11 @@ object CorpusWatcher {
           import session.implicits._
           Seq(
             (1, "ingest", nIngest), (2, "parsed", nParsed),
-            (3, "quality_gate", nGated), (4, "classifier", nClf),
-            (5, "decontaminated", nDecon), (6, "dedup_history", nHist),
-            (7, "dedup_within", nWithin), (8, "mixture", nMix),
-            (9, "indexed", nMix))
+            (3, "html_text", nHtml), (4, "c4_lines", nC4),
+            (5, "quality_gate", nGated), (6, "classifier", nClf),
+            (7, "decontaminated", nDecon), (8, "dedup_history", nHist),
+            (9, "dedup_within", nWithin), (10, "mixture", nMix),
+            (11, "indexed", nMix))
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }

@@ -250,8 +250,8 @@ class CorpusWatcherSpec extends SparkSpec {
       spark.read.parquet(metrics).filter(col("batch_id") === batch)
         .select("stage", "n_docs").as[(String, Long)].collect().toMap
     assert(metricsOf(0) === Map(
-      "ingest" -> 5L, "parsed" -> 4L, "quality_gate" -> 3L,
-      "classifier" -> 3L, "decontaminated" -> 3L,
+      "ingest" -> 5L, "parsed" -> 4L, "html_text" -> 4L, "c4_lines" -> 4L,
+      "quality_gate" -> 3L, "classifier" -> 3L, "decontaminated" -> 3L,
       "dedup_history" -> 3L, "dedup_within" -> 2L,
       "mixture" -> 2L, "indexed" -> 2L))
     // batch 1: a near-dup of a batch-0 survivor dies at the history stage
@@ -259,8 +259,8 @@ class CorpusWatcherSpec extends SparkSpec {
       s"""{"doc_id": 30, "text": "$dupText"}""".getBytes("UTF-8"))
     run()
     assert(metricsOf(1) === Map(
-      "ingest" -> 1L, "parsed" -> 1L, "quality_gate" -> 1L,
-      "classifier" -> 1L, "decontaminated" -> 1L,
+      "ingest" -> 1L, "parsed" -> 1L, "html_text" -> 1L, "c4_lines" -> 1L,
+      "quality_gate" -> 1L, "classifier" -> 1L, "decontaminated" -> 1L,
       "dedup_history" -> 0L, "dedup_within" -> 0L,
       "mixture" -> 0L, "indexed" -> 0L))
     assert(indexEntries(index).map(_._2) === Set("20", "21"))
@@ -617,7 +617,8 @@ class CorpusWatcherSpec extends SparkSpec {
     val m1 = spark.read.parquet(metrics).filter(col("batch_id") === 1)
       .select("stage", "n_docs").as[(String, Long)].collect().toMap
     assert(m1 === Map(
-      "ingest" -> 3L, "parsed" -> 3L, "quality_gate" -> 3L,
+      "ingest" -> 3L, "parsed" -> 3L, "html_text" -> 3L, "c4_lines" -> 3L,
+      "quality_gate" -> 3L,
       "classifier" -> 2L, "decontaminated" -> 1L,
       "dedup_history" -> 1L, "dedup_within" -> 1L,
       "mixture" -> 1L, "indexed" -> 1L))
@@ -875,5 +876,28 @@ class CorpusWatcherSpec extends SparkSpec {
     // stream, so the FRESH doc 3 is falsely dropped too — the silent
     // failure the dial closes
     assert(runPair(unicodeTokens = false) === Set("1"))
+  }
+
+  test("htmlExtract + c4Rules: the crawl front extracts prose and drops boilerplate pages before indexing") {
+    val (watch, index, ckpt, quar) =
+      (tmp("watchhc"), tmp("indexhc"), tmp("ckpthc"), tmp("quarhc") + "/bad")
+    // 40: a five-sentence article wrapped in markup — survives both
+    // stages, indexed as EXTRACTED prose; 41: a nav list — extraction
+    // leaves one-word unterminated lines, the C4 rules empty it and
+    // the 5-sentence floor drops the page
+    val page = "<html><body>" + (1 to 5).map(i =>
+      s"<p>The quick brown fox jumps number $i today.</p>").mkString + "</body></html>"
+    Files.write(Paths.get(watch, "feed-0.json"),
+      (s"""{"doc_id": 40, "text": "$page"}""" + "\n" +
+        """{"doc_id": 41, "text": "<ul><li>nav</li><li>links</li></ul>"}""" + "\n").getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      htmlExtract = true, c4Rules = true).awaitTermination()
+    val entries = indexEntries(index)
+    assert(entries.map(_._2) === Set("40"),
+      s"only the article should index, got: ${entries.map(_._2)}")
+    // the index holds the extracted prose's tokens, never markup
+    val words = entries.map(_._1)
+    assert(words.contains("fox") && words.contains("today"))
+    assert(!words.contains("html") && !words.contains("li") && !words.contains("p"))
   }
 }
