@@ -750,6 +750,46 @@ object ProbeScale {
         }
       }
     }
+    if (section == "r13c") {
+      // crawl-front stages at 10x: both are row-local regex algebra, so
+      // cost must track total text bytes linearly with zero shuffle.
+      // count() would let pruning skip the rewrite entirely (the span
+      // probe lesson) — force the text through an aggregate instead.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def wrap(df: org.apache.spark.sql.DataFrame) = df.select(col("doc_id"),
+        concat(lit("<html><head><title>T</title><style>b { color: red; }</style></head><body><p>"),
+          regexp_replace(col("text"), " the ", " <b>the</b> "),
+          lit(".</p><ul><li><a href=/x>nav one</a></li></ul></body></html>")).as("text"))
+      for (rep <- 1 to 2) {
+        time(s"html_text_sf01_$rep")(graft.ops.Html.htmlToText(wrap(docs01))
+          .agg(sum(length(col("text")))).collect().length.toLong)
+        time(s"html_text_sf1_$rep")(graft.ops.Html.htmlToText(wrap(docs))
+          .agg(sum(length(col("text")))).collect().length.toLong)
+        time(s"html_signals_sf01_$rep")(graft.ops.Html.htmlSignals(wrap(docs01))
+          .agg(sum(col("n_tags")), sum(col("anchor_chars")), sum(col("n_chars_text"))).collect().length.toLong)
+        time(s"html_signals_sf1_$rep")(graft.ops.Html.htmlSignals(wrap(docs))
+          .agg(sum(col("n_tags")), sum(col("anchor_chars")), sum(col("n_chars_text"))).collect().length.toLong)
+        time(s"c4_stats_sf01_$rep")(graft.ops.TextAnalysis.c4LineStats(docs01)
+          .agg(sum(col("n_kept")), sum(col("n_sentences"))).collect().length.toLong)
+        time(s"c4_stats_sf1_$rep")(graft.ops.TextAnalysis.c4LineStats(docs)
+          .agg(sum(col("n_kept")), sum(col("n_sentences"))).collect().length.toLong)
+        time(s"c4_clean_sf1_$rep")(graft.ops.TextAnalysis.c4Clean(docs, minSentences = 0)
+          .agg(sum(length(col("text")))).collect().length.toLong)
+        // the composed crawl front (extract then clean), the stream's
+        // two-stage path in one plan
+        time(s"html_c4_sf1_$rep")(
+          graft.ops.TextAnalysis.c4Clean(graft.ops.Html.htmlToText(wrap(docs)))
+            .agg(sum(length(col("text")))).collect().length.toLong)
+        // line classification: the explode face (rows ~ lines) vs the
+        // array-level main-text rewrite (no explode, no regroup)
+        time(s"html_lines_sf1_$rep")(
+          graft.ops.Html.htmlLines(wrap(docs))
+            .agg(sum(col("n_words")), sum(col("anchor_chars"))).collect().length.toLong)
+        time(s"html_main_sf1_$rep")(
+          graft.ops.Html.htmlMainText(wrap(docs))
+            .agg(sum(length(col("text")))).collect().length.toLong)
+      }
+    }
     if (section == "r13b") {
       // sentence-span dedup (C4 rule): 10x docs — hash-only shuffle,
       // cost should track sentence count linearly; the /tmp sf1 corpus

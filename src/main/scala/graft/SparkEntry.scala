@@ -251,6 +251,41 @@ object SparkEntry {
        |  FROM hx)""".stripMargin
   }
 
+  /** The per-segment extraction twin (strip → decode → collapse →
+    * trim; no line-break pass — the segment IS a visual line). */
+  private def htmlSegmentSql(in: String): String = {
+    import graft.ops.Html
+    val noTags = s"regexp_replace($in, '${Html.TagPat}', ' ', 'g')"
+    val decoded = Html.Entities.foldLeft(noTags) { case (acc, (ent, ch)) =>
+      val rep = if (ch == "'") "chr(39)" else s"'$ch'"
+      s"replace($acc, '$ent', $rep)"
+    }
+    s"trim(regexp_replace($decoded, '${Html.HWsPat}', ' ', 'g'), ' ')"
+  }
+
+  /** [[HTML_CTES]] + the visual-line chain (comment/invisible removal
+    * page-level FIRST — blocks span lines — then the line split and
+    * per-segment stats), shared by q_html_lines and q_html_main. */
+  private val HTML_LINE_CTES = {
+    import graft.ops.Html
+    s"""$HTML_CTES,
+       |px AS MATERIALIZED (SELECT doc_id,
+       |    regexp_split_to_array(regexp_replace(regexp_replace(raw, '${Html.CommentPat}', ' ', 'g'), '${Html.InvisiblePat}', ' ', 'g'), '${Html.LineBreakPat}') AS segs
+       |  FROM hx),
+       |sx AS MATERIALIZED (SELECT doc_id, CAST(i - 1 AS INTEGER) AS line_idx, segs[i] AS seg
+       |  FROM (SELECT doc_id, segs, unnest(generate_series(1, len(segs))) AS i FROM px)),
+       |ly AS MATERIALIZED (SELECT doc_id, line_idx,
+       |    ${htmlSegmentSql("seg")} AS txt,
+       |    CAST(coalesce(list_sum(list_transform(regexp_extract_all(seg, '${Html.AnchorPat}', 1), a -> len(regexp_replace(a, '${Html.TagPat}', '', 'g')))), 0) AS BIGINT) AS anchor_chars
+       |  FROM sx),
+       |lz AS MATERIALIZED (SELECT doc_id, line_idx, txt,
+       |    CAST(len(list_filter(regexp_split_to_array(txt, '${Html.HWsPat}'), w -> len(w) > 0)) AS BIGINT) AS n_words,
+       |    anchor_chars,
+       |    CAST(len(txt) AS BIGINT) AS n_chars,
+       |    round(CAST(anchor_chars AS DOUBLE) / len(txt), 6) AS link_density
+       |  FROM ly WHERE len(txt) > 0)""".stripMargin
+  }
+
   /** Shared C4 line-rule CTE chain — twin of
     * [[graft.ops.TextAnalysis.c4LineStats]]/`c4Clean` at the paper
     * defaults. The trim set / word-split class interpolate the SAME
@@ -1193,6 +1228,8 @@ object SparkEntry {
     "q_c4_clean" -> ((s, dir) => TextAnalysis.c4Clean(c4Docs(s, dir))),
     "q_html_text" -> ((s, dir) => graft.ops.Html.htmlToText(htmlDocs(s, dir))),
     "q_html_signals" -> ((s, dir) => graft.ops.Html.htmlSignals(htmlDocs(s, dir))),
+    "q_html_lines" -> ((s, dir) => graft.ops.Html.htmlLines(htmlDocs(s, dir))),
+    "q_html_main" -> ((s, dir) => graft.ops.Html.htmlMainText(htmlDocs(s, dir))),
     // Flesch / Flesch-Kincaid readability (vowel-group syllable proxy)
     "q_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
     // per-source one-look health dashboard (volume, truncation, dups)
@@ -2521,6 +2558,29 @@ object SparkEntry {
          |  CASE WHEN len(raw) > 0 THEN round(CAST(len(txt) AS DOUBLE) / len(raw), 6) END AS text_ratio,
          |  nullif(regexp_extract(raw, '${graft.ops.Html.TitlePat}', 1), '') AS title
          |FROM ex""".stripMargin,
+    "q_html_lines" ->
+      // twin of Html.htmlLines at the defaults (maxLinkDensity=0.3,
+      // minWords=3): page-level block removal BEFORE the line split,
+      // per-segment strip/decode/collapse, tag-only segments filtered,
+      // line_idx numbering the pre-filter visual segments; the flag
+      // compares the ROUNDED density (one comparison shape, CAST
+      // DOUBLE so the literal takes the IEEE path on both engines)
+      s"""WITH $HTML_LINE_CTES
+         |SELECT doc_id, line_idx, txt AS text, n_words, anchor_chars,
+         |  n_chars, link_density,
+         |  (link_density > CAST(0.3 AS DOUBLE) OR n_words < 3) AS boilerplate
+         |FROM lz""".stripMargin,
+    "q_html_main" ->
+      // twin of Html.htmlMainText: content lines (NOT boilerplate)
+      // rejoined in line order; every input doc emits (content-less
+      // pages coalesce to ''), matching the array-level rewrite
+      s"""WITH $HTML_LINE_CTES,
+         |m AS (SELECT doc_id, string_agg(txt, chr(10) ORDER BY line_idx) AS text
+         |      FROM lz
+         |      WHERE NOT (link_density > CAST(0.3 AS DOUBLE) OR n_words < 3)
+         |      GROUP BY doc_id)
+         |SELECT h.doc_id, coalesce(m.text, '') AS text
+         |FROM hx h LEFT JOIN m ON h.doc_id = m.doc_id""".stripMargin,
     "q_readability" ->
       // twin of TextAnalysis.readability: same tokens/segments as
       // q_sentences, vowel-group syllable proxy (min 1/word), constants

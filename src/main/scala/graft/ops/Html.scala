@@ -111,6 +111,107 @@ object Html {
         extract(coalesce(col("text"), lit(""))).as("text"): _*)
   }
 
+  /** Per-segment extraction for the line faces: strip/decode/collapse
+    * WITHOUT the line-break pass (the segment IS a visual line) and
+    * without the page-level block removal (already applied). */
+  private def extractSegment(seg: Column): Column = {
+    val noTags = regexp_replace(seg, TagPat, " ")
+    val decoded = Entities.foldLeft(noTags) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    trim(regexp_replace(decoded, HWsPat, " "), " ")
+  }
+
+  /** Visual-line boilerplate classification — the jusText/trafilatura
+    * family's core move, simplified to its two dominant features: a
+    * visual line (a `<br>`/closing-block-tag segment) is BOILERPLATE
+    * when its link density exceeds `maxLinkDensity` or it carries
+    * fewer than `minWords` words; otherwise content. (The published
+    * jusText classifier adds stopword density and context smoothing;
+    * link density + length carry most of its discrimination, and both
+    * survive the cross-engine oracle discipline. Stopword density is
+    * already available doc-level via [[TextAnalysis.qualityScore]].)
+    *
+    * Order matters and is page-level first: comments and invisible
+    * blocks can SPAN visual lines, so they are removed before the
+    * line split; then each segment strips/decodes independently.
+    * Only segments with non-empty extracted text emit (tag-only
+    * segments are not lines); `line_idx` numbers the VISUAL segments
+    * (pre-filter), so consumers can align against the raw page.
+    *
+    * Row-local explode — no shuffle; output rows ~ lines. */
+  def htmlLines(docs: DataFrame, maxLinkDensity: Double = 0.3,
+      minWords: Int = 3): DataFrame = {
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity=$maxLinkDensity must be in [0, 1]")
+    require(minWords >= 0, s"minWords=$minWords must be >= 0")
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        seal(struct(lineStructs(coalesce(col("text"), lit("")))
+          .as("ls"))).as("sx"))
+      .select(col("doc_id"), posexplode(col("sx.ls")).as(Seq("line_idx", "s")))
+      .where(length(col("s.txt")) > 0)
+      .select(col("doc_id"), col("line_idx"),
+        col("s.txt").as("text"),
+        col("s.n_words").as("n_words"),
+        col("s.anchor_chars").as("anchor_chars"),
+        length(col("s.txt")).cast("long").as("n_chars"),
+        round(col("s.anchor_chars").cast("double") / length(col("s.txt")), 6)
+          .as("link_density"))
+      .withColumn("boilerplate",
+        col("link_density") > lit(maxLinkDensity) ||
+          col("n_words") < lit(minWords.toLong))
+  }
+
+  /** The main-content REWRITE face: [[htmlLines]]' content lines
+    * rejoined with `\n` — pages reduced to their prose, nav/footer
+    * chrome gone. Computed entirely at the ARRAY level (no explode,
+    * no regroup — the per-doc line array never leaves its row), so
+    * it composes with [[TextAnalysis.c4Clean]] and the dedup ladder
+    * at pure scan cost. All non-text input columns pass through. */
+  def htmlMainText(docs: DataFrame, maxLinkDensity: Double = 0.3,
+      minWords: Int = 3): DataFrame = {
+    require(maxLinkDensity >= 0 && maxLinkDensity <= 1,
+      s"maxLinkDensity=$maxLinkDensity must be in [0, 1]")
+    require(minWords >= 0, s"minWords=$minWords must be >= 0")
+    val keep = docs.columns.toSeq
+      .filter(c => c != "doc_id" && c != "text").map(col)
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id") +: keep :+
+        seal(struct(lineStructs(coalesce(col("text"), lit("")))
+          .as("ls"))).as("sx"): _*)
+      .select(col("doc_id") +: keep :+
+        array_join(
+          transform(
+            filter(col("sx.ls"), s =>
+              length(s.getField("txt")) > lit(0) &&
+                // the SAME round-6 comparison as htmlLines' flag, so
+                // the two faces can never disagree at the boundary
+                !(round(s.getField("anchor_chars").cast("double") /
+                    length(s.getField("txt")), 6) > lit(maxLinkDensity) ||
+                  s.getField("n_words") < lit(minWords.toLong))),
+            s => s.getField("txt")),
+          "\n").as("text"): _*)
+  }
+
+  /** Per-visual-line structs (txt, n_words, anchor_chars) from a raw
+    * page — the shared machinery of both line faces. */
+  private def lineStructs(raw: Column): Column = {
+    val pre = regexp_replace(regexp_replace(raw, CommentPat, " "),
+      InvisiblePat, " ")
+    transform(split(pre, LineBreakPat), seg => {
+      val txt = extractSegment(seg)
+      struct(
+        txt.as("txt"),
+        size(filter(split(txt, HWsPat), w => length(w) > lit(0)))
+          .cast("long").as("n_words"),
+        aggregate(
+          transform(regexp_extract_all(seg, lit(AnchorPat), lit(1)),
+            a => length(regexp_replace(a, TagPat, "")).cast("long")),
+          lit(0L), (acc, x) => acc + x).as("anchor_chars"))
+    })
+  }
+
   /** The SIGNALS face: markup statistics a curation gate thresholds
     * BEFORE paying for downstream stages — tag/anchor counts, script
     * payload size, the link-density signal (anchor chars over

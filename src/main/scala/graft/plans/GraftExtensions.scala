@@ -67,6 +67,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.c4CleanTableFunction)
     ext.injectTableFunction(GraftExtensions.htmlTextTableFunction)
     ext.injectTableFunction(GraftExtensions.htmlSignalsTableFunction)
+    ext.injectTableFunction(GraftExtensions.htmlLinesTableFunction)
+    ext.injectTableFunction(GraftExtensions.htmlMainTableFunction)
     ext.injectTableFunction(GraftExtensions.spanEvalTableFunction)
     ext.injectTableFunction(GraftExtensions.lm3ScoreTableFunction)
     ext.injectTableFunction(GraftExtensions.lmnScoreTableFunction)
@@ -1328,6 +1330,37 @@ object GraftExtensions {
         graft.ops.Html.htmlSignals(docs))
     })
 
+  /** SQL surface for the visual-line boilerplate pair
+    * ([[graft.ops.Html.htmlLines]] / [[graft.ops.Html.htmlMainText]]):
+    *
+    * {{{
+    * SELECT * FROM graft_html_lines('pages')   -- per-line class report
+    * SELECT * FROM graft_html_main('pages')    -- content lines only
+    * }}} */
+  private val htmlLinesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_html_lines"),
+    new ExpressionInfo(graft.ops.Html.getClass.getName, "graft_html_lines"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_html_lines(docs_table)")
+      val docs = SparkSession.active.table(
+        stringArg("graft_html_lines")(children.head, "docs_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Html.htmlLines(docs))
+    })
+
+  private val htmlMainTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_html_main"),
+    new ExpressionInfo(graft.ops.Html.getClass.getName, "graft_html_main"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_html_main(docs_table)")
+      val docs = SparkSession.active.table(
+        stringArg("graft_html_main")(children.head, "docs_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Html.htmlMainText(docs))
+    })
+
   /** SQL surface for the span-dedup approximation measurement
     * ([[graft.ops.Dedup.spanEval]]):
     *
@@ -1548,6 +1581,7 @@ object GraftExtensions {
         paraDedupTableFunction, sentenceSpansTableFunction,
         c4StatsTableFunction, c4CleanTableFunction,
         htmlTextTableFunction, htmlSignalsTableFunction,
+        htmlLinesTableFunction, htmlMainTableFunction,
         spanEvalTableFunction,
         lm3ScoreTableFunction, lmnScoreTableFunction, knScoreTableFunction,
         shardManifestTableFunction,

@@ -92,4 +92,58 @@ class HtmlSpec extends SparkSpec {
       .collect().toSet ===
       Html.htmlSignals(SparkSpec.spark.table("html_docs")).collect().toSet)
   }
+
+  test("htmlLines: visual-line classes — link density and length drive the flag; idx pre-filter") {
+    val page2 = "<body><p>A full content sentence with plenty of words here.</p>" +
+      "<p><a href=\"/x\">Nav link one</a> <a href=\"/y\">Nav link two</a> also</p>" +
+      "<ul><li></li></ul>" + // tag-only segments: never lines
+      "<p>tiny</p></body>"
+    val rows = Html.htmlLines(docs(1L -> page2))
+      .as[(Long, Int, String, Long, Long, Long, Double, Boolean)]
+      .collect().sortBy(_._2)
+    // 3 non-empty lines survive of the visual segments
+    assert(rows.length === 3)
+    val (_, _, t0, w0, a0, _, ld0, b0) = rows(0)
+    assert(t0 === "A full content sentence with plenty of words here." &&
+      w0 === 9L && a0 === 0L && ld0 === 0.0 && !b0)
+    val (_, _, _, _, a1, _, ld1, b1) = rows(1)
+    assert(a1 === "Nav link oneNav link two".length.toLong && ld1 > 0.3 && b1)
+    val (_, _, t2, w2, _, _, _, b2) = rows(2)
+    assert(t2 === "tiny" && w2 === 1L && b2) // short, not linky
+    // line_idx numbers pre-filter segments: the two kept after idx 0
+    // are NOT 1,2 (empty segments between them were filtered)
+    assert(rows.map(_._2).toSeq === rows.map(_._2).toSeq.sorted)
+  }
+
+  test("htmlMainText: content lines rejoin; face parity with htmlLines; dials move the boundary") {
+    val page2 = "<body><p>A full content sentence with plenty of words here.</p>" +
+      "<p><a href=\"/x\">Nav link one</a> <a href=\"/y\">Nav link two</a> also</p>" +
+      "<p>Second content sentence closes the page nicely.</p></body>"
+    val d = docs(1L -> page2, 2L -> "<ul><li><a href=\"/a\">x</a></li></ul>")
+    val main = Html.htmlMainText(d).as[(Long, String)].collect().toMap
+    assert(main(1L) ===
+      "A full content sentence with plenty of words here.\nSecond content sentence closes the page nicely.")
+    assert(main(2L) === "") // all boilerplate -> empty page, row kept
+    // face parity: main == content lines of htmlLines, rejoined
+    val fromLines = Html.htmlLines(d).where(!org.apache.spark.sql.functions.col("boilerplate"))
+      .orderBy("doc_id", "line_idx")
+      .as[(Long, Int, String, Long, Long, Long, Double, Boolean)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._3).mkString("\n")).toMap
+    assert(fromLines.getOrElse(1L, "") === main(1L))
+    // dial: admit everything -> the nav line comes back
+    val loose = Html.htmlMainText(d, maxLinkDensity = 1.0, minWords = 0)
+      .as[(Long, String)].collect().toMap
+    assert(loose(1L).split("\n").length === 3)
+  }
+
+  test("graft_html_lines / graft_html_main TVF parity") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    docs(1L -> page).createOrReplaceTempView("htmll_docs")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_html_lines('htmll_docs')")
+      .collect().toSet ===
+      Html.htmlLines(SparkSpec.spark.table("htmll_docs")).collect().toSet)
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_html_main('htmll_docs')")
+      .collect().toSet ===
+      Html.htmlMainText(SparkSpec.spark.table("htmll_docs")).collect().toSet)
+  }
 }
