@@ -297,15 +297,20 @@ object SparkEntry {
   private def c4PolicyPred(v: String): String =
     graft.ops.TextAnalysis.C4PolicyPhrases
       .map(p => s"contains(lower($v), '$p')").mkString(" OR ")
-  private val C4_CTES =
-    s"""d AS (SELECT doc_id, text FROM documents
-       |       UNION ALL SELECT * FROM (VALUES ${C4Rows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)),
+
+  /** The C4 CTE chain, parameterized over the tokenizer mode (the
+    * ascii/unicode dial): `docsSql` supplies the probe-extended
+    * corpus, `wordCount` the per-line word counter, and the three
+    * patterns come from the op's public mode constants. */
+  private def c4CtesFor(docsSql: String, wordCount: String => String,
+      termPat: String, sentSplit: String, letter: String): String =
+    s"""d AS ($docsSql),
        |lx AS MATERIALIZED (SELECT doc_id, text,
        |    list_transform(string_split(coalesce(text, ''), chr(10)), l -> trim(l, '$C4_WS')) AS ls
        |  FROM d),
        |kx AS MATERIALIZED (SELECT doc_id, text, ls,
-       |    list_filter(ls, l -> len(list_filter(regexp_split_to_array(l, '[$C4_WS]+'), w -> len(w) > 0)) >= 3
-       |      AND regexp_matches(l, '[.!?"]$$')
+       |    list_filter(ls, l -> ${wordCount("l")} >= 3
+       |      AND regexp_matches(l, '$termPat')
        |      AND NOT contains(lower(l), 'javascript')
        |      AND NOT (${c4PolicyPred("l")})) AS kept
        |  FROM lx),
@@ -315,19 +320,67 @@ object SparkEntry {
        |c4 AS MATERIALIZED (SELECT doc_id,
        |    CAST(len(ls) AS BIGINT) AS n_lines,
        |    CAST(len(kept) AS BIGINT) AS n_kept,
-       |    CAST(len(list_filter(ls, l -> len(list_filter(regexp_split_to_array(l, '[$C4_WS]+'), w -> len(w) > 0)) < 3)) AS BIGINT) AS n_drop_short,
-       |    CAST(len(list_filter(ls, l -> NOT regexp_matches(l, '[.!?"]$$'))) AS BIGINT) AS n_drop_punct,
+       |    CAST(len(list_filter(ls, l -> ${wordCount("l")} < 3)) AS BIGINT) AS n_drop_short,
+       |    CAST(len(list_filter(ls, l -> NOT regexp_matches(l, '$termPat'))) AS BIGINT) AS n_drop_punct,
        |    CAST(len(list_filter(ls, l -> contains(lower(l), 'javascript'))) AS BIGINT) AS n_drop_js,
        |    CAST(len(list_filter(ls, l -> ${c4PolicyPred("l")})) AS BIGINT) AS n_drop_policy,
-       |    CAST(len(list_filter(regexp_split_to_array(clean, '[.!?]+'), seg -> regexp_matches(seg, '[A-Za-z]'))) AS BIGINT) AS n_sentences,
+       |    CAST(len(list_filter(regexp_split_to_array(clean, '$sentSplit'), seg -> regexp_matches(seg, '$letter'))) AS BIGINT) AS n_sentences,
        |    contains(lower(coalesce(text, '')), 'lorem ipsum') AS has_lorem,
        |    contains(coalesce(text, ''), '{') AS has_brace,
        |    md5(clean) AS clean_hash,
        |    clean,
-       |    (len(list_filter(regexp_split_to_array(clean, '[.!?]+'), seg -> regexp_matches(seg, '[A-Za-z]'))) >= 5
+       |    (len(list_filter(regexp_split_to_array(clean, '$sentSplit'), seg -> regexp_matches(seg, '$letter'))) >= 5
        |      AND NOT contains(lower(coalesce(text, '')), 'lorem ipsum')
        |      AND NOT contains(coalesce(text, ''), '{')) AS keep
        |  FROM cx)""".stripMargin
+
+  private val C4_CTES = c4CtesFor(
+    s"""SELECT doc_id, text FROM documents
+       |       UNION ALL SELECT * FROM (VALUES ${C4Rows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)""".stripMargin,
+    l => s"len(list_filter(regexp_split_to_array($l, '[$C4_WS]+'), w -> len(w) > 0))",
+    graft.ops.TextAnalysis.C4TermPat,
+    graft.ops.TextAnalysis.C4SentSplit,
+    graft.ops.TextAnalysis.C4Letter)
+
+  /** Multilingual probe pages for q_c4_uni (the DOCS_UNI discipline —
+    * the fixture corpus is ASCII, so only VALUES rows exercise the
+    * dial): a five-sentence Han page with per-line CJK full stops
+    * (keeper — whitespace word floors would drop every line),
+    * a one-line Cyrillic five-sentence page (keeper whose letters the
+    * ASCII `[A-Za-z]` floor cannot see), a three-sentence Han page
+    * (floor drop), and Han line-drop paths (unterminated line, a
+    * javascript line). `\\u` escapes so source encoding can never
+    * corrupt them. */
+  private val C4UniRows: Seq[(Long, String)] = Seq(
+    9300000L -> Seq(
+      "\u673A\u5668\u5B66\u4E60\u6A21\u578B\u9700\u8981\u5927\u91CF\u9AD8\u8D28\u91CF\u7684\u8BAD\u7EC3\u6570\u636E\u3002",
+      "\u6570\u636E\u6E05\u6D17\u662F\u6574\u4E2A\u6D41\u7A0B\u7684\u7B2C\u4E00\u6B65\u3002",
+      "\u91CD\u590D\u7684\u7F51\u9875\u5FC5\u987B\u5C3D\u65E9\u5220\u9664\u3002",
+      "\u8BED\u8A00\u8BC6\u522B\u51B3\u5B9A\u540E\u7EED\u7684\u5904\u7406\u65B9\u5F0F\u3002",
+      "\u6700\u7EC8\u7684\u8BED\u6599\u5E93\u8D28\u91CF\u51B3\u5B9A\u6A21\u578B\u7684\u80FD\u529B\u3002").mkString("\n"),
+    9300001L -> "\u041F\u0440\u0438\u0432\u0435\u0442 \u043C\u0438\u0440 \u0441\u0435\u0433\u043E\u0434\u043D\u044F. \u042D\u0442\u043E \u0442\u0435\u0441\u0442\u043E\u0432\u044B\u0439 \u0434\u043E\u043A\u0443\u043C\u0435\u043D\u0442 \u0441\u0435\u0433\u043E\u0434\u043D\u044F. \u041C\u044B \u043F\u0440\u043E\u0432\u0435\u0440\u044F\u0435\u043C \u043F\u0440\u0430\u0432\u0438\u043B\u0430 \u043E\u0447\u0438\u0441\u0442\u043A\u0438. \u041E\u0447\u0438\u0441\u0442\u043A\u0430 \u0434\u0430\u043D\u043D\u044B\u0445 \u043E\u0447\u0435\u043D\u044C \u0432\u0430\u0436\u043D\u0430. \u041C\u043E\u0434\u0435\u043B\u044C \u0431\u0443\u0434\u0435\u0442 \u043B\u0443\u0447\u0448\u0435.",
+    9300002L -> Seq(
+      "\u673A\u5668\u5B66\u4E60\u6A21\u578B\u9700\u8981\u8BAD\u7EC3\u6570\u636E\u3002",
+      "\u6570\u636E\u6E05\u6D17\u5F88\u91CD\u8981\u3002",
+      "\u91CD\u590D\u7F51\u9875\u5FC5\u987B\u5220\u9664\u3002").mkString("\n"),
+    9300003L -> Seq(
+      "\u8FD9\u4E00\u884C\u6CA1\u6709\u7ED3\u675F\u6807\u70B9",
+      "\u8BF7\u5F00\u542Fjavascript\u624D\u80FD\u9605\u8BFB\u8FD9\u4E2A\u9875\u9762\u3002",
+      "\u8FD9\u662F\u4E00\u4E2A\u6B63\u5E38\u7684\u53E5\u5B50\u3002").mkString("\n"))
+
+  private def c4UniDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), col("text"))
+      .unionByName(C4UniRows.toDF("doc_id", "text"))
+  }
+
+  private val C4U_CTES = c4CtesFor(
+    s"""SELECT doc_id, text FROM documents
+       |       UNION ALL SELECT * FROM (VALUES ${C4UniRows.map { case (id, t) => s"($id, '$t')" }.mkString(", ")}) AS u(doc_id, text)""".stripMargin,
+    l => s"len(${toksUniOf(l)})",
+    graft.ops.TextAnalysis.C4TermPatUni,
+    graft.ops.TextAnalysis.C4SentSplitUni,
+    graft.ops.TextAnalysis.C4LetterUni)
 
   /** Tokenizer twin of [[graft.core.TextNorm.tokensUnicode]] — the
     * regex chain mirrors the Catalyst one step for step; the whitespace
@@ -1230,6 +1283,8 @@ object SparkEntry {
     "q_html_signals" -> ((s, dir) => graft.ops.Html.htmlSignals(htmlDocs(s, dir))),
     "q_html_lines" -> ((s, dir) => graft.ops.Html.htmlLines(htmlDocs(s, dir))),
     "q_html_main" -> ((s, dir) => graft.ops.Html.htmlMainText(htmlDocs(s, dir))),
+    "q_c4_uni" -> ((s, dir) =>
+      TextAnalysis.c4LineStats(c4UniDocs(s, dir), unicode = true)),
     // Flesch / Flesch-Kincaid readability (vowel-group syllable proxy)
     "q_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
     // per-source one-look health dashboard (volume, truncation, dups)
@@ -2534,6 +2589,16 @@ object SparkEntry {
       // gotcha — though keepers can't be empty under minSentences=5)
       s"""WITH $C4_CTES
          |SELECT doc_id, clean AS text FROM c4 WHERE keep""".stripMargin,
+    "q_c4_uni" ->
+      // the multilingual dial: unicode tokens as the word floor (Han
+      // counts per character), CJK terminators + ellipsis in the
+      // terminal set, \\p{L} in the sentence floor — over DOCS + the
+      // multilingual probe pages; same stats shape as q_c4_stats
+      s"""WITH $C4U_CTES
+         |SELECT doc_id, n_lines, n_kept, n_drop_short, n_drop_punct,
+         |  n_drop_js, n_drop_policy, n_sentences, has_lorem, has_brace,
+         |  clean_hash, keep
+         |FROM c4""".stripMargin,
     "q_html_text" ->
       // twin of Html.htmlToText: the identical replace chain (comment
       // -> invisible blocks -> line-break tags -> tag strip -> named

@@ -427,7 +427,11 @@ object CorpusWatcher {
           else staged(graft.ops.Html.htmlToText(parsed))
         val prose =
           if (!c4Rules) pages
-          else staged(graft.ops.TextAnalysis.c4Clean(pages))
+          // the line rules follow the session's tokenizer dial: under
+          // unicodeTokens the terminal set/word floor/sentence floor
+          // go multilingual, or a CJK feed would empty at this stage
+          else staged(graft.ops.TextAnalysis.c4Clean(pages,
+            unicode = unicodeTokens))
         val clean = qualityGate match {
           case None => prose
           case Some(g) => staged(graft.ops.Curation.applyGate(prose, g,

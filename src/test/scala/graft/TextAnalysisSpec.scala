@@ -1117,4 +1117,39 @@ class TextAnalysisSpec extends SparkSpec {
     assert(SparkSpec.spark
       .sql("SELECT * FROM graft_c4_clean('c4_docs', 20)").count() === 0)
   }
+
+  test("c4 unicode dial: CJK/Cyrillic pages survive; ASCII mode is the documented blind spot") {
+    // five Han sentences, one per line, CJK full stops
+    val han = Seq(
+      "\u673a\u5668\u5b66\u4e60\u6a21\u578b\u9700\u8981\u5927\u91cf\u8bad\u7ec3\u6570\u636e\u3002",
+      "\u6570\u636e\u6e05\u6d17\u5f88\u91cd\u8981\u3002",
+      "\u91cd\u590d\u7f51\u9875\u5fc5\u987b\u5220\u9664\u3002",
+      "\u8bed\u8a00\u8bc6\u522b\u51b3\u5b9a\u5904\u7406\u65b9\u5f0f\u3002",
+      "\u8bed\u6599\u5e93\u8d28\u91cf\u51b3\u5b9a\u80fd\u529b\u3002").mkString("\n")
+    // five Cyrillic sentences on one line, ASCII periods
+    val cyr = "\u041f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u0441\u0435\u0433\u043e\u0434\u043d\u044f. " +
+      "\u042d\u0442\u043e \u0442\u0435\u0441\u0442 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442. " +
+      "\u041c\u044b \u043f\u0440\u043e\u0432\u0435\u0440\u044f\u0435\u043c \u043f\u0440\u0430\u0432\u0438\u043b\u0430. " +
+      "\u041e\u0447\u0438\u0441\u0442\u043a\u0430 \u0434\u0430\u043d\u043d\u044b\u0445 \u0432\u0430\u0436\u043d\u0430. " +
+      "\u041c\u043e\u0434\u0435\u043b\u044c \u0431\u0443\u0434\u0435\u0442 \u043b\u0443\u0447\u0448\u0435."
+    val d = docs(1L -> han, 2L -> cyr)
+    // unicode dial: both keep (Han words count per character; \p{L}
+    // sees Cyrillic letters in the sentence floor)
+    val uni = TextAnalysis.c4LineStats(d, unicode = true)
+      .select("doc_id", "n_kept", "n_sentences", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(uni(1L) === ((1L, 5L, 5L, true)))
+    assert(uni(2L) === ((2L, 1L, 5L, true)))
+    // ASCII mode empties both: the CJK terminator is not in the ASCII
+    // terminal set, and [A-Za-z] sees no Cyrillic letters
+    val ascii = TextAnalysis.c4LineStats(d)
+      .select("doc_id", "n_kept", "n_sentences", "keep")
+      .as[(Long, Long, Long, Boolean)].collect().map(r => r._1 -> r).toMap
+    assert(ascii(1L)._4 === false && ascii(1L)._2 === 0L)
+    assert(ascii(2L)._4 === false && ascii(2L)._3 === 0L)
+    // the rewrite face under the dial: Han page intact, order kept
+    val kept = TextAnalysis.c4Clean(d, unicode = true)
+      .as[(Long, String)].collect().toMap
+    assert(kept(1L) === han && kept(2L) === cyr)
+  }
 }
