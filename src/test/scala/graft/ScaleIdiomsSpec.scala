@@ -81,4 +81,32 @@ class ScaleIdiomsSpec extends SparkSpec {
     val b = graft.ops.TextAnalysis.blocklistSignals(d).filter(col("keep"))
     assert(rx(b) <= 3, s"blocklistSignals keep-filter re-inlined (${rx(b)} copies)")
   }
+
+  test("the crawl front is exchange-free end to end: extract -> line classes -> C4 rules") {
+    val d = (1L to 30L).map(i => (i,
+      s"<html><head><title>T</title></head><body>" +
+        (1 to 6).map(j => s"<p>Sentence number $j of page $i has enough words.</p>").mkString +
+        s"<ul><li><a href=/x>nav</a></li></ul></body></html>"))
+      .toDF("doc_id", "text")
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case e: ShuffleExchangeExec => e
+      }.length
+    }
+    val chain = graft.ops.TextAnalysis.c4Clean(
+      graft.ops.Html.htmlMainText(d))
+    assert(exchanges(chain) === 0,
+      s"crawl front must be row-local:\n${chain.queryExecution.executedPlan}")
+    assert(chain.count() === 30) // and it actually keeps the articles
+    assert(exchanges(graft.ops.Html.htmlLines(d)) === 0)
+    assert(exchanges(graft.ops.Html.htmlSignals(d)) === 0)
+    assert(exchanges(graft.ops.TextAnalysis.c4LineStats(d)) === 0)
+    // the seal holds under a keep-filter: ONE line split in the plan
+    val gated = graft.ops.TextAnalysis.c4LineStats(d).filter(col("keep"))
+    val splits = "StringSplit".r
+      .findAllIn(gated.queryExecution.executedPlan.toString).length
+    assert(splits <= 4,
+      s"c4 keep-filter re-inlined the line machinery ($splits splits)")
+  }
 }
