@@ -831,6 +831,42 @@ object ProbeScale {
           docs, graft.ops.TextAnalysis.knModel(ref1, 5)).count())
       }
     }
+    if (section == "r13d") {
+      // crawl graph at 10x: canonicalization/extraction are row-local
+      // (cost tracks bytes, zero shuffle); the dedup gate shuffles
+      // 16-byte keys; PageRank moves the NODE-sized rank table per
+      // iteration — node count is held at 5001 hosts while doc count
+      // grows 10x, so rank cost must stay near-flat as edges dedup.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def pages(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("HTTPS://WWW.h"), col("doc_id") % 5000,
+          lit(".Example.org:443/d/"), col("doc_id"),
+          lit("/?utm_source=probe&b=2&a=1#f")).as("url"),
+        concat(lit("<a href=\"https://h"), (col("doc_id") + 7) % 5000,
+          lit(".example.org/p\">n</a><a href=\"//h"), (col("doc_id") * 31) % 5000,
+          lit(".example.org/q?b=2&amp;a=1\">m</a>"),
+          when(col("doc_id") % 97 === 0,
+            lit("<a href=\"https://sink.example.org/end\">s</a>")).otherwise(lit(""))
+        ).as("text"))
+      for (rep <- 1 to 2) {
+        time(s"url_canon_sf01_$rep")(graft.ops.Crawl.urlCanon(pages(docs01))
+          .agg(sum(length(col("canon_url")))).collect().length.toLong)
+        time(s"url_canon_sf1_$rep")(graft.ops.Crawl.urlCanon(pages(docs))
+          .agg(sum(length(col("canon_url")))).collect().length.toLong)
+        time(s"url_dedup_sf01_$rep")(graft.ops.Crawl.urlDuplicates(pages(docs01))
+          .filter(!col("keep")).count())
+        time(s"url_dedup_sf1_$rep")(graft.ops.Crawl.urlDuplicates(pages(docs))
+          .filter(!col("keep")).count())
+        time(s"link_edges_sf01_$rep")(graft.ops.Crawl.linkHostEdges(pages(docs01)).count())
+        time(s"link_edges_sf1_$rep")(graft.ops.Crawl.linkHostEdges(pages(docs)).count())
+        time(s"domain_rank_sf01_$rep")(graft.ops.Crawl.domainRank(
+          graft.ops.Crawl.linkHostEdges(pages(docs01)), iters = 3).count())
+        time(s"domain_rank_sf1_$rep")(graft.ops.Crawl.domainRank(
+          graft.ops.Crawl.linkHostEdges(pages(docs)), iters = 3).count())
+        time(s"corpus_diff_sf1_$rep")(graft.ops.Crawl.corpusDiff(
+          docs, docs.filter(col("doc_id") % 7 =!= 3)).count())
+      }
+    }
     spark.stop()
   }
 }

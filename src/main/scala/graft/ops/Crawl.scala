@@ -1,0 +1,492 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.PlanSeal.seal
+
+/** The crawl graph — URL identity and the link structure of a crawled
+  * corpus: canonicalization, URL-level dedup (the gate a crawl runs
+  * BEFORE paying for content), link extraction from markup, the
+  * host-level link graph, and a fixed-iteration PageRank over it (the
+  * domain-quality prior Common-Crawl-derived corpora rank and sample
+  * by).
+  *
+  * Everything before the graph ops is pure row-local column algebra —
+  * zero shuffle at any corpus size, the same stance as [[Html]]. The
+  * graph ops shuffle exactly what a distributed PageRank must: the
+  * node-sized rank table, never document text.
+  *
+  * Cross-engine discipline: every pattern is in the Java-regex ∩ RE2
+  * common subset (no backreferences, inline flags only) and published
+  * as a constant the DuckDB twin interpolates; iterative arithmetic
+  * follows the 12dp-decimal tier round-trip used by the LM family
+  * (decimal sums are order-independent, so the only floating-point
+  * ops are fixed-shape scalar expressions both engines evaluate
+  * identically).
+  */
+object Crawl {
+
+  // ---- URL grammar (RFC-3986-ish, regex subset) ------------------------
+
+  /** Leading/trailing whitespace stripped before parsing. Explicit
+    * class — Java `\s` and RE2 `\s` disagree on VT, so neither is
+    * used raw anywhere in the engine. */
+  val WsTrimPat = "^[ \\t\\n\\r\\f\\x0B]+|[ \\t\\n\\r\\f\\x0B]+$"
+
+  /** A URL still containing whitespace after the trim is invalid —
+    * rejecting it up front also removes the Java-vs-RE2 `$`-before-
+    * final-newline divergence from every anchored pattern below. */
+  val InnerWsPat = "[ \\t\\n\\r\\f\\x0B]"
+
+  /** Scheme (group 1), authority (group 1), path (group 1). The path
+    * pattern spans scheme+authority so the three extracts are
+    * independently anchored — no cross-engine group-numbering games. */
+  val SchemePat = "^([A-Za-z][A-Za-z0-9+.-]*)://"
+  val AuthorityPat = "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]*)"
+  val PathPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)"
+
+  /** Fragment: everything from the first `#` (dropped — fragments are
+    * client-side). Query: everything after the FIRST `?` of the
+    * defragmented URL. `(?s)` so an embedded newline cannot split the
+    * match (such URLs are rejected by [[InnerWsPat]] anyway). */
+  val FragmentPat = "(?s)#.*$"
+  val QueryPat = "(?s)^[^?]*\\?(.*)$"
+
+  /** Authority internals: userinfo dropped, explicit port split off. */
+  val UserinfoPat = "^[^@]*@"
+  val PortPat = ":([0-9]+)$"
+
+  /** Host normalization: trailing root-dot dropped, then a leading
+    * `www.` (the single most common duplicate-URL alias). */
+  val TrailingDotPat = "\\.$"
+  val WwwPat = "^www\\."
+
+  /** Trailing slashes collapse off the path (`/a/b/` ≡ `/a/b`); an
+    * empty result renormalizes to `/`. Interior structure (including
+    * `//` runs and dot-segments) is preserved — documented
+    * approximation: full RFC 3986 dot-segment removal is rarely worth
+    * its cost at crawl scale, and both engines must agree exactly. */
+  val TrailingSlashPat = "/+$"
+
+  /** Tracking parameters dropped from the query string before the
+    * canonical sort — the closed list every published URL-dedup
+    * pipeline starts from (UTM family, click ids, session echoes).
+    * Matches the WHOLE `name=value` token (or a bare name). */
+  val TrackingParamPat =
+    "(?is)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|mc_cid|" +
+      "igshid|_ga|ref|ref_src)(=.*)?$"
+
+  /** Registered-domain heuristic: a fixed list of common two-part
+    * public suffixes (group 1 = label + suffix), else the last two
+    * labels. The real public-suffix list is a data file; this
+    * documented subset covers the dominant ccTLD second-levels and
+    * degrades to the two-label rule — hosts that match neither (IDN,
+    * single-label, IPs) fall back to the whole host. */
+  val MultiSuffixPat =
+    "([a-z0-9-]+\\.(?:co|com|net|org|gov|ac|edu|or|ne)\\." +
+      "(?:uk|au|jp|br|cn|in|id|kr|nz|za|mx|tr|ar))$"
+  val TwoLabelPat = "([a-z0-9-]+\\.[a-z0-9-]+)$"
+
+  /** `href` attribute values, double- and single-quoted — two
+    * patterns, not one alternation, so group numbering is identical
+    * in both engines (unquoted hrefs are a documented skip). */
+  val HrefDqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*\"([^\"]*)\""
+  val HrefSqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*'([^']*)'"
+
+  /** A link target carrying its own scheme (absolute, or a non-web
+    * scheme like `mailto:`/`javascript:` — the canonicalizer keeps
+    * only http/https, so those resolve to NULL). */
+  val HasSchemePat = "^[A-Za-z][A-Za-z0-9+.-]*:"
+
+  /** Rank values live between iterations as BIGINT "units" of 1e-12 —
+    * integer space instead of the LM family's 12dp decimals, because
+    * PageRank divides ranks by out-degrees and a 12dp value halved
+    * lands EXACTLY on a 13th-digit 5 whenever its last digit is odd:
+    * a systematic rounding tie that scaled double rounding may break
+    * differently per engine. At scale 0 there is no scaling step —
+    * `round(x, 0)` of the identical IEEE double is engine-exact (an
+    * exact .5 is representable and both engines round it away from
+    * zero) — and the per-node inbound sum is exact BIGINT addition,
+    * order-independent under any shuffle. */
+  val RankUnits = 1000000000000L
+
+  // ---- URL canonicalization (row-local) --------------------------------
+
+  private def trimmed(url: Column): Column =
+    regexp_replace(coalesce(url, lit("")), WsTrimPat, "")
+
+  /** The canonical parts of a URL as one struct column:
+    * `(canon_url, host, domain)` — NULL `canon_url` when the input is
+    * not an absolute http(s) URL (relative references, other schemes,
+    * whitespace-bearing garbage).
+    *
+    * Rules, in order: trim → reject inner whitespace → lowercase
+    * scheme and host (ONLY those — path/query case is significant) →
+    * drop userinfo and fragment → drop default ports (80/http,
+    * 443/https) → strip the host's trailing dot and a `www.` prefix →
+    * collapse trailing path slashes (empty path → `/`) → drop
+    * [[TrackingParamPat]] query params and SORT the survivors
+    * (byte order; param order is almost never semantic, and the sort
+    * is what makes `?a=1&b=2` ≡ `?b=2&a=1`). Percent-encoding is left
+    * untouched (normalizing it needs a decoder both engines share —
+    * documented approximation). */
+  def urlParts(url: Column): Column = {
+    val u0 = trimmed(url)
+    val scheme = lower(regexp_extract(u0, SchemePat, 1))
+    val hostport = regexp_replace(regexp_extract(u0, AuthorityPat, 1), UserinfoPat, "")
+    val port = regexp_extract(hostport, PortPat, 1)
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_replace(hostport, PortPat, "")), TrailingDotPat, ""),
+      WwwPat, "")
+    val defrag = regexp_replace(u0, FragmentPat, "")
+    val path0 = regexp_replace(regexp_extract(defrag, PathPat, 1), TrailingSlashPat, "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val query = array_join(
+      array_sort(filter(split(regexp_extract(defrag, QueryPat, 1), "&"),
+        p => length(p) > lit(0) && !p.rlike(TrackingParamPat))),
+      "&")
+    val keepPort = port =!= "" &&
+      !(scheme === "http" && port === "80") &&
+      !(scheme === "https" && port === "443")
+    val canon = when(
+      !u0.rlike(InnerWsPat) && scheme.isin("http", "https") && host =!= "",
+      concat(scheme, lit("://"), host,
+        when(keepPort, concat(lit(":"), port)).otherwise(lit("")),
+        path,
+        when(length(query) > lit(0), concat(lit("?"), query)).otherwise(lit(""))))
+    val domain = coalesce(
+      nullif(regexp_extract(host, MultiSuffixPat, 1), lit("")),
+      nullif(regexp_extract(host, TwoLabelPat, 1), lit("")),
+      nullif(host, lit("")))
+    struct(
+      canon.as("canon_url"),
+      when(canon.isNotNull, host).as("host"),
+      when(canon.isNotNull, domain).as("domain"))
+  }
+
+  /** Scalar face: just the canonical URL (NULL when not canonical). */
+  def canonicalizeUrl(url: Column): Column = urlParts(url).getField("canon_url")
+
+  /** File-extension grammar for [[urlSignals]]: the last dot-suffix of
+    * the canonical path, letters/digits only. */
+  val FileExtPat = "\\.([A-Za-z0-9]+)$"
+
+  /** URL shape signals — the quality features a crawl ranks fetches
+    * by before it has content: `(doc_id, url, canon_url, is_https,
+    * has_port, path_depth, n_params, n_tracking, host_labels,
+    * file_ext, url_len)`. All but `url_len` are NULL when the URL
+    * does not canonicalize (a non-web URL has no meaningful shape).
+    * Pure row-local column algebra, the [[urlCanon]] stance. */
+  def urlSignals(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val u0 = trimmed(col(urlCol))
+    val scheme = lower(regexp_extract(u0, SchemePat, 1))
+    val hostport = regexp_replace(regexp_extract(u0, AuthorityPat, 1), UserinfoPat, "")
+    val port = regexp_extract(hostport, PortPat, 1)
+    val host = regexp_replace(
+      regexp_replace(lower(regexp_replace(hostport, PortPat, "")), TrailingDotPat, ""),
+      WwwPat, "")
+    val defrag = regexp_replace(u0, FragmentPat, "")
+    val path0 = regexp_replace(regexp_extract(defrag, PathPat, 1), TrailingSlashPat, "")
+    val path = when(path0 === "", lit("/")).otherwise(path0)
+    val rawParams = filter(split(regexp_extract(defrag, QueryPat, 1), "&"),
+      p => length(p) > lit(0))
+    val keptParams = filter(rawParams, p => !p.rlike(TrackingParamPat))
+    val canon = canonicalizeUrl(col(urlCol))
+    def gated(c: Column): Column = when(canon.isNotNull, c)
+    graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"), col(urlCol).as("url"),
+        seal(struct(
+          canon.as("canon_url"),
+          gated(scheme === "https").as("is_https"),
+          gated(port =!= "" &&
+            !(scheme === "http" && port === "80") &&
+            !(scheme === "https" && port === "443")).as("has_port"),
+          gated(size(filter(split(path, "/"), s => length(s) > lit(0)))
+            .cast("long")).as("path_depth"),
+          gated(size(keptParams).cast("long")).as("n_params"),
+          gated((size(rawParams) - size(keptParams)).cast("long")).as("n_tracking"),
+          gated(size(filter(split(host, "[.]"), s => length(s) > lit(0)))
+            .cast("long")).as("host_labels"),
+          gated(lower(nullif(regexp_extract(path, FileExtPat, 1), lit("")))).as("file_ext"),
+          length(u0).cast("long").as("url_len"))).as("sg"))
+      .select(col("doc_id"), col("url"), col("sg.*"))
+  }
+
+  /** The REPORT face over a page table carrying `urlCol`: every input
+    * row, plus `canon_url`/`host`/`domain` (NULLs for pages whose URL
+    * does not canonicalize). Row-local; other columns pass through. */
+  def urlCanon(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val keep = pages.columns.toSeq.filter(_ != urlCol).map(col)
+    graft.core.Parallelism.ensure(pages)
+      .select(keep :+ col(urlCol) :+ seal(urlParts(col(urlCol))).as("up"): _*)
+      .select(keep :+ col(urlCol) :+ col("up.canon_url").as("canon_url") :+
+        col("up.host").as("host") :+ col("up.domain").as("domain"): _*)
+  }
+
+  // ---- URL-level dedup -------------------------------------------------
+
+  /** URL-identity dedup report: `(doc_id, url_key, keep)` — one row
+    * per input page; `url_key` = md5 of the canonical URL (NULL when
+    * the URL does not canonicalize — such pages are never URL-dups of
+    * anything and always keep), `keep` marks the minimum-doc_id
+    * winner of each canonical-URL group.
+    *
+    * Scale shape: only `(url_key, doc_id)` pairs shuffle — 16-byte
+    * keys, never text or even the URL string; the winner join is a
+    * group-table-sized equi-join. The content-dedup ladder
+    * ([[Dedup]]) runs AFTER this gate on the survivors, so at crawl
+    * scale the expensive signatures are never computed for re-crawled
+    * URLs. */
+  def urlDuplicates(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val keys = graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+    val winners = keys.where(col("url_key").isNotNull)
+      .groupBy("url_key").agg(min("doc_id").as("winner"))
+    keys.join(winners, Seq("url_key"), "left")
+      .select(col("doc_id"), col("url_key"),
+        (col("url_key").isNull || col("doc_id") === col("winner")).as("keep"))
+  }
+
+  /** The STRIP face: pages minus URL-duplicate losers. Losers are a
+    * (small) id set — the anti-join broadcasts under AQE; page text
+    * never shuffles. */
+  def dedupByUrl(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val losers = urlDuplicates(pages, urlCol)
+      .where(!col("keep")).select(col("doc_id"))
+    pages.join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  // ---- Link extraction (row-local) -------------------------------------
+
+  /** Outgoing links of each page: one row per `href` (double-quoted
+    * first, then single-quoted — document order within each form),
+    * entity-decoded ([[Html.Entities]] — `&amp;` in query strings is
+    * the norm in markup), resolved against the page's CANONICAL
+    * origin, and canonicalized:
+    *
+    *   - absolute http(s) targets stand alone;
+    *   - `//host/…` takes the page's scheme;
+    *   - `/path` takes the page's canonical origin (scheme://host[:port]);
+    *   - everything else — relative paths, bare fragments, `mailto:`,
+    *     `javascript:` — yields NULL `link_url` (kept as rows: the
+    *     drop categories are themselves a crawl signal). Documented
+    *     approximation: relative-path resolution needs dot-segment
+    *     merging against the page path; crawl frontiers overwhelmingly
+    *     follow the three forms above.
+    *
+    * Output: `(doc_id, page_host, link_idx, href, link_url,
+    * link_host)`. Row-local explode — rows ~ links, no shuffle. */
+  def extractLinks(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val hrefs = concat(
+      regexp_extract_all(raw, lit(HrefDqPat), lit(1)),
+      regexp_extract_all(raw, lit(HrefSqPat), lit(1)))
+    val prepared = graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"),
+        seal(struct(urlParts(col(urlCol)).as("up"), hrefs.as("hs"))).as("sx"))
+      .select(col("doc_id"),
+        col("sx.up.canon_url").as("page_canon"),
+        col("sx.up.host").as("page_host"),
+        col("sx.hs").as("hs"))
+    // the page's canonical origin = canon_url up to the path (scheme,
+    // normalized host, non-default port) — re-extracted from the
+    // canonical form so resolution and canonicalization agree
+    val origin = regexp_extract(col("page_canon"), AuthorityPat, 0)
+    val h = Html.Entities.foldLeft(
+      regexp_replace(col("href0"), WsTrimPat, "")) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+    prepared
+      .select(col("doc_id"), col("page_canon"), col("page_host"),
+        posexplode(col("hs")).as(Seq("link_idx", "href0")))
+      .withColumn("href", h)
+      .withColumn("resolved",
+        when(col("href").rlike(HasSchemePat), col("href"))
+          .when(col("href").rlike("^//"),
+            concat(regexp_extract(col("page_canon"), SchemePat, 1), lit(":"), col("href")))
+          .when(col("href").rlike("^/") && col("page_canon").isNotNull,
+            concat(origin, col("href"))))
+      .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
+        seal(urlParts(col("resolved"))).as("lp"))
+      .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
+        col("lp.canon_url").as("link_url"), col("lp.host").as("link_host"))
+  }
+
+  /** The host-level edge list: `(src, dst, n_links)` over resolvable
+    * links from pages with a canonical host. `selfEdges=false`
+    * (default) drops intra-host links — the domain graph a PageRank
+    * prior wants. One aggregation; keys are hosts, never text. */
+  def linkHostEdges(pages: DataFrame, urlCol: String = "url",
+      selfEdges: Boolean = false): DataFrame = {
+    val links = extractLinks(pages, urlCol)
+      .where(col("page_host").isNotNull && col("link_host").isNotNull)
+    val filtered = if (selfEdges) links else links.where(col("page_host") =!= col("link_host"))
+    filtered.groupBy(col("page_host").as("src"), col("link_host").as("dst"))
+      .agg(count(lit(1)).as("n_links"))
+  }
+
+  // ---- Domain rank (fixed-iteration PageRank) --------------------------
+
+  /** PageRank over an edge table `(src, dst)` — the domain-quality
+    * prior of Common-Crawl-scale curation, as a FIXED number of power
+    * iterations (fixed by design: the stopping rule stays in the
+    * caller's hands and the computation is engine-exact — a
+    * convergence test would make the iteration count data-dependent).
+    * Unweighted on the DISTINCT edge set (the standard host-graph
+    * formulation); dangling mass (nodes with no out-edges) is
+    * redistributed uniformly, the classic correction.
+    *
+    * Determinism: each tier's values live as BIGINT [[RankUnits]]
+    * units (see the constant's scaladoc for why integer space beats
+    * the 12dp-decimal tier here); the per-node inbound sum is exact
+    * integer addition, and the only floating-point arithmetic is the
+    * fixed-shape per-node expression
+    * `(1−d)·U/N + d·(inbound + dangling/N)` rounded at scale 0 —
+    * identical IEEE evaluation on both engines.
+    *
+    * Scale shape: ranks/outdeg tables are NODE-sized (domains —
+    * ~10⁸ at 100 TB, far smaller than edges); each iteration is one
+    * equi-join of edges⋈ranks shuffled on `src` followed by one
+    * aggregation on `dst` — exactly the minimum a distributed power
+    * iteration moves. Each tier materializes ([[graft.core.Materialize]])
+    * so the lineage stays one-iteration deep, and the superseded
+    * tier releases under Persist (the [[Dedup.clusters]] discipline). */
+  def domainRank(
+      edges: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
+    val e = graft.core.Materialize(
+      edges.select(col("src"), col("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      mat)
+    val nodes = graft.core.Materialize(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct(),
+      mat)
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
+    var ranks = graft.core.Materialize(
+      nodes.crossJoin(broadcast(nRow))
+        .select(col("node"),
+          round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
+            .cast("long").as("rank_u")),
+      mat)
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"),
+          round(col("rank_u").cast("double") / col("outdeg"), 0)
+            .cast("long").as("contrib_u"))
+      val inbound = e.join(contribs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("contrib_u")).as("inb_u"))
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang_u"))
+      val next = graft.core.Materialize(
+        nodes
+          .join(inbound, nodes("node") === inbound("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            round(
+              (lit(1.0) - lit(damping)) * lit(RankUnits).cast("double") / col("n_nodes") +
+                lit(damping) *
+                  (coalesce(col("inb_u"), lit(0L)).cast("double") +
+                    col("dang_u").cast("double") / col("n_nodes")),
+              0).cast("long").as("rank_u")),
+        mat)
+      next.limit(1).count() // force, so the superseded tier can release
+      if (prev ne next) graft.core.Materialize.release(prev, mat)
+      prev = next
+      ranks = next
+    }
+    graft.core.Materialize.release(e, mat)
+    ranks.select(col("node"),
+      (col("rank_u").cast("double") / lit(RankUnits).cast("double")).as("rank"))
+  }
+
+  /** Join a rank table onto a doc table as a quality prior:
+    * `domain_rank` (0.0 for nodes the graph never saw — an unranked
+    * domain is prior-less, not NULL-poisoned). `broadcastRanks`
+    * defaults true — a domain table is usually tiny next to the
+    * corpus; at ~10⁸ nodes pass false and let the join shuffle. */
+  def rankPrior(docs: DataFrame, ranks: DataFrame, nodeCol: String = "node",
+      broadcastRanks: Boolean = true): DataFrame = {
+    val r = ranks.select(col("node").as(nodeCol), col("rank"))
+    val rhs = if (broadcastRanks) broadcast(r) else r
+    docs.join(rhs, Seq(nodeCol), "left")
+      .withColumn("domain_rank", coalesce(col("rank"), lit(0.0)))
+      .drop("rank")
+  }
+
+  /** The crawl frontier: extracted link targets NOT already in the
+    * corpus, aggregated to distinct URLs with reference counts, the
+    * domain-rank prior attached, and capped to the top `perHostCap`
+    * per host (the politeness budget) by `(n_refs desc, link_url)`.
+    * Output: `(link_url, link_host, n_refs, domain_rank, pos)`.
+    *
+    * Scale shape: the seen-set anti-join moves 16-byte md5 keys; the
+    * candidate aggregation shuffles the frontier URLs themselves
+    * (unavoidable — the frontier IS a URL list, and it is
+    * links-sized, not corpus-sized); the per-host window sorts each
+    * host's candidates once, bounded by that host's distinct-link
+    * count (the cap bounds the OUTPUT, and a host so popular its
+    * candidate list skews a partition is exactly the host a crawler
+    * caps hardest). `ranks` is [[domainRank]] output or any
+    * `(node, rank)` table; unranked hosts get prior 0.0. */
+  def crawlFrontier(
+      pages: DataFrame,
+      ranks: DataFrame,
+      urlCol: String = "url",
+      perHostCap: Int = 10): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
+    val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
+    val seen = pages
+      .select(md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+      .where(col("url_key").isNotNull).distinct()
+    val cands = links
+      .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
+      .join(seen, Seq("url_key"), "left_anti")
+      .groupBy(col("link_url"), col("link_host"))
+      .agg(count(lit(1)).as("n_refs"))
+    rankPrior(cands, ranks, nodeCol = "link_host")
+      .withColumn("pos", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("link_host"))
+          .orderBy(col("n_refs").desc, col("link_url").asc)))
+      .where(col("pos") <= perHostCap)
+  }
+
+  // ---- Corpus snapshot diff --------------------------------------------
+
+  /** Diff two corpus snapshots by doc_id + content hash:
+    * `(doc_id, status ∈ added|removed|changed|unchanged, old_h,
+    * new_h)`. The join moves only `(doc_id, md5)` pairs — hashes are
+    * computed BEFORE the shuffle, text never moves — so diffing two
+    * 100 TB snapshots costs two scans plus an id-sized co-partitioned
+    * join. NULL text hashes like empty text (the engine-wide
+    * total-function stance). Feed `status != 'unchanged'` into the
+    * incremental faces ([[Dedup.dedupIncremental]],
+    * [[graft.streaming.CorpusWatcher]] histories) to process only the
+    * delta. */
+  def corpusDiff(oldDocs: DataFrame, newDocs: DataFrame): DataFrame = {
+    val oh = graft.core.Parallelism.ensure(oldDocs)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("old_h"))
+    val nh = graft.core.Parallelism.ensure(newDocs)
+      .select(col("doc_id"), md5(coalesce(col("text"), lit(""))).as("new_h"))
+    oh.join(nh, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("old_h").isNull, lit("added"))
+          .when(col("new_h").isNull, lit("removed"))
+          .when(col("old_h") === col("new_h"), lit("unchanged"))
+          .otherwise(lit("changed")).as("status"),
+        col("old_h"), col("new_h"))
+  }
+}

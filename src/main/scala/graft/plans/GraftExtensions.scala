@@ -76,6 +76,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.shardManifestTableFunction)
     ext.injectTableFunction(GraftExtensions.unimaxTableFunction)
     ext.injectTableFunction(GraftExtensions.spanPlanTableFunction)
+    ext.injectTableFunction(GraftExtensions.urlCanonTableFunction)
+    ext.injectTableFunction(GraftExtensions.urlDedupTableFunction)
+    ext.injectTableFunction(GraftExtensions.linkEdgesTableFunction)
+    ext.injectTableFunction(GraftExtensions.rankPriorTableFunction)
+    ext.injectTableFunction(GraftExtensions.corpusDiffTableFunction)
+    ext.injectTableFunction(GraftExtensions.urlSignalsTableFunction)
+    ext.injectTableFunction(GraftExtensions.frontierTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1421,6 +1428,111 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for the crawl-graph family ([[graft.ops.Crawl]]):
+    *
+    * {{{
+    * SELECT * FROM graft_url_canon('pages')           -- + canon_url/host/domain
+    * SELECT * FROM graft_url_dedup('pages')           -- (doc_id, url_key, keep)
+    * SELECT * FROM graft_link_edges('pages')          -- host graph (src, dst, n_links)
+    * SELECT * FROM graft_rank_prior('docs', 'ranks')  -- stored-rank join, 0.0 unranked
+    * SELECT * FROM graft_corpus_diff('old', 'new')    -- added/removed/changed/unchanged
+    * }}}
+    *
+    * All five stay fully lazy. [[graft.ops.Crawl.domainRank]] itself is
+    * Scala-API-only (an iterative materialize/release loop cannot be a
+    * lazy TVF body — the [[graft.ops.Dedup.clusters]] stance); its
+    * output is the stored table `graft_rank_prior` consumes. */
+  private val urlCanonTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_url_canon"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_url_canon"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_url_canon(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.urlCanon(SparkSession.active.table(
+          stringArg("graft_url_canon")(children.head, "pages_table"))))
+    })
+
+  private val urlDedupTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_url_dedup"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_url_dedup"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_url_dedup(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.urlDuplicates(SparkSession.active.table(
+          stringArg("graft_url_dedup")(children.head, "pages_table"))))
+    })
+
+  private val linkEdgesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_link_edges"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_link_edges"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_link_edges(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.linkHostEdges(SparkSession.active.table(
+          stringArg("graft_link_edges")(children.head, "pages_table"))))
+    })
+
+  private val rankPriorTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_rank_prior"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_rank_prior"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_rank_prior(docs_table, ranks_table)")
+      val str = stringArg("graft_rank_prior") _
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.rankPrior(
+          SparkSession.active.table(str(children.head, "docs_table")),
+          SparkSession.active.table(str(children(1), "ranks_table"))))
+    })
+
+  private val urlSignalsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_url_signals"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_url_signals"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_url_signals(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.urlSignals(SparkSession.active.table(
+          stringArg("graft_url_signals")(children.head, "pages_table"))))
+    })
+
+  /** `SELECT * FROM graft_frontier('pages', 'ranks'[, per_host_cap])`
+    * — unseen link targets, ref-counted, rank-joined, host-capped.
+    * `ranks` is a stored [[graft.ops.Crawl.domainRank]] output. */
+  private val frontierTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_frontier"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_frontier"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_frontier(pages_table, ranks_table[, per_host_cap])")
+      val str = stringArg("graft_frontier") _
+      val cap =
+        if (children.size == 3) intArg("graft_frontier")(children(2), "per_host_cap")
+        else 10
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.crawlFrontier(
+          SparkSession.active.table(str(children.head, "pages_table")),
+          SparkSession.active.table(str(children(1), "ranks_table")),
+          perHostCap = cap))
+    })
+
+  private val corpusDiffTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_corpus_diff"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_corpus_diff"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_corpus_diff(old_table, new_table)")
+      val str = stringArg("graft_corpus_diff") _
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.corpusDiff(
+          SparkSession.active.table(str(children.head, "old_table")),
+          SparkSession.active.table(str(children(1), "new_table"))))
+    })
+
   /** SQL surface for trigram stupid-backoff LM scoring
     * ([[graft.ops.TextAnalysis.lm3ScoreAgainst]]):
     *
@@ -1585,7 +1697,11 @@ object GraftExtensions {
         spanEvalTableFunction,
         lm3ScoreTableFunction, lmnScoreTableFunction, knScoreTableFunction,
         shardManifestTableFunction,
-        unimaxTableFunction, spanPlanTableFunction)
+        unimaxTableFunction, spanPlanTableFunction,
+        urlCanonTableFunction, urlDedupTableFunction,
+        linkEdgesTableFunction, rankPriorTableFunction,
+        corpusDiffTableFunction, urlSignalsTableFunction,
+        frontierTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }
