@@ -284,6 +284,17 @@ object CorpusWatcher {
     * re-split identically next batch. All three strip histories hold
     * keys only — never text — and share the semi-join compaction.
     *
+    * URL-identity gate (`urlHistoryDir`): the FIRST stage after parse
+    * — [[graft.ops.Crawl.canonicalizeUrl]] keys each row's `url`
+    * field (absent/NULL/non-canonical URLs always pass), rows whose
+    * key the accumulated history holds are dropped before any
+    * content work, the within-batch minimum doc_id wins each
+    * canonical group, and the admitted keys append as this batch's
+    * `batch_id=N` partition. A re-crawled URL costs one 16-byte key
+    * — never an extraction, quality score, or signature. History
+    * holds md5 keys only — never URLs — and shares the semi-join
+    * compaction.
+    *
     * Positional snapshots (`positional`): the maintained index is
     * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
     * positions, cnt)` instead of the flat counts, so
@@ -299,9 +310,9 @@ object CorpusWatcher {
     *
     * Per-batch funnel metrics (`metricsDir`): the streaming face of
     * [[graft.ops.Curation.funnel]] — each batch appends one row per
-    * pipeline stage (`ingest, parsed, quality_gate, classifier,
-    * decontaminated, dedup_history, dedup_within, mixture, indexed` —
-    * surviving doc counts) to
+    * pipeline stage (`ingest, parsed, url_dedup, html_text, c4_lines,
+    * quality_gate, classifier, decontaminated, dedup_history,
+    * dedup_within, mixture, indexed` — surviving doc counts) to
     * `metricsDir/batch_id=N`, the observability a production feed
     * needs ("batch 412 dropped 80% at the gate" is an incident; a
     * silent filter is not). Disabled stages report their input count
@@ -355,7 +366,8 @@ object CorpusWatcher {
       driftDir: Option[String] = None,
       unicodeTokens: Boolean = false,
       htmlExtract: Boolean = false,
-      c4Rules: Boolean = false): StreamingQuery = {
+      c4Rules: Boolean = false,
+      urlHistoryDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -376,7 +388,7 @@ object CorpusWatcher {
       .format("json")
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", C)
-      .schema(s"doc_id BIGINT, text STRING, source STRING, $C STRING")
+      .schema(s"doc_id BIGINT, text STRING, source STRING, url STRING, $C STRING")
       .load(watchDir)
     val writer = docs.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -409,14 +421,52 @@ object CorpusWatcher {
         val bad = batch.filter(col(C).isNotNull || col("doc_id").isNull)
           .select(
             coalesce(col(C),
-              to_json(struct(col("doc_id"), col("text"), col("source")))).as("raw"))
+              to_json(struct(col("doc_id"), col("text"), col("source"),
+                col("url")))).as("raw"))
         // per-batch dir + overwrite = replay-idempotent (a batch that
         // fails after this write and reruns overwrites the same path
         // instead of appending duplicates); the partition-style name
         // surfaces batch_id as a column when reading the parent dir
         bad.write.mode("overwrite").parquet(s"$quarantineDir/batch_id=$batchId")
-        val parsed = batch.filter(col(C).isNull && col("doc_id").isNotNull)
-          .select(col("doc_id").cast("string").as("doc_id"), col("text"), col("source"))
+        val parsed0 = batch.filter(col(C).isNull && col("doc_id").isNotNull)
+          .select(col("doc_id").cast("string").as("doc_id"), col("text"),
+            col("source"), col("url"))
+        // URL-identity gate FIRST — it is the cheapest dedup a crawl
+        // has (a 16-byte key per row, no content signature), so a
+        // re-crawled URL never reaches the extract/quality/signature
+        // ladder at all. Same append-only batch_id=N history
+        // discipline as the band/anchor tables (replay-idempotent:
+        // the history read excludes the replayed batch's own
+        // first-attempt partition, the append overwrites it); rows
+        // whose URL does not canonicalize (or feeds without a url
+        // field at all — the column parses NULL) always pass. Within
+        // the batch the minimum doc_id (string order — ids are opaque
+        // here) wins its canonical-URL group, deterministically.
+        val parsed = urlHistoryDir match {
+          case None => parsed0.drop("url")
+          case Some(ud) =>
+            val keyed = staged(parsed0
+              .withColumn("url_key",
+                md5(graft.ops.Crawl.canonicalizeUrl(col("url"))))
+              .drop("url"))
+            val freshVsHist =
+              accumulatedPartitions(session, ud, excludeBatchId = batchId) match {
+                case Some(h) =>
+                  keyed.join(h.select("url_key"), Seq("url_key"), "left_anti")
+                case None => keyed
+              }
+            val winners = freshVsHist.where(col("url_key").isNotNull)
+              .groupBy("url_key").agg(min(col("doc_id")).as("_url_winner"))
+            val kept = staged(freshVsHist
+              .join(winners, Seq("url_key"), "left")
+              .where(col("url_key").isNull || col("doc_id") === col("_url_winner"))
+              .drop("_url_winner"))
+            // post-gate keys append (a key is stored once, by its
+            // first-admitted batch), replay-idempotent overwrite
+            kept.where(col("url_key").isNotNull).select("url_key").distinct()
+              .write.mode("overwrite").parquet(s"$ud/batch_id=$batchId")
+            kept.drop("url_key")
+        }
         // crawl-front stages, BEFORE every content gate: a raw-markup
         // feed first extracts prose (row-local), then applies C4's
         // line rules (row-local, drops boilerplate lines + sub-floor
@@ -666,10 +716,11 @@ object CorpusWatcher {
           // count only the frames a knob actually changed; pass-through
           // stages reuse the upstream count (no extra action)
           val nIngest = batch.count()
-          val nParsed = parsed.count()
+          val nParsed = if (urlHistoryDir.isDefined) parsed0.count() else parsed.count()
+          val nUrl = if (urlHistoryDir.isDefined) parsed.count() else nParsed
           // html extraction rewrites text but never drops rows — the
-          // stage row reuses the parsed count (no extra action)
-          val nHtml = nParsed
+          // stage row reuses the url-gate count (no extra action)
+          val nHtml = nUrl
           val nC4 = if (c4Rules) prose.count() else nHtml
           val nGated = if (qualityGate.isDefined) clean.count() else nC4
           val nClf = if (classifierGate.isDefined) scored.count() else nGated
@@ -683,11 +734,12 @@ object CorpusWatcher {
           import session.implicits._
           Seq(
             (1, "ingest", nIngest), (2, "parsed", nParsed),
-            (3, "html_text", nHtml), (4, "c4_lines", nC4),
-            (5, "quality_gate", nGated), (6, "classifier", nClf),
-            (7, "decontaminated", nDecon), (8, "dedup_history", nHist),
-            (9, "dedup_within", nWithin), (10, "mixture", nMix),
-            (11, "indexed", nMix))
+            (3, "url_dedup", nUrl),
+            (4, "html_text", nHtml), (5, "c4_lines", nC4),
+            (6, "quality_gate", nGated), (7, "classifier", nClf),
+            (8, "decontaminated", nDecon), (9, "dedup_history", nHist),
+            (10, "dedup_within", nWithin), (11, "mixture", nMix),
+            (12, "indexed", nMix))
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }
@@ -704,7 +756,8 @@ object CorpusWatcher {
         // double-count token mass.
         compactEvery.foreach { n =>
           if (batchId % n == (n - 1).toLong) {
-            (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++ sentenceSpanHistoryDir)
+            (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++
+              sentenceSpanHistoryDir ++ urlHistoryDir)
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }

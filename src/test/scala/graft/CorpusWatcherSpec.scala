@@ -250,7 +250,8 @@ class CorpusWatcherSpec extends SparkSpec {
       spark.read.parquet(metrics).filter(col("batch_id") === batch)
         .select("stage", "n_docs").as[(String, Long)].collect().toMap
     assert(metricsOf(0) === Map(
-      "ingest" -> 5L, "parsed" -> 4L, "html_text" -> 4L, "c4_lines" -> 4L,
+      "ingest" -> 5L, "parsed" -> 4L, "url_dedup" -> 4L,
+      "html_text" -> 4L, "c4_lines" -> 4L,
       "quality_gate" -> 3L, "classifier" -> 3L, "decontaminated" -> 3L,
       "dedup_history" -> 3L, "dedup_within" -> 2L,
       "mixture" -> 2L, "indexed" -> 2L))
@@ -259,7 +260,8 @@ class CorpusWatcherSpec extends SparkSpec {
       s"""{"doc_id": 30, "text": "$dupText"}""".getBytes("UTF-8"))
     run()
     assert(metricsOf(1) === Map(
-      "ingest" -> 1L, "parsed" -> 1L, "html_text" -> 1L, "c4_lines" -> 1L,
+      "ingest" -> 1L, "parsed" -> 1L, "url_dedup" -> 1L,
+      "html_text" -> 1L, "c4_lines" -> 1L,
       "quality_gate" -> 1L, "classifier" -> 1L, "decontaminated" -> 1L,
       "dedup_history" -> 0L, "dedup_within" -> 0L,
       "mixture" -> 0L, "indexed" -> 0L))
@@ -617,7 +619,8 @@ class CorpusWatcherSpec extends SparkSpec {
     val m1 = spark.read.parquet(metrics).filter(col("batch_id") === 1)
       .select("stage", "n_docs").as[(String, Long)].collect().toMap
     assert(m1 === Map(
-      "ingest" -> 3L, "parsed" -> 3L, "html_text" -> 3L, "c4_lines" -> 3L,
+      "ingest" -> 3L, "parsed" -> 3L, "url_dedup" -> 3L,
+      "html_text" -> 3L, "c4_lines" -> 3L,
       "quality_gate" -> 3L,
       "classifier" -> 2L, "decontaminated" -> 1L,
       "dedup_history" -> 1L, "dedup_within" -> 1L,
@@ -756,6 +759,46 @@ class CorpusWatcherSpec extends SparkSpec {
       "the already-seen region must be stripped from doc 51")
     assert(entries.exists(e => e._1 == "sentinelmiddle" && e._2 == "50"),
       "the history's own copy stays indexed")
+  }
+
+  test("urlHistoryDir drops re-crawled URLs before content work; null/absent urls pass; replay-idempotent") {
+    val (watch, index, quar, hist) =
+      (tmp("watchu"), tmp("indexu"), tmp("quaru") + "/bad", tmp("histu") + "/urls")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      urlHistoryDir = Some(hist)).awaitTermination()
+    // batch 0: 60/61 share a canonical URL (case + tracking params +
+    // fragment differ) -> min doc_id (string "60") wins; 62 has no url
+    // field at all and must pass untouched
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 60, "text": "sixtybody words", "url": "HTTPS://WWW.Example.COM/a/?utm_source=s#x"}""" + "\n" +
+        """{"doc_id": 61, "text": "sixtyonebody words", "url": "https://example.com/a"}""" + "\n" +
+        """{"doc_id": 62, "text": "nourlbody words"}""" + "\n").getBytes("UTF-8"))
+    val ckpt = tmp("ckptu")
+    run(ckpt)
+    val e0 = indexEntries(index)
+    assert(e0.exists(e => e._1 == "sixtybody" && e._2 == "60"))
+    assert(!e0.exists(e => e._2 == "61"),
+      "the within-batch canonical-URL loser must be dropped")
+    assert(e0.exists(e => e._1 == "nourlbody" && e._2 == "62"))
+    // history holds exactly the admitted key (md5, never the URL)
+    val h0 = spark.read.parquet(hist).filter(col("batch_id") === 0)
+      .select("url_key").as[String].collect()
+    assert(h0.length === 1 && h0.head.length === 32)
+    // replay batch 0 (fresh checkpoint): the gate must exclude its own
+    // first-attempt keys or doc 60 would URL-dup against itself
+    run(tmp("ckptu2"))
+    assert(indexEntries(index).exists(e => e._1 == "sixtybody" && e._2 == "60"),
+      "a replayed batch must not self-drop against its first-attempt keys")
+    // batch 1: a re-crawl of the same page (new doc_id, same canonical
+    // URL) dies at the gate; a genuinely new URL passes
+    Files.write(Paths.get(watch, "feed-1.json"),
+      ("""{"doc_id": 70, "text": "recrawlbody words", "url": "https://example.com/a?utm_campaign=z"}""" + "\n" +
+        """{"doc_id": 71, "text": "freshurlbody words", "url": "https://example.com/b"}""" + "\n").getBytes("UTF-8"))
+    run(ckpt)
+    val e1 = indexEntries(index)
+    assert(!e1.exists(e => e._2 == "70"), "a re-crawled URL must drop at the gate")
+    assert(e1.exists(e => e._1 == "freshurlbody" && e._2 == "71"))
+    assert(spark.read.parquet(hist).select("url_key").distinct().count() === 2)
   }
 
   test("paraHistoryDir strips already-seen paragraphs from later batches; replay-idempotent") {
