@@ -326,7 +326,8 @@ object SparkEntry {
     * and a NULL page URL (root-relative resolution gated off). */
   private val LinkRows: Seq[(Long, String, String)] = Seq(
     (9350000L, "https://probe.example.org/d/0",
-      "<a href='https://h1.example.org/sq'>sq</a><a href=\"relative/skip\">rel</a>"),
+      "<a href='https://h1.example.org/sq'><b>Bold</b> &amp; decoded  anchor</a>" +
+        "<a href=\"relative/skip\">rel</a>"),
     (9350001L, "https://lonely.example.org/alone", "no links at all"),
     (9350002L, null, "<a href=\"/orphan\">orphan</a>"),
     // a page whose URL IS a common link target (doc_id%3==0 pages on
@@ -346,27 +347,66 @@ object SparkEntry {
     * single-quoted), entity decode, three-form resolution, link
     * canonicalization. Final CTE `lc`: doc_id, page_host, link_idx,
     * href, canon_url (= link_url), host (= link_host). */
-  private val LINK_CTES: String = {
+  /** Entity-decode fold over a trimmed href expression (twin of the
+    * Scala `decodedHref`). */
+  private def decodedHrefSql(in: String): String = {
     import graft.ops.Crawl._
-    val decoded = graft.ops.Html.Entities.foldLeft(
-      s"regexp_replace(href0, '$WsTrimPat', '', 'g')") { case (acc, (ent, ch)) =>
+    graft.ops.Html.Entities.foldLeft(
+      s"regexp_replace($in, '$WsTrimPat', '', 'g')") { case (acc, (ent, ch)) =>
       val rep = if (ch == "'") "chr(39)" else s"'$ch'"
       s"replace($acc, '$ent', $rep)"
     }
+  }
+
+  /** Three-form resolution CASE (twin of the Scala `resolvedTo`). */
+  private def resolvedToSql(href: String, pageCanon: String): String = {
+    import graft.ops.Crawl._
+    s"""CASE WHEN regexp_matches($href, '$HasSchemePat') THEN $href
+       |         WHEN regexp_matches($href, '^//') THEN regexp_extract($pageCanon, '$SchemePat', 1) || ':' || $href
+       |         WHEN regexp_matches($href, '^/') AND $pageCanon IS NOT NULL THEN regexp_extract($pageCanon, '$AuthorityPat', 0) || $href
+       |    END""".stripMargin
+  }
+
+  /** Synthetic link corpus + page canonicalization (final CTE `pc`) —
+    * the shared prologue of every link-family twin. */
+  private val LINK_PC_CTES: String =
     s"""lp0 AS (SELECT doc_id, $CrawlPageUrlSql AS url, $CrawlPageTextSql AS text FROM documents
        |    UNION ALL SELECT * FROM (VALUES ${LinkRows.map { case (id, u, t) => s"($id, ${sqlStr(u)}, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, url, text)),
-       |${urlCanonCtes("pc", "lp0", "url", "doc_id, text")},
+       |${urlCanonCtes("pc", "lp0", "url", "doc_id, text")}""".stripMargin
+
+  private val LINK_CTES: String = {
+    import graft.ops.Crawl._
+    s"""$LINK_PC_CTES,
        |lh AS (SELECT doc_id, canon_url AS page_canon, host AS page_host,
        |    list_concat(regexp_extract_all(coalesce(text, ''), ${sqlStr(HrefDqPat)}, 1), regexp_extract_all(coalesce(text, ''), ${sqlStr(HrefSqPat)}, 1)) AS hs FROM pc),
        |lx AS (SELECT doc_id, page_canon, page_host, CAST(i - 1 AS INTEGER) AS link_idx, hs[i] AS href0
        |    FROM (SELECT *, unnest(generate_series(1, len(hs))) AS i FROM lh)),
-       |ld AS (SELECT doc_id, page_canon, page_host, link_idx, $decoded AS href FROM lx),
+       |ld AS (SELECT doc_id, page_canon, page_host, link_idx, ${decodedHrefSql("href0")} AS href FROM lx),
        |lr AS (SELECT doc_id, page_host, link_idx, href,
-       |    CASE WHEN regexp_matches(href, '$HasSchemePat') THEN href
-       |         WHEN regexp_matches(href, '^//') THEN regexp_extract(page_canon, '$SchemePat', 1) || ':' || href
-       |         WHEN regexp_matches(href, '^/') AND page_canon IS NOT NULL THEN regexp_extract(page_canon, '$AuthorityPat', 0) || href
-       |    END AS resolved FROM ld),
+       |    ${resolvedToSql("href", "page_canon")} AS resolved FROM ld),
        |${urlCanonCtes("lc", "lr", "resolved", "doc_id, page_host, link_idx, href")}""".stripMargin
+  }
+
+  /** Twin of [[graft.ops.Crawl.anchorTexts]]: paired href/inner-text
+    * extraction (group 1/2 of the SAME pattern — equal list lengths
+    * by construction), the [[htmlSegmentSql]] chain on the inner
+    * markup, then resolution + canonicalization. Final CTE `ac`. */
+  private val ANCHOR_CTES: String = {
+    import graft.ops.Crawl._
+    def both(grp: Int) =
+      s"list_concat(regexp_extract_all(coalesce(text, ''), ${sqlStr(AnchorDqPat)}, $grp), regexp_extract_all(coalesce(text, ''), ${sqlStr(AnchorSqPat)}, $grp))"
+    s"""$LINK_PC_CTES,
+       |ah AS (SELECT doc_id, canon_url AS page_canon, host AS page_host,
+       |    ${both(1)} AS hs, ${both(2)} AS its FROM pc),
+       |ax AS (SELECT doc_id, page_canon, page_host, CAST(i - 1 AS INTEGER) AS link_idx,
+       |    hs[i] AS href0, its[i] AS inner0
+       |    FROM (SELECT *, unnest(generate_series(1, len(hs))) AS i FROM ah)),
+       |ad AS (SELECT doc_id, page_canon, page_host, link_idx,
+       |    ${decodedHrefSql("href0")} AS href,
+       |    ${htmlSegmentSql("inner0")} AS anchor_text FROM ax),
+       |ar AS (SELECT doc_id, page_host, link_idx, href, anchor_text,
+       |    ${resolvedToSql("href", "page_canon")} AS resolved FROM ad),
+       |${urlCanonCtes("ac", "ar", "resolved", "doc_id, page_host, link_idx, href, anchor_text")}""".stripMargin
   }
 
   /** [[LINK_CTES]] + the distinct host edge set and THREE unrolled
@@ -1487,6 +1527,10 @@ object SparkEntry {
     }),
     // URL shape signals: the pre-fetch quality features (row-local)
     "q_url_signals" -> ((s, dir) => graft.ops.Crawl.urlSignals(crawlPages(s, dir))),
+    // anchor elements: resolved target + visible (stripped/decoded) text
+    "q_anchor_texts" -> ((s, dir) => graft.ops.Crawl.anchorTexts(linkPages(s, dir))),
+    // what the web's link text calls each host (anchor-text index)
+    "q_anchor_index" -> ((s, dir) => graft.ops.Crawl.anchorIndex(linkPages(s, dir))),
     // frontier: unseen link targets, ref-counted, rank-joined, host-capped
     "q_frontier" -> ((s, dir) => {
       val pages = linkPages(s, dir)
@@ -2829,6 +2873,22 @@ object SparkEntry {
          |  CASE WHEN canon_url IS NOT NULL THEN lower(nullif(regexp_extract(path1, '${graft.ops.Crawl.FileExtPat}', 1), '')) END AS file_ext,
          |  CAST(len(u0) AS BIGINT) AS url_len
          |FROM uce""".stripMargin,
+    "q_anchor_texts" ->
+      // twin of Crawl.anchorTexts over the synthetic link corpus: the
+      // anchor element's visible text rides the htmlSegmentSql chain,
+      // the target the same resolution + canonicalization as links
+      s"""WITH $ANCHOR_CTES
+         |SELECT doc_id, page_host, link_idx, href,
+         |  canon_url AS link_url, host AS link_host, anchor_text
+         |FROM ac""".stripMargin,
+    "q_anchor_index" ->
+      // twin of Crawl.anchorIndex: the §2 tokenizer over anchor_text,
+      // counted per (word, target host)
+      s"""WITH $ANCHOR_CTES,
+         |aw AS (SELECT host AS link_host,
+         |    unnest(list_filter(string_split(regexp_replace(lower(regexp_replace(anchor_text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0)) AS word
+         |  FROM ac WHERE host IS NOT NULL)
+         |SELECT word, link_host, count(*) AS cnt FROM aw GROUP BY word, link_host""".stripMargin,
     "q_frontier" ->
       // twin of Crawl.crawlFrontier(perHostCap = 5) over the same
       // 3-iteration ranks: seen-set anti-join by md5 key, distinct

@@ -289,29 +289,90 @@ object Crawl {
         col("sx.up.canon_url").as("page_canon"),
         col("sx.up.host").as("page_host"),
         col("sx.hs").as("hs"))
-    // the page's canonical origin = canon_url up to the path (scheme,
-    // normalized host, non-default port) — re-extracted from the
-    // canonical form so resolution and canonicalization agree
-    val origin = regexp_extract(col("page_canon"), AuthorityPat, 0)
-    val h = Html.Entities.foldLeft(
-      regexp_replace(col("href0"), WsTrimPat, "")) {
-      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
-    }
     prepared
       .select(col("doc_id"), col("page_canon"), col("page_host"),
         posexplode(col("hs")).as(Seq("link_idx", "href0")))
-      .withColumn("href", h)
-      .withColumn("resolved",
-        when(col("href").rlike(HasSchemePat), col("href"))
-          .when(col("href").rlike("^//"),
-            concat(regexp_extract(col("page_canon"), SchemePat, 1), lit(":"), col("href")))
-          .when(col("href").rlike("^/") && col("page_canon").isNotNull,
-            concat(origin, col("href"))))
+      .withColumn("href", decodedHref(col("href0")))
+      .withColumn("resolved", resolvedTo(col("href"), col("page_canon")))
       .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
         seal(urlParts(col("resolved"))).as("lp"))
       .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
         col("lp.canon_url").as("link_url"), col("lp.host").as("link_host"))
   }
+
+  /** Whitespace-trimmed, entity-decoded href value (`&amp;` in query
+    * strings is the norm in markup). */
+  private def decodedHref(href0: Column): Column =
+    Html.Entities.foldLeft(regexp_replace(href0, WsTrimPat, "")) {
+      case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))
+    }
+
+  /** Three-form resolution against the page's CANONICAL origin
+    * (scheme, normalized host, non-default port — re-extracted from
+    * the canonical form so resolution and canonicalization agree);
+    * NULL for every other form (see [[extractLinks]]). */
+  private def resolvedTo(href: Column, pageCanon: Column): Column =
+    when(href.rlike(HasSchemePat), href)
+      .when(href.rlike("^//"),
+        concat(regexp_extract(pageCanon, SchemePat, 1), lit(":"), href))
+      .when(href.rlike("^/") && pageCanon.isNotNull,
+        concat(regexp_extract(pageCanon, AuthorityPat, 0), href))
+
+  // ---- Anchor text (row-local) -----------------------------------------
+
+  /** href + inner text of each anchor ELEMENT, double- and single-
+    * quoted forms (group 1 = href, group 2 = inner markup; lazy inner
+    * match — still the Java ∩ RE2 subset, no backreferences). Anchors
+    * without a quoted href are skipped, matching [[HrefDqPat]]. */
+  val AnchorDqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*>(.*?)</a>"
+  val AnchorSqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*'([^']*)'[^>]*>(.*?)</a>"
+
+  /** Anchor texts: one row per href-bearing anchor element — the
+    * resolved/canonicalized target plus the anchor's VISIBLE text
+    * (inner markup stripped, entities decoded, whitespace collapsed —
+    * [[Html.extractSegment]]'s chain). Anchor text is the web's own
+    * description of the TARGET page, the classic retrieval/quality
+    * signal; [[anchorIndex]] aggregates it per target host. Output:
+    * `(doc_id, page_host, link_idx, href, link_url, link_host,
+    * anchor_text)`. Row-local explode, the [[extractLinks]] stance. */
+  def anchorTexts(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    def pairsOf(pat: String): Column =
+      zip_with(
+        regexp_extract_all(raw, lit(pat), lit(1)),
+        regexp_extract_all(raw, lit(pat), lit(2)),
+        (h, t) => struct(h.as("href0"), t.as("inner0")))
+    val prepared = graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"),
+        seal(struct(urlParts(col(urlCol)).as("up"),
+          concat(pairsOf(AnchorDqPat), pairsOf(AnchorSqPat)).as("ps"))).as("sx"))
+      .select(col("doc_id"),
+        col("sx.up.canon_url").as("page_canon"),
+        col("sx.up.host").as("page_host"),
+        col("sx.ps").as("ps"))
+    prepared
+      .select(col("doc_id"), col("page_canon"), col("page_host"),
+        posexplode(col("ps")).as(Seq("link_idx", "pair")))
+      .withColumn("href", decodedHref(col("pair.href0")))
+      .withColumn("anchor_text", Html.extractSegment(col("pair.inner0")))
+      .withColumn("resolved", resolvedTo(col("href"), col("page_canon")))
+      .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
+        seal(urlParts(col("resolved"))).as("lp"), col("anchor_text"))
+      .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
+        col("lp.canon_url").as("link_url"), col("lp.host").as("link_host"),
+        col("anchor_text"))
+  }
+
+  /** Host-level anchor-text index: what the web's link text calls
+    * each target host — `(word, link_host, cnt)` over the engine's
+    * §2 normalizer, riding [[graft.index.InvertedIndex.build]]'s
+    * one-shuffle partial aggregation (anchors that resolve off-web
+    * are excluded; rows ~ distinct (word, host) pairs). */
+  def anchorIndex(pages: DataFrame, urlCol: String = "url"): DataFrame =
+    graft.index.InvertedIndex.build(
+      anchorTexts(pages, urlCol).where(col("link_host").isNotNull),
+      idCol = "link_host", textCol = "anchor_text")
+      .select(col("word"), col("doc_id").as("link_host"), col("cnt"))
 
   /** The host-level edge list: `(src, dst, n_links)` over resolvable
     * links from pages with a canonical host. `selfEdges=false`

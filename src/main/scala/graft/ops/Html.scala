@@ -114,7 +114,10 @@ object Html {
   /** Per-segment extraction for the line faces: strip/decode/collapse
     * WITHOUT the line-break pass (the segment IS a visual line) and
     * without the page-level block removal (already applied). */
-  private def extractSegment(seg: Column): Column = {
+  /** Strip/decode/collapse for a SUB-DOCUMENT fragment (a visual line,
+    * an anchor element's inner markup): no line-break pass — the
+    * fragment IS the unit. Shared with [[Crawl.anchorTexts]]. */
+  def extractSegment(seg: Column): Column = {
     val noTags = regexp_replace(seg, TagPat, " ")
     val decoded = Entities.foldLeft(noTags) {
       case (c, (ent, ch)) => replace(c, lit(ent), lit(ch))

@@ -83,6 +83,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.corpusDiffTableFunction)
     ext.injectTableFunction(GraftExtensions.urlSignalsTableFunction)
     ext.injectTableFunction(GraftExtensions.frontierTableFunction)
+    ext.injectTableFunction(GraftExtensions.anchorTextsTableFunction)
+    ext.injectTableFunction(GraftExtensions.anchorIndexTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1520,6 +1522,28 @@ object GraftExtensions {
           perHostCap = cap))
     })
 
+  private val anchorTextsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_anchor_texts"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_anchor_texts"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_anchor_texts(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.anchorTexts(SparkSession.active.table(
+          stringArg("graft_anchor_texts")(children.head, "pages_table"))))
+    })
+
+  private val anchorIndexTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_anchor_index"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_anchor_index"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_anchor_index(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.anchorIndex(SparkSession.active.table(
+          stringArg("graft_anchor_index")(children.head, "pages_table"))))
+    })
+
   private val corpusDiffTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_corpus_diff"),
@@ -1701,7 +1725,8 @@ object GraftExtensions {
         urlCanonTableFunction, urlDedupTableFunction,
         linkEdgesTableFunction, rankPriorTableFunction,
         corpusDiffTableFunction, urlSignalsTableFunction,
-        frontierTableFunction)
+        frontierTableFunction, anchorTextsTableFunction,
+        anchorIndexTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

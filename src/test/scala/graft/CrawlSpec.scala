@@ -210,6 +210,34 @@ class CrawlSpec extends SparkSpec {
     assert(uncapped === Map("https://t.org/one" -> 1, "https://t.org/two" -> 2))
   }
 
+  test("anchorTexts: visible text strips inner markup and decodes entities; anchorIndex counts per target host") {
+    val p = Seq(
+      (1L, "https://src.example.org/1",
+        "<a href=\"https://t.org/a\"><b>Fast</b> &amp;  reliable search</a>" +
+          "<a href=\"https://t.org/b\"><img src=x></a>" + // tag-only inner -> ''
+          "<a href='https://u.net/c'>search engine</a>" +
+          "<a href=\"relative/x\">unresolvable text</a>"))
+      .toDF("doc_id", "url", "text")
+    val rows = Crawl.anchorTexts(p)
+      .select(col("link_idx"), col("link_url"), col("link_host"), col("anchor_text"))
+      .as[(Int, Option[String], Option[String], String)].collect().sortBy(_._1)
+    assert(rows.length === 4)
+    // markup stripped, &amp; decoded, whitespace collapsed
+    assert(rows(0) === ((0, Some("https://t.org/a"), Some("t.org"), "Fast & reliable search")))
+    // an anchor whose inner content is pure markup keeps its row with ''
+    assert(rows(1) === ((1, Some("https://t.org/b"), Some("t.org"), "")))
+    // unresolvable target keeps its text (the drop category is a signal)
+    assert(rows(2) === ((2, None, None, "unresolvable text")))
+    // single-quoted form lands after the double-quoted ones
+    assert(rows(3) === ((3, Some("https://u.net/c"), Some("u.net"), "search engine")))
+    val idx = Crawl.anchorIndex(p)
+      .as[(String, String, Long)].collect().toSet
+    // 'search' reaches both hosts; unresolvable anchors never index
+    assert(idx === Set(
+      ("fast", "t.org", 1L), ("reliable", "t.org", 1L), ("search", "t.org", 1L),
+      ("search", "u.net", 1L), ("engine", "u.net", 1L)))
+  }
+
   test("crawl TVF parity: graft_url_canon / graft_url_dedup / graft_link_edges / graft_rank_prior / graft_corpus_diff") {
     val s = SparkSpec.spark
     graft.plans.GraftExtensions.install(s)
@@ -227,6 +255,10 @@ class CrawlSpec extends SparkSpec {
       Crawl.linkHostEdges(p).collect().toSet)
     assert(s.sql("SELECT * FROM graft_url_signals('crawl_pages')").collect().toSet ===
       Crawl.urlSignals(p).collect().toSet)
+    assert(s.sql("SELECT * FROM graft_anchor_texts('crawl_pages')").collect().toSet ===
+      Crawl.anchorTexts(p).collect().toSet)
+    assert(s.sql("SELECT * FROM graft_anchor_index('crawl_pages')").collect().toSet ===
+      Crawl.anchorIndex(p).collect().toSet)
     Seq(("example.com", 0.6), ("unseen.org", 0.4)).toDF("node", "rank")
       .createOrReplaceTempView("crawl_ranks")
     Seq((1L, "example.com"), (2L, "other.example.net")).toDF("doc_id", "node")
