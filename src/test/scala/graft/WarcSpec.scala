@@ -1,0 +1,128 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+
+import graft.sources.Warc
+import SparkSpec.spark.implicits._
+
+class WarcSpec extends SparkSpec {
+
+  private val CRLF = "\r\n"
+
+  private def record(headers: Seq[(String, String)], content: String): String =
+    (Seq("WARC/1.0") ++ headers.map { case (k, v) => s"$k: $v" })
+      .mkString(CRLF) + CRLF + CRLF + content + CRLF + CRLF
+
+  private val html =
+    "<html><head><title>T</title></head><body><p>Hello crawl &amp; world.</p>" +
+      "<a href=\"https://next.example.org/p\">next</a></body></html>"
+
+  private val warcFile: String =
+    record(Seq(
+      "WARC-Type" -> "warcinfo",
+      "WARC-Record-ID" -> "<urn:uuid:aaaa-0000>",
+      "WARC-Date" -> "2026-01-02T03:04:05Z",
+      "Content-Length" -> "18"),
+      "software: testgen") +
+      record(Seq(
+        "WARC-Type" -> "request",
+        "WARC-Record-ID" -> "<urn:uuid:bbbb-1111>",
+        "WARC-Target-URI" -> "https://www.example.com/a",
+        "WARC-Date" -> "2026-01-02T03:04:06Z"),
+        s"GET /a HTTP/1.1${CRLF}Host: www.example.com") +
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:cccc-2222>",
+        "WARC-Target-URI" -> "https://www.example.com/a",
+        "WARC-Date" -> "2026-01-02T03:04:07Z"),
+        s"HTTP/1.1 200 OK${CRLF}Content-Type: text/html${CRLF}${CRLF}$html") +
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:dddd-3333>",
+        "WARC-Target-URI" -> "https://www.example.com/bare"),
+        "bare body with no http envelope")
+
+  private def writeWarc(): String = {
+    val dir = Files.createTempDirectory("graft-warc-")
+    dir.toFile.deleteOnExit()
+    Files.write(Paths.get(dir.toString, "shard-00000.warc"),
+      warcFile.getBytes("UTF-8"))
+    dir.toString
+  }
+
+  test("readRecords: every record parses with its headers; fields NULL when absent") {
+    val dir = writeWarc()
+    val rows = Warc.readRecords(spark, dir)
+      .select(col("record_idx"), col("warc_version"), col("warc_type"),
+        col("record_id"), col("target_uri"), col("warc_date"))
+      .as[(Int, String, String, String, Option[String], Option[String])]
+      .collect().sortBy(_._1)
+    assert(rows.length === 4)
+    assert(rows.map(_._3).toSeq === Seq("warcinfo", "request", "response", "response"))
+    assert(rows.forall(_._2 === "1.0"))
+    assert(rows(0)._4 === "urn:uuid:aaaa-0000")
+    // warcinfo has no target URI; the bare response has no date
+    assert(rows(0)._5.isEmpty && rows(2)._5 === Some("https://www.example.com/a"))
+    assert(rows(3)._6.isEmpty)
+  }
+
+  test("readResponses: HTTP envelope stripped, status extracted, bare bodies pass verbatim") {
+    val dir = writeWarc()
+    val rows = Warc.readResponses(spark, dir)
+      .select(col("doc_id"), col("url"), col("http_status"), col("text"))
+      .as[(String, String, Option[Int], String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.size === 2)
+    val full = rows("urn:uuid:cccc-2222")
+    assert(full._2 === "https://www.example.com/a")
+    assert(full._3 === Some(200))
+    assert(full._4 === html, "entity body must be the markup, envelope gone")
+    val bare = rows("urn:uuid:dddd-3333")
+    assert(bare._3.isEmpty && bare._4 === "bare body with no http envelope")
+  }
+
+  test("WARC -> crawl front composes: extract text, canonicalize the url, index the content") {
+    val dir = writeWarc()
+    val pages = Warc.readResponses(spark, dir)
+      .where(col("http_status") === 200)
+    val text = graft.ops.Html.htmlToText(pages)
+      .select("doc_id", "text").as[(String, String)].collect().toMap
+    // the head block (title included) drops with the invisible pass;
+    // </p> is a line break
+    assert(text("urn:uuid:cccc-2222") === "Hello crawl & world.\nnext")
+    val canon = graft.ops.Crawl.urlCanon(pages)
+      .select("doc_id", "canon_url").as[(String, Option[String])].collect().toMap
+    assert(canon("urn:uuid:cccc-2222") === Some("https://example.com/a"))
+    // and the extracted link feeds the frontier-side ops
+    val edges = graft.ops.Crawl.linkHostEdges(pages)
+      .as[(String, String, Long)].collect().toSet
+    assert(edges === Set(("example.com", "next.example.org", 1L)))
+  }
+
+  test("a marker collision inside a payload drops only the orphaned fragment") {
+    val dir = Files.createTempDirectory("graft-warcx-")
+    dir.toFile.deleteOnExit()
+    val poisoned =
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:eeee-4444>",
+        "WARC-Target-URI" -> "https://ex.org/x"),
+        s"HTTP/1.1 200 OK$CRLF$CRLF" +
+          s"payload that embeds$CRLF$CRLF" + s"WARC/9 looking bytes") +
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> "<urn:uuid:ffff-5555>",
+          "WARC-Target-URI" -> "https://ex.org/y"),
+          s"HTTP/1.1 200 OK$CRLF$CRLF" + "clean body")
+    Files.write(Paths.get(dir.toString, "p.warc"), poisoned.getBytes("UTF-8"))
+    val got = Warc.readResponses(spark, dir.toString)
+      .select("doc_id", "text").as[(String, String)].collect().toMap
+    // the poisoned record loses its tail (documented approximation);
+    // the clean record and the poisoned record's head both survive
+    assert(got.keySet === Set("urn:uuid:eeee-4444", "urn:uuid:ffff-5555"))
+    assert(got("urn:uuid:eeee-4444") === "payload that embeds")
+    assert(got("urn:uuid:ffff-5555") === "clean body")
+  }
+}
