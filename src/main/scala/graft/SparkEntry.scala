@@ -409,6 +409,42 @@ object SparkEntry {
        |${urlCanonCtes("ac", "ar", "resolved", "doc_id, page_host, link_idx, href, anchor_text")}""".stripMargin
   }
 
+  /** Probe robots.txt bodies over the link corpus's hosts — every
+    * parse path: comments, non-`*` groups ignored, wildcard rules
+    * skipped, empty Disallow dropped, trailing-comment trim, the
+    * equal-length allow/disallow tie, a host with no `*` group, an
+    * empty file. ASCII, no single quotes. */
+  private val RobotsRows: Seq[(String, String)] = Seq(
+    ("h1.example.org",
+      "# h1 blocks the p tree except p/1\nUser-agent: *\nDisallow: /p/\nAllow: /p/1\n"),
+    ("h2.example.org",
+      "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /*/0\nDisallow: /hub\nDisallow:\n"),
+    ("h3.example.org",
+      "User-agent: *\nAllow: /p/\nDisallow: /p/2 # but the tie below re-allows\nAllow: /p/2\n"),
+    ("sink.example.org", "User-agent: SpecificBot\nDisallow: /\n"),
+    ("h4.example.org", ""))
+
+  private def robotsDf(s: SparkSession): DataFrame = {
+    import s.implicits._
+    RobotsRows.toDF("host", "robots_txt")
+  }
+
+  /** Twin of [[graft.ops.Robots.robotsRules]] over [[RobotsRows]]:
+    * final CTE `rr` = (host, rule, prefix). */
+  private val ROBOTS_RULE_CTES: String = {
+    import graft.ops.Robots._
+    val trimmed = s"regexp_replace(raw, '$RuleTrimPat', '')"
+    s"""rb AS (SELECT * FROM (VALUES ${RobotsRows.map { case (h, t) => s"(${sqlStr(h)}, ${sqlStr(t)})" }.mkString(", ")}) AS v(host, robots_txt)),
+       |rsg AS (SELECT host, CAST(i - 1 AS INTEGER) AS seg_idx, segs[i] AS seg
+       |    FROM (SELECT host, regexp_split_to_array(coalesce(robots_txt, ''), '$AgentSplitPat') AS segs FROM rb),
+       |         unnest(generate_series(1, len(segs))) AS t(i)),
+       |rsf AS (SELECT host, seg FROM rsg WHERE seg_idx > 0 AND regexp_matches(seg, '^\\*')),
+       |rrl AS (SELECT host, 'disallow' AS rule, unnest(regexp_extract_all(seg, '$DisallowPat', 1)) AS raw FROM rsf
+       |    UNION ALL SELECT host, 'allow' AS rule, unnest(regexp_extract_all(seg, '$AllowPat', 1)) AS raw FROM rsf),
+       |rr AS MATERIALIZED (SELECT DISTINCT host, rule, $trimmed AS prefix FROM rrl
+       |    WHERE $trimmed <> '' AND NOT regexp_matches($trimmed, '[*$$]'))""".stripMargin
+  }
+
   /** [[LINK_CTES]] + the distinct host edge set and THREE unrolled
     * power iterations — the twin of
     * [[graft.ops.Crawl.domainRank]](edges, iters = 3) in the same
@@ -424,6 +460,22 @@ object SparkEntry {
        |    CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000000 AS DOUBLE) / nn.n_nodes
        |         + CAST(0.85 AS DOUBLE) * (CAST(coalesce(i.inb_u, 0) AS DOUBLE) + CAST(d.dang_u AS DOUBLE) / nn.n_nodes), 0) AS BIGINT) AS rank_u
        |    FROM nd n LEFT JOIN inb$k i ON i.dst = n.node CROSS JOIN dang$k d CROSS JOIN nn)""".stripMargin
+
+  /** Frontier twin stages over [[RANK_CTES]]'s `pc`/`lc`/`r3` — final
+    * CTE `fr` = crawlFrontier(perHostCap = 5) output. */
+  private val FRONTIER_CTES: String =
+    s"""seen AS MATERIALIZED (SELECT DISTINCT md5(canon_url) AS url_key FROM pc WHERE canon_url IS NOT NULL),
+       |cand AS MATERIALIZED (
+       |  SELECT lc.canon_url AS link_url, lc.host AS link_host, count(*) AS n_refs
+       |  FROM lc LEFT JOIN seen s ON s.url_key = md5(lc.canon_url)
+       |  WHERE lc.canon_url IS NOT NULL AND s.url_key IS NULL
+       |  GROUP BY 1, 2),
+       |fr AS MATERIALIZED (SELECT link_url, link_host, n_refs, domain_rank, pos FROM (
+       |  SELECT c.link_url, c.link_host, c.n_refs,
+       |    coalesce(CAST(r.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS domain_rank,
+       |    CAST(row_number() OVER (PARTITION BY c.link_host ORDER BY c.n_refs DESC, c.link_url ASC) AS INTEGER) AS pos
+       |  FROM cand c LEFT JOIN r3 r ON r.node = c.link_host)
+       |  WHERE pos <= 5)""".stripMargin
 
   private val RANK_CTES: String =
     s"""$LINK_CTES,
@@ -1537,6 +1589,17 @@ object SparkEntry {
       graft.ops.Crawl.crawlFrontier(pages,
         graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
         perHostCap = 5)
+    }),
+    // RFC 9309 rule parse: the User-agent:* group's allow/disallow prefixes
+    "q_robots_rules" -> ((s, dir) => graft.ops.Robots.robotsRules(robotsDf(s))),
+    // the polite frontier: longest-match robots decision on every candidate
+    "q_robots" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      graft.ops.Robots.robotsFilter(
+        graft.ops.Crawl.crawlFrontier(pages,
+          graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+          perHostCap = 5),
+        graft.ops.Robots.robotsRules(robotsDf(s)))
     }),
     // snapshot diff by content hash — feeds the incremental dedup faces
     "q_corpus_diff" -> ((s, dir) => {
@@ -2894,18 +2957,29 @@ object SparkEntry {
       // 3-iteration ranks: seen-set anti-join by md5 key, distinct
       // candidate aggregation, rank prior, per-host row_number cap
       s"""WITH $RANK_CTES,
-         |seen AS MATERIALIZED (SELECT DISTINCT md5(canon_url) AS url_key FROM pc WHERE canon_url IS NOT NULL),
-         |cand AS MATERIALIZED (
-         |  SELECT lc.canon_url AS link_url, lc.host AS link_host, count(*) AS n_refs
-         |  FROM lc LEFT JOIN seen s ON s.url_key = md5(lc.canon_url)
-         |  WHERE lc.canon_url IS NOT NULL AND s.url_key IS NULL
-         |  GROUP BY 1, 2)
-         |SELECT link_url, link_host, n_refs, domain_rank, pos FROM (
-         |  SELECT c.link_url, c.link_host, c.n_refs,
-         |    coalesce(CAST(r.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS domain_rank,
-         |    CAST(row_number() OVER (PARTITION BY c.link_host ORDER BY c.n_refs DESC, c.link_url ASC) AS INTEGER) AS pos
-         |  FROM cand c LEFT JOIN r3 r ON r.node = c.link_host)
-         |WHERE pos <= 5""".stripMargin,
+         |$FRONTIER_CTES
+         |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_robots_rules" ->
+      // twin of Robots.robotsRules over the probe robots bodies: the
+      // same split/extract/trim chain, patterns interpolated from the
+      // op's public constants
+      s"""WITH $ROBOTS_RULE_CTES
+         |SELECT host, rule, prefix FROM rr""".stripMargin,
+    "q_robots" ->
+      // twin of Robots.robotsFilter over the frontier: RFC 9309
+      // longest-match as max over (2*len + allow_bit) — the winner's
+      // parity IS the decision, order-free like the Scala fold
+      s"""WITH $RANK_CTES,
+         |$ROBOTS_RULE_CTES,
+         |$FRONTIER_CTES,
+         |mj AS (SELECT f.link_url, f.link_host, f.n_refs, f.domain_rank, f.pos,
+         |    r.prefix, CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END AS abit
+         |  FROM fr f LEFT JOIN rr r ON r.host = f.link_host
+         |    AND starts_with(regexp_replace(f.link_url, '${graft.ops.Robots.PathQueryPat}', ''), r.prefix))
+         |SELECT link_url, link_host, n_refs, domain_rank, pos,
+         |  CASE WHEN count(prefix) = 0 THEN true
+         |       ELSE (max(CAST(len(prefix) AS BIGINT) * 2 + abit) % 2) = 1 END AS robots_allowed
+         |FROM mj GROUP BY link_url, link_host, n_refs, domain_rank, pos""".stripMargin,
     "q_corpus_diff" ->
       // twin of Crawl.corpusDiff: md5-by-doc_id full outer join; the
       // new snapshot derives from documents by the same %-expressions

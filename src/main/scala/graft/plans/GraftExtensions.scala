@@ -85,6 +85,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.frontierTableFunction)
     ext.injectTableFunction(GraftExtensions.anchorTextsTableFunction)
     ext.injectTableFunction(GraftExtensions.anchorIndexTableFunction)
+    ext.injectTableFunction(GraftExtensions.robotsRulesTableFunction)
+    ext.injectTableFunction(GraftExtensions.robotsFilterTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1544,6 +1546,33 @@ object GraftExtensions {
           stringArg("graft_anchor_index")(children.head, "pages_table"))))
     })
 
+  private val robotsRulesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_robots_rules"),
+    new ExpressionInfo(graft.ops.Robots.getClass.getName, "graft_robots_rules"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_robots_rules(robots_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Robots.robotsRules(SparkSession.active.table(
+          stringArg("graft_robots_rules")(children.head, "robots_table"))))
+    })
+
+  /** `SELECT * FROM graft_robots_filter('urls', 'rules')` — RFC 9309
+    * longest-match decision per URL row; `rules` is a stored
+    * [[graft.ops.Robots.robotsRules]] output. */
+  private val robotsFilterTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_robots_filter"),
+    new ExpressionInfo(graft.ops.Robots.getClass.getName, "graft_robots_filter"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_robots_filter(urls_table, rules_table)")
+      val str = stringArg("graft_robots_filter") _
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Robots.robotsFilter(
+          SparkSession.active.table(str(children.head, "urls_table")),
+          SparkSession.active.table(str(children(1), "rules_table"))))
+    })
+
   private val corpusDiffTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_corpus_diff"),
@@ -1726,7 +1755,8 @@ object GraftExtensions {
         linkEdgesTableFunction, rankPriorTableFunction,
         corpusDiffTableFunction, urlSignalsTableFunction,
         frontierTableFunction, anchorTextsTableFunction,
-        anchorIndexTableFunction)
+        anchorIndexTableFunction, robotsRulesTableFunction,
+        robotsFilterTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ops.Robots
+import SparkSpec.spark.implicits._
+
+class RobotsSpec extends SparkSpec {
+
+  private val body =
+    "# preamble comment\nDisallow: /ignored-preamble\n" +
+      "User-agent: googlebot\nDisallow: /\n\n" +
+      "User-agent: *\n" +
+      "Disallow: /private/\n" +
+      "Allow: /private/ok\n" +
+      "Disallow: /tmp # trailing comment\n" +
+      "Disallow:\n" +            // empty = allow-everything idiom -> dropped
+      "Disallow: /wild/*/x\n" +  // wildcard -> skipped
+      "allow: /CASE\n"           // field names case-insensitive
+
+  private def rulesOf(rows: (String, String)*): DataFrame =
+    Robots.robotsRules(rows.toDF("host", "robots_txt"))
+
+  test("robotsRules: * group only, trims, drops empties/wildcards, case-insensitive fields") {
+    val got = rulesOf("h.org" -> body)
+      .as[(String, String, String)].collect().toSet
+    assert(got === Set(
+      ("h.org", "disallow", "/private/"),
+      ("h.org", "allow", "/private/ok"),
+      ("h.org", "disallow", "/tmp"),
+      ("h.org", "allow", "/CASE")))
+    // no * group / empty file -> no rules
+    assert(rulesOf("a.org" -> "User-agent: bot\nDisallow: /\n", "b.org" -> "").count() === 0)
+  }
+
+  test("robotsFilter: longest match wins, allow beats disallow on ties, default allow") {
+    val rules = rulesOf(
+      "h.org" -> ("User-agent: *\nDisallow: /p/\nAllow: /p/ok\n" +
+        "Disallow: /tie\nAllow: /tie\n"))
+    val urls = Seq(
+      (1L, "https://h.org/p/blocked", "h.org"),
+      (2L, "https://h.org/p/ok-extra?q=1", "h.org"),     // allow /p/ok (6) > disallow /p/ (3)
+      (3L, "https://h.org/tie", "h.org"),                // equal length -> allow wins
+      (4L, "https://h.org/elsewhere", "h.org"),          // no match -> allow
+      (5L, "https://other.net/p/anything", "other.net"), // no rules -> allow
+      (6L, null.asInstanceOf[String], "h.org"))          // null url -> allow
+      .toDF("id", "link_url", "link_host")
+    val got = Robots.robotsFilter(urls, rules)
+      .select(col("id"), col("robots_allowed")).as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> true, 4L -> true,
+      5L -> true, 6L -> true))
+    // the strip face keeps only fetchable candidates, schema unchanged
+    assert(Robots.allowedOnly(urls, rules).select("id").as[Long].collect().toSet ===
+      Set(2L, 3L, 4L, 5L, 6L))
+  }
+
+  test("robots decision matches against path AND query; rows pass through 1:1") {
+    val rules = rulesOf("h.org" -> "User-agent: *\nDisallow: /search?q=\n")
+    val urls = Seq(
+      ("https://h.org/search?q=x", "h.org"),
+      ("https://h.org/search", "h.org"),
+      // duplicate rows must BOTH survive (no row-identity collapse)
+      ("https://h.org/dup", "h.org"),
+      ("https://h.org/dup", "h.org"))
+      .toDF("link_url", "link_host")
+    val got = Robots.robotsFilter(urls, rules)
+      .select("link_url", "robots_allowed").as[(String, Boolean)].collect()
+    assert(got.count(_ == (("https://h.org/dup", true))) === 2)
+    assert(got.toMap.apply("https://h.org/search?q=x") === false)
+    assert(got.toMap.apply("https://h.org/search") === true)
+  }
+
+  test("robots TVF parity: graft_robots_rules / graft_robots_filter") {
+    val s = SparkSpec.spark
+    graft.plans.GraftExtensions.install(s)
+    Seq(("h.org", "User-agent: *\nDisallow: /p/\n")).toDF("host", "robots_txt")
+      .createOrReplaceTempView("robots_bodies")
+    assert(s.sql("SELECT * FROM graft_robots_rules('robots_bodies')").collect().toSet ===
+      Robots.robotsRules(s.table("robots_bodies")).collect().toSet)
+    Robots.robotsRules(s.table("robots_bodies")).createOrReplaceTempView("robots_rules")
+    Seq(("https://h.org/p/x", "h.org"), ("https://h.org/ok", "h.org"))
+      .toDF("link_url", "link_host").createOrReplaceTempView("robots_urls")
+    assert(s.sql("SELECT * FROM graft_robots_filter('robots_urls', 'robots_rules')")
+      .collect().toSet ===
+      Robots.robotsFilter(s.table("robots_urls"), s.table("robots_rules"))
+        .collect().toSet)
+  }
+}
