@@ -863,6 +863,10 @@ object ProbeScale {
           graft.ops.Crawl.linkHostEdges(pages(docs01)), iters = 3).count())
         time(s"domain_rank_sf1_$rep")(graft.ops.Crawl.domainRank(
           graft.ops.Crawl.linkHostEdges(pages(docs)), iters = 3).count())
+        time(s"hits_sf01_$rep")(graft.ops.Crawl.hits(
+          graft.ops.Crawl.linkHostEdges(pages(docs01)), iters = 3).count())
+        time(s"hits_sf1_$rep")(graft.ops.Crawl.hits(
+          graft.ops.Crawl.linkHostEdges(pages(docs)), iters = 3).count())
         time(s"corpus_diff_sf1_$rep")(graft.ops.Crawl.corpusDiff(
           docs, docs.filter(col("doc_id") % 7 =!= 3)).count())
       }

@@ -477,17 +477,44 @@ object SparkEntry {
        |  FROM cand c LEFT JOIN r3 r ON r.node = c.link_host)
        |  WHERE pos <= 5)""".stripMargin
 
-  private val RANK_CTES: String =
+  /** [[LINK_CTES]] + the distinct host edge set, node table and node
+    * count — the prologue every graph twin (PageRank, HITS) shares. */
+  private val GRAPH_CTES: String =
     s"""$LINK_CTES,
        |eg AS MATERIALIZED (SELECT DISTINCT page_host AS src, host AS dst FROM lc
        |    WHERE page_host IS NOT NULL AND host IS NOT NULL AND page_host <> host),
        |nd AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM eg UNION ALL SELECT dst FROM eg)),
-       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nd),
+       |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nd)""".stripMargin
+
+  private val RANK_CTES: String =
+    s"""$GRAPH_CTES,
        |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM eg GROUP BY src),
        |r0 AS MATERIALIZED (SELECT node, CAST(round(CAST(1000000000000 AS DOUBLE) / nn.n_nodes, 0) AS BIGINT) AS rank_u FROM nd CROSS JOIN nn),
        |${rankIterCte(1, "r0")},
        |${rankIterCte(2, "r1")},
        |${rankIterCte(3, "r2")}""".stripMargin
+
+  /** One HITS iteration (twin of [[graft.ops.Crawl.hits]]' two
+    * half-steps): authority from hubs then hubs from authorities,
+    * each L1-normalized to 1e12 units by the identical fixed-shape
+    * expression. */
+  private def hitsIterCte(k: Int, prevH: String): String = {
+    def norm(raw: String, tot: String, out: String) =
+      s"""SELECT n.node, CAST(round(CAST(coalesce(r.raw_u, 0) AS DOUBLE) * CAST(1000000000000 AS DOUBLE) / CAST(t.tot_u AS DOUBLE), 0) AS BIGINT) AS $out
+         |    FROM nd n LEFT JOIN $raw r ON r.node = n.node CROSS JOIN $tot t""".stripMargin
+    s"""araw$k AS (SELECT e.dst AS node, sum(h.hub_u) AS raw_u FROM eg e JOIN $prevH h ON h.node = e.src GROUP BY e.dst),
+       |atot$k AS (SELECT coalesce(sum(raw_u), 0) AS tot_u FROM araw$k),
+       |ha$k AS MATERIALIZED (${norm(s"araw$k", s"atot$k", "auth_u")}),
+       |hraw$k AS (SELECT e.src AS node, sum(a.auth_u) AS raw_u FROM eg e JOIN ha$k a ON a.node = e.dst GROUP BY e.src),
+       |htot$k AS (SELECT coalesce(sum(raw_u), 0) AS tot_u FROM hraw$k),
+       |hh$k AS MATERIALIZED (${norm(s"hraw$k", s"htot$k", "hub_u")})""".stripMargin
+  }
+
+  private val HITS_CTES: String =
+    s"""$GRAPH_CTES,
+       |hh0 AS MATERIALIZED (SELECT node, CAST(round(CAST(1000000000000 AS DOUBLE) / nn.n_nodes, 0) AS BIGINT) AS hub_u FROM nd CROSS JOIN nn),
+       |${hitsIterCte(1, "hh0")},
+       |${hitsIterCte(2, "hh1")}""".stripMargin
 
   /** DuckDB twin of [[graft.ops.Html]]'s extraction chain over an
     * input expression — every pattern/entity interpolates the op's
@@ -1570,6 +1597,9 @@ object SparkEntry {
     // fixed-iteration PageRank over the host graph (BIGINT-unit exact)
     "q_domain_rank" -> ((s, dir) =>
       graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3)),
+    // HITS hub/authority scores (engine-exact BIGINT-unit iterations)
+    "q_hits" -> ((s, dir) =>
+      graft.ops.Crawl.hits(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 2)),
     // the rank joined back onto pages as a quality prior (0.0 = unranked)
     "q_rank_prior" -> ((s, dir) => {
       val pages = linkPages(s, dir)
@@ -2913,6 +2943,16 @@ object SparkEntry {
       s"""WITH $RANK_CTES
          |SELECT node, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
          |FROM r3""".stripMargin,
+    "q_hits" ->
+      // twin of Crawl.hits(iters = 2): two unrolled hub->authority->hub
+      // rounds in BIGINT 1e-12 units (HITS_CTES); per-node sums are
+      // bounded by the total mass (no out-degree division), the
+      // normalization is the one fixed-shape double expression
+      s"""WITH $HITS_CTES
+         |SELECT h.node,
+         |  CAST(h.hub_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS hub,
+         |  CAST(a.auth_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS authority
+         |FROM hh2 h JOIN ha2 a ON a.node = h.node""".stripMargin,
     "q_rank_prior" ->
       // twin of Crawl.rankPrior over the same 3-iteration ranks: left
       // join on the page host, unranked (and NULL-host) pages get 0.0

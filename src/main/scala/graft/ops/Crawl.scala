@@ -473,6 +473,87 @@ object Crawl {
       (col("rank_u").cast("double") / lit(RankUnits).cast("double")).as("rank"))
   }
 
+  /** HITS (Kleinberg '99) over an edge table — hub and authority
+    * scores, the complementary prior to [[domainRank]]: an authority
+    * is what good hubs point AT, a hub is what points at good
+    * authorities (a link-farm aggregator ranks high as hub and low as
+    * authority — exactly the page a curation pipeline wants to
+    * separate from the content it links to). Fixed iterations,
+    * unweighted distinct edges, L1 normalization to [[RankUnits]]
+    * after each half-step.
+    *
+    * Determinism: the same integer-space discipline as [[domainRank]]
+    * — scores live as BIGINT units, each half-step's inbound sum is
+    * exact integer addition (HITS sums the NEIGHBOR'S WHOLE score, no
+    * out-degree division, so a per-node sum is bounded by the total
+    * mass U = 1e12 and cannot overflow), and the only floating-point
+    * op is the fixed-shape normalization
+    * `round(x·U/total, 0)` evaluated identically by both engines
+    * (the normalization TOTAL is ≤ U·max-out-degree — overflow would
+    * need a host linking 9.2M distinct hosts). Dangling sides simply
+    * score 0 (a node nothing points at is no authority) — HITS has
+    * no dangling-mass correction.
+    *
+    * Scale shape: per half-step one edges⋈scores equi-join + one
+    * aggregation + one broadcast scalar — node-sized tables
+    * throughout, the [[domainRank]] plan with the outdeg join
+    * removed. */
+  def hits(
+      edges: DataFrame,
+      iters: Int = 5,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    val e = graft.core.Materialize(
+      edges.select(col("src"), col("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      mat)
+    val nodes = graft.core.Materialize(
+      e.select(col("src").as("node"))
+        .unionByName(e.select(col("dst").as("node")))
+        .distinct(),
+      mat)
+    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
+      // raw: (node, raw_u) over receiving nodes only; others score 0
+      val tot = raw.agg(coalesce(sum(col("raw_u")), lit(0L)).as("tot_u"))
+      nodes.join(raw, Seq("node"), "left")
+        .crossJoin(broadcast(tot))
+        .select(col("node"),
+          round(coalesce(col("raw_u"), lit(0L)).cast("double") *
+            lit(RankUnits).cast("double") / col("tot_u").cast("double"), 0)
+            .cast("long").as(scoreCol))
+    }
+    var hubs = graft.core.Materialize(
+      nodes.crossJoin(broadcast(nRow))
+        .select(col("node"),
+          round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
+            .cast("long").as("hub_u")),
+      mat)
+    var auths: DataFrame = null
+    var prevH = hubs
+    var prevA: DataFrame = null
+    for (_ <- 1 to iters) {
+      val aRaw = e.join(hubs, e("src") === hubs("node"))
+        .groupBy(col("dst").as("node")).agg(sum(col("hub_u")).as("raw_u"))
+      val a = graft.core.Materialize(normalized(aRaw, "auth_u"), mat)
+      a.limit(1).count()
+      val hRaw = e.join(a, e("dst") === a("node"))
+        .groupBy(col("src").as("node")).agg(sum(col("auth_u")).as("raw_u"))
+      val h = graft.core.Materialize(normalized(hRaw, "hub_u"), mat)
+      h.limit(1).count()
+      if (prevA ne null) graft.core.Materialize.release(prevA, mat)
+      if (prevH ne h) graft.core.Materialize.release(prevH, mat)
+      prevA = a; prevH = h
+      auths = a; hubs = h
+    }
+    graft.core.Materialize.release(e, mat)
+    hubs.join(auths, Seq("node"))
+      .select(col("node"),
+        (col("hub_u").cast("double") / lit(RankUnits).cast("double")).as("hub"),
+        (col("auth_u").cast("double") / lit(RankUnits).cast("double")).as("authority"))
+  }
+
   /** Join a rank table onto a doc table as a quality prior:
     * `domain_rank` (0.0 for nodes the graph never saw — an unranked
     * domain is prior-less, not NULL-poisoned). `broadcastRanks`

@@ -153,6 +153,26 @@ class CrawlSpec extends SparkSpec {
     assert(r("A") === 0.5 && r("B") === 0.5)
   }
 
+  test("hits: pure hubs vs pure authority separate exactly; the 2-hub graph is a fixed point") {
+    val edges = Seq(("A", "C"), ("B", "C")).toDF("src", "dst")
+    for (it <- Seq(1, 3)) {
+      val r = Crawl.hits(edges, iters = it)
+        .as[(String, Double, Double)].collect()
+        .map(x => x._1 -> ((x._2, x._3))).toMap
+      // A and B only point (hubs, authority 0); C is only pointed at
+      assert(r("A") === ((0.5, 0.0)) && r("B") === ((0.5, 0.0)), s"iters=$it")
+      assert(r("C") === ((0.0, 1.0)), s"iters=$it")
+    }
+  }
+
+  test("hits: symmetric 2-cycle is uniform on both sides; duplicate edges collapse") {
+    val edges = Seq(("A", "B"), ("A", "B"), ("B", "A")).toDF("src", "dst")
+    val r = Crawl.hits(edges, iters = 2)
+      .as[(String, Double, Double)].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(r === Map("A" -> ((0.5, 0.5)), "B" -> ((0.5, 0.5))))
+  }
+
   test("rankPrior: left join, unranked nodes get 0.0, rank column renamed") {
     val docs = Seq((1L, "a.com"), (2L, "zz.net")).toDF("doc_id", "node")
     val ranks = Seq(("a.com", 0.7)).toDF("node", "rank")
