@@ -425,13 +425,18 @@ object ProbeScale {
     // "stream13" = stream12 + the sentence-span strip stage (the full
     // coarse->fine strip ladder: paragraph -> 3-sentence span ->
     // substring), pricing the C4 stage inside the complete stack
-    if (section == "stream" || section == "stream12" || section == "stream13") {
+    // "stream14" = stream13 + the URL-identity gate on a 50%-recrawl
+    // feed (even base ids share a canonical URL across batches and
+    // copies): the gate should SHRINK every downstream stage
+    if (section == "stream" || section == "stream12" || section == "stream13" ||
+        section == "stream14") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import graft.streaming.CorpusWatcher
     import graft.ops.{Curation, Dedup, Sampling}
     val root =
-      if (section == "stream13") "/tmp/stream13_probe"
+      if (section == "stream14") "/tmp/stream14_probe"
+      else if (section == "stream13") "/tmp/stream13_probe"
       else if (section == "stream12") "/tmp/stream12_probe"
       else "/tmp/stream_probe"
     def rmrf(p: String): Unit = {
@@ -481,6 +486,20 @@ object ProbeScale {
           concat(col("text"), lit(" "), col("ptext")).as("text"),
           col("source"))
     }.reduce(_ unionByName _)
+      .transform(df =>
+        // stream14: even base ids re-use one canonical URL per base
+        // doc across batches AND copies (a 50% re-crawl feed); odd
+        // ids are genuinely fresh fetches
+        if (section != "stream14") df
+        else df.withColumn("url",
+          when(col("doc_id") % 2 === 0,
+            // host AND path key on the base id, so the same page
+            // re-crawled in any batch/copy yields the same canon URL
+            concat(lit("https://WWW.h"), (col("doc_id") % nBase) % 97,
+              lit(".example.org/p/"), col("doc_id") % nBase,
+              lit("?utm_source=feed")))
+            .otherwise(concat(lit("https://h"), col("doc_id") % 97,
+              lit(".example.org/u/"), col("doc_id")))))
     for (i <- 1 to nBatches) {
       val stage = s"$root/stage_$i"
       batchDf(i).coalesce(4).write.mode("overwrite").json(stage)
@@ -505,7 +524,10 @@ object ProbeScale {
           paraHistoryDir = if (section == "stream") None else Some(s"$root/paras"),
           compactEvery = if (section == "stream") None else Some(3),
           sentenceSpanHistoryDir =
-            if (section == "stream13") Some(s"$root/sspans") else None,
+            if (section == "stream13" || section == "stream14") Some(s"$root/sspans")
+            else None,
+          urlHistoryDir =
+            if (section == "stream14") Some(s"$root/urls") else None,
           spanHistoryDir = Some(spans),
           metricsDir = Some(metrics), driftDir = Some(drift))
           .awaitTermination()

@@ -1609,6 +1609,8 @@ object SparkEntry {
     }),
     // URL shape signals: the pre-fetch quality features (row-local)
     "q_url_signals" -> ((s, dir) => graft.ops.Crawl.urlSignals(crawlPages(s, dir))),
+    // per-host crawl accounting (pages, canonical, distinct, url dups)
+    "q_host_summary" -> ((s, dir) => graft.ops.Crawl.hostSummary(crawlPages(s, dir))),
     // anchor elements: resolved target + visible (stripped/decoded) text
     "q_anchor_texts" -> ((s, dir) => graft.ops.Crawl.anchorTexts(linkPages(s, dir))),
     // what the web's link text calls each host (anchor-text index)
@@ -2976,6 +2978,20 @@ object SparkEntry {
          |  CASE WHEN canon_url IS NOT NULL THEN lower(nullif(regexp_extract(path1, '${graft.ops.Crawl.FileExtPat}', 1), '')) END AS file_ext,
          |  CAST(len(u0) AS BIGINT) AS url_len
          |FROM uce""".stripMargin,
+    "q_host_summary" ->
+      // twin of Crawl.hostSummary: base aggregate + separate distinct
+      // aggregate joined back; NULL host buckets non-canonical pages
+      s"""WITH $URL_PAGES_CTE,
+         |${urlCanonCtes("uc", "cp", "url", "doc_id")},
+         |b AS (SELECT host, count(*) AS n_pages, count(canon_url) AS n_canonical
+         |      FROM uc GROUP BY host),
+         |d AS (SELECT host, count(*) AS n_distinct_urls
+         |      FROM (SELECT DISTINCT host, canon_url FROM uc WHERE canon_url IS NOT NULL)
+         |      GROUP BY host)
+         |SELECT b.host, b.n_pages, b.n_canonical,
+         |  coalesce(d.n_distinct_urls, 0) AS n_distinct_urls,
+         |  b.n_canonical - coalesce(d.n_distinct_urls, 0) AS n_url_dups
+         |FROM b LEFT JOIN d ON d.host = b.host""".stripMargin,
     "q_anchor_texts" ->
       // twin of Crawl.anchorTexts over the synthetic link corpus: the
       // anchor element's visible text rides the htmlSegmentSql chain,

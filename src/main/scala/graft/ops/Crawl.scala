@@ -257,6 +257,26 @@ object Crawl {
     pages.join(losers, Seq("doc_id"), "left_anti")
   }
 
+  /** Per-host crawl accounting: `(host, n_pages, n_canonical,
+    * n_distinct_urls, n_url_dups)` — the NULL host row buckets pages
+    * whose URL does not canonicalize. The distinct-URL count is a
+    * SEPARATE aggregate joined back on host (mixing countDistinct
+    * into the main aggregate Expands every row — the corpus-profile
+    * lesson); both aggregates move host-keyed counts only. */
+  def hostSummary(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val keyed = urlCanon(pages, urlCol).select(col("host"), col("canon_url"))
+    val base = keyed.groupBy(col("host"))
+      .agg(count(lit(1)).as("n_pages"), count(col("canon_url")).as("n_canonical"))
+    val dist = keyed.where(col("canon_url").isNotNull)
+      .select(col("host"), col("canon_url")).distinct()
+      .groupBy(col("host")).agg(count(lit(1)).as("n_distinct_urls"))
+    base.join(dist, Seq("host"), "left")
+      .select(col("host"), col("n_pages"), col("n_canonical"),
+        coalesce(col("n_distinct_urls"), lit(0L)).as("n_distinct_urls"),
+        (col("n_canonical") - coalesce(col("n_distinct_urls"), lit(0L)))
+          .as("n_url_dups"))
+  }
+
   // ---- Link extraction (row-local) -------------------------------------
 
   /** Outgoing links of each page: one row per `href` (double-quoted

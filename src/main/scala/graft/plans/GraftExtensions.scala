@@ -87,6 +87,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.anchorIndexTableFunction)
     ext.injectTableFunction(GraftExtensions.robotsRulesTableFunction)
     ext.injectTableFunction(GraftExtensions.robotsFilterTableFunction)
+    ext.injectTableFunction(GraftExtensions.hostSummaryTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1546,6 +1547,17 @@ object GraftExtensions {
           stringArg("graft_anchor_index")(children.head, "pages_table"))))
     })
 
+  private val hostSummaryTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_host_summary"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_host_summary"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_host_summary(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.hostSummary(SparkSession.active.table(
+          stringArg("graft_host_summary")(children.head, "pages_table"))))
+    })
+
   private val robotsRulesTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_robots_rules"),
@@ -1756,7 +1768,7 @@ object GraftExtensions {
         corpusDiffTableFunction, urlSignalsTableFunction,
         frontierTableFunction, anchorTextsTableFunction,
         anchorIndexTableFunction, robotsRulesTableFunction,
-        robotsFilterTableFunction)
+        robotsFilterTableFunction, hostSummaryTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

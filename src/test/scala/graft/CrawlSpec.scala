@@ -153,6 +153,19 @@ class CrawlSpec extends SparkSpec {
     assert(r("A") === 0.5 && r("B") === 0.5)
   }
 
+  test("hostSummary: per-host page/canonical/distinct/dup accounting; NULL host buckets non-canonical pages") {
+    val got = Crawl.hostSummary(pages(
+      1L -> "https://a.com/x",
+      2L -> "HTTPS://WWW.A.com/x/?utm_source=s",    // canonical dup of 1
+      3L -> "https://a.com/y",
+      4L -> "mailto:not@web",
+      5L -> "also not a url"))
+      .as[(Option[String], Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4, r._5))).toMap
+    assert(got(Some("a.com")) === ((3L, 3L, 2L, 1L)))
+    assert(got(None) === ((2L, 0L, 0L, 0L)))
+  }
+
   test("hits: pure hubs vs pure authority separate exactly; the 2-hub graph is a fixed point") {
     val edges = Seq(("A", "C"), ("B", "C")).toDF("src", "dst")
     for (it <- Seq(1, 3)) {
@@ -279,6 +292,8 @@ class CrawlSpec extends SparkSpec {
       Crawl.anchorTexts(p).collect().toSet)
     assert(s.sql("SELECT * FROM graft_anchor_index('crawl_pages')").collect().toSet ===
       Crawl.anchorIndex(p).collect().toSet)
+    assert(s.sql("SELECT * FROM graft_host_summary('crawl_pages')").collect().toSet ===
+      Crawl.hostSummary(p).collect().toSet)
     Seq(("example.com", 0.6), ("unseen.org", 0.4)).toDF("node", "rank")
       .createOrReplaceTempView("crawl_ranks")
     Seq((1L, "example.com"), (2L, "other.example.net")).toDF("doc_id", "node")
