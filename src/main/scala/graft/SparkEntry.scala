@@ -409,6 +409,27 @@ object SparkEntry {
        |${urlCanonCtes("ac", "ar", "resolved", "doc_id, page_host, link_idx, href, anchor_text")}""".stripMargin
   }
 
+  /** Probe sitemap documents: a urlset with entity/whitespace/relative
+    * loc paths, a sitemapindex (is_index flag), a non-XML body. */
+  private val SitemapRows: Seq[(Long, String)] = Seq(
+    9380000L -> ("<?xml version=\"1.0\"?><urlset><url><loc> HTTPS://WWW.Example.COM/a/?utm_source=s&amp;b=2&amp;a=1 </loc></url>" +
+      "<url><loc>relative/nope</loc></url><url><loc>https://example.com/b</loc></url></urlset>"),
+    9380001L -> ("<sitemapindex><sitemap><loc>https://example.com/sitemap-1.xml</loc></sitemap>" +
+      "<sitemap><loc>\nhttps://example.com/sitemap-2.xml\n</loc></sitemap></sitemapindex>"),
+    9380002L -> "no xml here")
+
+  /** Per-doc synthetic sitemap body (shared SQL expression — the
+    * [[CrawlUrlSql]] trick): two locs per doc, one entity-escaped. */
+  private val SitemapTextSql: String =
+    "'<urlset><url><loc>https://h' || CAST(doc_id % 12 AS STRING) || '.example.org/d/' || CAST(doc_id AS STRING) || '</loc></url>" +
+      "<url><loc>https://h' || CAST(doc_id % 12 AS STRING) || '.example.org/d/' || CAST(doc_id AS STRING) || '/?b=2&amp;a=1</loc></url></urlset>'"
+
+  private def sitemapDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"), expr(SitemapTextSql).as("text"))
+      .unionByName(SitemapRows.toDF("doc_id", "text"))
+  }
+
   /** Probe robots.txt bodies over the link corpus's hosts — every
     * parse path: comments, non-`*` groups ignored, wildcard rules
     * skipped, empty Disallow dropped, trailing-comment trim, the
@@ -1622,6 +1643,8 @@ object SparkEntry {
         graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
         perHostCap = 5)
     }),
+    // sitemap <loc> extraction + canonicalization (frontier seeds)
+    "q_sitemap_urls" -> ((s, dir) => graft.ops.Crawl.sitemapUrls(sitemapDocs(s, dir))),
     // RFC 9309 rule parse: the User-agent:* group's allow/disallow prefixes
     "q_robots_rules" -> ((s, dir) => graft.ops.Robots.robotsRules(robotsDf(s))),
     // the polite frontier: longest-match robots decision on every candidate
@@ -3015,6 +3038,20 @@ object SparkEntry {
       s"""WITH $RANK_CTES,
          |$FRONTIER_CTES
          |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_sitemap_urls" ->
+      // twin of Crawl.sitemapUrls: loc extraction, entity decode, the
+      // canonicalization chain; is_index from the sitemapindex root
+      s"""WITH sm0 AS (SELECT doc_id, $SitemapTextSql AS text FROM documents
+         |    UNION ALL SELECT * FROM (VALUES ${SitemapRows.map { case (id, t) => s"($id, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, text)),
+         |smx AS (SELECT doc_id,
+         |    regexp_extract_all(coalesce(text, ''), ${sqlStr(graft.ops.Crawl.SitemapLocPat)}, 1) AS ls,
+         |    regexp_matches(coalesce(text, ''), '${graft.ops.Crawl.SitemapIndexPat}') AS is_index FROM sm0),
+         |sml AS (SELECT doc_id, is_index, CAST(i - 1 AS INTEGER) AS loc_idx, ls[i] AS loc0
+         |    FROM (SELECT *, unnest(generate_series(1, len(ls))) AS i FROM smx)),
+         |smd AS (SELECT doc_id, is_index, loc_idx, ${decodedHrefSql("loc0")} AS loc FROM sml),
+         |${urlCanonCtes("sc", "smd", "loc", "doc_id, loc_idx, is_index")}
+         |SELECT doc_id, loc_idx, _rawurl AS loc, canon_url AS url, host, is_index
+         |FROM sc""".stripMargin,
     "q_robots_rules" ->
       // twin of Robots.robotsRules over the probe robots bodies: the
       // same split/extract/trim chain, patterns interpolated from the

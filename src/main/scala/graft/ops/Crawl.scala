@@ -131,7 +131,16 @@ object Crawl {
     * is what makes `?a=1&b=2` ≡ `?b=2&a=1`). Percent-encoding is left
     * untouched (normalizing it needs a decoder both engines share —
     * documented approximation). */
-  def urlParts(url: Column): Column = {
+  /** The grammar's intermediate columns, built ONCE and shared by
+    * every face ([[urlParts]], [[urlSignals]]) — Catalyst's
+    * per-project subexpression elimination keeps the shared pieces
+    * single-evaluated at runtime. */
+  private final case class UrlCols(
+      u0: Column, scheme: Column, port: Column, host: Column,
+      defrag: Column, path: Column, rawParams: Column, keptParams: Column,
+      keepPort: Column, canon: Column, domain: Column)
+
+  private def urlCols(url: Column): UrlCols = {
     val u0 = trimmed(url)
     val scheme = lower(regexp_extract(u0, SchemePat, 1))
     val hostport = regexp_replace(regexp_extract(u0, AuthorityPat, 1), UserinfoPat, "")
@@ -142,10 +151,10 @@ object Crawl {
     val defrag = regexp_replace(u0, FragmentPat, "")
     val path0 = regexp_replace(regexp_extract(defrag, PathPat, 1), TrailingSlashPat, "")
     val path = when(path0 === "", lit("/")).otherwise(path0)
-    val query = array_join(
-      array_sort(filter(split(regexp_extract(defrag, QueryPat, 1), "&"),
-        p => length(p) > lit(0) && !p.rlike(TrackingParamPat))),
-      "&")
+    val rawParams = filter(split(regexp_extract(defrag, QueryPat, 1), "&"),
+      p => length(p) > lit(0))
+    val keptParams = filter(rawParams, p => !p.rlike(TrackingParamPat))
+    val query = array_join(array_sort(keptParams), "&")
     val keepPort = port =!= "" &&
       !(scheme === "http" && port === "80") &&
       !(scheme === "https" && port === "443")
@@ -159,10 +168,16 @@ object Crawl {
       nullif(regexp_extract(host, MultiSuffixPat, 1), lit("")),
       nullif(regexp_extract(host, TwoLabelPat, 1), lit("")),
       nullif(host, lit("")))
+    UrlCols(u0, scheme, port, host, defrag, path, rawParams, keptParams,
+      keepPort, canon, domain)
+  }
+
+  def urlParts(url: Column): Column = {
+    val c = urlCols(url)
     struct(
-      canon.as("canon_url"),
-      when(canon.isNotNull, host).as("host"),
-      when(canon.isNotNull, domain).as("domain"))
+      c.canon.as("canon_url"),
+      when(c.canon.isNotNull, c.host).as("host"),
+      when(c.canon.isNotNull, c.domain).as("domain"))
   }
 
   /** Scalar face: just the canonical URL (NULL when not canonical). */
@@ -179,37 +194,22 @@ object Crawl {
     * does not canonicalize (a non-web URL has no meaningful shape).
     * Pure row-local column algebra, the [[urlCanon]] stance. */
   def urlSignals(pages: DataFrame, urlCol: String = "url"): DataFrame = {
-    val u0 = trimmed(col(urlCol))
-    val scheme = lower(regexp_extract(u0, SchemePat, 1))
-    val hostport = regexp_replace(regexp_extract(u0, AuthorityPat, 1), UserinfoPat, "")
-    val port = regexp_extract(hostport, PortPat, 1)
-    val host = regexp_replace(
-      regexp_replace(lower(regexp_replace(hostport, PortPat, "")), TrailingDotPat, ""),
-      WwwPat, "")
-    val defrag = regexp_replace(u0, FragmentPat, "")
-    val path0 = regexp_replace(regexp_extract(defrag, PathPat, 1), TrailingSlashPat, "")
-    val path = when(path0 === "", lit("/")).otherwise(path0)
-    val rawParams = filter(split(regexp_extract(defrag, QueryPat, 1), "&"),
-      p => length(p) > lit(0))
-    val keptParams = filter(rawParams, p => !p.rlike(TrackingParamPat))
-    val canon = canonicalizeUrl(col(urlCol))
-    def gated(c: Column): Column = when(canon.isNotNull, c)
+    val c = urlCols(col(urlCol))
+    def gated(e: Column): Column = when(c.canon.isNotNull, e)
     graft.core.Parallelism.ensure(pages)
       .select(col("doc_id"), col(urlCol).as("url"),
         seal(struct(
-          canon.as("canon_url"),
-          gated(scheme === "https").as("is_https"),
-          gated(port =!= "" &&
-            !(scheme === "http" && port === "80") &&
-            !(scheme === "https" && port === "443")).as("has_port"),
-          gated(size(filter(split(path, "/"), s => length(s) > lit(0)))
+          c.canon.as("canon_url"),
+          gated(c.scheme === "https").as("is_https"),
+          gated(c.keepPort).as("has_port"),
+          gated(size(filter(split(c.path, "/"), s => length(s) > lit(0)))
             .cast("long")).as("path_depth"),
-          gated(size(keptParams).cast("long")).as("n_params"),
-          gated((size(rawParams) - size(keptParams)).cast("long")).as("n_tracking"),
-          gated(size(filter(split(host, "[.]"), s => length(s) > lit(0)))
+          gated(size(c.keptParams).cast("long")).as("n_params"),
+          gated((size(c.rawParams) - size(c.keptParams)).cast("long")).as("n_tracking"),
+          gated(size(filter(split(c.host, "[.]"), s => length(s) > lit(0)))
             .cast("long")).as("host_labels"),
-          gated(lower(nullif(regexp_extract(path, FileExtPat, 1), lit("")))).as("file_ext"),
-          length(u0).cast("long").as("url_len"))).as("sg"))
+          gated(lower(nullif(regexp_extract(c.path, FileExtPat, 1), lit("")))).as("file_ext"),
+          length(c.u0).cast("long").as("url_len"))).as("sg"))
       .select(col("doc_id"), col("url"), col("sg.*"))
   }
 
@@ -433,13 +433,12 @@ object Crawl {
     * iteration moves. Each tier materializes ([[graft.core.Materialize]])
     * so the lineage stays one-iteration deep, and the superseded
     * tier releases under Persist (the [[Dedup.clusters]] discipline). */
-  def domainRank(
+  /** Materialized distinct edge set + node table — the prologue both
+    * iterative graph ops ([[domainRank]], [[hits]]) share. The caller
+    * releases `e`; `nodes` stays for the result lineage. */
+  private def distinctGraph(
       edges: DataFrame,
-      iters: Int = 5,
-      damping: Double = 0.85,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
-    require(iters >= 1, s"iters=$iters must be >= 1")
-    require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
+      mat: graft.core.Materialize.Strategy): (DataFrame, DataFrame) = {
     val e = graft.core.Materialize(
       edges.select(col("src"), col("dst"))
         .where(col("src").isNotNull && col("dst").isNotNull)
@@ -450,6 +449,17 @@ object Crawl {
         .unionByName(e.select(col("dst").as("node")))
         .distinct(),
       mat)
+    (e, nodes)
+  }
+
+  def domainRank(
+      edges: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
+    val (e, nodes) = distinctGraph(edges, mat)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
     var ranks = graft.core.Materialize(
@@ -523,16 +533,7 @@ object Crawl {
       iters: Int = 5,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
     require(iters >= 1, s"iters=$iters must be >= 1")
-    val e = graft.core.Materialize(
-      edges.select(col("src"), col("dst"))
-        .where(col("src").isNotNull && col("dst").isNotNull)
-        .distinct(),
-      mat)
-    val nodes = graft.core.Materialize(
-      e.select(col("src").as("node"))
-        .unionByName(e.select(col("dst").as("node")))
-        .distinct(),
-      mat)
+    val (e, nodes) = distinctGraph(edges, mat)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     def normalized(raw: DataFrame, scoreCol: String): DataFrame = {
       // raw: (node, raw_u) over receiving nodes only; others score 0
@@ -624,6 +625,40 @@ object Crawl {
           .partitionBy(col("link_host"))
           .orderBy(col("n_refs").desc, col("link_url").asc)))
       .where(col("pos") <= perHostCap)
+  }
+
+  // ---- Sitemaps ----------------------------------------------------------
+
+  /** Sitemap grammar (sitemaps.org XML, regex subset): `<loc>` URL
+    * entries and the `<sitemapindex>` root that marks an index file.
+    * Explicit whitespace classes — the engine-wide `\s` ban (Java and
+    * RE2 disagree on VT); inner trim is the [[WsTrimPat]] job. */
+  val SitemapLocPat = "(?is)<loc[^>]*>([^<]*)</loc>"
+  val SitemapIndexPat = "(?i)<sitemapindex[ \\t\\n\\r\\f\\x0B>]"
+
+  /** URL entries of sitemap documents `(doc_id, text)` — one row per
+    * `<loc>`, canonicalized: `(doc_id, loc_idx, loc, url, host,
+    * is_index)`; `is_index` marks entries from a `<sitemapindex>`
+    * (they name further sitemaps to fetch, not content pages — a
+    * frontier seeds from the non-index rows and feeds index rows back
+    * into the fetch queue). Entity decode before canonicalization
+    * (`&amp;` is mandatory XML escaping in query strings). Row-local
+    * explode, the [[extractLinks]] stance. */
+  def sitemapUrls(sitemaps: DataFrame): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    graft.core.Parallelism.ensure(sitemaps)
+      .select(col("doc_id"),
+        seal(struct(
+          regexp_extract_all(raw, lit(SitemapLocPat), lit(1)).as("ls"),
+          raw.rlike(SitemapIndexPat).as("is_index"))).as("sx"))
+      .select(col("doc_id"), col("sx.is_index").as("is_index"),
+        posexplode(col("sx.ls")).as(Seq("loc_idx", "loc0")))
+      .withColumn("loc", decodedHref(col("loc0")))
+      .select(col("doc_id"), col("loc_idx"), col("loc"),
+        seal(urlParts(col("loc"))).as("lp"), col("is_index"))
+      .select(col("doc_id"), col("loc_idx"), col("loc"),
+        col("lp.canon_url").as("url"), col("lp.host").as("host"),
+        col("is_index"))
   }
 
   // ---- Corpus snapshot diff --------------------------------------------

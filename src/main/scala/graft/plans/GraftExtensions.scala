@@ -88,6 +88,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.robotsRulesTableFunction)
     ext.injectTableFunction(GraftExtensions.robotsFilterTableFunction)
     ext.injectTableFunction(GraftExtensions.hostSummaryTableFunction)
+    ext.injectTableFunction(GraftExtensions.sitemapUrlsTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1547,6 +1548,17 @@ object GraftExtensions {
           stringArg("graft_anchor_index")(children.head, "pages_table"))))
     })
 
+  private val sitemapUrlsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_sitemap_urls"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_sitemap_urls"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_sitemap_urls(sitemaps_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.sitemapUrls(SparkSession.active.table(
+          stringArg("graft_sitemap_urls")(children.head, "sitemaps_table"))))
+    })
+
   private val hostSummaryTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_host_summary"),
@@ -1768,7 +1780,8 @@ object GraftExtensions {
         corpusDiffTableFunction, urlSignalsTableFunction,
         frontierTableFunction, anchorTextsTableFunction,
         anchorIndexTableFunction, robotsRulesTableFunction,
-        robotsFilterTableFunction, hostSummaryTableFunction)
+        robotsFilterTableFunction, hostSummaryTableFunction,
+        sitemapUrlsTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

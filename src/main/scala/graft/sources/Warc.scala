@@ -95,6 +95,20 @@ object Warc {
     * [[graft.ops.Crawl.urlCanon]] and the URL-dedup gate). Records
     * whose content carries no HTTP envelope keep their content
     * verbatim with NULL status (some writers store bare bodies). */
+  /** WET shards (Common Crawl's extracted-text sibling of WARC): the
+    * SAME container with `conversion` records whose content is the
+    * already-extracted plain text — `(doc_id, url, fetched_at, text)`.
+    * Feed the C4 rules / dedup ladder directly (no HTML extraction
+    * stage needed). */
+  def readConversions(spark: SparkSession, path: String): DataFrame =
+    readRecords(spark, path)
+      .where(lower(col("warc_type")) === "conversion")
+      .select(
+        col("record_id").as("doc_id"),
+        col("target_uri").as("url"),
+        col("warc_date").as("fetched_at"),
+        col("content").as("text"))
+
   def readResponses(spark: SparkSession, path: String): DataFrame =
     readRecords(spark, path)
       .where(lower(col("warc_type")) === "response")

@@ -153,6 +153,22 @@ class CrawlSpec extends SparkSpec {
     assert(r("A") === 0.5 && r("B") === 0.5)
   }
 
+  test("sitemapUrls: loc entries decode and canonicalize; sitemapindex rows flag is_index") {
+    val sm = Seq(
+      (1L, "<urlset><url><loc> https://Example.com/a?b=2&amp;a=1 </loc></url>" +
+        "<url><loc>relative/skip</loc></url></urlset>"),
+      (2L, "<sitemapindex>\n<sitemap><loc>https://example.com/s1.xml</loc></sitemap></sitemapindex>"),
+      (3L, "not xml"))
+      .toDF("doc_id", "text")
+    val got = Crawl.sitemapUrls(sm)
+      .select(col("doc_id"), col("loc_idx"), col("url"), col("is_index"))
+      .as[(Long, Int, Option[String], Boolean)].collect().toSet
+    assert(got === Set(
+      (1L, 0, Some("https://example.com/a?a=1&b=2"), false),
+      (1L, 1, None, false),
+      (2L, 0, Some("https://example.com/s1.xml"), true)))
+  }
+
   test("hostSummary: per-host page/canonical/distinct/dup accounting; NULL host buckets non-canonical pages") {
     val got = Crawl.hostSummary(pages(
       1L -> "https://a.com/x",

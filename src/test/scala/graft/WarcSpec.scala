@@ -101,6 +101,26 @@ class WarcSpec extends SparkSpec {
     assert(edges === Set(("example.com", "next.example.org", 1L)))
   }
 
+  test("readConversions: WET-style conversion records yield extracted text directly") {
+    val dir = Files.createTempDirectory("graft-wet-")
+    dir.toFile.deleteOnExit()
+    val wet =
+      record(Seq(
+        "WARC-Type" -> "warcinfo",
+        "WARC-Record-ID" -> "<urn:uuid:w-0>"), "software: testgen") +
+        record(Seq(
+          "WARC-Type" -> "conversion",
+          "WARC-Record-ID" -> "<urn:uuid:w-1>",
+          "WARC-Target-URI" -> "https://www.example.com/a",
+          "WARC-Date" -> "2026-01-02T03:04:05Z"),
+          "Already extracted prose.\nSecond line.")
+    Files.write(Paths.get(dir.toString, "shard.warc.wet"), wet.getBytes("UTF-8"))
+    val rows = Warc.readConversions(spark, dir.toString)
+      .select("doc_id", "url", "text").as[(String, String, String)].collect()
+    assert(rows.toSeq === Seq(("urn:uuid:w-1", "https://www.example.com/a",
+      "Already extracted prose.\nSecond line.")))
+  }
+
   test("a marker collision inside a payload drops only the orphaned fragment") {
     val dir = Files.createTempDirectory("graft-warcx-")
     dir.toFile.deleteOnExit()
