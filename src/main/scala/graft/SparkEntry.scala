@@ -333,7 +333,11 @@ object SparkEntry {
     // a page whose URL IS a common link target (doc_id%3==0 pages on
     // h1 link to h2/p/0): the frontier's seen-set anti-join must
     // exclude that target while the edge faces still count it
-    (9350003L, "https://h2.example.org/p/0", "seen target, no links"))
+    (9350003L, "https://h2.example.org/p/0", "seen target, no links"),
+    // a 2-host island disconnected from the h* ring: a second
+    // component for q_host_components
+    (9350004L, "https://island-a.example.org/x",
+      "<a href=\"https://island-b.example.org/y\">i</a>"))
 
   private def linkPages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -1618,6 +1622,9 @@ object SparkEntry {
     // fixed-iteration PageRank over the host graph (BIGINT-unit exact)
     "q_domain_rank" -> ((s, dir) =>
       graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3)),
+    // weakly-connected host components (mirror/link-farm constellations)
+    "q_host_components" -> ((s, dir) =>
+      graft.ops.Crawl.hostComponents(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)))),
     // HITS hub/authority scores (engine-exact BIGINT-unit iterations)
     "q_hits" -> ((s, dir) =>
       graft.ops.Crawl.hits(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 2)),
@@ -2968,6 +2975,17 @@ object SparkEntry {
       s"""WITH $RANK_CTES
          |SELECT node, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
          |FROM r3""".stripMargin,
+    "q_host_components" ->
+      // twin of Crawl.hostComponents: the CLUSTER_CTES recursive-reach
+      // pattern over the undirected host edge set; min label = the
+      // lexicographically-smallest member
+      s"""WITH RECURSIVE $GRAPH_CTES,
+         |hedges AS MATERIALIZED (SELECT src, dst FROM eg UNION SELECT dst, src FROM eg),
+         |hreach(id, lbl) AS (
+         |  SELECT DISTINCT src, src FROM hedges
+         |  UNION
+         |  SELECT e.dst, r.lbl FROM hreach r JOIN hedges e ON e.src = r.id)
+         |SELECT id AS node, min(lbl) AS component_id FROM hreach GROUP BY id""".stripMargin,
     "q_hits" ->
       // twin of Crawl.hits(iters = 2): two unrolled hub->authority->hub
       // rounds in BIGINT 1e-12 units (HITS_CTES); per-node sums are

@@ -575,6 +575,23 @@ object Crawl {
         (col("auth_u").cast("double") / lit(RankUnits).cast("double")).as("authority"))
   }
 
+  /** Weakly-connected components of the host graph —
+    * [[Dedup.clusters]]' checkpointed min-label propagation over the
+    * undirected edge set: `(node, component_id)` with the component
+    * labeled by its lexicographically-minimum member. Mirror and
+    * link-farm constellations surface as one component (feed the
+    * component table into per-group keep policies the way near-dup
+    * clusters do). Nodes with no edges never enter the graph. */
+  def hostComponents(
+      edges: DataFrame,
+      maxIterations: Int = 20,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame =
+    Dedup.clusters(
+      edges.select(col("src").as("doc_a"), col("dst").as("doc_b"))
+        .where(col("doc_a").isNotNull && col("doc_b").isNotNull),
+      maxIterations, mat)
+      .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
+
   /** Join a rank table onto a doc table as a quality prior:
     * `domain_rank` (0.0 for nodes the graph never saw — an unranked
     * domain is prior-less, not NULL-poisoned). `broadcastRanks`

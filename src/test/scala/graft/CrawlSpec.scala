@@ -182,6 +182,16 @@ class CrawlSpec extends SparkSpec {
     assert(got(None) === ((2L, 0L, 0L, 0L)))
   }
 
+  test("hostComponents: min-label components, direction ignored, islands separate") {
+    val edges = Seq(("b.com", "a.com"), ("c.com", "b.com"), ("x.org", "y.org"))
+      .toDF("src", "dst")
+    val got = Crawl.hostComponents(edges)
+      .as[(String, String)].collect().toMap
+    assert(got === Map(
+      "a.com" -> "a.com", "b.com" -> "a.com", "c.com" -> "a.com",
+      "x.org" -> "x.org", "y.org" -> "x.org"))
+  }
+
   test("hits: pure hubs vs pure authority separate exactly; the 2-hub graph is a fixed point") {
     val edges = Seq(("A", "C"), ("B", "C")).toDF("src", "dst")
     for (it <- Seq(1, 3)) {
