@@ -441,11 +441,11 @@ object SparkEntry {
     * empty file. ASCII, no single quotes. */
   private val RobotsRows: Seq[(String, String)] = Seq(
     ("h1.example.org",
-      "# h1 blocks the p tree except p/1\nUser-agent: *\nDisallow: /p/\nAllow: /p/1\n"),
+      "# h1 blocks the p tree except p/1\nUser-agent: *\nDisallow: /p/\nAllow: /p/1\nCrawl-delay: 2.5\n"),
     ("h2.example.org",
-      "User-agent: googlebot\nDisallow: /\n\nUser-agent: *\nDisallow: /*/0\nDisallow: /hub\nDisallow:\n"),
+      "User-agent: googlebot\nDisallow: /\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /*/0\nDisallow: /hub\nDisallow:\n"),
     ("h3.example.org",
-      "User-agent: *\nAllow: /p/\nDisallow: /p/2 # but the tie below re-allows\nAllow: /p/2\n"),
+      "User-agent: *\nAllow: /p/\nDisallow: /p/2 # but the tie below re-allows\nAllow: /p/2\nCrawl-delay: 10\nCrawl-delay: 4\n"),
     ("sink.example.org", "User-agent: SpecificBot\nDisallow: /\n"),
     ("h4.example.org", ""))
 
@@ -1654,6 +1654,8 @@ object SparkEntry {
     "q_sitemap_urls" -> ((s, dir) => graft.ops.Crawl.sitemapUrls(sitemapDocs(s, dir))),
     // RFC 9309 rule parse: the User-agent:* group's allow/disallow prefixes
     "q_robots_rules" -> ((s, dir) => graft.ops.Robots.robotsRules(robotsDf(s))),
+    // per-host politeness budget (minimum Crawl-delay of the * group)
+    "q_crawl_delays" -> ((s, dir) => graft.ops.Robots.crawlDelays(robotsDf(s))),
     // the polite frontier: longest-match robots decision on every candidate
     "q_robots" -> ((s, dir) => {
       val pages = linkPages(s, dir)
@@ -3076,6 +3078,13 @@ object SparkEntry {
       // op's public constants
       s"""WITH $ROBOTS_RULE_CTES
          |SELECT host, rule, prefix FROM rr""".stripMargin,
+    "q_crawl_delays" ->
+      // twin of Robots.crawlDelays: Crawl-delay values of the * group,
+      // minimum per host (politest wins), non-* groups ignored
+      s"""WITH $ROBOTS_RULE_CTES
+         |SELECT host, min(CAST(raw AS DOUBLE)) AS crawl_delay
+         |FROM (SELECT host, unnest(regexp_extract_all(seg, '${graft.ops.Robots.CrawlDelayPat}', 1)) AS raw FROM rsf)
+         |GROUP BY host""".stripMargin,
     "q_robots" ->
       // twin of Robots.robotsFilter over the frontier: RFC 9309
       // longest-match as max over (2*len + allow_bit) — the winner's

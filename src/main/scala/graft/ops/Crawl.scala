@@ -338,6 +338,16 @@ object Crawl {
       .when(href.rlike("^/") && pageCanon.isNotNull,
         concat(regexp_extract(pageCanon, AuthorityPat, 0), href))
 
+  /** Resolve one href-like reference against a base URL and
+    * canonicalize it — the [[extractLinks]] pipeline as a scalar:
+    * entity decode → absolute / protocol-relative / root-relative
+    * resolution against the base's CANONICAL origin → [[urlParts]].
+    * NULL when unresolvable. The public face redirect targets and
+    * one-off reference resolution use. */
+  def resolveHref(href: Column, baseUrl: Column): Column =
+    urlParts(resolvedTo(decodedHref(href), canonicalizeUrl(baseUrl)))
+      .getField("canon_url")
+
   // ---- Anchor text (row-local) -----------------------------------------
 
   /** href + inner text of each anchor ELEMENT, double- and single-

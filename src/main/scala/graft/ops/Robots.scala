@@ -39,6 +39,10 @@ object Robots {
   /** Trailing whitespace on a rule value (CR of CRLF files included). */
   val RuleTrimPat = "[ \\t\\r]+$"
 
+  /** `Crawl-delay` lines inside a group (de-facto extension most
+    * crawlers honor; seconds, fractional allowed). */
+  val CrawlDelayPat = "(?im)^[ \\t]*crawl-delay:[ \\t]*([0-9]{1,6}(?:\\.[0-9]{1,6})?)"
+
   /** Path-and-query of a canonical URL — what RFC 9309 matches rules
     * against (scheme://authority stripped). */
   val PathQueryPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
@@ -47,17 +51,22 @@ object Robots {
     * rules: `(host, rule ∈ allow|disallow, prefix)`, distinct. Empty
     * values (the `Disallow:` = allow-everything idiom) and wildcard
     * rules drop — the decision face's default-allow covers both. */
+  /** The `*` group's segments, one row per group: `(host, seg)` —
+    * seg 0 is the pre-agent preamble (dropped); a group applies to
+    * this op iff its agent token is `*`. */
+  private def starSegments(
+      robots: DataFrame, hostCol: String, textCol: String): DataFrame =
+    graft.core.Parallelism.ensure(robots)
+      .select(col(hostCol).as("host"),
+        posexplode(split(coalesce(col(textCol), lit("")), AgentSplitPat))
+          .as(Seq("seg_idx", "seg")))
+      .where(col("seg_idx") > 0 && col("seg").rlike("^\\*"))
+
   def robotsRules(
       robots: DataFrame,
       hostCol: String = "host",
       textCol: String = "robots_txt"): DataFrame = {
-    val segs = graft.core.Parallelism.ensure(robots)
-      .select(col(hostCol).as("host"),
-        posexplode(split(coalesce(col(textCol), lit("")), AgentSplitPat))
-          .as(Seq("seg_idx", "seg")))
-      // seg 0 is the pre-agent preamble; a group applies to this op
-      // iff its agent token is `*`
-      .where(col("seg_idx") > 0 && col("seg").rlike("^\\*"))
+    val segs = starSegments(robots, hostCol, textCol)
     def rulesOf(kind: String, pat: String): DataFrame = segs
       .select(col("host"), lit(kind).as("rule"),
         explode(regexp_extract_all(col("seg"), lit(pat), lit(1))).as("raw"))
@@ -68,6 +77,22 @@ object Robots {
       .where(col("prefix") =!= "" && !col("prefix").rlike("[*$]"))
       .distinct()
   }
+
+  /** Per-host politeness budget: the MINIMUM `Crawl-delay` of the `*`
+    * group (politest wins when a file repeats the line) —
+    * `(host, crawl_delay)` seconds as double; hosts without the line
+    * are absent (the caller's default applies). Joins onto
+    * [[graft.ops.Crawl.crawlFrontier]] output the way
+    * [[graft.ops.Crawl.rankPrior]] does. */
+  def crawlDelays(
+      robots: DataFrame,
+      hostCol: String = "host",
+      textCol: String = "robots_txt"): DataFrame =
+    starSegments(robots, hostCol, textCol)
+      .select(col("host"),
+        explode(regexp_extract_all(col("seg"), lit(CrawlDelayPat), lit(1))).as("raw"))
+      .groupBy(col("host"))
+      .agg(min(col("raw").cast("double")).as("crawl_delay"))
 
   /** The REPORT face: `urls` (any schema carrying `urlCol` +
     * `hostCol`) plus `robots_allowed` — RFC 9309 longest-match over

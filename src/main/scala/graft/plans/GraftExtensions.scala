@@ -89,6 +89,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.robotsFilterTableFunction)
     ext.injectTableFunction(GraftExtensions.hostSummaryTableFunction)
     ext.injectTableFunction(GraftExtensions.sitemapUrlsTableFunction)
+    ext.injectTableFunction(GraftExtensions.crawlDelaysTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1559,6 +1560,17 @@ object GraftExtensions {
           stringArg("graft_sitemap_urls")(children.head, "sitemaps_table"))))
     })
 
+  private val crawlDelaysTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_crawl_delays"),
+    new ExpressionInfo(graft.ops.Robots.getClass.getName, "graft_crawl_delays"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_crawl_delays(robots_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Robots.crawlDelays(SparkSession.active.table(
+          stringArg("graft_crawl_delays")(children.head, "robots_table"))))
+    })
+
   private val hostSummaryTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_host_summary"),
@@ -1781,7 +1793,7 @@ object GraftExtensions {
         frontierTableFunction, anchorTextsTableFunction,
         anchorIndexTableFunction, robotsRulesTableFunction,
         robotsFilterTableFunction, hostSummaryTableFunction,
-        sitemapUrlsTableFunction)
+        sitemapUrlsTableFunction, crawlDelaysTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

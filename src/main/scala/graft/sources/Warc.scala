@@ -53,6 +53,7 @@ object Warc {
   /** HTTP response grammar inside a `response` record's content. */
   val HttpStatusPat = "^HTTP/[0-9.]+[ \\t]+([0-9]{3})"
   val HttpHeaderEndPat = "(?s)^HTTP/.*?\\r\\n\\r\\n"
+  val LocationPat = "(?im)^Location:[ \\t]*([^\\r\\n]+)"
 
   private def field(block: Column, pat: String): Column =
     nullif(regexp_extract(block, pat, 1), lit(""))
@@ -121,4 +122,25 @@ object Warc {
         when(col("content").rlike("^HTTP/"),
           regexp_replace(col("content"), HttpHeaderEndPat, ""))
           .otherwise(col("content")).as("text"))
+
+  /** The redirect map of a crawl archive: `response` records with a
+    * 3xx status — `(doc_id, url, http_status, location, redirect_to)`
+    * where `redirect_to` is the Location header resolved against the
+    * record's own URL and canonicalized
+    * ([[graft.ops.Crawl.resolveHref]] — relative Locations are
+    * common). Feed into [[graft.ops.Crawl.urlDuplicates]]-style
+    * identity: a page reached via redirect IS its target. */
+  def redirects(spark: SparkSession, path: String): DataFrame =
+    readRecords(spark, path)
+      .where(lower(col("warc_type")) === "response")
+      .select(
+        col("record_id").as("doc_id"),
+        col("target_uri").as("url"),
+        nullif(regexp_extract(col("content"), HttpStatusPat, 1), lit(""))
+          .cast("int").as("http_status"),
+        nullif(regexp_extract(col("content"), LocationPat, 1), lit(""))
+          .as("location"))
+      .where(col("http_status").between(300, 399))
+      .withColumn("redirect_to",
+        graft.ops.Crawl.resolveHref(col("location"), col("url")))
 }

@@ -348,11 +348,17 @@ class CrawlSpec extends SparkSpec {
         case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
       }.length
     }
-    // URL identity and link extraction are pure row-local column algebra
+    // URL identity, link/anchor/sitemap extraction and URL signals are
+    // pure row-local column algebra
     assert(exchanges(Crawl.urlCanon(d)) === 0,
       s"urlCanon must be row-local:\n${Crawl.urlCanon(d).queryExecution.executedPlan}")
     assert(exchanges(Crawl.extractLinks(d)) === 0,
       s"extractLinks must be row-local:\n${Crawl.extractLinks(d).queryExecution.executedPlan}")
+    assert(exchanges(Crawl.urlSignals(d)) === 0)
+    assert(exchanges(Crawl.anchorTexts(d)) === 0)
+    assert(exchanges(Crawl.sitemapUrls(d.select(col("doc_id"),
+      concat(lit("<urlset><url><loc>"), col("url"), lit("</loc></url></urlset>"))
+        .as("text")))) === 0)
     // the dedup gate shuffles on url_key only — never on url/text
     // (AQE wraps exchanges in query stages, so pin via the plan text)
     val dup = Crawl.urlDuplicates(d)

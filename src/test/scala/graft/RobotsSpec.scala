@@ -70,6 +70,15 @@ class RobotsSpec extends SparkSpec {
     assert(got.toMap.apply("https://h.org/search") === true)
   }
 
+  test("crawlDelays: minimum Crawl-delay of the * group; other groups and delay-free hosts absent") {
+    val got = Robots.crawlDelays(Seq(
+      ("a.org", "User-agent: *\nCrawl-delay: 10\nDisallow: /x\nCrawl-delay: 2.5\n"),
+      ("b.org", "User-agent: gptbot\nCrawl-delay: 99\n"),
+      ("c.org", "User-agent: *\nDisallow: /\n")).toDF("host", "robots_txt"))
+      .as[(String, Double)].collect().toMap
+    assert(got === Map("a.org" -> 2.5))
+  }
+
   test("robots TVF parity: graft_robots_rules / graft_robots_filter") {
     val s = SparkSpec.spark
     graft.plans.GraftExtensions.install(s)

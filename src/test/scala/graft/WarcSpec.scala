@@ -121,6 +121,38 @@ class WarcSpec extends SparkSpec {
       "Already extracted prose.\nSecond line.")))
   }
 
+  test("redirects: 3xx responses map to resolved canonical targets; relative Locations resolve") {
+    val dir = Files.createTempDirectory("graft-warcr-")
+    dir.toFile.deleteOnExit()
+    val w =
+      record(Seq(
+        "WARC-Type" -> "response",
+        "WARC-Record-ID" -> "<urn:uuid:r-1>",
+        "WARC-Target-URI" -> "http://www.Example.com/old"),
+        s"HTTP/1.1 301 Moved Permanently${CRLF}Location: https://example.com/new/${CRLF}${CRLF}moved") +
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> "<urn:uuid:r-2>",
+          "WARC-Target-URI" -> "https://example.com/a/b"),
+          s"HTTP/1.1 302 Found${CRLF}Location: /rooted?b=2&amp;a=1${CRLF}${CRLF}x") +
+        record(Seq(
+          "WARC-Type" -> "response",
+          "WARC-Record-ID" -> "<urn:uuid:r-3>",
+          "WARC-Target-URI" -> "https://example.com/ok"),
+          s"HTTP/1.1 200 OK${CRLF}${CRLF}fine")
+    Files.write(Paths.get(dir.toString, "r.warc"), w.getBytes("UTF-8"))
+    val got = Warc.redirects(spark, dir.toString)
+      .select("doc_id", "http_status", "redirect_to")
+      .as[(String, Int, Option[String])].collect()
+      .map { case (a, b, c) => a -> ((b, c)) }.toMap
+    assert(got.size === 2, "200s are not redirects")
+    // absolute target canonicalizes (trailing slash collapses)
+    assert(got("urn:uuid:r-1") === ((301, Some("https://example.com/new"))))
+    // root-relative Location resolves against the record's own
+    // canonical origin; the entity-escaped query decodes and sorts
+    assert(got("urn:uuid:r-2") === ((302, Some("https://example.com/rooted?a=1&b=2"))))
+  }
+
   test("a marker collision inside a payload drops only the orphaned fragment") {
     val dir = Files.createTempDirectory("graft-warcx-")
     dir.toFile.deleteOnExit()
