@@ -535,6 +535,19 @@ object SparkEntry {
        |hh$k AS MATERIALIZED (${norm(s"hraw$k", s"htot$k", "hub_u")})""".stripMargin
   }
 
+  /** The robots longest-match decision over `fr` (needs
+    * [[ROBOTS_RULE_CTES]] + [[FRONTIER_CTES]]) — final CTE `rdec` =
+    * frontier columns + robots_allowed. */
+  private val ROBOTS_DECISION_CTES: String =
+    s"""rmj AS (SELECT f.link_url, f.link_host, f.n_refs, f.domain_rank, f.pos,
+       |    r.prefix, CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END AS abit
+       |  FROM fr f LEFT JOIN rr r ON r.host = f.link_host
+       |    AND starts_with(regexp_replace(f.link_url, '${graft.ops.Robots.PathQueryPat}', ''), r.prefix)),
+       |rdec AS MATERIALIZED (SELECT link_url, link_host, n_refs, domain_rank, pos,
+       |    CASE WHEN count(prefix) = 0 THEN true
+       |         ELSE (max(CAST(len(prefix) AS BIGINT) * 2 + abit) % 2) = 1 END AS robots_allowed
+       |  FROM rmj GROUP BY link_url, link_host, n_refs, domain_rank, pos)""".stripMargin
+
   private val HITS_CTES: String =
     s"""$GRAPH_CTES,
        |hh0 AS MATERIALIZED (SELECT node, CAST(round(CAST(1000000000000 AS DOUBLE) / nn.n_nodes, 0) AS BIGINT) AS hub_u FROM nd CROSS JOIN nn),
@@ -1656,6 +1669,15 @@ object SparkEntry {
     "q_robots_rules" -> ((s, dir) => graft.ops.Robots.robotsRules(robotsDf(s))),
     // per-host politeness budget (minimum Crawl-delay of the * group)
     "q_crawl_delays" -> ((s, dir) => graft.ops.Robots.crawlDelays(robotsDf(s))),
+    // the crawl loop's output artifact: allowed, ranked, budgeted fetches
+    "q_polite_frontier" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      graft.ops.Crawl.politeFrontier(pages,
+        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+        graft.ops.Robots.robotsRules(robotsDf(s)),
+        graft.ops.Robots.crawlDelays(robotsDf(s)),
+        perHostCap = 5)
+    }),
     // the polite frontier: longest-match robots decision on every candidate
     "q_robots" -> ((s, dir) => {
       val pages = linkPages(s, dir)
@@ -3092,14 +3114,22 @@ object SparkEntry {
       s"""WITH $RANK_CTES,
          |$ROBOTS_RULE_CTES,
          |$FRONTIER_CTES,
-         |mj AS (SELECT f.link_url, f.link_host, f.n_refs, f.domain_rank, f.pos,
-         |    r.prefix, CASE WHEN r.rule = 'allow' THEN 1 ELSE 0 END AS abit
-         |  FROM fr f LEFT JOIN rr r ON r.host = f.link_host
-         |    AND starts_with(regexp_replace(f.link_url, '${graft.ops.Robots.PathQueryPat}', ''), r.prefix))
-         |SELECT link_url, link_host, n_refs, domain_rank, pos,
-         |  CASE WHEN count(prefix) = 0 THEN true
-         |       ELSE (max(CAST(len(prefix) AS BIGINT) * 2 + abit) % 2) = 1 END AS robots_allowed
-         |FROM mj GROUP BY link_url, link_host, n_refs, domain_rank, pos""".stripMargin,
+         |$ROBOTS_DECISION_CTES
+         |SELECT link_url, link_host, n_refs, domain_rank, pos, robots_allowed
+         |FROM rdec""".stripMargin,
+    "q_polite_frontier" ->
+      // twin of Crawl.politeFrontier: allowed candidates only, the
+      // host's minimum Crawl-delay attached (NULL = none declared)
+      s"""WITH $RANK_CTES,
+         |$ROBOTS_RULE_CTES,
+         |$FRONTIER_CTES,
+         |$ROBOTS_DECISION_CTES,
+         |cdl AS (SELECT host, min(CAST(raw AS DOUBLE)) AS crawl_delay
+         |  FROM (SELECT host, unnest(regexp_extract_all(seg, '${graft.ops.Robots.CrawlDelayPat}', 1)) AS raw FROM rsf)
+         |  GROUP BY host)
+         |SELECT d.link_host, d.link_url, d.n_refs, d.domain_rank, d.pos, c.crawl_delay
+         |FROM rdec d LEFT JOIN cdl c ON c.host = d.link_host
+         |WHERE d.robots_allowed""".stripMargin,
     "q_corpus_diff" ->
       // twin of Crawl.corpusDiff: md5-by-doc_id full outer join; the
       // new snapshot derives from documents by the same %-expressions

@@ -688,6 +688,24 @@ object Crawl {
         col("is_index"))
   }
 
+  /** The complete next-fetch list in ONE call — the crawl loop's
+    * output artifact: frontier candidates (unseen, ref-counted,
+    * rank-prior'd, host-capped) that robots ALLOW, each with its
+    * host's declared politeness budget attached (`crawl_delay` NULL =
+    * no declared delay; the scheduler's default applies). `rules` /
+    * `delays` are stored [[Robots.robotsRules]] /
+    * [[Robots.crawlDelays]] outputs — host-sized, broadcast. */
+  def politeFrontier(
+      pages: DataFrame,
+      ranks: DataFrame,
+      rules: DataFrame,
+      delays: DataFrame,
+      urlCol: String = "url",
+      perHostCap: Int = 10): DataFrame =
+    Robots.allowedOnly(crawlFrontier(pages, ranks, urlCol, perHostCap), rules)
+      .join(broadcast(delays.select(col("host").as("link_host"), col("crawl_delay"))),
+        Seq("link_host"), "left")
+
   // ---- Corpus snapshot diff --------------------------------------------
 
   /** Diff two corpus snapshots by doc_id + content hash:

@@ -297,6 +297,25 @@ class CrawlSpec extends SparkSpec {
       ("search", "u.net", 1L), ("engine", "u.net", 1L)))
   }
 
+  test("politeFrontier: blocked candidates gone, crawl_delay attached, NULL when undeclared") {
+    val p = Seq(
+      (1L, "https://a.com/1",
+        "<a href=\"https://t.org/ok\">x</a><a href=\"https://t.org/private/x\">y</a>" +
+          "<a href=\"https://u.net/z\">z</a>"))
+      .toDF("doc_id", "url", "text")
+    val ranks = Seq(("t.org", 0.8)).toDF("node", "rank")
+    val robots = Seq(
+      ("t.org", "User-agent: *\nDisallow: /private/\nCrawl-delay: 3\n"))
+      .toDF("host", "robots_txt")
+    val got = Crawl.politeFrontier(p, ranks,
+      graft.ops.Robots.robotsRules(robots), graft.ops.Robots.crawlDelays(robots))
+      .select(col("link_url"), col("domain_rank"), col("crawl_delay"))
+      .as[(String, Double, Option[Double])].collect().toSet
+    assert(got === Set(
+      ("https://t.org/ok", 0.8, Some(3.0)),
+      ("https://u.net/z", 0.0, None)))
+  }
+
   test("crawl TVF parity: graft_url_canon / graft_url_dedup / graft_link_edges / graft_rank_prior / graft_corpus_diff") {
     val s = SparkSpec.spark
     graft.plans.GraftExtensions.install(s)
