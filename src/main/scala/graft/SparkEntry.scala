@@ -252,6 +252,18 @@ object SparkEntry {
     9300015L -> "",
     9300016L -> null)
 
+  /** Probe redirect map for the redirect-equivalence dedup: messy
+    * source forms (the op canonicalizes both sides), a target shared
+    * by two sources (group merge), an unresolvable target (dropped),
+    * a NULL source (dropped). */
+  private val RedirectRows: Seq[(String, String)] = Seq(
+    ("https://example.com:8080/x#frag", "https://example.com/x-final"),
+    ("HTTPS://WWW.Example.COM/Docs/Page/?b=2&a=1&utm_campaign=z",
+      "https://example.com/p?keep=1"),
+    ("http://dup.example.org/page/1", "https://example.com/p?keep=1&utm_source=x"),
+    ("https://example.com/broken", "not a url"),
+    (null, "https://example.com/ignored"))
+
   /** Deterministic per-doc URL synthesized by the SAME SQL expression
     * on both engines (Spark parses it via `expr()`, the twin inlines
     * it verbatim — zero drift by construction). Four families: a
@@ -1630,6 +1642,13 @@ object SparkEntry {
     "q_url_canon" -> ((s, dir) => graft.ops.Crawl.urlCanon(crawlPages(s, dir))),
     // URL-identity dedup — the gate a crawl runs BEFORE paying for content
     "q_url_dedup" -> ((s, dir) => graft.ops.Crawl.urlDuplicates(crawlPages(s, dir))),
+    // the same gate under redirect equivalence (a page that redirects
+    // to X IS the page at X)
+    "q_url_dedup_redirects" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Crawl.urlDuplicatesWithRedirects(crawlPages(s, dir),
+        RedirectRows.toDF("url", "redirect_to"))
+    }),
     // href extraction + resolution + host-level edge aggregation
     "q_link_edges" -> ((s, dir) => graft.ops.Crawl.linkHostEdges(linkPages(s, dir))),
     // fixed-iteration PageRank over the host graph (BIGINT-unit exact)
@@ -2983,6 +3002,23 @@ object SparkEntry {
          |w AS (SELECT url_key, min(doc_id) AS winner FROM k WHERE url_key IS NOT NULL GROUP BY url_key)
          |SELECT k.doc_id, k.url_key, (k.url_key IS NULL OR k.doc_id = w.winner) AS keep
          |FROM k LEFT JOIN w USING (url_key)""".stripMargin,
+    "q_url_dedup_redirects" ->
+      // twin of Crawl.urlDuplicatesWithRedirects: the map's BOTH sides
+      // run the canonicalization chain, unresolvable/NULL ends drop,
+      // each page key follows the map one hop before winner selection
+      s"""WITH $URL_PAGES_CTE,
+         |${urlCanonCtes("uc", "cp", "url", "doc_id")},
+         |rm0 AS (SELECT * FROM (VALUES ${RedirectRows.map { case (u, t) => s"(${sqlStr(u)}, ${sqlStr(t)})" }.mkString(", ")}) AS v(url, redirect_to)),
+         |${urlCanonCtes("rs", "rm0", "url", "redirect_to")},
+         |rs1 AS (SELECT canon_url AS src_canon, redirect_to FROM rs),
+         |${urlCanonCtes("rt", "rs1", "redirect_to", "src_canon")},
+         |rmap AS MATERIALIZED (SELECT DISTINCT md5(src_canon) AS url_key, md5(canon_url) AS target_key
+         |    FROM rt WHERE src_canon IS NOT NULL AND canon_url IS NOT NULL),
+         |rk AS MATERIALIZED (SELECT uc.doc_id, coalesce(m.target_key, md5(uc.canon_url)) AS url_key
+         |    FROM uc LEFT JOIN rmap m ON m.url_key = md5(uc.canon_url)),
+         |rw AS (SELECT url_key, min(doc_id) AS winner FROM rk WHERE url_key IS NOT NULL GROUP BY url_key)
+         |SELECT rk.doc_id, rk.url_key, (rk.url_key IS NULL OR rk.doc_id = rw.winner) AS keep
+         |FROM rk LEFT JOIN rw USING (url_key)""".stripMargin,
     "q_link_edges" ->
       // twin of Crawl.linkHostEdges: extraction + resolution +
       // canonicalization chain (LINK_CTES), then the host-pair

@@ -238,14 +238,45 @@ object Crawl {
     * ([[Dedup]]) runs AFTER this gate on the survivors, so at crawl
     * scale the expensive signatures are never computed for re-crawled
     * URLs. */
-  def urlDuplicates(pages: DataFrame, urlCol: String = "url"): DataFrame = {
-    val keys = graft.core.Parallelism.ensure(pages)
-      .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+  /** Winner selection over a `(doc_id, url_key)` table — the shared
+    * core of both dedup faces. */
+  private def dupFromKeys(keys: DataFrame): DataFrame = {
     val winners = keys.where(col("url_key").isNotNull)
       .groupBy("url_key").agg(min("doc_id").as("winner"))
     keys.join(winners, Seq("url_key"), "left")
       .select(col("doc_id"), col("url_key"),
         (col("url_key").isNull || col("doc_id") === col("winner")).as("keep"))
+  }
+
+  def urlDuplicates(pages: DataFrame, urlCol: String = "url"): DataFrame =
+    dupFromKeys(graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key")))
+
+  /** [[urlDuplicates]] under REDIRECT equivalence: a page whose URL
+    * redirects to X is identical to a page AT X — each page's key
+    * follows the redirect map one hop before hashing (chains are the
+    * map owner's to pre-collapse; [[graft.sources.Warc.redirects]]
+    * emits single hops). `redirectMap` is any `(url, redirect_to)`
+    * table; both sides are canonicalized here, so raw crawl-log forms
+    * are fine. The map is host-graph-sized next to a corpus —
+    * broadcast by default; the shuffle still moves 16-byte keys
+    * only. */
+  def urlDuplicatesWithRedirects(
+      pages: DataFrame,
+      redirectMap: DataFrame,
+      urlCol: String = "url",
+      broadcastMap: Boolean = true): DataFrame = {
+    val m = redirectMap.select(
+      md5(canonicalizeUrl(col("url"))).as("url_key"),
+      md5(canonicalizeUrl(col("redirect_to"))).as("target_key"))
+      .where(col("url_key").isNotNull && col("target_key").isNotNull)
+      .distinct()
+    val rhs = if (broadcastMap) broadcast(m) else m
+    dupFromKeys(graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+      .join(rhs, Seq("url_key"), "left")
+      .select(col("doc_id"),
+        coalesce(col("target_key"), col("url_key")).as("url_key")))
   }
 
   /** The STRIP face: pages minus URL-duplicate losers. Losers are a

@@ -221,6 +221,25 @@ class CrawlSpec extends SparkSpec {
     assert(got === Map(1L -> 0.7, 2L -> 0.0))
   }
 
+  test("urlDuplicatesWithRedirects: keys follow the map one hop; messy map forms canonicalize; broken targets drop") {
+    val p = pages(
+      1L -> "https://old.example.com/page",     // redirects to /new
+      2L -> "https://example.com/new",          // IS the target
+      3L -> "https://example.com/other",
+      4L -> "https://example.com/broken-src")   // its map row has a bad target
+    val map = Seq(
+      ("HTTPS://OLD.example.com:443/page/?utm_source=x", "https://example.com/new/"),
+      ("https://example.com/broken-src", "no scheme here"))
+      .toDF("url", "redirect_to")
+    val got = Crawl.urlDuplicatesWithRedirects(p, map)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    // 1 follows the redirect onto 2's key: min doc_id 1 wins, 2 drops;
+    // 4's map row vanished (unresolvable target) so it stands alone
+    assert(got === Map(1L -> true, 2L -> false, 3L -> true, 4L -> true))
+    // and without the map they are all distinct
+    assert(Crawl.urlDuplicates(p).select(col("keep")).as[Boolean].collect().forall(identity))
+  }
+
   test("urlSignals: shape features gated on canonical-ness; url_len always") {
     val got = Crawl.urlSignals(pages(
       1L -> "HTTPS://WWW.Example.COM:443/a/b/report.PDF?utm_source=s&x=1&y=2",
