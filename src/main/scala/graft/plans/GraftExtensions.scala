@@ -90,6 +90,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.hostSummaryTableFunction)
     ext.injectTableFunction(GraftExtensions.sitemapUrlsTableFunction)
     ext.injectTableFunction(GraftExtensions.crawlDelaysTableFunction)
+    ext.injectTableFunction(GraftExtensions.politeFrontierTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1560,6 +1561,29 @@ object GraftExtensions {
           stringArg("graft_sitemap_urls")(children.head, "sitemaps_table"))))
     })
 
+  /** `SELECT * FROM graft_polite_frontier('pages', 'ranks', 'rules',
+    * 'delays'[, per_host_cap])` — the crawl loop's one-call output
+    * from stored rank/rules/delay artifacts. Fully lazy. */
+  private val politeFrontierTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_polite_frontier"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_polite_frontier"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4 || children.size == 5,
+        "graft_polite_frontier(pages_table, ranks_table, rules_table, delays_table[, per_host_cap])")
+      val str = stringArg("graft_polite_frontier") _
+      val cap =
+        if (children.size == 5) intArg("graft_polite_frontier")(children(4), "per_host_cap")
+        else 10
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.politeFrontier(
+          SparkSession.active.table(str(children.head, "pages_table")),
+          SparkSession.active.table(str(children(1), "ranks_table")),
+          SparkSession.active.table(str(children(2), "rules_table")),
+          SparkSession.active.table(str(children(3), "delays_table")),
+          perHostCap = cap))
+    })
+
   private val crawlDelaysTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_crawl_delays"),
@@ -1793,7 +1817,8 @@ object GraftExtensions {
         frontierTableFunction, anchorTextsTableFunction,
         anchorIndexTableFunction, robotsRulesTableFunction,
         robotsFilterTableFunction, hostSummaryTableFunction,
-        sitemapUrlsTableFunction, crawlDelaysTableFunction)
+        sitemapUrlsTableFunction, crawlDelaysTableFunction,
+        politeFrontierTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

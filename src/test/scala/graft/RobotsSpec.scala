@@ -93,5 +93,19 @@ class RobotsSpec extends SparkSpec {
       .collect().toSet ===
       Robots.robotsFilter(s.table("robots_urls"), s.table("robots_rules"))
         .collect().toSet)
+    Seq(("h.org", "User-agent: *\nCrawl-delay: 3\n")).toDF("host", "robots_txt")
+      .createOrReplaceTempView("robots_bodies2")
+    assert(s.sql("SELECT * FROM graft_crawl_delays('robots_bodies2')").collect().toSet ===
+      Robots.crawlDelays(s.table("robots_bodies2")).collect().toSet)
+    Seq((1L, "https://h.org/src", "<a href=\"https://h.org/dst\">d</a>"))
+      .toDF("doc_id", "url", "text").createOrReplaceTempView("pf_pages")
+    Seq(("h.org", 0.5)).toDF("node", "rank").createOrReplaceTempView("pf_ranks")
+    Robots.robotsRules(s.table("robots_bodies2")).createOrReplaceTempView("pf_rules")
+    Robots.crawlDelays(s.table("robots_bodies2")).createOrReplaceTempView("pf_delays")
+    assert(s.sql(
+      "SELECT * FROM graft_polite_frontier('pf_pages', 'pf_ranks', 'pf_rules', 'pf_delays', 3)")
+      .collect().toSet ===
+      graft.ops.Crawl.politeFrontier(s.table("pf_pages"), s.table("pf_ranks"),
+        s.table("pf_rules"), s.table("pf_delays"), perHostCap = 3).collect().toSet)
   }
 }
