@@ -72,10 +72,14 @@ object Crawl {
   /** Tracking parameters dropped from the query string before the
     * canonical sort — the closed list every published URL-dedup
     * pipeline starts from (UTM family, click ids, session echoes).
-    * Matches the WHOLE `name=value` token (or a bare name). */
+    * Matches the WHOLE `name=value` token (or a bare name). Bare
+    * `ref` is NOT in the list: unlike the click-id family it is often
+    * functional (a branch/page selector), and merging on it would
+    * collapse genuinely distinct URLs (`ref_src` — Twitter's echo of
+    * the referrer — stays). */
   val TrackingParamPat =
     "(?is)^(utm_[a-z0-9_]*|gclid|fbclid|msclkid|yclid|mc_eid|mc_cid|" +
-      "igshid|_ga|ref|ref_src)(=.*)?$"
+      "igshid|_ga|ref_src)(=.*)?$"
 
   /** Registered-domain heuristic: a fixed list of common two-part
     * public suffixes (group 1 = label + suffix), else the last two
@@ -90,9 +94,13 @@ object Crawl {
 
   /** `href` attribute values, double- and single-quoted — two
     * patterns, not one alternation, so group numbering is identical
-    * in both engines (unquoted hrefs are a documented skip). */
-  val HrefDqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*\"([^\"]*)\""
-  val HrefSqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*'([^']*)'"
+    * in both engines (unquoted hrefs are a documented skip). The
+    * whitespace class before `href` is a required attribute boundary:
+    * without it, attributes merely ENDING in `href` (`data-href`)
+    * would emit spurious link targets. Explicit class — the
+    * engine-wide `\s` ban (Java and RE2 disagree on VT). */
+  val HrefDqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*\"([^\"]*)\""
+  val HrefSqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*'([^']*)'"
 
   /** A link target carrying its own scheme (absolute, or a non-web
     * scheme like `mailto:`/`javascript:` — the canonicalizer keeps
@@ -111,10 +119,39 @@ object Crawl {
     * order-independent under any shuffle. */
   val RankUnits = 1000000000000L
 
+  /** Percent-encoding normalization (RFC 3986 §6.2.2): a two-hex-digit
+    * sequence after `%`, and the closed set of UNRESERVED codes
+    * (ALPHA / DIGIT / `-` `.` `_` `~` — %41-5A, %61-7A, %30-39, %2D,
+    * %2E, %5F, %7E) whose encoded and decoded forms are equivalent by
+    * definition. Decoding a reserved code CAN change meaning (%2F vs
+    * `/`), so those only hex-case-fold. */
+  val PctHexPat = "^[0-9A-Fa-f]{2}"
+  val PctUnreservedPat = "^(2[DE]|3[0-9]|4[1-9A-F]|5[0-9A]|5F|6[1-9A-F]|7[0-9A]|7E)$"
+
   // ---- URL canonicalization (row-local) --------------------------------
 
   private def trimmed(url: Column): Column =
     regexp_replace(coalesce(url, lit("")), WsTrimPat, "")
+
+  /** Row-local percent-encoding normalization over the whole URL:
+    * split at `%`, then per sequence decode the UNRESERVED codes
+    * (`%7E` → `~` — the classic dup-miss vs the literal form) and
+    * uppercase the hex of everything else (`%3a` → `%3A`, RFC 3986
+    * §6.2.2.1); a `%` not followed by two hex digits passes through
+    * verbatim (the URL is technically invalid — left for the grammar
+    * gates to judge). Unreserved decode can never create a delimiter
+    * or whitespace, so it is safe BEFORE the structural split. */
+  private def pctNormalize(u: Column): Column =
+    array_join(
+      transform(split(u, "%", -1), (x, i) => {
+        val hex2 = upper(substring(x, 1, 2))
+        val rest = x.substr(lit(3), length(x))
+        when(i === 0, x)
+          .when(!x.rlike(PctHexPat), concat(lit("%"), x))
+          .when(hex2.rlike(PctUnreservedPat), concat(decode(unhex(hex2), "UTF-8"), rest))
+          .otherwise(concat(lit("%"), hex2, rest))
+      }),
+      "")
 
   /** The canonical parts of a URL as one struct column:
     * `(canon_url, host, domain)` — NULL `canon_url` when the input is
@@ -128,9 +165,9 @@ object Crawl {
     * collapse trailing path slashes (empty path → `/`) → drop
     * [[TrackingParamPat]] query params and SORT the survivors
     * (byte order; param order is almost never semantic, and the sort
-    * is what makes `?a=1&b=2` ≡ `?b=2&a=1`). Percent-encoding is left
-    * untouched (normalizing it needs a decoder both engines share —
-    * documented approximation). */
+    * is what makes `?a=1&b=2` ≡ `?b=2&a=1`). Percent-encoding is
+    * normalized FIRST ([[pctNormalize]]: unreserved codes decode,
+    * the rest hex-uppercase — `%7Euser` ≡ `~user`, `%3a` ≡ `%3A`). */
   /** The grammar's intermediate columns, built ONCE and shared by
     * every face ([[urlParts]], [[urlSignals]]) — Catalyst's
     * per-project subexpression elimination keeps the shared pieces
@@ -141,7 +178,7 @@ object Crawl {
       keepPort: Column, canon: Column, domain: Column)
 
   private def urlCols(url: Column): UrlCols = {
-    val u0 = trimmed(url)
+    val u0 = pctNormalize(trimmed(url))
     val scheme = lower(regexp_extract(u0, SchemePat, 1))
     val hostport = regexp_replace(regexp_extract(u0, AuthorityPat, 1), UserinfoPat, "")
     val port = regexp_extract(hostport, PortPat, 1)
@@ -266,11 +303,14 @@ object Crawl {
       redirectMap: DataFrame,
       urlCol: String = "url",
       broadcastMap: Boolean = true): DataFrame = {
+    // one target per source: an archive that captured a URL twice with
+    // different Location headers must not fan a page into two rows with
+    // conflicting keep flags — the minimum target wins deterministically
     val m = redirectMap.select(
       md5(canonicalizeUrl(col("url"))).as("url_key"),
       md5(canonicalizeUrl(col("redirect_to"))).as("target_key"))
       .where(col("url_key").isNotNull && col("target_key").isNotNull)
-      .distinct()
+      .groupBy(col("url_key")).agg(min(col("target_key")).as("target_key"))
     val rhs = if (broadcastMap) broadcast(m) else m
     dupFromKeys(graft.core.Parallelism.ensure(pages)
       .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key"))
@@ -385,8 +425,8 @@ object Crawl {
     * quoted forms (group 1 = href, group 2 = inner markup; lazy inner
     * match — still the Java ∩ RE2 subset, no backreferences). Anchors
     * without a quoted href are skipped, matching [[HrefDqPat]]. */
-  val AnchorDqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*>(.*?)</a>"
-  val AnchorSqPat = "(?is)<a[^>]*?href[ \\t]*=[ \\t]*'([^']*)'[^>]*>(.*?)</a>"
+  val AnchorDqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*>(.*?)</a>"
+  val AnchorSqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*'([^']*)'[^>]*>(.*?)</a>"
 
   /** Anchor texts: one row per href-bearing anchor element — the
     * resolved/canonicalized target plus the anchor's VISIBLE text
@@ -451,10 +491,11 @@ object Crawl {
   // ---- Domain rank (fixed-iteration PageRank) --------------------------
 
   /** PageRank over an edge table `(src, dst)` — the domain-quality
-    * prior of Common-Crawl-scale curation, as a FIXED number of power
-    * iterations (fixed by design: the stopping rule stays in the
-    * caller's hands and the computation is engine-exact — a
-    * convergence test would make the iteration count data-dependent).
+    * prior of Common-Crawl-scale curation, as a power iteration with
+    * a FIXED iteration count by default (engine-exact and twin-able —
+    * the count is data-independent) and an OPTIONAL convergence
+    * stopping rule (`tol` — see [[domainRankConverged]]) for real
+    * graphs where `iters` is a ceiling, not a schedule.
     * Unweighted on the DISTINCT edge set (the standard host-graph
     * formulation); dangling mass (nodes with no out-edges) is
     * redistributed uniformly, the classic correction.
@@ -497,9 +538,31 @@ object Crawl {
       edges: DataFrame,
       iters: Int = 5,
       damping: Double = 0.85,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      tol: Double = 0.0): DataFrame =
+    domainRankConverged(edges, iters, damping, mat, tol)._1
+
+  /** [[domainRank]] plus the number of iterations actually run — the
+    * convergence face. `tol > 0` adds a stopping rule: after each
+    * iteration one extra node-sized aggregate computes
+    * `max |Δrank_u|` (exact BIGINT units — the test is as
+    * deterministic as the ranks themselves), the driver reads ONE
+    * scalar, and the loop stops early when the change drops below
+    * `tol` (in rank units of 1.0-total-mass, i.e. `tol · RankUnits`
+    * integer units). `tol = 0` (default) keeps the fixed-iteration
+    * contract — the count stays data-independent and twin-able; a
+    * real domain graph passes e.g. `iters = 50, tol = 1e-9` and stops
+    * when the power iteration has converged. */
+  private[graft] def domainRankConverged(
+      edges: DataFrame,
+      iters: Int = 5,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      tol: Double = 0.0): (DataFrame, Int) = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
+    require(tol >= 0, s"tol=$tol must be >= 0")
+    val tolUnits = math.round(tol * RankUnits)
     val (e, nodes) = distinctGraph(edges, mat)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
@@ -510,7 +573,9 @@ object Crawl {
             .cast("long").as("rank_u")),
       mat)
     var prev = ranks
-    for (_ <- 1 to iters) {
+    var itersRun = 0
+    var converged = false
+    while (itersRun < iters && !converged) {
       val contribs = ranks
         .join(outdeg, ranks("node") === outdeg("src"))
         .select(col("src"),
@@ -535,13 +600,23 @@ object Crawl {
               0).cast("long").as("rank_u")),
         mat)
       next.limit(1).count() // force, so the superseded tier can release
+      itersRun += 1
+      if (tolUnits > 0 && itersRun < iters) {
+        // one node-sized join + aggregate; the driver reads one scalar
+        val delta = next.as("n")
+          .join(ranks.as("p"), col("n.node") === col("p.node"))
+          .agg(coalesce(max(abs(col("n.rank_u") - col("p.rank_u"))), lit(0L)))
+          .head().getLong(0)
+        converged = delta < tolUnits
+      }
       if (prev ne next) graft.core.Materialize.release(prev, mat)
       prev = next
       ranks = next
     }
     graft.core.Materialize.release(e, mat)
-    ranks.select(col("node"),
-      (col("rank_u").cast("double") / lit(RankUnits).cast("double")).as("rank"))
+    (ranks.select(col("node"),
+      (col("rank_u").cast("double") / lit(RankUnits).cast("double")).as("rank")),
+      itersRun)
   }
 
   /** HITS (Kleinberg '99) over an edge table — hub and authority
@@ -647,42 +722,60 @@ object Crawl {
       .drop("rank")
   }
 
-  /** The crawl frontier: extracted link targets NOT already in the
-    * corpus, aggregated to distinct URLs with reference counts, the
-    * domain-rank prior attached, and capped to the top `perHostCap`
-    * per host (the politeness budget) by `(n_refs desc, link_url)`.
+  /** Uncapped frontier candidates: extracted link targets NOT already
+    * in the corpus, aggregated to distinct URLs with reference counts
+    * — `(link_url, link_host, n_refs)`. The seen-set anti-join moves
+    * 16-byte md5 keys; the candidate aggregation shuffles the
+    * frontier URLs themselves (unavoidable — the frontier IS a URL
+    * list, and it is links-sized, not corpus-sized). */
+  private def frontierCandidates(pages: DataFrame, urlCol: String): DataFrame = {
+    val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
+    val seen = pages
+      .select(md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+      .where(col("url_key").isNotNull).distinct()
+    links
+      .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
+      .join(seen, Seq("url_key"), "left_anti")
+      .groupBy(col("link_url"), col("link_host"))
+      .agg(count(lit(1)).as("n_refs"))
+  }
+
+  /** Per-host top-`perHostCap` by `(n_refs desc, link_url asc)` via
+    * the bounded-heap aggregate [[graft.functions.TopKByScore]] —
+    * NEVER `row_number` over a host window: a window puts ALL of a
+    * host's candidate rows in one task and fully sorts them, and at
+    * crawl scale a mega-hub host (news aggregator, wiki) holds tens
+    * of millions of distinct outlink URLs — a skewed-key single-task
+    * sort. The heap participates in partial aggregation, so each map
+    * task forwards at most `perHostCap` rows per host into the
+    * shuffle and nothing is ever fully sorted. Emits `pos` (1-based
+    * rank within the host) exactly as the window formulation did. */
+  private def topPerHost(cands: DataFrame, perHostCap: Int): DataFrame =
+    cands
+      .groupBy(col("link_host"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("n_refs"), col("link_url"), perHostCap).as("_tk"))
+      .select(col("link_host"), posexplode(col("_tk")).as(Seq("_p", "_e")))
+      .select(col("_e.id").as("link_url"), col("link_host"),
+        col("_e.score").as("n_refs"), (col("_p") + 1).as("pos"))
+
+  /** The crawl frontier: unseen link targets, ref-counted, capped to
+    * the top `perHostCap` per host (the politeness budget) by
+    * `(n_refs desc, link_url)`, the domain-rank prior attached.
     * Output: `(link_url, link_host, n_refs, domain_rank, pos)`.
-    *
-    * Scale shape: the seen-set anti-join moves 16-byte md5 keys; the
-    * candidate aggregation shuffles the frontier URLs themselves
-    * (unavoidable — the frontier IS a URL list, and it is
-    * links-sized, not corpus-sized); the per-host window sorts each
-    * host's candidates once, bounded by that host's distinct-link
-    * count (the cap bounds the OUTPUT, and a host so popular its
-    * candidate list skews a partition is exactly the host a crawler
-    * caps hardest). `ranks` is [[domainRank]] output or any
-    * `(node, rank)` table; unranked hosts get prior 0.0. */
+    * `ranks` is [[domainRank]] output or any `(node, rank)` table;
+    * unranked hosts get prior 0.0. The per-host cap is a bounded
+    * heap, not a window — see [[topPerHost]]. */
   def crawlFrontier(
       pages: DataFrame,
       ranks: DataFrame,
       urlCol: String = "url",
       perHostCap: Int = 10): DataFrame = {
     require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
-    val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
-    val seen = pages
-      .select(md5(canonicalizeUrl(col(urlCol))).as("url_key"))
-      .where(col("url_key").isNotNull).distinct()
-    val cands = links
-      .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
-      .join(seen, Seq("url_key"), "left_anti")
-      .groupBy(col("link_url"), col("link_host"))
-      .agg(count(lit(1)).as("n_refs"))
-    rankPrior(cands, ranks, nodeCol = "link_host")
-      .withColumn("pos", row_number().over(
-        org.apache.spark.sql.expressions.Window
-          .partitionBy(col("link_host"))
-          .orderBy(col("n_refs").desc, col("link_url").asc)))
-      .where(col("pos") <= perHostCap)
+    rankPrior(topPerHost(frontierCandidates(pages, urlCol), perHostCap),
+      ranks, nodeCol = "link_host")
+      .select(col("link_url"), col("link_host"), col("n_refs"),
+        col("domain_rank"), col("pos"))
   }
 
   // ---- Sitemaps ----------------------------------------------------------
@@ -720,22 +813,42 @@ object Crawl {
   }
 
   /** The complete next-fetch list in ONE call — the crawl loop's
-    * output artifact: frontier candidates (unseen, ref-counted,
-    * rank-prior'd, host-capped) that robots ALLOW, each with its
-    * host's declared politeness budget attached (`crawl_delay` NULL =
-    * no declared delay; the scheduler's default applies). `rules` /
-    * `delays` are stored [[Robots.robotsRules]] /
-    * [[Robots.crawlDelays]] outputs — host-sized, broadcast. */
+    * output artifact: frontier candidates (unseen, ref-counted) that
+    * robots ALLOW, capped to the top `perHostCap` per host AFTER the
+    * robots filter (filter-then-cap: a host whose top-ranked
+    * candidates are disallowed still emits its full budget of allowed
+    * fetches — capping first would silently under-fill it), the
+    * domain-rank prior and the host's declared politeness budget
+    * attached, and a concrete fetch schedule:
+    * `fetch_offset = (pos − 1) · delay` seconds into the host's fetch
+    * wave, where `delay` is the host's `crawl_delay` or
+    * `defaultDelay` when none is declared (`crawl_delay` stays NULL
+    * in the output for undeclared hosts — the offset column is where
+    * the default applies). `rules` / `delays` are stored
+    * [[Robots.robotsRules]] / [[Robots.crawlDelays]] outputs —
+    * host-sized, broadcast; both key by CANONICAL host
+    * ([[Robots]]' contract), matching `link_host`. Output:
+    * `(link_url, link_host, n_refs, domain_rank, pos, crawl_delay,
+    * fetch_offset)`. */
   def politeFrontier(
       pages: DataFrame,
       ranks: DataFrame,
       rules: DataFrame,
       delays: DataFrame,
       urlCol: String = "url",
-      perHostCap: Int = 10): DataFrame =
-    Robots.allowedOnly(crawlFrontier(pages, ranks, urlCol, perHostCap), rules)
+      perHostCap: Int = 10,
+      defaultDelay: Double = 1.0): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
+    require(defaultDelay >= 0, s"defaultDelay=$defaultDelay must be >= 0")
+    val allowed = Robots.allowedOnly(frontierCandidates(pages, urlCol), rules)
+    rankPrior(topPerHost(allowed, perHostCap), ranks, nodeCol = "link_host")
       .join(broadcast(delays.select(col("host").as("link_host"), col("crawl_delay"))),
         Seq("link_host"), "left")
+      .select(col("link_url"), col("link_host"), col("n_refs"),
+        col("domain_rank"), col("pos"), col("crawl_delay"),
+        ((col("pos") - 1).cast("double") *
+          coalesce(col("crawl_delay"), lit(defaultDelay))).as("fetch_offset"))
+  }
 
   // ---- Corpus snapshot diff --------------------------------------------
 

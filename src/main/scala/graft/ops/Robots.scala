@@ -6,8 +6,28 @@ import org.apache.spark.sql.functions._
 /** Robots exclusion (RFC 9309) for the crawl frontier: parse each
   * host's `robots.txt` into the `User-agent: *` group's rules, then
   * decide every candidate URL by the standard's longest-match rule
-  * (longest matching prefix wins; an `Allow` beats a `Disallow` of
-  * equal length).
+  * (the most-specific — longest — matching rule wins; an `Allow`
+  * beats a `Disallow` of equal length, RFC 9309 §2.2.2).
+  *
+  * Wildcard rules are FULLY supported (RFC 9309 §2.2.3 REQUIRES
+  * them, and real robots.txt files use them pervasively — the
+  * `*.pdf$`-under-root and `*?sessionid=`-style rules): `*` matches any
+  * run of characters and a TRAILING `$` anchors the rule at the end
+  * of the path-and-query. Each rule value translates once (host-side,
+  * rule-table-sized) into an anchored regex in the Java ∩ RE2 subset
+  * ([[rulePattern]]); rule specificity is the rule value's length in
+  * octets, `*`/`$` included — the tie-break order of Google's
+  * published reference parser. A `$` anywhere but last is literal
+  * (documented approximation — non-trailing `$` has no defined
+  * meaning and effectively never occurs).
+  *
+  * Host identity: the rule and delay tables key by CANONICAL host —
+  * lowercased, trailing root-dot and `www.` stripped, the same
+  * normalization [[Crawl.urlParts]] applies to `link_host` — so a
+  * robots table scraped under `www.x.com` matches candidates
+  * canonicalized to `x.com`. (If both forms exist with different
+  * bodies their `*`-group rules union; the politest reading wins for
+  * delays.)
   *
   * Both faces are engine-idiomatic: the parse is a row-local
   * split/extract over the robots table (host-count rows — tiny), and
@@ -23,8 +43,8 @@ import org.apache.spark.sql.functions._
   *    group (splitting at each agent line), where the RFC attaches
   *    them to every agent of the group — `*` listed last is the
   *    overwhelmingly common form;
-  *  - `*`/`$` wildcard rules are SKIPPED (not mis-matched literally);
-  *  - `Crawl-delay`/`Sitemap` and non-`*` groups are out of scope.
+  *  - `Sitemap` and non-`*` groups are out of scope ([[crawlDelays]]
+  *    covers the `Crawl-delay` extension).
   */
 object Robots {
 
@@ -47,21 +67,61 @@ object Robots {
     * against (scheme://authority stripped). */
   val PathQueryPat = "^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*"
 
-  /** Parse a robots table `(hostCol, textCol)` into the `*` group's
-    * rules: `(host, rule ∈ allow|disallow, prefix)`, distinct. Empty
-    * values (the `Disallow:` = allow-everything idiom) and wildcard
-    * rules drop — the decision face's default-allow covers both. */
+  /** Regex-metacharacter escapes for the wildcard-rule translation —
+    * a FOLD SPEC shared with the DuckDB twin (each pair is one
+    * `replace` call, applied in order): backslash FIRST (so later
+    * escapes cannot double up), `*` → `.*` LAST (so the `.` it
+    * introduces is never re-escaped; `.` excludes newline in both
+    * Java and RE2, and a canonical URL cannot contain one). */
+  val PatternEscapes: Seq[(String, String)] = Seq(
+    "\\" -> "\\\\", "." -> "\\.", "+" -> "\\+", "?" -> "\\?",
+    "(" -> "\\(", ")" -> "\\)", "[" -> "\\[", "]" -> "\\]",
+    "{" -> "\\{", "}" -> "\\}", "|" -> "\\|", "^" -> "\\^", "$" -> "\\$",
+    "*" -> ".*")
+
+  /** Translate one rule value into its anchored match regex:
+    * `^` + escaped body (with `*` → `.*`) + (`$` if the rule ends in
+    * `$`). An unanchored rule matches any PREFIX of the path-query
+    * (the regex needs no trailing `.*` — `rlike` is a find, the `^`
+    * alone pins the start); a `$`-anchored rule must consume the
+    * whole path-query (which is why `Allow: /p/1$` does NOT allow
+    * `/p/1?x=1` — the query is part of the match text, RFC 9309
+    * §2.2.3). */
+  private[graft] def rulePattern(p: Column): Column = {
+    val anch = p.substr(length(p), lit(1)) === "$"
+    val body = when(anch, p.substr(lit(1), length(p) - lit(1))).otherwise(p)
+    val escaped = PatternEscapes.foldLeft(body) {
+      case (c, (from, to)) => replace(c, lit(from), lit(to))
+    }
+    concat(lit("^"), escaped, when(anch, lit("$")).otherwise(lit("")))
+  }
+
+  /** Canonical host key — [[Crawl.urlParts]]' host normalization
+    * (lowercase, trailing root-dot, `www.`) applied to the robots
+    * table's host column, so rule/delay tables join `link_host`
+    * directly. */
+  private def canonHost(h: Column): Column =
+    regexp_replace(
+      regexp_replace(lower(coalesce(h, lit(""))), Crawl.TrailingDotPat, ""),
+      Crawl.WwwPat, "")
+
   /** The `*` group's segments, one row per group: `(host, seg)` —
     * seg 0 is the pre-agent preamble (dropped); a group applies to
     * this op iff its agent token is `*`. */
   private def starSegments(
       robots: DataFrame, hostCol: String, textCol: String): DataFrame =
     graft.core.Parallelism.ensure(robots)
-      .select(col(hostCol).as("host"),
+      .select(canonHost(col(hostCol)).as("host"),
         posexplode(split(coalesce(col(textCol), lit("")), AgentSplitPat))
           .as(Seq("seg_idx", "seg")))
       .where(col("seg_idx") > 0 && col("seg").rlike("^\\*"))
 
+  /** Parse a robots table `(hostCol, textCol)` into the `*` group's
+    * rules: `(host, rule ∈ allow|disallow, prefix)`, distinct, with
+    * `host` canonicalized and `prefix` the rule value VERBATIM —
+    * wildcards included (the decision face translates them). Empty
+    * values (the `Disallow:` = allow-everything idiom) drop — the
+    * decision face's default-allow covers them. */
   def robotsRules(
       robots: DataFrame,
       hostCol: String = "host",
@@ -74,16 +134,16 @@ object Robots {
       .unionByName(rulesOf("allow", AllowPat))
       .select(col("host"), col("rule"),
         regexp_replace(col("raw"), RuleTrimPat, "").as("prefix"))
-      .where(col("prefix") =!= "" && !col("prefix").rlike("[*$]"))
+      .where(col("prefix") =!= "")
       .distinct()
   }
 
   /** Per-host politeness budget: the MINIMUM `Crawl-delay` of the `*`
     * group (politest wins when a file repeats the line) —
-    * `(host, crawl_delay)` seconds as double; hosts without the line
-    * are absent (the caller's default applies). Joins onto
-    * [[graft.ops.Crawl.crawlFrontier]] output the way
-    * [[graft.ops.Crawl.rankPrior]] does. */
+    * `(host, crawl_delay)` seconds as double, `host` canonicalized;
+    * hosts without the line are absent (the caller's default
+    * applies). Joins onto [[graft.ops.Crawl.politeFrontier]] output
+    * the way [[graft.ops.Crawl.rankPrior]] does. */
   def crawlDelays(
       robots: DataFrame,
       hostCol: String = "host",
@@ -99,10 +159,12 @@ object Robots {
     * the host's rules, TRUE when the host has no rules, no rule
     * matches, or the URL is NULL (nothing to fetch ⇒ nothing to
     * forbid). `rules` is [[robotsRules]] output (or any
-    * `(host, rule, prefix)` table). Rule tables are host-sized —
-    * broadcast by default; the longest-match fold runs inside each
-    * URL row over the host's rule array (order-independent: strictly
-    * better = longer prefix, or equal length upgrading to allow). */
+    * `(host, rule, prefix)` table keyed by canonical host). Rule
+    * tables are host-sized — broadcast by default; each rule value
+    * compiles ONCE ([[rulePattern]], rule-table-sized work) and the
+    * longest-match fold runs inside each URL row over the host's rule
+    * array (order-independent: strictly better = longer rule value in
+    * octets, or equal length upgrading to allow). */
   def robotsFilter(
       urls: DataFrame,
       rules: DataFrame,
@@ -111,11 +173,12 @@ object Robots {
       broadcastRules: Boolean = true): DataFrame = {
     val sets = rules
       .groupBy(col("host").as(hostCol))
-      .agg(collect_list(struct(col("rule"), col("prefix"))).as("_rs"))
+      .agg(collect_list(struct(col("rule"), col("prefix"),
+        rulePattern(col("prefix")).as("pat"))).as("_rs"))
     val rhs = if (broadcastRules) broadcast(sets) else sets
     val pathq = regexp_replace(col(urlCol), PathQueryPat, "")
     val matching = filter(col("_rs"),
-      r => startswith(pathq, r.getField("prefix")))
+      r => regexp_like(pathq, r.getField("pat")))
     val best = aggregate(matching,
       struct(lit(-1).as("l"), lit(true).as("a")),
       (acc, r) => {

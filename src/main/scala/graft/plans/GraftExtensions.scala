@@ -1562,26 +1562,32 @@ object GraftExtensions {
     })
 
   /** `SELECT * FROM graft_polite_frontier('pages', 'ranks', 'rules',
-    * 'delays'[, per_host_cap])` — the crawl loop's one-call output
-    * from stored rank/rules/delay artifacts. Fully lazy. */
+    * 'delays'[, per_host_cap[, default_delay]])` — the crawl loop's
+    * one-call output from stored rank/rules/delay artifacts;
+    * `default_delay` (seconds) schedules `fetch_offset` for hosts
+    * that declare no `Crawl-delay`. Fully lazy. */
   private val politeFrontierTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_polite_frontier"),
     new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_polite_frontier"),
     (children: Seq[Expression]) => {
-      require(children.size == 4 || children.size == 5,
-        "graft_polite_frontier(pages_table, ranks_table, rules_table, delays_table[, per_host_cap])")
+      require(children.size >= 4 && children.size <= 6,
+        "graft_polite_frontier(pages_table, ranks_table, rules_table, delays_table[, per_host_cap[, default_delay]])")
       val str = stringArg("graft_polite_frontier") _
       val cap =
-        if (children.size == 5) intArg("graft_polite_frontier")(children(4), "per_host_cap")
+        if (children.size >= 5) intArg("graft_polite_frontier")(children(4), "per_host_cap")
         else 10
+      val dflt =
+        if (children.size == 6) numArg("graft_polite_frontier")(children(5), "default_delay")
+        else 1.0
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
         graft.ops.Crawl.politeFrontier(
           SparkSession.active.table(str(children.head, "pages_table")),
           SparkSession.active.table(str(children(1), "ranks_table")),
           SparkSession.active.table(str(children(2), "rules_table")),
           SparkSession.active.table(str(children(3), "delays_table")),
-          perHostCap = cap))
+          perHostCap = cap,
+          defaultDelay = dflt))
     })
 
   private val crawlDelaysTableFunction

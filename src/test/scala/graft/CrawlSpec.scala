@@ -55,6 +55,27 @@ class CrawlSpec extends SparkSpec {
     assert(got(2L) === Some("https://example.com/p?keep=1"))
   }
 
+  test("urlCanon: bare ref is functional, not tracking (kept); ref_src still drops") {
+    val got = canonOf(1L -> "https://example.com/p?ref=main&ref_src=twsrc&utm_source=x")
+    assert(got(1L) === Some("https://example.com/p?ref=main"))
+  }
+
+  test("urlCanon percent normalization: unreserved decode, hex-case fold, reserved kept, stray % verbatim") {
+    val got = canonOf(
+      1L -> "https://example.com/%7Euser",       // %7E -> ~ (unreserved)
+      2L -> "https://example.com/~user",          // ... so 1 and 2 collapse
+      3L -> "https://example.com/a%2Fb?x=%3a",    // %2F reserved (stays), %3a case-folds
+      4L -> "https://example.com/100%valid",      // stray % passes through
+      5L -> "https://example.com/%2e%2D_%5f",     // more unreserved: . - _
+      6L -> "https://example.com/p%41%7a")        // alpha codes decode: A z
+    assert(got(1L) === Some("https://example.com/~user"))
+    assert(got(1L) === got(2L))
+    assert(got(3L) === Some("https://example.com/a%2Fb?x=%3A"))
+    assert(got(4L) === Some("https://example.com/100%valid"))
+    assert(got(5L) === Some("https://example.com/.-__"))
+    assert(got(6L) === Some("https://example.com/pAz"))
+  }
+
   test("urlCanon: registered domain uses the two-part-suffix list, else last two labels, else the host") {
     val got = Crawl.urlCanon(pages(
       1L -> "https://a.b.shop.CO.UK/x",
@@ -112,6 +133,17 @@ class CrawlSpec extends SparkSpec {
     assert(got(5)._2 === "/local/Page/")
     assert(got(5)._3 === Some("https://site.org/local/Page"))
     assert(got(5)._4 === Some("site.org"))
+  }
+
+  test("extractLinks: data-href is not an href (attribute boundary required)") {
+    val got = Crawl.extractLinks(Seq(
+      (1L, "https://s.org/p",
+        "<a data-href=\"https://bogus.org/no\" href=\"https://real.org/yes\">ok</a>" +
+          "<a data-href=\"https://only.org/no\">plain</a>"))
+      .toDF("doc_id", "url", "text"))
+      .select(col("link_url")).as[Option[String]].collect().toSeq
+    // first anchor yields its REAL href; the data-href-only anchor yields no row
+    assert(got === Seq(Some("https://real.org/yes")))
   }
 
   test("linkHostEdges: aggregates to (src, dst, n_links); self-edges drop by default") {
@@ -240,6 +272,36 @@ class CrawlSpec extends SparkSpec {
     assert(Crawl.urlDuplicates(p).select(col("keep")).as[Boolean].collect().forall(identity))
   }
 
+  test("urlDuplicatesWithRedirects: a source captured with TWO targets collapses to one row per page") {
+    val p = pages(1L -> "https://src.example.com/p", 2L -> "https://t.example.com/a",
+      3L -> "https://t.example.com/b")
+    val map = Seq(
+      ("https://src.example.com/p", "https://t.example.com/b"),
+      ("HTTPS://SRC.example.com/p#frag", "https://t.example.com/a")) // same canonical source
+      .toDF("url", "redirect_to")
+    val rows = Crawl.urlDuplicatesWithRedirects(p, map).collect()
+    // exactly one row per input page — no fan-out from the conflicting map
+    assert(rows.length === 3)
+    val got = Crawl.urlDuplicatesWithRedirects(p, map)
+      .select(col("doc_id"), col("keep")).as[(Long, Boolean)].collect().toMap
+    // the minimum target key wins deterministically; page 1 shares ITS
+    // key with exactly one of the two targets, and that group keeps 1
+    val losers = got.count(!_._2)
+    assert(got(1L) === true && losers === 1)
+  }
+
+  test("domainRank: tol stops a converged iteration early; result matches the fixed-count run") {
+    // symmetric 2-cycle: uniform from iteration 1 onward — delta is 0
+    // at the second iteration's check, so 50 requested iterations stop
+    // long before the ceiling
+    val edges = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")
+    val (df, ran) = Crawl.domainRankConverged(edges, iters = 50, tol = 1e-9)
+    assert(ran <= 3, s"expected early stop, ran $ran iterations")
+    assert(df.as[(String, Double)].collect().toMap === Map("A" -> 0.5, "B" -> 0.5))
+    // tol = 0 (default) keeps the fixed-count contract
+    assert(Crawl.domainRankConverged(edges, iters = 4)._2 === 4)
+  }
+
   test("urlSignals: shape features gated on canonical-ness; url_len always") {
     val got = Crawl.urlSignals(pages(
       1L -> "HTTPS://WWW.Example.COM:443/a/b/report.PDF?utm_source=s&x=1&y=2",
@@ -333,6 +395,75 @@ class CrawlSpec extends SparkSpec {
     assert(got === Set(
       ("https://t.org/ok", 0.8, Some(3.0)),
       ("https://u.net/z", 0.0, None)))
+  }
+
+  test("politeFrontier: filter THEN cap — a host fills its budget with allowed candidates; fetch_offset schedules the wave") {
+    // t.org has 3 candidates; the TOP-ranked one (2 refs) is
+    // disallowed. Cap 2 must still emit TWO allowed fetches — capping
+    // first would emit one.
+    val p = Seq(
+      (1L, "https://a.com/1",
+        "<a href=\"https://t.org/private/top\">x</a><a href=\"https://t.org/ok1\">y</a>" +
+          "<a href=\"https://t.org/ok2\">z</a>"),
+      (2L, "https://a.com/2", "<a href=\"https://t.org/private/top\">x</a>"))
+      .toDF("doc_id", "url", "text")
+    val ranks = Seq(("t.org", 0.8)).toDF("node", "rank")
+    val robots = Seq(
+      ("t.org", "User-agent: *\nDisallow: /private/\nCrawl-delay: 2.5\n"))
+      .toDF("host", "robots_txt")
+    val got = Crawl.politeFrontier(p, ranks,
+      graft.ops.Robots.robotsRules(robots), graft.ops.Robots.crawlDelays(robots),
+      perHostCap = 2)
+      .select(col("link_url"), col("pos"), col("crawl_delay"), col("fetch_offset"))
+      .as[(String, Int, Option[Double], Double)].collect().toSet
+    assert(got === Set(
+      ("https://t.org/ok1", 1, Some(2.5), 0.0),
+      ("https://t.org/ok2", 2, Some(2.5), 2.5)))
+    // undeclared host: fetch_offset steps by the defaultDelay knob
+    val noRobots = Crawl.politeFrontier(p, ranks,
+      graft.ops.Robots.robotsRules(Seq.empty[(String, String)].toDF("host", "robots_txt")),
+      graft.ops.Robots.crawlDelays(Seq.empty[(String, String)].toDF("host", "robots_txt")),
+      perHostCap = 3, defaultDelay = 10.0)
+      .select(col("link_url"), col("pos"), col("fetch_offset"))
+      .as[(String, Int, Double)].collect()
+      .map { case (u, p0, f) => u -> ((p0, f)) }.toMap
+    assert(noRobots("https://t.org/private/top") === ((1, 0.0)))
+    assert(noRobots.values.toSet === Set((1, 0.0), (2, 10.0), (3, 20.0)))
+  }
+
+  test("plan shape: crawlFrontier and politeFrontier rank per host with the bounded heap, NEVER a window sort") {
+    val d = (1L to 60L).map(i => (i,
+      s"https://src${i % 4}.example.org/d/$i",
+      // one mega-hub host owns most candidate links (the skew shape)
+      s"<a href=\"https://hub.example.org/p/${i % 40}\">h</a>" +
+        s"<a href=\"https://tail${i % 7}.example.org/q/$i\">t</a>"))
+      .toDF("doc_id", "url", "text")
+    val ranks = Seq(("hub.example.org", 0.9)).toDF("node", "rank")
+    def windows(df: org.apache.spark.sql.DataFrame): Int = {
+      df.collect()
+      df.queryExecution.executedPlan.collect {
+        case w: org.apache.spark.sql.execution.window.WindowExec => w
+      }.length
+    }
+    val fr = Crawl.crawlFrontier(d, ranks, perHostCap = 3)
+    assert(windows(fr) === 0,
+      s"crawlFrontier must not window-sort:\n${fr.queryExecution.executedPlan}")
+    val rules = graft.ops.Robots.robotsRules(
+      Seq(("hub.example.org", "User-agent: *\nDisallow: /p/0\n")).toDF("host", "robots_txt"))
+    val delays = graft.ops.Robots.crawlDelays(
+      Seq(("hub.example.org", "User-agent: *\nCrawl-delay: 1\n")).toDF("host", "robots_txt"))
+    val pf = Crawl.politeFrontier(d, ranks, rules, delays, perHostCap = 3)
+    assert(windows(pf) === 0,
+      s"politeFrontier must not window-sort:\n${pf.queryExecution.executedPlan}")
+    // and the heap's output is the window formulation's output exactly
+    val viaWindow = Crawl.crawlFrontier(d, ranks, perHostCap = 1000)
+      .withColumn("w", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("link_host"))
+          .orderBy(col("n_refs").desc, col("link_url").asc)))
+      .where(col("w") <= 3).drop("w")
+    assert(fr.collect().toSet ===
+      viaWindow.select(fr.columns.map(col).toSeq: _*).collect().toSet)
   }
 
   test("crawl TVF parity: graft_url_canon / graft_url_dedup / graft_link_edges / graft_rank_prior / graft_corpus_diff") {

@@ -15,22 +15,86 @@ class RobotsSpec extends SparkSpec {
       "Allow: /private/ok\n" +
       "Disallow: /tmp # trailing comment\n" +
       "Disallow:\n" +            // empty = allow-everything idiom -> dropped
-      "Disallow: /wild/*/x\n" +  // wildcard -> skipped
+      "Disallow: /wild/*/x\n" +  // wildcard -> kept VERBATIM (RFC 9309 §2.2.3)
       "allow: /CASE\n"           // field names case-insensitive
 
   private def rulesOf(rows: (String, String)*): DataFrame =
     Robots.robotsRules(rows.toDF("host", "robots_txt"))
 
-  test("robotsRules: * group only, trims, drops empties/wildcards, case-insensitive fields") {
+  test("robotsRules: * group only, trims, drops empties, keeps wildcards, case-insensitive fields") {
     val got = rulesOf("h.org" -> body)
       .as[(String, String, String)].collect().toSet
     assert(got === Set(
       ("h.org", "disallow", "/private/"),
       ("h.org", "allow", "/private/ok"),
       ("h.org", "disallow", "/tmp"),
+      ("h.org", "disallow", "/wild/*/x"),
       ("h.org", "allow", "/CASE")))
     // no * group / empty file -> no rules
     assert(rulesOf("a.org" -> "User-agent: bot\nDisallow: /\n", "b.org" -> "").count() === 0)
+  }
+
+  test("robotsRules/crawlDelays: host keys canonicalize (case, www., trailing root-dot)") {
+    val raw = Seq(("WWW.H.Example.ORG.", "User-agent: *\nDisallow: /x\nCrawl-delay: 7\n"))
+      .toDF("host", "robots_txt")
+    assert(Robots.robotsRules(raw).as[(String, String, String)].collect().toSet ===
+      Set(("h.example.org", "disallow", "/x")))
+    assert(Robots.crawlDelays(raw).as[(String, Double)].collect().toMap ===
+      Map("h.example.org" -> 7.0))
+  }
+
+  test("robotsFilter wildcards: Google's published * and $ examples decide correctly") {
+    // the reference examples from Google's robots.txt documentation:
+    // /fish* matches /fish.html and /fishheads/x; /*.php matches any
+    // path containing .php after any prefix; /*.php$ matches only
+    // paths ENDING in .php (the query string defeats it); /fish*.php
+    // needs .php after a fish prefix
+    val rules = rulesOf("g.org" ->
+      ("User-agent: *\nDisallow: /fish*\nDisallow: /*.php$\nDisallow: /a/*.gif\n" +
+        "Allow: /fish/ok*\n"))
+    val urls = Seq(
+      (1L, "https://g.org/fish.html", "g.org"),        // /fish* -> blocked
+      (2L, "https://g.org/fishheads/yes", "g.org"),    // /fish* -> blocked
+      (3L, "https://g.org/Fish.html", "g.org"),        // match is case-sensitive -> allowed
+      (4L, "https://g.org/filename.php", "g.org"),     // /*.php$ -> blocked
+      (5L, "https://g.org/filename.php?p=1", "g.org"), // $ defeated by query -> allowed
+      (6L, "https://g.org/a/pic.gif", "g.org"),        // /a/*.gif mid-path -> blocked
+      (7L, "https://g.org/a/deep/pic.gif?x=1", "g.org"), // * spans segments -> blocked
+      (8L, "https://g.org/fish/ok-anything", "g.org")) // longer allow (9) beats /fish* (6)
+      .toDF("id", "link_url", "link_host")
+    val got = Robots.robotsFilter(urls, rules)
+      .select(col("id"), col("robots_allowed")).as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> false, 3L -> true, 4L -> false,
+      5L -> true, 6L -> false, 7L -> false, 8L -> true))
+  }
+
+  test("robotsFilter wildcards: regex metacharacters in rule values match literally") {
+    val rules = rulesOf("m.org" ->
+      "User-agent: *\nDisallow: /a.b\nDisallow: /q?x=(1)\nDisallow: /br[ck]\n")
+    val urls = Seq(
+      (1L, "https://m.org/a.b/page", "m.org"),    // literal dot -> blocked
+      (2L, "https://m.org/aXb/page", "m.org"),    // dot must NOT be a regex any -> allowed
+      (3L, "https://m.org/q?x=(1)", "m.org"),     // ?() literal -> blocked
+      (4L, "https://m.org/br[ck]/z", "m.org"),    // brackets literal -> blocked
+      (5L, "https://m.org/brc/z", "m.org"))       // NOT a character class -> allowed
+      .toDF("id", "link_url", "link_host")
+    val got = Robots.robotsFilter(urls, rules)
+      .select(col("id"), col("robots_allowed")).as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> false, 2L -> true, 3L -> false, 4L -> false, 5L -> true))
+  }
+
+  test("robotsFilter wildcards: specificity is rule-value octets; equal-length allow still wins") {
+    // allow /p/ok (5 octets) beats disallow /p/* (4); disallow
+    // /p/any* (7) beats both the 4-octet tie (/p/* dis vs /p/a allow)
+    val rules = rulesOf("t.org" ->
+      "User-agent: *\nDisallow: /p/*\nAllow: /p/ok\nDisallow: /p/any*\nAllow: /p/a\n")
+    val got = Robots.robotsFilter(Seq(
+      (1L, "https://t.org/p/ok-page", "t.org"),
+      (2L, "https://t.org/p/anything", "t.org"),
+      (3L, "https://t.org/p/zzz", "t.org"))
+      .toDF("id", "link_url", "link_host"), rules)
+      .select(col("id"), col("robots_allowed")).as[(Long, Boolean)].collect().toMap
+    assert(got === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
   test("robotsFilter: longest match wins, allow beats disallow on ties, default allow") {
@@ -107,5 +171,12 @@ class RobotsSpec extends SparkSpec {
       .collect().toSet ===
       graft.ops.Crawl.politeFrontier(s.table("pf_pages"), s.table("pf_ranks"),
         s.table("pf_rules"), s.table("pf_delays"), perHostCap = 3).collect().toSet)
+    // the default-delay knob threads through the 6-arg form
+    assert(s.sql(
+      "SELECT * FROM graft_polite_frontier('pf_pages', 'pf_ranks', 'pf_rules', 'pf_delays', 3, 7.5)")
+      .collect().toSet ===
+      graft.ops.Crawl.politeFrontier(s.table("pf_pages"), s.table("pf_ranks"),
+        s.table("pf_rules"), s.table("pf_delays"), perHostCap = 3,
+        defaultDelay = 7.5).collect().toSet)
   }
 }

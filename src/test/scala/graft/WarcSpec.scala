@@ -153,6 +153,105 @@ class WarcSpec extends SparkSpec {
     assert(got("urn:uuid:r-2") === ((302, Some("https://example.com/rooted?a=1&b=2"))))
   }
 
+  test("trailing newlines: a body ending in a bare LF keeps it; only the CRLF-CRLF terminator strips") {
+    val dir = Files.createTempDirectory("graft-warct-")
+    dir.toFile.deleteOnExit()
+    val w = record(Seq(
+      "WARC-Type" -> "conversion",
+      "WARC-Record-ID" -> "<urn:uuid:t-1>",
+      "WARC-Target-URI" -> "https://ex.org/t"),
+      "prose ending in newline\n") +
+      record(Seq(
+        "WARC-Type" -> "conversion",
+        "WARC-Record-ID" -> "<urn:uuid:t-2>",
+        "WARC-Target-URI" -> "https://ex.org/u"),
+        "last record body")
+    Files.write(Paths.get(dir.toString, "t.warc"), w.getBytes("UTF-8"))
+    val got = Warc.readConversions(spark, dir.toString)
+      .select("doc_id", "text").as[(String, String)].collect().toMap
+    // interior record: the \n is BODY (the terminator went to the split)
+    assert(got("urn:uuid:t-1") === "prose ending in newline\n")
+    // final record: exactly its file-terminating \r\n\r\n strips, no more
+    assert(got("urn:uuid:t-2") === "last record body")
+  }
+
+  // ---- gzip (.warc.gz — member per record, the Common Crawl format) ----
+
+  private def gzMember(s: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val gz = new java.util.zip.GZIPOutputStream(bos)
+    gz.write(s); gz.close()
+    bos.toByteArray
+  }
+
+  test("readRecordsGz: member-per-record gz parses record-identically to the plain reader") {
+    val plainDir = writeWarc()
+    val gzDir = Files.createTempDirectory("graft-warcgz-")
+    gzDir.toFile.deleteOnExit()
+    // one gzip member per record — exactly how Common Crawl shards are laid out
+    val members = warcFile.split("(?=WARC/1\\.0)").filter(_.nonEmpty)
+    assert(members.length === 4)
+    val bos = new java.io.ByteArrayOutputStream()
+    members.foreach(m => bos.write(gzMember(m.getBytes("UTF-8"))))
+    Files.write(Paths.get(gzDir.toString, "shard-00000.warc.gz"), bos.toByteArray)
+    val plain = Warc.readRecords(spark, plainDir)
+      .drop("warc_file").collect().toSet
+    val gz = Warc.readRecordsGz(spark, gzDir.toString)
+      .drop("warc_file").collect().toSet
+    assert(gz === plain, "gz and plain readers must emit identical records")
+    // the typed faces ride the same parse
+    assert(Warc.readResponses(spark, gzDir.toString, gz = true)
+      .select("doc_id").as[String].collect().toSet ===
+      Set("urn:uuid:cccc-2222", "urn:uuid:dddd-3333"))
+  }
+
+  test("readRecordsGz: a corrupt member quarantines; its neighbors survive intact") {
+    val dir = Files.createTempDirectory("graft-warcgzx-")
+    dir.toFile.deleteOnExit()
+    val r1 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:g-1>",
+      "WARC-Target-URI" -> "https://ex.org/1"),
+      s"HTTP/1.1 200 OK$CRLF$CRLF" + "first body")
+    val r2 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:g-2>",
+      "WARC-Target-URI" -> "https://ex.org/2"),
+      s"HTTP/1.1 200 OK$CRLF$CRLF" + "second body")
+    val r3 = record(Seq(
+      "WARC-Type" -> "response",
+      "WARC-Record-ID" -> "<urn:uuid:g-3>",
+      "WARC-Target-URI" -> "https://ex.org/3"),
+      s"HTTP/1.1 200 OK$CRLF$CRLF" + "third body")
+    val good1 = gzMember(r1.getBytes("UTF-8"))
+    val bad = gzMember(r2.getBytes("UTF-8"))
+    // flip bytes INSIDE the deflate stream -> CRC/inflate failure
+    bad(bad.length / 2) = (bad(bad.length / 2) ^ 0x5a).toByte
+    bad(bad.length / 2 + 1) = (bad(bad.length / 2 + 1) ^ 0x33).toByte
+    val good2 = gzMember(r3.getBytes("UTF-8"))
+    val bos = new java.io.ByteArrayOutputStream()
+    bos.write(good1); bos.write(bad); bos.write(good2)
+    Files.write(Paths.get(dir.toString, "x.warc.gz"), bos.toByteArray)
+    val got = Warc.readResponses(spark, dir.toString, gz = true)
+      .select("doc_id", "text").as[(String, String)].collect().toMap
+    // the corrupt member is gone, the task did not fail, neighbors are byte-intact
+    assert(got.keySet === Set("urn:uuid:g-1", "urn:uuid:g-3"))
+    assert(got("urn:uuid:g-1") === "first body")
+    assert(got("urn:uuid:g-3") === "third body")
+  }
+
+  test("gunzipMembers: CRC-mismatch members commit NOTHING; truncated tails drop; empty input is empty") {
+    assert(Warc.gunzipMembers(Array.emptyByteArray) === "")
+    assert(Warc.gunzipMembers("not gzip at all".getBytes("UTF-8")) === "")
+    val ok = gzMember("hello ".getBytes("UTF-8"))
+    val truncated = gzMember("lost tail".getBytes("UTF-8")).dropRight(6)
+    val ok2 = gzMember("world".getBytes("UTF-8"))
+    assert(Warc.gunzipMembers(ok ++ ok2) === "hello world")
+    // a truncated member between two good ones loses only itself
+    // (its missing trailer eats the next magic scan start, not ok2's)
+    assert(Warc.gunzipMembers(ok ++ truncated ++ ok2) === "hello world")
+  }
+
   test("a marker collision inside a payload drops only the orphaned fragment") {
     val dir = Files.createTempDirectory("graft-warcx-")
     dir.toFile.deleteOnExit()
