@@ -295,6 +295,20 @@ object CorpusWatcher {
     * holds md5 keys only — never URLs — and shares the semi-join
     * compaction.
     *
+    * Streaming frontier (`frontierDir`, requires `urlHistoryDir`):
+    * the crawl loop's OUTPUT leg — each batch extracts its admitted
+    * pages' outlinks ([[graft.ops.Crawl.extractLinks]], row-local),
+    * drops targets the URL-key history already holds (every page ever
+    * admitted, this batch included) or an earlier frontier partition
+    * already queued, and appends the remainder as a `batch_id=N` work
+    * list `(url_key, link_url, link_host, n_refs)`. Where the batch
+    * face ([[graft.ops.Crawl.crawlFrontier]]) re-derives the seen set
+    * from ALL pages on every call, the stream pays one row-local
+    * extraction plus two 16-byte-key anti-joins per batch — flat as
+    * history grows. A fetch worker consumes a partition, feeds
+    * responses back into `watchDir`, and the fetched keys land in the
+    * history, closing the daily-crawl loop end to end.
+    *
     * Positional snapshots (`positional`): the maintained index is
     * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
     * positions, cnt)` instead of the flat counts, so
@@ -312,7 +326,9 @@ object CorpusWatcher {
     * [[graft.ops.Curation.funnel]] — each batch appends one row per
     * pipeline stage (`ingest, parsed, url_dedup, html_text, c4_lines,
     * quality_gate, classifier, decontaminated, dedup_history,
-    * dedup_within, mixture, indexed` — surviving doc counts) to
+    * dedup_within, mixture, indexed` — surviving doc counts — plus
+    * `frontier`, the batch's EMITTED frontier-URL count, 0 when the
+    * stage is off) to
     * `metricsDir/batch_id=N`, the observability a production feed
     * needs ("batch 412 dropped 80% at the gate" is an incident; a
     * silent filter is not). Disabled stages report their input count
@@ -367,10 +383,13 @@ object CorpusWatcher {
       unicodeTokens: Boolean = false,
       htmlExtract: Boolean = false,
       c4Rules: Boolean = false,
-      urlHistoryDir: Option[String] = None): StreamingQuery = {
+      urlHistoryDir: Option[String] = None,
+      frontierDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
+    require(frontierDir.isEmpty || urlHistoryDir.isDefined,
+      "frontierDir needs urlHistoryDir: the URL-key history IS the frontier's seen set")
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
     // switches every CONTENT-KEYED stage — band signatures (history +
@@ -442,13 +461,16 @@ object CorpusWatcher {
         // field at all — the column parses NULL) always pass. Within
         // the batch the minimum doc_id (string order — ids are opaque
         // here) wins its canonical-URL group, deterministically.
-        val parsed = urlHistoryDir match {
+        val parsed1 = urlHistoryDir match {
           case None => parsed0.drop("url")
           case Some(ud) =>
-            val keyed = staged(parsed0
-              .withColumn("url_key",
+            // `url` survives the gate when the frontier stage (below)
+            // still needs it as the link-resolution origin
+            val keyed = staged {
+              val k = parsed0.withColumn("url_key",
                 md5(graft.ops.Crawl.canonicalizeUrl(col("url"))))
-              .drop("url"))
+              if (frontierDir.isDefined) k else k.drop("url")
+            }
             val freshVsHist =
               accumulatedPartitions(session, ud, excludeBatchId = batchId) match {
                 case Some(h) =>
@@ -466,6 +488,48 @@ object CorpusWatcher {
             kept.where(col("url_key").isNotNull).select("url_key").distinct()
               .write.mode("overwrite").parquet(s"$ud/batch_id=$batchId")
             kept.drop("url_key")
+        }
+        // Streaming frontier (`frontierDir`): the daily-crawl loop's
+        // OUTPUT leg — each batch's outlink targets that are neither
+        // in the URL-key history (every page ever admitted, THIS
+        // batch's partition included — it was appended just above)
+        // nor already queued by an earlier frontier partition,
+        // accumulate append-only as `batch_id=N` work lists of
+        // `(url_key, link_url, link_host, n_refs)`. Per-batch cost is
+        // one row-local link extraction over the batch plus two
+        // anti-joins on 16-byte keys — FLAT as history grows (the
+        // batch frontier re-derives the seen set from ALL pages every
+        // call; here the stream already maintains it). Replay excludes
+        // the batch's own first-attempt partition and overwrites it.
+        // Consumers fetch a partition, feed the responses back into
+        // `watchDir`, and the fetched URLs' keys land in the history —
+        // a stale queued row then costs its anti-join key and nothing
+        // more (re-check against the history at fetch time for
+        // exactly-once fetching). Compaction folds frontier partitions
+        // like every other history.
+        var frontierF: Option[DataFrame] = None
+        val parsed = frontierDir match {
+          case None => parsed1
+          case Some(fd) =>
+            val links = graft.ops.Crawl.extractLinks(parsed1)
+            val cands = links.where(col("link_url").isNotNull)
+              .select(md5(col("link_url")).as("url_key"),
+                col("link_url"), col("link_host"))
+            val unseen = accumulatedPartitions(
+              session, urlHistoryDir.get, excludeBatchId = Long.MinValue) match {
+              case Some(h) => cands.join(h.select("url_key"), Seq("url_key"), "left_anti")
+              case None => cands
+            }
+            val fresh = accumulatedPartitions(session, fd, excludeBatchId = batchId) match {
+              case Some(q) => unseen.join(q.select("url_key"), Seq("url_key"), "left_anti")
+              case None => unseen
+            }
+            val out = staged(fresh
+              .groupBy(col("url_key"), col("link_url"), col("link_host"))
+              .agg(count(lit(1)).as("n_refs")))
+            out.write.mode("overwrite").parquet(s"$fd/batch_id=$batchId")
+            frontierF = Some(out)
+            parsed1.drop("url")
         }
         // crawl-front stages, BEFORE every content gate: a raw-markup
         // feed first extracts prose (row-local), then applies C4's
@@ -731,6 +795,10 @@ object CorpusWatcher {
           val nMix =
             if (mixtureGate.isDefined || adaptiveMixtureGate.isDefined) admitted.count()
             else nKept
+          // the frontier row counts EMITTED frontier URLs, not
+          // surviving docs (the stage queues work, it never drops a
+          // row); 0 when the stage is off — schema stays stable
+          val nFrontier = frontierF.map(_.count()).getOrElse(0L)
           import session.implicits._
           Seq(
             (1, "ingest", nIngest), (2, "parsed", nParsed),
@@ -739,7 +807,7 @@ object CorpusWatcher {
             (6, "quality_gate", nGated), (7, "classifier", nClf),
             (8, "decontaminated", nDecon), (9, "dedup_history", nHist),
             (10, "dedup_within", nWithin), (11, "mixture", nMix),
-            (12, "indexed", nMix))
+            (12, "indexed", nMix), (13, "frontier", nFrontier))
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }
@@ -757,7 +825,7 @@ object CorpusWatcher {
         compactEvery.foreach { n =>
           if (batchId % n == (n - 1).toLong) {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++
-              sentenceSpanHistoryDir ++ urlHistoryDir)
+              sentenceSpanHistoryDir ++ urlHistoryDir ++ frontierDir)
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }

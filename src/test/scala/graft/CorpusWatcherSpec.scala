@@ -254,7 +254,7 @@ class CorpusWatcherSpec extends SparkSpec {
       "html_text" -> 4L, "c4_lines" -> 4L,
       "quality_gate" -> 3L, "classifier" -> 3L, "decontaminated" -> 3L,
       "dedup_history" -> 3L, "dedup_within" -> 2L,
-      "mixture" -> 2L, "indexed" -> 2L))
+      "mixture" -> 2L, "indexed" -> 2L, "frontier" -> 0L))
     // batch 1: a near-dup of a batch-0 survivor dies at the history stage
     Files.write(Paths.get(watch, "feed-1.json"),
       s"""{"doc_id": 30, "text": "$dupText"}""".getBytes("UTF-8"))
@@ -264,7 +264,7 @@ class CorpusWatcherSpec extends SparkSpec {
       "html_text" -> 1L, "c4_lines" -> 1L,
       "quality_gate" -> 1L, "classifier" -> 1L, "decontaminated" -> 1L,
       "dedup_history" -> 0L, "dedup_within" -> 0L,
-      "mixture" -> 0L, "indexed" -> 0L))
+      "mixture" -> 0L, "indexed" -> 0L, "frontier" -> 0L))
     assert(indexEntries(index).map(_._2) === Set("20", "21"))
     // Drain the cache entries THIS test added (diff vs the baseline):
     // the survivors persist is released async (blocking=false), and the
@@ -624,7 +624,7 @@ class CorpusWatcherSpec extends SparkSpec {
       "quality_gate" -> 3L,
       "classifier" -> 2L, "decontaminated" -> 1L,
       "dedup_history" -> 1L, "dedup_within" -> 1L,
-      "mixture" -> 1L, "indexed" -> 1L))
+      "mixture" -> 1L, "indexed" -> 1L, "frontier" -> 0L))
     // replay batch 1 (fresh checkpoint, same files): deterministic
     // scoring + shingling drop the same docs; upsert keeps the index
     // identical — no doc resurrected, none double-counted
@@ -799,6 +799,53 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(!e1.exists(e => e._2 == "70"), "a re-crawled URL must drop at the gate")
     assert(e1.exists(e => e._1 == "freshurlbody" && e._2 == "71"))
     assert(spark.read.parquet(hist).select("url_key").distinct().count() === 2)
+  }
+
+  test("frontierDir queues unseen outlinks append-only; seen and already-queued targets never re-queue; replay-idempotent") {
+    val (watch, index, quar) = (tmp("watchfr"), tmp("indexfr"), tmp("quarfr") + "/bad")
+    val hist = tmp("histfr") + "/urls"
+    val fdir = tmp("frontfr") + "/frontier"
+    val metrics = tmp("metfr") + "/m"
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      urlHistoryDir = Some(hist), frontierDir = Some(fdir),
+      metricsDir = Some(metrics)).awaitTermination()
+    // batch 0: both pages link the same unseen target (ref-counted);
+    // a link to an ADMITTED page of this very batch is seen (the gate
+    // appended its key before the frontier ran); mailto never queues
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 80, "text": "<a href=\"https://t.example.org/next\">n</a><a href=\"https://a.example.org/self\">s</a> body", "url": "https://a.example.org/self"}""" + "\n" +
+        """{"doc_id": 81, "text": "<a href=\"https://t.example.org/next\">n</a><a href=\"mailto:x@y.z\">m</a> body", "url": "https://a.example.org/other"}""" + "\n")
+        .getBytes("UTF-8"))
+    val ckpt = tmp("ckptfr")
+    run(ckpt)
+    val f0 = spark.read.parquet(fdir).filter(col("batch_id") === 0)
+      .select("link_url", "link_host", "n_refs")
+      .as[(String, String, Long)].collect().toSet
+    assert(f0 === Set(("https://t.example.org/next", "t.example.org", 2L)))
+    val m0 = spark.read.parquet(metrics).filter(col("batch_id") === 0)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(m0("frontier") === 1L && m0("indexed") === 2L)
+    // replay batch 0 (fresh checkpoint): the queued-set read excludes
+    // the batch's own first-attempt partition, so nothing self-cancels
+    // and the overwritten partition is identical
+    run(tmp("ckptfr2"))
+    assert(spark.read.parquet(fdir).filter(col("batch_id") === 0).count() === 1)
+    // batch 1: the queued target has been fetched and fed back — its
+    // own outlinks queue only what is neither seen (a/self, t/next)
+    // nor already queued
+    Files.write(Paths.get(watch, "feed-1.json"),
+      ("""{"doc_id": 82, "text": "<a href=\"https://t.example.org/next\">l</a><a href=\"https://u.example.org/new\">u</a><a href=\"https://a.example.org/self\">b</a> body", "url": "https://t.example.org/next"}""" + "\n")
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val f1 = spark.read.parquet(fdir).filter(col("batch_id") === 1)
+      .select("link_url").as[String].collect().toSet
+    assert(f1 === Set("https://u.example.org/new"),
+      "seen and already-queued targets must not re-queue")
+    // the accumulated frontier is two distinct work items, keys only once
+    assert(spark.read.parquet(fdir).select("url_key").distinct().count() === 2)
+    val m1 = spark.read.parquet(metrics).filter(col("batch_id") === 1)
+      .select("stage", "n_docs").as[(String, Long)].collect().toMap
+    assert(m1("frontier") === 1L)
   }
 
   test("paraHistoryDir strips already-seen paragraphs from later batches; replay-idempotent") {
