@@ -893,6 +893,85 @@ object ProbeScale {
           docs, docs.filter(col("doc_id") % 7 =!= 3)).count())
       }
     }
+    if (section == "r14") {
+      // frontier at 10x under MEGA-HUB skew: one host owns ~50% of all
+      // candidate links (each doc contributes one distinct hub URL and
+      // one tail-host URL). The old window formulation landed the hub's
+      // whole candidate list in ONE task and sorted it; the bounded
+      // heap forwards <= cap rows per host per map task, so cost must
+      // track total link count with no skew cliff. PROBE_WINDOW=1 adds
+      // the window formulation for the before/after comparison.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def pages(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://src"), col("doc_id") % 5000,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        concat(
+          lit("<a href=\"https://hub.example.org/p/"), col("doc_id"), lit("\">h</a>"),
+          lit("<a href=\"https://tail"), col("doc_id") % 5000,
+          lit(".example.org/q/"), col("doc_id"), lit("\">t</a>")).as("text"))
+      val ranks = spark.createDataFrame(Seq(("hub.example.org", 0.9)))
+        .toDF("node", "rank")
+      val robots = spark.createDataFrame(Seq(
+        ("hub.example.org", "User-agent: *\nDisallow: /p/*0\nCrawl-delay: 1\n")))
+        .toDF("host", "robots_txt")
+      val rules = graft.ops.Robots.robotsRules(robots)
+      val delays = graft.ops.Robots.crawlDelays(robots)
+      for (rep <- 1 to 2) {
+        time(s"frontier_skew_sf01_$rep")(
+          graft.ops.Crawl.crawlFrontier(pages(docs01), ranks, perHostCap = 10).count())
+        time(s"frontier_skew_sf1_$rep")(
+          graft.ops.Crawl.crawlFrontier(pages(docs), ranks, perHostCap = 10).count())
+        time(s"polite_skew_sf1_$rep")(
+          graft.ops.Crawl.politeFrontier(pages(docs), ranks, rules, delays,
+            perHostCap = 10).count())
+        if (sys.env.contains("PROBE_WINDOW")) {
+          // the r13 formulation, reconstructed: candidates then a
+          // per-host row_number window (single-task sort on the hub)
+          def windowFrontier(p: org.apache.spark.sql.DataFrame) = {
+            val links = graft.ops.Crawl.extractLinks(p).where(col("link_url").isNotNull)
+            val seen = p.select(md5(graft.ops.Crawl.canonicalizeUrl(col("url"))).as("url_key"))
+              .where(col("url_key").isNotNull).distinct()
+            links.select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
+              .join(seen, Seq("url_key"), "left_anti")
+              .groupBy(col("link_url"), col("link_host")).agg(count(lit(1)).as("n_refs"))
+              .withColumn("pos", row_number().over(
+                org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("link_host"))
+                  .orderBy(col("n_refs").desc, col("link_url").asc)))
+              .where(col("pos") <= 10)
+          }
+          time(s"frontier_WINDOW_sf1_$rep")(windowFrontier(pages(docs)).count())
+        }
+      }
+      // member-per-record .warc.gz ingest at probe scale: 8 shards of
+      // gzip members built once from sf0.1 text, read via the exact
+      // member walk + CRC verify + shared record parse
+      val gzDir = "/tmp/warc_gz_probe"
+      if (!new java.io.File(s"$gzDir/ok").exists()) {
+        new java.io.File(gzDir).mkdirs()
+        val rows = docs01.select(col("doc_id"), col("text")).collect()
+        val shards = rows.grouped(math.max(1, rows.length / 8 + 1)).zipWithIndex
+        shards.foreach { case (chunk, i) =>
+          val bos = new java.io.ByteArrayOutputStream(1 << 24)
+          chunk.foreach { r =>
+            val body = Option(r.getString(1)).getOrElse("")
+            val rec = s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Record-ID: <urn:probe:${r.getLong(0)}>\r\n" +
+              s"WARC-Target-URI: https://probe.example.org/d/${r.getLong(0)}\r\n\r\n" +
+              s"HTTP/1.1 200 OK\r\n\r\n$body\r\n\r\n"
+            val gz = new java.util.zip.GZIPOutputStream(bos)
+            gz.write(rec.getBytes("UTF-8")); gz.finish()
+          }
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(gzDir, f"shard-$i%02d.warc.gz"), bos.toByteArray)
+        }
+        java.nio.file.Files.write(java.nio.file.Paths.get(gzDir, "ok"), Array[Byte]())
+      }
+      for (rep <- 1 to 2)
+        time(s"warc_gz_read_$rep")(
+          graft.sources.Warc.readResponses(spark, s"$gzDir/*.warc.gz", gz = true)
+            .agg(sum(length(col("text")))).collect().length.toLong)
+    }
     spark.stop()
   }
 }

@@ -828,7 +828,14 @@ object Dedup {
   def paragraphDedup(docs: DataFrame, boundary: String = "\\n[ \\t]*\\n",
       unicode: Boolean = false,
       mat: graft.core.Materialize.Strategy =
-        graft.core.Materialize.LocalCheckpoint): DataFrame = {
+        graft.core.Materialize.Persist): DataFrame = {
+    // mat default is Persist, not the repo-wide LocalCheckpoint: the
+    // occ table here is a mid-plan signature scan consumed twice in
+    // the SAME action, where the lazy cache wins measurably
+    // (ProbePara, sf0.1: 0.29 s warm / 0.58 s cold vs 0.36 / 2.2 for
+    // localCheckpoint — the eager block write is pure overhead when
+    // no later action reuses the table). This was the r13 bench
+    // regression on q_para_dedup (0.22 → 0.52 s).
     // boundary is a Java-regex split pattern; the default is the
     // blank-line paragraph convention. Corpora without blank-line
     // structure (single-newline-delimited pages, like this test
@@ -998,11 +1005,12 @@ object Dedup {
   def sentenceSpanDedup(docs: DataFrame, span: Int = 3,
       boundary: String = "[.!?]+", unicode: Boolean = false,
       mat: graft.core.Materialize.Strategy =
-        graft.core.Materialize.LocalCheckpoint): DataFrame = {
+        graft.core.Materialize.Persist): DataFrame = {
     require(span >= 1, s"span=$span must be >= 1")
     // occ feeds BOTH the winners aggregate and the dropped join — an
     // un-materialized subtree would run the corpus ParaHashes scan
-    // once per reference (TVF callers pass Persist to stay lazy)
+    // once per reference. Persist default (not LocalCheckpoint) for
+    // the same single-action-reuse reason as [[paragraphDedup]].
     val occ = graft.core.Materialize(
       sentenceSpanOcc(docs, span, boundary, unicode), mat)
     val winners = occ.groupBy("h")
