@@ -359,6 +359,51 @@ object SparkEntry {
       "CASE WHEN doc_id % 12 = 0 THEN '<a href=\"https://sink.example.org/end\">sink</a>' ELSE '' END || " +
       "'<a href=\"/self/' || CAST(doc_id AS STRING) || '\">me</a><a href=\"mailto:a@b.c\">mail</a></p>'"
 
+  /** Crawl-depth seeds: a ring host (reaches the whole h* graph in
+    * hops), an island host (its component only), and a host the graph
+    * has never seen (stays at depth 0 with no expansion). */
+  private val DepthSeeds: Seq[String] =
+    Seq("h0.example.org", "island-a.example.org", "nowhere.example.org")
+
+  /** Warm-start prior for q_rank_refresh: two graph hosts with
+    * non-uniform mass and one off-graph host (dropped — the init is
+    * defined on today's node set). */
+  private val RankPriorRows: Seq[(String, Double)] =
+    Seq(("h3.example.org", 0.2), ("sink.example.org", 0.04),
+      ("offgraph.example.org", 0.5))
+
+  /** Synthetic fetch log for the recrawl family — the shared-SQL
+    * fixture discipline: ~2000 URLs, each fetched once per 2000-doc
+    * stripe, content re-hashed every `1 + (url % 4)` fetches so the
+    * per-URL change rate varies 1x-4x. */
+  private val RecrawlUrlSql: String =
+    "'https://r' || CAST(doc_id % 2000 AS STRING) || '.example.org/p'"
+  private val RecrawlTsSql: String =
+    "CAST(1000000 + doc_id AS BIGINT)"
+  private val RecrawlHashSql: String =
+    "md5('r' || CAST(doc_id % 2000 AS STRING) || '#' || " +
+      "CAST(CAST(floor(floor(CAST(doc_id AS DOUBLE) / 2000.0) / " +
+      "CAST(1 + ((doc_id % 2000) % 4) AS DOUBLE)) AS BIGINT) AS STRING))"
+
+  /** Recrawl probe rows: a single-fetch URL (streak 0, base
+    * interval), a stale URL whose 8 identical fetches pin the
+    * `maxInterval` clamp, and a NULL-hash URL (the coalesce-to-''
+    * path: NULL,NULL,'x' = changed, unchanged, changed). */
+  private val FetchRows: Seq[(String, Long, String)] =
+    Seq(("https://one.example.org/p", 1000L, "h1")) ++
+      (0 until 8).map(i => ("https://stale.example.org/p", 2000L + i, "same")) ++
+      Seq(("https://nullh.example.org/p", 3000L, null),
+        ("https://nullh.example.org/p", 3001L, null),
+        ("https://nullh.example.org/p", 3002L, "x"))
+
+  private def fetchLog(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(expr(RecrawlUrlSql).as("url"), expr(RecrawlTsSql).as("fetch_ts"),
+        expr(RecrawlHashSql).as("content_hash"))
+      .unionByName(FetchRows.toDF("url", "fetch_ts", "content_hash"))
+  }
+
   /** Probe pages for the link family: a single-quoted href (the
     * second extraction pattern), an unresolvable relative path, a
     * linkless page on an out-of-graph host (rank-prior 0.0 path),
@@ -1797,6 +1842,30 @@ object SparkEntry {
         graft.ops.Robots.crawlDelays(robotsDf(s)),
         perHostCap = 5)
     }),
+    // BFS hop distance from the seed set (pure-integer iterative op)
+    "q_crawl_depth" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Crawl.crawlDepth(
+        graft.ops.Crawl.linkHostEdges(linkPages(s, dir)),
+        DepthSeeds.toDF("node"), maxDepth = 4)
+    }),
+    // warm-start PageRank: 2 iterations from a stored prior, not uniform
+    "q_rank_refresh" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Crawl.domainRankFrom(
+        graft.ops.Crawl.linkHostEdges(linkPages(s, dir)),
+        RankPriorRows.toDF("node", "rank"), iters = 2)
+    }),
+    // adaptive revisit scheduling: binary backoff on unchanged fetches
+    "q_recrawl" -> ((s, dir) => graft.ops.Crawl.recrawlPolicy(fetchLog(s, dir))),
+    // the frontier under the broadcast Bloom seen-set prefilter —
+    // byte-identical to q_frontier by the no-false-negative contract
+    "q_frontier_bloom" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      graft.ops.Crawl.crawlFrontierBloom(pages,
+        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+        perHostCap = 5)
+    }),
     // the polite frontier: longest-match robots decision on every candidate
     "q_robots" -> ((s, dir) => {
       val pages = linkPages(s, dir)
@@ -3217,6 +3286,61 @@ object SparkEntry {
       s"""WITH $RANK_CTES,
          |$FRONTIER_CTES
          |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_frontier_bloom" ->
+      // same twin as q_frontier VERBATIM: the Bloom prefilter is a
+      // no-false-negative pre-split whose survivors re-confirm
+      // against the exact seen set, so the operator's contract is
+      // byte-identical output — the oracle pins exactly that
+      s"""WITH $RANK_CTES,
+         |$FRONTIER_CTES
+         |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_crawl_depth" ->
+      // twin of Crawl.crawlDepth(maxDepth = 4): bounded recursive
+      // reach with min-hop aggregation — pure integers, so the twin
+      // needs no unit construction at all; UNION (not ALL) bounds the
+      // recursion at |nodes| x (maxDepth+1) pairs
+      s"""WITH RECURSIVE $GRAPH_CTES,
+         |sd AS (SELECT * FROM (VALUES ${DepthSeeds.map(s => s"(${sqlStr(s)})").mkString(", ")}) AS v(node)),
+         |reach(node, d) AS (
+         |  SELECT node, CAST(0 AS BIGINT) AS d FROM sd
+         |  UNION
+         |  SELECT e.dst, r.d + 1 FROM reach r JOIN eg e ON e.src = r.node WHERE r.d < 4)
+         |SELECT node, min(d) AS depth FROM reach GROUP BY node""".stripMargin,
+    "q_rank_refresh" ->
+      // twin of Crawl.domainRankFrom(iters = 2): the warm init is the
+      // one fixed-shape FP expression round(coalesce(rank*U, U/N), 0)
+      // over nodes LEFT JOIN the prior VALUES (off-graph prior rows
+      // drop), then the standard unrolled iterations
+      s"""WITH $GRAPH_CTES,
+         |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM eg GROUP BY src),
+         |pri AS (SELECT * FROM (VALUES ${RankPriorRows.map { case (n, r) => s"(${sqlStr(n)}, CAST($r AS DOUBLE))" }.mkString(", ")}) AS v(node, rank)),
+         |r0 AS MATERIALIZED (SELECT n.node,
+         |    CAST(round(coalesce(p.rank * CAST(1000000000000 AS DOUBLE), CAST(1000000000000 AS DOUBLE) / nn.n_nodes), 0) AS BIGINT) AS rank_u
+         |    FROM nd n LEFT JOIN pri p ON p.node = n.node CROSS JOIN nn),
+         |${rankIterCte(1, "r0")},
+         |${rankIterCte(2, "r1")}
+         |SELECT node, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank FROM r2""".stripMargin,
+    "q_recrawl" ->
+      // twin of Crawl.recrawlPolicy(defaults): lag-based change flag
+      // over the per-URL fetch order (ts unique per URL by fixture
+      // contract), streak = fetches since the last change, interval =
+      // min(maxI, base << min(streak, 30)) — all integer arithmetic
+      s"""WITH fl AS MATERIALIZED (
+         |    SELECT $RecrawlUrlSql AS url, $RecrawlTsSql AS fetch_ts, $RecrawlHashSql AS content_hash FROM documents
+         |    UNION ALL SELECT * FROM (VALUES ${FetchRows.map { case (u, t, h) => s"(${sqlStr(u)}, CAST($t AS BIGINT), ${if (h == null) "CAST(NULL AS STRING)" else sqlStr(h)})" }.mkString(", ")}) AS v(url, fetch_ts, content_hash)),
+         |ff AS (SELECT url, fetch_ts, coalesce(content_hash, '') AS h FROM fl),
+         |fg AS MATERIALIZED (SELECT url, fetch_ts, h,
+         |    CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY fetch_ts) IS NULL
+         |         OR lag(h) OVER (PARTITION BY url ORDER BY fetch_ts) <> h THEN 1 ELSE 0 END AS changed,
+         |    row_number() OVER (PARTITION BY url ORDER BY fetch_ts) AS rn FROM ff),
+         |ag AS MATERIALIZED (SELECT url, count(*) AS n_fetches, CAST(sum(changed) AS BIGINT) AS n_changes,
+         |    max(fetch_ts) AS last_fetch,
+         |    count(*) - max(CASE WHEN changed = 1 THEN rn END) AS unchanged_streak
+         |    FROM fg GROUP BY url)
+         |SELECT url, n_fetches, n_changes, last_fetch, unchanged_streak,
+         |  least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS interval_sec,
+         |  last_fetch + least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS next_fetch_at
+         |FROM ag""".stripMargin,
     "q_sitemap_urls" ->
       // twin of Crawl.sitemapUrls: loc extraction, entity decode, the
       // canonicalization chain; is_index from the sitemapindex root

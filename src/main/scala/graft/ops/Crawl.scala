@@ -558,7 +558,44 @@ object Crawl {
       iters: Int = 5,
       damping: Double = 0.85,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
-      tol: Double = 0.0): (DataFrame, Int) = {
+      tol: Double = 0.0): (DataFrame, Int) =
+    domainRankIterate(edges, iters, damping, mat, tol, prior = None)
+
+  /** Warm-start PageRank — the DELTA-REFRESH face: yesterday's stored
+    * [[domainRank]] table seeds today's iteration over the grown edge
+    * set, so a daily graph update runs 1-2 iterations from the old
+    * fixed point instead of `O(log(1/tol))` from uniform. `prior` is
+    * any `(node, rank)` table (rank in 1.0-total-mass units — the
+    * stored output shape); nodes ABSENT from the prior (the day's new
+    * domains) start at the uniform `1/N`, nodes present only in the
+    * prior (dropped from the graph) are ignored — the init is defined
+    * on TODAY'S node set. No renormalization: the PageRank step's
+    * `(1−d)·U/N` term pulls total mass back to U geometrically, so a
+    * slightly-off prior total self-corrects (and an exact prior stays
+    * exact).
+    *
+    * Determinism: init ranks quantize by the fixed-shape expression
+    * `round(coalesce(rank · U, U/N), 0)` — one double multiply per
+    * node, both engines IEEE-identical — then the integer-unit
+    * iteration discipline of [[domainRank]] applies unchanged. */
+  def domainRankFrom(
+      edges: DataFrame,
+      prior: DataFrame,
+      iters: Int = 1,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint,
+      tol: Double = 0.0): DataFrame =
+    domainRankIterate(edges, iters, damping, mat, tol, prior = Some(prior))._1
+
+  /** The shared power-iteration loop behind [[domainRank]] (uniform
+    * init) and [[domainRankFrom]] (warm-start init). */
+  private def domainRankIterate(
+      edges: DataFrame,
+      iters: Int,
+      damping: Double,
+      mat: graft.core.Materialize.Strategy,
+      tol: Double,
+      prior: Option[DataFrame]): (DataFrame, Int) = {
     require(iters >= 1, s"iters=$iters must be >= 1")
     require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
     require(tol >= 0, s"tol=$tol must be >= 0")
@@ -566,12 +603,25 @@ object Crawl {
     val (e, nodes) = distinctGraph(edges, mat)
     val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
-    var ranks = graft.core.Materialize(
-      nodes.crossJoin(broadcast(nRow))
-        .select(col("node"),
-          round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
-            .cast("long").as("rank_u")),
-      mat)
+    val init = prior match {
+      case None =>
+        nodes.crossJoin(broadcast(nRow))
+          .select(col("node"),
+            round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
+              .cast("long").as("rank_u"))
+      case Some(p) =>
+        // prior is node-sized — broadcast; the fixed-shape init
+        // expression is the one FP op (see [[domainRankFrom]])
+        nodes
+          .join(broadcast(p.select(col("node"), col("rank"))), Seq("node"), "left")
+          .crossJoin(broadcast(nRow))
+          .select(col("node"),
+            round(coalesce(
+              col("rank") * lit(RankUnits).cast("double"),
+              lit(RankUnits).cast("double") / col("n_nodes")), 0)
+              .cast("long").as("rank_u"))
+    }
+    var ranks = graft.core.Materialize(init, mat)
     var prev = ranks
     var itersRun = 0
     var converged = false
@@ -708,6 +758,70 @@ object Crawl {
       maxIterations, mat)
       .select(col("doc_id").as("node"), col("cluster_id").as("component_id"))
 
+  /** BFS hop distance from a SEED set over the host graph — crawl
+    * depth: how many link hops a crawler starting at `seeds` needs to
+    * reach each host. The third iterative graph op, and the one a
+    * crawl budget actually slices on (depth ≤ k = the "k clicks from
+    * the seed list" crawl policy; TAXO/seed-distance quality priors
+    * weight by it). Output `(node, depth)` — one row per host reached
+    * within `maxDepth` hops, `depth` the MINIMUM hop count (seeds are
+    * depth 0, including seeds the graph has no edges for — a crawled
+    * start URL is at depth 0 whether or not anything links from it).
+    * Hosts first reachable beyond `maxDepth` are absent.
+    *
+    * Determinism: pure integer BFS — no floating point anywhere, so
+    * engine-exactness is free (vs the BIGINT-unit construction
+    * [[domainRank]]/[[hits]] need). The early exit when a wave comes
+    * back empty is exact reachability, not a heuristic.
+    *
+    * Scale shape: per wave, one equi-join of the edge set against the
+    * FRONTIER (the nodes first reached last wave — shrinking), one
+    * distinct, one anti-join against the node-sized depth table; each
+    * wave materializes so lineage stays one-wave deep and superseded
+    * tiers release under Persist. At 10⁸ hosts every table the loop
+    * moves is node-sized or smaller — the [[domainRank]] envelope. */
+  def crawlDepth(
+      edges: DataFrame,
+      seeds: DataFrame,
+      maxDepth: Int = 5,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
+    val e = graft.core.Materialize(
+      edges.select(col("src"), col("dst"))
+        .where(col("src").isNotNull && col("dst").isNotNull)
+        .distinct(),
+      mat)
+    var depth = graft.core.Materialize(
+      seeds.select(col("node")).where(col("node").isNotNull).distinct()
+        .withColumn("depth", lit(0L)),
+      mat)
+    var frontier = depth
+    var k = 1
+    var exhausted = false
+    while (k <= maxDepth && !exhausted) {
+      val next = graft.core.Materialize(
+        e.join(frontier, e("src") === frontier("node"))
+          .select(e("dst").as("node")).distinct()
+          .join(depth, Seq("node"), "left_anti")
+          .withColumn("depth", lit(k.toLong)),
+        mat)
+      if (next.limit(1).count() == 0L) {
+        graft.core.Materialize.release(next, mat)
+        exhausted = true
+      } else {
+        val grown = graft.core.Materialize(depth.unionByName(next), mat)
+        grown.limit(1).count() // force before releasing what it read
+        if (frontier ne depth) graft.core.Materialize.release(frontier, mat)
+        graft.core.Materialize.release(depth, mat)
+        depth = grown
+        frontier = next // released as the superseded frontier next wave
+        k += 1
+      }
+    }
+    graft.core.Materialize.release(e, mat)
+    depth
+  }
+
   /** Join a rank table onto a doc table as a quality prior:
     * `domain_rank` (0.0 for nodes the graph never saw — an unranked
     * domain is prior-less, not NULL-poisoned). `broadcastRanks`
@@ -774,6 +888,72 @@ object Crawl {
     require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
     rankPrior(topPerHost(frontierCandidates(pages, urlCol), perHostCap),
       ranks, nodeCol = "link_host")
+      .select(col("link_url"), col("link_host"), col("n_refs"),
+        col("domain_rank"), col("pos"))
+  }
+
+  /** [[crawlFrontier]] with a broadcast Bloom prefilter on the SEEN
+    * set — the 100 TB formulation ([[Dedup.decontaminateBloom]]'s
+    * construction applied to the crawl's hottest anti-join). The
+    * exact frontier anti-joins EVERY candidate outlink against the
+    * seen-URL set: both sides shuffle on the 16-byte key, and on an
+    * expanding crawl the unseen MAJORITY of candidates — the rows
+    * that survive to the output — pay that shuffle just to prove
+    * nobody matches them. Here the seen keys are summarized once as a
+    * Bloom filter over `xxhash64(url_key)` embedded in the plan as a
+    * literal; candidates the filter rejects are DEFINITELY unseen
+    * (Bloom filters have no false negatives) and bypass the join
+    * entirely — a codegen'd bit-probe per link, no shuffle — while
+    * the `might-contain` sliver (true re-links + the fpp fraction)
+    * goes through the exact anti-join that kills false positives.
+    * Result ≡ [[crawlFrontier]] byte-for-byte at any fpp; shares its
+    * oracle.
+    *
+    * Sizing: ~9.6 bits/key at fpp=1e-2 — a 10⁹-URL seen set is a
+    * ~1.2 GB filter, the practical ceiling for a plan literal; beyond
+    * that, shard the crawl by host partition (each shard's seen set
+    * builds its own filter) or fall back to [[crawlFrontier]]. The
+    * two seen-side jobs (count to size, filter build) are the
+    * train-once analogue of centroid training. */
+  def crawlFrontierBloom(
+      pages: DataFrame,
+      ranks: DataFrame,
+      urlCol: String = "url",
+      perHostCap: Int = 10,
+      fpp: Double = 0.01,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    import org.apache.spark.sql.GraftSqlBridge
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.types.BinaryType
+    // seen feeds three actions (size count, filter build, exact
+    // confirm join) — materialize once; Persist keeps it lazy-shaped
+    // for the single-action confirm that follows
+    val seen = graft.core.Materialize(
+      pages.select(md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+        .where(col("url_key").isNotNull).distinct(),
+      mat)
+    val nSeen = math.max(seen.count(), 1L)
+    val bloom = seen.select(xxhash64(col("url_key")).as("h"))
+      .stat.bloomFilter("h", nSeen, fpp)
+    val bloomBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      bloom.writeTo(bos)
+      bos.toByteArray
+    }
+    val mightContain = GraftSqlBridge.column(BloomFilterMightContain(
+      Literal(bloomBytes, BinaryType),
+      GraftSqlBridge.expression(xxhash64(col("url_key")))))
+    val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
+      .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
+    val definitelyUnseen = links.where(!mightContain)
+    val confirmed = links.where(mightContain)
+      .join(seen, Seq("url_key"), "left_anti")
+    val cands = definitelyUnseen.unionByName(confirmed)
+      .groupBy(col("link_url"), col("link_host"))
+      .agg(count(lit(1)).as("n_refs"))
+    rankPrior(topPerHost(cands, perHostCap), ranks, nodeCol = "link_host")
       .select(col("link_url"), col("link_host"), col("n_refs"),
         col("domain_rank"), col("pos"))
   }
@@ -874,5 +1054,68 @@ object Crawl {
           .when(col("old_h") === col("new_h"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"),
         col("old_h"), col("new_h"))
+  }
+
+  // ---- Recrawl scheduling ----------------------------------------------
+
+  /** Adaptive revisit scheduling from a fetch log — the freshness
+    * economics of a continuous crawl (Cho & Garcia-Molina '03's
+    * change-rate estimation, reduced to the binary-backoff policy
+    * production crawlers actually run): a URL that keeps changing is
+    * re-fetched at `baseInterval`; every consecutive UNCHANGED fetch
+    * doubles the interval, capped at `maxInterval`.
+    *
+    * Input `fetches(url, fetch_ts, content_hash)` — one row per
+    * completed fetch, `fetch_ts` epoch seconds, `(url, fetch_ts)`
+    * unique (the fetch log's natural key). Output one row per URL:
+    * `(url, n_fetches, n_changes, last_fetch, unchanged_streak,
+    * interval_sec, next_fetch_at)` where `unchanged_streak` counts
+    * the consecutive most-recent fetches that did NOT change the
+    * content (a URL's first fetch always counts as a change — there
+    * was no prior content), `interval_sec =
+    * min(maxInterval, baseInterval · 2^min(streak, 30))` and
+    * `next_fetch_at = last_fetch + interval_sec`. Filter
+    * `next_fetch_at <= now` for the due list; feed it to
+    * [[politeFrontier]]'s delay budgets for the fetch wave.
+    *
+    * Determinism: pure integer arithmetic (the shift exponent is
+    * capped at 30 BEFORE shifting, so `86400 · 2³⁰` never overflows
+    * and the `maxInterval` clamp is the only policy bound).
+    *
+    * Scale shape: ONE window over `(url)` ordered by fetch time for
+    * the change flag — per-key cardinality is the URL's OWN fetch
+    * count (history depth: tens to hundreds), bounded by crawl
+    * policy, so the per-host-window skew the frontier bans
+    * ([[topPerHost]]) cannot arise — then one combinable groupBy(url).
+    * Text never appears; the log carries 16-byte hashes. */
+  def recrawlPolicy(
+      fetches: DataFrame,
+      baseInterval: Long = 86400L,
+      maxInterval: Long = 30L * 86400L): DataFrame = {
+    require(baseInterval >= 1, s"baseInterval=$baseInterval must be >= 1")
+    require(maxInterval >= baseInterval,
+      s"maxInterval=$maxInterval must be >= baseInterval=$baseInterval")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("url")).orderBy(col("fetch_ts"))
+    val flagged = graft.core.Parallelism.ensure(fetches)
+      .select(col("url"), col("fetch_ts"),
+        coalesce(col("content_hash"), lit("")).as("h"))
+      .select(col("url"), col("fetch_ts"),
+        (lag(col("h"), 1).over(w).isNull ||
+          lag(col("h"), 1).over(w) =!= col("h")).as("changed"),
+        row_number().over(w).as("rn"))
+    flagged.groupBy(col("url"))
+      .agg(
+        count(lit(1)).as("n_fetches"),
+        sum(when(col("changed"), 1L).otherwise(0L)).as("n_changes"),
+        max(col("fetch_ts")).as("last_fetch"),
+        max(when(col("changed"), col("rn"))).as("_last_change_rn"))
+      .select(col("url"), col("n_fetches"), col("n_changes"), col("last_fetch"),
+        (col("n_fetches") - col("_last_change_rn")).as("unchanged_streak"))
+      .withColumn("interval_sec",
+        least(lit(maxInterval),
+          expr(s"shiftleft(CAST($baseInterval AS BIGINT), " +
+            "CAST(least(unchanged_streak, 30) AS INT))")))
+      .withColumn("next_fetch_at", col("last_fetch") + col("interval_sec"))
   }
 }

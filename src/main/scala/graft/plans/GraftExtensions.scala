@@ -91,6 +91,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.sitemapUrlsTableFunction)
     ext.injectTableFunction(GraftExtensions.crawlDelaysTableFunction)
     ext.injectTableFunction(GraftExtensions.politeFrontierTableFunction)
+    ext.injectTableFunction(GraftExtensions.recrawlPolicyTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1590,6 +1591,39 @@ object GraftExtensions {
           defaultDelay = dflt))
     })
 
+  /** SQL surface for adaptive recrawl scheduling
+    * ([[graft.ops.Crawl.recrawlPolicy]]):
+    *
+    * {{{
+    * SELECT * FROM graft_recrawl_policy('fetch_log')                 -- 1d base, 30d cap
+    * SELECT * FROM graft_recrawl_policy('fetch_log', 3600, 604800)   -- 1h base, 7d cap
+    * }}}
+    *
+    * The named table/view must carry (url, fetch_ts, content_hash);
+    * emits one policy row per URL — filter `next_fetch_at <= now`
+    * for the due list. */
+  private val recrawlPolicyTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_recrawl_policy"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_recrawl_policy"),
+    (children: Seq[Expression]) => {
+      require(children.size >= 1 && children.size <= 3,
+        "graft_recrawl_policy(fetch_log_table[, base_interval_sec[, max_interval_sec]])")
+      val base =
+        if (children.size >= 2)
+          numArg("graft_recrawl_policy")(children(1), "base_interval_sec").toLong
+        else 86400L
+      val maxI =
+        if (children.size == 3)
+          numArg("graft_recrawl_policy")(children(2), "max_interval_sec").toLong
+        else 30L * 86400L
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.recrawlPolicy(
+          SparkSession.active.table(
+            stringArg("graft_recrawl_policy")(children.head, "fetch_log_table")),
+          baseInterval = base, maxInterval = maxI))
+    })
+
   private val crawlDelaysTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_crawl_delays"),
@@ -1824,7 +1858,7 @@ object GraftExtensions {
         anchorIndexTableFunction, robotsRulesTableFunction,
         robotsFilterTableFunction, hostSummaryTableFunction,
         sitemapUrlsTableFunction, crawlDelaysTableFunction,
-        politeFrontierTableFunction)
+        politeFrontierTableFunction, recrawlPolicyTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

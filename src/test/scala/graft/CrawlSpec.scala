@@ -504,6 +504,13 @@ class CrawlSpec extends SparkSpec {
     assert(s.sql("SELECT * FROM graft_corpus_diff('crawl_old', 'crawl_new')")
       .collect().toSet ===
       Crawl.corpusDiff(s.table("crawl_old"), s.table("crawl_new")).collect().toSet)
+    Seq(("u", 1L, "h1"), ("u", 2L, "h1"), ("u", 3L, "h2"), ("v", 9L, "x"))
+      .toDF("url", "fetch_ts", "content_hash").createOrReplaceTempView("crawl_fetches")
+    assert(s.sql("SELECT * FROM graft_recrawl_policy('crawl_fetches')").collect().toSet ===
+      Crawl.recrawlPolicy(s.table("crawl_fetches")).collect().toSet)
+    assert(s.sql("SELECT * FROM graft_recrawl_policy('crawl_fetches', 100, 1000)")
+      .collect().toSet ===
+      Crawl.recrawlPolicy(s.table("crawl_fetches"), 100L, 1000L).collect().toSet)
   }
 
   test("plan shape: urlCanon and extractLinks are exchange-free; urlDuplicates shuffles keys only") {
@@ -537,6 +544,86 @@ class CrawlSpec extends SparkSpec {
       .findAllMatchIn(planStr).map(_.group(1)).toSet
     assert(partKeys.nonEmpty && partKeys == Set("url_key"),
       s"urlDuplicates must shuffle on url_key only, got $partKeys")
+  }
+
+  test("crawlDepth: min-hop BFS from seeds; off-graph seed stays depth 0; beyond-maxDepth hosts absent") {
+    val edges = Seq(("A", "B"), ("B", "C"), ("C", "D"), ("X", "Y")).toDF("src", "dst")
+    val got = Crawl.crawlDepth(edges, Seq("A", "Z").toDF("node"), maxDepth = 2)
+      .as[(String, Long)].collect().toMap
+    // Z is not in the graph: depth 0, no expansion; D is 3 hops, absent;
+    // the X->Y island is unreachable from the seeds
+    assert(got === Map("A" -> 0L, "Z" -> 0L, "B" -> 1L, "C" -> 2L))
+  }
+
+  test("crawlDepth: early exit when a wave comes back empty; cycles don't loop; min depth wins") {
+    // A->B->A cycle plus a shortcut A->C and a long way B->C
+    val edges = Seq(("A", "B"), ("B", "A"), ("A", "C"), ("B", "C")).toDF("src", "dst")
+    val got = Crawl.crawlDepth(edges, Seq("A").toDF("node"), maxDepth = 50)
+      .as[(String, Long)].collect().toMap
+    assert(got === Map("A" -> 0L, "B" -> 1L, "C" -> 1L))
+  }
+
+  test("domainRankFrom: warm start seeds the iteration; missing prior nodes default to uniform") {
+    // 2-cycle, prior (A:0.9, B:0.1): one step moves each node's mass
+    // across — next = 0.15*U/2 + 0.85*(other's prior), exactly
+    val edges = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")
+    val r = Crawl.domainRankFrom(edges, Seq(("A", 0.9), ("B", 0.1)).toDF("node", "rank"),
+      iters = 1).as[(String, Double)].collect().toMap
+    assert(r("A") === 0.16 && r("B") === 0.84)
+    // prior missing B: B starts at the uniform 1/N = 0.5
+    val r2 = Crawl.domainRankFrom(edges, Seq(("A", 0.9)).toDF("node", "rank"),
+      iters = 1).as[(String, Double)].collect().toMap
+    assert(r2("A") === 0.5 && r2("B") === 0.84)
+    // the uniform prior IS domainRank's init: identical results
+    val warm = Crawl.domainRankFrom(edges, Seq(("A", 0.5), ("B", 0.5)).toDF("node", "rank"),
+      iters = 2).as[(String, Double)].collect().toMap
+    val cold = Crawl.domainRank(edges, iters = 2).as[(String, Double)].collect().toMap
+    assert(warm === cold)
+  }
+
+  test("recrawlPolicy: backoff doubles per unchanged fetch, maxInterval clamps, NULL hash coalesces") {
+    val log = (Seq((1L, "h1"), (2L, "h1"), (3L, "h2"), (4L, "h2"), (5L, "h2"))
+      .map { case (t, h) => ("u", t, h) } ++
+      (0 until 8).map(i => ("u2", 10L + i, "same")) ++
+      Seq(("n", 1L, null), ("n", 2L, null), ("n", 3L, "x")))
+      .toDF("url", "fetch_ts", "content_hash")
+    val got = Crawl.recrawlPolicy(log, baseInterval = 100L, maxInterval = 1000L)
+      .select(col("url"), col("n_fetches"), col("n_changes"),
+        col("unchanged_streak"), col("interval_sec"), col("next_fetch_at"))
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    // u: changes at fetch 1 and 3, two trailing unchanged -> 100<<2
+    assert(got("u") === ("u", 5L, 2L, 2L, 400L, 405L))
+    // u2: 7 trailing unchanged -> 100<<7 = 12800 clamps at 1000
+    assert(got("u2") === ("u2", 8L, 1L, 7L, 1000L, 1017L))
+    // n: NULL,NULL,'x' = changed, unchanged, changed -> streak 0
+    assert(got("n") === ("n", 3L, 2L, 0L, 100L, 103L))
+  }
+
+  test("recrawlPolicy: the shift exponent caps at 30 before the interval clamp") {
+    val log = (0 until 40).map(i => ("c", i.toLong, "same"))
+      .toDF("url", "fetch_ts", "content_hash")
+    val got = Crawl.recrawlPolicy(log, baseInterval = 1L, maxInterval = Long.MaxValue / 4)
+      .select(col("unchanged_streak"), col("interval_sec"))
+      .as[(Long, Long)].head()
+    assert(got === ((39L, 1L << 30)))
+  }
+
+  test("crawlFrontierBloom: byte-identical to crawlFrontier; the plan probes a bloom filter") {
+    val pages = Seq(
+      (1L, "https://a.example.org/p1",
+        "<a href=\"https://b.example.org/x\">1</a><a href=\"https://a.example.org/p2\">2</a>"),
+      (2L, "https://a.example.org/p2",
+        "<a href=\"https://b.example.org/x\">1</a><a href=\"https://c.example.org/y\">3</a>"),
+      (3L, "https://b.example.org/x", "no links"))
+      .toDF("doc_id", "url", "text")
+    val ranks = Seq(("b.example.org", 0.7)).toDF("node", "rank")
+    val exact = Crawl.crawlFrontier(pages, ranks, perHostCap = 5)
+      .as[(String, String, Long, Double, Int)].collect().toSet
+    val bloomDf = Crawl.crawlFrontierBloom(pages, ranks, perHostCap = 5)
+    val bloomed = bloomDf.as[(String, String, Long, Double, Int)].collect().toSet
+    assert(bloomed === exact)
+    assert(bloomDf.queryExecution.executedPlan.toString.contains("might_contain"))
   }
 
   test("corpusDiff: added/removed/changed/unchanged; null text hashes like empty") {
