@@ -2201,6 +2201,22 @@ object SparkEntry {
     "q_approx_percentiles" -> ((s, dir) => Relational.quantityPercentilesApprox(s, dir)),
     "q_date_trunc" -> ((s, dir) => Relational.monthlyRevenue(s, dir)),
     "q_brand_revenue" -> ((s, dir) => Relational.brandRevenue(s, dir)),
+    // time-series gap fill: complete per-type 10-min grid, forward-filled
+    "q_gapfill" -> { (s, dir) =>
+      val obs = Relational.events(s, dir)
+        .select(col("event_type"),
+          (expr("ts_ns div 1000000000 div 600") * lit(600L)).as("bucket"),
+          col("value"))
+        .groupBy("event_type", "bucket")
+        .agg(expr("CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").as("value"))
+      Relational.gapFill(obs, "event_type", "bucket", "value", step = 600L)
+    },
+    // wide-to-long reshape: one row per (line, measure) — no shuffle
+    "q_unpivot" -> ((s, dir) =>
+      Relational.meltMeasures(
+        s.read.parquet(s"$dir/lineitem.parquet"),
+        ids = Seq("l_orderkey", "l_linenumber"),
+        measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"))),
     // sketch coverage: approx_count_distinct is engine-specific (HLL++),
     // so the sketch VALUES can't have a SQL oracle — instead the query
     // emits exact distinct counts (hash-comparable) plus per-group
@@ -4535,6 +4551,30 @@ object SparkEntry {
         |  count(*) AS n_orders,
         |  CAST(round(sum(CAST(o_totalprice AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue
         |FROM orders GROUP BY 1, 2, 3""".stripMargin,
+    "q_gapfill" ->
+      // twin of Relational.gapFill(step = 600) over per-type 10-min
+      // value sums: complete grid via generate_series, forward fill
+      // via IGNORE NULLS last_value; sums ride the engine-exact
+      // DECIMAL(18,6) path before the final double cast
+      """WITH e AS (SELECT event_type, (epoch_ns(ts) // 1000000000 // 600) * 600 AS bucket, "value" FROM events),
+        |obs AS MATERIALIZED (SELECT event_type, bucket,
+        |    CAST(sum(CAST("value" AS DECIMAL(18,6))) AS DOUBLE) AS v FROM e GROUP BY 1, 2),
+        |b AS (SELECT event_type, min(bucket) AS lo, max(bucket) AS hi FROM obs GROUP BY 1),
+        |g AS (SELECT event_type, unnest(generate_series(lo, hi, 600)) AS bucket FROM b),
+        |j AS MATERIALIZED (SELECT g.event_type, g.bucket, o.v
+        |    FROM g LEFT JOIN obs o ON o.event_type = g.event_type AND o.bucket = g.bucket)
+        |SELECT event_type, bucket,
+        |  last_value(v IGNORE NULLS) OVER (PARTITION BY event_type ORDER BY bucket
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+        |  (v IS NULL) AS filled
+        |FROM j""".stripMargin,
+    "q_unpivot" ->
+      // twin of Relational.meltMeasures over lineitem: UNPIVOT as the
+      // portable UNION ALL of one SELECT per measure
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS amount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |UNION ALL SELECT l_orderkey, l_linenumber, 'l_tax', l_tax FROM lineitem""".stripMargin,
     "q_brand_revenue" ->
       """SELECT p_brand, count(*) AS n_items,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,

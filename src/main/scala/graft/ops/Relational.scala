@@ -525,4 +525,62 @@ object Relational {
       }: _*)).as("p"))
       .select(col("p.*"))
   }
+
+  /** Time-series gap filling with forward fill (the `GAP FILL` /
+    * `time_bucket_gapfill` surface of timeseries engines): given one
+    * row per OBSERVED `(key, bucket)` — `bucket` an integer grid
+    * coordinate (epoch seconds/minutes; caller buckets) — emit the
+    * COMPLETE grid from each key's first to last observed bucket in
+    * `step` increments, carrying the last observed value forward
+    * across the holes. Output `(key, bucket, value, filled)` where
+    * `filled` marks rows the grid synthesized (or observed NULLs the
+    * fill replaced — both are "no measurement here"). The first
+    * bucket of every key is observed by construction, so `value` is
+    * total whenever the input's first value is.
+    *
+    * Scale shape: one combinable groupBy(key) for the bounds, one
+    * row-local `sequence` explode (each key's grid derives in place —
+    * no shuffle to build it), one co-keyed left join back to the
+    * observations, then the forward-fill window per key ordered by
+    * bucket. Per-key cardinality is the key's OWN time range over
+    * `step` — bounded by retention x resolution, the recrawlPolicy
+    * argument, NOT corpus-wide skew. At 100 TB the keys are series
+    * ids; series count scales out, series length does not. */
+  def gapFill(
+      observed: DataFrame,
+      keyCol: String = "key",
+      bucketCol: String = "bucket",
+      valueCol: String = "value",
+      step: Long = 1L): DataFrame = {
+    require(step >= 1, s"step=$step must be >= 1")
+    val k = col(keyCol)
+    val bounds = observed.groupBy(k)
+      .agg(min(col(bucketCol)).as("_lo"), max(col(bucketCol)).as("_hi"))
+    val grid = bounds.select(k,
+      explode(sequence(col("_lo"), col("_hi"), lit(step))).as(bucketCol))
+    val joined = grid.join(
+      observed.select(k, col(bucketCol), col(valueCol)),
+      Seq(keyCol, bucketCol), "left")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(k).orderBy(col(bucketCol))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    joined.select(k, col(bucketCol),
+      last(col(valueCol), ignoreNulls = true).over(w).as(valueCol),
+      col(valueCol).isNull.as("filled"))
+  }
+
+  /** Wide-to-long reshape (`UNPIVOT`/melt) — a thin, documented face
+    * over Spark's own [[org.apache.spark.sql.Dataset.unpivot]]: each
+    * input row emits one row per measure column as
+    * `(ids..., metric, amount)`. Row-local generation — no shuffle,
+    * no window; the measure names live in the plan, not the data.
+    * Measures must share one least-common type (Spark's unpivot
+    * contract — cast beforehand otherwise). */
+  def meltMeasures(
+      df: DataFrame,
+      ids: Seq[String],
+      measures: Seq[String],
+      varName: String = "metric",
+      valName: String = "amount"): DataFrame =
+    df.unpivot(ids.map(col).toArray, measures.map(col).toArray, varName, valName)
 }

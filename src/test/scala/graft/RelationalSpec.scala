@@ -215,4 +215,30 @@ class RelationalSpec extends SparkSpec {
       Relational.histogram(vals.toDF("v"), "v", 0.0, 40.0, 4)
         .collect().map(_.toSeq).toSet)
   }
+
+  test("gapFill: complete grid per key, forward fill across holes, filled flags; observed NULL refills") {
+    val obs = Seq(
+      ("a", 0L, Some(1.0)), ("a", 30L, Some(3.0)),
+      ("b", 100L, Some(5.0)), ("b", 110L, None), ("b", 120L, Some(7.0)),
+      ("c", 40L, Some(9.0)))
+      .toDF("key", "bucket", "value")
+    val got = Relational.gapFill(obs, step = 10L)
+      .as[(String, Long, Option[Double], Boolean)].collect().toSet
+    assert(got === Set(
+      ("a", 0L, Some(1.0), false), ("a", 10L, Some(1.0), true),
+      ("a", 20L, Some(1.0), true), ("a", 30L, Some(3.0), false),
+      // the observed NULL at b/110 counts as "no measurement": filled
+      ("b", 100L, Some(5.0), false), ("b", 110L, Some(5.0), true),
+      ("b", 120L, Some(7.0), false),
+      // single-observation key: grid is just that bucket
+      ("c", 40L, Some(9.0), false)))
+  }
+
+  test("meltMeasures: one row per (id, measure), row-local — plan has no Exchange") {
+    val wide = Seq((1L, 2.0, 3.0), (2L, 4.0, 5.0)).toDF("id", "m1", "m2")
+    val long = Relational.meltMeasures(wide, Seq("id"), Seq("m1", "m2"))
+    assert(long.as[(Long, String, Double)].collect().toSet === Set(
+      (1L, "m1", 2.0), (1L, "m2", 3.0), (2L, "m1", 4.0), (2L, "m2", 5.0)))
+    assert(!long.queryExecution.executedPlan.toString.contains("Exchange"))
+  }
 }
