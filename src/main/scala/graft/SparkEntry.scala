@@ -532,18 +532,27 @@ object SparkEntry {
     * `WWW.`/trailing-dot form (canonical-host join), a host with no
     * `*` group, an empty file. ASCII, no single quotes. */
   private val RobotsRows: Seq[(String, String)] = Seq(
+    // preamble Sitemap (before any group — file-wide per RFC 9309)
     ("h1.example.org",
-      "# h1 blocks the p tree except p/1\nUser-agent: *\nDisallow: /p/\nAllow: /p/1\nCrawl-delay: 2.5\n"),
+      "Sitemap: https://h1.example.org/sitemap.xml\n" +
+        "# h1 blocks the p tree except p/1\nUser-agent: *\nDisallow: /p/\nAllow: /p/1\nCrawl-delay: 2.5\n"),
+    // Sitemap INSIDE a non-* group: still file-wide; messy-case URL
     ("h2.example.org",
-      "User-agent: googlebot\nDisallow: /\nCrawl-delay: 99\n\nUser-agent: *\nDisallow: /*/0\nDisallow: /hub\nDisallow:\n"),
+      "User-agent: googlebot\nDisallow: /\nCrawl-delay: 99\n" +
+        "Sitemap: https://WWW.h2.Example.org/sm/Index.xml\n" +
+        "\nUser-agent: *\nDisallow: /*/0\nDisallow: /hub\nDisallow:\n"),
+    // Sitemap with a trailing comment (value ends at '#', then trims)
     ("h3.example.org",
-      "User-agent: *\nAllow: /p/\nDisallow: /p/2 # but the tie below re-allows\nAllow: /p/2\nCrawl-delay: 10\nCrawl-delay: 4\n"),
+      "User-agent: *\nAllow: /p/\nDisallow: /p/2 # but the tie below re-allows\nAllow: /p/2\nCrawl-delay: 10\nCrawl-delay: 4\n" +
+        "Sitemap: https://h3.example.org/s.xml # primary\n"),
     ("sink.example.org", "User-agent: SpecificBot\nDisallow: /\n"),
     ("h4.example.org", ""),
     // raw host key (case/www/root-dot) + the wildcard battery: /p/* vs
-    // the longer /p/1?* allow, a dead $-rule, /hub$ beating /hub
+    // the longer /p/1?* allow, a dead $-rule, /hub$ beating /hub;
+    // a RELATIVE Sitemap (standard-forbidden): row kept, NULL canon
     ("WWW.h7.Example.org.",
-      "User-agent: *\nDisallow: /p/*\nAllow: /p/1?*\nDisallow: /*.pdf$\nAllow: /hub$\nDisallow: /hub\n"),
+      "User-agent: *\nDisallow: /p/*\nAllow: /p/1?*\nDisallow: /*.pdf$\nAllow: /hub$\nDisallow: /hub\n" +
+        "Sitemap: /relative.xml\n"),
     // $-anchored allow defeated by the query string (RFC: the match
     // text is path AND query)
     ("h8.example.org", "User-agent: *\nDisallow: /p/\nAllow: /p/2$\n"))
@@ -1814,6 +1823,8 @@ object SparkEntry {
     }),
     // URL shape signals: the pre-fetch quality features (row-local)
     "q_url_signals" -> ((s, dir) => graft.ops.Crawl.urlSignals(crawlPages(s, dir))),
+    // path-template mining: the crawl-trap detector's per-template stats
+    "q_url_templates" -> ((s, dir) => graft.ops.Crawl.urlTemplates(crawlPages(s, dir))),
     // per-host crawl accounting (pages, canonical, distinct, url dups)
     "q_host_summary" -> ((s, dir) => graft.ops.Crawl.hostSummary(crawlPages(s, dir))),
     // anchor elements: resolved target + visible (stripped/decoded) text
@@ -1833,6 +1844,8 @@ object SparkEntry {
     "q_robots_rules" -> ((s, dir) => graft.ops.Robots.robotsRules(robotsDf(s))),
     // per-host politeness budget (minimum Crawl-delay of the * group)
     "q_crawl_delays" -> ((s, dir) => graft.ops.Robots.crawlDelays(robotsDf(s))),
+    // Sitemap: directives (file-wide, group-independent) — seed discovery
+    "q_robots_sitemaps" -> ((s, dir) => graft.ops.Robots.sitemapDirectives(robotsDf(s))),
     // the crawl loop's output artifact: allowed, ranked, budgeted fetches
     "q_polite_frontier" -> ((s, dir) => {
       val pages = linkPages(s, dir)
@@ -3249,6 +3262,25 @@ object SparkEntry {
          |SELECT pc.doc_id, pc.host AS node,
          |  coalesce(CAST(r.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS domain_rank
          |FROM pc LEFT JOIN r3 r ON r.node = pc.host""".stripMargin,
+    "q_url_templates" ->
+      // twin of Crawl.urlTemplates: scheme://authority strip + global
+      // digit-run templating (DuckDB needs the explicit 'g'), page
+      // counts, distinct-URL counts and host totals as SEPARATE
+      // aggregates of one materialized projection
+      s"""WITH $URL_PAGES_CTE,
+         |${urlCanonCtes("uc", "cp", "url", "doc_id")},
+         |tpl AS MATERIALIZED (SELECT host,
+         |    regexp_replace(regexp_replace(canon_url, '${graft.ops.Robots.PathQueryPat}', ''), '${graft.ops.Crawl.DigitRunPat}', '{n}', 'g') AS template,
+         |    canon_url
+         |    FROM uc WHERE canon_url IS NOT NULL),
+         |tb AS (SELECT host, template, count(*) AS n_pages FROM tpl GROUP BY 1, 2),
+         |td AS MATERIALIZED (SELECT DISTINCT host, template, canon_url FROM tpl),
+         |tu AS (SELECT host, template, count(*) AS n_urls FROM td GROUP BY 1, 2),
+         |th AS (SELECT host, count(*) AS host_urls
+         |    FROM (SELECT DISTINCT host, canon_url FROM tpl) GROUP BY 1)
+         |SELECT tb.host, tb.template, tb.n_pages, tu.n_urls, th.host_urls,
+         |  CAST(tu.n_urls AS DOUBLE) / CAST(th.host_urls AS DOUBLE) AS url_share
+         |FROM tb JOIN tu USING (host, template) JOIN th USING (host)""".stripMargin,
     "q_url_signals" ->
       // twin of Crawl.urlSignals: reads the canonicalization chain's
       // staged internals (uce carries scheme/port/path/params), every
@@ -3384,6 +3416,21 @@ object SparkEntry {
          |SELECT host, min(CAST(raw AS DOUBLE)) AS crawl_delay
          |FROM (SELECT host, unnest(regexp_extract_all(seg, '${graft.ops.Robots.CrawlDelayPat}', 1)) AS raw FROM rsf)
          |GROUP BY host""".stripMargin,
+    "q_robots_sitemaps" ->
+      // twin of Robots.sitemapDirectives: the group-INDEPENDENT parse
+      // over the whole file (rb's canonical host), trim, empty drop,
+      // then the standard canonicalization chain on the declared URL
+      // (the carried robots host rides as rhost past sc's own host)
+      s"""WITH $ROBOTS_RULE_CTES,
+         |sm0 AS (SELECT host AS rhost, CAST(i - 1 AS INTEGER) AS sitemap_idx,
+         |    regexp_replace(raws[i], '${graft.ops.Robots.RuleTrimPat}', '') AS loc
+         |    FROM (SELECT host, regexp_extract_all(coalesce(robots_txt, ''), '${graft.ops.Robots.SitemapDirPat}', 1) AS raws FROM rb),
+         |         unnest(generate_series(1, len(raws))) AS t(i)),
+         |sm AS MATERIALIZED (SELECT rhost, sitemap_idx, loc FROM sm0 WHERE loc <> ''),
+         |${urlCanonCtes("sc", "sm", "loc", "rhost, sitemap_idx")}
+         |SELECT rhost AS host, sitemap_idx, _rawurl AS loc,
+         |  canon_url AS sitemap_url, host AS sitemap_host
+         |FROM sc""".stripMargin,
     "q_robots" ->
       // twin of Robots.robotsFilter over the frontier: RFC 9309
       // longest-match (wildcard-aware via per-rule translated regex)

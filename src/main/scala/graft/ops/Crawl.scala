@@ -261,6 +261,60 @@ object Crawl {
         col("up.host").as("host") :+ col("up.domain").as("domain"): _*)
   }
 
+  /** Digit runs in a path-and-query — the template hole marker's
+    * grammar ([[urlTemplates]]). */
+  val DigitRunPat = "[0-9]+"
+
+  /** URL path-template mining — the crawl-trap detector's raw
+    * material: collapse every canonical URL to
+    * `(host, template)` where the template is the path-and-query with
+    * each DIGIT RUN replaced by `{n}` (`/article/29481?page=3` →
+    * `/article/{n}?page={n}`), then count pages and distinct URLs per
+    * template, plus the template's share of its host's distinct URLs.
+    * A crawl trap — calendar pagination, faceted search, session-id
+    * echoes — surfaces as ONE template owning an unbounded and
+    * growing `n_urls` (and usually most of `url_share`); a crawler
+    * caps or blocks fetches per template the way [[crawlFrontier]]
+    * caps per host. Letter-bearing ids (hex session tokens) stay
+    * distinct — a documented approximation: digits-only templating is
+    * deterministic and catches the dominant numeric-id trap class.
+    *
+    * Output: `(host, template, n_pages, n_urls, host_urls,
+    * url_share)`. Non-canonical URLs have no template and drop.
+    *
+    * Scale shape: template derivation is row-local on top of
+    * [[urlCanon]]; the aggregation shuffles `(host, template, url)`
+    * once (the template table IS a URL-shaped list, the
+    * [[crawlFrontier]] argument), distinct-counts ride separate
+    * aggregates of one materialized projection (the repo-wide
+    * no-Expand discipline), and the host totals join is
+    * host-template-table-sized. */
+  def urlTemplates(
+      pages: DataFrame,
+      urlCol: String = "url",
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist): DataFrame = {
+    val tpl = graft.core.Materialize(
+      urlCanon(pages, urlCol)
+        .where(col("canon_url").isNotNull)
+        .select(col("host"),
+          regexp_replace(
+            regexp_replace(col("canon_url"), Robots.PathQueryPat, ""),
+            DigitRunPat, "{n}").as("template"),
+          col("canon_url")),
+      mat)
+    val base = tpl.groupBy(col("host"), col("template"))
+      .agg(count(lit(1)).as("n_pages"))
+    val dist = tpl.select(col("host"), col("template"), col("canon_url")).distinct()
+    val nUrls = dist.groupBy(col("host"), col("template"))
+      .agg(count(lit(1)).as("n_urls"))
+    val hostUrls = tpl.select(col("host"), col("canon_url")).distinct()
+      .groupBy(col("host")).agg(count(lit(1)).as("host_urls"))
+    base.join(nUrls, Seq("host", "template"))
+      .join(hostUrls, Seq("host"))
+      .withColumn("url_share",
+        col("n_urls").cast("double") / col("host_urls").cast("double"))
+  }
+
   // ---- URL-level dedup -------------------------------------------------
 
   /** URL-identity dedup report: `(doc_id, url_key, keep)` — one row

@@ -43,8 +43,9 @@ import org.apache.spark.sql.functions._
   *    group (splitting at each agent line), where the RFC attaches
   *    them to every agent of the group — `*` listed last is the
   *    overwhelmingly common form;
-  *  - `Sitemap` and non-`*` groups are out of scope ([[crawlDelays]]
-  *    covers the `Crawl-delay` extension).
+  *  - non-`*` groups are out of scope ([[crawlDelays]] covers the
+  *    `Crawl-delay` extension; [[sitemapDirectives]] covers the
+  *    group-independent `Sitemap` directive).
   */
 object Robots {
 
@@ -62,6 +63,12 @@ object Robots {
   /** `Crawl-delay` lines inside a group (de-facto extension most
     * crawlers honor; seconds, fractional allowed). */
   val CrawlDelayPat = "(?im)^[ \\t]*crawl-delay:[ \\t]*([0-9]{1,6}(?:\\.[0-9]{1,6})?)"
+
+  /** `Sitemap:` lines — group-INDEPENDENT per RFC 9309, matched over
+    * the whole file (value ends at EOL or a `#` comment, like the
+    * rule lines; a fragment-bearing sitemap URL would lose its
+    * fragment to canonicalization anyway). */
+  val SitemapDirPat = "(?im)^[ \\t]*sitemap:[ \\t]*([^\\r\\n#]*)"
 
   /** Path-and-query of a canonical URL — what RFC 9309 matches rules
     * against (scheme://authority stripped). */
@@ -153,6 +160,37 @@ object Robots {
         explode(regexp_extract_all(col("seg"), lit(CrawlDelayPat), lit(1))).as("raw"))
       .groupBy(col("host"))
       .agg(min(col("raw").cast("double")).as("crawl_delay"))
+
+  /** `Sitemap:` directives of the robots file — the third parse face,
+    * and the crawl loop's SEED DISCOVERY channel: robots.txt is where
+    * a host declares its sitemaps (sitemaps.org's own discovery
+    * mechanism), and [[graft.ops.Crawl.sitemapUrls]] consumes the
+    * fetched bodies. Per RFC 9309 the directive is INDEPENDENT of
+    * groups — it applies file-wide wherever it appears — so the parse
+    * runs over the whole text, not the `*` segments. Output one row
+    * per directive: `(host, sitemap_idx, loc, sitemap_url,
+    * sitemap_host)` — `loc` the trimmed declared value verbatim,
+    * `sitemap_url`/`sitemap_host` its canonicalization
+    * ([[graft.ops.Crawl.urlParts]] — NULL for relative/invalid
+    * declarations, which the standard forbids but the web contains;
+    * the row stays, total-function stance). Empty values drop.
+    * Row-local over the host-sized robots table — zero shuffle. */
+  def sitemapDirectives(
+      robots: DataFrame,
+      hostCol: String = "host",
+      textCol: String = "robots_txt"): DataFrame =
+    graft.core.Parallelism.ensure(robots)
+      .select(canonHost(col(hostCol)).as("host"),
+        posexplode(regexp_extract_all(coalesce(col(textCol), lit("")),
+          lit(SitemapDirPat), lit(1))).as(Seq("sitemap_idx", "raw")))
+      .select(col("host"), col("sitemap_idx"),
+        regexp_replace(col("raw"), RuleTrimPat, "").as("loc"))
+      .where(col("loc") =!= "")
+      .select(col("host"), col("sitemap_idx"), col("loc"),
+        Crawl.urlParts(col("loc")).as("lp"))
+      .select(col("host"), col("sitemap_idx"), col("loc"),
+        col("lp.canon_url").as("sitemap_url"),
+        col("lp.host").as("sitemap_host"))
 
   /** The REPORT face: `urls` (any schema carrying `urlCol` +
     * `hostCol`) plus `robots_allowed` — RFC 9309 longest-match over

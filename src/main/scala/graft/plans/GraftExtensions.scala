@@ -92,6 +92,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.crawlDelaysTableFunction)
     ext.injectTableFunction(GraftExtensions.politeFrontierTableFunction)
     ext.injectTableFunction(GraftExtensions.recrawlPolicyTableFunction)
+    ext.injectTableFunction(GraftExtensions.robotsSitemapsTableFunction)
+    ext.injectTableFunction(GraftExtensions.urlTemplatesTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1624,6 +1626,40 @@ object GraftExtensions {
           baseInterval = base, maxInterval = maxI))
     })
 
+  /** SQL surface for crawl-trap template mining
+    * ([[graft.ops.Crawl.urlTemplates]]):
+    * `SELECT * FROM graft_url_templates('pages')` → per-(host,
+    * template) page/URL counts and host share; filter high `n_urls`
+    * for the trap list. Persist (lazy) materialization — the TVF
+    * stance. */
+  private val urlTemplatesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_url_templates"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_url_templates"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_url_templates(pages_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.urlTemplates(
+          SparkSession.active.table(
+            stringArg("graft_url_templates")(children.head, "pages_table")),
+          mat = graft.core.Materialize.Persist))
+    })
+
+  /** SQL surface for robots `Sitemap:` discovery
+    * ([[graft.ops.Robots.sitemapDirectives]]):
+    * `SELECT * FROM graft_robots_sitemaps('robots_bodies')` over a
+    * `(host, robots_txt)` table → one row per declared sitemap. */
+  private val robotsSitemapsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_robots_sitemaps"),
+    new ExpressionInfo(graft.ops.Robots.getClass.getName, "graft_robots_sitemaps"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_robots_sitemaps(robots_table)")
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Robots.sitemapDirectives(SparkSession.active.table(
+          stringArg("graft_robots_sitemaps")(children.head, "robots_table"))))
+    })
+
   private val crawlDelaysTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_crawl_delays"),
@@ -1858,7 +1894,8 @@ object GraftExtensions {
         anchorIndexTableFunction, robotsRulesTableFunction,
         robotsFilterTableFunction, hostSummaryTableFunction,
         sitemapUrlsTableFunction, crawlDelaysTableFunction,
-        politeFrontierTableFunction, recrawlPolicyTableFunction)
+        politeFrontierTableFunction, recrawlPolicyTableFunction,
+        robotsSitemapsTableFunction, urlTemplatesTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

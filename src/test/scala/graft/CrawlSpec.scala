@@ -626,6 +626,31 @@ class CrawlSpec extends SparkSpec {
     assert(bloomDf.queryExecution.executedPlan.toString.contains("might_contain"))
   }
 
+  test("urlTemplates: digit runs collapse to {n}, trap template owns the host's URL share, letter ids stay distinct") {
+    val p = pages(
+      1L -> "https://t.example.org/article/100?page=1",
+      2L -> "https://t.example.org/article/100?page=1", // same URL refetched
+      3L -> "https://t.example.org/article/2011?page=30",
+      4L -> "https://t.example.org/about",
+      5L -> "https://h.example.org/s/abc", // letter id: its own template
+      6L -> "https://h.example.org/s/abd",
+      7L -> "not a url")
+    val got = graft.ops.Crawl.urlTemplates(p)
+      .as[(String, String, Long, Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4, r._5, r._6))).toMap
+    assert(got === Map(
+      ("t.example.org", "/article/{n}?page={n}") -> ((3L, 2L, 3L, 2.0 / 3.0)),
+      ("t.example.org", "/about") -> ((1L, 1L, 3L, 1.0 / 3.0)),
+      ("h.example.org", "/s/abc") -> ((1L, 1L, 2L, 0.5)),
+      ("h.example.org", "/s/abd") -> ((1L, 1L, 2L, 0.5))))
+    // SQL face parity
+    val s = SparkSpec.spark
+    graft.plans.GraftExtensions.install(s)
+    p.createOrReplaceTempView("tpl_pages")
+    assert(s.sql("SELECT * FROM graft_url_templates('tpl_pages')").collect().toSet ===
+      graft.ops.Crawl.urlTemplates(p).collect().toSet)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; null text hashes like empty") {
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"), (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")

@@ -179,4 +179,31 @@ class RobotsSpec extends SparkSpec {
         s.table("pf_rules"), s.table("pf_delays"), perHostCap = 3,
         defaultDelay = 7.5).collect().toSet)
   }
+
+  test("sitemapDirectives: file-wide (preamble and non-* groups), trimmed, comment-cut, canonicalized; invalid keeps NULL") {
+    val robots = Seq(
+      // preamble + inside a non-* group + trailing comment form
+      ("WWW.A.example.org",
+        "Sitemap: https://a.example.org/s1.xml\n" +
+          "User-agent: googlebot\nDisallow: /\nSitemap: https://WWW.A.example.org/S2.xml # alt\n" +
+          "User-agent: *\nAllow: /\n"),
+      // relative (standard-forbidden): row kept with NULL canon
+      ("b.example.org", "User-agent: *\nSitemap: /rel.xml\nSitemap:\n"),
+      ("c.example.org", "User-agent: *\nDisallow: /x\n"))
+      .toDF("host", "robots_txt")
+    val got = Robots.sitemapDirectives(robots)
+      .as[(String, Int, String, Option[String], Option[String])].collect().toSet
+    assert(got === Set(
+      ("a.example.org", 0, "https://a.example.org/s1.xml",
+        Some("https://a.example.org/s1.xml"), Some("a.example.org")),
+      ("a.example.org", 1, "https://WWW.A.example.org/S2.xml",
+        Some("https://a.example.org/S2.xml"), Some("a.example.org")),
+      ("b.example.org", 0, "/rel.xml", None, None)))
+    // SQL face parity
+    val s = SparkSpec.spark
+    graft.plans.GraftExtensions.install(s)
+    robots.createOrReplaceTempView("robots_sm")
+    assert(s.sql("SELECT * FROM graft_robots_sitemaps('robots_sm')").collect().toSet ===
+      Robots.sitemapDirectives(robots).collect().toSet)
+  }
 }
