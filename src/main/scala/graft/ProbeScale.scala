@@ -893,6 +893,63 @@ object ProbeScale {
           docs, docs.filter(col("doc_id") % 7 =!= 3)).count())
       }
     }
+    if (section == "r14b") {
+      // the round's second wave at 10x: BFS depth, template mining +
+      // guard, recrawl policy, gap fill. Graph/URL shapes ride the r14
+      // hub+tail page synthesizer (one mega-hub host, 5k tail hosts).
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def pages(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://src"), col("doc_id") % 5000,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        concat(
+          lit("<a href=\"https://hub.example.org/p/"), col("doc_id"), lit("\">h</a>"),
+          lit("<a href=\"https://tail"), col("doc_id") % 5000,
+          lit(".example.org/q/"), col("doc_id"), lit("\">t</a>")).as("text"))
+      def fetches(d: org.apache.spark.sql.DataFrame, urls: Int) = d.select(
+        concat(lit("https://r"), col("doc_id") % urls, lit(".example.org/p")).as("url"),
+        (lit(1000000L) + col("doc_id")).as("fetch_ts"),
+        md5(concat(col("doc_id") % urls,
+          lit("#"), (col("doc_id") / urls).cast("long") / 3)).as("content_hash"))
+      def series(d: org.apache.spark.sql.DataFrame, keys: Int) = d
+        .where(col("doc_id") % 3 =!= 0) // holes to fill
+        .select((col("doc_id") % keys).as("key"),
+          ((col("doc_id") / keys).cast("long") * 600).as("bucket"),
+          col("doc_id").cast("double").as("value"))
+        .groupBy("key", "bucket").agg(sum(col("value")).as("value"))
+      // BFS probe wants real waves: src hosts form a +7 ring (each doc
+      // links the next-stride src host), hub/tails hang off every src
+      def pagesRing(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://src"), col("doc_id") % 5000,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        concat(
+          lit("<a href=\"https://src"), (col("doc_id") + 7) % 5000,
+          lit(".example.org/d/x\">r</a>"),
+          lit("<a href=\"https://hub.example.org/p/"), col("doc_id"), lit("\">h</a>"),
+          lit("<a href=\"https://tail"), col("doc_id") % 5000,
+          lit(".example.org/q/"), col("doc_id"), lit("\">t</a>")).as("text"))
+      import spark.implicits._
+      val seeds = Seq("src0.example.org").toDF("node")
+      for (rep <- 1 to 2) {
+        time(s"crawl_depth_sf01_$rep")(graft.ops.Crawl.crawlDepth(
+          graft.ops.Crawl.linkHostEdges(pagesRing(docs01)), seeds, maxDepth = 8).count())
+        time(s"crawl_depth_sf1_$rep")(graft.ops.Crawl.crawlDepth(
+          graft.ops.Crawl.linkHostEdges(pagesRing(docs)), seeds, maxDepth = 8).count())
+        time(s"url_templates_sf01_$rep")(
+          graft.ops.Crawl.urlTemplates(pages(docs01)).count())
+        time(s"url_templates_sf1_$rep")(
+          graft.ops.Crawl.urlTemplates(pages(docs)).count())
+        time(s"recrawl_sf01_$rep")(
+          graft.ops.Crawl.recrawlPolicy(fetches(docs01, 5000)).count())
+        time(s"recrawl_sf1_$rep")(
+          graft.ops.Crawl.recrawlPolicy(fetches(docs, 5000)).count())
+        time(s"gapfill_sf01_$rep")(
+          graft.ops.Relational.gapFill(series(docs01, 5000),
+            bucketCol = "bucket", valueCol = "value", step = 600L).count())
+        time(s"gapfill_sf1_$rep")(
+          graft.ops.Relational.gapFill(series(docs, 5000),
+            bucketCol = "bucket", valueCol = "value", step = 600L).count())
+      }
+    }
     if (section == "r14") {
       // frontier at 10x under MEGA-HUB skew: one host owns ~50% of all
       // candidate links (each doc contributes one distinct hub URL and

@@ -1871,6 +1871,19 @@ object SparkEntry {
     }),
     // adaptive revisit scheduling: binary backoff on unchanged fetches
     "q_recrawl" -> ((s, dir) => graft.ops.Crawl.recrawlPolicy(fetchLog(s, dir))),
+    // detection-to-enforcement: trap templates mined from the frontier's
+    // own candidate pool (n_urls >= 3), then blocked before fetch
+    "q_frontier_guard" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      val fr = graft.core.Materialize(
+        graft.ops.Crawl.crawlFrontier(pages,
+          graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+          perHostCap = 5),
+        graft.core.Materialize.Persist)
+      val traps = graft.ops.Crawl.urlTemplates(fr, urlCol = "link_url")
+        .where(col("n_urls") >= 3)
+      graft.ops.Crawl.blockTemplates(fr, traps)
+    }),
     // the frontier under the broadcast Bloom seen-set prefilter —
     // byte-identical to q_frontier by the no-false-negative contract
     "q_frontier_bloom" -> ((s, dir) => {
@@ -3334,6 +3347,26 @@ object SparkEntry {
       s"""WITH $RANK_CTES,
          |$FRONTIER_CTES
          |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_frontier_guard" ->
+      // twin of urlTemplates-over-the-frontier (K = 3) + blockTemplates:
+      // trap membership mined via the full canonicalization chain on
+      // link_url, enforcement template derived DIRECTLY from link_url
+      // (the Scala split exactly)
+      s"""WITH $RANK_CTES,
+         |$FRONTIER_CTES,
+         |${urlCanonCtes("gu", "fr", "link_url", "pos")},
+         |gt AS MATERIALIZED (SELECT host,
+         |    regexp_replace(regexp_replace(canon_url, '${graft.ops.Robots.PathQueryPat}', ''), '${graft.ops.Crawl.DigitRunPat}', '{n}', 'g') AS template,
+         |    canon_url FROM gu WHERE canon_url IS NOT NULL),
+         |gtd AS MATERIALIZED (SELECT DISTINCT host, template, canon_url FROM gt),
+         |trap AS MATERIALIZED (SELECT host, template FROM
+         |    (SELECT host, template, count(*) AS n_urls FROM gtd GROUP BY 1, 2) WHERE n_urls >= 3),
+         |fd AS (SELECT f.*,
+         |    regexp_replace(regexp_replace(f.link_url, '${graft.ops.Robots.PathQueryPat}', ''), '${graft.ops.Crawl.DigitRunPat}', '{n}', 'g') AS tpl
+         |  FROM fr f)
+         |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fd
+         |LEFT JOIN trap t ON t.host = fd.link_host AND t.template = fd.tpl
+         |WHERE t.template IS NULL""".stripMargin,
     "q_frontier_bloom" ->
       // same twin as q_frontier VERBATIM: the Bloom prefilter is a
       // no-false-negative pre-split whose survivors re-confirm

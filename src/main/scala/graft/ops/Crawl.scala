@@ -315,6 +315,31 @@ object Crawl {
         col("n_urls").cast("double") / col("host_urls").cast("double"))
   }
 
+  /** The ENFORCEMENT face of [[urlTemplates]]: drop every URL row
+    * whose `(host, template)` appears in `traps` — a trap table the
+    * caller thresholds off [[urlTemplates]] output (`n_urls >= K`,
+    * or a curated block list). Template derivation is the SAME
+    * row-local digit-run collapse, so detection and enforcement
+    * cannot drift; the trap table is template-count-sized and
+    * broadcasts. Rows pass 1:1 (anti-join) — compose onto
+    * [[crawlFrontier]]/[[politeFrontier]] output before fetching. */
+  def blockTemplates(
+      urls: DataFrame,
+      traps: DataFrame,
+      urlCol: String = "link_url",
+      hostCol: String = "link_host",
+      broadcastTraps: Boolean = true): DataFrame = {
+    val t = traps.select(col("host").as(hostCol), col("template").as("_tpl"))
+    val rhs = if (broadcastTraps) broadcast(t) else t
+    urls
+      .withColumn("_tpl",
+        regexp_replace(
+          regexp_replace(col(urlCol), Robots.PathQueryPat, ""),
+          DigitRunPat, "{n}"))
+      .join(rhs, Seq(hostCol, "_tpl"), "left_anti")
+      .select(urls.columns.map(col): _*) // restore input column order
+  }
+
   // ---- URL-level dedup -------------------------------------------------
 
   /** URL-identity dedup report: `(doc_id, url_key, keep)` — one row

@@ -651,6 +651,28 @@ class CrawlSpec extends SparkSpec {
       graft.ops.Crawl.urlTemplates(p).collect().toSet)
   }
 
+  test("blockTemplates: trap (host, template) rows drop, same-template other hosts keep, rows pass 1:1") {
+    val urls = Seq(
+      ("https://t.example.org/cal/2024/01", "t.example.org", 1L),
+      ("https://t.example.org/cal/2024/02", "t.example.org", 2L),
+      ("https://t.example.org/about", "t.example.org", 3L),
+      // same template shape on another host: NOT in the trap table
+      ("https://u.example.org/cal/2024/01", "u.example.org", 4L))
+      .toDF("link_url", "link_host", "n_refs")
+    val traps = Seq(("t.example.org", "/cal/{n}/{n}")).toDF("host", "template")
+    val got = graft.ops.Crawl.blockTemplates(urls, traps)
+      .as[(String, String, Long)].collect().toSet
+    assert(got === Set(
+      ("https://t.example.org/about", "t.example.org", 3L),
+      ("https://u.example.org/cal/2024/01", "u.example.org", 4L)))
+    // detection-to-enforcement round trip: templates mined at K=2 block
+    // exactly the trap family
+    val pagesDf = urls.select(col("n_refs").as("doc_id"), col("link_url").as("url"))
+    val mined = graft.ops.Crawl.urlTemplates(pagesDf).where(col("n_urls") >= 2)
+    assert(graft.ops.Crawl.blockTemplates(urls, mined)
+      .as[(String, String, Long)].collect().toSet === got)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; null text hashes like empty") {
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"), (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
