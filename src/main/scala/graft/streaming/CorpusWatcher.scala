@@ -309,6 +309,17 @@ object CorpusWatcher {
     * responses back into `watchDir`, and the fetched keys land in the
     * history, closing the daily-crawl loop end to end.
     *
+    * Change-aware URL gate (`recrawlDir`, exclusive with
+    * `urlHistoryDir`): the RECRAWL mode of the same first stage — a
+    * re-fetched URL is dropped only when its content hash matches a
+    * version already processed FOR that URL (`(url_key, content_hash)`
+    * pair history), so changed pages flow through to re-extraction and
+    * (with URL-stable doc ids) replace their stale index rows, while
+    * unchanged re-fetches cost one 32-byte pair probe. The history
+    * partitions double as the fetch log ([[recrawlDue]] derives the
+    * binary-backoff due list from them), so this dir is exempt from
+    * compaction — batch provenance IS the data.
+    *
     * Positional snapshots (`positional`): the maintained index is
     * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
     * positions, cnt)` instead of the flat counts, so
@@ -384,12 +395,16 @@ object CorpusWatcher {
       htmlExtract: Boolean = false,
       c4Rules: Boolean = false,
       urlHistoryDir: Option[String] = None,
-      frontierDir: Option[String] = None): StreamingQuery = {
+      frontierDir: Option[String] = None,
+      recrawlDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
     require(frontierDir.isEmpty || urlHistoryDir.isDefined,
       "frontierDir needs urlHistoryDir: the URL-key history IS the frontier's seen set")
+    require(urlHistoryDir.isEmpty || recrawlDir.isEmpty,
+      "urlHistoryDir and recrawlDir are two modes of the ONE URL gate: " +
+        "identity (drop every re-crawl) or change-aware (drop unchanged re-crawls)")
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
     // switches every CONTENT-KEYED stage — band signatures (history +
@@ -461,7 +476,52 @@ object CorpusWatcher {
         // field at all — the column parses NULL) always pass. Within
         // the batch the minimum doc_id (string order — ids are opaque
         // here) wins its canonical-URL group, deterministically.
-        val parsed1 = urlHistoryDir match {
+        val parsed1 = if (recrawlDir.isDefined) {
+          // Change-aware URL gate (`recrawlDir`): where the identity
+          // gate drops EVERY re-crawl, this one drops a re-crawl only
+          // when it brings nothing new — the history is the append-only
+          // set of `(url_key, content_hash)` PAIRS ever observed (a
+          // pair's FIRST observation always admits, so this equals the
+          // admitted set; later observations only feed the log), so an
+          // unchanged re-fetch dies against its own pair, a changed
+          // page passes (new pair), and a page that later reverts to
+          // old content dies again (that pair was processed). Pair-set
+          // membership keeps the append-only key-history discipline —
+          // no per-key latest-version bookkeeping. The partitions
+          // double as the FETCH LOG (`batch_id` = fetch time in batch
+          // units): [[recrawlDue]] runs [[graft.ops.Crawl.recrawlPolicy]]
+          // over the accumulated dir for the backoff due list — which
+          // is why this dir never joins the history compaction (folding
+          // partitions would erase fetch provenance). If the feed keys
+          // doc_id by URL, the index upsert REPLACES the stale version
+          // on change — the freshness loop closed end to end.
+          val rd = recrawlDir.get
+          val keyed = staged(parsed0
+            .withColumn("url_key", md5(graft.ops.Crawl.canonicalizeUrl(col("url"))))
+            .withColumn("content_hash", md5(coalesce(col("text"), lit("")))))
+          val freshVsHist =
+            accumulatedPartitions(session, rd, excludeBatchId = batchId) match {
+              case Some(h) =>
+                keyed.join(h.select("url_key", "content_hash"),
+                  Seq("url_key", "content_hash"), "left_anti")
+              case None => keyed
+            }
+          val winners = freshVsHist.where(col("url_key").isNotNull)
+            .groupBy("url_key", "content_hash").agg(min(col("doc_id")).as("_rc_winner"))
+          val kept = staged(freshVsHist
+            .join(winners, Seq("url_key", "content_hash"), "left")
+            .where(col("url_key").isNull || col("doc_id") === col("_rc_winner"))
+            .drop("_rc_winner"))
+          // the partition logs every pair OBSERVED this batch (from
+          // `keyed`, not `kept`): an unchanged re-fetch must still
+          // appear in the fetch log — it is exactly the observation
+          // the backoff counts — and a re-logged known pair changes
+          // nothing for the gate's anti-join
+          keyed.where(col("url_key").isNotNull)
+            .select("url_key", "content_hash").distinct()
+            .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
+          kept.drop("url_key", "content_hash", "url")
+        } else urlHistoryDir match {
           case None => parsed0.drop("url")
           case Some(ud) =>
             // `url` survives the gate when the frontier stage (below)
@@ -780,8 +840,9 @@ object CorpusWatcher {
           // count only the frames a knob actually changed; pass-through
           // stages reuse the upstream count (no extra action)
           val nIngest = batch.count()
-          val nParsed = if (urlHistoryDir.isDefined) parsed0.count() else parsed.count()
-          val nUrl = if (urlHistoryDir.isDefined) parsed.count() else nParsed
+          val urlGateOn = urlHistoryDir.isDefined || recrawlDir.isDefined
+          val nParsed = if (urlGateOn) parsed0.count() else parsed.count()
+          val nUrl = if (urlGateOn) parsed.count() else nParsed
           // html extraction rewrites text but never drops rows — the
           // stage row reuses the url-gate count (no extra action)
           val nHtml = nUrl
@@ -885,6 +946,36 @@ object CorpusWatcher {
     * the history's data volume (1 is right until a single partition's
     * rows stop fitting one task's write).
     */
+  /** The recrawl gate's SERVING face: run
+    * [[graft.ops.Crawl.recrawlPolicy]] over the accumulated
+    * `recrawlDir` fetch log — partitions are `(url_key, content_hash)`
+    * per batch, `batch_id` is the fetch time in BATCH units (so
+    * `baseInterval`/`maxInterval` are counted in batches, e.g. a
+    * daily-batch feed's `baseInterval = 1` means "re-fetch changed
+    * pages every day") — and keep the URLs due at `now` (current batch
+    * id). The due list keys by `url` = the 16-byte url_key; join it
+    * back to a URL table (or the frontier history) to get fetchable
+    * URLs. One scan of the key-sized log, no text anywhere. */
+  def recrawlDue(
+      session: SparkSession,
+      recrawlDir: String,
+      now: Long,
+      baseInterval: Long = 1L,
+      maxInterval: Long = 30L): DataFrame =
+    graft.ops.Crawl.recrawlPolicy(
+      session.read.parquet(recrawlDir)
+        .select(col("url_key").as("url"),
+          col("batch_id").cast("long").as("fetch_ts"),
+          col("content_hash"))
+        // recrawlPolicy's (url, fetch_ts) uniqueness contract: a URL
+        // observed with TWO content versions in one batch collapses
+        // to the max hash (deterministic; multi-version-per-batch is
+        // an edge the policy need not distinguish)
+        .groupBy(col("url"), col("fetch_ts"))
+        .agg(max(col("content_hash")).as("content_hash")),
+      baseInterval, maxInterval)
+      .where(col("next_fetch_at") <= now)
+
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
     val root = new org.apache.hadoop.fs.Path(dir)

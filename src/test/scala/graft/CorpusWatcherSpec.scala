@@ -848,6 +848,58 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(m1("frontier") === 1L)
   }
 
+  test("recrawlDir: unchanged re-fetch drops, changed content passes, reverted content drops; due list from the log") {
+    val (watch, index, quar, rlog) =
+      (tmp("watchrc"), tmp("indexrc"), tmp("quarrc") + "/bad", tmp("histrc") + "/fetches")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      recrawlDir = Some(rlog)).awaitTermination()
+    // batch 0: one page; a same-URL-same-content twin loses within the
+    // batch; a no-url row passes untouched
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 90, "text": "pageavone words", "url": "https://rc.example.org/a"}""" + "\n" +
+        """{"doc_id": 91, "text": "pageavone words", "url": "https://rc.example.org/a?utm_source=s"}""" + "\n" +
+        """{"doc_id": 92, "text": "nourlrc words"}""" + "\n").getBytes("UTF-8"))
+    val ckpt = tmp("ckptrc")
+    run(ckpt)
+    val e0 = indexEntries(index)
+    assert(e0.exists(e => e._1 == "pageavone" && e._2 == "90"))
+    assert(!e0.exists(e => e._2 == "91"), "within-batch same-pair twin must lose")
+    assert(e0.exists(e => e._1 == "nourlrc" && e._2 == "92"))
+    // the batch-0 log partition holds exactly the one observed pair
+    assert(spark.read.parquet(rlog).filter(col("batch_id") === 0).count() === 1)
+    // replay batch 0 (fresh checkpoint): must not self-drop
+    run(tmp("ckptrc2"))
+    assert(indexEntries(index).exists(e => e._1 == "pageavone" && e._2 == "90"),
+      "a replayed batch must not die against its first-attempt pairs")
+    // batch 1: unchanged re-fetch dies BUT is logged; changed content passes
+    Files.write(Paths.get(watch, "feed-1.json"),
+      ("""{"doc_id": 93, "text": "pageavone words", "url": "https://rc.example.org/a"}""" + "\n" +
+        """{"doc_id": 94, "text": "pageavtwo fresh words", "url": "https://rc.example.org/a"}""" + "\n")
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val e1 = indexEntries(index)
+    assert(!e1.exists(e => e._2 == "93"), "an unchanged re-fetch must drop at the gate")
+    assert(e1.exists(e => e._1 == "pageavtwo" && e._2 == "94"),
+      "changed content must pass the gate")
+    // both observed pairs (v1 again + v2) logged for batch 1
+    assert(spark.read.parquet(rlog).filter(col("batch_id") === 1).count() === 2)
+    // batch 2: content REVERTS to v1 — that pair was processed: drop
+    Files.write(Paths.get(watch, "feed-2.json"),
+      """{"doc_id": 95, "text": "pageavone words", "url": "https://rc.example.org/a"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    assert(!indexEntries(index).exists(e => e._2 == "95"),
+      "reverted content is a pair the corpus already processed")
+    // due list off the accumulated log: url A observed at batches
+    // 0,1,2 with changes at 0 (first) and 1 (v2 wins the batch-1
+    // collapse as max hash? order-free: n_changes >= 1), last_fetch=2
+    val due = CorpusWatcher.recrawlDue(spark, rlog, now = 10L)
+      .select("last_fetch", "n_fetches").as[(Long, Long)].collect()
+    assert(due.length === 1 && due.head._1 === 2L && due.head._2 === 3L)
+    // not yet due right after the last fetch
+    assert(CorpusWatcher.recrawlDue(spark, rlog, now = 2L).count() === 0L)
+  }
+
   test("paraHistoryDir strips already-seen paragraphs from later batches; replay-idempotent") {
     val (watch, index, quar, hist) =
       (tmp("watchpp"), tmp("indexpp"), tmp("quarpp") + "/bad", tmp("histpp") + "/paras")
