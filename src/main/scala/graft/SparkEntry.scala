@@ -485,12 +485,14 @@ object SparkEntry {
     * extraction (group 1/2 of the SAME pattern — equal list lengths
     * by construction), the [[htmlSegmentSql]] chain on the inner
     * markup, then resolution + canonicalization. Final CTE `ac`. */
-  private val ANCHOR_CTES: String = {
+  /** The anchor chain ASSUMING `pc` is already defined — so twins
+    * that already carry the link prologue (via [[LINK_CTES]] inside
+    * RANK/FRONTIER) can add anchors without duplicate CTE names. */
+  private val ANCHOR_STAGES: String = {
     import graft.ops.Crawl._
     def both(grp: Int) =
       s"list_concat(regexp_extract_all(coalesce(text, ''), ${sqlStr(AnchorDqPat)}, $grp), regexp_extract_all(coalesce(text, ''), ${sqlStr(AnchorSqPat)}, $grp))"
-    s"""$LINK_PC_CTES,
-       |ah AS (SELECT doc_id, canon_url AS page_canon, host AS page_host,
+    s"""ah AS (SELECT doc_id, canon_url AS page_canon, host AS page_host,
        |    ${both(1)} AS hs, ${both(2)} AS its FROM pc),
        |ax AS (SELECT doc_id, page_canon, page_host, CAST(i - 1 AS INTEGER) AS link_idx,
        |    hs[i] AS href0, its[i] AS inner0
@@ -502,6 +504,10 @@ object SparkEntry {
        |    ${resolvedToSql("href", "page_canon")} AS resolved FROM ad),
        |${urlCanonCtes("ac", "ar", "resolved", "doc_id, page_host, link_idx, href, anchor_text")}""".stripMargin
   }
+
+  private val ANCHOR_CTES: String =
+    s"""$LINK_PC_CTES,
+       |$ANCHOR_STAGES""".stripMargin
 
   /** Probe sitemap documents: a urlset with entity/whitespace/relative
     * loc paths, a sitemapindex (is_index flag), a non-XML body. */
@@ -1871,6 +1877,15 @@ object SparkEntry {
     }),
     // adaptive revisit scheduling: binary backoff on unchanged fetches
     "q_recrawl" -> ((s, dir) => graft.ops.Crawl.recrawlPolicy(fetchLog(s, dir))),
+    // the frontier with pre-fetch relevance: what the web's link text
+    // calls each un-fetched candidate (top-3 anchor words per target)
+    "q_frontier_anchors" -> ((s, dir) => {
+      val pages = linkPages(s, dir)
+      graft.ops.Crawl.crawlFrontier(pages,
+        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+        perHostCap = 5)
+        .join(graft.ops.Crawl.anchorWordSummary(pages), Seq("link_url"), "left")
+    }),
     // detection-to-enforcement: trap templates mined from the frontier's
     // own candidate pool (n_urls >= 3), then blocked before fetch
     "q_frontier_guard" -> ((s, dir) => {
@@ -3347,6 +3362,25 @@ object SparkEntry {
       s"""WITH $RANK_CTES,
          |$FRONTIER_CTES
          |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_frontier_anchors" ->
+      // twin of crawlFrontier + anchorWordSummary(top 3): the anchor
+      // stages ride the frontier's own pc prologue (ANCHOR_STAGES),
+      // per-target word counts, (cnt desc, word asc) top-3 string
+      s"""WITH $RANK_CTES,
+         |$FRONTIER_CTES,
+         |$ANCHOR_STAGES,
+         |awc AS MATERIALIZED (SELECT canon_url AS link_url, word, count(*) AS cnt FROM (
+         |    SELECT ac.canon_url,
+         |      unnest(list_filter(string_split(regexp_replace(lower(regexp_replace(ac.anchor_text, '\\s+', ' ', 'g')), '[^a-z0-9 ]', '', 'g'), ' '), t -> len(t) > 0)) AS word
+         |    FROM ac WHERE ac.canon_url IS NOT NULL)
+         |  GROUP BY 1, 2),
+         |awt AS MATERIALIZED (SELECT link_url,
+         |    string_agg(word, ' ' ORDER BY cnt DESC, word ASC) AS anchor_words
+         |  FROM (SELECT link_url, word, cnt,
+         |      row_number() OVER (PARTITION BY link_url ORDER BY cnt DESC, word ASC) AS rn
+         |    FROM awc) WHERE rn <= 3 GROUP BY link_url)
+         |SELECT fr.link_url, fr.link_host, fr.n_refs, fr.domain_rank, fr.pos, awt.anchor_words
+         |FROM fr LEFT JOIN awt USING (link_url)""".stripMargin,
     "q_frontier_guard" ->
       // twin of urlTemplates-over-the-frontier (K = 3) + blockTemplates:
       // trap membership mined via the full canonicalization chain on

@@ -554,6 +554,37 @@ object Crawl {
       idCol = "link_host", textCol = "anchor_text")
       .select(col("word"), col("doc_id").as("link_host"), col("cnt"))
 
+  /** What the web's link text calls each TARGET URL — the focused
+    * crawler's pre-fetch relevance feature: per canonical link target,
+    * the top-`topWords` anchor words by `(count desc, word asc)`
+    * joined into one string. Where [[anchorIndex]] aggregates per
+    * HOST for retrieval, this keys by the exact target URL so it
+    * joins onto [[crawlFrontier]] output — the only description a
+    * crawler has of a page it has NOT fetched yet is what other pages
+    * say when they link it. Output `(link_url, anchor_words)`.
+    *
+    * Scale shape: row-local anchor extraction + the §2 tokenizer,
+    * one combinable `(url, word)` count, then the bounded-heap top-k
+    * per URL ([[graft.functions.TopKByScore]] — never a window; a
+    * popular URL has unbounded anchor vocabulary). */
+  def anchorWordSummary(
+      pages: DataFrame,
+      urlCol: String = "url",
+      topWords: Int = 3): DataFrame = {
+    require(topWords >= 1, s"topWords=$topWords must be >= 1")
+    anchorTexts(pages, urlCol)
+      .where(col("link_url").isNotNull)
+      .select(col("link_url"),
+        explode(graft.core.TextNorm.tokens(col("anchor_text"))).as("word"))
+      .groupBy(col("link_url"), col("word"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("link_url"))
+      .agg(graft.functions.TopKByScore.topK(
+        col("cnt"), col("word"), topWords).as("_tk"))
+      .select(col("link_url"),
+        concat_ws(" ", expr("transform(_tk, e -> e.id)")).as("anchor_words"))
+  }
+
   /** The host-level edge list: `(src, dst, n_links)` over resolvable
     * links from pages with a canonical host. `selfEdges=false`
     * (default) drops intra-host links — the domain graph a PageRank

@@ -651,6 +651,25 @@ class CrawlSpec extends SparkSpec {
       graft.ops.Crawl.urlTemplates(p).collect().toSet)
   }
 
+  test("anchorWordSummary: per-target top-k words by (cnt desc, word asc); markup strips; empty anchors vanish") {
+    val p = Seq(
+      (1L, "https://s1.example.org/a",
+        "<a href=\"https://t.example.org/page\"><b>Great</b> article</a>" +
+          "<a href=\"https://t.example.org/page\">article two</a>" +
+          "<a href=\"https://u.example.org/x\"></a>"),
+      (2L, "https://s2.example.org/b",
+        "<a href=\"https://t.example.org/page\">zz article</a>"))
+      .toDF("doc_id", "url", "text")
+    val got = graft.ops.Crawl.anchorWordSummary(p, topWords = 2)
+      .as[(String, String)].collect().toMap
+    // counts: article=3, great=1, two=1, zz=1 -> top2 = article, great
+    assert(got === Map("https://t.example.org/page" -> "article great"))
+    // topWords widens deterministically
+    val got3 = graft.ops.Crawl.anchorWordSummary(p, topWords = 3)
+      .as[(String, String)].collect().toMap
+    assert(got3("https://t.example.org/page") === "article great two")
+  }
+
   test("blockTemplates: trap (host, template) rows drop, same-template other hosts keep, rows pass 1:1") {
     val urls = Seq(
       ("https://t.example.org/cal/2024/01", "t.example.org", 1L),
