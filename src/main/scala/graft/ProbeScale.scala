@@ -428,14 +428,20 @@ object ProbeScale {
     // "stream14" = stream13 + the URL-identity gate on a 50%-recrawl
     // feed (even base ids share a canonical URL across batches and
     // copies): the gate should SHRINK every downstream stage
+    // "stream15" = stream13 + the CHANGE-AWARE gate (recrawlDir) on a
+    // recrawl feed whose even pages are STABLE content (unchanged
+    // re-fetch every batch; only the %16==0 slice revs per batch):
+    // the gate must drop the unchanged majority at pair-probe cost
+    // while the revved slice flows through to re-extraction
     if (section == "stream" || section == "stream12" || section == "stream13" ||
-        section == "stream14") {
+        section == "stream14" || section == "stream15") {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     import scala.jdk.CollectionConverters._
     import graft.streaming.CorpusWatcher
     import graft.ops.{Curation, Dedup, Sampling}
     val root =
-      if (section == "stream14") "/tmp/stream14_probe"
+      if (section == "stream15") "/tmp/stream15_probe"
+      else if (section == "stream14") "/tmp/stream14_probe"
       else if (section == "stream13") "/tmp/stream13_probe"
       else if (section == "stream12") "/tmp/stream12_probe"
       else "/tmp/stream_probe"
@@ -483,14 +489,25 @@ object ProbeScale {
       base.join(partner, col("doc_id") % nBase === col("pid"))
         .select(
           (lit(i * 1000000L + c * 100000L) + col("doc_id")).as("doc_id"),
-          concat(col("text"), lit(" "), col("ptext")).as("text"),
+          (if (section != "stream15") concat(col("text"), lit(" "), col("ptext"))
+           else
+             // stream15 text: even base ids are STABLE pages (base
+             // text verbatim — same every batch and copy) except the
+             // %16==0 slice which revs once per batch; odd ids keep
+             // the fresh pair text
+             when(col("doc_id") % 2 === 0,
+               when(col("doc_id") % 16 === 0,
+                 concat(col("text"), lit(" revision "), lit(i)))
+                 .otherwise(col("text")))
+               .otherwise(concat(col("text"), lit(" "), col("ptext"))))
+            .as("text"),
           col("source"))
     }.reduce(_ unionByName _)
       .transform(df =>
-        // stream14: even base ids re-use one canonical URL per base
+        // stream14/15: even base ids re-use one canonical URL per base
         // doc across batches AND copies (a 50% re-crawl feed); odd
         // ids are genuinely fresh fetches
-        if (section != "stream14") df
+        if (section != "stream14" && section != "stream15") df
         else df.withColumn("url",
           when(col("doc_id") % 2 === 0,
             // host AND path key on the base id, so the same page
@@ -524,10 +541,13 @@ object ProbeScale {
           paraHistoryDir = if (section == "stream") None else Some(s"$root/paras"),
           compactEvery = if (section == "stream") None else Some(3),
           sentenceSpanHistoryDir =
-            if (section == "stream13" || section == "stream14") Some(s"$root/sspans")
+            if (section == "stream13" || section == "stream14" || section == "stream15")
+              Some(s"$root/sspans")
             else None,
           urlHistoryDir =
             if (section == "stream14") Some(s"$root/urls") else None,
+          recrawlDir =
+            if (section == "stream15") Some(s"$root/fetches") else None,
           spanHistoryDir = Some(spans),
           metricsDir = Some(metrics), driftDir = Some(drift))
           .awaitTermination()
