@@ -1868,6 +1868,12 @@ object SparkEntry {
         graft.ops.Crawl.linkHostEdges(linkPages(s, dir)),
         DepthSeeds.toDF("node"), maxDepth = 4)
     }),
+    // rank-proportional fetch budgets: the wave-planning face
+    "q_crawl_budget" -> ((s, dir) =>
+      graft.ops.Crawl.crawlBudget(
+        graft.ops.Crawl.domainRank(
+          graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3),
+        total = 1000L, minPerHost = 2L, maxPerHost = 100L)),
     // warm-start PageRank: 2 iterations from a stored prior, not uniform
     "q_rank_refresh" -> ((s, dir) => {
       import s.implicits._
@@ -3421,6 +3427,21 @@ object SparkEntry {
          |  UNION
          |  SELECT e.dst, r.d + 1 FROM reach r JOIN eg e ON e.src = r.node WHERE r.d < 4)
          |SELECT node, min(d) AS depth FROM reach GROUP BY node""".stripMargin,
+    "q_crawl_budget" ->
+      // twin of Crawl.crawlBudget(total=1000, min=2, max=100) over the
+      // 3-iteration ranks: re-quantize to BIGINT units (fixed shape),
+      // ORDER-INDEPENDENT integer denominator, one floor expression
+      s"""WITH $RANK_CTES,
+         |rv AS MATERIALIZED (SELECT node, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank FROM r3),
+         |ru AS MATERIALIZED (SELECT node, rank,
+         |    CAST(round(rank * CAST(1000000000000 AS DOUBLE), 0) AS BIGINT) AS u FROM rv),
+         |su AS (SELECT coalesce(sum(u), 0) AS sum_u FROM ru)
+         |SELECT node, rank,
+         |  CASE WHEN su.sum_u > 0 THEN
+         |    greatest(CAST(2 AS BIGINT), least(CAST(100 AS BIGINT),
+         |      CAST(floor(CAST(1000 AS DOUBLE) * CAST(u AS DOUBLE) / CAST(su.sum_u AS DOUBLE)) AS BIGINT)))
+         |  ELSE CAST(2 AS BIGINT) END AS fetch_budget
+         |FROM ru CROSS JOIN su""".stripMargin,
     "q_rank_refresh" ->
       // twin of Crawl.domainRankFrom(iters = 2): the warm init is the
       // one fixed-shape FP expression round(coalesce(rank*U, U/N), 0)

@@ -1166,6 +1166,46 @@ object Crawl {
         col("old_h"), col("new_h"))
   }
 
+  /** Allocate a TOTAL fetch budget across hosts proportionally to a
+    * rank table — the planning face between [[domainRank]] and
+    * [[politeFrontier]]: a crawl wave has a global capacity (fetcher
+    * slots x window) and spends it where the quality prior says pages
+    * are worth fetching, clamped to `[minPerHost, maxPerHost]`
+    * (every known host deserves a probe; no host may monopolize the
+    * wave). Output: `(node, rank, fetch_budget)`; feed each host's
+    * budget to [[crawlFrontier]]'s `perHostCap` consumer or slice the
+    * polite frontier by `pos <= fetch_budget`.
+    *
+    * Determinism: ranks re-quantize to BIGINT [[RankUnits]] by the
+    * fixed-shape `round(rank · U, 0)` (exactly the stored
+    * [[domainRank]] units), the denominator is an ORDER-INDEPENDENT
+    * integer sum — never a double sum, whose partial-aggregation
+    * order would differ per engine — and the per-host share is one
+    * fixed-shape `floor(total · ru / sum_u)` double expression. A
+    * rank table summing to zero (or empty) degrades to `minPerHost`
+    * everywhere. Row-local + one broadcast scalar — no shuffle beyond
+    * the one-row aggregate. */
+  def crawlBudget(
+      ranks: DataFrame,
+      total: Long,
+      minPerHost: Long = 1L,
+      maxPerHost: Long = Long.MaxValue): DataFrame = {
+    require(total >= 0, s"total=$total must be >= 0")
+    require(minPerHost >= 0, s"minPerHost=$minPerHost must be >= 0")
+    require(maxPerHost >= minPerHost,
+      s"maxPerHost=$maxPerHost must be >= minPerHost=$minPerHost")
+    val u = ranks.select(col("node"), col("rank"),
+      round(col("rank") * lit(RankUnits).cast("double"), 0).cast("long").as("ru"))
+    val sumU = u.agg(coalesce(sum(col("ru")), lit(0L)).as("sum_u"))
+    u.crossJoin(broadcast(sumU))
+      .select(col("node"), col("rank"),
+        when(col("sum_u") > 0L,
+          greatest(lit(minPerHost), least(lit(maxPerHost),
+            floor(lit(total).cast("double") * col("ru").cast("double") /
+              col("sum_u").cast("double")).cast("long"))))
+          .otherwise(lit(minPerHost)).as("fetch_budget"))
+  }
+
   // ---- Recrawl scheduling ----------------------------------------------
 
   /** Adaptive revisit scheduling from a fetch log — the freshness

@@ -94,6 +94,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.recrawlPolicyTableFunction)
     ext.injectTableFunction(GraftExtensions.robotsSitemapsTableFunction)
     ext.injectTableFunction(GraftExtensions.urlTemplatesTableFunction)
+    ext.injectTableFunction(GraftExtensions.crawlBudgetTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -1645,6 +1646,30 @@ object GraftExtensions {
           mat = graft.core.Materialize.Persist))
     })
 
+  /** SQL surface for rank-proportional fetch budgets
+    * ([[graft.ops.Crawl.crawlBudget]]):
+    * `SELECT * FROM graft_crawl_budget('ranks', 100000)` or the
+    * 4-arg form with min/max per-host clamps. */
+  private val crawlBudgetTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_crawl_budget"),
+    new ExpressionInfo(graft.ops.Crawl.getClass.getName, "graft_crawl_budget"),
+    (children: Seq[Expression]) => {
+      require(children.size >= 2 && children.size <= 4,
+        "graft_crawl_budget(ranks_table, total[, min_per_host[, max_per_host]])")
+      val num = numArg("graft_crawl_budget") _
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Crawl.crawlBudget(
+          SparkSession.active.table(
+            stringArg("graft_crawl_budget")(children.head, "ranks_table")),
+          total = num(children(1), "total").toLong,
+          minPerHost =
+            if (children.size >= 3) num(children(2), "min_per_host").toLong else 1L,
+          maxPerHost =
+            if (children.size == 4) num(children(3), "max_per_host").toLong
+            else Long.MaxValue))
+    })
+
   /** SQL surface for robots `Sitemap:` discovery
     * ([[graft.ops.Robots.sitemapDirectives]]):
     * `SELECT * FROM graft_robots_sitemaps('robots_bodies')` over a
@@ -1895,7 +1920,8 @@ object GraftExtensions {
         robotsFilterTableFunction, hostSummaryTableFunction,
         sitemapUrlsTableFunction, crawlDelaysTableFunction,
         politeFrontierTableFunction, recrawlPolicyTableFunction,
-        robotsSitemapsTableFunction, urlTemplatesTableFunction)
+        robotsSitemapsTableFunction, urlTemplatesTableFunction,
+        crawlBudgetTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -307,7 +307,10 @@ object CorpusWatcher {
     * extraction plus two 16-byte-key anti-joins per batch — flat as
     * history grows. A fetch worker consumes a partition, feeds
     * responses back into `watchDir`, and the fetched keys land in the
-    * history, closing the daily-crawl loop end to end.
+    * history, closing the daily-crawl loop end to end. Pass a stored
+    * [[graft.ops.Robots.robotsRules]] table as `frontierRules` to
+    * enforce politeness at QUEUE time — disallowed targets never
+    * enter the work list (broadcast rule table, row-local fold).
     *
     * Change-aware URL gate (`recrawlDir`, exclusive with
     * `urlHistoryDir`): the RECRAWL mode of the same first stage — a
@@ -396,7 +399,8 @@ object CorpusWatcher {
       c4Rules: Boolean = false,
       urlHistoryDir: Option[String] = None,
       frontierDir: Option[String] = None,
-      recrawlDir: Option[String] = None): StreamingQuery = {
+      recrawlDir: Option[String] = None,
+      frontierRules: Option[DataFrame] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -405,6 +409,8 @@ object CorpusWatcher {
     require(urlHistoryDir.isEmpty || recrawlDir.isEmpty,
       "urlHistoryDir and recrawlDir are two modes of the ONE URL gate: " +
         "identity (drop every re-crawl) or change-aware (drop unchanged re-crawls)")
+    require(frontierRules.isEmpty || frontierDir.isDefined,
+      "frontierRules filters the frontier stage: pass frontierDir with it")
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
     // switches every CONTENT-KEYED stage — band signatures (history +
@@ -572,9 +578,19 @@ object CorpusWatcher {
           case None => parsed1
           case Some(fd) =>
             val links = graft.ops.Crawl.extractLinks(parsed1)
-            val cands = links.where(col("link_url").isNotNull)
+            val cands0 = links.where(col("link_url").isNotNull)
               .select(md5(col("link_url")).as("url_key"),
                 col("link_url"), col("link_host"))
+            // politeness at QUEUE time (`frontierRules`): a stored
+            // robotsRules table filters candidates BEFORE they cost a
+            // history probe or a queue slot — a disallowed URL should
+            // never be scheduled, not merely skipped at fetch time.
+            // Broadcast host-sized rule table, row-local HOF fold
+            // (the Robots stance); rows pass 1:1
+            val cands = frontierRules match {
+              case None => cands0
+              case Some(r) => graft.ops.Robots.allowedOnly(cands0, r)
+            }
             val unseen = accumulatedPartitions(
               session, urlHistoryDir.get, excludeBatchId = Long.MinValue) match {
               case Some(h) => cands.join(h.select("url_key"), Seq("url_key"), "left_anti")

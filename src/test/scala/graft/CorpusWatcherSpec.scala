@@ -848,6 +848,24 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(m1("frontier") === 1L)
   }
 
+  test("frontierRules: disallowed targets never enter the streamed work list") {
+    val (watch, index, quar) = (tmp("watchfx"), tmp("indexfx"), tmp("quarfx") + "/bad")
+    val hist = tmp("histfx") + "/urls"
+    val fdir = tmp("frontfx") + "/frontier"
+    val rules = graft.ops.Robots.robotsRules(
+      Seq(("t.example.org", "User-agent: *\nDisallow: /blocked\n"))
+        .toDF("host", "robots_txt"))
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 85, "text": "<a href=\"https://t.example.org/blocked/x\">b</a><a href=\"https://t.example.org/open/y\">o</a> body", "url": "https://a.example.org/p"}""" + "\n")
+        .getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptfx"), quar,
+      urlHistoryDir = Some(hist), frontierDir = Some(fdir),
+      frontierRules = Some(rules)).awaitTermination()
+    val queued = spark.read.parquet(fdir).select("link_url").as[String].collect().toSet
+    assert(queued === Set("https://t.example.org/open/y"),
+      "the robots-disallowed target must never be queued")
+  }
+
   test("recrawlDir: unchanged re-fetch drops, changed content passes, reverted content drops; due list from the log") {
     val (watch, index, quar, rlog) =
       (tmp("watchrc"), tmp("indexrc"), tmp("quarrc") + "/bad", tmp("histrc") + "/fetches")

@@ -692,6 +692,30 @@ class CrawlSpec extends SparkSpec {
       .as[(String, String, Long)].collect().toSet === got)
   }
 
+  test("crawlBudget: rank-proportional shares, min/max clamps, zero-mass degrades to minPerHost") {
+    val ranks = Seq(("a", 0.5), ("b", 0.3), ("c", 0.2), ("d", 0.0)).toDF("node", "rank")
+    val got = graft.ops.Crawl.crawlBudget(ranks, total = 100L,
+      minPerHost = 2L, maxPerHost = 40L)
+      .select(col("node"), col("fetch_budget")).as[(String, Long)].collect().toMap
+    // shares 50/30/20/0 -> clamp: a 50->40 (max), d 0->2 (min)
+    assert(got === Map("a" -> 40L, "b" -> 30L, "c" -> 20L, "d" -> 2L))
+    // zero-mass rank table: everyone gets the probe minimum
+    val zero = Seq(("a", 0.0), ("b", 0.0)).toDF("node", "rank")
+    assert(graft.ops.Crawl.crawlBudget(zero, 100L, minPerHost = 3L)
+      .select("fetch_budget").as[Long].collect().toSeq === Seq(3L, 3L))
+    // SQL face parity (2- and 4-arg forms)
+    val s = SparkSpec.spark
+    graft.plans.GraftExtensions.install(s)
+    ranks.createOrReplaceTempView("budget_ranks")
+    assert(s.sql("SELECT * FROM graft_crawl_budget('budget_ranks', 100, 2, 40)")
+      .collect().toSet ===
+      graft.ops.Crawl.crawlBudget(s.table("budget_ranks"), 100L, 2L, 40L)
+        .collect().toSet)
+    assert(s.sql("SELECT * FROM graft_crawl_budget('budget_ranks', 100)")
+      .collect().toSet ===
+      graft.ops.Crawl.crawlBudget(s.table("budget_ranks"), 100L).collect().toSet)
+  }
+
   test("corpusDiff: added/removed/changed/unchanged; null text hashes like empty") {
     val old = Seq((1L, "same"), (2L, "will change"), (3L, "will vanish"), (5L, null.asInstanceOf[String]))
       .toDF("doc_id", "text")
