@@ -404,6 +404,27 @@ object SparkEntry {
       .unionByName(FetchRows.toDF("url", "fetch_ts", "content_hash"))
   }
 
+  /** Twin of [[graft.ops.Crawl.recrawlPolicy]] over [[fetchLog]] —
+    * shared by q_recrawl (whole policy table) and q_recrawl_due (the
+    * filtered due list). */
+  private lazy val RECRAWL_TWIN: String =
+    s"""WITH fl AS MATERIALIZED (
+       |    SELECT $RecrawlUrlSql AS url, $RecrawlTsSql AS fetch_ts, $RecrawlHashSql AS content_hash FROM documents
+       |    UNION ALL SELECT * FROM (VALUES ${FetchRows.map { case (u, t, h) => s"(${sqlStr(u)}, CAST($t AS BIGINT), ${if (h == null) "CAST(NULL AS STRING)" else sqlStr(h)})" }.mkString(", ")}) AS v(url, fetch_ts, content_hash)),
+       |ff AS (SELECT url, fetch_ts, coalesce(content_hash, '') AS h FROM fl),
+       |fg AS MATERIALIZED (SELECT url, fetch_ts, h,
+       |    CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY fetch_ts) IS NULL
+       |         OR lag(h) OVER (PARTITION BY url ORDER BY fetch_ts) <> h THEN 1 ELSE 0 END AS changed,
+       |    row_number() OVER (PARTITION BY url ORDER BY fetch_ts) AS rn FROM ff),
+       |ag AS MATERIALIZED (SELECT url, count(*) AS n_fetches, CAST(sum(changed) AS BIGINT) AS n_changes,
+       |    max(fetch_ts) AS last_fetch,
+       |    count(*) - max(CASE WHEN changed = 1 THEN rn END) AS unchanged_streak
+       |    FROM fg GROUP BY url)
+       |SELECT url, n_fetches, n_changes, last_fetch, unchanged_streak,
+       |  least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS interval_sec,
+       |  last_fetch + least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS next_fetch_at
+       |FROM ag""".stripMargin
+
   /** Probe pages for the link family: a single-quoted href (the
     * second extraction pattern), an unresolvable relative path, a
     * linkless page on an out-of-graph host (rank-prior 0.0 path),
@@ -1883,6 +1904,10 @@ object SparkEntry {
     }),
     // adaptive revisit scheduling: binary backoff on unchanged fetches
     "q_recrawl" -> ((s, dir) => graft.ops.Crawl.recrawlPolicy(fetchLog(s, dir))),
+    // the due list: policy rows whose next_fetch_at has arrived
+    "q_recrawl_due" -> ((s, dir) =>
+      graft.ops.Crawl.recrawlPolicy(fetchLog(s, dir))
+        .where(col("next_fetch_at") <= lit(1200000L))),
     // the frontier with pre-fetch relevance: what the web's link text
     // calls each un-fetched candidate (top-3 anchor words per target)
     "q_frontier_anchors" -> ((s, dir) => {
@@ -3461,22 +3486,11 @@ object SparkEntry {
       // over the per-URL fetch order (ts unique per URL by fixture
       // contract), streak = fetches since the last change, interval =
       // min(maxI, base << min(streak, 30)) — all integer arithmetic
-      s"""WITH fl AS MATERIALIZED (
-         |    SELECT $RecrawlUrlSql AS url, $RecrawlTsSql AS fetch_ts, $RecrawlHashSql AS content_hash FROM documents
-         |    UNION ALL SELECT * FROM (VALUES ${FetchRows.map { case (u, t, h) => s"(${sqlStr(u)}, CAST($t AS BIGINT), ${if (h == null) "CAST(NULL AS STRING)" else sqlStr(h)})" }.mkString(", ")}) AS v(url, fetch_ts, content_hash)),
-         |ff AS (SELECT url, fetch_ts, coalesce(content_hash, '') AS h FROM fl),
-         |fg AS MATERIALIZED (SELECT url, fetch_ts, h,
-         |    CASE WHEN lag(h) OVER (PARTITION BY url ORDER BY fetch_ts) IS NULL
-         |         OR lag(h) OVER (PARTITION BY url ORDER BY fetch_ts) <> h THEN 1 ELSE 0 END AS changed,
-         |    row_number() OVER (PARTITION BY url ORDER BY fetch_ts) AS rn FROM ff),
-         |ag AS MATERIALIZED (SELECT url, count(*) AS n_fetches, CAST(sum(changed) AS BIGINT) AS n_changes,
-         |    max(fetch_ts) AS last_fetch,
-         |    count(*) - max(CASE WHEN changed = 1 THEN rn END) AS unchanged_streak
-         |    FROM fg GROUP BY url)
-         |SELECT url, n_fetches, n_changes, last_fetch, unchanged_streak,
-         |  least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS interval_sec,
-         |  last_fetch + least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS next_fetch_at
-         |FROM ag""".stripMargin,
+      RECRAWL_TWIN,
+    "q_recrawl_due" ->
+      // the due-list face: the SAME policy twin filtered to rows whose
+      // next_fetch_at has arrived at the probe's 'now'
+      s"""SELECT * FROM ($RECRAWL_TWIN) WHERE next_fetch_at <= 1200000""",
     "q_sitemap_urls" ->
       // twin of Crawl.sitemapUrls: loc extraction, entity decode, the
       // canonicalization chain; is_index from the sitemapindex root
