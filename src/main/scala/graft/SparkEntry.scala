@@ -387,14 +387,34 @@ object SparkEntry {
 
   /** Recrawl probe rows: a single-fetch URL (streak 0, base
     * interval), a stale URL whose 8 identical fetches pin the
-    * `maxInterval` clamp, and a NULL-hash URL (the coalesce-to-''
-    * path: NULL,NULL,'x' = changed, unchanged, changed). */
+    * `maxInterval` clamp, a NULL-hash URL (the coalesce-to-''
+    * path: NULL,NULL,'x' = changed, unchanged, changed), and four
+    * single-fetch URLs for the SEEDED policy's declaration cases
+    * (freshest-of-two, never-ceiling, unknown-token, always-floor). */
   private val FetchRows: Seq[(String, Long, String)] =
     Seq(("https://one.example.org/p", 1000L, "h1")) ++
       (0 until 8).map(i => ("https://stale.example.org/p", 2000L + i, "same")) ++
       Seq(("https://nullh.example.org/p", 3000L, null),
         ("https://nullh.example.org/p", 3001L, null),
-        ("https://nullh.example.org/p", 3002L, "x"))
+        ("https://nullh.example.org/p", 3002L, "x"),
+        ("https://seed-a.example.org/p", 4000L, "ha"),
+        ("https://seed-b.example.org/p", 4100L, "hb"),
+        ("https://seed-c.example.org/p", 4200L, "hc"),
+        ("https://seed-d.example.org/p", 4300L, "hd"))
+
+  /** Declared `<changefreq>` probe rows for the seeded policy: a
+    * messy-cased token needing trim+lower, a declaration on a
+    * well-observed URL (history wins), a two-declaration URL
+    * (freshest wins), the `never` ceiling, an unknown token (no
+    * seed), and the `always` floor. */
+  private val DeclaredFreqRows: Seq[(String, String)] = Seq(
+    ("https://one.example.org/p", "Weekly "),
+    ("https://stale.example.org/p", "hourly"),
+    ("https://seed-a.example.org/p", "hourly"),
+    ("https://seed-a.example.org/p", "daily"),
+    ("https://seed-b.example.org/p", "never"),
+    ("https://seed-c.example.org/p", "quarterly"),
+    ("https://seed-d.example.org/p", "always"))
 
   private def fetchLog(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -405,9 +425,10 @@ object SparkEntry {
   }
 
   /** Twin of [[graft.ops.Crawl.recrawlPolicy]] over [[fetchLog]] —
-    * shared by q_recrawl (whole policy table) and q_recrawl_due (the
-    * filtered due list). */
-  private lazy val RECRAWL_TWIN: String =
+    * shared by q_recrawl (whole policy table), q_recrawl_due (the
+    * filtered due list), and q_recrawl_seeded (parameterized base /
+    * max, joined against the declared-changefreq table). */
+  private def recrawlTwinSql(base: Long, maxI: Long): String =
     s"""WITH fl AS MATERIALIZED (
        |    SELECT $RecrawlUrlSql AS url, $RecrawlTsSql AS fetch_ts, $RecrawlHashSql AS content_hash FROM documents
        |    UNION ALL SELECT * FROM (VALUES ${FetchRows.map { case (u, t, h) => s"(${sqlStr(u)}, CAST($t AS BIGINT), ${if (h == null) "CAST(NULL AS STRING)" else sqlStr(h)})" }.mkString(", ")}) AS v(url, fetch_ts, content_hash)),
@@ -421,9 +442,11 @@ object SparkEntry {
        |    count(*) - max(CASE WHEN changed = 1 THEN rn END) AS unchanged_streak
        |    FROM fg GROUP BY url)
        |SELECT url, n_fetches, n_changes, last_fetch, unchanged_streak,
-       |  least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS interval_sec,
-       |  last_fetch + least(CAST(2592000 AS BIGINT), CAST(86400 AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS next_fetch_at
+       |  least(CAST($maxI AS BIGINT), CAST($base AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS interval_sec,
+       |  last_fetch + least(CAST($maxI AS BIGINT), CAST($base AS BIGINT) << CAST(least(unchanged_streak, 30) AS INTEGER)) AS next_fetch_at
        |FROM ag""".stripMargin
+
+  private lazy val RECRAWL_TWIN: String = recrawlTwinSql(86400L, 2592000L)
 
   /** Probe pages for the link family: a single-quoted href (the
     * second extraction pattern), an unresolvable relative path, a
@@ -456,6 +479,28 @@ object SparkEntry {
       .select(col("doc_id"), expr(CrawlPageUrlSql).as("url"), expr(CrawlPageTextSql).as("text"))
       .unionByName(LinkRows.toDF("doc_id", "url", "text"))
   }
+
+  /** The frontier family's shared trainer — extract→host-edges→
+    * [[graft.ops.Crawl.domainRank]](3) over [[linkPages]] — staged
+    * ONCE per (session, sf dir) and Persisted. Seven serving-face
+    * queries compose this exact chain; re-deriving it in-plan per
+    * query priced the same ~3 s training subtree into each of them in
+    * the bench, measuring the shared trainer instead of the operator
+    * under test (the round-14 verdict's bench-hygiene item). The
+    * staged table is the identical node-sized rank table (same plan,
+    * materialized), so every oracle is untouched; q_domain_rank and
+    * q_rank_refresh keep training LIVE — the trainer is what they
+    * test. */
+  private val stagedRankCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), DataFrame]
+  private def stagedRank3(s: SparkSession, dir: String): DataFrame =
+    stagedRankCache.getOrElseUpdate((s, dir), {
+      val r = graft.ops.Crawl
+        .domainRank(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      r.count()
+      r
+    })
 
   /** Twin of [[graft.ops.Crawl.extractLinks]] over the synthetic link
     * corpus: page canonicalization, href extraction (double- then
@@ -531,13 +576,26 @@ object SparkEntry {
        |$ANCHOR_STAGES""".stripMargin
 
   /** Probe sitemap documents: a urlset with entity/whitespace/relative
-    * loc paths, a sitemapindex (is_index flag), a non-XML body. */
+    * loc paths, a sitemapindex (is_index flag), a non-XML body, and
+    * the FRESHNESS-FIELD battery (lastmod/changefreq/priority:
+    * trimmed, case-folded changefreq, non-numeric priority → NULL,
+    * empty elements → NULL, an attribute-bearing url tag, a loc-less
+    * entry that must emit no row, an index entry carrying lastmod). */
   private val SitemapRows: Seq[(Long, String)] = Seq(
     9380000L -> ("<?xml version=\"1.0\"?><urlset><url><loc> HTTPS://WWW.Example.COM/a/?utm_source=s&amp;b=2&amp;a=1 </loc></url>" +
       "<url><loc>relative/nope</loc></url><url><loc>https://example.com/b</loc></url></urlset>"),
     9380001L -> ("<sitemapindex><sitemap><loc>https://example.com/sitemap-1.xml</loc></sitemap>" +
       "<sitemap><loc>\nhttps://example.com/sitemap-2.xml\n</loc></sitemap></sitemapindex>"),
-    9380002L -> "no xml here")
+    9380002L -> "no xml here",
+    9380003L -> ("<urlset>" +
+      "<url><loc>https://example.com/fresh</loc><lastmod> 2025-06-01T12:00:00Z </lastmod><changefreq>HOURLY</changefreq><priority>0.8</priority></url>" +
+      "<url><loc>https://example.com/stale</loc><changefreq>never</changefreq><priority>bogus</priority></url>" +
+      "<url><loc>https://example.com/partial</loc><lastmod></lastmod><priority>1</priority></url>" +
+      "<url data-x=\"y\"><loc>https://example.com/attr</loc><changefreq>weekly </changefreq></url>" +
+      "<url><priority>0.2</priority></url>" +
+      "</urlset>"),
+    9380004L -> ("<sitemapindex><sitemap><loc>https://example.com/sm-a.xml</loc>" +
+      "<lastmod>2025-01-01</lastmod></sitemap></sitemapindex>"))
 
   /** Per-doc synthetic sitemap body (shared SQL expression — the
     * [[CrawlUrlSql]] trick): two locs per doc, one entity-escaped. */
@@ -659,6 +717,48 @@ object SparkEntry {
        |    CAST(row_number() OVER (PARTITION BY c.link_host ORDER BY c.n_refs DESC, c.link_url ASC) AS INTEGER) AS pos
        |  FROM cand c LEFT JOIN r3 r ON r.node = c.link_host)
        |  WHERE pos <= 5)""".stripMargin
+
+  /** One unrolled PER-HOST power iteration — the twin of
+    * [[graft.ops.Crawl.urlRankEdges]]' loop body in the same
+    * BIGINT-unit space: contributions round at scale 0, inbound sums
+    * are exact integer addition per (host, dst), and teleport /
+    * dangling terms aggregate PER HOST (no global scalar anywhere —
+    * the block structure's point). */
+  private def urlRankIterCte(k: Int, prev: String): String =
+    s"""uuc$k AS (SELECT o.host, o.src, CAST(round(CAST(r.rank_u AS DOUBLE) / o.outdeg, 0) AS BIGINT) AS contrib_u
+       |    FROM $prev r JOIN uo o ON o.host = r.host AND o.src = r.node),
+       |uui$k AS (SELECT e.host, e.dst, sum(c.contrib_u) AS inb_u
+       |    FROM ue e JOIN uuc$k c ON c.host = e.host AND c.src = e.src GROUP BY e.host, e.dst),
+       |uud$k AS (SELECT r.host, coalesce(sum(r.rank_u), 0) AS dang_u
+       |    FROM $prev r LEFT JOIN uo o ON o.host = r.host AND o.src = r.node
+       |    WHERE o.src IS NULL GROUP BY r.host),
+       |uur$k AS MATERIALIZED (SELECT n.host, n.node,
+       |    CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000000 AS DOUBLE) / h.n_nodes
+       |         + CAST(0.85 AS DOUBLE) * (CAST(coalesce(i.inb_u, 0) AS DOUBLE) + CAST(coalesce(d.dang_u, 0) AS DOUBLE) / h.n_nodes), 0) AS BIGINT) AS rank_u
+       |    FROM un n JOIN uh h ON h.host = n.host
+       |    LEFT JOIN uui$k i ON i.host = n.host AND i.dst = n.node
+       |    LEFT JOIN uud$k d ON d.host = n.host)""".stripMargin
+
+  /** [[LINK_CTES]] + the intra-host URL edge set, per-host node /
+    * count / outdeg tables, uniform init, and TWO unrolled per-host
+    * iterations — the twin of [[graft.ops.Crawl.urlRank]](iters = 2).
+    * Final CTE `uur2` (host, node, rank_u). */
+  private val URL_RANK_CTES: String =
+    s"""$LINK_CTES,
+       |uef AS (SELECT l.host AS host, p.canon_url AS src, l.canon_url AS dst
+       |    FROM lc l JOIN pc p USING (doc_id)
+       |    WHERE l.canon_url IS NOT NULL AND p.canon_url IS NOT NULL
+       |      AND l.host = p.host AND l.canon_url <> p.canon_url),
+       |ue AS MATERIALIZED (SELECT DISTINCT host, src, dst FROM uef),
+       |un AS MATERIALIZED (SELECT DISTINCT host, node FROM (
+       |    SELECT host, src AS node FROM ue UNION ALL SELECT host, dst FROM ue)),
+       |uh AS MATERIALIZED (SELECT host, CAST(count(*) AS DOUBLE) AS n_nodes FROM un GROUP BY host),
+       |uo AS MATERIALIZED (SELECT host, src, CAST(count(*) AS DOUBLE) AS outdeg FROM ue GROUP BY host, src),
+       |uur0 AS MATERIALIZED (SELECT n.host, n.node,
+       |    CAST(round(CAST(1000000000000 AS DOUBLE) / h.n_nodes, 0) AS BIGINT) AS rank_u
+       |    FROM un n JOIN uh h ON h.host = n.host),
+       |${urlRankIterCte(1, "uur0")},
+       |${urlRankIterCte(2, "uur1")}""".stripMargin
 
   /** [[LINK_CTES]] + the distinct host edge set, node table and node
     * count — the prologue every graph twin (PageRank, HITS) shares. */
@@ -1233,6 +1333,102 @@ object SparkEntry {
     (w0 +: levels).mkString(",\n")
   }
 
+  private val UNIGRAM_VOCAB = 40
+  private val UNIGRAM_EM_ROUNDS = 2
+
+  /** Unrolled DuckDB twin of [[graft.ops.Unigram.trainUnigram]]
+    * (defaults: seed 4·vocab, maxPieceLen 4, maxWordLen 12): `uw` is
+    * the length-capped word table, `used`/`um0` the substring seed
+    * with 6dp-decimal log-probs, then per EM round one RECURSIVE
+    * Viterbi path enumeration (`up_k` — exact DECIMAL path sums, the
+    * per-word argmax by (score desc, seg asc) = the native encoder's
+    * micro-Long DP with lex-min tie-break), the hard-EM piece counts,
+    * the single-char count floor, and the M-step re-score. Final
+    * CTEs: `umF` (piece, cnt, lp) after the prune to `vocab`.
+    * Every multi-referenced CTE is MATERIALIZED (the BPE_CTES
+    * rationale). Path enumeration is bounded by the 12-char word cap
+    * and the probe corpus's tiny vocabulary — the native Spark path
+    * is a linear DP and has no such bound. */
+  private def UNIGRAM_CTES(vocab: Int, rounds: Int): String = {
+    val seedN = 4 * vocab
+    val head =
+      s"""uw AS MATERIALIZED (SELECT word, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ($TOKEN_ROWS) WHERE length(word) <= 12 GROUP BY word),
+         |usubp AS (SELECT word, cnt, CAST(i AS INTEGER) AS i
+         |  FROM uw, unnest(generate_series(1, length(word))) t(i)),
+         |usub AS MATERIALIZED (SELECT piece, CAST(sum(cnt) AS BIGINT) AS cnt FROM (
+         |    SELECT substr(word, i, CAST(l AS INTEGER)) AS piece, cnt
+         |    FROM usubp, unnest(generate_series(1, least(4, length(word) - i + 1))) u(l))
+         |  GROUP BY piece),
+         |used AS MATERIALIZED (
+         |  SELECT piece, cnt FROM usub WHERE length(piece) = 1
+         |  UNION ALL
+         |  SELECT piece, cnt FROM (
+         |    SELECT piece, cnt FROM usub WHERE length(piece) > 1
+         |    ORDER BY cnt DESC, piece ASC LIMIT $seedN)),
+         |um0 AS MATERIALIZED (SELECT piece, cnt,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM used)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM used)""".stripMargin
+    val levels = (1 to rounds).map { k =>
+      s"""up$k(word, pos, seg, score) AS (
+         |  SELECT word, 0, '', CAST(0 AS DECIMAL(18,6)) FROM uw
+         |  UNION ALL
+         |  SELECT r.word, r.pos + length(m.piece),
+         |    CASE WHEN r.seg = '' THEN m.piece ELSE r.seg || ' ' || m.piece END,
+         |    CAST(r.score + m.lp AS DECIMAL(18,6))
+         |  FROM up$k r JOIN um${k - 1} m ON m.piece = substr(r.word, r.pos + 1, length(m.piece))
+         |  WHERE r.pos < length(r.word)),
+         |ub$k AS MATERIALIZED (SELECT word, seg FROM (
+         |    SELECT word, seg, row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
+         |    FROM up$k WHERE pos = length(word)) WHERE rn = 1),
+         |uc$k AS (SELECT piece, CAST(sum(cnt) AS BIGINT) AS vcnt FROM (
+         |    SELECT unnest(string_split(b.seg, ' ')) AS piece, w.cnt
+         |    FROM ub$k b JOIN uw w USING (word)) GROUP BY piece),
+         |uk$k AS MATERIALIZED (SELECT piece, cnt FROM (
+         |    SELECT m.piece,
+         |      CASE WHEN length(m.piece) = 1 THEN greatest(coalesce(c.vcnt, 0), 1)
+         |           ELSE coalesce(c.vcnt, 0) END AS cnt
+         |    FROM um${k - 1} m LEFT JOIN uc$k c ON c.piece = m.piece) WHERE cnt > 0),
+         |um$k AS MATERIALIZED (SELECT piece, cnt,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM uk$k)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM uk$k)""".stripMargin
+    }
+    val prune =
+      s"""usin AS (SELECT piece, cnt FROM um$rounds WHERE length(piece) = 1),
+         |umul AS (SELECT piece, cnt FROM (
+         |    SELECT piece, cnt, row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rn
+         |    FROM um$rounds WHERE length(piece) > 1)
+         |  WHERE rn <= $vocab - (SELECT count(*) FROM usin)),
+         |ukF AS MATERIALIZED (SELECT piece, cnt FROM usin UNION ALL SELECT piece, cnt FROM umul),
+         |umF AS MATERIALIZED (SELECT piece, cnt,
+         |  CAST(round(ln(CAST(cnt AS DOUBLE) / (SELECT CAST(sum(cnt) AS DOUBLE) FROM ukF)), 6) AS DECIMAL(18,6)) AS lp
+         |  FROM ukF)""".stripMargin
+    (head +: levels :+ prune).mkString(",\n")
+  }
+
+  /** Serving-side Viterbi over the FULL (uncapped) word set with the
+    * fixed-score unknown-char fallback — twin of
+    * [[graft.ops.Unigram.tokenCounts]]' native path. Final CTE `usb`
+    * (word, n = piece count of the best segmentation). */
+  private val UNIGRAM_SERVE_CTES: String =
+    s"""usw AS MATERIALIZED (SELECT DISTINCT word FROM ($TOKEN_ROWS)),
+       |uchp AS (SELECT DISTINCT substr(word, CAST(i AS INTEGER), 1) AS piece
+       |  FROM usw, unnest(generate_series(1, length(word))) t(i)),
+       |uunk AS (SELECT piece, CAST(-20.000000 AS DECIMAL(18,6)) AS lp
+       |  FROM uchp WHERE piece NOT IN (SELECT piece FROM umF)),
+       |uvoc AS MATERIALIZED (SELECT piece, lp FROM umF UNION ALL SELECT piece, lp FROM uunk),
+       |usp(word, pos, seg, score) AS (
+       |  SELECT word, 0, '', CAST(0 AS DECIMAL(18,6)) FROM usw
+       |  UNION ALL
+       |  SELECT r.word, r.pos + length(v.piece),
+       |    CASE WHEN r.seg = '' THEN v.piece ELSE r.seg || ' ' || v.piece END,
+       |    CAST(r.score + v.lp AS DECIMAL(18,6))
+       |  FROM usp r JOIN uvoc v ON v.piece = substr(r.word, r.pos + 1, length(v.piece))
+       |  WHERE r.pos < length(r.word)),
+       |usb AS MATERIALIZED (SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n FROM (
+       |    SELECT word, seg, row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
+       |    FROM usp WHERE pos = length(word)) WHERE rn = 1)""".stripMargin
+
   /** DSIR hashed-bigram model chain — twin of
     * [[graft.ops.Curation.importanceWeights]] (buckets=1024, target =
     * every 50th doc, raw = the rest): bucket = first 8 md5 hex digits
@@ -1713,6 +1909,34 @@ object SparkEntry {
       val d = docs(s, dir)
       Bpe.fertility(d, Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
     },
+    // the OTHER subword family: unigram-LM (SentencePiece-style)
+    // seed→hard-EM→prune trainer, engine-exact micro-Long Viterbi
+    "q_unigram_train" -> ((s, dir) =>
+      // lp is DECIMAL(18,6) in the stored model; the ORACLE face casts
+      // to double (the LM-family convention — engines normalize
+      // decimal trailing zeros differently, doubles compare exactly)
+      graft.ops.Unigram.trainUnigram(docs(s, dir), vocabSize = UNIGRAM_VOCAB,
+        emRounds = UNIGRAM_EM_ROUNDS)
+        .select(col("piece"), col("cnt"), col("lp").cast("double").as("lp"))),
+    "q_unigram_tokens" -> { (s, dir) =>
+      // trains inline (oracle shape) then serves every doc via the
+      // native Viterbi expression; production stores the model table
+      // and serves via tokenCountsFromModel
+      val d = docs(s, dir)
+      graft.ops.Unigram.tokenCountsFromModel(d,
+        graft.ops.Unigram.trainUnigram(d, vocabSize = UNIGRAM_VOCAB,
+          emRounds = UNIGRAM_EM_ROUNDS))
+    },
+    "q_unigram_fertility" -> { (s, dir) =>
+      // pieces per word by source under the unigram model — the
+      // comparison column for q_bpe_fertility (same corpus, same
+      // denominator, the two families' fit side by side)
+      val d = docs(s, dir)
+      graft.ops.Unigram.fertility(d,
+        graft.ops.Unigram.collectPieces(
+          graft.ops.Unigram.trainUnigram(d, vocabSize = UNIGRAM_VOCAB,
+            emRounds = UNIGRAM_EM_ROUNDS)))
+    },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     // Unicode tokenizer mode over the multilingual-augmented corpus:
     // under the ASCII tokenizer the probe rows would have n_tok = 0
@@ -1835,6 +2059,18 @@ object SparkEntry {
     // fixed-iteration PageRank over the host graph (BIGINT-unit exact)
     "q_domain_rank" -> ((s, dir) =>
       graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3)),
+    // two-level rank, within-host tier: per-host PageRank over the
+    // INTRA-host URL graph (BIGINT-unit exact, per-host aggregates)
+    "q_url_rank" -> ((s, dir) =>
+      graft.ops.Crawl.urlRank(linkPages(s, dir), iters = 2)),
+    // the composed serving face: host_rank × url_rank from a stored
+    // host tier (VALUES prior — serving composes stored tables)
+    "q_url_rank_composed" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Crawl.urlRankComposed(
+        graft.ops.Crawl.urlRank(linkPages(s, dir), iters = 2),
+        RankPriorRows.toDF("node", "rank"))
+    }),
     // weakly-connected host components (mirror/link-farm constellations)
     "q_host_components" -> ((s, dir) =>
       graft.ops.Crawl.hostComponents(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)))),
@@ -1842,12 +2078,11 @@ object SparkEntry {
     "q_hits" -> ((s, dir) =>
       graft.ops.Crawl.hits(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 2)),
     // the rank joined back onto pages as a quality prior (0.0 = unranked)
-    "q_rank_prior" -> ((s, dir) => {
-      val pages = linkPages(s, dir)
+    "q_rank_prior" -> ((s, dir) =>
       graft.ops.Crawl.rankPrior(
-        graft.ops.Crawl.urlCanon(pages).select(col("doc_id"), col("host").as("node")),
-        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3))
-    }),
+        graft.ops.Crawl.urlCanon(linkPages(s, dir))
+          .select(col("doc_id"), col("host").as("node")),
+        stagedRank3(s, dir))),
     // URL shape signals: the pre-fetch quality features (row-local)
     "q_url_signals" -> ((s, dir) => graft.ops.Crawl.urlSignals(crawlPages(s, dir))),
     // path-template mining: the crawl-trap detector's per-template stats
@@ -1859,12 +2094,9 @@ object SparkEntry {
     // what the web's link text calls each host (anchor-text index)
     "q_anchor_index" -> ((s, dir) => graft.ops.Crawl.anchorIndex(linkPages(s, dir))),
     // frontier: unseen link targets, ref-counted, rank-joined, host-capped
-    "q_frontier" -> ((s, dir) => {
-      val pages = linkPages(s, dir)
-      graft.ops.Crawl.crawlFrontier(pages,
-        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
-        perHostCap = 5)
-    }),
+    "q_frontier" -> ((s, dir) =>
+      graft.ops.Crawl.crawlFrontier(linkPages(s, dir), stagedRank3(s, dir),
+        perHostCap = 5)),
     // sitemap <loc> extraction + canonicalization (frontier seeds)
     "q_sitemap_urls" -> ((s, dir) => graft.ops.Crawl.sitemapUrls(sitemapDocs(s, dir))),
     // RFC 9309 rule parse: the User-agent:* group's allow/disallow prefixes
@@ -1874,14 +2106,11 @@ object SparkEntry {
     // Sitemap: directives (file-wide, group-independent) — seed discovery
     "q_robots_sitemaps" -> ((s, dir) => graft.ops.Robots.sitemapDirectives(robotsDf(s))),
     // the crawl loop's output artifact: allowed, ranked, budgeted fetches
-    "q_polite_frontier" -> ((s, dir) => {
-      val pages = linkPages(s, dir)
-      graft.ops.Crawl.politeFrontier(pages,
-        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+    "q_polite_frontier" -> ((s, dir) =>
+      graft.ops.Crawl.politeFrontier(linkPages(s, dir), stagedRank3(s, dir),
         graft.ops.Robots.robotsRules(robotsDf(s)),
         graft.ops.Robots.crawlDelays(robotsDf(s)),
-        perHostCap = 5)
-    }),
+        perHostCap = 5)),
     // BFS hop distance from the seed set (pure-integer iterative op)
     "q_crawl_depth" -> ((s, dir) => {
       import s.implicits._
@@ -1891,9 +2120,7 @@ object SparkEntry {
     }),
     // rank-proportional fetch budgets: the wave-planning face
     "q_crawl_budget" -> ((s, dir) =>
-      graft.ops.Crawl.crawlBudget(
-        graft.ops.Crawl.domainRank(
-          graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3),
+      graft.ops.Crawl.crawlBudget(stagedRank3(s, dir),
         total = 1000L, minPerHost = 2L, maxPerHost = 100L)),
     // warm-start PageRank: 2 iterations from a stored prior, not uniform
     "q_rank_refresh" -> ((s, dir) => {
@@ -1908,13 +2135,19 @@ object SparkEntry {
     "q_recrawl_due" -> ((s, dir) =>
       graft.ops.Crawl.recrawlPolicy(fetchLog(s, dir))
         .where(col("next_fetch_at") <= lit(1200000L))),
+    // declared-changefreq seeding: sitemap change rates fill the
+    // cold-start (<2 fetches) intervals; observed history wins
+    "q_recrawl_seeded" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Crawl.recrawlPolicySeeded(fetchLog(s, dir),
+        DeclaredFreqRows.toDF("url", "changefreq"),
+        baseInterval = 600L, maxInterval = 2592000L)
+    }),
     // the frontier with pre-fetch relevance: what the web's link text
     // calls each un-fetched candidate (top-3 anchor words per target)
     "q_frontier_anchors" -> ((s, dir) => {
       val pages = linkPages(s, dir)
-      graft.ops.Crawl.crawlFrontier(pages,
-        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
-        perHostCap = 5)
+      graft.ops.Crawl.crawlFrontier(pages, stagedRank3(s, dir), perHostCap = 5)
         .join(graft.ops.Crawl.anchorWordSummary(pages), Seq("link_url"), "left")
     }),
     // detection-to-enforcement: trap templates mined from the frontier's
@@ -1922,9 +2155,7 @@ object SparkEntry {
     "q_frontier_guard" -> ((s, dir) => {
       val pages = linkPages(s, dir)
       val fr = graft.core.Materialize(
-        graft.ops.Crawl.crawlFrontier(pages,
-          graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
-          perHostCap = 5),
+        graft.ops.Crawl.crawlFrontier(pages, stagedRank3(s, dir), perHostCap = 5),
         graft.core.Materialize.Persist)
       val traps = graft.ops.Crawl.urlTemplates(fr, urlCol = "link_url")
         .where(col("n_urls") >= 3)
@@ -1932,21 +2163,20 @@ object SparkEntry {
     }),
     // the frontier under the broadcast Bloom seen-set prefilter —
     // byte-identical to q_frontier by the no-false-negative contract
-    "q_frontier_bloom" -> ((s, dir) => {
-      val pages = linkPages(s, dir)
-      graft.ops.Crawl.crawlFrontierBloom(pages,
-        graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
-        perHostCap = 5)
-    }),
+    "q_frontier_bloom" -> ((s, dir) =>
+      graft.ops.Crawl.crawlFrontierBloom(linkPages(s, dir), stagedRank3(s, dir),
+        perHostCap = 5)),
+    // the host-SHARDED Bloom seen-set: same byte-identical contract,
+    // filters ride the codegen reference array (never a plan literal)
+    "q_frontier_bloom_sharded" -> ((s, dir) =>
+      graft.ops.Crawl.crawlFrontierBloomSharded(linkPages(s, dir),
+        stagedRank3(s, dir), perHostCap = 5, shards = 4)),
     // the polite frontier: longest-match robots decision on every candidate
-    "q_robots" -> ((s, dir) => {
-      val pages = linkPages(s, dir)
+    "q_robots" -> ((s, dir) =>
       graft.ops.Robots.robotsFilter(
-        graft.ops.Crawl.crawlFrontier(pages,
-          graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(pages), iters = 3),
+        graft.ops.Crawl.crawlFrontier(linkPages(s, dir), stagedRank3(s, dir),
           perHostCap = 5),
-        graft.ops.Robots.robotsRules(robotsDf(s)))
-    }),
+        graft.ops.Robots.robotsRules(robotsDf(s)))),
     // snapshot diff by content hash — feeds the incremental dedup faces
     "q_corpus_diff" -> ((s, dir) => {
       import s.implicits._
@@ -2716,6 +2946,36 @@ object SparkEntry {
          |       ELSE round(CAST(coalesce(sum(e.np), 0) AS DOUBLE) / count(tr.word), 6) END AS fertility
          |FROM tr LEFT JOIN enc e ON tr.word = e.word
          |GROUP BY tr.source""".stripMargin,
+    "q_unigram_train" ->
+      // twin of Unigram.trainUnigram: substring seed, two recursive
+      // Viterbi hard-EM rounds (exact decimal path sums, (score desc,
+      // seg asc) argmax = the native lex-min DP), prune, final 6dp
+      // re-score
+      s"""WITH RECURSIVE ${UNIGRAM_CTES(UNIGRAM_VOCAB, UNIGRAM_EM_ROUNDS)}
+         |SELECT piece, cnt, CAST(lp AS DOUBLE) AS lp FROM umF""".stripMargin,
+    "q_unigram_tokens" ->
+      // the serving face: per-doc piece counts of every token's best
+      // segmentation under the trained model (+ unknown-char fallback)
+      s"""WITH RECURSIVE ${UNIGRAM_CTES(UNIGRAM_VOCAB, UNIGRAM_EM_ROUNDS)},
+         |$UNIGRAM_SERVE_CTES
+         |SELECT d.doc_id, CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_unigram_tokens
+         |FROM documents d
+         |LEFT JOIN ($TOKEN_ROWS) t ON t.doc_id = d.doc_id
+         |LEFT JOIN usb b ON b.word = t.word
+         |GROUP BY d.doc_id""".stripMargin,
+    "q_unigram_fertility" ->
+      // twin of Unigram.fertility: per-occurrence piece counts from
+      // the serving table, aggregated per source; wordless source NULL
+      s"""WITH RECURSIVE ${UNIGRAM_CTES(UNIGRAM_VOCAB, UNIGRAM_EM_ROUNDS)},
+         |$UNIGRAM_SERVE_CTES,
+         |utr AS (SELECT d.source, t.word
+         |    FROM documents d LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id)
+         |SELECT utr.source, CAST(count(utr.word) AS BIGINT) AS n_words,
+         |  CAST(coalesce(sum(b.n), 0) AS BIGINT) AS n_unigram_tokens,
+         |  CASE WHEN count(utr.word) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(sum(b.n), 0) AS DOUBLE) / count(utr.word), 6) END AS fertility
+         |FROM utr LEFT JOIN usb b ON utr.word = b.word
+         |GROUP BY utr.source""".stripMargin,
     "q_entropy" ->
       // twin of TextAnalysis.entropySignals: char-level Shannon
       // entropy, per-char terms rounded to 6dp DECIMAL before the sum
@@ -3293,6 +3553,23 @@ object SparkEntry {
       s"""WITH $RANK_CTES
          |SELECT node, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
          |FROM r3""".stripMargin,
+    "q_url_rank" ->
+      // twin of Crawl.urlRank(iters = 2): intra-host URL edges (page
+      // canon joined by doc_id, same-host, self-loop-free), two
+      // unrolled PER-HOST power iterations in BIGINT 1e-12 units
+      s"""WITH $URL_RANK_CTES
+         |SELECT host, node AS url, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS rank
+         |FROM uur2""".stripMargin,
+    "q_url_rank_composed" ->
+      // twin of Crawl.urlRankComposed over the stored host tier: one
+      // left join, score = url_rank · host_rank (absent host = 0.0)
+      s"""WITH $URL_RANK_CTES,
+         |hpr AS (SELECT * FROM (VALUES ${RankPriorRows.map { case (n, r) => s"(${sqlStr(n)}, CAST($r AS DOUBLE))" }.mkString(", ")}) AS v(node, rank))
+         |SELECT u.host, u.node AS url,
+         |  CAST(u.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS url_rank,
+         |  coalesce(h.rank, CAST(0.0 AS DOUBLE)) AS host_rank,
+         |  (CAST(u.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE)) * coalesce(h.rank, CAST(0.0 AS DOUBLE)) AS score
+         |FROM uur2 u LEFT JOIN hpr h ON h.node = u.host""".stripMargin,
     "q_host_components" ->
       // twin of Crawl.hostComponents: the CLUSTER_CTES recursive-reach
       // pattern over the undirected host edge set; min label = the
@@ -3440,6 +3717,13 @@ object SparkEntry {
       s"""WITH $RANK_CTES,
          |$FRONTIER_CTES
          |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
+    "q_frontier_bloom_sharded" ->
+      // same twin again: host-sharded filters change WHERE the bits
+      // live (per-shard reference objects, never a plan literal) and
+      // the build's peak allocation — never the output
+      s"""WITH $RANK_CTES,
+         |$FRONTIER_CTES
+         |SELECT link_url, link_host, n_refs, domain_rank, pos FROM fr""".stripMargin,
     "q_crawl_depth" ->
       // twin of Crawl.crawlDepth(maxDepth = 4): bounded recursive
       // reach with min-hop aggregation — pure integers, so the twin
@@ -3491,19 +3775,62 @@ object SparkEntry {
       // the due-list face: the SAME policy twin filtered to rows whose
       // next_fetch_at has arrived at the probe's 'now'
       s"""SELECT * FROM ($RECRAWL_TWIN) WHERE next_fetch_at <= 1200000""",
+    "q_recrawl_seeded" ->
+      // twin of Crawl.recrawlPolicySeeded(base=600, max=2592000): the
+      // policy twin joined with the declared-changefreq VALUES — token
+      // trim+lower, the sitemaps.org seconds mapping (always=base,
+      // never=max, unknown=NULL), freshest (min) declaration per url,
+      // clamp into [base, max], and the n_fetches<2 precedence rule
+      s"""WITH pol AS MATERIALIZED (SELECT * FROM (${recrawlTwinSql(600L, 2592000L)}) t),
+         |dm AS (SELECT url,
+         |    CASE lower(regexp_replace(cf, '${graft.ops.Crawl.WsTrimPat}', '', 'g'))
+         |      WHEN 'always' THEN CAST(600 AS BIGINT)
+         |      WHEN 'hourly' THEN CAST(3600 AS BIGINT)
+         |      WHEN 'daily' THEN CAST(86400 AS BIGINT)
+         |      WHEN 'weekly' THEN CAST(604800 AS BIGINT)
+         |      WHEN 'monthly' THEN CAST(2592000 AS BIGINT)
+         |      WHEN 'yearly' THEN CAST(31536000 AS BIGINT)
+         |      WHEN 'never' THEN CAST(2592000 AS BIGINT)
+         |      ELSE NULL END AS secs
+         |  FROM (VALUES ${DeclaredFreqRows.map { case (u, f) => s"(${sqlStr(u)}, ${sqlStr(f)})" }.mkString(", ")}) v(url, cf)),
+         |dg AS (SELECT url, min(secs) AS secs FROM dm WHERE secs IS NOT NULL GROUP BY url),
+         |sel AS (SELECT p.url, p.n_fetches, p.n_changes, p.last_fetch, p.unchanged_streak,
+         |    CASE WHEN p.n_fetches < 2 AND d.secs IS NOT NULL
+         |         THEN greatest(CAST(600 AS BIGINT), least(CAST(2592000 AS BIGINT), d.secs))
+         |         ELSE p.interval_sec END AS interval_sec,
+         |    (p.n_fetches < 2 AND d.secs IS NOT NULL) AS seeded
+         |  FROM pol p LEFT JOIN dg d ON d.url = p.url)
+         |SELECT url, n_fetches, n_changes, last_fetch, unchanged_streak,
+         |  interval_sec, last_fetch + interval_sec AS next_fetch_at, seeded
+         |FROM sel""".stripMargin,
     "q_sitemap_urls" ->
-      // twin of Crawl.sitemapUrls: loc extraction, entity decode, the
+      // twin of Crawl.sitemapUrls: url/sitemap BLOCK extraction (the
+      // entry pattern excludes the urlset/sitemapindex roots by the
+      // tag-boundary class), per-block loc + the three freshness
+      // fields (entity decode + trim, changefreq lowercased,
+      // priority numeric-gated), loc-less blocks dropped, the
       // canonicalization chain; is_index from the sitemapindex root
       s"""WITH sm0 AS (SELECT doc_id, $SitemapTextSql AS text FROM documents
          |    UNION ALL SELECT * FROM (VALUES ${SitemapRows.map { case (id, t) => s"($id, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, text)),
          |smx AS (SELECT doc_id,
-         |    regexp_extract_all(coalesce(text, ''), ${sqlStr(graft.ops.Crawl.SitemapLocPat)}, 1) AS ls,
+         |    regexp_extract_all(coalesce(text, ''), ${sqlStr(graft.ops.Crawl.SitemapEntryPat)}, 1) AS es,
          |    regexp_matches(coalesce(text, ''), '${graft.ops.Crawl.SitemapIndexPat}') AS is_index FROM sm0),
-         |sml AS (SELECT doc_id, is_index, CAST(i - 1 AS INTEGER) AS loc_idx, ls[i] AS loc0
-         |    FROM (SELECT *, unnest(generate_series(1, len(ls))) AS i FROM smx)),
-         |smd AS (SELECT doc_id, is_index, loc_idx, ${decodedHrefSql("loc0")} AS loc FROM sml),
-         |${urlCanonCtes("sc", "smd", "loc", "doc_id, loc_idx, is_index")}
-         |SELECT doc_id, loc_idx, _rawurl AS loc, canon_url AS url, host, is_index
+         |sml AS (SELECT doc_id, is_index, CAST(i - 1 AS INTEGER) AS loc_idx, es[i] AS entry
+         |    FROM (SELECT *, unnest(generate_series(1, len(es))) AS i FROM smx)),
+         |smf AS (SELECT * FROM sml WHERE regexp_matches(entry, ${sqlStr(graft.ops.Crawl.SitemapLocPat)})),
+         |smd AS (SELECT doc_id, is_index, loc_idx,
+         |    ${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapLocPat)}, 1)")} AS loc,
+         |    nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapLastmodPat)}, 1)")}, '${graft.ops.Crawl.WsTrimPat}', '', 'g'), '') AS lastmod,
+         |    lower(nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapChangefreqPat)}, 1)")}, '${graft.ops.Crawl.WsTrimPat}', '', 'g'), '')) AS changefreq,
+         |    nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapPriorityPat)}, 1)")}, '${graft.ops.Crawl.WsTrimPat}', '', 'g'), '') AS pr
+         |  FROM smf),
+         |smp AS (SELECT doc_id, is_index, loc_idx, loc, lastmod, changefreq,
+         |    CASE WHEN pr IS NOT NULL AND regexp_matches(pr, '${graft.ops.Crawl.SitemapPriorityNumPat}')
+         |         THEN CAST(pr AS DOUBLE) END AS priority
+         |  FROM smd),
+         |${urlCanonCtes("sc", "smp", "loc", "doc_id, loc_idx, is_index, lastmod, changefreq, priority")}
+         |SELECT doc_id, loc_idx, _rawurl AS loc, canon_url AS url, host, is_index,
+         |  lastmod, changefreq, priority
          |FROM sc""".stripMargin,
     "q_robots_rules" ->
       // twin of Robots.robotsRules over the probe robots bodies: the

@@ -24,6 +24,20 @@ import graft.functions.PlanSeal.seal
   * (decimal sums are order-independent, so the only floating-point
   * ops are fixed-shape scalar expressions both engines evaluate
   * identically).
+  *
+  * STATE-INVALIDATION contract: `url_key = md5(canon_url)` is only
+  * stable while the canonicalization RULES are stable. Any change to
+  * the rule chain (e.g. the percent-encoding normalization and the
+  * bare-`ref` tracking-list removal shipped in one upgrade) changes
+  * the key of every URL the changed rule touches, so PERSISTED
+  * key-keyed state written under the old rules — the streaming URL
+  * gate's `urlHistoryDir`, `frontierDir` work lists, `recrawlDir`
+  * fetch logs, stored dedup/redirect tables — no longer matches: a
+  * previously seen URL whose key changed will be re-admitted and
+  * re-queued once. Operators upgrading across a canonicalization
+  * change must REBUILD those directories from raw inputs (or accept
+  * the one-time re-admission); version-stamping history dirs with
+  * [[CanonVersion]] makes the mismatch loud instead of silent.
   */
 object Crawl {
 
@@ -95,12 +109,16 @@ object Crawl {
   /** `href` attribute values, double- and single-quoted — two
     * patterns, not one alternation, so group numbering is identical
     * in both engines (unquoted hrefs are a documented skip). The
-    * whitespace class before `href` is a required attribute boundary:
-    * without it, attributes merely ENDING in `href` (`data-href`)
-    * would emit spurious link targets. Explicit class — the
-    * engine-wide `\s` ban (Java and RE2 disagree on VT). */
-  val HrefDqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*\"([^\"]*)\""
-  val HrefSqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*'([^']*)'"
+    * class before `href` is a required attribute boundary: without
+    * it, attributes merely ENDING in `href` (`data-href`) would emit
+    * spurious link targets. A closing QUOTE also counts as a
+    * boundary — minified/malformed-but-recovered markup abuts a
+    * quoted value directly against the next attribute
+    * (`<a class="x"href="y">`), and real browsers accept it.
+    * Explicit whitespace class — the engine-wide `\s` ban (Java and
+    * RE2 disagree on VT). */
+  val HrefDqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B\"']href[ \\t]*=[ \\t]*\"([^\"]*)\""
+  val HrefSqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B\"']href[ \\t]*=[ \\t]*'([^']*)'"
 
   /** A link target carrying its own scheme (absolute, or a non-web
     * scheme like `mailto:`/`javascript:` — the canonicalizer keeps
@@ -118,6 +136,18 @@ object Crawl {
     * zero) — and the per-node inbound sum is exact BIGINT addition,
     * order-independent under any shuffle. */
   val RankUnits = 1000000000000L
+
+  /** Version of the URL-canonicalization RULE CHAIN — bump on ANY
+    * semantic change to [[urlParts]]' rules (pattern lists, the
+    * tracking-param set, percent-encoding handling). Persisted
+    * key-keyed state (streaming history dirs) stamps this version so
+    * a rules upgrade is detected loudly instead of silently
+    * re-admitting every URL whose key changed (see the object
+    * scaladoc's state-invalidation contract). History: v1 = original
+    * chain; v2 = +pctNormalize, −bare-`ref` (round 14); v3 = href
+    * boundary accepts a closing quote (round 15 — extraction, not
+    * key, but extraction feeds the frontier's seen-set shape). */
+  val CanonVersion = 3
 
   /** Percent-encoding normalization (RFC 3986 §6.2.2): a two-hex-digit
     * sequence after `%`, and the closed set of UNRESERVED codes
@@ -504,8 +534,8 @@ object Crawl {
     * quoted forms (group 1 = href, group 2 = inner markup; lazy inner
     * match — still the Java ∩ RE2 subset, no backreferences). Anchors
     * without a quoted href are skipped, matching [[HrefDqPat]]. */
-  val AnchorDqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*>(.*?)</a>"
-  val AnchorSqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B]href[ \\t]*=[ \\t]*'([^']*)'[^>]*>(.*?)</a>"
+  val AnchorDqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B\"']href[ \\t]*=[ \\t]*\"([^\"]*)\"[^>]*>(.*?)</a>"
+  val AnchorSqPat = "(?is)<a[^>]*?[ \\t\\n\\r\\f\\x0B\"']href[ \\t]*=[ \\t]*'([^']*)'[^>]*>(.*?)</a>"
 
   /** Anchor texts: one row per href-bearing anchor element — the
     * resolved/canonicalized target plus the anchor's VISIBLE text
@@ -851,6 +881,151 @@ object Crawl {
         (col("auth_u").cast("double") / lit(RankUnits).cast("double")).as("authority"))
   }
 
+  /** Two-level URL rank, WITHIN-HOST tier — the frontier-ordering fix
+    * for large hosts: [[domainRank]] ranks HOSTS, so inside a
+    * 10⁶-page host the frontier's only ordering is ref count + anchor
+    * words; block-structured rank is the standard scale-safe
+    * construction — a PageRank over each host's INTRA-host link graph
+    * (every per-host rank vector sums to 1), composed with the host
+    * tier multiplicatively ([[urlRankComposed]]:
+    * `score = host_rank · url_rank`). Cross-host edges are the HOST
+    * tier's signal and are excluded here by construction — that
+    * exclusion is what keeps every table in this loop node-sized PER
+    * TIER and the iteration embarrassingly parallel across hosts (no
+    * global scalar: the teleport/dangling terms are per-host
+    * aggregates).
+    *
+    * Input is a page table; edges derive as
+    * `(host, src = page canon_url, dst = link_url)` for links whose
+    * target host equals the page's host, self-loops dropped, distinct.
+    * Unseen URLs (linked, never fetched) ARE ranked — they appear as
+    * `dst` — which is exactly what the frontier needs. Output:
+    * `(host, url, rank)`, rank in per-host total-mass-1 units.
+    *
+    * Determinism: the [[domainRank]] BIGINT-unit discipline per host
+    * block — init `round(U/N_h, 0)`, contributions
+    * `round(rank_u/outdeg, 0)`, exact integer inbound sums, the one
+    * fixed-shape FP update per node with PER-HOST `N_h`/dangling.
+    *
+    * Scale shape: per iteration one `(host, src)` equi-join, one
+    * `(host, dst)` aggregation, one per-host dangling aggregate —
+    * all keyed by (host, url), never text; each tier materializes and
+    * the superseded tier releases, the [[domainRank]] loop shape. */
+  def urlRank(
+      pages: DataFrame,
+      urlCol: String = "url",
+      iters: Int = 2,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val canon = urlCanon(pages, urlCol)
+      .where(col("canon_url").isNotNull)
+      .select(col("doc_id"), col("canon_url"), col("host").as("page_h"))
+    val links = extractLinks(pages, urlCol)
+      .where(col("link_url").isNotNull)
+      .select(col("doc_id"), col("link_url"), col("link_host"))
+    val edges = links.join(canon, Seq("doc_id"))
+      .where(col("link_host") === col("page_h") &&
+        col("link_url") =!= col("canon_url"))
+      .select(col("link_host").as("host"), col("canon_url").as("src"),
+        col("link_url").as("dst"))
+    urlRankEdges(edges, iters, damping, mat)
+  }
+
+  /** [[urlRank]] over a prepared `(host, src, dst)` intra-host edge
+    * table — the loop itself, exposed for stored edge sets. */
+  def urlRankEdges(
+      edges: DataFrame,
+      iters: Int = 2,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
+    val e = graft.core.Materialize(
+      edges.select(col("host"), col("src"), col("dst"))
+        .where(col("host").isNotNull && col("src").isNotNull &&
+          col("dst").isNotNull && col("src") =!= col("dst"))
+        .distinct(),
+      mat)
+    val nodes = graft.core.Materialize(
+      e.select(col("host"), col("src").as("node"))
+        .unionByName(e.select(col("host"), col("dst").as("node")))
+        .distinct(),
+      mat)
+    // aggregate keys carry UNIQUE names (hh/oh/ih/dh) so every join
+    // below is an explicit cross-name condition — plain Seq-joins or
+    // df("col") refs over this shared-lineage graph trip Spark's
+    // ambiguous-self-join detection
+    val nHost = nodes.groupBy(col("host").as("hh"))
+      .agg(count(lit(1)).cast("double").as("n_nodes"))
+    val outdeg = e.groupBy(col("host").as("oh"), col("src").as("osrc"))
+      .agg(count(lit(1)).cast("double").as("outdeg"))
+    var ranks = graft.core.Materialize(
+      nodes.join(nHost, col("host") === col("hh"))
+        .select(col("host"), col("node"),
+          round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
+            .cast("long").as("rank_u")),
+      mat)
+    var prev = ranks
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, col("host") === col("oh") && col("node") === col("osrc"))
+        .select(col("host").as("ch"), col("osrc").as("csrc"),
+          round(col("rank_u").cast("double") / col("outdeg"), 0)
+            .cast("long").as("contrib_u"))
+      val inbound = e
+        .join(contribs, col("host") === col("ch") && col("src") === col("csrc"))
+        .groupBy(col("host").as("ih"), col("dst"))
+        .agg(sum(col("contrib_u")).as("inb_u"))
+      val dangling = ranks
+        .join(outdeg, col("host") === col("oh") && col("node") === col("osrc"),
+          "left_anti")
+        .groupBy(col("host").as("dh")).agg(sum(col("rank_u")).as("dang_u"))
+      val next = graft.core.Materialize(
+        nodes
+          .join(inbound,
+            col("host") === col("ih") && col("node") === col("dst"), "left")
+          .join(dangling, col("host") === col("dh"), "left")
+          .join(nHost, col("host") === col("hh"))
+          .select(col("host"), col("node"),
+            round(
+              (lit(1.0) - lit(damping)) * lit(RankUnits).cast("double") / col("n_nodes") +
+                lit(damping) *
+                  (coalesce(col("inb_u"), lit(0L)).cast("double") +
+                    coalesce(col("dang_u"), lit(0L)).cast("double") / col("n_nodes")),
+              0).cast("long").as("rank_u")),
+        mat)
+      next.limit(1).count()
+      if (prev ne next) graft.core.Materialize.release(prev, mat)
+      prev = next
+      ranks = next
+    }
+    graft.core.Materialize.release(e, mat)
+    ranks.select(col("host"), col("node").as("url"),
+      (col("rank_u").cast("double") / lit(RankUnits).cast("double")).as("rank"))
+  }
+
+  /** Compose the two rank tiers multiplicatively:
+    * `score = host_rank · url_rank` — the block-structured rank's
+    * serving face, joinable onto [[crawlFrontier]] output by
+    * `link_url` (unseen frontier targets are ranked: they appear as
+    * link-graph `dst` nodes). `urlRanks` is [[urlRank]] output,
+    * `hostRanks` is [[domainRank]] output; hosts absent from the host
+    * tier score 0 (the [[rankPrior]] stance). The host table is
+    * node-sized — broadcast by default. Output:
+    * `(host, url, url_rank, host_rank, score)`. */
+  def urlRankComposed(
+      urlRanks: DataFrame,
+      hostRanks: DataFrame,
+      broadcastHosts: Boolean = true): DataFrame = {
+    val h = hostRanks.select(col("node").as("host"), col("rank").as("host_rank"))
+    val rhs = if (broadcastHosts) broadcast(h) else h
+    urlRanks.select(col("host"), col("url"), col("rank").as("url_rank"))
+      .join(rhs, Seq("host"), "left")
+      .select(col("host"), col("url"), col("url_rank"),
+        coalesce(col("host_rank"), lit(0.0)).as("host_rank"),
+        (col("url_rank") * coalesce(col("host_rank"), lit(0.0))).as("score"))
+  }
+
   /** Weakly-connected components of the host graph —
     * [[Dedup.clusters]]' checkpointed min-label propagation over the
     * undirected edge set: `(node, component_id)` with the component
@@ -1068,38 +1243,146 @@ object Crawl {
         col("domain_rank"), col("pos"))
   }
 
+  /** [[crawlFrontierBloom]] beyond the single-filter ceiling — the
+    * HOST-SHARDED seen-set formulation: the seen keys split into
+    * `shards` groups by `pmod(xxhash64(host), shards)`, each group
+    * builds its OWN Bloom filter (so build-side peak allocation is one
+    * shard's bits, not the whole set's ~1.2 GB at 10⁹ URLs), and each
+    * candidate probes exactly its shard via a native expression whose
+    * filters ride the codegen reference array — never a plan literal
+    * (the ceiling [[crawlFrontierBloom]] documents; see
+    * [[graft.functions.ShardedBloomSet]]). Routing is consistent by
+    * construction: a candidate's `link_host` and a seen URL's
+    * canonical host are the same string for the same canonical URL,
+    * and both sides hash with Spark's own `xxhash64`.
+    *
+    * Result ≡ [[crawlFrontier]] byte-for-byte at any fpp/shards
+    * (Bloom filters have no false negatives; the might-contain sliver
+    * re-confirms exactly) — shares its oracle. Build cost: `shards`
+    * passes over the Persisted key-sized seen table (train-once, the
+    * centroid-training analogue); probe cost: one codegen'd bit-probe
+    * per link. */
+  def crawlFrontierBloomSharded(
+      pages: DataFrame,
+      ranks: DataFrame,
+      urlCol: String = "url",
+      perHostCap: Int = 10,
+      fpp: Double = 0.01,
+      shards: Int = 4,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist): DataFrame = {
+    require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
+    require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
+    require(shards >= 1, s"shards=$shards must be >= 1")
+    import org.apache.spark.sql.GraftSqlBridge
+    val seen = graft.core.Materialize(
+      pages.select(seal(urlParts(col(urlCol))).as("up"))
+        .select(md5(col("up.canon_url")).as("url_key"),
+          pmod(xxhash64(col("up.host")), lit(shards)).cast("int").as("shard"))
+        .where(col("url_key").isNotNull).distinct(),
+      mat)
+    val counts = seen.groupBy(col("shard")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val shardBytes = (0 until shards).map { i =>
+      // a key-less shard gets a minimal filter that contains nothing
+      // (stat.bloomFilter on an empty frame has no aggregate to read)
+      val b = counts.get(i) match {
+        case Some(n) if n > 0L =>
+          seen.where(col("shard") === i)
+            .select(xxhash64(col("url_key")).as("h"))
+            .stat.bloomFilter("h", n, fpp)
+        case _ => org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+      }
+      val bos = new java.io.ByteArrayOutputStream()
+      b.writeTo(bos)
+      bos.toByteArray
+    }.toArray
+    val bloomSet = new graft.functions.ShardedBloomSet(shardBytes)
+    val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
+      .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
+    val mightContain = GraftSqlBridge.column(
+      graft.functions.ShardedBloomMightContain(
+        GraftSqlBridge.expression(
+          pmod(xxhash64(col("link_host")), lit(shards)).cast("int")),
+        GraftSqlBridge.expression(xxhash64(col("url_key"))),
+        bloomSet))
+    val definitelyUnseen = links.where(!mightContain)
+    val confirmed = links.where(mightContain)
+      .join(seen.select(col("url_key")), Seq("url_key"), "left_anti")
+    val cands = definitelyUnseen.unionByName(confirmed)
+      .groupBy(col("link_url"), col("link_host"))
+      .agg(count(lit(1)).as("n_refs"))
+    rankPrior(topPerHost(cands, perHostCap), ranks, nodeCol = "link_host")
+      .select(col("link_url"), col("link_host"), col("n_refs"),
+        col("domain_rank"), col("pos"))
+  }
+
   // ---- Sitemaps ----------------------------------------------------------
 
-  /** Sitemap grammar (sitemaps.org XML, regex subset): `<loc>` URL
-    * entries and the `<sitemapindex>` root that marks an index file.
-    * Explicit whitespace classes — the engine-wide `\s` ban (Java and
-    * RE2 disagree on VT); inner trim is the [[WsTrimPat]] job. */
+  /** Sitemap grammar (sitemaps.org XML, regex subset): `<url>` /
+    * `<sitemap>` entry blocks, their `<loc>` URL plus the OPTIONAL
+    * freshness fields the standard defines (`<lastmod>`,
+    * `<changefreq>`, `<priority>`), and the `<sitemapindex>` root that
+    * marks an index file. The entry pattern requires `>` or
+    * whitespace after the tag name so `<urlset>` / `<sitemapindex>`
+    * roots never match as entries. Explicit whitespace classes — the
+    * engine-wide `\s` ban (Java and RE2 disagree on VT); inner trim
+    * is the [[WsTrimPat]] job. */
+  val SitemapEntryPat =
+    "(?is)<(?:url|sitemap)(?:>|[ \\t\\n\\r\\f\\x0B][^>]*>)(.*?)</(?:url|sitemap)[ \\t\\n\\r\\f\\x0B]*>"
   val SitemapLocPat = "(?is)<loc[^>]*>([^<]*)</loc>"
+  val SitemapLastmodPat = "(?is)<lastmod[^>]*>([^<]*)</lastmod>"
+  val SitemapChangefreqPat = "(?is)<changefreq[^>]*>([^<]*)</changefreq>"
+  val SitemapPriorityPat = "(?is)<priority[^>]*>([^<]*)</priority>"
   val SitemapIndexPat = "(?i)<sitemapindex[ \\t\\n\\r\\f\\x0B>]"
 
+  /** A priority value safe to cast (sitemaps.org: 0.0–1.0 decimal);
+    * anything else — including the negative/exponent forms the
+    * standard forbids — reads NULL rather than risking an ANSI cast
+    * failure on web garbage. */
+  val SitemapPriorityNumPat = "^[0-9]+(\\.[0-9]+)?$"
+
   /** URL entries of sitemap documents `(doc_id, text)` — one row per
-    * `<loc>`, canonicalized: `(doc_id, loc_idx, loc, url, host,
-    * is_index)`; `is_index` marks entries from a `<sitemapindex>`
-    * (they name further sitemaps to fetch, not content pages — a
-    * frontier seeds from the non-index rows and feeds index rows back
-    * into the fetch queue). Entity decode before canonicalization
-    * (`&amp;` is mandatory XML escaping in query strings). Row-local
-    * explode, the [[extractLinks]] stance. */
+    * `<url>`/`<sitemap>` block carrying a `<loc>`, canonicalized:
+    * `(doc_id, loc_idx, loc, url, host, is_index, lastmod,
+    * changefreq, priority)`; `is_index` marks entries from a
+    * `<sitemapindex>` (they name further sitemaps to fetch, not
+    * content pages — a frontier seeds from the non-index rows and
+    * feeds index rows back into the fetch queue). The three freshness
+    * fields are the host's DECLARED change-rate signal — what
+    * [[recrawlPolicySeeded]] seeds cold-start intervals from —
+    * entity-decoded, whitespace-trimmed, NULL when absent/empty:
+    * `lastmod` verbatim (W3C datetime text — parsing is the
+    * consumer's policy), `changefreq` lowercased, `priority` as
+    * double (non-numeric → NULL, [[SitemapPriorityNumPat]]). Entity
+    * decode before canonicalization (`&amp;` is mandatory XML
+    * escaping in query strings). Row-local explode, the
+    * [[extractLinks]] stance. */
   def sitemapUrls(sitemaps: DataFrame): DataFrame = {
     val raw = coalesce(col("text"), lit(""))
+    def field(pat: String): Column =
+      nullif(regexp_replace(decodedHref(regexp_extract(col("entry"), pat, 1)),
+        WsTrimPat, ""), lit(""))
     graft.core.Parallelism.ensure(sitemaps)
       .select(col("doc_id"),
         seal(struct(
-          regexp_extract_all(raw, lit(SitemapLocPat), lit(1)).as("ls"),
+          regexp_extract_all(raw, lit(SitemapEntryPat), lit(1)).as("es"),
           raw.rlike(SitemapIndexPat).as("is_index"))).as("sx"))
       .select(col("doc_id"), col("sx.is_index").as("is_index"),
-        posexplode(col("sx.ls")).as(Seq("loc_idx", "loc0")))
-      .withColumn("loc", decodedHref(col("loc0")))
+        posexplode(col("sx.es")).as(Seq("loc_idx", "entry")))
+      .where(col("entry").rlike(SitemapLocPat))
+      .select(col("doc_id"), col("loc_idx"), col("is_index"),
+        decodedHref(regexp_extract(col("entry"), SitemapLocPat, 1)).as("loc"),
+        field(SitemapLastmodPat).as("lastmod"),
+        lower(field(SitemapChangefreqPat)).as("changefreq"),
+        field(SitemapPriorityPat).as("_pr"))
       .select(col("doc_id"), col("loc_idx"), col("loc"),
-        seal(urlParts(col("loc"))).as("lp"), col("is_index"))
+        seal(urlParts(col("loc"))).as("lp"), col("is_index"),
+        col("lastmod"), col("changefreq"),
+        when(col("_pr").rlike(SitemapPriorityNumPat), col("_pr"))
+          .cast("double").as("priority"))
       .select(col("doc_id"), col("loc_idx"), col("loc"),
         col("lp.canon_url").as("url"), col("lp.host").as("host"),
-        col("is_index"))
+        col("is_index"), col("lastmod"), col("changefreq"), col("priority"))
   }
 
   /** The complete next-fetch list in ONE call — the crawl loop's
@@ -1228,9 +1511,15 @@ object Crawl {
     * `next_fetch_at <= now` for the due list; feed it to
     * [[politeFrontier]]'s delay budgets for the fetch wave.
     *
-    * Determinism: pure integer arithmetic (the shift exponent is
-    * capped at 30 BEFORE shifting, so `86400 · 2³⁰` never overflows
-    * and the `maxInterval` clamp is the only policy bound).
+    * Determinism: pure integer arithmetic. The shift exponent is
+    * capped BEFORE shifting at `min(30, 62 − bitlength(baseInterval))`
+    * so `baseInterval << s` can never exceed `Long.MaxValue` for ANY
+    * legal `baseInterval` (only `>= 1` is required) — without the
+    * second bound a base above ~2³³ would shift into the sign bit,
+    * land `next_fetch_at` in the past, and mark stale URLs
+    * permanently due. The `maxInterval` clamp then applies as the
+    * policy bound (for the default day-scale base the cap is the
+    * usual 30).
     *
     * Scale shape: ONE window over `(url)` ordered by fetch time for
     * the change flag — per-key cardinality is the URL's OWN fetch
@@ -1245,6 +1534,9 @@ object Crawl {
     require(baseInterval >= 1, s"baseInterval=$baseInterval must be >= 1")
     require(maxInterval >= baseInterval,
       s"maxInterval=$maxInterval must be >= baseInterval=$baseInterval")
+    // largest shift that keeps baseInterval << s positive (see scaladoc)
+    val maxShift =
+      math.min(30, java.lang.Long.numberOfLeadingZeros(baseInterval) - 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("url")).orderBy(col("fetch_ts"))
     val flagged = graft.core.Parallelism.ensure(fetches)
@@ -1265,7 +1557,70 @@ object Crawl {
       .withColumn("interval_sec",
         least(lit(maxInterval),
           expr(s"shiftleft(CAST($baseInterval AS BIGINT), " +
-            "CAST(least(unchanged_streak, 30) AS INT))")))
+            s"CAST(least(unchanged_streak, $maxShift) AS INT))")))
       .withColumn("next_fetch_at", col("last_fetch") + col("interval_sec"))
+  }
+
+  /** sitemaps.org `<changefreq>` tokens → seconds. `always` maps to
+    * the policy's own floor (fetch as often as the policy allows) and
+    * `never` to its ceiling; unknown tokens map to NULL (no seed —
+    * the standard's closed vocabulary, loosely honored by the web). */
+  private def changefreqSeconds(cf: Column, baseInterval: Long, maxInterval: Long): Column =
+    when(cf === "always", lit(baseInterval))
+      .when(cf === "hourly", lit(3600L))
+      .when(cf === "daily", lit(86400L))
+      .when(cf === "weekly", lit(604800L))
+      .when(cf === "monthly", lit(2592000L))
+      .when(cf === "yearly", lit(31536000L))
+      .when(cf === "never", lit(maxInterval))
+
+  /** [[recrawlPolicy]] seeded by the host's DECLARED change rates —
+    * the cold-start fix: a URL the crawl has fetched fewer than twice
+    * has no observed change history, and the plain policy spends
+    * `log2(realInterval/baseInterval)` wasted fetches learning a rate
+    * the sitemap already declared (`<changefreq>`,
+    * [[sitemapUrls]]' `changefreq` column). `declared` is any
+    * `(url, changefreq)` table — canonical URL + token; multiple
+    * declarations for one URL keep the FRESHEST (minimum seconds: a
+    * host that declares a faster rate anywhere expects the page to
+    * change that fast). Seconds clamp into
+    * `[baseInterval, maxInterval]` AFTER the per-URL min.
+    *
+    * PRECEDENCE: observed history beats declaration — a URL with
+    * `n_fetches >= 2` has real evidence and keeps the backoff
+    * interval; only `n_fetches < 2` rows with a recognized declared
+    * token take the seed (`seeded` marks them). Unknown tokens and
+    * undeclared URLs keep the plain policy everywhere.
+    *
+    * Units: the changefreq mapping is defined in SECONDS — pass
+    * epoch-second `fetch_ts` (the [[recrawlPolicy]] default contract),
+    * not batch units.
+    *
+    * Scale shape: [[recrawlPolicy]]'s plan plus one join against the
+    * url-count-sized declaration table (broadcast by default; at
+    * 10⁹ declared URLs pass `broadcastDeclared = false` and let it
+    * shuffle on the url key both sides already carry). */
+  def recrawlPolicySeeded(
+      fetches: DataFrame,
+      declared: DataFrame,
+      baseInterval: Long = 86400L,
+      maxInterval: Long = 30L * 86400L,
+      broadcastDeclared: Boolean = true): DataFrame = {
+    val mapped = changefreqSeconds(
+      lower(regexp_replace(coalesce(col("changefreq"), lit("")), WsTrimPat, "")),
+      baseInterval, maxInterval)
+    val d = declared
+      .select(col("url"), mapped.as("_secs"))
+      .where(col("url").isNotNull && col("_secs").isNotNull)
+      .groupBy("url").agg(min(col("_secs")).as("_secs"))
+    val rhs = if (broadcastDeclared) broadcast(d) else d
+    val clamped = greatest(lit(baseInterval), least(lit(maxInterval), col("_secs")))
+    recrawlPolicy(fetches, baseInterval, maxInterval)
+      .join(rhs, Seq("url"), "left")
+      .withColumn("seeded", col("n_fetches") < 2L && col("_secs").isNotNull)
+      .withColumn("interval_sec",
+        when(col("seeded"), clamped).otherwise(col("interval_sec")))
+      .withColumn("next_fetch_at", col("last_fetch") + col("interval_sec"))
+      .drop("_secs")
   }
 }

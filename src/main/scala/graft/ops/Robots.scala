@@ -220,7 +220,7 @@ object Robots {
     val best = aggregate(matching,
       struct(lit(-1).as("l"), lit(true).as("a")),
       (acc, r) => {
-        val rl = length(r.getField("prefix")).cast("int")
+        val rl = octet_length(r.getField("prefix")).cast("int")
         val ra = r.getField("rule") === "allow"
         when(rl > acc.getField("l") ||
             (rl === acc.getField("l") && ra && !acc.getField("a")),

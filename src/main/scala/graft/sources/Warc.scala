@@ -237,6 +237,83 @@ object Warc {
           regexp_replace(col("content"), HttpHeaderEndPat, ""))
           .otherwise(col("content")).as("text"))
 
+  /** The WET SINK — the write half of the crawl round-trip: emit a
+    * `(doc_id, url, fetched_at, text)` table as spec-shaped WET
+    * `conversion` records (ISO 28500 header block + entity + the
+    * two-CRLF terminator), one shard file per non-empty partition,
+    * gzip MEMBER PER RECORD under `gz = true` (the Common Crawl wire
+    * format [[readRecordsGz]] consumes). This closes the loop the
+    * engine could previously only enter: re-distribution and
+    * inter-pipeline handoff round-trip through WET, and
+    * `readConversions(writeConversions(x)) ≡ x` on clean input (the
+    * parity spec pins header fields and text; "clean" = text carrying
+    * neither a trailing CRLF blank line nor an embedded record
+    * marker — the reader's two documented approximations).
+    *
+    * Header-value hygiene: record id / URI / date are header-line
+    * values, so embedded CR/LF would corrupt the framing — they are
+    * stripped (total-function stance; clean values pass verbatim).
+    * NULL url/date omit their header line (the reader yields NULL
+    * back). `Content-Length` is written in octets per the spec even
+    * though the reader does not bound by it (scaladoc approximation).
+    *
+    * Scale shape: one row-parallel pass; each task streams its
+    * partition straight to its own shard via the Hadoop FS API — no
+    * driver collection, no shuffle; shard sizing = upstream
+    * partitioning (repartition to target shard count first). Returns
+    * the written shard names (task-count-sized). */
+  def writeConversions(
+      docs: DataFrame, dir: String, gz: Boolean = false): Seq[String] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val clean = (c: Column) => regexp_replace(c.cast("string"), "[\\r\\n]", "")
+    val rows = docs.select(
+      coalesce(clean(col("doc_id")), lit("")).as("id"),
+      clean(col("url")).as("url"),
+      clean(col("fetched_at")).as("dt"),
+      coalesce(col("text"), lit("")).as("text"))
+      .as[(String, String, String, String)]
+    val dirStr = dir
+    val useGz = gz
+    rows.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pid = org.apache.spark.TaskContext.getPartitionId()
+        val name = f"part-$pid%05d.warc.wet" + (if (useGz) ".gz" else "")
+        val p = new org.apache.hadoop.fs.Path(dirStr, name)
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val out = fs.create(p, true)
+        try {
+          it.foreach { case (id, url, dt, text) =>
+            val body = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+            val h = new StringBuilder(256)
+            h.append("WARC/1.0\r\n")
+            h.append("WARC-Type: conversion\r\n")
+            h.append("WARC-Record-ID: <").append(id).append(">\r\n")
+            if (url != null) h.append("WARC-Target-URI: ").append(url).append("\r\n")
+            if (dt != null) h.append("WARC-Date: ").append(dt).append("\r\n")
+            h.append("Content-Length: ").append(body.length).append("\r\n\r\n")
+            val rec = new java.io.ByteArrayOutputStream(body.length + 300)
+            rec.write(h.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            rec.write(body)
+            rec.write("\r\n\r\n".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+            if (useGz) {
+              // one gzip member per record — the Common Crawl framing
+              // readRecordsGz's member walk expects; built in memory so
+              // close() releases the Deflater's native state per member
+              val member = new java.io.ByteArrayOutputStream(rec.size() / 2 + 64)
+              val gzOut = new java.util.zip.GZIPOutputStream(member)
+              rec.writeTo(gzOut)
+              gzOut.close()
+              member.writeTo(out)
+            } else rec.writeTo(out)
+          }
+        } finally out.close()
+        Iterator.single(name)
+      }
+    }.collect().toSeq.sorted
+  }
+
   /** The redirect map of a crawl archive: `response` records with a
     * 3xx status — `(doc_id, url, http_status, location, redirect_to)`
     * where `redirect_to` is the Location header resolved against the

@@ -311,17 +311,46 @@ object CorpusWatcher {
     * [[graft.ops.Robots.robotsRules]] table as `frontierRules` to
     * enforce politeness at QUEUE time — disallowed targets never
     * enter the work list (broadcast rule table, row-local fold).
+    * Pass stored [[graft.ops.Robots.crawlDelays]] /
+    * [[graft.ops.Crawl.crawlBudget]] tables as `frontierDelays` /
+    * `frontierBudgets` and each partition becomes a fetch SCHEDULE:
+    * per-host rank (`pos`, bounded heap capped at
+    * `frontierPerHostCap` — never a window), `fetch_offset =
+    * (pos−1)·delay` seconds into the host's wave
+    * (`frontierDefaultDelay` for undeclared hosts), and a per-host
+    * budget slice — the batch [[graft.ops.Crawl.politeFrontier]]
+    * faces at the stream boundary, so a fetch worker consumes WHEN
+    * and HOW MANY, not just WHAT.
     *
     * Change-aware URL gate (`recrawlDir`, exclusive with
     * `urlHistoryDir`): the RECRAWL mode of the same first stage — a
     * re-fetched URL is dropped only when its content hash matches a
-    * version already processed FOR that URL (`(url_key, content_hash)`
-    * pair history), so changed pages flow through to re-extraction and
-    * (with URL-stable doc ids) replace their stale index rows, while
-    * unchanged re-fetches cost one 32-byte pair probe. The history
-    * partitions double as the fetch log ([[recrawlDue]] derives the
-    * binary-backoff due list from them), so this dir is exempt from
-    * compaction — batch provenance IS the data.
+    * version already ADMITTED for that URL (`(url_key, content_hash)`
+    * pair membership), so changed pages flow through to re-extraction
+    * and (with URL-stable doc ids) replace their stale index rows,
+    * while unchanged re-fetches cost one 32-byte pair probe. Within a
+    * batch one VERSION per url_key is admitted (max `content_hash`,
+    * then min `doc_id` — the identity gate's single-winner discipline
+    * one level up: URL-stable doc ids mean two same-batch versions
+    * share a doc_id, and admitting both would merge both versions'
+    * postings into one document).
+    *
+    * The gate's PROBE SET and the fetch LOG are separate stores with
+    * different growth laws: `recrawlDir` itself is the raw append-only
+    * fetch log — EVERY observed pair, every batch, provenance
+    * partitions (`batch_id` = fetch time in batch units) that
+    * [[recrawlDue]] derives backoff schedules from; it is exempt from
+    * compaction because folding partitions would erase fetch
+    * provenance. The gate's anti-join instead probes the sibling
+    * `<recrawlDir>.gate` dir ([[recrawlGateDir]]) holding the DISTINCT
+    * admitted pairs only — key-sized rows whose consumer is a
+    * semi-join, so it compacts under [[compactHistory]] like the URL
+    * and band histories, and per-batch gate cost stays FLAT as total
+    * fetches grow (the raw log is never scanned by the gate; only
+    * [[recrawlDue]] — an operator-invoked report, not a per-batch
+    * stage — reads it). A pre-split `recrawlDir` (log only, no gate
+    * dir) migrates automatically: the first batch folds the log's
+    * distinct pairs into the gate's initial compacted generation.
     *
     * Positional snapshots (`positional`): the maintained index is
     * [[graft.index.InvertedIndex.buildPositional]]'s `(word, doc_id,
@@ -400,7 +429,11 @@ object CorpusWatcher {
       urlHistoryDir: Option[String] = None,
       frontierDir: Option[String] = None,
       recrawlDir: Option[String] = None,
-      frontierRules: Option[DataFrame] = None): StreamingQuery = {
+      frontierRules: Option[DataFrame] = None,
+      frontierDelays: Option[DataFrame] = None,
+      frontierBudgets: Option[DataFrame] = None,
+      frontierPerHostCap: Int = 100,
+      frontierDefaultDelay: Double = 1.0): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -411,6 +444,12 @@ object CorpusWatcher {
         "identity (drop every re-crawl) or change-aware (drop unchanged re-crawls)")
     require(frontierRules.isEmpty || frontierDir.isDefined,
       "frontierRules filters the frontier stage: pass frontierDir with it")
+    require((frontierDelays.isEmpty && frontierBudgets.isEmpty) || frontierDir.isDefined,
+      "frontierDelays/frontierBudgets schedule the frontier stage: pass frontierDir with them")
+    require(frontierPerHostCap >= 1,
+      s"frontierPerHostCap=$frontierPerHostCap must be >= 1")
+    require(frontierDefaultDelay >= 0,
+      s"frontierDefaultDelay=$frontierDefaultDelay must be >= 0")
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
     // switches every CONTENT-KEYED stage — band signatures (history +
@@ -485,51 +524,75 @@ object CorpusWatcher {
         val parsed1 = if (recrawlDir.isDefined) {
           // Change-aware URL gate (`recrawlDir`): where the identity
           // gate drops EVERY re-crawl, this one drops a re-crawl only
-          // when it brings nothing new — the history is the append-only
-          // set of `(url_key, content_hash)` PAIRS ever observed (a
-          // pair's FIRST observation always admits, so this equals the
-          // admitted set; later observations only feed the log), so an
-          // unchanged re-fetch dies against its own pair, a changed
-          // page passes (new pair), and a page that later reverts to
-          // old content dies again (that pair was processed). Pair-set
-          // membership keeps the append-only key-history discipline —
-          // no per-key latest-version bookkeeping. The partitions
-          // double as the FETCH LOG (`batch_id` = fetch time in batch
-          // units): [[recrawlDue]] runs [[graft.ops.Crawl.recrawlPolicy]]
-          // over the accumulated dir for the backoff due list — which
-          // is why this dir never joins the history compaction (folding
-          // partitions would erase fetch provenance). If the feed keys
-          // doc_id by URL, the index upsert REPLACES the stale version
-          // on change — the freshness loop closed end to end.
+          // when it brings nothing new — the gate probes the ADMITTED
+          // `(url_key, content_hash)` pair set (an unchanged re-fetch
+          // dies against its own pair, a changed page passes — new
+          // pair — and a page that later reverts to old content dies
+          // again: that pair was processed). Pair-set membership keeps
+          // the append-only key-history discipline — no per-key
+          // latest-version bookkeeping. The probe set lives in the
+          // compactable sibling gate dir; the raw fetch LOG (every
+          // observation, per-batch provenance for [[recrawlDue]])
+          // stays in `recrawlDir` and is never scanned here — the
+          // split that keeps per-batch gate cost flat as total fetches
+          // grow. If the feed keys doc_id by URL, the index upsert
+          // REPLACES the stale version on change — the freshness loop
+          // closed end to end.
           val rd = recrawlDir.get
+          val gd = recrawlGateDir(rd)
+          ensureCanonVersion(session, rd)
+          // one-time migration for pre-split dirs: fold the existing
+          // log's distinct pairs into the gate's initial compacted
+          // generation (idempotent: skipped once the gate dir exists;
+          // the replayed batch's own first-attempt log partition is
+          // excluded, the accumulated-read rule)
+          seedRecrawlGate(session, rd, gd, excludeBatchId = batchId)
           val keyed = staged(parsed0
             .withColumn("url_key", md5(graft.ops.Crawl.canonicalizeUrl(col("url"))))
             .withColumn("content_hash", md5(coalesce(col("text"), lit("")))))
           val freshVsHist =
-            accumulatedPartitions(session, rd, excludeBatchId = batchId) match {
+            accumulatedPartitions(session, gd, excludeBatchId = batchId) match {
               case Some(h) =>
                 keyed.join(h.select("url_key", "content_hash"),
                   Seq("url_key", "content_hash"), "left_anti")
               case None => keyed
             }
-          val winners = freshVsHist.where(col("url_key").isNotNull)
-            .groupBy("url_key", "content_hash").agg(min(col("doc_id")).as("_rc_winner"))
-          val kept = staged(freshVsHist
-            .join(winners, Seq("url_key", "content_hash"), "left")
+          // one VERSION per url_key in-batch (max content_hash — a
+          // URL-stable feed gives same-batch versions the SAME doc_id,
+          // so pair-level winners alone would merge both versions'
+          // postings into one document), then the min-doc_id winner
+          // within the surviving version — the identity gate's
+          // deterministic single-winner discipline
+          val ver = freshVsHist.where(col("url_key").isNotNull)
+            .groupBy("url_key").agg(max(col("content_hash")).as("_rc_ver"))
+          val versioned = freshVsHist
+            .join(ver, Seq("url_key"), "left")
+            .where(col("url_key").isNull || col("content_hash") === col("_rc_ver"))
+          val winners = versioned.where(col("url_key").isNotNull)
+            .groupBy("url_key").agg(min(col("doc_id")).as("_rc_winner"))
+          val kept = staged(versioned
+            .join(winners, Seq("url_key"), "left")
             .where(col("url_key").isNull || col("doc_id") === col("_rc_winner"))
-            .drop("_rc_winner"))
-          // the partition logs every pair OBSERVED this batch (from
-          // `keyed`, not `kept`): an unchanged re-fetch must still
-          // appear in the fetch log — it is exactly the observation
-          // the backoff counts — and a re-logged known pair changes
-          // nothing for the gate's anti-join
+            .drop("_rc_ver", "_rc_winner"))
+          // the LOG partition records every pair OBSERVED this batch
+          // (from `keyed`, not `kept`): an unchanged re-fetch must
+          // still appear in the fetch log — it is exactly the
+          // observation the backoff counts
           keyed.where(col("url_key").isNotNull)
             .select("url_key", "content_hash").distinct()
             .write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
+          // the GATE partition records only the ADMITTED pairs — the
+          // set future anti-joins must hit (a version that lost the
+          // within-batch race was never indexed, so a later re-fetch
+          // of it must pass); distinct key-sized rows, compactable
+          kept.where(col("url_key").isNotNull)
+            .select("url_key", "content_hash").distinct()
+            .write.mode("overwrite").parquet(s"$gd/batch_id=$batchId")
           kept.drop("url_key", "content_hash", "url")
         } else urlHistoryDir match {
           case None => parsed0.drop("url")
           case Some(ud) =>
+            ensureCanonVersion(session, ud)
             // `url` survives the gate when the frontier stage (below)
             // still needs it as the link-resolution origin
             val keyed = staged {
@@ -577,6 +640,7 @@ object CorpusWatcher {
         val parsed = frontierDir match {
           case None => parsed1
           case Some(fd) =>
+            ensureCanonVersion(session, fd)
             val links = graft.ops.Crawl.extractLinks(parsed1)
             val cands0 = links.where(col("link_url").isNotNull)
               .select(md5(col("link_url")).as("url_key"),
@@ -600,9 +664,52 @@ object CorpusWatcher {
               case Some(q) => unseen.join(q.select("url_key"), Seq("url_key"), "left_anti")
               case None => unseen
             }
-            val out = staged(fresh
+            val grouped = fresh
               .groupBy(col("url_key"), col("link_url"), col("link_host"))
-              .agg(count(lit(1)).as("n_refs")))
+              .agg(count(lit(1)).as("n_refs"))
+            // fetch SCHEDULING (`frontierDelays` / `frontierBudgets`):
+            // the work list carries WHEN and HOW MANY, not just WHAT —
+            // per-host rank via the bounded heap (never a window, the
+            // topPerHost argument), `fetch_offset = (pos−1)·delay`
+            // seconds into the host's wave from the stored
+            // Robots.crawlDelays table, and an optional per-host
+            // budget slice from a stored crawlBudget table — the
+            // batch politeFrontier faces at the stream boundary, so a
+            // consumer never re-implements politeness. Candidates
+            // beyond the cap/budget are NOT queued and NOT remembered:
+            // still-linked pages re-candidate next batch.
+            val out = if (frontierDelays.isEmpty && frontierBudgets.isEmpty) staged(grouped)
+            else {
+              val capped = grouped
+                .groupBy(col("link_host"))
+                .agg(graft.functions.TopKByScore.topK(
+                  col("n_refs"), col("link_url"), frontierPerHostCap).as("_tk"))
+                .select(col("link_host"),
+                  posexplode(col("_tk")).as(Seq("_p", "_e")))
+                .select(md5(col("_e.id")).as("url_key"),
+                  col("_e.id").as("link_url"), col("link_host"),
+                  col("_e.score").as("n_refs"), (col("_p") + 1).as("pos"))
+              val withDelay = frontierDelays match {
+                case Some(d) => capped.join(
+                  broadcast(d.select(col("host").as("link_host"), col("crawl_delay"))),
+                  Seq("link_host"), "left")
+                case None => capped.withColumn("crawl_delay", lit(null).cast("double"))
+              }
+              val withOffset = withDelay.withColumn("fetch_offset",
+                (col("pos") - 1).cast("double") *
+                  coalesce(col("crawl_delay"), lit(frontierDefaultDelay)))
+              val sliced = frontierBudgets match {
+                case Some(b) => withOffset
+                  .join(broadcast(b.select(col("node").as("link_host"), col("fetch_budget"))),
+                    Seq("link_host"), "left")
+                  .where(col("pos") <= coalesce(col("fetch_budget"),
+                    lit(frontierPerHostCap.toLong)))
+                  .drop("fetch_budget")
+                case None => withOffset
+              }
+              staged(sliced.select(col("url_key"), col("link_url"), col("link_host"),
+                col("n_refs"), col("pos"), col("crawl_delay"), col("fetch_offset")))
+            }
             out.write.mode("overwrite").parquet(s"$fd/batch_id=$batchId")
             frontierF = Some(out)
             parsed1.drop("url")
@@ -902,7 +1009,8 @@ object CorpusWatcher {
         compactEvery.foreach { n =>
           if (batchId % n == (n - 1).toLong) {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++
-              sentenceSpanHistoryDir ++ urlHistoryDir ++ frontierDir)
+              sentenceSpanHistoryDir ++ urlHistoryDir ++ frontierDir ++
+              recrawlDir.map(recrawlGateDir)) // gate set only — never the raw fetch log
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }
@@ -1118,6 +1226,75 @@ object CorpusWatcher {
       bandsDir: String,
       excludeBatchId: Long): Option[DataFrame] =
     accumulatedPartitions(session, bandsDir, excludeBatchId)
+
+  /** The recrawl gate's probe-set dir — the compactable sibling of
+    * the raw fetch log (see the [[startJsonl]] scaladoc's probe-set /
+    * log split). Derived, not configured: the two stores are one
+    * feature and must never point at each other. */
+  def recrawlGateDir(recrawlDir: String): String =
+    s"${recrawlDir.stripSuffix("/")}.gate"
+
+  /** One-time migration of a pre-split `recrawlDir` (log doubling as
+    * gate): fold the log's DISTINCT pairs — excluding a replayed
+    * batch's own first-attempt partition — into the gate dir's
+    * initial compacted generation (`batch_id=-1`). No-op once the
+    * gate dir has any partition; overwrite keeps a crash-replay
+    * idempotent. Under the OLD layout the gate set was "every
+    * observed pair", so seeding from the log preserves exactly the
+    * old admission decisions for old state. */
+  private def seedRecrawlGate(
+      session: SparkSession,
+      logDir: String,
+      gateDir: String,
+      excludeBatchId: Long): Unit = {
+    val root = new org.apache.hadoop.fs.Path(gateDir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    val gateHasAny = fs.exists(root) &&
+      fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (gateHasAny) return
+    accumulatedPartitions(session, logDir, excludeBatchId).foreach { h =>
+      h.select("url_key", "content_hash").distinct()
+        .write.mode("overwrite").parquet(s"$gateDir/batch_id=-1")
+    }
+  }
+
+  /** Stamp/verify [[graft.ops.Crawl.CanonVersion]] on a URL-keyed
+    * history dir (`urlHistoryDir`, `frontierDir`, `recrawlDir` — the
+    * gate sibling shares its log's stamp): the keys these dirs hold
+    * are md5 of CANONICAL urls, so a canonicalization-rules upgrade
+    * silently invalidates them (every URL whose key changed would be
+    * re-admitted/re-queued once). The `_canon_version` marker —
+    * underscore-prefixed, invisible to partition discovery — makes
+    * the mismatch LOUD: a dir stamped under other rules fails the
+    * batch with a rebuild instruction instead of silently degrading.
+    * A pre-versioning dir (partitions, no marker) adopts the current
+    * stamp — the one upgrade this cannot catch, documented in
+    * [[graft.ops.Crawl.CanonVersion]]'s contract. */
+  private def ensureCanonVersion(session: SparkSession, dir: String): Unit = {
+    val root = new org.apache.hadoop.fs.Path(dir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    val marker = new org.apache.hadoop.fs.Path(root, "_canon_version")
+    if (fs.exists(marker)) {
+      val in = fs.open(marker)
+      val v = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      if (v != graft.ops.Crawl.CanonVersion.toString)
+        throw new IllegalStateException(
+          s"history dir $dir was written under URL-canonicalization rules v$v; " +
+            s"this engine is v${graft.ops.Crawl.CanonVersion}. Keys no longer " +
+            "match — rebuild the dir from raw inputs (or serve it with the " +
+            "engine version that wrote it); serving mismatched keys silently " +
+            "re-admits and re-queues previously seen URLs.")
+    } else {
+      if (!fs.exists(root)) fs.mkdirs(root)
+      val tmp = new org.apache.hadoop.fs.Path(root, "._canon_version.tmp")
+      val out = fs.create(tmp, true)
+      out.write(graft.ops.Crawl.CanonVersion.toString.getBytes("UTF-8"))
+      out.close()
+      fs.rename(tmp, marker)
+    }
+  }
 
   /** Any append-only `batch_id=N`-partitioned history table (bands,
     * anchor sites), EXCLUDING a replayed batch's own first-attempt

@@ -866,6 +866,41 @@ class CorpusWatcherSpec extends SparkSpec {
       "the robots-disallowed target must never be queued")
   }
 
+  test("frontier scheduling: partitions carry pos/fetch_offset from stored delays; budgets slice; default delay for undeclared hosts") {
+    val (watch, index, quar) = (tmp("watchfs"), tmp("indexfs"), tmp("quarfs") + "/bad")
+    val hist = tmp("histfs") + "/urls"
+    val fdir = tmp("frontfs") + "/frontier"
+    val delays = Seq(("t.example.org", 2.0)).toDF("host", "crawl_delay")
+    val budgets = Seq(("t.example.org", 2L), ("u.example.org", 1L))
+      .toDF("node", "fetch_budget")
+    // one page links 3 targets on t (ref counts 2,1,1 -> budget keeps 2)
+    // and 2 targets on u (budget keeps 1); u has no declared delay
+    Files.write(Paths.get(watch, "feed-0.json"),
+      ("""{"doc_id": 40, "text": "<a href=\"https://t.example.org/a\">1</a><a href=\"https://t.example.org/a\">1</a><a href=\"https://t.example.org/b\">2</a><a href=\"https://t.example.org/c\">3</a><a href=\"https://u.example.org/x\">4</a><a href=\"https://u.example.org/y\">5</a> body", "url": "https://s.example.org/p"}""" + "\n")
+        .getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptfs"), quar,
+      urlHistoryDir = Some(hist), frontierDir = Some(fdir),
+      frontierDelays = Some(delays), frontierBudgets = Some(budgets),
+      frontierPerHostCap = 10).awaitTermination()
+    val rows = spark.read.parquet(fdir)
+      .select("link_url", "link_host", "n_refs", "pos", "crawl_delay", "fetch_offset")
+      .as[(String, String, Long, Int, Option[Double], Double)].collect()
+      .map(r => r._1 -> r).toMap
+    // t: a (2 refs) pos 1 offset 0, b pos 2 offset 2.0; c sliced by budget 2
+    assert(rows.keySet === Set("https://t.example.org/a", "https://t.example.org/b",
+      "https://u.example.org/x"))
+    assert(rows("https://t.example.org/a")._4 === 1)
+    assert(rows("https://t.example.org/a")._6 === 0.0)
+    assert(rows("https://t.example.org/b")._4 === 2)
+    assert(rows("https://t.example.org/b")._5 === Some(2.0))
+    assert(rows("https://t.example.org/b")._6 === 2.0)
+    // u: undeclared delay -> NULL column, default 1.0 drives the offset;
+    // budget 1 keeps only x (tie n_refs=1 broken by url asc)
+    assert(rows("https://u.example.org/x")._4 === 1)
+    assert(rows("https://u.example.org/x")._5 === None)
+    assert(rows("https://u.example.org/x")._6 === 0.0)
+  }
+
   test("recrawlDir: unchanged re-fetch drops, changed content passes, reverted content drops; due list from the log") {
     val (watch, index, quar, rlog) =
       (tmp("watchrc"), tmp("indexrc"), tmp("quarrc") + "/bad", tmp("histrc") + "/fetches")
@@ -916,6 +951,127 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(due.length === 1 && due.head._1 === 2L && due.head._2 === 3L)
     // not yet due right after the last fetch
     assert(CorpusWatcher.recrawlDue(spark, rlog, now = 2L).count() === 0L)
+    // probe-set / fetch-log split: the gate sibling holds only the
+    // ADMITTED pairs (v1 from batch 0, v2 from batch 1 — batch 1's
+    // unchanged re-observation and batch 2's revert never re-enter),
+    // while the log keeps every observation with provenance
+    val gd = CorpusWatcher.recrawlGateDir(rlog)
+    val gate = spark.read.parquet(gd)
+      .select("url_key", "content_hash").distinct()
+    assert(gate.count() === 2L, "gate = admitted pairs only")
+    assert(spark.read.parquet(rlog).count() === 4L,
+      "log = one row per (batch, pair) observation: b0 v1, b1 v1+v2, b2 v1")
+    // batch 3: the SAME url arrives with TWO different versions in one
+    // batch — one version must win (max content_hash = "pagebvtwo",
+    // computed offline), or URL-stable doc ids would merge both
+    // versions' postings under one document
+    Files.write(Paths.get(watch, "feed-3.json"),
+      ("""{"doc_id": 96, "text": "pagebvone words", "url": "https://rc.example.org/b"}""" + "\n" +
+        """{"doc_id": 96, "text": "pagebvtwo words", "url": "https://rc.example.org/b"}""" + "\n")
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val e3 = indexEntries(index)
+    assert(e3.exists(e => e._1 == "pagebvtwo" && e._2 == "96"),
+      "the max-content_hash version wins the within-batch race")
+    assert(!e3.exists(e => e._1 == "pagebvone"),
+      "the losing same-batch version must not merge into the same doc_id")
+    // only the WINNER's pair enters the gate; both observations hit the log
+    assert(spark.read.parquet(gd).filter(col("batch_id") === 3).count() === 1L)
+    assert(spark.read.parquet(rlog).filter(col("batch_id") === 3).count() === 2L)
+    // batch 4: the batch-3 LOSER version re-arrives — it was never
+    // indexed, so the gate must pass it now
+    Files.write(Paths.get(watch, "feed-4.json"),
+      """{"doc_id": 97, "text": "pagebvone words", "url": "https://rc.example.org/b"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    assert(indexEntries(index).exists(e => e._1 == "pagebvone" && e._2 == "97"),
+      "a version that lost the within-batch race was never admitted: re-fetch passes")
+  }
+
+  test("recrawl gate: pre-split log migrates into the gate; compaction preserves decisions; log stays exempt") {
+    val (watch, index, quar, rlog) =
+      (tmp("watchrm"), tmp("indexrm"), tmp("quarrm") + "/bad", tmp("histrm") + "/fetches")
+    val gd = CorpusWatcher.recrawlGateDir(rlog)
+    def run(ckpt: String, compactEvery: Option[Int] = None): Unit =
+      CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+        recrawlDir = Some(rlog), compactEvery = compactEvery).awaitTermination()
+    val ckpt = tmp("ckptrm")
+    Files.write(Paths.get(watch, "feed-0.json"),
+      """{"doc_id": 10, "text": "migrone words", "url": "https://m.example.org/a"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    // simulate a PRE-SPLIT deployment: the gate dir does not exist yet
+    // (only the log was ever written) — delete it wholesale
+    def rmrf(p: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val d = Paths.get(p)
+      if (Files.exists(d)) {
+        val w = Files.walk(d)
+        try w.iterator().asScala.toVector.reverseIterator.foreach(Files.deleteIfExists(_))
+        finally w.close()
+      }
+    }
+    rmrf(gd)
+    // next batch: an unchanged re-fetch MUST still drop — the seed
+    // folds the log's distinct pairs into the gate's batch_id=-1
+    Files.write(Paths.get(watch, "feed-1.json"),
+      ("""{"doc_id": 11, "text": "migrone words", "url": "https://m.example.org/a"}""" + "\n" +
+        """{"doc_id": 12, "text": "migrtwo words", "url": "https://m.example.org/b"}""" + "\n")
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val e1 = indexEntries(index)
+    assert(!e1.exists(e => e._2 == "11"),
+      "after migration the gate must still hold pre-split pairs (seeded from the log)")
+    assert(e1.exists(e => e._1 == "migrtwo" && e._2 == "12"))
+    assert(Files.isDirectory(Paths.get(gd, "batch_id=-1")),
+      "the migration seed lands as the gate's initial compacted generation")
+    // two more batches with compactEvery=1: each batch folds the gate's
+    // older partitions (the log is NEVER compacted — provenance)
+    Files.write(Paths.get(watch, "feed-2.json"),
+      """{"doc_id": 13, "text": "migrthree words", "url": "https://m.example.org/c"}"""
+        .getBytes("UTF-8"))
+    run(ckpt, compactEvery = Some(1))
+    Files.write(Paths.get(watch, "feed-3.json"),
+      ("""{"doc_id": 14, "text": "migrone words", "url": "https://m.example.org/a"}""" + "\n" +
+        """{"doc_id": 15, "text": "migrtwo words", "url": "https://m.example.org/b"}""" + "\n" +
+        """{"doc_id": 16, "text": "migrfour fresh words", "url": "https://m.example.org/b"}""" + "\n")
+        .getBytes("UTF-8"))
+    run(ckpt, compactEvery = Some(1))
+    val e3 = indexEntries(index)
+    assert(!e3.exists(e => e._2 == "14") && !e3.exists(e => e._2 == "15"),
+      "gate decisions are unchanged after compaction folded the gate partitions")
+    assert(e3.exists(e => e._1 == "migrfour" && e._2 == "16"),
+      "changed content still passes after compaction")
+    // the gate dir compacted (some negative generation beyond the seed
+    // exists or partitions folded); the LOG keeps one partition per batch
+    val logParts = Files.list(Paths.get(rlog)).iterator()
+    val logNames = scala.jdk.CollectionConverters.IteratorHasAsScala(logParts)
+      .asScala.map(_.getFileName.toString).filter(_.startsWith("batch_id=")).toSet
+    assert(logNames === Set("batch_id=0", "batch_id=1", "batch_id=2", "batch_id=3"),
+      "the fetch log is exempt from compaction — provenance partitions intact")
+    // due list still derives from the full log: url A fetched at 0,1,3
+    val due = CorpusWatcher.recrawlDue(spark, rlog, now = 100L)
+    assert(due.filter(col("n_fetches") === 3L).count() === 1L,
+      "url A's three observations survive in the log across compactions")
+  }
+
+  test("canon-version stamp: a history dir written under other rules fails loudly") {
+    val (watch, index, quar, hist) =
+      (tmp("watchcv"), tmp("indexcv"), tmp("quarcv") + "/bad", tmp("histcv") + "/urls")
+    Files.createDirectories(Paths.get(hist))
+    Files.write(Paths.get(hist, "_canon_version"), "1".getBytes("UTF-8"))
+    Files.write(Paths.get(watch, "feed-0.json"),
+      """{"doc_id": 1, "text": "cvbody words", "url": "https://cv.example.org/a"}"""
+        .getBytes("UTF-8"))
+    val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptcv"), quar,
+        urlHistoryDir = Some(hist)).awaitTermination()
+    }
+    val messages = Iterator.iterate(ex: Throwable)(_.getCause)
+      .takeWhile(_ != null).take(10)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+    assert(messages.contains("canonicalization"),
+      s"expected a canon-version mismatch failure, got: $messages")
   }
 
   test("paraHistoryDir strips already-seen paragraphs from later batches; replay-idempotent") {

@@ -727,4 +727,169 @@ class CrawlSpec extends SparkSpec {
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
       4L -> "added", 5L -> "unchanged"))
   }
+
+  test("recrawlPolicy: a huge baseInterval cannot shift into the sign bit (interval stays positive)") {
+    // baseInterval > 2^33: an uncapped streak shift of 30 would
+    // overflow Long and land next_fetch_at in the past forever
+    val base = Long.MaxValue / 3
+    val log = (0 until 35).map(i => ("big", i.toLong, "same"))
+      .toDF("url", "fetch_ts", "content_hash")
+    val got = Crawl.recrawlPolicy(log, baseInterval = base, maxInterval = Long.MaxValue / 2)
+      .select(col("interval_sec"), col("next_fetch_at"), col("last_fetch"))
+      .as[(Long, Long, Long)].head()
+    assert(got._1 > 0L, "interval must never go negative")
+    // bitlength(base)=62 -> only a 1-bit shift is safe; base<<1 would
+    // exceed maxInterval, so the policy ceiling wins — still positive
+    assert(got._1 === Long.MaxValue / 2)
+    assert(got._2 > got._3, "next_fetch_at must stay in the future of last_fetch")
+  }
+
+  test("recrawlPolicySeeded: declared changefreq seeds <2-fetch URLs; history wins; freshest declaration; clamp; unknown token") {
+    val log = (Seq(("single", 1000L, "h1"), ("never1", 1000L, "h2"),
+      ("two1", 1000L, "h3"), ("bogus1", 1000L, "h4"), ("always1", 1000L, "h5"),
+      ("undeclared", 1000L, "h6")) ++
+      (0 until 4).map(i => ("observed", 2000L + i, "same")))
+      .toDF("url", "fetch_ts", "content_hash")
+    val declared = Seq(
+      ("single", "Weekly "), // trim + case-fold
+      ("observed", "hourly"), // 4 fetches: history beats declaration
+      ("two1", "daily"), ("two1", "hourly"), // freshest (min secs) wins
+      ("never1", "never"), // ceiling
+      ("bogus1", "quarterly"), // unknown token: no seed
+      ("always1", "always")) // floor
+      .toDF("url", "changefreq")
+    val got = Crawl.recrawlPolicySeeded(log, declared,
+      baseInterval = 600L, maxInterval = 2592000L)
+      .select(col("url"), col("interval_sec"), col("seeded"))
+      .as[(String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got("single") === ((604800L, true)))
+    // observed: 3 trailing unchanged -> 600 << 3, NOT the hourly seed
+    assert(got("observed") === ((4800L, false)))
+    assert(got("two1") === ((3600L, true)))
+    assert(got("never1") === ((2592000L, true)))
+    assert(got("bogus1") === ((600L, false)))
+    assert(got("always1") === ((600L, true)))
+    assert(got("undeclared") === ((600L, false)))
+    // clamp: declared hourly UNDER a day-scale floor seeds the floor
+    val clamped = Crawl.recrawlPolicySeeded(
+      Seq(("u", 1L, "h")).toDF("url", "fetch_ts", "content_hash"),
+      Seq(("u", "hourly")).toDF("url", "changefreq"),
+      baseInterval = 86400L, maxInterval = 2592000L)
+      .select("interval_sec").as[Long].head()
+    assert(clamped === 86400L)
+  }
+
+  test("href boundary: a closing quote abutting href is an attribute boundary; data-href still skipped") {
+    val p = Seq(
+      (1L, "https://m.example.org/p",
+        "<a class=\"x\"href=\"https://m.example.org/minified\">m</a>" +
+          "<a data-href=\"https://bogus.example.org/no\">plain</a>" +
+          "<a rel='y'href='https://m.example.org/sq'>s</a>"))
+      .toDF("doc_id", "url", "text")
+    val got = Crawl.extractLinks(p).select("link_url").as[String].collect().toSet
+    assert(got === Set("https://m.example.org/minified", "https://m.example.org/sq"))
+  }
+
+  test("crawlFrontierBloomSharded: byte-identical to crawlFrontier; probes ride the reference array, never a plan literal") {
+    val pages = Seq(
+      (1L, "https://a.example.org/p1",
+        "<a href=\"https://b.example.org/x\">1</a><a href=\"https://a.example.org/p2\">2</a>"),
+      (2L, "https://a.example.org/p2",
+        "<a href=\"https://b.example.org/x\">1</a><a href=\"https://c.example.org/y\">3</a>"),
+      (3L, "https://b.example.org/x", "no links"))
+      .toDF("doc_id", "url", "text")
+    val ranks = Seq(("b.example.org", 0.7)).toDF("node", "rank")
+    val exact = Crawl.crawlFrontier(pages, ranks, perHostCap = 5)
+      .as[(String, String, Long, Double, Int)].collect().toSet
+    for (shards <- Seq(1, 3)) {
+      val sh = Crawl.crawlFrontierBloomSharded(pages, ranks, perHostCap = 5, shards = shards)
+      assert(sh.as[(String, String, Long, Double, Int)].collect().toSet === exact,
+        s"shards=$shards must not change the frontier")
+      val plan = sh.queryExecution.executedPlan.toString
+      assert(plan.contains("graft_sharded_bloom_might_contain"))
+      assert(!plan.contains("BloomFilterMightContain"),
+        "the sharded form must not embed a bloom plan literal")
+    }
+  }
+
+  test("urlRank: per-host block PageRank — intra-host edges only, per-host mass 1, unseen dst ranked; composed face") {
+    // host a: p1 -> p2, p1 -> p3, p2 -> p1 (p3 dangling-within-host);
+    // a cross-host link (a -> b) must NOT enter either block;
+    // host b: one intra edge to an UNSEEN page (never fetched)
+    val pages = Seq(
+      (1L, "https://a.example.org/p1",
+        "<a href=\"https://a.example.org/p2\">2</a><a href=\"https://a.example.org/p3\">3</a>" +
+          "<a href=\"https://b.example.org/x\">b</a>"),
+      (2L, "https://a.example.org/p2", "<a href=\"https://a.example.org/p1\">1</a>"),
+      (3L, "https://b.example.org/x", "<a href=\"https://b.example.org/unseen\">u</a>"))
+      .toDF("doc_id", "url", "text")
+    val got = Crawl.urlRank(pages, iters = 2)
+      .as[(String, String, Double)].collect()
+    val byHost = got.groupBy(_._1)
+    assert(byHost.keySet === Set("a.example.org", "b.example.org"))
+    // per-host total mass stays ~1 (exact integer units, rounding dust only)
+    byHost.foreach { case (h, rows) =>
+      assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-6, s"host $h mass")
+    }
+    assert(byHost("a.example.org").map(_._2).toSet ===
+      Set("https://a.example.org/p1", "https://a.example.org/p2", "https://a.example.org/p3"))
+    // the unseen target IS ranked — that's what the frontier joins on
+    val b = byHost("b.example.org").map(r => r._2 -> r._3).toMap
+    assert(b.keySet === Set("https://b.example.org/x", "https://b.example.org/unseen"))
+    assert(b("https://b.example.org/unseen") > b("https://b.example.org/x"),
+      "the linked-to page outranks the page nothing links to")
+    // composed face: score = host_rank * url_rank; absent host = 0
+    val hostRanks = Seq(("a.example.org", 0.5)).toDF("node", "rank")
+    val comp = Crawl.urlRankComposed(Crawl.urlRank(pages, iters = 2), hostRanks)
+      .as[(String, String, Double, Double, Double)].collect()
+    comp.foreach { case (h, _, ur, hr, score) =>
+      assert(hr === (if (h == "a.example.org") 0.5 else 0.0))
+      assert(math.abs(score - ur * hr) < 1e-12)
+    }
+  }
+
+  test("urlRank: hand-computed one iteration on a single 2-node host block") {
+    // host h: u -> v. N=2, init 0.5/0.5 (in units U/2).
+    // iter 1: v inbound = u's full rank (outdeg 1) = U/2; dangling = v's
+    // rank U/2 redistributed within host; update:
+    //   u = 0.15*U/2 + 0.85*(0 + (U/2)/2) = 0.075U + 0.2125U = 0.2875U
+    //   v = 0.15*U/2 + 0.85*(U/2 + (U/2)/2) = 0.075U + 0.6375U = 0.7125U
+    val edges = Seq(("h", "u", "v")).toDF("host", "src", "dst")
+    val got = Crawl.urlRankEdges(edges, iters = 1)
+      .as[(String, String, Double)].collect()
+      .map(r => r._2 -> r._3).toMap
+    assert(math.abs(got("u") - 0.2875) < 1e-9)
+    assert(math.abs(got("v") - 0.7125) < 1e-9)
+  }
+
+  test("sitemapUrls: freshness fields — lastmod/changefreq/priority trimmed, case-folded, numeric-gated; loc-less entries drop") {
+    val sm = Seq(
+      (1L, "<urlset>" +
+        "<url><loc>https://e.com/fresh</loc><lastmod> 2025-06-01T12:00:00Z </lastmod><changefreq>HOURLY</changefreq><priority>0.8</priority></url>" +
+        "<url><loc>https://e.com/stale</loc><changefreq>never</changefreq><priority>bogus</priority></url>" +
+        "<url><loc>https://e.com/partial</loc><lastmod></lastmod><priority>1</priority></url>" +
+        "<url data-x=\"y\"><loc>https://e.com/attr</loc><changefreq>weekly </changefreq></url>" +
+        "<url><priority>0.2</priority></url>" +
+        "</urlset>"),
+      (2L, "<sitemapindex><sitemap><loc>https://e.com/sm.xml</loc><lastmod>2025-01-01</lastmod></sitemap></sitemapindex>"))
+      .toDF("doc_id", "text")
+    val got = Crawl.sitemapUrls(sm)
+      .select(col("doc_id"), col("url"), col("is_index"),
+        col("lastmod"), col("changefreq"), col("priority"))
+      .as[(Long, String, Boolean, Option[String], Option[String], Option[Double])]
+      .collect().map(r => r._2 -> r).toMap
+    assert(got.size === 5, "the loc-less entry must emit no row")
+    assert(got("https://e.com/fresh") ===
+      ((1L, "https://e.com/fresh", false,
+        Some("2025-06-01T12:00:00Z"), Some("hourly"), Some(0.8))))
+    assert(got("https://e.com/stale") ===
+      ((1L, "https://e.com/stale", false, None, Some("never"), None)))
+    assert(got("https://e.com/partial") ===
+      ((1L, "https://e.com/partial", false, None, None, Some(1.0))))
+    assert(got("https://e.com/attr") ===
+      ((1L, "https://e.com/attr", false, None, Some("weekly"), None)))
+    assert(got("https://e.com/sm.xml") ===
+      ((2L, "https://e.com/sm.xml", true, Some("2025-01-01"), None, None)))
+  }
 }

@@ -97,6 +97,20 @@ class RobotsSpec extends SparkSpec {
     assert(got === Map(1L -> true, 2L -> false, 3L -> false))
   }
 
+  test("robotsFilter: specificity compares OCTETS, not characters (multibyte rule values)") {
+    // allow "/aé" = 3 chars but 4 UTF-8 octets; disallow "/a*z" = 4
+    // chars, 4 octets. Both match /aéz. Character-length specificity
+    // would rank the disallow longer (4 > 3) and block; the RFC 9309 /
+    // Google reference tie-break is octets: 4 == 4, tie -> allow wins.
+    val rules = rulesOf("m.org" -> "User-agent: *\nDisallow: /a*z\nAllow: /aé\n")
+    val got = Robots.robotsFilter(
+      Seq((1L, "https://m.org/aéz", "m.org")).toDF("id", "link_url", "link_host"),
+      rules)
+      .select(col("robots_allowed")).as[Boolean].head()
+    assert(got === true,
+      "octet specificity must tie the 4-octet rules and let allow win")
+  }
+
   test("robotsFilter: longest match wins, allow beats disallow on ties, default allow") {
     val rules = rulesOf(
       "h.org" -> ("User-agent: *\nDisallow: /p/\nAllow: /p/ok\n" +

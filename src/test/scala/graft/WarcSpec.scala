@@ -276,4 +276,49 @@ class WarcSpec extends SparkSpec {
     assert(got("urn:uuid:eeee-4444") === "payload that embeds")
     assert(got("urn:uuid:ffff-5555") === "clean body")
   }
+
+  test("writeConversions: read(write(x)) round-trips ids, urls, dates and text — plain and gzip") {
+    val docs = Seq(
+      ("urn:uuid:rt-1", "https://rt.example.org/a", "2026-02-03T04:05:06Z",
+        "First doc prose.\nWith an interior line."),
+      ("urn:uuid:rt-2", null, null, "No URL, no date — header lines omitted."),
+      ("urn:uuid:rt-3", "https://rt.example.org/c", "2026-02-03T04:05:07Z",
+        "Unicode prose: déjà vu — 你好.")) // octets != chars: Content-Length in octets
+      .toDF("doc_id", "url", "fetched_at", "text")
+    for (gz <- Seq(false, true)) {
+      val dir = tempDir(s"graft-wetw-$gz").toString + "/out"
+      val shards = Warc.writeConversions(docs.repartition(2), dir, gz = gz)
+      assert(shards.nonEmpty && shards.forall(_.endsWith(if (gz) ".gz" else ".wet")))
+      val back = Warc.readConversions(spark, dir, gz = gz)
+        .as[(String, String, String, String)].collect()
+        .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+      assert(back.keySet === Set("urn:uuid:rt-1", "urn:uuid:rt-2", "urn:uuid:rt-3"))
+      assert(back("urn:uuid:rt-1") ===
+        (("https://rt.example.org/a", "2026-02-03T04:05:06Z",
+          "First doc prose.\nWith an interior line.")))
+      assert(back("urn:uuid:rt-2") === ((null, null,
+        "No URL, no date — header lines omitted.")))
+      assert(back("urn:uuid:rt-3") ===
+        (("https://rt.example.org/c", "2026-02-03T04:05:07Z",
+          "Unicode prose: déjà vu — 你好.")))
+      // the written shards carry the spec shape: version line, typed
+      // header, two-CRLF terminator
+      val recs = if (gz) Warc.readRecordsGz(spark, dir) else Warc.readRecords(spark, dir)
+      assert(recs.where(lower(col("warc_type")) === "conversion").count() === 3L)
+      assert(recs.where(col("warc_version").startsWith("1.")).count() === 3L)
+    }
+  }
+
+  test("writeConversions: header values with embedded CR/LF are stripped, never corrupt framing") {
+    val docs = Seq(("id-\r\nWARC-Type: sneaky", "https://x.example.org/a\nevil", "2026-01-01",
+      "body text")).toDF("doc_id", "url", "fetched_at", "text")
+    val dir = tempDir("graft-weth").toString + "/out"
+    Warc.writeConversions(docs, dir)
+    val rows = Warc.readConversions(spark, dir)
+      .as[(String, String, String, String)].collect()
+    assert(rows.length === 1)
+    assert(rows.head._1 === "id-WARC-Type: sneaky")
+    assert(rows.head._2 === "https://x.example.org/aevil")
+    assert(rows.head._4 === "body text")
+  }
 }
