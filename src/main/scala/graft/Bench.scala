@@ -8,6 +8,12 @@ object Bench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // UI events carry a plan description generated PER ACTION even with
+      // the UI disabled; the default "formatted" mode runs ExplainUtils'
+      // operator-ID walk, which is super-linear on deep staged/cached plan
+      // trees (a measured multi-minute single-thread stall per streaming
+      // batch at full-stack depth). "simple" keeps the event linear.
+      .config("spark.sql.ui.explainMode", "simple")
       // Relational.events' NTZ->TIMESTAMP cast is session-tz-dependent;
       // pin UTC so a micros-fixture bench derives the same ts_ns as
       // Verify/tests on any host (Verify/VerifyOne/SparkSpec do the same)

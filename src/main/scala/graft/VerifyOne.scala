@@ -18,6 +18,12 @@ object VerifyOne {
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // UI events carry a plan description generated PER ACTION even with
+      // the UI disabled; the default "formatted" mode runs ExplainUtils'
+      // operator-ID walk, which is super-linear on deep staged/cached plan
+      // trees (a measured multi-minute single-thread stall per streaming
+      // batch at full-stack depth). "simple" keeps the event linear.
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.optimizer.excludedRules",
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -23,6 +23,14 @@ import graft.index.InvertedIndex
   * concurrently (`master/main.py:107-126` read-modify-write, SURVEY
   * §7.5.5).
   *
+  * Deployment note: run streaming sessions with
+  * `spark.sql.ui.explainMode=simple`. Every action posts a UI event
+  * carrying a plan description EVEN WITH THE UI DISABLED, and the
+  * default `formatted` mode's operator-ID walk is super-linear on the
+  * deep staged/cached plan trees a full-stack batch builds — a
+  * measured multi-minute single-thread stall per batch at 16-stage
+  * depth, invisible in CPU load. `simple` keeps it linear.
+  *
   * Index persistence is a versioned-snapshot swap: each batch writes a
   * full merged snapshot to `snap-<epoch>` and then atomically updates
   * the `LATEST` pointer file — readers never observe a half-written
@@ -473,8 +481,8 @@ object CorpusWatcher {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val session = batch.sparkSession
-        // Per-batch stage persistence ledger. Every enabled stage below
-        // is REFERENCED 2-3x by its consumers (a gate's semi-join, a
+        // Per-batch stage ledger. Every enabled stage below is
+        // REFERENCED 2-3x by its consumers (a gate's semi-join, a
         // dedup filter's bands side + anti-join side, the band append +
         // index merge) — without a materialization point those
         // references multiply: by the dedup stage the plan tree holds
@@ -482,18 +490,36 @@ object CorpusWatcher {
         // the tokenizer twelve times (the round-11 stream probe caught
         // it). The batch chain's "re-derive, don't cache text" argument
         // (Curation.curate) is a 100 TB-corpus tradeoff; a micro-batch
-        // is batch-sized by definition, so caching each stage's text
+        // is batch-sized by definition, so materializing each stage
         // once per batch is the right side of that tradeoff here.
+        //
+        // EAGER localCheckpoint, NOT persist — the choice is about the
+        // PRINTED plan, not execution: persist dedupes execution but
+        // every InMemoryTableScan reference re-prints its full cached
+        // lineage (innerChildren), so a 16-stage chain whose stages
+        // branch 2-3x yields a plan STRING exponential in depth — and
+        // Spark stringifies the plan per action for UI listener events
+        // (and per AQE replan) even with the UI disabled. The r15
+        // probe measured multi-minute single-thread explainString
+        // stalls per batch. localCheckpoint cuts lineage at a
+        // LogicalRDD leaf: every downstream action's plan is one stage
+        // deep, printing is trivially linear, and the eager job per
+        // stage costs what persist's first consumer paid anyway.
+        // Blocks release via the ContextCleaner once the batch's
+        // frames go unreferenced (the LocalCheckpoint lifecycle note
+        // in graft.core.Materialize).
         // `eq`-guarded so a disabled stage (frame aliases its input)
-        // is never double-persisted; everything unpersists after the
-        // snapshot swap + metrics.
-        val persisted = scala.collection.mutable.ArrayBuffer.empty[DataFrame]
+        // is never double-checkpointed and re-staging a staged frame
+        // is a no-op.
+        val stagedFrames =
+          scala.collection.mutable.ArrayBuffer.empty[(DataFrame, DataFrame)]
         def staged(df: DataFrame): DataFrame =
-          if (persisted.exists(_ eq df)) df
-          else {
-            persisted += df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-            df
-          }
+          stagedFrames.find(e => (e._1 eq df) || (e._2 eq df)).map(_._2)
+            .getOrElse {
+              val cp = df.localCheckpoint()
+              stagedFrames += ((df, cp))
+              cp
+            }
         // quarantine: corrupt lines keep their raw text; null-doc_id
         // rows are reconstructed to a JSON line (they parsed — the raw
         // line is not retained by the reader for them)
@@ -1018,7 +1044,17 @@ object CorpusWatcher {
         // every consumer (band/anchor appends, snapshot, metrics) is
         // on disk now — release the whole batch's stage ledger (a
         // long-running stream must not accumulate caches per batch)
-        persisted.foreach(_.unpersist(blocking = false))
+        // release every stage's checkpoint blocks SYNCHRONOUSLY — a
+        // long-running stream must not accumulate block storage per
+        // batch while waiting on the ContextCleaner's GC-driven sweep
+        stagedFrames.foreach { case (_, cp) =>
+          cp.queryExecution.analyzed.collectLeaves().foreach {
+            case lr: org.apache.spark.sql.execution.LogicalRDD =>
+              lr.rdd.unpersist(blocking = false)
+            case _ => ()
+          }
+        }
+        stagedFrames.clear()
         ()
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()

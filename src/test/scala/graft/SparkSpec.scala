@@ -17,6 +17,9 @@ object SparkSpec {
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false")
+      // see Bench.scala: "formatted" UI plan descriptions walk deep
+      // staged plan trees super-linearly, per action
+      .config("spark.sql.ui.explainMode", "simple")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.warehouse.dir",
