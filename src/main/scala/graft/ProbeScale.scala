@@ -976,6 +976,50 @@ object ProbeScale {
             bucketCol = "bucket", valueCol = "value", step = 600L).count())
       }
     }
+    if (section == "r15") {
+      // round-15 ops at 10x. urlRank: intra-host blocks whose size
+      // scales WITH the corpus (500 hosts, each page links its
+      // same-host successor and the host hub) — teleport/dangling are
+      // per-host aggregates, so cost must track total node count with
+      // no global-scalar bottleneck and no per-block cliff. The
+      // sharded-bloom frontier must match the single-filter bloom's
+      // cost shape (the sharding changes WHERE the bits live, not the
+      // probe count). Unigram: training is vocabulary-bound (flat
+      // across corpus scale for a fixed vocab), serving is one linear
+      // codegen'd scan.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def pages(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 500,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        concat(
+          lit("<a href=\"https://h"), col("doc_id") % 500,
+          lit(".example.org/d/"), col("doc_id") + 500, lit("\">n</a>"),
+          lit("<a href=\"https://h"), col("doc_id") % 500,
+          lit(".example.org/hub\">h</a>")).as("text"))
+      val ranks = spark.createDataFrame(Seq(("h1.example.org", 0.9)))
+        .toDF("node", "rank")
+      for (rep <- 1 to 2) {
+        time(s"url_rank_sf01_$rep")(
+          graft.ops.Crawl.urlRank(pages(docs01), iters = 2).count())
+        time(s"url_rank_sf1_$rep")(
+          graft.ops.Crawl.urlRank(pages(docs), iters = 2).count())
+        time(s"frontier_bloom_sf1_$rep")(
+          graft.ops.Crawl.crawlFrontierBloom(pages(docs), ranks, perHostCap = 10).count())
+        time(s"frontier_shard_sf1_$rep")(
+          graft.ops.Crawl.crawlFrontierBloomSharded(pages(docs), ranks,
+            perHostCap = 10, shards = 8).count())
+      }
+      time("unigram_train_sf01")(
+        graft.ops.Unigram.trainUnigram(docs01, vocabSize = 64).count())
+      time("unigram_train_sf1")(
+        graft.ops.Unigram.trainUnigram(docs, vocabSize = 64).count())
+      val ps = graft.ops.Unigram.collectPieces(
+        graft.ops.Unigram.trainUnigram(docs01, vocabSize = 64))
+      time("unigram_serve_sf01")(
+        graft.ops.Unigram.tokenCounts(docs01, ps).count())
+      time("unigram_serve_sf1")(
+        graft.ops.Unigram.tokenCounts(docs, ps).count())
+    }
     if (section == "r14") {
       // frontier at 10x under MEGA-HUB skew: one host owns ~50% of all
       // candidate links (each doc contributes one distinct hub URL and

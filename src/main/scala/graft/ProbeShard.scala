@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Throwaway stage-level profiler for the sharded-bloom frontier (not
+  * part of the driver contract). */
+object ProbeShard {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.ui.explainMode", "simple")
+      .config("spark.sql.optimizer.excludedRules",
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val docs = spark.read.parquet("/tmp/docs_sf1")
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"SHARD $name%-26s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      System.out.flush()
+    }
+    val pages = docs.select(col("doc_id"),
+      concat(lit("https://h"), col("doc_id") % 500,
+        lit(".example.org/d/"), col("doc_id")).as("url"),
+      concat(
+        lit("<a href=\"https://h"), col("doc_id") % 500,
+        lit(".example.org/d/"), col("doc_id") + 500, lit("\">n</a>"),
+        lit("<a href=\"https://h"), col("doc_id") % 500,
+        lit(".example.org/hub\">h</a>")).as("text"))
+    import graft.ops.Crawl
+    // stage 1: the seen table build + count + per-shard counts
+    val seen = graft.core.Materialize(
+      pages.select(graft.functions.PlanSeal.seal(Crawl.urlParts(col("url"))).as("up"))
+        .select(md5(col("up.canon_url")).as("url_key"),
+          pmod(xxhash64(col("up.host")), lit(8)).cast("int").as("shard"))
+        .where(col("url_key").isNotNull).distinct(),
+      graft.core.Materialize.Persist)
+    time("seen_counts")(seen.groupBy(col("shard")).agg(count(lit(1))).count())
+    time("seen_count2")(seen.count())
+    val t0 = System.nanoTime()
+    (0 until 8).foreach { i =>
+      val b = seen.where(col("shard") === i)
+        .select(xxhash64(col("url_key")).as("h"))
+        .stat.bloomFilter("h", 10000L, 0.01)
+      println(s"SHARD filter_$i built bits=${b.bitSize()}")
+    }
+    println(f"SHARD filters_total ${(System.nanoTime() - t0) / 1e9}%8.2f s")
+    seen.unpersist()
+    val ranks = spark.createDataFrame(Seq(("h1.example.org", 0.9))).toDF("node", "rank")
+    time("full_sharded")(
+      Crawl.crawlFrontierBloomSharded(pages, ranks, perHostCap = 10, shards = 8).count())
+    time("full_bloom")(
+      Crawl.crawlFrontierBloom(pages, ranks, perHostCap = 10).count())
+    spark.stop()
+  }
+}

@@ -1282,20 +1282,51 @@ object Crawl {
       mat)
     val counts = seen.groupBy(col("shard")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    val shardBytes = (0 until shards).map { i =>
-      // a key-less shard gets a minimal filter that contains nothing
-      // (stat.bloomFilter on an empty frame has no aggregate to read)
-      val b = counts.get(i) match {
-        case Some(n) if n > 0L =>
-          seen.where(col("shard") === i)
-            .select(xxhash64(col("url_key")).as("h"))
-            .stat.bloomFilter("h", n, fpp)
-        case _ => org.apache.spark.util.sketch.BloomFilter.create(1L, fpp)
+    // ALL shard filters in ONE job: keys repartition by shard, each
+    // task builds filters only for the shards its partition holds —
+    // per-task peak allocation stays ONE SHARD's bits (the sharding
+    // claim; a single treeAggregate over an all-shards array would put
+    // the whole 1.2 GB set in every task), and the driver merges
+    // shard-compatible partials. N sequential stat.bloomFilter jobs
+    // paid one full job overhead per shard for the same scan.
+    val fppLocal = fpp
+    val sizes = (0 until shards)
+      .map(i => math.max(counts.getOrElse(i, 0L), 1L)).toArray
+    val shardBytes: Array[Array[Byte]] = {
+      import org.apache.spark.util.sketch.BloomFilter
+      val partials = seen
+        .select(col("shard"), xxhash64(col("url_key")).as("h"))
+        .repartition(shards, col("shard"))
+        .rdd.mapPartitions { it =>
+          val local = new java.util.HashMap[Int, BloomFilter]()
+          it.foreach { row =>
+            val s = row.getInt(0)
+            var f = local.get(s)
+            if (f == null) {
+              f = BloomFilter.create(sizes(s), fppLocal)
+              local.put(s, f)
+            }
+            f.putLong(row.getLong(1))
+          }
+          import scala.jdk.CollectionConverters._
+          local.asScala.iterator.map { case (s, f) =>
+            val bos = new java.io.ByteArrayOutputStream()
+            f.writeTo(bos)
+            (s.intValue(), bos.toByteArray)
+          }
+        }.collect()
+      val out = sizes.map(n => BloomFilter.create(n, fppLocal))
+      partials.foreach { case (s, bytes) =>
+        // same expectedItems+fpp per shard -> merge-compatible
+        out(s).mergeInPlace(
+          BloomFilter.readFrom(new java.io.ByteArrayInputStream(bytes)))
       }
-      val bos = new java.io.ByteArrayOutputStream()
-      b.writeTo(bos)
-      bos.toByteArray
-    }.toArray
+      out.map { f =>
+        val bos = new java.io.ByteArrayOutputStream()
+        f.writeTo(bos)
+        bos.toByteArray
+      }
+    }
     val bloomSet = new graft.functions.ShardedBloomSet(shardBytes)
     val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
       .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
