@@ -1429,6 +1429,97 @@ object SparkEntry {
        |    SELECT word, seg, row_number() OVER (PARTITION BY word ORDER BY score DESC, seg ASC) AS rn
        |    FROM usp WHERE pos = length(word)) WHERE rn = 1)""".stripMargin
 
+  private val WP_MERGES = 10
+
+  /** Unrolled DuckDB twin of [[graft.ops.WordPiece.trainMerges]]:
+    * `wp0` is the word-frequency table under the `##`-marked
+    * space-wrapped symbolization, then per level one symbol-count
+    * aggregate (`ws_i`), one scored pair argmax (`wm_i` — score =
+    * `round(ln c − ln c_a − ln c_b, 6)`, the 6dp log likelihood-gain,
+    * tie-break (score desc, lhs, rhs)) and one state `replace` whose
+    * merged symbol strips the RIGHT element's continuation marker.
+    * The `minFreq` HAVING keeps the early-stop fixpoint: an empty
+    * level leaves state unchanged, so every later level is empty too
+    * (the BPE_CTES construction). Every CTE is `AS MATERIALIZED` —
+    * each level reads the previous one several times, and inlining
+    * re-evaluates wp0 exponentially (the BPE_CTES gate-cost lesson). */
+  private def WORDPIECE_CTES(n: Int, minFreq: Long): String = {
+    val w0 =
+      s"""wp0 AS MATERIALIZED (
+         |  SELECT word, ' ' || substr(word, 1, 1) || ' ' || regexp_replace(substr(word, 2), '(.)', ' ##\\1 ', 'g') AS syms, CAST(count(*) AS BIGINT) AS cnt
+         |  FROM ($TOKEN_ROWS) GROUP BY word)""".stripMargin
+    val levels = (1 to n).map { i =>
+      s"""ws$i AS MATERIALIZED (
+         |  SELECT sym, CAST(sum(cnt) AS BIGINT) AS sc
+         |  FROM (SELECT unnest(str_split(trim(syms), '  ')) AS sym, cnt FROM wp${i - 1})
+         |  GROUP BY sym),
+         |wm$i AS MATERIALIZED (
+         |  SELECT p.a, p.b, p.c, round(ln(p.c) - ln(sa.sc) - ln(sb.sc), 6) AS score
+         |  FROM (SELECT a, b, CAST(sum(cnt) AS BIGINT) AS c
+         |        FROM (SELECT ps[j] AS a, ps[j+1] AS b, cnt
+         |              FROM (SELECT ps, cnt, unnest(generate_series(1, len(ps)-1)) AS j
+         |                    FROM (SELECT str_split(trim(syms), '  ') AS ps, cnt FROM wp${i - 1})))
+         |        GROUP BY a, b HAVING CAST(sum(cnt) AS BIGINT) >= $minFreq) p
+         |  JOIN ws$i sa ON sa.sym = p.a JOIN ws$i sb ON sb.sym = p.b
+         |  ORDER BY score DESC, p.a ASC, p.b ASC LIMIT 1),
+         |wp$i AS MATERIALIZED (
+         |  SELECT w.word, coalesce(replace(w.syms, ' ' || m.a || '  ' || m.b || ' ', ' ' || m.a || CASE WHEN m.b LIKE '##%' THEN substr(m.b, 3) ELSE m.b END || ' '), w.syms) AS syms, w.cnt
+         |  FROM wp${i - 1} w LEFT JOIN wm$i m ON TRUE)""".stripMargin
+    }
+    (w0 +: levels).mkString(",\n")
+  }
+
+  /** Greedy longest-match-first WordPiece serving twin — twin of
+    * [[graft.functions.WordPieceEncoder]] over an arbitrary
+    * `(doc_id, word)` stream (`tokenRows` — the TRAINED tables `wp0`/
+    * `wm_i` stay the ASCII training corpus', which is the point of the
+    * multilingual UNK probe). `wpv` is the servable vocabulary (base
+    * symbols + merged tokens); `wpb` precomputes, per (word, pos), the
+    * LONGEST vocabulary match (word-start pieces bare, later positions
+    * `##`-marked) so the recursive walk `wpg` is the pure greedy
+    * stepper — one row per word per step, no backtracking. A word
+    * whose walk stalls before the end decodes to the single [UNK]
+    * (`wpe.n = 1, is_unk = 1`) — the published BERT whole-word
+    * rejection. */
+  private def WORDPIECE_SERVE_CTES(n: Int, tokenRows: String): String =
+    s"""wpv AS MATERIALIZED (
+       |  SELECT DISTINCT unnest(str_split(trim(syms), '  ')) AS piece FROM wp0
+       |  UNION
+       |  ${(1 to n).map(i =>
+             s"SELECT a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS piece FROM wm$i")
+           .mkString("\n  UNION\n  ")}),
+       |wpw AS MATERIALIZED (SELECT DISTINCT word FROM ($tokenRows)),
+       |wpb AS MATERIALIZED (
+       |  SELECT word, pos, CAST(max(l) AS INTEGER) AS l
+       |  FROM (SELECT word, pos, CAST(unnest(generate_series(1, len(word) - pos + 1)) AS INTEGER) AS l
+       |        FROM (SELECT word, CAST(unnest(generate_series(1, len(word))) AS INTEGER) AS pos FROM wpw)) c
+       |  JOIN wpv v ON v.piece = CASE WHEN c.pos = 1 THEN substr(c.word, c.pos, c.l)
+       |                               ELSE '##' || substr(c.word, c.pos, c.l) END
+       |  GROUP BY word, pos),
+       |wpg AS (
+       |  SELECT word, 1 AS pos, 0 AS np FROM wpw
+       |  UNION ALL
+       |  SELECT g.word, g.pos + b.l AS pos, g.np + 1 AS np
+       |  FROM wpg g JOIN wpb b ON b.word = g.word AND b.pos = g.pos),
+       |wpe AS MATERIALIZED (
+       |  SELECT word,
+       |    CASE WHEN fpos = len(word) + 1 THEN np ELSE 1 END AS n,
+       |    CASE WHEN fpos = len(word) + 1 THEN 0 ELSE 1 END AS is_unk
+       |  FROM (SELECT word, max(np) AS np, max(pos) AS fpos FROM wpg GROUP BY word))""".stripMargin
+
+  /** HLL register stream over events.user_id — twin of
+    * [[graft.ops.Hll.sketch]]'s per-value stage (p=9, m=512): bucket
+    * from the first 32-bit md5 half, rho = 33 − bitlength of the
+    * second via `bin()` (leading zeros stripped in both engines; 33
+    * at zero). `groupSel` prefixes the grouping columns ("" for the
+    * global sketch). */
+  private def HLL_REG(groupSel: String): String =
+    s"""SELECT $groupSel
+       |  CAST(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 512 AS BIGINT) AS bucket,
+       |  CAST(CASE WHEN CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT) = 0 THEN 33
+       |       ELSE 33 - length(bin(CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 9, 8)) AS BIGINT))) END AS INTEGER) AS rho
+       |FROM events WHERE user_id IS NOT NULL""".stripMargin
+
   /** DSIR hashed-bigram model chain — twin of
     * [[graft.ops.Curation.importanceWeights]] (buckets=1024, target =
     * every 50th doc, raw = the rest): bucket = first 8 md5 hex digits
@@ -1936,6 +2027,38 @@ object SparkEntry {
         graft.ops.Unigram.collectPieces(
           graft.ops.Unigram.trainUnigram(d, vocabSize = UNIGRAM_VOCAB,
             emRounds = UNIGRAM_EM_ROUNDS)))
+    },
+    // the THIRD subword family: WordPiece (BERT) — likelihood-gain
+    // merges, greedy longest-match serving, whole-word [UNK]
+    "q_wordpiece_train" -> ((s, dir) =>
+      graft.ops.WordPiece.train(docs(s, dir), WP_MERGES)),
+    "q_wordpiece_tokens" -> { (s, dir) =>
+      // trains inline (oracle shape) then serves every doc via the
+      // native greedy encoder; production stores vocab() and serves
+      // via tokenCountsFromModel
+      val d = docs(s, dir)
+      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+      graft.ops.WordPiece.tokenCounts(d,
+        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)))
+    },
+    "q_wordpiece_fertility" -> { (s, dir) =>
+      // the family comparison's third column (q_bpe_fertility,
+      // q_unigram_fertility): same corpus, same denominator
+      val d = docs(s, dir)
+      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+      graft.ops.WordPiece.fertility(d,
+        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)))
+    },
+    "q_wordpiece_unk" -> { (s, dir) =>
+      // the published BERT failure mode, measured: an ASCII-trained
+      // vocabulary serving the multilingual-augmented corpus — the
+      // probe rows' non-Latin words decode whole-word [UNK]; per-doc
+      // grain so the rate routes individual documents to retraining
+      val d = docs(s, dir)
+      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+      graft.ops.WordPiece.unkSignals(uniDocs(s, dir),
+        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
+        keyCol = "doc_id", tok = graft.core.TextNorm.tokensUnicode)
     },
     "q_quality" -> ((s, dir) => TextAnalysis.qualityScore(docs(s, dir))),
     // Unicode tokenizer mode over the multilingual-augmented corpus:
@@ -2526,6 +2649,39 @@ object SparkEntry {
     // exact count; the DuckDB twin computes exact counts and emits TRUE,
     // so the accuracy claim itself is pinned by the driver's hash gate
     // (ApproxDistinctSpec additionally pins the error locally)
+    // mergeable HLL register-table sketches — the persisted face of
+    // distinct counting (approx_count_distinct is inline-only); the
+    // register tables are engine-exact, so the oracle pins every
+    // bucket byte-identical, not just an accuracy claim
+    "q_hll_sketch" -> ((s, dir) =>
+      graft.ops.Hll.sketch(Relational.events(s, dir),
+        col("user_id"), Seq(col("event_type")))),
+    "q_hll_merge" -> { (s, dir) =>
+      // daily sketches merged by per-bucket MAX must equal the sketch
+      // built directly over all days — the oracle computes the DIRECT
+      // global sketch, so the merge identity itself is hash-gated
+      val ev = Relational.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      graft.ops.Hll.merge(
+        graft.ops.Hll.sketch(ev, col("user_id"), Seq(col("day"))),
+        Seq.empty)
+    },
+    "q_hll_estimate" -> { (s, dir) =>
+      // estimate vs exact per group: the estimate formula is
+      // integer-exact up to ONE final IEEE division, so the oracle
+      // recomputes the full estimate — no tolerance band needed
+      val ev = Relational.events(s, dir)
+      val est = graft.ops.Hll.estimate(
+        graft.ops.Hll.sketch(ev, col("user_id"), Seq(col("event_type"))),
+        Seq("event_type"))
+      val exact = ev.groupBy("event_type")
+        .agg(countDistinct("user_id").as("n_distinct"))
+      est.join(exact, Seq("event_type"))
+        .select(col("event_type"), col("n_buckets"), col("est_distinct"),
+          col("n_distinct"),
+          round(abs(col("est_distinct") - col("n_distinct").cast("double"))
+            / col("n_distinct").cast("double"), 6).as("rel_err"))
+    },
     "q_approx_distinct" -> { (s, dir) =>
       s.read.parquet(s"$dir/lineitem.parquet")
         .groupBy("l_returnflag")
@@ -2976,6 +3132,52 @@ object SparkEntry {
          |       ELSE round(CAST(coalesce(sum(b.n), 0) AS DOUBLE) / count(utr.word), 6) END AS fertility
          |FROM utr LEFT JOIN usb b ON utr.word = b.word
          |GROUP BY utr.source""".stripMargin,
+    "q_wordpiece_train" ->
+      // twin of WordPiece.trainMerges: ##-marked symbolization, per
+      // level a 6dp log-likelihood-gain argmax and a marker-stripping
+      // merge replace; empty levels self-propagate (the early stop)
+      s"""WITH ${WORDPIECE_CTES(WP_MERGES, 2L)}
+         |${(1 to WP_MERGES).map(i =>
+              s"SELECT CAST($i AS INTEGER) AS merge_idx, a AS lhs, b AS rhs, a || CASE WHEN b LIKE '##%' THEN substr(b, 3) ELSE b END AS merged, c AS pair_count, CAST(CAST(score AS DECIMAL(18,6)) AS DOUBLE) AS score FROM wm$i")
+            .mkString("\nUNION ALL ")}""".stripMargin,
+    "q_wordpiece_tokens" ->
+      // greedy-serve twin over the training corpus's own token stream
+      s"""WITH RECURSIVE ${WORDPIECE_CTES(WP_MERGES, 2L)},
+         |${WORDPIECE_SERVE_CTES(WP_MERGES, TOKEN_ROWS)}
+         |SELECT d.doc_id, CAST(coalesce(sum(e.n), 0) AS BIGINT) AS n_wordpiece_tokens
+         |FROM documents d
+         |LEFT JOIN ($TOKEN_ROWS) t ON t.doc_id = d.doc_id
+         |LEFT JOIN wpe e ON e.word = t.word
+         |GROUP BY d.doc_id""".stripMargin,
+    "q_wordpiece_fertility" ->
+      // twin of WordPiece.fertility: per-occurrence greedy piece
+      // counts from the serving table, aggregated per source
+      s"""WITH RECURSIVE ${WORDPIECE_CTES(WP_MERGES, 2L)},
+         |${WORDPIECE_SERVE_CTES(WP_MERGES, TOKEN_ROWS)},
+         |wtr AS (SELECT d.source, t.word
+         |    FROM documents d LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id)
+         |SELECT wtr.source, CAST(count(wtr.word) AS BIGINT) AS n_words,
+         |  CAST(coalesce(sum(e.n), 0) AS BIGINT) AS n_wordpiece_tokens,
+         |  CASE WHEN count(wtr.word) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(sum(e.n), 0) AS DOUBLE) / count(wtr.word), 6) END AS fertility
+         |FROM wtr LEFT JOIN wpe e ON wtr.word = e.word
+         |GROUP BY wtr.source""".stripMargin,
+    "q_wordpiece_unk" ->
+      // twin of WordPiece.unkSignals over the multilingual-augmented
+      // corpus: the vocab stays ASCII-trained (wp0 reads TOKEN_ROWS),
+      // the SERVED stream is the Unicode tokenizer's — the probe rows'
+      // non-Latin words stall the greedy walk and count as UNK
+      s"""WITH RECURSIVE ${WORDPIECE_CTES(WP_MERGES, 2L)},
+         |${WORDPIECE_SERVE_CTES(WP_MERGES,
+             s"SELECT doc_id, unnest($TOKS_UNI) AS word FROM ($DOCS_UNI)")}
+         |SELECT d.doc_id, CAST(count(t.word) AS BIGINT) AS n_words,
+         |  CAST(coalesce(sum(e.is_unk), 0) AS BIGINT) AS n_unk,
+         |  CASE WHEN count(t.word) = 0 THEN NULL
+         |       ELSE round(CAST(coalesce(sum(e.is_unk), 0) AS DOUBLE) / count(t.word), 6) END AS unk_rate
+         |FROM ($DOCS_UNI) d
+         |LEFT JOIN (SELECT doc_id, unnest($TOKS_UNI) AS word FROM ($DOCS_UNI)) t ON t.doc_id = d.doc_id
+         |LEFT JOIN wpe e ON e.word = t.word
+         |GROUP BY d.doc_id""".stripMargin,
     "q_entropy" ->
       // twin of TextAnalysis.entropySignals: char-level Shannon
       // entropy, per-char terms rounded to 6dp DECIMAL before the sum
@@ -4981,6 +5183,44 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_hll_sketch" ->
+      // twin of Hll.sketch (p=9, m=512): bucket/rho from two
+      // independent 32-bit md5 halves; every register byte-identical
+      s"""WITH reg AS (${HLL_REG("event_type,")})
+         |SELECT event_type, bucket, CAST(max(rho) AS INTEGER) AS r
+         |FROM reg GROUP BY event_type, bucket""".stripMargin,
+    "q_hll_merge" ->
+      // the merge identity, hash-gated: Spark merges per-day sketches
+      // by bucket MAX; the oracle sketches the union directly
+      s"""WITH reg AS (${HLL_REG("")})
+         |SELECT bucket, CAST(max(rho) AS INTEGER) AS r
+         |FROM reg GROUP BY bucket""".stripMargin,
+    "q_hll_estimate" ->
+      // twin of Hll.estimate: the indicator sum stays the exact
+      // integer zsc = Z * 2^33; one IEEE division + the published
+      // small/large-range corrections, 6dp-rounded — both engines
+      // compute the same doubles, so no tolerance band
+      s"""WITH reg AS (${HLL_REG("event_type,")}),
+         |sk AS (SELECT event_type, bucket, max(rho) AS r FROM reg GROUP BY event_type, bucket),
+         |ag AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_buckets,
+         |         CAST(sum(CAST(1 AS BIGINT) << (33 - r)) AS BIGINT) AS zsparse
+         |       FROM sk GROUP BY event_type),
+         |ex AS (SELECT event_type, count(DISTINCT user_id) AS n_distinct FROM events GROUP BY event_type),
+         |e0 AS (SELECT event_type, n_buckets,
+         |         (0.7213/(1 + 1.079/512.0)) * 512 * 512 * 8589934592 /
+         |           CAST(zsparse + (512 - n_buckets) * 8589934592 AS DOUBLE) AS raw
+         |       FROM ag),
+         |e1 AS (SELECT event_type, n_buckets,
+         |         CASE WHEN raw <= 2.5 * 512 AND (512 - n_buckets) > 0
+         |              THEN 512.0 * ln(512.0 / CAST(512 - n_buckets AS DOUBLE))
+         |              WHEN raw > 4294967296.0 / 30.0
+         |              THEN -4294967296.0 * ln(1.0 - raw / 4294967296.0)
+         |              ELSE raw END AS est
+         |       FROM e0)
+         |SELECT e1.event_type, e1.n_buckets, round(e1.est, 6) AS est_distinct,
+         |  CAST(ex.n_distinct AS BIGINT) AS n_distinct,
+         |  round(abs(round(e1.est, 6) - CAST(ex.n_distinct AS DOUBLE)) / CAST(ex.n_distinct AS DOUBLE), 6) AS rel_err
+         |FROM e1 JOIN ex ON e1.event_type = ex.event_type""".stripMargin,
     "q_approx_distinct" ->
       // the exact counts are computed by both engines; the within-5%
       // booleans are Spark's accuracy claim about its own HLL++ sketch —
