@@ -1507,6 +1507,24 @@ object SparkEntry {
        |    CASE WHEN fpos = len(word) + 1 THEN 0 ELSE 1 END AS is_unk
        |  FROM (SELECT word, max(np) AS np, max(pos) AS fpos FROM wpg GROUP BY word))""".stripMargin
 
+  /** JL projection chain — twin of
+    * [[graft.ops.Similarity.jlProject]] (64 → 16): hash-seeded ±1
+    * signs (`md5("jl|i|j")` first-32-bits parity, 1-based), per output
+    * coordinate the LEFT-TO-RIGHT IEEE fold over input dims (the
+    * native expression's loop order), scaled by `/sqrt(16)`. `jp` is
+    * the exploded `(vec_id, j, y)` stream (UNROUNDED y — publication
+    * rounds, downstream cosines must not), `jpl` the projected vector
+    * list, `jv` the full-dimension doubles. */
+  private val JL_CTES =
+    s"""jv AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |jsg AS MATERIALIZED (SELECT j, list_transform(generate_series(1, 64),
+       |    i -> CASE WHEN CAST(('0x' || substr(md5('jl|' || i || '|' || j), 1, 8)) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END) AS sl
+       |  FROM (SELECT unnest(generate_series(1, 16)) AS j)),
+       |jp AS MATERIALIZED (SELECT vec_id, j,
+       |    list_reduce(list_transform(generate_series(1, 64), i -> e[i] * sl[i]), (acc, x) -> acc + x) / sqrt(16.0) AS y
+       |  FROM jv CROSS JOIN jsg),
+       |jpl AS MATERIALIZED (SELECT vec_id, list(y ORDER BY j) AS e FROM jp GROUP BY vec_id)""".stripMargin
+
   /** HLL register stream over events.user_id — twin of
     * [[graft.ops.Hll.sketch]]'s per-value stage (p=9, m=512): bucket
     * from the first 32-bit md5 half, rho = 33 − bitlength of the
@@ -2491,6 +2509,27 @@ object SparkEntry {
     "q_sim_lsh" -> { (s, dir) =>
       val e = emb(s, dir)
       Similarity.lshBucketTopK(e.filter(col("vec_id") % 100 === 0), e, 10, bits = 8)
+    },
+    // JL sign random projection: deterministic 64->16 reduction, the
+    // cheap first stage before any search path; projection, projected
+    // search, and its recall vs the full-dim exact search
+    "q_jl_project" -> ((s, dir) => Similarity.jlProjected(emb(s, dir), 64, 16)),
+    "q_jl_topk" -> { (s, dir) =>
+      val e = emb(s, dir)
+      Similarity.jlTopK(e.filter(col("vec_id") % 100 === 0), e, 10, 64, 16)
+    },
+    "q_jl_recall" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val q = e.filter(col("vec_id") % 100 === 0)
+      Similarity.recallAtK(Similarity.jlTopK(q, e, 10, 64, 16),
+        Similarity.bruteForceTopK(q, e, 10), 10)
+    },
+    "q_jl_distortion" -> { (s, dir) =>
+      // the claim JL actually makes — cosine distortion ~1/sqrt(16),
+      // priced per query (top-k recall on the isotropic fixture is
+      // noise-bound by construction; see the jlTopK scaladoc)
+      val e = emb(s, dir)
+      Similarity.jlDistortion(e.filter(col("vec_id") % 100 === 0), e, 64, 16)
     },
     "q_cosine_dups" -> ((s, dir) => Similarity.cosineDupPairs(emb(s, dir), 0.8, bits = 8)),
     "q_margin_mine" -> { (s, dir) =>
@@ -4929,6 +4968,67 @@ object SparkEntry {
          |SELECT * FROM (SELECT query_id, neighbor_id, cos,
          |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
          |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q_jl_project" ->
+      // twin of Similarity.jlProjected: engine-exact coordinates (the
+      // ordered fold + hash signs make even the doubles bit-equal)
+      s"""WITH $JL_CTES
+         |SELECT vec_id, CAST(j AS INTEGER) AS j, round(y, 6) AS y FROM jp""".stripMargin,
+    "q_jl_topk" ->
+      // the q_sim_bruteforce shape over the PROJECTED vectors: 16-dim
+      // ordered-fold cosines, (cos desc, id asc) ranking
+      s"""WITH $JL_CTES,
+         |scored AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |    round(list_reduce(list_transform(generate_series(1, 16), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
+         |      / (sqrt(list_reduce(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+         |       * sqrt(list_reduce(list_transform(generate_series(1, 16), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6) AS cos
+         |  FROM (SELECT * FROM jpl WHERE vec_id % 100 = 0) q JOIN jpl c ON q.vec_id <> c.vec_id)
+         |SELECT * FROM (SELECT query_id, neighbor_id, cos,
+         |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS INTEGER) AS rank
+         |  FROM scored) WHERE rank <= 10""".stripMargin,
+    "q_jl_recall" ->
+      // recall@10 of the projected search against the full-dimension
+      // exact search — the JL distortion/cost dial, engine-exact
+      s"""WITH $JL_CTES,
+         |ap AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        round(list_reduce(list_transform(generate_series(1, 16), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
+         |          / (sqrt(list_reduce(list_transform(generate_series(1, 16), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+         |           * sqrt(list_reduce(list_transform(generate_series(1, 16), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6) AS cos
+         |      FROM (SELECT * FROM jpl WHERE vec_id % 100 = 0) q JOIN jpl c ON q.vec_id <> c.vec_id))
+         |  WHERE rank <= 10),
+         |ex AS (SELECT query_id, neighbor_id FROM (
+         |    SELECT query_id, neighbor_id, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+         |    FROM (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+         |        round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
+         |          / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+         |           * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6) AS cos
+         |      FROM (SELECT * FROM jv WHERE vec_id % 100 = 0) q JOIN jv c ON q.vec_id <> c.vec_id))
+         |  WHERE rank <= 10)
+         |SELECT e.query_id, CAST(count(*) AS BIGINT) AS n_exact,
+         |  CAST(count(a.neighbor_id) AS BIGINT) AS n_hit,
+         |  round(CAST(count(a.neighbor_id) AS DOUBLE) / count(*), 6) AS recall
+         |FROM ex e LEFT JOIN ap a ON a.query_id = e.query_id AND a.neighbor_id = e.neighbor_id
+         |GROUP BY e.query_id""".stripMargin,
+    "q_jl_distortion" ->
+      // twin of Similarity.jlDistortion: |cos_proj - cos_full| per
+      // pair at 6dp, exact decimal sum divided last
+      s"""WITH $JL_CTES,
+         |pe AS (SELECT q.vec_id AS query_id,
+         |    abs(round(list_reduce(list_transform(generate_series(1, 16), i -> qp.e[i] * cp.e[i]), (acc, x) -> acc + x)
+         |          / (sqrt(list_reduce(list_transform(generate_series(1, 16), i -> qp.e[i] * qp.e[i]), (acc, x) -> acc + x))
+         |           * sqrt(list_reduce(list_transform(generate_series(1, 16), i -> cp.e[i] * cp.e[i]), (acc, x) -> acc + x))), 6)
+         |      - round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
+         |          / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+         |           * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6)) AS err
+         |  FROM (SELECT * FROM jv WHERE vec_id % 100 = 0) q
+         |  JOIN jv c ON q.vec_id <> c.vec_id
+         |  JOIN jpl qp ON qp.vec_id = q.vec_id
+         |  JOIN jpl cp ON cp.vec_id = c.vec_id)
+         |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
+         |  round(CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_err,
+         |  CAST(max(CAST(err AS DECIMAL(18,6))) AS DOUBLE) AS max_err
+         |FROM pe GROUP BY query_id""".stripMargin,
     "q_margin_mine" ->
       // twin of marginMine(k=4, threshold=1.05): ratio margin over
       // exact top-4 cosine neighborhoods in both directions, best

@@ -157,6 +157,102 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Johnson–Lindenstrauss sign random projection — the
+    * dimensionality-REDUCTION preprocessing step the bucketing paths
+    * (sign-LSH, IVF, PQ) don't give: map `inDim`-d embeddings to
+    * `outDim`-d with a deterministic ±1 matrix
+    * ([[graft.functions.JlProject]]; Achlioptas '03 guarantees the
+    * Gaussian-JL distance bound for the sign matrix). At 100 TB this
+    * is the cheap first stage: a 64→16 projection cuts every
+    * downstream dot product 4×, and because the matrix is hash-seeded
+    * the projection is reproducible across runs AND engines — stored
+    * projected tables are exact artifacts, not snapshots of an RNG. */
+  def jlProject(emb: Column, inDim: Int, outDim: Int): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      graft.functions.JlProject(
+        org.apache.spark.sql.GraftSqlBridge.expression(asDouble(emb)), inDim, outDim))
+
+  /** Publication face of [[jlProject]]: the projected corpus as
+    * exploded `(vec_id, j, y)` rows (1-based j, 6dp y) — the storable
+    * reduced-embedding table. One scan, row-parallel, no shuffle. */
+  def jlProjected(vecs: DataFrame, inDim: Int, outDim: Int): DataFrame =
+    graft.core.Parallelism.ensure(vecs)
+      .select(col("vec_id"),
+        posexplode(jlProject(col("embedding"), inDim, outDim)).as(Seq("j0", "y")))
+      .select(col("vec_id"), (col("j0") + 1).cast("int").as("j"),
+        round(col("y"), 6).as("y"))
+
+  /** Exact top-k cosine search in the PROJECTED space — the JL scale
+    * path: same plan shape as [[bruteForceTopK]] (broadcast queries,
+    * bounded-heap ranking, no window) but every pair costs `outDim`
+    * multiply-adds instead of `inDim`. Recall vs the full-dimension
+    * search is measured by [[recallAtK]] (q_jl_recall).
+    *
+    * What JL does and does not price: the theory bounds DISTANCE
+    * distortion (~1/sqrt(outDim) cosine error — [[jlDistortion]]
+    * measures it), not top-k membership. On a corpus with strong
+    * cluster structure the two coincide; on a near-ISOTROPIC cloud
+    * (the synthetic fixture: median pairwise cosine ~0) exact top-k is
+    * decided by gaps smaller than any affordable distortion, so
+    * projected recall is structurally low there — that is the fixture
+    * being adversarial, not the operator failing, and q_jl_distortion
+    * is the claim the operator actually makes. Production use: JL as
+    * the candidate-generation stage (shortlist at outDim, re-rank the
+    * shortlist at inDim), where the distortion bound is what sizes the
+    * shortlist. */
+  def jlTopK(
+      queries: DataFrame, corpus: DataFrame, k: Int,
+      inDim: Int, outDim: Int): DataFrame = {
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"),
+        jlProject(col("embedding"), inDim, outDim).as("qv"))
+        .select(col("query_id"), col("qv"), norm(col("qv")).as("qn")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"),
+      jlProject(col("embedding"), inDim, outDim).as("cv"))
+      .select(col("neighbor_id"), col("cv"), norm(col("cv")).as("cn"))
+    val scored = c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        safeCos(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("cos"))
+    rankTopK(scored, k)
+  }
+
+  /** JL distortion audit — the claim the projection actually makes:
+    * per query, the absolute error between projected and
+    * full-dimension cosine over every corpus pair, as
+    * `(query_id, n_pairs, mean_err, max_err)`. JL theory prices
+    * `mean_err ~ 1/sqrt(outDim)`; a stored projected table whose
+    * audit drifts past that was built against the wrong inDim or a
+    * corrupted sign seed. Determinism: both cosines arrive 6dp-rounded
+    * (the [[cosine]] recipe), the error mean is an exact DECIMAL sum
+    * over 6dp terms divided last. Same keyed plan shape as
+    * [[bruteForceTopK]] — broadcast queries, one combinable per-query
+    * aggregate, no window, no all-pairs shuffle. */
+  def jlDistortion(
+      queries: DataFrame, corpus: DataFrame,
+      inDim: Int, outDim: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val q = broadcast(
+      queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qf"),
+        jlProject(col("embedding"), inDim, outDim).as("qp"))
+        .select(col("query_id"), col("qf"), col("qp"),
+          norm(col("qf")).as("qfn"), norm(col("qp")).as("qpn")))
+    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cf"),
+      jlProject(col("embedding"), inDim, outDim).as("cp"))
+      .select(col("neighbor_id"), col("cf"), col("cp"),
+        norm(col("cf")).as("cfn"), norm(col("cp")).as("cpn"))
+    c.join(q, col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"),
+        abs(safeCos(dot(col("qp"), col("cp")), col("qpn") * col("cpn"))
+          - safeCos(dot(col("qf"), col("cf")), col("qfn") * col("cfn")))
+          .cast(DecimalType(18, 6)).as("err"))
+      .groupBy("query_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        // exact decimal sum -> double, divided LAST (both engines'
+        // decimal division scales differ; double/int does not)
+        round(sum(col("err")).cast("double") / count(lit(1)), 6).as("mean_err"),
+        max(col("err")).cast("double").as("max_err"))
+  }
+
   /** Sign-LSH bucket key: the sign bits of `bits` fixed coordinates
     * (axis-aligned random hyperplanes — deterministic, engine-agnostic;
     * coordinate j of the bucket = 1 iff embedding[j] > 0).

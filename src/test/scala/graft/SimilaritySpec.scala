@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.ops.Similarity
 import SparkSpec.spark.implicits._
 
@@ -744,5 +745,69 @@ class SimilaritySpec extends SparkSpec {
       .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
     assert(auto === explicit)
     assert(auto.nonEmpty)
+  }
+
+  // ---- JL sign random projection ------------------------------------------
+
+  /** Plain-Scala reference of the hash-seeded projection. */
+  private def refJl(x: Seq[Float], r: Int): Seq[Double] = {
+    def sign(i: Int, j: Int): Double = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val h = md.digest(s"jl|$i|$j".getBytes("UTF-8"))
+      val hex = h.take(4).map(b => f"${b & 0xff}%02x").mkString
+      if (java.lang.Long.parseLong(hex, 16) % 2 == 0) 1.0 else -1.0
+    }
+    (1 to r).map { j =>
+      x.zipWithIndex.foldLeft(0.0) { case (acc, (v, i0)) =>
+        acc + v.toDouble * sign(i0 + 1, j)
+      } / math.sqrt(r.toDouble)
+    }
+  }
+
+  test("jlProject matches the plain-Scala reference bit-for-bit") {
+    val x = Seq(0.25f, -1.5f, 3f, 0.125f, -0.75f, 2f)
+    val got = vecs(1L -> x)
+      .select(Similarity.jlProject(col("embedding"), 6, 4))
+      .as[Seq[Double]].head()
+    assert(got == refJl(x, 4))
+  }
+
+  test("jlProjected publishes 1-based exploded rows, 6dp") {
+    val rows = Similarity.jlProjected(vecs(7L -> Seq(1f, 2f, 3f)), 3, 2)
+      .as[(Long, Int, Double)].collect().sortBy(_._2)
+    assert(rows.map(_._2).toSeq == Seq(1, 2))
+    val exp = refJl(Seq(1f, 2f, 3f), 2)
+    rows.zip(exp).foreach { case ((id, _, y), e) =>
+      assert(id == 7L)
+      assert(y == java.math.BigDecimal.valueOf(e)
+        .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+    }
+  }
+
+  test("jlTopK ranks in the projected space; distortion shrinks with outDim") {
+    // structured corpus: two tight clusters -> projection keeps them apart
+    val base = (1L to 20L).map { i =>
+      val c = if (i <= 10) Seq(5f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)
+              else Seq(0f, 0f, 0f, 0f, 0f, 0f, 0f, 5f)
+      i -> c.zipWithIndex.map { case (v, d) => v + ((i * 7 + d) % 5) * 0.1f }
+    }
+    val corpus = vecs(base: _*)
+    val q = vecs(1L -> base.head._2)
+    val top = Similarity.jlTopK(q, corpus, 5, 8, 4)
+      .select("neighbor_id").as[Long].collect().toSet
+    assert(top.forall(_ <= 10L), s"cluster escaped: $top") // same-cluster neighbors
+    val d16 = Similarity.jlDistortion(q, corpus, 8, 4)
+      .select("mean_err").as[Double].head()
+    val d64 = Similarity.jlDistortion(q, corpus, 8, 8)
+      .select("mean_err").as[Double].head()
+    assert(d64 <= d16, s"distortion did not shrink: r4=$d16 r8=$d64")
+  }
+
+  test("jlTopK plans broadcast + bounded heap, never a Window") {
+    val corpus = vecs((1L to 30L).map(i => i -> Seq(i.toFloat, 1f, 2f, 3f)): _*)
+    val plan = Similarity.jlTopK(vecs(1L -> Seq(1f, 1f, 2f, 3f)), corpus, 3, 4, 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"), plan)
+    assert(!plan.contains("Window"), plan)
   }
 }
