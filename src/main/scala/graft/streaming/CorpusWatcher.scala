@@ -441,7 +441,8 @@ object CorpusWatcher {
       frontierDelays: Option[DataFrame] = None,
       frontierBudgets: Option[DataFrame] = None,
       frontierPerHostCap: Int = 100,
-      frontierDefaultDelay: Double = 1.0): StreamingQuery = {
+      frontierDefaultDelay: Double = 1.0,
+      distinctDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -1021,6 +1022,25 @@ object CorpusWatcher {
             .toDF("stage_idx", "stage", "n_docs")
             .coalesce(1).write.mode("overwrite").parquet(s"$md/batch_id=$batchId")
         }
+        // lifetime-distinct observability (`distinctDir`): HLL register
+        // tables over the PRE-GATE ingest — distinct URLs and distinct
+        // content ever seen, the duplication-rate curve against the
+        // funnel's per-batch counts. Registers make this the one
+        // streaming statistic that needs NO protocol: per-batch
+        // partitions hold ≤ m rows each, a replay overwrites identical
+        // rows, the reader's per-bucket MAX absorbs duplicates and
+        // partial folds alike ([[distinctEstimates]]), and cost per
+        // batch is one combinable aggregate over the batch — FLAT
+        // forever, with the accumulated table bounded at kinds × m
+        // registers no matter how many URLs the crawl ever ingests.
+        distinctDir.foreach { dd =>
+          val p = staged(parsed0)
+          graft.ops.Hll.sketch(p.where(col("url").isNotNull),
+              col("url"), Seq(lit("url").as("kind")))
+            .unionByName(graft.ops.Hll.sketch(p.where(col("text").isNotNull),
+              col("text"), Seq(lit("content").as("kind"))))
+            .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
+        }
         // periodic history compaction — the operational face of
         // [[compactHistory]], run AFTER everything the batch publishes
         // is on disk. Safe mid-stream by the compaction contract (the
@@ -1036,7 +1056,8 @@ object CorpusWatcher {
           if (batchId % n == (n - 1).toLong) {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++
               sentenceSpanHistoryDir ++ urlHistoryDir ++ frontierDir ++
-              recrawlDir.map(recrawlGateDir)) // gate set only — never the raw fetch log
+              recrawlDir.map(recrawlGateDir) ++ // gate set only — never the raw fetch log
+              distinctDir) // registers are multiset-fold-safe (reader MAXes)
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }
@@ -1135,6 +1156,19 @@ object CorpusWatcher {
         .agg(max(col("content_hash")).as("content_hash")),
       baseInterval, maxInterval)
       .where(col("next_fetch_at") <= now)
+
+  /** Lifetime distinct estimates from a [[startJsonl]] `distinctDir`:
+    * `(kind, n_buckets, est_distinct)` for kinds `url` and `content`.
+    * The read is register algebra only — per-bucket MAX then the
+    * [[graft.ops.Hll.estimate]] formula — so duplicates from replays,
+    * partial compaction folds, or overlapping partitions can never
+    * inflate the estimate, and the scan is bounded at kinds × m
+    * registers per retained partition regardless of crawl lifetime. */
+  def distinctEstimates(session: SparkSession, dir: String): DataFrame =
+    graft.ops.Hll.estimate(
+      graft.ops.Hll.merge(
+        session.read.parquet(dir).select("kind", "bucket", "r"), Seq("kind")),
+      Seq("kind"))
 
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")

@@ -801,6 +801,54 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(spark.read.parquet(hist).select("url_key").distinct().count() === 2)
   }
 
+  test("distinctDir: lifetime URL/content distincts equal the batch sketch over the union; replay- and compaction-proof") {
+    val (watch, index, quar, dd) =
+      (tmp("watchhd"), tmp("indexhd"), tmp("quarhd") + "/bad", tmp("histhd") + "/distinct")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      distinctDir = Some(dd)).awaitTermination()
+    def urlLine(id: Int, u: String) =
+      s"""{"doc_id": $id, "text": "body$id words here", "url": "$u"}"""
+    // batch 0: 3 urls (one repeated), one row with no url (content only)
+    Files.write(Paths.get(watch, "hd-0.json"),
+      (urlLine(1, "https://a.com/x") + "\n" + urlLine(2, "https://a.com/y") + "\n" +
+        urlLine(3, "https://a.com/x") + "\n" +
+        """{"doc_id": 4, "text": "nourl body words"}""" + "\n").getBytes("UTF-8"))
+    val ckpt = tmp("ckpthd")
+    run(ckpt)
+    // batch 1: one URL re-ingested, one new; content of doc 6 repeats doc 1's
+    Files.write(Paths.get(watch, "hd-1.json"),
+      (urlLine(5, "https://a.com/y") + "\n" + urlLine(6, "https://b.com/z") + "\n").getBytes("UTF-8"))
+    run(ckpt)
+    val got = CorpusWatcher.distinctEstimates(spark, dd).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // the reference: one Hll sketch over the UNION of everything ingested
+    val allUrls = Seq("https://a.com/x", "https://a.com/y", "https://a.com/x",
+      "https://a.com/y", "https://b.com/z").toDF("v")
+    val allTexts = Seq("body1 words here", "body2 words here", "body3 words here",
+      "nourl body words", "body5 words here", "body6 words here").toDF("v")
+    def ref(df: org.apache.spark.sql.DataFrame) = graft.ops.Hll.estimate(
+      graft.ops.Hll.sketch(df, col("v"), Seq.empty), Seq.empty)
+      .collect().head match { case r => (r.getLong(0), r.getDouble(1)) }
+    assert(got("url") === ref(allUrls), "url registers must equal the union sketch")
+    assert(got("content") === ref(allTexts))
+    // registers stay bounded: at most 512 per kind per batch partition
+    val reg = spark.read.parquet(dd)
+    assert(reg.groupBy("kind", "batch_id").count()
+      .agg(org.apache.spark.sql.functions.max("count")).head.getLong(0) <= 512L)
+    // replay batch 1 on a fresh checkpoint: overwritten partition,
+    // identical registers, identical estimates
+    run(tmp("ckpthd2"))
+    val replayed = CorpusWatcher.distinctEstimates(spark, dd).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(replayed === got, "a replay must not move any register")
+    // a history fold preserves the multiset, and the MAX-reader makes
+    // even a hypothetical duplicate-row fold harmless
+    CorpusWatcher.compactHistory(spark, dd)
+    val folded = CorpusWatcher.distinctEstimates(spark, dd).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(folded === got, "compaction must not move any register")
+  }
+
   test("frontierDir queues unseen outlinks append-only; seen and already-queued targets never re-queue; replay-idempotent") {
     val (watch, index, quar) = (tmp("watchfr"), tmp("indexfr"), tmp("quarfr") + "/bad")
     val hist = tmp("histfr") + "/urls"
