@@ -502,6 +502,49 @@ object SparkEntry {
       r
     })
 
+  /** The ANN stored-artifact trainers — k-means (coarse centroids +
+    * assignments), PQ (codebooks + codes), and the residual IVF+PQ
+    * model — staged ONCE per (session, sf dir) and Persisted: the
+    * [[stagedRank3]] bench-hygiene precedent applied to the ANN
+    * family. The five stored-artifact serving faces (q_pq_search,
+    * q_encode_assign, q_encode_codes, q_ivfpq_search,
+    * q_ivfpq_residual_search) exist to price SERVING against stored
+    * models; re-training in-plan per query priced the shared trainer
+    * into each instead. The staged tables are the identical model
+    * tables (same plan, materialized) so every oracle is untouched;
+    * the trainer queries (q_kmeans_*, q_pq_codes, q_pq_codebooks) and
+    * the in-plan compositions (q_pq_topk, q_ivfpq, q_ivfpq_residual)
+    * keep training LIVE — the trainer/composition is what THEY test. */
+  private val stagedAnnCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String, String), Seq[DataFrame]]
+  private def stagedAnn(s: SparkSession, dir: String, key: String)(
+      build: => Seq[DataFrame]): Seq[DataFrame] =
+    stagedAnnCache.getOrElseUpdate((s, dir, key), {
+      val ts = build.map(_.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      ts.foreach(_.count())
+      ts
+    })
+  private def stagedKmeans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val Seq(coarse, assign) = stagedAnn(s, dir, "kmeans") {
+      val (c, a) = Similarity.kmeansModel(emb(s, dir)); Seq(c, a)
+    }
+    (coarse, assign)
+  }
+  private def stagedPq(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val Seq(books, codes) = stagedAnn(s, dir, "pq") {
+      val (b, c) = Similarity.pqModel(emb(s, dir)); Seq(b, c)
+    }
+    (books, codes)
+  }
+  private def stagedResidual(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val Seq(co, as, bk, cd) = stagedAnn(s, dir, "residual") {
+      val (c, a, b, d) = Similarity.ivfpqResidualModel(emb(s, dir), coarseIterations = 2)
+      Seq(c, a, b, d)
+    }
+    (co, as, bk, cd)
+  }
+
   /** Twin of [[graft.ops.Crawl.extractLinks]] over the synthetic link
     * corpus: page canonicalization, href extraction (double- then
     * single-quoted), entity decode, three-form resolution, link
@@ -2589,8 +2632,8 @@ object SparkEntry {
     // row-for-row — one oracle pins both paths
     "q_pq_search" -> { (s, dir) =>
       val e = emb(s, dir)
-      Similarity.pqSearch(e.filter(col("vec_id") % 100 === 0),
-        Similarity.pqCodebooks(e), Similarity.pqCodes(e), 10)
+      val (books, codes) = stagedPq(s, dir)
+      Similarity.pqSearch(e.filter(col("vec_id") % 100 === 0), books, codes, 10)
     },
     // Lloyd k-means (2 fixed iterations): learned IVF centroids + final
     // assignments, both deterministic cell-for-cell (rounded cosines,
@@ -2601,14 +2644,10 @@ object SparkEntry {
     // indexer's per-batch op): encoding the training corpus through
     // the lossless reassembly must reproduce the trained-inline
     // tables row-for-row — each reuses that query's DuckDB twin
-    "q_encode_assign" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Similarity.assignWithCentroids(e, Similarity.kmeansCentroids(e))
-    }),
-    "q_encode_codes" -> ((s, dir) => {
-      val e = emb(s, dir)
-      Similarity.pqEncodeWithCodebooks(e, Similarity.pqCodebooks(e))
-    }),
+    "q_encode_assign" -> ((s, dir) =>
+      Similarity.assignWithCentroids(emb(s, dir), stagedKmeans(s, dir)._1)),
+    "q_encode_codes" -> ((s, dir) =>
+      Similarity.pqEncodeWithCodebooks(emb(s, dir), stagedPq(s, dir)._1)),
     // IVF+PQ composition: coarse quantizer restricts WHICH vectors are
     // scored, ADC scores them off codes. coarseIterations=2 matches the
     // kmeans oracles' training so one twin covers the whole stack
@@ -2624,8 +2663,8 @@ object SparkEntry {
     // single-artifact entry points would train each tier twice)
     "q_ivfpq_search" -> { (s, dir) =>
       val e = emb(s, dir)
-      val (coarse, assign) = Similarity.kmeansModel(e)
-      val (codebooks, codes) = Similarity.pqModel(e)
+      val (coarse, assign) = stagedKmeans(s, dir)
+      val (codebooks, codes) = stagedPq(s, dir)
       Similarity.ivfpqSearch(e.filter(col("vec_id") % 100 === 0),
         coarse, assign, codebooks, codes, 10, nprobe = 8)
     },
@@ -2641,8 +2680,7 @@ object SparkEntry {
     // q_ivfpq_residual row-for-row — one oracle pins both paths
     "q_ivfpq_residual_search" -> { (s, dir) =>
       val e = emb(s, dir)
-      val (coarse, assign, books, codes) =
-        Similarity.ivfpqResidualModel(e, coarseIterations = 2)
+      val (coarse, assign, books, codes) = stagedResidual(s, dir)
       Similarity.ivfpqResidualSearch(e.filter(col("vec_id") % 100 === 0),
         coarse, assign, books, codes, 10, nprobe = 8)
     },
