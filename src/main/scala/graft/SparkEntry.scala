@@ -524,6 +524,15 @@ object SparkEntry {
       ts.foreach(_.count())
       ts
     })
+  /** The two-level URL rank table, staged for the COMPOSED serving
+    * face (q_url_rank_composed composes stored tiers; q_url_rank keeps
+    * training live — the trainer is what it tests). */
+  private def stagedUrlRank2(s: SparkSession, dir: String): DataFrame = {
+    val Seq(r) = stagedAnn(s, dir, "urlrank") {
+      Seq(graft.ops.Crawl.urlRank(linkPages(s, dir), iters = 2))
+    }
+    r
+  }
   private def stagedKmeans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val Seq(coarse, assign) = stagedAnn(s, dir, "kmeans") {
       val (c, a) = Similarity.kmeansModel(emb(s, dir)); Seq(c, a)
@@ -2252,7 +2261,7 @@ object SparkEntry {
     "q_url_rank_composed" -> ((s, dir) => {
       import s.implicits._
       graft.ops.Crawl.urlRankComposed(
-        graft.ops.Crawl.urlRank(linkPages(s, dir), iters = 2),
+        stagedUrlRank2(s, dir),
         RankPriorRows.toDF("node", "rank"))
     }),
     // weakly-connected host components (mirror/link-farm constellations)
