@@ -1020,6 +1020,54 @@ object ProbeScale {
       time("unigram_serve_sf1")(
         graft.ops.Unigram.tokenCounts(docs, ps).count())
     }
+    if (section == "r15b") {
+      // the second-session ops at 10x. WordPiece: training is
+      // vocabulary-bound like the other two trainers (the word table
+      // is the one corpus-sized scan; refinement runs on it), serving
+      // is one linear codegen'd scan. HLL: the sketch is a combinable
+      // groupBy whose shuffle carries <= groups x 512 rows no matter
+      // the input size — cost must be scan-bound, and the register
+      // table size must NOT grow 10x. JL: projection is O(d*r) per
+      // row, one linear scan.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      time("wordpiece_train_sf01")(
+        graft.ops.WordPiece.trainMerges(docs01, 10).length.toLong)
+      time("wordpiece_train_sf1")(
+        graft.ops.WordPiece.trainMerges(docs, 10).length.toLong)
+      val wv = graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(
+        docs01, graft.ops.WordPiece.trainMerges(docs01, 10)))
+      time("wordpiece_serve_sf01")(
+        graft.ops.WordPiece.tokenCounts(docs01, wv).count())
+      time("wordpiece_serve_sf1")(
+        graft.ops.WordPiece.tokenCounts(docs, wv).count())
+      // HLL over a 10x synthetic event stream (doc_id as the value,
+      // 16 groups): register output must stay at <= 16 x 512 rows
+      val ev01 = docs01.select((col("doc_id") % 16).as("g"), col("doc_id").as("v"))
+      val ev1 = docs.select((col("doc_id") % 16).as("g"), col("doc_id").as("v"))
+      for (rep <- 1 to 2) {
+        time(s"hll_sketch_sf01_$rep")(
+          graft.ops.Hll.sketch(ev01, col("v"), Seq(col("g"))).count())
+        time(s"hll_sketch_sf1_$rep")(
+          graft.ops.Hll.sketch(ev1, col("v"), Seq(col("g"))).count())
+      }
+      time("hll_estimate_sf1")(
+        graft.ops.Hll.estimate(
+          graft.ops.Hll.sketch(ev1, col("v"), Seq(col("g"))), Seq("g")).count())
+      // JL over a 10x embedding corpus (10 vec_id-shifted copies)
+      val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      val emb1 = (0 until 10).map(i =>
+        emb01.withColumn("vec_id", col("vec_id") + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+      for (rep <- 1 to 2) {
+        time(s"jl_project_sf01_$rep")(
+          graft.ops.Similarity.jlProjected(emb01, 64, 16).count())
+        time(s"jl_project_sf1_$rep")(
+          graft.ops.Similarity.jlProjected(emb1, 64, 16).count())
+      }
+      time("jl_topk_sf1")(
+        graft.ops.Similarity.jlTopK(
+          emb1.filter(col("vec_id") % 100000 === 0), emb1, 10, 64, 16).count())
+    }
     if (section == "r14") {
       // frontier at 10x under MEGA-HUB skew: one host owns ~50% of all
       // candidate links (each doc contributes one distinct hub URL and
