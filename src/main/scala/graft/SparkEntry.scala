@@ -533,6 +533,30 @@ object SparkEntry {
     }
     r
   }
+  /** Lineitem + orders written as BUCKETED tables on the order key
+    * (16 buckets, bucket-sorted), staged once per (session, sf dir):
+    * the layout is a write-once investment — exactly its production
+    * contract — and q_bucketed_join then prices the exchange-free
+    * fact-to-fact join the layout buys (the join plans with ZERO
+    * shuffle exchanges on either side; the spec pins it). NOT run
+    * through [[stagedAnn]]: persisting would replace the bucketed
+    * SCAN with an InMemoryTableScan and erase the very plan property
+    * under test. */
+  private val stagedBucketedCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
+  private def stagedBucketed(s: SparkSession, dir: String): (DataFrame, DataFrame) =
+    stagedBucketedCache.getOrElseUpdate((s, dir), {
+      val sf = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
+        .replaceAll("[^A-Za-z0-9_]", "_")
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sf"
+      graft.sources.BucketedStore.write(s.read.parquet(s"$dir/lineitem.parquet"),
+        s"graft_li_$sf", s"$base/lineitem", "l_orderkey", 16, Seq("l_orderkey"))
+      graft.sources.BucketedStore.write(s.read.parquet(s"$dir/orders.parquet"),
+        s"graft_ord_$sf", s"$base/orders", "o_orderkey", 16, Seq("o_orderkey"))
+      (graft.sources.BucketedStore.table(s, s"graft_li_$sf"),
+        graft.sources.BucketedStore.table(s, s"graft_ord_$sf"))
+    })
+
   private def stagedKmeans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val Seq(coarse, assign) = stagedAnn(s, dir, "kmeans") {
       val (c, a) = Similarity.kmeansModel(emb(s, dir)); Seq(c, a)
@@ -2703,6 +2727,17 @@ object SparkEntry {
     "q_cube" -> ((s, dir) => Relational.returnsCube(s, dir)),
     "q_window_running" -> ((s, dir) => Relational.customerRunningSpend(s, dir)),
     "q_distinct_agg" -> ((s, dir) => Relational.orderPriorityDistincts(s, dir)),
+    // the bucketed-layout payoff: a fact-to-fact equi-join whose scan
+    // partitioning IS the join partitioning — zero exchanges on either
+    // side (spec-pinned); results byte-identical to the plain join,
+    // which is what the oracle checks
+    "q_bucketed_join" -> { (s, dir) =>
+      val (li, ord) = stagedBucketed(s, dir)
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(Relational.moneySum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_items"))
+    },
     "q_range_join" -> ((s, dir) => Relational.quantityBands(s, dir)),
     "q_percentiles" -> ((s, dir) => Relational.quantityPercentiles(s, dir)),
     // sketch percentiles: exact values are the hash-comparable harness;
@@ -5297,6 +5332,14 @@ object SparkEntry {
         |WHERE c_mktsegment = 'BUILDING' AND o_orderdate < TIMESTAMP '1998-03-15'
         |  AND l_shipdate > TIMESTAMP '1995-03-15'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority""".stripMargin,
+    "q_bucketed_join" ->
+      // value parity with the UNBUCKETED join — the layout changes the
+      // plan, never the rows (DuckDB reads the plain parquet)
+      """SELECT o_orderstatus,
+        |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,
+        |  count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus""".stripMargin,
     "q5_revenue_nation" ->
       """SELECT r_name, n_name,
         |  CAST(round(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))), 2) AS DOUBLE) AS revenue,

@@ -28,7 +28,7 @@ object Relational {
     * flip `round(_, 2)` between engines), then surface as double. The
     * oracle mirrors with `CAST(round(sum(CAST(e AS DECIMAL(18,4))), 2)
     * AS DOUBLE)`. */
-  private def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+  private[graft] def moneySum(e: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     round(sum(e.cast("decimal(18,4)")), 2).cast("double")
 
   /** Average with the same DECIMAL treatment as [[moneySum]]: the

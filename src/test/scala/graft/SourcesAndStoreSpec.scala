@@ -176,4 +176,91 @@ class SourcesAndStoreSpec extends SparkSpec {
     val pfLine = plan.linesIterator.find(_.contains("PartitionFilters")).getOrElse("")
     assert(pfLine.contains("= a)"), s"prefix not pinned in: $pfLine\n$plan")
   }
+
+  // ---- BucketedStore -------------------------------------------------------
+
+  import graft.sources.BucketedStore
+
+  private def factA = (1L to 400L).map(k => (k % 40, k, s"a$k"))
+    .toDF("key", "id", "pa")
+  private def factB = (1L to 300L).map(k => (k % 40, k + 1000, s"b$k"))
+    .toDF("key", "id", "pb")
+
+  test("bucketed write/read round-trips rows and registers the layout") {
+    val spark = SparkSpec.spark
+    val base = tmp("bstore")
+    BucketedStore.write(factA, "bs_rt_a", s"$base/a", "key", 8, Seq("key"))
+    val back = BucketedStore.table(spark, "bs_rt_a")
+    assert(back.collect().map(_.toSeq).toSet === factA.collect().map(_.toSeq).toSet)
+    // one file per bucket (the repartition-before-write contract)
+    val files = new java.io.File(s"$base/a").listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).length
+    assert(files === 8, s"expected 8 bucket files, found $files")
+  }
+
+  /** Run `f` with auto-broadcast off: the fixture facts are tiny, so
+    * Spark would broadcast them and neither side would ever show the
+    * shuffle this layout exists to remove — the production scenario is
+    * fact-to-fact, where broadcast is off the table by size. */
+  private def noBroadcast[T](f: => T): T = {
+    val spark = SparkSpec.spark
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try f finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("co-located join on the bucket key plans ZERO shuffle exchanges; the plain join shuffles") {
+    noBroadcast {
+      val spark = SparkSpec.spark
+      val base = tmp("bjoin")
+      BucketedStore.write(factA, "bs_a", s"$base/a", "key", 8, Seq("key"))
+      BucketedStore.write(factB, "bs_b", s"$base/b", "key", 8, Seq("key"))
+      val a = BucketedStore.table(spark, "bs_a")
+      val b = BucketedStore.table(spark, "bs_b").withColumnRenamed("key", "key2")
+      val joined = a.join(b, a("key") === b("key2"))
+      assert(!BucketedStore.hasShuffle(joined),
+        joined.queryExecution.executedPlan.toString)
+      // value parity + the control: the same join over plain parquet shuffles
+      factA.write.mode("overwrite").parquet(s"$base/pa")
+      factB.write.mode("overwrite").parquet(s"$base/pb")
+      val pa = spark.read.parquet(s"$base/pa")
+      val pb = spark.read.parquet(s"$base/pb").withColumnRenamed("key", "key2")
+      val plain = pa.join(pb, pa("key") === pb("key2"))
+      assert(BucketedStore.hasShuffle(plain))
+      assert(joined.collect().map(_.toSeq).toSet === plain.collect().map(_.toSeq).toSet)
+    }
+  }
+
+  test("aggregation on the bucket key plans without an exchange") {
+    val spark = SparkSpec.spark
+    val base = tmp("bagg")
+    BucketedStore.write(factA, "bs_agg", s"$base/a", "key", 8)
+    val agg = BucketedStore.table(spark, "bs_agg")
+      .groupBy("key").agg(org.apache.spark.sql.functions.count(col("id")))
+    assert(!BucketedStore.hasShuffle(agg), agg.queryExecution.executedPlan.toString)
+  }
+
+  test("mismatched bucket counts shuffle ONE side only") {
+    noBroadcast {
+      val spark = SparkSpec.spark
+      val base = tmp("bmis")
+      BucketedStore.write(factA, "bs_m8", s"$base/a", "key", 8)
+      BucketedStore.write(factB, "bs_m4", s"$base/b", "key", 4)
+      val a = BucketedStore.table(spark, "bs_m8")
+      val b = BucketedStore.table(spark, "bs_m4").withColumnRenamed("key", "key2")
+      val joined = a.join(b, a("key") === b("key2"))
+      assert(BucketedStore.shuffleCount(joined) === 1,
+        joined.queryExecution.executedPlan.toString)
+    }
+  }
+
+  test("re-registering a table name replaces files AND layout") {
+    val spark = SparkSpec.spark
+    val base = tmp("breg")
+    BucketedStore.write(factA, "bs_rr", s"$base/v1", "key", 4)
+    BucketedStore.write(factB, "bs_rr", s"$base/v2", "key", 8)
+    val back = BucketedStore.table(spark, "bs_rr")
+    assert(back.columns.contains("pb") && !back.columns.contains("pa"))
+    assert(back.count() === 300L)
+  }
 }
