@@ -1601,6 +1601,19 @@ object SparkEntry {
        |  FROM jv CROSS JOIN jsg),
        |jpl AS MATERIALIZED (SELECT vec_id, list(y ORDER BY j) AS e FROM jp GROUP BY vec_id)""".stripMargin
 
+  /** DDSketch bucket stream over events.value — twin of
+    * [[graft.ops.DdSketch.sketch]] (alpha = 0.01): sign split, bucket
+    * `idx = ceil(ln|x| / ln((1+0.01)/(1-0.01)))` — the gamma
+    * expression is spelled identically in both engines so the doubles
+    * (and therefore the buckets) are bit-equal. `groupSel` prefixes
+    * the grouping columns ("" for the global sketch). */
+  private def DD_REG(groupSel: String): String =
+    s"""SELECT $groupSel
+       |  CAST(CASE WHEN "value" > 0 THEN 1 WHEN "value" < 0 THEN -1 ELSE 0 END AS INTEGER) AS sgn,
+       |  CASE WHEN "value" = 0 THEN 0
+       |       ELSE CAST(ceil(ln(abs(CAST("value" AS DOUBLE))) / ln((1+0.01)/(1-0.01))) AS BIGINT) END AS idx
+       |FROM events WHERE "value" IS NOT NULL""".stripMargin
+
   /** HLL register stream over events.user_id — twin of
     * [[graft.ops.Hll.sketch]]'s per-value stage (p=9, m=512): bucket
     * from the first 32-bit md5 half, rho = 33 − bitlength of the
@@ -2770,6 +2783,32 @@ object SparkEntry {
     // exact count; the DuckDB twin computes exact counts and emits TRUE,
     // so the accuracy claim itself is pinned by the driver's hash gate
     // (ApproxDistinctSpec additionally pins the error locally)
+    // mergeable DDSketch quantiles — the percentile member of the
+    // sketch family (distinct = HLL, heavy hitters = CMS): persisted
+    // bucket tables with a relative-VALUE-error guarantee, merged by
+    // per-bucket SUM
+    "q_dd_sketch" -> ((s, dir) =>
+      graft.ops.DdSketch.sketch(Relational.events(s, dir),
+        col("value"), Seq(col("event_type")))),
+    "q_dd_merge" -> { (s, dir) =>
+      // daily sketches merged by bucket SUM must equal the sketch
+      // built directly over all days — the oracle computes the DIRECT
+      // global sketch, so the merge identity itself is hash-gated
+      val ev = Relational.events(s, dir)
+        .withColumn("day", expr("ts_ns div 86400000000000"))
+      graft.ops.DdSketch.merge(
+        graft.ops.DdSketch.sketch(ev, col("value"), Seq(col("day"))),
+        Seq.empty)
+    },
+    "q_dd_quantiles" -> ((s, dir) =>
+      // p50/p95/p99 per group from the sketch alone — engine-exact
+      // (same buckets, same cumulative rank walk, same midpoint);
+      // the within-alpha accuracy claim is spec-pinned against exact
+      // percentiles
+      graft.ops.DdSketch.quantiles(
+        graft.ops.DdSketch.sketch(Relational.events(s, dir),
+          col("value"), Seq(col("event_type"))),
+        Seq("event_type"), Seq(0.5, 0.95, 0.99))),
     // mergeable HLL register-table sketches — the persisted face of
     // distinct counting (approx_count_distinct is inline-only); the
     // register tables are engine-exact, so the oracle pins every
@@ -5373,6 +5412,35 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_dd_sketch" ->
+      // twin of DdSketch.sketch: every bucket count byte-identical
+      s"""WITH reg AS (${DD_REG("event_type,")})
+         |SELECT event_type, sgn, idx, CAST(count(*) AS BIGINT) AS n
+         |FROM reg GROUP BY event_type, sgn, idx""".stripMargin,
+    "q_dd_merge" ->
+      // the merge identity, hash-gated: Spark sums per-day buckets;
+      // the oracle sketches the union directly
+      s"""WITH reg AS (${DD_REG("")})
+         |SELECT sgn, idx, CAST(count(*) AS BIGINT) AS n
+         |FROM reg GROUP BY sgn, idx""".stripMargin,
+    "q_dd_quantiles" ->
+      // twin of DdSketch.quantiles: cumulative walk in value order
+      // ((sgn, sgn*idx) asc), rank q*(n-1), geometric-midpoint
+      // estimate — the containing bucket is unique by construction
+      s"""WITH reg AS (${DD_REG("event_type,")}),
+         |sk AS (SELECT event_type, sgn, idx, CAST(count(*) AS BIGINT) AS n
+         |       FROM reg GROUP BY event_type, sgn, idx),
+         |cw AS (SELECT event_type, sgn, idx, n,
+         |         sum(n) OVER (PARTITION BY event_type ORDER BY sgn ASC, sgn * idx ASC
+         |                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+         |         sum(n) OVER (PARTITION BY event_type) AS total
+         |       FROM sk),
+         |qv AS (SELECT unnest([0.5, 0.95, 0.99]) AS q)
+         |SELECT event_type, q,
+         |  round(CASE WHEN sgn = 0 THEN 0.0
+         |             ELSE sgn * (2.0 * power((1+0.01)/(1-0.01), CAST(idx AS DOUBLE)) / ((1+0.01)/(1-0.01) + 1)) END, 6) AS est
+         |FROM cw CROSS JOIN qv
+         |WHERE cum > q * (total - 1) AND (cum - n) <= q * (total - 1)""".stripMargin,
     "q_hll_sketch" ->
       // twin of Hll.sketch (p=9, m=512): bucket/rho from two
       // independent 32-bit md5 halves; every register byte-identical
