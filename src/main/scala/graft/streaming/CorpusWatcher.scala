@@ -442,7 +442,8 @@ object CorpusWatcher {
       frontierBudgets: Option[DataFrame] = None,
       frontierPerHostCap: Int = 100,
       frontierDefaultDelay: Double = 1.0,
-      distinctDir: Option[String] = None): StreamingQuery = {
+      distinctDir: Option[String] = None,
+      lengthDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -1041,6 +1042,21 @@ object CorpusWatcher {
               col("text"), Seq(lit("content").as("kind"))))
             .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
         }
+        // document-length distribution over the crawl's lifetime
+        // (`lengthDir`): DDSketch bucket tables over the pre-gate
+        // ingest, same no-protocol contract as the HLL registers above
+        // — replay overwrites identical buckets, the reader SUMs, a
+        // compaction fold preserves the multiset, and the accumulated
+        // table is bounded by the length RANGE, never the row count.
+        // Serving: [[lengthQuantiles]] — the drifting-length alarm
+        // (a source switching to boilerplate shifts p50 long before
+        // mean length moves).
+        lengthDir.foreach { ld =>
+          graft.ops.DdSketch.sketch(
+              staged(parsed0).where(col("text").isNotNull),
+              length(col("text")).cast("double"), Seq.empty)
+            .coalesce(1).write.mode("overwrite").parquet(s"$ld/batch_id=$batchId")
+        }
         // periodic history compaction — the operational face of
         // [[compactHistory]], run AFTER everything the batch publishes
         // is on disk. Safe mid-stream by the compaction contract (the
@@ -1057,7 +1073,8 @@ object CorpusWatcher {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++
               sentenceSpanHistoryDir ++ urlHistoryDir ++ frontierDir ++
               recrawlDir.map(recrawlGateDir) ++ // gate set only — never the raw fetch log
-              distinctDir) // registers are multiset-fold-safe (reader MAXes)
+              distinctDir ++ // registers are multiset-fold-safe (reader MAXes)
+              lengthDir) // bucket counts are multiset-fold-safe (reader SUMs)
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
           }
@@ -1169,6 +1186,26 @@ object CorpusWatcher {
       graft.ops.Hll.merge(
         session.read.parquet(dir).select("kind", "bucket", "r"), Seq("kind")),
       Seq("kind"))
+
+  /** Lifetime document-length quantiles from a [[startJsonl]]
+    * `lengthDir`: `(q, est)` for the requested quantiles — DDSketch
+    * merge (per-bucket SUM) then the cumulative-rank walk, all over
+    * bucket tables bounded by the length range. The SUM consumer
+    * makes this dir BATCH-ID-KEYED, like the adaptive gate's
+    * statsDir: a crash replay re-runs the same batch id and
+    * overwrites identical buckets (idempotent — the spec forces the
+    * recovery path), and compaction folds preserve the multiset;
+    * reprocessing a whole feed into RETAINED output double-counts for
+    * any summed table — unlike [[distinctEstimates]]' registers,
+    * whose MAX absorbs even that. */
+  def lengthQuantiles(
+      session: SparkSession, dir: String,
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+    graft.ops.DdSketch.quantiles(
+      graft.ops.DdSketch.merge(
+        session.read.parquet(dir).select("sgn", "idx", "n")
+          .withColumn("g", lit(1)), Seq("g")),
+      Seq("g"), qs).select("q", "est")
 
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")

@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 
 import graft.index.InvertedIndex
 import graft.streaming.CorpusWatcher
@@ -847,6 +847,49 @@ class CorpusWatcherSpec extends SparkSpec {
     val folded = CorpusWatcher.distinctEstimates(spark, dd).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
     assert(folded === got, "compaction must not move any register")
+  }
+
+  test("lengthDir: lifetime length quantiles equal the batch sketch over the union; replay-proof") {
+    val (watch, index, quar, ld) =
+      (tmp("watchlq"), tmp("indexlq"), tmp("quarlq") + "/bad", tmp("histlq") + "/len")
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      lengthDir = Some(ld)).awaitTermination()
+    val texts0 = Seq("short one", "a medium length document body here",
+      "x" * 400)
+    val texts1 = Seq("y" * 1500, "tiny")
+    def feed(name: String, ids: Seq[Int], texts: Seq[String]): Unit =
+      Files.write(Paths.get(watch, name),
+        ids.zip(texts).map { case (i, t) =>
+          s"""{"doc_id": $i, "text": "$t"}"""
+        }.mkString("", "\n", "\n").getBytes("UTF-8"))
+    val ckpt = tmp("ckptlq")
+    feed("lq-0.json", Seq(1, 2, 3), texts0)
+    run(ckpt)
+    feed("lq-1.json", Seq(4, 5), texts1)
+    run(ckpt)
+    val got = CorpusWatcher.lengthQuantiles(spark, ld).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val all = (texts0 ++ texts1).map(_.length.toDouble).toDF("v")
+    val exp = graft.ops.DdSketch.quantiles(
+      graft.ops.DdSketch.sketch(all, col("v"), Seq(lit(1).as("g"))),
+      Seq("g"), Seq(0.5, 0.95, 0.99)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    assert(got === exp, "stream quantiles must equal the union sketch's")
+    // within 1% of the true values (the DDSketch guarantee)
+    val sorted = (texts0 ++ texts1).map(_.length).sorted
+    assert(math.abs(got(0.5) - sorted(2)) / sorted(2) <= 0.011, got.toString)
+    // crash-window replay is the foreachBatch OVERWRITE of the same
+    // batch partition with identical content (a SUM-read dir is keyed
+    // by batch id, like the adaptive gate's statsDir — reprocessing a
+    // whole feed into RETAINED output is operator error for a summed
+    // table, unlike distinctDir's MAX registers). Emulate the
+    // overwrite directly (Spark 4's commit-log guard rejects mid-log
+    // surgery) and assert the reader is unmoved.
+    val p1 = spark.read.parquet(s"$ld/batch_id=1").localCheckpoint(true)
+    p1.coalesce(1).write.mode("overwrite").parquet(s"$ld/batch_id=1")
+    val replayed = CorpusWatcher.lengthQuantiles(spark, ld).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(replayed === got, "a same-batch-id replay must not change any bucket count")
   }
 
   test("frontierDir queues unseen outlinks append-only; seen and already-queued targets never re-queue; replay-idempotent") {
