@@ -2148,6 +2148,19 @@ object SparkEntry {
       graft.ops.WordPiece.tokenCounts(d,
         graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)))
     },
+    "q_wordpiece_roundtrip" -> { (s, dir) =>
+      // the ship-the-model boundary: train -> export the single-file
+      // tokenizer artifact -> reload -> serve; must reproduce
+      // q_wordpiece_tokens row-for-row, so the SAME twin pins both
+      // paths (the q_index_export_file_roundtrip precedent)
+      val d = docs(s, dir)
+      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+      val vocab = graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms))
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_wp_tokenizer.json"
+      graft.ops.TokenizerIO.exportWordPiece(s, vocab, path)
+      val (v2, _) = graft.ops.TokenizerIO.importWordPiece(s, path)
+      graft.ops.WordPiece.tokenCounts(d, v2)
+    },
     "q_wordpiece_fertility" -> { (s, dir) =>
       // the family comparison's third column (q_bpe_fertility,
       // q_unigram_fertility): same corpus, same denominator
@@ -3302,6 +3315,16 @@ object SparkEntry {
             .mkString("\nUNION ALL ")}""".stripMargin,
     "q_wordpiece_tokens" ->
       // greedy-serve twin over the training corpus's own token stream
+      s"""WITH RECURSIVE ${WORDPIECE_CTES(WP_MERGES, 2L)},
+         |${WORDPIECE_SERVE_CTES(WP_MERGES, TOKEN_ROWS)}
+         |SELECT d.doc_id, CAST(coalesce(sum(e.n), 0) AS BIGINT) AS n_wordpiece_tokens
+         |FROM documents d
+         |LEFT JOIN ($TOKEN_ROWS) t ON t.doc_id = d.doc_id
+         |LEFT JOIN wpe e ON e.word = t.word
+         |GROUP BY d.doc_id""".stripMargin,
+    "q_wordpiece_roundtrip" ->
+      // the export->import->serve path must land exactly where the
+      // direct serve does: same twin as q_wordpiece_tokens
       s"""WITH RECURSIVE ${WORDPIECE_CTES(WP_MERGES, 2L)},
          |${WORDPIECE_SERVE_CTES(WP_MERGES, TOKEN_ROWS)}
          |SELECT d.doc_id, CAST(coalesce(sum(e.n), 0) AS BIGINT) AS n_wordpiece_tokens

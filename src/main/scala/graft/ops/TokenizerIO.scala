@@ -1,0 +1,130 @@
+package graft.ops
+
+import org.apache.spark.sql.SparkSession
+
+/** Single-file tokenizer artifacts — the "ship the model" boundary all
+  * three trained families need: a tokenizer is useless to the serving
+  * fleet as a session-local `Seq`, and a parquet model TABLE is the
+  * wrong interchange grain for a kilobyte-sized object every task,
+  * trainer checkpoint, and external consumer wants as one file (the
+  * shape the HuggingFace `tokenizer.json` ecosystem standardized).
+  *
+  * Format: one UTF-8 JSON object per artifact —
+  *
+  *  - `{"family": "bpe", "merges": [["a","b"], …]}` — merge order IS
+  *    the model; preserved exactly.
+  *  - `{"family": "unigram", "pieces": [["ab", -3.210000], …]}` —
+  *    log-probs printed as the 6dp decimals they are
+  *    ([[Unigram]] quantizes; printing more digits would invent
+  *    precision, fewer would corrupt the micro-Long serve scores).
+  *    Pieces sorted lexicographically (the stored order is a set).
+  *  - `{"family": "wordpiece", "unk": "[UNK]", "vocab": ["a", …]}` —
+  *    vocab sorted lexicographically (a set; greedy matching is
+  *    order-independent).
+  *
+  * Byte shape is pinned like the index export
+  * ([[graft.index.InvertedIndex.exportSingleFileJson]]): deterministic
+  * member order, no whitespace beyond single spaces after `:` and `,`,
+  * Python-default `ensure_ascii` escaping — so re-exporting an
+  * imported artifact reproduces it byte-for-byte (the spec pins it),
+  * and artifact diffs mean MODEL diffs, never serialization noise.
+  *
+  * Scale stance: artifacts are model-sized (vocab × piece length
+  * bytes); the writer is a driver-side stream to any Hadoop
+  * filesystem, and import is one `wholetext` read — neither touches
+  * corpus data.
+  */
+object TokenizerIO {
+
+  private def esc(s: String): String = {
+    val sb = new StringBuilder(s.length + 8)
+    s.foreach {
+      case '"'  => sb.append("\\\"")
+      case '\\' => sb.append("\\\\")
+      case '\n' => sb.append("\\n")
+      case '\r' => sb.append("\\r")
+      case '\t' => sb.append("\\t")
+      case '\b' => sb.append("\\b")
+      case '\f' => sb.append("\\f")
+      case c if c < 0x20 || c > 0x7e => sb.append(f"\\u${c.toInt}%04x")
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
+
+  private def writeFile(spark: SparkSession, path: String, body: String): Unit = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = new java.io.BufferedWriter(new java.io.OutputStreamWriter(
+      fs.create(hPath, true), java.nio.charset.StandardCharsets.UTF_8))
+    try out.write(body) finally out.close()
+  }
+
+  private def readFile(spark: SparkSession, path: String): String =
+    spark.read.option("wholetext", "true").text(path)
+      .collect().headOption.map(_.getString(0)).getOrElse("")
+
+  /** 6dp decimal text of a micro-Long log-prob (−3210000 → "-3.210000"). */
+  private def lp6(micro: Long): String =
+    java.math.BigDecimal.valueOf(micro).movePointLeft(6).setScale(6).toPlainString
+
+  def exportBpe(spark: SparkSession, merges: Seq[(String, String)], path: String): Unit =
+    writeFile(spark, path,
+      s"""{"family": "bpe", "merges": [${
+        merges.map { case (a, b) => s"""["${esc(a)}", "${esc(b)}"]""" }.mkString(", ")
+      }]}""")
+
+  def exportUnigram(spark: SparkSession, pieces: Seq[(String, Long)], path: String): Unit =
+    writeFile(spark, path,
+      s"""{"family": "unigram", "pieces": [${
+        pieces.sortBy(_._1).map { case (p, m) => s"""["${esc(p)}", ${lp6(m)}]""" }.mkString(", ")
+      }]}""")
+
+  def exportWordPiece(spark: SparkSession, vocab: Seq[String], path: String,
+      unk: String = WordPiece.Unk): Unit =
+    writeFile(spark, path,
+      s"""{"family": "wordpiece", "unk": "${esc(unk)}", "vocab": [${
+        vocab.sorted.map(p => s""""${esc(p)}"""").mkString(", ")
+      }]}""")
+
+  // ---- import -------------------------------------------------------------
+
+  private def parse(spark: SparkSession, path: String, family: String)
+      : com.fasterxml.jackson.databind.JsonNode = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    // keep the 6dp log-prob digits exactly as written (a double
+    // round-trip re-derives them, but exactness shouldn't hinge on
+    // shortest-repr printing)
+    m.configure(
+      com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
+    val root = m.readTree(readFile(spark, path))
+    val got = Option(root.get("family")).map(_.asText()).getOrElse("<absent>")
+    require(got == family,
+      s"$path holds a '$got' tokenizer, expected '$family'")
+    root
+  }
+
+  /** Ordered merge list, servable by [[Bpe.encodeFast]]. */
+  def importBpe(spark: SparkSession, path: String): Seq[(String, String)] = {
+    val arr = parse(spark, path, "bpe").get("merges")
+    (0 until arr.size).map(i => (arr.get(i).get(0).asText(), arr.get(i).get(1).asText()))
+  }
+
+  /** (piece, micro-log-prob) list, servable by [[Unigram.encodeFast]]. */
+  def importUnigram(spark: SparkSession, path: String): Seq[(String, Long)] = {
+    val arr = parse(spark, path, "unigram").get("pieces")
+    (0 until arr.size).map { i =>
+      val e = arr.get(i)
+      (e.get(0).asText(),
+        new java.math.BigDecimal(e.get(1).asText())
+          .movePointRight(6).longValueExact())
+    }
+  }
+
+  /** (vocab, unk), servable by [[WordPiece.encodeFast]]. */
+  def importWordPiece(spark: SparkSession, path: String): (Seq[String], String) = {
+    val root = parse(spark, path, "wordpiece")
+    val arr = root.get("vocab")
+    ((0 until arr.size).map(arr.get(_).asText()), root.get("unk").asText())
+  }
+}

@@ -1,0 +1,108 @@
+package graft
+
+import graft.ops.{Bpe, TokenizerIO, Unigram, WordPiece}
+import SparkSpec.spark.implicits._
+
+/** Single-file tokenizer artifacts: byte-exact re-export of an
+  * imported artifact for all three families, value fidelity through
+  * the file (merge order, 6dp log-probs, vocab sets), serve
+  * equivalence, and the loud family-mismatch contract. */
+class TokenizerIOSpec extends SparkSpec {
+
+  private def tmp(name: String): String = {
+    val d = java.nio.file.Files.createTempDirectory(s"graft-$name-")
+    d.toFile.deleteOnExit()
+    s"$d/tok.json"
+  }
+
+  private def readBack(path: String): String =
+    new String(java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path)), "UTF-8")
+
+  test("bpe: merge ORDER survives; import -> export is byte-exact") {
+    val merges = Seq(("l", "o"), ("lo", "w"), ("e", "r"))
+    val p = tmp("bpe")
+    TokenizerIO.exportBpe(spark, merges, p)
+    val back = TokenizerIO.importBpe(spark, p)
+    assert(back == merges)
+    val bytes1 = readBack(p)
+    TokenizerIO.exportBpe(spark, back, p)
+    assert(readBack(p) == bytes1)
+    assert(bytes1.startsWith("""{"family": "bpe""""))
+  }
+
+  test("unigram: 6dp micro log-probs are exact through the file") {
+    val pieces = Seq(("ab", -3210000L), ("a", -105361L), ("b", -20000000L))
+    val p = tmp("uni")
+    TokenizerIO.exportUnigram(spark, pieces, p)
+    val back = TokenizerIO.importUnigram(spark, p)
+    assert(back.toMap == pieces.toMap)
+    val bytes1 = readBack(p)
+    TokenizerIO.exportUnigram(spark, back, p)
+    assert(readBack(p) == bytes1)
+    assert(bytes1.contains("-3.210000")) // decimals as written, no float drift
+  }
+
+  test("wordpiece: vocab + unk survive; served counts equal the direct path") {
+    val docs = Seq(
+      (1L, "low lower lowest low low"),
+      (2L, "new newer newest new")).toDF("doc_id", "text")
+    val ms = WordPiece.trainMerges(docs, 6, minFrequency = 2L)
+    val vocab = WordPiece.collectVocab(WordPiece.vocab(docs, ms))
+    val p = tmp("wp")
+    TokenizerIO.exportWordPiece(spark, vocab, p)
+    val (v2, unk) = TokenizerIO.importWordPiece(spark, p)
+    assert(unk == WordPiece.Unk)
+    assert(v2.sorted == vocab.sorted)
+    val direct = WordPiece.tokenCounts(docs, vocab).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFile = WordPiece.tokenCounts(docs, v2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFile == direct)
+    val bytes1 = readBack(p)
+    TokenizerIO.exportWordPiece(spark, v2, p)
+    assert(readBack(p) == bytes1)
+  }
+
+  test("unigram serve path is identical through the artifact") {
+    val docs = Seq((1L, "low lower low"), (2L, "new newer")).toDF("doc_id", "text")
+    val model = Unigram.trainUnigram(docs, vocabSize = 20)
+    val pieces = Unigram.collectPieces(model)
+    val p = tmp("unis")
+    TokenizerIO.exportUnigram(spark, pieces, p)
+    val back = TokenizerIO.importUnigram(spark, p)
+    val direct = Unigram.tokenCounts(docs, pieces).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFile = Unigram.tokenCounts(docs, back).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFile == direct)
+  }
+
+  test("bpe serve path is identical through the artifact") {
+    val docs = Seq((1L, "low lower low low"), (2L, "newer new")).toDF("doc_id", "text")
+    val merges = Bpe.trainMerges(docs, 6).map(m => (m.lhs, m.rhs))
+    val p = tmp("bpes")
+    TokenizerIO.exportBpe(spark, merges, p)
+    val back = TokenizerIO.importBpe(spark, p)
+    val direct = Bpe.tokenCounts(docs, merges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaFile = Bpe.tokenCounts(docs, back).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaFile == direct)
+  }
+
+  test("family mismatch fails loudly") {
+    val p = tmp("mismatch")
+    TokenizerIO.exportBpe(spark, Seq(("a", "b")), p)
+    val e = intercept[IllegalArgumentException](TokenizerIO.importWordPiece(spark, p))
+    assert(e.getMessage.contains("bpe") && e.getMessage.contains("wordpiece"))
+  }
+
+  test("non-ASCII pieces escape like the index export (ensure_ascii)") {
+    val p = tmp("uesc")
+    TokenizerIO.exportWordPiece(spark, Seq("naïve", "##é"), p)
+    val bytes = readBack(p)
+    assert(bytes.contains("na\\u00efve") && bytes.contains("##\\u00e9"), bytes)
+    val (v, _) = TokenizerIO.importWordPiece(spark, p)
+    assert(v.toSet == Set("naïve", "##é"))
+  }
+}
