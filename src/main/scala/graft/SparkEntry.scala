@@ -1507,6 +1507,12 @@ object SparkEntry {
 
   private val WP_MERGES = 10
 
+  /** Phrase-blocklist fixture: phrases the synthetic vocabulary emits
+    * (incl. the self-overlapping "a a" and a 3-word phrase) plus one
+    * that can never match — the zero path stays oracle-covered. */
+  private val PHRASE_BLOCKLIST = Seq(
+    "a a", "table table", "value fast merge", "slow filter", "zz unseen phrase")
+
   /** Unrolled DuckDB twin of [[graft.ops.WordPiece.trainMerges]]:
     * `wp0` is the word-frequency table under the `##`-marked
     * space-wrapped symbolization, then per level one symbol-count
@@ -2826,6 +2832,11 @@ object SparkEntry {
     // distinct counting (approx_count_distinct is inline-only); the
     // register tables are engine-exact, so the oracle pins every
     // bucket byte-identical, not just an accuracy claim
+    // multi-word phrase blocklist: one Aho-Corasick pass per doc,
+    // token-boundary exact, overlapping occurrences counted (the
+    // "a a" probe phrase self-overlaps in runs of a's)
+    "q_phrase_blocklist" -> ((s, dir) =>
+      TextAnalysis.phraseBlocklistSignals(docs(s, dir), PHRASE_BLOCKLIST)),
     "q_hll_sketch" -> ((s, dir) =>
       graft.ops.Hll.sketch(Relational.events(s, dir),
         col("user_id"), Seq(col("event_type")))),
@@ -5435,6 +5446,25 @@ object SparkEntry {
       """SELECT o_orderpriority, count(DISTINCT o_custkey) AS n_custs,
         |  count(DISTINCT o_orderstatus) AS n_status, count(*) AS n_orders
         |FROM orders GROUP BY o_orderpriority""".stripMargin,
+    "q_phrase_blocklist" ->
+      // twin of TextAnalysis.phraseBlocklistSignals: a position scan
+      // over the space-wrapped token-joined text — counts EVERY
+      // occurrence, overlaps included, which a replace-based count
+      // would miss on the self-overlapping "a a" probe
+      s"""WITH tw AS MATERIALIZED (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n_tokens,
+         |    ' ' || array_to_string($TOKS, ' ') || ' ' AS t FROM documents),
+         |ph AS (SELECT unnest([${PHRASE_BLOCKLIST.map(p => s"' ${p.trim} '").mkString(", ")}]) AS p),
+         |hits AS (SELECT doc_id, p, count(*) AS c
+         |  FROM (SELECT doc_id, t, p, unnest(generate_series(1, len(t))) AS i
+         |        FROM tw CROSS JOIN ph)
+         |  WHERE substr(t, CAST(i AS INTEGER), len(p)) = p
+         |  GROUP BY doc_id, p)
+         |SELECT tw.doc_id, tw.n_tokens,
+         |  CAST(coalesce(sum(h.c), 0) AS BIGINT) AS n_phrase_hits,
+         |  CAST(coalesce(count(h.p), 0) AS BIGINT) AS n_phrases_seen,
+         |  coalesce(sum(h.c), 0) = 0 AS keep
+         |FROM tw LEFT JOIN hits h ON h.doc_id = tw.doc_id
+         |GROUP BY tw.doc_id, tw.n_tokens""".stripMargin,
     "q_dd_sketch" ->
       // twin of DdSketch.sketch: every bucket count byte-identical
       s"""WITH reg AS (${DD_REG("event_type,")})

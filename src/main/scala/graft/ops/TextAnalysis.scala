@@ -1508,6 +1508,40 @@ object TextAnalysis {
         (col("bk.n_blk") === 0).as("keep"))
   }
 
+  /** Multi-word PHRASE blocklist — the form the token faces above
+    * structurally lack (an n-word phrase as a token-stream join is an
+    * n-way self-join per position): every phrase counted in ONE
+    * Aho–Corasick pass over the normalized text
+    * ([[graft.functions.PhraseMatch]] — O(text + matches) per doc,
+    * independent of dictionary size; the FlashText result at
+    * expression depth). Phrases are space-separated NORMALIZED tokens
+    * (the [[blocklistSignals]] list contract); matching is
+    * token-boundary exact (text and phrases both ride wrapped in
+    * single spaces over the token-joined form, so `"a a"` can never
+    * match inside `"aa a"`), and overlapping occurrences all count
+    * (`"a a"` occurs twice in `"a a a"` — the twin's position scan
+    * pins it). Output `(doc_id, n_tokens, n_phrase_hits,
+    * n_phrases_seen, keep = no hit)`; both stats PlanSeal-ed (flag-op
+    * pushdown contract). Row-parallel, no shuffle. */
+  def phraseBlocklistSignals(docs: DataFrame, phrases: Seq[String]): DataFrame = {
+    require(phrases.nonEmpty, "phrases must not be empty")
+    val wrapped = phrases.map(p => s" ${p.trim} ")
+    def matchCol(c: Column): Column =
+      org.apache.spark.sql.GraftSqlBridge.column(
+        graft.functions.PhraseMatch(
+          org.apache.spark.sql.GraftSqlBridge.expression(c), wrapped))
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), seal(TextNorm.tokens(col("text"))).as("ts"))
+      .select(col("doc_id"), seal(struct(
+        size(col("ts")).as("n_tok"),
+        matchCol(concat(lit(" "), concat_ws(" ", col("ts")), lit(" "))).as("m"))).as("pk"))
+      .select(col("doc_id"),
+        col("pk.n_tok").cast("long").as("n_tokens"),
+        element_at(col("pk.m"), 1).as("n_phrase_hits"),
+        element_at(col("pk.m"), 2).as("n_phrases_seen"),
+        (element_at(col("pk.m"), 1) === 0L).as("keep"))
+  }
+
   /** Table face of [[blocklistSignals]] for blocklists too large to
     * inline as a literal (multi-million-entry URL/phrase lists): the
     * token stream joins a broadcast `(term)` table and re-aggregates
