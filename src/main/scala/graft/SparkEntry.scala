@@ -853,6 +853,41 @@ object SparkEntry {
        |${rankIterCte(2, "r1")},
        |${rankIterCte(3, "r2")}""".stripMargin
 
+  /** Trusted seed hosts for q_trust_rank: one in the main h* ring,
+    * one in the two-host island (trust must localize), one absent
+    * from the graph (must be ignored). */
+  private val TrustSeeds = Seq(
+    "h1.example.org", "island-a.example.org", "absent.example.org")
+
+  /** One TrustRank iteration (twin of [[graft.ops.Crawl.trustRank]]):
+    * the [[rankIterCte]] machinery with teleport AND dangling mass
+    * routed to the seed set — seeds take
+    * `(1−d)·U/nS + d·(inbound + dang/nS)`, non-seeds the single
+    * multiply `round(d · inbound)`. */
+  private def trustIterCte(k: Int, prev: String): String =
+    s"""tinb$k AS (SELECT e.dst, sum(CAST(round(CAST(r.rank_u AS DOUBLE) / o.outdeg, 0) AS BIGINT)) AS inb_u
+       |    FROM eg e JOIN $prev r ON r.node = e.src JOIN od o ON o.src = e.src GROUP BY e.dst),
+       |tdang$k AS (SELECT coalesce(sum(r.rank_u), 0) AS dang_u FROM $prev r LEFT JOIN od o ON o.src = r.node WHERE o.src IS NULL),
+       |t$k AS MATERIALIZED (SELECT n.node,
+       |    CASE WHEN s.node IS NOT NULL
+       |      THEN CAST(round((CAST(1.0 AS DOUBLE) - CAST(0.85 AS DOUBLE)) * CAST(1000000000000 AS DOUBLE) / ns.n_seeds
+       |           + CAST(0.85 AS DOUBLE) * (CAST(coalesce(i.inb_u, 0) AS DOUBLE) + CAST(d.dang_u AS DOUBLE) / ns.n_seeds), 0) AS BIGINT)
+       |      ELSE CAST(round(CAST(0.85 AS DOUBLE) * CAST(coalesce(i.inb_u, 0) AS DOUBLE), 0) AS BIGINT) END AS rank_u
+       |    FROM nd n LEFT JOIN tinb$k i ON i.dst = n.node LEFT JOIN sd s ON s.node = n.node CROSS JOIN tdang$k d CROSS JOIN ns)""".stripMargin
+
+  private val TRUST_CTES: String =
+    s"""$GRAPH_CTES,
+       |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM eg GROUP BY src),
+       |sd AS MATERIALIZED (SELECT node FROM nd WHERE node IN (${TrustSeeds.map(s => s"'$s'").mkString(", ")})),
+       |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_seeds FROM sd),
+       |t0 AS MATERIALIZED (SELECT n.node,
+       |    CASE WHEN s.node IS NULL THEN CAST(0 AS BIGINT)
+       |         ELSE CAST(round(CAST(1000000000000 AS DOUBLE) / ns.n_seeds, 0) AS BIGINT) END AS rank_u
+       |    FROM nd n LEFT JOIN sd s ON s.node = n.node CROSS JOIN ns),
+       |${trustIterCte(1, "t0")},
+       |${trustIterCte(2, "t1")},
+       |${trustIterCte(3, "t2")}""".stripMargin
+
   /** One HITS iteration (twin of [[graft.ops.Crawl.hits]]' two
     * half-steps): authority from hubs then hubs from authorities,
     * each L1-normalized to 1e12 units by the identical fixed-shape
@@ -2306,6 +2341,15 @@ object SparkEntry {
     // href extraction + resolution + host-level edge aggregation
     "q_link_edges" -> ((s, dir) => graft.ops.Crawl.linkHostEdges(linkPages(s, dir))),
     // fixed-iteration PageRank over the host graph (BIGINT-unit exact)
+    // biased PageRank: teleport/dangling mass to vetted seeds only —
+    // spam constellations no seed reaches score ~0 (trust localizes:
+    // the island seed's mass stays in the island)
+    "q_trust_rank" -> ((s, dir) => {
+      import s.implicits._
+      graft.ops.Crawl.trustRank(
+        graft.ops.Crawl.linkHostEdges(linkPages(s, dir)),
+        TrustSeeds.toDF("node"), iters = 3)
+    }),
     "q_domain_rank" -> ((s, dir) =>
       graft.ops.Crawl.domainRank(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)), iters = 3)),
     // two-level rank, within-host tier: per-host PageRank over the
@@ -3942,6 +3986,12 @@ object SparkEntry {
          |FROM lc
          |WHERE page_host IS NOT NULL AND host IS NOT NULL AND page_host <> host
          |GROUP BY page_host, host""".stripMargin,
+    "q_trust_rank" ->
+      // twin of Crawl.trustRank(iters = 3): three unrolled seeded
+      // iterations in BIGINT units; the absent seed drops at sd
+      s"""WITH $TRUST_CTES
+         |SELECT node, CAST(rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS trust
+         |FROM t3""".stripMargin,
     "q_domain_rank" ->
       // twin of Crawl.domainRank(iters = 3): three unrolled power
       // iterations in BIGINT 1e-12 units (RANK_CTES); the only

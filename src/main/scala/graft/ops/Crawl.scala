@@ -727,6 +727,92 @@ object Crawl {
       tol: Double = 0.0): DataFrame =
     domainRankIterate(edges, iters, damping, mat, tol, prior = Some(prior))._1
 
+  /** TrustRank (Gyöngyi, Garcia-Molina & Pedersen, VLDB '04 —
+    * "Combating Web Spam with TrustRank"): biased PageRank whose
+    * teleport AND dangling mass go ONLY to a trusted seed set instead
+    * of uniformly — trust flows out of hand-vetted hosts along links,
+    * so a spam constellation no seed (transitively) points at scores
+    * ~0 no matter how densely it interlinks, which uniform PageRank
+    * structurally cannot do (every node gets teleport mass). The
+    * crawl-side complement to [[domainRank]]: rank says "linked-to",
+    * trust says "linked-to FROM vetted ground", and frontier policy
+    * wants both.
+    *
+    * Seeds absent from the graph are ignored (trust is defined on
+    * today's node set); at least one present seed is required. Seed
+    * mass is uniform over present seeds (the paper's unweighted
+    * variant).
+    *
+    * Determinism: the [[RankUnits]] BIGINT-unit discipline of
+    * [[domainRank]] unchanged — integer rank units, exact integer
+    * inbound sums, per-iteration fixed-shape double expressions both
+    * engines evaluate identically (seed share `U/nS` replaces `U/N`;
+    * non-seeds' update is the single multiply `round(d · inbound)`).
+    *
+    * Scale shape: the [[domainRank]] plan plus one broadcast seed
+    * flag join — per iteration one edges⋈ranks join, one combinable
+    * aggregate, two broadcast scalars; every state table node-sized. */
+  def trustRank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 3,
+      damping: Double = 0.85,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    require(iters >= 1, s"iters=$iters must be >= 1")
+    require(damping > 0 && damping < 1, s"damping=$damping must be in (0, 1)")
+    val (e, nodes) = distinctGraph(edges, mat)
+    val seedFlag = nodes
+      .join(broadcast(seeds.select(col("node")).distinct()), Seq("node"))
+      .select(col("node"), lit(1).as("is_seed"))
+    val nSeeds = seedFlag.count()
+    require(nSeeds >= 1, "trustRank needs at least one seed present in the graph")
+    val nsD = lit(nSeeds.toDouble)
+    val flagged = graft.core.Materialize(
+      nodes.join(broadcast(seedFlag), Seq("node"), "left"), mat)
+    val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
+    val init = flagged.select(col("node"),
+      when(col("is_seed").isNotNull,
+        round(lit(RankUnits).cast("double") / nsD, 0).cast("long"))
+        .otherwise(lit(0L)).as("rank_u"))
+    var ranks = graft.core.Materialize(init, mat)
+    for (_ <- 1 to iters) {
+      val contribs = ranks
+        .join(outdeg, ranks("node") === outdeg("src"))
+        .select(col("src"),
+          round(col("rank_u").cast("double") / col("outdeg"), 0)
+            .cast("long").as("contrib_u"))
+      val inbound = e.join(contribs, Seq("src"))
+        .groupBy(col("dst")).agg(sum(col("contrib_u")).as("inb_u"))
+      val dangling = ranks
+        .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
+        .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang_u"))
+      val next = graft.core.Materialize(
+        flagged
+          .join(inbound, flagged("node") === inbound("dst"), "left")
+          .crossJoin(broadcast(dangling))
+          .select(col("node"),
+            when(col("is_seed").isNotNull,
+              round(
+                (lit(1.0) - lit(damping)) * lit(RankUnits).cast("double") / nsD +
+                  lit(damping) *
+                    (coalesce(col("inb_u"), lit(0L)).cast("double") +
+                      col("dang_u").cast("double") / nsD),
+                0).cast("long"))
+              .otherwise(
+                round(lit(damping) * coalesce(col("inb_u"), lit(0L)).cast("double"), 0)
+                  .cast("long"))
+              .as("rank_u")),
+        mat)
+      next.limit(1).count()
+      graft.core.Materialize.release(ranks, mat)
+      ranks = next
+    }
+    graft.core.Materialize.release(e, mat)
+    graft.core.Materialize.release(flagged, mat)
+    ranks.select(col("node"),
+      (col("rank_u").cast("double") / lit(RankUnits).cast("double")).as("trust"))
+  }
+
   /** The shared power-iteration loop behind [[domainRank]] (uniform
     * init) and [[domainRankFrom]] (warm-start init). */
   private def domainRankIterate(

@@ -176,6 +176,32 @@ class CrawlSpec extends SparkSpec {
     assert(math.abs(r2.values.sum - 1.0) < 1e-9)
   }
 
+  test("trustRank: hand-computed seeded iterations; unreachable components stay at zero") {
+    // A->B->C (C dangles), D->E disconnected; seed {A}, d = 0.85.
+    // iter1: A = 0.15U, B = 0.85U; iter2: A = 0.15U, B = .85*.15U,
+    // C = .85*.85U; iter3: C's dangling mass teleports to the seed.
+    val edges = Seq(("A", "B"), ("B", "C"), ("D", "E")).toDF("src", "dst")
+    def run(iters: Int, seeds: Seq[String]): Map[String, Double] =
+      Crawl.trustRank(edges, seeds.toDF("node"), iters = iters)
+        .as[(String, Double)].collect().toMap
+    val r1 = run(1, Seq("A"))
+    assert(r1("A") === 150000000000L.toDouble / 1e12)
+    assert(r1("B") === 850000000000L.toDouble / 1e12)
+    assert(r1("C") === 0.0 && r1("D") === 0.0 && r1("E") === 0.0)
+    val r3 = run(3, Seq("A"))
+    assert(r3("A") === 764125000000L.toDouble / 1e12) // dangling mass -> seed
+    assert(r3("B") === 127500000000L.toDouble / 1e12)
+    assert(r3("C") === 108375000000L.toDouble / 1e12)
+    // the disconnected component NEVER earns trust — the spam-isolation
+    // property uniform PageRank structurally lacks
+    assert(r3("D") === 0.0 && r3("E") === 0.0)
+    // absent seeds are ignored (trust defined on today's node set)
+    assert(run(3, Seq("A", "ZZZ")) === r3)
+    // no present seed fails loudly
+    val e = intercept[IllegalArgumentException](run(1, Seq("ZZZ")))
+    assert(e.getMessage.contains("seed"))
+  }
+
   test("domainRank: duplicate edges collapse (unweighted distinct-edge graph); NULL endpoints drop") {
     val edges = Seq(("A", "B"), ("A", "B"), ("B", "A"), (null, "B"), ("B", null))
       .toDF("src", "dst")
