@@ -22,6 +22,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(GraftExtensions.dotFunction)
     ext.injectFunction(GraftExtensions.nfcFunction)
     ext.injectFunction(GraftExtensions.topKFunction)
+    ext.injectFunction(GraftExtensions.jlProjectFunction)
+    ext.injectFunction(GraftExtensions.phraseMatchFunction)
     ext.injectTableFunction(GraftExtensions.asofTableFunction)
     ext.injectTableFunction(GraftExtensions.minhashPairsTableFunction)
     ext.injectTableFunction(GraftExtensions.decontaminateTableFunction)
@@ -114,6 +116,49 @@ object GraftExtensions {
     (children: Seq[Expression]) => {
       require(children.size == 1, "graft_nfc(text) takes exactly one argument")
       graft.functions.NfcNormalize(children.head)
+    })
+
+  /** SQL surface for the JL sign projection:
+    * `SELECT graft_jl_project(CAST(embedding AS ARRAY<DOUBLE>), 64, 16)`.
+    * Dims must be foldable integer literals (they size the driver-built
+    * sign matrix at plan time). */
+  private val jlProjectFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_jl_project"),
+    new ExpressionInfo(classOf[graft.functions.JlProject].getName, "graft_jl_project"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_jl_project(vec, in_dim, out_dim) takes exactly three arguments")
+      def dim(e: Expression, name: String): Int = e match {
+        case Literal(v: Int, _: org.apache.spark.sql.types.IntegerType) => v
+        case other => throw new IllegalArgumentException(
+          s"graft_jl_project: $name must be an integer literal, got ${other.sql}")
+      }
+      val (in, out) = (dim(children(1), "in_dim"), dim(children(2), "out_dim"))
+      if (in < 1 || out < 1) throw new IllegalArgumentException(
+        s"graft_jl_project: dims must be >= 1, got ($in, $out)")
+      graft.functions.JlProject(children.head, in, out)
+    })
+
+  /** SQL surface for the Aho–Corasick phrase matcher:
+    * `SELECT graft_phrase_match(text, array(' a b ', ' c d '))` →
+    * `[total_hits, distinct_phrases]`. The pattern array must be
+    * foldable (it builds the driver-side automaton at plan time). */
+  private val phraseMatchFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression) = (
+    FunctionIdentifier("graft_phrase_match"),
+    new ExpressionInfo(classOf[graft.functions.PhraseMatch].getName, "graft_phrase_match"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_phrase_match(text, phrases) takes exactly two arguments")
+      val pats = children(1) match {
+        case e if e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType] =>
+          val ad = e.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+          (0 until ad.numElements()).map(i => ad.getUTF8String(i).toString)
+        case other => throw new IllegalArgumentException(
+          s"graft_phrase_match: phrases must be a foldable string array, got ${other.sql}")
+      }
+      graft.functions.PhraseMatch(children.head, pats)
     })
 
   /** SQL surface for the bounded-heap top-k aggregate:
@@ -1885,6 +1930,10 @@ object GraftExtensions {
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, kid, kinfo, kbuilder)
     val (nid, ninfo, nbuilder) = nfcFunction
     org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, nid, ninfo, nbuilder)
+    val (jid, jinfo, jbuilder) = jlProjectFunction
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, jid, jinfo, jbuilder)
+    val (pid, pinfo, pbuilder) = phraseMatchFunction
+    org.apache.spark.sql.GraftSqlBridge.registerFunction(spark, pid, pinfo, pbuilder)
     Seq(asofTableFunction, minhashPairsTableFunction, decontaminateTableFunction,
         annSearchTableFunction, semanticDupsTableFunction,
         boilerplateTableFunction, semanticDecontaminateTableFunction,

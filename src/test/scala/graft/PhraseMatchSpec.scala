@@ -57,6 +57,28 @@ class PhraseMatchSpec extends SparkSpec {
     assert(ac.count(text) === ((3L, 2)))
   }
 
+  test("graft_phrase_match and graft_jl_project are SQL-callable after extension install") {
+    val spark = SparkSpec.spark
+    graft.plans.GraftExtensions.install(spark)
+    val pm = spark.sql(
+      "SELECT graft_phrase_match(' a a a ', array(' a a ', ' b '))")
+      .as[Seq[Long]].head()
+    assert(pm === Seq(2L, 1L))
+    val jl = spark.sql(
+      "SELECT graft_jl_project(array(1d, 2d, 3d, 4d), 4, 2)")
+      .as[Seq[Double]].head()
+    val ref = graft.ops.Similarity.jlProject _ // column face, same expression
+    val viaCol = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
+      .select(graft.ops.Similarity.jlProject(
+        org.apache.spark.sql.functions.col("embedding"), 4, 2))
+      .as[Seq[Double]].head()
+    assert(jl === viaCol)
+    // non-literal dims / patterns fail loudly at plan time
+    val e = intercept[Exception](
+      spark.sql("SELECT graft_phrase_match('x', array(lower(rand())))").collect())
+    assert(e.getMessage.contains("foldable") || e.getMessage.contains("phrases"))
+  }
+
   test("phraseBlocklistSignals: token-boundary exact over normalized text") {
     val docs = Seq(
       (1L, "Win a PRIZE now! win a prize"), // punctuation/case normalize away
