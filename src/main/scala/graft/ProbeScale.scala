@@ -1068,6 +1068,65 @@ object ProbeScale {
         graft.ops.Similarity.jlTopK(
           emb1.filter(col("vec_id") % 100000 === 0), emb1, 10, 64, 16).count())
     }
+    if (section == "r15c") {
+      // third-wave ops at 10x. PhraseMatch: one pass per doc at ANY
+      // dictionary size — 5k phrases must cost ~the same as 5.
+      // TrustRank: the domainRank plan + a broadcast flag join —
+      // node/iteration-bound. DDSketch: scan-bound, bucket table
+      // bounded by the value RANGE. Bucketed join: the write amortizes
+      // the shuffle; the join itself must beat the plain-parquet join
+      // that re-shuffles both sides.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      val few = Seq("a a", "table table", "value fast merge")
+      val many = few ++ (1 to 5000).map(i => s"w$i x$i never matches")
+      for (rep <- 1 to 2) {
+        time(s"phrase_few_sf1_$rep")(
+          graft.ops.TextAnalysis.phraseBlocklistSignals(docs, few).count())
+        time(s"phrase_5k_sf1_$rep")(
+          graft.ops.TextAnalysis.phraseBlocklistSignals(docs, many).count())
+      }
+      def pages(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 500,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        concat(
+          lit("<a href=\"https://h"), (col("doc_id") + 1) % 500,
+          lit(".example.org/hub\">n</a>")).as("text"))
+      val seeds = spark.createDataFrame(Seq(Tuple1("h1.example.org"))).toDF("node")
+      time("trust_rank_sf01")(
+        graft.ops.Crawl.trustRank(
+          graft.ops.Crawl.linkHostEdges(pages(docs01)), seeds, iters = 3).count())
+      time("trust_rank_sf1")(
+        graft.ops.Crawl.trustRank(
+          graft.ops.Crawl.linkHostEdges(pages(docs)), seeds, iters = 3).count())
+      val vals01 = docs01.select((col("doc_id") % 977).cast("double").as("v"))
+      val vals1 = docs.select((col("doc_id") % 977).cast("double").as("v"))
+      for (rep <- 1 to 2) {
+        time(s"dd_sketch_sf01_$rep")(
+          graft.ops.DdSketch.sketch(vals01, col("v"), Seq.empty).count())
+        time(s"dd_sketch_sf1_$rep")(
+          graft.ops.DdSketch.sketch(vals1, col("v"), Seq.empty).count())
+      }
+      // bucketed join at 10x: facts keyed by doc_id band
+      val fa = docs.select((col("doc_id") % 10007).as("key"), col("doc_id").as("ida"))
+      val fb = docs.select((col("doc_id") % 10007).as("key"), (col("doc_id") + 7L).as("idb"))
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time("bucketed_write_once")({
+        graft.sources.BucketedStore.write(fa, "pr_ba", "/tmp/probe_bucketed/a", "key", 32)
+        graft.sources.BucketedStore.write(fb, "pr_bb", "/tmp/probe_bucketed/b", "key", 32)
+        1L
+      })
+      val ba = graft.sources.BucketedStore.table(spark, "pr_ba")
+      val bb = graft.sources.BucketedStore.table(spark, "pr_bb")
+        .withColumnRenamed("key", "key2")
+      for (rep <- 1 to 3) {
+        time(s"join_bucketed_$rep")(
+          ba.join(bb, ba("key") === bb("key2")).count())
+        time(s"join_plain_$rep")(
+          fa.join(fb.withColumnRenamed("key", "key2"),
+            fa("key") === col("key2")).count())
+      }
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     if (section == "r14") {
       // frontier at 10x under MEGA-HUB skew: one host owns ~50% of all
       // candidate links (each doc contributes one distinct hub URL and
