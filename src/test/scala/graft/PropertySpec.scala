@@ -207,4 +207,92 @@ class PropertySpec extends SparkSpec {
         }
     }
   }
+
+  test("HLL: merge of any random partition equals the sketch of the union") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val vals = (1 to 500 + rnd.nextInt(500)).map(_ => rnd.nextInt(400).toLong)
+      val parts = vals.map(v => (rnd.nextInt(5), v)).toDF("p", "v")
+      val merged = graft.ops.Hll.merge(
+        graft.ops.Hll.sketch(parts, col("v"), Seq(col("p"))), Seq.empty)
+        .as[(Long, Int)].collect().toMap
+      val direct = graft.ops.Hll.sketch(parts, col("v"), Seq.empty)
+        .as[(Long, Int)].collect().toMap
+      assert(merged === direct, s"seed=$seed")
+    }
+  }
+
+  test("DDSketch: merge identity AND the relative-error bound on random data") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val vals = (1 to 800).map(_ => math.exp(rnd.nextGaussian()) * 10.0)
+      val parts = vals.map(v => (rnd.nextInt(4), v)).toDF("p", "v")
+      val merged = graft.ops.DdSketch.merge(
+        graft.ops.DdSketch.sketch(parts, col("v"), Seq(col("p"))), Seq.empty)
+        .as[(Int, Long, Long)].collect().toSet
+      val direct = graft.ops.DdSketch.sketch(parts, col("v"), Seq.empty)
+        .as[(Int, Long, Long)].collect().toSet
+      assert(merged === direct, s"seed=$seed")
+      val est = graft.ops.DdSketch.quantiles(
+        graft.ops.DdSketch.sketch(parts, col("v"), Seq(lit(1).as("g"))),
+        Seq("g"), Seq(0.5, 0.99))
+        .as[(Int, Double, Double)].collect().map(r => r._2 -> r._3).toMap
+      val sorted = vals.sorted
+      Seq(0.5, 0.99).foreach { q =>
+        val exact = sorted(math.floor(q * (vals.length - 1)).toInt)
+        assert(math.abs(est(q) - exact) / exact <= 0.0101,
+          s"seed=$seed q=$q est=${est(q)} exact=$exact")
+      }
+    }
+  }
+
+  test("WordPiece encoder is total: every word is [UNK] or reconstructs exactly") {
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val words = (1 to 60).map(_ =>
+        (1 to 1 + rnd.nextInt(8)).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString)
+      val docs = words.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("doc_id", "text")
+      val ms = graft.ops.WordPiece.trainMerges(docs, 6, minFrequency = 2L)
+      val vocab = graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(docs, ms))
+      val enc = new graft.functions.WordPieceEncoder(vocab, graft.ops.WordPiece.Unk)
+      words.foreach { w =>
+        val ps = enc.encode(w)
+        if (ps.toSeq != Seq(graft.ops.WordPiece.Unk)) {
+          val rebuilt = ps.head + ps.tail.map(_.stripPrefix("##")).mkString
+          assert(rebuilt == w, s"seed=$seed word=$w pieces=${ps.toSeq}")
+          assert(ps.tail.forall(_.startsWith("##")), s"continuation marks: ${ps.toSeq}")
+        }
+      }
+    }
+  }
+
+  test("JL projection scales exactly under powers of two (every FP op scales exactly)") {
+    val p = new graft.functions.JlProjector(8, 4)
+    for (seed <- 1 to 4) {
+      val rnd = new scala.util.Random(seed)
+      val x = Array.fill[Any](8)(rnd.nextGaussian())
+      val x2 = x.map(v => (v.asInstanceOf[Double] * 2.0): Any)
+      val ad = new org.apache.spark.sql.catalyst.util.GenericArrayData(x)
+      val ad2 = new org.apache.spark.sql.catalyst.util.GenericArrayData(x2)
+      val (y, y2) = (p.project(ad), p.project(ad2))
+      (0 until 4).foreach(j =>
+        assert(y2.getDouble(j) === 2.0 * y.getDouble(j), s"seed=$seed j=$j"))
+    }
+  }
+
+  test("PhraseMatch equals the naive scan on random texts and dictionaries") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val alpha = "ab "
+      def rs(n: Int) = (1 to n).map(_ => alpha(rnd.nextInt(alpha.length))).mkString
+      val pats = (1 to 6).map(_ => rs(1 + rnd.nextInt(4))).filter(_.nonEmpty)
+      val text = rs(200)
+      val ac = new graft.functions.AhoCorasick(pats)
+      val ds = pats.filter(_.nonEmpty).distinct
+      val per = ds.map(p =>
+        (0 to text.length - p.length).count(i => text.regionMatches(i, p, 0, p.length)))
+      assert(ac.count(text) === ((per.map(_.toLong).sum, per.count(_ > 0))),
+        s"seed=$seed pats=$pats")
+    }
+  }
 }
