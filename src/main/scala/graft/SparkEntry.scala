@@ -853,6 +853,63 @@ object SparkEntry {
        |${rankIterCte(2, "r1")},
        |${rankIterCte(3, "r2")}""".stripMargin
 
+  /** Directive-rich probe pages for the in-page REP family: attribute
+    * orders and quote styles vary, flags combine most-restrictive,
+    * canonical links come relative and cross-host, and the
+    * directive-free volume path rides the synthetic pages. */
+  private val DirRows: Seq[(Long, String, String)] = Seq(
+    (9400000L, "https://d1.example.org/a",
+      "<title>Alpha Page</title><meta name=\"robots\" content=\"noindex, follow\"><p>body</p>"),
+    // attribute order flipped, single quotes, plus a description
+    (9400001L, "https://d1.example.org/b",
+      "<meta content=\"nofollow\" name='robots'><meta name=\"description\" content=\"b page about things\">"),
+    // root-relative canonical -> duplicate of /a
+    (9400002L, "https://d1.example.org/c",
+      "<link rel=\"canonical\" href=\"/a\">near copy of a"),
+    // absolute cross-host canonical -> also a duplicate of /a
+    (9400003L, "https://d2.example.org/x?utm_source=z",
+      "<link rel='canonical' href='https://d1.example.org/a'>syndicated copy"),
+    // uppercase combined directives; spaced title; kept query param
+    (9400004L, "https://d1.example.org/a?ref2=1",
+      "<title> Spaced Title </title><meta name=\"robots\" content=\"NOINDEX,NOFOLLOW\">"),
+    (9400005L, null, "<title>no url</title>"),
+    (9400006L, "https://d3.example.org/plain", "plain page, no directives at all"))
+
+  private def dirPages(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir)
+      .select(col("doc_id"), expr(CrawlPageUrlSql).as("url"), expr(CrawlPageTextSql).as("text"))
+      .unionByName(DirRows.toDF("doc_id", "url", "text"))
+  }
+
+  /** Twin of [[graft.ops.Crawl.pageDirectives]] over the directive
+    * fixture: tag-first extraction (attribute order varies), content
+    * attr second, most-restrictive flag fold, canonical href through
+    * the full link-resolution chain. Final CTE `dz` carries
+    * `(doc_id, page_canon, title, meta_description, noindex,
+    * nofollow, canon_url = resolved canonical)`. */
+  private val DIR_CTES: String = {
+    import graft.ops.Crawl._
+    def tokSql(tok: String) =
+      s"""len(list_filter(regexp_extract_all(coalesce(text, ''), ${sqlStr(MetaRobotsTagPat)}, 0),
+         |      t -> regexp_matches(regexp_extract(t, ${sqlStr(ContentAttrPat)}, 1), ${sqlStr(directiveTokenPat(tok))}))) > 0""".stripMargin
+    s"""dp0 AS (SELECT doc_id, $CrawlPageUrlSql AS url, $CrawlPageTextSql AS text FROM documents
+       |    UNION ALL SELECT * FROM (VALUES ${DirRows.map { case (id, u, t) => s"($id, ${sqlStr(u)}, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, url, text)),
+       |${urlCanonCtes("dpc", "dp0", "url", "doc_id, text")},
+       |dt AS (SELECT doc_id, canon_url AS page_canon,
+       |    nullif(trim(regexp_extract(coalesce(text, ''), ${sqlStr(TitleTagPat)}, 1)), '') AS title,
+       |    nullif(regexp_extract(regexp_extract(coalesce(text, ''), ${sqlStr(MetaDescTagPat)}, 0), ${sqlStr(ContentAttrPat)}, 1), '') AS meta_description,
+       |    ${tokSql("noindex")} AS noindex,
+       |    ${tokSql("nofollow")} AS nofollow,
+       |    nullif(regexp_extract(regexp_extract(coalesce(text, ''), ${sqlStr(CanonicalTagPat)}, 0), ${sqlStr(HrefAttrPat)}, 1), '') AS chref0
+       |  FROM dpc),
+       |du0 AS (SELECT doc_id, page_canon, title, meta_description, noindex, nofollow,
+       |    ${decodedHrefSql("chref0")} AS chref FROM dt),
+       |du AS (SELECT doc_id, page_canon, title, meta_description, noindex, nofollow,
+       |    ${resolvedToSql("chref", "page_canon")} AS resolved FROM du0),
+       |${urlCanonCtes("dz", "du", "resolved", "doc_id, page_canon, title, meta_description, noindex, nofollow")}""".stripMargin
+  }
+
   /** Trusted seed hosts for q_trust_rank: one in the main h* ring,
     * one in the two-host island (trust must localize), one absent
     * from the graph (must be ignored). */
@@ -2341,6 +2398,16 @@ object SparkEntry {
     // href extraction + resolution + host-level edge aggregation
     "q_link_edges" -> ((s, dir) => graft.ops.Crawl.linkHostEdges(linkPages(s, dir))),
     // fixed-iteration PageRank over the host graph (BIGINT-unit exact)
+    // in-page REP directives: meta robots (noindex/nofollow,
+    // most-restrictive across tags), rel=canonical through the full
+    // link-resolution chain, title/description metadata
+    "q_page_directives" -> ((s, dir) =>
+      graft.ops.Crawl.pageDirectives(dirPages(s, dir))),
+    // rel=canonical as a dedup signal: pages DECLARING canonical X
+    // collapse into X's identity group (the redirect-map construction
+    // with the map mined from the pages themselves)
+    "q_canonical_dedup" -> ((s, dir) =>
+      graft.ops.Crawl.urlDuplicatesWithCanonical(dirPages(s, dir))),
     // biased PageRank: teleport/dangling mass to vetted seeds only —
     // spam constellations no seed reaches score ~0 (trust localizes:
     // the island seed's mass stays in the island)
@@ -3986,6 +4053,26 @@ object SparkEntry {
          |FROM lc
          |WHERE page_host IS NOT NULL AND host IS NOT NULL AND page_host <> host
          |GROUP BY page_host, host""".stripMargin,
+    "q_page_directives" ->
+      s"""WITH $DIR_CTES
+         |SELECT doc_id, md5(page_canon) AS url_key, title, meta_description,
+         |  noindex, nofollow, canon_url AS canonical_url
+         |FROM dz""".stripMargin,
+    "q_canonical_dedup" ->
+      // the urlDuplicatesWithRedirects construction with a self-mined
+      // map: min declared target per source key, then min-doc_id
+      // winners per collapsed identity group
+      s"""WITH $DIR_CTES,
+         |cmap AS (SELECT md5(page_canon) AS url_key, min(md5(canon_url)) AS target_key
+         |         FROM dz WHERE canon_url IS NOT NULL AND page_canon IS NOT NULL
+         |         GROUP BY 1),
+         |keys AS (SELECT d.doc_id, coalesce(c.target_key, md5(d.page_canon)) AS url_key
+         |         FROM dz d LEFT JOIN cmap c ON c.url_key = md5(d.page_canon)),
+         |win AS (SELECT url_key, min(doc_id) AS winner FROM keys
+         |        WHERE url_key IS NOT NULL GROUP BY 1)
+         |SELECT k.doc_id, k.url_key,
+         |  (k.url_key IS NULL OR k.doc_id = w.winner) AS keep
+         |FROM keys k LEFT JOIN win w ON w.url_key = k.url_key""".stripMargin,
     "q_trust_rank" ->
       // twin of Crawl.trustRank(iters = 3): three unrolled seeded
       // iterations in BIGINT units; the absent seed drops at sd

@@ -528,6 +528,109 @@ object Crawl {
     urlParts(resolvedTo(decodedHref(href), canonicalizeUrl(baseUrl)))
       .getField("canon_url")
 
+  // ---- In-page directives (REP meta robots, rel=canonical) --------------
+
+  /** `<meta name="robots" …>` TAG matcher (group 0 = the whole tag —
+    * attribute ORDER varies in the wild, so the tag is matched first
+    * and its `content` attribute extracted second; both quote styles;
+    * the Java ∩ RE2 subset like every pattern here). */
+  val MetaRobotsTagPat =
+    "(?is)<meta\\b[^>]*\\bname[ \\t]*=[ \\t]*[\"']robots[\"'][^>]*>"
+  val MetaDescTagPat =
+    "(?is)<meta\\b[^>]*\\bname[ \\t]*=[ \\t]*[\"']description[\"'][^>]*>"
+  val CanonicalTagPat =
+    "(?is)<link\\b[^>]*\\brel[ \\t]*=[ \\t]*[\"']canonical[\"'][^>]*>"
+  val ContentAttrPat = "(?is)\\bcontent[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
+  val HrefAttrPat = "(?is)\\bhref[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
+  val TitleTagPat = "(?is)<title[^>]*>(.*?)</title>"
+
+  /** A robots directive token inside a content value: delimited by
+    * start/end or space/comma (`"NOINDEX,nofollow"` carries both). */
+  def directiveTokenPat(tok: String): String =
+    s"(?i)(^|[ \\t,])$tok([ \\t,]|$$)"
+
+  /** In-page crawl directives + description metadata — the REP
+    * surface robots.txt cannot carry (google.com/search/docs and the
+    * proposed RFC 9309 extensions document all three):
+    *
+    *  - `<meta name="robots" content="noindex|nofollow, …">` —
+    *    `noindex` excludes a FETCHED page from the index build (the
+    *    robots.txt gate governs fetching; this governs indexing);
+    *    `nofollow` tells the frontier to ignore the page's outlinks.
+    *    Multiple robots tags combine MOST-RESTRICTIVE (Google's
+    *    documented conflict rule): any tag carrying the token sets
+    *    the flag.
+    *  - `<link rel="canonical" href=…>` — the page's declared
+    *    identity, resolved and canonicalized exactly like an
+    *    extracted link ([[resolveHref]]); the STANDARD dedup signal
+    *    beyond URL string rules ([[urlDuplicatesWithCanonical]]
+    *    consumes it).
+    *  - `<title>` / `<meta name="description">` — the serving
+    *    metadata an index row wants alongside its postings.
+    *
+    * Output `(doc_id, url_key, title, meta_description, noindex,
+    * nofollow, canonical_url)` — `url_key` the page's canonical md5
+    * (NULL when the URL does not canonicalize), text fields NULL when
+    * absent, flags false on directive-free pages. Row-parallel, one
+    * scan, no shuffle; first tag wins for title/description/canonical
+    * (the multi-tag conflict is only defined for the boolean flags).
+    *
+    * Documented skip: per-LINK `rel="nofollow"` (the a-tag attribute)
+    * is not extracted — [[extractLinks]]' href grammar would need
+    * whole-tag matching; the page-level flag covers the gate this
+    * engine acts on. */
+  def pageDirectives(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    val robotsTags = regexp_extract_all(text, lit(MetaRobotsTagPat), lit(0))
+    def hasTok(tok: String): Column =
+      exists(robotsTags, t =>
+        regexp_extract(t, ContentAttrPat, 1).rlike(directiveTokenPat(tok)))
+    graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"),
+        md5(canonicalizeUrl(col(urlCol))).as("url_key"),
+        nullif(trim(regexp_extract(text, TitleTagPat, 1)), lit("")).as("title"),
+        nullif(regexp_extract(
+          regexp_extract(text, MetaDescTagPat, 0), ContentAttrPat, 1), lit(""))
+          .as("meta_description"),
+        hasTok("noindex").as("noindex"),
+        hasTok("nofollow").as("nofollow"),
+        resolveHref(
+          nullif(regexp_extract(
+            regexp_extract(text, CanonicalTagPat, 0), HrefAttrPat, 1), lit("")),
+          col(urlCol)).as("canonical_url"))
+  }
+
+  /** [[urlDuplicates]] under rel=CANONICAL equivalence — the
+    * [[urlDuplicatesWithRedirects]] construction with the map mined
+    * from the pages themselves: a page DECLARING canonical X is a
+    * duplicate of a page at X. One declared target per source key
+    * (min — the redirect-map determinism rule); chains are the site's
+    * to pre-collapse, exactly the redirect contract. The map is
+    * page-table-sized in the worst case but declared-canonical rows
+    * only in practice — broadcast. */
+  def urlDuplicatesWithCanonical(
+      pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val m = pageDirectives(pages, urlCol)
+      .where(col("canonical_url").isNotNull && col("url_key").isNotNull)
+      .select(col("url_key"), md5(col("canonical_url")).as("target_key"))
+      .groupBy(col("url_key")).agg(min(col("target_key")).as("target_key"))
+    dupFromKeys(graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+      .join(broadcast(m), Seq("url_key"), "left")
+      .select(col("doc_id"),
+        coalesce(col("target_key"), col("url_key")).as("url_key")))
+  }
+
+  /** The INDEX gate: pages minus `noindex` losers — run between the
+    * fetch pipeline and [[graft.index.InvertedIndex.build]] (a robots
+    * META directive governs indexing, never fetching). The loser set
+    * is an id table; the anti-join broadcasts under AQE. */
+  def indexablePages(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val losers = pageDirectives(pages, urlCol)
+      .where(col("noindex")).select(col("doc_id"))
+    pages.join(losers, Seq("doc_id"), "left_anti")
+  }
+
   // ---- Anchor text (row-local) -----------------------------------------
 
   /** href + inner text of each anchor ELEMENT, double- and single-

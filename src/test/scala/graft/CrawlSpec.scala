@@ -176,6 +176,48 @@ class CrawlSpec extends SparkSpec {
     assert(math.abs(r2.values.sum - 1.0) < 1e-9)
   }
 
+  test("pageDirectives: attr orders, quote styles, most-restrictive flags, canonical resolution") {
+    val pages = Seq(
+      (1L, "https://e.org/a",
+        "<title>T</title><META NAME='robots' CONTENT='NOINDEX , archive'>"),
+      (2L, "https://e.org/b",
+        "<meta content=\"nofollow\" name=\"robots\"><meta name=\"robots\" content=\"noindex\">"),
+      (3L, "https://e.org/c", "<link rel=\"canonical\" href=\"/a?utm_source=x\">"),
+      (4L, "https://e.org/d", "<meta name=\"robots\" content=\"noindexing\">"), // NOT a token match
+      (5L, "https://e.org/e", "<meta name=\"description\" content=\"desc here\">nothing else"),
+      (6L, null, "<title>x</title>")
+    ).toDF("doc_id", "url", "text")
+    val got = Crawl.pageDirectives(pages).collect()
+      .map(r => r.getLong(0) -> ((Option(r.getString(2)), Option(r.getString(3)),
+        r.getBoolean(4), r.getBoolean(5), Option(r.getString(6))))).toMap
+    assert(got(1L) === ((Some("T"), None, true, false, None)))
+    // two tags combine most-restrictive: both flags set
+    assert(got(2L) === ((None, None, true, true, None)))
+    // canonical resolves root-relative and canonicalizes (utm dropped)
+    assert(got(3L)._5 === Some("https://e.org/a"))
+    // 'noindexing' is not the 'noindex' token
+    assert(got(4L) === ((None, None, false, false, None)))
+    assert(got(5L)._2 === Some("desc here"))
+    assert(got(6L)._1 === Some("x")) // null URL: url_key NULL, text still parsed
+    assert(Crawl.pageDirectives(pages).filter(col("doc_id") === 6L)
+      .select("url_key").collect().head.isNullAt(0))
+  }
+
+  test("urlDuplicatesWithCanonical collapses declared groups; indexablePages drops noindex") {
+    val pages = Seq(
+      (1L, "https://e.org/a", "the target"),
+      (2L, "https://e.org/b", "<link rel=\"canonical\" href=\"https://e.org/a\">copy"),
+      (3L, "https://e.org/c", "<link rel='canonical' href='/a'>another copy"),
+      (4L, "https://e.org/d", "<meta name=\"robots\" content=\"noindex\">secret"),
+      (5L, "https://e.org/e", "independent")
+    ).toDF("doc_id", "url", "text")
+    val keep = Crawl.urlDuplicatesWithCanonical(pages).collect()
+      .map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(keep === Map(1L -> true, 2L -> false, 3L -> false, 4L -> true, 5L -> true))
+    val idx = Crawl.indexablePages(pages).select("doc_id").as[Long].collect().toSet
+    assert(idx === Set(1L, 2L, 3L, 5L))
+  }
+
   test("trustRank: hand-computed seeded iterations; unreachable components stay at zero") {
     // A->B->C (C dangles), D->E disconnected; seed {A}, d = 0.85.
     // iter1: A = 0.15U, B = 0.85U; iter2: A = 0.15U, B = .85*.15U,

@@ -67,7 +67,6 @@ class PhraseMatchSpec extends SparkSpec {
     val jl = spark.sql(
       "SELECT graft_jl_project(array(1d, 2d, 3d, 4d), 4, 2)")
       .as[Seq[Double]].head()
-    val ref = graft.ops.Similarity.jlProject _ // column face, same expression
     val viaCol = Seq((1L, Seq(1f, 2f, 3f, 4f))).toDF("vec_id", "embedding")
       .select(graft.ops.Similarity.jlProject(
         org.apache.spark.sql.functions.col("embedding"), 4, 2))
