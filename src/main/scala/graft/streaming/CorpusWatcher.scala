@@ -443,7 +443,8 @@ object CorpusWatcher {
       frontierPerHostCap: Int = 100,
       frontierDefaultDelay: Double = 1.0,
       distinctDir: Option[String] = None,
-      lengthDir: Option[String] = None): StreamingQuery = {
+      lengthDir: Option[String] = None,
+      honorDirectives: Boolean = false): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -664,12 +665,28 @@ object CorpusWatcher {
         // more (re-check against the history at fetch time for
         // exactly-once fetching). Compaction folds frontier partitions
         // like every other history.
+        // in-page REP directives (`honorDirectives`): noindex excludes
+        // a fetched page from the INDEX build (its outlinks still
+        // queue — noindex governs indexing, not discovery); nofollow
+        // keeps the page but drops its outlinks from the frontier.
+        // Flags extracted ONCE from the raw markup (pre-htmlExtract —
+        // the extractor strips the tags the directives live in);
+        // row-local, staged because both consumers semi-join it.
+        val directiveFlags =
+          if (!honorDirectives) None
+          else Some(staged(graft.ops.Crawl.pageDirectives(parsed1)
+            .select(col("doc_id"), col("noindex"), col("nofollow"))))
         var frontierF: Option[DataFrame] = None
         val parsed = frontierDir match {
           case None => parsed1
           case Some(fd) =>
             ensureCanonVersion(session, fd)
-            val links = graft.ops.Crawl.extractLinks(parsed1)
+            val linkSrc = directiveFlags match {
+              case None => parsed1
+              case Some(f) => parsed1.join(
+                f.where(col("nofollow")).select("doc_id"), Seq("doc_id"), "left_anti")
+            }
+            val links = graft.ops.Crawl.extractLinks(linkSrc)
             val cands0 = links.where(col("link_url").isNotNull)
               .select(md5(col("link_url")).as("url_key"),
                 col("link_url"), col("link_host"))
@@ -747,9 +764,17 @@ object CorpusWatcher {
         // line rules (row-local, drops boilerplate lines + sub-floor
         // pages) — so the quality/dedup ladder sees what it was
         // designed for. Both rewrite faces pass `source` through.
+        // the INDEX gate half of the directives: noindex losers leave
+        // the content ladder here — AFTER the frontier stage above, so
+        // their outlinks were already queued
+        val indexable = directiveFlags match {
+          case None => parsed
+          case Some(f) => staged(parsed.join(
+            f.where(col("noindex")).select("doc_id"), Seq("doc_id"), "left_anti"))
+        }
         val pages =
-          if (!htmlExtract) parsed
-          else staged(graft.ops.Html.htmlToText(parsed))
+          if (!htmlExtract) indexable
+          else staged(graft.ops.Html.htmlToText(indexable))
         val prose =
           if (!c4Rules) pages
           // the line rules follow the session's tokenizer dial: under
@@ -996,7 +1021,9 @@ object CorpusWatcher {
           val nUrl = if (urlGateOn) parsed.count() else nParsed
           // html extraction rewrites text but never drops rows — the
           // stage row reuses the url-gate count (no extra action)
-          val nHtml = nUrl
+          // UNLESS the directive gate sat between them (noindex drops
+          // rows entering the html stage; count what the stage saw)
+          val nHtml = if (honorDirectives) indexable.count() else nUrl
           val nC4 = if (c4Rules) prose.count() else nHtml
           val nGated = if (qualityGate.isDefined) clean.count() else nC4
           val nClf = if (classifierGate.isDefined) scored.count() else nGated

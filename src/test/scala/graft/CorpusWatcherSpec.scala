@@ -892,6 +892,34 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(replayed === got, "a same-batch-id replay must not change any bucket count")
   }
 
+  test("honorDirectives: noindex drops from the index but queues outlinks; nofollow indexes but queues nothing") {
+    val (watch, index, quar) = (tmp("watchdr"), tmp("indexdr"), tmp("quardr") + "/bad")
+    val hist = tmp("histdr") + "/urls"
+    val fd = tmp("histdr2") + "/frontier"
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptdr"), quar,
+      urlHistoryDir = Some(hist), frontierDir = Some(fd),
+      honorDirectives = true).awaitTermination()
+    Files.write(Paths.get(watch, "dr-0.json"),
+      (s"""{"doc_id": 1, "text": "plainbody words <a href=\\"https://t1.example.org/x\\">l</a>", "url": "https://s.example.org/plain"}""" + "\n" +
+        s"""{"doc_id": 2, "text": "noindexbody words <meta name=\\"robots\\" content=\\"noindex\\"> <a href=\\"https://t2.example.org/y\\">l</a>", "url": "https://s.example.org/ni"}""" + "\n" +
+        s"""{"doc_id": 3, "text": "nofollowbody words <meta name=\\"robots\\" content=\\"nofollow\\"> <a href=\\"https://t3.example.org/z\\">l</a>", "url": "https://s.example.org/nf"}""" + "\n")
+        .getBytes("UTF-8"))
+    CorpusWatcher.startJsonl(spark, watch, index, tmp("ckptdr"), quar,
+      urlHistoryDir = Some(hist), frontierDir = Some(fd),
+      honorDirectives = true).awaitTermination()
+    val entries = indexEntries(index)
+    assert(entries.exists(e => e._1 == "plainbody" && e._2 == "1"))
+    assert(!entries.exists(e => e._2 == "2"), "a noindex page must not be indexed")
+    assert(entries.exists(e => e._1 == "nofollowbody" && e._2 == "3"),
+      "nofollow governs outlinks, never indexing")
+    val queued = spark.read.parquet(fd).select("link_url").as[String].collect().toSet
+    assert(queued.contains("https://t1.example.org/x"))
+    assert(queued.contains("https://t2.example.org/y"),
+      "a noindex page's outlinks still feed discovery")
+    assert(!queued.exists(_.contains("t3.example.org")),
+      "a nofollow page's outlinks must never queue")
+  }
+
   test("frontierDir queues unseen outlinks append-only; seen and already-queued targets never re-queue; replay-idempotent") {
     val (watch, index, quar) = (tmp("watchfr"), tmp("indexfr"), tmp("quarfr") + "/bad")
     val hist = tmp("histfr") + "/urls"
