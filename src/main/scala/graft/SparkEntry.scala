@@ -2350,6 +2350,20 @@ object SparkEntry {
         TextAnalysis.lm3Model(d.filter(col("domain") =!= "web")))
     },
     "q_lang_id" -> ((s, dir) => TextAnalysis.languageId(docs(s, dir))),
+    // the gate-tuning face none of the classifiers had: per-class
+    // precision/recall/F1 of the language-ID against the corpus's
+    // ground-truth lang labels. (The synthetic corpus draws every
+    // doc's text from the same English-ish vocabulary, so the honest
+    // report is all-en — which exercises exactly the paths a tuning
+    // report must get right: never-predicted classes with NULL
+    // precision, zero recall, NULL f1.)
+    "q_langid_eval" -> { (s, dir) =>
+      val d = docs(s, dir)
+      graft.ops.Curation.classificationReport(
+        TextAnalysis.languageId(d).select(col("doc_id"), col("pred_lang"))
+          .join(d.select(col("doc_id"), col("lang")), Seq("doc_id")),
+        "lang", "pred_lang")
+    },
     "q_fingerprints" -> ((s, dir) => TextAnalysis.fingerprints(docs(s, dir))),
     "q_repetition" -> ((s, dir) => TextAnalysis.repetitionSignals(docs(s, dir))),
     "q_lm_score" -> ((s, dir) => TextAnalysis.lmBigramScore(docs(s, dir))),
@@ -3577,6 +3591,44 @@ object SparkEntry {
          |  FROM (SELECT doc_id, ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
          |          ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
          |        FROM (SELECT doc_id, $TOKS AS ts FROM documents)))""".stripMargin
+    },
+    "q_langid_eval" -> {
+      def sc(l: String, words: String) =
+        s"CAST(len(list_filter(ts, t -> list_contains($words, t))) AS INTEGER) AS score_$l"
+      // twin of Curation.classificationReport over the q_lang_id
+      // prediction: exact confusion counts, 6dp P/R, f1 from the
+      // ROUNDED P/R (the engine's documented determinism rule)
+      s"""WITH pred AS MATERIALIZED (
+         |  SELECT doc_id,
+         |    CASE WHEN score_en = best THEN 'en' WHEN score_de = best THEN 'de'
+         |         WHEN score_es = best THEN 'es' WHEN score_fr = best THEN 'fr'
+         |         ELSE 'zh' END AS pred_lang
+         |  FROM (SELECT doc_id, score_en, score_de, score_es, score_fr, score_zh,
+         |          greatest(score_en, score_de, score_es, score_fr, score_zh) AS best
+         |    FROM (SELECT doc_id, ${sc("en", Stop.en)}, ${sc("de", Stop.de)}, ${sc("es", Stop.es)},
+         |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}
+         |          FROM (SELECT doc_id, $TOKS AS ts FROM documents)))),
+         |pr AS (SELECT d.lang AS actual, p.pred_lang AS predicted
+         |       FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+         |       WHERE d.lang IS NOT NULL AND p.pred_lang IS NOT NULL),
+         |act AS (SELECT actual AS label, CAST(count(*) AS BIGINT) AS n_actual FROM pr GROUP BY 1),
+         |prd AS (SELECT predicted AS label, CAST(count(*) AS BIGINT) AS n_predicted FROM pr GROUP BY 1),
+         |cor AS (SELECT actual AS label, CAST(count(*) AS BIGINT) AS n_correct
+         |        FROM pr WHERE actual = predicted GROUP BY 1),
+         |k AS (SELECT coalesce(a.label, p.label) AS label,
+         |        coalesce(a.n_actual, 0) AS n_actual,
+         |        coalesce(p.n_predicted, 0) AS n_predicted,
+         |        coalesce(c.n_correct, 0) AS n_correct
+         |      FROM act a FULL JOIN prd p ON a.label = p.label
+         |      LEFT JOIN cor c ON c.label = coalesce(a.label, p.label))
+         |SELECT label, n_actual, n_predicted, n_correct,
+         |  CASE WHEN n_predicted > 0 THEN round(CAST(n_correct AS DOUBLE) / n_predicted, 6) END AS "precision",
+         |  CASE WHEN n_actual > 0 THEN round(CAST(n_correct AS DOUBLE) / n_actual, 6) END AS recall,
+         |  CASE WHEN n_predicted > 0 AND n_actual > 0
+         |        AND (round(CAST(n_correct AS DOUBLE) / n_predicted, 6) + round(CAST(n_correct AS DOUBLE) / n_actual, 6)) > 0
+         |       THEN round(2.0 * round(CAST(n_correct AS DOUBLE) / n_predicted, 6) * round(CAST(n_correct AS DOUBLE) / n_actual, 6)
+         |            / (round(CAST(n_correct AS DOUBLE) / n_predicted, 6) + round(CAST(n_correct AS DOUBLE) / n_actual, 6)), 6) END AS f1
+         |FROM k""".stripMargin
     },
     "q_lang_route" -> {
       // twin of TextAnalysis.languageRoute: the q_script ranges + the

@@ -532,6 +532,49 @@ object Curation {
         (col("i") + 1).cast("int").as("rank"))
   }
 
+  /** Per-class evaluation of any classifier against ground truth —
+    * the report every gate in this module should be tuned BY and the
+    * face none of them had: from a `(…, actualCol, predictedCol)`
+    * pair table, per class `(label, n_actual, n_predicted, n_correct,
+    * precision, recall, f1)`. The standard confusion-derived metrics:
+    * precision = correct/predicted (NULL when the class was never
+    * predicted), recall = correct/actual (NULL when absent from the
+    * ground truth — a predicted-only label still gets a row, with
+    * n_actual = 0), f1 the harmonic mean computed FROM the 6dp-rounded
+    * precision/recall (determinism: both engines combine the same
+    * rounded doubles; NULL when either is NULL or both are 0).
+    *
+    * Rows with a NULL actual or predicted label are excluded (an
+    * unlabeled row can neither score nor be scored); counts are exact
+    * integers, so the report is engine-exact. Scale: three combinable
+    * label-keyed aggregates over the pair table + label-sized joins —
+    * never a row-level shuffle beyond the groupBys. */
+  def classificationReport(
+      pairs: DataFrame, actualCol: String, predictedCol: String): DataFrame = {
+    val p = pairs
+      .where(col(actualCol).isNotNull && col(predictedCol).isNotNull)
+    val act = p.groupBy(col(actualCol).as("label"))
+      .agg(count(lit(1)).as("n_actual"))
+    val prd = p.groupBy(col(predictedCol).as("label"))
+      .agg(count(lit(1)).as("n_predicted"))
+    val cor = p.where(col(actualCol) === col(predictedCol))
+      .groupBy(col(actualCol).as("label"))
+      .agg(count(lit(1)).as("n_correct"))
+    val prec = round(col("n_correct").cast("double") / col("n_predicted"), 6)
+    val rec = round(col("n_correct").cast("double") / col("n_actual"), 6)
+    act.join(prd, Seq("label"), "full").join(cor, Seq("label"), "left")
+      .select(col("label"),
+        coalesce(col("n_actual"), lit(0L)).as("n_actual"),
+        coalesce(col("n_predicted"), lit(0L)).as("n_predicted"),
+        coalesce(col("n_correct"), lit(0L)).as("n_correct"))
+      .select(col("label"), col("n_actual"), col("n_predicted"), col("n_correct"),
+        when(col("n_predicted") > 0, prec).as("precision"),
+        when(col("n_actual") > 0, rec).as("recall"),
+        when(col("n_predicted") > 0 && col("n_actual") > 0 &&
+            (prec + rec) > 0,
+          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+  }
+
   /** Per-stage survivor counts for the exact chain [[curate]] runs —
     * `(stage_idx, stage, n_docs, n_tokens)` with stages `ingest,
     * quality, language, near_dedup, decontaminate, mixture` — docs and

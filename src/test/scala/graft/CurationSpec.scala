@@ -489,4 +489,30 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().sorted
     assert(!gated.contains(7L) && ungated.contains(7L))
   }
+
+  test("classificationReport: hand confusion matrix incl. predicted-only and never-predicted classes") {
+    // actual:    a a a b b c  (+ one NULL-actual row, excluded)
+    // predicted: a b a b a d
+    val pairs = Seq(
+      (Some("a"), Some("a")), (Some("a"), Some("b")), (Some("a"), Some("a")),
+      (Some("b"), Some("b")), (Some("b"), Some("a")), (Some("c"), Some("d")),
+      (None, Some("a")), (Some("a"), None)
+    ).toDF("actual", "predicted")
+    val got = Curation.classificationReport(pairs, "actual", "predicted")
+      .collect().map(r => r.getString(0) -> r).toMap
+    // a: actual 3, predicted 3, correct 2
+    assert(got("a").getLong(1) == 3 && got("a").getLong(2) == 3 && got("a").getLong(3) == 2)
+    assert(got("a").getDouble(4) === 0.666667 && got("a").getDouble(5) === 0.666667)
+    assert(got("a").getDouble(6) === 0.666667) // f1 of equal rounded p/r
+    // b: actual 2, predicted 2, correct 1
+    assert(got("b").getDouble(4) === 0.5 && got("b").getDouble(5) === 0.5)
+    // c: never predicted -> NULL precision, 0 recall, NULL f1
+    assert(got("c").getLong(2) == 0 && got("c").isNullAt(4)
+      && got("c").getDouble(5) === 0.0 && got("c").isNullAt(6))
+    // d: predicted-only -> row exists, n_actual 0, NULL recall
+    assert(got("d").getLong(1) == 0 && got("d").getDouble(4) === 0.0
+      && got("d").isNullAt(5) && got("d").isNullAt(6))
+    // NULL-labeled rows excluded entirely
+    assert(got.values.map(_.getLong(1)).sum == 6)
+  }
 }
