@@ -585,19 +585,37 @@ object Crawl {
     def hasTok(tok: String): Column =
       exists(robotsTags, t =>
         regexp_extract(t, ContentAttrPat, 1).rlike(directiveTokenPat(tok)))
+    // the extractLinks staging discipline: every expensive expression
+    // (urlParts, the regex extracts, the entity-decode fold) evaluates
+    // ONCE per row behind a seal — unsealed, the canonical chain's
+    // urlParts would re-inline the decode fold and the inner urlParts
+    // into each of its internal input references (a measured 20-70 s
+    // blowup at sf0.1, 2.4 MB task binaries)
     graft.core.Parallelism.ensure(pages)
       .select(col("doc_id"),
-        md5(canonicalizeUrl(col(urlCol))).as("url_key"),
-        nullif(trim(regexp_extract(text, TitleTagPat, 1)), lit("")).as("title"),
-        nullif(regexp_extract(
-          regexp_extract(text, MetaDescTagPat, 0), ContentAttrPat, 1), lit(""))
-          .as("meta_description"),
-        hasTok("noindex").as("noindex"),
-        hasTok("nofollow").as("nofollow"),
-        resolveHref(
+        seal(struct(
+          urlParts(col(urlCol)).getField("canon_url").as("page_canon"),
+          nullif(trim(regexp_extract(text, TitleTagPat, 1)), lit("")).as("title"),
           nullif(regexp_extract(
-            regexp_extract(text, CanonicalTagPat, 0), HrefAttrPat, 1), lit("")),
-          col(urlCol)).as("canonical_url"))
+            regexp_extract(text, MetaDescTagPat, 0), ContentAttrPat, 1), lit(""))
+            .as("meta_description"),
+          hasTok("noindex").as("noindex"),
+          hasTok("nofollow").as("nofollow"),
+          nullif(regexp_extract(
+            regexp_extract(text, CanonicalTagPat, 0), HrefAttrPat, 1), lit(""))
+            .as("chref0"))).as("dx"))
+      .select(col("doc_id"), col("dx.page_canon").as("page_canon"),
+        col("dx.title").as("title"),
+        col("dx.meta_description").as("meta_description"),
+        col("dx.noindex").as("noindex"), col("dx.nofollow").as("nofollow"),
+        seal(decodedHref(col("dx.chref0"))).as("chref"))
+      .withColumn("resolved", resolvedTo(col("chref"), col("page_canon")))
+      .select(col("doc_id"), col("page_canon"), col("title"),
+        col("meta_description"), col("noindex"), col("nofollow"),
+        seal(urlParts(col("resolved")).getField("canon_url")).as("canonical_url"))
+      .select(col("doc_id"), md5(col("page_canon")).as("url_key"),
+        col("title"), col("meta_description"), col("noindex"), col("nofollow"),
+        col("canonical_url"))
   }
 
   /** [[urlDuplicates]] under rel=CANONICAL equivalence — the
@@ -610,12 +628,16 @@ object Crawl {
     * only in practice — broadcast. */
   def urlDuplicatesWithCanonical(
       pages: DataFrame, urlCol: String = "url"): DataFrame = {
-    val m = pageDirectives(pages, urlCol)
+    // ONE directive pass feeds both the map and the page keys (the
+    // two-pass form re-ran the whole extraction per side)
+    val d = graft.core.Materialize(
+      pageDirectives(pages, urlCol).select("doc_id", "url_key", "canonical_url"),
+      graft.core.Materialize.LocalCheckpoint)
+    val m = d
       .where(col("canonical_url").isNotNull && col("url_key").isNotNull)
       .select(col("url_key"), md5(col("canonical_url")).as("target_key"))
       .groupBy(col("url_key")).agg(min(col("target_key")).as("target_key"))
-    dupFromKeys(graft.core.Parallelism.ensure(pages)
-      .select(col("doc_id"), md5(canonicalizeUrl(col(urlCol))).as("url_key"))
+    dupFromKeys(d
       .join(broadcast(m), Seq("url_key"), "left")
       .select(col("doc_id"),
         coalesce(col("target_key"), col("url_key")).as("url_key")))
