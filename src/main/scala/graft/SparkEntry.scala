@@ -546,8 +546,13 @@ object SparkEntry {
     scala.collection.concurrent.TrieMap.empty[(SparkSession, String), (DataFrame, DataFrame)]
   private def stagedBucketed(s: SparkSession, dir: String): (DataFrame, DataFrame) =
     stagedBucketedCache.getOrElseUpdate((s, dir), {
+      // key names/paths by the FULL dir (md5 suffix): two data dirs
+      // sharing a basename must not collide in the catalog — the
+      // second write would retarget the first's cached table handles
       val sf = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
-        .replaceAll("[^A-Za-z0-9_]", "_")
+        .replaceAll("[^A-Za-z0-9_]", "_") + "_" +
+        java.security.MessageDigest.getInstance("MD5")
+          .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sf"
       graft.sources.BucketedStore.write(s.read.parquet(s"$dir/lineitem.parquet"),
         s"graft_li_$sf", s"$base/lineitem", "l_orderkey", 16, Seq("l_orderkey"))
@@ -5359,6 +5364,9 @@ object SparkEntry {
       // pair at 6dp, exact decimal sum divided last
       s"""WITH $JL_CTES,
          |pe AS (SELECT q.vec_id AS query_id,
+         |    -- zero-norm pairs are dropped on BOTH sides (Spark's
+         |    -- safeCos NULL, this filter) so the mean stays over
+         |    -- comparable pairs
          |    abs(round(list_reduce(list_transform(generate_series(1, 16), i -> qp.e[i] * cp.e[i]), (acc, x) -> acc + x)
          |          / (sqrt(list_reduce(list_transform(generate_series(1, 16), i -> qp.e[i] * qp.e[i]), (acc, x) -> acc + x))
          |           * sqrt(list_reduce(list_transform(generate_series(1, 16), i -> cp.e[i] * cp.e[i]), (acc, x) -> acc + x))), 6)
@@ -5368,7 +5376,11 @@ object SparkEntry {
          |  FROM (SELECT * FROM jv WHERE vec_id % 100 = 0) q
          |  JOIN jv c ON q.vec_id <> c.vec_id
          |  JOIN jpl qp ON qp.vec_id = q.vec_id
-         |  JOIN jpl cp ON cp.vec_id = c.vec_id)
+         |  JOIN jpl cp ON cp.vec_id = c.vec_id
+         |  WHERE sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+         |      * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x)) > 0
+         |    AND sqrt(list_reduce(list_transform(generate_series(1, 16), i -> qp.e[i] * qp.e[i]), (acc, x) -> acc + x))
+         |      * sqrt(list_reduce(list_transform(generate_series(1, 16), i -> cp.e[i] * cp.e[i]), (acc, x) -> acc + x)) > 0)
          |SELECT query_id, CAST(count(*) AS BIGINT) AS n_pairs,
          |  round(CAST(sum(CAST(err AS DECIMAL(18,6))) AS DOUBLE) / count(*), 6) AS mean_err,
          |  CAST(max(CAST(err AS DECIMAL(18,6))) AS DOUBLE) AS max_err

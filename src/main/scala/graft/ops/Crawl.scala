@@ -533,15 +533,24 @@ object Crawl {
   /** `<meta name="robots" …>` TAG matcher (group 0 = the whole tag —
     * attribute ORDER varies in the wild, so the tag is matched first
     * and its `content` attribute extracted second; both quote styles;
-    * the Java ∩ RE2 subset like every pattern here). */
+    * the Java ∩ RE2 subset like every pattern here). Every attribute
+    * name requires a whitespace-or-quote BOUNDARY before it (the
+    * [[HrefDqPat]] rule): `\\b` alone matches after a hyphen, so a
+    * `data-content`/`data-name` decoy preceding the real attribute
+    * would otherwise win the extraction and silently drop a noindex.
+    * Gaps around `=` accept newlines (attributes wrap in real
+    * markup). Unquoted attribute values are the documented skip,
+    * matching the unquoted-href stance. */
   val MetaRobotsTagPat =
-    "(?is)<meta\\b[^>]*\\bname[ \\t]*=[ \\t]*[\"']robots[\"'][^>]*>"
+    "(?is)<meta\\b[^>]*[ \\t\\n\\r\\f\\x0B\"']name[ \\t\\n\\r\\f\\x0B]*=[ \\t\\n\\r\\f\\x0B]*[\"']robots[\"'][^>]*>"
   val MetaDescTagPat =
-    "(?is)<meta\\b[^>]*\\bname[ \\t]*=[ \\t]*[\"']description[\"'][^>]*>"
+    "(?is)<meta\\b[^>]*[ \\t\\n\\r\\f\\x0B\"']name[ \\t\\n\\r\\f\\x0B]*=[ \\t\\n\\r\\f\\x0B]*[\"']description[\"'][^>]*>"
   val CanonicalTagPat =
-    "(?is)<link\\b[^>]*\\brel[ \\t]*=[ \\t]*[\"']canonical[\"'][^>]*>"
-  val ContentAttrPat = "(?is)\\bcontent[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
-  val HrefAttrPat = "(?is)\\bhref[ \\t]*=[ \\t]*[\"']([^\"']*)[\"']"
+    "(?is)<link\\b[^>]*[ \\t\\n\\r\\f\\x0B\"']rel[ \\t\\n\\r\\f\\x0B]*=[ \\t\\n\\r\\f\\x0B]*[\"']canonical[\"'][^>]*>"
+  val ContentAttrPat =
+    "(?is)[ \\t\\n\\r\\f\\x0B\"']content[ \\t\\n\\r\\f\\x0B]*=[ \\t\\n\\r\\f\\x0B]*[\"']([^\"']*)[\"']"
+  val HrefAttrPat =
+    "(?is)[ \\t\\n\\r\\f\\x0B\"']href[ \\t\\n\\r\\f\\x0B]*=[ \\t\\n\\r\\f\\x0B]*[\"']([^\"']*)[\"']"
   val TitleTagPat = "(?is)<title[^>]*>(.*?)</title>"
 
   /** A robots directive token inside a content value: delimited by
@@ -616,6 +625,26 @@ object Crawl {
       .select(col("doc_id"), md5(col("page_canon")).as("url_key"),
         col("title"), col("meta_description"), col("noindex"), col("nofollow"),
         col("canonical_url"))
+  }
+
+  /** JUST the robots flags — the streaming gate's hot-path face:
+    * [[pageDirectives]] also canonicalizes the URL and resolves the
+    * canonical link, work a noindex/nofollow gate never reads (and a
+    * sealed struct blocks field pruning, so the dead columns would be
+    * computed and checkpointed per batch). One regex family, sealed
+    * once, row-parallel. */
+  def pageDirectiveFlags(pages: DataFrame): DataFrame = {
+    val text = coalesce(col("text"), lit(""))
+    val robotsTags = regexp_extract_all(text, lit(MetaRobotsTagPat), lit(0))
+    def hasTok(tok: String): Column =
+      exists(robotsTags, t =>
+        regexp_extract(t, ContentAttrPat, 1).rlike(directiveTokenPat(tok)))
+    graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"),
+        seal(struct(hasTok("noindex").as("noindex"),
+          hasTok("nofollow").as("nofollow"))).as("df"))
+      .select(col("doc_id"), col("df.noindex").as("noindex"),
+        col("df.nofollow").as("nofollow"))
   }
 
   /** [[urlDuplicates]] under rel=CANONICAL equivalence — the

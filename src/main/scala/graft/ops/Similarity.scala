@@ -245,6 +245,11 @@ object Similarity {
         abs(safeCos(dot(col("qp"), col("cp")), col("qpn") * col("cpn"))
           - safeCos(dot(col("qf"), col("cf")), col("qfn") * col("cfn")))
           .cast(DecimalType(18, 6)).as("err"))
+      // a zero-norm vector (or a projection that lands exactly on 0)
+      // has no cosine — drop the pair on BOTH count and sum, so
+      // mean_err stays a mean over COMPARABLE pairs (the twin filters
+      // the same pairs by their norm products)
+      .where(col("err").isNotNull)
       .groupBy("query_id")
       .agg(count(lit(1)).as("n_pairs"),
         // exact decimal sum -> double, divided LAST (both engines'

@@ -1525,6 +1525,11 @@ object TextAnalysis {
     * pushdown contract). Row-parallel, no shuffle. */
   def phraseBlocklistSignals(docs: DataFrame, phrases: Seq[String]): DataFrame = {
     require(phrases.nonEmpty, "phrases must not be empty")
+    // a blank phrase would wrap to "  ", which matches every
+    // token-less document's wrapped form — a stray empty line in a
+    // blocklist file must fail loudly, not silently drop empty docs
+    require(phrases.forall(_.trim.nonEmpty),
+      "phrases must be non-blank (a blank phrase matches every empty document)")
     val wrapped = phrases.map(p => s" ${p.trim} ")
     def matchCol(c: Column): Column =
       org.apache.spark.sql.GraftSqlBridge.column(

@@ -669,13 +669,15 @@ object CorpusWatcher {
         // a fetched page from the INDEX build (its outlinks still
         // queue — noindex governs indexing, not discovery); nofollow
         // keeps the page but drops its outlinks from the frontier.
-        // Flags extracted ONCE from the raw markup (pre-htmlExtract —
-        // the extractor strips the tags the directives live in);
-        // row-local, staged because both consumers semi-join it.
+        // FLAGS-ONLY extraction (pageDirectiveFlags — the full
+        // directive row also canonicalizes URLs and resolves the
+        // canonical link, dead work this gate never reads), once from
+        // the raw markup (pre-htmlExtract — the extractor strips the
+        // tags the directives live in); staged because both consumers
+        // semi-join it.
         val directiveFlags =
           if (!honorDirectives) None
-          else Some(staged(graft.ops.Crawl.pageDirectives(parsed1)
-            .select(col("doc_id"), col("noindex"), col("nofollow"))))
+          else Some(staged(graft.ops.Crawl.pageDirectiveFlags(parsed1)))
         var frontierF: Option[DataFrame] = None
         val parsed = frontierDir match {
           case None => parsed1
@@ -1100,10 +1102,16 @@ object CorpusWatcher {
             (dedupBandsDir.toSeq ++ spanHistoryDir ++ paraHistoryDir ++
               sentenceSpanHistoryDir ++ urlHistoryDir ++ frontierDir ++
               recrawlDir.map(recrawlGateDir) ++ // gate set only — never the raw fetch log
-              distinctDir ++ // registers are multiset-fold-safe (reader MAXes)
-              lengthDir) // bucket counts are multiset-fold-safe (reader SUMs)
+              distinctDir) // registers dedup-fold-safe (the reader MAXes)
               .foreach(dir => compactHistory(session, dir))
             adaptiveMixtureGate.foreach(g => compactStats(session, g.statsDir))
+            // the length buckets are SUM-consumed, so they take the
+            // marker-protocol fold with the READER'S aggregate — never
+            // compactHistory, whose .distinct() would collapse
+            // identical bucket rows from different batches and
+            // permanently undercount the quantiles
+            lengthDir.foreach(ld => compactStatsWith(session, ld)(
+              _.groupBy("sgn", "idx").agg(sum("n").as("n"))))
           }
         }
         // every consumer (band/anchor appends, snapshot, metrics) is
@@ -1221,18 +1229,23 @@ object CorpusWatcher {
     * makes this dir BATCH-ID-KEYED, like the adaptive gate's
     * statsDir: a crash replay re-runs the same batch id and
     * overwrites identical buckets (idempotent — the spec forces the
-    * recovery path), and compaction folds preserve the multiset;
+    * recovery path), and compaction takes the statsDir MARKER
+    * protocol with the reader's own fold ([[compactStatsWith]] —
+    * [[compactHistory]]'s `.distinct()` would collapse identical
+    * bucket rows from different batches and permanently undercount);
     * reprocessing a whole feed into RETAINED output double-counts for
     * any summed table — unlike [[distinctEstimates]]' registers,
     * whose MAX absorbs even that. */
   def lengthQuantiles(
       session: SparkSession, dir: String,
-      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame =
+      qs: Seq[Double] = Seq(0.5, 0.95, 0.99)): DataFrame = {
+    recoverStats(session, dir) // finish any interrupted fold first
     graft.ops.DdSketch.quantiles(
       graft.ops.DdSketch.merge(
         session.read.parquet(dir).select("sgn", "idx", "n")
           .withColumn("g", lit(1)), Seq("g")),
       Seq("g"), qs).select("q", "est")
+  }
 
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")
@@ -1285,7 +1298,19 @@ object CorpusWatcher {
     * double-counts, and under-counts only between steps 5 and the
     * recovery that completes them (a window no reader in this process
     * can observe). Returns compacted source-partition count. */
-  def compactStats(session: SparkSession, dir: String): Int = {
+  def compactStats(session: SparkSession, dir: String): Int =
+    compactStatsWith(session, dir)(
+      _.groupBy("source")
+        .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens")))
+
+  /** [[compactStats]]' marker protocol with a pluggable FOLD — the
+    * sum-safe compaction any SUM-consumed history needs with its own
+    * aggregation shape (`lengthDir`'s DDSketch buckets fold by
+    * `groupBy(sgn, idx).sum(n)`; the adaptive stats by source). The
+    * fold must be exactly the reader's aggregate so folding changes
+    * no reader-visible value. */
+  def compactStatsWith(session: SparkSession, dir: String)(
+      fold: DataFrame => DataFrame): Int = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(session.sessionState.newHadoopConf())
     if (!fs.exists(root)) return 0
@@ -1299,9 +1324,7 @@ object CorpusWatcher {
     val target = math.min(parts.map(_._1).min, 0L) - 1L
     val tmp = new org.apache.hadoop.fs.Path(root, ".compact_tmp")
     fs.delete(tmp, true)
-    session.read.parquet(sources.map(_._2.toString): _*)
-      .groupBy("source")
-      .agg(sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"))
+    fold(session.read.parquet(sources.map(_._2.toString): _*))
       .coalesce(1)
       .write.mode("overwrite").parquet(tmp.toString)
     val markerTmp = new org.apache.hadoop.fs.Path(root, ".compact_marker.tmp")

@@ -890,6 +890,24 @@ class CorpusWatcherSpec extends SparkSpec {
     val replayed = CorpusWatcher.lengthQuantiles(spark, ld).collect()
       .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
     assert(replayed === got, "a same-batch-id replay must not change any bucket count")
+    // batch 2 repeats a batch-0 LENGTH exactly — identical bucket rows
+    // across batches, the case a distinct()-fold would collapse; the
+    // SUM-safe marker fold must preserve total mass
+    feed("lq-2.json", Seq(6), Seq("short two")) // len 9 == "short one"
+    run(ckpt)
+    val before = CorpusWatcher.lengthQuantiles(spark, ld).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    val folded = CorpusWatcher.compactStatsWith(spark, ld)(
+      _.groupBy("sgn", "idx").agg(
+        org.apache.spark.sql.functions.sum("n")
+          .as("n")))
+    assert(folded >= 2, "older partitions must fold")
+    val after = CorpusWatcher.lengthQuantiles(spark, ld).collect()
+      .map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    assert(after === before, "the SUM fold must not move any quantile")
+    val total = spark.read.parquet(ld)
+      .agg(org.apache.spark.sql.functions.sum("n")).head.getLong(0)
+    assert(total === 6L, "total mass must survive the fold (6 docs ever ingested)")
   }
 
   test("honorDirectives: noindex drops from the index but queues outlinks; nofollow indexes but queues nothing") {

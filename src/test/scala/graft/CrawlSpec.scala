@@ -197,6 +197,22 @@ class CrawlSpec extends SparkSpec {
     assert(got(3L)._5 === Some("https://e.org/a"))
     // 'noindexing' is not the 'noindex' token
     assert(got(4L) === ((None, None, false, false, None)))
+    // a data-content decoy before the real attribute must not win the
+    // extraction (attribute-boundary rule), and attributes may wrap
+    val tricky = Seq(
+      (7L, "https://e.org/f",
+        "<meta name=\"robots\" data-content=\"x\" content=\"noindex\">"),
+      (8L, "https://e.org/g",
+        "<meta name=\"robots\"\n  content=\"nofollow\">"),
+      (9L, "https://e.org/h",
+        "<link data-rel=\"canonical\" rel=\"canonical\"\n href=\"/a\">")
+    ).toDF("doc_id", "url", "text")
+    val t = Crawl.pageDirectives(tricky).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(4), r.getBoolean(5),
+        Option(r.getString(6))))).toMap
+    assert(t(7L) === ((true, false, None)), "data-content decoy must not mask noindex")
+    assert(t(8L) === ((false, true, None)), "newline-wrapped attributes must parse")
+    assert(t(9L)._3 === Some("https://e.org/a"), "data-rel decoy must not mask rel")
     assert(got(5L)._2 === Some("desc here"))
     assert(got(6L)._1 === Some("x")) // null URL: url_key NULL, text still parsed
     assert(Crawl.pageDirectives(pages).filter(col("doc_id") === 6L)
