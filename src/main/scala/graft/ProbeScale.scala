@@ -1106,6 +1106,23 @@ object ProbeScale {
         time(s"dd_sketch_sf1_$rep")(
           graft.ops.DdSketch.sketch(vals1, col("v"), Seq.empty).count())
       }
+      // directive extraction at 10x AFTER the seal fix: row-parallel
+      // regex + one sealed urlParts per row — must be scan-linear
+      // (the unsealed first cut measured 22-73 s at sf0.1)
+      def dpages(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 500,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        concat(col("text"),
+          lit("<meta name=\"robots\" content=\"noindex\">"),
+          lit("<link rel=\"canonical\" href=\"/d/0\">")).as("text"))
+      for (rep <- 1 to 2) {
+        time(s"directives_sf01_$rep")(
+          graft.ops.Crawl.pageDirectives(dpages(docs01)).count())
+        time(s"directives_sf1_$rep")(
+          graft.ops.Crawl.pageDirectives(dpages(docs)).count())
+      }
+      time("canonical_dedup_sf1")(
+        graft.ops.Crawl.urlDuplicatesWithCanonical(dpages(docs)).count())
       // bucketed join at 10x: facts keyed by doc_id band
       val fa = docs.select((col("doc_id") % 10007).as("key"), col("doc_id").as("ida"))
       val fb = docs.select((col("doc_id") % 10007).as("key"), (col("doc_id") + 7L).as("idb"))
