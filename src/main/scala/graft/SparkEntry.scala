@@ -878,7 +878,15 @@ object SparkEntry {
     (9400004L, "https://d1.example.org/a?ref2=1",
       "<title> Spaced Title </title><meta name=\"robots\" content=\"NOINDEX,NOFOLLOW\">"),
     (9400005L, null, "<title>no url</title>"),
-    (9400006L, "https://d3.example.org/plain", "plain page, no directives at all"))
+    (9400006L, "https://d3.example.org/plain", "plain page, no directives at all"),
+    // per-LINK rel probes: plain nofollow, attr order flipped +
+    // multi-token rel, a followed link, and a data-rel decoy with a
+    // root-relative href
+    (9400007L, "https://d1.example.org/links",
+      "<a href=\"https://d9.example.org/f\" rel=\"nofollow\">n</a>" +
+        "<a rel='nofollow ugc' href='https://d9.example.org/g'>m</a>" +
+        "<a href=\"https://d9.example.org/h\">plain</a>" +
+        "<a data-rel=\"nofollow\" href=\"/i\">decoy</a>"))
 
   private def dirPages(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -2427,6 +2435,11 @@ object SparkEntry {
     // with the map mined from the pages themselves)
     "q_canonical_dedup" -> ((s, dir) =>
       graft.ops.Crawl.urlDuplicatesWithCanonical(dirPages(s, dir))),
+    // per-LINK rel=nofollow at tag depth — the pageDirectives
+    // documented skip, closed: whole-anchor-tag scan, attributes
+    // extracted second (order/quote-agnostic), token-tested rel
+    "q_link_rel" -> ((s, dir) =>
+      graft.ops.Crawl.extractLinksRel(dirPages(s, dir))),
     // biased PageRank: teleport/dangling mass to vetted seeds only —
     // spam constellations no seed reaches score ~0 (trust localizes:
     // the island seed's mass stays in the island)
@@ -4130,6 +4143,32 @@ object SparkEntry {
          |SELECT k.doc_id, k.url_key,
          |  (k.url_key IS NULL OR k.doc_id = w.winner) AS keep
          |FROM keys k LEFT JOIN win w ON w.url_key = k.url_key""".stripMargin,
+    "q_link_rel" -> {
+      import graft.ops.Crawl._
+      // twin of extractLinksRel over the directive fixture: whole-tag
+      // scan with document-order indices (gaps where a tag carries no
+      // quoted href), attribute extraction second, token-tested rel,
+      // then the shared decode/resolve/canonicalize chain
+      s"""WITH dp0 AS (SELECT doc_id, $CrawlPageUrlSql AS url, $CrawlPageTextSql AS text FROM documents
+         |    UNION ALL SELECT * FROM (VALUES ${DirRows.map { case (id, u, t) => s"($id, ${sqlStr(u)}, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, url, text)),
+         |${urlCanonCtes("dpc", "dp0", "url", "doc_id, text")},
+         |lt AS (SELECT doc_id, canon_url AS page_canon, host AS page_host,
+         |    regexp_extract_all(coalesce(text, ''), ${sqlStr(AnchorOpenTagPat)}, 0) AS tg FROM dpc),
+         |lx AS (SELECT doc_id, page_canon, page_host, CAST(i - 1 AS INTEGER) AS link_idx, tg[i] AS tag
+         |    FROM (SELECT *, unnest(generate_series(1, len(tg))) AS i FROM lt)),
+         |lf AS (SELECT doc_id, page_canon, page_host, link_idx,
+         |    nullif(regexp_extract(tag, ${sqlStr(HrefAttrPat)}, 1), '') AS href0,
+         |    regexp_matches(regexp_extract(tag, ${sqlStr(RelAttrPat)}, 1), ${sqlStr(directiveTokenPat("nofollow"))}) AS nofollow
+         |  FROM lx),
+         |lg AS (SELECT * FROM lf WHERE href0 IS NOT NULL),
+         |ld2 AS (SELECT doc_id, page_canon, page_host, link_idx, nofollow, ${decodedHrefSql("href0")} AS href FROM lg),
+         |lr2 AS (SELECT doc_id, page_host, link_idx, nofollow, href,
+         |    ${resolvedToSql("href", "page_canon")} AS resolved FROM ld2),
+         |${urlCanonCtes("lz", "lr2", "resolved", "doc_id, page_host, link_idx, nofollow, href")}
+         |SELECT doc_id, page_host, link_idx, href, canon_url AS link_url,
+         |  host AS link_host, nofollow
+         |FROM lz""".stripMargin
+    },
     "q_trust_rank" ->
       // twin of Crawl.trustRank(iters = 3): three unrolled seeded
       // iterations in BIGINT units; the absent seed drops at sd

@@ -584,10 +584,9 @@ object Crawl {
     * scan, no shuffle; first tag wins for title/description/canonical
     * (the multi-tag conflict is only defined for the boolean flags).
     *
-    * Documented skip: per-LINK `rel="nofollow"` (the a-tag attribute)
-    * is not extracted — [[extractLinks]]' href grammar would need
-    * whole-tag matching; the page-level flag covers the gate this
-    * engine acts on. */
+    * Per-LINK `rel="nofollow"` (the a-tag attribute) lives in
+    * [[extractLinksRel]] — tag-depth extraction is a different scan
+    * than this page-level pass. */
   def pageDirectives(pages: DataFrame, urlCol: String = "url"): DataFrame = {
     val text = coalesce(col("text"), lit(""))
     val robotsTags = regexp_extract_all(text, lit(MetaRobotsTagPat), lit(0))
@@ -625,6 +624,58 @@ object Crawl {
       .select(col("doc_id"), md5(col("page_canon")).as("url_key"),
         col("title"), col("meta_description"), col("noindex"), col("nofollow"),
         col("canonical_url"))
+  }
+
+  /** `rel` attribute inside an anchor OPEN tag (both quote styles,
+    * boundary class — the [[ContentAttrPat]] rules). */
+  val RelAttrPat =
+    "(?is)[ \\t\\n\\r\\f\\x0B\"']rel[ \\t\\n\\r\\f\\x0B]*=[ \\t\\n\\r\\f\\x0B]*[\"']([^\"']*)[\"']"
+
+  /** Anchor OPEN tags, whole-tag matches (group 0). */
+  val AnchorOpenTagPat = "(?is)<a\\b[^>]*>"
+
+  /** Per-LINK `rel="nofollow"` — the a-tag attribute [[pageDirectives]]
+    * documents as its skip, closed at TAG depth: every anchor OPEN tag
+    * is matched whole, its `href` and `rel` attributes extracted
+    * SECOND (so attribute order and quote style never matter — the
+    * directive-pattern rules), and `nofollow` is the token test over
+    * the rel value (`rel="nofollow ugc"` counts; the REP extension
+    * tokens ride the same list). Output = the [[extractLinks]] column
+    * contract plus `nofollow`; `link_idx` is DOCUMENT order (the
+    * whole-tag scan sees one stream, unlike extractLinks'
+    * double-then-single-quoted concatenation), and hrefs without
+    * quotes are skipped, matching [[HrefDqPat]]'s documented stance.
+    *
+    * A frontier that honors link-level politeness filters
+    * `!nofollow` before [[crawlFrontier]]; the page-level flag
+    * ([[pageDirectives]]) remains the stream gate's cheap path.
+    * Row-parallel tag scan + the shared decode/resolve/canonicalize
+    * chain, sealed per the staging discipline. */
+  def extractLinksRel(pages: DataFrame, urlCol: String = "url"): DataFrame = {
+    val raw = coalesce(col("text"), lit(""))
+    val tags = regexp_extract_all(raw, lit(AnchorOpenTagPat), lit(0))
+    val prepared = graft.core.Parallelism.ensure(pages)
+      .select(col("doc_id"),
+        seal(struct(urlParts(col(urlCol)).as("up"), tags.as("tg"))).as("sx"))
+      .select(col("doc_id"),
+        col("sx.up.canon_url").as("page_canon"),
+        col("sx.up.host").as("page_host"),
+        col("sx.tg").as("tg"))
+    prepared
+      .select(col("doc_id"), col("page_canon"), col("page_host"),
+        posexplode(col("tg")).as(Seq("link_idx", "tag")))
+      .select(col("doc_id"), col("page_canon"), col("page_host"), col("link_idx"),
+        nullif(regexp_extract(col("tag"), HrefAttrPat, 1), lit("")).as("href0"),
+        regexp_extract(col("tag"), RelAttrPat, 1)
+          .rlike(directiveTokenPat("nofollow")).as("nofollow"))
+      .where(col("href0").isNotNull)
+      .withColumn("href", seal(decodedHref(col("href0"))))
+      .withColumn("resolved", resolvedTo(col("href"), col("page_canon")))
+      .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
+        col("nofollow"), seal(urlParts(col("resolved"))).as("lp"))
+      .select(col("doc_id"), col("page_host"), col("link_idx"), col("href"),
+        col("lp.canon_url").as("link_url"), col("lp.host").as("link_host"),
+        col("nofollow"))
   }
 
   /** JUST the robots flags — the streaming gate's hot-path face:

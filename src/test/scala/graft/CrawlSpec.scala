@@ -234,6 +234,27 @@ class CrawlSpec extends SparkSpec {
     assert(idx === Set(1L, 2L, 3L, 5L))
   }
 
+  test("extractLinksRel: per-link nofollow at tag depth, document-order indices, decoys rejected") {
+    val pages = Seq(
+      (1L, "https://e.org/p",
+        "<a href=\"https://t.org/a\" rel=\"nofollow\">x</a>" +
+          "<a rel='NOFOLLOW ugc' href='https://t.org/b'>y</a>" + // case + multi-token + flipped order
+          "<a href=\"https://t.org/c\">plain</a>" +
+          "<a data-rel=\"nofollow\" href=\"/d\">decoy</a>" +
+          "<a rel=\"nofollower\" href=\"https://t.org/e\">not the token</a>" +
+          "<a name=\"anchor-only\">no href, still takes an index</a>")
+    ).toDF("doc_id", "url", "text")
+    val got = Crawl.extractLinksRel(pages).collect()
+      .map(r => r.getInt(2) -> ((r.getString(4), r.getBoolean(6)))).toMap
+    assert(got(0) === (("https://t.org/a", true)))
+    assert(got(1) === (("https://t.org/b", true)), "flipped attr order + multi-token rel")
+    assert(got(2) === (("https://t.org/c", false)))
+    assert(got(3) === (("https://e.org/d", false)), "data-rel decoy is not nofollow; /d resolves")
+    assert(got(4) === (("https://t.org/e", false)), "'nofollower' is not the token")
+    assert(!got.contains(5), "an href-less anchor emits no row (its index stays consumed)")
+    assert(got.keySet === Set(0, 1, 2, 3, 4))
+  }
+
   test("trustRank: hand-computed seeded iterations; unreachable components stay at zero") {
     // A->B->C (C dangles), D->E disconnected; seed {A}, d = 0.85.
     // iter1: A = 0.15U, B = 0.85U; iter2: A = 0.15U, B = .85*.15U,
