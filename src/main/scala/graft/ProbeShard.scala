@@ -52,8 +52,33 @@ object ProbeShard {
     val ranks = spark.createDataFrame(Seq(("h1.example.org", 0.9))).toDF("node", "rank")
     time("full_sharded")(
       Crawl.crawlFrontierBloomSharded(pages, ranks, perHostCap = 10, shards = 8).count())
+    time("full_sharded_salted")(
+      Crawl.crawlFrontierBloomSharded(pages, ranks, perHostCap = 10, shards = 8,
+        probePartitionsPerShard = 4).count())
     time("full_bloom")(
       Crawl.crawlFrontierBloom(pages, ranks, perHostCap = 10).count())
+    // residency demonstration: after the shard routing, how many
+    // DISTINCT shards does each probe partition carry? per-executor
+    // filter residency = union over the partitions it holds, so
+    // small per-partition counts = bounded executor heaps at 1e9 URLs
+    for (k <- Seq(1, 4)) {
+      val routed = Crawl.extractLinks(pages).where(col("link_url").isNotNull)
+        .select(col("link_host"))
+        .withColumn("probe_shard", pmod(xxhash64(col("link_host")), lit(8)).cast("int"))
+        .withColumn("probe_salt", pmod(xxhash64(col("link_host")), lit(k)).cast("int"))
+      val parts =
+        (if (k == 1) routed.repartition(8, col("probe_shard"))
+         else routed.repartition(8 * k, col("probe_shard"), col("probe_salt")))
+          .select("probe_shard").rdd.mapPartitionsWithIndex { (i, it) =>
+            val s = scala.collection.mutable.SortedSet[Int]()
+            it.foreach(r => s += r.getInt(0))
+            Iterator((i, s.size, s.mkString("+")))
+          }.collect()
+      val occupied = parts.filter(_._2 > 0)
+      println(s"SHARD residency k=$k parts=${parts.length} " +
+        s"occupied=${occupied.length} maxShardsPerPart=${parts.map(_._2).max} " +
+        occupied.map { case (i, n, s) => s"p$i:[$s]" }.mkString(" "))
+    }
     spark.stop()
   }
 }

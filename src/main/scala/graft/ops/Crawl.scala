@@ -1549,10 +1549,33 @@ object Crawl {
     *
     * Result ≡ [[crawlFrontier]] byte-for-byte at any fpp/shards
     * (Bloom filters have no false negatives; the might-contain sliver
-    * re-confirms exactly) — shares its oracle. Build cost: `shards`
-    * passes over the Persisted key-sized seen table (train-once, the
-    * centroid-training analogue); probe cost: one codegen'd bit-probe
-    * per link. */
+    * re-confirms exactly) — shares its oracle. Build cost: one
+    * shard-routed pass over the Persisted key-sized seen table
+    * (train-once, the centroid-training analogue); probe cost: one
+    * exchange of the candidate links (the routing) plus one codegen'd
+    * bit-probe per link.
+    *
+    * Probe-side residency is SHARD-PINNED: candidates repartition by
+    * the SAME `pmod(xxhash64(host), shards)` the build used before
+    * the probe filter runs, each shard's serialized bytes live behind
+    * their own torrent-broadcast handle, and shards deserialize
+    * per-index on first probe ([[graft.functions.ShardedBloomSet]]) —
+    * so an executor fetches and materializes ONLY the shards its
+    * routed partitions carry, never the full set. At the 10⁹-URL
+    * design point (~1.2 GB total at fpp 0.01) a 100-executor cluster
+    * holds ~12 MB of filter per executor instead of 1.2 GB in every
+    * heap AND every stage binary. The routing exchange is the price;
+    * it replaces the both-side exchange of the [[crawlFrontier]]
+    * anti-join, which remains the fallback of choice when the seen
+    * set is small enough that an exchange outweighs filter build
+    * (rule of thumb: below ~10⁷ seen URLs just use [[crawlFrontier]]).
+    *
+    * `probePartitionsPerShard` > 1 adds a salt term to the routing so
+    * the probe stage gets `shards × k` partitions (parallelism when
+    * shards ≪ cores). The invariant either way: every (shard, salt)
+    * routing group lands wholly in ONE partition, so an executor's
+    * resident shard set is the union over the partitions it holds —
+    * bounded by partitions held, never the full set. */
   def crawlFrontierBloomSharded(
       pages: DataFrame,
       ranks: DataFrame,
@@ -1560,10 +1583,13 @@ object Crawl {
       perHostCap: Int = 10,
       fpp: Double = 0.01,
       shards: Int = 4,
+      probePartitionsPerShard: Int = 1,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist): DataFrame = {
     require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
     require(shards >= 1, s"shards=$shards must be >= 1")
+    require(probePartitionsPerShard >= 1,
+      s"probePartitionsPerShard=$probePartitionsPerShard must be >= 1")
     import org.apache.spark.sql.GraftSqlBridge
     val seen = graft.core.Materialize(
       pages.select(seal(urlParts(col(urlCol))).as("up"))
@@ -1618,17 +1644,36 @@ object Crawl {
         bos.toByteArray
       }
     }
-    val bloomSet = new graft.functions.ShardedBloomSet(shardBytes)
-    val links = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
+    // each shard behind its OWN broadcast handle: the stage binary
+    // ships stubs, an executor pulls only the shards its routed
+    // partitions probe (ShardedBloomSet scaladoc)
+    val sc = pages.sparkSession.sparkContext
+    val bloomSet = new graft.functions.ShardedBloomSet(
+      shardBytes.map(b =>
+        graft.functions.BroadcastShardBytes(sc.broadcast(b)): graft.functions.ShardBytes))
+    // route candidates by the build-side shard hash BEFORE the probe —
+    // this pins per-partition (hence per-executor) shard residency;
+    // the optional salt widens parallelism without mixing shards
+    val routed0 = extractLinks(pages, urlCol).where(col("link_url").isNotNull)
       .select(col("link_url"), col("link_host"), md5(col("link_url")).as("url_key"))
+      .withColumn("probe_shard",
+        pmod(xxhash64(col("link_host")), lit(shards)).cast("int"))
+    val links =
+      if (probePartitionsPerShard == 1)
+        routed0.repartition(shards, col("probe_shard"))
+      else routed0
+        .withColumn("probe_salt",
+          pmod(xxhash64(col("link_url")), lit(probePartitionsPerShard)).cast("int"))
+        .repartition(shards * probePartitionsPerShard,
+          col("probe_shard"), col("probe_salt"))
+        .drop("probe_salt")
     val mightContain = GraftSqlBridge.column(
       graft.functions.ShardedBloomMightContain(
-        GraftSqlBridge.expression(
-          pmod(xxhash64(col("link_host")), lit(shards)).cast("int")),
+        GraftSqlBridge.expression(col("probe_shard")),
         GraftSqlBridge.expression(xxhash64(col("url_key"))),
         bloomSet))
-    val definitelyUnseen = links.where(!mightContain)
-    val confirmed = links.where(mightContain)
+    val definitelyUnseen = links.where(!mightContain).drop("probe_shard")
+    val confirmed = links.where(mightContain).drop("probe_shard")
       .join(seen.select(col("url_key")), Seq("url_key"), "left_anti")
     val cands = definitelyUnseen.unionByName(confirmed)
       .groupBy(col("link_url"), col("link_host"))

@@ -915,7 +915,50 @@ class CrawlSpec extends SparkSpec {
       assert(plan.contains("graft_sharded_bloom_might_contain"))
       assert(!plan.contains("BloomFilterMightContain"),
         "the sharded form must not embed a bloom plan literal")
+      // shard-pinned probe routing: an Exchange on probe_shard sits
+      // BEFORE the probe filter, so partitions (hence executors) only
+      // probe — and only materialize — their own shards
+      assert(plan.contains("probe_shard"),
+        "probe candidates must repartition by the shard routing before the probe")
     }
+    // salted routing widens parallelism without changing the frontier
+    val salted = Crawl.crawlFrontierBloomSharded(
+      pages, ranks, perHostCap = 5, shards = 3, probePartitionsPerShard = 4)
+    assert(salted.as[(String, String, Long, Double, Int)].collect().toSet === exact,
+      "probePartitionsPerShard must not change the frontier")
+  }
+
+  test("ShardedBloomSet: per-shard lazy residency — probing one shard materializes ONLY that shard") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val shardBytes = (0 until 4).map { s =>
+      val f = BloomFilter.create(100, 0.01)
+      f.putLong(s * 1000L)
+      val bos = new java.io.ByteArrayOutputStream()
+      f.writeTo(bos)
+      bos.toByteArray
+    }.toArray
+    val set = new graft.functions.ShardedBloomSet(shardBytes)
+    assert(set.materializedShards === Seq.empty, "nothing resident before any probe")
+    assert(set.mightContain(2, 2000L))
+    assert(set.materializedShards === Seq(2),
+      "a shard-2 probe must not deserialize the other shards")
+    assert(!set.mightContain(2, 31337L) || true) // fpp probe, residency unchanged
+    assert(set.materializedShards === Seq(2))
+    assert(set.mightContain(0, 0L))
+    assert(set.materializedShards === Seq(0, 2))
+  }
+
+  test("BroadcastShardBytes: probes resolve through the torrent-broadcast handle") {
+    import org.apache.spark.util.sketch.BloomFilter
+    val f = BloomFilter.create(100, 0.01)
+    f.putLong(42L)
+    val bos = new java.io.ByteArrayOutputStream()
+    f.writeTo(bos)
+    val bc = spark.sparkContext.broadcast(bos.toByteArray)
+    val set = new graft.functions.ShardedBloomSet(
+      Array(graft.functions.BroadcastShardBytes(bc): graft.functions.ShardBytes))
+    assert(set.mightContain(0, 42L))
+    assert(set.materializedShards === Seq(0))
   }
 
   test("urlRank: per-host block PageRank — intra-host edges only, per-host mass 1, unseen dst ranked; composed face") {
