@@ -20,6 +20,30 @@ object SparkEntry {
   private def emb(s: SparkSession, dir: String): DataFrame =
     s.read.parquet(s"$dir/embeddings.parquet")
 
+  /** Per-process nonce for the tmp paths and catalog table names the
+    * harness creates — two concurrent harness processes on one
+    * machine must not overwrite each other's artifacts mid-query. */
+  private val procNonce: String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(10)
+
+  /** Twin of Sampling.shardManifest(512, 8): the q_pack_shards
+    * assignment, then per-shard count/token-sum/md5-of-ordered-row-md5s.
+    * Shared by q_shard_manifest and q_shard_manifest_bucketed — the
+    * bucketed writer changes file layout, never manifest values. */
+  private lazy val ShardManifestTwin: String =
+    s"""WITH t AS (SELECT doc_id, text, len($TOKS) AS n_tokens,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
+       |  FROM documents),
+       |c AS (SELECT doc_id, text, n_tokens, pack_bucket,
+       |    sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |  FROM t)
+       |SELECT pack_bucket, CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket,
+       |  CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), '' ORDER BY doc_id)) AS content_md5
+       |FROM c GROUP BY pack_bucket, shard_in_bucket""".stripMargin
+
   /** Skewed domain grouping over the flat 20-source corpus (15/4/1
     * sources → web/wiki/books) — the temperature-sampling and
     * epoch-planning queries need unequal group sizes to be
@@ -552,7 +576,8 @@ object SparkEntry {
       val sf = dir.split('/').filter(_.nonEmpty).lastOption.getOrElse("sf")
         .replaceAll("[^A-Za-z0-9_]", "_") + "_" +
         java.security.MessageDigest.getInstance("MD5")
-          .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString
+          .digest(dir.getBytes("UTF-8")).take(4).map(b => f"${b & 0xff}%02x").mkString +
+        "_" + procNonce
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_bucketed_$sf"
       graft.sources.BucketedStore.write(s.read.parquet(s"$dir/lineitem.parquet"),
         s"graft_li_$sf", s"$base/lineitem", "l_orderkey", 16, Seq("l_orderkey"))
@@ -2267,7 +2292,7 @@ object SparkEntry {
       val d = docs(s, dir)
       val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
       val vocab = graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms))
-      val path = s"${System.getProperty("java.io.tmpdir")}/graft_wp_tokenizer.json"
+      val path = s"${System.getProperty("java.io.tmpdir")}/graft_wp_tokenizer_$procNonce.json"
       graft.ops.TokenizerIO.exportWordPiece(s, vocab, path)
       val (v2, _) = graft.ops.TokenizerIO.importWordPiece(s, path)
       graft.ops.WordPiece.tokenCounts(d, v2)
@@ -2601,6 +2626,15 @@ object SparkEntry {
     // the q_pack_shards layout — what writeShards certifies on disk
     "q_shard_manifest" -> ((s, dir) =>
       graft.ops.Sampling.shardManifest(docs(s, dir), tokenBudget = 512, buckets = 8)),
+    // the BUCKETED shard writer under the SAME twin as q_shard_manifest:
+    // the doc_id-bucketed analytics layout changes file placement, the
+    // certified manifest must not — write, register, read back, certify
+    "q_shard_manifest_bucketed" -> ((s, dir) =>
+      graft.ops.Sampling.writeShardsBucketed(
+        docs(s, dir),
+        s"${System.getProperty("java.io.tmpdir")}/graft_shards_bucketed_$procNonce",
+        s"graft_shards_bucketed_$procNonce",
+        tokenBudget = 512, buckets = 8, docBuckets = 8)),
     // the PRE-SHUFFLED layout's manifest (pos_in_shard-ordered
     // digests) — what writeShardsShuffled certifies on disk
     "q_shuffled_manifest" -> ((s, dir) =>
@@ -4718,21 +4752,10 @@ object SparkEntry {
          |    ELSE 0.0 END AS epochs,
          |  capped
          |FROM f""".stripMargin,
-    "q_shard_manifest" ->
-      // twin of Sampling.shardManifest(512, 8): the q_pack_shards
-      // assignment, then per-shard count/token-sum/md5-of-ordered-row-md5s
-      s"""WITH t AS (SELECT doc_id, text, len($TOKS) AS n_tokens,
-         |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
-         |  FROM documents),
-         |c AS (SELECT doc_id, text, n_tokens, pack_bucket,
-         |    sum(n_tokens) OVER (PARTITION BY pack_bucket ORDER BY doc_id
-         |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
-         |  FROM t)
-         |SELECT pack_bucket, CAST(floor((cum - n_tokens) / 512.0) AS INTEGER) AS shard_in_bucket,
-         |  CAST(count(*) AS BIGINT) AS n_docs,
-         |  CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
-         |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), '' ORDER BY doc_id)) AS content_md5
-         |FROM c GROUP BY pack_bucket, shard_in_bucket""".stripMargin,
+    "q_shard_manifest" -> ShardManifestTwin,
+    // same twin on purpose: the bucketed writer changes LAYOUT only;
+    // the read-back certified manifest must hash-match the plain one's
+    "q_shard_manifest_bucketed" -> ShardManifestTwin,
     "q_context_plan" ->
       // twin of Sampling.contextPlan(ctxLen=128, buckets=8): same
       // bucketed running sum, context span = floor-division of the

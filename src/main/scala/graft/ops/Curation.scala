@@ -359,7 +359,13 @@ object Curation {
     * recovered by one doc_id semi-join (manifest-sized, AQE-broadcast)
     * and handed to the writer. Doc text flows scan → one co-locating
     * shuffle → disk; it never enters the chain's own shuffles.
-    */
+    *
+    * `docIdBuckets` > 0 opts into the JOIN-COLOCATED layout instead:
+    * each split writes via [[Sampling.writeShardsBucketed]], bucketed
+    * on `doc_id` and registered as `<tablePrefix>_<split>`, so the
+    * downstream analytics joins (curated split ⋈ per-doc signal
+    * tables) plan exchange-free on the curated side. Manifest values
+    * are identical either way — layout, not content. */
   def curateToShards(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -376,7 +382,9 @@ object Curation {
       sizeRatioFloor: Double = 0.0,
       split: SplitMode = SplitMode.Hash,
       evalShingles: Option[DataFrame] = None,
-      blocklist: Seq[String] = Nil): DataFrame = {
+      blocklist: Seq[String] = Nil,
+      docIdBuckets: Int = 0,
+      tablePrefix: String = "curated"): DataFrame = {
     val manifest = Materialize(
       curate(docs, evalDocs, keepLangs, minTokens, rates, defaultRate,
         trainPct, valPct, mat, sizeRatioFloor, split, evalShingles, blocklist),
@@ -384,11 +392,17 @@ object Curation {
     val written = Seq("train", "val", "test").flatMap { sp =>
       val ids = manifest.filter(col("split") === sp).select("doc_id")
       if (ids.isEmpty) None
-      else Some(
-        Sampling.writeShards(
-          docs.join(ids, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text")),
-          s"$outDir/$sp", tokenBudget, buckets)
-          .withColumn("split", lit(sp)))
+      else Some({
+        val splitDocs =
+          docs.join(ids, Seq("doc_id"), "left_semi").select(col("doc_id"), col("text"))
+        if (docIdBuckets > 0)
+          Sampling.writeShardsBucketed(splitDocs, s"$outDir/$sp",
+            s"${tablePrefix}_$sp", tokenBudget, buckets, docIdBuckets)
+            .withColumn("split", lit(sp))
+        else
+          Sampling.writeShards(splitDocs, s"$outDir/$sp", tokenBudget, buckets)
+            .withColumn("split", lit(sp))
+      })
     }
     written.reduceOption(_ unionByName _).getOrElse {
       // schema-correct empty result (a bare emptyDataFrame would make

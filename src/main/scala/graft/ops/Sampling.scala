@@ -460,6 +460,38 @@ object Sampling {
     docs.sparkSession.read.parquet(s"$outDir/manifest")
   }
 
+  /** [[writeShards]] in the JOIN-COLOCATED layout: the same doc-level
+    * shard table (payload + `n_tokens, pack_bucket, shard_in_bucket`
+    * layout columns) written as a [[graft.sources.BucketedStore]]
+    * table bucketed on `doc_id` — so every downstream equi-join or
+    * groupBy on `doc_id` (shards ⋈ eval tables, shards ⋈ per-doc
+    * signal tables) plans WITHOUT an Exchange on this side, the
+    * amortize-the-shuffle-at-write-time contract the analytics
+    * consumers want. [[writeShards]] remains the training-loader
+    * artifact (one file per shard, `doc_id` order inside);
+    * this is the analytics artifact — same rows, different layout,
+    * and the certified manifest (computed FROM the registered table)
+    * is value-identical to [[writeShards]]'s because the manifest
+    * digests are `doc_id`-ordered per shard regardless of file
+    * layout (the spec pins both properties). Returns the manifest. */
+  def writeShardsBucketed(
+      docs: DataFrame, outDir: String, tableName: String, tokenBudget: Long,
+      buckets: Int = 32, docBuckets: Int = 32): DataFrame = {
+    val rows = graft.core.Parallelism.ensure(docs)
+      .join(packShards(docs, tokenBudget, buckets)
+        .select("doc_id", "n_tokens", "pack_bucket", "shard_in_bucket"), "doc_id")
+    graft.sources.BucketedStore.write(
+      rows, tableName, s"$outDir/shards_bucketed", "doc_id", docBuckets,
+      sortCols = Seq("doc_id"))
+    val written = manifestAgg(
+      graft.sources.BucketedStore.table(docs.sparkSession, tableName)
+        .select(col("doc_id"), col("n_tokens"), col("pack_bucket"),
+          col("shard_in_bucket"), rowMd5.as("row_md5")),
+      Seq("pack_bucket", "shard_in_bucket"), "doc_id")
+    written.coalesce(1).write.mode("overwrite").parquet(s"$outDir/manifest")
+    docs.sparkSession.read.parquet(s"$outDir/manifest")
+  }
+
   /** [[shardManifest]] for the PRE-SHUFFLED layout: per
     * [[shuffleOrder]] shard, doc/token counts and the md5 over row
     * digests in `pos_in_shard` order — certifying exactly the byte

@@ -67,6 +67,29 @@ class CurationSpec extends SparkSpec {
     assert(!allWritten.contains(101L) && !allWritten.contains(102L))
   }
 
+  test("curateToShards docIdBuckets opt-in: bucketed splits register tables, manifests identical to the plain layout") {
+    val big = ((1L to 40L).map(i =>
+      (i, s"the quick number$i alpha$i beta$i gamma$i delta$i epsilon$i zeta$i eta$i theta$i and", "src0")) ++
+      Seq((101L, "short text", "src0"), (102L, contamText, "src0")))
+      .toDF("doc_id", "text", "source")
+    val outPlain = java.nio.file.Files.createTempDirectory("graft-ctsp-").toString
+    val outBucketed = java.nio.file.Files.createTempDirectory("graft-ctsb-").toString
+    val plain = Curation.curateToShards(big, evalDocs, outPlain, tokenBudget = 30, buckets = 4)
+      .as[(Int, Int, Long, Long, String, String)].collect().toSet
+    val bucketed = Curation.curateToShards(big, evalDocs, outBucketed,
+      tokenBudget = 30, buckets = 4, docIdBuckets = 8, tablePrefix = "cts_bucketed")
+      .as[(Int, Int, Long, Long, String, String)].collect().toSet
+    assert(bucketed === plain, "layout opt-in must not change manifest values")
+    assert(bucketed.nonEmpty)
+    // each nonempty split registered its doc_id-bucketed table with the payload
+    val splits = plain.map(_._6)
+    splits.foreach { sp =>
+      val t = graft.sources.BucketedStore.table(spark, s"cts_bucketed_$sp")
+      assert(t.select("doc_id").as[Long].collect().toSet ===
+        spark.read.parquet(s"$outPlain/$sp/shards").select("doc_id").as[Long].collect().toSet, sp)
+    }
+  }
+
   test("funnelSamples: each designed drop shows up at exactly its stage") {
     val got = Curation.funnelSamples(docs, evalDocs, n = 5, rates = rates)
       .as[(Int, String, Long, Int)].collect()

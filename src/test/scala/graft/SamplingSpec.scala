@@ -157,6 +157,43 @@ class SamplingSpec extends SparkSpec {
     assert(bad._4 !== bad._5)
   }
 
+  test("writeShardsBucketed: manifest equals writeShards'; doc_id join to bucketed signals plans ZERO exchanges") {
+    import org.apache.spark.sql.functions.{col, length}
+    val d = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")
+    val out = java.nio.file.Files.createTempDirectory("graft-bshards-").toString
+    val returned = Sampling.writeShardsBucketed(
+      d, out, "ws_bucketed_t", tokenBudget = 10, buckets = 4, docBuckets = 8)
+    // layout changes, manifest values don't: identical to the plain
+    // writer's certified manifest (and the plan-side manifest)
+    val planned = Sampling.shardManifest(d, tokenBudget = 10, buckets = 4)
+      .as[(Int, Int, Long, Long, String)].collect().toSet
+    assert(returned.as[(Int, Int, Long, Long, String)].collect().toSet === planned)
+    assert(planned.nonEmpty)
+    // payload round-trips through the registered table
+    val table = graft.sources.BucketedStore.table(spark, "ws_bucketed_t")
+    assert(table.select("doc_id", "text").as[(Long, String)].collect().toSet ===
+      d.as[(Long, String)].collect().toSet)
+    // the layout claim: a doc_id equi-join against an equally-bucketed
+    // per-doc signals table plans ZERO shuffle exchanges (broadcast off
+    // — the production scenario is fact-to-fact, too big to broadcast)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      graft.sources.BucketedStore.write(
+        d.select(col("doc_id"), length(col("text")).as("sig")),
+        "ws_bucketed_sig", s"$out/sig", "doc_id", 8, Seq("doc_id"))
+      val joined = table.join(
+        graft.sources.BucketedStore.table(spark, "ws_bucketed_sig"), "doc_id")
+      assert(!graft.sources.BucketedStore.hasShuffle(joined),
+        joined.queryExecution.executedPlan.toString)
+      assert(joined.count() === 40L)
+      // and a groupBy on the bucket key plans exchange-free too
+      val agg = table.groupBy("doc_id")
+        .agg(org.apache.spark.sql.functions.sum("n_tokens"))
+      assert(!graft.sources.BucketedStore.hasShuffle(agg))
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("writeShardsShuffled: rows land in seeded training order; manifest certifies disk") {
     import org.apache.spark.sql.functions.col
     val d = (1L to 60L).map(i => (i, ("tok " * (i % 5 + 1).toInt).trim)).toDF("doc_id", "text")
