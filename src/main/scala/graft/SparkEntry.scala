@@ -715,6 +715,71 @@ object SparkEntry {
       .unionByName(SitemapRows.toDF("doc_id", "text"))
   }
 
+  /** Self URL each synthetic sitemap body was "fetched from" — the
+    * loc→child match key of the tree fixpoint. Distinct per doc,
+    * disjoint from every entry URL the bodies name (no accidental
+    * edges among the 50k standalone roots). */
+  private val SitemapSelfUrlSql: String =
+    "'https://smh' || CAST(doc_id % 12 AS STRING) || '.example.org/sm/' || CAST(doc_id AS STRING) || '.xml'"
+
+  /** The sitemap-index TREE fixture `(doc_id, url, text)`: root index
+    * R(9390000) names C1(urlset)/C2(index)/an unfetched child;
+    * C2 names C3; C3 names C2 BACK (the cycle) and C1 (a second
+    * simple chain to C1); S(9390004) is a standalone root. Exercises
+    * transitive resolution, cycle termination, NULL-child queueing,
+    * multi-chain provenance. */
+  private val SitemapTreeRows: Seq[(Long, String, String)] = Seq(
+    (9390000L, "https://example.org/sitemap.xml",
+      "<sitemapindex><sitemap><loc>https://example.org/c1.xml</loc></sitemap>" +
+        "<sitemap><loc>https://example.org/c2.xml</loc></sitemap>" +
+        "<sitemap><loc>https://example.org/unfetched.xml</loc></sitemap></sitemapindex>"),
+    (9390001L, "https://example.org/c1.xml",
+      "<urlset><url><loc>https://example.org/page-a</loc><changefreq>DAILY</changefreq></url>" +
+        "<url><loc>https://example.org/page-b</loc><priority>0.4</priority></url></urlset>"),
+    (9390002L, "https://example.org/c2.xml",
+      "<sitemapindex><sitemap><loc>https://example.org/c3.xml</loc></sitemap></sitemapindex>"),
+    (9390003L, "https://example.org/c3.xml",
+      "<sitemapindex><sitemap><loc>https://example.org/c2.xml</loc></sitemap>" +
+        "<sitemap><loc>https://example.org/c1.xml</loc></sitemap></sitemapindex>"),
+    (9390004L, "https://other.example.org/map.xml",
+      "<urlset><url><loc>https://other.example.org/solo</loc></url></urlset>"))
+
+  private def sitemapTreeDocs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    docs(s, dir).select(col("doc_id"),
+      expr(SitemapSelfUrlSql).as("url"), expr(SitemapTextSql).as("text"))
+      .unionByName(SitemapTreeRows.toDF("doc_id", "url", "text"))
+  }
+
+  /** CTE chain twinning [[graft.ops.Crawl.sitemapUrls]] over `$from`
+    * `(doc_id, text, …)`: block extraction, per-block loc + freshness
+    * fields, the canonicalization chain — ends in
+    * `sme(doc_id, loc_idx, loc, url, host, is_index, lastmod,
+    * changefreq, priority)`. Shared by q_sitemap_urls and
+    * q_sitemap_tree (which walks sme's index entries recursively). */
+  private def sitemapEntryCtes(from: String): String = {
+    import graft.ops.Crawl._
+    s"""smx AS (SELECT doc_id,
+       |    regexp_extract_all(coalesce(text, ''), ${sqlStr(SitemapEntryPat)}, 1) AS es,
+       |    regexp_matches(coalesce(text, ''), '$SitemapIndexPat') AS is_index FROM $from),
+       |sml AS (SELECT doc_id, is_index, CAST(i - 1 AS INTEGER) AS loc_idx, es[i] AS entry
+       |    FROM (SELECT *, unnest(generate_series(1, len(es))) AS i FROM smx)),
+       |smf AS (SELECT * FROM sml WHERE regexp_matches(entry, ${sqlStr(SitemapLocPat)})),
+       |smd AS (SELECT doc_id, is_index, loc_idx,
+       |    ${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(SitemapLocPat)}, 1)")} AS loc,
+       |    nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(SitemapLastmodPat)}, 1)")}, '$WsTrimPat', '', 'g'), '') AS lastmod,
+       |    lower(nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(SitemapChangefreqPat)}, 1)")}, '$WsTrimPat', '', 'g'), '')) AS changefreq,
+       |    nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(SitemapPriorityPat)}, 1)")}, '$WsTrimPat', '', 'g'), '') AS pr
+       |  FROM smf),
+       |smp AS (SELECT doc_id, is_index, loc_idx, loc, lastmod, changefreq,
+       |    CASE WHEN pr IS NOT NULL AND regexp_matches(pr, '$SitemapPriorityNumPat')
+       |         THEN CAST(pr AS DOUBLE) END AS priority
+       |  FROM smd),
+       |${urlCanonCtes("sc", "smp", "loc", "doc_id, loc_idx, is_index, lastmod, changefreq, priority")},
+       |sme AS MATERIALIZED (SELECT doc_id, loc_idx, _rawurl AS loc, canon_url AS url,
+       |  host, is_index, lastmod, changefreq, priority FROM sc)""".stripMargin
+  }
+
   /** Probe robots.txt bodies over the link corpus's hosts — every
     * parse path: comments, non-`*` groups ignored, RFC 9309 wildcard
     * rules (`*` runs, trailing-`$` anchors, the $-defeated-by-query
@@ -2516,6 +2581,11 @@ object SparkEntry {
         perHostCap = 5)),
     // sitemap <loc> extraction + canonicalization (frontier seeds)
     "q_sitemap_urls" -> ((s, dir) => graft.ops.Crawl.sitemapUrls(sitemapDocs(s, dir))),
+    // the sitemap-index tree resolved transitively over fetched bodies:
+    // simple-chain walk with cycle guard, per-(chain, entry) provenance,
+    // unfetched children surfacing as child_doc_id NULL fetch-queue rows
+    "q_sitemap_tree" -> ((s, dir) =>
+      graft.ops.Crawl.sitemapTree(sitemapTreeDocs(s, dir))),
     // RFC 9309 rule parse: the User-agent:* group's allow/disallow prefixes
     "q_robots_rules" -> ((s, dir) => graft.ops.Robots.robotsRules(robotsDf(s))),
     // per-host politeness budget (minimum Crawl-delay of the * group)
@@ -4475,26 +4545,43 @@ object SparkEntry {
       // canonicalization chain; is_index from the sitemapindex root
       s"""WITH sm0 AS (SELECT doc_id, $SitemapTextSql AS text FROM documents
          |    UNION ALL SELECT * FROM (VALUES ${SitemapRows.map { case (id, t) => s"($id, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, text)),
-         |smx AS (SELECT doc_id,
-         |    regexp_extract_all(coalesce(text, ''), ${sqlStr(graft.ops.Crawl.SitemapEntryPat)}, 1) AS es,
-         |    regexp_matches(coalesce(text, ''), '${graft.ops.Crawl.SitemapIndexPat}') AS is_index FROM sm0),
-         |sml AS (SELECT doc_id, is_index, CAST(i - 1 AS INTEGER) AS loc_idx, es[i] AS entry
-         |    FROM (SELECT *, unnest(generate_series(1, len(es))) AS i FROM smx)),
-         |smf AS (SELECT * FROM sml WHERE regexp_matches(entry, ${sqlStr(graft.ops.Crawl.SitemapLocPat)})),
-         |smd AS (SELECT doc_id, is_index, loc_idx,
-         |    ${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapLocPat)}, 1)")} AS loc,
-         |    nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapLastmodPat)}, 1)")}, '${graft.ops.Crawl.WsTrimPat}', '', 'g'), '') AS lastmod,
-         |    lower(nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapChangefreqPat)}, 1)")}, '${graft.ops.Crawl.WsTrimPat}', '', 'g'), '')) AS changefreq,
-         |    nullif(regexp_replace(${decodedHrefSql(s"regexp_extract(entry, ${sqlStr(graft.ops.Crawl.SitemapPriorityPat)}, 1)")}, '${graft.ops.Crawl.WsTrimPat}', '', 'g'), '') AS pr
-         |  FROM smf),
-         |smp AS (SELECT doc_id, is_index, loc_idx, loc, lastmod, changefreq,
-         |    CASE WHEN pr IS NOT NULL AND regexp_matches(pr, '${graft.ops.Crawl.SitemapPriorityNumPat}')
-         |         THEN CAST(pr AS DOUBLE) END AS priority
-         |  FROM smd),
-         |${urlCanonCtes("sc", "smp", "loc", "doc_id, loc_idx, is_index, lastmod, changefreq, priority")}
-         |SELECT doc_id, loc_idx, _rawurl AS loc, canon_url AS url, host, is_index,
+         |${sitemapEntryCtes("sm0")}
+         |SELECT doc_id, loc_idx, loc, url, host, is_index,
          |  lastmod, changefreq, priority
-         |FROM sc""".stripMargin,
+         |FROM sme""".stripMargin,
+    "q_sitemap_tree" ->
+      // twin of Crawl.sitemapTree: the entry chain over the TREE doc
+      // set, self-URL canonicalization, index edges resolved against
+      // fetched docs, then the recursive simple-chain walk (path list
+      // = the cycle guard, depth < 5 = the maxDepth bound) and the
+      // per-(chain, entry) provenance join
+      s"""WITH RECURSIVE sm0 AS (SELECT doc_id, $SitemapSelfUrlSql AS url, $SitemapTextSql AS text FROM documents
+         |    UNION ALL SELECT * FROM (VALUES ${SitemapTreeRows.map { case (id, u, t) => s"($id, ${sqlStr(u)}, ${sqlStr(t)})" }.mkString(", ")}) AS u(doc_id, url, text)),
+         |${sitemapEntryCtes("sm0")},
+         |${urlCanonCtes("sv", "sm0", "url", "doc_id")},
+         |svx AS MATERIALIZED (SELECT doc_id, canon_url FROM sv),
+         |selfs AS MATERIALIZED (SELECT canon_url AS self_url, min(doc_id) AS doc_id
+         |  FROM svx WHERE canon_url IS NOT NULL GROUP BY canon_url),
+         |names AS MATERIALIZED (SELECT doc_id,
+         |  coalesce(canon_url, CAST(doc_id AS VARCHAR)) AS name FROM svx),
+         |edges AS MATERIALIZED (SELECT DISTINCT e.doc_id AS src, s.doc_id AS child
+         |  FROM sme e JOIN selfs s ON s.self_url = e.url WHERE e.is_index),
+         |roots AS MATERIALIZED (SELECT DISTINCT m.doc_id FROM sm0 m
+         |  WHERE m.doc_id NOT IN (SELECT child FROM edges)),
+         |chains AS (
+         |  SELECT r.doc_id, CAST(0 AS INTEGER) AS depth, [r.doc_id] AS path_ids, n.name AS path
+         |    FROM roots r JOIN names n ON n.doc_id = r.doc_id
+         |  UNION ALL
+         |  SELECT e.child, c.depth + 1, list_append(c.path_ids, e.child), c.path || ' > ' || n.name
+         |    FROM chains c JOIN edges e ON e.src = c.doc_id JOIN names n ON n.doc_id = e.child
+         |    WHERE NOT list_contains(c.path_ids, e.child) AND c.depth < 5)
+         |SELECT c.path_ids[1] AS root_doc_id, c.doc_id, c.depth, c.path,
+         |  e.loc_idx, e.loc, e.url, e.host, e.is_index,
+         |  CASE WHEN e.is_index THEN s.doc_id END AS child_doc_id,
+         |  e.lastmod, e.changefreq, e.priority
+         |FROM chains c
+         |JOIN sme e ON e.doc_id = c.doc_id
+         |LEFT JOIN selfs s ON s.self_url = e.url""".stripMargin,
     "q_robots_rules" ->
       // twin of Robots.robotsRules over the probe robots bodies: the
       // same split/extract/trim chain, patterns interpolated from the

@@ -1752,6 +1752,125 @@ object Crawl {
         col("is_index"), col("lastmod"), col("changefreq"), col("priority"))
   }
 
+  /** Transitive resolution of the sitemap-index tree over the FETCHED
+    * corpus — `<sitemapindex>` files name child sitemaps
+    * ([[sitemapUrls]] flags them `is_index`); when those children's
+    * bodies are already in the corpus the engine resolves the tree
+    * itself instead of every crawl loop re-implementing the fixpoint
+    * (the [[crawlDepth]] iteration shape). Input `(doc_id, url, text)`
+    * — each fetched sitemap body with the URL it was fetched from;
+    * `loc` entries resolve to children by CANONICAL-URL equality
+    * (both sides through [[canonicalizeUrl]], so escaping/tracking
+    * -param/host-case noise never breaks the match).
+    *
+    * Output: one row per (index CHAIN, URL entry) — every entry of
+    * every sitemap doc reached from a ROOT, with its provenance:
+    * `(root_doc_id, doc_id, depth, path, loc_idx, loc, url, host,
+    * is_index, child_doc_id, lastmod, changefreq, priority)`. `path`
+    * is the canonical-URL chain `root > … > doc` that produced the
+    * row (`depth` its hop count, root = 0); `child_doc_id` is — for
+    * `is_index` entries only — the fetched doc the loc resolves to
+    * (NULL = the child still needs fetching, i.e. the row IS the
+    * fetch-queue entry). Roots are the docs no fetched index names
+    * (in-degree 0): a real crawl enters the tree from a robots.txt
+    * `Sitemap:` directive or a seed list, both of which land here.
+    * An orphan cycle with no entry point is reachable from nowhere
+    * and correctly absent.
+    *
+    * Termination is structural, twice over: a chain never revisits a
+    * doc already on its own path (simple-path constraint — the cycle
+    * guard; a cyclic `<sitemapindex>` pair terminates with the back
+    * edge still visible as an entry row whose `child_doc_id` points
+    * backward), and `maxDepth` bounds chain length (sitemaps.org
+    * nests one level; 5 covers real trees with slack). On the
+    * tree-shaped data the standard prescribes, chains are unique per
+    * doc — the enumeration is corpus-sized, not combinatorial.
+    *
+    * Scale shape: per wave, one equi-join of the shrinking frontier
+    * against the index EDGE set (edges = index entries resolved
+    * against the doc-sized self-URL table — both doc-sized, never
+    * body-sized), each wave materialized so lineage stays one wave
+    * deep ([[crawlDepth]]'s discipline); the final join attaches
+    * body-sized entries ONCE, after the fixpoint. */
+  def sitemapTree(
+      sitemaps: DataFrame,
+      maxDepth: Int = 5,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : DataFrame = {
+    require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
+    // canonical self-URL -> fetched doc (dup fetches of one URL: min
+    // doc_id wins, deterministically)
+    val selfs = graft.core.Materialize(
+      sitemaps.select(col("doc_id"), canonicalizeUrl(col("url")).as("self_url"))
+        .where(col("self_url").isNotNull)
+        .groupBy(col("self_url")).agg(min(col("doc_id")).as("doc_id")),
+      mat)
+    val entries = graft.core.Materialize(sitemapUrls(sitemaps), mat)
+    // index edges: src doc -> FETCHED child doc (unfetched locs stay
+    // out of the walk; they surface as child_doc_id NULL rows)
+    val edges = graft.core.Materialize(
+      entries.where(col("is_index"))
+        .select(col("doc_id").as("src"), col("url"))
+        .join(selfs.select(col("self_url").as("url"), col("doc_id").as("child")),
+          Seq("url"))
+        .select(col("src"), col("child")).distinct(),
+      mat)
+    val names = graft.core.Materialize(
+      sitemaps.select(col("doc_id"),
+        coalesce(canonicalizeUrl(col("url")), col("doc_id").cast("string"))
+          .as("name")),
+      mat)
+    val roots = sitemaps.select(col("doc_id")).distinct()
+      .join(edges.select(col("child").as("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    var chains = graft.core.Materialize(
+      roots.join(names, Seq("doc_id"))
+        .select(col("doc_id"), lit(0).as("depth"),
+          array(col("doc_id")).as("path_ids"), col("name").as("path")),
+      mat)
+    var frontier = chains
+    var k = 1
+    var exhausted = frontier.limit(1).count() == 0L
+    while (k <= maxDepth && !exhausted) {
+      val next = graft.core.Materialize(
+        frontier.select(col("doc_id").as("src"), col("depth"),
+            col("path_ids"), col("path"))
+          .join(edges, Seq("src"))
+          .where(!array_contains(col("path_ids"), col("child")))
+          .join(names.select(col("doc_id").as("child"), col("name").as("child_name")),
+            Seq("child"))
+          .select(col("child").as("doc_id"), (col("depth") + 1).as("depth"),
+            concat(col("path_ids"), array(col("child"))).as("path_ids"),
+            concat_ws(" > ", col("path"), col("child_name")).as("path")),
+        mat)
+      if (next.limit(1).count() == 0L) {
+        graft.core.Materialize.release(next, mat)
+        exhausted = true
+      } else {
+        val grown = graft.core.Materialize(chains.unionByName(next), mat)
+        grown.limit(1).count() // force before releasing what it read
+        if (frontier ne chains) graft.core.Materialize.release(frontier, mat)
+        graft.core.Materialize.release(chains, mat)
+        chains = grown
+        frontier = next
+        k += 1
+      }
+    }
+    val out = chains
+      .select(element_at(col("path_ids"), 1).as("root_doc_id"), col("doc_id"),
+        col("depth"), col("path"))
+      .join(entries, Seq("doc_id"))
+      .join(selfs.select(col("self_url").as("url"), col("doc_id").as("child_doc_id")),
+        Seq("url"), "left")
+      .select(col("root_doc_id"), col("doc_id"), col("depth"), col("path"),
+        col("loc_idx"), col("loc"), col("url"), col("host"), col("is_index"),
+        when(col("is_index"), col("child_doc_id")).as("child_doc_id"),
+        col("lastmod"), col("changefreq"), col("priority"))
+    graft.core.Materialize.release(edges, mat)
+    graft.core.Materialize.release(names, mat)
+    out
+  }
+
   /** The complete next-fetch list in ONE call — the crawl loop's
     * output artifact: frontier candidates (unseen, ref-counted) that
     * robots ALLOW, capped to the top `perHostCap` per host AFTER the

@@ -928,6 +928,68 @@ class CrawlSpec extends SparkSpec {
       "probePartitionsPerShard must not change the frontier")
   }
 
+  test("sitemapTree: 2-level index resolves transitively; cycles terminate with the back edge visible; unfetched children queue") {
+    // R (root index) -> C1 (urlset), C2 (index), U (unfetched)
+    // C2 -> C3 (urlset), C3 -> C2 (back edge: cycle)
+    // S: standalone urlset nobody names (its own root)
+    val sm = Seq(
+      (1L, "https://example.org/sitemap.xml",
+        "<sitemapindex><sitemap><loc>https://example.org/c1.xml</loc></sitemap>" +
+          "<sitemap><loc>https://example.org/c2.xml</loc></sitemap>" +
+          "<sitemap><loc>https://example.org/unfetched.xml</loc></sitemap></sitemapindex>"),
+      (2L, "https://example.org/c1.xml",
+        "<urlset><url><loc>https://example.org/page-a</loc></url>" +
+          "<url><loc>https://example.org/page-b</loc></url></urlset>"),
+      (3L, "https://example.org/c2.xml",
+        "<sitemapindex><sitemap><loc>https://example.org/c3.xml</loc></sitemap></sitemapindex>"),
+      (4L, "https://example.org/c3.xml",
+        "<sitemapindex><sitemap><loc>https://example.org/c2.xml</loc></sitemap>" +
+          "<sitemap><loc>https://example.org/c1.xml</loc></sitemap></sitemapindex>"),
+      (5L, "https://other.example.org/map.xml",
+        "<urlset><url><loc>https://other.example.org/solo</loc></url></urlset>"))
+      .toDF("doc_id", "url", "text")
+    val got = Crawl.sitemapTree(sm)
+      .select("root_doc_id", "doc_id", "depth", "path", "url", "is_index", "child_doc_id")
+      .as[(Long, Long, Int, String, String, Boolean, Option[Long])].collect()
+    // roots: 1 (nobody names it) and 5; every other doc is someone's child
+    assert(got.map(_._1).toSet === Set(1L, 5L))
+    // depth-0 rows: R's three index entries + S's one content entry
+    val d0 = got.filter(_._3 === 0)
+    assert(d0.map(_._2).toSet === Set(1L, 5L))
+    // R's c1/c2 entries resolve to fetched docs; unfetched stays NULL (the fetch queue)
+    val rRows = got.filter(r => r._2 === 1L)
+    assert(rRows.map(r => r._5 -> r._7).toMap === Map(
+      "https://example.org/c1.xml" -> Some(2L),
+      "https://example.org/c2.xml" -> Some(3L),
+      "https://example.org/unfetched.xml" -> None))
+    // 2-level: C1's content pages reached at depth 1 via R
+    val c1 = got.filter(r => r._2 === 2L && r._3 === 1)
+    assert(c1.map(_._5).toSet ===
+      Set("https://example.org/page-a", "https://example.org/page-b"))
+    assert(c1.forall(r => r._1 === 1L &&
+      r._4 === "https://example.org/sitemap.xml > https://example.org/c1.xml"))
+    // cycle terminates: C3 reached once via R > C2 > C3 (depth 2); its
+    // back edge to C2 is VISIBLE as an entry row resolving to doc 3,
+    // but no chain extends through it (no depth-3 repeat of C2)
+    val c3 = got.filter(r => r._2 === 4L)
+    assert(c3.map(_._5).toSet ===
+      Set("https://example.org/c2.xml", "https://example.org/c1.xml"))
+    assert(c3.forall(_._3 === 2))
+    assert(c3.find(_._5 === "https://example.org/c2.xml").get._7 === Some(3L))
+    assert(!got.exists(r => r._2 === 3L && r._3 > 1),
+      "the cycle must not re-enter C2 beyond its first reach")
+    // but C1 IS legitimately reached a second way (R > C2 > C3 > C1):
+    // two distinct simple chains, two provenance rows per entry
+    assert(got.filter(r => r._2 === 2L).map(_._4).toSet === Set(
+      "https://example.org/sitemap.xml > https://example.org/c1.xml",
+      "https://example.org/sitemap.xml > https://example.org/c2.xml > " +
+        "https://example.org/c3.xml > https://example.org/c1.xml"))
+    // maxDepth guard: depth 1 cuts the walk after the first hop
+    val shallow = Crawl.sitemapTree(sm, maxDepth = 1)
+      .select("doc_id").as[Long].collect().toSet
+    assert(shallow === Set(1L, 2L, 3L, 5L))
+  }
+
   test("ShardedBloomSet: per-shard lazy residency — probing one shard materializes ONLY that shard") {
     import org.apache.spark.util.sketch.BloomFilter
     val shardBytes = (0 until 4).map { s =>
