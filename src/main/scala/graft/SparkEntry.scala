@@ -44,6 +44,39 @@ object SparkEntry {
        |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), '' ORDER BY doc_id)) AS content_md5
        |FROM c GROUP BY pack_bucket, shard_in_bucket""".stripMargin
 
+  /** Twin of TextAnalysis.tokenDrift(buckets=1024): hashed-unigram
+    * KL/JS with add-one smoothing over the full bucket domain;
+    * per-bucket terms rounded 12dp into DECIMAL(28,12) sums. Shared
+    * by q_token_drift and q_refresh_due (which decides from it). */
+  private lazy val TokenDriftTwin: String =
+    s"""WITH ta AS (SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+           |            FROM (SELECT unnest($TOKS) AS t FROM documents WHERE ($DOMAIN_SQL) = 'web')),
+           |tb AS (SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
+           |       FROM (SELECT unnest($TOKS) AS t FROM documents WHERE ($DOMAIN_SQL) <> 'web')),
+           |ca AS (SELECT b, count(*) AS c FROM ta GROUP BY b),
+           |cb AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
+           |na AS (SELECT count(*) AS n FROM ta),
+           |nb AS (SELECT count(*) AS n FROM tb),
+           |j AS (SELECT d.b, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb, na.n AS na, nb.n AS nb
+           |      FROM (SELECT unnest(range(1024)) AS b) d
+           |      LEFT JOIN ca ON d.b = ca.b LEFT JOIN cb ON d.b = cb.b
+           |      CROSS JOIN na CROSS JOIN nb),
+           |t AS (SELECT na, nb,
+           |        CAST(round(p * ln(p / q), 12) AS DECIMAL(28,12)) AS tab,
+           |        CAST(round(q * ln(q / p), 12) AS DECIMAL(28,12)) AS tba,
+           |        CAST(round(p * ln(p / m), 12) AS DECIMAL(28,12)) AS tjp,
+           |        CAST(round(q * ln(q / m), 12) AS DECIMAL(28,12)) AS tjq
+           |      FROM (SELECT na, nb,
+           |              (ca + 1.0) / (na + 1024) AS p,
+           |              (cb + 1.0) / (nb + 1024) AS q,
+           |              ((ca + 1.0) / (na + 1024) + (cb + 1.0) / (nb + 1024)) / 2 AS m
+           |            FROM j))
+           |SELECT CAST(max(na) AS BIGINT) AS n_tokens_a, CAST(max(nb) AS BIGINT) AS n_tokens_b,
+           |  round(CAST(sum(tab) AS DOUBLE), 6) AS kl_ab,
+           |  round(CAST(sum(tba) AS DOUBLE), 6) AS kl_ba,
+           |  round(CAST(sum(tjp) + sum(tjq) AS DOUBLE) * 0.5, 6) AS js
+           |FROM t""".stripMargin
+
   /** Skewed domain grouping over the flat 20-source corpus (15/4/1
     * sources → web/wiki/books) — the temperature-sampling and
     * epoch-planning queries need unequal group sizes to be
@@ -2279,6 +2312,19 @@ object SparkEntry {
       TextAnalysis.tokenDrift(
         d.filter(col("domain") === "web"), d.filter(col("domain") =!= "web"))
     },
+    "q_refresh_due" -> { (s, dir) =>
+      // drift ACTED ON: the measured divergences against declared
+      // per-artifact thresholds -> refresh-due decisions; the
+      // classifier threshold has no measurement this window and must
+      // decide false, not churn
+      import s.implicits._
+      val d = withDomain(docs(s, dir))
+      val drift = TextAnalysis.tokenDrift(
+        d.filter(col("domain") === "web"), d.filter(col("domain") =!= "web"))
+      val thr = Seq(("index", "js", 0.02), ("index", "kl_ab", 10.0),
+        ("classifier", "auc_drop", 0.05)).toDF("artifact", "metric", "threshold")
+      TextAnalysis.refreshDue(TextAnalysis.driftRefreshSignals(drift, "index"), thr)
+    },
     "q_bpe_train" -> ((s, dir) => Bpe.train(docs(s, dir), BPE_MERGES)),
     "q_bpe_tokens" -> { (s, dir) =>
       // trains its own merge table inline (oracle shape), then serves —
@@ -3450,37 +3496,20 @@ object SparkEntry {
          |  CAST(length(text) AS INTEGER) AS n_chars,
          |  CAST(len(ts) AS DOUBLE) / length(text) AS tokens_per_char
          |FROM (SELECT doc_id, text, $TOKS AS ts FROM documents)""".stripMargin,
-    "q_token_drift" ->
-      // twin of TextAnalysis.tokenDrift(buckets=1024): hashed-unigram
-      // KL/JS with add-one smoothing over the full bucket domain;
-      // per-bucket terms rounded 12dp into DECIMAL(28,12) sums
-      s"""WITH ta AS (SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
-         |            FROM (SELECT unnest($TOKS) AS t FROM documents WHERE ($DOMAIN_SQL) = 'web')),
-         |tb AS (SELECT CAST(('0x' || substr(md5(t), 1, 8)) AS BIGINT) % 1024 AS b
-         |       FROM (SELECT unnest($TOKS) AS t FROM documents WHERE ($DOMAIN_SQL) <> 'web')),
-         |ca AS (SELECT b, count(*) AS c FROM ta GROUP BY b),
-         |cb AS (SELECT b, count(*) AS c FROM tb GROUP BY b),
-         |na AS (SELECT count(*) AS n FROM ta),
-         |nb AS (SELECT count(*) AS n FROM tb),
-         |j AS (SELECT d.b, coalesce(ca.c, 0) AS ca, coalesce(cb.c, 0) AS cb, na.n AS na, nb.n AS nb
-         |      FROM (SELECT unnest(range(1024)) AS b) d
-         |      LEFT JOIN ca ON d.b = ca.b LEFT JOIN cb ON d.b = cb.b
-         |      CROSS JOIN na CROSS JOIN nb),
-         |t AS (SELECT na, nb,
-         |        CAST(round(p * ln(p / q), 12) AS DECIMAL(28,12)) AS tab,
-         |        CAST(round(q * ln(q / p), 12) AS DECIMAL(28,12)) AS tba,
-         |        CAST(round(p * ln(p / m), 12) AS DECIMAL(28,12)) AS tjp,
-         |        CAST(round(q * ln(q / m), 12) AS DECIMAL(28,12)) AS tjq
-         |      FROM (SELECT na, nb,
-         |              (ca + 1.0) / (na + 1024) AS p,
-         |              (cb + 1.0) / (nb + 1024) AS q,
-         |              ((ca + 1.0) / (na + 1024) + (cb + 1.0) / (nb + 1024)) / 2 AS m
-         |            FROM j))
-         |SELECT CAST(max(na) AS BIGINT) AS n_tokens_a, CAST(max(nb) AS BIGINT) AS n_tokens_b,
-         |  round(CAST(sum(tab) AS DOUBLE), 6) AS kl_ab,
-         |  round(CAST(sum(tba) AS DOUBLE), 6) AS kl_ba,
-         |  round(CAST(sum(tjp) + sum(tjq) AS DOUBLE) * 0.5, 6) AS js
-         |FROM t""".stripMargin,
+    "q_token_drift" -> TokenDriftTwin,
+    "q_refresh_due" ->
+      // twin of TextAnalysis.refreshDue over driftRefreshSignals: the
+      // drift row unpivoted to (artifact, metric, value), left-joined
+      // onto declared thresholds; unmeasured metrics decide false
+      s"""WITH drift AS MATERIALIZED ($TokenDriftTwin),
+         |signals AS (SELECT 'index' AS artifact, 'js' AS metric, js AS value FROM drift
+         |  UNION ALL SELECT 'index', 'kl_ab', kl_ab FROM drift
+         |  UNION ALL SELECT 'index', 'kl_ba', kl_ba FROM drift),
+         |thr AS (SELECT * FROM (VALUES ('index', 'js', 0.02), ('index', 'kl_ab', 10.0),
+         |    ('classifier', 'auc_drop', 0.05)) AS t(artifact, metric, threshold))
+         |SELECT t.artifact, t.metric, s.value, t.threshold,
+         |  coalesce(s.value > t.threshold, false) AS due
+         |FROM thr t LEFT JOIN signals s ON s.artifact = t.artifact AND s.metric = t.metric""".stripMargin,
     "q_bpe_train" ->
       s"""WITH ${BPE_CTES(BPE_MERGES, 2L)}
          |${(1 to BPE_MERGES).map(i =>

@@ -1202,6 +1202,55 @@ object TextAnalysis {
     driftFromCounts(bucketCounts(a, buckets), bucketCounts(b, buckets),
       buckets, a.sparkSession)
 
+  // ---- Drift-triggered artifact refresh --------------------------------
+
+  /** Per-(artifact, metric) refresh decisions: join measured drift
+    * `signals (artifact, metric, value)` onto declared `thresholds
+    * (artifact, metric, threshold)` — `due` iff the measured value
+    * EXCEEDS its threshold; a threshold with no measurement this
+    * window reads `value` NULL, `due` false (no evidence is not
+    * evidence of drift — an artifact must not churn because its
+    * metric didn't run). The missing piece between measuring drift
+    * ([[tokenDrift]], [[graft.ops.WordPiece.unkSignals]]) and the
+    * frozen artifacts that drift invalidates (stored ANN indexes,
+    * tokenizer vocabularies, classifier models): staleness management
+    * becomes an engine decision a stream can record and a scheduler
+    * can act on, instead of policy pushed onto every operator.
+    * Thresholds are artifact-sized (broadcast); one join, no shuffle
+    * of anything corpus-scaled. */
+  def refreshDue(signals: DataFrame, thresholds: DataFrame): DataFrame =
+    broadcast(thresholds.select(col("artifact"), col("metric"), col("threshold")))
+      .join(signals.select(col("artifact"), col("metric"), col("value")),
+        Seq("artifact", "metric"), "left")
+      .select(col("artifact"), col("metric"), col("value"), col("threshold"),
+        coalesce(col("value") > col("threshold"), lit(false)).as("due"))
+
+  /** [[refreshDue]] rolled up per artifact — the actionable row: an
+    * artifact is due iff ANY of its metrics crossed. `(artifact, due,
+    * n_over, n_metrics)`. */
+  def refreshPlan(signals: DataFrame, thresholds: DataFrame): DataFrame =
+    refreshDue(signals, thresholds)
+      .groupBy(col("artifact"))
+      .agg(max(col("due")).as("due"),
+        sum(col("due").cast("long")).as("n_over"),
+        count(lit(1)).as("n_metrics"))
+
+  /** [[tokenDrift]] output (one row: kl_ab/kl_ba/js) as [[refreshDue]]
+    * signal rows for `artifact` — the three divergences unpivoted to
+    * the (artifact, metric, value) grain. */
+  def driftRefreshSignals(drift: DataFrame, artifact: String): DataFrame =
+    drift.select(lit(artifact).as("artifact"), explode(map(
+      lit("kl_ab"), col("kl_ab"), lit("kl_ba"), col("kl_ba"),
+      lit("js"), col("js"))).as(Seq("metric", "value")))
+
+  /** [[graft.ops.WordPiece.unkSignals]] output as [[refreshDue]]
+    * signal rows: one artifact per routing key (`prefix + key`),
+    * metric `unk_rate` — the per-source tokenizer-retrain trigger. */
+  def unkRefreshSignals(unk: DataFrame, keyCol: String = "source",
+      prefix: String = "tokenizer:"): DataFrame =
+    unk.select(concat(lit(prefix), col(keyCol).cast("string")).as("artifact"),
+      lit("unk_rate").as("metric"), col("unk_rate").as("value"))
+
   /** Hashed-unigram bucket counts `(b, c)` for one corpus — the
     * tokenize half of [[tokenDrift]], exposed so callers that ALREADY
     * hold token counts (the streaming watcher's accumulated inverted

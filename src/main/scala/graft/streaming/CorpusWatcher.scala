@@ -444,7 +444,9 @@ object CorpusWatcher {
       frontierDefaultDelay: Double = 1.0,
       distinctDir: Option[String] = None,
       lengthDir: Option[String] = None,
-      honorDirectives: Boolean = false): StreamingQuery = {
+      honorDirectives: Boolean = false,
+      refreshDir: Option[String] = None,
+      refreshThresholds: Option[DataFrame] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -462,6 +464,8 @@ object CorpusWatcher {
     require(frontierDefaultDelay >= 0,
       s"frontierDefaultDelay=$frontierDefaultDelay must be >= 0")
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
+    require(refreshDir.isEmpty || (driftDir.isDefined && refreshThresholds.isDefined),
+      "refreshDir consumes the per-batch drift row: pass driftDir and refreshThresholds with it")
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
     // switches every CONTENT-KEYED stage — band signatures (history +
     // within-batch + append), decontamination shingles, paragraph
@@ -1008,6 +1012,22 @@ object CorpusWatcher {
             graft.ops.TextAnalysis.bucketCounts(content, buckets),
             histCounts, buckets, session)
             .coalesce(1).write.mode("overwrite").parquet(s"$dd/batch_id=$batchId")
+          // drift ACTED ON (`refreshDir`): the batch's divergence row
+          // against declared per-artifact thresholds → the refresh-due
+          // decision, recorded per batch with the same overwrite
+          // replay idempotence as the drift row it consumes (read back
+          // from disk — one row, never a recompute of the drift plan).
+          // Cold-start caveat: batch 0 measures the feed against an
+          // EMPTY history, so its decision says "everything is new",
+          // not "the feed drifted" — schedulers should act from
+          // batch 1 on ([[refreshDecisions]] exposes batch ids).
+          refreshDir.foreach { rd =>
+            graft.ops.TextAnalysis.refreshDue(
+              graft.ops.TextAnalysis.driftRefreshSignals(
+                session.read.parquet(s"$dd/batch_id=$batchId"), "index"),
+              refreshThresholds.get)
+              .coalesce(1).write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
+          }
         }
         val delta =
           if (positional) InvertedIndex.buildPositional(content, idCol = "doc_id")
@@ -1246,6 +1266,18 @@ object CorpusWatcher {
           .withColumn("g", lit(1)), Seq("g")),
       Seq("g"), qs).select("q", "est")
   }
+
+  /** Refresh decisions from a [[startJsonl]] `refreshDir`:
+    * `(batch_id, artifact, metric, value, threshold, due)` — one
+    * decision row per declared threshold per batch. Batch-id-keyed
+    * and per-batch overwritten (replay idempotent); the latest batch's
+    * rows are the CURRENT staleness verdict, the history is the drift
+    * trajectory. Skip batch 0 when the stream started cold — its
+    * comparison baseline was an empty index. */
+  def refreshDecisions(session: SparkSession, dir: String): DataFrame =
+    session.read.parquet(dir)
+      .select(col("batch_id"), col("artifact"), col("metric"),
+        col("value"), col("threshold"), col("due"))
 
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")

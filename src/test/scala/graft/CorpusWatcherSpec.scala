@@ -667,6 +667,49 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(got === want)
   }
 
+  test("refreshDir: a drifted batch flips the due flag; a stable batch doesn't; undeclared metrics stay quiet") {
+    val (watch, index, ckpt, quar, drift, refresh) =
+      (tmp("watchrf"), tmp("indexrf"), tmp("ckptrf"), tmp("quarrf") + "/bad",
+        tmp("driftrf") + "/drift", tmp("refreshrf") + "/refresh")
+    // tiny fixture + 1024-bucket add-one smoothing flattens js to the
+    // 1e-3 scale; the threshold sits between the stable batch's exact
+    // 0.0 and the drifted batch's measured 3.6e-3
+    val thr = Seq(("index", "js", 0.001), ("index", "kl_ab", 1000.0))
+      .toDF("artifact", "metric", "threshold")
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      driftDir = Some(drift), refreshDir = Some(refresh),
+      refreshThresholds = Some(thr)).awaitTermination()
+    // batch 0 seeds the history (cold-start: decided vs the empty index)
+    Files.write(Paths.get(watch, "feed-0.json"),
+      """{"doc_id": 50, "text": "the quick brown fox jumps over the lazy dog again today"}"""
+        .getBytes("UTF-8"))
+    run()
+    // batch 1: the SAME token multiset rearranged (no drift, distinct doc)
+    Files.write(Paths.get(watch, "feed-1.json"),
+      """{"doc_id": 51, "text": "the lazy dog jumps over the quick brown fox again today"}"""
+        .getBytes("UTF-8"))
+    run()
+    val d1 = CorpusWatcher.refreshDecisions(spark, refresh)
+      .filter(col("batch_id") === 1)
+      .select("metric", "value", "due").as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d1.keySet === Set("js", "kl_ab"), "one decision row per declared threshold")
+    assert(d1("js")._1 === 0.0 && !d1("js")._2, "identical distribution must not flip")
+    assert(!d1("kl_ab")._2)
+    // batch 2: disjoint vocabulary — js crosses its threshold, the
+    // sky-high kl_ab threshold still holds (per-metric independence)
+    Files.write(Paths.get(watch, "feed-2.json"),
+      """{"doc_id": 52, "text": "completely different vocabulary regarding astronomy telescopes and galaxies"}"""
+        .getBytes("UTF-8"))
+    run()
+    val d2 = CorpusWatcher.refreshDecisions(spark, refresh)
+      .filter(col("batch_id") === 2)
+      .select("metric", "value", "due").as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d2("js")._1 > 0.001 && d2("js")._2, s"drifted batch must flip: ${d2("js")}")
+    assert(!d2("kl_ab")._2, "the uncrossed threshold must not flip with it")
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")

@@ -1152,4 +1152,35 @@ class TextAnalysisSpec extends SparkSpec {
       .as[(Long, String)].collect().toMap
     assert(kept(1L) === han && kept(2L) === cyr)
   }
+
+  test("refreshDue / refreshPlan: thresholds decide per metric; unmeasured metrics never churn; unk signals route per source") {
+    val signals = Seq(("index", "js", 0.12), ("index", "kl_ab", 0.4))
+      .toDF("artifact", "metric", "value")
+    val thr = Seq(("index", "js", 0.05), ("index", "kl_ab", 1.0),
+      ("classifier", "auc_drop", 0.05)).toDF("artifact", "metric", "threshold")
+    val due = TextAnalysis.refreshDue(signals, thr)
+      .as[(String, String, Option[Double], Double, Boolean)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5))).toMap
+    assert(due(("index", "js")) === ((Some(0.12), true)))
+    assert(due(("index", "kl_ab")) === ((Some(0.4), false)))
+    assert(due(("classifier", "auc_drop")) === ((None, false)),
+      "no measurement must decide false, not churn")
+    val plan = TextAnalysis.refreshPlan(signals, thr)
+      .as[(String, Boolean, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(plan("index") === (("index", true, 1L, 2L)))
+    assert(plan("classifier") === (("classifier", false, 0L, 1L)))
+    // unkSignals -> per-source tokenizer artifacts (the retrain trigger)
+    val unk = graft.ops.WordPiece.unkSignals(
+      Seq(("srcA", "known words only"), ("srcB", "zzzzqqq unknowable")).toDF("source", "text"),
+      vocab = Seq("[UNK]", "known", "words", "only"))
+    val us = TextAnalysis.unkRefreshSignals(unk)
+      .as[(String, String, Option[Double])].collect().map(r => r._1 -> r._3).toMap
+    assert(us("tokenizer:srcA") === Some(0.0))
+    assert(us("tokenizer:srcB") === Some(1.0))
+    val unkThr = Seq(("tokenizer:srcA", "unk_rate", 0.2), ("tokenizer:srcB", "unk_rate", 0.2))
+      .toDF("artifact", "metric", "threshold")
+    val unkPlan = TextAnalysis.refreshPlan(TextAnalysis.unkRefreshSignals(unk), unkThr)
+      .as[(String, Boolean, Long, Long)].collect().map(r => r._1 -> r._2).toMap
+    assert(unkPlan === Map("tokenizer:srcA" -> false, "tokenizer:srcB" -> true))
+  }
 }
