@@ -590,6 +590,17 @@ object SparkEntry {
     }
     r
   }
+  /** The TrustRank host tier, staged for the trust-composed serving
+    * face (q_trust_rank keeps the trainer live). */
+  private def stagedTrustRank(s: SparkSession, dir: String): DataFrame = {
+    val Seq(t) = stagedAnn(s, dir, "trustrank") {
+      import s.implicits._
+      Seq(graft.ops.Crawl.trustRank(
+        graft.ops.Crawl.linkHostEdges(linkPages(s, dir)),
+        TrustSeeds.toDF("node"), iters = 3))
+    }
+    t
+  }
   /** Lineitem + orders written as BUCKETED tables on the order key
     * (16 buckets, bucket-sorted), staged once per (session, sf dir):
     * the layout is a write-once investment — exactly its production
@@ -947,9 +958,10 @@ object SparkEntry {
     * count / outdeg tables, uniform init, and TWO unrolled per-host
     * iterations — the twin of [[graft.ops.Crawl.urlRank]](iters = 2).
     * Final CTE `uur2` (host, node, rank_u). */
-  private val URL_RANK_CTES: String =
-    s"""$LINK_CTES,
-       |uef AS (SELECT l.host AS host, p.canon_url AS src, l.canon_url AS dst
+  /** The url-rank CTE chain WITHOUT the [[LINK_CTES]] prologue — for
+    * twins that combine it with other LINK_CTES-rooted fragments. */
+  private val URL_RANK_TAIL: String =
+    s"""uef AS (SELECT l.host AS host, p.canon_url AS src, l.canon_url AS dst
        |    FROM lc l JOIN pc p USING (doc_id)
        |    WHERE l.canon_url IS NOT NULL AND p.canon_url IS NOT NULL
        |      AND l.host = p.host AND l.canon_url <> p.canon_url),
@@ -964,14 +976,18 @@ object SparkEntry {
        |${urlRankIterCte(1, "uur0")},
        |${urlRankIterCte(2, "uur1")}""".stripMargin
 
+  private val URL_RANK_CTES: String = s"$LINK_CTES,\n$URL_RANK_TAIL"
+
   /** [[LINK_CTES]] + the distinct host edge set, node table and node
     * count — the prologue every graph twin (PageRank, HITS) shares. */
-  private val GRAPH_CTES: String =
-    s"""$LINK_CTES,
-       |eg AS MATERIALIZED (SELECT DISTINCT page_host AS src, host AS dst FROM lc
+  /** The host-graph CTEs WITHOUT the [[LINK_CTES]] prologue. */
+  private val GRAPH_TAIL: String =
+    s"""eg AS MATERIALIZED (SELECT DISTINCT page_host AS src, host AS dst FROM lc
        |    WHERE page_host IS NOT NULL AND host IS NOT NULL AND page_host <> host),
        |nd AS MATERIALIZED (SELECT DISTINCT node FROM (SELECT src AS node FROM eg UNION ALL SELECT dst FROM eg)),
        |nn AS MATERIALIZED (SELECT CAST(count(*) AS DOUBLE) AS n_nodes FROM nd)""".stripMargin
+
+  private val GRAPH_CTES: String = s"$LINK_CTES,\n$GRAPH_TAIL"
 
   private val RANK_CTES: String =
     s"""$GRAPH_CTES,
@@ -1068,9 +1084,9 @@ object SparkEntry {
        |      ELSE CAST(round(CAST(0.85 AS DOUBLE) * CAST(coalesce(i.inb_u, 0) AS DOUBLE), 0) AS BIGINT) END AS rank_u
        |    FROM nd n LEFT JOIN tinb$k i ON i.dst = n.node LEFT JOIN sd s ON s.node = n.node CROSS JOIN tdang$k d CROSS JOIN ns)""".stripMargin
 
-  private val TRUST_CTES: String =
-    s"""$GRAPH_CTES,
-       |od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM eg GROUP BY src),
+  /** The seeded trust iteration WITHOUT the graph prologue. */
+  private val TRUST_TAIL: String =
+    s"""od AS MATERIALIZED (SELECT src, CAST(count(*) AS DOUBLE) AS outdeg FROM eg GROUP BY src),
        |sd AS MATERIALIZED (SELECT node FROM nd WHERE node IN (${TrustSeeds.map(s => s"'$s'").mkString(", ")})),
        |ns AS (SELECT CAST(count(*) AS DOUBLE) AS n_seeds FROM sd),
        |t0 AS MATERIALIZED (SELECT n.node,
@@ -1080,6 +1096,8 @@ object SparkEntry {
        |${trustIterCte(1, "t0")},
        |${trustIterCte(2, "t1")},
        |${trustIterCte(3, "t2")}""".stripMargin
+
+  private val TRUST_CTES: String = s"$GRAPH_CTES,\n$TRUST_TAIL"
 
   /** One HITS iteration (twin of [[graft.ops.Crawl.hits]]' two
     * half-steps): authority from hubs then hubs from authorities,
@@ -2599,6 +2617,14 @@ object SparkEntry {
         stagedUrlRank2(s, dir),
         RankPriorRows.toDF("node", "rank"))
     }),
+    // the anti-spam frontier ordering a real crawl wants: the SEEDED
+    // trust tier (not raw popularity) composed under each host's URL
+    // rank — spam islands carry exactly 0 trust, so every island URL
+    // scores exactly 0 no matter its intra-host rank
+    "q_trust_rank_composed" -> ((s, dir) =>
+      graft.ops.Crawl.urlRankComposed(
+        stagedUrlRank2(s, dir),
+        stagedTrustRank(s, dir).select(col("node"), col("trust").as("rank")))),
     // weakly-connected host components (mirror/link-farm constellations)
     "q_host_components" -> ((s, dir) =>
       graft.ops.Crawl.hostComponents(graft.ops.Crawl.linkHostEdges(linkPages(s, dir)))),
@@ -2626,6 +2652,27 @@ object SparkEntry {
       graft.ops.Crawl.crawlFrontier(linkPages(s, dir), stagedRank3(s, dir),
         perHostCap = 5)),
     // sitemap <loc> extraction + canonicalization (frontier seeds)
+    "q_wet_roundtrip" -> { (s, dir) =>
+      // the archive hand-off under the gate: docs -> WET shards on
+      // disk (plain AND per-record-gzip) -> read back -> per-doc
+      // manifest (id, url, date, octet length, content md5). The twin
+      // computes the same manifest straight from the parquet table,
+      // so any write- or read-side corruption hash-mismatches here.
+      val d = docs(s, dir).select(col("doc_id"), expr(CrawlUrlSql).as("url"),
+        lit("2025-06-01T00:00:00Z").as("fetched_at"), col("text"))
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_wet_$procNonce"
+      graft.sources.Warc.writeConversions(d.repartition(8), s"$base/plain")
+      graft.sources.Warc.writeConversions(d.repartition(8), s"$base/gz", gz = true)
+      def manifest(codec: String, back: DataFrame): DataFrame =
+        back.select(lit(codec).as("codec"),
+          col("doc_id").cast("long").as("doc_id"), col("url"),
+          col("fetched_at"),
+          octet_length(coalesce(col("text"), lit(""))).cast("long").as("n_octets"),
+          md5(coalesce(col("text"), lit(""))).as("content_md5"))
+      manifest("plain", graft.sources.Warc.readConversions(s, s"$base/plain"))
+        .unionByName(
+          manifest("gz", graft.sources.Warc.readConversions(s, s"$base/gz", gz = true)))
+    },
     "q_sitemap_urls" -> ((s, dir) => graft.ops.Crawl.sitemapUrls(sitemapDocs(s, dir))),
     // the sitemap-index tree resolved transitively over fetched bodies:
     // simple-chain walk with cycle guard, per-(chain, entry) provenance,
@@ -4332,6 +4379,18 @@ object SparkEntry {
          |  coalesce(h.rank, CAST(0.0 AS DOUBLE)) AS host_rank,
          |  (CAST(u.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE)) * coalesce(h.rank, CAST(0.0 AS DOUBLE)) AS score
          |FROM uur2 u LEFT JOIN hpr h ON h.node = u.host""".stripMargin,
+    "q_trust_rank_composed" ->
+      // twin of urlRankComposed over the TRUST tier: the url-rank and
+      // trust chains share one LINK_CTES prologue, then one left join,
+      // score = url_rank · trust (absent/zero-trust host = 0.0)
+      s"""WITH $URL_RANK_CTES,
+         |$GRAPH_TAIL,
+         |$TRUST_TAIL
+         |SELECT u.host, u.node AS url,
+         |  CAST(u.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE) AS url_rank,
+         |  coalesce(CAST(t.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS host_rank,
+         |  (CAST(u.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE)) * coalesce(CAST(t.rank_u AS DOUBLE) / CAST(1000000000000 AS DOUBLE), CAST(0.0 AS DOUBLE)) AS score
+         |FROM uur2 u LEFT JOIN t3 t ON t.node = u.host""".stripMargin,
     "q_host_components" ->
       // twin of Crawl.hostComponents: the CLUSTER_CTES recursive-reach
       // pattern over the undirected host edge set; min label = the
@@ -4565,6 +4624,15 @@ object SparkEntry {
          |SELECT url, n_fetches, n_changes, last_fetch, unchanged_streak,
          |  interval_sec, last_fetch + interval_sec AS next_fetch_at, seeded
          |FROM sel""".stripMargin,
+    "q_wet_roundtrip" ->
+      // twin of the WET write->read manifest, computed from the
+      // parquet table directly: the round-trip must be byte-lossless
+      // for id, url, date and text (octets + md5), per codec
+      s"""SELECT c.codec, d.doc_id, $CrawlUrlSql AS url,
+         |  '2025-06-01T00:00:00Z' AS fetched_at,
+         |  CAST(strlen(coalesce(d.text, '')) AS BIGINT) AS n_octets,
+         |  md5(coalesce(d.text, '')) AS content_md5
+         |FROM documents d CROSS JOIN (VALUES ('plain'), ('gz')) AS c(codec)""".stripMargin,
     "q_sitemap_urls" ->
       // twin of Crawl.sitemapUrls: url/sitemap BLOCK extraction (the
       // entry pattern excludes the urlset/sitemapindex roots by the

@@ -928,6 +928,41 @@ class CrawlSpec extends SparkSpec {
       "probePartitionsPerShard must not change the frontier")
   }
 
+  test("trust-composed frontier: spam-island hosts carry zero trust into ordering; island URLs score exactly 0") {
+    // trusted cluster: seed t -> a -> t (mutual); spam island: s1 <-> s2
+    // (nothing trusted links in). Both clusters also emit unseen
+    // candidate links — the frontier must order them by TRUST, not
+    // popularity (the island is as "popular" as the cluster).
+    val pages = Seq(
+      (1L, "https://t.example.org/p",
+        "<a href=\"https://a.example.org/p\">a</a><a href=\"https://a.example.org/new\">n</a>"),
+      (2L, "https://a.example.org/p",
+        "<a href=\"https://t.example.org/p\">t</a><a href=\"https://t.example.org/new\">n</a>"),
+      (3L, "https://s1.example.org/p",
+        "<a href=\"https://s2.example.org/p\">s</a><a href=\"https://s2.example.org/new\">n</a>"),
+      (4L, "https://s2.example.org/p",
+        "<a href=\"https://s1.example.org/p\">s</a><a href=\"https://s1.example.org/new\">n</a>"))
+      .toDF("doc_id", "url", "text")
+    val trust = Crawl.trustRank(
+      Crawl.linkHostEdges(pages), Seq("t.example.org").toDF("node"), iters = 3)
+    val tier = trust.select(col("node"), col("trust").as("rank"))
+    // frontier under the trust prior: island candidates rank 0.0
+    val fr = Crawl.crawlFrontier(pages, tier, perHostCap = 5)
+      .select("link_host", "domain_rank").as[(String, Double)].collect()
+    val byHost = fr.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(byHost("s1.example.org") === Set(0.0) && byHost("s2.example.org") === Set(0.0),
+      s"spam-island candidates must carry zero trust: $byHost")
+    assert(byHost("t.example.org").head > 0 && byHost("a.example.org").head > 0)
+    // composed per-URL face: every island URL scores exactly 0
+    // regardless of its intra-host rank; trusted-cluster URLs don't
+    val comp = Crawl.urlRankComposed(Crawl.urlRank(pages, iters = 2), tier)
+      .select("host", "url_rank", "score").as[(String, Double, Double)].collect()
+    comp.filter(r => r._1.startsWith("s")).foreach { r =>
+      assert(r._2 > 0 && r._3 === 0.0, s"island URL must score exactly 0: $r")
+    }
+    assert(comp.filter(r => r._1 == "t.example.org").forall(_._3 > 0))
+  }
+
   test("sitemapTree: 2-level index resolves transitively; cycles terminate with the back edge visible; unfetched children queue") {
     // R (root index) -> C1 (urlset), C2 (index), U (unfetched)
     // C2 -> C3 (urlset), C3 -> C2 (back edge: cycle)
