@@ -2434,6 +2434,21 @@ object SparkEntry {
       graft.ops.WordPiece.fertility(d,
         graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)))
     },
+    "q_tokenizer_compare" -> { (s, dir) =>
+      // artifacts compared AS ARTIFACTS: train both families, ship
+      // both single-file models, then audit the stored files against
+      // each other over the corpus (inventory overlap + measured fit)
+      val d = docs(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tokcmp_$procNonce"
+      graft.ops.TokenizerIO.exportBpe(s,
+        graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)),
+        s"$base/bpe.json")
+      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+      graft.ops.TokenizerIO.exportWordPiece(s,
+        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
+        s"$base/wp.json")
+      graft.ops.TokenizerIO.compare(s, s"$base/bpe.json", s"$base/wp.json", d)
+    },
     "q_wordpiece_unk" -> { (s, dir) =>
       // the published BERT failure mode, measured: an ASCII-trained
       // vocabulary serving the multilingual-augmented corpus — the
@@ -3679,6 +3694,37 @@ object SparkEntry {
          |       ELSE round(CAST(coalesce(sum(e.n), 0) AS DOUBLE) / count(wtr.word), 6) END AS fertility
          |FROM wtr LEFT JOIN wpe e ON wtr.word = e.word
          |GROUP BY wtr.source""".stripMargin,
+    "q_tokenizer_compare" ->
+      // twin of TokenizerIO.compare(bpe, wordpiece): both training
+      // chains share the corpus; piece sets = BPE merge outputs vs the
+      // wpv vocab; overlap on ##-normalized pieces; corpus-level
+      // fertility from each family's serving table
+      s"""WITH RECURSIVE ${BPE_CTES(BPE_MERGES, 2L)},
+         |${WORDPIECE_CTES(WP_MERGES, 2L)},
+         |${WORDPIECE_SERVE_CTES(WP_MERGES, TOKEN_ROWS)},
+         |tkpa AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |  ${(1 to BPE_MERGES).map(i => s"SELECT a || b AS piece FROM m$i").mkString("\n  UNION ALL ")})),
+         |tkpb AS MATERIALIZED (SELECT DISTINCT piece FROM wpv),
+         |tkna AS (SELECT DISTINCT piece AS np FROM tkpa),
+         |tknb AS (SELECT DISTINCT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS np FROM tkpb),
+         |tksh AS (SELECT CAST(count(*) AS BIGINT) AS shared FROM (SELECT np FROM tkna INTERSECT SELECT np FROM tknb)),
+         |tkun AS (SELECT CAST(count(*) AS BIGINT) AS u FROM (SELECT np FROM tkna UNION SELECT np FROM tknb)),
+         |tkenc AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w$BPE_MERGES),
+         |tktr AS MATERIALIZED (SELECT t.word FROM documents d LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id),
+         |tkfa AS (SELECT CASE WHEN count(tktr.word) = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(sum(e.np), 0) AS DOUBLE) / count(tktr.word), 6) END AS fertility_a
+         |  FROM tktr LEFT JOIN tkenc e ON tktr.word = e.word),
+         |tkfb AS (SELECT CASE WHEN count(tktr.word) = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(sum(e.n), 0) AS DOUBLE) / count(tktr.word), 6) END AS fertility_b
+         |  FROM tktr LEFT JOIN wpe e ON tktr.word = e.word)
+         |SELECT 'bpe' AS family_a, 'wordpiece' AS family_b,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tkpa) AS n_pieces_a,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM tkpb) AS n_pieces_b,
+         |  tksh.shared AS shared_pieces,
+         |  CASE WHEN tkun.u = 0 THEN CAST(0.0 AS DOUBLE)
+         |       ELSE round(CAST(tksh.shared AS DOUBLE) / tkun.u, 6) END AS jaccard,
+         |  tkfa.fertility_a, tkfb.fertility_b
+         |FROM tksh CROSS JOIN tkun CROSS JOIN tkfa CROSS JOIN tkfb""".stripMargin,
     "q_wordpiece_unk" ->
       // twin of WordPiece.unkSignals over the multilingual-augmented
       // corpus: the vocab stays ASCII-trained (wp0 reads TOKEN_ROWS),

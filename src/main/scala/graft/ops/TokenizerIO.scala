@@ -98,21 +98,34 @@ object TokenizerIO {
     m.configure(
       com.fasterxml.jackson.databind.DeserializationFeature.USE_BIG_DECIMAL_FOR_FLOATS, true)
     val root = m.readTree(readFile(spark, path))
+    require(root != null && !root.isMissingNode,
+      s"$path: empty or unparseable tokenizer artifact")
     val got = Option(root.get("family")).map(_.asText()).getOrElse("<absent>")
     require(got == family,
       s"$path holds a '$got' tokenizer, expected '$family'")
     root
   }
 
+  /** The named member, or a loud error naming the path and field —
+    * a malformed artifact must fail like the family mismatch does,
+    * never as a bare NullPointerException three calls later. */
+  private def member(root: com.fasterxml.jackson.databind.JsonNode,
+      path: String, field: String): com.fasterxml.jackson.databind.JsonNode = {
+    val n = root.get(field)
+    require(n != null && !n.isNull,
+      s"$path: tokenizer artifact is missing the '$field' member")
+    n
+  }
+
   /** Ordered merge list, servable by [[Bpe.encodeFast]]. */
   def importBpe(spark: SparkSession, path: String): Seq[(String, String)] = {
-    val arr = parse(spark, path, "bpe").get("merges")
+    val arr = member(parse(spark, path, "bpe"), path, "merges")
     (0 until arr.size).map(i => (arr.get(i).get(0).asText(), arr.get(i).get(1).asText()))
   }
 
   /** (piece, micro-log-prob) list, servable by [[Unigram.encodeFast]]. */
   def importUnigram(spark: SparkSession, path: String): Seq[(String, Long)] = {
-    val arr = parse(spark, path, "unigram").get("pieces")
+    val arr = member(parse(spark, path, "unigram"), path, "pieces")
     (0 until arr.size).map { i =>
       val e = arr.get(i)
       (e.get(0).asText(),
@@ -124,7 +137,73 @@ object TokenizerIO {
   /** (vocab, unk), servable by [[WordPiece.encodeFast]]. */
   def importWordPiece(spark: SparkSession, path: String): (Seq[String], String) = {
     val root = parse(spark, path, "wordpiece")
-    val arr = root.get("vocab")
-    ((0 until arr.size).map(arr.get(_).asText()), root.get("unk").asText())
+    val arr = member(root, path, "vocab")
+    ((0 until arr.size).map(arr.get(_).asText()),
+      member(root, path, "unk").asText())
+  }
+
+  /** Family tag of a stored artifact — sniffed from the file, so the
+    * cross-family faces never assume what a path holds. */
+  def familyOf(spark: SparkSession, path: String): String = {
+    val m = new com.fasterxml.jackson.databind.ObjectMapper()
+    val root = m.readTree(readFile(spark, path))
+    require(root != null && !root.isMissingNode,
+      s"$path: empty or unparseable tokenizer artifact")
+    member(root, path, "family").asText()
+  }
+
+  /** Cross-family audit of two STORED artifacts over one corpus — the
+    * model-selection face the completed triad was missing: load both
+    * files (any of the three families, sniffed), compare their piece
+    * INVENTORIES and their measured FIT. One row: `(family_a,
+    * family_b, n_pieces_a, n_pieces_b, shared_pieces, jaccard,
+    * fertility_a, fertility_b)`.
+    *
+    * Piece sets are what each artifact SHIPS (bpe: distinct merge
+    * outputs — the learned units; unigram: pieces; wordpiece: vocab).
+    * Overlap and jaccard compare continuation-NORMALIZED pieces
+    * (leading `##` stripped) so WordPiece's position marking doesn't
+    * mask real inventory agreement; the n_pieces counts stay raw.
+    * Fertility is corpus-level (tokens per word) under each
+    * artifact's own serving encoder — lower fits this corpus better.
+    *
+    * Scale stance: artifacts are KB-sized, so the piece algebra is
+    * driver-side set arithmetic; the two fertility scans are the only
+    * corpus passes, each one combinable aggregate. */
+  def compare(spark: SparkSession, pathA: String, pathB: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    def piecesOf(path: String): (String, Seq[String]) = familyOf(spark, path) match {
+      case "bpe" => ("bpe", importBpe(spark, path).map { case (a, b) => a + b }.distinct)
+      case "unigram" => ("unigram", importUnigram(spark, path).map(_._1).distinct)
+      case "wordpiece" => ("wordpiece", importWordPiece(spark, path)._1.distinct)
+      case f => throw new IllegalArgumentException(s"$path: unsupported family '$f'")
+    }
+    def fert(path: String, family: String): org.apache.spark.sql.DataFrame = {
+      val d = docs.withColumn("__all", lit("all"))
+      (family match {
+        case "bpe" => Bpe.fertility(d, importBpe(spark, path), sourceCol = "__all")
+        case "unigram" => Unigram.fertility(d, importUnigram(spark, path), sourceCol = "__all")
+        case _ =>
+          WordPiece.fertility(d, importWordPiece(spark, path)._1, sourceCol = "__all")
+      }).select(col("fertility"))
+    }
+    val (famA, pa) = piecesOf(pathA)
+    val (famB, pb) = piecesOf(pathB)
+    def norm(p: String): String = if (p.startsWith("##")) p.substring(2) else p
+    val na = pa.map(norm).toSet
+    val nb = pb.map(norm).toSet
+    val shared = (na & nb).size.toLong
+    val union = (na | nb).size
+    val jaccard =
+      if (union == 0) 0.0
+      else BigDecimal(shared.toDouble / union)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    Seq((famA, famB, pa.size.toLong, pb.size.toLong, shared, jaccard))
+      .toDF("family_a", "family_b", "n_pieces_a", "n_pieces_b",
+        "shared_pieces", "jaccard")
+      .crossJoin(fert(pathA, famA).select(col("fertility").as("fertility_a")))
+      .crossJoin(fert(pathB, famB).select(col("fertility").as("fertility_b")))
   }
 }

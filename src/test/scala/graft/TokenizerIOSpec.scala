@@ -97,6 +97,54 @@ class TokenizerIOSpec extends SparkSpec {
     assert(e.getMessage.contains("bpe") && e.getMessage.contains("wordpiece"))
   }
 
+  test("malformed artifacts fail loudly, naming the path and missing member — never NPE") {
+    val missing = tmp("missing")
+    java.nio.file.Files.write(java.nio.file.Paths.get(missing),
+      """{"family": "bpe"}""".getBytes("UTF-8"))
+    val e1 = intercept[IllegalArgumentException](TokenizerIO.importBpe(spark, missing))
+    assert(e1.getMessage.contains("merges") && e1.getMessage.contains(missing))
+    val noUnk = tmp("nounk")
+    java.nio.file.Files.write(java.nio.file.Paths.get(noUnk),
+      """{"family": "wordpiece", "vocab": ["a"]}""".getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException](TokenizerIO.importWordPiece(spark, noUnk))
+    assert(e2.getMessage.contains("unk") && e2.getMessage.contains(noUnk))
+    val empty = tmp("empty")
+    java.nio.file.Files.write(java.nio.file.Paths.get(empty), Array.emptyByteArray)
+    val e3 = intercept[IllegalArgumentException](TokenizerIO.importUnigram(spark, empty))
+    assert(e3.getMessage.contains(empty))
+  }
+
+  test("compare: cross-family audit of two stored artifacts (inventory overlap + fit)") {
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "new newer newest new")).toDF("doc_id", "text")
+    val pBpe = tmp("cmpb")
+    TokenizerIO.exportBpe(spark,
+      Bpe.trainMerges(docs, 4).map(m => (m.lhs, m.rhs)), pBpe)
+    val pWp = tmp("cmpw")
+    val ms = WordPiece.trainMerges(docs, 4)
+    TokenizerIO.exportWordPiece(spark,
+      WordPiece.collectVocab(WordPiece.vocab(docs, ms)), pWp)
+    val row = TokenizerIO.compare(spark, pBpe, pWp, docs)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].head()
+    assert(row._1 === "bpe" && row._2 === "wordpiece")
+    // piece counts match what the artifacts hold
+    val nBpe = TokenizerIO.importBpe(spark, pBpe).map { case (a, b) => a + b }.distinct.size.toLong
+    val nWp = TokenizerIO.importWordPiece(spark, pWp)._1.size.toLong
+    assert(row._3 === nBpe && row._4 === nWp)
+    assert(row._5 >= 0 && row._5 <= math.min(nBpe, nWp))
+    assert(row._6 >= 0.0 && row._6 <= 1.0)
+    // fertility under each artifact equals the family's own face
+    val fb = Bpe.fertility(docs.withColumn("__a", org.apache.spark.sql.functions.lit("all")),
+      TokenizerIO.importBpe(spark, pBpe), sourceCol = "__a")
+      .select("fertility").as[Double].head()
+    assert(row._7 === fb)
+    assert(row._8 >= 1.0, "wordpiece fertility is at least one piece per word")
+    // order flips with the arguments (unigram side exercised elsewhere)
+    val flipped = TokenizerIO.compare(spark, pWp, pBpe, docs)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].head()
+    assert(flipped._1 === "wordpiece" && flipped._4 === nBpe &&
+      flipped._5 === row._5 && flipped._6 === row._6 && flipped._8 === row._7)
+  }
+
   test("non-ASCII pieces escape like the index export (ensure_ascii)") {
     val p = tmp("uesc")
     TokenizerIO.exportWordPiece(spark, Seq("naïve", "##é"), p)
