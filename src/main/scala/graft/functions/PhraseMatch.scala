@@ -45,6 +45,11 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
   private val fail = mutable.ArrayBuffer(0)
   private val dictCount = mutable.ArrayBuffer(0L) // endsHere + dict-suffix chain
   private val dictDistinctId = mutable.ArrayBuffer(-1) // pattern id ending here, -1 if none
+  // nearest failure-ANCESTOR that is a match state (0 = none): the
+  // distinct-id walk hops dictionary suffixes only, never the full
+  // failure chain — without this, a short pattern suffixing a deep
+  // chain (patterns {"a", "aaa…a"} over "aaa…") costs O(text × depth)
+  private val dictLink = mutable.ArrayBuffer(0)
   private val nPatterns: Int = {
     val distinct = patterns.filter(_.nonEmpty).distinct
     distinct.zipWithIndex.foreach { case (p, id) =>
@@ -56,6 +61,7 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
           fail += 0
           dictCount += 0L
           dictDistinctId += -1
+          dictLink += 0
           goto_.length - 1
         })
       }
@@ -64,12 +70,16 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
     }
     // BFS failure links; dictCount(s) = #patterns ending at s or any
     // failure-suffix of s (so one add per matched position, no chain
-    // walk in the hot loop for TOTALS; distinct ids walk the chain)
+    // walk in the hot loop for TOTALS); dictLink(s) skips straight to
+    // the nearest match-state suffix (fail(s) is strictly shorter, so
+    // its links are already set when s dequeues)
     val q = mutable.Queue.empty[Int]
     goto_(0).values.foreach { s => fail(s) = 0; q += s }
     while (q.nonEmpty) {
       val s = q.dequeue()
       dictCount(s) = endsHere(s) + dictCount(fail(s))
+      dictLink(s) =
+        if (dictDistinctId(fail(s)) >= 0) fail(s) else dictLink(fail(s))
       goto_(s).foreach { case (c, t) =>
         var f = fail(s)
         while (f != 0 && !goto_(f).contains(c)) f = fail(f)
@@ -94,12 +104,16 @@ final class AhoCorasick(patterns: Seq[String]) extends Serializable {
       s = goto_(s).getOrElse(c, 0)
       if (dictCount(s) != 0L) {
         total += dictCount(s)
-        // distinct ids: walk the failure chain once per match state
-        var f = s
-        while (f != 0) {
-          val id = dictDistinctId(f)
-          if (id >= 0 && !seen(id)) { seen(id) = true; nSeen += 1 }
-          f = fail(f)
+        // distinct ids: hop MATCH STATES only (dictLink), and stop
+        // entirely once every pattern has been seen — O(matches)
+        // on adversarial dictionaries, not O(text × chain depth)
+        if (nSeen < nPatterns) {
+          var f = if (dictDistinctId(s) >= 0) s else dictLink(s)
+          while (f != 0) {
+            val id = dictDistinctId(f)
+            if (!seen(id)) { seen(id) = true; nSeen += 1 }
+            f = dictLink(f)
+          }
         }
       }
       i += 1

@@ -107,8 +107,14 @@ object DdSketch {
       .orderBy(col("sgn").asc, (col("sgn") * col("idx")).asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val tot = Window.partitionBy(groupCols.map(col): _*)
-    val cum = sketches
-      .select(groupCols.map(col) ++ Seq(col("sgn"), col("idx"), col("n")): _*)
+    // merge first: an UNMERGED bucket dir (duplicate (group, sgn, idx)
+    // rows across batch partitions) would break the cumulative walk's
+    // "first bucket with cum > rank" selection; on merged input the
+    // per-bucket SUM is an identity over a range-bounded table
+    val cum = merge(
+        sketches.select(groupCols.map(col) ++
+          Seq(col("sgn"), col("idx"), col("n")): _*),
+        groupCols)
       .withColumn("cum", sum("n").over(w))
       .withColumn("total", sum("n").over(tot))
     val est = lit(2.0) * pow(lit(gamma), col("idx").cast("double")) / lit(gamma + 1)

@@ -103,7 +103,15 @@ object Hll {
     * n_buckets, est_distinct)` — `n_buckets` the populated register
     * count (the small-range correction's V = m − n_buckets), the
     * estimate 6dp-rounded with the published small/large-range
-    * corrections applied. */
+    * corrections applied.
+    *
+    * Input is [[merge]]d internally first, so an UNMERGED register
+    * dir (per-batch partitions holding duplicate `(group, bucket)`
+    * rows) estimates exactly like its merged form — the counting
+    * (`n_buckets = count(rows)`) and summing (`zsparse`) steps would
+    * otherwise silently inflate on duplicates. On already-merged
+    * input the extra per-bucket MAX is an identity over a
+    * register-bounded table. */
   def estimate(
       sketches: DataFrame, groupCols: Seq[String],
       p: Int = DefaultP): DataFrame = {
@@ -111,7 +119,7 @@ object Hll {
     val mm = m(p)
     // alpha_m * m^2 * 2^33 with the SQL-mirrored op order (left-assoc)
     val c = alpha(mm) * mm * mm * 8589934592.0
-    val grouped = sketches
+    val grouped = merge(sketches, groupCols)
       .groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).cast("long").as("n_buckets"),
         sum(expr("shiftleft(CAST(1 AS BIGINT), 33 - r)")).as("zsparse"))

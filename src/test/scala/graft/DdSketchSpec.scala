@@ -39,6 +39,19 @@ class DdSketchSpec extends SparkSpec {
     assert(merged === direct)
   }
 
+  test("quantiles on an UNMERGED bucket dir equal the merged quantiles (internal merge)") {
+    val df = (1 to 3000).map(i => (i % 5, i * 0.37 + (i % 7))).toDF("day", "v")
+    val unmerged = DdSketch.sketch(df, col("v"), Seq(col("day"))).drop("day")
+    val qs = Seq(0.5, 0.95)
+    val viaUnmerged = DdSketch.quantiles(unmerged.withColumn("g", lit(1)), Seq("g"), qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    val viaMerged = DdSketch.quantiles(
+      DdSketch.merge(unmerged.withColumn("g", lit(1)), Seq("g")), Seq("g"), qs)
+      .select("q", "est").as[(Double, Double)].collect().toMap
+    assert(viaUnmerged === viaMerged,
+      "duplicate bucket rows must not skew the cumulative walk")
+  }
+
   test("quantile estimates honor the relative-value-error guarantee") {
     // heavy-tailed positives — the regime where rank-error sketches
     // misplace p99; DDSketch must stay within alpha of the VALUE

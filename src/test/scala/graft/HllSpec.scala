@@ -46,6 +46,20 @@ class HllSpec extends SparkSpec {
     assert(merged == direct)
   }
 
+  test("estimate on an UNMERGED register dir equals the merged estimate (internal merge)") {
+    val df = (1L to 2000L).map(u => (u % 7, u * 13 % 1499)).toDF("day", "user_id")
+    val daily = Hll.sketch(df, col("user_id"), Seq(col("day")))
+    // per-day partitions with the day column dropped = the raw
+    // distinctDir shape: duplicate (bucket) rows across partitions
+    val unmerged = daily.drop("day")
+    val viaUnmerged = Hll.estimate(unmerged, Seq.empty)
+      .as[(Long, Double)].head()
+    val viaMerged = Hll.estimate(Hll.merge(unmerged, Seq.empty), Seq.empty)
+      .as[(Long, Double)].head()
+    assert(viaUnmerged === viaMerged,
+      "duplicate register rows must not inflate the estimate")
+  }
+
   test("NULL values are skipped (COUNT DISTINCT semantics)") {
     val df = Seq(Some(1L), None, Some(2L), None).toDF("user_id")
     val withNulls = Hll.sketch(df, col("user_id"), Seq.empty).collect().length

@@ -57,6 +57,24 @@ class PhraseMatchSpec extends SparkSpec {
     assert(ac.count(text) === ((3L, 2)))
   }
 
+  test("adversarial suffix chains: short pattern under a deep chain stays exact (dict links)") {
+    // {"a", "a"*50} over "a"*2000 — the case where a raw failure-chain
+    // walk costs O(text × depth); dict links + the all-seen early exit
+    // keep it O(text + matches), and the counts must stay exact
+    val deep = "a" * 50
+    val ac = new AhoCorasick(Seq("a", deep))
+    val text = "a" * 2000
+    val (total, distinct) = ac.count(text)
+    assert(total === 2000L + (2000 - 50 + 1).toLong)
+    assert(distinct === 2)
+    // nested dictionary suffixes all surface through the links alone
+    val ac2 = new AhoCorasick(Seq("aaa", "aa", "a"))
+    assert(ac2.count("aaaa") === ((2L + 3L + 4L, 3)))
+    // a NON-match state whose nearest dict suffix is two hops up
+    val ac3 = new AhoCorasick(Seq("b", "abc"))
+    assert(ac3.count("xabcx") === ((2L, 2)))
+  }
+
   test("graft_phrase_match and graft_jl_project are SQL-callable after extension install") {
     val spark = SparkSpec.spark
     graft.plans.GraftExtensions.install(spark)
