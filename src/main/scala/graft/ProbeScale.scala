@@ -1144,6 +1144,54 @@ object ProbeScale {
       }
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
+    if (section == "r16") {
+      // round-16 faces at 10x. sitemapTree: root-dominated corpora
+      // (every synthetic doc a standalone urlset root) must be
+      // scan-linear — the fixpoint's joins touch only the doc-sized
+      // edge/self tables, never bodies. WET: the row-parallel
+      // write-and-read round trip is two scans. writeShardsBucketed:
+      // the co-locating write is the amortized cost, the doc_id join
+      // after it must plan ZERO exchanges at any scale.
+      val docs01 = spark.read.parquet("/root/testdata/sf0.1/documents.parquet")
+      def smaps(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://smh"), col("doc_id") % 12,
+          lit(".example.org/sm/"), col("doc_id"), lit(".xml")).as("url"),
+        concat(lit("<urlset><url><loc>https://h"), col("doc_id") % 12,
+          lit(".example.org/d/"), col("doc_id"),
+          lit("</loc></url></urlset>")).as("text"))
+      for (rep <- 1 to 2) {
+        time(s"sitemap_tree_sf01_$rep")(
+          graft.ops.Crawl.sitemapTree(smaps(docs01)).count())
+        time(s"sitemap_tree_sf1_$rep")(
+          graft.ops.Crawl.sitemapTree(smaps(docs)).count())
+      }
+      def wetDocs(d: org.apache.spark.sql.DataFrame) = d.select(col("doc_id"),
+        concat(lit("https://h"), col("doc_id") % 500,
+          lit(".example.org/d/"), col("doc_id")).as("url"),
+        lit("2025-06-01T00:00:00Z").as("fetched_at"), col("text"))
+      time("wet_write_sf1")({
+        graft.sources.Warc.writeConversions(
+          wetDocs(docs).repartition(32), "/tmp/probe_wet"); 1L
+      })
+      time("wet_read_sf1")(
+        graft.sources.Warc.readConversions(spark, "/tmp/probe_wet").count())
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      time("shards_bucketed_write_sf1")({
+        graft.ops.Sampling.writeShardsBucketed(
+          docs.select("doc_id", "text"), "/tmp/probe_bshards", "pr_bshards",
+          tokenBudget = 2048, buckets = 32, docBuckets = 32).count()
+      })
+      val bt = graft.sources.BucketedStore.table(spark, "pr_bshards")
+      val sig = docs.select(col("doc_id"), (col("doc_id") % 97).as("sig"))
+      graft.sources.BucketedStore.write(sig, "pr_bsig", "/tmp/probe_bsig", "doc_id", 32)
+      val bsig = graft.sources.BucketedStore.table(spark, "pr_bsig")
+      val joined = bt.join(bsig, Seq("doc_id"))
+      println(s"PROBE-STAGE shards_join_exchanges = " +
+        graft.sources.BucketedStore.shuffleCount(joined))
+      for (rep <- 1 to 2)
+        time(s"shards_bucketed_join_$rep")(joined.count())
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
     if (section == "r14") {
       // frontier at 10x under MEGA-HUB skew: one host owns ~50% of all
       // candidate links (each doc contributes one distinct hub URL and

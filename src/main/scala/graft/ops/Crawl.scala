@@ -1798,13 +1798,16 @@ object Crawl {
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
       : DataFrame = {
     require(maxDepth >= 0, s"maxDepth=$maxDepth must be >= 0")
-    // canonical self-URL -> fetched doc (dup fetches of one URL: min
-    // doc_id wins, deterministically)
-    val selfs = graft.core.Materialize(
-      sitemaps.select(col("doc_id"), canonicalizeUrl(col("url")).as("self_url"))
-        .where(col("self_url").isNotNull)
-        .groupBy(col("self_url")).agg(min(col("doc_id")).as("doc_id")),
+    // ONE materialized canon pass feeds both doc-keyed faces: selfs
+    // (canonical self-URL -> fetched doc; dup fetches of one URL: min
+    // doc_id wins, deterministically) and names (the path segments) —
+    // both derive lazily from it, trading one eager job for two
+    // cheap re-aggregations of a doc-sized checkpointed table
+    val selfUrls = graft.core.Materialize(
+      sitemaps.select(col("doc_id"), canonicalizeUrl(col("url")).as("self_url")),
       mat)
+    val selfs = selfUrls.where(col("self_url").isNotNull)
+      .groupBy(col("self_url")).agg(min(col("doc_id")).as("doc_id"))
     val entries = graft.core.Materialize(sitemapUrls(sitemaps), mat)
     // index edges: src doc -> FETCHED child doc (unfetched locs stay
     // out of the walk; they surface as child_doc_id NULL rows)
@@ -1815,12 +1818,9 @@ object Crawl {
           Seq("url"))
         .select(col("src"), col("child")).distinct(),
       mat)
-    val names = graft.core.Materialize(
-      sitemaps.select(col("doc_id"),
-        coalesce(canonicalizeUrl(col("url")), col("doc_id").cast("string"))
-          .as("name")),
-      mat)
-    val roots = sitemaps.select(col("doc_id")).distinct()
+    val names = selfUrls.select(col("doc_id"),
+      coalesce(col("self_url"), col("doc_id").cast("string")).as("name"))
+    val roots = selfUrls.select(col("doc_id")).distinct()
       .join(edges.select(col("child").as("doc_id")).distinct(),
         Seq("doc_id"), "left_anti")
     var chains = graft.core.Materialize(
@@ -1867,7 +1867,6 @@ object Crawl {
         when(col("is_index"), col("child_doc_id")).as("child_doc_id"),
         col("lastmod"), col("changefreq"), col("priority"))
     graft.core.Materialize.release(edges, mat)
-    graft.core.Materialize.release(names, mat)
     out
   }
 

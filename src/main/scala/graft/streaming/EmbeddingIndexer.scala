@@ -141,6 +141,72 @@ object EmbeddingIndexer {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** The drift loop's LAST link: has the LATEST recorded refresh
+    * decision ([[CorpusWatcher.startJsonl]]'s `refreshDir`) flagged
+    * `artifact` due? `minBatchId` defaults past batch 0 — the
+    * cold-start decision compares the first feed to an EMPTY history
+    * and must not trigger a rebuild. Missing/empty dir = false (no
+    * decision is not a decision). Returns the deciding batch id. */
+  def latestDue(
+      session: SparkSession, refreshDir: String,
+      artifact: String = "index", minBatchId: Long = 1L): Option[Long] = {
+    val root = new org.apache.hadoop.fs.Path(refreshDir)
+    val fs = root.getFileSystem(session.sessionState.newHadoopConf())
+    val hasAny = fs.exists(root) &&
+      fs.listStatus(root).exists(st =>
+        st.isDirectory && st.getPath.getName.startsWith("batch_id="))
+    if (!hasAny) None
+    else {
+      val d = CorpusWatcher.refreshDecisions(session, refreshDir)
+        .select(col("batch_id").cast("long").as("batch_id"),
+          col("artifact"), col("due"))
+        .where(col("batch_id") >= minBatchId)
+      val mx = d.agg(max("batch_id")).head()
+      if (mx.isNullAt(0)) None
+      else {
+        val b = mx.getLong(0)
+        val due = d.where(col("batch_id") === b &&
+          col("artifact") === artifact && col("due")).limit(1).count() > 0
+        if (due) Some(b) else None
+      }
+    }
+  }
+
+  /** ACT on the refresh decision: when [[latestDue]] says the index
+    * artifact drifted, retrain the quantizers over `embeddings` (the
+    * current raw corpus — retraining needs raw vectors, which the
+    * serving tables deliberately don't keep) into a VERSIONED sibling
+    * `artifactsRoot/v<decidingBatch>` and return it; None = nothing
+    * due, nothing written. Never swaps in place: stored codes are
+    * valid only under the artifacts that produced them (the object
+    * doc's offline-rebuild contract), so the caller re-points a fresh
+    * indexer run at the returned dir — old serving keeps answering
+    * from the old version until then, and an interrupted rebuild
+    * leaves the live version untouched. Idempotent per decision: a
+    * re-run overwrites the same `v<batch>` dir. */
+  def rebuildIfDue(
+      session: SparkSession,
+      refreshDir: String,
+      embeddings: DataFrame,
+      artifactsRoot: String,
+      m: Int = 4,
+      residual: Boolean = false,
+      minBatchId: Long = 1L): Option[String] =
+    latestDue(session, refreshDir, "index", minBatchId).map { batch =>
+      val out = s"$artifactsRoot/v$batch"
+      if (residual) {
+        val (coarse, _, books, _) = Similarity.ivfpqResidualModel(embeddings, m = m)
+        coarse.write.mode("overwrite").parquet(s"$out/coarse_centroids")
+        books.write.mode("overwrite").parquet(s"$out/codebooks")
+      } else {
+        val (coarse, _) = Similarity.kmeansModel(embeddings)
+        val (books, _) = Similarity.pqModel(embeddings, m = m)
+        coarse.write.mode("overwrite").parquet(s"$out/coarse_centroids")
+        books.write.mode("overwrite").parquet(s"$out/codebooks")
+      }
+      out
+    }
+
   /** The accumulated serving table under `dir`, EXCLUDING a replayed
     * batch's own first-attempt partition; None before anything has
     * published (the [[CorpusWatcher]] band-history discipline,

@@ -233,4 +233,37 @@ class EmbeddingIndexerSpec extends SparkSpec {
       .select("vec_id", "neighbor_id").as[(Long, Long)].collect().toSet
     assert(d1 === Set((2003L, 2002L)))
   }
+
+  test("rebuildIfDue: a due refresh decision retrains into a versioned artifacts dir; stable or cold-start decisions don't") {
+    val rnd = new scala.util.Random(77)
+    val corpus = vecs((1L to 120L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val rd = tmp("eird") + "/refresh"
+    val root = tmp("eiroot") + "/artifacts"
+    def decision(batch: Long, due: Boolean): Unit =
+      Seq(("index", "js", 0.2, 0.05, due)).toDF("artifact", "metric", "value", "threshold", "due")
+        .write.mode("overwrite").parquet(s"$rd/batch_id=$batch")
+    // nothing recorded -> no decision, no rebuild
+    assert(EmbeddingIndexer.latestDue(spark, rd) === None)
+    // cold-start batch 0 is excluded even when "due"
+    decision(0L, due = true)
+    assert(EmbeddingIndexer.latestDue(spark, rd) === None)
+    // a drifted batch 1 flips it — rebuild lands in v1
+    decision(1L, due = true)
+    assert(EmbeddingIndexer.latestDue(spark, rd) === Some(1L))
+    val out = EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root)
+    assert(out === Some(s"$root/v1"))
+    // the rebuilt artifacts serve: encode a probe against them
+    val coarse = spark.read.parquet(s"${out.get}/coarse_centroids")
+    val books = spark.read.parquet(s"${out.get}/codebooks")
+    val (assign, codes) = Similarity.encodeWithModel(
+      vecs(9001L -> Seq.fill(8)(0.25f)), coarse, books)
+    assert(assign.count() === 1L && codes.count() === 4L)
+    // the LATEST decision wins: a stable batch 2 retracts the trigger
+    decision(2L, due = false)
+    assert(EmbeddingIndexer.latestDue(spark, rd) === None)
+    assert(EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root) === None)
+    // nothing new written for the retracted decision
+    assert(!new java.io.File(s"$root/v2").exists())
+  }
 }
