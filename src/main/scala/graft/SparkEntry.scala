@@ -44,6 +44,25 @@ object SparkEntry {
        |  md5(string_agg(md5(CAST(doc_id AS VARCHAR) || ':' || text), '' ORDER BY doc_id)) AS content_md5
        |FROM c GROUP BY pack_bucket, shard_in_bucket""".stripMargin
 
+  /** CTE chain twinning [[graft.ops.Sampling.packSequences]](64, 16,
+    * 8) up to the numbered-fill table `ps5(doc_id, pack_bucket,
+    * chunk_idx, chunk_tokens, len_bin, dps, rn)` — shared by
+    * q_pack_sequences and q_packing_efficiency. */
+  private lazy val PackSeqCtes: String =
+    s"""ps0 AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n,
+       |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
+       |  FROM documents),
+       |ps1 AS (SELECT doc_id, pack_bucket, n FROM ps0 WHERE n > 0),
+       |ps2 AS (SELECT doc_id, pack_bucket, n, CAST(i AS INTEGER) AS chunk_idx
+       |  FROM ps1, unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS t(i)),
+       |ps3 AS (SELECT doc_id, pack_bucket, chunk_idx,
+       |    CAST(least(64, n - chunk_idx * 64) AS BIGINT) AS chunk_tokens FROM ps2),
+       |ps4 AS (SELECT *, CAST(ceil(chunk_tokens / 16.0) AS INTEGER) AS len_bin FROM ps3),
+       |ps5 AS MATERIALIZED (SELECT *,
+       |    greatest(1, CAST(floor(64.0 / (len_bin * 16)) AS INTEGER)) AS dps,
+       |    row_number() OVER (PARTITION BY pack_bucket, len_bin ORDER BY doc_id, chunk_idx) AS rn
+       |  FROM ps4)""".stripMargin
+
   /** Twin of TextAnalysis.tokenDrift(buckets=1024): hashed-unigram
     * KL/JS with add-one smoothing over the full bucket domain;
     * per-bucket terms rounded 12dp into DECIMAL(28,12) sums. Shared
@@ -2804,6 +2823,21 @@ object SparkEntry {
     // the q_pack_shards layout — what writeShards certifies on disk
     "q_shard_manifest" -> ((s, dir) =>
       graft.ops.Sampling.shardManifest(docs(s, dir), tokenBudget = 512, buckets = 8)),
+    // training-sequence packing: long docs chunk to whole contexts,
+    // chunks batch by length bin, sequences fill in deterministic
+    // order — the padding-efficiency layout (pure integer arithmetic)
+    "q_pack_sequences" -> ((s, dir) =>
+      graft.ops.Sampling.packSequences(docs(s, dir),
+        context = 64, binWidth = 16, buckets = 8)),
+    // the layout's waste accounting: per (bucket, bin) capacity,
+    // padding paid, 6dp efficiency — the binWidth-selection number
+    "q_packing_efficiency" -> ((s, dir) =>
+      graft.ops.Sampling.packingEfficiency(docs(s, dir),
+        context = 64, binWidth = 16, buckets = 8)),
+    // sliding token windows (retrieval/embedding chunking): size 8,
+    // stride 5 = 3-token overlap, every token covered, last short
+    "q_chunk_tokens" -> ((s, dir) =>
+      graft.ops.TextAnalysis.chunkByTokens(docs(s, dir), chunkSize = 8, stride = 5)),
     // the BUCKETED shard writer under the SAME twin as q_shard_manifest:
     // the doc_id-bucketed analytics layout changes file placement, the
     // certified manifest must not — write, register, read back, certify
@@ -3453,6 +3487,30 @@ object SparkEntry {
       graft.ops.Curation.classifierScore(d,
         graft.ops.Curation.classifierWeights(
           d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+    },
+    "q_calibration" -> { (s, dir) =>
+      // reliability of the trained scorer against known labels: per
+      // logit bin, how often the positive class ACTUALLY occurs vs
+      // the sigmoid of the bin's mean — the gap column is what says
+      // "threshold on a validated operating point, not p=0.5"
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.calibrationReport(
+        scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+          Seq("doc_id")))
+    },
+    "q_calibration_ece" -> { (s, dir) =>
+      // the report's headline number: n-weighted mean gap (exact
+      // decimal accumulation, order-free)
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.calibrationEce(
+        scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+          Seq("doc_id")))
     }
   )
 
@@ -4983,6 +5041,41 @@ object SparkEntry {
          |  capped
          |FROM f""".stripMargin,
     "q_shard_manifest" -> ShardManifestTwin,
+    "q_pack_sequences" ->
+      // twin of Sampling.packSequences(64, 16, 8): whole-context
+      // chunking, ceil length bins, per-(bucket, bin) row_number fill
+      s"""WITH $PackSeqCtes
+         |SELECT doc_id, chunk_idx, chunk_tokens, pack_bucket, len_bin,
+         |  CAST(floor((rn - 1) / dps) AS INTEGER) AS seq_in_bin,
+         |  CAST((rn - 1) % dps AS INTEGER) AS pos_in_seq
+         |FROM ps5""".stripMargin,
+    "q_packing_efficiency" ->
+      // twin of Sampling.packingEfficiency: integer capacity/waste,
+      // one rounded division
+      s"""WITH $PackSeqCtes,
+         |ps6 AS (SELECT pack_bucket, len_bin,
+         |    CAST(count(*) AS BIGINT) AS n_chunks,
+         |    CAST(max(CAST(floor((rn - 1) / dps) AS INTEGER)) + 1 AS BIGINT) AS n_seqs,
+         |    CAST(sum(chunk_tokens) AS BIGINT) AS n_tokens
+         |  FROM ps5 GROUP BY 1, 2)
+         |SELECT pack_bucket, len_bin, n_chunks, n_seqs, n_tokens,
+         |  CAST(n_seqs * 64 AS BIGINT) AS capacity,
+         |  CAST(n_seqs * 64 - n_tokens AS BIGINT) AS pad_waste,
+         |  round(CAST(n_tokens AS DOUBLE) / (n_seqs * 64), 6) AS efficiency
+         |FROM ps6""".stripMargin,
+    "q_chunk_tokens" ->
+      // twin of TextAnalysis.chunkByTokens(8, 5): stride starts,
+      // 1-based inclusive list slice, space-joined window text
+      s"""WITH ct0 AS (SELECT doc_id, $TOKS AS ts FROM documents),
+         |ct1 AS (SELECT doc_id, ts, CAST(len(ts) AS BIGINT) AS n FROM ct0 WHERE len(ts) > 0),
+         |ct2 AS (SELECT doc_id, ts, n, CAST(i AS INTEGER) AS chunk_idx
+         |  FROM ct1, unnest(generate_series(0,
+         |    CAST(greatest(0, floor((n - 8 + 5 - 1) / 5.0)) AS BIGINT))) AS t(i))
+         |SELECT doc_id, chunk_idx,
+         |  CAST(chunk_idx * 5 + 1 AS INTEGER) AS start_pos,
+         |  CAST(least(8, n - chunk_idx * 5) AS BIGINT) AS n_chunk_tokens,
+         |  array_to_string(ts[chunk_idx * 5 + 1 : CAST(least(chunk_idx * 5 + 8, n) AS INTEGER)], ' ') AS chunk_text
+         |FROM ct2""".stripMargin,
     // same twin on purpose: the bucketed writer changes LAYOUT only;
     // the read-back certified manifest must hash-match the plain one's
     "q_shard_manifest_bucketed" -> ShardManifestTwin,
@@ -6430,6 +6523,52 @@ object SparkEntry {
          |  CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
          |  coalesce(CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) >= 0.0, false) AS keep
          |FROM (SELECT doc_id FROM documents) d LEFT JOIN sc USING (doc_id)""".stripMargin,
+    "q_calibration" ->
+      // twin of Curation.calibrationReport over the scored corpus:
+      // floor-binned 6dp-exact logits, per-bin exact decimal mean,
+      // sigmoid of the ROUNDED mean, gap vs the rounded expectation
+      s"""WITH $CLS_CTES,
+         |calin AS MATERIALIZED (SELECT
+         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    CAST(sc.logit AS DECIMAL(18,6)) AS lg,
+         |    (($DOMAIN_SQL) <> 'web') AS pos
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+         |calb AS (SELECT CAST(floor(logit / 1.0) AS INTEGER) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    sum(lg) AS lgsum
+         |  FROM calin GROUP BY 1),
+         |calr AS MATERIALIZED (SELECT bin, n, n_pos,
+         |    round(CAST(lgsum AS DOUBLE) / n, 6) AS mean_logit,
+         |    round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos
+         |  FROM calb)
+         |SELECT bin, n, n_pos, mean_logit, frac_pos,
+         |  round(1.0 / (1.0 + exp(-mean_logit)), 6) AS expected_p,
+         |  round(abs(frac_pos - round(1.0 / (1.0 + exp(-mean_logit)), 6)), 6) AS gap
+         |FROM calr""".stripMargin,
+    "q_calibration_ece" ->
+      // the n-weighted mean gap as exact decimal accumulation
+      s"""WITH $CLS_CTES,
+         |calin AS MATERIALIZED (SELECT
+         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    CAST(sc.logit AS DECIMAL(18,6)) AS lg,
+         |    (($DOMAIN_SQL) <> 'web') AS pos
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+         |calb AS (SELECT CAST(floor(logit / 1.0) AS INTEGER) AS bin,
+         |    CAST(count(*) AS BIGINT) AS n,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    sum(lg) AS lgsum
+         |  FROM calin GROUP BY 1),
+         |calr AS (SELECT bin, n, n_pos,
+         |    round(CAST(lgsum AS DOUBLE) / n, 6) AS mean_logit,
+         |    round(CAST(n_pos AS DOUBLE) / n, 6) AS frac_pos
+         |  FROM calb),
+         |cale AS (SELECT n, CAST(round(abs(frac_pos -
+         |    round(1.0 / (1.0 + exp(-mean_logit)), 6)), 6) AS DECIMAL(18,6)) AS gap
+         |  FROM calr)
+         |SELECT CAST(sum(n) AS BIGINT) AS n_docs, CAST(count(*) AS BIGINT) AS n_bins,
+         |  round(CAST(sum(n * gap) AS DOUBLE) / CAST(sum(n) AS DOUBLE), 6) AS ece
+         |FROM cale""".stripMargin,
     "q_stratified" ->
       """SELECT lang, doc_id, sample_rank FROM (
         |  SELECT lang, doc_id, CAST(row_number() OVER (PARTITION BY lang

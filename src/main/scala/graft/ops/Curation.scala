@@ -589,6 +589,58 @@ object Curation {
           round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
   }
 
+  /** Reliability report for a [[classifierScore]]d corpus with known
+    * labels — the calibration diagnostic [[classificationReport]]'s
+    * hard counts can't give: per logit bin (`floor(logit/binWidth)`),
+    * how often the positive class ACTUALLY occurs vs what the score
+    * implies. Input needs `logit` (double) and `actualCol` (boolean);
+    * unscored (NULL-logit) and unlabeled rows drop. Output per bin:
+    * `(bin, n, n_pos, mean_logit, frac_pos, expected_p, gap)` —
+    * `mean_logit` from exact 6dp-decimal accumulation (the
+    * [[classifierScore]] determinism recipe), `expected_p` the
+    * sigmoid of the rounded mean, `gap = |frac_pos − expected_p|`.
+    * A well-calibrated scorer has small gaps everywhere; a scorer
+    * that separates but mis-calibrates (common for NB — the
+    * independence assumption inflates logits) shows large tails,
+    * which is what tells a curation pipeline to threshold on a
+    * VALIDATED operating point instead of p = 0.5. One combinable
+    * aggregate over the scored table; bins are scalar arithmetic. */
+  def calibrationReport(
+      scored: DataFrame, actualCol: String = "actual",
+      binWidth: Double = 1.0): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be > 0")
+    import org.apache.spark.sql.types.DecimalType
+    scored.where(col("logit").isNotNull && col(actualCol).isNotNull)
+      .select(floor(col("logit") / lit(binWidth)).cast("int").as("bin"),
+        col("logit").cast(DecimalType(18, 6)).as("lg"),
+        col(actualCol).cast("boolean").as("pos"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos").cast("long")).as("n_pos"),
+        sum(col("lg")).as("lgsum"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("lgsum").cast("double") / col("n"), 6).as("mean_logit"),
+        round(col("n_pos").cast("double") / col("n"), 6).as("frac_pos"))
+      .withColumn("expected_p",
+        round(lit(1.0) / (lit(1.0) + exp(-col("mean_logit"))), 6))
+      .withColumn("gap", round(abs(col("frac_pos") - col("expected_p")), 6))
+  }
+
+  /** Expected calibration error over [[calibrationReport]]'s bins —
+    * one row `(n_docs, n_bins, ece)`: the n-weighted mean gap,
+    * accumulated as exact decimals (bin gaps are 6dp, weights are
+    * integers) so the sum is order-free across engines. */
+  def calibrationEce(
+      scored: DataFrame, actualCol: String = "actual",
+      binWidth: Double = 1.0): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    calibrationReport(scored, actualCol, binWidth)
+      .agg(sum(col("n")).as("n_docs"),
+        count(lit(1)).as("n_bins"),
+        round(sum(col("n") * col("gap").cast(DecimalType(18, 6))).cast("double") /
+          sum(col("n")).cast("double"), 6).as("ece"))
+  }
+
   /** Per-stage survivor counts for the exact chain [[curate]] runs —
     * `(stage_idx, stage, n_docs, n_tokens)` with stages `ingest,
     * quality, language, near_dedup, decontaminate, mixture` — docs and

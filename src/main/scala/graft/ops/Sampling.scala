@@ -383,6 +383,86 @@ object Sampling {
           .cast("int").as("shard_in_bucket"))
   }
 
+  /** TRAINING-SEQUENCE packing with length-bucketed batching — the
+    * padding-efficiency layout a sequence-model training job wants
+    * (shards budget TOKENS; sequences budget the CONTEXT WINDOW, and
+    * every token short of the window is padding the GPU computes over
+    * anyway):
+    *
+    *  1. documents longer than `context` split into whole-context
+    *     CHUNKS (`chunk_idx`, last chunk carries the remainder) —
+    *     truncation throws data away, and one long doc must never
+    *     monopolize a batch;
+    *  2. each chunk falls into a LENGTH BIN (`ceil(tokens/binWidth)`)
+    *     — batching similar lengths together is what keeps per-slot
+    *     padding bounded by `binWidth − 1` instead of `context − 1`;
+    *  3. within (pack_bucket, len_bin), chunks fill sequences in
+    *     deterministic `(doc_id, chunk_idx)` order, `docsPerSeq =
+    *     max(1, ⌊context / (len_bin·binWidth)⌋)` slots per sequence.
+    *
+    * Output: `(doc_id, chunk_idx, chunk_tokens, pack_bucket, len_bin,
+    * seq_in_bin, pos_in_seq)` — the assignment a loader materializes.
+    * Pure integer arithmetic end to end (engine-exact twin). The one
+    * window runs per (bucket, bin) — buckets·bins balanced md5
+    * streams, the [[packShardsCounts]] scale argument. */
+  def packSequences(
+      docs: DataFrame, context: Int, binWidth: Int, buckets: Int = 32): DataFrame = {
+    require(context >= 1, s"context=$context must be >= 1")
+    require(binWidth >= 1 && binWidth <= context,
+      s"binWidth=$binWidth must be in [1, context=$context]")
+    require(buckets >= 1, s"buckets=$buckets must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
+      .cast("long") % buckets).cast("int")
+    val chunks = graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"),
+        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n"),
+        bucket.as("pack_bucket"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("pack_bucket"), col("n"),
+        explode(sequence(lit(0L),
+          ceil(col("n").cast("double") / context).cast("long") - 1))
+          .as("chunk_idx_l"))
+      .select(col("doc_id"), col("pack_bucket"), col("n"),
+        col("chunk_idx_l").cast("int").as("chunk_idx"))
+      .select(col("doc_id"), col("pack_bucket"), col("chunk_idx"),
+        least(lit(context.toLong),
+          col("n") - col("chunk_idx").cast("long") * context).as("chunk_tokens"))
+      .withColumn("len_bin",
+        ceil(col("chunk_tokens").cast("double") / binWidth).cast("int"))
+      .withColumn("dps",
+        greatest(lit(1),
+          floor(lit(context.toDouble) / (col("len_bin") * binWidth)).cast("int")))
+    val w = Window.partitionBy("pack_bucket", "len_bin")
+      .orderBy("doc_id", "chunk_idx")
+    chunks
+      .withColumn("rn", row_number().over(w))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk_tokens"),
+        col("pack_bucket"), col("len_bin"),
+        floor((col("rn") - 1).cast("double") / col("dps")).cast("int").as("seq_in_bin"),
+        ((col("rn") - 1) % col("dps")).cast("int").as("pos_in_seq"))
+  }
+
+  /** The waste accounting over a [[packSequences]] layout — per
+    * (pack_bucket, len_bin): chunk/sequence/token counts, total
+    * context-window capacity, the padding the layout pays, and the
+    * 6dp efficiency. THE number to compare binWidth choices on: one
+    * giant bin degrades to pad-everything-to-context, bins of 1 pack
+    * tightest but fragment batches. */
+  def packingEfficiency(
+      docs: DataFrame, context: Int, binWidth: Int, buckets: Int = 32): DataFrame =
+    packSequences(docs, context, binWidth, buckets)
+      .groupBy(col("pack_bucket"), col("len_bin"))
+      .agg(count(lit(1)).as("n_chunks"),
+        (max(col("seq_in_bin")) + 1).cast("long").as("n_seqs"),
+        sum(col("chunk_tokens")).as("n_tokens"))
+      .select(col("pack_bucket"), col("len_bin"), col("n_chunks"),
+        col("n_seqs"), col("n_tokens"),
+        (col("n_seqs") * context).as("capacity"),
+        (col("n_seqs") * context - col("n_tokens")).as("pad_waste"),
+        round(col("n_tokens").cast("double") / (col("n_seqs") * context), 6)
+          .as("efficiency"))
+
   /** Per-doc content digest every shard writer/auditor hashes —
     * `md5(doc_id ":" text)`. One definition: the manifests, the disk
     * audits, and the DuckDB twins must never drift apart. */

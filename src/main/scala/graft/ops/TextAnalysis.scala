@@ -1202,6 +1202,40 @@ object TextAnalysis {
     driftFromCounts(bucketCounts(a, buckets), bucketCounts(b, buckets),
       buckets, a.sparkSession)
 
+  /** Sliding token-window chunking — the retrieval/embedding
+    * pipeline's document splitter: fixed `chunkSize`-token windows
+    * every `stride` tokens (`stride < chunkSize` = overlap, the
+    * context-preservation knob), covering every token, last window
+    * short. Output `(doc_id, chunk_idx, start_pos, n_chunk_tokens,
+    * chunk_text)` — `start_pos` 1-based (the SQL-list convention the
+    * twin shares), `chunk_text` space-joined normalized tokens (the
+    * form an embedding model consumes). Tokenless docs emit nothing.
+    * Row-local explode over integer arithmetic — scan-shaped, no
+    * shuffle, engine-exact. */
+  def chunkByTokens(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(chunkSize >= 1, s"chunkSize=$chunkSize must be >= 1")
+    require(stride >= 1 && stride <= chunkSize,
+      s"stride=$stride must be in [1, chunkSize=$chunkSize]")
+    graft.core.Parallelism.ensure(docs)
+      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("n"))
+      .where(col("n") > 0)
+      .select(col("doc_id"), col("ts"), col("n"),
+        explode(sequence(lit(0L),
+          greatest(lit(0L),
+            floor((col("n") - chunkSize + stride - 1).cast("double") / stride)
+              .cast("long")))).as("chunk_idx_l"))
+      .select(col("doc_id"), col("ts"), col("n"),
+        col("chunk_idx_l").cast("int").as("chunk_idx"))
+      .select(col("doc_id"), col("chunk_idx"),
+        (col("chunk_idx") * stride + 1).as("start_pos"),
+        least(lit(chunkSize.toLong),
+          col("n") - col("chunk_idx").cast("long") * stride).as("n_chunk_tokens"),
+        array_join(
+          slice(col("ts"), col("chunk_idx") * stride + 1, lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   // ---- Drift-triggered artifact refresh --------------------------------
 
   /** Per-(artifact, metric) refresh decisions: join measured drift

@@ -538,4 +538,35 @@ class CurationSpec extends SparkSpec {
     // NULL-labeled rows excluded entirely
     assert(got.values.map(_.getLong(1)).sum == 6)
   }
+
+  test("calibrationReport / calibrationEce: hand bins, sigmoid expectation, unscored rows drop, exact weighted ECE") {
+    def sig(x: Double) =
+      BigDecimal(1.0 / (1.0 + math.exp(-x))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = Seq(
+      (1L, Some(0.5), Some(true)), (2L, Some(0.9), Some(false)),   // bin 0
+      (3L, Some(-1.2), Some(false)),                               // bin -2
+      (4L, Some(2.5), Some(true)), (5L, Some(2.9), Some(true)),    // bin 2
+      (6L, None, Some(true)),                                      // unscored: drops
+      (7L, Some(1.0), None))                                       // unlabeled: drops
+      .toDF("doc_id", "logit", "actual")
+    val rep = Curation.calibrationReport(scored)
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rep.keySet === Set(0, -2, 2))
+    val b0 = rep(0)
+    assert((b0._2, b0._3, b0._4, b0._5) === ((2L, 1L, 0.7, 0.5)))
+    assert(b0._6 === sig(0.7) && b0._7 ===
+      BigDecimal(math.abs(0.5 - sig(0.7))).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    val bm2 = rep(-2)
+    assert((bm2._2, bm2._3, bm2._4, bm2._5) === ((1L, 0L, -1.2, 0.0)))
+    val b2 = rep(2)
+    assert((b2._2, b2._3, b2._4, b2._5) === ((2L, 2L, 2.7, 1.0)))
+    // ECE = sum(n_b * gap_b) / n — exact decimal accumulation
+    val ece = Curation.calibrationEce(scored)
+      .as[(Long, Long, Double)].head()
+    assert(ece._1 === 5L && ece._2 === 3L)
+    val want = (2 * rep(0)._7 + 1 * rep(-2)._7 + 2 * rep(2)._7) / 5.0
+    assert(math.abs(ece._3 -
+      BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+  }
 }

@@ -157,6 +157,34 @@ class SamplingSpec extends SparkSpec {
     assert(bad._4 !== bad._5)
   }
 
+  test("packSequences: long docs chunk to whole contexts, length bins fill deterministically, waste accounts exactly") {
+    import org.apache.spark.sql.functions.col
+    def toks(n: Int) = ("tok " * n).trim
+    // A: 150 tokens -> chunks 64/64/22; B: 10; C: 70 -> 64/6
+    val d = Seq((1L, toks(150)), (2L, toks(10)), (3L, toks(70)))
+      .toDF("doc_id", "text")
+    val got = Sampling.packSequences(d, context = 64, binWidth = 16, buckets = 1)
+      .as[(Long, Int, Long, Int, Int, Int, Int)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._5, r._6, r._7))).toMap
+    // bin 4 (49-64 tokens): dps = 1, one chunk per sequence, fill order (1,0),(1,1),(3,0)
+    assert(got((1L, 0)) === ((64L, 4, 0, 0)))
+    assert(got((1L, 1)) === ((64L, 4, 1, 0)))
+    assert(got((3L, 0)) === ((64L, 4, 2, 0)))
+    // bin 2 (17-32): dps = 2; A's 22-token tail is alone in seq 0
+    assert(got((1L, 2)) === ((22L, 2, 0, 0)))
+    // bin 1 (1-16): dps = 4; B then C's 6-token tail share seq 0
+    assert(got((2L, 0)) === ((10L, 1, 0, 0)))
+    assert(got((3L, 1)) === ((6L, 1, 0, 1)))
+    val eff = Sampling.packingEfficiency(d, context = 64, binWidth = 16, buckets = 1)
+      .as[(Int, Int, Long, Long, Long, Long, Long, Double)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7, r._8))).toMap
+    assert(eff(4) === ((3L, 3L, 192L, 192L, 0L, 1.0)))
+    assert(eff(2) === ((1L, 1L, 22L, 64L, 42L, 0.34375)))
+    assert(eff(1) === ((2L, 1L, 16L, 64L, 48L, 0.25)))
+    // tokenless docs contribute nothing
+    assert(Sampling.packSequences(Seq((9L, "")).toDF("doc_id", "text"), 64, 16).count() === 0L)
+  }
+
   test("writeShardsBucketed: manifest equals writeShards'; doc_id join to bucketed signals plans ZERO exchanges") {
     import org.apache.spark.sql.functions.{col, length}
     val d = (1L to 40L).map(i => (i, ("tok " * (i % 7 + 1).toInt).trim)).toDF("doc_id", "text")

@@ -1153,6 +1153,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(kept(1L) === han && kept(2L) === cyr)
   }
 
+  test("chunkByTokens: stride windows cover every token with declared overlap; short docs emit one chunk") {
+    val text = (1 to 12).map(i => s"t$i").mkString(" ")
+    val got = TextAnalysis.chunkByTokens(Seq((1L, text)).toDF("doc_id", "text"),
+        chunkSize = 5, stride = 3)
+      .as[(Long, Int, Int, Long, String)].collect().sortBy(_._2)
+    assert(got.map(r => (r._2, r._3, r._4)).toSeq === Seq(
+      (0, 1, 5L), (1, 4, 5L), (2, 7, 5L), (3, 10, 3L)))
+    assert(got.head._5 === "t1 t2 t3 t4 t5")
+    assert(got(1)._5 === "t4 t5 t6 t7 t8", "stride 3 overlaps 2 tokens")
+    assert(got.last._5 === "t10 t11 t12")
+    // every token appears in at least one chunk
+    assert(got.flatMap(_._5.split(" ")).toSet === (1 to 12).map(i => s"t$i").toSet)
+    // a doc shorter than the window is one short chunk; empty emits none
+    val short = TextAnalysis.chunkByTokens(
+      Seq((2L, "a b c"), (3L, "")).toDF("doc_id", "text"), 5, 3)
+      .as[(Long, Int, Int, Long, String)].collect()
+    assert(short.toSeq === Seq((2L, 0, 1, 3L, "a b c")))
+  }
+
   test("refreshDue / refreshPlan: thresholds decide per metric; unmeasured metrics never churn; unk signals route per source") {
     val signals = Seq(("index", "js", 0.12), ("index", "kl_ab", 0.4))
       .toDF("artifact", "metric", "value")
