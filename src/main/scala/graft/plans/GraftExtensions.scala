@@ -58,6 +58,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.sourceOverlapTableFunction)
     ext.injectTableFunction(GraftExtensions.profileTableFunction)
     ext.injectTableFunction(GraftExtensions.contextPlanTableFunction)
+    ext.injectTableFunction(GraftExtensions.packSequencesTableFunction)
+    ext.injectTableFunction(GraftExtensions.chunkTokensTableFunction)
+    ext.injectTableFunction(GraftExtensions.calibrationTableFunction)
     ext.injectTableFunction(GraftExtensions.embOutliersTableFunction)
     ext.injectTableFunction(GraftExtensions.containmentTableFunction)
     ext.injectTableFunction(GraftExtensions.histogramTableFunction)
@@ -1892,6 +1895,75 @@ object GraftExtensions {
         graft.ops.Sampling.shardManifest(docs, budget.toLong, buckets))
     })
 
+  /** SQL surface for training-sequence packing
+    * ([[graft.ops.Sampling.packSequences]]):
+    *
+    * {{{
+    * SELECT * FROM graft_pack_sequences('docs', 2048, 64)      -- buckets=32
+    * SELECT * FROM graft_pack_sequences('docs', 2048, 64, 8)
+    * }}}
+    *
+    * Whole-context chunking + length-bucketed sequence fill; the
+    * assignment a training loader materializes. */
+  private val packSequencesTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_pack_sequences"),
+    new ExpressionInfo(graft.ops.Sampling.getClass.getName, "graft_pack_sequences"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3 || children.size == 4,
+        "graft_pack_sequences(docs_table, context, bin_width[, buckets])")
+      val str = stringArg("graft_pack_sequences") _
+      val int = intArg("graft_pack_sequences") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      val buckets = if (children.size == 4) int(children(3), "buckets") else 32
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Sampling.packSequences(docs,
+          int(children(1), "context"), int(children(2), "bin_width"), buckets))
+    })
+
+  /** SQL surface for sliding token-window chunking
+    * ([[graft.ops.TextAnalysis.chunkByTokens]]):
+    *
+    * {{{
+    * SELECT * FROM graft_chunk_tokens('docs', 256, 192)
+    * }}}
+    *
+    * Fixed windows every `stride` tokens — the retrieval/embedding
+    * splitter. */
+  private val chunkTokensTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_chunk_tokens"),
+    new ExpressionInfo(graft.ops.TextAnalysis.getClass.getName, "graft_chunk_tokens"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3,
+        "graft_chunk_tokens(docs_table, chunk_size, stride)")
+      val str = stringArg("graft_chunk_tokens") _
+      val int = intArg("graft_chunk_tokens") _
+      val docs = SparkSession.active.table(str(children.head, "docs_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.TextAnalysis.chunkByTokens(docs,
+          int(children(1), "chunk_size"), int(children(2), "stride")))
+    })
+
+  /** SQL surface for classifier reliability
+    * ([[graft.ops.Curation.calibrationReport]]):
+    *
+    * {{{
+    * SELECT * FROM graft_calibration('scored')   -- needs logit + actual cols
+    * }}}
+    */
+  private val calibrationTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_calibration"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_calibration"),
+    (children: Seq[Expression]) => {
+      require(children.size == 1, "graft_calibration(scored_table)")
+      val scored = SparkSession.active.table(
+        stringArg("graft_calibration")(children.head, "scored_table"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.calibrationReport(scored))
+    })
+
   /** SQL surface for UniMax budget allocation
     * ([[graft.ops.Sampling.unimaxPlan]]):
     *
@@ -1970,7 +2042,9 @@ object GraftExtensions {
         sitemapUrlsTableFunction, crawlDelaysTableFunction,
         politeFrontierTableFunction, recrawlPolicyTableFunction,
         robotsSitemapsTableFunction, urlTemplatesTableFunction,
-        crawlBudgetTableFunction)
+        crawlBudgetTableFunction,
+        packSequencesTableFunction, chunkTokensTableFunction,
+        calibrationTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -568,5 +568,11 @@ class CurationSpec extends SparkSpec {
     val want = (2 * rep(0)._7 + 1 * rep(-2)._7 + 2 * rep(2)._7) / 5.0
     assert(math.abs(ece._3 -
       BigDecimal(want).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-9)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    scored.createOrReplaceTempView("cal_scored")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_calibration('cal_scored')")
+      .as[(Int, Long, Long, Double, Double, Double, Double)].collect().toSet ===
+      rep.values.toSet)
   }
 }

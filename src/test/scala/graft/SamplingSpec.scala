@@ -183,6 +183,14 @@ class SamplingSpec extends SparkSpec {
     assert(eff(1) === ((2L, 1L, 16L, 64L, 48L, 0.25)))
     // tokenless docs contribute nothing
     assert(Sampling.packSequences(Seq((9L, "")).toDF("doc_id", "text"), 64, 16).count() === 0L)
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    d.createOrReplaceTempView("ps_docs")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_pack_sequences('ps_docs', 64, 16, 1)")
+      .as[(Long, Int, Long, Int, Int, Int, Int)].collect().toSet ===
+      Sampling.packSequences(d, 64, 16, 1)
+        .as[(Long, Int, Long, Int, Int, Int, Int)].collect().toSet)
   }
 
   test("writeShardsBucketed: manifest equals writeShards'; doc_id join to bucketed signals plans ZERO exchanges") {

@@ -1170,6 +1170,12 @@ class TextAnalysisSpec extends SparkSpec {
       Seq((2L, "a b c"), (3L, "")).toDF("doc_id", "text"), 5, 3)
       .as[(Long, Int, Int, Long, String)].collect()
     assert(short.toSeq === Seq((2L, 0, 1, 3L, "a b c")))
+    // SQL surface parity
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    Seq((1L, text)).toDF("doc_id", "text").createOrReplaceTempView("ct_docs")
+    assert(SparkSpec.spark
+      .sql("SELECT * FROM graft_chunk_tokens('ct_docs', 5, 3)")
+      .as[(Long, Int, Int, Long, String)].collect().sortBy(_._2).toSeq === got.toSeq)
   }
 
   test("refreshDue / refreshPlan: thresholds decide per metric; unmeasured metrics never churn; unk signals route per source") {
