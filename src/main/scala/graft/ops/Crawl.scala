@@ -1702,6 +1702,10 @@ object Crawl {
   val SitemapPriorityPat = "(?is)<priority[^>]*>([^<]*)</priority>"
   val SitemapIndexPat = "(?i)<sitemapindex[ \\t\\n\\r\\f\\x0B>]"
 
+  /** Does a body look like a sitemap at all (urlset OR index root)?
+    * The streaming discovery gate's detection predicate. */
+  val SitemapDocPat = "(?is)<(?:urlset|sitemapindex)[ \\t\\n\\r\\f\\x0B>]"
+
   /** A priority value safe to cast (sitemaps.org: 0.0–1.0 decimal);
     * anything else — including the negative/exponent forms the
     * standard forbids — reads NULL rather than risking an ANSI cast

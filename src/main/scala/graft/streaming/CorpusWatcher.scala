@@ -328,7 +328,14 @@ object CorpusWatcher {
     * (`frontierDefaultDelay` for undeclared hosts), and a per-host
     * budget slice — the batch [[graft.ops.Crawl.politeFrontier]]
     * faces at the stream boundary, so a fetch worker consumes WHEN
-    * and HOW MANY, not just WHAT.
+    * and HOW MANY, not just WHAT. With `sitemapDiscovery` the stage
+    * also SEEDS from sitemaps: an arriving body matching the sitemap
+    * grammar queues its unseen locs — content entries as fetch work,
+    * index entries as the child sitemaps to fetch, whose bodies
+    * arrive later and queue THEIR locs in turn — the
+    * [[graft.ops.Crawl.sitemapTree]] fixpoint realized incrementally,
+    * with every loc riding the same history/queued anti-joins, robots
+    * filter, cap and schedule as link candidates.
     *
     * Change-aware URL gate (`recrawlDir`, exclusive with
     * `urlHistoryDir`): the RECRAWL mode of the same first stage — a
@@ -446,7 +453,8 @@ object CorpusWatcher {
       lengthDir: Option[String] = None,
       honorDirectives: Boolean = false,
       refreshDir: Option[String] = None,
-      refreshThresholds: Option[DataFrame] = None): StreamingQuery = {
+      refreshThresholds: Option[DataFrame] = None,
+      sitemapDiscovery: Boolean = false): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -466,6 +474,8 @@ object CorpusWatcher {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     require(refreshDir.isEmpty || (driftDir.isDefined && refreshThresholds.isDefined),
       "refreshDir consumes the per-batch drift row: pass driftDir and refreshThresholds with it")
+    require(!sitemapDiscovery || frontierDir.isDefined,
+      "sitemapDiscovery seeds the frontier stage: pass frontierDir with it")
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
     // switches every CONTENT-KEYED stage — band signatures (history +
     // within-batch + append), decontamination shingles, paragraph
@@ -693,9 +703,27 @@ object CorpusWatcher {
                 f.where(col("nofollow")).select("doc_id"), Seq("doc_id"), "left_anti")
             }
             val links = graft.ops.Crawl.extractLinks(linkSrc)
-            val cands0 = links.where(col("link_url").isNotNull)
+            val linkCands = links.where(col("link_url").isNotNull)
               .select(md5(col("link_url")).as("url_key"),
                 col("link_url"), col("link_host"))
+            // sitemap DISCOVERY (`sitemapDiscovery`): an arriving
+            // sitemap body queues its unseen locs — content entries
+            // as fetch work, index entries as the CHILD SITEMAPS to
+            // fetch, whose bodies arrive in a later batch and queue
+            // THEIR locs in turn: the [[graft.ops.Crawl.sitemapTree]]
+            // fixpoint realized incrementally by the stream itself.
+            // Detection is one row-local rlike; locs then ride the
+            // same history/queued anti-joins, per-host cap, robots
+            // filter and scheduling every other candidate pays.
+            val cands0 =
+              if (!sitemapDiscovery) linkCands
+              else linkCands.unionByName(
+                graft.ops.Crawl.sitemapUrls(
+                  parsed1.where(coalesce(col("text"), lit(""))
+                    .rlike(graft.ops.Crawl.SitemapDocPat)))
+                  .where(col("url").isNotNull)
+                  .select(md5(col("url")).as("url_key"),
+                    col("url").as("link_url"), col("host").as("link_host")))
             // politeness at QUEUE time (`frontierRules`): a stored
             // robotsRules table filters candidates BEFORE they cost a
             // history probe or a queue slot — a disallowed URL should

@@ -981,6 +981,45 @@ class CorpusWatcherSpec extends SparkSpec {
       "a nofollow page's outlinks must never queue")
   }
 
+  test("sitemapDiscovery: an arriving index queues child sitemaps; their bodies queue content locs — the tree fixpoint, incrementally") {
+    val (watch, index, quar) = (tmp("watchsm"), tmp("indexsm"), tmp("quarsm") + "/bad")
+    val hist = tmp("histsm") + "/urls"
+    val fd = tmp("frontsm") + "/frontier"
+    def run(ckpt: String): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      urlHistoryDir = Some(hist), frontierDir = Some(fd),
+      sitemapDiscovery = true).awaitTermination()
+    val ckpt = tmp("ckptsm")
+    // batch 0: a sitemapINDEX arrives (fetched from its robots.txt
+    // pointer) — the child sitemap it names must queue as fetch work
+    Files.write(Paths.get(watch, "sm-0.json"),
+      """{"doc_id": 1, "text": "<sitemapindex><sitemap><loc>https://s.example.org/sm-a.xml</loc></sitemap></sitemapindex>", "url": "https://s.example.org/sitemap.xml"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val q0 = spark.read.parquet(fd).select("link_url").as[String].collect().toSet
+    assert(q0 === Set("https://s.example.org/sm-a.xml"),
+      s"the index's child sitemap must queue: $q0")
+    // batch 1: the child's BODY arrives (the consumer fetched it) —
+    // its content locs queue; the child itself is now history and the
+    // already-queued row never re-queues
+    Files.write(Paths.get(watch, "sm-1.json"),
+      """{"doc_id": 2, "text": "<urlset><url><loc>https://s.example.org/page-a</loc></url><url><loc>https://s.example.org/page-b</loc></url></urlset>", "url": "https://s.example.org/sm-a.xml"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val q1 = spark.read.parquet(fd).filter(col("batch_id") === 1)
+      .select("link_url").as[String].collect().toSet
+    assert(q1 === Set("https://s.example.org/page-a", "https://s.example.org/page-b"),
+      s"the fetched child's locs must queue exactly once: $q1")
+    // batch 2: the SAME child body re-fetched — every loc already
+    // queued, nothing new
+    Files.write(Paths.get(watch, "sm-2.json"),
+      """{"doc_id": 3, "text": "<urlset><url><loc>https://s.example.org/page-a</loc></url></urlset>", "url": "https://s.example.org/sm-a2.xml"}"""
+        .getBytes("UTF-8"))
+    run(ckpt)
+    val q2 = spark.read.parquet(fd).filter(col("batch_id") === 2)
+      .select("link_url").as[String].collect().toSet
+    assert(q2 === Set.empty, s"an already-queued loc must not re-queue: $q2")
+  }
+
   test("frontierDir queues unseen outlinks append-only; seen and already-queued targets never re-queue; replay-idempotent") {
     val (watch, index, quar) = (tmp("watchfr"), tmp("indexfr"), tmp("quarfr") + "/bad")
     val hist = tmp("histfr") + "/urls"
