@@ -63,9 +63,12 @@ object ProbeShard {
     // small per-partition counts = bounded executor heaps at 1e9 URLs
     for (k <- Seq(1, 4)) {
       val routed = Crawl.extractLinks(pages).where(col("link_url").isNotNull)
-        .select(col("link_host"))
+        .select(col("link_url"), col("link_host"))
         .withColumn("probe_shard", pmod(xxhash64(col("link_host")), lit(8)).cast("int"))
-        .withColumn("probe_salt", pmod(xxhash64(col("link_host")), lit(k)).cast("int"))
+        // salt by URL, exactly as the production routing does — a
+        // host-derived salt would keep each host in ONE partition and
+        // measure a layout the engine doesn't ship
+        .withColumn("probe_salt", pmod(xxhash64(col("link_url")), lit(k)).cast("int"))
       val parts =
         (if (k == 1) routed.repartition(8, col("probe_shard"))
          else routed.repartition(8 * k, col("probe_shard"), col("probe_salt")))

@@ -1667,11 +1667,20 @@ object Crawl {
         .repartition(shards * probePartitionsPerShard,
           col("probe_shard"), col("probe_salt"))
         .drop("probe_salt")
-    val mightContain = GraftSqlBridge.column(
+    // SEALED probe: the expression is deterministic, so Catalyst's
+    // PushPredicateThroughNonJoin would sink the filter BELOW the
+    // routing RepartitionByExpression — probes would then execute on
+    // the pre-routing host-mixed partitions and every executor would
+    // materialize every shard, silently un-doing the residency pin
+    // (byte-identical results, so only the plan shows it; the spec
+    // asserts the ordering). PlanSeal blocks the push; the identical
+    // routed subtrees under the two branches then share ONE exchange
+    // via reuse, so extractLinks also runs once.
+    val mightContain = graft.functions.PlanSeal.seal(GraftSqlBridge.column(
       graft.functions.ShardedBloomMightContain(
         GraftSqlBridge.expression(col("probe_shard")),
         GraftSqlBridge.expression(xxhash64(col("url_key"))),
-        bloomSet))
+        bloomSet)))
     val definitelyUnseen = links.where(!mightContain).drop("probe_shard")
     val confirmed = links.where(mightContain).drop("probe_shard")
       .join(seen.select(col("url_key")), Seq("url_key"), "left_anti")
@@ -1860,6 +1869,10 @@ object Crawl {
         k += 1
       }
     }
+    // the LAST wave is folded into chains and referenced by nothing
+    // else — release it on both exit paths (empty next and maxDepth),
+    // or a per-crawl-loop caller under Persist leaks one wave per call
+    if (frontier ne chains) graft.core.Materialize.release(frontier, mat)
     val out = chains
       .select(element_at(col("path_ids"), 1).as("root_doc_id"), col("doc_id"),
         col("depth"), col("path"))

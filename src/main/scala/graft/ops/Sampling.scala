@@ -416,7 +416,11 @@ object Sampling {
       .cast("long") % buckets).cast("int")
     val chunks = graft.core.Parallelism.ensure(docs)
       .select(col("doc_id"),
-        size(graft.core.TextNorm.tokens(col("text"))).cast("long").as("n"),
+        // sealed: n feeds the filter, the chunk-count bound and the
+        // tail length — unsealed, collapse+pushdown re-inlines the
+        // tokenizer once per reference (the engine-wide seal rule)
+        graft.functions.PlanSeal.seal(
+          size(graft.core.TextNorm.tokens(col("text"))).cast("long")).as("n"),
         bucket.as("pack_bucket"))
       .where(col("n") > 0)
       .select(col("doc_id"), col("pack_bucket"), col("n"),

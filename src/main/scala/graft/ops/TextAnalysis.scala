@@ -1217,7 +1217,10 @@ object TextAnalysis {
     require(stride >= 1 && stride <= chunkSize,
       s"stride=$stride must be in [1, chunkSize=$chunkSize]")
     graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"), TextNorm.tokens(col("text")).as("ts"))
+      // sealed: ts feeds the length, the window count and every
+      // window's slice — unsealed, each reference re-tokenizes
+      .select(col("doc_id"),
+        graft.functions.PlanSeal.seal(TextNorm.tokens(col("text"))).as("ts"))
       .select(col("doc_id"), col("ts"), size(col("ts")).cast("long").as("n"))
       .where(col("n") > 0)
       .select(col("doc_id"), col("ts"), col("n"),
@@ -1250,11 +1253,14 @@ object TextAnalysis {
     * tokenizer vocabularies, classifier models): staleness management
     * becomes an engine decision a stream can record and a scheduler
     * can act on, instead of policy pushed onto every operator.
-    * Thresholds are artifact-sized (broadcast); one join, no shuffle
-    * of anything corpus-scaled. */
+    * Both sides are METRIC-GRAIN (signals come from aggregated drift
+    * rows, thresholds are declared policy); the measured side carries
+    * the broadcast hint — it is the BUILD side of the left-outer join
+    * (a hint on the preserved side is silently unusable), so the plan
+    * is one broadcast join, no shuffle. */
   def refreshDue(signals: DataFrame, thresholds: DataFrame): DataFrame =
-    broadcast(thresholds.select(col("artifact"), col("metric"), col("threshold")))
-      .join(signals.select(col("artifact"), col("metric"), col("value")),
+    thresholds.select(col("artifact"), col("metric"), col("threshold"))
+      .join(broadcast(signals.select(col("artifact"), col("metric"), col("value"))),
         Seq("artifact", "metric"), "left")
       .select(col("artifact"), col("metric"), col("value"), col("threshold"),
         coalesce(col("value") > col("threshold"), lit(false)).as("due"))

@@ -920,6 +920,23 @@ class CrawlSpec extends SparkSpec {
       // probe — and only materialize — their own shards
       assert(plan.contains("probe_shard"),
         "probe candidates must repartition by the shard routing before the probe")
+      // ...and the probe must stay ABOVE that exchange: the sealed
+      // filter must never sink below a RepartitionOperation (Catalyst
+      // pushes deterministic filters through repartition — the seal
+      // is what blocks it)
+      import org.apache.spark.sql.catalyst.plans.logical.{Filter => LFilter, RepartitionOperation}
+      val opt = sh.queryExecution.optimizedPlan
+      def hasProbe(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Boolean =
+        p.exists {
+          case f: LFilter =>
+            f.condition.exists(_.isInstanceOf[graft.functions.PlanSeal])
+          case _ => false
+        }
+      assert(hasProbe(opt), "the sealed probe filter must be in the plan")
+      opt.collect { case r: RepartitionOperation => r }.foreach { r =>
+        assert(!hasProbe(r),
+          s"the probe filter sank below the routing exchange:\n$opt")
+      }
     }
     // salted routing widens parallelism without changing the frontier
     val salted = Crawl.crawlFrontierBloomSharded(
