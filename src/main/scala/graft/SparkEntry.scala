@@ -49,9 +49,14 @@ object SparkEntry {
     * chunk_idx, chunk_tokens, len_bin, dps, rn)` — shared by
     * q_pack_sequences and q_packing_efficiency. */
   private lazy val PackSeqCtes: String =
-    s"""ps0 AS (SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n,
+    packSeqCtes(s"SELECT doc_id, CAST(len($TOKS) AS BIGINT) AS n FROM documents")
+
+  /** The same chain over ANY `(doc_id, n)` count source — the
+    * packSequencesCounts twin (real-tokenizer budgets). */
+  private def packSeqCtes(countsFrom: String): String =
+    s"""ps0 AS (SELECT doc_id, n,
        |    CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 8 AS INTEGER) AS pack_bucket
-       |  FROM documents),
+       |  FROM ($countsFrom)),
        |ps1 AS (SELECT doc_id, pack_bucket, n FROM ps0 WHERE n > 0),
        |ps2 AS (SELECT doc_id, pack_bucket, n, CAST(i AS INTEGER) AS chunk_idx
        |  FROM ps1, unnest(generate_series(0, CAST(ceil(n / 64.0) AS BIGINT) - 1)) AS t(i)),
@@ -2838,6 +2843,16 @@ object SparkEntry {
     // stride 5 = 3-token overlap, every token covered, last short
     "q_chunk_tokens" -> ((s, dir) =>
       graft.ops.TextAnalysis.chunkByTokens(docs(s, dir), chunkSize = 8, stride = 5)),
+    // sequence packing budgeted by a REAL tokenizer's counts (BPE) —
+    // the model's own token count, not the whitespace proxy
+    "q_pack_sequences_bpe" -> { (s, dir) =>
+      val d = docs(s, dir)
+      val counts = graft.ops.Bpe.tokenCounts(d,
+        graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)))
+        .select(col("doc_id"), col("n_bpe_tokens").as("n_tokens"))
+      graft.ops.Sampling.packSequencesCounts(counts,
+        context = 64, binWidth = 16, buckets = 8)
+    },
     // the BUCKETED shard writer under the SAME twin as q_shard_manifest:
     // the doc_id-bucketed analytics layout changes file placement, the
     // certified manifest must not — write, register, read back, certify
@@ -3511,6 +3526,18 @@ object SparkEntry {
       graft.ops.Curation.calibrationEce(
         scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
           Seq("doc_id")))
+    },
+    "q_threshold_sweep" -> { (s, dir) =>
+      // the operating-point selection the calibration face points at:
+      // precision/recall/f1 across candidate keep thresholds
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.thresholdSweep(
+        scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+          Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
     }
   )
 
@@ -5063,6 +5090,46 @@ object SparkEntry {
          |  CAST(n_seqs * 64 - n_tokens AS BIGINT) AS pad_waste,
          |  round(CAST(n_tokens AS DOUBLE) / (n_seqs * 64), 6) AS efficiency
          |FROM ps6""".stripMargin,
+    "q_pack_sequences_bpe" ->
+      // the same packing chain budgeted by the BPE serving table's
+      // per-doc piece counts (q_bpe_tokens' enc chain as the source)
+      s"""WITH ${BPE_CTES(BPE_MERGES, 2L)},
+         |enc AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w$BPE_MERGES),
+         |${packSeqCtes(
+           s"""SELECT d.doc_id, CAST(coalesce(sum(e.np), 0) AS BIGINT) AS n
+              |FROM documents d
+              |LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id
+              |LEFT JOIN enc e ON t.word = e.word
+              |GROUP BY d.doc_id""".stripMargin)}
+         |SELECT doc_id, chunk_idx, chunk_tokens, pack_bucket, len_bin,
+         |  CAST(floor((rn - 1) / dps) AS INTEGER) AS seq_in_bin,
+         |  CAST((rn - 1) % dps AS INTEGER) AS pos_in_seq
+         |FROM ps5""".stripMargin,
+    "q_threshold_sweep" ->
+      // twin of Curation.thresholdSweep over the scored corpus:
+      // per candidate threshold, kept/tp counts and the rounded
+      // precision/recall/f1 (the classificationReport recipe)
+      s"""WITH $CLS_CTES,
+         |tsin AS MATERIALIZED (SELECT
+         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    (($DOMAIN_SQL) <> 'web') AS pos
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+         |tsth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+         |tsag AS (SELECT threshold,
+         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM tsin CROSS JOIN tsth GROUP BY threshold),
+         |tspr AS (SELECT *,
+         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+         |  FROM tsag)
+         |SELECT threshold, n_kept, n_pos, tp,
+         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+         |FROM tspr""".stripMargin,
     "q_chunk_tokens" ->
       // twin of TextAnalysis.chunkByTokens(8, 5): stride starts,
       // 1-based inclusive list slice, space-joined window text

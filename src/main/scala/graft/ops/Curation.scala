@@ -626,6 +626,41 @@ object Curation {
       .withColumn("gap", round(abs(col("frac_pos") - col("expected_p")), 6))
   }
 
+  /** Operating-point sweep over a scored + labeled corpus — the step
+    * [[calibrationReport]] points at: when the scorer separates but
+    * mis-calibrates, the keep threshold must come from a measured
+    * precision/recall trade, not from p = 0.5. One row per candidate
+    * threshold: `(threshold, n_kept, n_pos, tp, precision, recall,
+    * f1)` — keep = `logit ≥ threshold`, `f1` from the ROUNDED
+    * precision/recall (the [[classificationReport]] determinism
+    * recipe), NULL where undefined (nothing kept / no positives).
+    * One scan: the scored table cross-joins the broadcast threshold
+    * list and aggregates per threshold — |thresholds| is a policy
+    * list, never data-sized. */
+  def thresholdSweep(
+      scored: DataFrame, thresholds: Seq[Double],
+      actualCol: String = "actual"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val thr = broadcast(thresholds.distinct.toDF("threshold"))
+    val prec = round(col("tp").cast("double") / col("n_kept"), 6)
+    val rec = round(col("tp").cast("double") / col("n_pos"), 6)
+    scored.where(col("logit").isNotNull && col(actualCol).isNotNull)
+      .select(col("logit"), col(actualCol).cast("boolean").as("pos"))
+      .crossJoin(thr)
+      .groupBy(col("threshold"))
+      .agg(
+        sum((col("logit") >= col("threshold")).cast("long")).as("n_kept"),
+        sum(col("pos").cast("long")).as("n_pos"),
+        sum((col("pos") && col("logit") >= col("threshold")).cast("long")).as("tp"))
+      .select(col("threshold"), col("n_kept"), col("n_pos"), col("tp"),
+        when(col("n_kept") > 0, prec).as("precision"),
+        when(col("n_pos") > 0, rec).as("recall"),
+        when(col("n_kept") > 0 && col("n_pos") > 0 && (prec + rec) > 0,
+          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+  }
+
   /** Expected calibration error over [[calibrationReport]]'s bins —
     * one row `(n_docs, n_bins, ece)`: the n-weighted mean gap,
     * accumulated as exact decimals (bin gaps are 6dp, weights are

@@ -406,7 +406,25 @@ object Sampling {
     * window runs per (bucket, bin) — buckets·bins balanced md5
     * streams, the [[packShardsCounts]] scale argument. */
   def packSequences(
-      docs: DataFrame, context: Int, binWidth: Int, buckets: Int = 32): DataFrame = {
+      docs: DataFrame, context: Int, binWidth: Int, buckets: Int = 32): DataFrame =
+    packSequencesCounts(
+      graft.core.Parallelism.ensure(docs)
+        .select(col("doc_id"),
+          // sealed: n feeds the filter, the chunk-count bound and the
+          // tail length — unsealed, collapse+pushdown re-inlines the
+          // tokenizer once per reference (the engine-wide seal rule)
+          graft.functions.PlanSeal.seal(
+            size(graft.core.TextNorm.tokens(col("text"))).cast("long"))
+            .as("n_tokens")),
+      context, binWidth, buckets)
+
+  /** [[packSequences]] over a precomputed `(doc_id, n_tokens)` table —
+    * so a REAL tokenizer's counts (e.g. [[graft.ops.Bpe.tokenCounts]],
+    * the [[packShardsCounts]] convention) budget the sequences
+    * instead of the whitespace proxy; a training run packs on the
+    * token count its model will actually see. */
+  def packSequencesCounts(
+      counts: DataFrame, context: Int, binWidth: Int, buckets: Int = 32): DataFrame = {
     require(context >= 1, s"context=$context must be >= 1")
     require(binWidth >= 1 && binWidth <= context,
       s"binWidth=$binWidth must be in [1, context=$context]")
@@ -414,13 +432,8 @@ object Sampling {
     import org.apache.spark.sql.expressions.Window
     val bucket = (conv(substring(md5(col("doc_id").cast("string")), 1, 4), 16, 10)
       .cast("long") % buckets).cast("int")
-    val chunks = graft.core.Parallelism.ensure(docs)
-      .select(col("doc_id"),
-        // sealed: n feeds the filter, the chunk-count bound and the
-        // tail length — unsealed, collapse+pushdown re-inlines the
-        // tokenizer once per reference (the engine-wide seal rule)
-        graft.functions.PlanSeal.seal(
-          size(graft.core.TextNorm.tokens(col("text"))).cast("long")).as("n"),
+    val chunks = counts
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n"),
         bucket.as("pack_bucket"))
       .where(col("n") > 0)
       .select(col("doc_id"), col("pack_bucket"), col("n"),

@@ -575,4 +575,25 @@ class CurationSpec extends SparkSpec {
       .as[(Int, Long, Long, Double, Double, Double, Double)].collect().toSet ===
       rep.values.toSet)
   }
+
+  test("thresholdSweep: hand-computed operating points; degenerate thresholds go NULL, never divide") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val scored = Seq(
+      (1L, Some(2.0), Some(true)), (2L, Some(1.0), Some(false)),
+      (3L, Some(-1.0), Some(true)), (4L, Some(0.5), Some(false)),
+      (5L, None, Some(true))) // unscored: drops
+      .toDF("doc_id", "logit", "actual")
+    val got = Curation.thresholdSweep(scored, Seq(-2.0, 0.0, 3.0))
+      .as[(Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(-2.0, 0.0, 3.0))
+    // t=-2: everything kept — p = 2/4, r = 1, f1 from the rounded pair
+    assert(got(-2.0) === ((-2.0, 4L, 2L, 2L,
+      Some(0.5), Some(1.0), Some(r6(2.0 * 0.5 * 1.0 / 1.5)))))
+    // t=0: kept {2.0, 1.0, 0.5}, one true positive
+    val p0 = r6(1.0 / 3.0); val f0 = r6(2.0 * p0 * 0.5 / (p0 + 0.5))
+    assert(got(0.0) === ((0.0, 3L, 2L, 1L, Some(p0), Some(0.5), Some(f0))))
+    // t=3: nothing kept — precision and f1 NULL, recall an honest 0
+    assert(got(3.0) === ((3.0, 0L, 2L, 0L, None, Some(0.0), None)))
+  }
 }

@@ -183,6 +183,17 @@ class SamplingSpec extends SparkSpec {
     assert(eff(1) === ((2L, 1L, 16L, 64L, 48L, 0.25)))
     // tokenless docs contribute nothing
     assert(Sampling.packSequences(Seq((9L, "")).toDF("doc_id", "text"), 64, 16).count() === 0L)
+    // the counts-pluggable face agrees with the whitespace proxy when
+    // fed whitespace counts (the packShardsCounts convention)
+    val viaCounts = Sampling.packSequencesCounts(
+      d.select(col("doc_id"),
+        org.apache.spark.sql.functions.size(
+          graft.core.TextNorm.tokens(col("text"))).cast("long").as("n_tokens")),
+      64, 16, 1)
+      .as[(Long, Int, Long, Int, Int, Int, Int)].collect().toSet
+    assert(viaCounts ===
+      Sampling.packSequences(d, 64, 16, 1)
+        .as[(Long, Int, Long, Int, Int, Int, Int)].collect().toSet)
     // SQL surface parity
     graft.plans.GraftExtensions.install(SparkSpec.spark)
     d.createOrReplaceTempView("ps_docs")
