@@ -1958,6 +1958,33 @@ object SparkEntry {
        |       FROM allf f JOIN w ON f.b = w.b GROUP BY f.doc_id)""".stripMargin
   }
 
+  /** Twin of [[graft.ops.Curation.thresholdSweep]] over the CLS_CTES
+    * scored corpus (thresholds −2…2, actual = non-web domain) — the
+    * q_threshold_sweep aggregation factored into a `swp` CTE so the
+    * operating-point and classified-curate twins select from the SAME
+    * sweep rows the sweep oracle pins. Requires CLS_CTES in scope. */
+  private val SWEEP_CTES =
+    s"""tsin AS MATERIALIZED (SELECT
+       |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+       |    (($DOMAIN_SQL) <> 'web') AS pos
+       |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
+       |tsth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+       |tsag AS (SELECT threshold,
+       |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM tsin CROSS JOIN tsth GROUP BY threshold),
+       |tspr AS (SELECT *,
+       |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+       |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+       |  FROM tsag),
+       |swp AS MATERIALIZED (SELECT threshold, n_kept, n_pos, tp,
+       |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+       |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+       |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+       |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+       |  FROM tspr)""".stripMargin
+
   /** Connected components over `pairs` (min reachable doc_id) — the
     * recursive closure shared by the cluster/keep/curate oracles;
     * requires WITH RECURSIVE and a `pairs(doc_a, doc_b)` CTE in scope. */
@@ -1982,8 +2009,14 @@ object SparkEntry {
   /** The curate chain's CTE prefix, optionally with a token-blocklist
     * stage fused into the flags pass (the Scala chain's `rowFlags`
     * shape); `None` is the historical three-filter chain the existing
-    * q_curate* twins use verbatim. */
-  private def curateCtesWith(blocklist: Option[Seq[String]]): String = {
+    * q_curate* twins use verbatim. `classified = true` inserts the
+    * model-based stage between language and near-dedup: the operating
+    * point selected from the SWEEP_CTES rows (max-F1, threshold-asc
+    * tiebreak — [[graft.ops.Curation.operatingPoint]]) gates s1 into
+    * `s1c`, and the dedup graph builds over the classifier survivors
+    * (requires CLS_CTES + SWEEP_CTES in scope). */
+  private def curateCtesWith(
+      blocklist: Option[Seq[String]], classified: Boolean = false): String = {
     def sc(l: String, words: String) =
       s"len(list_filter(ts, t -> list_contains($words, t))) AS score_$l"
     val blkExpr = blocklist.map { terms =>
@@ -2005,11 +2038,17 @@ object SparkEntry {
        |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}$blkExpr
        |          FROM (SELECT doc_id, source, $TOKS AS ts FROM documents WHERE doc_id % 50 <> 0)))),
        |s1 AS MATERIALIZED (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'$blkFilter),
-       |sh1 AS MATERIALIZED (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
-       |        WHERE doc_id IN (SELECT doc_id FROM s1)),
+       |${if (!classified) "" else
+         """opth AS (SELECT threshold FROM swp WHERE f1 IS NOT NULL
+           |        ORDER BY f1 DESC, threshold ASC LIMIT 1),
+           |clsk AS MATERIALIZED (SELECT doc_id FROM sc
+           |        WHERE CAST(CAST(logit AS DECIMAL(18,6)) AS DOUBLE) >= (SELECT threshold FROM opth)),
+           |s1c AS MATERIALIZED (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM clsk)),
+           |""".stripMargin}sh1 AS MATERIALIZED (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
+       |        WHERE doc_id IN (SELECT doc_id FROM ${if (classified) "s1c" else "s1"})),
        |${MINHASH_TAIL("sh1")},
        |$CLUSTER_CTES,
-       |s2 AS MATERIALIZED (SELECT doc_id FROM s1
+       |s2 AS MATERIALIZED (SELECT doc_id FROM ${if (classified) "s1c" else "s1"}
        |       WHERE doc_id NOT IN (SELECT doc_id FROM cl WHERE doc_id <> cluster_id)),
        |evsh AS MATERIALIZED (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 0),
        |tr2 AS MATERIALIZED (SELECT doc_id, unnest(list_distinct(shl)) AS shingle FROM ($SHINGLES)
@@ -3538,6 +3577,58 @@ object SparkEntry {
         scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
           Seq("doc_id")),
         thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+    },
+    "q_operating_point" -> { (s, dir) =>
+      // the sweep made EXECUTABLE: one winning row per objective —
+      // max-F1 (balanced) and precision-floor 0.9 (recall-max subject
+      // to the floor), deterministic threshold-asc tiebreaks
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      val sweep = graft.ops.Curation.thresholdSweep(
+        scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+          Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+      graft.ops.Curation.operatingPoint(sweep)
+        .unionByName(graft.ops.Curation.operatingPoint(sweep,
+          graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
+    },
+    "q_curate_classified" -> { (s, dir) =>
+      // the calibration loop CLOSED: train -> score -> sweep -> select
+      // the max-F1 operating point -> gate the curation chain at that
+      // bias; manifest + funnel union (the q_curate_with_funnel shape)
+      // with the classifier as stage 4, token mass included
+      val d = docs(s, dir)
+      val dd = withDomain(d)
+      // trained once, consumed twice (sweep scoring + the chain gate)
+      val weights = graft.core.Materialize(
+        graft.ops.Curation.classifierWeights(
+          dd.filter(col("domain") =!= "web"), dd.filter(col("domain") === "web")),
+        graft.core.Materialize.LocalCheckpoint)
+      val sweep = graft.ops.Curation.thresholdSweep(
+        graft.ops.Curation.classifierScore(dd, weights)
+          .join(dd.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+            Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+      val bias = graft.ops.Curation.operatingPointBias(sweep)
+        .getOrElse(sys.error("q_curate_classified: no operating point qualified"))
+      val r = graft.ops.Curation.curateWithFunnel(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5,
+        classifier = Some(graft.ops.Curation.ClassifierGate(weights, bias = bias)))
+      r.manifest.select(
+        lit("manifest").as("kind"),
+        col("doc_id"), col("source"), col("pred_lang"), col("split"),
+        lit(null).cast("int").as("stage_idx"), lit(null).cast("string").as("stage"),
+        lit(null).cast("long").as("n_docs"), lit(null).cast("long").as("n_tokens"))
+        .unionByName(r.funnel.select(
+          lit("funnel").as("kind"),
+          lit(null).cast("long").as("doc_id"), lit(null).cast("string").as("source"),
+          lit(null).cast("string").as("pred_lang"), lit(null).cast("string").as("split"),
+          col("stage_idx"), col("stage"), col("n_docs"), col("n_tokens")))
     }
   )
 
@@ -5110,26 +5201,58 @@ object SparkEntry {
       // per candidate threshold, kept/tp counts and the rounded
       // precision/recall/f1 (the classificationReport recipe)
       s"""WITH $CLS_CTES,
-         |tsin AS MATERIALIZED (SELECT
-         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
-         |    (($DOMAIN_SQL) <> 'web') AS pos
-         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id),
-         |tsth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
-         |tsag AS (SELECT threshold,
-         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
-         |  FROM tsin CROSS JOIN tsth GROUP BY threshold),
-         |tspr AS (SELECT *,
-         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
-         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
-         |  FROM tsag)
-         |SELECT threshold, n_kept, n_pos, tp,
-         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
-         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
-         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
-         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
-         |FROM tspr""".stripMargin,
+         |$SWEEP_CTES
+         |SELECT threshold, n_kept, n_pos, tp, precision, recall, f1 FROM swp""".stripMargin,
+    "q_operating_point" ->
+      // twin of Curation.operatingPoint over the same sweep, both
+      // objectives: max-F1 (tie -> lowest threshold) and the
+      // precision-floor 0.9 pick (max recall subject to the floor)
+      s"""WITH $CLS_CTES,
+         |$SWEEP_CTES
+         |SELECT 'max_f1' AS objective, threshold, n_kept, n_pos, tp, precision, recall, f1
+         |FROM (SELECT * FROM swp WHERE f1 IS NOT NULL ORDER BY f1 DESC, threshold ASC LIMIT 1)
+         |UNION ALL
+         |SELECT 'precision_floor', threshold, n_kept, n_pos, tp, precision, recall, f1
+         |FROM (SELECT * FROM swp WHERE precision IS NOT NULL AND precision >= 0.9
+         |      AND recall IS NOT NULL ORDER BY recall DESC, threshold ASC LIMIT 1)""".stripMargin,
+    "q_curate_classified" ->
+      // twin of the classifier-gated chain: CLS_CTES trains the NB
+      // weights, SWEEP_CTES measures the operating points, the curate
+      // CTEs gate s1 at the selected max-F1 threshold before the dedup
+      // graph; manifest + 7-stage funnel (classifier = stage 4, with
+      // token mass) union into one discriminated table
+      s"""WITH RECURSIVE $CLS_CTES,
+         |$SWEEP_CTES,
+         |${curateCtesWith(None, classified = true)},
+         |tok AS (SELECT s.stage_idx, CAST(coalesce(sum(f.n_tok), 0) AS BIGINT) AS n_tokens
+         |        FROM (SELECT 1 AS stage_idx, doc_id FROM flags
+         |              UNION ALL SELECT 2, doc_id FROM flags WHERE q_keep
+         |              UNION ALL SELECT 3, doc_id FROM s1
+         |              UNION ALL SELECT 4, doc_id FROM s1c
+         |              UNION ALL SELECT 5, doc_id FROM s2
+         |              UNION ALL SELECT 6, doc_id FROM s3
+         |              UNION ALL SELECT 7, doc_id FROM s4) s
+         |        JOIN flags f USING (doc_id) GROUP BY s.stage_idx)
+         |SELECT 'manifest' AS kind, doc_id, source, pred_lang, split,
+         |  CAST(NULL AS INTEGER) AS stage_idx, CAST(NULL AS VARCHAR) AS stage,
+         |  CAST(NULL AS BIGINT) AS n_docs, CAST(NULL AS BIGINT) AS n_tokens
+         |FROM (SELECT doc_id, source, pred_lang,
+         |        CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |      FROM (SELECT doc_id, source, pred_lang,
+         |              CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |            FROM flags WHERE doc_id IN (SELECT doc_id FROM s4)))
+         |UNION ALL
+         |SELECT 'funnel', CAST(NULL AS BIGINT), CAST(NULL AS VARCHAR), CAST(NULL AS VARCHAR),
+         |  CAST(NULL AS VARCHAR), stage_idx, stage, n_docs, CAST(coalesce(n_tokens, 0) AS BIGINT)
+         |FROM (
+         |  SELECT CAST(1 AS INTEGER) AS stage_idx, 'ingest' AS stage, (SELECT count(*) FROM flags) AS n_docs
+         |  UNION ALL SELECT 2, 'quality', (SELECT count(*) FROM flags WHERE q_keep)
+         |  UNION ALL SELECT 3, 'language', (SELECT count(*) FROM s1)
+         |  UNION ALL SELECT 4, 'classifier', (SELECT count(*) FROM s1c)
+         |  UNION ALL SELECT 5, 'near_dedup', (SELECT count(*) FROM s2)
+         |  UNION ALL SELECT 6, 'decontaminate', (SELECT count(*) FROM s3)
+         |  UNION ALL SELECT 7, 'mixture', (SELECT count(*) FROM s4))
+         |LEFT JOIN tok USING (stage_idx)""".stripMargin,
     "q_chunk_tokens" ->
       // twin of TextAnalysis.chunkByTokens(8, 5): stride starts,
       // 1-based inclusive list slice, space-joined window text

@@ -149,17 +149,79 @@ object Curation {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
   }
 
-  /** A STORED classifier served as a per-batch gate
-    * ([[graft.streaming.CorpusWatcher.startJsonl]]): docs scoring
-    * `logit < bias` under the frozen `(b, w)` weight table
-    * ([[classifierWeights]] output) are dropped. `buckets` must equal
-    * the table's training-time bucket count — [[classifierScore]]'s
-    * contract. The weight table is model-sized (KBs), broadcast into
+  /** A STORED classifier served as a gate — per-batch on the stream
+    * ([[graft.streaming.CorpusWatcher.startJsonl]]) or as the optional
+    * model-based stage of the batch chain ([[curate]]`(classifier =
+    * Some(...))`): docs scoring `logit < bias` under the frozen
+    * `(b, w)` weight table ([[classifierWeights]] output) are dropped.
+    * `buckets` must equal the table's training-time bucket count —
+    * [[classifierScore]]'s contract. `bias` is the operating point;
+    * feed it from [[operatingPointBias]] over a [[thresholdSweep]] so
+    * the gate thresholds on a VALIDATED precision/recall trade instead
+    * of p = 0.5. The weight table is model-sized (KBs), broadcast into
     * every batch; training never happens on the stream. */
   final case class ClassifierGate(
       weights: DataFrame, buckets: Int = 1024, bias: Double = 0.0) {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
   }
+
+  /** Objectives for [[operatingPoint]] — how to pick ONE threshold
+    * from a [[thresholdSweep]]. */
+  sealed trait OpObjective
+  object OpObjective {
+    /** The balanced pick: the swept threshold with the highest F1;
+      * ties break to the LOWEST threshold (keeps more data — the
+      * deterministic tiebreak every engine reproduces). */
+    case object MaxF1 extends OpObjective
+    /** The precision-constrained pick: among thresholds whose measured
+      * precision is at least `minPrecision`, the one with the highest
+      * recall; ties to the lowest threshold. No qualifying threshold →
+      * an EMPTY result (an unmeetable floor must be visible, not
+      * silently substituted). */
+    final case class PrecisionFloor(minPrecision: Double) extends OpObjective {
+      require(minPrecision > 0 && minPrecision <= 1,
+        s"minPrecision=$minPrecision must be in (0, 1]")
+    }
+  }
+
+  /** SELECT the operating point from a [[thresholdSweep]] — the step
+    * that makes the calibration loop executable: sweep → select →
+    * gate ([[ClassifierGate]]`(bias = …)`), instead of a report a
+    * human reads. One row (the winning sweep row, tagged with the
+    * objective): `(objective, threshold, n_kept, n_pos, tp, precision,
+    * recall, f1)`; empty when no threshold qualifies (NULL-f1-only
+    * sweep under [[OpObjective.MaxF1]], unmeetable floor under
+    * [[OpObjective.PrecisionFloor]]).
+    *
+    * Deterministic by construction: the sweep's metrics are 6dp-exact,
+    * and both objectives order by `(metric desc, threshold asc)` — a
+    * total order, engine-reproducible. The sort is policy-sized
+    * (|thresholds| rows), never data-sized. */
+  def operatingPoint(
+      sweep: DataFrame, objective: OpObjective = OpObjective.MaxF1): DataFrame = {
+    val picked = objective match {
+      case OpObjective.MaxF1 =>
+        sweep.where(col("f1").isNotNull)
+          .orderBy(col("f1").desc, col("threshold").asc)
+          .limit(1).withColumn("objective", lit("max_f1"))
+      case OpObjective.PrecisionFloor(p) =>
+        sweep.where(col("precision").isNotNull && col("precision") >= p &&
+            col("recall").isNotNull)
+          .orderBy(col("recall").desc, col("threshold").asc)
+          .limit(1).withColumn("objective", lit("precision_floor"))
+    }
+    picked.select(col("objective"), col("threshold"), col("n_kept"),
+      col("n_pos"), col("tp"), col("precision"), col("recall"), col("f1"))
+  }
+
+  /** [[operatingPoint]]'s threshold as the driver-side Double a
+    * [[ClassifierGate]] needs for `bias` — a one-row collect of a
+    * policy-sized table (the model-table convention, never corpus
+    * data). None when no threshold qualifies. */
+  def operatingPointBias(
+      sweep: DataFrame, objective: OpObjective = OpObjective.MaxF1): Option[Double] =
+    operatingPoint(sweep, objective).collect().headOption
+      .map(_.getAs[Double]("threshold"))
 
   /** Apply a [[QualityGate]]: keep docs passing the quality rule whose
     * predicted language is in the gate's keep set; output schema equals
@@ -208,6 +270,19 @@ object Curation {
     * AQE broadcasts the anti-joins; mixture + split are shuffle-free
     * column algebra on the result. Doc text never shuffles anywhere —
     * bands, shingles and ids do.
+    *
+    * `classifier` opts in the MODEL-BASED quality stage (the
+    * FineWeb/DCLM recipe): the quality+language survivors are scored
+    * against the gate's frozen weight table ([[classifierScore]] — one
+    * tokenize scan of survivors, broadcast weight join, combinable
+    * per-doc sum) and docs below the gate's `bias` drop BEFORE the
+    * dedup graph sees them. The stage sits after the heuristic
+    * predicates (they're cheaper — no join) and before the shuffling
+    * stages (fewer docs enter the band graph); its `bias` should come
+    * from [[operatingPointBias]] so the chain thresholds on the
+    * VALIDATED operating point. The kept-id table is materialized
+    * under `mat` (it feeds the survivor chain and, in
+    * [[curateWithFunnel]], the funnel and samples joins).
     */
   def curate(
       docs: DataFrame,
@@ -222,16 +297,35 @@ object Curation {
       sizeRatioFloor: Double = 0.0,
       split: SplitMode = SplitMode.Hash,
       evalShingles: Option[DataFrame] = None,
-      blocklist: Seq[String] = Nil): DataFrame = {
+      blocklist: Seq[String] = Nil,
+      classifier: Option[ClassifierGate] = None): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val s1 = rowFlags(docs, minTokens, blocklist)
       .filter(col("q_keep") && col("pred_lang").isin(keepLangs: _*) && col("b_keep"))
-    val cl = chainClusters(s1, mat, sizeRatioFloor)
+    val s1c = clsSurvivors(s1, classifier, mat)._1
+    val cl = chainClusters(s1c, mat, sizeRatioFloor)
     val losers = losersOf(cl)
-    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
     val contam = contamOf(s2, evalDocs, evalShingles)
-    manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl)
+    manifestFrom(s1c, losers, contam, rates, defaultRate, trainPct, valPct, split, cl)
   }
+
+  /** The classifier stage: survivors gated by the stored model, plus
+    * the kept-id table the funnel/samples joins need (materialized
+    * under `mat` — id-sized, consumed by up to three downstream
+    * joins). No gate → the identity, no extra table. */
+  private def clsSurvivors(
+      s1: DataFrame, classifier: Option[ClassifierGate],
+      mat: Materialize.Strategy): (DataFrame, Option[DataFrame]) =
+    classifier match {
+      case None => (s1, None)
+      case Some(g) =>
+        val kept = Materialize(
+          classifierScore(s1, g.weights, g.buckets, g.bias)
+            .where(col("keep")).select("doc_id"),
+          mat)
+        (s1.join(kept, Seq("doc_id"), "left_semi"), Some(kept))
+    }
 
   /** The chain's contaminated-id table: the train/serve split of
     * decontamination. With `evalShingles` (a STORED
@@ -325,25 +419,28 @@ object Curation {
       split: SplitMode = SplitMode.Hash,
       evalShingles: Option[DataFrame] = None,
       blocklist: Seq[String] = Nil,
-      samples: Int = 0): CurationResult = {
+      samples: Int = 0,
+      classifier: Option[ClassifierGate] = None): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     require(samples >= 0, s"samples=$samples must be >= 0 (0 = no sample output)")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens, blocklist)
       .filter(col("q_keep") && langKeep && col("b_keep"))
-    val cl = chainClusters(s1, mat, sizeRatioFloor)
+    val (s1c, clsKept) = clsSurvivors(s1, classifier, mat)
+    val cl = chainClusters(s1c, mat, sizeRatioFloor)
     val losers = losersOf(cl)
-    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
     val contam = Materialize(contamOf(s2, evalDocs, evalShingles), mat)
     CurationResult(
-      manifest = manifestFrom(s1, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
-      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate, blocklist),
+      manifest = manifestFrom(s1c, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
+      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate,
+        blocklist, clsKept),
       clusters = cl,
       // the incident-report face rides the SAME losers/contam tables —
       // consuming all three outputs builds the dedup graph once
       samples = if (samples == 0) None
         else Some(samplesFrom(docs, langKeep, losers, contam, samples,
-          minTokens, rates, defaultRate, blocklist)))
+          minTokens, rates, defaultRate, blocklist, clsKept)))
   }
 
   /** The END of every curation run: [[curate]] straight into
@@ -365,7 +462,15 @@ object Curation {
     * on `doc_id` and registered as `<tablePrefix>_<split>`, so the
     * downstream analytics joins (curated split ⋈ per-doc signal
     * tables) plan exchange-free on the curated side. Manifest values
-    * are identical either way — layout, not content. */
+    * are identical either way — layout, not content.
+    *
+    * Catalog-name caveat: the registered names are SESSION-CATALOG
+    * tables, and the writer drops-then-recreates on collision — a
+    * second bucketed call in the same session with the same
+    * `tablePrefix` silently re-points `curated_<split>` at the new
+    * `outDir`. Give each corpus its own `tablePrefix` (deriving it
+    * from `outDir` is the easy convention) when a session curates
+    * more than one. */
   def curateToShards(
       docs: DataFrame,
       evalDocs: DataFrame,
@@ -384,10 +489,12 @@ object Curation {
       evalShingles: Option[DataFrame] = None,
       blocklist: Seq[String] = Nil,
       docIdBuckets: Int = 0,
-      tablePrefix: String = "curated"): DataFrame = {
+      tablePrefix: String = "curated",
+      classifier: Option[ClassifierGate] = None): DataFrame = {
     val manifest = Materialize(
       curate(docs, evalDocs, keepLangs, minTokens, rates, defaultRate,
-        trainPct, valPct, mat, sizeRatioFloor, split, evalShingles, blocklist),
+        trainPct, valPct, mat, sizeRatioFloor, split, evalShingles, blocklist,
+        classifier),
       mat)
     val written = Seq("train", "val", "test").flatMap { sp =>
       val ids = manifest.filter(col("split") === sp).select("doc_id")
@@ -678,7 +785,9 @@ object Curation {
 
   /** Per-stage survivor counts for the exact chain [[curate]] runs —
     * `(stage_idx, stage, n_docs, n_tokens)` with stages `ingest,
-    * quality, language, near_dedup, decontaminate, mixture` — docs and
+    * quality, language, [blocklist,] [classifier,] near_dedup,
+    * decontaminate, mixture` (the optional stages appear only when
+    * enabled, indices sequential) — docs and
     * TOKENS still alive AFTER each stage (ingest = input size). The
     * token column is the number that matters to a training run: a stage
     * that drops 1% of docs may be dropping 30% of tokens if it prunes
@@ -703,15 +812,18 @@ object Curation {
       defaultRate: Double = 1.0,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
       sizeRatioFloor: Double = 0.0,
-      blocklist: Seq[String] = Nil): DataFrame = {
+      blocklist: Seq[String] = Nil,
+      classifier: Option[ClassifierGate] = None): DataFrame = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens, blocklist)
       .filter(col("q_keep") && langKeep && col("b_keep"))
-    val losers = Dedup.nearDupLosers(s1, mat = mat, sizeRatioFloor = sizeRatioFloor)
-    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val (s1c, clsKept) = clsSurvivors(s1, classifier, mat)
+    val losers = Dedup.nearDupLosers(s1c, mat = mat, sizeRatioFloor = sizeRatioFloor)
+    val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
     val contam = Dedup.contaminatedIds(s2, evalDocs)
-    funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate, blocklist)
+    funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate,
+      blocklist, clsKept)
   }
 
   /** Per-stage EXAMPLE documents for the funnel — the incident-report
@@ -739,22 +851,24 @@ object Curation {
       defaultRate: Double = 1.0,
       mat: Materialize.Strategy = Materialize.LocalCheckpoint,
       sizeRatioFloor: Double = 0.0,
-      blocklist: Seq[String] = Nil): DataFrame = {
+      blocklist: Seq[String] = Nil,
+      classifier: Option[ClassifierGate] = None): DataFrame = {
     require(n >= 1, s"n=$n must be >= 1")
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
     val s1 = rowFlags(docs, minTokens, blocklist)
       .filter(col("q_keep") && langKeep && col("b_keep"))
-    val cl = chainClusters(s1, mat, sizeRatioFloor)
+    val (s1c, clsKept) = clsSurvivors(s1, classifier, mat)
+    val cl = chainClusters(s1c, mat, sizeRatioFloor)
     val losers = losersOf(cl)
-    val s2 = s1.join(losers, Seq("doc_id"), "left_anti")
+    val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
     // contam MATERIALIZED (id-sized): lazy it would re-execute the s2
     // shingle semi-join — a full tokenize scan — inside the final
     // attribution query (r12 shipped it lazy here; curateWithFunnel
     // already materialized it, and the parity spec pins the two paths)
     val contam = Materialize(contamOf(s2, evalDocs, None), mat)
     samplesFrom(docs, langKeep, losers, contam, n, minTokens, rates,
-      defaultRate, blocklist)
+      defaultRate, blocklist, clsKept)
   }
 
   /** The attribution half of [[funnelSamples]], given the chain's two
@@ -772,23 +886,29 @@ object Curation {
       minTokens: Int,
       rates: Map[String, Double],
       defaultRate: Double,
-      blocklist: Seq[String]): DataFrame = {
-    // first-failing-stage attribution, numbered as funnel() reports
-    val bl = blocklist.nonEmpty
-    val dropStage =
-      when(!col("q_keep"), struct(lit(2).as("stage_idx"), lit("quality").as("stage")))
-        .when(!langKeep, struct(lit(3).as("stage_idx"), lit("language").as("stage")))
-        .when(!col("b_keep"),
-          struct(lit(4).as("stage_idx"), lit("blocklist").as("stage")))
-        .when(col("is_loser").isNotNull,
-          struct(lit(if (bl) 5 else 4).as("stage_idx"), lit("near_dedup").as("stage")))
-        .when(col("is_contam").isNotNull,
-          struct(lit(if (bl) 6 else 5).as("stage_idx"), lit("decontaminate").as("stage")))
-        .when(!Sampling.mixtureKeep("source", "doc_id", rates, defaultRate),
-          struct(lit(if (bl) 7 else 6).as("stage_idx"), lit("mixture").as("stage")))
-    val dropped = rowFlags(docs, minTokens, blocklist)
+      blocklist: Seq[String],
+      clsKept: Option[DataFrame] = None): DataFrame = {
+    // first-failing-stage attribution, numbered as funnel() reports:
+    // the when-chain evaluates in stage order, so the first true
+    // failure predicate names the stage (optional stages only when on)
+    val fails: Seq[(String, Column)] =
+      Seq("quality" -> !col("q_keep"), "language" -> !langKeep) ++
+        (if (blocklist.nonEmpty) Seq("blocklist" -> !col("b_keep")) else Nil) ++
+        (if (clsKept.isDefined) Seq("classifier" -> col("is_cls").isNull) else Nil) ++
+        Seq("near_dedup" -> col("is_loser").isNotNull,
+          "decontaminate" -> col("is_contam").isNotNull,
+          "mixture" -> !Sampling.mixtureKeep("source", "doc_id", rates, defaultRate))
+    val dropStage = fails.zipWithIndex.map { case ((name, cond), i) =>
+      (cond, struct(lit(i + 2).as("stage_idx"), lit(name).as("stage")))
+    }.foldLeft(Option.empty[Column]) {
+      case (None, (cond, st)) => Some(when(cond, st))
+      case (Some(acc), (cond, st)) => Some(acc.when(cond, st))
+    }.get
+    val joined0 = rowFlags(docs, minTokens, blocklist)
       .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
       .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+    val dropped = clsKept.fold(joined0)(k => joined0.join(
+        k.select("doc_id").withColumn("is_cls", lit(true)), Seq("doc_id"), "left"))
       .select(col("doc_id"), dropStage.as("st"))
       .where(col("st").isNotNull)
     // bounded-heap per stage: score = md5-prefix asc (52 bits), ties by id
@@ -814,53 +934,45 @@ object Curation {
       minTokens: Int,
       rates: Map[String, Double],
       defaultRate: Double,
-      blocklist: Seq[String] = Nil): DataFrame = {
-    val c1 = col("q_keep")
-    val c2 = c1 && langKeep
-    val cB = c2 && col("b_keep") // ≡ c2 when no blocklist (b_keep is literal true)
-    val c3 = cB && col("is_loser").isNull
-    val c4 = c3 && col("is_contam").isNull
-    val c5 = c4 && Sampling.mixtureKeep("source", "doc_id", rates, defaultRate)
-    val counts = rowFlags(docs, minTokens, blocklist)
+      blocklist: Seq[String] = Nil,
+      clsKept: Option[DataFrame] = None): DataFrame = {
+    // cumulative survive-through-stage predicates, in chain order —
+    // the optional stage rows (blocklist, classifier) exist only when
+    // the stage is on, so the default funnel keeps its historical
+    // six-stage shape (and oracle); indices stay sequential
+    val steps: Seq[(String, Column => Column)] =
+      Seq[(String, Column => Column)](
+        "quality" -> (_ => col("q_keep")),
+        "language" -> (_ && langKeep)) ++
+        (if (blocklist.nonEmpty)
+          Seq[(String, Column => Column)]("blocklist" -> (_ && col("b_keep")))
+        else Nil) ++
+        (if (clsKept.isDefined)
+          Seq[(String, Column => Column)]("classifier" -> (_ && col("is_cls").isNotNull))
+        else Nil) ++
+        Seq[(String, Column => Column)](
+          "near_dedup" -> (_ && col("is_loser").isNull),
+          "decontaminate" -> (_ && col("is_contam").isNull),
+          "mixture" -> (_ && Sampling.mixtureKeep("source", "doc_id", rates, defaultRate)))
+    val conds = steps.scanLeft(("ingest", lit(true))) {
+      case ((_, prev), (name, grow)) => (name, grow(prev))
+    }
+    val joined0 = rowFlags(docs, minTokens, blocklist)
       .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
       .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("n0"),
-        count(when(c1, 1)).as("n1"),
-        count(when(c2, 1)).as("n2"),
-        count(when(cB, 1)).as("nb"),
-        count(when(c3, 1)).as("n3"),
-        count(when(c4, 1)).as("n4"),
-        count(when(c5, 1)).as("n5"),
-        coalesce(sum(col("n_tok")), lit(0L)).cast("long").as("t0"),
-        coalesce(sum(when(c1, col("n_tok"))), lit(0L)).cast("long").as("t1"),
-        coalesce(sum(when(c2, col("n_tok"))), lit(0L)).cast("long").as("t2"),
-        coalesce(sum(when(cB, col("n_tok"))), lit(0L)).cast("long").as("tb"),
-        coalesce(sum(when(c3, col("n_tok"))), lit(0L)).cast("long").as("t3"),
-        coalesce(sum(when(c4, col("n_tok"))), lit(0L)).cast("long").as("t4"),
-        coalesce(sum(when(c5, col("n_tok"))), lit(0L)).cast("long").as("t5"))
-
-    def stage(i: Int, name: String, n: String, t: String) =
-      struct(lit(i).as("stage_idx"), lit(name).as("stage"),
-        col(n).as("n_docs"), col(t).as("n_tokens"))
-    // the blocklist stage row exists only when the stage is on — the
-    // default funnel keeps its historical six-stage shape (and oracle)
-    val head = Seq(
-      stage(1, "ingest", "n0", "t0"),
-      stage(2, "quality", "n1", "t1"),
-      stage(3, "language", "n2", "t2"))
-    val tail =
-      if (blocklist.isEmpty) Seq(
-        stage(4, "near_dedup", "n3", "t3"),
-        stage(5, "decontaminate", "n4", "t4"),
-        stage(6, "mixture", "n5", "t5"))
-      else Seq(
-        stage(4, "blocklist", "nb", "tb"),
-        stage(5, "near_dedup", "n3", "t3"),
-        stage(6, "decontaminate", "n4", "t4"),
-        stage(7, "mixture", "n5", "t5"))
+    val joined = clsKept.fold(joined0)(k => joined0.join(
+      k.select("doc_id").withColumn("is_cls", lit(true)), Seq("doc_id"), "left"))
+    val aggs = conds.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+      count(when(c, 1)).as(s"n$i"),
+      coalesce(sum(when(c, col("n_tok"))), lit(0L)).cast("long").as(s"t$i"))
+    }
+    val counts = joined.agg(aggs.head, aggs.tail: _*)
+    val stages = conds.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        col(s"n$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+    }
     counts
-      .select(explode(array(head ++ tail: _*)).as("st"))
+      .select(explode(array(stages: _*)).as("st"))
       .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"), col("st.n_tokens"))
   }
 

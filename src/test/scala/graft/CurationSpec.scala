@@ -596,4 +596,95 @@ class CurationSpec extends SparkSpec {
     // t=3: nothing kept — precision and f1 NULL, recall an honest 0
     assert(got(3.0) === ((3.0, 0L, 2L, 0L, None, Some(0.0), None)))
   }
+
+  test("operatingPoint: max-F1 with threshold-asc tiebreak; precision floor picks max recall; unmeetable floor is empty") {
+    // hand sweep: two thresholds TIE on f1 (the tiebreak must pick the
+    // lower), a third has the highest precision but worse f1
+    val sweep = Seq(
+      (-1.0, 4L, 2L, 2L, Some(0.5), Some(1.0), Some(0.666667)),
+      (0.0, 2L, 2L, 1L, Some(0.5), Some(0.5), Some(0.666667)),
+      (1.0, 1L, 2L, 1L, Some(1.0), Some(0.5), Some(0.666667)),
+      (2.0, 0L, 2L, 0L, None, Some(0.0), None))
+      .toDF("threshold", "n_kept", "n_pos", "tp", "precision", "recall", "f1")
+    val f1Pick = Curation.operatingPoint(sweep)
+      .as[(String, Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(f1Pick.length === 1)
+    assert(f1Pick.head._1 === "max_f1" && f1Pick.head._2 === -1.0,
+      "three-way f1 tie must break to the LOWEST threshold")
+    // precision floor 0.9: only t=1.0 qualifies
+    val pf = Curation.operatingPoint(sweep, Curation.OpObjective.PrecisionFloor(0.9))
+      .as[(String, Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect()
+    assert(pf.length === 1 && pf.head._1 === "precision_floor" && pf.head._2 === 1.0)
+    // floor 0.75 admits t=1.0 only (others at 0.5) — recall-max within
+    assert(Curation.operatingPointBias(sweep,
+      Curation.OpObjective.PrecisionFloor(0.75)) === Some(1.0))
+    // an unmeetable floor returns NOTHING, never a substitute (restrict
+    // the sweep to the rows whose best precision is 0.5)
+    val lowSweep = sweep.where(col("threshold") < 1.0)
+    assert(Curation.operatingPoint(lowSweep,
+      Curation.OpObjective.PrecisionFloor(0.9)).count() === 0L)
+    assert(Curation.operatingPointBias(lowSweep,
+      Curation.OpObjective.PrecisionFloor(0.9)) === None)
+  }
+
+  test("classifier-gated curate: sweep -> operating point -> gate; funnel carries the classifier stage's docs AND tokens") {
+    // weight table that loves astronomy words and hates spam words —
+    // trained on designed corpora so the gate's behavior is known
+    val pos = Seq(
+      (900L, "astronomy telescope galaxy nebula observation"),
+      (901L, "telescope observation of the galaxy and nebula")).toDF("doc_id", "text")
+    val neg = Seq(
+      (902L, "buy cheap pills now click here buy now"),
+      (903L, "click here now cheap pills buy cheap")).toDF("doc_id", "text")
+    val w = Curation.classifierWeights(pos, neg, buckets = 256)
+    // corpus: doc 1 passes everything; doc 7 is quality/language-clean
+    // ENGLISH SPAM the heuristic gates cannot catch — the classifier
+    // stage is the only stage that drops it
+    val spamText = "the cheap pills click here now and buy the cheap pills here now"
+    val d = docs.unionByName(Seq((7L, spamText, "src0")).toDF("doc_id", "text", "source"))
+    // validated operating point from a labeled holdout
+    val labeled = Curation.classifierScore(
+        Seq((910L, en1), (911L, spamText)).toDF("doc_id", "text"), w, buckets = 256)
+      .join(Seq((910L, true), (911L, false)).toDF("doc_id", "actual"), Seq("doc_id"))
+    val bias = Curation.operatingPointBias(
+      Curation.thresholdSweep(labeled, Seq(-5.0, 0.0, 5.0))).get
+    val gate = Curation.ClassifierGate(w, buckets = 256, bias = bias)
+    val r = Curation.curateWithFunnel(d, evalDocs, rates = rates,
+      classifier = Some(gate), samples = 5)
+    // the spam doc is gone from the manifest; doc 1 survives
+    val kept = r.manifest.select("doc_id").as[Long].collect().toSet
+    assert(!kept.contains(7L), "classifier stage must drop the clean-English spam doc")
+    assert(kept.contains(1L))
+    // funnel: classifier is stage 4 (no blocklist), its doc AND token
+    // drop equal the spam doc's footprint exactly
+    val funnel = r.funnel.as[(Int, String, Long, Long)].collect()
+      .map(x => x._2 -> ((x._1, x._3, x._4))).toMap
+    assert(funnel.keySet === Set("ingest", "quality", "language", "classifier",
+      "near_dedup", "decontaminate", "mixture"))
+    assert(funnel("classifier")._1 === 4)
+    assert(funnel("near_dedup")._1 === 5 && funnel("mixture")._1 === 7,
+      "downstream stages renumber sequentially after the inserted stage")
+    val spamTokens = spamText.split(" ").length.toLong
+    assert(funnel("language")._2 - funnel("classifier")._2 === 1L,
+      "exactly the spam doc drops at the classifier stage")
+    assert(funnel("language")._3 - funnel("classifier")._3 === spamTokens,
+      "the funnel must account the classifier stage in TOKENS, not docs alone")
+    // samples attribute the drop to the classifier stage by name
+    val attributed = r.samples.get
+      .filter(col("stage") === "classifier").select("doc_id").as[Long].collect().toSet
+    assert(attributed === Set(7L))
+    // parity: standalone funnel/curate with the same gate agree
+    val fAlone = Curation.funnel(d, evalDocs, rates = rates, classifier = Some(gate))
+      .as[(Int, String, Long, Long)].collect().sortBy(_._1)
+    assert(fAlone.toSeq === r.funnel.as[(Int, String, Long, Long)].collect().sortBy(_._1).toSeq)
+    val mAlone = Curation.curate(d, evalDocs, rates = rates, classifier = Some(gate))
+      .select("doc_id").as[Long].collect().toSet
+    assert(mAlone === kept)
+    // without the gate the spam doc sails through every other stage —
+    // proof the classifier stage is the one doing this work
+    assert(Curation.curate(d, evalDocs, rates = rates)
+      .select("doc_id").as[Long].collect().toSet.contains(7L))
+  }
 }
