@@ -2512,6 +2512,24 @@ object SparkEntry {
         s"$base/wp.json")
       graft.ops.TokenizerIO.compare(s, s"$base/bpe.json", s"$base/wp.json", d)
     },
+    "q_tokenizer_compare_all" -> { (s, dir) =>
+      // N-WAY selection over three stored artifacts: the full BPE, a
+      // half-budget BPE (greedy BPE is incremental — the first k
+      // merges of one training run ARE the k-merge model, so the
+      // smaller artifact ships a prefix), and the WordPiece vocab;
+      // one leaderboard row per artifact
+      val d = docs(s, dir)
+      val base = s"${System.getProperty("java.io.tmpdir")}/graft_tokcmpall_$procNonce"
+      val merges = graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs))
+      graft.ops.TokenizerIO.exportBpe(s, merges, s"$base/bpe_full.json")
+      graft.ops.TokenizerIO.exportBpe(s, merges.take(BPE_MERGES / 2), s"$base/bpe_half.json")
+      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+      graft.ops.TokenizerIO.exportWordPiece(s,
+        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
+        s"$base/wp.json")
+      graft.ops.TokenizerIO.compareAll(s,
+        Seq(s"$base/bpe_full.json", s"$base/bpe_half.json", s"$base/wp.json"), d)
+    },
     "q_wordpiece_unk" -> { (s, dir) =>
       // the published BERT failure mode, measured: an ASCII-trained
       // vocabulary serving the multilingual-augmented corpus — the
@@ -3901,6 +3919,57 @@ object SparkEntry {
          |       ELSE round(CAST(tksh.shared AS DOUBLE) / tkun.u, 6) END AS jaccard,
          |  tkfa.fertility_a, tkfb.fertility_b
          |FROM tksh CROSS JOIN tkun CROSS JOIN tkfa CROSS JOIN tkfb""".stripMargin,
+    "q_tokenizer_compare_all" ->
+      // twin of TokenizerIO.compareAll over [bpe_full, bpe_half, wp]:
+      // piece sets from the shared BPE chain (full = m1..mN outputs,
+      // half = the m1..mN/2 prefix — same training run) and the wpv
+      // vocab; coverage = |normalized set| / |3-way union|;
+      // max_jaccard = the best pairwise agreement; fertility from each
+      // artifact's own serving table (w_N, w_N/2, wpe)
+      s"""WITH RECURSIVE ${BPE_CTES(BPE_MERGES, 2L)},
+         |${WORDPIECE_CTES(WP_MERGES, 2L)},
+         |${WORDPIECE_SERVE_CTES(WP_MERGES, TOKEN_ROWS)},
+         |caa AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |  ${(1 to BPE_MERGES).map(i => s"SELECT a || b AS piece FROM m$i").mkString("\n  UNION ALL ")})),
+         |cab AS MATERIALIZED (SELECT DISTINCT piece FROM (
+         |  ${(1 to BPE_MERGES / 2).map(i => s"SELECT a || b AS piece FROM m$i").mkString("\n  UNION ALL ")})),
+         |cac AS MATERIALIZED (SELECT DISTINCT piece FROM wpv),
+         |cna AS MATERIALIZED (SELECT DISTINCT piece AS np FROM caa),
+         |cnb AS MATERIALIZED (SELECT DISTINCT piece AS np FROM cab),
+         |cnc AS MATERIALIZED (SELECT DISTINCT CASE WHEN piece LIKE '##%' THEN substr(piece, 3) ELSE piece END AS np FROM cac),
+         |cun AS (SELECT CAST(count(*) AS BIGINT) AS u FROM (
+         |  SELECT np FROM cna UNION SELECT np FROM cnb UNION SELECT np FROM cnc)),
+         |cjab AS (SELECT round(CAST((SELECT count(*) FROM (SELECT np FROM cna INTERSECT SELECT np FROM cnb)) AS DOUBLE)
+         |  / (SELECT count(*) FROM (SELECT np FROM cna UNION SELECT np FROM cnb)), 6) AS j),
+         |cjac AS (SELECT round(CAST((SELECT count(*) FROM (SELECT np FROM cna INTERSECT SELECT np FROM cnc)) AS DOUBLE)
+         |  / (SELECT count(*) FROM (SELECT np FROM cna UNION SELECT np FROM cnc)), 6) AS j),
+         |cjbc AS (SELECT round(CAST((SELECT count(*) FROM (SELECT np FROM cnb INTERSECT SELECT np FROM cnc)) AS DOUBLE)
+         |  / (SELECT count(*) FROM (SELECT np FROM cnb UNION SELECT np FROM cnc)), 6) AS j),
+         |cencf AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w$BPE_MERGES),
+         |cench AS (SELECT word, CAST(len(str_split(trim(syms), '  ')) AS BIGINT) AS np FROM w${BPE_MERGES / 2}),
+         |ctr AS MATERIALIZED (SELECT t.word FROM documents d LEFT JOIN ($TOKEN_ROWS) t ON d.doc_id = t.doc_id),
+         |cfa AS (SELECT CASE WHEN count(ctr.word) = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(sum(e.np), 0) AS DOUBLE) / count(ctr.word), 6) END AS fertility
+         |  FROM ctr LEFT JOIN cencf e ON ctr.word = e.word),
+         |cfb AS (SELECT CASE WHEN count(ctr.word) = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(sum(e.np), 0) AS DOUBLE) / count(ctr.word), 6) END AS fertility
+         |  FROM ctr LEFT JOIN cench e ON ctr.word = e.word),
+         |cfc AS (SELECT CASE WHEN count(ctr.word) = 0 THEN NULL
+         |    ELSE round(CAST(coalesce(sum(e.n), 0) AS DOUBLE) / count(ctr.word), 6) END AS fertility
+         |  FROM ctr LEFT JOIN wpe e ON ctr.word = e.word)
+         |SELECT CAST(0 AS INTEGER) AS artifact_idx, 'bpe' AS family,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM caa) AS n_pieces,
+         |  round(CAST((SELECT count(*) FROM cna) AS DOUBLE) / (SELECT u FROM cun), 6) AS coverage,
+         |  greatest((SELECT j FROM cjab), (SELECT j FROM cjac)) AS max_jaccard,
+         |  (SELECT fertility FROM cfa) AS fertility
+         |UNION ALL SELECT 1, 'bpe', (SELECT CAST(count(*) AS BIGINT) FROM cab),
+         |  round(CAST((SELECT count(*) FROM cnb) AS DOUBLE) / (SELECT u FROM cun), 6),
+         |  greatest((SELECT j FROM cjab), (SELECT j FROM cjbc)),
+         |  (SELECT fertility FROM cfb)
+         |UNION ALL SELECT 2, 'wordpiece', (SELECT CAST(count(*) AS BIGINT) FROM cac),
+         |  round(CAST((SELECT count(*) FROM cnc) AS DOUBLE) / (SELECT u FROM cun), 6),
+         |  greatest((SELECT j FROM cjac), (SELECT j FROM cjbc)),
+         |  (SELECT fertility FROM cfc)""".stripMargin,
     "q_wordpiece_unk" ->
       // twin of WordPiece.unkSignals over the multilingual-augmented
       // corpus: the vocab stays ASCII-trained (wp0 reads TOKEN_ROWS),

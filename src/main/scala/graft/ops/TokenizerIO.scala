@@ -172,38 +172,103 @@ object TokenizerIO {
     * corpus passes, each one combinable aggregate. */
   def compare(spark: SparkSession, pathA: String, pathB: String,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.functions.{col, lit}
+    import org.apache.spark.sql.functions.col
     import spark.implicits._
-    def piecesOf(path: String): (String, Seq[String]) = familyOf(spark, path) match {
+    val (famA, pa) = piecesOf(spark, pathA)
+    val (famB, pb) = piecesOf(spark, pathB)
+    val na = pa.map(normPiece).toSet
+    val nb = pb.map(normPiece).toSet
+    val shared = (na & nb).size.toLong
+    Seq((famA, famB, pa.size.toLong, pb.size.toLong, shared,
+      jaccard6(shared, (na | nb).size.toLong)))
+      .toDF("family_a", "family_b", "n_pieces_a", "n_pieces_b",
+        "shared_pieces", "jaccard")
+      .crossJoin(fertilityOf(spark, pathA, famA, docs)
+        .select(col("fertility").as("fertility_a")))
+      .crossJoin(fertilityOf(spark, pathB, famB, docs)
+        .select(col("fertility").as("fertility_b")))
+  }
+
+  /** N-WAY model selection over stored artifacts — the leaderboard
+    * [[compare]]'s pairwise row can't give without O(n²) calls and
+    * hand assembly: one row per artifact, `(artifact_idx, family,
+    * n_pieces, coverage, max_jaccard, fertility)`, ranked by the
+    * caller (lower fertility = better corpus fit, the usual sort key).
+    *
+    *  - `artifact_idx` — position in `paths` (the join key back to the
+    *    caller's artifact names; files carry no identity of their own).
+    *  - `n_pieces` — raw shipped-inventory size ([[compare]]'s count).
+    *  - `coverage` — |this artifact's continuation-normalized pieces| /
+    *    |union of ALL artifacts' normalized pieces|: the share of the
+    *    candidate pool's combined inventory this artifact ships (6dp).
+    *  - `max_jaccard` — the artifact's highest normalized-piece
+    *    Jaccard against any OTHER artifact (6dp): high means it's
+    *    redundant with a rival, low means it brings distinct units.
+    *  - `fertility` — corpus-level tokens-per-word under the
+    *    artifact's own serving encoder, exactly [[compare]]'s.
+    *
+    * Cost: artifacts are KB-sized so the piece algebra is driver-side
+    * set arithmetic; the corpus is scanned once PER ARTIFACT for
+    * fertility (each scan one combinable aggregate) — n scans total,
+    * the same per-artifact price [[compare]] pays. */
+  def compareAll(spark: SparkSession, paths: Seq[String],
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    require(paths.size >= 2, s"compareAll needs at least 2 artifacts, got ${paths.size}")
+    val metas = paths.map(p => (piecesOf(spark, p), p))
+      .map { case ((fam, ps), p) => (fam, ps, ps.map(normPiece).toSet, p) }
+    val union = metas.map(_._3).reduce(_ | _)
+    val rows = metas.zipWithIndex.map { case ((fam, ps, norm, _), i) =>
+      val maxJ = metas.zipWithIndex.collect { case ((_, _, other, _), j) if j != i =>
+        jaccard6((norm & other).size.toLong, (norm | other).size.toLong)
+      }.max
+      (i, fam, ps.size.toLong,
+        jaccard6(norm.size.toLong, union.size.toLong), maxJ)
+    }
+    val meta = rows.toDF("artifact_idx", "family", "n_pieces", "coverage", "max_jaccard")
+    val ferts = metas.zipWithIndex.map { case ((fam, _, _, p), i) =>
+      fertilityOf(spark, p, fam, docs)
+        .select(org.apache.spark.sql.functions.lit(i).as("artifact_idx"),
+          col("fertility"))
+    }.reduce(_ unionByName _)
+    meta.join(ferts, Seq("artifact_idx"))
+  }
+
+  /** (family, shipped piece inventory) of a stored artifact (bpe:
+    * distinct merge outputs — the learned units; unigram: pieces;
+    * wordpiece: vocab). */
+  private def piecesOf(spark: SparkSession, path: String): (String, Seq[String]) =
+    familyOf(spark, path) match {
       case "bpe" => ("bpe", importBpe(spark, path).map { case (a, b) => a + b }.distinct)
       case "unigram" => ("unigram", importUnigram(spark, path).map(_._1).distinct)
       case "wordpiece" => ("wordpiece", importWordPiece(spark, path)._1.distinct)
       case f => throw new IllegalArgumentException(s"$path: unsupported family '$f'")
     }
-    def fert(path: String, family: String): org.apache.spark.sql.DataFrame = {
-      val d = docs.withColumn("__all", lit("all"))
-      (family match {
-        case "bpe" => Bpe.fertility(d, importBpe(spark, path), sourceCol = "__all")
-        case "unigram" => Unigram.fertility(d, importUnigram(spark, path), sourceCol = "__all")
-        case _ =>
-          WordPiece.fertility(d, importWordPiece(spark, path)._1, sourceCol = "__all")
-      }).select(col("fertility"))
-    }
-    val (famA, pa) = piecesOf(pathA)
-    val (famB, pb) = piecesOf(pathB)
-    def norm(p: String): String = if (p.startsWith("##")) p.substring(2) else p
-    val na = pa.map(norm).toSet
-    val nb = pb.map(norm).toSet
-    val shared = (na & nb).size.toLong
-    val union = (na | nb).size
-    val jaccard =
-      if (union == 0) 0.0
-      else BigDecimal(shared.toDouble / union)
-        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-    Seq((famA, famB, pa.size.toLong, pb.size.toLong, shared, jaccard))
-      .toDF("family_a", "family_b", "n_pieces_a", "n_pieces_b",
-        "shared_pieces", "jaccard")
-      .crossJoin(fert(pathA, famA).select(col("fertility").as("fertility_a")))
-      .crossJoin(fert(pathB, famB).select(col("fertility").as("fertility_b")))
+
+  /** Continuation normalization (leading `##` stripped) so WordPiece's
+    * position marking doesn't mask real inventory agreement. */
+  private def normPiece(p: String): String =
+    if (p.startsWith("##")) p.substring(2) else p
+
+  /** 6dp HALF_UP intersection/union ratio; 0 when the union is empty. */
+  private def jaccard6(shared: Long, union: Long): Double =
+    if (union == 0L) 0.0
+    else BigDecimal(shared.toDouble / union)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+
+  /** One-row corpus-level fertility under the artifact's own serving
+    * encoder ([[Bpe.fertility]] / [[Unigram.fertility]] /
+    * [[WordPiece.fertility]] over a constant source column). */
+  private def fertilityOf(spark: SparkSession, path: String, family: String,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, lit}
+    val d = docs.withColumn("__all", lit("all"))
+    (family match {
+      case "bpe" => Bpe.fertility(d, importBpe(spark, path), sourceCol = "__all")
+      case "unigram" => Unigram.fertility(d, importUnigram(spark, path), sourceCol = "__all")
+      case _ =>
+        WordPiece.fertility(d, importWordPiece(spark, path)._1, sourceCol = "__all")
+    }).select(col("fertility"))
   }
 }

@@ -145,6 +145,39 @@ class TokenizerIOSpec extends SparkSpec {
       flipped._5 === row._5 && flipped._6 === row._6 && flipped._8 === row._7)
   }
 
+  test("compareAll: n-way leaderboard agrees with pairwise compare; coverage over the pooled inventory; unigram included") {
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "new newer newest new")).toDF("doc_id", "text")
+    val pBpe = tmp("alla")
+    TokenizerIO.exportBpe(spark,
+      Bpe.trainMerges(docs, 4).map(m => (m.lhs, m.rhs)), pBpe)
+    val pWp = tmp("allb")
+    TokenizerIO.exportWordPiece(spark,
+      WordPiece.collectVocab(WordPiece.vocab(docs, WordPiece.trainMerges(docs, 4))), pWp)
+    val pUni = tmp("allc")
+    TokenizerIO.exportUnigram(spark,
+      graft.ops.Unigram.collectPieces(
+        graft.ops.Unigram.trainUnigram(docs, vocabSize = 20, emRounds = 1)), pUni)
+    val rows = TokenizerIO.compareAll(spark, Seq(pBpe, pWp, pUni), docs)
+      .as[(Int, String, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(rows.keySet === Set(0, 1, 2))
+    assert(rows(0)._2 === "bpe" && rows(1)._2 === "wordpiece" && rows(2)._2 === "unigram")
+    // fertility column equals the pairwise face's, per artifact
+    val pair = TokenizerIO.compare(spark, pBpe, pWp, docs)
+      .as[(String, String, Long, Long, Long, Double, Double, Double)].head()
+    assert(rows(0)._3 === pair._3 && rows(1)._3 === pair._4)
+    assert(rows(0)._6 === pair._7 && rows(1)._6 === pair._8)
+    // max_jaccard of bpe vs {wp, uni} is at least its pairwise-vs-wp value
+    assert(rows(0)._5 >= pair._6)
+    // coverage: each artifact's normalized share of the pooled
+    // inventory — in (0, 1], and the pool is the union so shares
+    // cannot all be below 1/3
+    assert(rows.values.forall(r => r._4 > 0.0 && r._4 <= 1.0))
+    assert(rows.values.map(_._4).max >= 1.0 / 3.0)
+    // fewer than two artifacts is a loud contract error
+    intercept[IllegalArgumentException](TokenizerIO.compareAll(spark, Seq(pBpe), docs))
+  }
+
   test("non-ASCII pieces escape like the index export (ensure_ascii)") {
     val p = tmp("uesc")
     TokenizerIO.exportWordPiece(spark, Seq("naïve", "##é"), p)
