@@ -179,11 +179,19 @@ object EmbeddingIndexer {
     * `artifactsRoot/v<decidingBatch>` and return it; None = nothing
     * due, nothing written. Never swaps in place: stored codes are
     * valid only under the artifacts that produced them (the object
-    * doc's offline-rebuild contract), so the caller re-points a fresh
-    * indexer run at the returned dir — old serving keeps answering
-    * from the old version until then, and an interrupted rebuild
-    * leaves the live version untouched. Idempotent per decision: a
-    * re-run overwrites the same `v<batch>` dir. */
+    * doc's offline-rebuild contract), so serving re-points at the
+    * returned dir — old serving keeps answering from the old version
+    * until then, and an interrupted rebuild leaves the live version
+    * (and the current pointer) untouched. Idempotent per decision: a
+    * re-run overwrites the same `v<batch>` dir.
+    *
+    * With `repoint` (the default) the swap is a RECORDED contract, not
+    * caller convention: after BOTH artifact tables are durably
+    * written, [[ArtifactVersions.repoint]] atomically commits
+    * `v<batch>` as the root's current version — the pointer write is
+    * the last step, so a crash anywhere earlier leaves serving
+    * ([[servingDir]] readers) on the previous version, and the old
+    * version dir stays readable for in-flight queries either way. */
   def rebuildIfDue(
       session: SparkSession,
       refreshDir: String,
@@ -191,7 +199,8 @@ object EmbeddingIndexer {
       artifactsRoot: String,
       m: Int = 4,
       residual: Boolean = false,
-      minBatchId: Long = 1L): Option[String] =
+      minBatchId: Long = 1L,
+      repoint: Boolean = true): Option[String] =
     latestDue(session, refreshDir, "index", minBatchId).map { batch =>
       val out = s"$artifactsRoot/v$batch"
       if (residual) {
@@ -204,8 +213,19 @@ object EmbeddingIndexer {
         coarse.write.mode("overwrite").parquet(s"$out/coarse_centroids")
         books.write.mode("overwrite").parquet(s"$out/codebooks")
       }
+      if (repoint) ArtifactVersions.repoint(session, artifactsRoot, s"v$batch")
       out
     }
+
+  /** The artifacts dir serving should read from: the root's recorded
+    * current version ([[ArtifactVersions.currentDir]]), or the root
+    * itself before any rebuild has committed — the cold-start layout,
+    * where the offline training job wrote `coarse_centroids`/
+    * `codebooks` directly under the root. Resolve once per indexer or
+    * search-session bootstrap (a metadata read), then pass the
+    * resolved dir to [[startJsonl]] / the search faces as today. */
+  def servingDir(session: SparkSession, artifactsRoot: String): String =
+    ArtifactVersions.currentDir(session, artifactsRoot).getOrElse(artifactsRoot)
 
   /** The accumulated serving table under `dir`, EXCLUDING a replayed
     * batch's own first-attempt partition; None before anything has

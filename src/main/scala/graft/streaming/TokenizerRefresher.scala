@@ -1,0 +1,88 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops.{Bpe, TokenizerIO, Unigram, WordPiece}
+
+/** ACT on a tokenizer refresh decision — the tokenizer-family sibling
+  * of [[EmbeddingIndexer.rebuildIfDue]], closing the second leg of the
+  * drift loop: [[graft.ops.WordPiece.unkSignals]] →
+  * [[graft.ops.TextAnalysis.unkRefreshSignals]] →
+  * [[graft.ops.TextAnalysis.refreshDue]] → a recorded `refreshDir`
+  * decision → HERE a retrained, versioned artifact. Before this face
+  * a due `tokenizer:<source>` row had no executable counterpart: the
+  * ANN index retrained itself, the tokenizer waited for a human.
+  *
+  * Versioning contract (the rebuildIfDue discipline): the retrained
+  * model is exported as a NEW single-file artifact
+  * `versionsRoot/v<decidingBatch>.json` — the live artifact is never
+  * written, so an interrupted retrain leaves serving untouched, and a
+  * replay of the same decision overwrites its own version file. The
+  * family is SNIFFED from the live artifact
+  * ([[graft.ops.TokenizerIO.familyOf]]), never assumed: a bpe
+  * deployment retrains bpe, a wordpiece deployment wordpiece — the
+  * refresh loop must not silently change model family. With `repoint`
+  * (the default) the new version is atomically committed as current
+  * ([[ArtifactVersions.repoint]]) AFTER the export completes; readers
+  * resolve through [[ArtifactVersions.currentDir]].
+  *
+  * Scale stance: training cost is the family trainer's (corpus-scan
+  * bounded, vocabulary-sized state — their own contracts); the export
+  * is a driver-side KB-file write. Nothing here touches the ingest
+  * path — retraining is an offline act, exactly like the ANN rebuild.
+  */
+object TokenizerRefresher {
+
+  /** Retrain + version the tokenizer artifact named `artifact` (the
+    * [[graft.ops.TextAnalysis.unkRefreshSignals]] naming, e.g.
+    * `tokenizer:web`) when the LATEST recorded decision says it
+    * drifted. Returns the new version file's path; None = not due,
+    * nothing written.
+    *
+    * @param livePath currently-serving artifact file — supplies the
+    *   FAMILY (sniffed) and nothing else; its bytes are never touched
+    * @param docs retraining corpus (`doc_id`, `text`) — the CURRENT
+    *   distribution the drift evidence came from
+    * @param versionsRoot versioned artifact dir; the export lands at
+    *   `versionsRoot/v<batch>.json`
+    * @param merges bpe/wordpiece merge budget
+    * @param vocabSize / emRounds unigram trainer budget
+    * @param minBatchId cold-start guard, the [[EmbeddingIndexer
+    *   .latestDue]] contract (batch 0 compared against an empty
+    *   history and must not trigger retraining)
+    */
+  def retrainIfDue(
+      session: SparkSession,
+      refreshDir: String,
+      artifact: String,
+      livePath: String,
+      docs: DataFrame,
+      versionsRoot: String,
+      merges: Int = 50,
+      vocabSize: Int = 200,
+      emRounds: Int = 2,
+      minBatchId: Long = 1L,
+      repoint: Boolean = true): Option[String] =
+    EmbeddingIndexer.latestDue(session, refreshDir, artifact, minBatchId).map { batch =>
+      val out = s"$versionsRoot/v$batch.json"
+      TokenizerIO.familyOf(session, livePath) match {
+        case "bpe" =>
+          TokenizerIO.exportBpe(session,
+            Bpe.trainMerges(docs, merges).map(m => (m.lhs, m.rhs)), out)
+        case "unigram" =>
+          TokenizerIO.exportUnigram(session,
+            Unigram.collectPieces(
+              Unigram.trainUnigram(docs, vocabSize = vocabSize, emRounds = emRounds)),
+            out)
+        case "wordpiece" =>
+          TokenizerIO.exportWordPiece(session,
+            WordPiece.collectVocab(
+              WordPiece.vocab(docs, WordPiece.trainMerges(docs, merges))),
+            out)
+        case f =>
+          throw new IllegalArgumentException(s"$livePath: unsupported family '$f'")
+      }
+      if (repoint) ArtifactVersions.repoint(session, versionsRoot, s"v$batch.json")
+      out
+    }
+}

@@ -251,8 +251,15 @@ class EmbeddingIndexerSpec extends SparkSpec {
     // a drifted batch 1 flips it — rebuild lands in v1
     decision(1L, due = true)
     assert(EmbeddingIndexer.latestDue(spark, rd) === Some(1L))
+    // before any rebuild: no pointer, serving resolves to the root
+    assert(graft.streaming.ArtifactVersions.current(spark, root) === None)
+    assert(EmbeddingIndexer.servingDir(spark, root) === root)
     val out = EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root)
     assert(out === Some(s"$root/v1"))
+    // the rebuild COMMITTED: the pointer records v1 and serving
+    // resolves through it
+    assert(graft.streaming.ArtifactVersions.current(spark, root) === Some("v1"))
+    assert(EmbeddingIndexer.servingDir(spark, root) === s"$root/v1")
     // the rebuilt artifacts serve: encode a probe against them
     val coarse = spark.read.parquet(s"${out.get}/coarse_centroids")
     val books = spark.read.parquet(s"${out.get}/codebooks")
@@ -263,7 +270,41 @@ class EmbeddingIndexerSpec extends SparkSpec {
     decision(2L, due = false)
     assert(EmbeddingIndexer.latestDue(spark, rd) === None)
     assert(EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root) === None)
-    // nothing new written for the retracted decision
+    // nothing new written for the retracted decision; pointer unmoved
     assert(!new java.io.File(s"$root/v2").exists())
+    assert(graft.streaming.ArtifactVersions.current(spark, root) === Some("v1"))
+    // an INTERRUPTED rebuild leaves the pointer: batch 3 is due but
+    // the retrain dies (schema-less corpus) — serving stays on v1
+    decision(3L, due = true)
+    intercept[Throwable](EmbeddingIndexer.rebuildIfDue(spark, rd,
+      spark.range(4).toDF("not_an_embedding"), root))
+    assert(graft.streaming.ArtifactVersions.current(spark, root) === Some("v1"),
+      "a failed rebuild must never move the current pointer")
+    assert(EmbeddingIndexer.servingDir(spark, root) === s"$root/v1")
+    // opt-out: repoint=false rebuilds the version without committing it
+    val out3 = EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root, repoint = false)
+    assert(out3 === Some(s"$root/v3"))
+    assert(graft.streaming.ArtifactVersions.current(spark, root) === Some("v1"))
+  }
+
+  test("ArtifactVersions: repoint is an atomic replace; old version dirs stay readable; junk versions rejected") {
+    import graft.streaming.ArtifactVersions
+    val root = tmp("avroot") + "/arts"
+    assert(ArtifactVersions.current(spark, root) === None)
+    assert(ArtifactVersions.currentDir(spark, root) === None)
+    // two versions on disk, pointer swapped v1 -> v2
+    Seq((1L, "a")).toDF("k", "v").write.mode("overwrite").parquet(s"$root/v1/t")
+    Seq((2L, "b")).toDF("k", "v").write.mode("overwrite").parquet(s"$root/v2/t")
+    ArtifactVersions.repoint(spark, root, "v1")
+    assert(ArtifactVersions.currentDir(spark, root) === Some(s"$root/v1"))
+    ArtifactVersions.repoint(spark, root, "v2")
+    assert(ArtifactVersions.currentDir(spark, root) === Some(s"$root/v2"))
+    // the superseded version is untouched — in-flight readers finish
+    assert(spark.read.parquet(s"$root/v1/t").count() === 1L)
+    // no half-states on disk: the tmp file never lingers post-swap
+    assert(!new java.io.File(s"$root/.current_version.tmp").exists())
+    // version names are child names, not paths
+    intercept[IllegalArgumentException](ArtifactVersions.repoint(spark, root, "a/b"))
+    intercept[IllegalArgumentException](ArtifactVersions.repoint(spark, root, ""))
   }
 }

@@ -178,6 +178,54 @@ class TokenizerIOSpec extends SparkSpec {
     intercept[IllegalArgumentException](TokenizerIO.compareAll(spark, Seq(pBpe), docs))
   }
 
+  test("retrainIfDue: a due tokenizer decision retrains the SAME family into a versioned artifact; stable writes nothing; live file untouched") {
+    import graft.streaming.{ArtifactVersions, TokenizerRefresher}
+    val docs = Seq((1L, "low lower lowest low low"), (2L, "new newer newest new"))
+      .toDF("doc_id", "text")
+    // the live deployment: a wordpiece artifact
+    val live = tmp("trlive")
+    TokenizerIO.exportWordPiece(spark,
+      WordPiece.collectVocab(WordPiece.vocab(docs, WordPiece.trainMerges(docs, 3))), live)
+    val liveBytes = readBack(live)
+    val rd = java.nio.file.Files.createTempDirectory("graft-trrd-").toString + "/refresh"
+    val vroot = java.nio.file.Files.createTempDirectory("graft-trv-").toString + "/tok"
+    def decision(batch: Long, due: Boolean): Unit =
+      Seq(("tokenizer:web", "unk_rate", 0.4, 0.1, due))
+        .toDF("artifact", "metric", "value", "threshold", "due")
+        .write.mode("overwrite").parquet(s"$rd/batch_id=$batch")
+    def retrain() = TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
+      live, docs, vroot, merges = 4)
+    // no decision / cold-start batch 0 / stable batch: nothing written
+    assert(retrain() === None)
+    decision(0L, due = true)
+    assert(retrain() === None)
+    decision(1L, due = false)
+    assert(retrain() === None)
+    assert(!new java.io.File(vroot).exists())
+    // a drifted batch 2: the retrain lands at v2.json, SAME family,
+    // servable — and the pointer commits it
+    decision(2L, due = true)
+    val out = retrain()
+    assert(out === Some(s"$vroot/v2.json"))
+    assert(TokenizerIO.familyOf(spark, out.get) === "wordpiece",
+      "the refresh loop must never change model family")
+    val (v2, _) = TokenizerIO.importWordPiece(spark, out.get)
+    assert(v2.nonEmpty)
+    assert(ArtifactVersions.current(spark, vroot) === Some("v2.json"))
+    // the live artifact's bytes are untouched — blue/green, not in-place
+    assert(readBack(live) === liveBytes)
+    // a due decision over a BPE deployment retrains bpe (family sniffed)
+    val liveBpe = tmp("trbpe")
+    TokenizerIO.exportBpe(spark,
+      Bpe.trainMerges(docs, 3).map(m => (m.lhs, m.rhs)), liveBpe)
+    val vroot2 = java.nio.file.Files.createTempDirectory("graft-trv2-").toString + "/tok"
+    val out2 = TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
+      liveBpe, docs, vroot2, merges = 4)
+    assert(out2.isDefined && TokenizerIO.familyOf(spark, out2.get) === "bpe")
+    assert(TokenizerIO.importBpe(spark, out2.get) ===
+      Bpe.trainMerges(docs, 4).map(m => (m.lhs, m.rhs)))
+  }
+
   test("non-ASCII pieces escape like the index export (ensure_ascii)") {
     val p = tmp("uesc")
     TokenizerIO.exportWordPiece(spark, Seq("naïve", "##é"), p)
