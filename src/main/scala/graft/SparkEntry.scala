@@ -3755,12 +3755,14 @@ object SparkEntry {
     "q_token_drift" -> TokenDriftTwin,
     "q_refresh_due" ->
       // twin of TextAnalysis.refreshDue over driftRefreshSignals: the
-      // drift row unpivoted to (artifact, metric, value), left-joined
+      // drift row unpivoted to (artifact, metric, value), folded to
+      // max per metric (the duplicate-signal guard), left-joined
       // onto declared thresholds; unmeasured metrics decide false
       s"""WITH drift AS MATERIALIZED ($TokenDriftTwin),
-         |signals AS (SELECT 'index' AS artifact, 'js' AS metric, js AS value FROM drift
+         |signals AS (SELECT artifact, metric, max(value) AS value FROM (
+         |  SELECT 'index' AS artifact, 'js' AS metric, js AS value FROM drift
          |  UNION ALL SELECT 'index', 'kl_ab', kl_ab FROM drift
-         |  UNION ALL SELECT 'index', 'kl_ba', kl_ba FROM drift),
+         |  UNION ALL SELECT 'index', 'kl_ba', kl_ba FROM drift) GROUP BY 1, 2),
          |thr AS (SELECT * FROM (VALUES ('index', 'js', 0.02), ('index', 'kl_ab', 10.0),
          |    ('classifier', 'auc_drop', 0.05)) AS t(artifact, metric, threshold))
          |SELECT t.artifact, t.metric, s.value, t.threshold,

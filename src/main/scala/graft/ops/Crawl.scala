@@ -1712,8 +1712,22 @@ object Crawl {
   val SitemapIndexPat = "(?i)<sitemapindex[ \\t\\n\\r\\f\\x0B>]"
 
   /** Does a body look like a sitemap at all (urlset OR index root)?
-    * The streaming discovery gate's detection predicate. */
+    * Substring form — matches anywhere in the body, so a docs page
+    * QUOTING '<urlset' matches too; prefer [[SitemapDocStrictPat]]
+    * as a detection gate. */
   val SitemapDocPat = "(?is)<(?:urlset|sitemapindex)[ \\t\\n\\r\\f\\x0B>]"
+
+  /** IS this body a sitemap document: the urlset/sitemapindex element
+    * must be the ROOT — anchored at the document start, allowing only
+    * what XML permits before the root (an optional BOM, the XML
+    * declaration, whitespace, comments). A prose page that merely
+    * CONTAINS '<urlset' (docs, code samples) no longer matches, so
+    * the streaming discovery gate stops queueing its <loc> decoys as
+    * frontier work. Explicit whitespace classes — the engine-wide
+    * `\s` ban (Java and RE2 disagree on VT). */
+  val SitemapDocStrictPat =
+    "(?is)^\\uFEFF?[ \\t\\n\\r\\f\\x0B]*(?:<\\?xml[^>]*\\?>)?[ \\t\\n\\r\\f\\x0B]*" +
+      "(?:<!--.*?-->[ \\t\\n\\r\\f\\x0B]*)*<(?:urlset|sitemapindex)[ \\t\\n\\r\\f\\x0B>]"
 
   /** A priority value safe to cast (sitemaps.org: 0.0–1.0 decimal);
     * anything else — including the negative/exponent forms the

@@ -1253,14 +1253,21 @@ object TextAnalysis {
     * tokenizer vocabularies, classifier models): staleness management
     * becomes an engine decision a stream can record and a scheduler
     * can act on, instead of policy pushed onto every operator.
-    * Both sides are METRIC-GRAIN (signals come from aggregated drift
-    * rows, thresholds are declared policy); the measured side carries
-    * the broadcast hint — it is the BUILD side of the left-outer join
+    * Both sides are METRIC-GRAIN (thresholds are declared policy);
+    * signals are folded to their WORST (max) value per (artifact,
+    * metric) before the join — a caller feeding accumulated
+    * multi-window signal rows instead of one window's measurement gets
+    * one conservative decision per declared threshold, never a fan-out
+    * of contradictory `due` rows. The measured side carries the
+    * broadcast hint — it is the BUILD side of the left-outer join
     * (a hint on the preserved side is silently unusable), so the plan
-    * is one broadcast join, no shuffle. */
+    * is one metric-grain aggregate plus one broadcast join, no
+    * row-level shuffle. */
   def refreshDue(signals: DataFrame, thresholds: DataFrame): DataFrame =
     thresholds.select(col("artifact"), col("metric"), col("threshold"))
-      .join(broadcast(signals.select(col("artifact"), col("metric"), col("value"))),
+      .join(broadcast(signals.select(col("artifact"), col("metric"), col("value"))
+        .groupBy(col("artifact"), col("metric"))
+        .agg(max(col("value")).as("value"))),
         Seq("artifact", "metric"), "left")
       .select(col("artifact"), col("metric"), col("value"), col("threshold"),
         coalesce(col("value") > col("threshold"), lit(false)).as("due"))

@@ -309,7 +309,11 @@ object CorpusWatcher {
     * drops targets the URL-key history already holds (every page ever
     * admitted, this batch included) or an earlier frontier partition
     * already queued, and appends the remainder as a `batch_id=N` work
-    * list `(url_key, link_url, link_host, n_refs)`. Where the batch
+    * list `(url_key, link_url, link_host, n_refs, src, src_doc_id)` —
+    * `src`/`src_doc_id` are the row's PROVENANCE: which discovery kind
+    * named it (`link` | `sitemap`; sitemap outranks when both did) and
+    * the smallest naming doc's id, so fetched URLs attribute to the
+    * link page or sitemap chain that produced them. Where the batch
     * face ([[graft.ops.Crawl.crawlFrontier]]) re-derives the seen set
     * from ALL pages on every call, the stream pays one row-local
     * extraction plus two 16-byte-key anti-joins per batch — flat as
@@ -667,7 +671,8 @@ object CorpusWatcher {
         // batch's partition included — it was appended just above)
         // nor already queued by an earlier frontier partition,
         // accumulate append-only as `batch_id=N` work lists of
-        // `(url_key, link_url, link_host, n_refs)`. Per-batch cost is
+        // `(url_key, link_url, link_host, n_refs, src, src_doc_id)`.
+        // Per-batch cost is
         // one row-local link extraction over the batch plus two
         // anti-joins on 16-byte keys — FLAT as history grows (the
         // batch frontier re-derives the seen set from ALL pages every
@@ -703,27 +708,39 @@ object CorpusWatcher {
                 f.where(col("nofollow")).select("doc_id"), Seq("doc_id"), "left_anti")
             }
             val links = graft.ops.Crawl.extractLinks(linkSrc)
+            // every candidate carries PROVENANCE: which kind of
+            // discovery named it (src: link | sitemap) and the naming
+            // doc's id — so a fetched URL is attributable to the link
+            // page or the sitemap CHAIN that produced it (the batch
+            // [[graft.ops.Crawl.sitemapTree]] columns, realized
+            // incrementally: a child sitemap's row points at the index
+            // doc that named it, its locs' rows point at the child)
             val linkCands = links.where(col("link_url").isNotNull)
               .select(md5(col("link_url")).as("url_key"),
-                col("link_url"), col("link_host"))
+                col("link_url"), col("link_host"),
+                lit("link").as("src"), col("doc_id").as("src_doc_id"))
             // sitemap DISCOVERY (`sitemapDiscovery`): an arriving
             // sitemap body queues its unseen locs — content entries
             // as fetch work, index entries as the CHILD SITEMAPS to
             // fetch, whose bodies arrive in a later batch and queue
             // THEIR locs in turn: the [[graft.ops.Crawl.sitemapTree]]
             // fixpoint realized incrementally by the stream itself.
-            // Detection is one row-local rlike; locs then ride the
-            // same history/queued anti-joins, per-host cap, robots
-            // filter and scheduling every other candidate pays.
+            // Detection is one row-local rlike against the STRICT
+            // root-element pattern — a prose page merely quoting
+            // '<urlset' is not a sitemap and must not queue its <loc>
+            // decoys; locs then ride the same history/queued
+            // anti-joins, per-host cap, robots filter and scheduling
+            // every other candidate pays.
             val cands0 =
               if (!sitemapDiscovery) linkCands
               else linkCands.unionByName(
                 graft.ops.Crawl.sitemapUrls(
                   parsed1.where(coalesce(col("text"), lit(""))
-                    .rlike(graft.ops.Crawl.SitemapDocPat)))
+                    .rlike(graft.ops.Crawl.SitemapDocStrictPat)))
                   .where(col("url").isNotNull)
                   .select(md5(col("url")).as("url_key"),
-                    col("url").as("link_url"), col("host").as("link_host")))
+                    col("url").as("link_url"), col("host").as("link_host"),
+                    lit("sitemap").as("src"), col("doc_id").as("src_doc_id")))
             // politeness at QUEUE time (`frontierRules`): a stored
             // robotsRules table filters candidates BEFORE they cost a
             // history probe or a queue slot — a disallowed URL should
@@ -743,9 +760,20 @@ object CorpusWatcher {
               case Some(q) => unseen.join(q.select("url_key"), Seq("url_key"), "left_anti")
               case None => unseen
             }
-            val grouped = fresh
+            // one queued row per target, provenance folded: a URL
+            // named by BOTH a link and a sitemap tags 'sitemap' (the
+            // declared-by-the-host signal outranks incidental links),
+            // src_doc_id = the smallest naming doc of the winning kind
+            // — deterministic under replay
+            val grouped = staged(fresh
               .groupBy(col("url_key"), col("link_url"), col("link_host"))
-              .agg(count(lit(1)).as("n_refs"))
+              .agg(count(lit(1)).as("n_refs"),
+                min(when(col("src") === "sitemap", col("src_doc_id"))).as("_sm"),
+                min(when(col("src") === "link", col("src_doc_id"))).as("_ln"))
+              .select(col("url_key"), col("link_url"), col("link_host"),
+                col("n_refs"),
+                when(col("_sm").isNotNull, "sitemap").otherwise("link").as("src"),
+                coalesce(col("_sm"), col("_ln")).as("src_doc_id")))
             // fetch SCHEDULING (`frontierDelays` / `frontierBudgets`):
             // the work list carries WHEN and HOW MANY, not just WHAT —
             // per-host rank via the bounded heap (never a window, the
@@ -757,8 +785,11 @@ object CorpusWatcher {
             // consumer never re-implements politeness. Candidates
             // beyond the cap/budget are NOT queued and NOT remembered:
             // still-linked pages re-candidate next batch.
-            val out = if (frontierDelays.isEmpty && frontierBudgets.isEmpty) staged(grouped)
+            val out = if (frontierDelays.isEmpty && frontierBudgets.isEmpty) grouped
             else {
+              // the bounded-heap cap re-derives rows from (host, url);
+              // provenance rejoins from the staged grouped table on
+              // url_key (one row per key — batch-sized, AQE-broadcast)
               val capped = grouped
                 .groupBy(col("link_host"))
                 .agg(graft.functions.TopKByScore.topK(
@@ -768,6 +799,8 @@ object CorpusWatcher {
                 .select(md5(col("_e.id")).as("url_key"),
                   col("_e.id").as("link_url"), col("link_host"),
                   col("_e.score").as("n_refs"), (col("_p") + 1).as("pos"))
+                .join(grouped.select(col("url_key"), col("src"), col("src_doc_id")),
+                  Seq("url_key"))
               val withDelay = frontierDelays match {
                 case Some(d) => capped.join(
                   broadcast(d.select(col("host").as("link_host"), col("crawl_delay"))),
@@ -787,7 +820,8 @@ object CorpusWatcher {
                 case None => withOffset
               }
               staged(sliced.select(col("url_key"), col("link_url"), col("link_host"),
-                col("n_refs"), col("pos"), col("crawl_delay"), col("fetch_offset")))
+                col("n_refs"), col("src"), col("src_doc_id"),
+                col("pos"), col("crawl_delay"), col("fetch_offset")))
             }
             out.write.mode("overwrite").parquet(s"$fd/batch_id=$batchId")
             frontierF = Some(out)

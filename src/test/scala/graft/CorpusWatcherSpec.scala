@@ -990,14 +990,18 @@ class CorpusWatcherSpec extends SparkSpec {
       sitemapDiscovery = true).awaitTermination()
     val ckpt = tmp("ckptsm")
     // batch 0: a sitemapINDEX arrives (fetched from its robots.txt
-    // pointer) — the child sitemap it names must queue as fetch work
+    // pointer) — the child sitemap it names must queue as fetch work;
+    // a prose DECOY merely quoting '<urlset' (the root element is not
+    // at the document start) must not queue its <loc> bait
     Files.write(Paths.get(watch, "sm-0.json"),
-      """{"doc_id": 1, "text": "<sitemapindex><sitemap><loc>https://s.example.org/sm-a.xml</loc></sitemap></sitemapindex>", "url": "https://s.example.org/sitemap.xml"}"""
+      ("""{"doc_id": 1, "text": "<sitemapindex><sitemap><loc>https://s.example.org/sm-a.xml</loc></sitemap></sitemapindex>", "url": "https://s.example.org/sitemap.xml"}""" + "\n" +
+        """{"doc_id": 9, "text": "docs page: a sitemap body looks like <urlset xmlns=...> with entries <url><loc>https://decoy.example.org/x</loc></url>", "url": "https://s.example.org/docs"}""" + "\n")
         .getBytes("UTF-8"))
     run(ckpt)
-    val q0 = spark.read.parquet(fd).select("link_url").as[String].collect().toSet
-    assert(q0 === Set("https://s.example.org/sm-a.xml"),
-      s"the index's child sitemap must queue: $q0")
+    val q0 = spark.read.parquet(fd)
+      .select("link_url", "src", "src_doc_id").as[(String, String, String)].collect().toSet
+    assert(q0 === Set(("https://s.example.org/sm-a.xml", "sitemap", "1")),
+      s"the index's child sitemap must queue WITH provenance, the decoy must not: $q0")
     // batch 1: the child's BODY arrives (the consumer fetched it) —
     // its content locs queue; the child itself is now history and the
     // already-queued row never re-queues
@@ -1006,9 +1010,17 @@ class CorpusWatcherSpec extends SparkSpec {
         .getBytes("UTF-8"))
     run(ckpt)
     val q1 = spark.read.parquet(fd).filter(col("batch_id") === 1)
-      .select("link_url").as[String].collect().toSet
-    assert(q1 === Set("https://s.example.org/page-a", "https://s.example.org/page-b"),
-      s"the fetched child's locs must queue exactly once: $q1")
+      .select("link_url", "src", "src_doc_id").as[(String, String, String)].collect().toSet
+    assert(q1 === Set(("https://s.example.org/page-a", "sitemap", "2"),
+      ("https://s.example.org/page-b", "sitemap", "2")),
+      s"the fetched child's locs must queue exactly once, attributed to doc 2: $q1")
+    // the two-level ATTRIBUTION chain across batches: the grandchild
+    // rows name the child doc (2), whose own queued row named the
+    // root index doc (1) — sitemapTree's provenance, incrementally
+    val chain = spark.read.parquet(fd)
+      .select("link_url", "src_doc_id").as[(String, String)].collect().toMap
+    assert(chain("https://s.example.org/sm-a.xml") === "1" &&
+      chain("https://s.example.org/page-a") === "2")
     // batch 2: the SAME child body re-fetched — every loc already
     // queued, nothing new
     Files.write(Paths.get(watch, "sm-2.json"),
@@ -1038,9 +1050,12 @@ class CorpusWatcherSpec extends SparkSpec {
     val ckpt = tmp("ckptfr")
     run(ckpt)
     val f0 = spark.read.parquet(fdir).filter(col("batch_id") === 0)
-      .select("link_url", "link_host", "n_refs")
-      .as[(String, String, Long)].collect().toSet
-    assert(f0 === Set(("https://t.example.org/next", "t.example.org", 2L)))
+      .select("link_url", "link_host", "n_refs", "src", "src_doc_id")
+      .as[(String, String, Long, String, String)].collect().toSet
+    // provenance: link-discovered, attributed to the SMALLEST naming
+    // page (docs 80 and 81 both link it; ids are opaque strings on the
+    // stream — the parsed0 cast — so the winner is min string "80")
+    assert(f0 === Set(("https://t.example.org/next", "t.example.org", 2L, "link", "80")))
     val m0 = spark.read.parquet(metrics).filter(col("batch_id") === 0)
       .select("stage", "n_docs").as[(String, Long)].collect().toMap
     assert(m0("frontier") === 1L && m0("indexed") === 2L)

@@ -1207,5 +1207,16 @@ class TextAnalysisSpec extends SparkSpec {
     val unkPlan = TextAnalysis.refreshPlan(TextAnalysis.unkRefreshSignals(unk), unkThr)
       .as[(String, Boolean, Long, Long)].collect().map(r => r._1 -> r._2).toMap
     assert(unkPlan === Map("tokenizer:srcA" -> false, "tokenizer:srcB" -> true))
+    // duplicate (artifact, metric) signal rows — a caller feeding
+    // accumulated multi-window signals — fold to the WORST value:
+    // exactly ONE decision per declared threshold, max-driven
+    val dupSignals = Seq(("index", "js", 0.01), ("index", "js", 0.12),
+      ("index", "js", 0.03)).toDF("artifact", "metric", "value")
+    val dupDue = TextAnalysis.refreshDue(dupSignals, thr)
+      .as[(String, String, Option[Double], Double, Boolean)].collect()
+    assert(dupDue.length === 3, "one row per declared threshold, never a fan-out")
+    val js = dupDue.find(r => r._1 == "index" && r._2 == "js").get
+    assert(js._3 === Some(0.12) && js._5 === true,
+      "the worst window's measurement drives the decision")
   }
 }
