@@ -1575,7 +1575,16 @@ object Crawl {
     * shards ≪ cores). The invariant either way: every (shard, salt)
     * routing group lands wholly in ONE partition, so an executor's
     * resident shard set is the union over the partitions it holds —
-    * bounded by partitions held, never the full set. */
+    * bounded by partitions held, never the full set.
+    *
+    * Broadcast LIFETIME: each call creates one torrent broadcast per
+    * shard, referenced by the returned (lazy) plan — the blocks are
+    * freed by the ContextCleaner only once that plan becomes
+    * unreachable, which is non-deterministic. A long-lived crawl-loop
+    * driver calling this per wave should use
+    * [[crawlFrontierBloomShardedMaterialized]], which materializes the
+    * frontier and destroys the shard broadcasts before returning —
+    * per-wave filter bytes leave the executors with the wave. */
   def crawlFrontierBloomSharded(
       pages: DataFrame,
       ranks: DataFrame,
@@ -1584,7 +1593,49 @@ object Crawl {
       fpp: Double = 0.01,
       shards: Int = 4,
       probePartitionsPerShard: Int = 1,
-      mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist): DataFrame = {
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist): DataFrame =
+    crawlFrontierBloomShardedCore(pages, ranks, urlCol, perHostCap, fpp,
+      shards, probePartitionsPerShard, mat)._1
+
+  /** The crawl-LOOP form of [[crawlFrontierBloomSharded]]: same plan,
+    * but the frontier is MATERIALIZED under `outMat` and every shard's
+    * broadcast is destroyed before returning — the caller gets a
+    * concrete work list with no live references to the wave's filter
+    * bytes, so per-wave broadcasts never accumulate on executors
+    * across a long-running driver (the lazy form frees them only when
+    * the ContextCleaner notices the plan is gone). Under
+    * `Materialize.Persist` the caller owns release of the RESULT, as
+    * everywhere; the broadcasts are gone either way. */
+  def crawlFrontierBloomShardedMaterialized(
+      pages: DataFrame,
+      ranks: DataFrame,
+      urlCol: String = "url",
+      perHostCap: Int = 10,
+      fpp: Double = 0.01,
+      shards: Int = 4,
+      probePartitionsPerShard: Int = 1,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.Persist,
+      outMat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint): DataFrame = {
+    val (frontier, handles) = crawlFrontierBloomShardedCore(pages, ranks, urlCol,
+      perHostCap, fpp, shards, probePartitionsPerShard, mat)
+    val out = graft.core.Materialize(frontier, outMat)
+    // Persist is lazy — force the probe to run while the broadcasts
+    // are still alive (LocalCheckpoint already did, eagerly)
+    if (outMat == graft.core.Materialize.Persist) out.count()
+    handles.foreach(_.destroy())
+    out
+  }
+
+  private def crawlFrontierBloomShardedCore(
+      pages: DataFrame,
+      ranks: DataFrame,
+      urlCol: String,
+      perHostCap: Int,
+      fpp: Double,
+      shards: Int,
+      probePartitionsPerShard: Int,
+      mat: graft.core.Materialize.Strategy)
+      : (DataFrame, Seq[org.apache.spark.broadcast.Broadcast[Array[Byte]]]) = {
     require(perHostCap >= 1, s"perHostCap=$perHostCap must be >= 1")
     require(fpp > 0 && fpp < 1, s"fpp=$fpp must be in (0, 1)")
     require(shards >= 1, s"shards=$shards must be >= 1")
@@ -1648,9 +1699,10 @@ object Crawl {
     // ships stubs, an executor pulls only the shards its routed
     // partitions probe (ShardedBloomSet scaladoc)
     val sc = pages.sparkSession.sparkContext
+    val handles = shardBytes.toSeq.map(b => sc.broadcast(b))
     val bloomSet = new graft.functions.ShardedBloomSet(
-      shardBytes.map(b =>
-        graft.functions.BroadcastShardBytes(sc.broadcast(b)): graft.functions.ShardBytes))
+      handles.toArray.map(h =>
+        graft.functions.BroadcastShardBytes(h): graft.functions.ShardBytes))
     // route candidates by the build-side shard hash BEFORE the probe —
     // this pins per-partition (hence per-executor) shard residency;
     // the optional salt widens parallelism without mixing shards
@@ -1687,9 +1739,10 @@ object Crawl {
     val cands = definitelyUnseen.unionByName(confirmed)
       .groupBy(col("link_url"), col("link_host"))
       .agg(count(lit(1)).as("n_refs"))
-    rankPrior(topPerHost(cands, perHostCap), ranks, nodeCol = "link_host")
+    (rankPrior(topPerHost(cands, perHostCap), ranks, nodeCol = "link_host")
       .select(col("link_url"), col("link_host"), col("n_refs"),
-        col("domain_rank"), col("pos"))
+        col("domain_rank"), col("pos")),
+      handles)
   }
 
   // ---- Sitemaps ----------------------------------------------------------

@@ -943,6 +943,15 @@ class CrawlSpec extends SparkSpec {
       pages, ranks, perHostCap = 5, shards = 3, probePartitionsPerShard = 4)
     assert(salted.as[(String, String, Long, Double, Int)].collect().toSet === exact,
       "probePartitionsPerShard must not change the frontier")
+    // the crawl-LOOP form: same frontier, but materialized with the
+    // wave's shard broadcasts DESTROYED before return — the result
+    // must stay fully queryable afterwards (no live probe references)
+    val looped = Crawl.crawlFrontierBloomShardedMaterialized(
+      pages, ranks, perHostCap = 5, shards = 3)
+    assert(looped.as[(String, String, Long, Double, Int)].collect().toSet === exact,
+      "the materialized form must not change the frontier")
+    assert(looped.count() === exact.size.toLong,
+      "re-reading after broadcast destroy must serve from the checkpoint")
   }
 
   test("trust-composed frontier: spam-island hosts carry zero trust into ordering; island URLs score exactly 0") {
