@@ -3612,6 +3612,61 @@ object SparkEntry {
         .unionByName(graft.ops.Curation.operatingPoint(sweep,
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
+    "q_threshold_sweep_by" -> { (s, dir) =>
+      // the sweep PER GROUP (here: language) — the per-domain tuning
+      // grid a production filter selects different thresholds from
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.thresholdSweepBy(
+        scored.join(d.select(col("doc_id"), col("lang"),
+          (col("domain") =!= "web").as("actual")), Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang")
+    },
+    "q_operating_points_by" -> { (s, dir) =>
+      // one selected operating point PER LANGUAGE, both objectives —
+      // groups where no threshold qualifies are absent by contract
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      val sweep = graft.ops.Curation.thresholdSweepBy(
+        scored.join(d.select(col("doc_id"), col("lang"),
+          (col("domain") =!= "web").as("actual")), Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang")
+      graft.ops.Curation.operatingPointsBy(sweep, "lang")
+        .unionByName(graft.ops.Curation.operatingPointsBy(sweep, "lang",
+          graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
+    },
+    "q_average_precision" -> { (s, dir) =>
+      // the PR summary of the global sweep — the classifier-comparison
+      // number computed before any operating point is picked
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.averagePrecision(
+        graft.ops.Curation.thresholdSweep(
+          scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+            Seq("doc_id")),
+          thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)))
+    },
+    "q_manifest_diff" -> { (s, dir) =>
+      // the pipeline-versioning face: the same chain under two knob
+      // settings (src1 rate 0.3 -> 0.1 removes docs, src2 0.0 -> 0.6
+      // adds docs, trainPct 80 -> 60 re-splits survivors) — which
+      // documents were added/removed/moved, row by row
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+      val eval = d.filter(col("doc_id") % 50 === 0)
+      val m1 = graft.ops.Curation.curate(train, eval,
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
+      val m2 = graft.ops.Curation.curate(train, eval,
+        rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6), defaultRate = 0.5,
+        trainPct = 60)
+      graft.ops.Curation.manifestDiff(m1, m2)
+    },
     "q_curate_classified" -> { (s, dir) =>
       // the calibration loop CLOSED: train -> score -> sweep -> select
       // the max-F1 operating point -> gate the curation chain at that
@@ -5286,6 +5341,104 @@ object SparkEntry {
          |SELECT 'precision_floor', threshold, n_kept, n_pos, tp, precision, recall, f1
          |FROM (SELECT * FROM swp WHERE precision IS NOT NULL AND precision >= 0.9
          |      AND recall IS NOT NULL ORDER BY recall DESC, threshold ASC LIMIT 1)""".stripMargin,
+    "q_threshold_sweep_by" ->
+      // twin of Curation.thresholdSweepBy(lang): the sweep aggregation
+      // keyed by (lang, threshold); same rounded-metrics recipe
+      s"""WITH $CLS_CTES,
+         |tbin AS MATERIALIZED (SELECT d.lang,
+         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    (($DOMAIN_SQL) <> 'web') AS pos
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
+         |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+         |tbag AS (SELECT lang, threshold,
+         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
+         |tbpr AS (SELECT *,
+         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+         |  FROM tbag)
+         |SELECT lang, threshold, n_kept, n_pos, tp,
+         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+         |FROM tbpr""".stripMargin,
+    "q_operating_points_by" ->
+      // twin of Curation.operatingPointsBy(lang), both objectives:
+      // per-lang winner by (metric desc, threshold asc); groups with
+      // no qualifying threshold are absent
+      s"""WITH $CLS_CTES,
+         |tbin AS MATERIALIZED (SELECT d.lang,
+         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    (($DOMAIN_SQL) <> 'web') AS pos
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
+         |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+         |tbag AS (SELECT lang, threshold,
+         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
+         |tbpr AS (SELECT *,
+         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+         |  FROM tbag),
+         |tbsw AS MATERIALIZED (SELECT lang, threshold, n_kept, n_pos, tp,
+         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+         |  FROM tbpr)
+         |SELECT lang, 'max_f1' AS objective, threshold, n_kept, n_pos, tp, precision, recall, f1
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY f1 DESC, threshold ASC) AS rn
+         |      FROM tbsw WHERE f1 IS NOT NULL) WHERE rn = 1
+         |UNION ALL
+         |SELECT lang, 'precision_floor', threshold, n_kept, n_pos, tp, precision, recall, f1
+         |FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |        ORDER BY recall DESC, threshold ASC) AS rn
+         |      FROM tbsw WHERE precision IS NOT NULL AND precision >= 0.9
+         |        AND recall IS NOT NULL) WHERE rn = 1""".stripMargin,
+    "q_average_precision" ->
+      // twin of Curation.averagePrecision over the global sweep:
+      // threshold-desc lag walk, 6dp-quantized step terms summed exact
+      s"""WITH $CLS_CTES,
+         |$SWEEP_CTES,
+         |apin AS (SELECT threshold, precision, recall FROM swp
+         |  WHERE precision IS NOT NULL AND recall IS NOT NULL),
+         |apt AS (SELECT CAST(round((recall -
+         |    coalesce(lag(recall) OVER (ORDER BY threshold DESC), 0.0)) * precision, 6)
+         |    AS DECIMAL(18,6)) AS term FROM apin)
+         |SELECT CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(sum(term) AS DOUBLE) AS average_precision FROM apt""".stripMargin,
+    "q_manifest_diff" ->
+      // twin of manifestDiff over the chain under two knob settings:
+      // the shared survivor chain (s3) feeds two mixture projections
+      // (rates 1.0/0.3/0.0/0.5 vs 1.0/0.1/0.6/0.5) and two split
+      // stampings (80/10 vs 60/10); full-outer on doc_id
+      s"""WITH RECURSIVE $CURATE_CTES,
+         |mda AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |        FROM flags WHERE doc_id IN (SELECT doc_id FROM s4))),
+         |s4b AS (SELECT doc_id FROM s3 JOIN flags USING (doc_id)
+         |       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+         |         < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 1000
+         |            WHEN 'src2' THEN 6000 ELSE 5000 END)),
+         |mdb AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN b < 60 THEN 'train' WHEN b < 70 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |        FROM flags WHERE doc_id IN (SELECT doc_id FROM s4b)))
+         |SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |  CASE WHEN a.doc_id IS NULL THEN 'added'
+         |       WHEN b.doc_id IS NULL THEN 'removed'
+         |       WHEN a.split <> b.split THEN 'moved'
+         |       ELSE 'unchanged' END AS status,
+         |  a.split AS split_a, b.split AS split_b
+         |FROM mda a FULL OUTER JOIN mdb b ON a.doc_id = b.doc_id""".stripMargin,
     "q_curate_classified" ->
       // twin of the classifier-gated chain: CLS_CTES trains the NB
       // weights, SWEEP_CTES measures the operating points, the curate

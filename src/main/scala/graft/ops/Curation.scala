@@ -310,6 +310,30 @@ object Curation {
     manifestFrom(s1c, losers, contam, rates, defaultRate, trainPct, valPct, split, cl)
   }
 
+  /** Diff two curation manifests — the pipeline-versioning face: when
+    * a knob changes (a rate, a threshold, a new stage), the question a
+    * data team actually asks is "which documents did that add, remove,
+    * or re-split?", not "what are the new counts". One row per doc_id
+    * present in EITHER manifest: `(doc_id, status, split_a, split_b)`
+    * with status `added` (only in B), `removed` (only in A), `moved`
+    * (both, different split) or `unchanged`. Works on anything with
+    * `(doc_id, split)` — [[curate]] outputs, stored manifests, a
+    * manifest vs its re-run (drift check: all `unchanged`).
+    *
+    * Scale: one doc_id-keyed full-outer join of two id-sized tables —
+    * a single co-partitioned exchange, no text, no windows. Summaries
+    * are a `groupBy(status).count` away; the detail IS the artifact
+    * (the rows you open to review a pipeline change). */
+  def manifestDiff(a: DataFrame, b: DataFrame): DataFrame =
+    a.select(col("doc_id"), col("split").as("split_a"))
+      .join(b.select(col("doc_id"), col("split").as("split_b")), Seq("doc_id"), "full")
+      .select(col("doc_id"),
+        when(col("split_a").isNull, "added")
+          .when(col("split_b").isNull, "removed")
+          .when(col("split_a") =!= col("split_b"), "moved")
+          .otherwise("unchanged").as("status"),
+        col("split_a"), col("split_b"))
+
   /** The classifier stage: survivors gated by the stored model, plus
     * the kept-id table the funnel/samples joins need (materialized
     * under `mat` — id-sized, consumed by up to three downstream
@@ -766,6 +790,104 @@ object Curation {
         when(col("n_pos") > 0, rec).as("recall"),
         when(col("n_kept") > 0 && col("n_pos") > 0 && (prec + rec) > 0,
           round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+  }
+
+  /** [[thresholdSweep]] PER GROUP — the per-domain tuning face: one
+    * `(group, threshold)` row instead of one per threshold, so a
+    * pipeline can select a DIFFERENT operating point per source/
+    * domain/language (production quality filters rarely share one
+    * threshold across web and books). Input needs `logit`, `actualCol`
+    * and `groupCol`; NULL-group rows drop with the unscored/unlabeled.
+    * Same determinism recipe as the global sweep (6dp-rounded
+    * precision/recall, f1 from the rounded pair); same plan shape —
+    * one scan × the broadcast threshold list into one combinable
+    * aggregate, now keyed by (group, threshold). */
+  def thresholdSweepBy(
+      scored: DataFrame, thresholds: Seq[Double],
+      groupCol: String, actualCol: String = "actual"): DataFrame = {
+    require(thresholds.nonEmpty, "thresholdSweepBy needs at least one threshold")
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val thr = broadcast(thresholds.distinct.toDF("threshold"))
+    val prec = round(col("tp").cast("double") / col("n_kept"), 6)
+    val rec = round(col("tp").cast("double") / col("n_pos"), 6)
+    scored.where(col("logit").isNotNull && col(actualCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol), col("logit"), col(actualCol).cast("boolean").as("pos"))
+      .crossJoin(thr)
+      .groupBy(col(groupCol), col("threshold"))
+      .agg(
+        sum((col("logit") >= col("threshold")).cast("long")).as("n_kept"),
+        sum(col("pos").cast("long")).as("n_pos"),
+        sum((col("pos") && col("logit") >= col("threshold")).cast("long")).as("tp"))
+      .select(col(groupCol), col("threshold"), col("n_kept"), col("n_pos"), col("tp"),
+        when(col("n_kept") > 0, prec).as("precision"),
+        when(col("n_pos") > 0, rec).as("recall"),
+        when(col("n_kept") > 0 && col("n_pos") > 0 && (prec + rec) > 0,
+          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+  }
+
+  /** [[operatingPoint]] PER GROUP over a [[thresholdSweepBy]] output:
+    * one winning row per group value, same objectives and the same
+    * deterministic `(metric desc, threshold asc)` tiebreak — realized
+    * as a `max_by` over `struct(metric, -threshold)` (lexicographic
+    * struct ordering; thresholds are distinct within a group, so the
+    * order is total and no group's pick is ambiguous). Groups where no
+    * threshold qualifies are ABSENT from the output, the
+    * [[operatingPoint]] empty-result contract per group. Plan: one
+    * filter + one group-keyed combinable aggregate — policy-sized
+    * input, never a window. */
+  def operatingPointsBy(
+      sweep: DataFrame, groupCol: String,
+      objective: OpObjective = OpObjective.MaxF1): DataFrame = {
+    val payload = struct(col("threshold"), col("n_kept"), col("n_pos"),
+      col("tp"), col("precision"), col("recall"), col("f1"))
+    val (qualified, orderKey, tag) = objective match {
+      case OpObjective.MaxF1 =>
+        (sweep.where(col("f1").isNotNull),
+          struct(col("f1"), -col("threshold")), "max_f1")
+      case OpObjective.PrecisionFloor(p) =>
+        (sweep.where(col("precision").isNotNull && col("precision") >= p &&
+            col("recall").isNotNull),
+          struct(col("recall"), -col("threshold")), "precision_floor")
+    }
+    qualified
+      .groupBy(col(groupCol))
+      .agg(max_by(payload, orderKey).as("w"))
+      .select(col(groupCol), lit(tag).as("objective"),
+        col("w.threshold").as("threshold"), col("w.n_kept").as("n_kept"),
+        col("w.n_pos").as("n_pos"), col("w.tp").as("tp"),
+        col("w.precision").as("precision"), col("w.recall").as("recall"),
+        col("w.f1").as("f1"))
+  }
+
+  /** Average precision over a [[thresholdSweep]] (or one group of a
+    * [[thresholdSweepBy]]) — the single-number PR summary for
+    * comparing classifiers before picking any one operating point:
+    * thresholds sorted DESCENDING (most conservative first), step-wise
+    * `AP = Σ_i (R_i − R_{i−1}) · P_i` with R₀ = 0, over the rows whose
+    * precision is defined (nothing kept ⇒ no step). This is AP
+    * evaluated AT THE SWEPT THRESHOLDS — the resolution is the
+    * caller's threshold grid, not every distinct score (the sweep is
+    * the artifact being summarized). One row: `(n_points,
+    * average_precision)`; empty/degenerate sweeps read 0 points and
+    * NULL AP.
+    *
+    * Determinism: each step term is `round((R_i − R_prev) · P_i, 6)`
+    * cast DECIMAL before the sum (exact, order-free accumulation of
+    * quantized terms — the engine-wide recipe); the lag walk is a
+    * Window over the POLICY-SIZED sweep, never corpus data. */
+  def averagePrecision(sweep: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.orderBy(col("threshold").desc)
+    sweep.where(col("precision").isNotNull && col("recall").isNotNull)
+      .select(col("threshold"), col("precision"), col("recall"))
+      .withColumn("r_prev", coalesce(lag(col("recall"), 1).over(w), lit(0.0)))
+      .select(round((col("recall") - col("r_prev")) * col("precision"), 6)
+        .cast(DecimalType(18, 6)).as("term"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("term")).cast("double").as("average_precision"))
   }
 
   /** Expected calibration error over [[calibrationReport]]'s bins —

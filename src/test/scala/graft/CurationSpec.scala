@@ -629,6 +629,92 @@ class CurationSpec extends SparkSpec {
       Curation.OpObjective.PrecisionFloor(0.9)) === None)
   }
 
+  test("thresholdSweepBy / operatingPointsBy: per-group grids and winners; unqualifying groups absent") {
+    // two groups with opposite score/label alignment: in g1 the scorer
+    // separates perfectly (threshold 1.0 is exact), in g2 it is
+    // anti-correlated (high scores are negatives)
+    val scored = Seq(
+      ("g1", 1L, Some(2.0), Some(true)), ("g1", 2L, Some(1.5), Some(true)),
+      ("g1", 3L, Some(0.5), Some(false)), ("g1", 4L, Some(-1.0), Some(false)),
+      ("g2", 5L, Some(2.0), Some(false)), ("g2", 6L, Some(-1.0), Some(true)),
+      (null.asInstanceOf[String], 7L, Some(9.0), Some(true))) // null group drops
+      .toDF("grp", "doc_id", "logit", "actual")
+    val sweep = Curation.thresholdSweepBy(scored, Seq(-2.0, 1.0, 3.0), "grp")
+    val rows = sweep.as[(String, Double, Long, Long, Long,
+      Option[Double], Option[Double], Option[Double])].collect()
+    assert(rows.map(_._1).toSet === Set("g1", "g2"), "null groups must drop")
+    assert(rows.length === 6)
+    // g1 at t=1.0: kept {2.0, 1.5}, both positive — perfect point
+    val g1t1 = rows.find(r => r._1 == "g1" && r._2 == 1.0).get
+    assert(g1t1 === (("g1", 1.0, 2L, 2L, 2L, Some(1.0), Some(1.0), Some(1.0))))
+    // per-group winners: g1 picks its perfect threshold; g2's best F1
+    // is the keep-everything end
+    val won = Curation.operatingPointsBy(sweep, "grp")
+      .as[(String, String, Double, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(won("g1")._3 === 1.0 && won("g1")._9 === Some(1.0))
+    assert(won("g2")._3 === -2.0)
+    // precision floor 0.95: only g1 has a qualifying threshold — g2 is
+    // ABSENT, never substituted
+    val pf = Curation.operatingPointsBy(sweep, "grp",
+      Curation.OpObjective.PrecisionFloor(0.95))
+      .as[(String, String, Double, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])].collect()
+    assert(pf.map(_._1).toSet === Set("g1") && pf.head._3 === 1.0)
+    // parity with the global faces on a single-group slice
+    val g1Only = scored.filter(col("grp") === "g1").drop("grp")
+    val globalWin = Curation.operatingPoint(
+      Curation.thresholdSweep(g1Only, Seq(-2.0, 1.0, 3.0)))
+      .as[(String, Double, Long, Long, Long,
+        Option[Double], Option[Double], Option[Double])].head()
+    assert(globalWin._2 === won("g1")._3 && globalWin._8 === won("g1")._9)
+  }
+
+  test("averagePrecision: hand-computed step AP over the sweep; degenerate sweeps read 0 points / NULL") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // 4 docs: scores 2.0+, 1.5+, 0.5-, -1.0+ (3 positives)
+    val scored = Seq(
+      (1L, Some(2.0), Some(true)), (2L, Some(1.5), Some(true)),
+      (3L, Some(0.5), Some(false)), (4L, Some(-1.0), Some(true)))
+      .toDF("doc_id", "logit", "actual")
+    val sweep = Curation.thresholdSweep(scored, Seq(-2.0, 0.0, 1.0, 3.0))
+    val got = Curation.averagePrecision(sweep)
+      .as[(Long, Option[Double])].head()
+    // t desc: 3.0 keeps nothing (precision NULL -> excluded);
+    // 1.0: P=1, R=2/3; 0.0: P=2/3... wait kept {2.0,1.5} -> P=1 R=2/3;
+    // t=0.0 kept {2.0,1.5,0.5}: P=2/3 R=2/3; t=-2.0 kept all: P=3/4 R=1
+    val r23 = r6(2.0 / 3.0)
+    val p34 = r6(3.0 / 4.0)
+    val expected = BigDecimal(r6((r23 - 0.0) * 1.0)) +
+      BigDecimal(r6((r23 - r23) * r6(2.0 / 3.0))) +
+      BigDecimal(r6((1.0 - r23) * p34))
+    assert(got._1 === 3L)
+    assert(got._2 === Some(expected.toDouble))
+    // a sweep where nothing is ever kept: zero points, NULL AP
+    val none = Curation.averagePrecision(
+      Curation.thresholdSweep(scored, Seq(9.0)))
+      .as[(Long, Option[Double])].head()
+    assert(none === ((0L, None)))
+  }
+
+  test("manifestDiff: added/removed/moved/unchanged row-exact; self-diff is all unchanged") {
+    val a = Seq((1L, "train"), (2L, "val"), (3L, "test")).toDF("doc_id", "split")
+    val b = Seq((1L, "train"), (2L, "train"), (4L, "test")).toDF("doc_id", "split")
+    val got = Curation.manifestDiff(a, b)
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) === ((1L, "unchanged", Some("train"), Some("train"))))
+    assert(got(2L) === ((2L, "moved", Some("val"), Some("train"))))
+    assert(got(3L) === ((3L, "removed", Some("test"), None)))
+    assert(got(4L) === ((4L, "added", None, Some("test"))))
+    // re-running the identical chain diffs to all-unchanged — the
+    // determinism certificate a pipeline re-run publishes
+    val m = Curation.curate(docs, evalDocs, rates = rates)
+    val self = Curation.manifestDiff(m, Curation.curate(docs, evalDocs, rates = rates))
+    assert(self.filter(col("status") =!= "unchanged").count() === 0L)
+  }
+
   test("classifier-gated curate: sweep -> operating point -> gate; funnel carries the classifier stage's docs AND tokens") {
     // weight table that loves astronomy words and hates spam words —
     // trained on designed corpora so the gate's behavior is known
