@@ -3639,6 +3639,24 @@ object SparkEntry {
         .unionByName(graft.ops.Curation.operatingPointsBy(sweep, "lang",
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
+    "q_classifier_score_by" -> { (s, dir) =>
+      // the per-group loop CLOSED: sweepBy -> operatingPointsBy ->
+      // every doc gated at ITS LANGUAGE's validated max-F1 threshold
+      val d = withDomain(docs(s, dir))
+      val w = graft.core.Materialize(
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")),
+        graft.core.Materialize.LocalCheckpoint)
+      val sweep = graft.ops.Curation.thresholdSweepBy(
+        graft.ops.Curation.classifierScore(d, w)
+          .join(d.select(col("doc_id"), col("lang"),
+            (col("domain") =!= "web").as("actual")), Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang")
+      graft.ops.Curation.classifierScoreBiased(d, w,
+        graft.ops.Curation.operatingPointsBy(sweep, "lang")
+          .select(col("lang"), col("threshold").as("bias")),
+        groupCol = "lang")
+    },
     "q_average_precision" -> { (s, dir) =>
       // the PR summary of the global sweep — the classifier-comparison
       // number computed before any operating point is picked
@@ -5400,6 +5418,44 @@ object SparkEntry {
          |        ORDER BY recall DESC, threshold ASC) AS rn
          |      FROM tbsw WHERE precision IS NOT NULL AND precision >= 0.9
          |        AND recall IS NOT NULL) WHERE rn = 1""".stripMargin,
+    "q_classifier_score_by" ->
+      // twin of classifierScoreBiased under per-lang max-F1 points:
+      // the per-lang sweep/winner CTEs (q_operating_points_by's) feed
+      // each doc's keep decision at its own language's threshold
+      s"""WITH $CLS_CTES,
+         |tbin AS MATERIALIZED (SELECT d.lang,
+         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    (($DOMAIN_SQL) <> 'web') AS pos
+         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
+         |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+         |tbag AS (SELECT lang, threshold,
+         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
+         |tbpr AS (SELECT *,
+         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+         |  FROM tbag),
+         |tbwin AS MATERIALIZED (SELECT lang, threshold AS gbias
+         |  FROM (SELECT lang, threshold,
+         |          CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |               THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1,
+         |          row_number() OVER (PARTITION BY lang ORDER BY
+         |            CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |                 THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END DESC, threshold ASC) AS rn
+         |        FROM tbpr
+         |        WHERE (CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |               THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END) IS NOT NULL)
+         |  WHERE rn = 1)
+         |SELECT d.doc_id, d.lang, coalesce(sc.n_feats, 0) AS n_feats,
+         |  CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |  coalesce(w2.gbias, 0.0) AS bias,
+         |  coalesce(CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) >= coalesce(w2.gbias, 0.0),
+         |    false) AS keep
+         |FROM documents d
+         |LEFT JOIN sc ON sc.doc_id = d.doc_id
+         |LEFT JOIN tbwin w2 ON d.lang = w2.lang""".stripMargin,
     "q_average_precision" ->
       // twin of Curation.averagePrecision over the global sweep:
       // threshold-desc lag walk, 6dp-quantized step terms summed exact

@@ -1204,4 +1204,37 @@ object Curation {
         col("logit").cast(DecimalType(18, 6)).cast("double").as("logit"))
       .withColumn("keep", coalesce(col("logit") >= lit(bias), lit(false)))
   }
+
+  /** [[classifierScore]] under PER-GROUP operating points — the gate
+    * that consumes [[operatingPointsBy]]: every doc scores against the
+    * same frozen weight table, but the keep decision thresholds at ITS
+    * GROUP's validated bias (`biases` = `(group, bias)`, e.g.
+    * `operatingPointsBy(sweep, "lang").select($"lang",
+    * $"threshold".as("bias"))`). Groups absent from the bias table —
+    * and NULL-group docs — take `defaultBias`, so an unmeetable
+    * group's absence degrades to the global policy instead of keeping
+    * everything.
+    *
+    * Output: `(doc_id, <groupCol>, n_feats, logit, bias, keep)` —
+    * `bias` is the APPLIED threshold (post-default), the audit column.
+    * Plan: [[classifierScore]]'s one tokenize scan + broadcast weight
+    * join + combinable per-doc sum, plus one broadcast join against
+    * the group-sized bias table — nothing new shuffles. */
+  def classifierScoreBiased(
+      docs: DataFrame,
+      weights: DataFrame,
+      biases: DataFrame,
+      groupCol: String,
+      buckets: Int = 1024,
+      defaultBias: Double = 0.0): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val Seq(bGrp, bBias) = biases.columns.take(2).toSeq
+    classifierScore(docs, weights, buckets).drop("keep")
+      .join(docs.select(col("doc_id"), col(groupCol)), Seq("doc_id"))
+      .join(broadcast(biases.select(col(bGrp).as(groupCol), col(bBias).as("_gb"))),
+        Seq(groupCol), "left")
+      .select(col("doc_id"), col(groupCol), col("n_feats"), col("logit"),
+        coalesce(col("_gb"), lit(defaultBias)).as("bias"))
+      .withColumn("keep", coalesce(col("logit") >= col("bias"), lit(false)))
+  }
 }

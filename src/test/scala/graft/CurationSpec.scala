@@ -671,6 +671,36 @@ class CurationSpec extends SparkSpec {
     assert(globalWin._2 === won("g1")._3 && globalWin._8 === won("g1")._9)
   }
 
+  test("classifierScoreBiased: each doc gates at ITS group's bias; absent and NULL groups take the default") {
+    // uniform weights -> logit == n_feats (the classifierScore fixture)
+    val uniform = SparkSpec.spark.range(16).select(col("id").as("b"),
+      lit(BigDecimal(1.0)).cast("decimal(18,6)").as("w"))
+    val d = Seq(
+      ("g1", 10L, "alpha beta gamma"),  // logit 5
+      ("g1", 11L, "solo"),              // logit 1
+      ("g2", 12L, "alpha beta gamma"),  // logit 5
+      ("g3", 13L, "alpha beta gamma"),  // group absent from biases
+      (null.asInstanceOf[String], 14L, "alpha beta gamma")) // null group
+      .toDF("grp", "doc_id", "text")
+    val biases = Seq(("g1", 3.0), ("g2", 6.0)).toDF("grp", "bias")
+    val got = Curation.classifierScoreBiased(d, uniform, biases, "grp",
+        buckets = 16, defaultBias = 4.0)
+      .as[(Long, Option[String], Long, Option[Double], Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._5 === 3.0 && got(10L)._6 === true)   // 5 >= 3
+    assert(got(11L)._5 === 3.0 && got(11L)._6 === false)  // 1 < 3
+    assert(got(12L)._5 === 6.0 && got(12L)._6 === false)  // 5 < 6: g2 stricter
+    assert(got(13L)._5 === 4.0 && got(13L)._6 === true,   // default bias
+      "a group absent from the bias table must take the default")
+    assert(got(14L)._5 === 4.0 && got(14L)._6 === true,
+      "a NULL group must take the default")
+    // parity: a single-group bias table equals the scalar-bias face
+    val scalar = Curation.classifierScore(d.filter(col("grp") === "g1"),
+      uniform, buckets = 16, bias = 3.0)
+      .select("doc_id", "keep").as[(Long, Boolean)].collect().toMap
+    assert(scalar === Map(10L -> true, 11L -> false))
+  }
+
   test("averagePrecision: hand-computed step AP over the sweep; degenerate sweeps read 0 points / NULL") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // 4 docs: scores 2.0+, 1.5+, 0.5-, -1.0+ (3 positives)
