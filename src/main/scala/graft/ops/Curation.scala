@@ -1228,6 +1228,8 @@ object Curation {
       buckets: Int = 1024,
       defaultBias: Double = 0.0): DataFrame = {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    require(biases.columns.length >= 2,
+      s"biases needs (group, bias) columns, got ${biases.columns.mkString(", ")}")
     val Seq(bGrp, bBias) = biases.columns.take(2).toSeq
     classifierScore(docs, weights, buckets).drop("keep")
       .join(docs.select(col("doc_id"), col(groupCol)), Seq("doc_id"))
