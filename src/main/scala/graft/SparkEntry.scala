@@ -3501,6 +3501,17 @@ object SparkEntry {
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5)
     },
+    "q_curate_funnel_by" -> { (s, dir) =>
+      // the loss report PER SOURCE — which feed loses most at which
+      // stage; zero-count rows included (a wiped-out source is the row
+      // an operator needs), same chain parameters as q_curate
+      val d = docs(s, dir)
+      graft.ops.Curation.funnelBySource(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5)
+    },
     "q_funnel_samples" -> { (s, dir) =>
       // per-stage example dropped docs for the same chain/parameters —
       // via the FUSED path (manifest + funnel + samples from one
@@ -6925,6 +6936,28 @@ object SparkEntry {
          |  UNION ALL SELECT 5, 'decontaminate', (SELECT count(*) FROM s3)
          |  UNION ALL SELECT 6, 'mixture', (SELECT count(*) FROM s4))
          |LEFT JOIN tok USING (stage_idx)""".stripMargin,
+    "q_curate_funnel_by" ->
+      // twin of funnelBySource: per-(source, stage) survivor counts
+      // from the shared chain CTEs; the source x stage grid is a cross
+      // join so zero-count cells are present, the Spark shape
+      s"""WITH RECURSIVE $CURATE_CTES,
+         |fbm AS (SELECT 1 AS stage_idx, 'ingest' AS stage, doc_id FROM flags
+         |  UNION ALL SELECT 2, 'quality', doc_id FROM flags WHERE q_keep
+         |  UNION ALL SELECT 3, 'language', doc_id FROM s1
+         |  UNION ALL SELECT 4, 'near_dedup', doc_id FROM s2
+         |  UNION ALL SELECT 5, 'decontaminate', doc_id FROM s3
+         |  UNION ALL SELECT 6, 'mixture', doc_id FROM s4),
+         |fbc AS (SELECT f.source, m.stage_idx,
+         |    CAST(count(*) AS BIGINT) AS n_docs,
+         |    CAST(coalesce(sum(f.n_tok), 0) AS BIGINT) AS n_tokens
+         |  FROM fbm m JOIN flags f USING (doc_id) GROUP BY 1, 2),
+         |fbs AS (SELECT DISTINCT source FROM flags),
+         |fbg AS (SELECT * FROM (VALUES (1, 'ingest'), (2, 'quality'), (3, 'language'),
+         |    (4, 'near_dedup'), (5, 'decontaminate'), (6, 'mixture')) AS v(stage_idx, stage))
+         |SELECT fbs.source, CAST(fbg.stage_idx AS INTEGER) AS stage_idx, fbg.stage,
+         |  coalesce(fbc.n_docs, 0) AS n_docs, coalesce(fbc.n_tokens, 0) AS n_tokens
+         |FROM fbs CROSS JOIN fbg
+         |LEFT JOIN fbc ON fbc.source = fbs.source AND fbc.stage_idx = fbg.stage_idx""".stripMargin,
     "q_funnel_samples" ->
       // twin of Curation.funnelSamples(n=5): first-failing-stage
       // attribution from the shared chain CTEs, then per-stage

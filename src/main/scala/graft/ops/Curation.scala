@@ -948,6 +948,84 @@ object Curation {
       blocklist, clsKept)
   }
 
+  /** [[funnel]] BY SOURCE — the loss report per feed: `(source,
+    * stage_idx, stage, n_docs, n_tokens)` with one row per (source,
+    * stage), zero-count rows INCLUDED (a source wiped out at a stage
+    * is exactly the row an operator needs to see; every source that
+    * entered ingest appears at every stage). "Stage 4 dropped 12% of
+    * tokens" is the global funnel; "stage 4 dropped 80% of src7's
+    * tokens" is the per-source row that names the broken feed.
+    *
+    * Same single-pass accounting as [[funnel]] (the drop sets once as
+    * id tables, one flagged-corpus scan), with the one aggregate keyed
+    * by source — source-vocabulary-sized output, combinable, never a
+    * per-stage job. */
+  def funnelBySource(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0,
+      blocklist: Seq[String] = Nil,
+      classifier: Option[ClassifierGate] = None): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val langKeep = col("pred_lang").isin(keepLangs: _*)
+    val s1 = rowFlags(docs, minTokens, blocklist)
+      .filter(col("q_keep") && langKeep && col("b_keep"))
+    val (s1c, clsKept) = clsSurvivors(s1, classifier, mat)
+    val losers = Dedup.nearDupLosers(s1c, mat = mat, sizeRatioFloor = sizeRatioFloor)
+    val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
+    val contam = Dedup.contaminatedIds(s2, evalDocs)
+    val steps = funnelSteps(langKeep, rates, defaultRate, blocklist, clsKept.isDefined)
+    val conds = steps.scanLeft(("ingest", lit(true))) {
+      case ((_, prev), (name, grow)) => (name, grow(prev))
+    }
+    val joined0 = rowFlags(docs, minTokens, blocklist)
+      .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
+      .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
+    val joined = clsKept.fold(joined0)(k => joined0.join(
+      k.select("doc_id").withColumn("is_cls", lit(true)), Seq("doc_id"), "left"))
+    val aggs = conds.zipWithIndex.flatMap { case ((_, c), i) => Seq(
+      count(when(c, 1)).as(s"n$i"),
+      coalesce(sum(when(c, col("n_tok"))), lit(0L)).cast("long").as(s"t$i"))
+    }
+    val counts = joined.groupBy(col("source")).agg(aggs.head, aggs.tail: _*)
+    val stages = conds.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(i + 1).as("stage_idx"), lit(name).as("stage"),
+        col(s"n$i").as("n_docs"), col(s"t$i").as("n_tokens"))
+    }
+    counts
+      .select(col("source"), explode(array(stages: _*)).as("st"))
+      .select(col("source"), col("st.stage_idx"), col("st.stage"),
+        col("st.n_docs"), col("st.n_tokens"))
+  }
+
+  /** The chain's cumulative stage plan (names + condition growth, in
+    * order) — shared by [[funnelFrom]] and [[funnelBySource]] so the
+    * two reports can never disagree on stage identity. */
+  private def funnelSteps(
+      langKeep: Column,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      blocklist: Seq[String],
+      cls: Boolean): Seq[(String, Column => Column)] =
+    Seq[(String, Column => Column)](
+      "quality" -> (_ => col("q_keep")),
+      "language" -> (_ && langKeep)) ++
+      (if (blocklist.nonEmpty)
+        Seq[(String, Column => Column)]("blocklist" -> (_ && col("b_keep")))
+      else Nil) ++
+      (if (cls)
+        Seq[(String, Column => Column)]("classifier" -> (_ && col("is_cls").isNotNull))
+      else Nil) ++
+      Seq[(String, Column => Column)](
+        "near_dedup" -> (_ && col("is_loser").isNull),
+        "decontaminate" -> (_ && col("is_contam").isNull),
+        "mixture" -> (_ && Sampling.mixtureKeep("source", "doc_id", rates, defaultRate)))
+
   /** Per-stage EXAMPLE documents for the funnel — the incident-report
     * face of [[funnel]]: up to `n` doc_ids dropped AT each stage
     * (passed every earlier predicate, failed this one), chosen in
@@ -1062,20 +1140,7 @@ object Curation {
     // the optional stage rows (blocklist, classifier) exist only when
     // the stage is on, so the default funnel keeps its historical
     // six-stage shape (and oracle); indices stay sequential
-    val steps: Seq[(String, Column => Column)] =
-      Seq[(String, Column => Column)](
-        "quality" -> (_ => col("q_keep")),
-        "language" -> (_ && langKeep)) ++
-        (if (blocklist.nonEmpty)
-          Seq[(String, Column => Column)]("blocklist" -> (_ && col("b_keep")))
-        else Nil) ++
-        (if (clsKept.isDefined)
-          Seq[(String, Column => Column)]("classifier" -> (_ && col("is_cls").isNotNull))
-        else Nil) ++
-        Seq[(String, Column => Column)](
-          "near_dedup" -> (_ && col("is_loser").isNull),
-          "decontaminate" -> (_ && col("is_contam").isNull),
-          "mixture" -> (_ && Sampling.mixtureKeep("source", "doc_id", rates, defaultRate)))
+    val steps = funnelSteps(langKeep, rates, defaultRate, blocklist, clsKept.isDefined)
     val conds = steps.scanLeft(("ingest", lit(true))) {
       case ((_, prev), (name, grow)) => (name, grow(prev))
     }

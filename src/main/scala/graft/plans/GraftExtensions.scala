@@ -61,6 +61,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.packSequencesTableFunction)
     ext.injectTableFunction(GraftExtensions.chunkTokensTableFunction)
     ext.injectTableFunction(GraftExtensions.calibrationTableFunction)
+    ext.injectTableFunction(GraftExtensions.thresholdSweepTableFunction)
+    ext.injectTableFunction(GraftExtensions.operatingPointTableFunction)
+    ext.injectTableFunction(GraftExtensions.manifestDiffTableFunction)
     ext.injectTableFunction(GraftExtensions.embOutliersTableFunction)
     ext.injectTableFunction(GraftExtensions.containmentTableFunction)
     ext.injectTableFunction(GraftExtensions.histogramTableFunction)
@@ -1964,6 +1967,82 @@ object GraftExtensions {
         graft.ops.Curation.calibrationReport(scored))
     })
 
+  /** SQL surface for the operating-point sweep —
+    *
+    * {{{
+    * SELECT * FROM graft_threshold_sweep('scored', '-2,-1,0,1,2')
+    * }}}
+    *
+    * The named table needs `logit` + `actual` columns (the
+    * [[graft.ops.Curation.thresholdSweep]] contract); thresholds are a
+    * CSV literal, the policy list. */
+  private val thresholdSweepTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_threshold_sweep"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_threshold_sweep"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2,
+        "graft_threshold_sweep(scored_table, thresholds_csv)")
+      val str = stringArg("graft_threshold_sweep") _
+      val scored = SparkSession.active.table(str(children(0), "scored_table"))
+      val ths = str(children(1), "thresholds_csv")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.thresholdSweep(scored, ths))
+    })
+
+  /** SQL surface for operating-point SELECTION —
+    *
+    * {{{
+    * SELECT * FROM graft_operating_point('scored', '-2,-1,0,1,2')       -- max-F1
+    * SELECT * FROM graft_operating_point('scored', '-2,-1,0,1,2', 0.9)  -- precision floor
+    * }}}
+    *
+    * Sweeps the scored table at the CSV thresholds, then picks the
+    * winner under the objective (third arg = the precision floor;
+    * absent = max-F1). Empty when nothing qualifies — the
+    * [[graft.ops.Curation.operatingPoint]] contract. */
+  private val operatingPointTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_operating_point"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_operating_point"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_operating_point(scored_table, thresholds_csv[, min_precision])")
+      val str = stringArg("graft_operating_point") _
+      val scored = SparkSession.active.table(str(children(0), "scored_table"))
+      val ths = str(children(1), "thresholds_csv")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      val objective =
+        if (children.size == 2) graft.ops.Curation.OpObjective.MaxF1
+        else graft.ops.Curation.OpObjective.PrecisionFloor(
+          numArg("graft_operating_point")(children(2), "min_precision"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.operatingPoint(
+          graft.ops.Curation.thresholdSweep(scored, ths), objective))
+    })
+
+  /** SQL surface for manifest diffing —
+    *
+    * {{{
+    * SELECT * FROM graft_manifest_diff('manifest_v1', 'manifest_v2')
+    * }}}
+    *
+    * Both tables need `(doc_id, split)`; emits the
+    * added/removed/moved/unchanged detail rows. */
+  private val manifestDiffTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_manifest_diff"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_manifest_diff"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2, "graft_manifest_diff(table_a, table_b)")
+      val str = stringArg("graft_manifest_diff") _
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.manifestDiff(
+          SparkSession.active.table(str(children(0), "table_a")),
+          SparkSession.active.table(str(children(1), "table_b"))))
+    })
+
   /** SQL surface for UniMax budget allocation
     * ([[graft.ops.Sampling.unimaxPlan]]):
     *
@@ -2044,7 +2123,8 @@ object GraftExtensions {
         robotsSitemapsTableFunction, urlTemplatesTableFunction,
         crawlBudgetTableFunction,
         packSequencesTableFunction, chunkTokensTableFunction,
-        calibrationTableFunction)
+        calibrationTableFunction, thresholdSweepTableFunction,
+        operatingPointTableFunction, manifestDiffTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

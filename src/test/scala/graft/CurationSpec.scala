@@ -513,6 +513,43 @@ class CurationSpec extends SparkSpec {
     assert(!gated.contains(7L) && ungated.contains(7L))
   }
 
+  test("SQL surface: graft_threshold_sweep / graft_operating_point / graft_manifest_diff match the Column API") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val scored = Seq(
+      (1L, Some(2.0), Some(true)), (2L, Some(1.0), Some(false)),
+      (3L, Some(-1.0), Some(true)), (4L, Some(0.5), Some(false)))
+      .toDF("doc_id", "logit", "actual")
+    scored.createOrReplaceTempView("opsc")
+    val api = Curation.thresholdSweep(scored, Seq(-2.0, 0.0, 3.0))
+      .as[(Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSet
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_threshold_sweep('opsc', '-2, 0, 3')")
+      .as[(Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSet === api)
+    // both objective arities
+    val opApi = Curation.operatingPoint(Curation.thresholdSweep(scored, Seq(-2.0, 0.0, 3.0)))
+      .as[(String, Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_operating_point('opsc', '-2, 0, 3')")
+      .as[(String, Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq === opApi)
+    val pfApi = Curation.operatingPoint(Curation.thresholdSweep(scored, Seq(-2.0, 0.0, 3.0)),
+        Curation.OpObjective.PrecisionFloor(0.4))
+      .as[(String, Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq
+    assert(SparkSpec.spark.sql(
+        "SELECT * FROM graft_operating_point('opsc', '-2, 0, 3', 0.4)")
+      .as[(String, Double, Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().toSeq === pfApi)
+    // manifest diff
+    Seq((1L, "train"), (2L, "val")).toDF("doc_id", "split").createOrReplaceTempView("mda")
+    Seq((1L, "test"), (3L, "val")).toDF("doc_id", "split").createOrReplaceTempView("mdb")
+    val diff = SparkSpec.spark.sql("SELECT * FROM graft_manifest_diff('mda', 'mdb')")
+      .as[(Long, String, Option[String], Option[String])].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(diff === Map(1L -> "moved", 2L -> "removed", 3L -> "added"))
+  }
+
   test("classificationReport: hand confusion matrix incl. predicted-only and never-predicted classes") {
     // actual:    a a a b b c  (+ one NULL-actual row, excluded)
     // predicted: a b a b a d
@@ -627,6 +664,29 @@ class CurationSpec extends SparkSpec {
       Curation.OpObjective.PrecisionFloor(0.9)).count() === 0L)
     assert(Curation.operatingPointBias(lowSweep,
       Curation.OpObjective.PrecisionFloor(0.9)) === None)
+  }
+
+  test("funnelBySource: per-source rows sum to the global funnel; wiped-out sources keep zero rows at every stage") {
+    val f = Curation.funnelBySource(docs, evalDocs, rates = rates)
+      .as[(String, Int, String, Long, Long)].collect()
+    val global = Curation.funnel(docs, evalDocs, rates = rates)
+      .as[(Int, String, Long, Long)].collect()
+      .map(r => r._1 -> ((r._3, r._4))).toMap
+    // the grid is complete: every (source, stage) cell present
+    val sources = f.map(_._1).toSet
+    assert(sources === Set("src0", "src2"))
+    assert(f.length === sources.size * 6)
+    // per-stage sums equal the global funnel, docs AND tokens
+    (1 to 6).foreach { st =>
+      val rows = f.filter(_._2 === st)
+      assert(rows.map(_._4).sum === global(st)._1, s"stage $st docs")
+      assert(rows.map(_._5).sum === global(st)._2, s"stage $st tokens")
+    }
+    // src2 (mixture rate 0) survives to decontaminate then drops to a
+    // ZERO row at mixture — present, not absent
+    val src2 = f.filter(r => r._1 == "src2").map(r => r._2 -> ((r._4, r._5))).toMap
+    assert(src2(6) === ((0L, 0L)), "a wiped-out source must keep a zero row")
+    assert(src2(5)._1 === 1L)
   }
 
   test("thresholdSweepBy / operatingPointsBy: per-group grids and winners; unqualifying groups absent") {
