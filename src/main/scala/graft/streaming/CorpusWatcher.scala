@@ -417,6 +417,17 @@ object CorpusWatcher {
     * then regardless of `retainSnapshots`). Batch 0 reports drift
     * against the empty index's uniform smoothing — high by
     * construction; alert on deltas, not absolutes.
+    *
+    * Tokenizer refresh signals (`unkVocab`, needs `refreshDir`): the
+    * deployed WordPiece vocabulary measures each batch's ADMITTED feed
+    * per source ([[graft.ops.WordPiece.unkSignals]] — one tokenize
+    * scan, native greedy encode), and the resulting
+    * `tokenizer:<source>` rows join the `index` rows in the SAME
+    * refresh-decision partition — so a streaming deployment's
+    * tokenizer-retrain trigger is recorded by the stream itself, and
+    * [[TokenizerRefresher.retrainIfDue]] acts on it with no
+    * hand-assembled signal plumbing. Declare per-source thresholds as
+    * `(tokenizer:<source>, unk_rate, t)` rows in `refreshThresholds`.
     */
   def startJsonl(
       spark: SparkSession,
@@ -458,7 +469,8 @@ object CorpusWatcher {
       honorDirectives: Boolean = false,
       refreshDir: Option[String] = None,
       refreshThresholds: Option[DataFrame] = None,
-      sitemapDiscovery: Boolean = false): StreamingQuery = {
+      sitemapDiscovery: Boolean = false,
+      unkVocab: Option[Seq[String]] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -478,6 +490,8 @@ object CorpusWatcher {
     compactEvery.foreach(n => require(n >= 1, s"compactEvery=$n must be >= 1"))
     require(refreshDir.isEmpty || (driftDir.isDefined && refreshThresholds.isDefined),
       "refreshDir consumes the per-batch drift row: pass driftDir and refreshThresholds with it")
+    require(unkVocab.isEmpty || refreshDir.isDefined,
+      "unkVocab feeds tokenizer refresh decisions: pass refreshDir with it")
     require(!sitemapDiscovery || frontierDir.isDefined,
       "sitemapDiscovery seeds the frontier stage: pass frontierDir with it")
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
@@ -1084,10 +1098,24 @@ object CorpusWatcher {
           // not "the feed drifted" — schedulers should act from
           // batch 1 on ([[refreshDecisions]] exposes batch ids).
           refreshDir.foreach { rd =>
-            graft.ops.TextAnalysis.refreshDue(
-              graft.ops.TextAnalysis.driftRefreshSignals(
-                session.read.parquet(s"$dd/batch_id=$batchId"), "index"),
-              refreshThresholds.get)
+            val idxSignals = graft.ops.TextAnalysis.driftRefreshSignals(
+              session.read.parquet(s"$dd/batch_id=$batchId"), "index")
+            // the TOKENIZER leg of the drift loop (`unkVocab`): the
+            // deployed WordPiece vocab measures this batch's admitted
+            // feed per source, and the resulting `tokenizer:<source>`
+            // due-rows land in the SAME decision partition — the input
+            // [[graft.streaming.TokenizerRefresher.retrainIfDue]] acts
+            // on, so a streaming deployment's retrain trigger is
+            // recorded by the stream itself, not hand-assembled. One
+            // extra tokenize scan of the admitted batch (vocab is
+            // model-sized; the encode is the native serving expression)
+            val signals = unkVocab match {
+              case None => idxSignals
+              case Some(v) => idxSignals.unionByName(
+                graft.ops.TextAnalysis.unkRefreshSignals(
+                  graft.ops.WordPiece.unkSignals(admitted, v, tok = tok)))
+            }
+            graft.ops.TextAnalysis.refreshDue(signals, refreshThresholds.get)
               .coalesce(1).write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
           }
         }

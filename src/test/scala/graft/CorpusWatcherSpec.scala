@@ -710,6 +710,53 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(!d2("kl_ab")._2, "the uncrossed threshold must not flip with it")
   }
 
+  test("unkVocab: the stream records tokenizer:<source> decisions; retrainIfDue acts on them end to end") {
+    val (watch, index, ckpt, quar, drift, refresh) =
+      (tmp("watchuk"), tmp("indexuk"), tmp("ckptuk"), tmp("quaruk") + "/bad",
+        tmp("driftuk") + "/drift", tmp("refreshuk") + "/refresh")
+    // the deployed vocab covers srcA's words whole; srcB's vocabulary
+    // is entirely out-of-vocab under greedy whole-word matching
+    val vocab = Seq("[UNK]", "known", "words", "only", "fine", "here")
+    val thr = Seq(("index", "js", 1000.0),
+      ("tokenizer:srcA", "unk_rate", 0.5), ("tokenizer:srcB", "unk_rate", 0.5))
+      .toDF("artifact", "metric", "threshold")
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      driftDir = Some(drift), refreshDir = Some(refresh),
+      refreshThresholds = Some(thr), unkVocab = Some(vocab)).awaitTermination()
+    Files.write(Paths.get(watch, "uk-0.json"),
+      """{"doc_id": 60, "text": "known words only fine here", "source": "srcA"}"""
+        .getBytes("UTF-8"))
+    run()
+    Files.write(Paths.get(watch, "uk-1.json"),
+      ("""{"doc_id": 61, "text": "known words fine here only", "source": "srcA"}""" + "\n" +
+        """{"doc_id": 62, "text": "zzzzqqq unknowable gibberish tokens", "source": "srcB"}""" + "\n")
+        .getBytes("UTF-8"))
+    run()
+    val d1 = CorpusWatcher.refreshDecisions(spark, refresh)
+      .filter(col("batch_id") === 1 && col("metric") === "unk_rate")
+      .select("artifact", "value", "due").as[(String, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(d1(("tokenizer:srcA"))._1 === 0.0 && !d1("tokenizer:srcA")._2,
+      "the covered source must not trigger retraining")
+    assert(d1("tokenizer:srcB")._1 === 1.0 && d1("tokenizer:srcB")._2,
+      "the out-of-vocab source must record a due decision")
+    // the decision ACTED ON: retrainIfDue consumes the STREAM's
+    // refreshDir — the drift loop crosses the stream/batch boundary
+    // with no hand-assembled signals
+    val live = java.nio.file.Files.createTempDirectory("graft-uklive-").toString + "/wp.json"
+    graft.ops.TokenizerIO.exportWordPiece(spark, vocab, live)
+    val vroot = java.nio.file.Files.createTempDirectory("graft-ukv-").toString + "/tok"
+    val retrainCorpus = Seq((1L, "zzzzqqq unknowable gibberish tokens zzzzqqq unknowable"))
+      .toDF("doc_id", "text")
+    val out = graft.streaming.TokenizerRefresher.retrainIfDue(spark, refresh,
+      "tokenizer:srcB", live, retrainCorpus, vroot, merges = 3)
+    assert(out === Some(s"$vroot/v1.json"))
+    assert(graft.ops.TokenizerIO.familyOf(spark, out.get) === "wordpiece")
+    // ...and the covered source stays quiet
+    assert(graft.streaming.TokenizerRefresher.retrainIfDue(spark, refresh,
+      "tokenizer:srcA", live, retrainCorpus, vroot) === None)
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")
