@@ -2329,6 +2329,13 @@ object SparkEntry {
     "q_phrase_search" -> ((s, dir) =>
       InvertedIndex.phraseSearch(
         InvertedIndex.buildPositional(docs(s, dir)), "Data SLOW!")),
+    "q_snippets" -> { (s, dir) =>
+      // the result-page face: per matching doc, the 8-token window
+      // maximizing (distinct query terms, hits), with its text
+      val d = docs(s, dir)
+      InvertedIndex.snippets(
+        InvertedIndex.buildPositional(d), d, "data slow", window = 8)
+    },
     "q_lookup" -> ((s, dir) => InvertedIndex.lookup(InvertedIndex.build(docs(s, dir)), "Data")),
     // AND-of-terms boolean retrieval (posting-list intersection)
     "q_bool_search" -> ((s, dir) => InvertedIndex.booleanSearch(
@@ -2359,6 +2366,12 @@ object SparkEntry {
       val d = docs(s, dir)
       InvertedIndex.bm25TopK(InvertedIndex.build(d),
         "fast hash join on a small table", d.count(), 20)
+    },
+    "q_search_page" -> { (s, dir) =>
+      // the result page in one call: BM25 top 20, each with its best
+      // 8-token snippet — rank + score + passage from one plan
+      InvertedIndex.searchPage(docs(s, dir),
+        "fast hash join on a small table", k = 20, window = 8)
     },
     "q_hybrid_search" -> { (s, dir) =>
       // hybrid RAG-style retrieval: BM25 pool ⊕ exact-cosine pool for
@@ -3759,6 +3772,29 @@ object SparkEntry {
          |SELECT a.doc_id, count(*) AS n_matches, CAST(min(a.start) AS BIGINT) AS first_pos
          |FROM a JOIN b ON a.doc_id = b.doc_id AND b.i = a.start + 1
          |GROUP BY a.doc_id""".stripMargin,
+    "q_snippets" ->
+      // twin of InvertedIndex.snippets('data slow', window=8):
+      // hit-aligned candidate starts, range self-join over query-term
+      // occurrences, per-doc winner by (terms desc, hits desc, start
+      // asc), snippet = the 1-based inclusive token slice
+      s"""WITH snt AS MATERIALIZED (SELECT doc_id, $TOKS AS ts FROM documents),
+         |snp AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM snt),
+         |snw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)+1] AS word FROM snp),
+         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM snw WHERE word IN ('data', 'slow')),
+         |snsc AS (SELECT a.doc_id, a.pos AS start,
+         |    CAST(count(DISTINCT b.word) AS BIGINT) AS n_terms,
+         |    CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT doc_id, pos FROM snh) a
+         |  JOIN snh b ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
+         |  GROUP BY 1, 2),
+         |snb AS (SELECT doc_id, start, n_terms, n_hits,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rn
+         |  FROM snsc)
+         |SELECT b.doc_id, CAST(b.start AS BIGINT) AS start_pos, b.n_terms, b.n_hits,
+         |  array_to_string(t.ts[CAST(b.start AS INTEGER)+1
+         |    : CAST(least(b.start + 8, len(t.ts)) AS INTEGER)], ' ') AS snippet
+         |FROM snb b JOIN snt t ON t.doc_id = b.doc_id WHERE b.rn = 1""".stripMargin,
     "q_lookup" ->
       s"""SELECT doc_id, cnt FROM ($INDEX_SQL) WHERE word = 'data' ORDER BY cnt DESC, doc_id""",
     "q_bool_search" ->
@@ -3798,6 +3834,37 @@ object SparkEntry {
          |SELECT doc_id, CAST(s AS DOUBLE) AS score,
          |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
          |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+    "q_search_page" ->
+      // twin of searchPage('fast hash join on a small table', 20, 8):
+      // the q_bm25 ranking CTEs + the q_snippets window CTEs over the
+      // SAME terms, snippet inputs restricted to the page's 20 ids
+      s"""WITH $BM25_CTES,
+         |pg AS MATERIALIZED (SELECT doc_id, CAST(s AS DOUBLE) AS score,
+         |    CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
+         |  FROM scores ORDER BY rank LIMIT 20),
+         |snt AS MATERIALIZED (SELECT doc_id, $TOKS AS ts FROM documents
+         |  WHERE doc_id IN (SELECT doc_id FROM pg)),
+         |snp AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM snt),
+         |snw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)+1] AS word FROM snp),
+         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM snw
+         |  WHERE word IN ('fast', 'hash', 'join', 'on', 'a', 'small', 'table')),
+         |snsc AS (SELECT a.doc_id, a.pos AS start,
+         |    CAST(count(DISTINCT b.word) AS BIGINT) AS n_terms,
+         |    CAST(count(*) AS BIGINT) AS n_hits
+         |  FROM (SELECT doc_id, pos FROM snh) a
+         |  JOIN snh b ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
+         |  GROUP BY 1, 2),
+         |snb AS (SELECT doc_id, start, n_terms, n_hits,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rn
+         |  FROM snsc)
+         |SELECT pg.rank, pg.doc_id, pg.score,
+         |  CAST(b.start AS BIGINT) AS start_pos, b.n_terms, b.n_hits,
+         |  array_to_string(t.ts[CAST(b.start AS INTEGER)+1
+         |    : CAST(least(b.start + 8, len(t.ts)) AS INTEGER)], ' ') AS snippet
+         |FROM pg
+         |JOIN snb b ON b.doc_id = pg.doc_id AND b.rn = 1
+         |JOIN snt t ON t.doc_id = pg.doc_id""".stripMargin,
 
     "q_hybrid_search" ->
       // twin of InvertedIndex.hybridTopK(k=20, poolK=50, rrfK=60): the

@@ -104,6 +104,85 @@ object InvertedIndex {
         min("start").cast("long").as("first_pos"))
   }
 
+  /** Best-window SNIPPETS over a [[buildPositional]] index — the
+    * result-page face the retrieval stack (lookup / boolean / BM25 /
+    * phrase) was missing: for each document containing at least one
+    * query term, the `window`-token span that maximizes (distinct
+    * query terms, then total hits), with its text. Output: `(doc_id,
+    * start_pos, n_terms, n_hits, snippet)` — `start_pos` 0-based (the
+    * positional index's coordinate), `snippet` the space-joined
+    * normalized tokens of `[start_pos, start_pos + window)` (shorter
+    * at document end).
+    *
+    * Window candidates are HIT-ALIGNED: an optimal window can always
+    * be shifted right until its left edge sits on a query-term hit
+    * without losing a hit, so only hit positions compete — and the
+    * deterministic tiebreak (terms desc, hits desc, start asc) is over
+    * those candidates. Ranking is engine-exact integer arithmetic.
+    *
+    * Plan at scale: the query terms push into the index scan as an
+    * `isin` (partition-prunable exactly like [[lookup]]); the
+    * candidate×hit range join is keyed by doc_id over the
+    * query-term-occurrence table — occurrences-sized both sides, never
+    * index- or corpus-sized; the per-doc argmax is one combinable
+    * `max_by`; and only MATCHED docs are re-tokenized for the snippet
+    * text (winner-id semi-join, then one row-local slice — doc text
+    * never shuffles). */
+  def snippets(
+      posIndex: DataFrame,
+      docs: DataFrame,
+      query: String,
+      window: Int = 10): DataFrame = {
+    require(window >= 1, s"window=$window must be >= 1")
+    val terms = TextNorm.queryTerms(query).distinct
+    require(terms.nonEmpty, s"query '$query' has no indexable terms")
+    val hits = posIndex.filter(col("word").isin(terms: _*))
+      .select(col("doc_id"), col("word"), explode(col("positions")).as("pos"))
+    val scored = hits.select(col("doc_id"), col("pos").as("start"))
+      .join(hits, Seq("doc_id"))
+      .where(col("pos") >= col("start") && col("pos") < col("start") + window)
+      .groupBy(col("doc_id"), col("start"))
+      .agg(countDistinct(col("word")).as("n_terms"), count(lit(1)).as("n_hits"))
+    val best = scored.groupBy(col("doc_id"))
+      .agg(max_by(struct(col("start"), col("n_terms"), col("n_hits")),
+        struct(col("n_terms"), col("n_hits"), -col("start"))).as("w"))
+      .select(col("doc_id"), col("w.start").cast("long").as("start_pos"),
+        col("w.n_terms").as("n_terms"), col("w.n_hits").as("n_hits"))
+    val matched = docs.join(best.select("doc_id"), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        graft.functions.PlanSeal.seal(TextNorm.tokens(col("text"))).as("ts"))
+    best.join(matched, Seq("doc_id"))
+      .select(col("doc_id"), col("start_pos"), col("n_terms"), col("n_hits"),
+        array_join(slice(col("ts"), (col("start_pos") + 1).cast("int"), lit(window)), " ")
+          .as("snippet"))
+  }
+
+  /** The complete RESULT PAGE in one call — [[bm25TopKFromDocs]]
+    * composed with [[snippets]]: the top-`k` BM25 documents for the
+    * query, each carrying its best `window`-token snippet. Output:
+    * `(rank, doc_id, score, start_pos, n_terms, n_hits, snippet)` —
+    * what a search frontend renders, from one plan.
+    *
+    * Composition shape: the ranked id set is k rows, so it SEMI-JOINS
+    * (broadcast) into the snippet inputs BEFORE the positional build —
+    * snippet work (position explode, window scoring, the one
+    * re-tokenize for text) happens for exactly the k result docs,
+    * never the full match set. */
+  def searchPage(
+      docs: DataFrame,
+      query: String,
+      k: Int,
+      window: Int = 10,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val ranked = bm25TopKFromDocs(docs, query, k, k1, b)
+    val pageDocs = docs.join(ranked.select("doc_id"), Seq("doc_id"), "left_semi")
+    val snip = snippets(buildPositional(pageDocs), pageDocs, query, window)
+    ranked.join(snip, Seq("doc_id"))
+      .select(col("rank"), col("doc_id"), col("score"),
+        col("start_pos"), col("n_terms"), col("n_hits"), col("snippet"))
+  }
+
   /** Incremental merge, PARITY mode: add delta counts into the old index
     * (`master/main.py:106-121`). Re-indexing a document that is already
     * in the index double-counts it — faithfully kept; see upsertDocs for

@@ -301,4 +301,61 @@ class InvertedIndexSpec extends SparkSpec {
     assert(InvertedIndex.booleanSearch(idx, Seq("Cat.", "cat", "dog"))
       .as[(Long, Int, Long)].collect().toSeq === and)
   }
+
+  test("snippets: best window maximizes distinct terms then hits, ties to the earliest start; non-matching docs absent") {
+    val docs = Seq(
+      // both terms adjacent mid-doc: the window covering both wins over
+      // the earlier single-term start
+      (1L, "filler words here cat and dog together at last plus padding"),
+      // one term only, twice: window anchored at ITS first hit covers both
+      (2L, "cat starts this doc and a cat ends the window span"),
+      // terms 20 tokens apart: no 5-token window covers both — the
+      // winner is the earliest single-term window
+      (3L, "cat " + Seq.fill(20)("x").mkString(" ") + " dog"),
+      (4L, "no query terms at all")).toDF("doc_id", "text")
+    val got = InvertedIndex.snippets(
+        InvertedIndex.buildPositional(docs), docs, "Cat, DOG!", window = 5)
+      .as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet === Set(1L, 2L, 3L), "termless docs never emit a snippet")
+    // doc 1: tokens [filler words here cat and dog ...] — best start is
+    // cat at pos 3 (2 distinct terms, 2 hits); snippet = 5 tokens from it
+    assert(got(1L) === ((1L, 3L, 2L, 2L, "cat and dog together at")))
+    // doc 2: cat at 0 and 6 — no 5-window covers both; earliest start
+    // wins the (1 term, 1 hit) tie
+    assert(got(2L)._2 === 0L && got(2L)._3 === 1L && got(2L)._4 === 1L)
+    assert(got(2L)._5 === "cat starts this doc and")
+    // doc 3: 1-term windows only; earliest (cat at 0) wins over dog
+    assert(got(3L)._2 === 0L && got(3L)._3 === 1L)
+    // the short-at-document-end slice: a window anchored on the LAST
+    // token emits just that token
+    val doc3 = docs.filter($"doc_id" === 3L)
+    val tail = InvertedIndex.snippets(
+        InvertedIndex.buildPositional(doc3), doc3, "dog", window = 5)
+      .as[(Long, Long, Long, Long, String)].head()
+    assert(tail._2 === 21L && tail._5 === "dog")
+  }
+
+  test("searchPage: BM25 ranking + per-doc best snippet compose; rows equal the standalone faces, k-bounded") {
+    val docs = Seq(
+      (1L, "cat and dog together here with cat again nearby today"),
+      (2L, "only a cat in this one and nothing else at all"),
+      (3L, "dog dog dog dog dog repeated for emphasis and more dog"),
+      (4L, "no terms whatsoever in this filler document right here")).toDF("doc_id", "text")
+    val page = InvertedIndex.searchPage(docs, "cat dog", k = 2, window = 4)
+      .as[(Int, Long, Double, Long, Long, Long, String)].collect()
+    assert(page.length === 2, "the page is k-bounded")
+    assert(page.map(_._1).sorted.toSeq === Seq(1, 2))
+    // parity with the standalone faces on the same query
+    val ranked = InvertedIndex.bm25TopKFromDocs(docs, "cat dog", 2)
+      .as[(Long, Double, Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val snip = InvertedIndex.snippets(
+        InvertedIndex.buildPositional(docs), docs, "cat dog", window = 4)
+      .as[(Long, Long, Long, Long, String)].collect().map(r => r._1 -> r).toMap
+    page.foreach { r =>
+      assert(ranked(r._2) === ((r._3, r._1)), s"rank/score parity for doc ${r._2}")
+      assert(snip(r._2) === ((r._2, r._4, r._5, r._6, r._7)),
+        s"snippet parity for doc ${r._2}")
+    }
+  }
 }
