@@ -61,6 +61,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.packSequencesTableFunction)
     ext.injectTableFunction(GraftExtensions.chunkTokensTableFunction)
     ext.injectTableFunction(GraftExtensions.calibrationTableFunction)
+    ext.injectTableFunction(GraftExtensions.snippetsTableFunction)
+    ext.injectTableFunction(GraftExtensions.searchPageTableFunction)
     ext.injectTableFunction(GraftExtensions.thresholdSweepTableFunction)
     ext.injectTableFunction(GraftExtensions.operatingPointTableFunction)
     ext.injectTableFunction(GraftExtensions.manifestDiffTableFunction)
@@ -2022,6 +2024,56 @@ object GraftExtensions {
           graft.ops.Curation.thresholdSweep(scored, ths), objective))
     })
 
+  /** SQL surface for snippet extraction —
+    *
+    * {{{
+    * SELECT * FROM graft_snippets('docs', 'cat dog')      -- window 10
+    * SELECT * FROM graft_snippets('docs', 'cat dog', 8)   -- explicit window
+    * }}}
+    *
+    * The named table needs `(doc_id, text)`; the positional index is
+    * built in-plan (store [[graft.index.InvertedIndex.buildPositional]]
+    * and use the Column API to serve from an artifact instead). */
+  private val snippetsTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_snippets"),
+    new ExpressionInfo(graft.index.InvertedIndex.getClass.getName, "graft_snippets"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_snippets(docs_table, query[, window])")
+      val str = stringArg("graft_snippets") _
+      val docs = SparkSession.active.table(str(children(0), "docs_table"))
+      val window =
+        if (children.size == 3) intArg("graft_snippets")(children(2), "window") else 10
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.InvertedIndex.snippets(
+          graft.index.InvertedIndex.buildPositional(docs), docs,
+          str(children(1), "query"), window))
+    })
+
+  /** SQL surface for the one-call result page —
+    *
+    * {{{
+    * SELECT * FROM graft_search_page('docs', 'cat dog', 20)     -- window 10
+    * SELECT * FROM graft_search_page('docs', 'cat dog', 20, 8)  -- explicit window
+    * }}}
+    */
+  private val searchPageTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_search_page"),
+    new ExpressionInfo(graft.index.InvertedIndex.getClass.getName, "graft_search_page"),
+    (children: Seq[Expression]) => {
+      require(children.size == 3 || children.size == 4,
+        "graft_search_page(docs_table, query, k[, window])")
+      val str = stringArg("graft_search_page") _
+      val docs = SparkSession.active.table(str(children(0), "docs_table"))
+      val window =
+        if (children.size == 4) intArg("graft_search_page")(children(3), "window") else 10
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.InvertedIndex.searchPage(docs, str(children(1), "query"),
+          intArg("graft_search_page")(children(2), "k"), window))
+    })
+
   /** SQL surface for manifest diffing —
     *
     * {{{
@@ -2124,7 +2176,8 @@ object GraftExtensions {
         crawlBudgetTableFunction,
         packSequencesTableFunction, chunkTokensTableFunction,
         calibrationTableFunction, thresholdSweepTableFunction,
-        operatingPointTableFunction, manifestDiffTableFunction)
+        operatingPointTableFunction, manifestDiffTableFunction,
+        snippetsTableFunction, searchPageTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -357,5 +357,12 @@ class InvertedIndexSpec extends SparkSpec {
       assert(snip(r._2) === ((r._2, r._4, r._5, r._6, r._7)),
         s"snippet parity for doc ${r._2}")
     }
+    // SQL surface parity, both arities
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    docs.createOrReplaceTempView("spdocs")
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_search_page('spdocs', 'cat dog', 2, 4)")
+      .as[(Int, Long, Double, Long, Long, Long, String)].collect().toSet === page.toSet)
+    assert(SparkSpec.spark.sql("SELECT * FROM graft_snippets('spdocs', 'cat dog', 4)")
+      .as[(Long, Long, Long, Long, String)].collect().toSet === snip.values.toSet)
   }
 }
