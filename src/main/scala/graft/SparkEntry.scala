@@ -1985,6 +1985,39 @@ object SparkEntry {
        |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
        |  FROM tspr)""".stripMargin
 
+  /** The PER-LANG sweep (tbin…tbsw) over the CLS_CTES scored corpus —
+    * twin of [[graft.ops.Curation.thresholdSweepBy]](lang), shared by
+    * the grouped sweep/winner/gating twins — and the max-F1 winner CTE
+    * (`tbwin (lang, gbias)`, the [[graft.ops.Curation
+    * .operatingPointsBy]] pick). Requires CLS_CTES in scope. */
+  private val GROUP_SWEEP_CTES =
+    s"""tbin AS MATERIALIZED (SELECT d.lang,
+       |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+       |    (($DOMAIN_SQL) <> 'web') AS pos
+       |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
+       |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+       |tbag AS (SELECT lang, threshold,
+       |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+       |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+       |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
+       |tbpr AS (SELECT *,
+       |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+       |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+       |  FROM tbag),
+       |tbsw AS MATERIALIZED (SELECT lang, threshold, n_kept, n_pos, tp,
+       |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+       |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+       |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+       |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+       |  FROM tbpr)""".stripMargin
+  private val GROUP_WINNER_CTE =
+    """tbwin AS MATERIALIZED (SELECT lang, threshold AS gbias
+      |  FROM (SELECT lang, threshold,
+      |          row_number() OVER (PARTITION BY lang
+      |            ORDER BY f1 DESC, threshold ASC) AS rn
+      |        FROM tbsw WHERE f1 IS NOT NULL) WHERE rn = 1)""".stripMargin
+
   /** Connected components over `pairs` (min reachable doc_id) — the
     * recursive closure shared by the cluster/keep/curate oracles;
     * requires WITH RECURSIVE and a `pairs(doc_a, doc_b)` CTE in scope. */
@@ -2009,14 +2042,14 @@ object SparkEntry {
   /** The curate chain's CTE prefix, optionally with a token-blocklist
     * stage fused into the flags pass (the Scala chain's `rowFlags`
     * shape); `None` is the historical three-filter chain the existing
-    * q_curate* twins use verbatim. `classified = true` inserts the
-    * model-based stage between language and near-dedup: the operating
-    * point selected from the SWEEP_CTES rows (max-F1, threshold-asc
-    * tiebreak — [[graft.ops.Curation.operatingPoint]]) gates s1 into
-    * `s1c`, and the dedup graph builds over the classifier survivors
-    * (requires CLS_CTES + SWEEP_CTES in scope). */
+    * q_curate* twins use verbatim. `clskSql` inserts the model-based
+    * stage between language and near-dedup: it is the body of a `clsk`
+    * CTE enumerating the classifier-KEPT doc_ids (whatever selection
+    * CTEs it references must already be in scope); s1 ∩ clsk becomes
+    * `s1c` and the dedup graph builds over the classifier survivors. */
   private def curateCtesWith(
-      blocklist: Option[Seq[String]], classified: Boolean = false): String = {
+      blocklist: Option[Seq[String]], clskSql: Option[String] = None): String = {
+    val classified = clskSql.isDefined
     def sc(l: String, words: String) =
       s"len(list_filter(ts, t -> list_contains($words, t))) AS score_$l"
     val blkExpr = blocklist.map { terms =>
@@ -2038,13 +2071,10 @@ object SparkEntry {
        |            ${sc("fr", Stop.fr)}, ${sc("zh", Stop.zh)}$blkExpr
        |          FROM (SELECT doc_id, source, $TOKS AS ts FROM documents WHERE doc_id % 50 <> 0)))),
        |s1 AS MATERIALIZED (SELECT doc_id FROM flags WHERE q_keep AND pred_lang = 'en'$blkFilter),
-       |${if (!classified) "" else
-         """opth AS (SELECT threshold FROM swp WHERE f1 IS NOT NULL
-           |        ORDER BY f1 DESC, threshold ASC LIMIT 1),
-           |clsk AS MATERIALIZED (SELECT doc_id FROM sc
-           |        WHERE CAST(CAST(logit AS DECIMAL(18,6)) AS DOUBLE) >= (SELECT threshold FROM opth)),
+       |${clskSql.fold("")(body =>
+         s"""clsk AS MATERIALIZED ($body),
            |s1c AS MATERIALIZED (SELECT doc_id FROM s1 WHERE doc_id IN (SELECT doc_id FROM clsk)),
-           |""".stripMargin}sh1 AS MATERIALIZED (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
+           |""".stripMargin)}sh1 AS MATERIALIZED (SELECT doc_id, unnest(shl) AS shingle FROM ($SHINGLES)
        |        WHERE doc_id IN (SELECT doc_id FROM ${if (classified) "s1c" else "s1"})),
        |${MINHASH_TAIL("sh1")},
        |$CLUSTER_CTES,
@@ -3619,6 +3649,32 @@ object SparkEntry {
         scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
           Seq("doc_id")),
         thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+    },
+    "q_curate_classified_by" -> { (s, dir) =>
+      // the PER-GROUP loop wired into the chain: per-lang sweep ->
+      // per-lang max-F1 points -> each survivor gated at ITS
+      // language's validated threshold inside curate (manifest only —
+      // the funnel shape is q_curate_classified's)
+      val d = docs(s, dir)
+      val dd = withDomain(d)
+      val weights = graft.core.Materialize(
+        graft.ops.Curation.classifierWeights(
+          dd.filter(col("domain") =!= "web"), dd.filter(col("domain") === "web")),
+        graft.core.Materialize.LocalCheckpoint)
+      val sweep = graft.ops.Curation.thresholdSweepBy(
+        graft.ops.Curation.classifierScore(dd, weights)
+          .join(dd.select(col("doc_id"), col("lang"),
+            (col("domain") =!= "web").as("actual")), Seq("doc_id")),
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang")
+      val biases = graft.ops.Curation.operatingPointsBy(sweep, "lang")
+        .select(col("lang"), col("threshold").as("bias"))
+      graft.ops.Curation.curate(
+        d.filter(col("doc_id") % 50 =!= 0),
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5,
+        classifier = Some(graft.ops.Curation.ClassifierGate(weights,
+          groupBiases = Some(biases), groupCol = "lang")))
     },
     "q_operating_point" -> { (s, dir) =>
       // the sweep made EXECUTABLE: one winning row per objective —
@@ -5425,6 +5481,24 @@ object SparkEntry {
       s"""WITH $CLS_CTES,
          |$SWEEP_CTES
          |SELECT threshold, n_kept, n_pos, tp, precision, recall, f1 FROM swp""".stripMargin,
+    "q_curate_classified_by" ->
+      // twin of the per-group-gated chain: per-lang winners (tbwin)
+      // gate s1 — each doc keeps at its own language's max-F1
+      // threshold, default 0.0 for NULL-lang docs; manifest projection
+      s"""WITH RECURSIVE $CLS_CTES,
+         |$GROUP_SWEEP_CTES,
+         |$GROUP_WINNER_CTE,
+         |${curateCtesWith(None, clskSql = Some(
+           """SELECT d.doc_id FROM documents d
+             |        LEFT JOIN sc ON sc.doc_id = d.doc_id
+             |        LEFT JOIN tbwin w2 ON d.lang = w2.lang
+             |        WHERE coalesce(CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE)
+             |          >= coalesce(w2.gbias, 0.0), false)""".stripMargin))}
+         |SELECT doc_id, source, pred_lang,
+         |  CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |FROM (SELECT doc_id, source, pred_lang,
+         |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |      FROM flags WHERE doc_id IN (SELECT doc_id FROM s4))""".stripMargin,
     "q_operating_point" ->
       // twin of Curation.operatingPoint over the same sweep, both
       // objectives: max-F1 (tie -> lowest threshold) and the
@@ -5441,51 +5515,14 @@ object SparkEntry {
       // twin of Curation.thresholdSweepBy(lang): the sweep aggregation
       // keyed by (lang, threshold); same rounded-metrics recipe
       s"""WITH $CLS_CTES,
-         |tbin AS MATERIALIZED (SELECT d.lang,
-         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
-         |    (($DOMAIN_SQL) <> 'web') AS pos
-         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
-         |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
-         |tbag AS (SELECT lang, threshold,
-         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
-         |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
-         |tbpr AS (SELECT *,
-         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
-         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
-         |  FROM tbag)
-         |SELECT lang, threshold, n_kept, n_pos, tp,
-         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
-         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
-         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
-         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
-         |FROM tbpr""".stripMargin,
+         |$GROUP_SWEEP_CTES
+         |SELECT lang, threshold, n_kept, n_pos, tp, precision, recall, f1 FROM tbsw""".stripMargin,
     "q_operating_points_by" ->
       // twin of Curation.operatingPointsBy(lang), both objectives:
       // per-lang winner by (metric desc, threshold asc); groups with
       // no qualifying threshold are absent
       s"""WITH $CLS_CTES,
-         |tbin AS MATERIALIZED (SELECT d.lang,
-         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
-         |    (($DOMAIN_SQL) <> 'web') AS pos
-         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
-         |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
-         |tbag AS (SELECT lang, threshold,
-         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
-         |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
-         |tbpr AS (SELECT *,
-         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
-         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
-         |  FROM tbag),
-         |tbsw AS MATERIALIZED (SELECT lang, threshold, n_kept, n_pos, tp,
-         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
-         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
-         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
-         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
-         |  FROM tbpr)
+         |$GROUP_SWEEP_CTES
          |SELECT lang, 'max_f1' AS objective, threshold, n_kept, n_pos, tp, precision, recall, f1
          |FROM (SELECT *, row_number() OVER (PARTITION BY lang
          |        ORDER BY f1 DESC, threshold ASC) AS rn
@@ -5501,31 +5538,8 @@ object SparkEntry {
       // the per-lang sweep/winner CTEs (q_operating_points_by's) feed
       // each doc's keep decision at its own language's threshold
       s"""WITH $CLS_CTES,
-         |tbin AS MATERIALIZED (SELECT d.lang,
-         |    CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
-         |    (($DOMAIN_SQL) <> 'web') AS pos
-         |  FROM documents d JOIN sc ON sc.doc_id = d.doc_id WHERE d.lang IS NOT NULL),
-         |tbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
-         |tbag AS (SELECT lang, threshold,
-         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
-         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
-         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
-         |  FROM tbin CROSS JOIN tbth GROUP BY lang, threshold),
-         |tbpr AS (SELECT *,
-         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
-         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
-         |  FROM tbag),
-         |tbwin AS MATERIALIZED (SELECT lang, threshold AS gbias
-         |  FROM (SELECT lang, threshold,
-         |          CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
-         |               THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1,
-         |          row_number() OVER (PARTITION BY lang ORDER BY
-         |            CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
-         |                 THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END DESC, threshold ASC) AS rn
-         |        FROM tbpr
-         |        WHERE (CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
-         |               THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END) IS NOT NULL)
-         |  WHERE rn = 1)
+         |$GROUP_SWEEP_CTES,
+         |$GROUP_WINNER_CTE
          |SELECT d.doc_id, d.lang, coalesce(sc.n_feats, 0) AS n_feats,
          |  CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
          |  coalesce(w2.gbias, 0.0) AS bias,
@@ -5581,7 +5595,11 @@ object SparkEntry {
       // token mass) union into one discriminated table
       s"""WITH RECURSIVE $CLS_CTES,
          |$SWEEP_CTES,
-         |${curateCtesWith(None, classified = true)},
+         |opth AS (SELECT threshold FROM swp WHERE f1 IS NOT NULL
+         |        ORDER BY f1 DESC, threshold ASC LIMIT 1),
+         |${curateCtesWith(None, clskSql = Some(
+           """SELECT doc_id FROM sc
+             |        WHERE CAST(CAST(logit AS DECIMAL(18,6)) AS DOUBLE) >= (SELECT threshold FROM opth)""".stripMargin))},
          |tok AS (SELECT s.stage_idx, CAST(coalesce(sum(f.n_tok), 0) AS BIGINT) AS n_tokens
          |        FROM (SELECT 1 AS stage_idx, doc_id FROM flags
          |              UNION ALL SELECT 2, doc_id FROM flags WHERE q_keep

@@ -159,10 +159,27 @@ object Curation {
     * feed it from [[operatingPointBias]] over a [[thresholdSweep]] so
     * the gate thresholds on a VALIDATED precision/recall trade instead
     * of p = 0.5. The weight table is model-sized (KBs), broadcast into
-    * every batch; training never happens on the stream. */
+    * every batch; training never happens on the stream.
+    *
+    * `groupBiases` upgrades the gate to PER-GROUP operating points
+    * (the [[operatingPointsBy]] output, e.g.
+    * `points.select($"lang", $"threshold".as("bias"))`): each doc
+    * keeps at ITS `groupCol` value's validated threshold
+    * ([[classifierScoreBiased]] semantics), with `bias` as the default
+    * for groups absent from the table and NULL-group docs. The gated
+    * frame must carry `groupCol` then. */
   final case class ClassifierGate(
-      weights: DataFrame, buckets: Int = 1024, bias: Double = 0.0) {
+      weights: DataFrame, buckets: Int = 1024, bias: Double = 0.0,
+      groupBiases: Option[DataFrame] = None, groupCol: String = "source") {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
+
+    /** The kept-id table for `docs` under this gate's policy — the one
+      * implementation both the batch chain and the streaming gate
+      * route through, so the two surfaces can never disagree. */
+    private[graft] def keptIds(docs: DataFrame): DataFrame = (groupBiases match {
+      case None => classifierScore(docs, weights, buckets, bias)
+      case Some(gb) => classifierScoreBiased(docs, weights, gb, groupCol, buckets, bias)
+    }).where(col("keep")).select("doc_id")
   }
 
   /** Objectives for [[operatingPoint]] — how to pick ONE threshold
@@ -344,10 +361,7 @@ object Curation {
     classifier match {
       case None => (s1, None)
       case Some(g) =>
-        val kept = Materialize(
-          classifierScore(s1, g.weights, g.buckets, g.bias)
-            .where(col("keep")).select("doc_id"),
-          mat)
+        val kept = Materialize(g.keptIds(s1), mat)
         (s1.join(kept, Seq("doc_id"), "left_semi"), Some(kept))
     }
 

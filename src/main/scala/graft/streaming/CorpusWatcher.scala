@@ -873,14 +873,14 @@ object CorpusWatcher {
             keepTokenCount = adaptiveMixtureGate.nonEmpty))
         }
         // model gate after the cheap predicate gate: score against the
-        // frozen weight table, keep ids where logit >= bias
+        // frozen weight table, keep where logit >= the gate's bias —
+        // scalar, or per-group operating points when the gate carries
+        // groupBiases (the SAME keptIds implementation the batch chain
+        // routes through, so stream and chain can never disagree)
         val scored = classifierGate match {
           case None => clean
           case Some(g) =>
-            val keepIds = graft.ops.Curation
-              .classifierScore(clean, g.weights, g.buckets, g.bias)
-              .filter(col("keep")).select("doc_id")
-            staged(clean.join(keepIds, Seq("doc_id"), "left_semi"))
+            staged(clean.join(g.keptIds(clean), Seq("doc_id"), "left_semi"))
         }
         // decontaminate BEFORE dedup state (see scaladoc: band-state
         // policy — a contaminated doc must not widen the filter)

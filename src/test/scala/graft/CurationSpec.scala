@@ -761,6 +761,35 @@ class CurationSpec extends SparkSpec {
     assert(scalar === Map(10L -> true, 11L -> false))
   }
 
+  test("ClassifierGate.groupBiases: the chain gates each doc at its group's point; parity with standalone classifierScoreBiased") {
+    val uniform = SparkSpec.spark.range(16).select(col("id").as("b"),
+      lit(BigDecimal(1.0)).cast("decimal(18,6)").as("w"))
+    // two long clean English docs differing only in SOURCE: under
+    // uniform weights both score identically, so only the per-source
+    // bias can separate them (srcLow keeps, srcHigh drops)
+    val textA = "the quick brown fox jumps over the lazy dog once more today"
+    val d = Seq((201L, textA, "srcLow"), (202L, textA, "srcHigh"))
+      .toDF("doc_id", "text", "source")
+    val biases = Seq(("srcLow", 1.0), ("srcHigh", 1e9)).toDF("source", "bias")
+    val gate = Curation.ClassifierGate(uniform, buckets = 16,
+      groupBiases = Some(biases))
+    val kept = Curation.curate(d, evalDocs, rates = Map.empty,
+        classifier = Some(gate))
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept === Set(201L),
+      "identical docs must separate on their sources' operating points alone")
+    // the gate's kept-id table IS classifierScoreBiased's keep set —
+    // the one implementation both the chain and the stream route to
+    val manual = Curation.classifierScoreBiased(d, uniform, biases, "source",
+        buckets = 16)
+      .filter(col("keep")).select("doc_id").as[Long].collect().toSet
+    val viaGate = gate.keptIds(d).as[Long].collect().toSet
+    assert(viaGate === manual && viaGate === Set(201L))
+    // scalar mode unchanged: no groupBiases -> classifierScore(bias)
+    val scalarGate = Curation.ClassifierGate(uniform, buckets = 16, bias = 1e9)
+    assert(scalarGate.keptIds(d).count() === 0L)
+  }
+
   test("averagePrecision: hand-computed step AP over the sweep; degenerate sweeps read 0 points / NULL") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // 4 docs: scores 2.0+, 1.5+, 0.5-, -1.0+ (3 positives)
