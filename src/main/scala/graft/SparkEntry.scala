@@ -3750,6 +3750,20 @@ object SparkEntry {
             Seq("doc_id")),
           thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)))
     },
+    "q_average_precision_by" -> { (s, dir) =>
+      // the PR summary PER LANGUAGE — the per-group classifier
+      // comparison that precedes picking per-language operating points
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.averagePrecisionBy(
+        graft.ops.Curation.thresholdSweepBy(
+          scored.join(d.select(col("doc_id"), col("lang"),
+            (col("domain") =!= "web").as("actual")), Seq("doc_id")),
+          thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang"),
+        "lang")
+    },
     "q_manifest_diff" -> { (s, dir) =>
       // the pipeline-versioning face: the same chain under two knob
       // settings (src1 rate 0.3 -> 0.1 removes docs, src2 0.0 -> 0.6
@@ -5560,6 +5574,19 @@ object SparkEntry {
          |    AS DECIMAL(18,6)) AS term FROM apin)
          |SELECT CAST(count(*) AS BIGINT) AS n_points,
          |  CAST(sum(term) AS DOUBLE) AS average_precision FROM apt""".stripMargin,
+    "q_average_precision_by" ->
+      // twin of Curation.averagePrecisionBy(lang) over the per-lang
+      // sweep: the lag walk PARTITIONED by lang, same 6dp step terms
+      s"""WITH $CLS_CTES,
+         |$GROUP_SWEEP_CTES,
+         |apbin AS (SELECT lang, threshold, precision, recall FROM tbsw
+         |  WHERE precision IS NOT NULL AND recall IS NOT NULL),
+         |apbt AS (SELECT lang, CAST(round((recall -
+         |    coalesce(lag(recall) OVER (PARTITION BY lang ORDER BY threshold DESC), 0.0))
+         |    * precision, 6) AS DECIMAL(18,6)) AS term FROM apbin)
+         |SELECT lang, CAST(count(*) AS BIGINT) AS n_points,
+         |  CAST(sum(term) AS DOUBLE) AS average_precision
+         |FROM apbt GROUP BY lang""".stripMargin,
     "q_manifest_diff" ->
       // twin of manifestDiff over the chain under two knob settings:
       // the shared survivor chain (s3) feeds two mixture projections

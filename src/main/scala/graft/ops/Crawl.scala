@@ -1619,10 +1619,23 @@ object Crawl {
     val (frontier, handles) = crawlFrontierBloomShardedCore(pages, ranks, urlCol,
       perHostCap, fpp, shards, probePartitionsPerShard, mat)
     val out = graft.core.Materialize(frontier, outMat)
-    // Persist is lazy — force the probe to run while the broadcasts
-    // are still alive (LocalCheckpoint already did, eagerly)
-    if (outMat == graft.core.Materialize.Persist) out.count()
-    handles.foreach(_.destroy())
+    outMat match {
+      case graft.core.Materialize.Persist =>
+        // Persist is lazy — force the probe while the filters are
+        // alive — and it RETAINS LINEAGE as its fault-tolerance
+        // contract (Materialize scaladoc): an executor loss or an
+        // evicted/cleared cache re-executes the probe, so the shard
+        // broadcasts must stay recomputable. unpersist() frees the
+        // executor blocks with the wave but keeps the driver-side
+        // value, so a recompute re-broadcasts instead of failing on
+        // a destroyed handle.
+        out.count()
+        handles.foreach(_.unpersist(blocking = false))
+      case graft.core.Materialize.LocalCheckpoint =>
+        // eager concrete blocks, lineage CUT — nothing can ever
+        // re-reference the filters; destroy frees the driver copy too
+        handles.foreach(_.destroy())
+    }
     out
   }
 

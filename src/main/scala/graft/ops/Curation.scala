@@ -897,9 +897,52 @@ object Curation {
     val w = Window.orderBy(col("threshold").desc)
     sweep.where(col("precision").isNotNull && col("recall").isNotNull)
       .select(col("threshold"), col("precision"), col("recall"))
+      // grouped-input guard: a [[thresholdSweepBy]] output repeats each
+      // threshold once per group, and an unpartitioned lag walk over it
+      // would interleave the groups' recall walks into a plausible but
+      // meaningless AP (with a nondeterministic lag order on the
+      // duplicate thresholds). Fail loudly instead — the check is one
+      // window over the policy-sized sweep; per-group AP is
+      // [[averagePrecisionBy]].
+      .withColumn("_dup", assert_true(
+        count(lit(1)).over(Window.partitionBy(col("threshold"))) === 1,
+        lit("averagePrecision: duplicate threshold values — grouped sweep " +
+          "input? pre-filter to one group or use averagePrecisionBy")))
+      .where(col("_dup").isNull)
       .withColumn("r_prev", coalesce(lag(col("recall"), 1).over(w), lit(0.0)))
       .select(round((col("recall") - col("r_prev")) * col("precision"), 6)
         .cast(DecimalType(18, 6)).as("term"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("term")).cast("double").as("average_precision"))
+  }
+
+  /** [[averagePrecision]] PER GROUP over a [[thresholdSweepBy]] output
+    * — the per-domain classifier-comparison number the per-group
+    * selection loop presupposed: per-language operating points
+    * ([[operatingPointsBy]]) only make sense after comparing the
+    * classifiers per language, which needs per-group AP, not the
+    * global number. One row per group with at least one defined
+    * (precision, recall) point: `(<groupCol>, n_points,
+    * average_precision)`; NULL-group rows drop (the
+    * [[thresholdSweepBy]] convention), degenerate groups are absent.
+    *
+    * Same determinism recipe as the global walk — 6dp-quantized step
+    * terms summed as exact decimals — with the lag Window PARTITIONED
+    * by the group, so each group's recall walk is its own total order
+    * (thresholds are distinct within a group by the sweep's
+    * construction). Policy-sized input (groups × thresholds), never
+    * corpus data. */
+  def averagePrecisionBy(sweep: DataFrame, groupCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("threshold").desc)
+    sweep.where(col("precision").isNotNull && col("recall").isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol), col("threshold"), col("precision"), col("recall"))
+      .withColumn("r_prev", coalesce(lag(col("recall"), 1).over(w), lit(0.0)))
+      .select(col(groupCol), round((col("recall") - col("r_prev")) * col("precision"), 6)
+        .cast(DecimalType(18, 6)).as("term"))
+      .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_points"),
         sum(col("term")).cast("double").as("average_precision"))
   }
@@ -1309,7 +1352,22 @@ object Curation {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
     require(biases.columns.length >= 2,
       s"biases needs (group, bias) columns, got ${biases.columns.mkString(", ")}")
-    val Seq(bGrp, bBias) = biases.columns.take(2).toSeq
+    // resolve by NAME when the table carries one: 'bias' first, then
+    // 'threshold' — so the documented producer ([[operatingPointsBy]]
+    // output, whose SECOND column is the string 'objective') binds
+    // directly instead of silently casting a label to NULL bias and
+    // gating every present group to keep=false. Positional fallback
+    // (second column) stays for anonymous two-column tables, but must
+    // be numeric — a type the engine can threshold on.
+    val bGrp =
+      if (biases.columns.contains(groupCol)) groupCol else biases.columns.head
+    val bBias = Seq("bias", "threshold").find(biases.columns.contains)
+      .getOrElse(biases.columns.filterNot(_ == bGrp).head)
+    require(
+      biases.schema(bBias).dataType.isInstanceOf[org.apache.spark.sql.types.NumericType],
+      s"biases.$bBias must be numeric, got ${biases.schema(bBias).dataType.simpleString} " +
+        "— pass (group, bias) with a numeric bias, or an operatingPointsBy " +
+        "output (its 'threshold' column resolves by name)")
     classifierScore(docs, weights, buckets).drop("keep")
       .join(docs.select(col("doc_id"), col(groupCol)), Seq("doc_id"))
       .join(broadcast(biases.select(col(bGrp).as(groupCol), col(bBias).as("_gb"))),

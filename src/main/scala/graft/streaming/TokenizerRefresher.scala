@@ -40,13 +40,23 @@ object TokenizerRefresher {
     * nothing written.
     *
     * @param livePath currently-serving artifact file — supplies the
-    *   FAMILY (sniffed) and nothing else; its bytes are never touched
+    *   FAMILY (sniffed) and, when budgets are left at their defaults,
+    *   the TRAINING BUDGET (inventory-sized); its bytes are never
+    *   touched
     * @param docs retraining corpus (`doc_id`, `text`) — the CURRENT
     *   distribution the drift evidence came from
     * @param versionsRoot versioned artifact dir; the export lands at
     *   `versionsRoot/v<batch>.json`
-    * @param merges bpe/wordpiece merge budget
-    * @param vocabSize / emRounds unigram trainer budget
+    * @param merges bpe/wordpiece merge budget; None (default) derives
+    *   it from the LIVE artifact's inventory size — bpe: its merge
+    *   count, wordpiece: its vocab size (an upper bound on the merges
+    *   that produced it, so the retrain budget is never smaller than
+    *   the serving inventory). An explicit budget smaller than the
+    *   live artifact would otherwise atomically repoint serving at a
+    *   toy vocabulary and WORSEN the very unk_rate that triggered the
+    *   retrain.
+    * @param vocabSize unigram piece budget; None derives the live
+    *   artifact's piece count. @param emRounds unigram EM rounds.
     * @param minBatchId cold-start guard, the [[EmbeddingIndexer
     *   .latestDue]] contract (batch 0 compared against an empty
     *   history and must not trigger retraining)
@@ -58,8 +68,8 @@ object TokenizerRefresher {
       livePath: String,
       docs: DataFrame,
       versionsRoot: String,
-      merges: Int = 50,
-      vocabSize: Int = 200,
+      merges: Option[Int] = None,
+      vocabSize: Option[Int] = None,
       emRounds: Int = 2,
       minBatchId: Long = 1L,
       repoint: Boolean = true): Option[String] =
@@ -67,17 +77,22 @@ object TokenizerRefresher {
       val out = s"$versionsRoot/v$batch.json"
       TokenizerIO.familyOf(session, livePath) match {
         case "bpe" =>
+          val budget = merges.getOrElse(TokenizerIO.importBpe(session, livePath).size)
           TokenizerIO.exportBpe(session,
-            Bpe.trainMerges(docs, merges).map(m => (m.lhs, m.rhs)), out)
+            Bpe.trainMerges(docs, budget).map(m => (m.lhs, m.rhs)), out)
         case "unigram" =>
+          val budget =
+            vocabSize.getOrElse(TokenizerIO.importUnigram(session, livePath).size)
           TokenizerIO.exportUnigram(session,
             Unigram.collectPieces(
-              Unigram.trainUnigram(docs, vocabSize = vocabSize, emRounds = emRounds)),
+              Unigram.trainUnigram(docs, vocabSize = budget, emRounds = emRounds)),
             out)
         case "wordpiece" =>
+          val budget =
+            merges.getOrElse(TokenizerIO.importWordPiece(session, livePath)._1.size)
           TokenizerIO.exportWordPiece(session,
             WordPiece.collectVocab(
-              WordPiece.vocab(docs, WordPiece.trainMerges(docs, merges))),
+              WordPiece.vocab(docs, WordPiece.trainMerges(docs, budget))),
             out)
         case f =>
           throw new IllegalArgumentException(s"$livePath: unsupported family '$f'")

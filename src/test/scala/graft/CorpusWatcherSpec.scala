@@ -749,7 +749,7 @@ class CorpusWatcherSpec extends SparkSpec {
     val retrainCorpus = Seq((1L, "zzzzqqq unknowable gibberish tokens zzzzqqq unknowable"))
       .toDF("doc_id", "text")
     val out = graft.streaming.TokenizerRefresher.retrainIfDue(spark, refresh,
-      "tokenizer:srcB", live, retrainCorpus, vroot, merges = 3)
+      "tokenizer:srcB", live, retrainCorpus, vroot, merges = Some(3))
     assert(out === Some(s"$vroot/v1.json"))
     assert(graft.ops.TokenizerIO.familyOf(spark, out.get) === "wordpiece")
     // ...and the covered source stays quiet

@@ -952,6 +952,17 @@ class CrawlSpec extends SparkSpec {
       "the materialized form must not change the frontier")
     assert(looped.count() === exact.size.toLong,
       "re-reading after broadcast destroy must serve from the checkpoint")
+    // Persist output keeps LINEAGE as its fault-tolerance contract, so
+    // the wave's shard broadcasts are unpersisted (executor blocks
+    // freed), NOT destroyed — a recompute after cache loss must
+    // re-broadcast and succeed, never die on a destroyed handle
+    val persisted = Crawl.crawlFrontierBloomShardedMaterialized(
+      pages, ranks, perHostCap = 5, shards = 3,
+      outMat = graft.core.Materialize.Persist)
+    assert(persisted.as[(String, String, Long, Double, Int)].collect().toSet === exact)
+    persisted.unpersist(blocking = true) // simulate eviction / clearCache
+    assert(persisted.as[(String, String, Long, Double, Int)].collect().toSet === exact,
+      "recompute after cache loss must re-execute the probe against live broadcasts")
   }
 
   test("trust-composed frontier: spam-island hosts carry zero trust into ordering; island URLs score exactly 0") {

@@ -817,6 +817,57 @@ class CurationSpec extends SparkSpec {
     assert(none === ((0L, None)))
   }
 
+  test("averagePrecisionBy: per-group step AP walks independently; the global face rejects grouped input") {
+    def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // g1: the averagePrecision fixture; g2: a clean separator
+    val scored = Seq(
+      ("g1", 1L, Some(2.0), Some(true)), ("g1", 2L, Some(1.5), Some(true)),
+      ("g1", 3L, Some(0.5), Some(false)), ("g1", 4L, Some(-1.0), Some(true)),
+      ("g2", 5L, Some(2.0), Some(true)), ("g2", 6L, Some(-1.0), Some(false)))
+      .toDF("grp", "doc_id", "logit", "actual")
+    val grid = Seq(-2.0, 0.0, 1.0, 3.0)
+    val sweep = Curation.thresholdSweepBy(scored, grid, "grp")
+    val got = Curation.averagePrecisionBy(sweep, "grp")
+      .as[(String, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    // each group's walk equals the global face on that group's slice
+    val g1 = Curation.averagePrecision(Curation.thresholdSweep(
+        scored.filter(col("grp") === "g1").drop("grp"), grid))
+      .as[(Long, Option[Double])].head()
+    assert(got("g1") === ((g1._1, g1._2)))
+    // g2 hand walk (t desc): 3.0 keeps nothing (excluded); 1.0 P=1 R=1
+    // -> term 1; 0.0 P=1 R=1 -> 0; -2.0 P=1/2 R=1 -> 0. AP = 1.0
+    assert(got("g2") === ((3L, Some(r6(1.0)))))
+    // grouped input into the GLOBAL face fails loudly instead of
+    // interleaving the groups' recall walks into a meaningless number
+    def chain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + "\n" + chain(t.getCause)
+    val err = intercept[Exception](Curation.averagePrecision(sweep).collect())
+    assert(chain(err).contains("averagePrecisionBy"), chain(err))
+  }
+
+  test("classifierScoreBiased: an operatingPointsBy output binds its threshold by NAME; a non-numeric positional bias is rejected") {
+    val uniform = SparkSpec.spark.range(16).select(col("id").as("b"),
+      lit(BigDecimal(1.0)).cast("decimal(18,6)").as("w"))
+    val d = Seq(("g1", 10L, "alpha beta gamma"), ("g1", 11L, "solo"))
+      .toDF("grp", "doc_id", "text")
+    // the documented producer's shape: (grp, objective, threshold, …) —
+    // positional binding would cast 'max_f1' to NULL and gate everything
+    val points = Seq(("g1", "max_f1", 3.0, 1L))
+      .toDF("grp", "objective", "threshold", "n_kept")
+    val got = Curation.classifierScoreBiased(d, uniform, points, "grp", buckets = 16)
+      .select("doc_id", "bias", "keep").as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(10L)._2 === 3.0 && got(10L)._3 === true)  // logit 5 >= 3
+    assert(got(11L)._2 === 3.0 && got(11L)._3 === false) // logit 1 < 3
+    // an anonymous two-column table with a STRING second column is a
+    // loud contract error, not a silent NULL-bias drop-everything gate
+    val bad = Seq(("g1", "oops")).toDF("grp", "label")
+    val err = intercept[IllegalArgumentException](
+      Curation.classifierScoreBiased(d, uniform, bad, "grp", buckets = 16))
+    assert(err.getMessage.contains("numeric"), err.getMessage)
+  }
+
   test("manifestDiff: added/removed/moved/unchanged row-exact; self-diff is all unchanged") {
     val a = Seq((1L, "train"), (2L, "val"), (3L, "test")).toDF("doc_id", "split")
     val b = Seq((1L, "train"), (2L, "train"), (4L, "test")).toDF("doc_id", "split")

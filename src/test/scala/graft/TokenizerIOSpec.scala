@@ -194,7 +194,7 @@ class TokenizerIOSpec extends SparkSpec {
         .toDF("artifact", "metric", "value", "threshold", "due")
         .write.mode("overwrite").parquet(s"$rd/batch_id=$batch")
     def retrain() = TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
-      live, docs, vroot, merges = 4)
+      live, docs, vroot, merges = Some(4))
     // no decision / cold-start batch 0 / stable batch: nothing written
     assert(retrain() === None)
     decision(0L, due = true)
@@ -220,10 +220,33 @@ class TokenizerIOSpec extends SparkSpec {
       Bpe.trainMerges(docs, 3).map(m => (m.lhs, m.rhs)), liveBpe)
     val vroot2 = java.nio.file.Files.createTempDirectory("graft-trv2-").toString + "/tok"
     val out2 = TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
-      liveBpe, docs, vroot2, merges = 4)
+      liveBpe, docs, vroot2, merges = Some(4))
     assert(out2.isDefined && TokenizerIO.familyOf(spark, out2.get) === "bpe")
     assert(TokenizerIO.importBpe(spark, out2.get) ===
       Bpe.trainMerges(docs, 4).map(m => (m.lhs, m.rhs)))
+  }
+
+  test("retrainIfDue default budget derives from the LIVE artifact's inventory — a due retrain can't shrink serving to a toy vocab") {
+    import graft.streaming.TokenizerRefresher
+    val docs = Seq((1L, "low lower lowest low low new newer newest"),
+      (2L, "wide wider widest lowest newest")).toDF("doc_id", "text")
+    val liveMerges = Bpe.trainMerges(docs, 7).map(m => (m.lhs, m.rhs))
+    val live = tmp("trbudget")
+    TokenizerIO.exportBpe(spark, liveMerges, live)
+    val rd = java.nio.file.Files.createTempDirectory("graft-trbrd-").toString + "/refresh"
+    Seq(("tokenizer:web", "unk_rate", 0.4, 0.1, true))
+      .toDF("artifact", "metric", "value", "threshold", "due")
+      .write.mode("overwrite").parquet(s"$rd/batch_id=1")
+    val vroot = java.nio.file.Files.createTempDirectory("graft-trbv-").toString + "/tok"
+    // budgets left at their defaults: the merge budget is sniffed from
+    // the live artifact (its merge count), so retraining on the same
+    // corpus reproduces an inventory of the SAME size — never the old
+    // hardcoded toy budget
+    val out = TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
+      live, docs, vroot)
+    assert(out === Some(s"$vroot/v1.json"))
+    assert(TokenizerIO.importBpe(spark, out.get).size === liveMerges.size,
+      "derived budget must match the live inventory size")
   }
 
   test("non-ASCII pieces escape like the index export (ensure_ascii)") {
