@@ -3850,7 +3850,10 @@ object SparkEntry {
       s"""WITH snt AS MATERIALIZED (SELECT doc_id, $TOKS AS ts FROM documents),
          |snp AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM snt),
          |snw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)+1] AS word FROM snp),
-         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM snw WHERE word IN ('data', 'slow')),
+         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, pos, word,
+         |      row_number() OVER (PARTITION BY doc_id, word ORDER BY pos) AS hrn
+         |    FROM snw WHERE word IN ('data', 'slow')) WHERE hrn <= 1000),
          |snsc AS (SELECT a.doc_id, a.pos AS start,
          |    CAST(count(DISTINCT b.word) AS BIGINT) AS n_terms,
          |    CAST(count(*) AS BIGINT) AS n_hits
@@ -3916,8 +3919,12 @@ object SparkEntry {
          |  WHERE doc_id IN (SELECT doc_id FROM pg)),
          |snp AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM snt),
          |snw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)+1] AS word FROM snp),
-         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM snw
-         |  WHERE word IN ('fast', 'hash', 'join', 'on', 'a', 'small', 'table')),
+         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM (
+         |    SELECT doc_id, pos, word,
+         |      row_number() OVER (PARTITION BY doc_id, word ORDER BY pos) AS hrn
+         |    FROM snw
+         |    WHERE word IN ('fast', 'hash', 'join', 'on', 'a', 'small', 'table'))
+         |  WHERE hrn <= 1000),
          |snsc AS (SELECT a.doc_id, a.pos AS start,
          |    CAST(count(DISTINCT b.word) AS BIGINT) AS n_terms,
          |    CAST(count(*) AS BIGINT) AS n_hits

@@ -127,17 +127,34 @@ object InvertedIndex {
     * index- or corpus-sized; the per-doc argmax is one combinable
     * `max_by`; and only MATCHED docs are re-tokenized for the snippet
     * text (winner-id semi-join, then one row-local slice — doc text
-    * never shuffles). */
+    * never shuffles).
+    *
+    * HOT-TERM GUARD (`maxHitsPerTerm`): the window scoring pairs each
+    * doc's query-term hits against each other, so its per-doc cost is
+    * H² in that doc's hits — a stop-word-ish query term in one very
+    * long document (10⁴ hits → 10⁸ in-doc pairs) would make a single
+    * hot task at web scale. Each (doc, term)'s positions are therefore
+    * capped at the FIRST `maxHitsPerTerm` occurrences (document order
+    * — positions are stored sorted) before the pairing, bounding the
+    * per-doc intermediate at (cap·|terms|)². Output is IDENTICAL
+    * whenever no (doc, term) exceeds the cap; a doc that does competes
+    * (and counts `n_hits`) over its capped prefix — for snippet
+    * selection the earliest occurrences are where the best windows
+    * live anyway. The cap is a row-local `slice` on the stored array,
+    * applied before the explode ever widens the row. */
   def snippets(
       posIndex: DataFrame,
       docs: DataFrame,
       query: String,
-      window: Int = 10): DataFrame = {
+      window: Int = 10,
+      maxHitsPerTerm: Int = 1000): DataFrame = {
     require(window >= 1, s"window=$window must be >= 1")
+    require(maxHitsPerTerm >= 1, s"maxHitsPerTerm=$maxHitsPerTerm must be >= 1")
     val terms = TextNorm.queryTerms(query).distinct
     require(terms.nonEmpty, s"query '$query' has no indexable terms")
     val hits = posIndex.filter(col("word").isin(terms: _*))
-      .select(col("doc_id"), col("word"), explode(col("positions")).as("pos"))
+      .select(col("doc_id"), col("word"),
+        explode(slice(col("positions"), 1, maxHitsPerTerm)).as("pos"))
     val scored = hits.select(col("doc_id"), col("pos").as("start"))
       .join(hits, Seq("doc_id"))
       .where(col("pos") >= col("start") && col("pos") < col("start") + window)
@@ -174,10 +191,12 @@ object InvertedIndex {
       k: Int,
       window: Int = 10,
       k1: Double = 1.2,
-      b: Double = 0.75): DataFrame = {
+      b: Double = 0.75,
+      maxHitsPerTerm: Int = 1000): DataFrame = {
     val ranked = bm25TopKFromDocs(docs, query, k, k1, b)
     val pageDocs = docs.join(ranked.select("doc_id"), Seq("doc_id"), "left_semi")
-    val snip = snippets(buildPositional(pageDocs), pageDocs, query, window)
+    val snip = snippets(buildPositional(pageDocs), pageDocs, query, window,
+      maxHitsPerTerm)
     ranked.join(snip, Seq("doc_id"))
       .select(col("rank"), col("doc_id"), col("score"),
         col("start_pos"), col("n_terms"), col("n_hits"), col("snippet"))

@@ -336,6 +336,39 @@ class InvertedIndexSpec extends SparkSpec {
     assert(tail._2 === 21L && tail._5 === "dog")
   }
 
+  test("snippets hot-term guard: normal docs identical under the cap; a hot doc's pairing is bounded to the capped prefix") {
+    // the adversarial shape: one stop-word-ish term repeated many times
+    // in one long document — uncapped, its window scoring is H² in its
+    // own hits (10⁴ hits → 10⁸ in-doc pairs at web scale)
+    val hot = (1L, ("dog " * 50).trim + " cat dog")
+    val normal = (2L, "filler cat and dog here")
+    val docs = Seq(hot, normal).toDF("doc_id", "text")
+    val pos = InvertedIndex.buildPositional(docs)
+    // a generous cap leaves every doc under it: output identical to a
+    // cap high enough to be a no-op (the default-path contract)
+    val unc = InvertedIndex.snippets(pos, docs, "cat dog", window = 5,
+      maxHitsPerTerm = 1000).as[(Long, Long, Long, Long, String)].collect().toSet
+    val gen = InvertedIndex.snippets(pos, docs, "cat dog", window = 5,
+      maxHitsPerTerm = 60).as[(Long, Long, Long, Long, String)].collect().toSet
+    assert(gen === unc, "a cap above every (doc, term)'s hit count must be a no-op")
+    // a tight cap bounds the hot doc to its FIRST 3 dog hits: the best
+    // window is now among positions 0..2 (3 dog hits, 1 term) — the
+    // mid-doc cat+dog window at 50 is out of the candidate set; the
+    // normal doc (under the cap) is untouched
+    val capped = InvertedIndex.snippets(pos, docs, "cat dog", window = 5,
+        maxHitsPerTerm = 3).as[(Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(capped(2L) === unc.find(_._1 == 2L).get,
+      "docs under the cap must be byte-identical")
+    assert(capped(1L)._2 === 0L && capped(1L)._3 === 1L && capped(1L)._4 === 3L,
+      s"the hot doc must compete over its capped prefix only: ${capped(1L)}")
+    // the exploded hit table itself is bounded: cap × terms rows per doc
+    import org.apache.spark.sql.functions.{explode, slice}
+    val hits = pos.filter($"word".isin("cat", "dog"))
+      .select($"doc_id", explode(slice($"positions", 1, 3)).as("pos"))
+    assert(hits.filter($"doc_id" === 1L).count() <= 6L)
+  }
+
   test("searchPage: BM25 ranking + per-doc best snippet compose; rows equal the standalone faces, k-bounded") {
     val docs = Seq(
       (1L, "cat and dog together here with cat again nearby today"),
