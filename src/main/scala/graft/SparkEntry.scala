@@ -1406,6 +1406,46 @@ object SparkEntry {
        |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
        |scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)""".stripMargin
 
+  /** Twin of searchPage('fast hash join on a small table', 20, 8) —
+    * the q_bm25 ranking CTEs + the q_snippets window CTEs over the
+    * SAME terms, snippet inputs restricted to the page's 20 ids.
+    * Shared verbatim by q_search_page (in-plan index build) and
+    * q_search_page_served (the [[graft.index.IndexStore.searchPage]]
+    * stored-artifact face): the two queries must HASH-EQUAL — same
+    * postings, same math, different artifact origin. */
+  private val SEARCH_PAGE_TWIN =
+    s"""WITH $BM25_CTES,
+       |pg AS MATERIALIZED (SELECT doc_id, CAST(s AS DOUBLE) AS score,
+       |    CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
+       |  FROM scores ORDER BY rank LIMIT 20),
+       |snt AS MATERIALIZED (SELECT doc_id, $TOKS AS ts FROM documents
+       |  WHERE doc_id IN (SELECT doc_id FROM pg)),
+       |snp AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM snt),
+       |snw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)+1] AS word FROM snp),
+       |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM (
+       |    SELECT doc_id, pos, word,
+       |      row_number() OVER (PARTITION BY doc_id, word ORDER BY pos) AS hrn
+       |    FROM snw
+       |    WHERE word IN ('fast', 'hash', 'join', 'on', 'a', 'small', 'table'))
+       |  WHERE hrn <= 1000),
+       |snsc AS (SELECT a.doc_id, a.pos AS start,
+       |    CAST(count(DISTINCT b.word) AS BIGINT) AS n_terms,
+       |    CAST(count(*) AS BIGINT) AS n_hits
+       |  FROM (SELECT doc_id, pos FROM snh) a
+       |  JOIN snh b ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
+       |  GROUP BY 1, 2),
+       |snb AS (SELECT doc_id, start, n_terms, n_hits,
+       |    row_number() OVER (PARTITION BY doc_id
+       |      ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rn
+       |  FROM snsc)
+       |SELECT pg.rank, pg.doc_id, pg.score,
+       |  CAST(b.start AS BIGINT) AS start_pos, b.n_terms, b.n_hits,
+       |  array_to_string(t.ts[CAST(b.start AS INTEGER)+1
+       |    : CAST(least(b.start + 8, len(t.ts)) AS INTEGER)], ' ') AS snippet
+       |FROM pg
+       |JOIN snb b ON b.doc_id = pg.doc_id AND b.rn = 1
+       |JOIN snt t ON t.doc_id = pg.doc_id""".stripMargin
+
   private val LM3_CTES =
     s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
        |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
@@ -2402,6 +2442,20 @@ object SparkEntry {
       // 8-token snippet — rank + score + passage from one plan
       InvertedIndex.searchPage(docs(s, dir),
         "fast hash join on a small table", k = 20, window = 8)
+    },
+    "q_search_page_served" -> { (s, dir) =>
+      // the SAME result page answered from STORED artifacts (pruned
+      // positional postings + doc_lengths + save-time stats) — no
+      // in-plan index build; must hash-equal q_search_page
+      val tmp = java.nio.file.Files.createTempDirectory("graft-sps-")
+      tmp.toFile.deleteOnExit()
+      val d = docs(s, dir)
+      d.write.mode("overwrite").parquet(s"$tmp/docs")
+      graft.index.IndexStore.saveSearchPageStore(d, s"$tmp/store",
+        graft.index.IndexStore.HashPrefix)
+      graft.index.IndexStore.searchPage(s, s"$tmp/store", s"$tmp/docs",
+        "fast hash join on a small table", k = 20, window = 8,
+        layout = graft.index.IndexStore.HashPrefix)
     },
     "q_hybrid_search" -> { (s, dir) =>
       // hybrid RAG-style retrieval: BM25 pool ⊕ exact-cosine pool for
@@ -3907,41 +3961,11 @@ object SparkEntry {
          |SELECT doc_id, CAST(s AS DOUBLE) AS score,
          |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
          |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
-    "q_search_page" ->
-      // twin of searchPage('fast hash join on a small table', 20, 8):
-      // the q_bm25 ranking CTEs + the q_snippets window CTEs over the
-      // SAME terms, snippet inputs restricted to the page's 20 ids
-      s"""WITH $BM25_CTES,
-         |pg AS MATERIALIZED (SELECT doc_id, CAST(s AS DOUBLE) AS score,
-         |    CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
-         |  FROM scores ORDER BY rank LIMIT 20),
-         |snt AS MATERIALIZED (SELECT doc_id, $TOKS AS ts FROM documents
-         |  WHERE doc_id IN (SELECT doc_id FROM pg)),
-         |snp AS (SELECT doc_id, ts, unnest(range(len(ts))) AS i FROM snt),
-         |snw AS (SELECT doc_id, CAST(i AS BIGINT) AS pos, ts[CAST(i AS INTEGER)+1] AS word FROM snp),
-         |snh AS MATERIALIZED (SELECT doc_id, pos, word FROM (
-         |    SELECT doc_id, pos, word,
-         |      row_number() OVER (PARTITION BY doc_id, word ORDER BY pos) AS hrn
-         |    FROM snw
-         |    WHERE word IN ('fast', 'hash', 'join', 'on', 'a', 'small', 'table'))
-         |  WHERE hrn <= 1000),
-         |snsc AS (SELECT a.doc_id, a.pos AS start,
-         |    CAST(count(DISTINCT b.word) AS BIGINT) AS n_terms,
-         |    CAST(count(*) AS BIGINT) AS n_hits
-         |  FROM (SELECT doc_id, pos FROM snh) a
-         |  JOIN snh b ON a.doc_id = b.doc_id AND b.pos >= a.pos AND b.pos < a.pos + 8
-         |  GROUP BY 1, 2),
-         |snb AS (SELECT doc_id, start, n_terms, n_hits,
-         |    row_number() OVER (PARTITION BY doc_id
-         |      ORDER BY n_terms DESC, n_hits DESC, start ASC) AS rn
-         |  FROM snsc)
-         |SELECT pg.rank, pg.doc_id, pg.score,
-         |  CAST(b.start AS BIGINT) AS start_pos, b.n_terms, b.n_hits,
-         |  array_to_string(t.ts[CAST(b.start AS INTEGER)+1
-         |    : CAST(least(b.start + 8, len(t.ts)) AS INTEGER)], ' ') AS snippet
-         |FROM pg
-         |JOIN snb b ON b.doc_id = pg.doc_id AND b.rn = 1
-         |JOIN snt t ON t.doc_id = pg.doc_id""".stripMargin,
+    "q_search_page" -> SEARCH_PAGE_TWIN,
+    // the SERVED face must hash-equal the in-plan face — one twin, two
+    // queries: same ranking math on the same postings, same window
+    // scoring on the same positions; only the artifacts' origin differs
+    "q_search_page_served" -> SEARCH_PAGE_TWIN,
 
     "q_hybrid_search" ->
       // twin of InvertedIndex.hybridTopK(k=20, poolK=50, rrfK=60): the

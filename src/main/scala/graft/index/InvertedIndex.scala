@@ -394,6 +394,27 @@ object InvertedIndex {
       docs.agg(count(lit(1)).cast("double").as("n_docs")),
       query, k, k1, b, None)
 
+  /** [[bm25TopK]] over STORED serving artifacts — the form
+    * [[graft.index.IndexStore.searchPage]] ranks with: `postings` is
+    * the (already term-pruned) stored index slice, `docLens` the
+    * stored [[docLengths]] table, and `stats` the one-row save-time
+    * aggregate `(n_docs, sum_dl, n_lens)` — so a query recomputes NO
+    * corpus-sized aggregate: N and avgdl come from the stats row
+    * (`avgdl = sum_dl / n_lens`, the identical long-by-long double
+    * division the inline face evaluates), and the only index-wide
+    * work left is the matched-postings ⋈ docLens join. */
+  def bm25TopKFromStore(
+      postings: DataFrame,
+      docLens: DataFrame,
+      stats: DataFrame,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame =
+    bm25Ranked(postings, stats.select(col("n_docs")), query, k, k1, b,
+      Some(docLens),
+      Some(stats.select((col("sum_dl") / col("n_lens")).as("avgdl"))))
+
   private def bm25Ranked(
       index: DataFrame,
       nDocsF: DataFrame,
@@ -401,14 +422,15 @@ object InvertedIndex {
       k: Int,
       k1: Double,
       b: Double,
-      docLens: Option[DataFrame]): DataFrame = {
+      docLens: Option[DataFrame],
+      avgdlF: Option[DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val terms = TextNorm.queryTerms(query).distinct
     require(terms.nonEmpty, s"query '$query' has no indexable terms")
     require(k >= 1, s"k=$k must be >= 1")
     require(k1 >= 0 && b >= 0 && b <= 1, s"bad BM25 params k1=$k1 b=$b")
     val lens = docLens.getOrElse(docLengths(index))
-    val avg = lens.agg((sum("dl") / count(lit(1))).as("avgdl"))
+    val avg = avgdlF.getOrElse(lens.agg((sum("dl") / count(lit(1))).as("avgdl")))
     val hits = index.filter(col("word").isin(terms: _*))
     // (word, doc_id) is unique in the index, so df = posting count;
     // N arrives as a broadcast one-row frame (literal or derived)

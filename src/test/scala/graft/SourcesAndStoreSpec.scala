@@ -165,6 +165,56 @@ class SourcesAndStoreSpec extends SparkSpec {
       s"word isin not pushed in:\n$plan")
   }
 
+  test("saveSearchPageStore + served searchPage: parity with the in-plan face; postings scans prune to one directory per distinct term") {
+    val c = Seq(
+      (1L, "cat and dog together here with cat again nearby today"),
+      (2L, "only a cat in this one and nothing else at all"),
+      (3L, "dog dog dog dog dog repeated for emphasis and more dog"),
+      (4L, "no terms whatsoever in this filler document right here"))
+      .toDF("doc_id", "text")
+    val base = tmp("storesp")
+    c.write.mode("overwrite").parquet(s"$base/docs")
+    IndexStore.saveSearchPageStore(c, s"$base/store", IndexStore.HashPrefix)
+    val want = InvertedIndex.searchPage(c, "cat dog", k = 2, window = 4)
+      .as[(Int, Long, Double, Long, Long, Long, String)].collect().toSet
+    val served = IndexStore.searchPage(spark, s"$base/store", s"$base/docs",
+      "Cat, DOG!", k = 2, window = 4, layout = IndexStore.HashPrefix)
+    assert(served.as[(Int, Long, Double, Long, Long, Long, String)]
+      .collect().toSet === want,
+      "the served page must be row-identical to the in-plan face")
+    // pruning: every scan of the postings store pins the two terms'
+    // md5 prefixes as PARTITION filters and pushes the word isin —
+    // per-query cost is per-term-postings-sized, never index-sized
+    val qe = IndexStore.searchPage(spark, s"$base/store", s"$base/docs",
+      "cat dog", k = 2, window = 4, layout = IndexStore.HashPrefix)
+      .queryExecution
+    val plan = qe.executedPlan.toString
+    val pfLines = plan.linesIterator.filter(_.contains("PartitionFilters")).toSeq
+    val postingsPf = pfLines.filter(_.contains("word_pfx"))
+    assert(postingsPf.nonEmpty, s"no postings partition filter in:\n$plan")
+    assert(plan.contains("In(word, [cat,dog])") || plan.contains("In(word, [dog,cat])"),
+      s"word isin not pushed in:\n$plan")
+    // executed: each postings scan reads at most one file per distinct
+    // term (one directory each under HashPrefix, one file per dir here)
+    qe.toRdd.count()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case q: QueryStageExec => scans(q.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val postingScans = scans(qe.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("postings")))
+    assert(postingScans.nonEmpty, "expected scans over the postings store")
+    postingScans.foreach { sc =>
+      assert(sc.metrics("numFiles").value <= 2L,
+        s"a postings scan read ${sc.metrics("numFiles").value} files — " +
+          "pruning must bound it at one directory per distinct query term")
+    }
+  }
+
   test("only the matching partition directory is scanned") {
     val idx = InvertedIndex.build(Seq((1L, "alpha beta")).toDF("doc_id", "text"))
     val path = tmp("store2") + "/index"
