@@ -3833,6 +3833,25 @@ object SparkEntry {
         trainPct = 60)
       graft.ops.Curation.manifestDiff(m1, m2)
     },
+    "q_manifest_diff_explained" -> { (s, dir) =>
+      // the diff with STAGE ATTRIBUTION: run B swaps the eval suite
+      // (doc_id % 50 = 1 vs = 0 — docs reroute IN AND OUT of the
+      // decontaminate stage) AND moves mixture rates (src1 0.3 -> 0.1
+      // removes at mixture, src2 0.0 -> 0.6 adds docs run A dropped
+      // there) — each added/removed row names the stage that decided it
+      val d = docs(s, dir)
+      val train = d.filter(col("doc_id") % 50 =!= 0)
+      val ra = graft.ops.Curation.curateWithFunnel(train,
+        d.filter(col("doc_id") % 50 === 0),
+        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+        defaultRate = 0.5, attribution = true)
+      val rb = graft.ops.Curation.curateWithFunnel(train,
+        d.filter(col("doc_id") % 50 === 1),
+        rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6),
+        defaultRate = 0.5, trainPct = 60, attribution = true)
+      graft.ops.Curation.manifestDiffExplained(
+        ra.manifest, rb.manifest, ra.drops.get, rb.drops.get)
+    },
     "q_curate_classified" -> { (s, dir) =>
       // the calibration loop CLOSED: train -> score -> sweep -> select
       // the max-F1 operating point -> gate the curation chain at that
@@ -5645,6 +5664,76 @@ object SparkEntry {
          |       ELSE 'unchanged' END AS status,
          |  a.split AS split_a, b.split AS split_b
          |FROM mda a FULL OUTER JOIN mdb b ON a.doc_id = b.doc_id""".stripMargin,
+    "q_manifest_diff_explained" ->
+      // twin of manifestDiffExplained: run A = CURATE_CTES verbatim
+      // (eval % 50 = 0, rates 1.0/0.3/0.0/0.5, split 80/10); run B
+      // shares the chain through s2 (same quality/language/dedup
+      // knobs), then diverges at decontamination (eval % 50 = 1, a
+      // DISJOINT suite — docs reroute both ways) and mixture (rates
+      // 1.0/0.1/0.6/0.5, split 60/10). dropa/dropb attribute every
+      // dropped doc to its FIRST failing stage, funnel-numbered; the
+      // diff joins removed ids to B's stage, added ids to A's
+      s"""WITH RECURSIVE $CURATE_CTES,
+         |evshb AS MATERIALIZED (SELECT DISTINCT unnest(shl) AS shingle FROM ($SHINGLES) WHERE doc_id % 50 = 1),
+         |badb AS MATERIALIZED (SELECT DISTINCT t.doc_id FROM tr2 t JOIN evshb e USING (shingle)),
+         |s3b AS MATERIALIZED (SELECT doc_id FROM s2 WHERE doc_id NOT IN (SELECT doc_id FROM badb)),
+         |s4b AS (SELECT doc_id FROM s3b JOIN flags USING (doc_id)
+         |       WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+         |         < (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 1000
+         |            WHEN 'src2' THEN 6000 ELSE 5000 END)),
+         |mda AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN b < 80 THEN 'train' WHEN b < 90 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |        FROM flags WHERE doc_id IN (SELECT doc_id FROM s4))),
+         |mdb AS MATERIALIZED (SELECT doc_id,
+         |    CASE WHEN b < 60 THEN 'train' WHEN b < 70 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT doc_id,
+         |          CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS b
+         |        FROM flags WHERE doc_id IN (SELECT doc_id FROM s4b))),
+         |losers AS MATERIALIZED (SELECT doc_id FROM cl WHERE doc_id <> cluster_id),
+         |dropa AS MATERIALIZED (SELECT doc_id, stage_idx,
+         |    CASE stage_idx WHEN 2 THEN 'quality' WHEN 3 THEN 'language'
+         |         WHEN 4 THEN 'near_dedup' WHEN 5 THEN 'decontaminate'
+         |         WHEN 6 THEN 'mixture' END AS stage
+         |  FROM (SELECT doc_id,
+         |      CAST(CASE WHEN NOT q_keep THEN 2
+         |           WHEN pred_lang <> 'en' THEN 3
+         |           WHEN doc_id IN (SELECT doc_id FROM losers) THEN 4
+         |           WHEN doc_id IN (SELECT doc_id FROM bad) THEN 5
+         |           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+         |             >= (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 3000
+         |                 WHEN 'src2' THEN 0 ELSE 5000 END) THEN 6
+         |           END AS INTEGER) AS stage_idx
+         |    FROM flags) WHERE stage_idx IS NOT NULL),
+         |dropb AS MATERIALIZED (SELECT doc_id, stage_idx,
+         |    CASE stage_idx WHEN 2 THEN 'quality' WHEN 3 THEN 'language'
+         |         WHEN 4 THEN 'near_dedup' WHEN 5 THEN 'decontaminate'
+         |         WHEN 6 THEN 'mixture' END AS stage
+         |  FROM (SELECT doc_id,
+         |      CAST(CASE WHEN NOT q_keep THEN 2
+         |           WHEN pred_lang <> 'en' THEN 3
+         |           WHEN doc_id IN (SELECT doc_id FROM losers) THEN 4
+         |           WHEN doc_id IN (SELECT doc_id FROM badb) THEN 5
+         |           WHEN CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 10000
+         |             >= (CASE source WHEN 'src0' THEN 10000 WHEN 'src1' THEN 1000
+         |                 WHEN 'src2' THEN 6000 ELSE 5000 END) THEN 6
+         |           END AS INTEGER) AS stage_idx
+         |    FROM flags) WHERE stage_idx IS NOT NULL)
+         |SELECT m.doc_id, m.status, m.split_a, m.split_b,
+         |  CASE WHEN m.status = 'removed' THEN db.stage_idx
+         |       WHEN m.status = 'added' THEN da.stage_idx END AS stage_idx,
+         |  CASE WHEN m.status = 'removed' THEN db.stage
+         |       WHEN m.status = 'added' THEN da.stage END AS stage
+         |FROM (SELECT coalesce(a.doc_id, b.doc_id) AS doc_id,
+         |        CASE WHEN a.doc_id IS NULL THEN 'added'
+         |             WHEN b.doc_id IS NULL THEN 'removed'
+         |             WHEN a.split <> b.split THEN 'moved'
+         |             ELSE 'unchanged' END AS status,
+         |        a.split AS split_a, b.split AS split_b
+         |      FROM mda a FULL OUTER JOIN mdb b ON a.doc_id = b.doc_id) m
+         |LEFT JOIN dropa da ON da.doc_id = m.doc_id
+         |LEFT JOIN dropb db ON db.doc_id = m.doc_id""".stripMargin,
     "q_curate_classified" ->
       // twin of the classifier-gated chain: CLS_CTES trains the NB
       // weights, SWEEP_CTES measures the operating points, the curate

@@ -351,6 +351,35 @@ object Curation {
           .otherwise("unchanged").as("status"),
         col("split_a"), col("split_b"))
 
+  /** [[manifestDiff]] with STAGE ATTRIBUTION — the "why", not just the
+    * "what": each `removed` row carries the stage that dropped the doc
+    * in run B (where it's now gone), each `added` row the stage that
+    * dropped it in run A (where it used to be gone) — so "src1 lost
+    * 1 200 docs" becomes "1 200 docs removed at stage 6 (mixture)" and
+    * an operator knows WHICH knob moved them. `dropsA`/`dropsB` are
+    * the runs' per-doc drop tables (`(doc_id, stage_idx, stage)` —
+    * [[curateWithFunnel]]`(attribution = true)`'s `drops`, or
+    * [[dropAttribution]] standalone). Output: `(doc_id, status,
+    * split_a, split_b, stage_idx, stage)`; `unchanged`/`moved` rows —
+    * and docs the other run never ingested (different inputs) — carry
+    * NULL stage.
+    *
+    * Scale: [[manifestDiff]]'s full-outer join plus two doc_id-keyed
+    * left joins of id-sized attribution tables — one co-partitioned
+    * exchange family, no text, no windows. */
+  def manifestDiffExplained(
+      a: DataFrame, b: DataFrame, dropsA: DataFrame, dropsB: DataFrame): DataFrame =
+    manifestDiff(a, b)
+      .join(dropsB.select(col("doc_id"),
+        col("stage_idx").as("_sib"), col("stage").as("_sb")), Seq("doc_id"), "left")
+      .join(dropsA.select(col("doc_id"),
+        col("stage_idx").as("_sia"), col("stage").as("_sa")), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("status"), col("split_a"), col("split_b"),
+        when(col("status") === "removed", col("_sib"))
+          .when(col("status") === "added", col("_sia")).as("stage_idx"),
+        when(col("status") === "removed", col("_sb"))
+          .when(col("status") === "added", col("_sa")).as("stage"))
+
   /** The classifier stage: survivors gated by the stored model, plus
     * the kept-id table the funnel/samples joins need (materialized
     * under `mat` — id-sized, consumed by up to three downstream
@@ -458,7 +487,8 @@ object Curation {
       evalShingles: Option[DataFrame] = None,
       blocklist: Seq[String] = Nil,
       samples: Int = 0,
-      classifier: Option[ClassifierGate] = None): CurationResult = {
+      classifier: Option[ClassifierGate] = None,
+      attribution: Boolean = false): CurationResult = {
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     require(samples >= 0, s"samples=$samples must be >= 0 (0 = no sample output)")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
@@ -478,6 +508,12 @@ object Curation {
       // consuming all three outputs builds the dedup graph once
       samples = if (samples == 0) None
         else Some(samplesFrom(docs, langKeep, losers, contam, samples,
+          minTokens, rates, defaultRate, blocklist, clsKept)),
+      // the full per-doc attribution table (same drop sets again):
+      // what [[manifestDiffExplained]] joins — lazily assembled, so a
+      // run that never consumes it pays nothing
+      drops = if (!attribution) None
+        else Some(droppedWithStage(docs, langKeep, losers, contam,
           minTokens, rates, defaultRate, blocklist, clsKept)))
   }
 
@@ -575,9 +611,14 @@ object Curation {
     * [[Materialize.Persist]]). `samples` (present when
     * `curateWithFunnel(samples = n)` was asked for) is the
     * [[funnelSamples]] table over the SAME drop sets — manifest,
-    * funnel and samples from one computation of the chain. */
+    * funnel and samples from one computation of the chain. `drops`
+    * (present under `attribution = true`) is the FULL per-doc
+    * drop-stage table over those sets — the [[manifestDiffExplained]]
+    * input, so diffing two runs with attribution costs the two chains
+    * and nothing more. */
   final case class CurationResult(manifest: DataFrame, funnel: DataFrame,
-      clusters: DataFrame, samples: Option[DataFrame] = None)
+      clusters: DataFrame, samples: Option[DataFrame] = None,
+      drops: Option[DataFrame] = None)
 
   /** DSIR-style importance weights (Xie et al., NeurIPS '23 — "Data
     * Selection for Language Models via Importance Resampling"): score
@@ -1128,6 +1169,39 @@ object Curation {
       defaultRate, blocklist, clsKept)
   }
 
+  /** The FULL per-doc drop attribution for the chain — [[funnelSamples]]
+    * without the sampling: `(doc_id, stage_idx, stage)` for EVERY doc
+    * the chain drops, first-failing stage, numbered as [[funnel]]
+    * reports. This is the table [[manifestDiffExplained]] joins; when a
+    * run also needs the manifest, prefer
+    * [[curateWithFunnel]]`(attribution = true)` — one computation of
+    * the dedup graph feeds both. Same cost profile as [[funnelSamples]]
+    * minus the bounded aggregate: the drop sets once as id tables, one
+    * flagged-corpus scan; id-sized output. */
+  def dropAttribution(
+      docs: DataFrame,
+      evalDocs: DataFrame,
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0,
+      blocklist: Seq[String] = Nil,
+      classifier: Option[ClassifierGate] = None): DataFrame = {
+    require(keepLangs.nonEmpty, "keepLangs must name at least one language")
+    val langKeep = col("pred_lang").isin(keepLangs: _*)
+    val s1 = rowFlags(docs, minTokens, blocklist)
+      .filter(col("q_keep") && langKeep && col("b_keep"))
+    val (s1c, clsKept) = clsSurvivors(s1, classifier, mat)
+    val cl = chainClusters(s1c, mat, sizeRatioFloor)
+    val losers = losersOf(cl)
+    val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
+    val contam = Materialize(contamOf(s2, evalDocs, None), mat)
+    droppedWithStage(docs, langKeep, losers, contam, minTokens, rates,
+      defaultRate, blocklist, clsKept)
+  }
+
   /** The attribution half of [[funnelSamples]], given the chain's two
     * precomputed drop-set id tables (the `funnelFrom` contract) — so
     * [[curateWithFunnel]] can emit manifest + funnel + samples from ONE
@@ -1145,6 +1219,35 @@ object Curation {
       defaultRate: Double,
       blocklist: Seq[String],
       clsKept: Option[DataFrame] = None): DataFrame = {
+    val dropped = droppedWithStage(docs, langKeep, losers, contam, minTokens,
+      rates, defaultRate, blocklist, clsKept)
+    // bounded-heap per stage: score = md5-prefix asc (52 bits), ties by id
+    val key = -conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
+      .cast("long")
+    dropped
+      .groupBy(col("stage_idx"), col("stage"))
+      .agg(graft.functions.TopKByScore.topK(key, col("doc_id"), n).as("top"))
+      .select(col("stage_idx"), col("stage"), posexplode(col("top")).as(Seq("i", "e")))
+      .select(col("stage_idx"), col("stage"), col("e.id").as("doc_id"),
+        (col("i") + 1).cast("int").as("sample_rank"))
+  }
+
+  /** EVERY dropped doc with its first-failing stage — the per-doc
+    * attribution table [[samplesFrom]] samples and
+    * [[manifestDiffExplained]] joins: `(doc_id, stage_idx, stage)`,
+    * numbered exactly as [[funnel]] reports (quality = 2 …; optional
+    * stages only when enabled). One flagged-corpus scan over the
+    * precomputed drop-set id tables; id-sized output. */
+  private def droppedWithStage(
+      docs: DataFrame,
+      langKeep: Column,
+      losers: DataFrame,
+      contam: DataFrame,
+      minTokens: Int,
+      rates: Map[String, Double],
+      defaultRate: Double,
+      blocklist: Seq[String],
+      clsKept: Option[DataFrame]): DataFrame = {
     // first-failing-stage attribution, numbered as funnel() reports:
     // the when-chain evaluates in stage order, so the first true
     // failure predicate names the stage (optional stages only when on)
@@ -1164,19 +1267,12 @@ object Curation {
     val joined0 = rowFlags(docs, minTokens, blocklist)
       .join(losers.withColumn("is_loser", lit(true)), Seq("doc_id"), "left")
       .join(contam.withColumn("is_contam", lit(true)), Seq("doc_id"), "left")
-    val dropped = clsKept.fold(joined0)(k => joined0.join(
+    clsKept.fold(joined0)(k => joined0.join(
         k.select("doc_id").withColumn("is_cls", lit(true)), Seq("doc_id"), "left"))
       .select(col("doc_id"), dropStage.as("st"))
       .where(col("st").isNotNull)
-    // bounded-heap per stage: score = md5-prefix asc (52 bits), ties by id
-    val key = -conv(substring(md5(col("doc_id").cast("string")), 1, 13), 16, 10)
-      .cast("long")
-    dropped
-      .groupBy(col("st.stage_idx").as("stage_idx"), col("st.stage").as("stage"))
-      .agg(graft.functions.TopKByScore.topK(key, col("doc_id"), n).as("top"))
-      .select(col("stage_idx"), col("stage"), posexplode(col("top")).as(Seq("i", "e")))
-      .select(col("stage_idx"), col("stage"), col("e.id").as("doc_id"),
-        (col("i") + 1).cast("int").as("sample_rank"))
+      .select(col("doc_id"), col("st.stage_idx").as("stage_idx"),
+        col("st.stage").as("stage"))
   }
 
   /** The accounting half of the chain, given the precomputed drop-set

@@ -885,6 +885,36 @@ class CurationSpec extends SparkSpec {
     assert(self.filter(col("status") =!= "unchanged").count() === 0L)
   }
 
+  test("dropAttribution: every dropped doc carries its first-failing stage; manifestDiffExplained names the rerouting stage per row") {
+    // the designed corpus: attribution must cover EVERY drop, numbered
+    // exactly as funnel reports the stages
+    val dropsMap = Curation.dropAttribution(docs, evalDocs, rates = rates)
+      .as[(Long, Int, String)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dropsMap === Map(
+      2L -> ((2, "quality")), 3L -> ((3, "language")),
+      42L -> ((4, "near_dedup")), 5L -> ((5, "decontaminate")),
+      6L -> ((6, "mixture"))))
+    // the combined face: one chain computation feeds manifest + drops
+    val ra = Curation.curateWithFunnel(docs, evalDocs, rates = rates,
+      attribution = true)
+    assert(ra.drops.get.as[(Long, Int, String)].collect().toSet ===
+      dropsMap.map { case (id, (i, st)) => (id, i, st) }.toSet)
+    // run B lifts src2's mixture rate to 1.0: doc 6 flips to ADDED and
+    // the diff names run A's mixture stage as the decider; survivors
+    // common to both runs carry no stage
+    val rb = Curation.curateWithFunnel(docs, evalDocs,
+      rates = Map("src2" -> 1.0), attribution = true)
+    val ex = Curation.manifestDiffExplained(
+        ra.manifest, rb.manifest, ra.drops.get, rb.drops.get)
+      .as[(Long, String, Option[String], Option[String], Option[Int], Option[String])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(ex(6L)._2 === "added" && ex(6L)._5 === Some(6) &&
+      ex(6L)._6 === Some("mixture"),
+      s"the added doc must name run A's drop stage: ${ex(6L)}")
+    assert(ex(1L)._2 === "unchanged" && ex(1L)._5 === None && ex(1L)._6 === None)
+    assert(ex.keySet === Set(1L, 41L, 6L))
+  }
+
   test("classifier-gated curate: sweep -> operating point -> gate; funnel carries the classifier stage's docs AND tokens") {
     // weight table that loves astronomy words and hates spam words —
     // trained on designed corpora so the gate's behavior is known
