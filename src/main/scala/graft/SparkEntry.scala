@@ -3746,6 +3746,22 @@ object SparkEntry {
         .unionByName(graft.ops.Curation.operatingPoint(sweep,
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
+    "q_operating_point_certified" -> { (s, dir) =>
+      // holdout discipline: split 50/25/25 by md5(doc_id), SELECT the
+      // point on the val slice, CERTIFY its metrics on the disjoint
+      // test slice — both objectives; sel_f1 vs f1 is the honest gap
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+          graft.ops.Curation.classifierWeights(
+            d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+        .join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+          Seq("doc_id"))
+        .withColumn("split", graft.ops.Sampling.splitCol("doc_id", 50, 25))
+      val grid = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+      graft.ops.Curation.operatingPointCertified(scored, grid)
+        .unionByName(graft.ops.Curation.operatingPointCertified(scored, grid,
+          graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
+    },
     "q_threshold_sweep_by" -> { (s, dir) =>
       // the sweep PER GROUP (here: language) — the per-domain tuning
       // grid a production filter selects different thresholds from
@@ -5575,6 +5591,50 @@ object SparkEntry {
          |SELECT 'precision_floor', threshold, n_kept, n_pos, tp, precision, recall, f1
          |FROM (SELECT * FROM swp WHERE precision IS NOT NULL AND precision >= 0.9
          |      AND recall IS NOT NULL ORDER BY recall DESC, threshold ASC LIMIT 1)""".stripMargin,
+    "q_operating_point_certified" ->
+      // twin of operatingPointCertified(50/25/25): ONE split-keyed
+      // sweep grid (hsw) feeds both the val-slice winner pick and the
+      // test-slice certification; both objectives
+      s"""WITH $CLS_CTES,
+         |hin AS MATERIALIZED (SELECT
+         |    CAST(CAST(logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    (($DOMAIN_SQL) <> 'web') AS pos,
+         |    CASE WHEN hb < 50 THEN 'train' WHEN hb < 75 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT d.*, sc.logit AS logit,
+         |          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS hb
+         |        FROM documents d JOIN sc ON sc.doc_id = d.doc_id)),
+         |hth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+         |hag AS (SELECT split, threshold,
+         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM hin CROSS JOIN hth WHERE split IN ('val', 'test') GROUP BY split, threshold),
+         |hpr AS (SELECT *,
+         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+         |  FROM hag),
+         |hsw AS MATERIALIZED (SELECT split, threshold, n_kept, n_pos, tp,
+         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+         |  FROM hpr),
+         |hwin1 AS (SELECT 'max_f1' AS objective, threshold,
+         |    precision AS sel_precision, recall AS sel_recall, f1 AS sel_f1
+         |  FROM hsw WHERE split = 'val' AND f1 IS NOT NULL
+         |  ORDER BY f1 DESC, threshold ASC LIMIT 1),
+         |hwin2 AS (SELECT 'precision_floor' AS objective, threshold,
+         |    precision AS sel_precision, recall AS sel_recall, f1 AS sel_f1
+         |  FROM hsw WHERE split = 'val' AND precision IS NOT NULL
+         |    AND precision >= 0.9 AND recall IS NOT NULL
+         |  ORDER BY recall DESC, threshold ASC LIMIT 1)
+         |SELECT w.objective, w.threshold, w.sel_precision, w.sel_recall, w.sel_f1,
+         |  c.n_kept, c.n_pos, c.tp, c.precision, c.recall, c.f1
+         |FROM hwin1 w JOIN hsw c ON c.split = 'test' AND c.threshold = w.threshold
+         |UNION ALL
+         |SELECT w.objective, w.threshold, w.sel_precision, w.sel_recall, w.sel_f1,
+         |  c.n_kept, c.n_pos, c.tp, c.precision, c.recall, c.f1
+         |FROM hwin2 w JOIN hsw c ON c.split = 'test' AND c.threshold = w.threshold""".stripMargin,
     "q_threshold_sweep_by" ->
       // twin of Curation.thresholdSweepBy(lang): the sweep aggregation
       // keyed by (lang, threshold); same rounded-metrics recipe

@@ -231,6 +231,61 @@ object Curation {
       col("n_pos"), col("tp"), col("precision"), col("recall"), col("f1"))
   }
 
+  /** [[operatingPoint]] with HOLDOUT DISCIPLINE — select the threshold
+    * on one split, certify its metrics on a DISJOINT split: sweeping
+    * and selecting on the same rows overstates the selected point's F1
+    * (the winner is the grid point that best fits that sample's
+    * noise), so the number a pipeline publishes must come from data
+    * the selection never saw. `scored` needs `logit`, `actualCol` and
+    * `splitCol` (stamp it with [[Sampling.splitCol]] — deterministic
+    * md5 assignment, so selection/certification membership is
+    * engine-reproducible); rows outside the two named splits are
+    * ignored.
+    *
+    * One row (empty when no threshold qualifies on the selection
+    * split): `(objective, threshold, sel_precision, sel_recall,
+    * sel_f1, n_kept, n_pos, tp, precision, recall, f1)` — `sel_*` are
+    * the SELECTION split's metrics at the winning threshold (what the
+    * optimizer saw), the unsuffixed columns are the CERTIFIED metrics:
+    * the same threshold re-measured on the certification split. The
+    * honest gap between `sel_f1` and `f1` is the point.
+    *
+    * Plan: ONE corpus scan — [[thresholdSweepBy]] keyed by the split
+    * column over both splits at once, materialized under `mat`
+    * (policy-sized: |splits| × |thresholds| rows) so the winner pick
+    * and the certification read the same tiny grid; the final join is
+    * one row on threshold equality (both sides carry the caller's
+    * exact literals). */
+  def operatingPointCertified(
+      scored: DataFrame,
+      thresholds: Seq[Double],
+      objective: OpObjective = OpObjective.MaxF1,
+      splitCol: String = "split",
+      selectSplit: String = "val",
+      certifySplit: String = "test",
+      actualCol: String = "actual",
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(selectSplit != certifySplit,
+      s"selectSplit and certifySplit must be disjoint, both are '$selectSplit' " +
+        "— certifying on the selection data is the hole this face closes")
+    val sw = Materialize(
+      thresholdSweepBy(
+        scored.where(col(splitCol).isin(selectSplit, certifySplit)),
+        thresholds, splitCol, actualCol),
+      mat)
+    val win = operatingPoint(sw.where(col(splitCol) === selectSplit).drop(splitCol),
+        objective)
+      .select(col("objective"), col("threshold"),
+        col("precision").as("sel_precision"), col("recall").as("sel_recall"),
+        col("f1").as("sel_f1"))
+    win.join(sw.where(col(splitCol) === certifySplit).drop(splitCol),
+        Seq("threshold"))
+      .select(col("objective"), col("threshold"),
+        col("sel_precision"), col("sel_recall"), col("sel_f1"),
+        col("n_kept"), col("n_pos"), col("tp"),
+        col("precision"), col("recall"), col("f1"))
+  }
+
   /** [[operatingPoint]]'s threshold as the driver-side Double a
     * [[ClassifierGate]] needs for `bias` — a one-row collect of a
     * policy-sized table (the model-table convention, never corpus

@@ -817,6 +817,45 @@ class CurationSpec extends SparkSpec {
     assert(none === ((0L, None)))
   }
 
+  test("operatingPointCertified: selected on val, certified on disjoint test; the sel/cert gap is real; empty when nothing qualifies") {
+    val scored = Seq(
+      (1L, 2.0, true, "val"), (2L, 1.5, true, "val"),
+      (3L, 0.5, false, "val"), (4L, -1.0, true, "val"),
+      (5L, 2.0, true, "test"), (6L, 0.5, true, "test"), (7L, 0.8, false, "test"),
+      // rows outside the two splits must be ignored by BOTH sides
+      (8L, 9.0, false, "train"))
+      .toDF("doc_id", "logit", "actual", "split")
+    val grid = Seq(-2.0, 0.0, 1.0, 3.0)
+    // val sweep: t=-2 keeps all 4 (P=.75, R=1, F1=.857143) and beats
+    // t=1 (P=1, R=.666667, F1=.8) — the winner the optimizer sees
+    val mf = Curation.operatingPointCertified(scored, grid)
+      .as[(String, Double, Option[Double], Option[Double], Option[Double],
+        Long, Long, Long, Option[Double], Option[Double], Option[Double])].collect()
+    assert(mf.length === 1)
+    val r = mf.head
+    assert(r._1 === "max_f1" && r._2 === -2.0)
+    assert(r._5 === Some(0.857143), s"selection f1: $r")
+    // certified on test at t=-2: kept 3, tp 2, n_pos 2 -> P=.666667,
+    // R=1, F1=.8 — the honest number is BELOW the selection's .857143
+    assert((r._6, r._7, r._8) === ((3L, 2L, 2L)))
+    assert(r._9 === Some(0.666667) && r._10 === Some(1.0) && r._11 === Some(0.8),
+      s"certified metrics must come from the disjoint split: $r")
+    // precision floor 1.0: only t=1 qualifies on val; certified at t=1
+    // the test slice keeps doc 5 alone (P=1, R=.5, F1=.666667)
+    val pf = Curation.operatingPointCertified(scored, grid,
+        Curation.OpObjective.PrecisionFloor(1.0))
+      .as[(String, Double, Option[Double], Option[Double], Option[Double],
+        Long, Long, Long, Option[Double], Option[Double], Option[Double])].head()
+    assert(pf._1 === "precision_floor" && pf._2 === 1.0)
+    assert((pf._6, pf._7, pf._8) === ((1L, 2L, 1L)) && pf._11 === Some(0.666667))
+    // nothing qualifies on the selection split -> empty, never a fallback
+    assert(Curation.operatingPointCertified(scored, Seq(9.0)).count() === 0L)
+    // selecting and certifying on the same split is the hole this
+    // face exists to close — loud contract error
+    intercept[IllegalArgumentException](Curation.operatingPointCertified(
+      scored, grid, selectSplit = "test", certifySplit = "test"))
+  }
+
   test("averagePrecisionBy: per-group step AP walks independently; the global face rejects grouped input") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // g1: the averagePrecision fixture; g2: a clean separator
