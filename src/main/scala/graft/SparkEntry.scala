@@ -3746,6 +3746,18 @@ object SparkEntry {
         .unionByName(graft.ops.Curation.operatingPoint(sweep,
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
+    "q_classifier_drift_signals" -> { (s, dir) =>
+      // the measurement leg of the classifier's refresh loop: each
+      // source's drop rate under the frozen gate at bias 0 — the
+      // refreshDue-grain signal rows the streaming classifierDrift
+      // opt-in records per batch
+      val d = withDomain(docs(s, dir))
+      val gate = graft.ops.Curation.ClassifierGate(
+        graft.ops.Curation.classifierWeights(
+          d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+      graft.ops.Curation.classifierDriftSignals(
+        d, d.join(gate.keptIds(d), Seq("doc_id"), "left_semi"))
+    },
     "q_operating_point_certified" -> { (s, dir) =>
       // holdout discipline: split 50/25/25 by md5(doc_id), SELECT the
       // point on the val slice, CERTIFY its metrics on the disjoint
@@ -5591,6 +5603,18 @@ object SparkEntry {
          |SELECT 'precision_floor', threshold, n_kept, n_pos, tp, precision, recall, f1
          |FROM (SELECT * FROM swp WHERE precision IS NOT NULL AND precision >= 0.9
          |      AND recall IS NOT NULL ORDER BY recall DESC, threshold ASC LIMIT 1)""".stripMargin,
+    "q_classifier_drift_signals" ->
+      // twin of classifierDriftSignals under the bias-0 gate: keep =
+      // coalesce(logit >= 0, false) (featureless docs never keep),
+      // per-source drop fraction rounded 6dp
+      s"""WITH $CLS_CTES,
+         |cdk AS (SELECT d.doc_id, d.source,
+         |    coalesce(CAST(CAST(sc.logit AS DECIMAL(18,6)) AS DOUBLE) >= 0.0, false) AS keep
+         |  FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)
+         |SELECT 'classifier:' || source AS artifact, 'drop_rate' AS metric,
+         |  round(CAST(count(*) - sum(CASE WHEN keep THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS value
+         |FROM cdk WHERE source IS NOT NULL GROUP BY source""".stripMargin,
     "q_operating_point_certified" ->
       // twin of operatingPointCertified(50/25/25): ONE split-keyed
       // sweep grid (hsw) feeds both the val-slice winner pick and the

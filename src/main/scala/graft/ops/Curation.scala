@@ -1371,6 +1371,38 @@ object Curation {
       .select(col("st.stage_idx"), col("st.stage"), col("st.n_docs"), col("st.n_tokens"))
   }
 
+  /** Per-source DRIFT SIGNALS for a serving classifier gate — the
+    * measurement leg of the classifier's refresh loop, in
+    * [[TextAnalysis.refreshDue]]'s `(artifact, metric, value)` grain
+    * (the [[TextAnalysis.unkRefreshSignals]] shape, artifact
+    * `classifier:<source>`, metric `drop_rate`): from the gate's INPUT
+    * rows (`before`) and its SURVIVORS (`after`), each source's
+    * fraction dropped, 6dp-rounded. A gate whose weights froze while a
+    * feed's distribution moved shows it here first — the drop rate is
+    * the gate's OBSERVED behavior, so the signal needs no labels and
+    * no second scoring pass. Declare per-source thresholds as
+    * `(classifier:<source>, drop_rate, t)` rows and
+    * [[graft.streaming.ClassifierRefresher.retrainIfDue]] acts on the
+    * recorded decision. NULL-`keyCol` rows drop from both sides (a
+    * NULL source would make a NULL artifact name); sources absent from
+    * `after` read `drop_rate = 1` — a wiped-out feed is exactly the
+    * loudest signal. Two source-keyed combinable aggregates + a
+    * source-sized join; at stream cadence both inputs are the batch's
+    * already-materialized stage frames. */
+  def classifierDriftSignals(
+      before: DataFrame, after: DataFrame,
+      keyCol: String = "source", prefix: String = "classifier:"): DataFrame = {
+    val inn = before.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("n_in"))
+    val kept = after.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("k")).agg(count(lit(1)).as("n_kept"))
+    inn.join(kept, Seq("k"), "left")
+      .select(concat(lit(prefix), col("k")).as("artifact"),
+        lit("drop_rate").as("metric"),
+        round((col("n_in") - coalesce(col("n_kept"), lit(0L))).cast("double") /
+          col("n_in"), 6).as("value"))
+  }
+
   // ---- model-based quality classifier ----------------------------------
 
   /** Hashed unigram + bigram feature stream: one row per feature

@@ -428,6 +428,21 @@ object CorpusWatcher {
     * [[TokenizerRefresher.retrainIfDue]] acts on it with no
     * hand-assembled signal plumbing. Declare per-source thresholds as
     * `(tokenizer:<source>, unk_rate, t)` rows in `refreshThresholds`.
+    *
+    * Classifier drift signals (`classifierDrift`, needs
+    * `classifierGate` + `refreshDir`): the serving gate measures its
+    * OWN behavior per batch — each source's drop rate
+    * ([[graft.ops.Curation.classifierDriftSignals]], computed from the
+    * already-staged gate input/survivor frames, no new scan) — and the
+    * resulting `classifier:<source>` rows join the same
+    * refresh-decision partition. This closes the FOURTH artifact
+    * family's loop: a frozen weight table whose feed moved shows up as
+    * a climbing drop rate, the recorded decision triggers
+    * [[ClassifierRefresher.retrainIfDue]] (retrain + re-sweep +
+    * version + repoint), and the next stream bootstrap resolves the
+    * new weights through [[ClassifierRefresher.servingGate]]. Declare
+    * per-source thresholds as `(classifier:<source>, drop_rate, t)`
+    * rows in `refreshThresholds`.
     */
   def startJsonl(
       spark: SparkSession,
@@ -470,7 +485,8 @@ object CorpusWatcher {
       refreshDir: Option[String] = None,
       refreshThresholds: Option[DataFrame] = None,
       sitemapDiscovery: Boolean = false,
-      unkVocab: Option[Seq[String]] = None): StreamingQuery = {
+      unkVocab: Option[Seq[String]] = None,
+      classifierDrift: Boolean = false): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -492,6 +508,9 @@ object CorpusWatcher {
       "refreshDir consumes the per-batch drift row: pass driftDir and refreshThresholds with it")
     require(unkVocab.isEmpty || refreshDir.isDefined,
       "unkVocab feeds tokenizer refresh decisions: pass refreshDir with it")
+    require(!classifierDrift || (classifierGate.isDefined && refreshDir.isDefined),
+      "classifierDrift measures the classifier gate's per-source drop rates " +
+        "into refresh decisions: pass classifierGate and refreshDir with it")
     require(!sitemapDiscovery || frontierDir.isDefined,
       "sitemapDiscovery seeds the frontier stage: pass frontierDir with it")
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
@@ -1115,7 +1134,20 @@ object CorpusWatcher {
                 graft.ops.TextAnalysis.unkRefreshSignals(
                   graft.ops.WordPiece.unkSignals(admitted, v, tok = tok)))
             }
-            graft.ops.TextAnalysis.refreshDue(signals, refreshThresholds.get)
+            // the CLASSIFIER leg (`classifierDrift`): this batch's
+            // per-source drop rates under the serving gate —
+            // `classifier:<source>` rows in the SAME decision
+            // partition, the input [[ClassifierRefresher.retrainIfDue]]
+            // acts on. Both frames are the batch's already-staged
+            // stage ledger entries, so the cost is two source-keyed
+            // aggregates over checkpointed blocks, no new scan.
+            // Declare thresholds as `(classifier:<source>, drop_rate,
+            // t)` rows in `refreshThresholds`.
+            val signals2 =
+              if (!classifierDrift) signals
+              else signals.unionByName(
+                graft.ops.Curation.classifierDriftSignals(clean, scored))
+            graft.ops.TextAnalysis.refreshDue(signals2, refreshThresholds.get)
               .coalesce(1).write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
           }
         }

@@ -757,6 +757,87 @@ class CorpusWatcherSpec extends SparkSpec {
       "tokenizer:srcA", live, retrainCorpus, vroot) === None)
   }
 
+  test("classifierDrift: the stream records classifier:<source> decisions; retrainIfDue retrains, re-sweeps and repoints; servingGate serves the new version") {
+    import graft.streaming.{ArtifactVersions, ClassifierRefresher}
+    val (watch, index, ckpt, quar, drift, refresh) =
+      (tmp("watchcd"), tmp("indexcd"), tmp("ckptcd"), tmp("quarcd") + "/bad",
+        tmp("driftcd") + "/drift", tmp("refreshcd") + "/refresh")
+    // v0 model: keeps alpha-ish text, drops zig-ish text
+    val posV0 = Seq((1L, "alpha beta gamma delta alpha beta"),
+      (2L, "alpha gamma delta beta gamma")).toDF("doc_id", "text")
+    val negV0 = Seq((3L, "zig zag zonk quux zig"),
+      (4L, "zag zonk quux zig zag")).toDF("doc_id", "text")
+    val vroot = java.nio.file.Files.createTempDirectory("graft-cdv-").toString + "/cls"
+    // cold-start layout: the offline trainer writes under the root
+    graft.ops.Curation.classifierWeights(posV0, negV0)
+      .coalesce(1).write.parquet(s"$vroot/weights")
+    val thr = Seq(("index", "js", 1000.0), ("classifier:srcA", "drop_rate", 0.5))
+      .toDF("artifact", "metric", "threshold")
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      classifierGate = Some(ClassifierRefresher.servingGate(spark, vroot)),
+      driftDir = Some(drift), refreshDir = Some(refresh),
+      refreshThresholds = Some(thr), classifierDrift = true).awaitTermination()
+    // batch 0: srcA matches the serving model — drop rate 0, not due
+    Files.write(Paths.get(watch, "cd-0.json"),
+      """{"doc_id": 70, "text": "alpha beta gamma delta alpha", "source": "srcA"}"""
+        .getBytes("UTF-8"))
+    run()
+    // batch 1: srcA's distribution flipped to zig-ish — the gate drops
+    // everything, drop_rate 1.0 crosses the 0.5 threshold
+    Files.write(Paths.get(watch, "cd-1.json"),
+      ("""{"doc_id": 71, "text": "zig zag zonk quux zig zag", "source": "srcA"}""" + "\n" +
+        """{"doc_id": 72, "text": "zag zig quux zonk zag zig", "source": "srcA"}""" + "\n")
+        .getBytes("UTF-8"))
+    run()
+    val dec = CorpusWatcher.refreshDecisions(spark, refresh)
+      .filter(col("artifact") === "classifier:srcA")
+      .select(col("batch_id").cast("long"), col("value"), col("due"))
+      .as[(Long, Double, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(dec(0L) === ((0.0, false)), "the matching batch must not trigger")
+    assert(dec(1L) === ((1.0, true)), "the drifted batch must record a due decision")
+    // the gate really dropped the drifted docs (stream behavior, not
+    // just measurement): only doc 70 reached the index
+    assert(CorpusWatcher.currentIndex(spark, index)
+      .select("doc_id").distinct().as[String].collect().toSet === Set("70"))
+    // ACT: retrain over the CURRENT labeled distribution, re-sweep the
+    // operating point against the NEW weights, version + repoint
+    val posV1 = Seq((11L, "zig zag zonk quux zig zag"),
+      (12L, "zag zonk zig quux zonk")).toDF("doc_id", "text")
+    val labeled = Seq((21L, "zig zag zonk quux", true),
+      (22L, "zag zig zonk zig", true), (23L, "alpha beta gamma delta", false))
+      .toDF("doc_id", "text", "actual")
+    val out = ClassifierRefresher.retrainIfDue(spark, refresh, "classifier:srcA",
+      posV1, posV0, vroot, labeled = Some(labeled))
+    assert(out === Some(s"$vroot/v1"))
+    assert(ArtifactVersions.current(spark, vroot) === Some("v1"))
+    val point = spark.read.parquet(s"$vroot/v1/operating_point")
+      .select("objective", "threshold").as[(String, Double)].collect()
+    assert(point.length === 1 && point.head._1 === "max_f1")
+    // the re-resolved serving gate now KEEPS the drifted distribution
+    // the old gate dropped — the loop measurably fixed the gate
+    val gate2 = ClassifierRefresher.servingGate(spark, vroot)
+    val drifted = Seq((71L, "zig zag zonk quux zig zag"))
+      .toDF("doc_id", "text")
+    assert(gate2.bias === point.head._2, "serving bias must be the stored point")
+    assert(gate2.keptIds(drifted).as[Long].collect().toSet === Set(71L))
+    assert(ClassifierRefresher.servingGate(spark, vroot)
+      .weights.count() === 1024L)
+    // replayed stable decision: nothing due, nothing written
+    assert(ClassifierRefresher.retrainIfDue(spark, refresh, "classifier:srcB",
+      posV1, posV0, vroot) === None)
+    // an interrupted (non-repointing) retrain stages a version but
+    // leaves serving on the committed one — blue/green
+    Seq(("classifier:srcA", "drop_rate", 0.9, 0.5, true))
+      .toDF("artifact", "metric", "value", "threshold", "due")
+      .write.mode("overwrite").parquet(s"$refresh/batch_id=7")
+    val staged = ClassifierRefresher.retrainIfDue(spark, refresh, "classifier:srcA",
+      posV1, posV0, vroot, repoint = false)
+    assert(staged === Some(s"$vroot/v7"))
+    assert(ArtifactVersions.current(spark, vroot) === Some("v1"),
+      "repoint=false must leave the pointer (and serving) untouched")
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")

@@ -924,6 +924,19 @@ class CurationSpec extends SparkSpec {
     assert(self.filter(col("status") =!= "unchanged").count() === 0L)
   }
 
+  test("classifierDriftSignals: per-source drop rates; wiped-out sources read 1.0; NULL sources drop") {
+    val before = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, null.asInstanceOf[String])).toDF("doc_id", "source")
+    val after = Seq((1L, "a"), (2L, "a"), (6L, null.asInstanceOf[String]))
+      .toDF("doc_id", "source")
+    val got = Curation.classifierDriftSignals(before, after)
+      .as[(String, String, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got === Map(
+      "classifier:a" -> (("drop_rate", 0.333333)),
+      "classifier:b" -> (("drop_rate", 1.0))),
+      s"hand rates must match: $got")
+  }
+
   test("dropAttribution: every dropped doc carries its first-failing stage; manifestDiffExplained names the rerouting stage per row") {
     // the designed corpus: attribution must cover EVERY drop, numbered
     // exactly as funnel reports the stages
