@@ -3801,6 +3801,22 @@ object SparkEntry {
         .unionByName(graft.ops.Curation.operatingPointsBy(sweep, "lang",
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
+    "q_operating_points_certified_by" -> { (s, dir) =>
+      // the per-group loop under holdout discipline: per-language
+      // points selected on the val slice, certified on the disjoint
+      // test slice — both objectives, one split-and-group-keyed grid
+      val d = withDomain(docs(s, dir))
+      val scored = graft.ops.Curation.classifierScore(d,
+          graft.ops.Curation.classifierWeights(
+            d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
+        .join(d.select(col("doc_id"), col("lang"),
+          (col("domain") =!= "web").as("actual")), Seq("doc_id"))
+        .withColumn("split", graft.ops.Sampling.splitCol("doc_id", 50, 25))
+      val grid = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
+      graft.ops.Curation.operatingPointsCertifiedBy(scored, grid, "lang")
+        .unionByName(graft.ops.Curation.operatingPointsCertifiedBy(scored, grid,
+          "lang", graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
+    },
     "q_classifier_score_by" -> { (s, dir) =>
       // the per-group loop CLOSED: sweepBy -> operatingPointsBy ->
       // every doc gated at ITS LANGUAGE's validated max-F1 threshold
@@ -5681,6 +5697,60 @@ object SparkEntry {
          |        ORDER BY recall DESC, threshold ASC) AS rn
          |      FROM tbsw WHERE precision IS NOT NULL AND precision >= 0.9
          |        AND recall IS NOT NULL) WHERE rn = 1""".stripMargin,
+    "q_operating_points_certified_by" ->
+      // twin of operatingPointsCertifiedBy(lang, 50/25/25): one
+      // (lang, split, threshold) grid; per-lang val winners by the
+      // same (metric desc, threshold asc) order; certified metrics
+      // joined from the test slice on (lang, threshold); both
+      // objectives
+      s"""WITH $CLS_CTES,
+         |hbin AS MATERIALIZED (SELECT lang,
+         |    CAST(CAST(logit AS DECIMAL(18,6)) AS DOUBLE) AS logit,
+         |    (($DOMAIN_SQL) <> 'web') AS pos,
+         |    CASE WHEN hb < 50 THEN 'train' WHEN hb < 75 THEN 'val' ELSE 'test' END AS split
+         |  FROM (SELECT d.*, sc.logit AS logit,
+         |          CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100 AS hb
+         |        FROM documents d JOIN sc ON sc.doc_id = d.doc_id
+         |        WHERE d.lang IS NOT NULL)),
+         |hbth AS (SELECT * FROM (VALUES (CAST(-2.0 AS DOUBLE)), (-1.0), (0.0), (1.0), (2.0)) AS v(threshold)),
+         |hbag AS (SELECT lang, split, threshold,
+         |    CAST(sum(CASE WHEN logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |    CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         |    CAST(sum(CASE WHEN pos AND logit >= threshold THEN 1 ELSE 0 END) AS BIGINT) AS tp
+         |  FROM hbin CROSS JOIN hbth WHERE split IN ('val', 'test')
+         |  GROUP BY lang, split, threshold),
+         |hbpr AS (SELECT *,
+         |    round(CAST(tp AS DOUBLE) / n_kept, 6) AS p0,
+         |    round(CAST(tp AS DOUBLE) / n_pos, 6) AS r0
+         |  FROM hbag),
+         |hbsw AS MATERIALIZED (SELECT lang, split, threshold, n_kept, n_pos, tp,
+         |  CASE WHEN n_kept > 0 THEN p0 END AS precision,
+         |  CASE WHEN n_pos > 0 THEN r0 END AS recall,
+         |  CASE WHEN n_kept > 0 AND n_pos > 0 AND (p0 + r0) > 0
+         |       THEN round(2.0 * p0 * r0 / (p0 + r0), 6) END AS f1
+         |  FROM hbpr),
+         |hbw1 AS (SELECT lang, 'max_f1' AS objective, threshold,
+         |    precision AS sel_precision, recall AS sel_recall, f1 AS sel_f1
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |          ORDER BY f1 DESC, threshold ASC) AS rn
+         |        FROM hbsw WHERE split = 'val' AND f1 IS NOT NULL) WHERE rn = 1),
+         |hbw2 AS (SELECT lang, 'precision_floor' AS objective, threshold,
+         |    precision AS sel_precision, recall AS sel_recall, f1 AS sel_f1
+         |  FROM (SELECT *, row_number() OVER (PARTITION BY lang
+         |          ORDER BY recall DESC, threshold ASC) AS rn
+         |        FROM hbsw WHERE split = 'val' AND precision IS NOT NULL
+         |          AND precision >= 0.9 AND recall IS NOT NULL) WHERE rn = 1)
+         |SELECT w.lang, w.objective, w.threshold,
+         |  w.sel_precision, w.sel_recall, w.sel_f1,
+         |  c.n_kept, c.n_pos, c.tp, c.precision, c.recall, c.f1
+         |FROM hbw1 w JOIN hbsw c ON c.split = 'test'
+         |  AND c.lang = w.lang AND c.threshold = w.threshold
+         |UNION ALL
+         |SELECT w.lang, w.objective, w.threshold,
+         |  w.sel_precision, w.sel_recall, w.sel_f1,
+         |  c.n_kept, c.n_pos, c.tp, c.precision, c.recall, c.f1
+         |FROM hbw2 w JOIN hbsw c ON c.split = 'test'
+         |  AND c.lang = w.lang AND c.threshold = w.threshold""".stripMargin,
     "q_classifier_score_by" ->
       // twin of classifierScoreBiased under per-lang max-F1 points:
       // the per-lang sweep/winner CTEs (q_operating_points_by's) feed

@@ -880,26 +880,39 @@ object Curation {
     * list, never data-sized. */
   def thresholdSweep(
       scored: DataFrame, thresholds: Seq[Double],
-      actualCol: String = "actual"): DataFrame = {
-    require(thresholds.nonEmpty, "thresholdSweep needs at least one threshold")
+      actualCol: String = "actual"): DataFrame =
+    sweepGrid(scored, thresholds, Nil, actualCol)
+
+  /** The ONE sweep aggregation all the sweep faces share: one scan ×
+    * the broadcast threshold grid into one combinable aggregate keyed
+    * by `keys :+ threshold` (keys = none for the global sweep, the
+    * group for [[thresholdSweepBy]], group + split for the certified
+    * per-group grid). NULL-key rows drop with the unscored/unlabeled;
+    * metrics are the 6dp-rounded [[classificationReport]] recipe. */
+  private def sweepGrid(
+      scored: DataFrame, thresholds: Seq[Double],
+      keys: Seq[String], actualCol: String): DataFrame = {
+    require(thresholds.nonEmpty, "the sweep needs at least one threshold")
     val spark = scored.sparkSession
     import spark.implicits._
     val thr = broadcast(thresholds.distinct.toDF("threshold"))
     val prec = round(col("tp").cast("double") / col("n_kept"), 6)
     val rec = round(col("tp").cast("double") / col("n_pos"), 6)
-    scored.where(col("logit").isNotNull && col(actualCol).isNotNull)
-      .select(col("logit"), col(actualCol).cast("boolean").as("pos"))
+    scored.where(keys.map(col(_).isNotNull)
+        .foldLeft(col("logit").isNotNull && col(actualCol).isNotNull)(_ && _))
+      .select(keys.map(col) ++
+        Seq(col("logit"), col(actualCol).cast("boolean").as("pos")): _*)
       .crossJoin(thr)
-      .groupBy(col("threshold"))
+      .groupBy(keys.map(col) :+ col("threshold"): _*)
       .agg(
         sum((col("logit") >= col("threshold")).cast("long")).as("n_kept"),
         sum(col("pos").cast("long")).as("n_pos"),
         sum((col("pos") && col("logit") >= col("threshold")).cast("long")).as("tp"))
-      .select(col("threshold"), col("n_kept"), col("n_pos"), col("tp"),
+      .select(keys.map(col) ++ Seq(col("threshold"), col("n_kept"), col("n_pos"), col("tp"),
         when(col("n_kept") > 0, prec).as("precision"),
         when(col("n_pos") > 0, rec).as("recall"),
         when(col("n_kept") > 0 && col("n_pos") > 0 && (prec + rec) > 0,
-          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
+          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1")): _*)
   }
 
   /** [[thresholdSweep]] PER GROUP — the per-domain tuning face: one
@@ -914,28 +927,8 @@ object Curation {
     * aggregate, now keyed by (group, threshold). */
   def thresholdSweepBy(
       scored: DataFrame, thresholds: Seq[Double],
-      groupCol: String, actualCol: String = "actual"): DataFrame = {
-    require(thresholds.nonEmpty, "thresholdSweepBy needs at least one threshold")
-    val spark = scored.sparkSession
-    import spark.implicits._
-    val thr = broadcast(thresholds.distinct.toDF("threshold"))
-    val prec = round(col("tp").cast("double") / col("n_kept"), 6)
-    val rec = round(col("tp").cast("double") / col("n_pos"), 6)
-    scored.where(col("logit").isNotNull && col(actualCol).isNotNull &&
-        col(groupCol).isNotNull)
-      .select(col(groupCol), col("logit"), col(actualCol).cast("boolean").as("pos"))
-      .crossJoin(thr)
-      .groupBy(col(groupCol), col("threshold"))
-      .agg(
-        sum((col("logit") >= col("threshold")).cast("long")).as("n_kept"),
-        sum(col("pos").cast("long")).as("n_pos"),
-        sum((col("pos") && col("logit") >= col("threshold")).cast("long")).as("tp"))
-      .select(col(groupCol), col("threshold"), col("n_kept"), col("n_pos"), col("tp"),
-        when(col("n_kept") > 0, prec).as("precision"),
-        when(col("n_pos") > 0, rec).as("recall"),
-        when(col("n_kept") > 0 && col("n_pos") > 0 && (prec + rec) > 0,
-          round(lit(2.0) * prec * rec / (prec + rec), 6)).as("f1"))
-  }
+      groupCol: String, actualCol: String = "actual"): DataFrame =
+    sweepGrid(scored, thresholds, Seq(groupCol), actualCol)
 
   /** [[operatingPoint]] PER GROUP over a [[thresholdSweepBy]] output:
     * one winning row per group value, same objectives and the same
@@ -969,6 +962,52 @@ object Curation {
         col("w.n_pos").as("n_pos"), col("w.tp").as("tp"),
         col("w.precision").as("precision"), col("w.recall").as("recall"),
         col("w.f1").as("f1"))
+  }
+
+  /** [[operatingPointCertified]] PER GROUP — holdout discipline for
+    * the per-domain selection loop: each group's threshold is selected
+    * on the `selectSplit` slice ([[operatingPointsBy]] semantics, same
+    * `max_by` tiebreak) and CERTIFIED on the disjoint `certifySplit`
+    * slice, so per-language points ship with numbers their selection
+    * never saw. One row per group that qualifies on the selection
+    * slice: `(<groupCol>, objective, threshold, sel_precision,
+    * sel_recall, sel_f1, n_kept, n_pos, tp, precision, recall, f1)` —
+    * unsuffixed = certified; groups absent from the certification
+    * slice drop (no disjoint data = no certifiable point, absence is
+    * the honest answer).
+    *
+    * Plan: ONE corpus scan — the shared sweep aggregate keyed by
+    * (group, split, threshold), materialized under `mat` as a
+    * policy-sized grid — feeds both the per-group winner pick and the
+    * certification join on (group, threshold). */
+  def operatingPointsCertifiedBy(
+      scored: DataFrame,
+      thresholds: Seq[Double],
+      groupCol: String,
+      objective: OpObjective = OpObjective.MaxF1,
+      splitCol: String = "split",
+      selectSplit: String = "val",
+      certifySplit: String = "test",
+      actualCol: String = "actual",
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(selectSplit != certifySplit,
+      s"selectSplit and certifySplit must be disjoint, both are '$selectSplit' " +
+        "— certifying on the selection data is the hole this face closes")
+    val grid = Materialize(
+      sweepGrid(scored.where(col(splitCol).isin(selectSplit, certifySplit)),
+        thresholds, Seq(groupCol, splitCol), actualCol),
+      mat)
+    val win = operatingPointsBy(
+        grid.where(col(splitCol) === selectSplit).drop(splitCol), groupCol, objective)
+      .select(col(groupCol), col("objective"), col("threshold"),
+        col("precision").as("sel_precision"), col("recall").as("sel_recall"),
+        col("f1").as("sel_f1"))
+    win.join(grid.where(col(splitCol) === certifySplit).drop(splitCol),
+        Seq(groupCol, "threshold"))
+      .select(col(groupCol), col("objective"), col("threshold"),
+        col("sel_precision"), col("sel_recall"), col("sel_f1"),
+        col("n_kept"), col("n_pos"), col("tp"),
+        col("precision"), col("recall"), col("f1"))
   }
 
   /** Average precision over a [[thresholdSweep]] (or one group of a

@@ -105,6 +105,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.robotsSitemapsTableFunction)
     ext.injectTableFunction(GraftExtensions.urlTemplatesTableFunction)
     ext.injectTableFunction(GraftExtensions.crawlBudgetTableFunction)
+    ext.injectTableFunction(GraftExtensions.averagePrecisionTableFunction)
+    ext.injectTableFunction(GraftExtensions.operatingPointCertifiedTableFunction)
+    ext.injectTableFunction(GraftExtensions.manifestDiffExplainedTableFunction)
+    ext.injectTableFunction(GraftExtensions.classifierDriftTableFunction)
+    ext.injectTableFunction(GraftExtensions.searchPageServedTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -2123,6 +2128,148 @@ object GraftExtensions {
         graft.ops.Sampling.unimaxPlan(docs, srcCol, budget.toLong, maxEpochs))
     })
 
+  /** SQL surface for average precision —
+    *
+    * {{{
+    * SELECT * FROM graft_average_precision('scored', '-2,-1,0,1,2')          -- global
+    * SELECT * FROM graft_average_precision('scored', '-2,-1,0,1,2', 'lang')  -- per group
+    * }}}
+    *
+    * Sweeps the scored table (`logit` + `actual`; plus the group
+    * column in the 3-arg form) at the CSV thresholds, then walks the
+    * step AP — [[graft.ops.Curation.averagePrecision]] /
+    * [[graft.ops.Curation.averagePrecisionBy]]. */
+  private val averagePrecisionTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_average_precision"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_average_precision"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_average_precision(scored_table, thresholds_csv[, group_col])")
+      val str = stringArg("graft_average_precision") _
+      val scored = SparkSession.active.table(str(children(0), "scored_table"))
+      val ths = str(children(1), "thresholds_csv")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        if (children.size == 2)
+          graft.ops.Curation.averagePrecision(
+            graft.ops.Curation.thresholdSweep(scored, ths))
+        else {
+          val g = str(children(2), "group_col")
+          graft.ops.Curation.averagePrecisionBy(
+            graft.ops.Curation.thresholdSweepBy(scored, ths, g), g)
+        })
+    })
+
+  /** SQL surface for HOLDOUT-disciplined operating-point selection —
+    *
+    * {{{
+    * SELECT * FROM graft_operating_point_certified('scored', '-2,-1,0,1,2')       -- max-F1
+    * SELECT * FROM graft_operating_point_certified('scored', '-2,-1,0,1,2', 0.9)  -- precision floor
+    * }}}
+    *
+    * The named table needs `logit`, `actual` AND `split` (stamp with
+    * [[graft.ops.Sampling.splitCol]]); selects on `val`, certifies on
+    * `test` — [[graft.ops.Curation.operatingPointCertified]]. */
+  private val operatingPointCertifiedTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_operating_point_certified"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName,
+      "graft_operating_point_certified"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_operating_point_certified(scored_table, thresholds_csv[, min_precision])")
+      val str = stringArg("graft_operating_point_certified") _
+      val scored = SparkSession.active.table(str(children(0), "scored_table"))
+      val ths = str(children(1), "thresholds_csv")
+        .split(",").map(_.trim).filter(_.nonEmpty).map(_.toDouble).toSeq
+      val objective =
+        if (children.size == 2) graft.ops.Curation.OpObjective.MaxF1
+        else graft.ops.Curation.OpObjective.PrecisionFloor(
+          numArg("graft_operating_point_certified")(children(2), "min_precision"))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.operatingPointCertified(scored, ths, objective))
+    })
+
+  /** SQL surface for the stage-attributed manifest diff —
+    *
+    * {{{
+    * SELECT * FROM graft_manifest_diff_explained('ma', 'mb', 'drops_a', 'drops_b')
+    * }}}
+    *
+    * Manifests need `(doc_id, split)`; drop tables `(doc_id,
+    * stage_idx, stage)` — [[graft.ops.Curation.dropAttribution]] /
+    * `curateWithFunnel(attribution = true)` outputs. */
+  private val manifestDiffExplainedTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_manifest_diff_explained"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName,
+      "graft_manifest_diff_explained"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4,
+        "graft_manifest_diff_explained(table_a, table_b, drops_a, drops_b)")
+      val str = stringArg("graft_manifest_diff_explained") _
+      def t(i: Int, n: String) = SparkSession.active.table(str(children(i), n))
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.manifestDiffExplained(
+          t(0, "table_a"), t(1, "table_b"), t(2, "drops_a"), t(3, "drops_b")))
+    })
+
+  /** SQL surface for classifier drift measurement —
+    *
+    * {{{
+    * SELECT * FROM graft_classifier_drift('gate_in', 'gate_out')           -- key 'source'
+    * SELECT * FROM graft_classifier_drift('gate_in', 'gate_out', 'lang')   -- explicit key
+    * }}}
+    *
+    * Emits `classifier:<key>` / `drop_rate` refresh-signal rows —
+    * [[graft.ops.Curation.classifierDriftSignals]]. */
+  private val classifierDriftTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_classifier_drift"),
+    new ExpressionInfo(graft.ops.Curation.getClass.getName, "graft_classifier_drift"),
+    (children: Seq[Expression]) => {
+      require(children.size == 2 || children.size == 3,
+        "graft_classifier_drift(before_table, after_table[, key_col])")
+      val str = stringArg("graft_classifier_drift") _
+      val key = if (children.size == 3) str(children(2), "key_col") else "source"
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.ops.Curation.classifierDriftSignals(
+          SparkSession.active.table(str(children(0), "before_table")),
+          SparkSession.active.table(str(children(1), "after_table")), key))
+    })
+
+  /** SQL surface for the STORED-artifact result page —
+    *
+    * {{{
+    * SELECT * FROM graft_search_page_served('/store', '/docs', 'cat dog', 20)
+    * SELECT * FROM graft_search_page_served('/store', '/docs', 'cat dog', 20, 8)
+    * }}}
+    *
+    * Unlike the other TVFs the first two arguments are PATHS (the
+    * [[graft.index.IndexStore.saveSearchPageStore]] root and the
+    * doc-store parquet), not table names — the point of the served
+    * face is answering from artifacts no session has registered.
+    * HashPrefix layout (the serving default at scale). */
+  private val searchPageServedTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_search_page_served"),
+    new ExpressionInfo(graft.index.IndexStore.getClass.getName,
+      "graft_search_page_served"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4 || children.size == 5,
+        "graft_search_page_served(store_path, docs_path, query, k[, window])")
+      val str = stringArg("graft_search_page_served") _
+      val window = if (children.size == 5)
+        intArg("graft_search_page_served")(children(4), "window") else 10
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.IndexStore.searchPage(SparkSession.active,
+          str(children(0), "store_path"), str(children(1), "docs_path"),
+          str(children(2), "query"),
+          intArg("graft_search_page_served")(children(3), "k"), window,
+          layout = graft.index.IndexStore.HashPrefix))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -2177,7 +2324,10 @@ object GraftExtensions {
         packSequencesTableFunction, chunkTokensTableFunction,
         calibrationTableFunction, thresholdSweepTableFunction,
         operatingPointTableFunction, manifestDiffTableFunction,
-        snippetsTableFunction, searchPageTableFunction)
+        snippetsTableFunction, searchPageTableFunction,
+        averagePrecisionTableFunction, operatingPointCertifiedTableFunction,
+        manifestDiffExplainedTableFunction, classifierDriftTableFunction,
+        searchPageServedTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -59,6 +59,14 @@ object ClassifierRefresher {
     *   `v<batch>/operating_point` (empty when no threshold qualifies —
     *   [[servingGate]] then falls back to its default bias). Omitted =
     *   weights only; the caller owns re-validation.
+    * @param groupCol when the DEPLOYED gate thresholds per group (the
+    *   r17 `groupBiases` mode), pass the group column of `labeled` and
+    *   the retrain also re-sweeps PER GROUP
+    *   ([[graft.ops.Curation.operatingPointsBy]]) into
+    *   `v<batch>/operating_points_by` — so a per-language/per-source
+    *   deployment's whole operating-point TABLE refreshes with the
+    *   weights, not just the scalar default. [[servingGate]] loads it
+    *   as the gate's `groupBiases` automatically.
     * @param minBatchId cold-start guard, the
     *   [[EmbeddingIndexer.latestDue]] contract
     * @param repoint atomically commit `v<batch>` as current AFTER both
@@ -74,6 +82,7 @@ object ClassifierRefresher {
       versionsRoot: String,
       buckets: Int = 1024,
       labeled: Option[DataFrame] = None,
+      groupCol: Option[String] = None,
       thresholds: Seq[Double] = Seq(-2.0, -1.0, 0.0, 1.0, 2.0),
       objective: Curation.OpObjective = Curation.OpObjective.MaxF1,
       minBatchId: Long = 1L,
@@ -85,13 +94,21 @@ object ClassifierRefresher {
       labeled.foreach { lb =>
         // score against the COMMITTED artifact (read back), not the
         // lazy training frame — the stored point must describe exactly
-        // the weights a reader of this version will serve
-        val sweep = Curation.thresholdSweep(
+        // the weights a reader of this version will serve. Scored once
+        // (checkpointed, eval-sized) — the global point and the
+        // per-group table both consume it.
+        val keep = col("doc_id") +: col("actual") +: groupCol.map(col).toSeq
+        val scored = graft.core.Materialize(
           Curation.classifierScore(lb, session.read.parquet(s"$out/weights"), buckets)
-            .join(lb.select(col("doc_id"), col("actual")), Seq("doc_id")),
-          thresholds)
-        Curation.operatingPoint(sweep, objective)
+            .join(lb.select(keep: _*), Seq("doc_id")),
+          graft.core.Materialize.LocalCheckpoint)
+        Curation.operatingPoint(Curation.thresholdSweep(scored, thresholds), objective)
           .coalesce(1).write.mode("overwrite").parquet(s"$out/operating_point")
+        groupCol.foreach { g =>
+          Curation.operatingPointsBy(
+              Curation.thresholdSweepBy(scored, thresholds, g), g, objective)
+            .coalesce(1).write.mode("overwrite").parquet(s"$out/operating_points_by")
+        }
       }
       if (repoint) ArtifactVersions.repoint(session, versionsRoot, s"v$batch")
       out
@@ -110,9 +127,12 @@ object ClassifierRefresher {
     * the stored `servingDir/operating_point` when one exists (and is
     * non-empty), else `defaultBias`. Resolve once per stream/session
     * bootstrap — a metadata read plus a KB-sized parquet load — then
-    * the gate broadcasts into every batch as always. `groupBiases` /
-    * `groupCol` pass through to the gate unchanged (per-group points
-    * remain the caller's policy table). */
+    * the gate broadcasts into every batch as always. Per-group points:
+    * an explicit `groupBiases` wins; otherwise a stored
+    * `operating_points_by` table under the serving dir (written by a
+    * `groupCol`-aware retrain) is loaded automatically, its first
+    * column re-keyed to `groupCol` — the per-group deployment's whole
+    * threshold table refreshes with the weights. */
   def servingGate(
       session: SparkSession,
       versionsRoot: String,
@@ -121,14 +141,26 @@ object ClassifierRefresher {
       groupBiases: Option[DataFrame] = None,
       groupCol: String = "source"): Curation.ClassifierGate = {
     val dir = servingDir(session, versionsRoot)
+    val conf = session.sessionState.newHadoopConf()
     val opPath = new org.apache.hadoop.fs.Path(s"$dir/operating_point")
-    val fs = opPath.getFileSystem(session.sessionState.newHadoopConf())
+    val fs = opPath.getFileSystem(conf)
     val bias =
       if (!fs.exists(opPath)) defaultBias
       else session.read.parquet(s"$dir/operating_point")
         .select("threshold").collect().headOption
         .map(_.getDouble(0)).getOrElse(defaultBias)
+    // explicit groupBiases win; else a stored per-group table serves
+    // (first column re-keyed to this deployment's groupCol — the
+    // retrain-time and serving-time names need not match)
+    val gb = groupBiases.orElse {
+      val gbPath = new org.apache.hadoop.fs.Path(s"$dir/operating_points_by")
+      if (!gbPath.getFileSystem(conf).exists(gbPath)) None
+      else {
+        val stored = session.read.parquet(s"$dir/operating_points_by")
+        Some(stored.select(col(stored.columns.head).as(groupCol), col("threshold")))
+      }
+    }
     Curation.ClassifierGate(session.read.parquet(s"$dir/weights"),
-      buckets, bias, groupBiases, groupCol)
+      buckets, bias, gb, groupCol)
   }
 }

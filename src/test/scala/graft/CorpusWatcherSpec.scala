@@ -838,6 +838,45 @@ class CorpusWatcherSpec extends SparkSpec {
       "repoint=false must leave the pointer (and serving) untouched")
   }
 
+  test("ClassifierRefresher per-group points: a due retrain stores operating_points_by; servingGate serves it as the gate's groupBiases") {
+    import graft.streaming.{ArtifactVersions, ClassifierRefresher}
+    val rd = tmp("cdgrrd") + "/refresh"
+    Seq(("classifier:all", "drop_rate", 0.9, 0.5, true))
+      .toDF("artifact", "metric", "value", "threshold", "due")
+      .write.mode("overwrite").parquet(s"$rd/batch_id=3")
+    val pos = Seq((1L, "zig zag zonk quux zig zag"),
+      (2L, "zag zonk zig quux zonk")).toDF("doc_id", "text")
+    val neg = Seq((3L, "alpha beta gamma delta alpha"),
+      (4L, "beta gamma alpha delta beta")).toDF("doc_id", "text")
+    val labeled = Seq(
+      (11L, "zig zag zonk quux", true, "gA"), (12L, "zag zig zonk zig", true, "gA"),
+      (13L, "alpha beta gamma delta", false, "gA"),
+      (14L, "zig zag quux", true, "gB"), (15L, "alpha beta gamma", false, "gB"))
+      .toDF("doc_id", "text", "actual", "grp")
+    val vroot = java.nio.file.Files.createTempDirectory("graft-cdgr-").toString + "/cls"
+    val out = ClassifierRefresher.retrainIfDue(spark, rd, "classifier:all",
+      pos, neg, vroot, labeled = Some(labeled), groupCol = Some("grp"))
+    assert(out === Some(s"$vroot/v3"))
+    assert(ArtifactVersions.current(spark, vroot) === Some("v3"))
+    val pts = spark.read.parquet(s"$vroot/v3/operating_points_by")
+    assert(pts.select("grp").as[String].collect().toSet === Set("gA", "gB"),
+      "every labeled group must get a re-swept point")
+    // the resolved gate carries the STORED per-group table (re-keyed
+    // to the serving deployment's group column) and gates with it —
+    // parity with a hand-built gate over the same artifacts
+    val gate = ClassifierRefresher.servingGate(spark, vroot, groupCol = "grp")
+    assert(gate.groupBiases.isDefined,
+      "a stored operating_points_by must serve as groupBiases")
+    val hand = graft.ops.Curation.ClassifierGate(
+      spark.read.parquet(s"$vroot/v3/weights"), bias = gate.bias,
+      groupBiases = Some(pts.select(col("grp"), col("threshold"))), groupCol = "grp")
+    val probe = Seq((21L, "zig zag zonk quux", "gA"), (22L, "alpha beta gamma", "gA"),
+      (23L, "zig zag quux zonk", "gB")).toDF("doc_id", "text", "grp")
+    assert(gate.keptIds(probe).as[Long].collect().toSet ===
+      hand.keptIds(probe).as[Long].collect().toSet)
+    assert(gate.keptIds(probe).as[Long].collect().toSet.contains(21L))
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")

@@ -924,6 +924,87 @@ class CurationSpec extends SparkSpec {
     assert(self.filter(col("status") =!= "unchanged").count() === 0L)
   }
 
+  test("operatingPointsCertifiedBy: each group selects on val and certifies on disjoint test; parity with the global certified face per group") {
+    val scored = Seq(
+      ("g1", 1L, 2.0, true, "val"), ("g1", 2L, 1.5, true, "val"),
+      ("g1", 3L, 0.5, false, "val"), ("g1", 4L, -1.0, true, "val"),
+      ("g1", 5L, 2.0, true, "test"), ("g1", 6L, 0.5, true, "test"),
+      ("g1", 7L, 0.8, false, "test"),
+      ("g2", 8L, 2.0, true, "val"), ("g2", 9L, -1.0, false, "val"),
+      ("g2", 10L, 0.5, true, "test"), ("g2", 11L, -0.5, false, "test"))
+      .toDF("grp", "doc_id", "logit", "actual", "split")
+    val grid = Seq(-2.0, 0.0, 1.0, 3.0)
+    val got = Curation.operatingPointsCertifiedBy(scored, grid, "grp")
+      .as[(String, String, Double, Option[Double], Option[Double], Option[Double],
+        Long, Long, Long, Option[Double], Option[Double], Option[Double])]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got.keySet === Set("g1", "g2"))
+    // each group's row equals the GLOBAL certified face on its slice
+    Seq("g1", "g2").foreach { g =>
+      val alone = Curation.operatingPointCertified(
+          scored.filter(col("grp") === g).drop("grp"), grid)
+        .as[(String, Double, Option[Double], Option[Double], Option[Double],
+          Long, Long, Long, Option[Double], Option[Double], Option[Double])].head()
+      val r = got(g)
+      assert((r._2, r._3, r._4, r._5, r._6, r._7, r._8, r._9, r._10, r._11, r._12) ===
+        ((alone._1, alone._2, alone._3, alone._4, alone._5, alone._6, alone._7,
+          alone._8, alone._9, alone._10, alone._11)), g)
+    }
+    // a group with no certification slice is ABSENT, never fabricated
+    val noTest = scored.filter(!(col("grp") === "g2" && col("split") === "test"))
+    assert(Curation.operatingPointsCertifiedBy(noTest, grid, "grp")
+      .select("grp").as[String].collect().toSet === Set("g1"))
+  }
+
+  test("SQL surface: the selection-loop TVFs match the Column API (average precision, certified point, explained diff, drift signals)") {
+    graft.plans.GraftExtensions.install(SparkSpec.spark)
+    val scored = Seq(
+      ("g1", 1L, 2.0, true, "val"), ("g1", 2L, 1.5, true, "val"),
+      ("g1", 3L, 0.5, false, "val"), ("g1", 4L, -1.0, true, "val"),
+      ("g1", 5L, 2.0, true, "test"), ("g1", 6L, 0.5, true, "test"),
+      ("g1", 7L, 0.8, false, "test"))
+      .toDF("grp", "doc_id", "logit", "actual", "split")
+    scored.createOrReplaceTempView("sel_scored")
+    val grid = Seq(-2.0, 0.0, 1.0, 3.0)
+    val csv = "-2,0,1,3"
+    assert(SparkSpec.spark.sql(
+        s"SELECT * FROM graft_average_precision('sel_scored', '$csv')")
+      .collect().toSeq ===
+      Curation.averagePrecision(Curation.thresholdSweep(scored, grid)).collect().toSeq)
+    assert(SparkSpec.spark.sql(
+        s"SELECT * FROM graft_average_precision('sel_scored', '$csv', 'grp')")
+      .collect().toSet ===
+      Curation.averagePrecisionBy(
+        Curation.thresholdSweepBy(scored, grid, "grp"), "grp").collect().toSet)
+    assert(SparkSpec.spark.sql(
+        s"SELECT * FROM graft_operating_point_certified('sel_scored', '$csv')")
+      .collect().toSeq ===
+      Curation.operatingPointCertified(scored, grid).collect().toSeq)
+    assert(SparkSpec.spark.sql(
+        s"SELECT * FROM graft_operating_point_certified('sel_scored', '$csv', 1.0)")
+      .collect().toSeq ===
+      Curation.operatingPointCertified(scored, grid,
+        Curation.OpObjective.PrecisionFloor(1.0)).collect().toSeq)
+    val ma = Seq((1L, "train"), (3L, "test")).toDF("doc_id", "split")
+    val mb = Seq((1L, "train"), (4L, "test")).toDF("doc_id", "split")
+    val da = Seq((4L, 6, "mixture")).toDF("doc_id", "stage_idx", "stage")
+    val db = Seq((3L, 5, "decontaminate")).toDF("doc_id", "stage_idx", "stage")
+    ma.createOrReplaceTempView("mde_a"); mb.createOrReplaceTempView("mde_b")
+    da.createOrReplaceTempView("mde_da"); db.createOrReplaceTempView("mde_db")
+    assert(SparkSpec.spark.sql(
+        "SELECT * FROM graft_manifest_diff_explained('mde_a', 'mde_b', 'mde_da', 'mde_db')")
+      .collect().toSet === Curation.manifestDiffExplained(ma, mb, da, db).collect().toSet)
+    val before = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("doc_id", "source")
+    val after = Seq((1L, "a")).toDF("doc_id", "source")
+    before.createOrReplaceTempView("cds_in"); after.createOrReplaceTempView("cds_out")
+    assert(SparkSpec.spark.sql(
+        "SELECT * FROM graft_classifier_drift('cds_in', 'cds_out')")
+      .collect().toSet === Curation.classifierDriftSignals(before, after).collect().toSet)
+    assert(SparkSpec.spark.sql(
+        "SELECT * FROM graft_classifier_drift('cds_in', 'cds_out', 'source')")
+      .collect().toSet === Curation.classifierDriftSignals(before, after).collect().toSet)
+  }
+
   test("classifierDriftSignals: per-source drop rates; wiped-out sources read 1.0; NULL sources drop") {
     val before = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
       (6L, null.asInstanceOf[String])).toDF("doc_id", "source")

@@ -213,6 +213,14 @@ class SourcesAndStoreSpec extends SparkSpec {
         s"a postings scan read ${sc.metrics("numFiles").value} files — " +
           "pruning must bound it at one directory per distinct query term")
     }
+    // SQL surface: path-literal TVF, both arities, parity with the API
+    graft.plans.GraftExtensions.install(spark)
+    assert(spark.sql(
+        s"SELECT * FROM graft_search_page_served('$base/store', '$base/docs', 'cat dog', 2, 4)")
+      .as[(Int, Long, Double, Long, Long, Long, String)].collect().toSet === want)
+    assert(spark.sql(
+        s"SELECT * FROM graft_search_page_served('$base/store', '$base/docs', 'cat dog', 2)")
+      .count() === 2L)
   }
 
   test("only the matching partition directory is scanned") {
