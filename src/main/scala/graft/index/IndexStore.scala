@@ -129,14 +129,35 @@ object IndexStore {
     * Compute once per index snapshot (the [[InvertedIndex.docLengths]]
     * artifact discipline); re-save on index refresh. */
   def saveSearchPageStore(
-      docs: DataFrame, path: String, layout: Layout = FirstChar): Unit = {
-    val spark = docs.sparkSession
-    savePositional(graft.index.InvertedIndex.buildPositional(docs),
-      s"$path/postings", layout)
+      docs: DataFrame, path: String, layout: Layout = FirstChar): Unit =
+    saveSearchPageStoreCore(docs.sparkSession,
+      graft.index.InvertedIndex.buildPositional(docs),
+      docs.agg(count(lit(1)).cast("double").as("n_docs")), path, layout)
+
+  /** [[saveSearchPageStore]] from an ALREADY-BUILT positional index —
+    * the streaming export face: [[graft.streaming.CorpusWatcher]]
+    * maintains `buildPositional` snapshots incrementally, so turning
+    * the CURRENT snapshot into a serving store must not re-tokenize
+    * the corpus it took the stream a lifetime to accumulate. `nDocs`
+    * is the corpus size BM25's N should use — pass the doc-store
+    * count; the index alone cannot see tokenless documents. Cost: one
+    * repartition-by-prefix write of the index + one combinable
+    * aggregate over it. */
+  def saveSearchPageStoreFromIndex(
+      posIndex: DataFrame, nDocs: Long, path: String,
+      layout: Layout = FirstChar): Unit =
+    saveSearchPageStoreCore(posIndex.sparkSession, posIndex,
+      posIndex.sparkSession.range(1).select(lit(nDocs.toDouble).as("n_docs")),
+      path, layout)
+
+  private def saveSearchPageStoreCore(
+      spark: SparkSession, posIndex: DataFrame, nDocsF: DataFrame,
+      path: String, layout: Layout): Unit = {
+    savePositional(posIndex, s"$path/postings", layout)
     graft.index.InvertedIndex.docLengths(
         spark.read.parquet(s"$path/postings").select("word", "doc_id", "cnt"))
       .write.mode("overwrite").parquet(s"$path/doc_lengths")
-    docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    nDocsF
       .crossJoin(spark.read.parquet(s"$path/doc_lengths")
         .agg(sum("dl").as("sum_dl"), count(lit(1)).as("n_lens")))
       .coalesce(1).write.mode("overwrite").parquet(s"$path/stats")

@@ -1565,6 +1565,24 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(graft.index.InvertedIndex.phraseSearch(snap1, "cat dog").count() === 0L)
     assert(snap1.filter(col("doc_id") === "60" && col("word") === "cat")
       .select("positions").as[Seq[Int]].head() === Seq(0))
+    // streaming → serving: the CURRENT snapshot exports as a full
+    // search-page store WITHOUT re-tokenizing the accumulated corpus,
+    // and the served page equals the in-plan face over the same docs
+    val store = tmp("storeposx")
+    val docsNow = Seq(("60", "cat bird dog"), ("61", "dog cat"))
+      .toDF("doc_id", "text")
+    docsNow.write.mode("overwrite").parquet(s"$store/docs")
+    graft.index.IndexStore.saveSearchPageStoreFromIndex(
+      snap1, nDocs = 2L, s"$store/sp", graft.index.IndexStore.HashPrefix)
+    val served = graft.index.IndexStore.searchPage(spark, s"$store/sp",
+        s"$store/docs", "cat dog", k = 2, window = 3,
+        layout = graft.index.IndexStore.HashPrefix)
+      .as[(Int, String, Double, Long, Long, Long, String)].collect().toSet
+    val want = graft.index.InvertedIndex.searchPage(docsNow, "cat dog",
+        k = 2, window = 3)
+      .as[(Int, String, Double, Long, Long, Long, String)].collect().toSet
+    assert(served === want,
+      "the exported snapshot must serve the same page as the in-plan face")
   }
   test("unicodeTokens: non-Latin cross-batch dups drop; the ASCII mode would false-drop fresh text") {
     val ru = "\u043f\u0440\u0438\u0432\u0435\u0442 \u043c\u0438\u0440 \u044d\u0442\u043e \u0442\u0435\u0441\u0442\u043e\u0432\u044b\u0439 \u0434\u043e\u043a\u0443\u043c\u0435\u043d\u0442 \u043e \u043b\u0438\u0441\u0435"
