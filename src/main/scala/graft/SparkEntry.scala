@@ -1446,6 +1446,36 @@ object SparkEntry {
        |JOIN snb b ON b.doc_id = pg.doc_id AND b.rn = 1
        |JOIN snt t ON t.doc_id = pg.doc_id""".stripMargin
 
+  /** Twin of hybridTopK(k=20, poolK=50, rrfK=60) — the q_bm25 arm
+    * and the q_sim_bruteforce arm (query vec_id=0), each cut at rank
+    * 50, fused by decimal RRF. Shared VERBATIM by q_hybrid_search
+    * (in-plan index build) and q_hybrid_search_served (the
+    * [[graft.index.IndexStore.hybridTopK]] stored-postings lexical
+    * arm): the two queries must HASH-EQUAL. */
+  private val HYBRID_TWIN =
+    s"""WITH $BM25_CTES,
+       |lex AS MATERIALIZED (SELECT doc_id, bm25_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS bm25_rank
+       |    FROM scores) WHERE bm25_rank <= 50),
+       |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+       |scored AS (SELECT c.vec_id AS doc_id,
+       |    round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
+       |      / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
+       |       * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6) AS cos
+       |  FROM (SELECT * FROM v WHERE vec_id = 0) q JOIN v c ON q.vec_id <> c.vec_id),
+       |sem AS MATERIALIZED (SELECT doc_id, cos_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS cos_rank
+       |    FROM scored) WHERE cos_rank <= 50),
+       |fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.bm25_rank, s.cos_rank,
+       |      coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.bm25_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+       |    + coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.cos_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS DOUBLE) AS rrf_score, rank
+       |FROM (SELECT doc_id, bm25_rank, cos_rank, rrf,
+       |        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+       |      FROM fused)
+       |WHERE rank <= 20""".stripMargin
+
   private val LM3_CTES =
     s"""rt AS MATERIALIZED (SELECT $TOKS AS ts FROM documents WHERE ($DOMAIN_SQL) <> 'web'),
        |r3 AS (SELECT ts[i] AS w1, ts[i+1] AS w2, ts[i+2] AS w3
@@ -2464,6 +2494,20 @@ object SparkEntry {
       InvertedIndex.hybridTopK(docs(s, dir), e,
         "fast hash join on a small table",
         e.filter(col("vec_id") === 0), k = 20, poolK = 50)
+    },
+    "q_hybrid_search_served" -> { (s, dir) =>
+      // the SAME hybrid page with the lexical arm served from the
+      // stored search-page store — no in-plan index build; must
+      // hash-equal q_hybrid_search
+      val tmp = java.nio.file.Files.createTempDirectory("graft-hys-")
+      tmp.toFile.deleteOnExit()
+      graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
+        graft.index.IndexStore.HashPrefix)
+      val e = emb(s, dir)
+      graft.index.IndexStore.hybridTopK(s, s"$tmp/store", e,
+        "fast hash join on a small table",
+        e.filter(col("vec_id") === 0), k = 20, poolK = 50,
+        layout = graft.index.IndexStore.HashPrefix)
     },
     "q_index_export_roundtrip" -> { (s, dir) =>
       // nested-JSON export codec (the reference's final_results.json
@@ -4030,35 +4074,10 @@ object SparkEntry {
     // scoring on the same positions; only the artifacts' origin differs
     "q_search_page_served" -> SEARCH_PAGE_TWIN,
 
-    "q_hybrid_search" ->
-      // twin of InvertedIndex.hybridTopK(k=20, poolK=50, rrfK=60): the
-      // q_bm25 arm and the q_sim_bruteforce arm (query vec_id=0), each
-      // cut at rank 50, fused by RRF with each reciprocal rounded 6dp
-      // into DECIMAL(18,6) before the sum (order-independent exact);
-      // reciprocals divide as DOUBLE on both engines (CAST shape —
-      // bare 1.0/60.0 would be DECIMAL division in DuckDB)
-      s"""WITH $BM25_CTES,
-         |lex AS MATERIALIZED (SELECT doc_id, bm25_rank FROM (
-         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS bm25_rank
-         |    FROM scores) WHERE bm25_rank <= 50),
-         |v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-         |scored AS (SELECT c.vec_id AS doc_id,
-         |    round(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * c.e[i]), (acc, x) -> acc + x)
-         |      / (sqrt(list_reduce(list_transform(generate_series(1, len(q.e)), i -> q.e[i] * q.e[i]), (acc, x) -> acc + x))
-         |       * sqrt(list_reduce(list_transform(generate_series(1, len(c.e)), i -> c.e[i] * c.e[i]), (acc, x) -> acc + x))), 6) AS cos
-         |  FROM (SELECT * FROM v WHERE vec_id = 0) q JOIN v c ON q.vec_id <> c.vec_id),
-         |sem AS MATERIALIZED (SELECT doc_id, cos_rank FROM (
-         |    SELECT doc_id, CAST(row_number() OVER (ORDER BY cos DESC, doc_id ASC) AS INTEGER) AS cos_rank
-         |    FROM scored) WHERE cos_rank <= 50),
-         |fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.bm25_rank, s.cos_rank,
-         |      coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.bm25_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
-         |    + coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.cos_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
-         |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
-         |SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS DOUBLE) AS rrf_score, rank
-         |FROM (SELECT doc_id, bm25_rank, cos_rank, rrf,
-         |        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
-         |      FROM fused)
-         |WHERE rank <= 20""".stripMargin,
+    "q_hybrid_search" -> HYBRID_TWIN,
+    // the SERVED face must hash-equal the in-plan face — one twin, two
+    // queries (the q_search_page_served discipline)
+    "q_hybrid_search_served" -> HYBRID_TWIN,
 
     "q_token_stats" ->
       s"""SELECT doc_id,

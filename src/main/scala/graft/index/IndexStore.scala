@@ -215,4 +215,43 @@ object IndexStore {
       .select(col("rank"), col("doc_id"), col("score"),
         col("start_pos"), col("n_terms"), col("n_hits"), col("snippet"))
   }
+
+  /** HYBRID lexical + semantic retrieval with the lexical arm SERVED
+    * from a [[saveSearchPageStore]] store — the RAG retrieval call
+    * without the per-query index build
+    * [[graft.index.InvertedIndex.hybridTopK]] pays: BM25 ranks the
+    * term-pruned stored postings against the stored lengths/stats
+    * artifacts ([[searchPage]]'s ranking path, cut at `poolK`), the
+    * semantic arm is the caller's embedding table (swap in
+    * [[graft.ops.Similarity.ivfTopK]] output via
+    * [[graft.index.InvertedIndex.hybridFromRankings]] at ANN scale),
+    * and reciprocal-rank fusion touches ≤ 2·poolK rows. Row values
+    * are IDENTICAL to the in-plan face on the same corpus (the oracle
+    * pins it). The store's doc ids must share the embeddings' vec_id
+    * domain — the in-plan face's contract, unchanged. */
+  def hybridTopK(
+      spark: SparkSession,
+      path: String,
+      embeddings: DataFrame,
+      queryText: String,
+      queryVec: DataFrame,
+      k: Int,
+      poolK: Int = 50,
+      rrfK: Int = 60,
+      layout: Layout = FirstChar): DataFrame = {
+    val terms = TextNorm.queryTerms(queryText).distinct
+    require(terms.nonEmpty, s"query '$queryText' has no indexable terms")
+    val pruned = spark.read.parquet(s"$path/postings")
+      .filter(col(PrefixCol).isin(terms.map(layout.prefixOf): _*) &&
+        col("word").isin(terms: _*))
+    val lex = graft.index.InvertedIndex.bm25TopKFromStore(
+        pruned.select("word", "doc_id", "cnt"),
+        spark.read.parquet(s"$path/doc_lengths"),
+        spark.read.parquet(s"$path/stats"),
+        queryText, poolK)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val sem = graft.ops.Similarity.bruteForceTopK(queryVec, embeddings, poolK)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("cos_rank"))
+    graft.index.InvertedIndex.hybridFromRankings(lex, sem, k, rrfK)
+  }
 }

@@ -72,4 +72,45 @@ object ArtifactVersions {
     * None before the first repoint. */
   def currentDir(session: SparkSession, root: String): Option[String] =
     current(session, root).map(v => s"$root/$v")
+
+  /** All VERSION children under `root` (`v<batch>` dirs /
+    * `v<batch>.json` files), oldest first by batch id. Cold-start
+    * artifacts living directly under the root (`weights`,
+    * `coarse_centroids`, …) are NOT versions and never list — so
+    * [[prune]] can never mistake the cold-start layout for history. */
+  def versions(session: SparkSession, root: String): Seq[String] = {
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(session.sessionState.newHadoopConf())
+    if (!fs.exists(rootPath)) Nil
+    else fs.listStatus(rootPath).map(_.getPath.getName).toSeq
+      .filter(_.matches("^v\\d+(\\..+)?$"))
+      .sortBy(batchOf)
+  }
+
+  private def batchOf(version: String): Long =
+    "^v(\\d+)".r.findFirstMatchIn(version).map(_.group(1).toLong)
+      .getOrElse(Long.MaxValue)
+
+  /** RETENTION for a versioned root — the blue/green loop's missing
+    * end: every retrain/rebuild appends a `v<batch>` sibling forever,
+    * so a long-lived deployment needs the old versions reclaimed.
+    * Deletes all but the NEWEST `keep` versions, and NEVER the pointer
+    * target (the serving version is kept even when it is older than
+    * every survivor — a just-staged-but-not-repointed newer version
+    * must not orphan what is live). Returns the deleted names. Call
+    * AFTER consumers have re-resolved [[currentDir]] — in-flight
+    * readers of a deleted version lose their files, which is why the
+    * default retention everywhere else in this module is "never
+    * touch old versions" and pruning is an explicit operator act. */
+  def prune(session: SparkSession, root: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"keep=$keep must be >= 1")
+    val rootPath = new Path(root)
+    val fs = rootPath.getFileSystem(session.sessionState.newHadoopConf())
+    val cur = current(session, root)
+    val vs = versions(session, root)
+    val keepSet = vs.takeRight(keep).toSet ++ cur
+    val victims = vs.filterNot(keepSet)
+    victims.foreach(v => fs.delete(new Path(rootPath, v), true))
+    victims
+  }
 }

@@ -877,6 +877,32 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(gate.keptIds(probe).as[Long].collect().toSet.contains(21L))
   }
 
+  test("ArtifactVersions retention: prune keeps the newest N plus the SERVING version; cold-start artifacts are never versions") {
+    import graft.streaming.ArtifactVersions
+    val root = java.nio.file.Files.createTempDirectory("graft-avp-").toString + "/art"
+    def mk(name: String): Unit = {
+      val d = new java.io.File(s"$root/$name"); d.mkdirs()
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$root/$name/part"), name)
+    }
+    // cold-start layout + four versions
+    mk("weights"); mk("v2"); mk("v5"); mk("v9"); mk("v11")
+    assert(ArtifactVersions.versions(spark, root) === Seq("v2", "v5", "v9", "v11"),
+      "cold-start children must not list as versions; order is by batch id")
+    // serving pinned to v5 (older than the newest two): prune(keep=2)
+    // reclaims only v2 — v5 survives BECAUSE it serves
+    ArtifactVersions.repoint(spark, root, "v5")
+    assert(ArtifactVersions.prune(spark, root, keep = 2) === Seq("v2"))
+    assert(ArtifactVersions.versions(spark, root) === Seq("v5", "v9", "v11"))
+    assert(new java.io.File(s"$root/weights").exists(),
+      "cold-start artifacts must survive any prune")
+    assert(ArtifactVersions.currentDir(spark, root) === Some(s"$root/v5"))
+    // after re-pointing forward, the old serving version becomes
+    // reclaimable like any other
+    ArtifactVersions.repoint(spark, root, "v11")
+    assert(ArtifactVersions.prune(spark, root, keep = 1) === Seq("v5", "v9"))
+    assert(ArtifactVersions.versions(spark, root) === Seq("v11"))
+  }
+
   test("re-uploading a document replaces its postings (upsert semantics)") {
     val (watch, index, ckpt) = (tmp("watch2"), tmp("index2"), tmp("ckpt2"))
     writeDoc(watch, "a.txt", "old words here")

@@ -221,6 +221,17 @@ class SourcesAndStoreSpec extends SparkSpec {
     assert(spark.sql(
         s"SELECT * FROM graft_search_page_served('$base/store', '$base/docs', 'cat dog', 2)")
       .count() === 2L)
+    // served HYBRID: the lexical arm from the SAME store; row parity
+    // with the in-plan fusion over identical arms
+    val e = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.9, 0.1)),
+      (3L, Array(0.0, 1.0)), (4L, Array(0.5, 0.5))).toDF("vec_id", "embedding")
+    val hybWant = InvertedIndex.hybridTopK(c, e, "cat dog",
+      e.filter($"vec_id" === 1L), k = 3, poolK = 3).collect().toSet
+    val hybServed = IndexStore.hybridTopK(spark, s"$base/store", e, "cat dog",
+      e.filter($"vec_id" === 1L), k = 3, poolK = 3,
+      layout = IndexStore.HashPrefix).collect().toSet
+    assert(hybServed === hybWant,
+      "the served hybrid page must be row-identical to the in-plan face")
   }
 
   test("only the matching partition directory is scanned") {
