@@ -110,6 +110,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.manifestDiffExplainedTableFunction)
     ext.injectTableFunction(GraftExtensions.classifierDriftTableFunction)
     ext.injectTableFunction(GraftExtensions.searchPageServedTableFunction)
+    ext.injectTableFunction(GraftExtensions.hybridServedTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -2270,6 +2271,38 @@ object GraftExtensions {
           layout = graft.index.IndexStore.HashPrefix))
     })
 
+  /** SQL surface for the STORED-lexical-arm hybrid query —
+    *
+    * {{{
+    * SELECT * FROM graft_hybrid_served('/store', 'emb', 'cat dog', 0)
+    * SELECT * FROM graft_hybrid_served('/store', 'emb', 'cat dog', 0, 20, 50)
+    * }}}
+    *
+    * First argument is the [[graft.index.IndexStore.saveSearchPageStore]]
+    * PATH (HashPrefix layout, the serving default); the embedding arm
+    * stays a registered table. [[graft.index.IndexStore.hybridTopK]]. */
+  private val hybridServedTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_hybrid_served"),
+    new ExpressionInfo(graft.index.IndexStore.getClass.getName, "graft_hybrid_served"),
+    (children: Seq[Expression]) => {
+      require(children.size == 4 || children.size == 6,
+        "graft_hybrid_served(store_path, emb_table, query, query_vec_id[, k, pool_k])")
+      val str = stringArg("graft_hybrid_served") _
+      val int = intArg("graft_hybrid_served") _
+      val spark = SparkSession.active
+      val embT = spark.table(str(children(1), "emb_table"))
+      val qid = int(children(3), "query_vec_id")
+      val (k, poolK) =
+        if (children.size == 6) (int(children(4), "k"), int(children(5), "pool_k"))
+        else (20, 50)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        graft.index.IndexStore.hybridTopK(spark, str(children.head, "store_path"),
+          embT, str(children(2), "query"),
+          embT.filter(org.apache.spark.sql.functions.col("vec_id") === qid),
+          k, poolK, layout = graft.index.IndexStore.HashPrefix))
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -2327,7 +2360,7 @@ object GraftExtensions {
         snippetsTableFunction, searchPageTableFunction,
         averagePrecisionTableFunction, operatingPointCertifiedTableFunction,
         manifestDiffExplainedTableFunction, classifierDriftTableFunction,
-        searchPageServedTableFunction)
+        searchPageServedTableFunction, hybridServedTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -232,6 +232,10 @@ class SourcesAndStoreSpec extends SparkSpec {
       layout = IndexStore.HashPrefix).collect().toSet
     assert(hybServed === hybWant,
       "the served hybrid page must be row-identical to the in-plan face")
+    e.createOrReplaceTempView("hys_emb")
+    assert(spark.sql(
+        s"SELECT * FROM graft_hybrid_served('$base/store', 'hys_emb', 'cat dog', 1, 3, 3)")
+      .collect().toSet === hybWant, "TVF parity with the served face")
   }
 
   test("only the matching partition directory is scanned") {
