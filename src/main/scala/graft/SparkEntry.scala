@@ -1406,6 +1406,30 @@ object SparkEntry {
        |  FROM hits h JOIN idf i USING (word) JOIN lens l USING (doc_id) CROSS JOIN a),
        |scores AS (SELECT doc_id, sum(c) AS s FROM contrib GROUP BY doc_id)""".stripMargin
 
+  /** Twin of InvertedIndex.bm25TopK (k1=1.2, b=0.75, k=20): idf
+    * rounded to 6dp before use, each contribution rounded to 6dp and
+    * summed as DECIMAL(18,6) — order-independent exact per-doc sums
+    * (the q_lm_score recipe); arithmetic shapes mirror the Column
+    * expressions literally (1.2 + 1.0, not 2.2 — double literals must
+    * take the same IEEE path both engines). Shared verbatim by q_bm25
+    * (in-plan index) and q_bm25_served (the stored-postings face) —
+    * served must hash-equal in-plan. */
+  private val BM25_TWIN =
+    s"""WITH $BM25_CTES
+       |SELECT doc_id, CAST(s AS DOUBLE) AS score,
+       |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
+       |FROM scores ORDER BY rank LIMIT 20""".stripMargin
+
+  /** Twin of InvertedIndex.booleanSearch(AND): intersection via count
+    * over unique (word, doc) postings, summed-count ranking. Shared by
+    * q_bool_search and q_bool_search_served. */
+  private val BOOL_TWIN =
+    s"""SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
+       |  CAST(sum(cnt) AS BIGINT) AS total_cnt
+       |FROM ($INDEX_SQL) WHERE word IN ('hash', 'join', 'scan')
+       |GROUP BY doc_id HAVING count(*) = 3
+       |ORDER BY total_cnt DESC, doc_id""".stripMargin
+
   /** Twin of searchPage('fast hash join on a small table', 20, 8) —
     * the q_bm25 ranking CTEs + the q_snippets window CTEs over the
     * SAME terms, snippet inputs restricted to the page's 20 ids.
@@ -2440,6 +2464,28 @@ object SparkEntry {
     // AND-of-terms boolean retrieval (posting-list intersection)
     "q_bool_search" -> ((s, dir) => InvertedIndex.booleanSearch(
       InvertedIndex.build(docs(s, dir)), Seq("hash", "JOIN", "scan"))),
+    "q_bm25_served" -> { (s, dir) =>
+      // BM25 ranks SERVED from the stored search-page store — no
+      // in-plan index build; must hash-equal q_bm25
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bms-")
+      tmp.toFile.deleteOnExit()
+      graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
+        graft.index.IndexStore.HashPrefix)
+      graft.index.IndexStore.bm25TopK(s, s"$tmp/store",
+        "fast hash join on a small table", k = 20,
+        layout = graft.index.IndexStore.HashPrefix)
+    },
+    "q_bool_search_served" -> { (s, dir) =>
+      // boolean AND intersection SERVED from the stored postings —
+      // must hash-equal q_bool_search
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bls-")
+      tmp.toFile.deleteOnExit()
+      graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
+        graft.index.IndexStore.HashPrefix)
+      graft.index.IndexStore.booleanSearch(s, s"$tmp/store",
+        Seq("hash", "JOIN", "scan"),
+        layout = graft.index.IndexStore.HashPrefix)
+    },
     "q_index_merge_parity" -> { (s, dir) =>
       // reference semantics (master/main.py:106-121): re-indexed docs get ADDED
       // again → doc_id < 100 double-counted. Oracle pins the double-count.
@@ -4031,14 +4077,8 @@ object SparkEntry {
          |FROM snb b JOIN snt t ON t.doc_id = b.doc_id WHERE b.rn = 1""".stripMargin,
     "q_lookup" ->
       s"""SELECT doc_id, cnt FROM ($INDEX_SQL) WHERE word = 'data' ORDER BY cnt DESC, doc_id""",
-    "q_bool_search" ->
-      // twin of InvertedIndex.booleanSearch(AND): intersection via
-      // count over unique (word, doc) postings, summed-count ranking
-      s"""SELECT doc_id, CAST(count(*) AS INTEGER) AS n_matched,
-         |  CAST(sum(cnt) AS BIGINT) AS total_cnt
-         |FROM ($INDEX_SQL) WHERE word IN ('hash', 'join', 'scan')
-         |GROUP BY doc_id HAVING count(*) = 3
-         |ORDER BY total_cnt DESC, doc_id""".stripMargin,
+    "q_bool_search" -> BOOL_TWIN,
+    "q_bool_search_served" -> BOOL_TWIN,
     "q_index_merge_parity" ->
       s"""SELECT word, doc_id, cnt * (CASE WHEN doc_id < 100 THEN 2 ELSE 1 END) AS cnt
          |FROM ($INDEX_SQL)""".stripMargin,
@@ -4057,17 +4097,10 @@ object SparkEntry {
          |        count(*) OVER (PARTITION BY word) AS df
          |      FROM ($INDEX_SQL))""".stripMargin,
 
-    "q_bm25" ->
-      // twin of InvertedIndex.bm25TopK (k1=1.2, b=0.75, k=20): idf
-      // rounded to 6dp before use, each contribution rounded to 6dp and
-      // summed as DECIMAL(18,6) — order-independent exact per-doc sums
-      // (the q_lm_score recipe); arithmetic shapes mirror the Column
-      // expressions literally (1.2 + 1.0, not 2.2 — double literals
-      // must take the same IEEE path both engines)
-      s"""WITH $BM25_CTES
-         |SELECT doc_id, CAST(s AS DOUBLE) AS score,
-         |  CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS rank
-         |FROM scores ORDER BY rank LIMIT 20""".stripMargin,
+    "q_bm25" -> BM25_TWIN,
+    // the SERVED ranking must hash-equal the in-plan ranking — one
+    // twin, two queries (the q_search_page_served discipline)
+    "q_bm25_served" -> BM25_TWIN,
     "q_search_page" -> SEARCH_PAGE_TWIN,
     // the SERVED face must hash-equal the in-plan face — one twin, two
     // queries: same ranking math on the same postings, same window

@@ -216,6 +216,55 @@ object IndexStore {
         col("start_pos"), col("n_terms"), col("n_hits"), col("snippet"))
   }
 
+  /** BM25 ranked retrieval SERVED from a [[saveSearchPageStore]] store
+    * — [[searchPage]]'s ranking path standalone, for callers that want
+    * ranks without snippets: term-pruned stored postings (prefix
+    * partition filter + pushed word `isin`) against the stored
+    * docLengths/stats artifacts. Per-query cost is
+    * per-term-postings-sized; row values equal
+    * [[graft.index.InvertedIndex.bm25TopK]] over the same corpus. */
+  def bm25TopK(
+      spark: SparkSession,
+      path: String,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      layout: Layout = FirstChar): DataFrame = {
+    val terms = TextNorm.queryTerms(query).distinct
+    require(terms.nonEmpty, s"query '$query' has no indexable terms")
+    graft.index.InvertedIndex.bm25TopKFromStore(
+      spark.read.parquet(s"$path/postings")
+        .filter(col(PrefixCol).isin(terms.map(layout.prefixOf): _*) &&
+          col("word").isin(terms: _*))
+        .select("word", "doc_id", "cnt"),
+      spark.read.parquet(s"$path/doc_lengths"),
+      spark.read.parquet(s"$path/stats"),
+      query, k, k1, b)
+  }
+
+  /** Boolean AND/OR retrieval SERVED from a [[saveSearchPageStore]]
+    * store: the terms' prefixes prune partitions, then
+    * [[graft.index.InvertedIndex.booleanSearch]] runs its posting-list
+    * intersection/union on the pruned postings (its own word `isin`
+    * pushes into the row-group scan). Per-term-postings cost, never
+    * index-sized — the [[lookup]] serving story at multi-term
+    * granularity. */
+  def booleanSearch(
+      spark: SparkSession,
+      path: String,
+      terms: Seq[String],
+      requireAll: Boolean = true,
+      layout: Layout = FirstChar): DataFrame = {
+    require(terms.nonEmpty, "booleanSearch needs at least one term")
+    val keys = terms.map(TextNorm.normalizeKey).distinct
+    graft.index.InvertedIndex.booleanSearch(
+      spark.read.parquet(s"$path/postings")
+        .filter(col(PrefixCol).isin(keys.map(layout.prefixOf): _*))
+        .select("word", "doc_id", "cnt"),
+      terms, requireAll)
+  }
+
   /** HYBRID lexical + semantic retrieval with the lexical arm SERVED
     * from a [[saveSearchPageStore]] store — the RAG retrieval call
     * without the per-query index build

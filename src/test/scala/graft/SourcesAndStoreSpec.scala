@@ -236,6 +236,22 @@ class SourcesAndStoreSpec extends SparkSpec {
     assert(spark.sql(
         s"SELECT * FROM graft_hybrid_served('$base/store', 'hys_emb', 'cat dog', 1, 3, 3)")
       .collect().toSet === hybWant, "TVF parity with the served face")
+    // served plain BM25 and boolean retrieval: parity + pruned plans —
+    // every retrieval face now has a served twin over the ONE store
+    val idx = InvertedIndex.build(c)
+    assert(IndexStore.bm25TopK(spark, s"$base/store", "cat dog", k = 3,
+        layout = IndexStore.HashPrefix)
+      .collect().toSet === InvertedIndex.bm25TopK(idx, "cat dog", 4, 3)
+      .collect().toSet, "served BM25 must equal the in-plan ranking")
+    assert(IndexStore.booleanSearch(spark, s"$base/store", Seq("Cat.", "dog"),
+        layout = IndexStore.HashPrefix)
+      .collect().toSet === InvertedIndex.booleanSearch(idx, Seq("Cat.", "dog"))
+      .collect().toSet, "served boolean must equal the in-plan intersection")
+    val bPlan = IndexStore.bm25TopK(spark, s"$base/store", "cat dog", k = 3,
+      layout = IndexStore.HashPrefix).queryExecution.executedPlan.toString
+    assert(bPlan.linesIterator.exists(l =>
+      l.contains("PartitionFilters") && l.contains("word_pfx")),
+      s"served BM25 must prune postings partitions:\n$bPlan")
   }
 
   test("only the matching partition directory is scanned") {
