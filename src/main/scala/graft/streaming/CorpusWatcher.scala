@@ -443,6 +443,20 @@ object CorpusWatcher {
     * new weights through [[ClassifierRefresher.servingGate]]. Declare
     * per-source thresholds as `(classifier:<source>, drop_rate, t)`
     * rows in `refreshThresholds`.
+    *
+    * Doc store (`docStoreDir`): the admitted corpus TEXT, exactly as
+    * indexed (post-strip), appended per batch — the one serving
+    * artifact the index cannot provide (snippets need text). With
+    * `positional` on, the pair (index snapshot → [[graft.index
+    * .IndexStore.saveSearchPageStoreFromIndex]], [[docStore]] →
+    * `docsPath`) is EVERYTHING [[graft.index.IndexStore.searchPage]]
+    * serves from: the stream maintains the complete served search
+    * page. Per-batch overwrite replay idempotence; re-uploads resolve
+    * latest-batch-wins at read ([[docStore]]), mirroring the index's
+    * upsert. Text is stored once per admitted version — this is a
+    * corpus-sized artifact by design (it IS the corpus), not a
+    * key-history; exempt from [[compactHistory]] (folding would drop
+    * the batch provenance the upsert reader resolves by).
     */
   def startJsonl(
       spark: SparkSession,
@@ -486,7 +500,8 @@ object CorpusWatcher {
       refreshThresholds: Option[DataFrame] = None,
       sitemapDiscovery: Boolean = false,
       unkVocab: Option[Seq[String]] = None,
-      classifierDrift: Boolean = false): StreamingQuery = {
+      classifierDrift: Boolean = false,
+      docStoreDir: Option[String] = None): StreamingQuery = {
     require(retainSnapshots >= 1, s"retainSnapshots=$retainSnapshots must be >= 1")
     require(mixtureGate.isEmpty || adaptiveMixtureGate.isEmpty,
       "pass either the fixed-rate mixtureGate or the adaptiveMixtureGate, not both")
@@ -1151,6 +1166,17 @@ object CorpusWatcher {
               .coalesce(1).write.mode("overwrite").parquet(s"$rd/batch_id=$batchId")
           }
         }
+        // doc store (`docStoreDir`): the admitted corpus TEXT, exactly
+        // as indexed (post-strip), per-batch partitions — the serving
+        // artifact the index alone cannot provide (snippets need
+        // text). Replay overwrites its own partition; a re-uploaded
+        // doc appears in two partitions and [[docStore]]'s
+        // latest-batch-wins reader resolves it, mirroring the index's
+        // upsert semantics.
+        docStoreDir.foreach { ds =>
+          content.select(col("doc_id"), col("text"))
+            .write.mode("overwrite").parquet(s"$ds/batch_id=$batchId")
+        }
         val delta =
           if (positional) InvertedIndex.buildPositional(content, idCol = "doc_id")
           else InvertedIndex.build(content, idCol = "doc_id")
@@ -1400,6 +1426,21 @@ object CorpusWatcher {
     session.read.parquet(dir)
       .select(col("batch_id"), col("artifact"), col("metric"),
         col("value"), col("threshold"), col("due"))
+
+  /** The CURRENT corpus text from a [[startJsonl]] `docStoreDir`:
+    * `(doc_id, text)` with latest-batch-wins upsert semantics — a
+    * re-uploaded doc's newest version serves, mirroring the index's
+    * replace-by-document merge, so the pair (index snapshot, doc
+    * store) stays mutually consistent. One doc_id-keyed combinable
+    * `max_by` over key+text rows; this is the `docsPath` input the
+    * served result page reads
+    * ([[graft.index.IndexStore.searchPage]]), completing the
+    * stream-to-serving loop: the stream maintains BOTH artifacts a
+    * served search page needs. */
+  def docStore(session: SparkSession, dir: String): DataFrame =
+    session.read.parquet(dir)
+      .groupBy("doc_id")
+      .agg(max_by(col("text"), col("batch_id")).as("text"))
 
   def compactHistory(session: SparkSession, dir: String, numFiles: Int = 1): Int = {
     require(numFiles >= 1, s"numFiles=$numFiles must be >= 1")

@@ -1569,8 +1569,9 @@ class CorpusWatcherSpec extends SparkSpec {
   test("positional snapshots answer phrase queries; re-upload replaces positions") {
     val (watch, index, ckpt, quar) =
       (tmp("watchpos"), tmp("indexpos"), tmp("ckptpos"), tmp("quarpos") + "/bad")
+    val docsDir = tmp("docstorepos") + "/docs"
     def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
-      positional = true).awaitTermination()
+      positional = true, docStoreDir = Some(docsDir)).awaitTermination()
     Files.write(Paths.get(watch, "feed-0.json"),
       ("""{"doc_id": 60, "text": "cat dog cat dog"}""" + "\n" +
         """{"doc_id": 61, "text": "dog cat"}""" + "\n").getBytes("UTF-8"))
@@ -1591,12 +1592,17 @@ class CorpusWatcherSpec extends SparkSpec {
     assert(graft.index.InvertedIndex.phraseSearch(snap1, "cat dog").count() === 0L)
     assert(snap1.filter(col("doc_id") === "60" && col("word") === "cat")
       .select("positions").as[Seq[Int]].head() === Seq(0))
-    // streaming → serving: the CURRENT snapshot exports as a full
-    // search-page store WITHOUT re-tokenizing the accumulated corpus,
-    // and the served page equals the in-plan face over the same docs
+    // the maintained doc store resolves the re-upload latest-batch-wins
+    // — the text face of the index's upsert semantics
+    val docsNow = CorpusWatcher.docStore(spark, docsDir)
+    assert(docsNow.as[(String, String)].collect().toSet ===
+      Set(("60", "cat bird dog"), ("61", "dog cat")),
+      "docStore must serve each doc's LATEST admitted version")
+    // streaming → serving, end to end from STREAM OUTPUTS ONLY: the
+    // current snapshot exports as a full search-page store WITHOUT
+    // re-tokenizing the accumulated corpus, the doc store supplies the
+    // text, and the served page equals the in-plan face
     val store = tmp("storeposx")
-    val docsNow = Seq(("60", "cat bird dog"), ("61", "dog cat"))
-      .toDF("doc_id", "text")
     docsNow.write.mode("overwrite").parquet(s"$store/docs")
     graft.index.IndexStore.saveSearchPageStoreFromIndex(
       snap1, nDocs = 2L, s"$store/sp", graft.index.IndexStore.HashPrefix)
