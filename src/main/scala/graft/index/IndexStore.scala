@@ -179,10 +179,15 @@ object IndexStore {
     * doc_id-keyed join onto the stored docLengths and one text fetch
     * for k documents — never a corpus scan, never an index build.
     * `docsPath` is the doc-store parquet (`doc_id`, `text`); `layout`
-    * must match the store's save-time layout. The ranked id set is
-    * k-sized and deliberately LAZY (three consumers replay a pruned
-    * k-row ranking — serving-cheap, and the plan stays EXPLAIN-clean
-    * like the in-plan face). */
+    * must match the store's save-time layout. The ranked id set has
+    * THREE consumers (two semi-joins + the final join), so it is
+    * lazily Persist-materialized (the `graft_minhash_pairs` idiom):
+    * EXPLAIN still runs no job, and the first action executes the
+    * ranking ONCE for all three references — without it a stop-word
+    * query term would re-aggregate its corpus-sized posting list three
+    * times per page. The cache entry is k rows; a high-QPS serving
+    * session should `clearCache()` periodically, the
+    * [[graft.core.Materialize]] lifecycle note. */
   def searchPage(
       spark: SparkSession,
       path: String,
@@ -199,11 +204,13 @@ object IndexStore {
     val pruned = spark.read.parquet(s"$path/postings")
       .filter(col(PrefixCol).isin(terms.map(layout.prefixOf): _*) &&
         col("word").isin(terms: _*))
-    val ranked = graft.index.InvertedIndex.bm25TopKFromStore(
-      pruned.select("word", "doc_id", "cnt"),
-      spark.read.parquet(s"$path/doc_lengths"),
-      spark.read.parquet(s"$path/stats"),
-      query, k, k1, b)
+    val ranked = graft.core.Materialize(
+      graft.index.InvertedIndex.bm25TopKFromStore(
+        pruned.select("word", "doc_id", "cnt"),
+        spark.read.parquet(s"$path/doc_lengths"),
+        spark.read.parquet(s"$path/stats"),
+        query, k, k1, b),
+      graft.core.Materialize.Persist)
     val rankedIds = ranked.select("doc_id")
     val pageHits = pruned.select("word", "doc_id", "positions", "cnt")
       .join(rankedIds, Seq("doc_id"), "left_semi")
