@@ -655,6 +655,32 @@ object SparkEntry {
         graft.sources.BucketedStore.table(s, s"graft_ord_$sf"))
     })
 
+  /** Temp store root for the `*_served` / export runners, deleted
+    * RECURSIVELY at JVM exit: the r18 advisory caught that
+    * `File.deleteOnExit` cannot remove a non-empty directory, so every
+    * correctness/bench run leaked its written parquet stores in /tmp.
+    * The dirs must OUTLIVE query construction (the returned lazy plans
+    * read them), so exit time is the earliest safe delete point; one
+    * shutdown hook walks every registered root deepest-first. */
+  private val tmpStores = new java.util.concurrent.ConcurrentLinkedQueue[java.nio.file.Path]
+  private lazy val tmpStoreHookInstalled: Unit =
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      tmpStores.forEach { root =>
+        try {
+          val walk = java.nio.file.Files.walk(root)
+          try walk.sorted(java.util.Comparator.reverseOrder()).forEach { p =>
+            try { java.nio.file.Files.deleteIfExists(p); () }
+            catch { case _: java.io.IOException => () }
+          } finally walk.close()
+        } catch { case scala.util.control.NonFatal(_) => () }
+      }))
+  private def tmpStore(prefix: String): String = {
+    tmpStoreHookInstalled
+    val p = java.nio.file.Files.createTempDirectory(s"graft-$prefix-")
+    tmpStores.add(p)
+    p.toString
+  }
+
   private def stagedKmeans(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     val Seq(coarse, assign) = stagedAnn(s, dir, "kmeans") {
       val (c, a) = Similarity.kmeansModel(emb(s, dir)); Seq(c, a)
@@ -2348,9 +2374,15 @@ object SparkEntry {
     * PQ ADC machinery then scores ONLY candidates in probed cells —
     * codes⋈candidates⋈LUT, DECIMAL-exact m-way sums, rank ascending
     * with id ties. Twin of [[graft.ops.Similarity.ivfpqTopK]]
-    * (k=10, nprobe=8, coarseIterations=2, m=4, FixedK(32) seeds). */
-  private val IVFPQ_SQL: String =
-    s"""WITH $V_CTE,
+    * (k=10, nprobe=8, coarseIterations=2, m=4, FixedK(32) seeds).
+    *
+    * The chain is parameterized by the QUERY predicate so the hybrid
+    * twin can reuse it verbatim for a single query vector
+    * (q_hybrid_served_ann fuses this `adc` CTE as its semantic arm) —
+    * training, lists, probes (nprobe=8) and ADC are identical text
+    * either way. `adc` is the final CTE. */
+  private def ivfpqCtes(queryPred: String): String =
+    s"""$V_CTE,
        |$KMEANS_BODY,
        |$PQ_BODY,
        |codes AS (SELECT vec_id, s, cell_id FROM (
@@ -2367,10 +2399,10 @@ object SparkEntry {
        |  SELECT q.vec_id AS query_id, c.cell_id AS coarse_cell,
        |    row_number() OVER (PARTITION BY q.vec_id
        |      ORDER BY ${COS_SQL("q.e", "c.ce")} DESC, c.cell_id ASC) AS prn
-       |  FROM (SELECT * FROM v WHERE vec_id % 100 = 0) q, c2 c) WHERE prn <= 8),
+       |  FROM (SELECT * FROM v WHERE $queryPred) q, c2 c) WHERE prn <= 8),
        |cand AS (SELECT p.query_id, l.neighbor_id
        |  FROM probes p JOIN lists l ON p.coarse_cell = l.coarse_cell),
-       |q AS (SELECT vec_id AS query_id, s, sv AS qv, xx AS qq FROM subx WHERE vec_id % 100 = 0),
+       |q AS (SELECT vec_id AS query_id, s, sv AS qv, xx AS qq FROM subx WHERE $queryPred),
        |lut AS (SELECT q.query_id, q.s, c.cell_id,
        |    CAST(round(q.qq - 2 * ${DOT_SQL("q.qv", "c.cv")} + c.cc, 6) AS DECIMAL(18,6)) AS pd
        |  FROM q JOIN c1x c ON q.s = c.s),
@@ -2379,11 +2411,42 @@ object SparkEntry {
        |  JOIN cand ON cand.neighbor_id = cd.vec_id
        |  JOIN lut l ON l.query_id = cand.query_id AND cd.s = l.s AND cd.cell_id = l.cell_id
        |  WHERE l.query_id <> cd.vec_id
-       |  GROUP BY l.query_id, cd.vec_id)
+       |  GROUP BY l.query_id, cd.vec_id)""".stripMargin
+
+  private val IVFPQ_SQL: String =
+    s"""WITH ${ivfpqCtes("vec_id % 100 = 0")}
        |SELECT query_id, neighbor_id, adc, rank FROM (
        |  SELECT query_id, neighbor_id, adc,
        |    CAST(row_number() OVER (PARTITION BY query_id ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS rank
        |  FROM adc) WHERE rank <= 10""".stripMargin
+
+  /** Twin of the FULLY-served hybrid page ([[graft.index.IndexStore
+    * .hybridTopKAnn]], k=20, poolK=50, rrfK=60, nprobe=8, m=4): the
+    * q_bm25 lexical arm (rank ≤ 50) fused with the IVF+PQ ANN arm for
+    * query vec_id=0 — the `adc` CTE of the q_ivfpq chain ranked
+    * ascending and cut at 50 — by the q_hybrid_search decimal-RRF
+    * tail. This prices what the serving face changes vs HYBRID_TWIN:
+    * the semantic pool is the ANN ranking (probed cells only), not the
+    * full-corpus exact cosine. */
+  private val HYBRID_ANN_TWIN: String =
+    s"""WITH $BM25_CTES,
+       |lex AS MATERIALIZED (SELECT doc_id, bm25_rank FROM (
+       |    SELECT doc_id, CAST(row_number() OVER (ORDER BY s DESC, doc_id ASC) AS INTEGER) AS bm25_rank
+       |    FROM scores) WHERE bm25_rank <= 50),
+       |${ivfpqCtes("vec_id = 0")},
+       |sem AS MATERIALIZED (SELECT doc_id, cos_rank FROM (
+       |    SELECT neighbor_id AS doc_id,
+       |      CAST(row_number() OVER (ORDER BY adc ASC, neighbor_id ASC) AS INTEGER) AS cos_rank
+       |    FROM adc) WHERE cos_rank <= 50),
+       |fused AS (SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.bm25_rank, s.cos_rank,
+       |      coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + l.bm25_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6)))
+       |    + coalesce(CAST(round(CAST(1 AS DOUBLE) / (CAST(60 AS DOUBLE) + s.cos_rank), 6) AS DECIMAL(18,6)), CAST(0 AS DECIMAL(18,6))) AS rrf
+       |  FROM lex l FULL OUTER JOIN sem s ON l.doc_id = s.doc_id)
+       |SELECT doc_id, bm25_rank, cos_rank, CAST(rrf AS DOUBLE) AS rrf_score, rank
+       |FROM (SELECT doc_id, bm25_rank, cos_rank, rrf,
+       |        CAST(row_number() OVER (ORDER BY rrf DESC, doc_id ASC) AS INTEGER) AS rank
+       |      FROM fused)
+       |WHERE rank <= 20""".stripMargin
 
   /** Twin of [[graft.ops.Similarity.ivfpqResidualTopK]] (k=10,
     * nprobe=8, coarseIterations=2, m=4, FixedK(32) seeds): the IVF+PQ
@@ -2467,8 +2530,7 @@ object SparkEntry {
     "q_bm25_served" -> { (s, dir) =>
       // BM25 ranks SERVED from the stored search-page store — no
       // in-plan index build; must hash-equal q_bm25
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bms-")
-      tmp.toFile.deleteOnExit()
+      val tmp = tmpStore("bms")
       graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
         graft.index.IndexStore.HashPrefix)
       graft.index.IndexStore.bm25TopK(s, s"$tmp/store",
@@ -2478,8 +2540,7 @@ object SparkEntry {
     "q_bool_search_served" -> { (s, dir) =>
       // boolean AND intersection SERVED from the stored postings —
       // must hash-equal q_bool_search
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bls-")
-      tmp.toFile.deleteOnExit()
+      val tmp = tmpStore("bls")
       graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
         graft.index.IndexStore.HashPrefix)
       graft.index.IndexStore.booleanSearch(s, s"$tmp/store",
@@ -2523,8 +2584,7 @@ object SparkEntry {
       // the SAME result page answered from STORED artifacts (pruned
       // positional postings + doc_lengths + save-time stats) — no
       // in-plan index build; must hash-equal q_search_page
-      val tmp = java.nio.file.Files.createTempDirectory("graft-sps-")
-      tmp.toFile.deleteOnExit()
+      val tmp = tmpStore("sps")
       val d = docs(s, dir)
       d.write.mode("overwrite").parquet(s"$tmp/docs")
       graft.index.IndexStore.saveSearchPageStore(d, s"$tmp/store",
@@ -2545,14 +2605,31 @@ object SparkEntry {
       // the SAME hybrid page with the lexical arm served from the
       // stored search-page store — no in-plan index build; must
       // hash-equal q_hybrid_search
-      val tmp = java.nio.file.Files.createTempDirectory("graft-hys-")
-      tmp.toFile.deleteOnExit()
+      val tmp = tmpStore("hys")
       graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
         graft.index.IndexStore.HashPrefix)
       val e = emb(s, dir)
       graft.index.IndexStore.hybridTopK(s, s"$tmp/store", e,
         "fast hash join on a small table",
         e.filter(col("vec_id") === 0), k = 20, poolK = 50,
+        layout = graft.index.IndexStore.HashPrefix)
+    },
+    "q_hybrid_served_ann" -> { (s, dir) =>
+      // the FULLY-served hybrid page: lexical arm from the stored
+      // search-page store (term-pruned), semantic arm from the
+      // cell-partitioned ANN store (<= nprobe cell dirs per query) —
+      // the per-query RAG call with ZERO corpus-sized scans. Twin =
+      // BM25 arm ⊕ the IVF+PQ ranking arm, decimal-RRF fused.
+      val tmp = tmpStore("hysann")
+      graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
+        graft.index.IndexStore.HashPrefix)
+      val (coarse, assign) = stagedKmeans(s, dir)
+      val (codebooks, codes) = stagedPq(s, dir)
+      Similarity.saveAnnStore(coarse, assign, codebooks, codes, s"$tmp/ann")
+      val e = emb(s, dir)
+      graft.index.IndexStore.hybridTopKAnn(s, s"$tmp/store", s"$tmp/ann",
+        "fast hash join on a small table", e.filter(col("vec_id") === 0),
+        k = 20, poolK = 50, nprobe = 8,
         layout = graft.index.IndexStore.HashPrefix)
     },
     "q_index_export_roundtrip" -> { (s, dir) =>
@@ -2565,8 +2642,7 @@ object SparkEntry {
       // the reference's EXACT artifact: one pretty-printed
       // final_results.json (master/main.py:123-126), written then parsed
       // back — the oracle checks the parse equals the clean build
-      val tmp = java.nio.file.Files.createTempDirectory("graft-export-")
-      tmp.toFile.deleteOnExit()
+      val tmp = tmpStore("export")
       val path = s"$tmp/final_results.json"
       InvertedIndex.exportSingleFileJson(InvertedIndex.build(docs(s, dir)), path)
       InvertedIndex.importSingleFileJson(s, path)
@@ -3381,6 +3457,19 @@ object SparkEntry {
       Similarity.ivfpqSearch(e.filter(col("vec_id") % 100 === 0),
         coarse, assign, codebooks, codes, 10, nprobe = 8)
     },
+    // the same search SERVED from the cell-partitioned ANN store: the
+    // probe's collected cell ids prune the cells read to <= nprobe
+    // partition dirs per query — no corpus-sized scan; must reproduce
+    // q_ivfpq row-for-row (the third consumer of the one twin)
+    "q_ivfpq_store" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val (coarse, assign) = stagedKmeans(s, dir)
+      val (codebooks, codes) = stagedPq(s, dir)
+      val tmp = tmpStore("anns")
+      Similarity.saveAnnStore(coarse, assign, codebooks, codes, s"$tmp/ann")
+      Similarity.ivfpqTopKFromStore(s, s"$tmp/ann",
+        e.filter(col("vec_id") % 100 === 0), 10, nprobe = 8)
+    },
     // residual encoding: PQ trained on x − coarse_centroid, searched in
     // each probed cell's residual frame (Jégou et al. §IV-A)
     "q_ivfpq_residual" -> { (s, dir) =>
@@ -4111,6 +4200,9 @@ object SparkEntry {
     // the SERVED face must hash-equal the in-plan face — one twin, two
     // queries (the q_search_page_served discipline)
     "q_hybrid_search_served" -> HYBRID_TWIN,
+    // the FULLY-served page (ANN semantic arm): its OWN twin — the
+    // BM25 arm fused with the IVF+PQ ranking, not the exact cosine
+    "q_hybrid_served_ann" -> HYBRID_ANN_TWIN,
 
     "q_token_stats" ->
       s"""SELECT doc_id,
@@ -6882,6 +6974,10 @@ object SparkEntry {
     "q_ivfpq" -> IVFPQ_SQL,
     // identical result contract through the four stored artifacts
     "q_ivfpq_search" -> IVFPQ_SQL,
+    // the cell-partitioned store face must ALSO reproduce the trained
+    // path — one twin now pins three routes (inline, stored tables,
+    // pruned store)
+    "q_ivfpq_store" -> IVFPQ_SQL,
     "q_ivfpq_residual" -> IVFPQ_RESIDUAL_SQL,
     // identical result contract through the four stored residual artifacts
     "q_ivfpq_residual_search" -> IVFPQ_RESIDUAL_SQL,

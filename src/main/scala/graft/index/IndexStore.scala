@@ -310,4 +310,42 @@ object IndexStore {
       .select(col("neighbor_id").as("doc_id"), col("rank").as("cos_rank"))
     graft.index.InvertedIndex.hybridFromRankings(lex, sem, k, rrfK)
   }
+
+  /** FULLY-SERVED hybrid retrieval — both arms from stored,
+    * partition-pruned artifacts, the shape a per-query RAG call takes
+    * at 100 TB: the lexical arm is [[hybridTopK]]'s term-pruned stored
+    * BM25 (prefix partition filter + pushed word `isin` against the
+    * [[saveSearchPageStore]] postings), and the semantic arm is
+    * [[graft.ops.Similarity.ivfpqTopKFromStore]] over a
+    * cell-partitioned [[graft.ops.Similarity.saveAnnStore]] store —
+    * the probe reads ≤ `nprobe` cell directories, never the embedding
+    * corpus. This removes [[hybridTopK]]'s one remaining per-query
+    * corpus-sized cost (its brute-force embedding scan); that exact
+    * form stays available for corpora small enough to scan.
+    *
+    * The semantic pool is the ANN ranking (ADC ascending → rank), so
+    * results match the in-plan [[graft.index.InvertedIndex
+    * .hybridFromRankings]] fusion of the same two pools — the oracle
+    * pins the full composition (BM25 twin arm ⊕ IVF+PQ twin arm).
+    * `annPath`'s vec_id domain must share the store's doc ids — the
+    * [[hybridTopK]] contract, unchanged. */
+  def hybridTopKAnn(
+      spark: SparkSession,
+      path: String,
+      annPath: String,
+      queryText: String,
+      queryVec: DataFrame,
+      k: Int,
+      poolK: Int = 50,
+      rrfK: Int = 60,
+      nprobe: Int = 4,
+      m: Int = 4,
+      layout: Layout = FirstChar): DataFrame = {
+    val lex = bm25TopK(spark, path, queryText, poolK, layout = layout)
+      .select(col("doc_id"), col("rank").as("bm25_rank"))
+    val sem = graft.ops.Similarity
+      .ivfpqTopKFromStore(spark, annPath, queryVec, poolK, nprobe, m)
+      .select(col("neighbor_id").as("doc_id"), col("rank").as("cos_rank"))
+    graft.index.InvertedIndex.hybridFromRankings(lex, sem, k, rrfK)
+  }
 }

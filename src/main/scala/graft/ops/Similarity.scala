@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Approximate-nearest-neighbor search over an embedding column
@@ -913,6 +913,102 @@ object Similarity {
   def pqEncodeWithCodebooks(emb: DataFrame, codebooks: DataFrame, m: Int = 4): DataFrame =
     pqAssign(subVectors(emb, "vec_id", "vec_id", m), reassemblePqCodebooks(codebooks))
       .select(col("vec_id"), col("s").as("subspace"), col("cell_id").as("code"), col("d2"))
+
+  /** Persist the IVF+PQ serving artifacts as a CELL-PARTITIONED store
+    * — the layout [[ivfpqTopKFromStore]] prunes: a per-query read must
+    * touch only the `nprobe` probed cells' lists, which a table
+    * partitioned by ingest batch (the [[graft.streaming
+    * .EmbeddingIndexer]] accumulation layout) cannot deliver — every
+    * probe there scans every batch partition. Layout under `path`:
+    *
+    *   - `coarse_centroids` / `codebooks` — the two trained quantizer
+    *     tables, verbatim (KB-sized; one file each)
+    *   - `cells/cell_id=N/` — one partition directory PER COARSE CELL,
+    *     holding that cell's inverted list fused with its ADC codes:
+    *     (vec_id, subspace, code), m rows per member vector. Fusing
+    *     list+codes into one table means a probe's directory read
+    *     yields everything ADC scoring needs — no second corpus-sized
+    *     codes join.
+    *
+    * The write repartitions by cell so each directory is one file
+    * (writers never fan out across all cells), and the join keying it
+    * is the store-build cost: one shuffle each side, paid at EXPORT
+    * time, never per query — the [[graft.index.IndexStore
+    * .saveSearchPageStore]] discipline for the semantic arm.
+    *
+    * Inputs are the four stored shapes the training jobs emit
+    * ([[kmeansModel]] / [[pqModel]] or [[graft.streaming
+    * .EmbeddingIndexer]]'s accumulated dirs — see
+    * [[graft.streaming.EmbeddingIndexer.exportAnnStore]]). */
+  def saveAnnStore(
+      coarseCentroids: DataFrame,
+      assignments: DataFrame,
+      codebooks: DataFrame,
+      codes: DataFrame,
+      path: String): Unit = {
+    coarseCentroids.coalesce(1).write.mode("overwrite")
+      .parquet(s"$path/coarse_centroids")
+    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    assignments.select(col("vec_id"), col("cell_id"))
+      .join(codes.select(col("vec_id"), col("subspace"), col("code")), Seq("vec_id"))
+      .repartition(col("cell_id"))
+      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells")
+  }
+
+  /** IVF+PQ search SERVED from a [[saveAnnStore]] store, reading ONLY
+    * the probed cells' partition directories — the per-query face
+    * [[ivfpqSearch]] is not: that form joins the probe output against
+    * the FULL assignment and code tables (corpus-sized scans per call,
+    * fine for a batch of many queries, wrong for one query against
+    * 100 TB). Here the probe stage runs first over the broadcast
+    * centroid table alone, its (query, cell) pairs are COLLECTED
+    * (|queries|·nprobe rows — policy-sized by construction, the
+    * operating-point-bias convention), and the probed cell ids become
+    * a LITERAL `cell_id isin` on the cells read — partition pruning
+    * bounds the scan at `nprobe` directories per query regardless of
+    * corpus size (spec-pinned via the scan's numFiles metric).
+    *
+    * Same probe code, same candidate expansion, same [[adcRank]] tail
+    * as [[ivfpqSearch]] → row-identical results on the same artifacts
+    * (one oracle pins store, stored-table, and trained-inline paths).
+    * Note the collect makes this face EAGER: the probe job runs when
+    * the method is called, the returned plan reads only the pruned
+    * cells. */
+  def ivfpqTopKFromStore(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      m: Int = 4): DataFrame = {
+    val coarse = reassembleCoarse(spark.read.parquet(s"$path/coarse_centroids"))
+    val cent = reassemblePqCodebooks(spark.read.parquet(s"$path/codebooks"))
+    val q = corpusVN(queries)
+      .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
+    val probeF = q.join(broadcast(coarse))
+      .select(col("query_id"), col("cell_id"),
+        safeCos(dot(col("qv"), col("cv")), col("qn") * col("cn")).as("pcos"))
+      .groupBy("query_id")
+      .agg(graft.functions.TopKByScore.topK(col("pcos"), col("cell_id"), nprobe).as("tk"))
+      .select(col("query_id"), explode(col("tk.id")).as("coarse_cell"))
+    val probedRows = probeF.collect()
+    val probes = spark.createDataFrame(
+      java.util.Arrays.asList(probedRows: _*), probeF.schema)
+    val probedCells = probedRows.map(_.get(1)).distinct.toSeq
+    val cells = spark.read.parquet(s"$path/cells")
+      .filter(col("cell_id").isin(probedCells: _*))
+    // each member vector carries exactly one subspace-0 row, so the
+    // inverted list is a filter, not a distinct (no shuffle)
+    val lists = cells.filter(col("subspace") === 0)
+      .select(col("cell_id").cast("long").as("coarse_cell"),
+        col("vec_id").as("neighbor_id"))
+    val candidates = probes.join(lists, Seq("coarse_cell"))
+      .select("query_id", "neighbor_id")
+    adcRank(queries, cent,
+      cells.select(col("vec_id").as("neighbor_id"),
+        col("subspace").as("s"), col("code").as("cell_id")),
+      k, m, Some(candidates))
+  }
 
   /** The IVF restriction + ADC search shared by [[ivfpqTopK]] and
     * [[ivfpqSearch]]: probe the `nprobe` nearest coarse cells per

@@ -217,6 +217,32 @@ object EmbeddingIndexer {
       out
     }
 
+  /** Export the indexer's ACCUMULATED serving tables as a
+    * cell-partitioned [[Similarity.saveAnnStore]] store — the
+    * embedding-side sibling of [[graft.index.IndexStore
+    * .saveSearchPageStoreFromIndex]]: the watcher maintains the
+    * assignment/code tables under `batch_id=N` partitions (the replay
+    * idempotence layout), which a per-query read cannot prune by cell;
+    * this re-keys the CURRENT accumulation into `cell_id=` directories
+    * so [[Similarity.ivfpqTopKFromStore]] serves each query from ≤
+    * nprobe directories. Cost: one keyed join + one repartition write
+    * of the accumulated tables, paid per export, never per query.
+    * Re-export on refresh — the search-page-store cadence. Rows ride
+    * through verbatim (including any re-uploaded vec_ids, exactly as
+    * the accumulated-dir search faces see them). */
+  def exportAnnStore(
+      session: SparkSession,
+      artifactsDir: String,
+      assignmentsDir: String,
+      codesDir: String,
+      path: String): Unit =
+    Similarity.saveAnnStore(
+      session.read.parquet(s"$artifactsDir/coarse_centroids"),
+      session.read.parquet(assignmentsDir).select("vec_id", "cell_id"),
+      session.read.parquet(s"$artifactsDir/codebooks"),
+      session.read.parquet(codesDir).select("vec_id", "subspace", "code"),
+      path)
+
   /** The artifacts dir serving should read from: the root's recorded
     * current version ([[ArtifactVersions.currentDir]]), or the root
     * itself before any rebuild has committed — the cold-start layout,

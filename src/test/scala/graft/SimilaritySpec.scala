@@ -432,6 +432,48 @@ class SimilaritySpec extends SparkSpec {
     assert(searched.as[(Long, Long, Double, Int)].collect().toSet === inline)
   }
 
+  test("ivfpqTopKFromStore: parity with ivfpqSearch; the cells scan prunes to <= nprobe directories") {
+    val rnd = new scala.util.Random(83)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" === 50L)
+    val (coarse, assign) = Similarity.kmeansModel(corpus)
+    val (codebooks, codes) = Similarity.pqModel(corpus)
+    val want = Similarity.ivfpqSearch(queries, coarse, assign, codebooks, codes,
+      5, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
+    val dir = tempDir("graft-annstore-")
+    Similarity.saveAnnStore(coarse, assign, codebooks, codes, s"$dir/ann")
+    val served = Similarity.ivfpqTopKFromStore(spark, s"$dir/ann", queries,
+      5, nprobe = 2)
+    assert(served.as[(Long, Long, Double, Int)].collect().toSet === want,
+      "the store-served search must be row-identical to the stored-table search")
+    // the scale property the cell layout exists for: every scan of the
+    // cells table carries a cell_id partition filter, and executes over
+    // at most nprobe directories (one file per directory by the
+    // repartition-before-write) — never the corpus
+    val qe = Similarity.ivfpqTopKFromStore(spark, s"$dir/ann", queries,
+      5, nprobe = 2).queryExecution
+    qe.toRdd.count()
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    def scans(p: SparkPlan): Seq[FileSourceScanExec] = p match {
+      case a: AdaptiveSparkPlanExec => scans(a.executedPlan)
+      case s: QueryStageExec => scans(s.plan)
+      case f: FileSourceScanExec => Seq(f)
+      case other => other.children.flatMap(scans)
+    }
+    val cellScans = scans(qe.executedPlan)
+      .filter(_.metadata.get("Location").exists(_.contains("cells")))
+    assert(cellScans.nonEmpty, "expected scans over the cells store")
+    cellScans.foreach { sc =>
+      assert(sc.partitionFilters.nonEmpty,
+        s"cells scan must prune by cell_id partition: $sc")
+      assert(sc.metrics("numFiles").value <= 2L,
+        s"a cells scan read ${sc.metrics("numFiles").value} files — " +
+          "pruning must bound it at nprobe directories per query")
+    }
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))

@@ -236,6 +236,25 @@ class SourcesAndStoreSpec extends SparkSpec {
     assert(spark.sql(
         s"SELECT * FROM graft_hybrid_served('$base/store', 'hys_emb', 'cat dog', 1, 3, 3)")
       .collect().toSet === hybWant, "TVF parity with the served face")
+    // FULLY-served hybrid: the semantic arm from a cell-partitioned
+    // ANN store — must equal the same fusion composed from the
+    // stored-table ivfpqSearch arm (both arms pruned, zero corpus
+    // scans per query)
+    val (coarseC, assignC) = graft.ops.Similarity.kmeansModel(e)
+    val (booksC, codesC) = graft.ops.Similarity.pqModel(e, m = 2)
+    graft.ops.Similarity.saveAnnStore(coarseC, assignC, booksC, codesC, s"$base/ann")
+    val annWant = InvertedIndex.hybridFromRankings(
+      InvertedIndex.bm25TopK(InvertedIndex.build(c), "cat dog", 4L, 3)
+        .select($"doc_id", $"rank".as("bm25_rank")),
+      graft.ops.Similarity.ivfpqSearch(e.filter($"vec_id" === 1L),
+          coarseC, assignC, booksC, codesC, 3, nprobe = 2, m = 2)
+        .select($"neighbor_id".as("doc_id"), $"rank".as("cos_rank")),
+      k = 3).collect().toSet
+    val annServed = IndexStore.hybridTopKAnn(spark, s"$base/store", s"$base/ann",
+      "cat dog", e.filter($"vec_id" === 1L), k = 3, poolK = 3,
+      nprobe = 2, m = 2, layout = IndexStore.HashPrefix).collect().toSet
+    assert(annServed === annWant,
+      "the ANN-served hybrid page must equal the stored-table composition")
     // served plain BM25 and boolean retrieval: parity + pruned plans —
     // every retrieval face now has a served twin over the ONE store
     val idx = InvertedIndex.build(c)
