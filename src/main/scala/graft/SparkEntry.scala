@@ -2586,7 +2586,9 @@ object SparkEntry {
       // in-plan index build; must hash-equal q_search_page
       val tmp = tmpStore("sps")
       val d = docs(s, dir)
-      d.write.mode("overwrite").parquet(s"$tmp/docs")
+      // id-bucketed doc store: the page's text fetch prunes to <= k
+      // partition dirs instead of scanning every text row-group
+      graft.index.IndexStore.saveDocStore(d, s"$tmp/docs")
       graft.index.IndexStore.saveSearchPageStore(d, s"$tmp/store",
         graft.index.IndexStore.HashPrefix)
       graft.index.IndexStore.searchPage(s, s"$tmp/store", s"$tmp/docs",

@@ -112,6 +112,34 @@ object IndexStore {
     graft.index.InvertedIndex.phraseSearch(pruned, phrase)
   }
 
+  private val DocBktCol = "doc_bkt"
+
+  /** Persist the corpus TEXT as a point-fetch doc store: partitioned
+    * into 256 uniform directories by the first 2 hex chars of
+    * `md5(doc_id)` (the [[HashPrefix]] recipe on the id domain), each
+    * directory one file sorted by `doc_id`. This is the text-side twin
+    * of the postings' pruning discipline: the served page needs k
+    * documents' text, and a PLAIN parquet doc store makes that a
+    * full-corpus read (every row-group scanned to find 20 ids — at
+    * 100 TB the text column IS the corpus, so that read was the
+    * served page's last unpruned scan). Against this layout
+    * [[searchPage]] pushes the k ranked ids as literal `doc_bkt isin`
+    * (partition pruning, ≤ k directories) + `doc_id isin` (row-group
+    * pruning via the sorted files' min/max stats) — per-query text
+    * cost is k-documents-sized, never corpus-sized.
+    *
+    * Any (doc_id, text, …) frame works — extra columns ride along.
+    * [[searchPage]] detects the layout by the partition column and
+    * falls back to an id-pushdown scan over a plain store. */
+  def saveDocStore(docs: DataFrame, path: String): Unit =
+    docs
+      .withColumn(DocBktCol, substring(md5(col("doc_id").cast("string")), 1, 2))
+      .repartition(col(DocBktCol))
+      .sortWithinPartitions("doc_id")
+      .write.mode("overwrite")
+      .partitionBy(DocBktCol)
+      .parquet(path)
+
   /** Write the COMPLETE search-page serving store for a corpus — the
     * artifact set [[searchPage]] answers from without ever touching
     * corpus text beyond the k winners:
@@ -178,16 +206,23 @@ object IndexStore {
     * At 100 TB the per-query cost is per-term-postings-sized plus a
     * doc_id-keyed join onto the stored docLengths and one text fetch
     * for k documents — never a corpus scan, never an index build.
-    * `docsPath` is the doc-store parquet (`doc_id`, `text`); `layout`
-    * must match the store's save-time layout. The ranked id set has
-    * THREE consumers (two semi-joins + the final join), so it is
-    * lazily Persist-materialized (the `graft_minhash_pairs` idiom):
-    * EXPLAIN still runs no job, and the first action executes the
-    * ranking ONCE for all three references — without it a stop-word
-    * query term would re-aggregate its corpus-sized posting list three
-    * times per page. The cache entry is k rows; a high-QPS serving
-    * session should `clearCache()` periodically, the
-    * [[graft.core.Materialize]] lifecycle note. */
+    * `docsPath` is the doc-store parquet (`doc_id`, `text`) — ideally
+    * a [[saveDocStore]] layout, against which the text fetch prunes to
+    * ≤ k partition directories (plain parquet still works, with only
+    * the row-group id pushdown); `layout` must match the postings
+    * store's save-time layout.
+    *
+    * The ranked id set has THREE consumers (the hits restriction, the
+    * text fetch, the final join), so the ranking executes ONCE and is
+    * COLLECTED — k rows, policy-sized by construction (the
+    * operating-point-bias convention). The collected ids are what let
+    * both downstream reads prune with LITERALS (`doc_id isin` into the
+    * postings row-groups, `doc_bkt`+`doc_id isin` into the doc store)
+    * instead of corpus-side joins, and nothing is Persisted — a
+    * high-QPS serving session accumulates no cache entries (the r18
+    * advisory). The call is therefore EAGER: the ranking job runs when
+    * the method is called; the returned plan reads only pruned
+    * per-term postings and ≤ k text directories. */
   def searchPage(
       spark: SparkSession,
       path: String,
@@ -204,18 +239,27 @@ object IndexStore {
     val pruned = spark.read.parquet(s"$path/postings")
       .filter(col(PrefixCol).isin(terms.map(layout.prefixOf): _*) &&
         col("word").isin(terms: _*))
-    val ranked = graft.core.Materialize(
-      graft.index.InvertedIndex.bm25TopKFromStore(
-        pruned.select("word", "doc_id", "cnt"),
-        spark.read.parquet(s"$path/doc_lengths"),
-        spark.read.parquet(s"$path/stats"),
-        query, k, k1, b),
-      graft.core.Materialize.Persist)
-    val rankedIds = ranked.select("doc_id")
+    val rankedF = graft.index.InvertedIndex.bm25TopKFromStore(
+      pruned.select("word", "doc_id", "cnt"),
+      spark.read.parquet(s"$path/doc_lengths"),
+      spark.read.parquet(s"$path/stats"),
+      query, k, k1, b)
+    val rankedRows = rankedF.collect()
+    val ranked = spark.createDataFrame(
+      java.util.Arrays.asList(rankedRows: _*), rankedF.schema)
+    // doc_id domain is caller-typed (bigint in the fixtures, string in
+    // the streaming corpus) — collect as Any so both prune
+    val ids: Seq[Any] =
+      rankedRows.map(_.get(rankedF.schema.fieldIndex("doc_id"))).toSeq
     val pageHits = pruned.select("word", "doc_id", "positions", "cnt")
-      .join(rankedIds, Seq("doc_id"), "left_semi")
-    val pageDocs = spark.read.parquet(docsPath)
-      .join(rankedIds, Seq("doc_id"), "left_semi")
+      .filter(col("doc_id").isin(ids: _*))
+    val docsRead = spark.read.parquet(docsPath)
+    val pageDocs =
+      (if (docsRead.columns.contains(DocBktCol))
+        docsRead.filter(col(DocBktCol)
+          .isin(ids.map(i => HashPrefix.prefixOf(i.toString)).distinct: _*))
+      else docsRead)
+        .filter(col("doc_id").isin(ids: _*))
     val snip = graft.index.InvertedIndex.snippets(
       pageHits, pageDocs, query, window, maxHitsPerTerm)
     ranked.join(snip, Seq("doc_id"))
