@@ -72,6 +72,11 @@ object ClassifierRefresher {
     * @param repoint atomically commit `v<batch>` as current AFTER both
     *   artifacts are durably written; false = version without serving
     *   (the blue/green staging face)
+    * @param keepVersions retention: after the repoint,
+    *   [[ArtifactVersions.prune]] reclaims all but the newest N
+    *   version dirs (never the pointer target) — without it every due
+    *   retrain leaks a version dir forever. None (default) keeps
+    *   everything.
     */
   def retrainIfDue(
       session: SparkSession,
@@ -86,7 +91,8 @@ object ClassifierRefresher {
       thresholds: Seq[Double] = Seq(-2.0, -1.0, 0.0, 1.0, 2.0),
       objective: Curation.OpObjective = Curation.OpObjective.MaxF1,
       minBatchId: Long = 1L,
-      repoint: Boolean = true): Option[String] =
+      repoint: Boolean = true,
+      keepVersions: Option[Int] = None): Option[String] =
     EmbeddingIndexer.latestDue(session, refreshDir, artifact, minBatchId).map { batch =>
       val out = s"$versionsRoot/v$batch"
       Curation.classifierWeights(pos, neg, buckets)
@@ -111,6 +117,7 @@ object ClassifierRefresher {
         }
       }
       if (repoint) ArtifactVersions.repoint(session, versionsRoot, s"v$batch")
+      keepVersions.foreach(kp => ArtifactVersions.prune(session, versionsRoot, kp))
       out
     }
 
@@ -162,5 +169,39 @@ object ClassifierRefresher {
     }
     Curation.ClassifierGate(session.read.parquet(s"$dir/weights"),
       buckets, bias, gb, groupCol)
+  }
+
+  /** [[servingGate]] as a LIVE provider — what a streaming deployment
+    * passes as [[CorpusWatcher.startJsonl]]'s `classifierGateProvider`
+    * so the drift loop closes WITHOUT a stream restart: a frozen
+    * `classifierGate` serves the bootstrap-time weights for the
+    * stream's lifetime, so [[retrainIfDue]]'s repoint only took effect
+    * at the next restart — the loop's last seam (r18 verdict #3).
+    * Each call re-reads the version POINTER (one metadata read, the
+    * per-batch cost) and reloads the gate ONLY when the pointer moved
+    * since the last call — an unchanged pointer costs no parquet read,
+    * a repointed one makes the NEXT batch serve the new weights and
+    * their re-swept operating points. Explicit `groupBiases` freeze
+    * that table across versions; leave None to refresh it from each
+    * version's stored `operating_points_by` (the usual deployment). */
+  def servingGateProvider(
+      versionsRoot: String,
+      buckets: Int = 1024,
+      defaultBias: Double = 0.0,
+      groupBiases: Option[DataFrame] = None,
+      groupCol: String = "source"): SparkSession => Curation.ClassifierGate = {
+    val cache = new java.util.concurrent.atomic
+      .AtomicReference[(Option[String], Curation.ClassifierGate)]()
+    session => {
+      val v = ArtifactVersions.current(session, versionsRoot)
+      val hit = cache.get()
+      if (hit != null && hit._1 == v) hit._2
+      else {
+        val g = servingGate(session, versionsRoot, buckets, defaultBias,
+          groupBiases, groupCol)
+        cache.set((v, g))
+        g
+      }
+    }
   }
 }

@@ -211,6 +211,20 @@ object CorpusWatcher {
     * Per-batch cost: one tokenize scan of the batch + a broadcast join
     * against the model-sized weight table.
     *
+    * Live classifier gate (`classifierGateProvider`): the frozen
+    * `classifierGate` is resolved once at stream construction, so a
+    * [[ClassifierRefresher.retrainIfDue]] repoint only took effect at
+    * the next restart — the drift loop's last seam. A provider is
+    * instead re-invoked at EVERY batch, so passing
+    * [[ClassifierRefresher.servingGateProvider]] makes the running
+    * stream pick up a mid-stream retrain at its next batch: the
+    * provider re-reads the version pointer (a metadata read) and
+    * reloads weights only when it moved. Gate semantics, ordering, and
+    * replay idempotence are unchanged — which gate version scored a
+    * batch is decided by the pointer at that batch's (re-)execution,
+    * exactly like the band/index history the batch joins against.
+    * Mutually exclusive with `classifierGate`.
+    *
     * Decontamination (`decontamShingles` + `decontamW`): the streaming
     * face of [[graft.ops.Dedup.decontaminate]] — docs sharing a
     * w-shingle with the FROZEN eval suite ([[graft.ops.Dedup
@@ -470,6 +484,8 @@ object CorpusWatcher {
       dedupWithinBatch: Boolean = false,
       qualityGate: Option[graft.ops.Curation.QualityGate] = None,
       classifierGate: Option[graft.ops.Curation.ClassifierGate] = None,
+      classifierGateProvider:
+        Option[SparkSession => graft.ops.Curation.ClassifierGate] = None,
       decontamShingles: Option[DataFrame] = None,
       decontamW: Int = 3,
       mixtureGate: Option[graft.ops.Sampling.MixtureGate] = None,
@@ -523,9 +539,14 @@ object CorpusWatcher {
       "refreshDir consumes the per-batch drift row: pass driftDir and refreshThresholds with it")
     require(unkVocab.isEmpty || refreshDir.isDefined,
       "unkVocab feeds tokenizer refresh decisions: pass refreshDir with it")
-    require(!classifierDrift || (classifierGate.isDefined && refreshDir.isDefined),
+    require(classifierGate.isEmpty || classifierGateProvider.isEmpty,
+      "pass either the frozen classifierGate or the per-batch " +
+        "classifierGateProvider, not both")
+    require(!classifierDrift ||
+        ((classifierGate.isDefined || classifierGateProvider.isDefined) &&
+          refreshDir.isDefined),
       "classifierDrift measures the classifier gate's per-source drop rates " +
-        "into refresh decisions: pass classifierGate and refreshDir with it")
+        "into refresh decisions: pass classifierGate (or a provider) and refreshDir with it")
     require(!sitemapDiscovery || frontierDir.isDefined,
       "sitemapDiscovery seeds the frontier stage: pass frontierDir with it")
     // the multilingual dial ([[graft.core.TextNorm.tokensUnicode]]):
@@ -911,7 +932,10 @@ object CorpusWatcher {
         // scalar, or per-group operating points when the gate carries
         // groupBiases (the SAME keptIds implementation the batch chain
         // routes through, so stream and chain can never disagree)
-        val scored = classifierGate match {
+        // a provider re-resolves the serving gate THIS batch (the live
+        // drift-loop seam); a frozen gate serves as passed
+        val batchGate = classifierGateProvider.map(_(session)).orElse(classifierGate)
+        val scored = batchGate match {
           case None => clean
           case Some(g) =>
             staged(clean.join(g.keptIds(clean), Seq("doc_id"), "left_semi"))
@@ -1196,7 +1220,7 @@ object CorpusWatcher {
           val nHtml = if (honorDirectives) indexable.count() else nUrl
           val nC4 = if (c4Rules) prose.count() else nHtml
           val nGated = if (qualityGate.isDefined) clean.count() else nC4
-          val nClf = if (classifierGate.isDefined) scored.count() else nGated
+          val nClf = if (batchGate.isDefined) scored.count() else nGated
           val nDecon = if (decontamShingles.isDefined) uncontaminated.count() else nClf
           val nHist = if (dedupBandsDir.isDefined) afterHistoryF.count() else nDecon
           val nWithin = if (dedupWithinBatch) dedupedF.count() else nHist

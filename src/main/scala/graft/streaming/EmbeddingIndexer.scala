@@ -191,7 +191,15 @@ object EmbeddingIndexer {
     * `v<batch>` as the root's current version — the pointer write is
     * the last step, so a crash anywhere earlier leaves serving
     * ([[servingDir]] readers) on the previous version, and the old
-    * version dir stays readable for in-flight queries either way. */
+    * version dir stays readable for in-flight queries either way.
+    *
+    * `keepVersions` bounds the version history: after the repoint,
+    * [[ArtifactVersions.prune]] reclaims all but the newest N dirs
+    * (never the pointer target) — without it every due rebuild leaks a
+    * version dir forever on a long-running stream. The default keeps
+    * everything, the module's never-touch-old-versions stance; opt in
+    * once in-flight readers re-resolve [[servingDir]] between
+    * rebuilds. */
   def rebuildIfDue(
       session: SparkSession,
       refreshDir: String,
@@ -200,7 +208,8 @@ object EmbeddingIndexer {
       m: Int = 4,
       residual: Boolean = false,
       minBatchId: Long = 1L,
-      repoint: Boolean = true): Option[String] =
+      repoint: Boolean = true,
+      keepVersions: Option[Int] = None): Option[String] =
     latestDue(session, refreshDir, "index", minBatchId).map { batch =>
       val out = s"$artifactsRoot/v$batch"
       if (residual) {
@@ -214,6 +223,7 @@ object EmbeddingIndexer {
         books.write.mode("overwrite").parquet(s"$out/codebooks")
       }
       if (repoint) ArtifactVersions.repoint(session, artifactsRoot, s"v$batch")
+      keepVersions.foreach(kp => ArtifactVersions.prune(session, artifactsRoot, kp))
       out
     }
 

@@ -60,6 +60,11 @@ object TokenizerRefresher {
     * @param minBatchId cold-start guard, the [[EmbeddingIndexer
     *   .latestDue]] contract (batch 0 compared against an empty
     *   history and must not trigger retraining)
+    * @param keepVersions retention: after the repoint,
+    *   [[ArtifactVersions.prune]] reclaims all but the newest N
+    *   version files (never the pointer target) — without it every due
+    *   retrain leaks a `v<batch>.json` forever. None (default) keeps
+    *   everything.
     */
   def retrainIfDue(
       session: SparkSession,
@@ -72,7 +77,8 @@ object TokenizerRefresher {
       vocabSize: Option[Int] = None,
       emRounds: Int = 2,
       minBatchId: Long = 1L,
-      repoint: Boolean = true): Option[String] =
+      repoint: Boolean = true,
+      keepVersions: Option[Int] = None): Option[String] =
     EmbeddingIndexer.latestDue(session, refreshDir, artifact, minBatchId).map { batch =>
       val out = s"$versionsRoot/v$batch.json"
       TokenizerIO.familyOf(session, livePath) match {
@@ -98,6 +104,7 @@ object TokenizerRefresher {
           throw new IllegalArgumentException(s"$livePath: unsupported family '$f'")
       }
       if (repoint) ArtifactVersions.repoint(session, versionsRoot, s"v$batch.json")
+      keepVersions.foreach(kp => ArtifactVersions.prune(session, versionsRoot, kp))
       out
     }
 }

@@ -838,6 +838,50 @@ class CorpusWatcherSpec extends SparkSpec {
       "repoint=false must leave the pointer (and serving) untouched")
   }
 
+  test("classifierGateProvider: a mid-stream retrain + repoint gates the NEXT batch without stream restart") {
+    import graft.streaming.{ArtifactVersions, ClassifierRefresher}
+    val (watch, index, ckpt, quar) =
+      (tmp("watchlg"), tmp("indexlg"), tmp("ckptlg"), tmp("quarlg") + "/bad")
+    val pos = Seq((1L, "alpha beta gamma delta alpha beta"),
+      (2L, "alpha gamma delta beta gamma")).toDF("doc_id", "text")
+    val neg = Seq((3L, "zig zag zonk quux zig"),
+      (4L, "zag zonk quux zig zag")).toDF("doc_id", "text")
+    val vroot = java.nio.file.Files.createTempDirectory("graft-lgv-").toString + "/cls"
+    // cold-start layout: the offline trainer wrote under the root —
+    // alpha-ish text is wanted, zig-ish is rejected
+    graft.ops.Curation.classifierWeights(pos, neg)
+      .coalesce(1).write.parquet(s"$vroot/weights")
+    // ONE provider instance for the stream's whole life — the very
+    // object a restartless deployment holds
+    val provider = ClassifierRefresher.servingGateProvider(vroot)
+    def run(): Unit = CorpusWatcher.startJsonl(spark, watch, index, ckpt, quar,
+      classifierGateProvider = Some(provider)).awaitTermination()
+    def indexed(): Set[String] = CorpusWatcher.currentIndex(spark, index)
+      .select("doc_id").distinct().as[String].collect().toSet
+    // batch 0 under the cold-start model: alpha kept, zig dropped
+    Files.write(Paths.get(watch, "lg-0.json"),
+      ("""{"doc_id": 90, "text": "alpha beta gamma delta alpha"}""" + "\n" +
+        """{"doc_id": 91, "text": "zig zag zonk quux zig zag"}""" + "\n")
+        .getBytes("UTF-8"))
+    run()
+    assert(indexed() === Set("90"),
+      "the cold-start gate must keep alpha and drop zig")
+    // MID-STREAM retrain: v1 FLIPS the model (zig is now the wanted
+    // distribution) and repoints. The frozen-gate deployment would
+    // keep serving v0 until restart; the provider must pick the
+    // pointer move up at the very next batch.
+    graft.ops.Curation.classifierWeights(neg, pos)
+      .coalesce(1).write.parquet(s"$vroot/v1/weights")
+    ArtifactVersions.repoint(spark, vroot, "v1")
+    Files.write(Paths.get(watch, "lg-1.json"),
+      ("""{"doc_id": 92, "text": "alpha beta gamma delta beta"}""" + "\n" +
+        """{"doc_id": 93, "text": "zig zag zonk quux zag zig"}""" + "\n")
+        .getBytes("UTF-8"))
+    run()
+    assert(indexed() === Set("90", "93"),
+      "the batch after the repoint must be gated by the NEW weights — no restart")
+  }
+
   test("ClassifierRefresher per-group points: a due retrain stores operating_points_by; servingGate serves it as the gate's groupBiases") {
     import graft.streaming.{ArtifactVersions, ClassifierRefresher}
     val rd = tmp("cdgrrd") + "/refresh"

@@ -287,6 +287,39 @@ class EmbeddingIndexerSpec extends SparkSpec {
     assert(graft.streaming.ArtifactVersions.current(spark, root) === Some("v1"))
   }
 
+  test("keepVersions retention: churned rebuilds keep the newest N dirs, never the pointer target") {
+    import graft.streaming.ArtifactVersions
+    val rnd = new scala.util.Random(78)
+    val corpus = vecs((1L to 60L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val rd = tmp("eiprune") + "/refresh"
+    val root = tmp("eiprroot") + "/artifacts"
+    def decision(batch: Long): Unit =
+      Seq(("index", "js", 0.2, 0.05, true))
+        .toDF("artifact", "metric", "value", "threshold", "due")
+        .write.mode("overwrite").parquet(s"$rd/batch_id=$batch")
+    // three churned retrains under keep=2: the oldest dir is reclaimed
+    (1L to 3L).foreach { b =>
+      decision(b)
+      assert(EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root,
+        keepVersions = Some(2)) === Some(s"$root/v$b"))
+    }
+    assert(ArtifactVersions.versions(spark, root) === Seq("v2", "v3"),
+      "keep=2 churn must leave exactly the two newest version dirs")
+    assert(ArtifactVersions.current(spark, root) === Some("v3"))
+    // the pointer target survives pruning even when OLDER than every
+    // survivor: stage v4/v5 without repointing — serving stays on v3,
+    // and keep=1 must preserve the live dir alongside the newest
+    (4L to 5L).foreach { b =>
+      decision(b)
+      assert(EmbeddingIndexer.rebuildIfDue(spark, rd, corpus, root,
+        repoint = false, keepVersions = Some(1)) === Some(s"$root/v$b"))
+    }
+    assert(ArtifactVersions.current(spark, root) === Some("v3"))
+    assert(ArtifactVersions.versions(spark, root) === Seq("v3", "v5"),
+      "the live (pointer-target) version must never be pruned")
+  }
+
   test("ArtifactVersions: repoint is an atomic replace; old version dirs stay readable; junk versions rejected") {
     import graft.streaming.ArtifactVersions
     val root = tmp("avroot") + "/arts"

@@ -224,6 +224,17 @@ class TokenizerIOSpec extends SparkSpec {
     assert(out2.isDefined && TokenizerIO.familyOf(spark, out2.get) === "bpe")
     assert(TokenizerIO.importBpe(spark, out2.get) ===
       Bpe.trainMerges(docs, 4).map(m => (m.lhs, m.rhs)))
+    // retention: churned retrains under keepVersions reclaim the old
+    // version FILES, never the pointer target (r18 verdict #4)
+    (3L to 4L).foreach { b =>
+      decision(b, due = true)
+      assert(TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
+        live, docs, vroot, merges = Some(4), keepVersions = Some(2))
+        === Some(s"$vroot/v$b.json"))
+    }
+    assert(ArtifactVersions.versions(spark, vroot) === Seq("v3.json", "v4.json"),
+      "keep=2 churn must leave exactly the two newest version files")
+    assert(ArtifactVersions.current(spark, vroot) === Some("v4.json"))
   }
 
   test("retrainIfDue default budget derives from the LIVE artifact's inventory — a due retrain can't shrink serving to a toy vocab") {
