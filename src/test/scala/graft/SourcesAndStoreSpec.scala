@@ -2,7 +2,7 @@ package graft
 
 import java.nio.file.Files
 
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, concat_ws}
 
 import graft.index.{IndexStore, InvertedIndex}
 import graft.sources.TextCorpus
@@ -289,6 +289,65 @@ class SourcesAndStoreSpec extends SparkSpec {
     assert(bPlan.linesIterator.exists(l =>
       l.contains("PartitionFilters") && l.contains("word_pfx")),
       s"served BM25 must prune postings partitions:\n$bPlan")
+  }
+
+  test("incremental search-page-store refresh: only changed prefixes rewrite; untouched dirs byte-stable; vanished prefixes reclaimed; served parity") {
+    def pfx(w: String): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(w.getBytes("UTF-8"))
+      f"${d(0) & 0xff}%02x"
+    }
+    def dirState(store: String, p: String): Map[String, (Long, Long)] = {
+      val dir = new java.io.File(s"$store/postings/word_pfx=$p")
+      if (!dir.exists()) Map.empty
+      else dir.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => f.getName -> ((f.length(), f.lastModified()))).toMap
+    }
+    val c1 = Seq((1L, "apple banana apple"), (2L, "banana cherry unique"),
+      (3L, "delta echo")).toDF("doc_id", "text")
+    val store = tmp("storeinc") + "/sp"
+    IndexStore.saveSearchPageStoreFromIndex(
+      InvertedIndex.buildPositional(c1), 3L, store, IndexStore.HashPrefix)
+    val untouched = Seq("apple", "delta", "echo").map(pfx).distinct
+    val before = untouched.map(p => p -> dirState(store, p)).toMap
+    assert(dirState(store, pfx("unique")).nonEmpty, "fixture: unique has its own dir")
+    // v2 snapshot: doc 2 re-uploaded (unique -> fresh), doc 4 new;
+    // docs 1 and 3 untouched. The delta's words are what changed.
+    val c2 = Seq((1L, "apple banana apple"), (2L, "banana cherry fresh"),
+      (3L, "delta echo"), (4L, "golf hotel")).toDF("doc_id", "text")
+    val pos2 = InvertedIndex.buildPositional(c2)
+    val changed = Seq("unique", "fresh", "banana", "cherry", "golf", "hotel")
+      .toDF("word")
+    IndexStore.saveSearchPageStoreFromIndex(pos2, 4L, store,
+      IndexStore.HashPrefix, changedWords = Some(changed))
+    // untouched prefix directories are byte-identical files on disk —
+    // the incremental refresh never rewrote them
+    untouched.foreach { p =>
+      assert(dirState(store, p) === before(p),
+        s"untouched prefix dir $p must not be rewritten")
+    }
+    // the vanished word's directory is reclaimed (no stale postings)
+    assert(dirState(store, pfx("unique")).isEmpty
+        || spark.read.parquet(s"$store/postings")
+             .filter($"word" === "unique").count() === 0L,
+      "a changed prefix whose words vanished must not serve stale postings")
+    // full parity: the refreshed store equals a from-scratch export of
+    // the same snapshot — postings, stats, and a served ranking
+    val full = tmp("storeincfull") + "/sp"
+    IndexStore.saveSearchPageStoreFromIndex(pos2, 4L, full, IndexStore.HashPrefix)
+    def postings(s: String) = spark.read.parquet(s"$s/postings")
+      .select($"word", $"doc_id",
+        concat_ws(",", $"positions".cast("array<string>")).as("p"), $"cnt")
+      .as[(String, Long, String, Long)].collect().toSet
+    assert(postings(store) === postings(full),
+      "refreshed postings must equal the from-scratch export")
+    assert(spark.read.parquet(s"$store/stats").collect().toSeq ===
+      spark.read.parquet(s"$full/stats").collect().toSeq)
+    assert(IndexStore.bm25TopK(spark, store, "banana fresh", k = 4,
+        layout = IndexStore.HashPrefix).collect().toSeq ===
+      IndexStore.bm25TopK(spark, full, "banana fresh", k = 4,
+        layout = IndexStore.HashPrefix).collect().toSeq,
+      "served ranking parity after the incremental refresh")
   }
 
   test("only the matching partition directory is scanned") {
