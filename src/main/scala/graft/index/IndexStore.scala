@@ -35,6 +35,8 @@ object IndexStore {
     /** Partition value for a (normalized) lookup key, driver-side —
       * must match `prefixCol` exactly for pruning to be correct. */
     private[index] def prefixOf(key: String): String
+    /** Stable name persisted in the store's layout marker. */
+    private[index] def markerName: String
   }
 
   /** First character of the word ('_' for the degenerate empty word,
@@ -44,6 +46,7 @@ object IndexStore {
       coalesce(nullif(substring(col("word"), 1, 1), lit("")), lit("_"))
     private[index] def prefixOf(key: String): String =
       if (key.isEmpty) "_" else key.substring(0, 1)
+    private[index] def markerName: String = "first_char"
   }
 
   /** First 2 hex chars of md5(word): 256 uniform directories. */
@@ -54,15 +57,72 @@ object IndexStore {
         .digest(key.getBytes(java.nio.charset.StandardCharsets.UTF_8))
       f"${d(0) & 0xff}%02x" // same lowercase hex as Spark's md5()
     }
+    private[index] def markerName: String = "hash_prefix"
+  }
+
+  /** The save-time layout marker: every [[save]]/[[savePositional]]
+    * write records its layout as a root-level `_GRAFT_LAYOUT` file
+    * (underscore-prefixed — invisible to Spark's file listing, like
+    * `_SUCCESS`), because a store carries no other trace of it: a
+    * layout-mismatched read's prefix partition filter simply matches
+    * NOTHING, silently returning an empty result page instead of
+    * failing (the r18 advisory). Read faces validate the caller's
+    * layout against the marker and FAIL LOUDLY on mismatch; the SQL
+    * TVFs, which cannot take a Layout argument, resolve it from the
+    * marker. Marker-less stores (pre-marker exports) validate nothing
+    * — back-compat. */
+  private val LayoutMarker = "_GRAFT_LAYOUT"
+
+  private def writeLayoutMarker(
+      spark: SparkSession, dsPath: String, layout: Layout): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$dsPath/$LayoutMarker")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    val out = fs.create(p, true)
+    try out.write(layout.markerName.getBytes("UTF-8")) finally out.close()
+  }
+
+  /** The layout a partitioned store was saved with, from its marker;
+    * None for stores written before the marker existed. Junk marker
+    * bodies fail loudly — a corrupt marker must not silently demote
+    * validation. */
+  def storedLayout(spark: SparkSession, dsPath: String): Option[Layout] = {
+    val p = new org.apache.hadoop.fs.Path(s"$dsPath/$LayoutMarker")
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      val body =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      Seq(FirstChar, HashPrefix).find(_.markerName == body).orElse(
+        throw new IllegalArgumentException(
+          s"$dsPath/$LayoutMarker holds unknown layout '$body'"))
+    }
+  }
+
+  /** Validate a read against the store's recorded layout: a mismatch
+    * raises instead of serving the silently-empty page a wrong prefix
+    * filter produces. Returns the layout to read with. */
+  private def checkLayout(
+      spark: SparkSession, dsPath: String, requested: Layout): Layout = {
+    storedLayout(spark, dsPath).foreach { stored =>
+      require(stored == requested,
+        s"$dsPath was saved with layout '${stored.markerName}' but is being " +
+          s"read with '${requested.markerName}' — the prefix partition filter " +
+          "would match nothing; pass the saved layout")
+    }
+    requested
   }
 
   /** Persist, partitioned for point-lookup pruning under `layout`. */
-  def save(index: DataFrame, path: String, layout: Layout = FirstChar): Unit =
+  def save(index: DataFrame, path: String, layout: Layout = FirstChar): Unit = {
     index
       .withColumn(PrefixCol, layout.prefixCol)
       .write.mode("overwrite")
       .partitionBy(PrefixCol)
       .parquet(path)
+    writeLayoutMarker(index.sparkSession, path, layout)
+  }
 
   /** Load the canonical flat index (partition column dropped). */
   def load(spark: SparkSession, path: String): DataFrame =
@@ -75,6 +135,7 @@ object IndexStore {
     * the one the store was saved with. */
   def lookup(spark: SparkSession, path: String, word: String,
       layout: Layout = FirstChar): DataFrame = {
+    checkLayout(spark, path, layout)
     val key = TextNorm.normalizeKey(word)
     spark.read.parquet(path)
       .filter(col(PrefixCol) === layout.prefixOf(key) && col("word") === key)
@@ -86,12 +147,14 @@ object IndexStore {
     * partition-for-pruning discipline as [[save]] — the positions
     * column rides along, so a served phrase query reads only its
     * terms' partitions. */
-  def savePositional(posIndex: DataFrame, path: String, layout: Layout = FirstChar): Unit =
+  def savePositional(posIndex: DataFrame, path: String, layout: Layout = FirstChar): Unit = {
     posIndex
       .withColumn(PrefixCol, layout.prefixCol)
       .write.mode("overwrite")
       .partitionBy(PrefixCol)
       .parquet(path)
+    writeLayoutMarker(posIndex.sparkSession, path, layout)
+  }
 
   /** Served phrase search over a [[savePositional]] store: the
     * phrase's terms pin BOTH a prefix `isin` (partition pruning — at
@@ -103,6 +166,7 @@ object IndexStore {
     * match the one the store was saved with. */
   def phraseSearch(spark: SparkSession, path: String, phrase: String,
       layout: Layout = FirstChar): DataFrame = {
+    checkLayout(spark, path, layout)
     val keys = TextNorm.queryTerms(phrase).distinct
     require(keys.nonEmpty, s"phrase '$phrase' has no indexable terms")
     val pruned = spark.read.parquet(path)
@@ -293,6 +357,7 @@ object IndexStore {
       b: Double = 0.75,
       layout: Layout = FirstChar,
       maxHitsPerTerm: Int = 1000): DataFrame = {
+    checkLayout(spark, s"$path/postings", layout)
     val terms = TextNorm.queryTerms(query).distinct
     require(terms.nonEmpty, s"query '$query' has no indexable terms")
     val pruned = spark.read.parquet(s"$path/postings")
@@ -341,6 +406,7 @@ object IndexStore {
       k1: Double = 1.2,
       b: Double = 0.75,
       layout: Layout = FirstChar): DataFrame = {
+    checkLayout(spark, s"$path/postings", layout)
     val terms = TextNorm.queryTerms(query).distinct
     require(terms.nonEmpty, s"query '$query' has no indexable terms")
     graft.index.InvertedIndex.bm25TopKFromStore(
@@ -366,6 +432,7 @@ object IndexStore {
       terms: Seq[String],
       requireAll: Boolean = true,
       layout: Layout = FirstChar): DataFrame = {
+    checkLayout(spark, s"$path/postings", layout)
     require(terms.nonEmpty, "booleanSearch needs at least one term")
     val keys = terms.map(TextNorm.normalizeKey).distinct
     graft.index.InvertedIndex.booleanSearch(
@@ -398,6 +465,7 @@ object IndexStore {
       poolK: Int = 50,
       rrfK: Int = 60,
       layout: Layout = FirstChar): DataFrame = {
+    checkLayout(spark, s"$path/postings", layout)
     val terms = TextNorm.queryTerms(queryText).distinct
     require(terms.nonEmpty, s"query '$queryText' has no indexable terms")
     val pruned = spark.read.parquet(s"$path/postings")

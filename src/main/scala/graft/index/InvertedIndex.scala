@@ -141,7 +141,17 @@ object InvertedIndex {
     * (and counts `n_hits`) over its capped prefix — for snippet
     * selection the earliest occurrences are where the best windows
     * live anyway. The cap is a row-local `slice` on the stored array,
-    * applied before the explode ever widens the row. */
+    * applied before the explode ever widens the row.
+    *
+    * BEHAVIOR CHANGE NOTE (round 18): the cap's default of 1000 is a
+    * SILENT change for pre-r18 callers — any (doc, term) with more
+    * than 1000 occurrences now competes and counts `n_hits` over only
+    * its first 1000 positions, and the change flows through
+    * [[searchPage]] and both served faces
+    * ([[graft.index.IndexStore.searchPage]], its TVF). Callers needing
+    * exact legacy output on such documents must pass
+    * `maxHitsPerTerm = Int.MaxValue` explicitly (and accept the H²
+    * hot-task risk that motivated the guard). */
   def snippets(
       posIndex: DataFrame,
       docs: DataFrame,

@@ -2251,7 +2251,10 @@ object GraftExtensions {
     * [[graft.index.IndexStore.saveSearchPageStore]] root and the
     * doc-store parquet), not table names — the point of the served
     * face is answering from artifacts no session has registered.
-    * HashPrefix layout (the serving default at scale). */
+    * Layout resolves from the store's `_GRAFT_LAYOUT` marker (a
+    * hardcoded layout silently served an EMPTY page against a
+    * differently-laid store — the r18 advisory); marker-less stores
+    * fall back to HashPrefix, the serving default at scale. */
   private val searchPageServedTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_search_page_served"),
@@ -2264,11 +2267,17 @@ object GraftExtensions {
       val window = if (children.size == 5)
         intArg("graft_search_page_served")(children(4), "window") else 10
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
-        graft.index.IndexStore.searchPage(SparkSession.active,
-          str(children(0), "store_path"), str(children(1), "docs_path"),
-          str(children(2), "query"),
-          intArg("graft_search_page_served")(children(3), "k"), window,
-          layout = graft.index.IndexStore.HashPrefix))
+        {
+          val spark = SparkSession.active
+          val store = str(children(0), "store_path")
+          graft.index.IndexStore.searchPage(spark,
+            store, str(children(1), "docs_path"),
+            str(children(2), "query"),
+            intArg("graft_search_page_served")(children(3), "k"), window,
+            layout = graft.index.IndexStore
+              .storedLayout(spark, s"$store/postings")
+              .getOrElse(graft.index.IndexStore.HashPrefix))
+        })
     })
 
   /** SQL surface for the STORED-lexical-arm hybrid query —
@@ -2279,8 +2288,9 @@ object GraftExtensions {
     * }}}
     *
     * First argument is the [[graft.index.IndexStore.saveSearchPageStore]]
-    * PATH (HashPrefix layout, the serving default); the embedding arm
-    * stays a registered table. [[graft.index.IndexStore.hybridTopK]]. */
+    * PATH — layout resolved from the store's marker, HashPrefix when
+    * marker-less; the embedding arm stays a registered table.
+    * [[graft.index.IndexStore.hybridTopK]]. */
   private val hybridServedTableFunction
       : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
     FunctionIdentifier("graft_hybrid_served"),
@@ -2297,10 +2307,16 @@ object GraftExtensions {
         if (children.size == 6) (int(children(4), "k"), int(children(5), "pool_k"))
         else (20, 50)
       org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
-        graft.index.IndexStore.hybridTopK(spark, str(children.head, "store_path"),
-          embT, str(children(2), "query"),
-          embT.filter(org.apache.spark.sql.functions.col("vec_id") === qid),
-          k, poolK, layout = graft.index.IndexStore.HashPrefix))
+        {
+          val store = str(children.head, "store_path")
+          graft.index.IndexStore.hybridTopK(spark, store,
+            embT, str(children(2), "query"),
+            embT.filter(org.apache.spark.sql.functions.col("vec_id") === qid),
+            k, poolK,
+            layout = graft.index.IndexStore
+              .storedLayout(spark, s"$store/postings")
+              .getOrElse(graft.index.IndexStore.HashPrefix))
+        })
     })
 
   /** Register the SQL functions + planner strategies on an

@@ -48,13 +48,15 @@ object TokenizerRefresher {
     * @param versionsRoot versioned artifact dir; the export lands at
     *   `versionsRoot/v<batch>.json`
     * @param merges bpe/wordpiece merge budget; None (default) derives
-    *   it from the LIVE artifact's inventory size — bpe: its merge
-    *   count, wordpiece: its vocab size (an upper bound on the merges
-    *   that produced it, so the retrain budget is never smaller than
-    *   the serving inventory). An explicit budget smaller than the
-    *   live artifact would otherwise atomically repoint serving at a
-    *   toy vocabulary and WORSEN the very unk_rate that triggered the
-    *   retrain.
+    *   it from the LIVE artifact's inventory — bpe: its merge count,
+    *   wordpiece: its vocab size MINUS its alphabet (single-char and
+    *   ##single-char pieces) and [UNK] — a tight upper bound on the
+    *   merges that produced it, so the retrain budget is never smaller
+    *   than the serving inventory and never alphabet-many merges
+    *   larger (the r18 advisory's over-estimate). An explicit budget
+    *   smaller than the live artifact would otherwise atomically
+    *   repoint serving at a toy vocabulary and WORSEN the very
+    *   unk_rate that triggered the retrain.
     * @param vocabSize unigram piece budget; None derives the live
     *   artifact's piece count. @param emRounds unigram EM rounds.
     * @param minBatchId cold-start guard, the [[EmbeddingIndexer
@@ -94,8 +96,22 @@ object TokenizerRefresher {
               Unigram.trainUnigram(docs, vocabSize = budget, emRounds = emRounds)),
             out)
         case "wordpiece" =>
-          val budget =
-            merges.getOrElse(TokenizerIO.importWordPiece(session, livePath)._1.size)
+          val budget = merges.getOrElse {
+            // each merge adds AT MOST one piece on top of the alphabet
+            // (single-char and ##single-char pieces) and [UNK], so
+            // vocab-minus-alphabet-minus-specials bounds the producing
+            // merge count far tighter than the raw vocab size — the
+            // r18 advisory: the raw count made a drift retrain train
+            // alphabet-many extra merges the serving artifact never
+            // had, while this derivation still never shrinks serving
+            // below its merged-piece inventory
+            val vocab = TokenizerIO.importWordPiece(session, livePath)._1
+            val alphabet = vocab.count(p =>
+              p.codePointCount(0, p.length) == 1 ||
+                (p.startsWith("##") && p.length > 2 &&
+                  p.codePointCount(2, p.length) == 1))
+            math.max(1, vocab.size - alphabet - vocab.count(_ == "[UNK]"))
+          }
           TokenizerIO.exportWordPiece(session,
             WordPiece.collectVocab(
               WordPiece.vocab(docs, WordPiece.trainMerges(docs, budget))),

@@ -291,6 +291,33 @@ class SourcesAndStoreSpec extends SparkSpec {
       s"served BM25 must prune postings partitions:\n$bPlan")
   }
 
+  test("layout marker: a mismatched read fails loudly instead of serving an empty page; TVFs resolve the marker") {
+    val c = Seq((1L, "apple banana"), (2L, "banana cherry")).toDF("doc_id", "text")
+    val idx = InvertedIndex.build(c)
+    val path = tmp("storemk") + "/index"
+    IndexStore.save(idx, path, IndexStore.HashPrefix)
+    assert(IndexStore.storedLayout(spark, path) === Some(IndexStore.HashPrefix))
+    // pre-marker behavior: the wrong layout's prefix filter matched
+    // nothing -> silently empty; now it raises, naming both layouts
+    val e = intercept[IllegalArgumentException](
+      IndexStore.lookup(spark, path, "banana", IndexStore.FirstChar))
+    assert(e.getMessage.contains("hash_prefix") && e.getMessage.contains("first_char"))
+    // the matching layout still serves
+    assert(IndexStore.lookup(spark, path, "banana", IndexStore.HashPrefix)
+      .count() === 2L)
+    // a FIRSTCHAR search-page store through the path-literal TVF: the
+    // TVF resolves the marker instead of assuming HashPrefix — the
+    // exact silent-empty-page scenario the r18 advisory flagged
+    val base = tmp("storemk2")
+    IndexStore.saveDocStore(c, s"$base/docs")
+    IndexStore.saveSearchPageStore(c, s"$base/store", IndexStore.FirstChar)
+    graft.plans.GraftExtensions.install(spark)
+    assert(spark.sql(
+        s"SELECT * FROM graft_search_page_served('$base/store', '$base/docs', 'banana', 2)")
+      .count() === 2L,
+      "the TVF must serve a FirstChar store by resolving its marker")
+  }
+
   test("incremental search-page-store refresh: only changed prefixes rewrite; untouched dirs byte-stable; vanished prefixes reclaimed; served parity") {
     def pfx(w: String): String = {
       val d = java.security.MessageDigest.getInstance("MD5")

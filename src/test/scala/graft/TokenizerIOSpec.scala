@@ -258,6 +258,21 @@ class TokenizerIOSpec extends SparkSpec {
     assert(out === Some(s"$vroot/v1.json"))
     assert(TokenizerIO.importBpe(spark, out.get).size === liveMerges.size,
       "derived budget must match the live inventory size")
+    // wordpiece: the derived budget is vocab MINUS alphabet/[UNK] (the
+    // r18 advisory — the raw vocab count over-trained by
+    // alphabet-many merges), so a same-corpus retrain reproduces the
+    // serving artifact's vocabulary exactly
+    val liveWp = tmp("trbudgetwp")
+    TokenizerIO.exportWordPiece(spark,
+      WordPiece.collectVocab(WordPiece.vocab(docs, WordPiece.trainMerges(docs, 3))),
+      liveWp)
+    val vrootWp = java.nio.file.Files.createTempDirectory("graft-trbvw-").toString + "/tok"
+    val outWp = TokenizerRefresher.retrainIfDue(spark, rd, "tokenizer:web",
+      liveWp, docs, vrootWp)
+    assert(outWp.isDefined)
+    assert(TokenizerIO.importWordPiece(spark, outWp.get)._1 ===
+      TokenizerIO.importWordPiece(spark, liveWp)._1,
+      "the alphabet-corrected budget must reproduce the live vocabulary")
   }
 
   test("non-ASCII pieces escape like the index export (ensure_ascii)") {
