@@ -3488,6 +3488,17 @@ object SparkEntry {
       Similarity.ivfpqResidualSearch(e.filter(col("vec_id") % 100 === 0),
         coarse, assign, books, codes, 10, nprobe = 8)
     },
+    // the residual search SERVED from the cell-partitioned store —
+    // the q_ivfpq_store discipline on the residual artifacts; one
+    // twin pins all three residual routes
+    "q_ivfpq_residual_store" -> { (s, dir) =>
+      val e = emb(s, dir)
+      val (coarse, assign, books, codes) = stagedResidual(s, dir)
+      val tmp = tmpStore("annrs")
+      Similarity.saveAnnStore(coarse, assign, books, codes, s"$tmp/ann")
+      Similarity.ivfpqResidualTopKFromStore(s, s"$tmp/ann",
+        e.filter(col("vec_id") % 100 === 0), 10, nprobe = 8)
+    },
 
     // ---- relational coverage (absent from the reference, SURVEY §2.12) --
     "q1_pricing_summary" -> ((s, dir) => Relational.pricingSummary(s, dir)),
@@ -6983,6 +6994,7 @@ object SparkEntry {
     "q_ivfpq_residual" -> IVFPQ_RESIDUAL_SQL,
     // identical result contract through the four stored residual artifacts
     "q_ivfpq_residual_search" -> IVFPQ_RESIDUAL_SQL,
+    "q_ivfpq_residual_store" -> IVFPQ_RESIDUAL_SQL,
     "q_kmeans_centroids" ->
       s"""WITH $KMEANS_CTES
          |SELECT cell_id, CAST(pos AS INTEGER) AS pos, cv AS centroid_v FROM f2""".stripMargin,

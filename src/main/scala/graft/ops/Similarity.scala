@@ -981,8 +981,48 @@ object Similarity {
       k: Int,
       nprobe: Int = 4,
       m: Int = 4): DataFrame = {
-    val coarse = reassembleCoarse(spark.read.parquet(s"$path/coarse_centroids"))
+    val (_, probes, cells) = probeStore(spark, path, queries, nprobe)
     val cent = reassemblePqCodebooks(spark.read.parquet(s"$path/codebooks"))
+    val candidates = probes.join(storeLists(cells), Seq("coarse_cell"))
+      .select("query_id", "neighbor_id")
+    adcRank(queries, cent, storeCodes(cells), k, m, Some(candidates))
+  }
+
+  /** RESIDUAL-encoded IVF+PQ search from a [[saveAnnStore]] store —
+    * [[ivfpqTopKFromStore]] for artifacts trained by
+    * [[ivfpqResidualModel]]: the same external probe prunes the cells
+    * read to ≤ nprobe partition directories, then
+    * [[ivfpqResidualRank]]'s own probe stage (identical centroid math
+    * over the same broadcast table → identical probed set) re-expresses
+    * each query in its probed cells' residual frames and ADC-scores the
+    * pruned codes. Row-identical to [[ivfpqResidualSearch]] on the same
+    * artifacts; the `residual` flag must match how the stored artifacts
+    * were trained — the [[graft.streaming.EmbeddingIndexer]] contract. */
+  def ivfpqResidualTopKFromStore(
+      spark: SparkSession,
+      path: String,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int = 4,
+      m: Int = 4,
+      mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
+      : DataFrame = {
+    val (coarse, _, cells) = probeStore(spark, path, queries, nprobe)
+    val cent = reassemblePqCodebooks(spark.read.parquet(s"$path/codebooks"))
+    ivfpqResidualRank(queries, coarse, storeLists(cells), cent,
+      storeCodes(cells), k, nprobe, m, mat)
+  }
+
+  /** The shared store-probe: run the coarse probe over the broadcast
+    * centroid table alone, COLLECT the (query, cell) pairs
+    * (|queries|·nprobe rows — policy-sized), and return (the
+    * reassembled centroids, the probes as a local relation, the cells
+    * table pruned by a LITERAL `cell_id isin` — ≤ nprobe partition
+    * directories per query). */
+  private def probeStore(
+      spark: SparkSession, path: String, queries: DataFrame, nprobe: Int)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val coarse = reassembleCoarse(spark.read.parquet(s"$path/coarse_centroids"))
     val q = corpusVN(queries)
       .select(col("vec_id").as("query_id"), col("v").as("qv"), col("n").as("qn"))
     val probeF = q.join(broadcast(coarse))
@@ -995,20 +1035,23 @@ object Similarity {
     val probes = spark.createDataFrame(
       java.util.Arrays.asList(probedRows: _*), probeF.schema)
     val probedCells = probedRows.map(_.get(1)).distinct.toSeq
-    val cells = spark.read.parquet(s"$path/cells")
-      .filter(col("cell_id").isin(probedCells: _*))
-    // each member vector carries exactly one subspace-0 row, so the
-    // inverted list is a filter, not a distinct (no shuffle)
-    val lists = cells.filter(col("subspace") === 0)
+    (coarse, probes,
+      spark.read.parquet(s"$path/cells")
+        .filter(col("cell_id").isin(probedCells: _*)))
+  }
+
+  /** The pruned cells table as inverted lists: each member vector
+    * carries exactly one subspace-0 row, so the list is a filter, not
+    * a distinct (no shuffle). */
+  private def storeLists(cells: DataFrame): DataFrame =
+    cells.filter(col("subspace") === 0)
       .select(col("cell_id").cast("long").as("coarse_cell"),
         col("vec_id").as("neighbor_id"))
-    val candidates = probes.join(lists, Seq("coarse_cell"))
-      .select("query_id", "neighbor_id")
-    adcRank(queries, cent,
-      cells.select(col("vec_id").as("neighbor_id"),
-        col("subspace").as("s"), col("code").as("cell_id")),
-      k, m, Some(candidates))
-  }
+
+  /** The pruned cells table in [[adcRank]]'s internal code shape. */
+  private def storeCodes(cells: DataFrame): DataFrame =
+    cells.select(col("vec_id").as("neighbor_id"),
+      col("subspace").as("s"), col("code").as("cell_id"))
 
   /** The IVF restriction + ADC search shared by [[ivfpqTopK]] and
     * [[ivfpqSearch]]: probe the `nprobe` nearest coarse cells per

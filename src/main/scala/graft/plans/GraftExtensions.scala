@@ -111,6 +111,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectTableFunction(GraftExtensions.classifierDriftTableFunction)
     ext.injectTableFunction(GraftExtensions.searchPageServedTableFunction)
     ext.injectTableFunction(GraftExtensions.hybridServedTableFunction)
+    ext.injectTableFunction(GraftExtensions.hybridServedAnnTableFunction)
     ext.injectPlannerStrategy(_ => AsOfJoin.AsOfStrategy)
   }
 }
@@ -2319,6 +2320,51 @@ object GraftExtensions {
         })
     })
 
+  /** SQL surface for the FULLY-served hybrid query — BOTH arms from
+    * stored, pruned artifacts ([[graft.index.IndexStore.hybridTopKAnn]]):
+    *
+    * {{{
+    * SELECT * FROM graft_hybrid_served_ann('/store', '/ann', 'emb', 'cat dog', 0)
+    * SELECT * FROM graft_hybrid_served_ann('/store', '/ann', 'emb', 'cat dog', 0, 20, 50, 8, 4)
+    * }}}
+    *
+    * The first two arguments are the search-page-store and
+    * [[graft.ops.Similarity.saveAnnStore]] PATHS; the embedding table
+    * supplies only the query vector (by id) — the corpus side answers
+    * from the cell-partitioned store. Lexical layout resolves from the
+    * store marker. Optional tail: k, pool_k, nprobe, m. */
+  private val hybridServedAnnTableFunction
+      : (FunctionIdentifier, ExpressionInfo, Seq[Expression] => LogicalPlan) = (
+    FunctionIdentifier("graft_hybrid_served_ann"),
+    new ExpressionInfo(graft.index.IndexStore.getClass.getName,
+      "graft_hybrid_served_ann"),
+    (children: Seq[Expression]) => {
+      require(children.size == 5 || children.size == 9,
+        "graft_hybrid_served_ann(store_path, ann_path, emb_table, query, " +
+          "query_vec_id[, k, pool_k, nprobe, m])")
+      val str = stringArg("graft_hybrid_served_ann") _
+      val int = intArg("graft_hybrid_served_ann") _
+      val spark = SparkSession.active
+      val embT = spark.table(str(children(2), "emb_table"))
+      val qid = int(children(4), "query_vec_id")
+      val (k, poolK, nprobe, m) =
+        if (children.size == 9)
+          (int(children(5), "k"), int(children(6), "pool_k"),
+            int(children(7), "nprobe"), int(children(8), "m"))
+        else (20, 50, 4, 4)
+      org.apache.spark.sql.GraftSqlBridge.analyzedPlan(
+        {
+          val store = str(children.head, "store_path")
+          graft.index.IndexStore.hybridTopKAnn(spark, store,
+            str(children(1), "ann_path"), str(children(3), "query"),
+            embT.filter(org.apache.spark.sql.functions.col("vec_id") === qid),
+            k, poolK, nprobe = nprobe, m = m,
+            layout = graft.index.IndexStore
+              .storedLayout(spark, s"$store/postings")
+              .getOrElse(graft.index.IndexStore.HashPrefix))
+        })
+    })
+
   /** Register the SQL functions + planner strategies on an
     * already-built session (idempotent). Strategies go through the
     * PUBLIC `spark.experimental.extraStrategies` hook. */
@@ -2376,7 +2422,8 @@ object GraftExtensions {
         snippetsTableFunction, searchPageTableFunction,
         averagePrecisionTableFunction, operatingPointCertifiedTableFunction,
         manifestDiffExplainedTableFunction, classifierDriftTableFunction,
-        searchPageServedTableFunction, hybridServedTableFunction)
+        searchPageServedTableFunction, hybridServedTableFunction,
+        hybridServedAnnTableFunction)
       .foreach { case (tid, tinfo, tbuilder) =>
         org.apache.spark.sql.GraftSqlBridge.registerTableFunction(spark, tid, tinfo, tbuilder)
       }

@@ -93,6 +93,40 @@ class EmbeddingIndexerSpec extends SparkSpec {
       "per-batch cache must be released after the partition writes")
   }
 
+  test("exportAnnStore: the accumulated batch-partitioned tables re-key into the cell store; served search parity") {
+    val rnd = new scala.util.Random(205)
+    val corpus = vecs((1L to 150L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val (watch, artifacts, assignDir, codesDir, ckpt, quar) =
+      (tmp("eixw"), tmp("eixa"), tmp("eixas") + "/assign", tmp("eixc") + "/codes",
+        tmp("eixck"), tmp("eixq") + "/bad")
+    trainArtifacts(corpus, artifacts, assignDir, codesDir)
+    val nv = Seq.fill(8)(rnd.nextDouble() * 2 - 1)
+    Files.write(Paths.get(watch, "arr-0.jsonl"),
+      (jsonLine(2001L, nv) + "\n").getBytes("UTF-8"))
+    EmbeddingIndexer.startJsonl(spark, watch, artifacts, assignDir, codesDir,
+      ckpt, quar).awaitTermination()
+    // export: batch_id layout -> cell_id layout, one keyed join
+    val store = tmp("eixs") + "/ann"
+    EmbeddingIndexer.exportAnnStore(spark, artifacts, assignDir, codesDir, store)
+    // the store-served per-query search equals the accumulated-dirs
+    // search — training corpus AND the streamed arrival both present
+    val q = vecs(9999L -> nv.map(_.toFloat))
+    val want = Similarity.ivfpqSearch(q,
+      spark.read.parquet(s"$artifacts/coarse_centroids"),
+      spark.read.parquet(assignDir),
+      spark.read.parquet(s"$artifacts/codebooks"),
+      spark.read.parquet(codesDir),
+      k = 10, nprobe = 8).as[(Long, Long, Double, Int)].collect().toSet
+    val got = Similarity.ivfpqTopKFromStore(spark, store, q, 10, nprobe = 8)
+      .as[(Long, Long, Double, Int)].collect().toSet
+    assert(got === want,
+      "the exported cell store must serve the accumulated corpus identically")
+    assert(spark.read.parquet(s"$store/cells")
+        .filter(col("vec_id") === 2001L).count() === 4L,
+      "the streamed arrival's m code rows must ride through the export")
+  }
+
   test("replayed batch overwrites its own partitions (no duplicate serving rows)") {
     val rnd = new scala.util.Random(202)
     val corpus = vecs((1L to 120L).map(i =>

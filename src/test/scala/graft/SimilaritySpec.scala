@@ -474,6 +474,21 @@ class SimilaritySpec extends SparkSpec {
     }
   }
 
+  test("ivfpqResidualTopKFromStore: parity with ivfpqResidualSearch over the cell store") {
+    val rnd = new scala.util.Random(84)
+    val corpus = vecs((1L to 200L).map(i =>
+      i -> Seq.fill(8)(rnd.nextFloat() * 2 - 1)): _*)
+    val queries = corpus.filter($"vec_id" % 50 === 0)
+    val (coarse, assign, books, codes) = Similarity.ivfpqResidualModel(corpus)
+    val want = Similarity.ivfpqResidualSearch(queries, coarse, assign, books,
+      codes, 5, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet
+    val dir = tempDir("graft-annstore-res-")
+    Similarity.saveAnnStore(coarse, assign, books, codes, s"$dir/ann")
+    assert(Similarity.ivfpqResidualTopKFromStore(spark, s"$dir/ann", queries,
+        5, nprobe = 2).as[(Long, Long, Double, Int)].collect().toSet === want,
+      "the residual store-served search must equal the stored-table search")
+  }
+
   test("cosineDupPairs finds in-bucket near-duplicates only") {
     val corpus = vecs(
       1L -> Seq(1f, 1f, 0f), 2L -> Seq(1.01f, 1f, 0f), 3L -> Seq(1f, -1f, 0f))

@@ -273,6 +273,10 @@ class SourcesAndStoreSpec extends SparkSpec {
       nprobe = 2, m = 2, layout = IndexStore.HashPrefix).collect().toSet
     assert(annServed === annWant,
       "the ANN-served hybrid page must equal the stored-table composition")
+    assert(spark.sql(
+        s"SELECT * FROM graft_hybrid_served_ann('$base/store', '$base/ann', " +
+          "'hys_emb', 'cat dog', 1, 3, 3, 2, 2)")
+      .collect().toSet === annWant, "TVF parity with the fully-served face")
     // served plain BM25 and boolean retrieval: parity + pruned plans —
     // every retrieval face now has a served twin over the ONE store
     val idx = InvertedIndex.build(c)
