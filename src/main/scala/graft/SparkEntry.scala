@@ -4062,11 +4062,15 @@ object SparkEntry {
       val d = docs(s, dir)
       val train = d.filter(col("doc_id") % 50 =!= 0)
       val eval = d.filter(col("doc_id") % 50 === 0)
-      val m1 = graft.ops.Curation.curate(train, eval,
-        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5)
-      val m2 = graft.ops.Curation.curate(train, eval,
-        rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6), defaultRate = 0.5,
-        trainPct = 60)
+      // the two runs are data-independent until the diff join: overlap
+      // their eager materializations (guide §2.6 back-fill) — each
+      // chain's job tails fill the other's idle capacity
+      val (m1, m2) = graft.core.Par.both(
+        graft.ops.Curation.curate(train, eval,
+          rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5),
+        graft.ops.Curation.curate(train, eval,
+          rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6), defaultRate = 0.5,
+          trainPct = 60))
       graft.ops.Curation.manifestDiff(m1, m2)
     },
     "q_manifest_diff_explained" -> { (s, dir) =>
@@ -4077,14 +4081,17 @@ object SparkEntry {
       // there) — each added/removed row names the stage that decided it
       val d = docs(s, dir)
       val train = d.filter(col("doc_id") % 50 =!= 0)
-      val ra = graft.ops.Curation.curateWithFunnel(train,
-        d.filter(col("doc_id") % 50 === 0),
-        rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
-        defaultRate = 0.5, attribution = true)
-      val rb = graft.ops.Curation.curateWithFunnel(train,
-        d.filter(col("doc_id") % 50 === 1),
-        rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6),
-        defaultRate = 0.5, trainPct = 60, attribution = true)
+      // runs A and B are independent until the attribution joins:
+      // overlap their eager chains (guide §2.6), same as q_manifest_diff
+      val (ra, rb) = graft.core.Par.both(
+        graft.ops.Curation.curateWithFunnel(train,
+          d.filter(col("doc_id") % 50 === 0),
+          rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
+          defaultRate = 0.5, attribution = true),
+        graft.ops.Curation.curateWithFunnel(train,
+          d.filter(col("doc_id") % 50 === 1),
+          rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6),
+          defaultRate = 0.5, trainPct = 60, attribution = true))
       graft.ops.Curation.manifestDiffExplained(
         ra.manifest, rb.manifest, ra.drops.get, rb.drops.get)
     },

@@ -52,7 +52,17 @@ object Materialize {
     */
   def apply(df: DataFrame, strategy: Strategy = LocalCheckpoint): DataFrame =
     strategy match {
-      case LocalCheckpoint => df.localCheckpoint()
+      case LocalCheckpoint =>
+        if (sys.env.contains("GRAFT_MAT_TRACE")) {
+          val t0 = System.nanoTime()
+          val out = df.localCheckpoint()
+          val caller = Thread.currentThread().getStackTrace
+            .drop(2).find(e => !e.getClassName.startsWith("graft.core"))
+            .map(e => s"${e.getClassName.stripPrefix("graft.")}:${e.getLineNumber}")
+            .getOrElse("?")
+          System.err.println(f"[mat] ${(System.nanoTime() - t0) / 1e9}%6.3fs $caller")
+          out
+        } else df.localCheckpoint()
       case Persist         => df.persist(StorageLevel.MEMORY_AND_DISK)
     }
 

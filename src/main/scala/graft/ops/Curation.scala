@@ -1490,15 +1490,28 @@ object Curation {
       buckets: Int = 1024): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
-    val ps = featureStream(pos, Seq.empty, buckets)
-    val ns = featureStream(neg, Seq.empty, buckets)
-    val cp = ps.groupBy("b").agg(count(lit(1)).as("cp"))
-    val cn = ns.groupBy("b").agg(count(lit(1)).as("cn"))
-    val np = ps.agg(count(lit(1)).as("np"))
-    val nn = ns.agg(count(lit(1)).as("nn"))
+    // ONE labeled union + ONE bucket-keyed aggregation for all four
+    // quantities (r19, guide §2.3/§2.4): the per-class bucket counts
+    // come from conditional sums over the union, and the class totals
+    // n⁺/n⁻ are just Σ_b of those counts — the separate
+    // `ps.agg(count)` / `ns.agg(count)` passes re-tokenized both
+    // corpora for numbers the bucket aggregate already contains. Two
+    // tokenize scans (one per class, the API floor) instead of four,
+    // one occurrence-level exchange instead of two (the totals read
+    // the SAME aggregate subtree — exchange reuse, pinned in the
+    // plan), and the totals' own exchanges are ≤`buckets`-row. Values
+    // are bit-identical: same counts, same smoothed log-odds formula.
+    val ps = featureStream(pos, Seq.empty, buckets).select(col("b"), lit(1L).as("is_pos"))
+    val ns = featureStream(neg, Seq.empty, buckets).select(col("b"), lit(0L).as("is_pos"))
+    val counts = ps.unionByName(ns).groupBy("b")
+      .agg(sum(col("is_pos")).as("cp"), sum(lit(1L) - col("is_pos")).as("cn"))
+    // coalesce: a both-classes-empty corpus has a 0-row `counts`, whose
+    // sums are NULL where the old count() was 0 — keep that edge exact
+    val totals = counts.agg(coalesce(sum("cp"), lit(0L)).as("np"),
+      coalesce(sum("cn"), lit(0L)).as("nn"))
     pos.sparkSession.range(buckets).select(col("id").as("b"))
-      .join(cp, Seq("b"), "left").join(cn, Seq("b"), "left")
-      .crossJoin(broadcast(np)).crossJoin(broadcast(nn))
+      .join(counts, Seq("b"), "left")
+      .crossJoin(broadcast(totals))
       .select(col("b"),
         round(log((coalesce(col("cp"), lit(0L)) + lit(1.0)) / (col("np") + lit(buckets)))
           - log((coalesce(col("cn"), lit(0L)) + lit(1.0)) / (col("nn") + lit(buckets))), 6)
