@@ -2587,10 +2587,13 @@ object SparkEntry {
       val tmp = tmpStore("sps")
       val d = docs(s, dir)
       // id-bucketed doc store: the page's text fetch prunes to <= k
-      // partition dirs instead of scanning every text row-group
-      graft.index.IndexStore.saveDocStore(d, s"$tmp/docs")
-      graft.index.IndexStore.saveSearchPageStore(d, s"$tmp/store",
-        graft.index.IndexStore.HashPrefix)
+      // partition dirs instead of scanning every text row-group.
+      // The two stores are independent artifacts — overlap their
+      // writes (guide §2.6 back-fill)
+      graft.core.Par.both(
+        graft.index.IndexStore.saveDocStore(d, s"$tmp/docs"),
+        graft.index.IndexStore.saveSearchPageStore(d, s"$tmp/store",
+          graft.index.IndexStore.HashPrefix))
       graft.index.IndexStore.searchPage(s, s"$tmp/store", s"$tmp/docs",
         "fast hash join on a small table", k = 20, window = 8,
         layout = graft.index.IndexStore.HashPrefix)
@@ -2623,11 +2626,16 @@ object SparkEntry {
       // the per-query RAG call with ZERO corpus-sized scans. Twin =
       // BM25 arm ⊕ the IVF+PQ ranking arm, decimal-RRF fused.
       val tmp = tmpStore("hysann")
-      graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
-        graft.index.IndexStore.HashPrefix)
-      val (coarse, assign) = stagedKmeans(s, dir)
-      val (codebooks, codes) = stagedPq(s, dir)
-      Similarity.saveAnnStore(coarse, assign, codebooks, codes, s"$tmp/ann")
+      // the lexical store and the ANN store are independent artifacts —
+      // overlap their builds/writes (guide §2.6 back-fill)
+      graft.core.Par.both(
+        graft.index.IndexStore.saveSearchPageStore(docs(s, dir), s"$tmp/store",
+          graft.index.IndexStore.HashPrefix),
+        {
+          val (coarse, assign) = stagedKmeans(s, dir)
+          val (codebooks, codes) = stagedPq(s, dir)
+          Similarity.saveAnnStore(coarse, assign, codebooks, codes, s"$tmp/ann")
+        })
       val e = emb(s, dir)
       graft.index.IndexStore.hybridTopKAnn(s, s"$tmp/store", s"$tmp/ann",
         "fast hash join on a small table", e.filter(col("vec_id") === 0),

@@ -114,10 +114,26 @@ object IndexStore {
     requested
   }
 
+  /** One co-locating shuffle + writer-satisfying sort before a
+    * prefix-partitioned write (r19, guide §2.5/§6): without the
+    * repartition every upstream task holds rows of MANY prefixes, so a
+    * T-task write emits up to T files per partition directory — a
+    * small-files explosion at scale (and a writer hotspot under
+    * [[FirstChar]]'s skewed letter distribution is avoided by hashing
+    * the full prefix domain over the shuffle). The explicit sort leads
+    * with the partition column, so `FileFormatWriter` sees its required
+    * ordering already satisfied and inserts NO extra sort — and the
+    * secondary `word` sort gives every file word-clustered row groups,
+    * which is what makes the served faces' pushed `word = ?` /
+    * `word isin` predicates prune on min/max stats instead of scanning
+    * every row group in the directory. */
+  private def prefixClustered(index: DataFrame): DataFrame =
+    index.repartition(col(PrefixCol))
+      .sortWithinPartitions(PrefixCol, "word")
+
   /** Persist, partitioned for point-lookup pruning under `layout`. */
   def save(index: DataFrame, path: String, layout: Layout = FirstChar): Unit = {
-    index
-      .withColumn(PrefixCol, layout.prefixCol)
+    prefixClustered(index.withColumn(PrefixCol, layout.prefixCol))
       .write.mode("overwrite")
       .partitionBy(PrefixCol)
       .parquet(path)
@@ -148,8 +164,7 @@ object IndexStore {
     * column rides along, so a served phrase query reads only its
     * terms' partitions. */
   def savePositional(posIndex: DataFrame, path: String, layout: Layout = FirstChar): Unit = {
-    posIndex
-      .withColumn(PrefixCol, layout.prefixCol)
+    prefixClustered(posIndex.withColumn(PrefixCol, layout.prefixCol))
       .write.mode("overwrite")
       .partitionBy(PrefixCol)
       .parquet(path)
@@ -199,7 +214,15 @@ object IndexStore {
     docs
       .withColumn(DocBktCol, substring(md5(col("doc_id").cast("string")), 1, 2))
       .repartition(col(DocBktCol))
-      .sortWithinPartitions("doc_id")
+      // lead the sort with the partition column (r19): the writer
+      // REQUIRES its input ordered by partition columns and was
+      // silently inserting a second, bucket-only sort on top of the
+      // doc_id sort — which also made the "sorted by doc_id within the
+      // file" contract depend on that sort's stability. Sorting
+      // (bucket, doc_id) here satisfies the writer directly: one sort,
+      // and the per-file doc_id order (the min/max row-group pruning
+      // contract) holds by construction.
+      .sortWithinPartitions(DocBktCol, "doc_id")
       .write.mode("overwrite")
       .partitionBy(DocBktCol)
       .parquet(path)
@@ -275,7 +298,7 @@ object IndexStore {
           // dynamic overwrite replaces exactly the partitions present
           // in the data; a changed prefix with NO surviving postings
           // must be deleted explicitly (dynamic mode cannot see it)
-          fresh.write.mode("overwrite")
+          prefixClustered(fresh).write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
             .partitionBy(PrefixCol).parquet(s"$path/postings")
           val surviving = fresh.select(PrefixCol).distinct()
