@@ -2776,13 +2776,18 @@ object SparkEntry {
       // each other over the corpus (inventory overlap + measured fit)
       val d = docs(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_tokcmp_$procNonce"
-      graft.ops.TokenizerIO.exportBpe(s,
-        graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)),
-        s"$base/bpe.json")
-      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
-      graft.ops.TokenizerIO.exportWordPiece(s,
-        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
-        s"$base/wp.json")
+      // the two trainers are independent driver loops over the same
+      // corpus — overlap them (guide §2.6 back-fill)
+      graft.core.Par.both(
+        graft.ops.TokenizerIO.exportBpe(s,
+          graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs)),
+          s"$base/bpe.json"),
+        {
+          val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+          graft.ops.TokenizerIO.exportWordPiece(s,
+            graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
+            s"$base/wp.json")
+        })
       graft.ops.TokenizerIO.compare(s, s"$base/bpe.json", s"$base/wp.json", d)
     },
     "q_tokenizer_compare_all" -> { (s, dir) =>
@@ -2793,13 +2798,20 @@ object SparkEntry {
       // one leaderboard row per artifact
       val d = docs(s, dir)
       val base = s"${System.getProperty("java.io.tmpdir")}/graft_tokcmpall_$procNonce"
-      val merges = graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs))
-      graft.ops.TokenizerIO.exportBpe(s, merges, s"$base/bpe_full.json")
-      graft.ops.TokenizerIO.exportBpe(s, merges.take(BPE_MERGES / 2), s"$base/bpe_half.json")
-      val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
-      graft.ops.TokenizerIO.exportWordPiece(s,
-        graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
-        s"$base/wp.json")
+      // BPE and WordPiece training are independent — overlap (guide §2.6)
+      graft.core.Par.both(
+        {
+          val merges = graft.ops.Bpe.trainMerges(d, BPE_MERGES).map(m => (m.lhs, m.rhs))
+          graft.ops.TokenizerIO.exportBpe(s, merges, s"$base/bpe_full.json")
+          graft.ops.TokenizerIO.exportBpe(s, merges.take(BPE_MERGES / 2),
+            s"$base/bpe_half.json")
+        },
+        {
+          val ms = graft.ops.WordPiece.trainMerges(d, WP_MERGES)
+          graft.ops.TokenizerIO.exportWordPiece(s,
+            graft.ops.WordPiece.collectVocab(graft.ops.WordPiece.vocab(d, ms)),
+            s"$base/wp.json")
+        })
       graft.ops.TokenizerIO.compareAll(s,
         Seq(s"$base/bpe_full.json", s"$base/bpe_half.json", s"$base/wp.json"), d)
     },

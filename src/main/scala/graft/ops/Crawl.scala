@@ -1032,24 +1032,27 @@ object Crawl {
     require(tol >= 0, s"tol=$tol must be >= 0")
     val tolUnits = math.round(tol * RankUnits)
     val (e, nodes) = distinctGraph(edges, mat)
-    val nRow = nodes.agg(count(lit(1)).cast("double").as("n_nodes"))
+    // n_nodes is one already-materialized count, constant across the
+    // loop — read it driver-side ONCE (r19) instead of re-broadcasting
+    // a one-row aggregate subtree into init and into every round's
+    // plan. Same double value → bit-identical formula results.
+    val nNodes = lit(nodes.count().toDouble)
     val outdeg = e.groupBy(col("src")).agg(count(lit(1)).cast("double").as("outdeg"))
     val init = prior match {
       case None =>
-        nodes.crossJoin(broadcast(nRow))
+        nodes
           .select(col("node"),
-            round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
+            round(lit(RankUnits).cast("double") / nNodes, 0)
               .cast("long").as("rank_u"))
       case Some(p) =>
         // prior is node-sized — broadcast; the fixed-shape init
         // expression is the one FP op (see [[domainRankFrom]])
         nodes
           .join(broadcast(p.select(col("node"), col("rank"))), Seq("node"), "left")
-          .crossJoin(broadcast(nRow))
           .select(col("node"),
             round(coalesce(
               col("rank") * lit(RankUnits).cast("double"),
-              lit(RankUnits).cast("double") / col("n_nodes")), 0)
+              lit(RankUnits).cast("double") / nNodes), 0)
               .cast("long").as("rank_u"))
     }
     var ranks = graft.core.Materialize(init, mat)
@@ -1067,26 +1070,34 @@ object Crawl {
       val dangling = ranks
         .join(outdeg, ranks("node") === outdeg("src"), "left_anti")
         .agg(coalesce(sum(col("rank_u")), lit(0L)).as("dang_u"))
+      // iterate over RANKS, not `nodes` (r19): ranks covers exactly the
+      // node set (the init invariant), and carrying the previous
+      // rank through the same join lets the convergence delta ride the
+      // materialized round as a COLUMN — the separate next⋈prev
+      // node-sized join (+ its exchanges) per round is gone; the
+      // convergence check becomes one aggregate over the
+      // already-materialized blocks (the Dedup.clusters `changed`
+      // discipline)
       val next = graft.core.Materialize(
-        nodes
-          .join(inbound, nodes("node") === inbound("dst"), "left")
+        ranks
+          .join(inbound, ranks("node") === inbound("dst"), "left")
           .crossJoin(broadcast(dangling))
-          .crossJoin(broadcast(nRow))
           .select(col("node"),
             round(
-              (lit(1.0) - lit(damping)) * lit(RankUnits).cast("double") / col("n_nodes") +
+              (lit(1.0) - lit(damping)) * lit(RankUnits).cast("double") / nNodes +
                 lit(damping) *
                   (coalesce(col("inb_u"), lit(0L)).cast("double") +
-                    col("dang_u").cast("double") / col("n_nodes")),
-              0).cast("long").as("rank_u")),
+                    col("dang_u").cast("double") / nNodes),
+              0).cast("long").as("rank_u"),
+            col("rank_u").as("prev_u")),
         mat)
       next.limit(1).count() // force, so the superseded tier can release
       itersRun += 1
       if (tolUnits > 0 && itersRun < iters) {
-        // one node-sized join + aggregate; the driver reads one scalar
-        val delta = next.as("n")
-          .join(ranks.as("p"), col("n.node") === col("p.node"))
-          .agg(coalesce(max(abs(col("n.rank_u") - col("p.rank_u"))), lit(0L)))
+        // one aggregate over the materialized round; the driver reads
+        // one scalar
+        val delta = next
+          .agg(coalesce(max(abs(col("rank_u") - col("prev_u"))), lit(0L)))
           .head().getLong(0)
         converged = delta < tolUnits
       }
@@ -1250,9 +1261,15 @@ object Crawl {
       .agg(count(lit(1)).cast("double").as("n_nodes"))
     val outdeg = e.groupBy(col("host").as("oh"), col("src").as("osrc"))
       .agg(count(lit(1)).cast("double").as("outdeg"))
+    // ranks CARRIES its host's node count (r19): n_nodes is constant
+    // per host across rounds, so joining nHost once at init and
+    // keeping the column removes one node-sized join from EVERY
+    // iteration's materialized plan — and iterating over ranks (the
+    // node set, by the init invariant) instead of `nodes` removes a
+    // second. Values unchanged: same counts, same fixed-shape formula.
     var ranks = graft.core.Materialize(
       nodes.join(nHost, col("host") === col("hh"))
-        .select(col("host"), col("node"),
+        .select(col("host"), col("node"), col("n_nodes"),
           round(lit(RankUnits).cast("double") / col("n_nodes"), 0)
             .cast("long").as("rank_u")),
       mat)
@@ -1272,12 +1289,11 @@ object Crawl {
           "left_anti")
         .groupBy(col("host").as("dh")).agg(sum(col("rank_u")).as("dang_u"))
       val next = graft.core.Materialize(
-        nodes
+        ranks
           .join(inbound,
             col("host") === col("ih") && col("node") === col("dst"), "left")
           .join(dangling, col("host") === col("dh"), "left")
-          .join(nHost, col("host") === col("hh"))
-          .select(col("host"), col("node"),
+          .select(col("host"), col("node"), col("n_nodes"),
             round(
               (lit(1.0) - lit(damping)) * lit(RankUnits).cast("double") / col("n_nodes") +
                 lit(damping) *

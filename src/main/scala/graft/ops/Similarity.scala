@@ -812,11 +812,15 @@ object Similarity {
       pqSeed: CentroidSeed = DefaultSeed,
       mat: graft.core.Materialize.Strategy = graft.core.Materialize.LocalCheckpoint)
       : DataFrame = {
-    val (corp, coarse) = kmeansLoop(corpus, coarseIterations, coarseSeed, mat)
+    // the coarse quantizer and the PQ codebooks both train on the raw
+    // corpus and share no state — overlap their training loops'
+    // eager materializations (guide §2.6 back-fill)
+    val ((corp, coarse), (sub, cent)) = graft.core.Par.both(
+      kmeansLoop(corpus, coarseIterations, coarseSeed, mat),
+      pqLoop(corpus, m, pqIterations, pqSeed, mat))
     // inverted lists: each corpus vector's single nearest coarse cell
     val lists = assignToCells(corp, coarse)
       .select(col("cell_id").as("coarse_cell"), col("vec_id").as("neighbor_id"))
-    val (sub, cent) = pqLoop(corpus, m, pqIterations, pqSeed, mat)
     val codes = pqAssign(sub, cent)
       .select(col("vec_id").as("neighbor_id"), col("s"), col("cell_id"))
     // corp/coarse/sub/cent stay materialized: the returned plan reads
@@ -946,13 +950,19 @@ object Similarity {
       codebooks: DataFrame,
       codes: DataFrame,
       path: String): Unit = {
-    coarseCentroids.coalesce(1).write.mode("overwrite")
-      .parquet(s"$path/coarse_centroids")
-    codebooks.coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
-    assignments.select(col("vec_id"), col("cell_id"))
-      .join(codes.select(col("vec_id"), col("subspace"), col("code")), Seq("vec_id"))
-      .repartition(col("cell_id"))
-      .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells")
+    // three independent artifact writes — overlap them (guide §2.6);
+    // the cells write pre-sorts by its partition column so the
+    // partitioned writer needs no extra sort of its own
+    graft.core.Par.all(
+      () => coarseCentroids.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/coarse_centroids"),
+      () => codebooks.coalesce(1).write.mode("overwrite")
+        .parquet(s"$path/codebooks"),
+      () => assignments.select(col("vec_id"), col("cell_id"))
+        .join(codes.select(col("vec_id"), col("subspace"), col("code")), Seq("vec_id"))
+        .repartition(col("cell_id"))
+        .sortWithinPartitions("cell_id", "vec_id", "subspace")
+        .write.mode("overwrite").partitionBy("cell_id").parquet(s"$path/cells"))
   }
 
   /** IVF+PQ search SERVED from a [[saveAnnStore]] store, reading ONLY
