@@ -3950,10 +3950,14 @@ object SparkEntry {
       val scored = graft.ops.Curation.classifierScore(d,
         graft.ops.Curation.classifierWeights(
           d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
-      val sweep = graft.ops.Curation.thresholdSweep(
+      // the sweep is policy-sized (|thresholds| rows) but its pipeline
+      // is a corpus scan — materialize once so the two objective picks
+      // don't each re-run it (r19)
+      val sweep = graft.core.Materialize(graft.ops.Curation.thresholdSweep(
         scored.join(d.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
           Seq("doc_id")),
-        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)),
+        graft.core.Materialize.LocalCheckpoint)
       graft.ops.Curation.operatingPoint(sweep)
         .unionByName(graft.ops.Curation.operatingPoint(sweep,
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
@@ -3982,8 +3986,10 @@ object SparkEntry {
           Seq("doc_id"))
         .withColumn("split", graft.ops.Sampling.splitCol("doc_id", 50, 25))
       val grid = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
-      graft.ops.Curation.operatingPointCertified(scored, grid)
-        .unionByName(graft.ops.Curation.operatingPointCertified(scored, grid,
+      // both objectives from ONE materialized sweep (the corpus-wide
+      // aggregate ran once per objective before r19)
+      graft.ops.Curation.operatingPointsCertified(scored, grid,
+        Seq(graft.ops.Curation.OpObjective.MaxF1,
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
     "q_threshold_sweep_by" -> { (s, dir) =>
@@ -4005,10 +4011,13 @@ object SparkEntry {
       val scored = graft.ops.Curation.classifierScore(d,
         graft.ops.Curation.classifierWeights(
           d.filter(col("domain") =!= "web"), d.filter(col("domain") === "web")))
-      val sweep = graft.ops.Curation.thresholdSweepBy(
+      // policy-sized grid, corpus-scan pipeline: materialize once for
+      // the two objective picks (r19)
+      val sweep = graft.core.Materialize(graft.ops.Curation.thresholdSweepBy(
         scored.join(d.select(col("doc_id"), col("lang"),
           (col("domain") =!= "web").as("actual")), Seq("doc_id")),
-        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang")
+        thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang"),
+        graft.core.Materialize.LocalCheckpoint)
       graft.ops.Curation.operatingPointsBy(sweep, "lang")
         .unionByName(graft.ops.Curation.operatingPointsBy(sweep, "lang",
           graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
@@ -4025,9 +4034,10 @@ object SparkEntry {
           (col("domain") =!= "web").as("actual")), Seq("doc_id"))
         .withColumn("split", graft.ops.Sampling.splitCol("doc_id", 50, 25))
       val grid = Seq(-2.0, -1.0, 0.0, 1.0, 2.0)
-      graft.ops.Curation.operatingPointsCertifiedBy(scored, grid, "lang")
-        .unionByName(graft.ops.Curation.operatingPointsCertifiedBy(scored, grid,
-          "lang", graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
+      // both objectives from ONE materialized per-group grid (r19)
+      graft.ops.Curation.operatingPointsCertifiedByAll(scored, grid, "lang",
+        Seq(graft.ops.Curation.OpObjective.MaxF1,
+          graft.ops.Curation.OpObjective.PrecisionFloor(0.9)))
     },
     "q_classifier_score_by" -> { (s, dir) =>
       // the per-group loop CLOSED: sweepBy -> operatingPointsBy ->

@@ -264,7 +264,29 @@ object Curation {
       selectSplit: String = "val",
       certifySplit: String = "test",
       actualCol: String = "actual",
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame =
+    operatingPointsCertified(scored, thresholds, Seq(objective), splitCol,
+      selectSplit, certifySplit, actualCol, mat)
+
+  /** [[operatingPointCertified]] for SEVERAL objectives from ONE sweep
+    * (r19): a caller publishing both the balanced point and a
+    * precision-floor point was paying the corpus-wide sweep aggregate
+    * once PER OBJECTIVE — but the sweep depends only on
+    * (scored, thresholds, splits), so the materialized grid is built
+    * once here and every objective's winner pick + certification join
+    * reads the same policy-sized table. Output = the per-objective
+    * outputs unioned in `objectives` order (identical rows to N
+    * separate calls). */
+  def operatingPointsCertified(
+      scored: DataFrame,
+      thresholds: Seq[Double],
+      objectives: Seq[OpObjective],
+      splitCol: String = "split",
+      selectSplit: String = "val",
+      certifySplit: String = "test",
+      actualCol: String = "actual",
       mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(objectives.nonEmpty, "operatingPointsCertified needs >= 1 objective")
     require(selectSplit != certifySplit,
       s"selectSplit and certifySplit must be disjoint, both are '$selectSplit' " +
         "— certifying on the selection data is the hole this face closes")
@@ -273,17 +295,19 @@ object Curation {
         scored.where(col(splitCol).isin(selectSplit, certifySplit)),
         thresholds, splitCol, actualCol),
       mat)
-    val win = operatingPoint(sw.where(col(splitCol) === selectSplit).drop(splitCol),
-        objective)
-      .select(col("objective"), col("threshold"),
-        col("precision").as("sel_precision"), col("recall").as("sel_recall"),
-        col("f1").as("sel_f1"))
-    win.join(sw.where(col(splitCol) === certifySplit).drop(splitCol),
-        Seq("threshold"))
-      .select(col("objective"), col("threshold"),
-        col("sel_precision"), col("sel_recall"), col("sel_f1"),
-        col("n_kept"), col("n_pos"), col("tp"),
-        col("precision"), col("recall"), col("f1"))
+    objectives.map { objective =>
+      val win = operatingPoint(sw.where(col(splitCol) === selectSplit).drop(splitCol),
+          objective)
+        .select(col("objective"), col("threshold"),
+          col("precision").as("sel_precision"), col("recall").as("sel_recall"),
+          col("f1").as("sel_f1"))
+      win.join(sw.where(col(splitCol) === certifySplit).drop(splitCol),
+          Seq("threshold"))
+        .select(col("objective"), col("threshold"),
+          col("sel_precision"), col("sel_recall"), col("sel_f1"),
+          col("n_kept"), col("n_pos"), col("tp"),
+          col("precision"), col("recall"), col("f1"))
+    }.reduce(_.unionByName(_))
   }
 
   /** [[operatingPoint]]'s threshold as the driver-side Double a
@@ -989,7 +1013,25 @@ object Curation {
       selectSplit: String = "val",
       certifySplit: String = "test",
       actualCol: String = "actual",
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame =
+    operatingPointsCertifiedByAll(scored, thresholds, groupCol, Seq(objective),
+      splitCol, selectSplit, certifySplit, actualCol, mat)
+
+  /** [[operatingPointsCertifiedBy]] for SEVERAL objectives from ONE
+    * materialized grid — the [[operatingPointsCertified]] rationale at
+    * group grain (r19): the (group, split, threshold) sweep is
+    * objective-independent, so N objectives share one corpus scan. */
+  def operatingPointsCertifiedByAll(
+      scored: DataFrame,
+      thresholds: Seq[Double],
+      groupCol: String,
+      objectives: Seq[OpObjective],
+      splitCol: String = "split",
+      selectSplit: String = "val",
+      certifySplit: String = "test",
+      actualCol: String = "actual",
       mat: Materialize.Strategy = Materialize.LocalCheckpoint): DataFrame = {
+    require(objectives.nonEmpty, "operatingPointsCertifiedByAll needs >= 1 objective")
     require(selectSplit != certifySplit,
       s"selectSplit and certifySplit must be disjoint, both are '$selectSplit' " +
         "— certifying on the selection data is the hole this face closes")
@@ -997,17 +1039,19 @@ object Curation {
       sweepGrid(scored.where(col(splitCol).isin(selectSplit, certifySplit)),
         thresholds, Seq(groupCol, splitCol), actualCol),
       mat)
-    val win = operatingPointsBy(
-        grid.where(col(splitCol) === selectSplit).drop(splitCol), groupCol, objective)
-      .select(col(groupCol), col("objective"), col("threshold"),
-        col("precision").as("sel_precision"), col("recall").as("sel_recall"),
-        col("f1").as("sel_f1"))
-    win.join(grid.where(col(splitCol) === certifySplit).drop(splitCol),
-        Seq(groupCol, "threshold"))
-      .select(col(groupCol), col("objective"), col("threshold"),
-        col("sel_precision"), col("sel_recall"), col("sel_f1"),
-        col("n_kept"), col("n_pos"), col("tp"),
-        col("precision"), col("recall"), col("f1"))
+    objectives.map { objective =>
+      val win = operatingPointsBy(
+          grid.where(col(splitCol) === selectSplit).drop(splitCol), groupCol, objective)
+        .select(col(groupCol), col("objective"), col("threshold"),
+          col("precision").as("sel_precision"), col("recall").as("sel_recall"),
+          col("f1").as("sel_f1"))
+      win.join(grid.where(col(splitCol) === certifySplit).drop(splitCol),
+          Seq(groupCol, "threshold"))
+        .select(col(groupCol), col("objective"), col("threshold"),
+          col("sel_precision"), col("sel_recall"), col("sel_f1"),
+          col("n_kept"), col("n_pos"), col("tp"),
+          col("precision"), col("recall"), col("f1"))
+    }.reduce(_.unionByName(_))
   }
 
   /** Average precision over a [[thresholdSweep]] (or one group of a
