@@ -3927,10 +3927,16 @@ object SparkEntry {
         graft.ops.Curation.classifierWeights(
           dd.filter(col("domain") =!= "web"), dd.filter(col("domain") === "web")),
         graft.core.Materialize.LocalCheckpoint)
-      val sweep = graft.ops.Curation.thresholdSweepBy(
+      // scored ONCE (id-sized, with the group column riding along):
+      // the per-lang sweep aggregates it and the chain gate thresholds
+      // the same logits at each doc's language bias instead of
+      // re-scoring the survivors (r19, guide §2.4)
+      val scored = graft.core.Materialize(
         graft.ops.Curation.classifierScore(dd, weights)
           .join(dd.select(col("doc_id"), col("lang"),
             (col("domain") =!= "web").as("actual")), Seq("doc_id")),
+        graft.core.Materialize.LocalCheckpoint)
+      val sweep = graft.ops.Curation.thresholdSweepBy(scored,
         thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0), groupCol = "lang")
       val biases = graft.ops.Curation.operatingPointsBy(sweep, "lang")
         .select(col("lang"), col("threshold").as("bias"))
@@ -3940,7 +3946,8 @@ object SparkEntry {
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5,
         classifier = Some(graft.ops.Curation.ClassifierGate(weights,
-          groupBiases = Some(biases), groupCol = "lang")))
+          groupBiases = Some(biases), groupCol = "lang",
+          precomputedLogits = Some(scored))))
     },
     "q_operating_point" -> { (s, dir) =>
       // the sweep made EXECUTABLE: one winning row per objective —
@@ -4092,16 +4099,18 @@ object SparkEntry {
       val d = docs(s, dir)
       val train = d.filter(col("doc_id") % 50 =!= 0)
       val eval = d.filter(col("doc_id") % 50 === 0)
-      // the two runs are data-independent until the diff join: overlap
-      // their eager materializations (guide §2.6 back-fill) — each
-      // chain's job tails fill the other's idle capacity
-      val (m1, m2) = graft.core.Par.both(
-        graft.ops.Curation.curate(train, eval,
+      // the two runs differ ONLY in mixture rates + split percentages —
+      // share every variant-independent stage (flags, band graph,
+      // contamination: the chain's cost floor) and derive both
+      // manifests from the same materialized drop sets (r19, guide
+      // §2.4; the DuckDB twin has always shared them)
+      val Seq(r1, r2) = graft.ops.Curation.curateWithFunnelVariants(train, Seq(
+        graft.ops.Curation.CurateVariant(eval,
           rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5),
-        graft.ops.Curation.curate(train, eval,
+        graft.ops.Curation.CurateVariant(eval,
           rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6), defaultRate = 0.5,
-          trainPct = 60))
-      graft.ops.Curation.manifestDiff(m1, m2)
+          trainPct = 60)))
+      graft.ops.Curation.manifestDiff(r1.manifest, r2.manifest)
     },
     "q_manifest_diff_explained" -> { (s, dir) =>
       // the diff with STAGE ATTRIBUTION: run B swaps the eval suite
@@ -4111,17 +4120,19 @@ object SparkEntry {
       // there) — each added/removed row names the stage that decided it
       val d = docs(s, dir)
       val train = d.filter(col("doc_id") % 50 =!= 0)
-      // runs A and B are independent until the attribution joins:
-      // overlap their eager chains (guide §2.6), same as q_manifest_diff
-      val (ra, rb) = graft.core.Par.both(
-        graft.ops.Curation.curateWithFunnel(train,
-          d.filter(col("doc_id") % 50 === 0),
-          rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
-          defaultRate = 0.5, attribution = true),
-        graft.ops.Curation.curateWithFunnel(train,
-          d.filter(col("doc_id") % 50 === 1),
-          rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6),
-          defaultRate = 0.5, trainPct = 60, attribution = true))
+      // runs A and B differ only in their eval suite + mixture knobs:
+      // the flags/band-graph stages are variant-independent — compute
+      // them ONCE and derive both runs' manifests and attribution
+      // tables from the shared drop sets; the two eval suites'
+      // contaminated-id tables still materialize concurrently (r19,
+      // guide §2.4/§2.6)
+      val Seq(ra, rb) = graft.ops.Curation.curateWithFunnelVariants(train, Seq(
+        graft.ops.Curation.CurateVariant(d.filter(col("doc_id") % 50 === 0),
+          rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0), defaultRate = 0.5),
+        graft.ops.Curation.CurateVariant(d.filter(col("doc_id") % 50 === 1),
+          rates = Map("src0" -> 1.0, "src1" -> 0.1, "src2" -> 0.6), defaultRate = 0.5,
+          trainPct = 60)),
+        attribution = true)
       graft.ops.Curation.manifestDiffExplained(
         ra.manifest, rb.manifest, ra.drops.get, rb.drops.get)
     },
@@ -4137,9 +4148,15 @@ object SparkEntry {
         graft.ops.Curation.classifierWeights(
           dd.filter(col("domain") =!= "web"), dd.filter(col("domain") === "web")),
         graft.core.Materialize.LocalCheckpoint)
+      // the corpus is scored ONCE (id-sized table, materialized): the
+      // sweep aggregates it and the chain gate thresholds the SAME
+      // logits instead of re-running the scoring tokenize pass over
+      // the survivors (r19, guide §2.4 — ClassifierGate.precomputedLogits)
+      val scored = graft.core.Materialize(
+        graft.ops.Curation.classifierScore(dd, weights),
+        graft.core.Materialize.LocalCheckpoint)
       val sweep = graft.ops.Curation.thresholdSweep(
-        graft.ops.Curation.classifierScore(dd, weights)
-          .join(dd.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
+        scored.join(dd.select(col("doc_id"), (col("domain") =!= "web").as("actual")),
             Seq("doc_id")),
         thresholds = Seq(-2.0, -1.0, 0.0, 1.0, 2.0))
       val bias = graft.ops.Curation.operatingPointBias(sweep)
@@ -4149,7 +4166,8 @@ object SparkEntry {
         d.filter(col("doc_id") % 50 === 0),
         rates = Map("src0" -> 1.0, "src1" -> 0.3, "src2" -> 0.0),
         defaultRate = 0.5,
-        classifier = Some(graft.ops.Curation.ClassifierGate(weights, bias = bias)))
+        classifier = Some(graft.ops.Curation.ClassifierGate(weights, bias = bias,
+          precomputedLogits = Some(scored))))
       r.manifest.select(
         lit("manifest").as("kind"),
         col("doc_id"), col("source"), col("pred_lang"), col("split"),

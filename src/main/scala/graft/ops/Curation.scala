@@ -167,19 +167,46 @@ object Curation {
     * keeps at ITS `groupCol` value's validated threshold
     * ([[classifierScoreBiased]] semantics), with `bias` as the default
     * for groups absent from the table and NULL-group docs. The gated
-    * frame must carry `groupCol` then. */
+    * frame must carry `groupCol` then.
+    *
+    * `precomputedLogits` (r19, guide §2.4): a caller that ALREADY
+    * scored the corpus against these same weights/buckets — the
+    * sweep→select→gate loop always has, it swept that very table —
+    * passes the scored frame (`doc_id`, `logit`, plus `groupCol` when
+    * `groupBiases` is set) and the gate thresholds IT instead of
+    * re-running [[classifierScore]]'s tokenize scan over the gated
+    * docs. Decisions are identical by construction (`logit` is a pure
+    * per-doc function of the frozen weights; the threshold comparison
+    * is the same column algebra), the table must COVER the gated docs
+    * (score-everything producers do; absent docs would silently drop),
+    * and the caller asserts the same-weights/same-buckets contract by
+    * choosing the field. */
   final case class ClassifierGate(
       weights: DataFrame, buckets: Int = 1024, bias: Double = 0.0,
-      groupBiases: Option[DataFrame] = None, groupCol: String = "source") {
+      groupBiases: Option[DataFrame] = None, groupCol: String = "source",
+      precomputedLogits: Option[DataFrame] = None) {
     require(buckets >= 2, s"buckets=$buckets must be >= 2")
 
     /** The kept-id table for `docs` under this gate's policy — the one
       * implementation both the batch chain and the streaming gate
       * route through, so the two surfaces can never disagree. */
-    private[graft] def keptIds(docs: DataFrame): DataFrame = (groupBiases match {
-      case None => classifierScore(docs, weights, buckets, bias)
-      case Some(gb) => classifierScoreBiased(docs, weights, gb, groupCol, buckets, bias)
-    }).where(col("keep")).select("doc_id")
+    private[graft] def keptIds(docs: DataFrame): DataFrame = precomputedLogits match {
+      case Some(sc) =>
+        val kept = groupBiases match {
+          case None => sc.where(coalesce(col("logit") >= lit(bias), lit(false)))
+          case Some(gb) =>
+            val (bGrp, bBias) = resolveBiasCols(gb, groupCol)
+            sc.join(broadcast(gb.select(col(bGrp).as(groupCol), col(bBias).as("_gb"))),
+                Seq(groupCol), "left")
+              .where(coalesce(
+                col("logit") >= coalesce(col("_gb"), lit(bias)), lit(false)))
+        }
+        docs.select("doc_id").join(kept.select("doc_id"), Seq("doc_id"), "left_semi")
+      case None => (groupBiases match {
+        case None => classifierScore(docs, weights, buckets, bias)
+        case Some(gb) => classifierScoreBiased(docs, weights, gb, groupCol, buckets, bias)
+      }).where(col("keep")).select("doc_id")
+    }
   }
 
   /** Objectives for [[operatingPoint]] — how to pick ONE threshold
@@ -567,7 +594,61 @@ object Curation {
       blocklist: Seq[String] = Nil,
       samples: Int = 0,
       classifier: Option[ClassifierGate] = None,
-      attribution: Boolean = false): CurationResult = {
+      attribution: Boolean = false): CurationResult =
+    curateWithFunnelVariants(docs,
+      Seq(CurateVariant(evalDocs, rates, defaultRate, trainPct, valPct,
+        split, evalShingles)),
+      keepLangs, minTokens, mat, sizeRatioFloor, blocklist, samples,
+      classifier, attribution).head
+
+  /** One run's VARIANT-SPECIFIC knobs for
+    * [[curateWithFunnelVariants]]: the eval suite to decontaminate
+    * against, the mixture rates, and the split stamping. Everything a
+    * knob-diff run typically moves lives here; everything upstream of
+    * it (quality/language flags, the classifier gate, the near-dedup
+    * band graph) is variant-INDEPENDENT and shared. */
+  final case class CurateVariant(
+      evalDocs: DataFrame,
+      rates: Map[String, Double] = Map.empty,
+      defaultRate: Double = 1.0,
+      trainPct: Int = 80,
+      valPct: Int = 10,
+      split: SplitMode = SplitMode.Hash,
+      evalShingles: Option[DataFrame] = None)
+
+  /** N chain runs that differ only in VARIANT knobs (eval suite,
+    * mixture rates, split percentages), sharing every
+    * variant-independent stage — the [[manifestDiff]] /
+    * [[manifestDiffExplained]] execution shape (r19, guide §2.4:
+    * remove whole duplicated subtrees, the biggest shuffle saving
+    * available). Running [[curateWithFunnel]] once per knob setting
+    * re-derives the quality flags, the classifier gate and the
+    * near-dedup band graph — the chain's measured cost floor — once
+    * PER RUN, even though none of those stages read a variant knob;
+    * here they compute once and every variant's manifest/funnel/drops
+    * are projections over the same materialized drop-set tables (the
+    * DuckDB twin of q_manifest_diff has always shared them — one
+    * survivor CTE feeding two mixture projections; this makes the
+    * engine's plan match its oracle's). Each DISTINCT eval suite
+    * (reference identity) shingles once; variants passing the same
+    * DataFrame instance share its contaminated-id table, and
+    * independent suites' id-sized materializations overlap on the Par
+    * pool (guide §2.6). Results are row-identical to N separate
+    * [[curateWithFunnel]] calls: the shared stages see identical
+    * inputs, and everything downstream of them is deterministic column
+    * algebra over the variant's knobs. */
+  def curateWithFunnelVariants(
+      docs: DataFrame,
+      variants: Seq[CurateVariant],
+      keepLangs: Seq[String] = Seq("en"),
+      minTokens: Int = 10,
+      mat: Materialize.Strategy = Materialize.LocalCheckpoint,
+      sizeRatioFloor: Double = 0.0,
+      blocklist: Seq[String] = Nil,
+      samples: Int = 0,
+      classifier: Option[ClassifierGate] = None,
+      attribution: Boolean = false): Seq[CurationResult] = {
+    require(variants.nonEmpty, "curateWithFunnelVariants needs at least one variant")
     require(keepLangs.nonEmpty, "keepLangs must name at least one language")
     require(samples >= 0, s"samples=$samples must be >= 0 (0 = no sample output)")
     val langKeep = col("pred_lang").isin(keepLangs: _*)
@@ -577,23 +658,41 @@ object Curation {
     val cl = chainClusters(s1c, mat, sizeRatioFloor)
     val losers = losersOf(cl)
     val s2 = s1c.join(losers, Seq("doc_id"), "left_anti")
-    val contam = Materialize(contamOf(s2, evalDocs, evalShingles), mat)
-    CurationResult(
-      manifest = manifestFrom(s1c, losers, contam, rates, defaultRate, trainPct, valPct, split, cl),
-      funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, rates, defaultRate,
-        blocklist, clsKept),
-      clusters = cl,
-      // the incident-report face rides the SAME losers/contam tables —
-      // consuming all three outputs builds the dedup graph once
-      samples = if (samples == 0) None
-        else Some(samplesFrom(docs, langKeep, losers, contam, samples,
-          minTokens, rates, defaultRate, blocklist, clsKept)),
-      // the full per-doc attribution table (same drop sets again):
-      // what [[manifestDiffExplained]] joins — lazily assembled, so a
-      // run that never consumes it pays nothing
-      drops = if (!attribution) None
-        else Some(droppedWithStage(docs, langKeep, losers, contam,
-          minTokens, rates, defaultRate, blocklist, clsKept)))
+    // one contaminated-id table per DISTINCT (evalDocs, evalShingles)
+    // pair, keyed by reference identity; the id-sized materializations
+    // of independent suites are themselves independent jobs — overlap
+    // them (guide §2.6 back-fill)
+    val suites: Seq[(DataFrame, Option[DataFrame])] =
+      variants.map(v => (v.evalDocs, v.evalShingles)).foldLeft(
+        Seq.empty[(DataFrame, Option[DataFrame])]) { case (acc, s) =>
+        if (acc.exists(a => (a._1 eq s._1) && (a._2 == s._2))) acc else acc :+ s
+      }
+    val contams: Seq[DataFrame] = graft.core.Par.all(
+      suites.map { case (e, sh) =>
+        () => Materialize(contamOf(s2, e, sh), mat)
+      }: _*)
+    def contamFor(v: CurateVariant): DataFrame =
+      contams(suites.indexWhere(a => (a._1 eq v.evalDocs) && (a._2 == v.evalShingles)))
+    variants.map { v =>
+      val contam = contamFor(v)
+      CurationResult(
+        manifest = manifestFrom(s1c, losers, contam, v.rates, v.defaultRate,
+          v.trainPct, v.valPct, v.split, cl),
+        funnel = funnelFrom(docs, langKeep, losers, contam, minTokens, v.rates,
+          v.defaultRate, blocklist, clsKept),
+        clusters = cl,
+        // the incident-report face rides the SAME losers/contam tables —
+        // consuming all three outputs builds the dedup graph once
+        samples = if (samples == 0) None
+          else Some(samplesFrom(docs, langKeep, losers, contam, samples,
+            minTokens, v.rates, v.defaultRate, blocklist, clsKept)),
+        // the full per-doc attribution table (same drop sets again):
+        // what [[manifestDiffExplained]] joins — lazily assembled, so a
+        // run that never consumes it pays nothing
+        drops = if (!attribution) None
+          else Some(droppedWithStage(docs, langKeep, losers, contam,
+            minTokens, v.rates, v.defaultRate, blocklist, clsKept)))
+    }
   }
 
   /** The END of every curation run: [[curate]] straight into
@@ -1621,23 +1720,19 @@ object Curation {
     * Plan: [[classifierScore]]'s one tokenize scan + broadcast weight
     * join + combinable per-doc sum, plus one broadcast join against
     * the group-sized bias table — nothing new shuffles. */
-  def classifierScoreBiased(
-      docs: DataFrame,
-      weights: DataFrame,
-      biases: DataFrame,
-      groupCol: String,
-      buckets: Int = 1024,
-      defaultBias: Double = 0.0): DataFrame = {
-    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+  /** Resolve a bias table's (group, bias) column names — shared by
+    * [[classifierScoreBiased]] and [[ClassifierGate.keptIds]]'s
+    * precomputed path so the two can never disagree. By NAME when the
+    * table carries one: the group column itself, then 'bias', then
+    * 'threshold' — so the documented producer ([[operatingPointsBy]]
+    * output, whose SECOND column is the string 'objective') binds
+    * directly instead of silently casting a label to NULL bias and
+    * gating every present group to keep=false. Positional fallback
+    * (second column) stays for anonymous two-column tables, but must
+    * be numeric — a type the engine can threshold on. */
+  private def resolveBiasCols(biases: DataFrame, groupCol: String): (String, String) = {
     require(biases.columns.length >= 2,
       s"biases needs (group, bias) columns, got ${biases.columns.mkString(", ")}")
-    // resolve by NAME when the table carries one: 'bias' first, then
-    // 'threshold' — so the documented producer ([[operatingPointsBy]]
-    // output, whose SECOND column is the string 'objective') binds
-    // directly instead of silently casting a label to NULL bias and
-    // gating every present group to keep=false. Positional fallback
-    // (second column) stays for anonymous two-column tables, but must
-    // be numeric — a type the engine can threshold on.
     val bGrp =
       if (biases.columns.contains(groupCol)) groupCol else biases.columns.head
     val bBias = Seq("bias", "threshold").find(biases.columns.contains)
@@ -1647,6 +1742,18 @@ object Curation {
       s"biases.$bBias must be numeric, got ${biases.schema(bBias).dataType.simpleString} " +
         "— pass (group, bias) with a numeric bias, or an operatingPointsBy " +
         "output (its 'threshold' column resolves by name)")
+    (bGrp, bBias)
+  }
+
+  def classifierScoreBiased(
+      docs: DataFrame,
+      weights: DataFrame,
+      biases: DataFrame,
+      groupCol: String,
+      buckets: Int = 1024,
+      defaultBias: Double = 0.0): DataFrame = {
+    require(buckets >= 2, s"buckets=$buckets must be >= 2")
+    val (bGrp, bBias) = resolveBiasCols(biases, groupCol)
     classifierScore(docs, weights, buckets).drop("keep")
       .join(docs.select(col("doc_id"), col(groupCol)), Seq("doc_id"))
       .join(broadcast(biases.select(col(bGrp).as(groupCol), col(bBias).as("_gb"))),

@@ -790,6 +790,67 @@ class CurationSpec extends SparkSpec {
     assert(scalarGate.keptIds(d).count() === 0L)
   }
 
+  test("ClassifierGate.precomputedLogits: thresholding an already-scored table decides exactly like re-scoring (scalar and grouped)") {
+    val pos = Seq((1L, en1), (2L, en1 + " extra")).toDF("doc_id", "text")
+    val neg = Seq((3L, dupText), (4L, mixText)).toDF("doc_id", "text")
+    val w = Curation.classifierWeights(pos, neg, buckets = 256)
+    val d = Seq((10L, en1, "srcLow"), (11L, dupText, "srcHigh"),
+        (12L, contamText, "srcLow"))
+      .toDF("doc_id", "text", "source")
+    val scored = Curation.classifierScore(d, w, buckets = 256)
+    // scalar: same bias, precomputed vs re-scored — identical keep sets
+    for (b <- Seq(-1.0, 0.0, 1.0)) {
+      val live = Curation.ClassifierGate(w, buckets = 256, bias = b)
+      val pre = live.copy(precomputedLogits = Some(scored))
+      assert(pre.keptIds(d).as[Long].collect().toSet ===
+        live.keptIds(d).as[Long].collect().toSet, s"bias=$b")
+    }
+    // grouped: per-source biases + default for absent groups — the
+    // precomputed table carries the group column, decisions identical
+    val biases = Seq(("srcLow", -5.0)).toDF("source", "bias")
+    val scoredG = scored.join(d.select(col("doc_id"), col("source")), Seq("doc_id"))
+    val liveG = Curation.ClassifierGate(w, buckets = 256, bias = 1e9,
+      groupBiases = Some(biases))
+    val preG = liveG.copy(precomputedLogits = Some(scoredG))
+    assert(preG.keptIds(d).as[Long].collect().toSet ===
+      liveG.keptIds(d).as[Long].collect().toSet)
+    // gating a SUBSET of the scored corpus restricts cleanly (the
+    // chain gates quality survivors against a full-corpus table)
+    val sub = d.filter(col("doc_id") =!= 12L)
+    val liveSub = Curation.ClassifierGate(w, buckets = 256, bias = -5.0)
+    assert(liveSub.copy(precomputedLogits = Some(scored)).keptIds(sub)
+      .as[Long].collect().toSet ===
+      liveSub.keptIds(sub).as[Long].collect().toSet)
+  }
+
+  test("curateWithFunnelVariants: N knob settings over one shared chain equal N standalone runs") {
+    val evalB = Seq((9002L, "a different benchmark quotes the weather " +
+      "sentence about plain topics verbatim")).toDF("doc_id", "text")
+    val vA = Curation.CurateVariant(evalDocs, rates = rates)
+    val vB = Curation.CurateVariant(evalB,
+      rates = Map("src2" -> 1.0), defaultRate = 0.5, trainPct = 60)
+    val Seq(ra, rb) = Curation.curateWithFunnelVariants(docs, Seq(vA, vB),
+      samples = 3, attribution = true)
+    val sa = Curation.curateWithFunnel(docs, evalDocs, rates = rates,
+      samples = 3, attribution = true)
+    val sb = Curation.curateWithFunnel(docs, evalB,
+      rates = Map("src2" -> 1.0), defaultRate = 0.5, trainPct = 60,
+      samples = 3, attribution = true)
+    def rows(df: org.apache.spark.sql.DataFrame): Set[String] =
+      df.collect().map(_.toString).toSet
+    assert(rows(ra.manifest) === rows(sa.manifest))
+    assert(rows(rb.manifest) === rows(sb.manifest))
+    assert(rows(ra.funnel) === rows(sa.funnel))
+    assert(rows(rb.funnel) === rows(sb.funnel))
+    assert(rows(ra.samples.get) === rows(sa.samples.get))
+    assert(rows(rb.samples.get) === rows(sb.samples.get))
+    assert(rows(ra.drops.get) === rows(sa.drops.get))
+    assert(rows(rb.drops.get) === rows(sb.drops.get))
+    // the two variants genuinely differ (the sharing didn't collapse
+    // them): B's eval suite contaminates the dup text, A's doesn't
+    assert(rows(ra.manifest) !== rows(rb.manifest))
+  }
+
   test("averagePrecision: hand-computed step AP over the sweep; degenerate sweeps read 0 points / NULL") {
     def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     // 4 docs: scores 2.0+, 1.5+, 0.5-, -1.0+ (3 positives)
