@@ -1752,12 +1752,30 @@ object Dedup {
         .groupBy(col("dst"))
         .agg(min("cluster_id").as("nmin"))
         .withColumnRenamed("dst", "n_doc_id")
+      // hash-to-min (r19): each round also follows the current label
+      // ONE hop (label-of-label, a pointer jump over the label table)
+      // before materializing. Pure neighbor-min needs DIAMETER rounds
+      // — a 9-hop near-dup chain is 9 edge joins + 9 barriers — while
+      // the jump halves every label path per round, so convergence is
+      // O(log diameter) (Rastogi et al., finding connected components
+      // in logarithmic MR rounds). Fixpoint unchanged: a label is
+      // always the id of a SAME-COMPONENT node ≤ own id (the jump
+      // follows a same-component label, preserving the invariant), and
+      // any fixpoint where an edge still crosses two labels would
+      // change next round — so converged labels are the component min,
+      // exactly as before. Cost per round: one extra label-table-sized
+      // join (dup-set-sized — edges dwarf it at any scale).
       val next = graft.core.Materialize(
         labels
           .join(neighborMin, labels("doc_id") === col("n_doc_id"), "left")
           .select(col("doc_id"),
-            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("cluster_id"),
-            (col("nmin").isNotNull && col("nmin") < col("cluster_id")).as("changed")),
+            least(col("cluster_id"), coalesce(col("nmin"), col("cluster_id"))).as("half"),
+            col("cluster_id").as("prev"))
+          .join(labels.select(col("doc_id").as("j_doc"), col("cluster_id").as("jmin")),
+            col("half") === col("j_doc"), "left")
+          .select(col("doc_id"),
+            least(col("half"), coalesce(col("jmin"), col("half"))).as("cluster_id"),
+            (least(col("half"), coalesce(col("jmin"), col("half"))) < col("prev")).as("changed")),
         mat)
       converged = next.filter(col("changed")).limit(1).count() == 0 // forces `next`
       // the superseded round's cache is dead once `next` is materialized

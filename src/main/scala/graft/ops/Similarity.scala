@@ -440,19 +440,24 @@ object Similarity {
         .select("cell_id", "cv", "cn")
   }
 
-  /** E-step: nearest cell per vector — argmax over (ccos desc, cell_id
-    * asc) via max_by on the lexicographic struct, partial-aggregated
-    * map-side, never sorted (the exact shape of ivfTopK's assignment). */
-  private def assignToCells(corp: DataFrame, cent: DataFrame): DataFrame =
-    corp.join(broadcast(cent))
-      .select(col("vec_id"), col("v"), col("n"), col("cell_id"),
-        safeCos(dot(col("v"), col("cv")), col("n") * col("cn")).as("ccos"))
-      .groupBy("vec_id")
-      .agg(max_by(
-        struct(col("cell_id"), col("v"), col("ccos")),
-        struct(col("ccos"), (-col("cell_id")).as("neg_cell"))).as("best"))
+  /** E-step: nearest cell per vector — ROW-LOCAL argmax over the
+    * collected centroid array ([[graft.functions.NearestCentroid]],
+    * r19): the vector never fans out k ways and never enters an
+    * exchange; the former join-explode + max_by aggregate shuffled
+    * every embedding once per E-step just to re-attach `v` to its own
+    * argmax (guide §2.3 — shuffle keys, not payloads). Same scores
+    * (index-order dot, round 6, safeCos null on zero norms), same
+    * (ccos desc, cell_id asc) total order, same output columns; the
+    * centroid array is one broadcast row bounded by the model size. */
+  private def assignToCells(corp: DataFrame, cent: DataFrame): DataFrame = {
+    val cs = cent.agg(collect_list(struct(col("cell_id"), col("cv"), col("cn"))).as("cs"))
+    corp.join(broadcast(cs))
+      .select(col("vec_id"), col("v"),
+        graft.functions.NearestCentroid.cosine(col("v"), col("n"), col("cs")).as("best"))
+      .where(col("best").isNotNull) // empty model ≡ the join form's no-match
       .select(col("vec_id"), col("best.cell_id").as("cell_id"),
-        col("best.v").as("v"), col("best.ccos").as("cos"))
+        col("v"), col("best.score").as("cos"))
+  }
 
   /** Shared Lloyd M-step (k-means AND per-subspace PQ): exact
     * DECIMAL(28,12) per-dimension means of `vecCol` keyed by
@@ -647,18 +652,22 @@ object Similarity {
     (sub, cent)
   }
 
-  /** PQ E-step: nearest sub-centroid per (vector, subspace) by L2,
-    * min_by on the lexicographic (d2, cell_id) struct — keyed argmin,
-    * partial-aggregated, never sorted. */
-  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame =
-    sub.join(broadcast(cent), Seq("s"))
-      .select(col("vec_id"), col("s"), col("sv"), col("cell_id"),
-        round(col("xx") - lit(2.0) * dot(col("sv"), col("cv")) + col("cc"), 6).as("d2"))
-      .groupBy("vec_id", "s")
-      .agg(min_by(struct(col("cell_id"), col("sv"), col("d2")),
-        struct(col("d2"), col("cell_id"))).as("best"))
+  /** PQ E-step: nearest sub-centroid per (vector, subspace) by L2 —
+    * the same ROW-LOCAL argbest as [[assignToCells]] (r19,
+    * [[graft.functions.NearestCentroid]] in min/L2 mode): sub-vectors
+    * never fan out k ways or cross an exchange; the per-subspace
+    * codebook arrays ride one m-row broadcast. Same rounded expanded-L2
+    * scores, same (d2 asc, cell_id asc) total order, same columns. */
+  private def pqAssign(sub: DataFrame, cent: DataFrame): DataFrame = {
+    val cs = cent.groupBy("s")
+      .agg(collect_list(struct(col("cell_id"), col("cv"), col("cc"))).as("cs"))
+    sub.join(broadcast(cs), Seq("s"))
+      .select(col("vec_id"), col("s"), col("sv"),
+        graft.functions.NearestCentroid.l2(col("sv"), col("xx"), col("cs")).as("best"))
+      .where(col("best").isNotNull) // a subspace with an empty codebook
       .select(col("vec_id"), col("s"),
-        col("best.cell_id").as("cell_id"), col("best.sv").as("sv"), col("best.d2").as("d2"))
+        col("best.cell_id").as("cell_id"), col("sv"), col("best.score").as("d2"))
+  }
 
   /** PQ codes: (vec_id, subspace, code, d2) — each vector's m nearest
     * sub-centroid ids against the trained codebooks, with the rounded

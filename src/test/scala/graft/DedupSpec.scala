@@ -268,6 +268,19 @@ class DedupSpec extends SparkSpec {
     assert(got === Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 2L, 20L -> 20L, 21L -> 20L))
   }
 
+  test("clusters: pointer jumping converges a long chain within the logarithmic round budget") {
+    // a 41-node path (diameter 40): pure neighbor-min propagation
+    // needs 40 rounds — over maxIterations' default cap — while the
+    // hash-to-min jump halves label paths per round, so the component
+    // min reaches every node well inside ~2·log2(40) ≈ 11 rounds.
+    // Labels at convergence are the component min, same as ever.
+    val chain = (1L until 41L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusters(chain, maxIterations = 12).as[(Long, Long)]
+      .collect().toMap
+    assert(got.size === 41 && got.values.forall(_ === 1L),
+      "every chain node must carry the component min within the log-round budget")
+  }
+
   test("clusters of the exact-dup corpus match exact()'s canonical ids") {
     val text = "the quick brown fox jumps over the lazy dog again and again"
     val d = docs(3L -> text, 7L -> text, 9L -> text,
